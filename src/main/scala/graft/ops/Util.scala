@@ -1,0 +1,31 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Shared helpers for all query modules.
+  *
+  * Parity conventions (SURVEY.md §5.4):
+  *   - money/float aggregates cast to DECIMAL(18,4) BEFORE summation so the
+  *     sum is exact and order-independent, then back to DOUBLE so the output
+  *     schema/value is deterministic on both Spark and the DuckDB oracle;
+  *   - every query ends in an orderBy over a unique key set because the
+  *     Verify entry point coalesce(1)-writes one parquet file and the driver
+  *     hash-compares rows in order.
+  */
+object Util {
+  /** Signature of every entry in SparkEntry.queries. */
+  type Q = (SparkSession, String) => DataFrame
+
+  def table(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  /** DECIMAL(18,4) cast for exact, order-independent aggregation. */
+  def dec(c: Column): Column = c.cast("decimal(18,4)")
+
+  /** Exact decimal sum surfaced as DOUBLE (deterministic cross-engine). */
+  def dsum(c: Column): Column = sum(dec(c)).cast("double")
+
+  /** UTC timestamp literal (fixtures store dates as timestamps). */
+  def ts(s: String): Column = lit(s).cast("timestamp")
+}
