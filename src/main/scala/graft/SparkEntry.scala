@@ -16,7 +16,10 @@ object SparkEntry {
     Aggs.qAggGroupby(spark, "/root/testdata/sf0.001")
 
   private val modules: Seq[(Map[String, Util.Q], Map[String, String])] = Seq(
+    (Scans.queries, Scans.oracleSql),
+    (Joins.queries, Joins.oracleSql),
     (Aggs.queries, Aggs.oracleSql),
+    (SetSort.queries, SetSort.oracleSql),
   )
 
   /** One entry per implemented operator from SURVEY.md §2. */

@@ -27,8 +27,90 @@ object Aggs {
       .orderBy($"l_returnflag", $"l_linestatus")
   }
 
+  /** Exact COUNT(DISTINCT), two distincts + plain count in one aggregate
+    * (Catalyst expands to a multi-phase plan). */
+  val qAggDistinct: Q = (s, dir) => {
+    import s.implicits._
+    table(s, dir, "lineitem")
+      .groupBy($"l_returnflag")
+      .agg(
+        countDistinct($"l_partkey").as("nd_parts"),
+        countDistinct($"l_suppkey").as("nd_supps"),
+        count(lit(1)).as("n_rows"))
+      .orderBy($"l_returnflag")
+  }
+
+  /** ROLLUP(r_name, n_name): hierarchy subtotals + grand total. */
+  val qAggRollup: Q = (s, dir) => {
+    import s.implicits._
+    val c = table(s, dir, "customer")
+    val n = table(s, dir, "nation")
+    val r = table(s, dir, "region")
+    c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .rollup($"r_name", $"n_name")
+      .agg(count(lit(1)).as("n_custs"))
+      .orderBy($"r_name".asc_nulls_first, $"n_name".asc_nulls_first)
+  }
+
+  /** CUBE(returnflag, linestatus): all grouping combinations. */
+  val qAggCube: Q = (s, dir) => {
+    import s.implicits._
+    table(s, dir, "lineitem")
+      .cube($"l_returnflag", $"l_linestatus")
+      .agg(count(lit(1)).as("n_rows"), dsum($"l_quantity").as("sum_qty"))
+      .orderBy($"l_returnflag".asc_nulls_first, $"l_linestatus".asc_nulls_first)
+  }
+
+  /** Explicit GROUPING SETS ((flag), (status), ()). */
+  val qAggGsets: Q = (s, dir) => {
+    import s.implicits._
+    table(s, dir, "lineitem")
+      .groupingSets(
+        Seq(Seq($"l_returnflag"), Seq($"l_linestatus"), Seq()),
+        $"l_returnflag", $"l_linestatus")
+      .agg(count(lit(1)).as("n_rows"))
+      .orderBy($"l_returnflag".asc_nulls_first, $"l_linestatus".asc_nulls_first)
+  }
+
+  /** Exact interpolated percentiles of o_totalprice per priority. */
+  val qAggPercentile: Q = (s, dir) => {
+    import s.implicits._
+    table(s, dir, "orders")
+      .groupBy($"o_orderpriority")
+      .agg(
+        expr("percentile(o_totalprice, 0.5)").as("p50"),
+        expr("percentile(o_totalprice, 0.9)").as("p90"))
+      .orderBy($"o_orderpriority")
+  }
+
+  /** Ordered array_agg: top-5 order keys per customer by totalprice,
+    * surfaced as a comma-joined string (scalar output for hash parity).
+    * collect_list order is nondeterministic post-shuffle, so assembly sorts
+    * (rank, key) structs explicitly. */
+  val qAggCollect: Q = (s, dir) => {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy($"o_custkey")
+      .orderBy($"o_totalprice".desc, $"o_orderkey")
+    table(s, dir, "orders")
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" <= 5)
+      .groupBy($"o_custkey")
+      .agg(concat_ws(",",
+        transform(array_sort(collect_list(struct($"rn", $"o_orderkey"))),
+          x => x.getField("o_orderkey").cast("string"))).as("top_orders"))
+      .orderBy($"o_custkey")
+  }
+
   val queries: Map[String, Q] = Map(
     "q_agg_groupby" -> qAggGroupby,
+    "q_agg_distinct" -> qAggDistinct,
+    "q_agg_rollup" -> qAggRollup,
+    "q_agg_cube" -> qAggCube,
+    "q_agg_gsets" -> qAggGsets,
+    "q_agg_percentile" -> qAggPercentile,
+    "q_agg_collect" -> qAggCollect,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -43,5 +125,35 @@ object Aggs {
         |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
         |GROUP BY l_returnflag, l_linestatus
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q_agg_distinct" ->
+      """SELECT l_returnflag, count(DISTINCT l_partkey) AS nd_parts,
+        | count(DISTINCT l_suppkey) AS nd_supps, count(*) AS n_rows
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q_agg_rollup" ->
+      """SELECT r_name, n_name, count(*) AS n_custs
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        | JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY ROLLUP(r_name, n_name)
+        |ORDER BY r_name NULLS FIRST, n_name NULLS FIRST""".stripMargin,
+    "q_agg_cube" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n_rows,
+        | CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
+        |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+    "q_agg_gsets" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n_rows
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+    "q_agg_percentile" ->
+      """SELECT o_orderpriority, quantile_cont(o_totalprice, 0.5) AS p50,
+        | quantile_cont(o_totalprice, 0.9) AS p90
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q_agg_collect" ->
+      """SELECT o_custkey, string_agg(CAST(o_orderkey AS VARCHAR), ',' ORDER BY rn) AS top_orders
+        |FROM (SELECT o_custkey, o_orderkey, row_number() OVER
+        |       (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |      FROM orders) WHERE rn <= 5
+        |GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
   )
 }

@@ -1,0 +1,169 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import Util._
+
+/** SURVEY.md §2.3 — join operators (as-of join lives in AsOf.scala).
+  *
+  * Scale notes: dimension tables (region 5 / nation 25 / supplier 1k /
+  * customer ~1.5M at 100 TB) are broadcast — no shuffle of the fact side.
+  * Fact-fact joins (lineitem⋈orders) shuffle both sides on the join key;
+  * AQE handles skew splitting at runtime. Nothing here collects to the
+  * driver.
+  */
+object Joins {
+
+  /** Inner equi join orders⋈customer. */
+  val qJoinInner: Q = (s, dir) => {
+    import s.implicits._
+    val o = table(s, dir, "orders")
+    val c = table(s, dir, "customer")
+    o.join(c, o("o_custkey") === c("c_custkey"))
+      .select($"o_orderkey", $"c_custkey", $"c_name", $"o_totalprice")
+      .orderBy($"o_orderkey")
+  }
+
+  /** Star-schema dim broadcast: customer⋈nation⋈region, counts per dim. */
+  val qJoinBroadcast: Q = (s, dir) => {
+    import s.implicits._
+    val c = table(s, dir, "customer")
+    val n = table(s, dir, "nation")
+    val r = table(s, dir, "region")
+    c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .groupBy($"r_name", $"n_name")
+      .agg(count(lit(1)).as("n_custs"), dsum($"c_acctbal").as("sum_bal"))
+      .orderBy($"r_name", $"n_name")
+  }
+
+  /** Large-large sort-merge join lineitem⋈orders (merge hint). */
+  val qJoinSmj: Q = (s, dir) => {
+    import s.implicits._
+    val li = table(s, dir, "lineitem")
+    val o = table(s, dir, "orders").hint("merge")
+    li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .groupBy($"o_orderpriority")
+      .agg(
+        count(lit(1)).as("n_lines"),
+        sum(dec($"l_extendedprice") * (lit(1).cast("decimal(18,4)") - dec($"l_discount")))
+          .cast("double").as("revenue"))
+      .orderBy($"o_orderpriority")
+  }
+
+  /** Left + full outer with null extension, tagged and unioned.
+    * Left side: BUILDING customers; right side: orders > 100k — so the full
+    * outer has both left-only and right-only rows. */
+  val qJoinOuter: Q = (s, dir) => {
+    import s.implicits._
+    val c = table(s, dir, "customer").filter($"c_mktsegment" === "BUILDING")
+    val o = table(s, dir, "orders").filter($"o_totalprice" > 100000.0)
+    val cols = Seq($"c_custkey", $"c_mktsegment", $"o_orderkey", $"o_totalprice")
+    val left = c.join(o, c("c_custkey") === o("o_custkey"), "left_outer")
+      .select(lit("left").as("tag") +: cols: _*)
+    val full = c.join(o, c("c_custkey") === o("o_custkey"), "full_outer")
+      .select(lit("full").as("tag") +: cols: _*)
+    left.unionAll(full)
+      .orderBy($"tag", $"c_custkey".asc_nulls_first, $"o_orderkey".asc_nulls_first)
+  }
+
+  /** Left-semi join: customers with at least one order (EXISTS). */
+  val qJoinSemi: Q = (s, dir) => {
+    import s.implicits._
+    val c = table(s, dir, "customer")
+    val o = table(s, dir, "orders")
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+      .select($"c_custkey", $"c_name")
+      .orderBy($"c_custkey")
+  }
+
+  /** Left-anti join: customers with no orders (NOT EXISTS). */
+  val qJoinAnti: Q = (s, dir) => {
+    import s.implicits._
+    val c = table(s, dir, "customer")
+    val o = table(s, dir, "orders")
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+      .select($"c_custkey", $"c_name")
+      .orderBy($"c_custkey")
+  }
+
+  /** Band join: equi key + residual range condition. Catalyst extracts the
+    * equi part for the hash/SMJ key; the BETWEEN stays as a join residual —
+    * never a cartesian. */
+  val qJoinTheta: Q = (s, dir) => {
+    import s.implicits._
+    val li = table(s, dir, "lineitem")
+    val o = table(s, dir, "orders")
+    li.join(o, li("l_orderkey") === o("o_orderkey") &&
+        li("l_shipdate") >= o("o_orderdate") &&
+        li("l_shipdate") <= o("o_orderdate") + expr("INTERVAL 90 DAYS"))
+      .groupBy($"o_orderpriority")
+      .agg(count(lit(1)).as("n_lines"), dsum($"l_extendedprice").as("sum_price"))
+      .orderBy($"o_orderpriority")
+  }
+
+  /** Cross join of two tiny dims (BroadcastNestedLoopJoin). */
+  val qJoinCrossagg: Q = (s, dir) => {
+    import s.implicits._
+    val r = table(s, dir, "region")
+    val n = table(s, dir, "nation")
+    r.crossJoin(n)
+      .select($"r_name", $"n_name",
+        ($"r_regionkey" + $"n_nationkey").cast("long").as("keysum"))
+      .orderBy($"r_name", $"n_name")
+  }
+
+  val queries: Map[String, Q] = Map(
+    "q_join_inner" -> qJoinInner,
+    "q_join_broadcast" -> qJoinBroadcast,
+    "q_join_smj" -> qJoinSmj,
+    "q_join_outer" -> qJoinOuter,
+    "q_join_semi" -> qJoinSemi,
+    "q_join_anti" -> qJoinAnti,
+    "q_join_theta" -> qJoinTheta,
+    "q_join_crossagg" -> qJoinCrossagg,
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q_join_inner" ->
+      """SELECT o_orderkey, c_custkey, c_name, o_totalprice
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |ORDER BY o_orderkey""".stripMargin,
+    "q_join_broadcast" ->
+      """SELECT r_name, n_name, count(*) AS n_custs,
+        | CAST(sum(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS sum_bal
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        | JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin,
+    "q_join_smj" ->
+      """SELECT o_orderpriority, count(*) AS n_lines,
+        | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q_join_outer" ->
+      """WITH c AS (SELECT * FROM customer WHERE c_mktsegment = 'BUILDING'),
+        | o AS (SELECT * FROM orders WHERE o_totalprice > 100000.0)
+        |SELECT 'left' AS tag, c_custkey, c_mktsegment, o_orderkey, o_totalprice
+        | FROM c LEFT JOIN o ON c_custkey = o_custkey
+        |UNION ALL
+        |SELECT 'full' AS tag, c_custkey, c_mktsegment, o_orderkey, o_totalprice
+        | FROM c FULL JOIN o ON c_custkey = o_custkey
+        |ORDER BY tag, c_custkey ASC NULLS FIRST, o_orderkey ASC NULLS FIRST""".stripMargin,
+    "q_join_semi" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+    "q_join_anti" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+    "q_join_theta" ->
+      """SELECT o_orderpriority, count(*) AS n_lines,
+        | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        | AND l_shipdate >= o_orderdate AND l_shipdate <= o_orderdate + INTERVAL 90 DAY
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q_join_crossagg" ->
+      """SELECT r_name, n_name, CAST(r_regionkey + n_nationkey AS BIGINT) AS keysum
+        |FROM region CROSS JOIN nation ORDER BY r_name, n_name""".stripMargin,
+  )
+}

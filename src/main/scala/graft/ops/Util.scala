@@ -28,4 +28,15 @@ object Util {
 
   /** UTC timestamp literal (fixtures store dates as timestamps). */
   def ts(s: String): Column = lit(s).cast("timestamp")
+
+  /** events.parquet stores ts as TIMESTAMP(NANOS), which Spark 4 refuses to
+    * read as a timestamp (PARQUET_TYPE_ILLEGAL). Read nanos as long
+    * (legacy.parquet.nanosAsLong) and truncate to µs with integer division
+    * (`div` — a double division would lose precision above 2^53 ns). DuckDB
+    * oracles must cast `ts::TIMESTAMP` to truncate ns→µs identically. */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    table(spark, dir, "events")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
 }
