@@ -20,6 +20,8 @@ object SparkEntry {
     (Joins.queries, Joins.oracleSql),
     (Aggs.queries, Aggs.oracleSql),
     (SetSort.queries, SetSort.oracleSql),
+    (Windows.queries, Windows.oracleSql),
+    (Scalars.queries, Scalars.oracleSql),
   )
 
   /** One entry per implemented operator from SURVEY.md §2. */

@@ -17,8 +17,19 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // Spark writes TimestampType as UTC-adjusted (instant) parquet, which
+    // DuckDB surfaces as TIMESTAMPTZ while oracle results are naive — cast
+    // all timestamp outputs to NTZ (session TZ is UTC, wall clock preserved).
+    def ntz(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+      import org.apache.spark.sql.functions.col
+      import org.apache.spark.sql.types.{TimestampNTZType, TimestampType}
+      df.select(df.schema.fields.map { f =>
+        if (f.dataType == TimestampType) col(f.name).cast(TimestampNTZType).as(f.name)
+        else col(f.name)
+      }.toSeq: _*)
+    }
     SparkEntry.queries.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+      try ntz(fn(spark, sfDir)).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")

@@ -24,7 +24,7 @@ object Scans {
       .filter($"l_shipdate" >= ts("1996-01-01 00:00:00") &&
               $"l_shipdate" <  ts("1997-01-01 00:00:00"))
       .select($"l_orderkey", $"l_linenumber", $"l_extendedprice")
-      .orderBy($"l_orderkey", $"l_linenumber")
+      .orderBy($"l_orderkey", $"l_linenumber", $"l_extendedprice")
   }
 
   /** Schema'd ingestion of the JSON `events.props` string (GEE properties-
@@ -48,7 +48,7 @@ object Scans {
         ($"l_extendedprice" * (lit(1.0) - $"l_discount") * (lit(1.0) + $"l_tax"))
           .as("charged"),
         ($"l_quantity" * lit(10.0)).as("qty10"))
-      .orderBy($"l_orderkey", $"l_linenumber")
+      .orderBy($"l_orderkey", $"l_linenumber", $"revenue", $"charged", $"qty10")
   }
 
   /** §2.2 conjunctive/disjunctive predicates, BETWEEN, IN-list. */
@@ -68,7 +68,7 @@ object Scans {
     table(s, dir, "lineitem")
       .filter($"l_discount" < 0.05)
       .select($"l_orderkey", $"l_linenumber", $"l_discount")
-      .orderBy($"l_orderkey", $"l_linenumber")
+      .orderBy($"l_orderkey", $"l_linenumber", $"l_discount")
   }
 
   /** §2.2 string pattern predicates LIKE / RLIKE. */
@@ -95,7 +95,7 @@ object Scans {
     "q_scan_pruned" ->
       """SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
         |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
-        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+        |ORDER BY l_orderkey, l_linenumber, l_extendedprice""".stripMargin,
     "q_scan_json_props" ->
       """SELECT event_id, CAST(json_extract(props, '$.k') AS BIGINT) AS k
         |FROM events ORDER BY event_id""".stripMargin,
@@ -104,7 +104,7 @@ object Scans {
         | l_extendedprice * (1.0 - l_discount) AS revenue,
         | l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax) AS charged,
         | l_quantity * 10.0 AS qty10
-        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber, revenue, charged, qty10""".stripMargin,
     "q_filter_conj" ->
       """SELECT o_orderkey, o_orderstatus, o_orderpriority, o_totalprice FROM orders
         |WHERE (o_orderstatus = 'F' AND o_totalprice > 150000.0)
@@ -112,7 +112,7 @@ object Scans {
         |ORDER BY o_orderkey""".stripMargin,
     "q_filter_threshold" ->
       """SELECT l_orderkey, l_linenumber, l_discount FROM lineitem
-        |WHERE l_discount < 0.05 ORDER BY l_orderkey, l_linenumber""".stripMargin,
+        |WHERE l_discount < 0.05 ORDER BY l_orderkey, l_linenumber, l_discount""".stripMargin,
     "q_filter_like" ->
       """SELECT p_partkey, p_name, p_type FROM part
         |WHERE p_name LIKE '%red%' OR regexp_matches(p_type, '^(ECONOMY|SMALL)$')

@@ -17,6 +17,12 @@ object Util {
   /** Signature of every entry in SparkEntry.queries. */
   type Q = (SparkSession, String) => DataFrame
 
+  // Determinism gotcha (verified on the fixtures): lineitem's
+  // (l_orderkey, l_linenumber) is NOT unique (~20% of rows sit in duplicate
+  // groups; only the full row is unique). Any query sorted by non-provably-
+  // unique keys must orderBy ALL output columns so tie rows are identical
+  // and the hash compare is order-insensitive among them.
+
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 

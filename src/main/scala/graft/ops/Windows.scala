@@ -1,0 +1,144 @@
+package graft.ops
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import Util._
+
+/** SURVEY.md §2.5 — window functions.
+  *
+  * Scale notes: a window partitioned by a key shuffles once on that key and
+  * sorts within partitions — the same exchange is reused by chained windows
+  * over the same partitioning. Every orderBy inside a window carries a
+  * unique tie-break key so rank/lag output is deterministic cross-engine.
+  */
+object Windows {
+
+  /** row_number/rank/dense_rank per mktsegment by acctbal desc (GEE
+    * least-cloudy-scene ranking analog). */
+  val qWinRank: Q = (s, dir) => {
+    import s.implicits._
+    val w = Window.partitionBy($"c_mktsegment")
+      .orderBy($"c_acctbal".desc, $"c_custkey")
+    table(s, dir, "customer")
+      .select($"c_custkey", $"c_mktsegment", $"c_acctbal",
+        row_number().over(w).cast("long").as("rn"),
+        rank().over(w).cast("long").as("rk"),
+        dense_rank().over(w).cast("long").as("drk"))
+      .orderBy($"c_custkey")
+  }
+
+  /** Top-3 orders per customer — the GEE best-scene-per-path/row analog. */
+  val qWinTopkGroup: Q = (s, dir) => {
+    import s.implicits._
+    val w = Window.partitionBy($"o_custkey")
+      .orderBy($"o_totalprice".desc, $"o_orderkey")
+    table(s, dir, "orders")
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter($"rn" <= 3)
+      .select($"o_custkey", $"o_orderkey", $"o_totalprice", $"rn")
+      .orderBy($"o_custkey", $"rn")
+  }
+
+  /** lag/lead: previous/next event value per user in event-time order. */
+  val qWinLag: Q = (s, dir) => {
+    import s.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    events(s, dir)
+      .select($"user_id", $"event_id", $"value",
+        lag($"value", 1).over(w).as("prev_value"),
+        lead($"value", 1).over(w).as("next_value"),
+        ($"value" - lag($"value", 1).over(w)).as("delta"))
+      .orderBy($"user_id", $"event_id")
+  }
+
+  /** Running sum, ROWS UNBOUNDED PRECEDING..CURRENT (decimal-summed). */
+  val qWinFrameRows: Q = (s, dir) => {
+    import s.implicits._
+    val w = Window.partitionBy($"o_custkey")
+      .orderBy($"o_orderdate", $"o_orderkey")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    table(s, dir, "orders")
+      .select($"o_custkey", $"o_orderkey",
+        sum(dec($"o_totalprice")).over(w).cast("double").as("running_total"))
+      .orderBy($"o_custkey", $"o_orderkey")
+  }
+
+  /** 30-day trailing sum per supplier via RANGE BETWEEN on epoch seconds
+    * (GEE moving-composite analog). Frame peers are defined by the range
+    * value, so the non-unique orderBy is still deterministic. */
+  val qWinFrameRange: Q = (s, dir) => {
+    import s.implicits._
+    val w = Window.partitionBy($"l_suppkey")
+      .orderBy($"ship_sec")
+      .rangeBetween(-30L * 86400, 0)
+    table(s, dir, "lineitem")
+      .withColumn("ship_sec", unix_timestamp($"l_shipdate"))
+      .select($"l_suppkey", $"l_orderkey", $"l_linenumber", $"ship_sec",
+        sum(dec($"l_quantity")).over(w).cast("double").as("qty_30d"))
+      .orderBy($"l_suppkey", $"l_orderkey", $"l_linenumber", $"ship_sec", $"qty_30d")
+  }
+
+  /** ntile(4) + percent_rank + cume_dist over order totals. */
+  val qWinNtile: Q = (s, dir) => {
+    import s.implicits._
+    val w = Window.orderBy($"o_totalprice", $"o_orderkey")
+    table(s, dir, "orders")
+      .select($"o_orderkey", $"o_totalprice",
+        ntile(4).over(w).cast("long").as("quartile"),
+        percent_rank().over(w).as("pct_rank"),
+        cume_dist().over(w).as("cd"))
+      .orderBy($"o_orderkey")
+  }
+
+  val queries: Map[String, Q] = Map(
+    "q_win_rank" -> qWinRank,
+    "q_win_topk_group" -> qWinTopkGroup,
+    "q_win_lag" -> qWinLag,
+    "q_win_frame_rows" -> qWinFrameRows,
+    "q_win_frame_range" -> qWinFrameRange,
+    "q_win_ntile" -> qWinNtile,
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q_win_rank" ->
+      """SELECT c_custkey, c_mktsegment, c_acctbal,
+        | row_number() OVER w AS rn, rank() OVER w AS rk, dense_rank() OVER w AS drk
+        |FROM customer
+        |WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+    "q_win_topk_group" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+        | SELECT o_custkey, o_orderkey, o_totalprice, row_number() OVER
+        |  (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        | FROM orders) WHERE rn <= 3
+        |ORDER BY o_custkey, rn""".stripMargin,
+    "q_win_lag" ->
+      """SELECT user_id, event_id, value,
+        | lag(value, 1) OVER w AS prev_value,
+        | lead(value, 1) OVER w AS next_value,
+        | value - lag(value, 1) OVER w AS delta
+        |FROM (SELECT user_id, event_id, value, ts::TIMESTAMP AS ts FROM events)
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |ORDER BY user_id, event_id""".stripMargin,
+    "q_win_frame_rows" ->
+      """SELECT o_custkey, o_orderkey,
+        | CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) OVER
+        |  (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_total
+        |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "q_win_frame_range" ->
+      """SELECT l_suppkey, l_orderkey, l_linenumber, ship_sec,
+        | CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) OVER
+        |  (PARTITION BY l_suppkey ORDER BY ship_sec
+        |   RANGE BETWEEN 2592000 PRECEDING AND CURRENT ROW) AS DOUBLE) AS qty_30d
+        |FROM (SELECT *, CAST(epoch(l_shipdate) AS BIGINT) AS ship_sec FROM lineitem)
+        |ORDER BY l_suppkey, l_orderkey, l_linenumber, ship_sec, qty_30d""".stripMargin,
+    "q_win_ntile" ->
+      """SELECT o_orderkey, o_totalprice,
+        | ntile(4) OVER w AS quartile, percent_rank() OVER w AS pct_rank,
+        | cume_dist() OVER w AS cd
+        |FROM orders
+        |WINDOW w AS (ORDER BY o_totalprice, o_orderkey)
+        |ORDER BY o_orderkey""".stripMargin,
+  )
+}
