@@ -22,6 +22,7 @@ object SparkEntry {
     (SetSort.queries, SetSort.oracleSql),
     (Windows.queries, Windows.oracleSql),
     (Scalars.queries, Scalars.oracleSql),
+    (LlmOps.queries, LlmOps.oracleSql),
   )
 
   /** One entry per implemented operator from SURVEY.md §2. */

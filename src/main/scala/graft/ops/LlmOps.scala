@@ -1,0 +1,291 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import Util._
+
+/** SURVEY.md §2.9 — LLM-data-pipeline operators (driver mandate).
+  *
+  * Scale design: no operator materializes to the driver and none does an
+  * unblocked all-pairs comparison over documents — near-dup candidates come
+  * from MinHash band buckets (join on band key), similarity search
+  * broadcasts a tiny probe set against the full embedding table, and
+  * all-pairs cosine is label-blocked. Only md5 is used for content hashing
+  * (the one hash that matches DuckDB bit-for-bit).
+  */
+object LlmOps {
+
+  /** Word tokens of a document, as an array column. */
+  private def toks(c: Column): Column = split(c, " ")
+
+  /** Word 3-gram shingles of a token array (explode-ready). The §2.11 UDTF
+    * v1 composition: explode(transform(sequence(...))) — a generator built
+    * from HOFs, no custom Catalyst code. */
+  private def shingles(ws: Column): Column =
+    when(size(ws) >= 3,
+      transform(sequence(lit(1), size(ws) - 2),
+        i => concat_ws(" ", slice(ws, i, lit(3)))))
+      .otherwise(array())
+
+  /** Distinct (doc_id, shingle) pairs. */
+  private def shingleSet(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    table(s, dir, "documents")
+      .select($"doc_id", explode(shingles(toks($"text"))).as("sh"))
+      .distinct()
+  }
+
+  /** Embeddings with elements pre-cast to double (parity: both engines
+    * must promote float->double BEFORE multiplying). */
+  private def emb(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    table(s, dir, "embeddings")
+      .select($"vec_id", $"label",
+        transform($"embedding", x => x.cast("double")).as("emb"))
+  }
+
+  /** Dot product of two double-array columns (unit vectors: = cosine). */
+  private def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+
+  // ---------------------------------------------------------------- dedup
+
+  /** Exact dedup on normalized text: deterministic keeper = min(doc_id)
+    * (NOT dropDuplicates, whose keeper depends on partition order). */
+  val qDedupExact: Q = (s, dir) => {
+    import s.implicits._
+    table(s, dir, "documents")
+      .groupBy(md5(lower(trim($"text"))).as("h"))
+      .agg(min($"doc_id").as("keeper"), count(lit(1)).as("n_copies"))
+      .select($"keeper", $"n_copies", $"h")
+      .orderBy($"keeper")
+  }
+
+  /** Near-dup detection via MinHash + LSH: 16 md5-derived min-hashes (the
+    * hex string itself is the hash value — lexicographic min ≡ numeric min,
+    * and md5 is the only cross-engine-stable hash), 8 bands × 2 rows,
+    * band-bucket join for candidates, exact shingle-Jaccard ≥ 0.8 verify.
+    * At scale the band join touches only colliding buckets — never the
+    * full doc×doc cross product. */
+  val qDedupNear: Q = (s, dir) => {
+    import s.implicits._
+    val sh = shingleSet(s, dir).cache()
+    val sig = sh
+      .select($"doc_id", $"sh", explode(sequence(lit(0), lit(15))).as("j"))
+      .select($"doc_id", $"j",
+        md5(concat($"j".cast("string"), lit(":"), $"sh")).as("h"))
+      .groupBy($"doc_id", $"j").agg(min($"h").as("mh"))
+    val bands = sig
+      .groupBy($"doc_id", ($"j" / 2).cast("int").as("band"))
+      .agg(array_join(transform(array_sort(collect_list(struct($"j", $"mh"))),
+        x => x.getField("mh")), "|").as("bkey"))
+    val cands = bands.as("x").join(bands.as("y"),
+        $"x.band" === $"y.band" && $"x.bkey" === $"y.bkey" &&
+          $"x.doc_id" < $"y.doc_id")
+      .select($"x.doc_id".as("doc_a"), $"y.doc_id".as("doc_b"))
+      .distinct()
+    val sizes = sh.groupBy($"doc_id").agg(count(lit(1)).as("n"))
+    val inter = cands
+      .join(sh.as("sa"), $"doc_a" === $"sa.doc_id")
+      .join(sh.as("sb"), $"doc_b" === $"sb.doc_id" && $"sa.sh" === $"sb.sh")
+      .groupBy($"doc_a", $"doc_b").agg(count(lit(1)).as("i"))
+    inter
+      .join(sizes.as("za"), $"doc_a" === $"za.doc_id")
+      .join(sizes.as("zb"), $"doc_b" === $"zb.doc_id")
+      .select($"doc_a", $"doc_b",
+        ($"i".cast("double") / ($"za.n" + $"zb.n" - $"i")).as("jac"))
+      .filter($"jac" >= 0.8)
+      .orderBy($"doc_a", $"doc_b")
+  }
+
+  // ----------------------------------------------------- similarity search
+
+  /** Brute-force cosine top-k: 10 probe vectors (lowest vec_ids) broadcast
+    * against all embeddings; scores rounded to 4dp before ranking with a
+    * vec_id tie-break so rank order is cross-engine deterministic. */
+  val qSimTopk: Q = (s, dir) => {
+    import s.implicits._
+    val e = emb(s, dir)
+    val probes = e.orderBy($"vec_id").limit(10)
+      .select($"vec_id".as("probe_id"), $"emb".as("pemb"))
+    val scored = e.crossJoin(broadcast(probes))
+      .filter($"vec_id" =!= $"probe_id")
+      .select($"probe_id", $"vec_id".as("neighbor_id"),
+        round(dot($"pemb", $"emb"), 4).as("score"))
+    val w = Window.partitionBy($"probe_id").orderBy($"score".desc, $"neighbor_id")
+    scored.withColumn("rn", row_number().over(w).cast("long"))
+      .filter($"rn" <= 5)
+      .orderBy($"probe_id", $"rn")
+  }
+
+  /** Cluster cohesion: mean pairwise cosine within each label (all-pairs
+    * blocked by label; per-pair score rounded then decimal-summed so the
+    * mean is order-independent). */
+  val qSimPairs: Q = (s, dir) => {
+    import s.implicits._
+    val e = emb(s, dir)
+    e.as("a").join(e.as("b"),
+        $"a.label" === $"b.label" && $"a.vec_id" < $"b.vec_id")
+      .select($"a.label".as("label"),
+        round(dot($"a.emb", $"b.emb"), 6).cast("decimal(18,6)").as("cos"))
+      .groupBy($"label")
+      .agg(count(lit(1)).as("n_pairs"),
+        (sum($"cos").cast("double") / count(lit(1))).as("mean_cos"))
+      .orderBy($"label")
+  }
+
+  // ------------------------------------------------------------ multimodal
+
+  /** Multimodal column assembly: text ⋈ vector ⋈ metadata bundled into one
+    * struct, filtered on both modalities, fields projected back out flat
+    * (top-level structs don't hash-compare stably — SURVEY §5.4). */
+  val qMultimodal: Q = (s, dir) => {
+    import s.implicits._
+    val d = table(s, dir, "documents")
+    val e = emb(s, dir)
+    d.join(e, d("doc_id") === e("vec_id"))
+      .select($"doc_id", struct($"text", $"lang", $"n_chars", $"label", $"emb").as("m"))
+      .filter($"m.lang" === "en" && $"m.label".isin(1, 3, 5, 7))
+      .select($"doc_id", $"m.lang".as("lang"), $"m.label".as("label"),
+        $"m.n_chars".as("n_chars"), size($"m.emb").cast("long").as("dim"),
+        round(dot($"m.emb", $"m.emb"), 4).as("norm2"))
+      .orderBy($"doc_id")
+  }
+
+  // --------------------------------------------------------- text analysis
+
+  /** Tokenize → explode → stopword-filter → top-20 terms. */
+  val qTextWordcount: Q = (s, dir) => {
+    import s.implicits._
+    table(s, dir, "documents")
+      .select(explode(toks($"text")).as("term"))
+      .filter(!$"term".isin("a", "the") && $"term" =!= "")
+      .groupBy($"term").agg(count(lit(1)).as("n"))
+      .orderBy($"n".desc, $"term")
+      .limit(20)
+  }
+
+  /** tf-idf with idf = round(ln(N/df), 8) (rounded identically on both
+    * engines before the multiply), top term per doc. */
+  val qTextTfidf: Q = (s, dir) => {
+    import s.implicits._
+    val d = table(s, dir, "documents")
+    val tf = d.select($"doc_id", explode(toks($"text")).as("term"))
+      .filter(!$"term".isin("a", "the"))
+      .groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy($"term").agg(count(lit(1)).as("df"))
+    val n = d.agg(count(lit(1)).as("n_docs"))
+    val scored = tf.join(df, "term").crossJoin(broadcast(n))
+      .select($"doc_id", $"term",
+        ($"tf" * round(log($"n_docs".cast("double") / $"df"), 8)).as("score"))
+    val w = Window.partitionBy($"doc_id").orderBy($"score".desc, $"term")
+    scored.withColumn("rn", row_number().over(w))
+      .filter($"rn" === 1)
+      .select($"doc_id", $"term", round($"score", 6).as("tfidf"))
+      .orderBy($"doc_id")
+  }
+
+  /** Per-language doc count, avg chars, avg whitespace-token count (exact
+    * long sums divided as double — order-independent). */
+  val qTextLangstats: Q = (s, dir) => {
+    import s.implicits._
+    table(s, dir, "documents")
+      .groupBy($"lang")
+      .agg(count(lit(1)).as("n_docs"),
+        (sum($"n_chars").cast("double") / count(lit(1))).as("avg_chars"),
+        (sum(size(toks($"text")).cast("long")).cast("double") / count(lit(1)))
+          .as("avg_tokens"))
+      .orderBy($"lang")
+  }
+
+  val queries: Map[String, Q] = Map(
+    "q_dedup_exact" -> qDedupExact,
+    "q_dedup_near" -> qDedupNear,
+    "q_sim_topk" -> qSimTopk,
+    "q_sim_pairs" -> qSimPairs,
+    "q_multimodal" -> qMultimodal,
+    "q_text_wordcount" -> qTextWordcount,
+    "q_text_tfidf" -> qTextTfidf,
+    "q_text_langstats" -> qTextLangstats,
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q_dedup_exact" ->
+      """SELECT min(doc_id) AS keeper, count(*) AS n_copies,
+        | md5(lower(trim(text))) AS h
+        |FROM documents GROUP BY h ORDER BY keeper""".stripMargin,
+    "q_dedup_near" ->
+      """WITH tok AS (SELECT doc_id, string_split(text,' ') AS ws FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, s FROM (
+        |  SELECT doc_id, unnest(list_transform(generate_series(1, len(ws)-2),
+        |    i -> ws[i]||' '||ws[i+1]||' '||ws[i+2])) AS s FROM tok)),
+        |sig AS (SELECT doc_id, j, min(md5(CAST(j AS VARCHAR)||':'||s)) AS mh
+        |  FROM sh, unnest(generate_series(0,15)) AS t(j) GROUP BY doc_id, j),
+        |bands AS (SELECT doc_id, CAST(j // 2 AS INT) AS band,
+        |    string_agg(mh, '|' ORDER BY j) AS bkey
+        |  FROM sig GROUP BY doc_id, band),
+        |cands AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+        |  FROM bands x JOIN bands y ON x.band=y.band AND x.bkey=y.bkey
+        |   AND x.doc_id < y.doc_id),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        |inter AS (SELECT doc_a, doc_b, count(*) AS i FROM cands
+        |  JOIN sh sa ON sa.doc_id=doc_a JOIN sh sb ON sb.doc_id=doc_b AND sa.s=sb.s
+        |  GROUP BY doc_a, doc_b)
+        |SELECT doc_a, doc_b,
+        |  CAST(i AS DOUBLE)/(za.n + zb.n - i) AS jac
+        |FROM inter JOIN sizes za ON za.doc_id=doc_a JOIN sizes zb ON zb.doc_id=doc_b
+        |WHERE CAST(i AS DOUBLE)/(za.n + zb.n - i) >= 0.8
+        |ORDER BY doc_a, doc_b""".stripMargin,
+    "q_sim_topk" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+        |  FROM embeddings),
+        |probes AS (SELECT vec_id AS probe_id, emb AS pemb FROM e ORDER BY vec_id LIMIT 10),
+        |scored AS (SELECT probe_id, e.vec_id AS neighbor_id,
+        |   round(list_sum(list_transform(generate_series(1,64), i -> pemb[i]*emb[i])), 4) AS score
+        |  FROM e CROSS JOIN probes WHERE e.vec_id <> probe_id)
+        |SELECT probe_id, neighbor_id, score, rn FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY probe_id ORDER BY score DESC, neighbor_id) AS rn
+        |  FROM scored) WHERE rn <= 5
+        |ORDER BY probe_id, rn""".stripMargin,
+    "q_sim_pairs" ->
+      """WITH e AS (SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+        |  FROM embeddings)
+        |SELECT a.label AS label, count(*) AS n_pairs,
+        | CAST(sum(CAST(round(list_sum(list_transform(generate_series(1,64),
+        |   i -> a.emb[i]*b.emb[i])), 6) AS DECIMAL(18,6))) AS DOUBLE)/count(*) AS mean_cos
+        |FROM e a JOIN e b ON a.label=b.label AND a.vec_id < b.vec_id
+        |GROUP BY a.label ORDER BY a.label""".stripMargin,
+    "q_multimodal" ->
+      """WITH e AS (SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+        |  FROM embeddings)
+        |SELECT doc_id, lang, label, n_chars, CAST(len(emb) AS BIGINT) AS dim,
+        | round(list_sum(list_transform(generate_series(1,64), i -> emb[i]*emb[i])), 4) AS norm2
+        |FROM documents JOIN e ON doc_id = vec_id
+        |WHERE lang = 'en' AND label IN (1,3,5,7)
+        |ORDER BY doc_id""".stripMargin,
+    "q_text_wordcount" ->
+      """SELECT term, count(*) AS n FROM (
+        | SELECT unnest(string_split(text,' ')) AS term FROM documents)
+        |WHERE term NOT IN ('a','the') AND term <> ''
+        |GROUP BY term ORDER BY n DESC, term LIMIT 20""".stripMargin,
+    "q_text_tfidf" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text,' ')) AS term FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok
+        |  WHERE term NOT IN ('a','the') GROUP BY doc_id, term),
+        |df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+        |n AS (SELECT count(*) AS n_docs FROM documents),
+        |scored AS (SELECT doc_id, tf.term,
+        |   tf * round(ln(CAST(n_docs AS DOUBLE)/df), 8) AS score
+        |  FROM tf JOIN df ON tf.term=df.term CROSS JOIN n)
+        |SELECT doc_id, term, round(score, 6) AS tfidf FROM (
+        | SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rn
+        | FROM scored) WHERE rn = 1
+        |ORDER BY doc_id""".stripMargin,
+    "q_text_langstats" ->
+      """SELECT lang, count(*) AS n_docs,
+        | CAST(sum(n_chars) AS DOUBLE)/count(*) AS avg_chars,
+        | CAST(sum(len(string_split(text,' '))) AS DOUBLE)/count(*) AS avg_tokens
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+  )
+}
