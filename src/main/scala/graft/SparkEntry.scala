@@ -23,6 +23,7 @@ object SparkEntry {
     (Windows.queries, Windows.oracleSql),
     (Scalars.queries, Scalars.oracleSql),
     (LlmOps.queries, LlmOps.oracleSql),
+    (LlmOpsExt.queries, LlmOpsExt.oracleSql),
   )
 
   /** One entry per implemented operator from SURVEY.md §2. */

@@ -1,0 +1,326 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import Util._
+
+/** Extended LLM-pipeline operators beyond SURVEY §2.9's core set: SimHash
+  * and n-gram-Jaccard dedup, embedding-cosine near-dup (kNN join), IVF-style
+  * partitioned ANN, language-ID, quality scoring, token counting, document
+  * fingerprinting. Same scale stance as LlmOps: banded/blocked candidate
+  * generation, no driver materialization, md5-only content hashing.
+  */
+object LlmOpsExt {
+
+  private def toks(c: Column): Column = split(c, " ")
+
+  /** Dot product of two double-array columns. */
+  private def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+
+  private def emb(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    table(s, dir, "embeddings")
+      .select($"vec_id", $"label",
+        transform($"embedding", x => x.cast("double")).as("emb"))
+  }
+
+  // ---------------------------------------------------------------- dedup
+
+  /** SimHash dedup: 32-bit signature from md5-nibble votes of distinct
+    * tokens (bit b = sign of Σ ±1 where + iff hex digit b of md5(token) has
+    * its high bit set), banded LSH on 4×8-char signature substrings,
+    * candidate pairs kept at Hamming distance ≤ 4. */
+  val qDedupSimhash: Q = (s, dir) => {
+    import s.implicits._
+    val tok = table(s, dir, "documents")
+      .select($"doc_id", explode(toks($"text")).as("t")).distinct()
+    val sig = tok
+      .select($"doc_id", explode(sequence(lit(1), lit(32))).as("b"),
+        md5($"t").as("h"))
+      .select($"doc_id", $"b",
+        when(substring($"h", $"b".cast("int"), lit(1))
+          .isin("8", "9", "a", "b", "c", "d", "e", "f"), 1).otherwise(-1).as("v"))
+      .groupBy($"doc_id", $"b")
+      .agg(when(sum($"v") > 0, "1").otherwise("0").as("bit"))
+      .groupBy($"doc_id")
+      .agg(array_join(transform(array_sort(collect_list(struct($"b", $"bit"))),
+        x => x.getField("bit")), "").as("sh"))
+    val bands = sig.select($"doc_id", $"sh",
+      explode(sequence(lit(0), lit(3))).as("k"))
+      .select($"doc_id", $"sh", $"k",
+        substring($"sh", ($"k" * 8 + 1).cast("int"), lit(8)).as("bkey"))
+    val ham = aggregate(sequence(lit(1), lit(32)), lit(0), (acc, i) =>
+      acc + when(substring($"x.sh", i.cast("int"), lit(1)) =!=
+        substring($"y.sh", i.cast("int"), lit(1)), 1).otherwise(0))
+    bands.as("x").join(bands.as("y"),
+        $"x.k" === $"y.k" && $"x.bkey" === $"y.bkey" && $"x.doc_id" < $"y.doc_id")
+      .select($"x.doc_id".as("doc_a"), $"y.doc_id".as("doc_b"),
+        ham.cast("long").as("hamming"))
+      .distinct()
+      .filter($"hamming" <= 4)
+      .orderBy($"doc_a", $"doc_b")
+  }
+
+  /** Character-5-gram Jaccard near-dup with prefix blocking: candidates
+    * share md5(first 40 chars) — a cheap equality-blocked join (the planted
+    * near-dups share a 60-char prefix) — then exact Jaccard ≥ 0.5. */
+  val qDedupNgram: Q = (s, dir) => {
+    import s.implicits._
+    val d = table(s, dir, "documents")
+    val grams = d.select($"doc_id",
+        explode(transform(sequence(lit(1), greatest(length($"text") - 4, lit(1))),
+          i => $"text".substr(i, lit(5)))).as("g"))
+      .distinct()
+    val sizes = grams.groupBy($"doc_id").agg(count(lit(1)).as("n"))
+    val block = d.select($"doc_id", md5(substring($"text", 1, 40)).as("bk"))
+    val cands = block.as("x").join(block.as("y"),
+        $"x.bk" === $"y.bk" && $"x.doc_id" < $"y.doc_id")
+      .select($"x.doc_id".as("doc_a"), $"y.doc_id".as("doc_b"))
+    val inter = cands
+      .join(grams.as("ga"), $"doc_a" === $"ga.doc_id")
+      .join(grams.as("gb"), $"doc_b" === $"gb.doc_id" && $"ga.g" === $"gb.g")
+      .groupBy($"doc_a", $"doc_b").agg(count(lit(1)).as("i"))
+    inter
+      .join(sizes.as("za"), $"doc_a" === $"za.doc_id")
+      .join(sizes.as("zb"), $"doc_b" === $"zb.doc_id")
+      .select($"doc_a", $"doc_b",
+        round($"i".cast("double") / ($"za.n" + $"zb.n" - $"i"), 6).as("jac"))
+      .filter($"jac" >= 0.5)
+      .orderBy($"doc_a", $"doc_b")
+  }
+
+  /** Embedding-cosine near-dup as a label-blocked kNN self-join: nearest
+    * same-label neighbor per vector + threshold flag. Blocking by cluster
+    * label is the IVF idea applied to dedup — at 100 TB the per-label
+    * partitions join independently instead of an all-pairs cross product. */
+  val qDedupEmbed: Q = (s, dir) => {
+    import s.implicits._
+    val e = emb(s, dir)
+    val scored = e.as("a").join(e.as("b"),
+        $"a.label" === $"b.label" && $"a.vec_id" =!= $"b.vec_id")
+      .select($"a.vec_id".as("vec_id"), $"b.vec_id".as("neighbor_id"),
+        round(dot($"a.emb", $"b.emb"), 4).as("score"))
+    val w = Window.partitionBy($"vec_id").orderBy($"score".desc, $"neighbor_id")
+    scored.withColumn("rn", row_number().over(w))
+      .filter($"rn" === 1)
+      .select($"vec_id", $"neighbor_id", $"score",
+        ($"score" >= 0.95).as("is_near_dup"))
+      .orderBy($"vec_id")
+  }
+
+  // ------------------------------------------------------------------- ANN
+
+  /** IVF-style ANN: exact per-label centroids (posexplode → decimal-summed
+    * per dimension — order-independent), probe → top-2 nearest partitions →
+    * search only those partitions. The scale path vs q_sim_topk's brute
+    * force: nprobe/nlist of the work per query. */
+  val qSimIvf: Q = (s, dir) => {
+    import s.implicits._
+    val e = emb(s, dir)
+    val cent = e.select($"label", posexplode($"emb").as(Seq("pos", "v")))
+      .groupBy($"label", $"pos")
+      .agg((sum($"v".cast("decimal(18,8)")).cast("double") / count(lit(1))).as("c"))
+      .groupBy($"label")
+      .agg(transform(array_sort(collect_list(struct($"pos", $"c"))),
+        x => x.getField("c")).as("cent"))
+    val probes = e.orderBy($"vec_id").limit(10)
+      .select($"vec_id".as("probe_id"), $"emb".as("pemb"))
+    val wl = Window.partitionBy($"probe_id").orderBy($"cscore".desc, $"label")
+    val top2 = probes.crossJoin(broadcast(cent))
+      .select($"probe_id", $"pemb", $"label",
+        round(dot($"pemb", $"cent"), 6).as("cscore"))
+      .withColumn("lrn", row_number().over(wl))
+      .filter($"lrn" <= 2)
+      .select($"probe_id", $"pemb", $"label")
+    val wv = Window.partitionBy($"probe_id").orderBy($"score".desc, $"neighbor_id")
+    top2.join(e, Seq("label"))
+      .filter($"vec_id" =!= $"probe_id")
+      .select($"probe_id", $"vec_id".as("neighbor_id"),
+        round(dot($"pemb", $"emb"), 4).as("score"))
+      .withColumn("rn", row_number().over(wv).cast("long"))
+      .filter($"rn" <= 5)
+      .orderBy($"probe_id", $"rn")
+  }
+
+  // --------------------------------------------------------- text analysis
+
+  private val enStops = Seq("the", "a", "of", "to", "and", "in", "is")
+
+  /** Heuristic language ID: English-stopword token ratio → en / other. */
+  val qTextLangid: Q = (s, dir) => {
+    import s.implicits._
+    val ws = toks($"text")
+    table(s, dir, "documents")
+      .select($"doc_id", $"lang",
+        round(size(filter(ws, w => w.isin(enStops: _*))).cast("double") /
+          size(ws), 6).as("en_score"))
+      .select($"doc_id", $"lang", $"en_score",
+        when($"en_score" >= 0.05, "en").otherwise("other").as("pred"))
+      .orderBy($"doc_id")
+  }
+
+  /** Quality scoring: token stats + stopword/digit ratios + composite. */
+  val qTextQuality: Q = (s, dir) => {
+    import s.implicits._
+    val ws = toks($"text")
+    table(s, dir, "documents")
+      .select($"doc_id",
+        length($"text").cast("long").as("n_chars_m"),
+        size(ws).cast("long").as("n_tokens"),
+        round(aggregate(transform(ws, w => length(w)), lit(0),
+          (acc, v) => acc + v).cast("double") / size(ws), 4).as("avg_token_len"),
+        round(size(filter(ws, w => w.isin(enStops: _*))).cast("double") /
+          size(ws), 4).as("stop_ratio"),
+        round(length(regexp_replace($"text", "[^0-9]", "")).cast("double") /
+          length($"text"), 4).as("digit_ratio"))
+      .withColumn("quality",
+        round((lit(1.0) - $"digit_ratio") *
+          least($"n_tokens".cast("double") / 20.0, lit(1.0)), 4))
+      .orderBy($"doc_id")
+  }
+
+  /** Token counting: whitespace tokens + a BPE-ish subword estimate
+    * (⌈len/4⌉ chunks per word) + chars-per-token. */
+  val qTextTokens: Q = (s, dir) => {
+    import s.implicits._
+    val ws = toks($"text")
+    table(s, dir, "documents")
+      .select($"doc_id",
+        size(ws).cast("long").as("ws_tokens"),
+        aggregate(transform(ws, w => ceil(length(w) / lit(4.0)).cast("int")),
+          lit(0), (acc, v) => acc + v).cast("long").as("bpe_tokens"),
+        round(length($"text").cast("double") / size(ws), 4).as("chars_per_token"))
+      .orderBy($"doc_id")
+  }
+
+  /** Document fingerprint: min-md5 over char-8-gram windows (winnowing-style
+    * rolling-window fingerprint) + distinct-gram cardinality. */
+  val qTextFingerprint: Q = (s, dir) => {
+    import s.implicits._
+    table(s, dir, "documents")
+      .select($"doc_id",
+        explode(transform(sequence(lit(1), greatest(length($"text") - 7, lit(1))),
+          i => $"text".substr(i, lit(8)))).as("g"))
+      .distinct()
+      .groupBy($"doc_id")
+      .agg(min(md5($"g")).as("fp"), count(lit(1)).as("n_grams"))
+      .orderBy($"doc_id")
+  }
+
+  val queries: Map[String, Q] = Map(
+    "q_dedup_simhash" -> qDedupSimhash,
+    "q_dedup_ngram" -> qDedupNgram,
+    "q_dedup_embed" -> qDedupEmbed,
+    "q_sim_ivf" -> qSimIvf,
+    "q_text_langid" -> qTextLangid,
+    "q_text_quality" -> qTextQuality,
+    "q_text_tokens" -> qTextTokens,
+    "q_text_fingerprint" -> qTextFingerprint,
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q_dedup_simhash" ->
+      """WITH tok AS (SELECT DISTINCT doc_id, unnest(string_split(text,' ')) AS t FROM documents),
+        |bits AS (SELECT doc_id, b,
+        |   CASE WHEN sum(CASE WHEN substr(md5(t), b, 1) IN ('8','9','a','b','c','d','e','f')
+        |     THEN 1 ELSE -1 END) > 0 THEN '1' ELSE '0' END AS bit
+        |  FROM tok, unnest(generate_series(1,32)) AS tb(b) GROUP BY doc_id, b),
+        |sig AS (SELECT doc_id, string_agg(bit, '' ORDER BY b) AS sh FROM bits GROUP BY doc_id),
+        |bands AS (SELECT doc_id, sh, k, substr(sh, k*8+1, 8) AS bkey
+        |  FROM sig, unnest(generate_series(0,3)) AS tb(k)),
+        |pairs AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b, x.sh AS sa, y.sh AS sb
+        |  FROM bands x JOIN bands y ON x.k=y.k AND x.bkey=y.bkey AND x.doc_id < y.doc_id)
+        |SELECT doc_a, doc_b,
+        | CAST(list_sum(list_transform(generate_series(1,32),
+        |   i -> CASE WHEN substr(sa,i,1) <> substr(sb,i,1) THEN 1 ELSE 0 END)) AS BIGINT) AS hamming
+        |FROM pairs
+        |WHERE list_sum(list_transform(generate_series(1,32),
+        |   i -> CASE WHEN substr(sa,i,1) <> substr(sb,i,1) THEN 1 ELSE 0 END)) <= 4
+        |ORDER BY doc_a, doc_b""".stripMargin,
+    "q_dedup_ngram" ->
+      """WITH grams AS (SELECT DISTINCT doc_id, g FROM (
+        |  SELECT doc_id, unnest(list_transform(
+        |    generate_series(1, greatest(length(text)-4, 1)),
+        |    i -> substr(text, i, 5))) AS g FROM documents)),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id),
+        |block AS (SELECT doc_id, md5(substr(text,1,40)) AS bk FROM documents),
+        |cands AS (SELECT x.doc_id AS doc_a, y.doc_id AS doc_b
+        |  FROM block x JOIN block y ON x.bk=y.bk AND x.doc_id < y.doc_id),
+        |inter AS (SELECT doc_a, doc_b, count(*) AS i FROM cands
+        |  JOIN grams ga ON ga.doc_id=doc_a JOIN grams gb ON gb.doc_id=doc_b AND ga.g=gb.g
+        |  GROUP BY doc_a, doc_b)
+        |SELECT doc_a, doc_b, round(CAST(i AS DOUBLE)/(za.n+zb.n-i), 6) AS jac
+        |FROM inter JOIN sizes za ON za.doc_id=doc_a JOIN sizes zb ON zb.doc_id=doc_b
+        |WHERE round(CAST(i AS DOUBLE)/(za.n+zb.n-i), 6) >= 0.5
+        |ORDER BY doc_a, doc_b""".stripMargin,
+    "q_dedup_embed" ->
+      """WITH e AS (SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+        |  FROM embeddings),
+        |scored AS (SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id,
+        |   round(list_sum(list_transform(generate_series(1,64), i -> a.emb[i]*b.emb[i])), 4) AS score
+        |  FROM e a JOIN e b ON a.label=b.label AND a.vec_id <> b.vec_id)
+        |SELECT vec_id, neighbor_id, score, score >= 0.95 AS is_near_dup FROM (
+        | SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, neighbor_id) AS rn
+        | FROM scored) WHERE rn = 1
+        |ORDER BY vec_id""".stripMargin,
+    "q_sim_ivf" ->
+      """WITH e AS (SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+        |  FROM embeddings),
+        |dims AS (SELECT label, i AS pos, emb[i] AS v FROM e, unnest(generate_series(1,64)) AS t(i)),
+        |cdim AS (SELECT label, pos,
+        |   CAST(sum(CAST(v AS DECIMAL(18,8))) AS DOUBLE)/count(*) AS c
+        |  FROM dims GROUP BY label, pos),
+        |cent AS (SELECT label, list(c ORDER BY pos) AS cent FROM cdim GROUP BY label),
+        |probes AS (SELECT vec_id AS probe_id, emb AS pemb FROM e ORDER BY vec_id LIMIT 10),
+        |csc AS (SELECT probe_id, pemb, label,
+        |   round(list_sum(list_transform(generate_series(1,64), i -> pemb[i]*cent[i])), 6) AS cscore
+        |  FROM probes CROSS JOIN cent),
+        |top2 AS (SELECT probe_id, pemb, label FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY probe_id ORDER BY cscore DESC, label) AS lrn
+        |  FROM csc) WHERE lrn <= 2),
+        |scored AS (SELECT probe_id, e.vec_id AS neighbor_id,
+        |   round(list_sum(list_transform(generate_series(1,64), i -> pemb[i]*emb[i])), 4) AS score
+        |  FROM top2 JOIN e ON top2.label = e.label WHERE e.vec_id <> probe_id)
+        |SELECT probe_id, neighbor_id, score, rn FROM (
+        | SELECT *, row_number() OVER (PARTITION BY probe_id ORDER BY score DESC, neighbor_id) AS rn
+        | FROM scored) WHERE rn <= 5
+        |ORDER BY probe_id, rn""".stripMargin,
+    "q_text_langid" ->
+      """SELECT doc_id, lang,
+        | round(CAST(len(list_filter(string_split(text,' '),
+        |   w -> list_contains(['the','a','of','to','and','in','is'], w))) AS DOUBLE)
+        |  / len(string_split(text,' ')), 6) AS en_score,
+        | CASE WHEN round(CAST(len(list_filter(string_split(text,' '),
+        |   w -> list_contains(['the','a','of','to','and','in','is'], w))) AS DOUBLE)
+        |  / len(string_split(text,' ')), 6) >= 0.05 THEN 'en' ELSE 'other' END AS pred
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_text_quality" ->
+      """WITH base AS (SELECT doc_id, text, string_split(text,' ') AS ws FROM documents),
+        |m AS (SELECT doc_id,
+        |  CAST(length(text) AS BIGINT) AS n_chars_m,
+        |  CAST(len(ws) AS BIGINT) AS n_tokens,
+        |  round(CAST(list_sum(list_transform(ws, w -> length(w))) AS DOUBLE)/len(ws), 4) AS avg_token_len,
+        |  round(CAST(len(list_filter(ws, w -> list_contains(['the','a','of','to','and','in','is'], w))) AS DOUBLE)/len(ws), 4) AS stop_ratio,
+        |  round(CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE)/length(text), 4) AS digit_ratio
+        | FROM base)
+        |SELECT doc_id, n_chars_m, n_tokens, avg_token_len, stop_ratio, digit_ratio,
+        | round(1.0 * (1.0 - digit_ratio) * least(CAST(n_tokens AS DOUBLE)/20.0, 1.0), 4) AS quality
+        |FROM m ORDER BY doc_id""".stripMargin,
+    "q_text_tokens" ->
+      """SELECT doc_id,
+        | CAST(len(string_split(text,' ')) AS BIGINT) AS ws_tokens,
+        | CAST(list_sum(list_transform(string_split(text,' '),
+        |   w -> CAST(ceil(length(w)/4.0) AS INT))) AS BIGINT) AS bpe_tokens,
+        | round(CAST(length(text) AS DOUBLE)/len(string_split(text,' ')), 4) AS chars_per_token
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_text_fingerprint" ->
+      """SELECT doc_id, min(md5(g)) AS fp, count(*) AS n_grams FROM (
+        | SELECT DISTINCT doc_id, g FROM (
+        |  SELECT doc_id, unnest(list_transform(
+        |    generate_series(1, greatest(length(text)-7, 1)),
+        |    i -> substr(text, i, 8))) AS g FROM documents))
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+  )
+}
