@@ -24,6 +24,8 @@ object SparkEntry {
     (Scalars.queries, Scalars.oracleSql),
     (LlmOps.queries, LlmOps.oracleSql),
     (LlmOpsExt.queries, LlmOpsExt.oracleSql),
+    (StreamOps.queries, StreamOps.oracleSql),
+    (Extensions.queries, Extensions.oracleSql),
   )
 
   /** One entry per implemented operator from SURVEY.md §2. */

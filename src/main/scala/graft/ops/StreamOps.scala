@@ -1,0 +1,172 @@
+package graft.ops
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import Util._
+
+/** SURVEY.md §2.10 — streaming operators, declared here in their
+  * batch-equivalent forms (the driver's DuckDB oracle can only check batch
+  * results). The same logic runs via readStream + memory sink in
+  * StreamingParitySpec, which asserts batch/stream result equality —
+  * that suite, not this file, is the evidence for watermark/late-data
+  * semantics.
+  *
+  * Scale notes: tumbling/sliding windows are plain hash aggregates after
+  * the window-bucket projection (map-side partial agg applies); session
+  * windows and as-of logic shuffle once per user key. In true streaming,
+  * state store size is bounded by the watermark.
+  */
+object StreamOps {
+
+  /** Tumbling 1-hour window: count + sum(value) per (window, event_type). */
+  val qStreamTumbling: Q = (s, dir) => {
+    import s.implicits._
+    events(s, dir)
+      .groupBy(window($"ts", "1 hour"), $"event_type")
+      .agg(count(lit(1)).as("n"), dsum($"value").as("sum_value"))
+      .select($"window.start".as("w_start"), $"event_type", $"n", $"sum_value")
+      .orderBy($"w_start", $"event_type")
+  }
+
+  /** Sliding 1-hour window, 15-minute slide: each event lands in 4 buckets. */
+  val qStreamSliding: Q = (s, dir) => {
+    import s.implicits._
+    events(s, dir)
+      .groupBy(window($"ts", "1 hour", "15 minutes"), $"event_type")
+      .agg(count(lit(1)).as("n"))
+      .select($"window.start".as("w_start"), $"event_type", $"n")
+      .orderBy($"w_start", $"event_type")
+  }
+
+  /** Session windows (30-minute gap) per user: Spark's session_window in
+    * batch mode; the oracle is the classic gaps-and-islands rewrite. A new
+    * session starts when the gap is >= 30min (session end is exclusive). */
+  val qStreamSession: Q = (s, dir) => {
+    import s.implicits._
+    events(s, dir)
+      .groupBy($"user_id", session_window($"ts", "30 minutes"))
+      .agg(count(lit(1)).as("n_events"), dsum($"value").as("sum_value"))
+      .select($"user_id", $"session_window.start".as("s_start"),
+        $"n_events", $"sum_value")
+      .orderBy($"user_id", $"s_start")
+  }
+
+  /** Watermark late-data drop, batch-emulated: arrival order = event_id;
+    * a row is late (dropped) if its event time is > 10 minutes behind the
+    * running max event time of previously-arrived rows. */
+  val qStreamLate: Q = (s, dir) => {
+    import s.implicits._
+    val arrival = Window.orderBy($"event_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    events(s, dir)
+      .withColumn("ts_sec", unix_timestamp($"ts"))
+      .withColumn("wm", max($"ts_sec").over(arrival) - 600)
+      .filter($"wm".isNull || $"ts_sec" >= $"wm")
+      .groupBy(window($"ts", "1 hour"), $"event_type")
+      .agg(count(lit(1)).as("n"))
+      .select($"window.start".as("w_start"), $"event_type", $"n")
+      .orderBy($"w_start", $"event_type")
+  }
+
+  /** Stateful sessionization summary (flatMapGroupsWithState batch analog):
+    * per-user session count, total duration, events per session. */
+  val qStreamStateful: Q = (s, dir) => {
+    import s.implicits._
+    val wArr = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    val sessions = events(s, dir)
+      .withColumn("prev_ts", lag($"ts", 1).over(wArr))
+      .withColumn("new_s",
+        when($"prev_ts".isNull ||
+          $"ts".cast("double") - $"prev_ts".cast("double") >= 1800.0, 1)
+          .otherwise(0))
+      .withColumn("sid", sum($"new_s").over(
+        Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy($"user_id", $"sid")
+      .agg((unix_timestamp(max($"ts")) - unix_timestamp(min($"ts"))).as("dur"),
+        count(lit(1)).as("n_ev"))
+    sessions.groupBy($"user_id")
+      .agg(count(lit(1)).as("n_sessions"),
+        sum($"dur").as("total_dur_sec"),
+        (sum($"n_ev").cast("double") / count(lit(1))).as("avg_events"))
+      .orderBy($"user_id")
+  }
+
+  /** Streaming dedup batch form (dropDuplicatesWithinWatermark analog):
+    * first event per (user_id, event_type) by (ts, event_id). */
+  val qStreamDedup: Q = (s, dir) => {
+    import s.implicits._
+    val w = Window.partitionBy($"user_id", $"event_type")
+      .orderBy($"ts", $"event_id")
+    events(s, dir)
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n_dups", count(lit(1)).over(
+        Window.partitionBy($"user_id", $"event_type")))
+      .filter($"rn" === 1)
+      .select($"user_id", $"event_type", $"event_id", $"n_dups")
+      .orderBy($"user_id", $"event_type")
+  }
+
+  val queries: Map[String, Q] = Map(
+    "q_stream_tumbling" -> qStreamTumbling,
+    "q_stream_sliding" -> qStreamSliding,
+    "q_stream_session" -> qStreamSession,
+    "q_stream_late" -> qStreamLate,
+    "q_stream_stateful" -> qStreamStateful,
+    "q_stream_dedup" -> qStreamDedup,
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q_stream_tumbling" ->
+      """SELECT date_trunc('hour', ts::TIMESTAMP) AS w_start, event_type,
+        | count(*) AS n,
+        | CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q_stream_sliding" ->
+      """SELECT TIMESTAMP '1970-01-01'
+        |  + ((CAST(floor(epoch(ts::TIMESTAMP)/900) AS BIGINT) - k) * 900) * INTERVAL 1 SECOND
+        |  AS w_start, event_type, count(*) AS n
+        |FROM events, unnest(generate_series(0,3)) AS t(k)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q_stream_session" ->
+      """WITH e AS (SELECT user_id, event_id, value, ts::TIMESTAMP AS ts FROM events),
+        |flagged AS (SELECT *, CASE WHEN prev_ts IS NULL
+        |   OR epoch(ts) - epoch(prev_ts) >= 1800 THEN 1 ELSE 0 END AS new_s
+        |  FROM (SELECT *, lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts FROM e)),
+        |sess AS (SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid FROM flagged)
+        |SELECT user_id, min(ts) AS s_start, count(*) AS n_events,
+        | CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+        |FROM sess GROUP BY user_id, sid ORDER BY user_id, s_start""".stripMargin,
+    "q_stream_late" ->
+      """WITH e AS (SELECT event_id, event_type, ts::TIMESTAMP AS ts,
+        |  CAST(floor(epoch(ts::TIMESTAMP)) AS BIGINT) AS ts_sec FROM events),
+        |wm AS (SELECT *, max(ts_sec) OVER (ORDER BY event_id
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) - 600 AS wm FROM e)
+        |SELECT date_trunc('hour', ts) AS w_start, event_type, count(*) AS n
+        |FROM wm WHERE wm IS NULL OR ts_sec >= wm
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q_stream_stateful" ->
+      """WITH e AS (SELECT user_id, event_id, ts::TIMESTAMP AS ts FROM events),
+        |flagged AS (SELECT *, CASE WHEN prev_ts IS NULL
+        |   OR epoch(ts) - epoch(prev_ts) >= 1800 THEN 1 ELSE 0 END AS new_s
+        |  FROM (SELECT *, lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts FROM e)),
+        |sess AS (SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid FROM flagged),
+        |persess AS (SELECT user_id, sid,
+        |   CAST(floor(epoch(max(ts))) AS BIGINT) - CAST(floor(epoch(min(ts))) AS BIGINT) AS dur,
+        |   count(*) AS n_ev
+        |  FROM sess GROUP BY user_id, sid)
+        |SELECT user_id, count(*) AS n_sessions,
+        | CAST(sum(dur) AS BIGINT) AS total_dur_sec,
+        | CAST(sum(n_ev) AS DOUBLE)/count(*) AS avg_events
+        |FROM persess GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q_stream_dedup" ->
+      """SELECT user_id, event_type, event_id, n_dups FROM (
+        | SELECT user_id, event_type, event_id,
+        |  row_number() OVER (PARTITION BY user_id, event_type ORDER BY ts::TIMESTAMP, event_id) AS rn,
+        |  count(*) OVER (PARTITION BY user_id, event_type) AS n_dups
+        | FROM events) WHERE rn = 1
+        |ORDER BY user_id, event_type""".stripMargin,
+  )
+}
