@@ -28,37 +28,45 @@ object LlmOpsExt {
 
   // ---------------------------------------------------------------- dedup
 
-  /** SimHash dedup: 32-bit signature from md5-nibble votes of distinct
-    * tokens (bit b = sign of Σ ±1 where + iff hex digit b of md5(token) has
-    * its high bit set), banded LSH on 4×8-char signature substrings,
-    * candidate pairs kept at Hamming distance ≤ 4. */
+  /** SimHash dedup: 32-bit signature from tf-weighted md5-nibble votes
+    * (bit b = sign of Σ ±w over per-doc token counts w — tf weighting
+    * spreads signatures even when documents share a small vocabulary),
+    * banded LSH on 2×16-bit signature halves, candidate pairs deduped
+    * BEFORE the Hamming computation, kept at distance ≤ 4. */
   val qDedupSimhash: Q = (s, dir) => {
     import s.implicits._
     val tok = table(s, dir, "documents")
-      .select($"doc_id", explode(toks($"text")).as("t")).distinct()
+      .select($"doc_id", explode(toks($"text")).as("t"))
+      .groupBy($"doc_id", $"t").agg(count(lit(1)).as("w"))
     val sig = tok
-      .select($"doc_id", explode(sequence(lit(1), lit(32))).as("b"),
+      .select($"doc_id", $"w", explode(sequence(lit(1), lit(32))).as("b"),
         md5($"t").as("h"))
       .select($"doc_id", $"b",
         when(substring($"h", $"b".cast("int"), lit(1))
-          .isin("8", "9", "a", "b", "c", "d", "e", "f"), 1).otherwise(-1).as("v"))
+          .isin("8", "9", "a", "b", "c", "d", "e", "f"), $"w")
+          .otherwise(-$"w").as("v"))
       .groupBy($"doc_id", $"b")
       .agg(when(sum($"v") > 0, "1").otherwise("0").as("bit"))
       .groupBy($"doc_id")
       .agg(array_join(transform(array_sort(collect_list(struct($"b", $"bit"))),
         x => x.getField("bit")), "").as("sh"))
-    val bands = sig.select($"doc_id", $"sh",
-      explode(sequence(lit(0), lit(3))).as("k"))
-      .select($"doc_id", $"sh", $"k",
-        substring($"sh", ($"k" * 8 + 1).cast("int"), lit(8)).as("bkey"))
-    val ham = aggregate(sequence(lit(1), lit(32)), lit(0), (acc, i) =>
-      acc + when(substring($"x.sh", i.cast("int"), lit(1)) =!=
-        substring($"y.sh", i.cast("int"), lit(1)), 1).otherwise(0))
-    bands.as("x").join(bands.as("y"),
+      .cache()
+    val bands = sig.select($"doc_id",
+      explode(sequence(lit(0), lit(1))).as("k"))
+      .join(sig, "doc_id")
+      .select($"doc_id", $"k",
+        substring($"sh", ($"k" * 16 + 1).cast("int"), lit(16)).as("bkey"))
+    val cands = bands.as("x").join(bands.as("y"),
         $"x.k" === $"y.k" && $"x.bkey" === $"y.bkey" && $"x.doc_id" < $"y.doc_id")
-      .select($"x.doc_id".as("doc_a"), $"y.doc_id".as("doc_b"),
-        ham.cast("long").as("hamming"))
+      .select($"x.doc_id".as("doc_a"), $"y.doc_id".as("doc_b"))
       .distinct()
+    val ham = aggregate(sequence(lit(1), lit(32)), lit(0), (acc, i) =>
+      acc + when(substring($"sa", i.cast("int"), lit(1)) =!=
+        substring($"sb", i.cast("int"), lit(1)), 1).otherwise(0))
+    cands
+      .join(sig.select($"doc_id".as("doc_a"), $"sh".as("sa")), "doc_a")
+      .join(sig.select($"doc_id".as("doc_b"), $"sh".as("sb")), "doc_b")
+      .select($"doc_a", $"doc_b", ham.cast("long").as("hamming"))
       .filter($"hamming" <= 4)
       .orderBy($"doc_a", $"doc_b")
   }
@@ -222,22 +230,24 @@ object LlmOpsExt {
 
   val oracleSql: Map[String, String] = Map(
     "q_dedup_simhash" ->
-      """WITH tok AS (SELECT DISTINCT doc_id, unnest(string_split(text,' ')) AS t FROM documents),
+      """WITH tok AS (SELECT doc_id, t, count(*) AS w FROM (
+        |  SELECT doc_id, unnest(string_split(text,' ')) AS t FROM documents)
+        |  GROUP BY doc_id, t),
         |bits AS (SELECT doc_id, b,
         |   CASE WHEN sum(CASE WHEN substr(md5(t), b, 1) IN ('8','9','a','b','c','d','e','f')
-        |     THEN 1 ELSE -1 END) > 0 THEN '1' ELSE '0' END AS bit
+        |     THEN w ELSE -w END) > 0 THEN '1' ELSE '0' END AS bit
         |  FROM tok, unnest(generate_series(1,32)) AS tb(b) GROUP BY doc_id, b),
         |sig AS (SELECT doc_id, string_agg(bit, '' ORDER BY b) AS sh FROM bits GROUP BY doc_id),
-        |bands AS (SELECT doc_id, sh, k, substr(sh, k*8+1, 8) AS bkey
-        |  FROM sig, unnest(generate_series(0,3)) AS tb(k)),
-        |pairs AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b, x.sh AS sa, y.sh AS sb
-        |  FROM bands x JOIN bands y ON x.k=y.k AND x.bkey=y.bkey AND x.doc_id < y.doc_id)
-        |SELECT doc_a, doc_b,
-        | CAST(list_sum(list_transform(generate_series(1,32),
-        |   i -> CASE WHEN substr(sa,i,1) <> substr(sb,i,1) THEN 1 ELSE 0 END)) AS BIGINT) AS hamming
-        |FROM pairs
-        |WHERE list_sum(list_transform(generate_series(1,32),
-        |   i -> CASE WHEN substr(sa,i,1) <> substr(sb,i,1) THEN 1 ELSE 0 END)) <= 4
+        |bands AS (SELECT doc_id, k, substr(sh, k*16+1, 16) AS bkey
+        |  FROM sig, unnest(generate_series(0,1)) AS tb(k)),
+        |cands AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+        |  FROM bands x JOIN bands y ON x.k=y.k AND x.bkey=y.bkey AND x.doc_id < y.doc_id),
+        |ham AS (SELECT doc_a, doc_b,
+        |   list_sum(list_transform(generate_series(1,32),
+        |     i -> CASE WHEN substr(za.sh,i,1) <> substr(zb.sh,i,1) THEN 1 ELSE 0 END)) AS hamming
+        |  FROM cands JOIN sig za ON za.doc_id=doc_a JOIN sig zb ON zb.doc_id=doc_b)
+        |SELECT doc_a, doc_b, CAST(hamming AS BIGINT) AS hamming
+        |FROM ham WHERE hamming <= 4
         |ORDER BY doc_a, doc_b""".stripMargin,
     "q_dedup_ngram" ->
       """WITH grams AS (SELECT DISTINCT doc_id, g FROM (

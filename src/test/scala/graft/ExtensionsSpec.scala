@@ -1,0 +1,43 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** HLL error bound (replaces the impossible sketch hash-match, SURVEY
+  * §5.3(4)) + custom-expression equivalence. */
+class ExtensionsSpec extends SparkSuite {
+
+  test("approx_count_distinct within 3×rsd of exact") {
+    import spark.implicits._
+    val rows = SparkEntry.queries("q_agg_hll")(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val approx = r.getAs[Long]("approx_parts").toDouble
+      val exact = r.getAs[Long]("exact_parts").toDouble
+      assert(math.abs(approx - exact) / exact <= 3 * 0.02,
+        s"HLL error too large: approx=$approx exact=$exact")
+    }
+  }
+
+  test("UDF, RuntimeReplaceable and codegen expression all agree") {
+    import spark.implicits._
+    val udfRes = SparkEntry.queries("q_udf_scalar")(spark, sfDir)
+      .withColumnRenamed("nd", "nd_udf")
+    val exprRes = SparkEntry.queries("q_expr_custom")(spark, sfDir)
+    val j = udfRes.join(exprRes, "p_partkey")
+    assert(j.filter($"nd" =!= $"nd_cg").count() == 0)
+    assert(j.filter(abs($"nd" - $"nd_udf") > 1e-12).count() == 0)
+  }
+
+  test("typed weighted-avg aggregator matches the SQL formula") {
+    import spark.implicits._
+    val got = SparkEntry.queries("q_agg_typed")(spark, sfDir)
+    val exp = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .groupBy($"l_returnflag")
+      .agg((sum($"l_extendedprice".cast("decimal(18,4)") *
+        $"l_discount".cast("decimal(18,4)")).cast("double") /
+        sum($"l_discount".cast("decimal(18,4)")).cast("double")).as("expect"))
+    val bad = got.join(exp, "l_returnflag")
+      .filter(abs($"wavg_price" - $"expect") > 1e-6).count()
+    assert(bad == 0)
+  }
+}

@@ -1,0 +1,64 @@
+package graft
+
+/** SURVEY §5.3(5): plan-shape assertions — the optimizer behaviors the
+  * 100 TB design depends on must be visible in the physical plan, not
+  * assumed. */
+class PlanShapeSpec extends SparkSuite {
+
+  private def plan(name: String, execute: Boolean = false): String = {
+    val df = SparkEntry.queries(name)(spark, sfDir)
+    // executing THIS df's plan (not a derived count()) lets AQE finalize it
+    if (execute) df.collect()
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("q_scan_pruned pushes predicates and prunes columns at the scan") {
+    val p = plan("q_scan_pruned")
+    assert(p.contains("PushedFilters: ["), s"no pushed filters in:\n$p")
+    assert(p.contains("GreaterThanOrEqual(l_shipdate"), s"shipdate filter not pushed:\n$p")
+    // pruned read schema: only the 3 needed columns reach the scan
+    assert(p.contains("ReadSchema"), p)
+    val read = p.linesIterator.find(_.contains("ReadSchema")).get
+    assert(!read.contains("l_comment") && !read.contains("l_tax") &&
+      !read.contains("l_quantity"), s"scan reads unneeded columns: $read")
+  }
+
+  test("q_sort_limit plans TakeOrderedAndProject (no global sort)") {
+    assert(plan("q_sort_limit").contains("TakeOrderedAndProject"))
+  }
+
+  test("q_join_broadcast uses BroadcastHashJoin for both dims") {
+    val p = plan("q_join_broadcast")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2, p)
+  }
+
+  test("q_join_smj honors the merge hint") {
+    assert(plan("q_join_smj").contains("SortMergeJoin"))
+  }
+
+  test("q_join_theta is an equi join with range residual, not a cartesian") {
+    val p = plan("q_join_theta")
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"), p)
+  }
+
+  test("q_sim_topk broadcasts the probe side") {
+    val p = plan("q_sim_topk")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("q_dedup_near has no unblocked cross product over documents") {
+    val p = plan("q_dedup_near")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("whole-stage codegen is active in the flagship aggregation") {
+    // codegen'd operators print with a "*(stageId)" prefix in this format
+    assert(plan("q_agg_groupby", execute = true).contains("*("))
+  }
+
+  test("custom codegen expression compiles into the plan") {
+    val df = SparkEntry.queries("q_expr_custom")(spark, sfDir)
+    // forcing execution exercises NormDiffCodegen.doGenCode
+    assert(df.count() > 0)
+  }
+}

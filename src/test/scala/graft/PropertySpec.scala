@@ -1,0 +1,128 @@
+package graft
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+
+/** SURVEY §5.3(2): self-oracle property tests — engine invariants that hold
+  * for arbitrary inputs, checked on generated data via createDataFrame. */
+class PropertySpec extends SparkSuite {
+
+  /** Minimal property runner (the scalatest-scalacheck bridge isn't in the
+    * offline dep set): evaluate the body over n generator samples. */
+  private def forAll[A](gen: Gen[A], n: Int = 15)(body: A => Unit): Unit = {
+    val params = org.scalacheck.Gen.Parameters.default
+    var i = 0
+    var seed = org.scalacheck.rng.Seed(42L)
+    while (i < n) {
+      gen.apply(params, seed) match {
+        case Some(a) => body(a); i += 1
+        case None =>
+      }
+      seed = seed.next
+    }
+  }
+
+  private def forAll[A, B](ga: Gen[A], gb: Gen[B])(body: (A, B) => Unit): Unit =
+    forAll(for { a <- ga; b <- gb } yield (a, b), 15) { case (a, b) => body(a, b) }
+
+
+  private lazy val _ = spark // force session init before generators run
+  import org.apache.spark.sql.Row
+
+  private val rowsGen = Gen.nonEmptyListOf(for {
+    k <- Gen.choose(0, 5)
+    v <- Gen.choose(-100.0, 100.0)
+  } yield (k, v))
+
+  test("window running sum final row equals the group sum") {
+    import spark.implicits._
+    forAll(rowsGen) { rows =>
+      val df = rows.zipWithIndex
+        .map { case ((k, v), i) => (k, v, i.toLong) }.toDF("k", "v", "id")
+      val w = Window.partitionBy($"k").orderBy($"id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val last = df.withColumn("run", sum($"v").over(w))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy($"k").orderBy($"id".desc)))
+        .filter($"rn" === 1).select($"k", $"run")
+      val grp = df.groupBy($"k").agg(sum($"v").as("tot"))
+      val joined = last.join(grp, "k")
+        .filter(abs($"run" - $"tot") > 1e-9).count()
+      assert(joined == 0)
+    }
+  }
+
+  test("union-distinct equals dropDuplicates of unionAll") {
+    import spark.implicits._
+    forAll(rowsGen, rowsGen) { (a, b) =>
+      val da = a.toDF("k", "v"); val db = b.toDF("k", "v")
+      val u1 = da.union(db).distinct()
+      val u2 = da.unionAll(db).dropDuplicates()
+      assert(u1.exceptAll(u2).count() == 0 && u2.exceptAll(u1).count() == 0)
+    }
+  }
+
+  test("exact dedup is idempotent: f(f(x)) == f(x)") {
+    import spark.implicits._
+    forAll(Gen.nonEmptyListOf(Gen.oneOf("a", "b", "A ", " b", "c"))) { texts =>
+      val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      def dedup(d: org.apache.spark.sql.DataFrame) =
+        d.groupBy(lower(trim($"text")).as("n"))
+          .agg(min($"doc_id").as("doc_id"))
+          .select($"doc_id", $"n".as("text"))
+      val once = dedup(df)
+      val twice = dedup(once)
+      assert(once.exceptAll(twice).count() == 0 &&
+        twice.exceptAll(once).count() == 0)
+    }
+  }
+
+  test("as-of semantics: matched ts is the max signup ts <= probe ts") {
+    import spark.implicits._
+    val gen = for {
+      sigs <- Gen.nonEmptyListOf(Gen.choose(0L, 1000L))
+      purs <- Gen.nonEmptyListOf(Gen.choose(0L, 1000L))
+    } yield (sigs.distinct, purs)
+    forAll(gen) { case (sigs, purs) =>
+      val sdf = sigs.toDF("sts").withColumn("user_id", lit(1L))
+        .withColumn("side", lit(0))
+      val pdf = purs.zipWithIndex.map { case (t, i) => (t, i.toLong) }
+        .toDF("sts", "pid").withColumn("user_id", lit(1L))
+        .withColumn("side", lit(1))
+      val w = Window.partitionBy($"user_id").orderBy($"sts", $"side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val got = sdf.select($"user_id", $"sts", $"side", lit(null).cast("long").as("pid"))
+        .unionAll(pdf.select($"user_id", $"sts", $"side", $"pid"))
+        .withColumn("asof", last(when($"side" === 0, $"sts"), ignoreNulls = true).over(w))
+        .filter($"side" === 1)
+        .select($"pid", $"sts", $"asof")
+        .collect().map(r => r.getLong(0) ->
+          (r.getLong(1), if (r.isNullAt(2)) None else Some(r.getLong(2)))).toMap
+      purs.zipWithIndex.foreach { case (t, i) =>
+        val expected = sigs.filter(_ <= t).sorted.lastOption
+        val asof = got(i.toLong)._2
+        assert(asof == expected, s"probe $t: got $asof want $expected")
+      }
+    }
+  }
+
+  test("session count is invariant under per-event jitter smaller than gap slack") {
+    import spark.implicits._
+    // events at least 100s apart within sessions, gaps >= 2000s between
+    // sessions; jitter < 50s cannot create or destroy a 1800s-gap session
+    val base = Seq(0L, 200L, 400L, 3000L, 3200L, 6000L)
+    forAll(Gen.listOfN(base.size, Gen.choose(-40L, 40L))) { jit =>
+      val ts = base.zip(jit).map { case (b, j) => b + j }
+      val df = ts.zipWithIndex.map { case (t, i) => (1L, t, i.toLong) }
+        .toDF("user_id", "sec", "id")
+      val w = Window.partitionBy($"user_id").orderBy($"sec", $"id")
+      val n = df.withColumn("prev", lag($"sec", 1).over(w))
+        .withColumn("new_s", when($"prev".isNull || $"sec" - $"prev" >= 1800, 1)
+          .otherwise(0))
+        .agg(sum($"new_s")).head.getLong(0)
+      assert(n == 3, s"jitter changed session count: $n for $ts")
+    }
+  }
+}

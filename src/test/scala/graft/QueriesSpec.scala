@@ -1,0 +1,78 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Every declared query runs on sf0.001 and returns a sane result; spot
+  * checks pin hand-computed facts. The cross-engine correctness gate is the
+  * driver's DuckDB compare (tools/check_oracle.py locally) — these specs
+  * are the fast in-JVM regression net. */
+class QueriesSpec extends SparkSuite {
+
+  test("every query runs and most return rows") {
+    // Queries legitimately empty at sf0.001 (no planted dups / no
+    // candidates at this scale) are allowed to return 0 rows.
+    val mayBeEmpty = Set("q_join_anti", "q_set_except", "q_dedup_near",
+      "q_dedup_ngram", "q_dedup_simhash")
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val n = fn(spark, sfDir).count()
+      assert(n >= 0, s"$name failed to execute")
+      if (!mayBeEmpty(name)) assert(n > 0, s"$name returned no rows")
+    }
+  }
+
+  test("oracle coverage: every query except q_agg_hll has oracle SQL") {
+    val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    assert(missing == Set("q_agg_hll"), s"unexpected oracle gaps: $missing")
+    val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(orphans.isEmpty, s"oracle SQL without query: $orphans")
+  }
+
+  test("entry returns rows (t1 smoke)") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("q_agg_groupby aggregates match a direct recomputation") {
+    import spark.implicits._
+    val got = SparkEntry.queries("q_agg_groupby")(spark, sfDir)
+    val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .filter($"l_shipdate" <= lit("1998-09-02").cast("timestamp"))
+    val expTotal = li.count()
+    assert(got.agg(sum($"count_order")).head.getLong(0) == expTotal)
+  }
+
+  test("q_win_topk_group returns at most 3 rows per customer, ranked") {
+    import spark.implicits._
+    val got = SparkEntry.queries("q_win_topk_group")(spark, sfDir)
+    val over = got.groupBy($"o_custkey").count().filter($"count" > 3).count()
+    assert(over == 0)
+    val badRank = got.filter($"rn" < 1 || $"rn" > 3).count()
+    assert(badRank == 0)
+  }
+
+  test("q_dedup_exact keeps one keeper per distinct normalized text") {
+    import spark.implicits._
+    val got = SparkEntry.queries("q_dedup_exact")(spark, sfDir)
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val expGroups = docs.select(lower(trim($"text"))).distinct().count()
+    assert(got.count() == expGroups)
+    assert(got.agg(sum($"n_copies")).head.getLong(0) == docs.count())
+  }
+
+  test("q_sim_topk: 5 neighbors per probe, scores in [-1,1] descending") {
+    import spark.implicits._
+    val got = SparkEntry.queries("q_sim_topk")(spark, sfDir).cache()
+    assert(got.groupBy($"probe_id").count().filter($"count" =!= 5).count() == 0)
+    assert(got.filter(abs($"score") > 1.0001).count() == 0)
+    // rn order must agree with score order per probe
+    val bad = got.as("a").join(got.as("b"),
+      $"a.probe_id" === $"b.probe_id" && $"a.rn" < $"b.rn" &&
+        $"a.score" < $"b.score").count()
+    assert(bad == 0)
+  }
+
+  test("q_join_asof: matched signup is <= purchase time") {
+    import spark.implicits._
+    val got = SparkEntry.queries("q_join_asof")(spark, sfDir)
+    assert(got.filter($"asof_ts" > $"ts").count() == 0)
+  }
+}
