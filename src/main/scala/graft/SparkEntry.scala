@@ -26,6 +26,8 @@ object SparkEntry {
     (LlmOpsExt.queries, LlmOpsExt.oracleSql),
     (StreamOps.queries, StreamOps.oracleSql),
     (Extensions.queries, Extensions.oracleSql),
+    (Multimodal.queries, Multimodal.oracleSql),
+    (Sources.queries, Sources.oracleSql),
   )
 
   /** One entry per implemented operator from SURVEY.md §2. */

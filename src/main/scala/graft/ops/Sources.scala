@@ -1,0 +1,87 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import Util._
+
+/** Additional source formats (SURVEY §2.1 noted CSV/JSON as supported-but-
+  * unexercised — these exercise them): Spark writes a derived CSV/JSON copy
+  * of a fixture table to a temp dir, reads it back with an explicit declared
+  * schema (never inferred — production stance), and aggregates; the oracle
+  * computes the same aggregate from the original parquet, proving the
+  * round-trip is lossless. */
+object Sources {
+
+  private def tmp(dir: String, tag: String): String = {
+    val h = Integer.toHexString(dir.hashCode)
+    s"${System.getProperty("java.io.tmpdir")}/graft_src_${tag}_$h"
+  }
+
+  /** CSV round-trip on supplier (with header; explicit read schema). */
+  val qSrcCsv: Q = (s, dir) => {
+    import s.implicits._
+    val path = tmp(dir, "csv")
+    table(s, dir, "supplier")
+      .select($"s_suppkey", $"s_name", $"s_nationkey", $"s_acctbal")
+      .write.mode("overwrite").option("header", "true").csv(path)
+    val schema = StructType(Seq(
+      StructField("s_suppkey", LongType), StructField("s_name", StringType),
+      StructField("s_nationkey", IntegerType), StructField("s_acctbal", DoubleType)))
+    s.read.schema(schema).option("header", "true").csv(path)
+      .groupBy($"s_nationkey")
+      .agg(count(lit(1)).as("n_supps"), dsum($"s_acctbal").as("sum_bal"))
+      .orderBy($"s_nationkey")
+  }
+
+  /** JSON-lines round-trip on customer (explicit read schema). */
+  val qSrcJson: Q = (s, dir) => {
+    import s.implicits._
+    val path = tmp(dir, "json")
+    table(s, dir, "customer")
+      .select($"c_custkey", $"c_mktsegment", $"c_acctbal")
+      .write.mode("overwrite").json(path)
+    val schema = StructType(Seq(
+      StructField("c_custkey", LongType), StructField("c_mktsegment", StringType),
+      StructField("c_acctbal", DoubleType)))
+    s.read.schema(schema).json(path)
+      .groupBy($"c_mktsegment")
+      .agg(count(lit(1)).as("n_custs"), dsum($"c_acctbal").as("sum_bal"))
+      .orderBy($"c_mktsegment")
+  }
+
+  /** The custom ShingleGenerator planned as a real Generator: top-10 word
+    * 3-gram shingles by frequency. */
+  val qUdtfGen: Q = (s, dir) => {
+    import s.implicits._
+    s.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "shingles3", exprs => ShingleGenerator(exprs.head, 3), "scala_udf")
+    table(s, dir, "documents")
+      .selectExpr("doc_id", "shingles3(text) AS shingle")
+      .groupBy($"shingle").agg(count(lit(1)).as("n"))
+      .orderBy($"n".desc, $"shingle")
+      .limit(10)
+  }
+
+  val queries: Map[String, Q] = Map(
+    "q_src_csv" -> qSrcCsv,
+    "q_src_json" -> qSrcJson,
+    "q_udtf_gen" -> qUdtfGen,
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q_src_csv" ->
+      """SELECT s_nationkey, count(*) AS n_supps,
+        | CAST(sum(CAST(s_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS sum_bal
+        |FROM supplier GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin,
+    "q_src_json" ->
+      """SELECT c_mktsegment, count(*) AS n_custs,
+        | CAST(sum(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS sum_bal
+        |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    "q_udtf_gen" ->
+      """WITH tok AS (SELECT doc_id, string_split(text,' ') AS ws FROM documents),
+        |sh AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(ws)-2),
+        |  i -> ws[i]||' '||ws[i+1]||' '||ws[i+2])) AS shingle FROM tok)
+        |SELECT shingle, count(*) AS n FROM sh
+        |GROUP BY shingle ORDER BY n DESC, shingle LIMIT 10""".stripMargin,
+  )
+}
