@@ -138,6 +138,33 @@ object Extensions {
       .orderBy($"p_event_id")
   }
 
+  /** As-of join v2: the native AsOfJoinPlan/AsOfJoinExec operator (see
+    * graft.plans.AsOfJoin) planned via experimental.extraStrategies. Same
+    * semantics and oracle as the window-rewrite v1 above. */
+  val qJoinAsofNative: Q = (s, dir) => {
+    import s.implicits._
+    import graft.plans.{AsOfJoinPlan, AsOfJoinStrategy}
+    if (!s.experimental.extraStrategies.contains(AsOfJoinStrategy))
+      s.experimental.extraStrategies = s.experimental.extraStrategies :+ AsOfJoinStrategy
+    val ev = events(s, dir)
+    val pur = ev.filter($"event_type" === "purchase")
+      .select($"user_id", $"event_id".as("p_event_id"), $"ts")
+    val sig = ev.filter($"event_type" === "signup")
+      .groupBy($"user_id", $"ts").agg(max($"event_id").as("s_event_id"))
+      .select($"user_id".as("s_user_id"), $"ts".as("s_ts"), $"s_event_id")
+    val lplan = pur.queryExecution.analyzed
+    val rplan = sig.queryExecution.analyzed
+    def attr(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, n: String) =
+      p.output.find(_.name == n).get
+    org.apache.spark.sql.graft.GraftSql.ofRows(s,
+      AsOfJoinPlan(lplan, rplan,
+        attr(lplan, "user_id"), attr(rplan, "s_user_id"),
+        attr(lplan, "ts"), attr(rplan, "s_ts")))
+      .select($"user_id", $"p_event_id", $"ts",
+        $"s_ts".as("asof_ts"), $"s_event_id".as("asof_signup"))
+      .orderBy($"p_event_id")
+  }
+
   /** UDTF surface v1: shingle generator as explode(transform(sequence)) —
     * a generator composed from HOFs (custom Generator class is the v2). */
   val qUdtf: Q = (s, dir) => {
@@ -160,6 +187,7 @@ object Extensions {
     "q_agg_typed" -> qAggTyped,
     "q_agg_hll" -> qAggHll,
     "q_join_asof" -> qJoinAsof,
+    "q_join_asof_native" -> qJoinAsofNative,
     "q_udtf" -> qUdtf,
   )
 
@@ -180,6 +208,16 @@ object Extensions {
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     // q_agg_hll: intentionally no oracle (sketches differ across engines).
     "q_join_asof" ->
+      """WITH sig AS (SELECT user_id, ts::TIMESTAMP AS ts, max(event_id) AS s_event_id
+        |  FROM events WHERE event_type = 'signup' GROUP BY user_id, ts),
+        |pur AS (SELECT user_id, event_id AS p_event_id, ts::TIMESTAMP AS ts
+        |  FROM events WHERE event_type = 'purchase')
+        |SELECT pur.user_id, p_event_id, pur.ts,
+        | sig.ts AS asof_ts, sig.s_event_id AS asof_signup
+        |FROM pur ASOF LEFT JOIN sig
+        | ON pur.user_id = sig.user_id AND pur.ts >= sig.ts
+        |ORDER BY p_event_id""".stripMargin,
+    "q_join_asof_native" ->
       """WITH sig AS (SELECT user_id, ts::TIMESTAMP AS ts, max(event_id) AS s_event_id
         |  FROM events WHERE event_type = 'signup' GROUP BY user_id, ts),
         |pur AS (SELECT user_id, event_id AS p_event_id, ts::TIMESTAMP AS ts
