@@ -1,0 +1,59 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Structured Streaming surface of the engine (SURVEY §2.10). These are the
+  * production (readStream) forms of the batch-equivalent queries declared in
+  * graft.ops.StreamOps; StreamingParitySpec proves stream == batch on the
+  * fixtures by running them through a memory sink.
+  *
+  * Scale notes: every aggregation here carries a watermark, so state-store
+  * size is bounded by (watermark horizon × key cardinality), not by stream
+  * length; sliding windows share one shuffle per (window, key) aggregation;
+  * session windows use Spark's native merging session store.
+  */
+object StreamingOps {
+
+  val eventsSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType), StructField("ts", LongType),
+    StructField("user_id", LongType), StructField("event_type", StringType),
+    StructField("value", DoubleType), StructField("props", StringType)))
+
+  /** Events as an unbounded stream from a parquet directory; ts arrives as
+    * raw nanos (see graft.ops.Util.events) and is normalized to µs. */
+  def readEvents(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.readStream.schema(eventsSchema).parquet(dir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  /** Tumbling 1-hour counts/sums per event type, 10-minute watermark. */
+  def tumbling(events: DataFrame): DataFrame =
+    events.withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+      .select(col("window.start").as("w_start"), col("event_type"),
+        col("n"), col("sum_value"))
+
+  /** Sliding 1-hour/15-minute windows. */
+  def sliding(events: DataFrame): DataFrame =
+    events.withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour", "15 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("w_start"), col("event_type"), col("n"))
+
+  /** Per-user session windows with a 30-minute gap. */
+  def sessions(events: DataFrame): DataFrame =
+    events.withWatermark("ts", "10 minutes")
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
+      .select(col("user_id"), col("session_window.start").as("s_start"),
+        col("n_events"), col("sum_value"))
+
+  /** Exactly-once style dedup on event_id within the watermark horizon. */
+  def dedup(events: DataFrame): DataFrame =
+    events.withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("event_id")
+}

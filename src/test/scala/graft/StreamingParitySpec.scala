@@ -12,14 +12,9 @@ import org.apache.spark.sql.types._
   * semantics. */
 class StreamingParitySpec extends SparkSuite {
 
-  private lazy val eventsSchema = StructType(Seq(
-    StructField("event_id", LongType), StructField("ts", LongType),
-    StructField("user_id", LongType), StructField("event_type", StringType),
-    StructField("value", DoubleType), StructField("props", StringType)))
-
-  /** The events table as a (bounded) stream, ts normalized ns→µs exactly
-    * like graft.ops.Util.events does for batch. readStream needs a
-    * directory, so the fixture file is linked into a temp dir once. */
+  /** The events table as a (bounded) stream via the library's streaming
+    * surface (graft.streaming.StreamingOps). readStream needs a directory,
+    * so the fixture file is linked into a temp dir once. */
   private lazy val eventsDir: String = {
     val d = java.nio.file.Files.createTempDirectory("graft_events")
     java.nio.file.Files.copy(
@@ -28,12 +23,8 @@ class StreamingParitySpec extends SparkSuite {
     d.toString
   }
 
-  private def eventStream: DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.readStream.schema(eventsSchema)
-      .parquet(eventsDir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
-  }
+  private def eventStream: DataFrame =
+    graft.streaming.StreamingOps.readEvents(spark, eventsDir)
 
   private def runToBatch(stream: DataFrame, name: String,
       mode: String = "complete"): DataFrame = {
@@ -53,53 +44,31 @@ class StreamingParitySpec extends SparkSuite {
 
   test("tumbling window: stream == batch") {
     val streamed = runToBatch(
-      eventStream.withWatermark("ts", "10 minutes")
-        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
-        .agg(count(lit(1)).as("n"))
-        .select(col("window.start").as("w_start"), col("event_type"), col("n")),
-      "t_tumbling")
-    val batch = graft.ops.Util.events(spark, sfDir)
-      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
-      .agg(count(lit(1)).as("n"))
-      .select(col("window.start").as("w_start"), col("event_type"), col("n"))
+      graft.streaming.StreamingOps.tumbling(eventStream), "t_tumbling")
+    val batch = graft.streaming.StreamingOps.tumbling(
+      graft.ops.Util.events(spark, sfDir))
     assertSetEqual(streamed, batch, "tumbling")
   }
 
   test("sliding window: stream == batch") {
     val streamed = runToBatch(
-      eventStream.withWatermark("ts", "10 minutes")
-        .groupBy(window(col("ts"), "1 hour", "15 minutes"), col("event_type"))
-        .agg(count(lit(1)).as("n"))
-        .select(col("window.start").as("w_start"), col("event_type"), col("n")),
-      "t_sliding")
-    val batch = graft.ops.Util.events(spark, sfDir)
-      .groupBy(window(col("ts"), "1 hour", "15 minutes"), col("event_type"))
-      .agg(count(lit(1)).as("n"))
-      .select(col("window.start").as("w_start"), col("event_type"), col("n"))
+      graft.streaming.StreamingOps.sliding(eventStream), "t_sliding")
+    val batch = graft.streaming.StreamingOps.sliding(
+      graft.ops.Util.events(spark, sfDir))
     assertSetEqual(streamed, batch, "sliding")
   }
 
   test("session window: stream == batch") {
     val streamed = runToBatch(
-      eventStream.withWatermark("ts", "10 minutes")
-        .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
-        .agg(count(lit(1)).as("n_events"))
-        .select(col("user_id"), col("session_window.start").as("s_start"),
-          col("n_events")),
-      "t_session")
-    val batch = graft.ops.Util.events(spark, sfDir)
-      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
-      .agg(count(lit(1)).as("n_events"))
-      .select(col("user_id"), col("session_window.start").as("s_start"),
-        col("n_events"))
+      graft.streaming.StreamingOps.sessions(eventStream), "t_session")
+    val batch = graft.streaming.StreamingOps.sessions(
+      graft.ops.Util.events(spark, sfDir))
     assertSetEqual(streamed, batch, "session")
   }
 
   test("streaming dedup within watermark drops replayed event_ids") {
     val streamed = runToBatch(
-      eventStream.withWatermark("ts", "1 hour")
-        .dropDuplicatesWithinWatermark("event_id")
-        .select(col("event_id")),
+      graft.streaming.StreamingOps.dedup(eventStream).select(col("event_id")),
       "t_dedup", mode = "append")
     // event_id is unique in the fixture, so dedup must be a no-op
     val n = graft.ops.Util.events(spark, sfDir).count()
