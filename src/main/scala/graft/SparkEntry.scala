@@ -22,6 +22,7 @@ object SparkEntry {
     (SetSort.queries, SetSort.oracleSql),
     (Windows.queries, Windows.oracleSql),
     (Scalars.queries, Scalars.oracleSql),
+    (Scalars2.queries, Scalars2.oracleSql),
     (LlmOps.queries, LlmOps.oracleSql),
     (LlmOpsExt.queries, LlmOpsExt.oracleSql),
     (StreamOps.queries, StreamOps.oracleSql),

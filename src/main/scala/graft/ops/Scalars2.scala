@@ -1,0 +1,133 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import Util._
+
+/** Second scalar-function battery + skew-mitigation pattern, broadening
+  * §2.8 coverage (string2/date2/array2/bitwise) and demonstrating salted
+  * two-phase aggregation (§4 skew note) with an identical-result oracle. */
+object Scalars2 {
+
+  val qFnString2: Q = (s, dir) => {
+    import s.implicits._
+    table(s, dir, "part")
+      .select($"p_partkey",
+        repeat($"p_brand", 2).as("rep"),
+        reverse($"p_name").as("rev"),
+        instr($"p_name", "e").cast("long").as("pos_e"),
+        substring($"p_name", 1, 4).as("l4"),
+        $"p_name".substr(length($"p_name") - 3, lit(4)).as("r4"),
+        $"p_name".contains("red").as("has_red"),
+        $"p_name".startsWith("s").as("s_start"),
+        $"p_name".endsWith("t").as("t_end"),
+        regexp_replace($"p_name", " ", "_").as("snake"))
+      .orderBy($"p_partkey")
+  }
+
+  val qFnDate2: Q = (s, dir) => {
+    import s.implicits._
+    table(s, dir, "orders")
+      .select($"o_orderkey",
+        add_months($"o_orderdate", 3).as("plus3mo"),
+        quarter($"o_orderdate").cast("long").as("qtr"),
+        weekofyear($"o_orderdate").cast("long").as("woy"),
+        dayofweek($"o_orderdate").cast("long").as("dow"),
+        date_format($"o_orderdate", "yyyy-MM").as("ym"),
+        make_date(year($"o_orderdate"), month($"o_orderdate"), lit(1)).as("month_first"))
+      .orderBy($"o_orderkey")
+  }
+
+  val qFnArray2: Q = (s, dir) => {
+    import s.implicits._
+    val ws = split($"p_name", " ")
+    table(s, dir, "part")
+      .select($"p_partkey",
+        array_join(array_sort(array_distinct(ws)), ",").as("distinct_words"),
+        array_join(flatten(array(ws, array(lit("x")))), ",").as("flat"),
+        array_position(ws, "red").cast("long").as("red_pos"),
+        array_contains(ws, "bolt").as("has_bolt"),
+        size(array_distinct(ws)).cast("long").as("n_distinct"))
+      .orderBy($"p_partkey")
+  }
+
+  val qFnBitwise: Q = (s, dir) => {
+    import s.implicits._
+    table(s, dir, "part")
+      .select($"p_partkey",
+        shiftleft($"p_size", 2).cast("long").as("shl"),
+        shiftright($"p_partkey", 1).as("shr"),
+        ($"p_partkey".bitwiseAND(255L)).as("band"),
+        ($"p_partkey".bitwiseOR(16L)).as("bor"),
+        ($"p_partkey".bitwiseXOR($"p_size".cast("long"))).as("bxor"))
+      .orderBy($"p_partkey")
+  }
+
+  /** Salted two-phase aggregation — the skew mitigation for hot keys at
+    * scale: phase 1 aggregates on (key, salt) spreading a hot key over N
+    * reducers, phase 2 merges the partials. Decimal sums make the result
+    * bit-identical to the unsalted oracle. */
+  val qAggSalted: Q = (s, dir) => {
+    import s.implicits._
+    table(s, dir, "lineitem")
+      .withColumn("salt", pmod($"l_orderkey", lit(8L)))
+      .groupBy($"l_returnflag", $"salt")
+      .agg(sum(dec($"l_quantity")).as("pq"), count(lit(1)).as("pn"))
+      .groupBy($"l_returnflag")
+      .agg(sum($"pq").cast("double").as("sum_qty"), sum($"pn").as("n_rows"))
+      .orderBy($"l_returnflag")
+  }
+
+  val queries: Map[String, Q] = Map(
+    "q_fn_string2" -> qFnString2,
+    "q_fn_date2" -> qFnDate2,
+    "q_fn_array2" -> qFnArray2,
+    "q_fn_bitwise" -> qFnBitwise,
+    "q_agg_salted" -> qAggSalted,
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q_fn_string2" ->
+      """SELECT p_partkey,
+        | repeat(p_brand, 2) AS rep,
+        | reverse(p_name) AS rev,
+        | CAST(strpos(p_name, 'e') AS BIGINT) AS pos_e,
+        | substr(p_name, 1, 4) AS l4,
+        | substr(p_name, length(p_name)-3, 4) AS r4,
+        | contains(p_name, 'red') AS has_red,
+        | starts_with(p_name, 's') AS s_start,
+        | p_name LIKE '%t' AS t_end,
+        | replace(p_name, ' ', '_') AS snake
+        |FROM part ORDER BY p_partkey""".stripMargin,
+    "q_fn_date2" ->
+      """SELECT o_orderkey,
+        | (o_orderdate + INTERVAL 3 MONTH)::DATE AS plus3mo,
+        | CAST(quarter(o_orderdate) AS BIGINT) AS qtr,
+        | CAST(weekofyear(o_orderdate) AS BIGINT) AS woy,
+        | CAST(dayofweek(o_orderdate) + 1 AS BIGINT) AS dow,
+        | strftime(o_orderdate, '%Y-%m') AS ym,
+        | make_date(CAST(year(o_orderdate) AS INT), CAST(month(o_orderdate) AS INT), 1) AS month_first
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "q_fn_array2" ->
+      """WITH p AS (SELECT p_partkey, string_split(p_name, ' ') AS ws FROM part)
+        |SELECT p_partkey,
+        | array_to_string(list_sort(list_distinct(ws)), ',') AS distinct_words,
+        | array_to_string(flatten([ws, ['x']]), ',') AS flat,
+        | CAST(coalesce(list_position(ws, 'red'), 0) AS BIGINT) AS red_pos,
+        | list_contains(ws, 'bolt') AS has_bolt,
+        | CAST(len(list_distinct(ws)) AS BIGINT) AS n_distinct
+        |FROM p ORDER BY p_partkey""".stripMargin,
+    "q_fn_bitwise" ->
+      """SELECT p_partkey,
+        | CAST(p_size << 2 AS BIGINT) AS shl,
+        | p_partkey >> 1 AS shr,
+        | p_partkey & 255 AS band,
+        | p_partkey | 16 AS bor,
+        | xor(p_partkey, CAST(p_size AS BIGINT)) AS bxor
+        |FROM part ORDER BY p_partkey""".stripMargin,
+    "q_agg_salted" ->
+      """SELECT l_returnflag,
+        | CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+        | count(*) AS n_rows
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+  )
+}

@@ -56,6 +56,16 @@ class PlanShapeSpec extends SparkSuite {
     assert(plan("q_agg_groupby", execute = true).contains("*("))
   }
 
+  test("no query plans an accidental CartesianProduct") {
+    // crossagg is an intentional tiny cross join (plans as broadcast NLJ,
+    // but allow either); everything else must be equi/broadcast/banded
+    val allowed = Set("q_join_crossagg")
+    SparkEntry.queries.keys.filterNot(allowed).foreach { name =>
+      val p = plan(name)
+      assert(!p.contains("CartesianProduct"), s"$name plans a cartesian:\n$p")
+    }
+  }
+
   test("custom codegen expression compiles into the plan") {
     val df = SparkEntry.queries("q_expr_custom")(spark, sfDir)
     // forcing execution exercises NormDiffCodegen.doGenCode
