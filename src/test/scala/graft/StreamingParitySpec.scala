@@ -113,24 +113,33 @@ class StreamingParitySpec extends SparkSuite {
     assert(!emitted.contains("2024-01-01 11:30:00"), s"late row was not dropped: $emitted")
   }
 
-  test("flatMapGroupsWithState sessionizes like the batch gaps-and-islands") {
+  test("flatMapGroupsWithState on the stream sessionizes like batch gaps-and-islands") {
     import spark.implicits._
-    case class Ev(user_id: Long, tsSec: Long)
-    case class SessionOut(user_id: Long, n_sessions: Int)
-
-    // typed stateful path in batch-emulation: group all events per user and
-    // count sessions with the same >=30min-gap rule as q_stream_stateful
-    val ds = graft.ops.Util.events(spark, sfDir)
-      .select($"user_id", ($"ts".cast("double")).as("tsd"))
+    // Real streaming stateful op: per-user sessionization via
+    // flatMapGroupsWithState over the event stream (single micro-batch of
+    // the bounded source finalizes every group), compared to the oracle-
+    // checked batch form. Event times in fractional seconds (full µs).
+    val ds = eventStream
+      .select($"user_id", $"ts".cast("double").as("tsd"))
       .as[(Long, Double)]
-    val sessions = ds.groupByKey(_._1).mapGroups { (uid, it) =>
-      val ts = it.map(_._2).toArray.sorted
-      val n = 1 + ts.sliding(2).count(p => p.length == 2 && p(1) - p(0) >= 1800.0)
-      (uid, n.toLong)
-    }.toDF("user_id", "n_sessions")
+    val counted = ds.groupByKey(_._1)
+      .flatMapGroupsWithState[Array[Double], (Long, Long)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, it: Iterator[(Long, Double)], state: GroupState[Array[Double]]) =>
+          val prev = if (state.exists) state.get else Array.empty[Double]
+          val all = (prev ++ it.map(_._2)).sorted
+          state.update(all)
+          val n = 1 + all.sliding(2).count(p => p.length == 2 && p(1) - p(0) >= 1800.0)
+          Iterator.single((uid, n.toLong))
+      }.toDF("user_id", "n_sessions")
+    val q = counted.writeStream.outputMode("append")
+      .format("memory").queryName("t_stateful").start()
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("t_stateful")
     val batch = SparkEntry.queries("q_stream_stateful")(spark, sfDir)
       .select($"user_id", $"n_sessions")
-    val diff = sessions.except(batch).count() + batch.except(sessions).count()
-    assert(diff == 0, "typed mapGroups sessionization != batch gaps-and-islands")
+    val diff = streamed.except(batch).count() + batch.except(streamed).count()
+    assert(diff == 0, "streaming flatMapGroupsWithState != batch gaps-and-islands")
   }
 }
