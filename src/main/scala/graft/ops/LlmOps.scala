@@ -71,15 +71,16 @@ object LlmOps {
   val qDedupNear: Q = (s, dir) => {
     import s.implicits._
     val sh = shingleSet(s, dir).cache()
-    val sig = sh
-      .select($"doc_id", $"sh", explode(sequence(lit(0), lit(15))).as("j"))
-      .select($"doc_id", $"j",
-        md5(concat($"j".cast("string"), lit(":"), $"sh")).as("h"))
-      .groupBy($"doc_id", $"j").agg(min($"h").as("mh"))
-    val bands = sig
-      .groupBy($"doc_id", ($"j" / 2).cast("int").as("band"))
-      .agg(array_join(transform(array_sort(collect_list(struct($"j", $"mh"))),
-        x => x.getField("mh")), "|").as("bkey"))
+    // All 16 min-hashes in ONE aggregation (16 agg columns over the
+    // shingle set — no ×16 row explosion, one shuffle on doc_id).
+    val minhashes = (0 until 16).map(j =>
+      min(md5(concat(lit(s"$j:"), $"sh"))).as(s"m$j"))
+    val sig = sh.groupBy($"doc_id").agg(minhashes.head, minhashes.tail: _*)
+    val bandStructs = array((0 until 8).map(b =>
+      struct(lit(b).as("band"),
+        concat(col(s"m${2 * b}"), lit("|"), col(s"m${2 * b + 1}")).as("bkey"))): _*)
+    val bands = sig.select($"doc_id", explode(bandStructs).as("f"))
+      .select($"doc_id", $"f.band".as("band"), $"f.bkey".as("bkey"))
     val cands = bands.as("x").join(bands.as("y"),
         $"x.band" === $"y.band" && $"x.bkey" === $"y.bkey" &&
           $"x.doc_id" < $"y.doc_id")
@@ -215,28 +216,31 @@ object LlmOps {
       """SELECT min(doc_id) AS keeper, count(*) AS n_copies,
         | md5(lower(trim(text))) AS h
         |FROM documents GROUP BY h ORDER BY keeper""".stripMargin,
-    "q_dedup_near" ->
-      """WITH tok AS (SELECT doc_id, string_split(text,' ') AS ws FROM documents),
-        |sh AS (SELECT DISTINCT doc_id, s FROM (
-        |  SELECT doc_id, unnest(list_transform(generate_series(1, len(ws)-2),
-        |    i -> ws[i]||' '||ws[i+1]||' '||ws[i+2])) AS s FROM tok)),
-        |sig AS (SELECT doc_id, j, min(md5(CAST(j AS VARCHAR)||':'||s)) AS mh
-        |  FROM sh, unnest(generate_series(0,15)) AS t(j) GROUP BY doc_id, j),
-        |bands AS (SELECT doc_id, CAST(j // 2 AS INT) AS band,
-        |    string_agg(mh, '|' ORDER BY j) AS bkey
-        |  FROM sig GROUP BY doc_id, band),
-        |cands AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
-        |  FROM bands x JOIN bands y ON x.band=y.band AND x.bkey=y.bkey
-        |   AND x.doc_id < y.doc_id),
-        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
-        |inter AS (SELECT doc_a, doc_b, count(*) AS i FROM cands
-        |  JOIN sh sa ON sa.doc_id=doc_a JOIN sh sb ON sb.doc_id=doc_b AND sa.s=sb.s
-        |  GROUP BY doc_a, doc_b)
-        |SELECT doc_a, doc_b,
-        |  CAST(i AS DOUBLE)/(za.n + zb.n - i) AS jac
-        |FROM inter JOIN sizes za ON za.doc_id=doc_a JOIN sizes zb ON zb.doc_id=doc_b
-        |WHERE CAST(i AS DOUBLE)/(za.n + zb.n - i) >= 0.8
-        |ORDER BY doc_a, doc_b""".stripMargin,
+    "q_dedup_near" -> {
+      val minhashes = (0 until 16)
+        .map(j => s"min(md5('$j:'||s)) AS m$j").mkString(", ")
+      val bandSelects = (0 until 8)
+        .map(b => s"SELECT doc_id, $b AS band, m${2 * b}||'|'||m${2 * b + 1} AS bkey FROM sig")
+        .mkString(" UNION ALL ")
+      s"""WITH tok AS (SELECT doc_id, string_split(text,' ') AS ws FROM documents),
+         |sh AS (SELECT DISTINCT doc_id, s FROM (
+         |  SELECT doc_id, unnest(list_transform(generate_series(1, len(ws)-2),
+         |    i -> ws[i]||' '||ws[i+1]||' '||ws[i+2])) AS s FROM tok)),
+         |sig AS (SELECT doc_id, $minhashes FROM sh GROUP BY doc_id),
+         |bands AS ($bandSelects),
+         |cands AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+         |  FROM bands x JOIN bands y ON x.band=y.band AND x.bkey=y.bkey
+         |   AND x.doc_id < y.doc_id),
+         |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+         |inter AS (SELECT doc_a, doc_b, count(*) AS i FROM cands
+         |  JOIN sh sa ON sa.doc_id=doc_a JOIN sh sb ON sb.doc_id=doc_b AND sa.s=sb.s
+         |  GROUP BY doc_a, doc_b)
+         |SELECT doc_a, doc_b,
+         |  CAST(i AS DOUBLE)/(za.n + zb.n - i) AS jac
+         |FROM inter JOIN sizes za ON za.doc_id=doc_a JOIN sizes zb ON zb.doc_id=doc_b
+         |WHERE CAST(i AS DOUBLE)/(za.n + zb.n - i) >= 0.8
+         |ORDER BY doc_a, doc_b""".stripMargin
+    },
     "q_sim_topk" ->
       """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
         |  FROM embeddings),

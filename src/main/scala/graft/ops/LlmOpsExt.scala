@@ -38,24 +38,19 @@ object LlmOpsExt {
     val tok = table(s, dir, "documents")
       .select($"doc_id", explode(toks($"text")).as("t"))
       .groupBy($"doc_id", $"t").agg(count(lit(1)).as("w"))
-    val sig = tok
-      .select($"doc_id", $"w", explode(sequence(lit(1), lit(32))).as("b"),
-        md5($"t").as("h"))
-      .select($"doc_id", $"b",
-        when(substring($"h", $"b".cast("int"), lit(1))
-          .isin("8", "9", "a", "b", "c", "d", "e", "f"), $"w")
-          .otherwise(-$"w").as("v"))
-      .groupBy($"doc_id", $"b")
-      .agg(when(sum($"v") > 0, "1").otherwise("0").as("bit"))
-      .groupBy($"doc_id")
-      .agg(array_join(transform(array_sort(collect_list(struct($"b", $"bit"))),
-        x => x.getField("bit")), "").as("sh"))
+      .withColumn("h", md5($"t"))
+    // All 32 signature bits in ONE aggregation (no ×32 row explosion).
+    val bitCols = (1 to 32).map(b =>
+      when(sum(when(substring($"h", b, 1)
+        .isin("8", "9", "a", "b", "c", "d", "e", "f"), $"w").otherwise(-$"w")) > 0,
+        "1").otherwise("0").as(s"b$b"))
+    val sig = tok.groupBy($"doc_id").agg(bitCols.head, bitCols.tail: _*)
+      .select($"doc_id", concat((1 to 32).map(b => col(s"b$b")): _*).as("sh"))
       .cache()
     val bands = sig.select($"doc_id",
-      explode(sequence(lit(0), lit(1))).as("k"))
-      .join(sig, "doc_id")
-      .select($"doc_id", $"k",
-        substring($"sh", ($"k" * 16 + 1).cast("int"), lit(16)).as("bkey"))
+      explode(array((0 to 1).map(k =>
+        struct(lit(k).as("k"), substring($"sh", k * 16 + 1, 16).as("bkey"))): _*)).as("f"))
+      .select($"doc_id", $"f.k".as("k"), $"f.bkey".as("bkey"))
     val cands = bands.as("x").join(bands.as("y"),
         $"x.k" === $"y.k" && $"x.bkey" === $"y.bkey" && $"x.doc_id" < $"y.doc_id")
       .select($"x.doc_id".as("doc_a"), $"y.doc_id".as("doc_b"))
@@ -229,26 +224,27 @@ object LlmOpsExt {
   )
 
   val oracleSql: Map[String, String] = Map(
-    "q_dedup_simhash" ->
-      """WITH tok AS (SELECT doc_id, t, count(*) AS w FROM (
-        |  SELECT doc_id, unnest(string_split(text,' ')) AS t FROM documents)
-        |  GROUP BY doc_id, t),
-        |bits AS (SELECT doc_id, b,
-        |   CASE WHEN sum(CASE WHEN substr(md5(t), b, 1) IN ('8','9','a','b','c','d','e','f')
-        |     THEN w ELSE -w END) > 0 THEN '1' ELSE '0' END AS bit
-        |  FROM tok, unnest(generate_series(1,32)) AS tb(b) GROUP BY doc_id, b),
-        |sig AS (SELECT doc_id, string_agg(bit, '' ORDER BY b) AS sh FROM bits GROUP BY doc_id),
-        |bands AS (SELECT doc_id, k, substr(sh, k*16+1, 16) AS bkey
-        |  FROM sig, unnest(generate_series(0,1)) AS tb(k)),
-        |cands AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
-        |  FROM bands x JOIN bands y ON x.k=y.k AND x.bkey=y.bkey AND x.doc_id < y.doc_id),
-        |ham AS (SELECT doc_a, doc_b,
-        |   list_sum(list_transform(generate_series(1,32),
-        |     i -> CASE WHEN substr(za.sh,i,1) <> substr(zb.sh,i,1) THEN 1 ELSE 0 END)) AS hamming
-        |  FROM cands JOIN sig za ON za.doc_id=doc_a JOIN sig zb ON zb.doc_id=doc_b)
-        |SELECT doc_a, doc_b, CAST(hamming AS BIGINT) AS hamming
-        |FROM ham WHERE hamming <= 4
-        |ORDER BY doc_a, doc_b""".stripMargin,
+    "q_dedup_simhash" -> {
+      val hex = "'8','9','a','b','c','d','e','f'"
+      val bitCols = (1 to 32).map(b =>
+        s"CASE WHEN sum(CASE WHEN substr(h, $b, 1) IN ($hex) THEN w ELSE -w END) > 0 THEN '1' ELSE '0' END")
+        .mkString(" || ")
+      s"""WITH tok AS (SELECT doc_id, t, count(*) AS w, md5(t) AS h FROM (
+         |  SELECT doc_id, unnest(string_split(text,' ')) AS t FROM documents)
+         |  GROUP BY doc_id, t),
+         |sig AS (SELECT doc_id, $bitCols AS sh FROM tok GROUP BY doc_id),
+         |bands AS (SELECT doc_id, k, substr(sh, k*16+1, 16) AS bkey
+         |  FROM sig, unnest(generate_series(0,1)) AS tb(k)),
+         |cands AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+         |  FROM bands x JOIN bands y ON x.k=y.k AND x.bkey=y.bkey AND x.doc_id < y.doc_id),
+         |ham AS (SELECT doc_a, doc_b,
+         |   list_sum(list_transform(generate_series(1,32),
+         |     i -> CASE WHEN substr(za.sh,i,1) <> substr(zb.sh,i,1) THEN 1 ELSE 0 END)) AS hamming
+         |  FROM cands JOIN sig za ON za.doc_id=doc_a JOIN sig zb ON zb.doc_id=doc_b)
+         |SELECT doc_a, doc_b, CAST(hamming AS BIGINT) AS hamming
+         |FROM ham WHERE hamming <= 4
+         |ORDER BY doc_a, doc_b""".stripMargin
+    },
     "q_dedup_ngram" ->
       """WITH grams AS (SELECT DISTINCT doc_id, g FROM (
         |  SELECT doc_id, unnest(list_transform(
