@@ -29,6 +29,7 @@ object SparkEntry {
     (Extensions.queries, Extensions.oracleSql),
     (Multimodal.queries, Multimodal.oracleSql),
     (Sources.queries, Sources.oracleSql),
+    (Extras.queries, Extras.oracleSql),
   )
 
   /** One entry per implemented operator from SURVEY.md §2. */

@@ -1,0 +1,167 @@
+package graft.ops
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import Util._
+
+/** Coverage beyond the §2 inventory: the SQL string front end (same SQL
+  * text runs on Spark and DuckDB — including a correlated scalar subquery,
+  * which Catalyst decorrelates per SURVEY §4), PIVOT, bag set-ops,
+  * first/last/nth window values, regexp_extract_all, and the end-to-end
+  * GEE scene-selection pipeline analog (§7.4 traceability). */
+object Extras {
+
+  /** Register the fixture tables as temp views so spark.sql can run the
+    * exact oracle SQL text. */
+  private def views(s: org.apache.spark.sql.SparkSession, dir: String): Unit =
+    Seq("customer", "orders", "lineitem", "part").foreach { t =>
+      table(s, dir, t).createOrReplaceTempView(t)
+    }
+
+  /** One SQL text, two engines: correlated scalar subquery (customers above
+    * their nation's mean balance; decimal-summed mean for determinism). */
+  private val sqlCorrelated =
+    """SELECT c_custkey, c_nationkey, c_acctbal FROM customer c
+      |WHERE c_acctbal > (
+      |  SELECT CAST(sum(CAST(c2.c_acctbal AS DECIMAL(18,4))) AS DOUBLE) / count(*)
+      |  FROM customer c2 WHERE c2.c_nationkey = c.c_nationkey)
+      |ORDER BY c_custkey""".stripMargin
+
+  /** One SQL text, two engines: TPC-H-Q3-style 3-way join + agg + top-k. */
+  private val sqlMultijoin =
+    """SELECT o_orderkey,
+      | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS revenue,
+      | count(*) AS n_lines
+      |FROM customer
+      | JOIN orders ON c_custkey = o_custkey
+      | JOIN lineitem ON l_orderkey = o_orderkey
+      |WHERE c_mktsegment = 'BUILDING'
+      |  AND o_orderdate < TIMESTAMP '1997-01-01'
+      |  AND l_shipdate > TIMESTAMP '1997-01-01'
+      |GROUP BY o_orderkey
+      |ORDER BY revenue DESC, o_orderkey
+      |LIMIT 20""".stripMargin
+
+  val qSqlCorrelated: Q = (s, dir) => { views(s, dir); s.sql(sqlCorrelated) }
+  val qSqlMultijoin: Q = (s, dir) => { views(s, dir); s.sql(sqlMultijoin) }
+
+  /** PIVOT with pinned values (deterministic output columns). */
+  val qAggPivot: Q = (s, dir) => {
+    import s.implicits._
+    table(s, dir, "lineitem")
+      .groupBy($"l_linestatus")
+      .pivot("l_returnflag", Seq("A", "N", "R"))
+      .agg(dsum($"l_quantity"))
+      .orderBy($"l_linestatus")
+  }
+
+  /** INTERSECT ALL / EXCEPT ALL (bag semantics), tagged and unioned. */
+  val qSetBagOps: Q = (s, dir) => {
+    import s.implicits._
+    val a = table(s, dir, "orders").filter($"o_totalprice" > 150000.0)
+      .select($"o_custkey")
+    val b = table(s, dir, "orders").filter($"o_orderstatus" === "F")
+      .select($"o_custkey")
+    a.intersectAll(b).withColumn("tag", lit("ia"))
+      .unionAll(a.exceptAll(b).withColumn("tag", lit("ea")))
+      .orderBy($"tag", $"o_custkey")
+  }
+
+  /** first_value / last_value / nth_value over a full-partition frame. */
+  val qWinFirstLast: Q = (s, dir) => {
+    import s.implicits._
+    val w = Window.partitionBy($"c_mktsegment")
+      .orderBy($"c_acctbal".desc, $"c_custkey")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    table(s, dir, "customer")
+      .select($"c_custkey", $"c_mktsegment", $"c_acctbal",
+        first($"c_acctbal").over(w).as("seg_max"),
+        last($"c_acctbal").over(w).as("seg_min"),
+        nth_value($"c_acctbal", 3).over(w).as("seg_third"))
+      .orderBy($"c_custkey")
+  }
+
+  /** regexp_extract_all → joined scalar output. */
+  val qFnRegexpAll: Q = (s, dir) => {
+    import s.implicits._
+    table(s, dir, "part")
+      .select($"p_partkey",
+        array_join(regexp_extract_all($"p_name", lit("[aeiou]+"), lit(0)), ",")
+          .as("vowel_runs"),
+        size(regexp_extract_all($"p_name", lit("[aeiou]+"), lit(0))).cast("long")
+          .as("n_runs"))
+      .orderBy($"p_partkey")
+  }
+
+  /** The reference's whole workflow as one pipeline (GEE analog): filter a
+    * date range + "cloud cover" threshold, pick the best "scene" per
+    * (cell, day) — least value wins — then composite per day. */
+  val qGeePipeline: Q = (s, dir) => {
+    import s.implicits._
+    val w = Window.partitionBy($"user_id", $"day").orderBy($"value", $"event_id")
+    events(s, dir)
+      .filter($"ts" >= ts("2024-01-05 00:00:00") && $"ts" < ts("2024-01-20 00:00:00") &&
+        $"value" < 50.0)
+      .withColumn("day", to_date($"ts"))
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" === 1)
+      .groupBy($"day")
+      .agg(count(lit(1)).as("n_cells"),
+        dsum($"value").as("sum_best"),
+        (dsum($"value") / count(lit(1))).as("avg_best"))
+      .orderBy($"day")
+  }
+
+  val queries: Map[String, Q] = Map(
+    "q_sql_correlated" -> qSqlCorrelated,
+    "q_sql_multijoin" -> qSqlMultijoin,
+    "q_agg_pivot" -> qAggPivot,
+    "q_set_bagops" -> qSetBagOps,
+    "q_win_firstlast" -> qWinFirstLast,
+    "q_fn_regexp_all" -> qFnRegexpAll,
+    "q_gee_pipeline" -> qGeePipeline,
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q_sql_correlated" -> sqlCorrelated,
+    "q_sql_multijoin" -> sqlMultijoin,
+    "q_agg_pivot" ->
+      """SELECT l_linestatus,
+        | CAST(sum(CASE WHEN l_returnflag='A' THEN CAST(l_quantity AS DECIMAL(18,4)) END) AS DOUBLE) AS "A",
+        | CAST(sum(CASE WHEN l_returnflag='N' THEN CAST(l_quantity AS DECIMAL(18,4)) END) AS DOUBLE) AS "N",
+        | CAST(sum(CASE WHEN l_returnflag='R' THEN CAST(l_quantity AS DECIMAL(18,4)) END) AS DOUBLE) AS "R"
+        |FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin,
+    "q_set_bagops" ->
+      """WITH a AS (SELECT o_custkey FROM orders WHERE o_totalprice > 150000.0),
+        | b AS (SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')
+        |SELECT o_custkey, 'ia' AS tag FROM (SELECT o_custkey FROM a INTERSECT ALL SELECT o_custkey FROM b)
+        |UNION ALL
+        |SELECT o_custkey, 'ea' AS tag FROM (SELECT o_custkey FROM a EXCEPT ALL SELECT o_custkey FROM b)
+        |ORDER BY tag, o_custkey""".stripMargin,
+    "q_win_firstlast" ->
+      """SELECT c_custkey, c_mktsegment, c_acctbal,
+        | first_value(c_acctbal) OVER w AS seg_max,
+        | last_value(c_acctbal) OVER w AS seg_min,
+        | nth_value(c_acctbal, 3) OVER w AS seg_third
+        |FROM customer
+        |WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |ORDER BY c_custkey""".stripMargin,
+    "q_fn_regexp_all" ->
+      """SELECT p_partkey,
+        | array_to_string(regexp_extract_all(p_name, '[aeiou]+'), ',') AS vowel_runs,
+        | CAST(len(regexp_extract_all(p_name, '[aeiou]+')) AS BIGINT) AS n_runs
+        |FROM part ORDER BY p_partkey""".stripMargin,
+    "q_gee_pipeline" ->
+      """WITH e AS (SELECT user_id, event_id, value, ts::TIMESTAMP AS ts FROM events
+        |  WHERE ts::TIMESTAMP >= TIMESTAMP '2024-01-05' AND ts::TIMESTAMP < TIMESTAMP '2024-01-20'
+        |   AND value < 50.0),
+        |best AS (SELECT *, row_number() OVER
+        |   (PARTITION BY user_id, ts::DATE ORDER BY value, event_id) AS rn,
+        |   ts::DATE AS day FROM e)
+        |SELECT day, count(*) AS n_cells,
+        | CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_best,
+        | CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE)/count(*) AS avg_best
+        |FROM best WHERE rn = 1 GROUP BY day ORDER BY day""".stripMargin,
+  )
+}
