@@ -19,9 +19,12 @@ object Aggs {
       .groupBy($"l_returnflag", $"l_linestatus")
       .agg(
         dsum($"l_quantity").as("sum_qty"),
-        dsum($"l_extendedprice").as("sum_base_price"),
-        sum(dec($"l_extendedprice") * (lit(1).cast("decimal(18,4)") - dec($"l_discount")))
-          .cast("double").as("sum_disc_price"),
+        round(dsum($"l_extendedprice"), 4).as("sum_base_price"),
+        // scale-8 sum over the full table: the underlying integer exceeds
+        // 2^53 at sf>=0.1, where DuckDB's decimal->double cast can differ
+        // by 1 ulp from the JVM's — round to 4dp on both sides
+        round(sum(dec($"l_extendedprice") * (lit(1).cast("decimal(18,4)") - dec($"l_discount")))
+          .cast("double"), 4).as("sum_disc_price"),
         (dsum($"l_quantity") / count(lit(1))).as("avg_qty"),
         count(lit(1)).as("count_order"))
       .orderBy($"l_returnflag", $"l_linestatus")
@@ -117,8 +120,8 @@ object Aggs {
     "q_agg_groupby" ->
       """SELECT l_returnflag, l_linestatus,
         | CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
-        | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
-        | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS sum_disc_price,
+        | round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE), 4) AS sum_base_price,
+        | round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE), 4) AS sum_disc_price,
         | CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / count(*) AS avg_qty,
         | count(*) AS count_order
         |FROM lineitem

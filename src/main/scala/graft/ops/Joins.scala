@@ -45,8 +45,8 @@ object Joins {
       .groupBy($"o_orderpriority")
       .agg(
         count(lit(1)).as("n_lines"),
-        sum(dec($"l_extendedprice") * (lit(1).cast("decimal(18,4)") - dec($"l_discount")))
-          .cast("double").as("revenue"))
+        round(sum(dec($"l_extendedprice") * (lit(1).cast("decimal(18,4)") - dec($"l_discount")))
+          .cast("double"), 4).as("revenue"))
       .orderBy($"o_orderpriority")
   }
 
@@ -136,7 +136,7 @@ object Joins {
         |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin,
     "q_join_smj" ->
       """SELECT o_orderpriority, count(*) AS n_lines,
-        | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS revenue
+        | round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE), 4) AS revenue
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     "q_join_outer" ->
