@@ -36,6 +36,10 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     modules.iterator.map(_._1).reduce(_ ++ _)
 
+  /** All per-module query names including any cross-module duplicates
+    * (which `++` would otherwise hide) — guarded by QueriesSpec. */
+  def moduleQueryNames: Seq[String] = modules.flatMap(_._1.keys)
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =

@@ -72,15 +72,20 @@ object LlmOpsExt {
   val qDedupNgram: Q = (s, dir) => {
     import s.implicits._
     val d = table(s, dir, "documents")
-    val grams = d.select($"doc_id",
-        explode(transform(sequence(lit(1), greatest(length($"text") - 4, lit(1))),
-          i => $"text".substr(i, lit(5)))).as("g"))
-      .distinct()
-    val sizes = grams.groupBy($"doc_id").agg(count(lit(1)).as("n"))
     val block = d.select($"doc_id", md5(substring($"text", 1, 40)).as("bk"))
     val cands = block.as("x").join(block.as("y"),
         $"x.bk" === $"y.bk" && $"x.doc_id" < $"y.doc_id")
       .select($"x.doc_id".as("doc_a"), $"y.doc_id".as("doc_b"))
+    // grams are only needed for docs that survived blocking (~10% of the
+    // table) — semi-join before the expensive character-gram explosion
+    val candDocs = cands.select($"doc_a".as("doc_id"))
+      .unionAll(cands.select($"doc_b".as("doc_id"))).distinct()
+    val grams = d.join(candDocs, Seq("doc_id"), "left_semi")
+      .select($"doc_id",
+        explode(transform(sequence(lit(1), greatest(length($"text") - 4, lit(1))),
+          i => $"text".substr(i, lit(5)))).as("g"))
+      .distinct()
+    val sizes = grams.groupBy($"doc_id").agg(count(lit(1)).as("n"))
     val inter = cands
       .join(grams.as("ga"), $"doc_a" === $"ga.doc_id")
       .join(grams.as("gb"), $"doc_b" === $"gb.doc_id" && $"ga.g" === $"gb.g")
@@ -246,14 +251,16 @@ object LlmOpsExt {
          |ORDER BY doc_a, doc_b""".stripMargin
     },
     "q_dedup_ngram" ->
-      """WITH grams AS (SELECT DISTINCT doc_id, g FROM (
-        |  SELECT doc_id, unnest(list_transform(
-        |    generate_series(1, greatest(length(text)-4, 1)),
-        |    i -> substr(text, i, 5))) AS g FROM documents)),
-        |sizes AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id),
-        |block AS (SELECT doc_id, md5(substr(text,1,40)) AS bk FROM documents),
+      """WITH block AS (SELECT doc_id, md5(substr(text,1,40)) AS bk FROM documents),
         |cands AS (SELECT x.doc_id AS doc_a, y.doc_id AS doc_b
         |  FROM block x JOIN block y ON x.bk=y.bk AND x.doc_id < y.doc_id),
+        |cdocs AS (SELECT doc_a AS doc_id FROM cands UNION SELECT doc_b FROM cands),
+        |grams AS (SELECT DISTINCT doc_id, g FROM (
+        |  SELECT doc_id, unnest(list_transform(
+        |    generate_series(1, greatest(length(text)-4, 1)),
+        |    i -> substr(text, i, 5))) AS g
+        |  FROM documents SEMI JOIN cdocs USING (doc_id))),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id),
         |inter AS (SELECT doc_a, doc_b, count(*) AS i FROM cands
         |  JOIN grams ga ON ga.doc_id=doc_a JOIN grams gb ON gb.doc_id=doc_b AND ga.g=gb.g
         |  GROUP BY doc_a, doc_b)

@@ -20,6 +20,13 @@ class QueriesSpec extends SparkSuite {
     }
   }
 
+  test("module query maps do not collide (++ would silently drop one)") {
+    val names = SparkEntry.moduleQueryNames
+    val dups = names.groupBy(identity).collect { case (n, occ) if occ.size > 1 => n }
+    assert(dups.isEmpty, s"duplicate query names across modules: $dups")
+    assert(SparkEntry.queries.size == names.size)
+  }
+
   test("oracle coverage: every query except q_agg_hll has oracle SQL") {
     val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(missing == Set("q_agg_hll"), s"unexpected oracle gaps: $missing")
