@@ -49,6 +49,24 @@ object Sources {
       .orderBy($"c_mktsegment")
   }
 
+  /** Hive-style partitioned parquet + partition pruning: write orders
+    * partitioned by year, read back filtered to one year — the scan must
+    * prune to that partition's directory (PartitionFilters, asserted in
+    * PlanShapeSpec). The oracle computes the same aggregate from the
+    * original table. */
+  val qSrcPartitioned: Q = (s, dir) => {
+    import s.implicits._
+    val path = tmp(dir, "part_orders")
+    table(s, dir, "orders")
+      .withColumn("o_year", year($"o_orderdate"))
+      .write.mode("overwrite").partitionBy("o_year").parquet(path)
+    s.read.parquet(path)
+      .filter($"o_year" === 1997)
+      .groupBy($"o_orderpriority")
+      .agg(count(lit(1)).as("n_orders"), dsum($"o_totalprice").as("sum_price"))
+      .orderBy($"o_orderpriority")
+  }
+
   /** The custom ShingleGenerator planned as a real Generator: top-10 word
     * 3-gram shingles by frequency. */
   val qUdtfGen: Q = (s, dir) => {
@@ -66,6 +84,7 @@ object Sources {
     "q_src_csv" -> qSrcCsv,
     "q_src_json" -> qSrcJson,
     "q_udtf_gen" -> qUdtfGen,
+    "q_src_partitioned" -> qSrcPartitioned,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -77,6 +96,11 @@ object Sources {
       """SELECT c_mktsegment, count(*) AS n_custs,
         | CAST(sum(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS sum_bal
         |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    "q_src_partitioned" ->
+      """SELECT o_orderpriority, count(*) AS n_orders,
+        | CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+        |FROM orders WHERE year(o_orderdate) = 1997
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     "q_udtf_gen" ->
       """WITH tok AS (SELECT doc_id, string_split(text,' ') AS ws FROM documents),
         |sh AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(ws)-2),

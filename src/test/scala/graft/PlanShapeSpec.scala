@@ -56,6 +56,13 @@ class PlanShapeSpec extends SparkSuite {
     assert(plan("q_agg_groupby", execute = true).contains("*("))
   }
 
+  test("q_src_partitioned prunes partitions at the scan") {
+    val df = SparkEntry.queries("q_src_partitioned")(spark, sfDir)
+    val s = df.queryExecution.executedPlan.toString
+    assert(s.contains("PartitionFilters: [") &&
+      s.contains("o_year"), s"partition filter not pushed:\n$s")
+  }
+
   test("no query plans an accidental CartesianProduct") {
     // crossagg is an intentional tiny cross join (plans as broadcast NLJ,
     // but allow either); everything else must be equi/broadcast/banded
