@@ -112,6 +112,21 @@ object Extras {
       .orderBy($"day")
   }
 
+  /** Query whose plan exercises the custom optimizer rule: squared
+    * deviation from a price mean via pow(x, 2), which the injected rule
+    * rewrites to a self-multiply (asserted in PlanShapeSpec). */
+  val qRuleRewrite: Q = (s, dir) => {
+    import s.implicits._
+    import graft.plans.RewritePowAsMultiply
+    if (!s.experimental.extraOptimizations.contains(RewritePowAsMultiply))
+      s.experimental.extraOptimizations =
+        s.experimental.extraOptimizations :+ RewritePowAsMultiply
+    table(s, dir, "part")
+      .select($"p_partkey",
+        round(pow($"p_retailprice" - lit(1000.0), 2.0), 4).as("sq_dev"))
+      .orderBy($"p_partkey")
+  }
+
   val queries: Map[String, Q] = Map(
     "q_sql_correlated" -> qSqlCorrelated,
     "q_sql_multijoin" -> qSqlMultijoin,
@@ -120,6 +135,7 @@ object Extras {
     "q_win_firstlast" -> qWinFirstLast,
     "q_fn_regexp_all" -> qFnRegexpAll,
     "q_gee_pipeline" -> qGeePipeline,
+    "q_rule_rewrite" -> qRuleRewrite,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -151,6 +167,10 @@ object Extras {
       """SELECT p_partkey,
         | array_to_string(regexp_extract_all(p_name, '[aeiou]+'), ',') AS vowel_runs,
         | CAST(len(regexp_extract_all(p_name, '[aeiou]+')) AS BIGINT) AS n_runs
+        |FROM part ORDER BY p_partkey""".stripMargin,
+    "q_rule_rewrite" ->
+      """SELECT p_partkey,
+        | round((p_retailprice - 1000.0) * (p_retailprice - 1000.0), 4) AS sq_dev
         |FROM part ORDER BY p_partkey""".stripMargin,
     "q_gee_pipeline" ->
       """WITH e AS (SELECT user_id, event_id, value, ts::TIMESTAMP AS ts FROM events

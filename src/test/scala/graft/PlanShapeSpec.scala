@@ -63,6 +63,13 @@ class PlanShapeSpec extends SparkSuite {
       s.contains("o_year"), s"partition filter not pushed:\n$s")
   }
 
+  test("custom optimizer rule rewrites pow(x,2) to a multiply") {
+    val df = SparkEntry.queries("q_rule_rewrite")(spark, sfDir)
+    val optimized = df.queryExecution.optimizedPlan.toString
+    assert(!optimized.toLowerCase.contains("pow"),
+      s"pow survived the rewrite rule:\n$optimized")
+  }
+
   test("no query plans an accidental CartesianProduct") {
     // crossagg is an intentional tiny cross join (plans as broadcast NLJ,
     // but allow either); everything else must be equi/broadcast/banded
