@@ -142,4 +142,45 @@ class StreamingParitySpec extends SparkSuite {
     val diff = streamed.except(batch).count() + batch.except(streamed).count()
     assert(diff == 0, "streaming flatMapGroupsWithState != batch gaps-and-islands")
   }
+
+  test("transformWithState (Spark 4 arbitrary state API) counts per user") {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{StatefulProcessor, TimeMode, TTLConfig, TimerValues}
+    import org.apache.spark.sql.{Encoder, Encoders}
+
+    class CountProcessor extends StatefulProcessor[Long, (Long, Double), (Long, Long)] {
+      @transient private var count: org.apache.spark.sql.streaming.ValueState[Long] = _
+      override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+        count = getHandle.getValueState[Long]("count", Encoders.scalaLong, TTLConfig.NONE)
+      override def handleInputRows(key: Long, rows: Iterator[(Long, Double)],
+          timerValues: TimerValues): Iterator[(Long, Long)] = {
+        val n = (if (count.exists()) count.get() else 0L) + rows.size
+        count.update(n)
+        Iterator.single((key, n))
+      }
+    }
+
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val ds = eventStream.select(col("user_id"), col("value"))
+        .as[(Long, Double)]
+      val counted = ds.groupByKey(_._1)
+        .transformWithState(new CountProcessor, TimeMode.None(), OutputMode.Update())
+        .toDF("user_id", "n")
+      val q = counted.writeStream.outputMode("update")
+        .format("memory").queryName("t_tws").start()
+      q.processAllAvailable()
+      q.stop()
+      // single micro-batch => the last update per user is the total count
+      val streamed = spark.table("t_tws")
+        .groupBy(col("user_id")).agg(max(col("n")).as("n"))
+      val batch = graft.ops.Util.events(spark, sfDir)
+        .groupBy(col("user_id")).agg(count(lit(1)).as("n"))
+      val diff = streamed.except(batch).count() + batch.except(streamed).count()
+      assert(diff == 0, "transformWithState counts != batch counts")
+    } finally {
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
 }
