@@ -30,6 +30,7 @@ object SparkEntry {
     (Multimodal.queries, Multimodal.oracleSql),
     (Sources.queries, Sources.oracleSql),
     (Extras.queries, Extras.oracleSql),
+    (Stats.queries, Stats.oracleSql),
   )
 
   /** One entry per implemented operator from SURVEY.md §2. */

@@ -1,0 +1,91 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import Util._
+
+/** Statistical aggregates, UNPIVOT, arg-min/max, and outer generators.
+  * Parity: second-moment statistics round to 6dp (both engines use
+  * numerically stable single-pass algorithms whose results agree well
+  * beyond that); min_by/max_by rank on an exactly-computed unique integer
+  * key so ties cannot differ across engines. */
+object Stats {
+
+  val qAggStats: Q = (s, dir) => {
+    import s.implicits._
+    table(s, dir, "lineitem")
+      .groupBy($"l_returnflag")
+      .agg(
+        round(stddev_samp($"l_quantity"), 6).as("sd_qty"),
+        round(var_samp($"l_quantity"), 6).as("var_qty"),
+        round(corr($"l_quantity", $"l_extendedprice"), 6).as("corr_qp"),
+        round(covar_samp($"l_quantity", $"l_discount"), 6).as("cov_qd"))
+      .orderBy($"l_returnflag")
+  }
+
+  /** UNPIVOT via the stack generator: wide → long. */
+  val qFnUnpivot: Q = (s, dir) => {
+    import s.implicits._
+    table(s, dir, "orders")
+      .selectExpr("o_orderkey",
+        "stack(2, 'price', o_totalprice, 'keyx', CAST(o_orderkey AS DOUBLE)) AS (metric, v)")
+      .orderBy($"o_orderkey", $"metric")
+  }
+
+  /** arg-min/arg-max with an exact unique integer ranking key
+    * (acctbal cents × 10^6 + custkey — deterministic under ties). */
+  val qAggMinmaxby: Q = (s, dir) => {
+    import s.implicits._
+    val rank = (round($"c_acctbal" * 100).cast("long") * 1000000L + $"c_custkey")
+    table(s, dir, "customer")
+      .groupBy($"c_mktsegment")
+      .agg(
+        max_by($"c_name", rank).as("richest"),
+        min_by($"c_name", rank).as("poorest"),
+        count(lit(1)).as("n"))
+      .orderBy($"c_mktsegment")
+  }
+
+  /** explode_outer: generator rows survive empty arrays (null-extended);
+    * the filtered token list is empty for every row, so each doc emits
+    * exactly one null-token row (GenerateExec outer=true). */
+  val qFnExplodeOuter: Q = (s, dir) => {
+    import s.implicits._
+    table(s, dir, "documents")
+      .select($"doc_id",
+        explode_outer(filter(split($"text", " "), w => w === "zzz_never"))
+          .as("token"))
+      .orderBy($"doc_id")
+  }
+
+  val queries: Map[String, Q] = Map(
+    "q_agg_stats" -> qAggStats,
+    "q_fn_unpivot" -> qFnUnpivot,
+    "q_agg_minmaxby" -> qAggMinmaxby,
+    "q_fn_explode_outer" -> qFnExplodeOuter,
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q_agg_stats" ->
+      """SELECT l_returnflag,
+        | round(stddev_samp(l_quantity), 6) AS sd_qty,
+        | round(var_samp(l_quantity), 6) AS var_qty,
+        | round(corr(l_quantity, l_extendedprice), 6) AS corr_qp,
+        | round(covar_samp(l_quantity, l_discount), 6) AS cov_qd
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q_fn_unpivot" ->
+      """SELECT o_orderkey, metric, v FROM (
+        | SELECT o_orderkey, 'price' AS metric, o_totalprice AS v FROM orders
+        | UNION ALL
+        | SELECT o_orderkey, 'keyx' AS metric, CAST(o_orderkey AS DOUBLE) AS v FROM orders)
+        |ORDER BY o_orderkey, metric""".stripMargin,
+    "q_agg_minmaxby" ->
+      """SELECT c_mktsegment,
+        | max_by(c_name, CAST(round(c_acctbal * 100) AS BIGINT) * 1000000 + c_custkey) AS richest,
+        | min_by(c_name, CAST(round(c_acctbal * 100) AS BIGINT) * 1000000 + c_custkey) AS poorest,
+        | count(*) AS n
+        |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    "q_fn_explode_outer" ->
+      """SELECT doc_id, CAST(NULL AS VARCHAR) AS token FROM documents
+        |ORDER BY doc_id""".stripMargin,
+  )
+}
