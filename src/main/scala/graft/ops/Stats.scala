@@ -8,7 +8,28 @@ import Util._
   * numerically stable single-pass algorithms whose results agree well
   * beyond that); min_by/max_by rank on an exactly-computed unique integer
   * key so ties cannot differ across engines. */
+/** Row type for the typed-Dataset pipeline (compile-time field checks). */
+case class LiRow(l_orderkey: Long, l_quantity: Double, l_returnflag: String)
+
 object Stats {
+
+  /** Typed Dataset[T] pipeline: case-class encoder, typed filter and
+    * groupByKey — the API surface for callers who want compile-time field
+    * safety; the physical plan is the same shuffle+agg as the DataFrame
+    * form (the typed filter is a lambda, so predicate pushdown stops at
+    * the deserializer — documented tradeoff vs the Column form). */
+  val qTypedDs: Q = (s, dir) => {
+    import s.implicits._
+    table(s, dir, "lineitem")
+      .select($"l_orderkey", $"l_quantity", $"l_returnflag")
+      .as[LiRow]
+      .filter(_.l_quantity > 45.0)
+      .groupByKey(_.l_returnflag)
+      .count()
+      .toDF("l_returnflag", "n_big")
+      .orderBy($"l_returnflag")
+  }
+
 
   val qAggStats: Q = (s, dir) => {
     import s.implicits._
@@ -62,6 +83,7 @@ object Stats {
     "q_fn_unpivot" -> qFnUnpivot,
     "q_agg_minmaxby" -> qAggMinmaxby,
     "q_fn_explode_outer" -> qFnExplodeOuter,
+    "q_typed_ds" -> qTypedDs,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -87,5 +109,9 @@ object Stats {
     "q_fn_explode_outer" ->
       """SELECT doc_id, CAST(NULL AS VARCHAR) AS token FROM documents
         |ORDER BY doc_id""".stripMargin,
+    "q_typed_ds" ->
+      """SELECT l_returnflag, count(*) AS n_big FROM lineitem
+        |WHERE l_quantity > 45.0
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
   )
 }
