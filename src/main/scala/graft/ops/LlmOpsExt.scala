@@ -127,12 +127,16 @@ object LlmOpsExt {
   val qSimIvf: Q = (s, dir) => {
     import s.implicits._
     val e = emb(s, dir)
-    // one aggregation: 64 decimal-summed dimension columns, no posexplode
-    val dimAggs = (1 to 64).map(i =>
-      (sum(element_at($"emb", i).cast("decimal(18,8)")).cast("double") /
-        count(lit(1))).as(s"c$i"))
-    val cent = e.groupBy($"label").agg(dimAggs.head, dimAggs.tail: _*)
-      .select($"label", array((1 to 64).map(i => col(s"c$i")): _*).as("cent"))
+    // posexplode + re-collect: 64 agg columns in one groupBy looked
+    // cheaper on paper (fewer shuffles) but blows up whole-stage codegen
+    // compile time (64 decimal aggregates) and benched slower — the
+    // narrow-row explode wins here
+    val cent = e.select($"label", posexplode($"emb").as(Seq("pos", "v")))
+      .groupBy($"label", $"pos")
+      .agg((sum($"v".cast("decimal(18,8)")).cast("double") / count(lit(1))).as("c"))
+      .groupBy($"label")
+      .agg(transform(array_sort(collect_list(struct($"pos", $"c"))),
+        x => x.getField("c")).as("cent"))
     val probes = e.orderBy($"vec_id").limit(10)
       .select($"vec_id".as("probe_id"), $"emb".as("pemb"))
     val wl = Window.partitionBy($"probe_id").orderBy($"cscore".desc, $"label")
