@@ -78,7 +78,40 @@ object Stats {
       .orderBy($"doc_id")
   }
 
+  /** Edit-distance near-dup verification on prefix-blocked candidate
+    * pairs (completes the dedup family: set-based Jaccard, bitwise
+    * SimHash, and now sequence-based Levenshtein on the same blocks). */
+  val qDedupEditdist: Q = (s, dir) => {
+    import s.implicits._
+    val d = table(s, dir, "documents")
+    val block = d.select($"doc_id", $"text",
+      md5(substring($"text", 1, 40)).as("bk"))
+    block.as("x").join(block.as("y"),
+        $"x.bk" === $"y.bk" && $"x.doc_id" < $"y.doc_id")
+      .select($"x.doc_id".as("doc_a"), $"y.doc_id".as("doc_b"),
+        levenshtein(substring($"x.text", 1, 120), substring($"y.text", 1, 120))
+          .cast("long").as("edit_dist"))
+      .orderBy($"doc_a", $"doc_b")
+  }
+
+  /** Trigonometric / inverse-trig battery (6dp-rounded — libm vs JVM). */
+  val qFnTrig: Q = (s, dir) => {
+    import s.implicits._
+    val x = $"p_retailprice" / lit(1000.0)
+    table(s, dir, "part")
+      .select($"p_partkey",
+        round(sin(x), 6).as("s"),
+        round(cos(x), 6).as("c"),
+        round(tan(x), 6).as("t"),
+        round(atan(x), 6).as("at"),
+        round(atan2($"p_size".cast("double"), x), 6).as("at2"),
+        round(degrees(atan(x)), 6).as("deg"))
+      .orderBy($"p_partkey")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_dedup_editdist" -> qDedupEditdist,
+    "q_fn_trig" -> qFnTrig,
     "q_agg_stats" -> qAggStats,
     "q_fn_unpivot" -> qFnUnpivot,
     "q_agg_minmaxby" -> qAggMinmaxby,
@@ -87,6 +120,21 @@ object Stats {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q_dedup_editdist" ->
+      """WITH block AS (SELECT doc_id, text, md5(substr(text,1,40)) AS bk FROM documents)
+        |SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,
+        | CAST(levenshtein(substr(x.text,1,120), substr(y.text,1,120)) AS BIGINT) AS edit_dist
+        |FROM block x JOIN block y ON x.bk=y.bk AND x.doc_id < y.doc_id
+        |ORDER BY doc_a, doc_b""".stripMargin,
+    "q_fn_trig" ->
+      """SELECT p_partkey,
+        | round(sin(p_retailprice/1000.0), 6) AS s,
+        | round(cos(p_retailprice/1000.0), 6) AS c,
+        | round(tan(p_retailprice/1000.0), 6) AS t,
+        | round(atan(p_retailprice/1000.0), 6) AS at,
+        | round(atan2(CAST(p_size AS DOUBLE), p_retailprice/1000.0), 6) AS at2,
+        | round(degrees(atan(p_retailprice/1000.0)), 6) AS deg
+        |FROM part ORDER BY p_partkey""".stripMargin,
     "q_agg_stats" ->
       """SELECT l_returnflag,
         | round(stddev_samp(l_quantity), 6) AS sd_qty,
