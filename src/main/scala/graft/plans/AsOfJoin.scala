@@ -57,7 +57,10 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
     val rTs = BindReferences.bindReference(rightTs, right.output)
     val rightWidth = right.output.size
     val outAttrs = output
-    val inAttrs = left.output ++ right.output
+    // bind the projection against nullability-WIDENED right attributes
+    // (== output): binding the original non-nullable attrs would skip the
+    // null check and read garbage from the null-extension row
+    val inAttrs = outAttrs
 
     left.execute().zipPartitions(right.execute()) { (lit, rit) =>
       val proj = UnsafeProjection.create(outAttrs, inAttrs)
