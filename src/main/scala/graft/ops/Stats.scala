@@ -109,7 +109,32 @@ object Stats {
       .orderBy($"p_partkey")
   }
 
+  /** Boolean aggregates + printf-style formatting + initcap (emulated
+    * per-word on the DuckDB side, which lacks initcap). */
+  val qFnMisc: Q = (s, dir) => {
+    import s.implicits._
+    table(s, dir, "part")
+      .groupBy($"p_type")
+      .agg(
+        every($"p_retailprice" > 100.0).as("all_over100"),
+        some($"p_size" > 40).as("any_big"),
+        count(lit(1)).as("n"))
+      .orderBy($"p_type")
+  }
+
+  val qFnFormat: Q = (s, dir) => {
+    import s.implicits._
+    table(s, dir, "part")
+      .select($"p_partkey",
+        format_string("%.2f", $"p_retailprice").as("price_str"),
+        format_string("part-%05d", $"p_partkey").as("padded_id"),
+        initcap($"p_name").as("title"))
+      .orderBy($"p_partkey")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_fn_misc" -> qFnMisc,
+    "q_fn_format" -> qFnFormat,
     "q_dedup_editdist" -> qDedupEditdist,
     "q_fn_trig" -> qFnTrig,
     "q_agg_stats" -> qAggStats,
@@ -120,6 +145,17 @@ object Stats {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q_fn_misc" ->
+      """SELECT p_type, bool_and(p_retailprice > 100.0) AS all_over100,
+        | bool_or(p_size > 40) AS any_big, count(*) AS n
+        |FROM part GROUP BY p_type ORDER BY p_type""".stripMargin,
+    "q_fn_format" ->
+      """SELECT p_partkey,
+        | printf('%.2f', p_retailprice) AS price_str,
+        | printf('part-%05d', p_partkey) AS padded_id,
+        | array_to_string(list_transform(string_split(p_name, ' '),
+        |   w -> upper(substr(w,1,1)) || lower(substr(w,2,length(w)))), ' ') AS title
+        |FROM part ORDER BY p_partkey""".stripMargin,
     "q_dedup_editdist" ->
       """WITH block AS (SELECT doc_id, text, md5(substr(text,1,40)) AS bk FROM documents)
         |SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,
