@@ -31,6 +31,7 @@ object SparkEntry {
     (Sources.queries, Sources.oracleSql),
     (Extras.queries, Extras.oracleSql),
     (Stats.queries, Stats.oracleSql),
+    (TimeSeries.queries, TimeSeries.oracleSql),
   )
 
   /** One entry per implemented operator from SURVEY.md §2. */
