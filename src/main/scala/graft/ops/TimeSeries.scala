@@ -56,7 +56,22 @@ object TimeSeries {
       .orderBy($"event_id")
   }
 
+  /** Approximate percentiles (no oracle — sketch internals are engine-
+    * specific; ExtensionsSpec bounds the error vs the exact percentile,
+    * mirroring the q_agg_hll treatment). At 100 TB this replaces the exact
+    * percentile: t-digest style sketches are mergeable and bounded-memory. */
+  val qAggApproxq: Q = (s, dir) => {
+    import s.implicits._
+    table(s, dir, "orders")
+      .groupBy($"o_orderpriority")
+      .agg(
+        expr("approx_percentile(o_totalprice, 0.5, 1000)").as("ap50"),
+        expr("percentile(o_totalprice, 0.5)").as("exact50"))
+      .orderBy($"o_orderpriority")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_agg_approxq" -> qAggApproxq,
     "q_ts_gapfill" -> qTsGapfill,
     "q_agg_grouping" -> qAggGrouping,
     "q_fn_trycast" -> qFnTrycast,

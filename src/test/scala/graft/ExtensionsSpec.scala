@@ -18,6 +18,19 @@ class ExtensionsSpec extends SparkSuite {
     }
   }
 
+  test("approx_percentile within 1% of exact") {
+    val rows = SparkEntry.queries("q_agg_approxq")(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val ap = r.getAs[Double]("ap50"); val ex = r.getAs[Double]("exact50")
+      // GK sketch returns a sample order statistic while percentile()
+      // interpolates — at sf0.001 group sizes (~300) adjacent statistics
+      // can sit ~2% apart, so bound at 5%
+      assert(math.abs(ap - ex) / ex <= 0.05,
+        s"approx_percentile error too large: approx=$ap exact=$ex")
+    }
+  }
+
   test("UDF, RuntimeReplaceable and codegen expression all agree") {
     import spark.implicits._
     val udfRes = SparkEntry.queries("q_udf_scalar")(spark, sfDir)

@@ -27,9 +27,10 @@ class QueriesSpec extends SparkSuite {
     assert(SparkEntry.queries.size == names.size)
   }
 
-  test("oracle coverage: every query except q_agg_hll has oracle SQL") {
+  test("oracle coverage: every query except the approx sketches has oracle SQL") {
     val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
-    assert(missing == Set("q_agg_hll"), s"unexpected oracle gaps: $missing")
+    assert(missing == Set("q_agg_hll", "q_agg_approxq"),
+      s"unexpected oracle gaps: $missing")
     val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
     assert(orphans.isEmpty, s"oracle SQL without query: $orphans")
   }
