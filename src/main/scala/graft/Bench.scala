@@ -1,5 +1,14 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark main. Runs every `SparkEntry.queries` entry against
+  * SPARK_GRAFT_SF_DIR and reports wall-clock per query.
+  *
+  * Output contract (the driver tails stdout, so long lines get
+  * front-truncated): the FULL per-query map goes out first on its own
+  * line, and the machine-readable summary is the short FINAL stdout
+  * line so a tail capture always retains it intact.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -15,10 +24,20 @@ object Bench {
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // numeric scale factor from the dir name (".../sf0.1" -> 0.1)
+    val sf = "sf([0-9.]+)".r.findFirstMatchIn(sfDir)
+      .map(_.group(1).stripSuffix(".")).getOrElse("0")
+    // headline subset keeps the final line short enough for any tail size
+    val headline = Seq("q_agg_groupby", "q_join_inner", "q_join_broadcast",
+      "q_win_topk_group", "q_dedup_near", "q_dedup_simhash", "q_sim_topk",
+      "q_text_fingerprint", "q_udtf", "q_ts_gapfill")
+    val hq = headline.flatMap(k => results.get(k).map(v => s"\"" + k + "\":" + f"$v%.3f"))
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"per_query","queries":$qs,"sf":$sf}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$hq,"sf":$sf}""")
     spark.stop()
   }
 }

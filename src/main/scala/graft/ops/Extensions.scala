@@ -165,8 +165,12 @@ object Extensions {
       .orderBy($"p_event_id")
   }
 
-  /** UDTF surface v1: shingle generator as explode(transform(sequence)) —
-    * a generator composed from HOFs (custom Generator class is the v2). */
+  /** UDTF surface v1: shingle stats as pure per-row array expressions.
+    * Both outputs are computable without generating rows — size() and
+    * size(array_distinct()) over the shingle array stay inside whole-stage
+    * codegen with zero explode and zero shuffle (the explode+groupBy shape
+    * that demonstrates a real Generator lives in q_udtf_gen). The filter
+    * mirrors explode semantics: docs with no shingles emit no row. */
   val qUdtf: Q = (s, dir) => {
     import s.implicits._
     val ws = split($"text", " ")
@@ -174,10 +178,11 @@ object Extensions {
       transform(sequence(lit(1), size(ws) - 2),
         i => concat_ws(" ", slice(ws, i, lit(3))))).otherwise(array())
     table(s, dir, "documents")
-      .select($"doc_id", explode(sh).as("shingle"))
-      .groupBy($"doc_id")
-      .agg(count(lit(1)).as("n_shingles"),
-        countDistinct($"shingle").as("n_distinct"))
+      .select($"doc_id", sh.as("sh"))
+      .filter(size($"sh") > 0)
+      .select($"doc_id",
+        size($"sh").cast("long").as("n_shingles"),
+        size(array_distinct($"sh")).cast("long").as("n_distinct"))
       .orderBy($"doc_id")
   }
 
@@ -229,9 +234,10 @@ object Extensions {
         |ORDER BY p_event_id""".stripMargin,
     "q_udtf" ->
       """WITH tok AS (SELECT doc_id, string_split(text,' ') AS ws FROM documents),
-        |sh AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(ws)-2),
-        |  i -> ws[i]||' '||ws[i+1]||' '||ws[i+2])) AS shingle FROM tok)
-        |SELECT doc_id, count(*) AS n_shingles, count(DISTINCT shingle) AS n_distinct
-        |FROM sh GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+        |sh AS (SELECT doc_id, list_transform(generate_series(1, len(ws)-2),
+        |  i -> ws[i]||' '||ws[i+1]||' '||ws[i+2]) AS grams FROM tok)
+        |SELECT doc_id, CAST(len(grams) AS BIGINT) AS n_shingles,
+        | CAST(len(list_distinct(grams)) AS BIGINT) AS n_distinct
+        |FROM sh WHERE len(grams) > 0 ORDER BY doc_id""".stripMargin,
   )
 }

@@ -62,19 +62,24 @@ object LlmOps {
       .orderBy($"keeper")
   }
 
-  /** Near-dup detection via MinHash + LSH: 16 md5-derived min-hashes (the
-    * hex string itself is the hash value — lexicographic min ≡ numeric min,
-    * and md5 is the only cross-engine-stable hash), 8 bands × 2 rows,
-    * band-bucket join for candidates, exact shingle-Jaccard ≥ 0.8 verify.
-    * At scale the band join touches only colliding buckets — never the
-    * full doc×doc cross product. */
+  /** Near-dup detection via MinHash + LSH: 16 min-hash lanes sliced from
+    * TWO md5 digests per shingle (4 hex chars per lane — lexicographic min
+    * ≡ numeric min, and md5 is the only cross-engine-stable hash), 8 bands
+    * × 2 rows, band-bucket join for candidates, exact shingle-Jaccard
+    * ≥ 0.8 verify. Two digests, not sixteen: 64 hex chars give 16
+    * independent 4-hex lanes, 8× less hashing per shingle. Lanes must stay
+    * ≥4 hex — a 2-hex lane (256 values) degenerates: min over ~50 shingles
+    * collides for ~11% of UNRELATED doc pairs per lane, flooding the band
+    * buckets. At scale the band join touches only colliding buckets —
+    * never the full doc×doc cross product. */
   val qDedupNear: Q = (s, dir) => {
     import s.implicits._
     val sh = shingleSet(s, dir).cache()
-    // All 16 min-hashes in ONE aggregation (16 agg columns over the
+    // All 16 min-hash lanes in ONE aggregation (16 agg columns over the
     // shingle set — no ×16 row explosion, one shuffle on doc_id).
+    val hex64 = concat(md5($"sh"), md5(concat(lit("1:"), $"sh")))
     val minhashes = (0 until 16).map(j =>
-      min(md5(concat(lit(s"$j:"), $"sh"))).as(s"m$j"))
+      min(substring(hex64, 4 * j + 1, 4)).as(s"m$j"))
     val sig = sh.groupBy($"doc_id").agg(minhashes.head, minhashes.tail: _*)
     val bandStructs = array((0 until 8).map(b =>
       struct(lit(b).as("band"),
@@ -218,7 +223,8 @@ object LlmOps {
         |FROM documents GROUP BY h ORDER BY keeper""".stripMargin,
     "q_dedup_near" -> {
       val minhashes = (0 until 16)
-        .map(j => s"min(md5('$j:'||s)) AS m$j").mkString(", ")
+        .map(j => s"min(substr(md5(s)||md5('1:'||s), ${4 * j + 1}, 4)) AS m$j")
+        .mkString(", ")
       val bandSelects = (0 until 8)
         .map(b => s"SELECT doc_id, $b AS band, m${2 * b}||'|'||m${2 * b + 1} AS bkey FROM sig")
         .mkString(" UNION ALL ")

@@ -29,20 +29,21 @@ object LlmOpsExt {
   // ---------------------------------------------------------------- dedup
 
   /** SimHash dedup: 32-bit signature from tf-weighted md5-nibble votes
-    * (bit b = sign of Σ ±w over per-doc token counts w — tf weighting
-    * spreads signatures even when documents share a small vocabulary),
-    * banded LSH on 2×16-bit signature halves, candidate pairs deduped
-    * BEFORE the Hamming computation, kept at distance ≤ 4. */
+    * (bit b = sign of Σ ±1 over token OCCURRENCES — identical to Σ ±w over
+    * distinct tokens with tf weight w, but needs no per-(doc,token) count
+    * aggregation, so the explode feeds the signature groupBy directly:
+    * ONE shuffle instead of two), banded LSH on 2×16-bit signature halves,
+    * candidate pairs deduped BEFORE the Hamming computation, kept at
+    * distance ≤ 4. */
   val qDedupSimhash: Q = (s, dir) => {
     import s.implicits._
     val tok = table(s, dir, "documents")
       .select($"doc_id", explode(toks($"text")).as("t"))
-      .groupBy($"doc_id", $"t").agg(count(lit(1)).as("w"))
-      .withColumn("h", md5($"t"))
+      .select($"doc_id", md5($"t").as("h"))
     // All 32 signature bits in ONE aggregation (no ×32 row explosion).
     val bitCols = (1 to 32).map(b =>
       when(sum(when(substring($"h", b, 1)
-        .isin("8", "9", "a", "b", "c", "d", "e", "f"), $"w").otherwise(-$"w")) > 0,
+        .isin("8", "9", "a", "b", "c", "d", "e", "f"), 1).otherwise(-1)) > 0,
         "1").otherwise("0").as(s"b$b"))
     val sig = tok.groupBy($"doc_id").agg(bitCols.head, bitCols.tail: _*)
       .select($"doc_id", concat((1 to 32).map(b => col(s"b$b")): _*).as("sh"))
@@ -208,16 +209,21 @@ object LlmOpsExt {
   }
 
   /** Document fingerprint: min-md5 over char-8-gram windows (winnowing-style
-    * rolling-window fingerprint) + distinct-gram cardinality. */
+    * rolling-window fingerprint) + distinct-gram cardinality. Pure per-row
+    * array expressions — array_distinct + array_min(transform(.., md5))
+    * replace the explode → global distinct → re-aggregate shape: zero
+    * shuffle, stays in whole-stage codegen, embarrassingly parallel at
+    * any scale. */
   val qTextFingerprint: Q = (s, dir) => {
     import s.implicits._
+    val grams = array_distinct(
+      transform(sequence(lit(1), greatest(length($"text") - 7, lit(1))),
+        i => $"text".substr(i, lit(8))))
     table(s, dir, "documents")
+      .select($"doc_id", grams.as("grams"))
       .select($"doc_id",
-        explode(transform(sequence(lit(1), greatest(length($"text") - 7, lit(1))),
-          i => $"text".substr(i, lit(8)))).as("g"))
-      .distinct()
-      .groupBy($"doc_id")
-      .agg(min(md5($"g")).as("fp"), count(lit(1)).as("n_grams"))
+        array_min(transform($"grams", g => md5(g))).as("fp"),
+        size($"grams").cast("long").as("n_grams"))
       .orderBy($"doc_id")
   }
 
@@ -236,11 +242,10 @@ object LlmOpsExt {
     "q_dedup_simhash" -> {
       val hex = "'8','9','a','b','c','d','e','f'"
       val bitCols = (1 to 32).map(b =>
-        s"CASE WHEN sum(CASE WHEN substr(h, $b, 1) IN ($hex) THEN w ELSE -w END) > 0 THEN '1' ELSE '0' END")
+        s"CASE WHEN sum(CASE WHEN substr(h, $b, 1) IN ($hex) THEN 1 ELSE -1 END) > 0 THEN '1' ELSE '0' END")
         .mkString(" || ")
-      s"""WITH tok AS (SELECT doc_id, t, count(*) AS w, md5(t) AS h FROM (
-         |  SELECT doc_id, unnest(string_split(text,' ')) AS t FROM documents)
-         |  GROUP BY doc_id, t),
+      s"""WITH tok AS (SELECT doc_id, md5(t) AS h FROM (
+         |  SELECT doc_id, unnest(string_split(text,' ')) AS t FROM documents)),
          |sig AS (SELECT doc_id, $bitCols AS sh FROM tok GROUP BY doc_id),
          |bands AS (SELECT doc_id, k, substr(sh, k*16+1, 16) AS bkey
          |  FROM sig, unnest(generate_series(0,1)) AS tb(k)),
@@ -333,11 +338,11 @@ object LlmOpsExt {
         | round(CAST(length(text) AS DOUBLE)/len(string_split(text,' ')), 4) AS chars_per_token
         |FROM documents ORDER BY doc_id""".stripMargin,
     "q_text_fingerprint" ->
-      """SELECT doc_id, min(md5(g)) AS fp, count(*) AS n_grams FROM (
-        | SELECT DISTINCT doc_id, g FROM (
-        |  SELECT doc_id, unnest(list_transform(
+      """WITH g AS (SELECT doc_id, list_distinct(list_transform(
         |    generate_series(1, greatest(length(text)-7, 1)),
-        |    i -> substr(text, i, 8))) AS g FROM documents))
-        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+        |    i -> substr(text, i, 8))) AS grams FROM documents)
+        |SELECT doc_id, list_min(list_transform(grams, x -> md5(x))) AS fp,
+        | CAST(len(grams) AS BIGINT) AS n_grams
+        |FROM g ORDER BY doc_id""".stripMargin,
   )
 }

@@ -51,12 +51,19 @@ object StreamOps {
       .orderBy($"user_id", $"s_start")
   }
 
-  /** Watermark late-data drop, batch-emulated: arrival order = event_id;
-    * a row is late (dropped) if its event time is > 10 minutes behind the
-    * running max event time of previously-arrived rows. */
+  /** Watermark late-data drop, batch-emulated PER KEY: arrival order =
+    * event_id within each user; a row is late (dropped) if its event time
+    * is > 10 minutes behind the running max event time of that user's
+    * previously-arrived rows. Partitioning the arrival window by user_id
+    * keeps the emulation shuffle-parallel — a global arrival order would
+    * funnel the whole table through one task, the classic scale-killer.
+    * (Spark's real watermark is also an approximation — the max event time
+    * across partitions as of the previous micro-batch; the per-key form is
+    * the scalable batch analog. True drop semantics are proven on a real
+    * stream in StreamingParitySpec.) */
   val qStreamLate: Q = (s, dir) => {
     import s.implicits._
-    val arrival = Window.orderBy($"event_id")
+    val arrival = Window.partitionBy($"user_id").orderBy($"event_id")
       .rowsBetween(Window.unboundedPreceding, -1)
     events(s, dir)
       .withColumn("ts_sec", unix_timestamp($"ts"))
@@ -139,9 +146,9 @@ object StreamOps {
         | CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
         |FROM sess GROUP BY user_id, sid ORDER BY user_id, s_start""".stripMargin,
     "q_stream_late" ->
-      """WITH e AS (SELECT event_id, event_type, ts::TIMESTAMP AS ts,
+      """WITH e AS (SELECT user_id, event_id, event_type, ts::TIMESTAMP AS ts,
         |  CAST(floor(epoch(ts::TIMESTAMP)) AS BIGINT) AS ts_sec FROM events),
-        |wm AS (SELECT *, max(ts_sec) OVER (ORDER BY event_id
+        |wm AS (SELECT *, max(ts_sec) OVER (PARTITION BY user_id ORDER BY event_id
         |   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) - 600 AS wm FROM e)
         |SELECT date_trunc('hour', ts) AS w_start, event_type, count(*) AS n
         |FROM wm WHERE wm IS NULL OR ts_sec >= wm

@@ -11,14 +11,16 @@ object TimeSeries {
     * explode), left join of observed daily sums, forward-fill via
     * last(ignoreNulls) — the resample/ffill primitive of a training-data
     * pipeline. Scale shape: the grid is |users| × 30 rows built from a
-    * distinct-keys pass, one shuffle per join/window on user_id. */
+    * distinct-keys pass over the RAW events table (column-pruned scan +
+    * partial-agg distinct — NOT from `daily`, which would compute the
+    * whole aggregation twice), one shuffle per join/window on user_id. */
   val qTsGapfill: Q = (s, dir) => {
     import s.implicits._
     val daily = events(s, dir)
       .withColumn("day", to_date($"ts"))
       .groupBy($"user_id", $"day")
       .agg(dsum($"value").as("day_sum"))
-    val grid = daily.select($"user_id").distinct()
+    val grid = events(s, dir).select($"user_id").distinct()
       .select($"user_id", explode(sequence(
         to_date(lit("2024-01-01")), to_date(lit("2024-01-30")),
         expr("INTERVAL 1 DAY"))).as("day"))
