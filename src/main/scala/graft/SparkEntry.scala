@@ -32,6 +32,7 @@ object SparkEntry {
     (Extras.queries, Extras.oracleSql),
     (Stats.queries, Stats.oracleSql),
     (TimeSeries.queries, TimeSeries.oracleSql),
+    (Sketches.queries, Sketches.oracleSql),
   )
 
   /** One entry per implemented operator from SURVEY.md §2. */

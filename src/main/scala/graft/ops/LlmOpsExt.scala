@@ -119,6 +119,52 @@ object LlmOpsExt {
       .orderBy($"vec_id")
   }
 
+  /** Embedding near-dup, bucketed ANN variant: random-hyperplane LSH inside
+    * label blocks — the 100 TB answer to qDedupEmbed's O(n²/L) within-label
+    * all-pairs. 96 seeded ±1 hyperplanes → 96-bit signature per vector →
+    * 24 bands × 4 bits; candidates come from equality joins on
+    * (label, band, band-key) — the same band-join machinery as q_dedup_near
+    * — then exact cosine scores only the candidates, top-1 per vector.
+    *
+    * Oracle-exempt (like q_agg_hll): lossless blocking cannot preserve
+    * exact top-1 semantics; LlmOpsExtSpec asserts recall ≥ 0.9 against the
+    * exact kNN instead. Parameter note: 4-bit bands suit THIS fixture,
+    * whose nearest neighbors are weak (median cos ≈ 0.33 — near random, so
+    * pruning is modest); a genuine near-dup workload (cos ≥ 0.95) wants
+    * 8-bit bands, where random pairs collide at only ~6% while true
+    * near-dups still hit ≥ 0.9⁸ per band. */
+  val qDedupEmbedLsh: Q = (s, dir) => {
+    import s.implicits._
+    // Deterministic hyperplanes (seeded driver-side, shipped as literals —
+    // no Math.random in any task, bit-identical across runs/partitions).
+    val rnd = new scala.util.Random(42)
+    val planes: Seq[Seq[Double]] =
+      Seq.fill(96)(Seq.fill(64)(if (rnd.nextBoolean()) 1.0 else -1.0))
+    val e = emb(s, dir)
+    val sigCol = concat(planes.map(p =>
+      when(dot($"emb", typedlit(p)) >= 0, "1").otherwise("0")): _*)
+    val sig = e.withColumn("sig", sigCol)
+    val bands = sig.select($"vec_id", $"label",
+      explode(array((0 until 24).map(b =>
+        struct(lit(b).as("band"), substring($"sig", b * 4 + 1, 4).as("bkey"))): _*)).as("f"))
+      .select($"vec_id", $"label", $"f.band".as("band"), $"f.bkey".as("bkey"))
+    val cands = bands.as("x").join(bands.as("y"),
+        $"x.label" === $"y.label" && $"x.band" === $"y.band" &&
+          $"x.bkey" === $"y.bkey" && $"x.vec_id" =!= $"y.vec_id")
+      .select($"x.vec_id".as("vec_id"), $"y.vec_id".as("neighbor_id"))
+      .distinct()
+    val scored = cands
+      .join(e.select($"vec_id", $"emb".as("ea")), "vec_id")
+      .join(e.select($"vec_id".as("neighbor_id"), $"emb".as("eb")), "neighbor_id")
+      .select($"vec_id", $"neighbor_id", round(dot($"ea", $"eb"), 4).as("score"))
+    val w = Window.partitionBy($"vec_id").orderBy($"score".desc, $"neighbor_id")
+    scored.withColumn("rn", row_number().over(w))
+      .filter($"rn" === 1)
+      .select($"vec_id", $"neighbor_id", $"score",
+        ($"score" >= 0.95).as("is_near_dup"))
+      .orderBy($"vec_id")
+  }
+
   // ------------------------------------------------------------------- ANN
 
   /** IVF-style ANN: exact per-label centroids (posexplode → decimal-summed
@@ -231,6 +277,7 @@ object LlmOpsExt {
     "q_dedup_simhash" -> qDedupSimhash,
     "q_dedup_ngram" -> qDedupNgram,
     "q_dedup_embed" -> qDedupEmbed,
+    "q_dedup_embed_lsh" -> qDedupEmbedLsh,
     "q_sim_ivf" -> qSimIvf,
     "q_text_langid" -> qTextLangid,
     "q_text_quality" -> qTextQuality,

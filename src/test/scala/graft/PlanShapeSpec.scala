@@ -80,6 +80,40 @@ class PlanShapeSpec extends SparkSuite {
     }
   }
 
+  test("AQE splits a skewed fact-fact sort-merge join (skew=true)") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // 97% of left rows share key 0 -> one shuffle partition dwarfs the rest;
+    // thresholds lowered so test-scale data crosses them (prod defaults are
+    // 256MB / factor 5 — the mechanism under test is identical)
+    val confs = Map(
+      "spark.sql.adaptive.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "32KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "32KB",
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "false",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val saved = confs.keys.map(k => k -> spark.conf.getOption(k)).toMap
+    try {
+      confs.foreach { case (k, v) => spark.conf.set(k, v) }
+      // md5 payload keeps the skewed partition incompressible: AQE reads
+      // COMPRESSED map-output sizes, and a constant-key long column would
+      // lz4 down below any realistic threshold
+      val left = spark.range(0, 500000)
+        .select(when($"id" % 100 =!= 0, lit(0L)).otherwise($"id").as("k"),
+          md5($"id".cast("string")).as("v"))
+      val right = spark.range(0, 50000).select(($"id" % 1000).as("k"), $"id".as("w"))
+      val joined = left.join(right, "k")
+        .groupBy().agg(count(lit(1)).as("n"), max($"v").as("mv"))
+      joined.collect()
+      val p = joined.queryExecution.executedPlan.toString
+      assert(p.contains("skew=true"), s"AQE did not mark the join skewed:\n$p")
+    } finally saved.foreach { case (k, v) =>
+      v.fold(spark.conf.unset(k))(spark.conf.set(k, _))
+    }
+  }
+
   test("custom codegen expression compiles into the plan") {
     val df = SparkEntry.queries("q_expr_custom")(spark, sfDir)
     // forcing execution exercises NormDiffCodegen.doGenCode

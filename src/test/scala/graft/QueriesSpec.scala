@@ -28,9 +28,12 @@ class QueriesSpec extends SparkSuite {
   }
 
   test("oracle coverage: every query except the approx sketches has oracle SQL") {
+    // exemptions: sketch internals / seeded LSH aren't reproducible in
+    // DuckDB — each is bounded against its exact counterpart in SketchesSpec
+    val exempt = Set("q_agg_hll", "q_agg_approxq", "q_agg_hllsketch",
+      "q_agg_kll", "q_agg_theta", "q_agg_topk", "q_dedup_embed_lsh")
     val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
-    assert(missing == Set("q_agg_hll", "q_agg_approxq"),
-      s"unexpected oracle gaps: $missing")
+    assert(missing == exempt, s"unexpected oracle gaps: $missing")
     val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
     assert(orphans.isEmpty, s"oracle SQL without query: $orphans")
   }

@@ -1,0 +1,89 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Error-bound evidence for the oracle-exempt sketch queries (Sketches.scala)
+  * and the recall bound for the oracle-exempt LSH ANN query — the same
+  * treatment q_agg_hll got in round 1: DuckDB cannot reproduce sketch
+  * internals, so the exact computation is the in-suite oracle instead. */
+class SketchesSpec extends SparkSuite {
+
+  test("q_agg_hllsketch estimates within 5% of exact per group, union sane") {
+    val rows = SparkEntry.queries("q_agg_hllsketch")(spark, sfDir).collect()
+    val groups = rows.filter(_.getString(0) != "ALL")
+    assert(groups.nonEmpty)
+    groups.foreach { r =>
+      val est = r.getLong(1).toDouble
+      val exact = r.getLong(2).toDouble
+      assert(math.abs(est - exact) / exact <= 0.05,
+        s"HLL ${r.getString(0)}: est $est vs exact $exact")
+    }
+    // the union of per-group sketches must cover at least the largest group
+    // and at most the sum of the groups
+    val union = rows.find(_.getString(0) == "ALL").get.getLong(1).toDouble
+    val exacts = groups.map(_.getLong(2).toDouble)
+    assert(union >= exacts.max * 0.95 && union <= exacts.sum * 1.05,
+      s"HLL union $union outside [${exacts.max}, ${exacts.sum}]")
+  }
+
+  test("q_agg_kll quantiles land within the ±5%-rank window of exact") {
+    import spark.implicits._
+    val rows = SparkEntry.queries("q_agg_kll")(spark, sfDir).collect()
+    val exactWindows = spark.read.parquet(s"$sfDir/orders.parquet")
+      .select($"o_orderpriority", $"o_totalprice".cast("double").as("p"))
+      .groupBy($"o_orderpriority")
+      .agg(expr("percentile(p, 0.45)").as("lo50"), expr("percentile(p, 0.55)").as("hi50"),
+        expr("percentile(p, 0.85)").as("lo90"), expr("percentile(p, 0.95)").as("hi90"))
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4))).toMap
+    rows.foreach { r =>
+      val (lo50, hi50, lo90, hi90) = exactWindows(r.getString(0))
+      val (kll50, kll90) = (r.getDouble(1), r.getDouble(2))
+      assert(kll50 >= lo50 && kll50 <= hi50,
+        s"KLL p50 ${r.getString(0)}: $kll50 outside [$lo50, $hi50]")
+      assert(kll90 >= lo90 && kll90 <= hi90,
+        s"KLL p90 ${r.getString(0)}: $kll90 outside [$lo90, $hi90]")
+    }
+  }
+
+  test("q_agg_theta estimates within 5% of exact; intersection bounded") {
+    val rows = SparkEntry.queries("q_agg_theta")(spark, sfDir).collect()
+    val flags = rows.filter(_.getString(0) != "BOTH")
+    flags.foreach { r =>
+      val est = r.getLong(1).toDouble
+      val exact = r.getLong(2).toDouble
+      assert(math.abs(est - exact) / exact <= 0.05,
+        s"theta ${r.getString(0)}: est $est vs exact $exact")
+    }
+    val inter = rows.find(_.getString(0) == "BOTH").get.getLong(1).toDouble
+    assert(inter <= flags.map(_.getLong(2).toDouble).min * 1.05,
+      s"theta intersection $inter exceeds smallest set")
+  }
+
+  test("q_agg_topk equals the exact top-5 on a low-cardinality column") {
+    import spark.implicits._
+    val approx = SparkEntry.queries("q_agg_topk")(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val exact = spark.read.parquet(s"$sfDir/orders.parquet")
+      .groupBy($"o_orderpriority").agg(count(lit(1)).as("n"))
+      .orderBy($"n".desc, $"o_orderpriority").limit(5)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    // 5 distinct priorities < maxItemsTracked, so the sketch is lossless
+    assert(approx.toSeq == exact.toSeq,
+      s"approx_top_k ${approx.toSeq} != exact ${exact.toSeq}")
+  }
+
+  test("q_dedup_embed_lsh recalls >= 0.9 of exact top-1 neighbors (sf0.01)") {
+    val dir = "/root/testdata/sf0.01"
+    val exact = SparkEntry.queries("q_dedup_embed")(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val lsh = SparkEntry.queries("q_dedup_embed_lsh")(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // if the true top-1 pair collides in any band, the LSH top-1 IS the
+    // exact top-1 (exact cosine ranks the candidates), so top-1 agreement
+    // measures candidate recall directly
+    val hits = exact.count { case (v, n) => lsh.get(v).contains(n) }
+    val recall = hits.toDouble / exact.size
+    assert(recall >= 0.9, s"LSH ANN recall $recall < 0.9 (${hits}/${exact.size})")
+  }
+}
