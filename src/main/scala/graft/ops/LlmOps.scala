@@ -28,14 +28,6 @@ object LlmOps {
         i => concat_ws(" ", slice(ws, i, lit(3)))))
       .otherwise(array())
 
-  /** Distinct (doc_id, shingle) pairs. */
-  private def shingleSet(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    table(s, dir, "documents")
-      .select($"doc_id", explode(shingles(toks($"text"))).as("sh"))
-      .distinct()
-  }
-
   /** Embeddings with elements pre-cast to double (parity: both engines
     * must promote float->double BEFORE multiplying). */
   private def emb(s: SparkSession, dir: String): DataFrame = {
@@ -74,13 +66,18 @@ object LlmOps {
     * never the full doc×doc cross product. */
   val qDedupNear: Q = (s, dir) => {
     import s.implicits._
-    val sh = shingleSet(s, dir).cache()
-    // All 16 min-hash lanes in ONE aggregation (16 agg columns over the
-    // shingle set — no ×16 row explosion, one shuffle on doc_id).
+    // All 16 min-hash lanes in ONE codegen'd aggregation straight off the
+    // shingle explode — no distinct pre-pass (min over the multiset equals
+    // min over the set), so signatures cost exactly one shuffle. (A
+    // per-row HOF formulation — array_min over transform — was benched
+    // and rejected: Spark lambda HOFs run interpreted, ~4× slower than
+    // these codegen'd aggregates.)
+    val sh = table(s, dir, "documents")
+      .select($"doc_id", explode(shingles(toks($"text"))).as("sh"))
     val hex64 = concat(md5($"sh"), md5(concat(lit("1:"), $"sh")))
-    val minhashes = (0 until 16).map(j =>
+    val lanes = (0 until 16).map(j =>
       min(substring(hex64, 4 * j + 1, 4)).as(s"m$j"))
-    val sig = sh.groupBy($"doc_id").agg(minhashes.head, minhashes.tail: _*)
+    val sig = sh.groupBy($"doc_id").agg(lanes.head, lanes.tail: _*)
     val bandStructs = array((0 until 8).map(b =>
       struct(lit(b).as("band"),
         concat(col(s"m${2 * b}"), lit("|"), col(s"m${2 * b + 1}")).as("bkey"))): _*)
@@ -91,16 +88,22 @@ object LlmOps {
           $"x.doc_id" < $"y.doc_id")
       .select($"x.doc_id".as("doc_a"), $"y.doc_id".as("doc_b"))
       .distinct()
-    val sizes = sh.groupBy($"doc_id").agg(count(lit(1)).as("n"))
-    val inter = cands
-      .join(sh.as("sa"), $"doc_a" === $"sa.doc_id")
-      .join(sh.as("sb"), $"doc_b" === $"sb.doc_id" && $"sa.sh" === $"sb.sh")
-      .groupBy($"doc_a", $"doc_b").agg(count(lit(1)).as("i"))
-    inter
-      .join(sizes.as("za"), $"doc_a" === $"za.doc_id")
-      .join(sizes.as("zb"), $"doc_b" === $"zb.doc_id")
+    // Exact Jaccard verify on candidates only: shingle ARRAYS are built
+    // per-row just for docs that survived banding (semi-join first, like
+    // q_dedup_ngram), ride along the two joins, and intersect per-row
+    // (array_intersect) — no re-explosion, no per-pair aggregation.
+    val candDocs = cands.select($"doc_a".as("doc_id"))
+      .unionAll(cands.select($"doc_b".as("doc_id"))).distinct()
+    val docsh = table(s, dir, "documents")
+      .join(candDocs, Seq("doc_id"), "left_semi")
+      .select($"doc_id", array_distinct(shingles(toks($"text"))).as("shs"))
+    cands
+      .join(docsh.select($"doc_id".as("doc_a"), $"shs".as("sa")), "doc_a")
+      .join(docsh.select($"doc_id".as("doc_b"), $"shs".as("sb")), "doc_b")
       .select($"doc_a", $"doc_b",
-        ($"i".cast("double") / ($"za.n" + $"zb.n" - $"i")).as("jac"))
+        (size(array_intersect($"sa", $"sb")).cast("double") /
+          (size($"sa") + size($"sb") - size(array_intersect($"sa", $"sb"))))
+          .as("jac"))
       .filter($"jac" >= 0.8)
       .orderBy($"doc_a", $"doc_b")
   }

@@ -30,40 +30,39 @@ object LlmOpsExt {
 
   /** SimHash dedup: 32-bit signature from tf-weighted md5-nibble votes
     * (bit b = sign of Σ ±1 over token OCCURRENCES — identical to Σ ±w over
-    * distinct tokens with tf weight w, but needs no per-(doc,token) count
-    * aggregation, so the explode feeds the signature groupBy directly:
-    * ONE shuffle instead of two), banded LSH on 2×16-bit signature halves,
-    * candidate pairs deduped BEFORE the Hamming computation, kept at
-    * distance ≤ 4. */
+    * distinct tokens with tf weight w), banded LSH on 2×16-bit signature
+    * halves, Hamming ≤ 4 on the band-join candidates.
+    *
+    * Plan shape: one explode + ONE groupBy builds all 32 vote-sums as
+    * codegen'd aggregate columns (hand-measured: per-row HOF lambdas are
+    * interpreted and benched 4× slower here). The signature then rides the
+    * band join as a bigint (conv base-2), so Hamming distance is a native
+    * bit_count(XOR) — codegen'd integer ops instead of a 32-step
+    * interpreted lambda per pair (the round-1 bottleneck), filtered BEFORE
+    * the pair distinct so only near-dups reach the shuffle. */
   val qDedupSimhash: Q = (s, dir) => {
     import s.implicits._
-    val tok = table(s, dir, "documents")
-      .select($"doc_id", explode(toks($"text")).as("t"))
-      .select($"doc_id", md5($"t").as("h"))
-    // All 32 signature bits in ONE aggregation (no ×32 row explosion).
     val bitCols = (1 to 32).map(b =>
       when(sum(when(substring($"h", b, 1)
         .isin("8", "9", "a", "b", "c", "d", "e", "f"), 1).otherwise(-1)) > 0,
         "1").otherwise("0").as(s"b$b"))
-    val sig = tok.groupBy($"doc_id").agg(bitCols.head, bitCols.tail: _*)
+    val sig = table(s, dir, "documents")
+      .select($"doc_id", explode(toks($"text")).as("t"))
+      .select($"doc_id", md5($"t").as("h"))
+      .groupBy($"doc_id").agg(bitCols.head, bitCols.tail: _*)
       .select($"doc_id", concat((1 to 32).map(b => col(s"b$b")): _*).as("sh"))
+      .withColumn("shl", conv($"sh", 2, 10).cast("long"))
       .cache()
-    val bands = sig.select($"doc_id",
+    val bands = sig.select($"doc_id", $"shl",
       explode(array((0 to 1).map(k =>
         struct(lit(k).as("k"), substring($"sh", k * 16 + 1, 16).as("bkey"))): _*)).as("f"))
-      .select($"doc_id", $"f.k".as("k"), $"f.bkey".as("bkey"))
-    val cands = bands.as("x").join(bands.as("y"),
+      .select($"doc_id", $"shl", $"f.k".as("k"), $"f.bkey".as("bkey"))
+    bands.as("x").join(bands.as("y"),
         $"x.k" === $"y.k" && $"x.bkey" === $"y.bkey" && $"x.doc_id" < $"y.doc_id")
-      .select($"x.doc_id".as("doc_a"), $"y.doc_id".as("doc_b"))
-      .distinct()
-    val ham = aggregate(sequence(lit(1), lit(32)), lit(0), (acc, i) =>
-      acc + when(substring($"sa", i.cast("int"), lit(1)) =!=
-        substring($"sb", i.cast("int"), lit(1)), 1).otherwise(0))
-    cands
-      .join(sig.select($"doc_id".as("doc_a"), $"sh".as("sa")), "doc_a")
-      .join(sig.select($"doc_id".as("doc_b"), $"sh".as("sb")), "doc_b")
-      .select($"doc_a", $"doc_b", ham.cast("long").as("hamming"))
+      .select($"x.doc_id".as("doc_a"), $"y.doc_id".as("doc_b"),
+        bit_count($"x.shl".bitwiseXOR($"y.shl")).cast("long").as("hamming"))
       .filter($"hamming" <= 4)
+      .distinct()
       .orderBy($"doc_a", $"doc_b")
   }
 
@@ -141,13 +140,22 @@ object LlmOpsExt {
     val planes: Seq[Seq[Double]] =
       Seq.fill(96)(Seq.fill(64)(if (rnd.nextBoolean()) 1.0 else -1.0))
     val e = emb(s, dir)
-    val sigCol = concat(planes.map(p =>
-      when(dot($"emb", typedlit(p)) >= 0, "1").otherwise("0")): _*)
-    val sig = e.withColumn("sig", sigCol)
+    // Signature: ONE per-row HOF over the planes literal. Profiled against
+    // both a 96-way unrolled dot-product projection and a posexplode ×
+    // broadcast-plane-table matrix multiply: the HOF computes all 2000×96
+    // dots in 0.08s — these queries are dominated by one-time codegen
+    // compilation, so the smallest expression tree / fewest stages wins,
+    // and the matrix-multiply's extra join+aggs benched 3× slower cold.
+    val sig = e.withColumn("sig",
+      array_join(transform(typedlit(planes), p =>
+        when(aggregate(zip_with($"emb", p, (x, y) => x * y),
+          lit(0.0), (acc, v) => acc + v) >= 0, "1").otherwise("0")), ""))
     val bands = sig.select($"vec_id", $"label",
       explode(array((0 until 24).map(b =>
         struct(lit(b).as("band"), substring($"sig", b * 4 + 1, 4).as("bkey"))): _*)).as("f"))
       .select($"vec_id", $"label", $"f.band".as("band"), $"f.bkey".as("bkey"))
+      // cache: signatures must not recompute for both sides of the self-join
+      .cache()
     val cands = bands.as("x").join(bands.as("y"),
         $"x.label" === $"y.label" && $"x.band" === $"y.band" &&
           $"x.bkey" === $"y.bkey" && $"x.vec_id" =!= $"y.vec_id")
