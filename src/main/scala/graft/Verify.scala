@@ -11,6 +11,7 @@ object Verify {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       // Write µs timestamps (not INT96) so DuckDB reads the dump natively.
       .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
       .config("spark.ui.enabled", "false")
@@ -28,7 +29,11 @@ object Verify {
         else col(f.name)
       }.toSeq: _*)
     }
-    SparkEntry.queries.foreach { case (name, fn) =>
+    // optional subset for fast local parity iteration (driver sets nothing)
+    val filter = sys.env.get("SPARK_GRAFT_VERIFY_FILTER").map(_.split(",").toSet)
+    SparkEntry.queries
+      .filter { case (n, _) => filter.forall(_.contains(n)) }
+      .foreach { case (name, fn) =>
       try ntz(fn(spark, sfDir)).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>

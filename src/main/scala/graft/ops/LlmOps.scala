@@ -54,19 +54,24 @@ object LlmOps {
       .orderBy($"keeper")
   }
 
-  /** Near-dup detection via MinHash + LSH: 16 min-hash lanes sliced from
-    * TWO md5 digests per shingle (4 hex chars per lane — lexicographic min
-    * ≡ numeric min, and md5 is the only cross-engine-stable hash), 8 bands
+  /** Near-dup detection via MinHash + LSH: 8 min-hash lanes sliced from
+    * ONE md5 digest per shingle (4 hex chars per lane — lexicographic min
+    * ≡ numeric min, and md5 is the only cross-engine-stable hash), 4 bands
     * × 2 rows, band-bucket join for candidates, exact shingle-Jaccard
-    * ≥ 0.8 verify. Two digests, not sixteen: 64 hex chars give 16
-    * independent 4-hex lanes, 8× less hashing per shingle. Lanes must stay
-    * ≥4 hex — a 2-hex lane (256 values) degenerates: min over ~50 shingles
-    * collides for ~11% of UNRELATED doc pairs per lane, flooding the band
-    * buckets. At scale the band join touches only colliding buckets —
+    * ≥ 0.8 verify. One digest: 32 hex chars give 8 independent 4-hex
+    * lanes, and halving the round-2 lane count (16 → 8) halves both the
+    * aggregation buffer and the generated code — the measured cost was
+    * plan+codegen compilation, not data. Lanes must stay ≥4 hex — a 2-hex
+    * lane (256 values) degenerates: min over ~50 shingles collides for
+    * ~11% of UNRELATED doc pairs per lane, flooding the band buckets; a
+    * 4-hex lane collides at ~0.15%, and 2-lane bands square that. Banding
+    * recall at 4×2: P(hit) = 1-(1-s²)⁴ ≈ 98% at s=0.8, →1 as s→1 (exact
+    * dups ALWAYS collide); PlantedStructureSpec guards the planted
+    * structure. At scale the band join touches only colliding buckets —
     * never the full doc×doc cross product. */
   val qDedupNear: Q = (s, dir) => {
     import s.implicits._
-    // All 16 min-hash lanes in ONE codegen'd aggregation straight off the
+    // All 8 min-hash lanes in ONE codegen'd aggregation straight off the
     // shingle explode — no distinct pre-pass (min over the multiset equals
     // min over the set), so signatures cost exactly one shuffle. (A
     // per-row HOF formulation — array_min over transform — was benched
@@ -74,11 +79,11 @@ object LlmOps {
     // these codegen'd aggregates.)
     val sh = table(s, dir, "documents")
       .select($"doc_id", explode(shingles(toks($"text"))).as("sh"))
-    val hex64 = concat(md5($"sh"), md5(concat(lit("1:"), $"sh")))
-    val lanes = (0 until 16).map(j =>
-      min(substring(hex64, 4 * j + 1, 4)).as(s"m$j"))
+    val hex32 = md5($"sh")
+    val lanes = (0 until 8).map(j =>
+      min(substring(hex32, 4 * j + 1, 4)).as(s"m$j"))
     val sig = sh.groupBy($"doc_id").agg(lanes.head, lanes.tail: _*)
-    val bandStructs = array((0 until 8).map(b =>
+    val bandStructs = array((0 until 4).map(b =>
       struct(lit(b).as("band"),
         concat(col(s"m${2 * b}"), lit("|"), col(s"m${2 * b + 1}")).as("bkey"))): _*)
     val bands = sig.select($"doc_id", explode(bandStructs).as("f"))
@@ -225,10 +230,10 @@ object LlmOps {
         | md5(lower(trim(text))) AS h
         |FROM documents GROUP BY h ORDER BY keeper""".stripMargin,
     "q_dedup_near" -> {
-      val minhashes = (0 until 16)
-        .map(j => s"min(substr(md5(s)||md5('1:'||s), ${4 * j + 1}, 4)) AS m$j")
+      val minhashes = (0 until 8)
+        .map(j => s"min(substr(md5(s), ${4 * j + 1}, 4)) AS m$j")
         .mkString(", ")
-      val bandSelects = (0 until 8)
+      val bandSelects = (0 until 4)
         .map(b => s"SELECT doc_id, $b AS band, m${2 * b}||'|'||m${2 * b + 1} AS bkey FROM sig")
         .mkString(" UNION ALL ")
       s"""WITH tok AS (SELECT doc_id, string_split(text,' ') AS ws FROM documents),

@@ -33,29 +33,44 @@ object LlmOpsExt {
     * distinct tokens with tf weight w), banded LSH on 2×16-bit signature
     * halves, Hamming ≤ 4 on the band-join candidates.
     *
-    * Plan shape: one explode + ONE groupBy builds all 32 vote-sums as
-    * codegen'd aggregate columns (hand-measured: per-row HOF lambdas are
-    * interpreted and benched 4× slower here). The signature then rides the
-    * band join as a bigint (conv base-2), so Hamming distance is a native
-    * bit_count(XOR) — codegen'd integer ops instead of a 32-step
-    * interpreted lambda per pair (the round-1 bottleneck), filtered BEFORE
-    * the pair distinct so only near-dups reach the shuffle. */
+    * Plan shape: one explode + ONE groupBy, with the 32 per-bit votes
+    * PACKED four-per-long into 16-bit lanes, so the aggregation buffer is
+    * 9 columns (8 packed sums + count) instead of the round-2 32
+    * conditional sums — the measured cost there was whole-stage-codegen
+    * compilation of the 32-column aggregate, not data work. Lane math:
+    * a 0/1 vote per hex position; bit b set ⇔ Σvotes·2 > n (identical to
+    * the ±1-sum sign). 16-bit lanes bound docs at 65,535 tokens; longer
+    * docs at 100 TB want 2 votes/long (32-bit lanes) — same shape, 16
+    * sums. The signature rides the band join as a bigint built by shifts,
+    * so Hamming distance is a native bit_count(XOR), filtered BEFORE the
+    * pair distinct so only near-dups reach the shuffle. */
   val qDedupSimhash: Q = (s, dir) => {
     import s.implicits._
-    val bitCols = (1 to 32).map(b =>
-      when(sum(when(substring($"h", b, 1)
-        .isin("8", "9", "a", "b", "c", "d", "e", "f"), 1).otherwise(-1)) > 0,
-        "1").otherwise("0").as(s"b$b"))
-    val sig = table(s, dir, "documents")
+    // vote for hex position b: 1 iff the nibble's high bit is set (char in
+    // 8..f ⇔ ascii ≥ '8'=56; md5 emits lowercase hex so no other chars)
+    def vote(b: Int): Column = (ascii(substring($"h", b, 1)) >= 56).cast("long")
+    val packed = (0 until 8).map { j =>
+      (0 until 4).map(l => vote(4 * j + l + 1) * lit(1L << (16 * l)))
+        .reduce(_ + _).as(s"p$j")
+    }
+    val sums = table(s, dir, "documents")
       .select($"doc_id", explode(toks($"text")).as("t"))
       .select($"doc_id", md5($"t").as("h"))
-      .groupBy($"doc_id").agg(bitCols.head, bitCols.tail: _*)
-      .select($"doc_id", concat((1 to 32).map(b => col(s"b$b")): _*).as("sh"))
-      .withColumn("shl", conv($"sh", 2, 10).cast("long"))
-      .cache()
+      .select($"doc_id" +: packed: _*)
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n"), (0 until 8).map(j => sum(col(s"p$j")).as(s"s$j")): _*)
+    // unpack: s_b = lane (j = (b-1)/4, l = (b-1)%4); bit b (1 = MSB, same
+    // order as the oracle's concatenated bit string) set ⇔ 2·s_b > n
+    val shl = (1 to 32).map { b =>
+      val lane = shiftright(col(s"s${(b - 1) / 4}"), 16 * ((b - 1) % 4))
+        .bitwiseAND(lit(0xFFFFL))
+      when(lane * 2 > $"n", lit(1L << (32 - b))).otherwise(0L)
+    }.reduce(_ + _)
+    val sig = sums.select($"doc_id", shl.as("shl")).cache()
     val bands = sig.select($"doc_id", $"shl",
-      explode(array((0 to 1).map(k =>
-        struct(lit(k).as("k"), substring($"sh", k * 16 + 1, 16).as("bkey"))): _*)).as("f"))
+      explode(array(
+        struct(lit(0).as("k"), shiftright($"shl", 16).as("bkey")),
+        struct(lit(1).as("k"), $"shl".bitwiseAND(lit(0xFFFFL)).as("bkey")))).as("f"))
       .select($"doc_id", $"shl", $"f.k".as("k"), $"f.bkey".as("bkey"))
     bands.as("x").join(bands.as("y"),
         $"x.k" === $"y.k" && $"x.bkey" === $"y.bkey" && $"x.doc_id" < $"y.doc_id")

@@ -39,9 +39,15 @@ object Util {
     * read as a timestamp (PARQUET_TYPE_ILLEGAL). Read nanos as long
     * (legacy.parquet.nanosAsLong) and truncate to µs with integer division
     * (`div` — a double division would lose precision above 2^53 ns). DuckDB
-    * oracles must cast `ts::TIMESTAMP` to truncate ns→µs identically. */
+    * oracles must cast `ts::TIMESTAMP` to truncate ns→µs identically.
+    *
+    * The nanosAsLong conf is set ONCE at session build time by the three
+    * mains (Verify/Bench/SparkEntry) and the test SparkSuite — a per-query
+    * `spark.conf.set` here would be a global side effect racing under
+    * concurrent sessions sharing a SparkContext. */
   def events(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    require(spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") == "true",
+      "session must be built with spark.sql.legacy.parquet.nanosAsLong=true")
     table(spark, dir, "events")
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
