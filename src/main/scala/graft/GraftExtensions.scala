@@ -1,0 +1,46 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import graft.functions.DotProduct
+import graft.ops.{NormDiff, NormDiffCodegen, ShingleGenerator}
+import graft.plans.{AsOfJoinStrategy, RewritePowAsMultiply}
+
+/** The library's one-line installation point (SparkSessionExtensions — the
+  * public extension hook):
+  *
+  * {{{
+  *   spark-submit --conf spark.sql.extensions=graft.GraftExtensions ...
+  *   // or: SparkSession.builder().config("spark.sql.extensions", "graft.GraftExtensions")
+  * }}}
+  *
+  * Installs, session-scoped (no global registry mutation, safe under
+  * concurrent sessions sharing one SparkContext):
+  *  - SQL functions: `dot_product` (codegen'd embedding inner loop),
+  *    `norm_diff` / `norm_diff_cg` (band-math expression in its
+  *    RuntimeReplaceable and hand-codegen forms), `shingles` (native
+  *    word-n-gram Generator, planned through GenerateExec like explode)
+  *  - the as-of join planner strategy (AsOfJoinPlan → AsOfJoinExec)
+  *  - the pow(x,2) → x*x optimizer rewrite
+  *
+  * The per-query registrations inside graft.ops queries exist so each
+  * query stays self-contained for the Verify/Bench driver harness; a user
+  * installing this class needs none of them.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    def fn(name: String, clazz: Class[_],
+        builder: Seq[Expression] => Expression): Unit =
+      ext.injectFunction((FunctionIdentifier(name),
+        new ExpressionInfo(clazz.getName, name), builder))
+    fn("dot_product", classOf[DotProduct], es => DotProduct(es(0), es(1)))
+    fn("norm_diff", classOf[NormDiff], es => NormDiff(es(0), es(1)))
+    fn("norm_diff_cg", classOf[NormDiffCodegen],
+      es => NormDiffCodegen(es(0), es(1)))
+    fn("shingles", classOf[ShingleGenerator], es => ShingleGenerator(es(0),
+      es(1).eval(null) match { case n: Number => n.intValue }))
+    ext.injectPlannerStrategy(_ => AsOfJoinStrategy)
+    ext.injectOptimizerRule(_ => RewritePowAsMultiply)
+  }
+}

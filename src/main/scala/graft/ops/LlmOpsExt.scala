@@ -15,9 +15,14 @@ object LlmOpsExt {
 
   private def toks(c: Column): Column = split(c, " ")
 
-  /** Dot product of two double-array columns. */
+  /** Dot product of two double-array columns — codegen'd DotProduct
+    * expression, same semantics as the HOF form it replaces (see
+    * LlmOps.dot). */
   private def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+    org.apache.spark.sql.graft.GraftSql.column(
+      graft.functions.DotProduct(
+        org.apache.spark.sql.graft.GraftSql.expression(a),
+        org.apache.spark.sql.graft.GraftSql.expression(b)))
 
   private def emb(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -163,8 +168,7 @@ object LlmOpsExt {
     // and the matrix-multiply's extra join+aggs benched 3× slower cold.
     val sig = e.withColumn("sig",
       array_join(transform(typedlit(planes), p =>
-        when(aggregate(zip_with($"emb", p, (x, y) => x * y),
-          lit(0.0), (acc, v) => acc + v) >= 0, "1").otherwise("0")), ""))
+        when(dot($"emb", p) >= 0, "1").otherwise("0")), ""))
     val bands = sig.select($"vec_id", $"label",
       explode(array((0 until 24).map(b =>
         struct(lit(b).as("band"), substring($"sig", b * 4 + 1, 4).as("bkey"))): _*)).as("f"))

@@ -20,21 +20,21 @@ object Sketches {
   /** Apache DataSketches HLL via Spark's native hll_sketch_agg: per-group
     * distinct estimate + a union across groups (hll_union_agg over the
     * per-group sketches — the re-aggregation story: group sketches are
-    * reusable for any coarser rollup without touching raw data). */
+    * reusable for any coarser rollup without touching raw data). The query
+    * is sketch-only — the exact countDistinct it replaces lives in
+    * SketchesSpec, so the bench measures the sketch path, not the thing
+    * the sketch exists to avoid. */
   val qAggHllsketch: Q = (s, dir) => {
     import s.implicits._
     val perGroup = table(s, dir, "lineitem")
       .groupBy($"l_returnflag")
-      .agg(expr("hll_sketch_agg(l_partkey, 14)").as("sk"),
-        countDistinct($"l_partkey").as("exact_parts"))
+      .agg(expr("hll_sketch_agg(l_partkey, 14)").as("sk"))
     perGroup.select($"l_returnflag",
-        expr("hll_sketch_estimate(sk)").cast("long").as("hll_parts"),
-        $"exact_parts")
+        expr("hll_sketch_estimate(sk)").cast("long").as("hll_parts"))
       .unionAll(
         perGroup.agg(expr("hll_sketch_estimate(hll_union_agg(sk))")
             .cast("long").as("hll_parts"))
-          .select(lit("ALL").as("l_returnflag"), $"hll_parts",
-            lit(null).cast("long").as("exact_parts")))
+          .select(lit("ALL").as("l_returnflag"), $"hll_parts"))
       .orderBy($"l_returnflag")
   }
 
@@ -47,13 +47,10 @@ object Sketches {
     table(s, dir, "orders")
       .select($"o_orderpriority", $"o_totalprice".cast("double").as("p"))
       .groupBy($"o_orderpriority")
-      .agg(expr("kll_sketch_agg_double(p)").as("sk"),
-        expr("percentile(p, 0.5)").as("exact50"),
-        expr("percentile(p, 0.9)").as("exact90"))
+      .agg(expr("kll_sketch_agg_double(p)").as("sk"))
       .select($"o_orderpriority",
         expr("kll_sketch_get_quantile_double(sk, 0.5)").as("kll50"),
-        expr("kll_sketch_get_quantile_double(sk, 0.9)").as("kll90"),
-        $"exact50", $"exact90")
+        expr("kll_sketch_get_quantile_double(sk, 0.9)").as("kll90"))
       .orderBy($"o_orderpriority")
   }
 
@@ -66,17 +63,14 @@ object Sketches {
     val perFlag = table(s, dir, "lineitem")
       .withColumn("returned", ($"l_returnflag" === "R").cast("string"))
       .groupBy($"returned")
-      .agg(expr("theta_sketch_agg(l_suppkey)").as("sk"),
-        countDistinct($"l_suppkey").as("exact_supps"))
+      .agg(expr("theta_sketch_agg(l_suppkey)").as("sk"))
     perFlag.select($"returned",
-        expr("theta_sketch_estimate(sk)").cast("long").as("theta_supps"),
-        $"exact_supps")
+        expr("theta_sketch_estimate(sk)").cast("long").as("theta_supps"))
       .unionAll(
         perFlag.agg(
             expr("theta_sketch_estimate(theta_intersection_agg(sk))")
               .cast("long").as("theta_supps"))
-          .select(lit("BOTH").as("returned"), $"theta_supps",
-            lit(null).cast("long").as("exact_supps")))
+          .select(lit("BOTH").as("returned"), $"theta_supps"))
       .orderBy($"returned")
   }
 

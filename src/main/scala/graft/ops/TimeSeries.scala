@@ -59,16 +59,16 @@ object TimeSeries {
   }
 
   /** Approximate percentiles (no oracle — sketch internals are engine-
-    * specific; ExtensionsSpec bounds the error vs the exact percentile,
-    * mirroring the q_agg_hll treatment). At 100 TB this replaces the exact
-    * percentile: t-digest style sketches are mergeable and bounded-memory. */
+    * specific; ExtensionsSpec bounds the error vs an exact percentile it
+    * computes itself, mirroring the q_agg_hll treatment: the declared
+    * query is sketch-only so the bench measures only the sketch path). At
+    * 100 TB this replaces the exact percentile: t-digest style sketches
+    * are mergeable and bounded-memory. */
   val qAggApproxq: Q = (s, dir) => {
     import s.implicits._
     table(s, dir, "orders")
       .groupBy($"o_orderpriority")
-      .agg(
-        expr("approx_percentile(o_totalprice, 0.5, 1000)").as("ap50"),
-        expr("percentile(o_totalprice, 0.5)").as("exact50"))
+      .agg(expr("approx_percentile(o_totalprice, 0.5, 1000)").as("ap50"))
       .orderBy($"o_orderpriority")
   }
 

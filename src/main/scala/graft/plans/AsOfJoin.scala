@@ -2,7 +2,8 @@ package graft.plans
 
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, BindReferences, Expression, GenericInternalRow, JoinedRow, SortOrder, UnsafeProjection}
+import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, BindReferences, Expression, GenericInternalRow, JoinedRow, RowOrdering, SortOrder, UnsafeProjection}
+import org.apache.spark.sql.catalyst.util.TypeUtils
 import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
 import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
@@ -25,6 +26,24 @@ case class AsOfJoinPlan(left: LogicalPlan, right: LogicalPlan,
     leftTs: Expression, rightTs: Expression) extends BinaryNode {
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
+
+  /** Planning-time type check (run by AsOfJoinStrategy, i.e. post-
+    * analysis): both key and ts pairs must agree in type and be orderable.
+    * Fails with a clear message instead of a runtime ClassCastException
+    * mid-task. */
+  def checkTypes(): Unit = {
+    def check(what: String, l: Expression, r: Expression): Unit = {
+      if (l.dataType != r.dataType) throw new UnsupportedOperationException(
+        s"as-of join $what types differ: ${l.dataType.catalogString} vs " +
+          s"${r.dataType.catalogString}")
+      if (!RowOrdering.isOrderable(l.dataType))
+        throw new UnsupportedOperationException(
+          s"as-of join $what type ${l.dataType.catalogString} is not orderable")
+    }
+    check("key", leftKey, rightKey)
+    check("timestamp", leftTs, rightTs)
+  }
+
   override protected def withNewChildrenInternal(
       newLeft: LogicalPlan, newRight: LogicalPlan): AsOfJoinPlan =
     copy(left = newLeft, right = newRight)
@@ -55,6 +74,11 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
     val lTs = BindReferences.bindReference(leftTs, left.output)
     val rKey = BindReferences.bindReference(rightKey, right.output)
     val rTs = BindReferences.bindReference(rightTs, right.output)
+    // type-dispatched comparators (not asInstanceOf[Long]): any orderable
+    // key/ts type works — string keys included — and an unsupported type
+    // fails planning in AsOfJoinPlan.checkTypes, not mid-task
+    val keyOrd = TypeUtils.getInterpretedOrdering(leftKey.dataType)
+    val tsOrd = TypeUtils.getInterpretedOrdering(leftTs.dataType)
     val rightWidth = right.output.size
     val outAttrs = output
     // bind the projection against nullability-WIDENED right attributes
@@ -68,22 +92,34 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
       val nullRight = new GenericInternalRow(rightWidth)
       val rBuf = rit.buffered
       var candidate: InternalRow = null
-      var candidateKey = 0L
+      var candidateKey: Any = null
       lit.map { lrow =>
-        val lk = lKey.eval(lrow).asInstanceOf[Long]
-        val lt = lTs.eval(lrow).asInstanceOf[Long]
-        var advance = true
-        while (advance && rBuf.hasNext) {
-          val head = rBuf.head
-          val hk = rKey.eval(head).asInstanceOf[Long]
-          if (hk < lk || (hk == lk && rTs.eval(head).asInstanceOf[Long] <= lt)) {
-            // rows from the shuffle iterator are reused — copy to retain
-            candidate = rBuf.next().copy()
-            candidateKey = hk
-          } else advance = false
+        val lk = lKey.eval(lrow)
+        val lt = lTs.eval(lrow)
+        // SQL comparison semantics: a null key or ts matches nothing
+        if (lk == null || lt == null) proj(joined(lrow, nullRight))
+        else {
+          var advance = true
+          while (advance && rBuf.hasNext) {
+            val head = rBuf.head
+            val hk = rKey.eval(head)
+            val ht = rTs.eval(head)
+            if (hk == null || ht == null) { rBuf.next(); () } // unmatchable
+            else {
+              val c = keyOrd.compare(hk, lk)
+              if (c < 0 || (c == 0 && tsOrd.compare(ht, lt) <= 0)) {
+                // rows from the shuffle iterator are reused — copy to
+                // retain; re-eval the key off the COPIED row so a pointer
+                // type (UTF8String) doesn't alias the recycled buffer
+                candidate = rBuf.next().copy()
+                candidateKey = rKey.eval(candidate)
+              } else advance = false
+            }
+          }
+          if (candidate != null && keyOrd.compare(candidateKey, lk) == 0)
+            proj(joined(lrow, candidate))
+          else proj(joined(lrow, nullRight))
         }
-        if (candidate != null && candidateKey == lk) proj(joined(lrow, candidate))
-        else proj(joined(lrow, nullRight))
       }
     }
   }
@@ -97,7 +133,8 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
   * spark.experimental.extraStrategies (public extension hook). */
 object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoinPlan(l, r, lk, rk, lt, rt) =>
+    case p @ AsOfJoinPlan(l, r, lk, rk, lt, rt) =>
+      p.checkTypes()
       AsOfJoinExec(planLater(l), planLater(r), lk, rk, lt, rt) :: Nil
     case _ => Nil
   }

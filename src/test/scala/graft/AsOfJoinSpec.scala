@@ -52,6 +52,54 @@ class AsOfJoinSpec extends SparkSuite {
     ), s"unexpected matches: $got")
   }
 
+  test("as-of join works with string keys (type-dispatched comparators)") {
+    import spark.implicits._
+    val left = Seq(
+      ("alice", 100L, "p1"), ("alice", 10L, "p2"), ("bob", 75L, "p3"),
+      ("carol", 500L, "p4")  // no right rows
+    ).toDF("k", "t", "pid")
+    val right = Seq(
+      ("alice", 50L, "s1"), ("alice", 90L, "s2"),
+      ("bob", 70L, "s3"), ("bob", 80L, "s4")
+    ).toDF("rk", "rt", "sid")
+    val got = asof(left, right)
+      .select($"pid", $"sid")
+      .collect().map(r => r.getString(0) ->
+        (if (r.isNullAt(1)) null else r.getString(1))).toMap
+    assert(got == Map("p1" -> "s2", "p2" -> null, "p3" -> "s3", "p4" -> null),
+      s"unexpected matches: $got")
+  }
+
+  test("as-of join with null keys/timestamps matches nothing") {
+    import spark.implicits._
+    val left = Seq(
+      (java.lang.Long.valueOf(1L), java.lang.Long.valueOf(100L), "p1"),
+      (null.asInstanceOf[java.lang.Long], java.lang.Long.valueOf(100L), "p2"),
+      (java.lang.Long.valueOf(1L), null.asInstanceOf[java.lang.Long], "p3")
+    ).toDF("k", "t", "pid")
+    val right = Seq(
+      (java.lang.Long.valueOf(1L), java.lang.Long.valueOf(50L), "s1"),
+      (null.asInstanceOf[java.lang.Long], java.lang.Long.valueOf(10L), "s2")
+    ).toDF("rk", "rt", "sid")
+    val got = asof(left, right)
+      .select($"pid", $"sid")
+      .collect().map(r => r.getString(0) ->
+        (if (r.isNullAt(1)) null else r.getString(1))).toMap
+    assert(got == Map("p1" -> "s1", "p2" -> null, "p3" -> null),
+      s"unexpected matches: $got")
+  }
+
+  test("as-of join with mismatched key types fails planning cleanly") {
+    import spark.implicits._
+    val left = Seq((1L, 100L, "p1")).toDF("k", "t", "pid")
+    val right = Seq(("1", 50L, "s1")).toDF("rk", "rt", "sid")
+    val e = intercept[Exception] { asof(left, right).collect() }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(_.contains("as-of join key types differ")),
+      s"expected a clear type-mismatch error, got: $e")
+  }
+
   test("as-of join matches window-rewrite semantics on random data") {
     import spark.implicits._
     val rnd = new scala.util.Random(7)

@@ -10,19 +10,27 @@ class ExtensionsSpec extends SparkSuite {
     import spark.implicits._
     val rows = SparkEntry.queries("q_agg_hll")(spark, sfDir).collect()
     assert(rows.nonEmpty)
+    val exactByFlag = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .groupBy($"l_returnflag").agg(countDistinct($"l_partkey").as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1).toDouble).toMap
     rows.foreach { r =>
       val approx = r.getAs[Long]("approx_parts").toDouble
-      val exact = r.getAs[Long]("exact_parts").toDouble
+      val exact = exactByFlag(r.getString(0))
       assert(math.abs(approx - exact) / exact <= 3 * 0.02,
         s"HLL error too large: approx=$approx exact=$exact")
     }
   }
 
   test("approx_percentile within 1% of exact") {
+    import spark.implicits._
     val rows = SparkEntry.queries("q_agg_approxq")(spark, sfDir).collect()
     assert(rows.nonEmpty)
+    val exactByPrio = spark.read.parquet(s"$sfDir/orders.parquet")
+      .groupBy($"o_orderpriority")
+      .agg(expr("percentile(o_totalprice, 0.5)").as("ex"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
     rows.foreach { r =>
-      val ap = r.getAs[Double]("ap50"); val ex = r.getAs[Double]("exact50")
+      val ap = r.getAs[Double]("ap50"); val ex = exactByPrio(r.getString(0))
       // GK sketch returns a sample order statistic while percentile()
       // interpolates — at sf0.001 group sizes (~300) adjacent statistics
       // can sit ~2% apart, so bound at 5%

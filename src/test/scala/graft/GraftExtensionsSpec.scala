@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** GraftExtensions installed into a REAL second session (Builder.create()
+  * — getOrCreate() would return the suite's shared session and never apply
+  * extensions). `spark.sql.extensions` is a STATIC SQL conf read from the
+  * SparkContext at first-session startup, so with the suite's context
+  * already running the conf route can't apply — the public
+  * Builder.withExtensions hook installs the same class directly (in a real
+  * deployment either works; the conf route is the spark-submit one). The
+  * session shares the JVM's SparkContext; it is never stopped here because
+  * stop() would kill that shared context. */
+class GraftExtensionsSpec extends SparkSuite {
+
+  private lazy val ext: SparkSession = {
+    spark // force the shared session/context first
+    SparkSession.builder()
+      .master("local[4]")
+      .withExtensions(new GraftExtensions())
+      .config("spark.sql.shuffle.partitions", "4")
+      .create()
+  }
+
+  test("dot_product is a SQL function in the extension session") {
+    val d = ext.sql("SELECT dot_product(array(1d,2d), array(3d,4d)) AS d")
+      .head().getDouble(0)
+    assert(d == 11.0, s"dot_product: $d")
+    // and absent from the shared session (injection is session-scoped)
+    val e = intercept[Exception] {
+      spark.sql("SELECT dot_product(array(1d), array(1d))").collect()
+    }
+    assert(e.getMessage.toLowerCase.contains("dot_product"))
+  }
+
+  test("norm_diff forms agree in SQL") {
+    val r = ext.sql(
+      "SELECT norm_diff(3d, 1d) AS a, norm_diff_cg(3d, 1d) AS b").head()
+    assert(r.getDouble(0) == 0.5 && r.getDouble(1) == 0.5)
+  }
+
+  test("shingles generator emits one row per n-gram") {
+    val rows = ext.sql("SELECT shingles('a b c d', 3) AS s")
+      .collect().map(_.getString(0))
+    assert(rows.toSeq == Seq("a b c", "b c d"))
+  }
+
+  test("pow(x,2) rewrite fires in the extension session's optimizer") {
+    val opt = ext.range(3).selectExpr("pow(CAST(id AS DOUBLE), 2.0) AS p")
+      .queryExecution.optimizedPlan.toString
+    assert(!opt.contains("POWER") && !opt.contains("pow("),
+      s"pow survived optimization:\n$opt")
+  }
+
+  test("as-of join plans via the injected strategy (no experimental hook)") {
+    import ext.implicits._
+    val left = Seq((1L, 100L, "p1"), (2L, 10L, "p2")).toDF("k", "t", "pid")
+    val right = Seq((1L, 50L, "s1"), (2L, 40L, "s2")).toDF("rk", "rt", "sid")
+    val lp = left.queryExecution.analyzed
+    val rp = right.queryExecution.analyzed
+    def attr(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, n: String) =
+      p.output.find(_.name == n).get
+    assert(!ext.experimental.extraStrategies.contains(graft.plans.AsOfJoinStrategy))
+    val got = org.apache.spark.sql.graft.GraftSql.ofRows(ext,
+      graft.plans.AsOfJoinPlan(lp, rp,
+        attr(lp, "k"), attr(rp, "rk"), attr(lp, "t"), attr(rp, "rt")))
+      .select($"pid", $"sid")
+      .collect().map(r => r.getString(0) ->
+        (if (r.isNullAt(1)) null else r.getString(1))).toMap
+    assert(got == Map("p1" -> "s1", "p2" -> null), s"unexpected: $got")
+  }
+}

@@ -119,4 +119,19 @@ class PlanShapeSpec extends SparkSuite {
     // forcing execution exercises NormDiffCodegen.doGenCode
     assert(df.count() > 0)
   }
+
+  test("dot_product codegen expression compiles into the embedding plans") {
+    // fallback off: a DotProduct.doGenCode bug would fail the test instead
+    // of silently degrading to interpreted eval
+    val saved = spark.conf.getOption("spark.sql.codegen.fallback")
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      val df = SparkEntry.queries("q_sim_topk")(spark, sfDir)
+      assert(df.count() > 0)
+      val p = df.queryExecution.executedPlan.toString
+      assert(p.contains("dot_product"),
+        s"DotProduct expression missing from the physical plan:\n$p")
+    } finally saved.fold(spark.conf.unset("spark.sql.codegen.fallback"))(
+      spark.conf.set("spark.sql.codegen.fallback", _))
+  }
 }

@@ -9,19 +9,25 @@ import org.apache.spark.sql.functions._
 class SketchesSpec extends SparkSuite {
 
   test("q_agg_hllsketch estimates within 5% of exact per group, union sane") {
+    import spark.implicits._
     val rows = SparkEntry.queries("q_agg_hllsketch")(spark, sfDir).collect()
+    // exact countDistinct lives HERE, not in the declared query — the bench
+    // must measure the sketch path, not the scan the sketch exists to avoid
+    val exactByFlag = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .groupBy($"l_returnflag").agg(countDistinct($"l_partkey").as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1).toDouble).toMap
     val groups = rows.filter(_.getString(0) != "ALL")
     assert(groups.nonEmpty)
     groups.foreach { r =>
       val est = r.getLong(1).toDouble
-      val exact = r.getLong(2).toDouble
+      val exact = exactByFlag(r.getString(0))
       assert(math.abs(est - exact) / exact <= 0.05,
         s"HLL ${r.getString(0)}: est $est vs exact $exact")
     }
     // the union of per-group sketches must cover at least the largest group
     // and at most the sum of the groups
     val union = rows.find(_.getString(0) == "ALL").get.getLong(1).toDouble
-    val exacts = groups.map(_.getLong(2).toDouble)
+    val exacts = exactByFlag.values.toSeq
     assert(union >= exacts.max * 0.95 && union <= exacts.sum * 1.05,
       s"HLL union $union outside [${exacts.max}, ${exacts.sum}]")
   }
@@ -47,16 +53,21 @@ class SketchesSpec extends SparkSuite {
   }
 
   test("q_agg_theta estimates within 5% of exact; intersection bounded") {
+    import spark.implicits._
     val rows = SparkEntry.queries("q_agg_theta")(spark, sfDir).collect()
+    val exactByFlag = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .withColumn("returned", ($"l_returnflag" === "R").cast("string"))
+      .groupBy($"returned").agg(countDistinct($"l_suppkey").as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1).toDouble).toMap
     val flags = rows.filter(_.getString(0) != "BOTH")
     flags.foreach { r =>
       val est = r.getLong(1).toDouble
-      val exact = r.getLong(2).toDouble
+      val exact = exactByFlag(r.getString(0))
       assert(math.abs(est - exact) / exact <= 0.05,
         s"theta ${r.getString(0)}: est $est vs exact $exact")
     }
     val inter = rows.find(_.getString(0) == "BOTH").get.getLong(1).toDouble
-    assert(inter <= flags.map(_.getLong(2).toDouble).min * 1.05,
+    assert(inter <= exactByFlag.values.min * 1.05,
       s"theta intersection $inter exceeds smallest set")
   }
 
@@ -74,7 +85,7 @@ class SketchesSpec extends SparkSuite {
   }
 
   test("q_dedup_embed_lsh recalls >= 0.9 of exact top-1 neighbors (sf0.01)") {
-    val dir = "/root/testdata/sf0.01"
+    val dir = sfSibling("0.01")
     val exact = SparkEntry.queries("q_dedup_embed")(spark, dir)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     val lsh = SparkEntry.queries("q_dedup_embed_lsh")(spark, dir)

@@ -5,7 +5,11 @@ import org.scalatest.funsuite.AnyFunSuite
 
 /** One lazy SparkSession per suite (guide idiom); sf0.001 fixtures. */
 trait SparkSuite extends AnyFunSuite {
-  val sfDir = "/root/testdata/sf0.001"
+  val sfDir = sys.env.getOrElse("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+  /** Sibling fixture dir at another scale factor, derived from sfDir so a
+    * relocated testdata tree keeps working (no absolute paths in specs). */
+  def sfSibling(sf: String): String =
+    new java.io.File(new java.io.File(sfDir).getParentFile, s"sf$sf").getPath
   lazy val spark: SparkSession = SparkSession.builder()
     .master("local[4]")
     .appName(getClass.getSimpleName)

@@ -13,6 +13,7 @@ Exits 1 if any query regressed by more than --factor (default 2x) AND
 by more than 1.0s absolute (sub-second queries jitter multiplicatively;
 an 0.1s -> 0.3s move is noise, a 3s -> 7s move is not).
 """
+import argparse
 import json
 import re
 import sys
@@ -24,18 +25,25 @@ def load_queries(path):
         d = json.loads(text)
         if isinstance(d, dict) and isinstance(d.get("queries"), dict):
             return {k: float(v) for k, v in d["queries"].items()}
+        if isinstance(d, dict) and isinstance(d.get("tail"), str):
+            # driver BENCH_r*.json: the captured stdout lives (JSON-escaped)
+            # in the "tail" field; json.loads already unescaped it
+            text = d["tail"]
     except ValueError:
         pass
     return {k: float(v) for k, v in re.findall(r'"(q_[a-z0-9_]+)":([0-9.]+)', text)}
 
 
 def main():
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
-    factor = 2.0
-    for a in sys.argv[1:]:
-        if a.startswith("--factor"):
-            factor = float(a.split("=", 1)[1] if "=" in a else sys.argv[sys.argv.index(a) + 1])
-    base, cur = load_queries(args[0]), load_queries(args[1])
+    ap = argparse.ArgumentParser(description=__doc__,
+                                 formatter_class=argparse.RawDescriptionHelpFormatter)
+    ap.add_argument("baseline", help="baseline bench file")
+    ap.add_argument("current", help="current bench file")
+    ap.add_argument("--factor", type=float, default=2.0,
+                    help="regression threshold multiplier (default 2.0)")
+    ns = ap.parse_args()
+    factor = ns.factor
+    base, cur = load_queries(ns.baseline), load_queries(ns.current)
     common = sorted(set(base) & set(cur))
     if not common:
         print("no common queries between the two files")
