@@ -49,6 +49,22 @@ object Sources {
       .orderBy($"c_mktsegment")
   }
 
+  /** ORC round-trip on part — the second columnar format Spark ships
+    * natively (predicate pushdown and column pruning work identically to
+    * parquet through the same DataSource V1/V2 scan machinery). */
+  val qSrcOrc: Q = (s, dir) => {
+    import s.implicits._
+    val path = tmp(dir, "orc")
+    table(s, dir, "part")
+      .select($"p_partkey", $"p_brand", $"p_size", $"p_retailprice")
+      .write.mode("overwrite").orc(path)
+    s.read.orc(path)
+      .filter($"p_size" >= 10)
+      .groupBy($"p_brand")
+      .agg(count(lit(1)).as("n_parts"), dsum($"p_retailprice").as("sum_price"))
+      .orderBy($"p_brand")
+  }
+
   /** Hive-style partitioned parquet + partition pruning: write orders
     * partitioned by year, read back filtered to one year — the scan must
     * prune to that partition's directory (PartitionFilters, asserted in
@@ -83,6 +99,7 @@ object Sources {
   val queries: Map[String, Q] = Map(
     "q_src_csv" -> qSrcCsv,
     "q_src_json" -> qSrcJson,
+    "q_src_orc" -> qSrcOrc,
     "q_udtf_gen" -> qUdtfGen,
     "q_src_partitioned" -> qSrcPartitioned,
   )
@@ -96,6 +113,11 @@ object Sources {
       """SELECT c_mktsegment, count(*) AS n_custs,
         | CAST(sum(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS sum_bal
         |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    "q_src_orc" ->
+      """SELECT p_brand, count(*) AS n_parts,
+        | CAST(sum(CAST(p_retailprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+        |FROM part WHERE p_size >= 10
+        |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
     "q_src_partitioned" ->
       """SELECT o_orderpriority, count(*) AS n_orders,
         | CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
