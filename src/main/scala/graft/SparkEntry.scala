@@ -33,6 +33,7 @@ object SparkEntry {
     (Stats.queries, Stats.oracleSql),
     (TimeSeries.queries, TimeSeries.oracleSql),
     (Sketches.queries, Sketches.oracleSql),
+    (Pipelines.queries, Pipelines.oracleSql),
   )
 
   /** One entry per implemented operator from SURVEY.md §2. */

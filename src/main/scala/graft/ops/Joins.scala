@@ -101,6 +101,33 @@ object Joins {
       .orderBy($"o_orderpriority")
   }
 
+  /** Pure range join (NO equi key) made shuffle-joinable by time-bucket
+    * blocking: for each error event, count other error events within ±5
+    * minutes. A naive formulation is a cartesian with a range residual —
+    * O(n²) and the classic 100 TB killer. Blocking: bucket = floor(µs /
+    * 5min); the probe side explodes each row into its bucket and both
+    * neighbors {b-1, b, b+1}, so every qualifying pair shares an EQUALITY
+    * key with the build side (|Δt| ≤ bucket width ⇒ buckets differ by ≤1)
+    * and the join is a plain hash join on bucket — work scales with
+    * Σ(bucket size²), not n². Same trick the dedup family uses for band
+    * keys; at 100 TB bucket width trades candidate count vs key skew. */
+  val qJoinRangeBlocked: Q = (s, dir) => {
+    import s.implicits._
+    val err = events(s, dir).filter($"event_type" === "error")
+      .select($"event_id", unix_micros($"ts").as("us"))
+    val width = 300L * 1000 * 1000 // 5 min in µs
+    val probe = err.select($"event_id", $"us",
+        explode(array((-1 to 1).map(d => ($"us" / width).cast("long") + d): _*))
+          .as("bkey"))
+    val build = err.select($"event_id".as("b_id"), $"us".as("b_us"),
+      ($"us" / width).cast("long").as("bkey"))
+    probe.join(build, probe("bkey") === build("bkey") &&
+        abs($"us" - $"b_us") <= width && $"event_id" =!= $"b_id")
+      .groupBy($"event_id")
+      .agg(count(lit(1)).as("n_nearby"), max(abs($"us" - $"b_us")).as("max_dt_us"))
+      .orderBy($"event_id")
+  }
+
   /** Cross join of two tiny dims (BroadcastNestedLoopJoin). */
   val qJoinCrossagg: Q = (s, dir) => {
     import s.implicits._
@@ -114,6 +141,7 @@ object Joins {
 
   val queries: Map[String, Q] = Map(
     "q_join_inner" -> qJoinInner,
+    "q_join_range_blocked" -> qJoinRangeBlocked,
     "q_join_broadcast" -> qJoinBroadcast,
     "q_join_smj" -> qJoinSmj,
     "q_join_outer" -> qJoinOuter,
@@ -165,5 +193,14 @@ object Joins {
     "q_join_crossagg" ->
       """SELECT r_name, n_name, CAST(r_regionkey + n_nationkey AS BIGINT) AS keysum
         |FROM region CROSS JOIN nation ORDER BY r_name, n_name""".stripMargin,
+    "q_join_range_blocked" ->
+      """WITH e AS (SELECT event_id, epoch_us(ts::TIMESTAMP) AS us
+        |  FROM events WHERE event_type = 'error')
+        |SELECT a.event_id, count(*) AS n_nearby,
+        | max(abs(a.us - b.us)) AS max_dt_us
+        |FROM e a JOIN e b
+        | ON b.us BETWEEN a.us - 300000000 AND a.us + 300000000
+        | AND a.event_id <> b.event_id
+        |GROUP BY a.event_id ORDER BY a.event_id""".stripMargin,
   )
 }

@@ -114,7 +114,28 @@ object StreamOps {
       .orderBy($"user_id", $"event_type")
   }
 
+  /** Stream-stream join batch analog: each purchase joined to the same
+    * user's clicks in the preceding 30 minutes (inclusive), aggregated to
+    * clicks-per-purchase. The readStream form (StreamingOps.purchaseClicks,
+    * proven in StreamingParitySpec) watermarks BOTH sides so the time-range
+    * condition bounds the join state store. Scale: an equi-join on user_id
+    * with a range post-filter — one shuffle, never a range cross product. */
+  val qStreamJoin: Q = (s, dir) => {
+    import s.implicits._
+    val ev = events(s, dir)
+    val clicks = ev.filter($"event_type" === "click")
+      .select($"user_id".as("c_user"), $"ts".as("c_ts"), $"event_id".as("c_id"))
+    val purch = ev.filter($"event_type" === "purchase")
+      .select($"user_id", $"ts".as("p_ts"), $"event_id".as("p_id"))
+    purch.join(clicks, $"user_id" === $"c_user" &&
+        $"c_ts" <= $"p_ts" && $"c_ts" >= $"p_ts" - expr("INTERVAL 30 MINUTES"))
+      .groupBy($"user_id", $"p_id")
+      .agg(count(lit(1)).as("n_clicks"), max($"c_id").as("last_click"))
+      .orderBy($"p_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_stream_join" -> qStreamJoin,
     "q_stream_tumbling" -> qStreamTumbling,
     "q_stream_sliding" -> qStreamSliding,
     "q_stream_session" -> qStreamSession,
@@ -124,6 +145,14 @@ object StreamOps {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q_stream_join" ->
+      """WITH e AS (SELECT user_id, event_id, event_type, ts::TIMESTAMP AS ts FROM events),
+        |c AS (SELECT user_id AS c_user, ts AS c_ts, event_id AS c_id FROM e WHERE event_type = 'click'),
+        |p AS (SELECT user_id, ts AS p_ts, event_id AS p_id FROM e WHERE event_type = 'purchase')
+        |SELECT user_id, p_id, count(*) AS n_clicks, max(c_id) AS last_click
+        |FROM p JOIN c ON user_id = c_user AND c_ts <= p_ts
+        | AND c_ts >= p_ts - INTERVAL 30 MINUTE
+        |GROUP BY user_id, p_id ORDER BY p_id""".stripMargin,
     "q_stream_tumbling" ->
       """SELECT date_trunc('hour', ts::TIMESTAMP) AS w_start, event_type,
         | count(*) AS n,

@@ -56,4 +56,23 @@ object StreamingOps {
   def dedup(events: DataFrame): DataFrame =
     events.withWatermark("ts", "1 hour")
       .dropDuplicatesWithinWatermark("event_id")
+
+  /** Stream-stream inner self-join: purchases ⋈ same-user clicks in the
+    * preceding 30 minutes. Watermarks on BOTH sides plus the time-range
+    * join condition let Spark expire click state older than the watermark
+    * + range — state is bounded by (horizon × active users), not stream
+    * length. Returns the raw matched pairs; the batch analog aggregates
+    * them (graft.ops.StreamOps.qStreamJoin). */
+  def purchaseClicks(events: DataFrame): DataFrame = {
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
+        col("event_id").as("c_id"))
+      .withWatermark("c_ts", "10 minutes")
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts").as("p_ts"), col("event_id").as("p_id"))
+      .withWatermark("p_ts", "10 minutes")
+    purchases.join(clicks,
+      expr("user_id = c_user AND c_ts <= p_ts AND c_ts >= p_ts - INTERVAL 30 MINUTES"))
+      .select(col("user_id"), col("p_id"), col("c_id"))
+  }
 }

@@ -75,6 +75,22 @@ class StreamingParitySpec extends SparkSuite {
     assert(streamed.count() == n)
   }
 
+  test("stream-stream purchase/click join: stream == batch pairs") {
+    import spark.implicits._
+    val streamed = runToBatch(
+      graft.streaming.StreamingOps.purchaseClicks(eventStream),
+      "t_ssjoin", mode = "append")
+    val ev = graft.ops.Util.events(spark, sfDir)
+    val clicks = ev.filter($"event_type" === "click")
+      .select($"user_id".as("c_user"), $"ts".as("c_ts"), $"event_id".as("c_id"))
+    val purch = ev.filter($"event_type" === "purchase")
+      .select($"user_id", $"ts".as("p_ts"), $"event_id".as("p_id"))
+    val batch = purch.join(clicks, $"user_id" === $"c_user" &&
+        $"c_ts" <= $"p_ts" && $"c_ts" >= $"p_ts" - expr("INTERVAL 30 MINUTES"))
+      .select($"user_id", $"p_id", $"c_id")
+    assertSetEqual(streamed, batch, "stream-stream join")
+  }
+
   test("watermark drops a late row (two micro-batches through a file source)") {
     import java.nio.file.Files
     val dir = Files.createTempDirectory("graft_late").toFile
