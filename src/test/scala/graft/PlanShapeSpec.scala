@@ -80,6 +80,16 @@ class PlanShapeSpec extends SparkSuite {
     }
   }
 
+  test("blocked range join plans as a hash join on the bucket key") {
+    // the whole point of the time-bucket blocking: the range condition must
+    // ride an EQUALITY join (hash or SMJ), never a nested-loop
+    val p = plan("q_join_range_blocked")
+    assert(!p.contains("NestedLoop") && !p.contains("CartesianProduct"),
+      s"range join fell back to a nested loop:\n$p")
+    assert(p.contains("HashJoin") || p.contains("SortMergeJoin"),
+      s"expected an equi join on the bucket key:\n$p")
+  }
+
   test("AQE splits a skewed fact-fact sort-merge join (skew=true)") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
