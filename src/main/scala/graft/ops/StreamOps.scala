@@ -134,8 +134,25 @@ object StreamOps {
       .orderBy($"p_id")
   }
 
+  /** Stream-static enrichment join batch analog: each event enriched with
+    * the (static, broadcast) customer dimension, aggregated per (segment,
+    * event type). In streaming this is the canonical dimension-join shape:
+    * the static side is broadcast once per micro-batch, needs no watermark,
+    * and adds no join state (StreamingOps.enrich runs the readStream form,
+    * proven in StreamingParitySpec). */
+  val qStreamEnrich: Q = (s, dir) => {
+    import s.implicits._
+    events(s, dir)
+      .join(broadcast(table(s, dir, "customer")
+        .select($"c_custkey", $"c_mktsegment")), $"user_id" === $"c_custkey")
+      .groupBy($"c_mktsegment", $"event_type")
+      .agg(count(lit(1)).as("n"), dsum($"value").as("sum_value"))
+      .orderBy($"c_mktsegment", $"event_type")
+  }
+
   val queries: Map[String, Q] = Map(
     "q_stream_join" -> qStreamJoin,
+    "q_stream_enrich" -> qStreamEnrich,
     "q_stream_tumbling" -> qStreamTumbling,
     "q_stream_sliding" -> qStreamSliding,
     "q_stream_session" -> qStreamSession,
@@ -145,6 +162,11 @@ object StreamOps {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q_stream_enrich" ->
+      """SELECT c_mktsegment, event_type, count(*) AS n,
+        | CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+        |FROM events JOIN customer ON user_id = c_custkey
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q_stream_join" ->
       """WITH e AS (SELECT user_id, event_id, event_type, ts::TIMESTAMP AS ts FROM events),
         |c AS (SELECT user_id AS c_user, ts AS c_ts, event_id AS c_id FROM e WHERE event_type = 'click'),

@@ -63,6 +63,15 @@ object StreamingOps {
     * + range — state is bounded by (horizon × active users), not stream
     * length. Returns the raw matched pairs; the batch analog aggregates
     * them (graft.ops.StreamOps.qStreamJoin). */
+  /** Stream-static enrichment: the event stream joined to a STATIC
+    * (batch) dimension DataFrame — broadcast per micro-batch, no
+    * watermark, no join state. The canonical streaming dimension join. */
+  def enrich(events: DataFrame, dim: DataFrame): DataFrame =
+    events.withWatermark("ts", "10 minutes")
+      .join(broadcast(dim), col("user_id") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+
   def purchaseClicks(events: DataFrame): DataFrame = {
     val clicks = events.filter(col("event_type") === "click")
       .select(col("user_id").as("c_user"), col("ts").as("c_ts"),

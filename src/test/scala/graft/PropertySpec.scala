@@ -108,6 +108,40 @@ class PropertySpec extends SparkSuite {
     }
   }
 
+  test("DotProduct expression is bit-identical to the HOF aggregate(zip_with) form") {
+    import spark.implicits._
+    // the codegen expression replaced the HOF in every embedding query on
+    // the promise of IDENTICAL semantics (left-to-right summation, null on
+    // length mismatch) — check it on arbitrary vectors, including values
+    // where summation order matters in floating point
+    val vecGen = for {
+      n <- Gen.choose(1, 64)
+      xs <- Gen.listOfN(n, Gen.choose(-1e6, 1e6))
+      ys <- Gen.listOfN(n, Gen.choose(-1e6, 1e6))
+    } yield (xs, ys)
+    forAll(vecGen) { case (xs, ys) =>
+      val df = Seq((xs, ys)).toDF("a", "b")
+      val hof = df.select(
+        aggregate(zip_with($"a", $"b", (x, y) => x * y),
+          lit(0.0), (acc, v) => acc + v)).head.getDouble(0)
+      val native = df.select(org.apache.spark.sql.graft.GraftSql.column(
+        graft.functions.DotProduct(
+          org.apache.spark.sql.graft.GraftSql.expression($"a"),
+          org.apache.spark.sql.graft.GraftSql.expression($"b"))))
+        .head.getDouble(0)
+      assert(java.lang.Double.doubleToLongBits(hof) ==
+        java.lang.Double.doubleToLongBits(native),
+        s"dot mismatch: hof=$hof native=$native for $xs · $ys")
+    }
+    // length mismatch -> null, exactly like zip_with's null padding
+    val r = Seq((Seq(1.0, 2.0), Seq(1.0))).toDF("a", "b")
+      .select(org.apache.spark.sql.graft.GraftSql.column(
+        graft.functions.DotProduct(
+          org.apache.spark.sql.graft.GraftSql.expression($"a"),
+          org.apache.spark.sql.graft.GraftSql.expression($"b")))).head
+    assert(r.isNullAt(0), "length mismatch must yield null")
+  }
+
   test("session count is invariant under per-event jitter smaller than gap slack") {
     import spark.implicits._
     // events at least 100s apart within sessions, gaps >= 2000s between

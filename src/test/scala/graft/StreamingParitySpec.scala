@@ -75,6 +75,17 @@ class StreamingParitySpec extends SparkSuite {
     assert(streamed.count() == n)
   }
 
+  test("stream-static enrichment join: stream == batch") {
+    import spark.implicits._
+    val dim = spark.read.parquet(s"$sfDir/customer.parquet")
+      .select($"c_custkey", $"c_mktsegment")
+    val streamed = runToBatch(
+      graft.streaming.StreamingOps.enrich(eventStream, dim), "t_enrich")
+    val batch = graft.streaming.StreamingOps.enrich(
+      graft.ops.Util.events(spark, sfDir), dim)
+    assertSetEqual(streamed, batch, "stream-static enrich")
+  }
+
   test("stream-stream purchase/click join: stream == batch pairs") {
     import spark.implicits._
     val streamed = runToBatch(
