@@ -39,8 +39,66 @@ object Pipelines {
       .orderBy($"source")
   }
 
+  /** Deterministic ~12.5% Bernoulli sample by content hash: the selector
+    * is a pure function of the KEY (last md5 hex nibble ∈ {0,1}), so the
+    * sample is reproducible across engines, partitionings, and reruns —
+    * unlike rand()/TABLESAMPLE, whose output depends on the seed AND the
+    * physical row order. At 100 TB this is the only sampling shape whose
+    * result a downstream job can re-derive and join against. */
+  val qSampleHash: Q = (s, dir) => {
+    import s.implicits._
+    table(s, dir, "orders")
+      .filter(substring(md5($"o_orderkey".cast("string")), 32, 1)
+        .isin("0", "1"))
+      .select($"o_orderkey", $"o_custkey", $"o_totalprice")
+      .orderBy($"o_orderkey")
+  }
+
+  /** Stratified deterministic sample: exactly (up to) 20 orders per
+    * priority, chosen by md5 hash order — per-stratum quotas without a
+    * global sort: one shuffle on the stratum key, rank within stratum. */
+  val qSampleStratified: Q = (s, dir) => {
+    import s.implicits._
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"o_orderpriority")
+      .orderBy(md5($"o_orderkey".cast("string")), $"o_orderkey")
+    table(s, dir, "orders")
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" <= 20)
+      .select($"o_orderpriority", $"o_orderkey", $"o_totalprice", $"rn")
+      .orderBy($"o_orderpriority", $"rn")
+  }
+
+  /** One-pass column profiler (the data-quality primitive): null counts,
+    * distinct counts, numeric min/max for every profiled column computed
+    * in a SINGLE aggregate over one scan, then unpivoted to one row per
+    * column with stack() — at 100 TB the difference between one pass and
+    * one pass per column. */
+  val qProfile: Q = (s, dir) => {
+    import s.implicits._
+    table(s, dir, "customer")
+      .agg(
+        count(lit(1)).as("n_rows"),
+        count($"c_custkey").as("nn_key"), countDistinct($"c_custkey").as("nd_key"),
+        min($"c_custkey").cast("double").as("min_key"),
+        max($"c_custkey").cast("double").as("max_key"),
+        count($"c_acctbal").as("nn_bal"), countDistinct($"c_acctbal").as("nd_bal"),
+        min(dec($"c_acctbal")).cast("double").as("min_bal"),
+        max(dec($"c_acctbal")).cast("double").as("max_bal"),
+        count($"c_mktsegment").as("nn_seg"), countDistinct($"c_mktsegment").as("nd_seg"))
+      .selectExpr("n_rows", """stack(3,
+          'c_custkey',    nn_key, nd_key, min_key, max_key,
+          'c_acctbal',    nn_bal, nd_bal, min_bal, max_bal,
+          'c_mktsegment', nn_seg, nd_seg, CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE)
+        ) AS (col_name, n_nonnull, n_distinct, vmin, vmax)""")
+      .orderBy($"col_name")
+  }
+
   val queries: Map[String, Q] = Map(
     "q_pipeline_clean" -> qPipelineClean,
+    "q_sample_hash" -> qSampleHash,
+    "q_sample_stratified" -> qSampleStratified,
+    "q_profile" -> qProfile,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -61,5 +119,33 @@ object Pipelines {
         | CAST(sum(n_toks) AS BIGINT) AS sum_toks
         |FROM qq JOIN d ON qq.doc_id = d.keeper
         |GROUP BY source ORDER BY source""".stripMargin,
+    "q_sample_hash" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |WHERE substr(md5(CAST(o_orderkey AS VARCHAR)), 32, 1) IN ('0', '1')
+        |ORDER BY o_orderkey""".stripMargin,
+    "q_sample_stratified" ->
+      """SELECT o_orderpriority, o_orderkey, o_totalprice, rn FROM (
+        | SELECT o_orderpriority, o_orderkey, o_totalprice,
+        |  row_number() OVER (PARTITION BY o_orderpriority
+        |   ORDER BY md5(CAST(o_orderkey AS VARCHAR)), o_orderkey) AS rn
+        | FROM orders) WHERE rn <= 20
+        |ORDER BY o_orderpriority, rn""".stripMargin,
+    "q_profile" ->
+      """WITH a AS (SELECT count(*) AS n_rows,
+        |  count(c_custkey) AS nn_key, count(DISTINCT c_custkey) AS nd_key,
+        |  CAST(min(c_custkey) AS DOUBLE) AS min_key,
+        |  CAST(max(c_custkey) AS DOUBLE) AS max_key,
+        |  count(c_acctbal) AS nn_bal, count(DISTINCT c_acctbal) AS nd_bal,
+        |  CAST(min(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS min_bal,
+        |  CAST(max(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS max_bal,
+        |  count(c_mktsegment) AS nn_seg, count(DISTINCT c_mktsegment) AS nd_seg
+        | FROM customer)
+        |SELECT n_rows, col_name, n_nonnull, n_distinct, vmin, vmax FROM (
+        | SELECT n_rows, 'c_custkey' AS col_name, nn_key AS n_nonnull,
+        |   nd_key AS n_distinct, min_key AS vmin, max_key AS vmax FROM a
+        | UNION ALL SELECT n_rows, 'c_acctbal', nn_bal, nd_bal, min_bal, max_bal FROM a
+        | UNION ALL SELECT n_rows, 'c_mktsegment', nn_seg, nd_seg,
+        |   CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE) FROM a)
+        |ORDER BY col_name""".stripMargin,
   )
 }
