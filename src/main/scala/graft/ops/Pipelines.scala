@@ -94,11 +94,41 @@ object Pipelines {
       .orderBy($"col_name")
   }
 
+  /** MERGE INTO / upsert semantics as a batch plan: a deterministic
+    * changes set (updates for custkey%7=0, inserts keyed above the base
+    * range for custkey%13=0) applied to the customer base via ONE
+    * full-outer join on the key — matched rows take the change, unmatched
+    * base rows persist, unmatched changes insert. The engines-without-
+    * MERGE shape; at 100 TB it is a single co-partitioned shuffle join
+    * (and with both sides bucketed by key, no shuffle at all). */
+  val qEtlUpsert: Q = (s, dir) => {
+    import s.implicits._
+    val base = table(s, dir, "customer")
+      .select($"c_custkey", $"c_name", dec($"c_acctbal").as("bal"))
+    val changes = base.filter($"c_custkey" % 7 === 0)
+      .select($"c_custkey", $"c_name",
+        ($"bal" + 100).cast("decimal(18,4)").as("bal"))
+      .unionAll(base.filter($"c_custkey" % 13 === 0)
+        .select(($"c_custkey" + 1000000).as("c_custkey"),
+          concat(lit("NEW "), $"c_name").as("c_name"), $"bal"))
+    base.as("b").join(changes.as("c"),
+        col("b.c_custkey") === col("c.c_custkey"), "full_outer")
+      .select(
+        coalesce(col("c.c_custkey"), col("b.c_custkey")).as("c_custkey"),
+        coalesce(col("c.c_name"), col("b.c_name")).as("c_name"),
+        coalesce(col("c.bal"), col("b.bal")).cast("double").as("bal"),
+        when(col("b.c_custkey").isNull, "insert")
+          .when(col("c.c_custkey").isNull, "keep")
+          .otherwise("update").as("action"))
+      .orderBy($"c_custkey")
+  }
+
   val queries: Map[String, Q] = Map(
     "q_pipeline_clean" -> qPipelineClean,
     "q_sample_hash" -> qSampleHash,
     "q_sample_stratified" -> qSampleStratified,
     "q_profile" -> qProfile,
+    "q_etl_upsert" -> qEtlUpsert,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -147,5 +177,22 @@ object Pipelines {
         | UNION ALL SELECT n_rows, 'c_mktsegment', nn_seg, nd_seg,
         |   CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE) FROM a)
         |ORDER BY col_name""".stripMargin,
+    "q_etl_upsert" ->
+      """WITH base AS (SELECT c_custkey, c_name,
+        |   CAST(c_acctbal AS DECIMAL(18,4)) AS bal FROM customer),
+        |changes AS (
+        | SELECT c_custkey, c_name, CAST(bal + 100 AS DECIMAL(18,4)) AS bal
+        |  FROM base WHERE c_custkey % 7 = 0
+        | UNION ALL
+        | SELECT c_custkey + 1000000, 'NEW ' || c_name, bal
+        |  FROM base WHERE c_custkey % 13 = 0)
+        |SELECT coalesce(c.c_custkey, b.c_custkey) AS c_custkey,
+        | coalesce(c.c_name, b.c_name) AS c_name,
+        | CAST(coalesce(c.bal, b.bal) AS DOUBLE) AS bal,
+        | CASE WHEN b.c_custkey IS NULL THEN 'insert'
+        |      WHEN c.c_custkey IS NULL THEN 'keep'
+        |      ELSE 'update' END AS action
+        |FROM base b FULL JOIN changes c ON b.c_custkey = c.c_custkey
+        |ORDER BY c_custkey""".stripMargin,
   )
 }
