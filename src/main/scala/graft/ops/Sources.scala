@@ -83,6 +83,21 @@ object Sources {
       .orderBy($"o_orderpriority")
   }
 
+  /** Custom DataSource V2 connector (graft.sources.SynthSource): range
+    * filter pushed INTO the connector (it narrows the generated interval;
+    * Spark drops its post-scan filter because the pushdown is claimed
+    * fully) and column pruning at the reader. Aggregates are exact:
+    * val is integer-valued, so double summation is order-independent. */
+  val qSrcDsv2: Q = (s, dir) => {
+    import s.implicits._
+    s.read.format("graft.sources.SynthSource")
+      .option("rows", "100000").option("slices", "8").load()
+      .filter($"id" >= 1000 && $"id" < 60000)
+      .groupBy($"bucket")
+      .agg(count(lit(1)).as("n"), sum($"val").as("sum_val"))
+      .orderBy($"bucket")
+  }
+
   /** The custom ShingleGenerator planned as a real Generator: top-10 word
     * 3-gram shingles by frequency. */
   val qUdtfGen: Q = (s, dir) => {
@@ -100,6 +115,7 @@ object Sources {
     "q_src_csv" -> qSrcCsv,
     "q_src_json" -> qSrcJson,
     "q_src_orc" -> qSrcOrc,
+    "q_src_dsv2" -> qSrcDsv2,
     "q_udtf_gen" -> qUdtfGen,
     "q_src_partitioned" -> qSrcPartitioned,
   )
@@ -113,6 +129,11 @@ object Sources {
       """SELECT c_mktsegment, count(*) AS n_custs,
         | CAST(sum(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS sum_bal
         |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    "q_src_dsv2" ->
+      """SELECT CAST(id % 50 AS INT) AS bucket, count(*) AS n,
+        | sum(CAST(id * 37 % 1000 AS DOUBLE)) AS sum_val
+        |FROM (SELECT unnest(generate_series(1000, 59999)) AS id)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_src_orc" ->
       """SELECT p_brand, count(*) AS n_parts,
         | CAST(sum(CAST(p_retailprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price

@@ -80,6 +80,19 @@ class PlanShapeSpec extends SparkSuite {
     }
   }
 
+  test("DSv2 connector receives the pushed range filter and pruned columns") {
+    val df = SparkEntry.queries("q_src_dsv2")(spark, sfDir)
+    val p = df.queryExecution.executedPlan.toString
+    // the connector narrows its generated interval from the pushed filters
+    // and reports it in Scan.description; id is pruned from the read schema
+    // because the filter was claimed fully
+    assert(p.contains("range=[1000,60000)"), s"filters not pushed into the source:\n$p")
+    assert(p.contains("cols=bucket,val"), s"columns not pruned at the connector:\n$p")
+    assert(!p.contains("Filter ("), s"Spark kept a post-scan filter despite full claim:\n$p")
+    // and the values are right: 59000 ids in [1000, 60000)
+    assert(df.agg(org.apache.spark.sql.functions.sum("n")).head.getLong(0) == 59000L)
+  }
+
   test("blocked range join plans as a hash join on the bucket key") {
     // the whole point of the time-bucket blocking: the range condition must
     // ride an EQUALITY join (hash or SMJ), never a nested-loop
