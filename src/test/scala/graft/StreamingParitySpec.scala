@@ -140,6 +140,28 @@ class StreamingParitySpec extends SparkSuite {
     assert(!emitted.contains("2024-01-01 11:30:00"), s"late row was not dropped: $emitted")
   }
 
+  test("parquet file sink with checkpoint is exactly-once across a restart") {
+    import java.nio.file.Files
+    val out = Files.createTempDirectory("graft_sink").toString
+    val cp = Files.createTempDirectory("graft_cp").toString
+    def run(): Unit = {
+      val q = eventStream.select(col("event_id"), col("user_id"))
+        .writeStream.format("parquet")
+        .option("path", s"$out/data").option("checkpointLocation", cp)
+        .outputMode("append").start()
+      q.processAllAvailable(); q.stop()
+    }
+    run()
+    val n = graft.ops.Util.events(spark, sfDir).count()
+    assert(spark.read.parquet(s"$out/data").count() == n,
+      "file sink missed or duplicated rows")
+    // restart against the SAME checkpoint: the committed batch must not
+    // replay — this is the exactly-once contract of the file sink
+    run()
+    assert(spark.read.parquet(s"$out/data").count() == n,
+      "restart with checkpoint replayed rows (exactly-once violated)")
+  }
+
   test("flatMapGroupsWithState on the stream sessionizes like batch gaps-and-islands") {
     import spark.implicits._
     // Real streaming stateful op: per-user sessionization via
