@@ -44,18 +44,28 @@ object Bench {
       .map(_.split(",").toSet)
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => filter.forall(_.contains(n)) }
-    // timings(i) = (name, Seq(run1, run2, ...)); run1 is the cold run
+    // timings(i) = (name, Seq(Option(sec)...)); run1 is the cold run.
+    // A run that throws records None — min-across-runs must never let a
+    // fast time-to-failure masquerade as an improvement.
     val timings = selected.map { case (name, fn) =>
       val ts = (1 to runs).map { _ =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        (System.nanoTime() - t0) / 1e9
+        val ok = try { fn(spark, sfDir).count(); true }
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] $name failed: ${e.getMessage}"); false }
+        val sec = (System.nanoTime() - t0) / 1e9
+        if (ok) Some(sec) else None
       }
       name -> ts
     }
-    val best = timings.map { case (n, ts) => n -> ts.min }
-    val cold = timings.map { case (n, ts) => n -> ts.head }
-    val total = best.map(_._2).sum
+    // best = min over SUCCESSFUL runs; -1 marks a query whose every run
+    // failed (visible in the output instead of silently fast)
+    val best = timings.map { case (n, ts) =>
+      n -> ts.flatten.minOption.getOrElse(-1.0) }
+    val cold = timings.map { case (n, ts) => n -> ts.head.getOrElse(-1.0) }
+    val failed = timings.collect { case (n, ts) if ts.exists(_.isEmpty) =>
+      n -> ts.count(_.isEmpty) }
+    val total = best.map(_._2).filter(_ >= 0).sum
     // numeric scale factor from the dir name (".../sf0.1" -> 0.1)
     val sf = "sf([0-9.]+)".r.findFirstMatchIn(sfDir)
       .map(_.group(1).stripSuffix(".")).getOrElse("0")
@@ -63,7 +73,9 @@ object Bench {
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","sf":$sf}"""
     println(totalLine)
     println(s"""{"metric":"per_query","queries":${jsonMap(best)},"sf":$sf}""")
-    println(s"""{"metric":"per_query_cold","queries":${jsonMap(cold)},"cold_total":${fmt(cold.map(_._2).sum)},"sf":$sf}""")
+    println(s"""{"metric":"per_query_cold","queries":${jsonMap(cold)},"cold_total":${fmt(cold.map(_._2).filter(_ >= 0).sum)},"sf":$sf}""")
+    if (failed.nonEmpty)
+      println(s"""{"metric":"failed_runs","queries":${failed.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")},"sf":$sf}""")
     println(totalLine)
     spark.stop()
   }

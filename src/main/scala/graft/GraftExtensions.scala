@@ -38,8 +38,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     fn("norm_diff", classOf[NormDiff], es => NormDiff(es(0), es(1)))
     fn("norm_diff_cg", classOf[NormDiffCodegen],
       es => NormDiffCodegen(es(0), es(1)))
-    fn("shingles", classOf[ShingleGenerator], es => ShingleGenerator(es(0),
-      es(1).eval(null) match { case n: Number => n.intValue }))
+    fn("shingles", classOf[ShingleGenerator], es => {
+      require(es.length == 2,
+        s"shingles(text, n) takes exactly 2 arguments, got ${es.length}")
+      require(es(1).foldable,
+        "shingles(text, n): n must be a literal (foldable) integer")
+      ShingleGenerator(es(0), es(1).eval(null) match {
+        case n: Number => n.intValue
+        case other => throw new IllegalArgumentException(
+          s"shingles(text, n): n must be an integer literal, got $other")
+      })
+    })
     ext.injectPlannerStrategy(_ => AsOfJoinStrategy)
     ext.injectOptimizerRule(_ => RewritePowAsMultiply)
   }

@@ -37,17 +37,7 @@ object LlmOps {
         transform($"embedding", x => x.cast("double")).as("emb"))
   }
 
-  /** Dot product of two double-array columns (unit vectors: = cosine).
-    * Codegen'd Catalyst expression (graft.functions.DotProduct) — the HOF
-    * form `aggregate(zip_with(...))` it replaces ran every element through
-    * interpreted lambdas and was the inner loop of five embedding queries;
-    * semantics (left-to-right summation, null on length mismatch) are
-    * identical so the oracles are unchanged. */
-  private def dot(a: Column, b: Column): Column =
-    org.apache.spark.sql.graft.GraftSql.column(
-      graft.functions.DotProduct(
-        org.apache.spark.sql.graft.GraftSql.expression(a),
-        org.apache.spark.sql.graft.GraftSql.expression(b)))
+  // dot(a, b) comes from Util — the codegen'd DotProduct expression.
 
   // ---------------------------------------------------------------- dedup
 

@@ -15,14 +15,7 @@ object LlmOpsExt {
 
   private def toks(c: Column): Column = split(c, " ")
 
-  /** Dot product of two double-array columns — codegen'd DotProduct
-    * expression, same semantics as the HOF form it replaces (see
-    * LlmOps.dot). */
-  private def dot(a: Column, b: Column): Column =
-    org.apache.spark.sql.graft.GraftSql.column(
-      graft.functions.DotProduct(
-        org.apache.spark.sql.graft.GraftSql.expression(a),
-        org.apache.spark.sql.graft.GraftSql.expression(b)))
+  // dot(a, b) comes from Util — the codegen'd DotProduct expression.
 
   private def emb(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._

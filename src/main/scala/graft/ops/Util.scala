@@ -35,19 +35,33 @@ object Util {
   /** UTC timestamp literal (fixtures store dates as timestamps). */
   def ts(s: String): Column = lit(s).cast("timestamp")
 
+  /** Dot product of two double-array columns (unit vectors: = cosine) as
+    * the codegen'd Catalyst expression graft.functions.DotProduct — one
+    * tight Java loop inside whole-stage codegen. Semantics are identical
+    * to the HOF form `aggregate(zip_with(a,b,_*_), 0.0, _+_)` it replaced
+    * (left-to-right summation, null on length mismatch; bit-parity
+    * asserted in PropertySpec), so the DuckDB oracles are unchanged. */
+  def dot(a: Column, b: Column): Column =
+    org.apache.spark.sql.graft.GraftSql.column(
+      graft.functions.DotProduct(
+        org.apache.spark.sql.graft.GraftSql.expression(a),
+        org.apache.spark.sql.graft.GraftSql.expression(b)))
+
   /** events.parquet stores ts as TIMESTAMP(NANOS), which Spark 4 refuses to
     * read as a timestamp (PARQUET_TYPE_ILLEGAL). Read nanos as long
     * (legacy.parquet.nanosAsLong) and truncate to µs with integer division
     * (`div` — a double division would lose precision above 2^53 ns). DuckDB
     * oracles must cast `ts::TIMESTAMP` to truncate ns→µs identically.
     *
-    * The nanosAsLong conf is set ONCE at session build time by the three
-    * mains (Verify/Bench/SparkEntry) and the test SparkSuite — a per-query
-    * `spark.conf.set` here would be a global side effect racing under
-    * concurrent sessions sharing a SparkContext. */
+    * The nanosAsLong conf is set at session build time by the Verify/Bench
+    * mains and the test SparkSuite, so the hot path never mutates session
+    * config. For a caller-owned session (queries are a registry usable
+    * from any session) the conf is runtime-settable; setting the constant
+    * "true" is idempotent, so the fallback below cannot race to different
+    * values under concurrent sessions. */
   def events(spark: SparkSession, dir: String): DataFrame = {
-    require(spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") == "true",
-      "session must be built with spark.sql.legacy.parquet.nanosAsLong=true")
+    if (spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true")
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     table(spark, dir, "events")
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }

@@ -68,9 +68,13 @@ class SynthScanBuilder(rows: Long, slices: Int) extends ScanBuilder
     }
     accepted.foreach {
       case GreaterThanOrEqual("id", v: Long) => lo = math.max(lo, v)
-      case GreaterThan("id", v: Long) => lo = math.max(lo, v + 1)
+      case GreaterThan("id", v: Long) =>
+        // v+1 overflows at Long.MaxValue: id > MaxValue matches nothing
+        if (v == Long.MaxValue) lo = hi else lo = math.max(lo, v + 1)
       case LessThan("id", v: Long) => hi = math.min(hi, v)
-      case LessThanOrEqual("id", v: Long) => hi = math.min(hi, v + 1)
+      case LessThanOrEqual("id", v: Long) =>
+        // id <= MaxValue matches everything: leave hi unchanged
+        if (v != Long.MaxValue) hi = math.min(hi, v + 1)
       case _ =>
     }
     pushed = accepted
@@ -111,15 +115,21 @@ class SynthReaderFactory(required: StructType)
     val p = partition.asInstanceOf[SynthPartition]
     new PartitionReader[InternalRow] {
       private var cur = p.start - 1
-      // column generators resolved once per partition, not per row
+      // column generators resolved once per partition, and one reusable
+      // row filled in place — no per-row allocation in the inner loop
       private val gens: Array[Long => Any] = required.fields.map(_.name match {
         case "id" => (id: Long) => id
         case "bucket" => (id: Long) => SynthSource.bucketOf(id)
         case "val" => (id: Long) => SynthSource.valOf(id)
       })
+      private val row =
+        new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(gens.length)
       override def next(): Boolean = { cur += 1; cur < p.end }
-      override def get(): InternalRow =
-        InternalRow.fromSeq(gens.toIndexedSeq.map(g => g(cur)))
+      override def get(): InternalRow = {
+        var i = 0
+        while (i < gens.length) { row.update(i, gens(i)(cur)); i += 1 }
+        row
+      }
       override def close(): Unit = ()
     }
   }

@@ -57,12 +57,6 @@ object StreamingOps {
     events.withWatermark("ts", "1 hour")
       .dropDuplicatesWithinWatermark("event_id")
 
-  /** Stream-stream inner self-join: purchases ⋈ same-user clicks in the
-    * preceding 30 minutes. Watermarks on BOTH sides plus the time-range
-    * join condition let Spark expire click state older than the watermark
-    * + range — state is bounded by (horizon × active users), not stream
-    * length. Returns the raw matched pairs; the batch analog aggregates
-    * them (graft.ops.StreamOps.qStreamJoin). */
   /** Stream-static enrichment: the event stream joined to a STATIC
     * (batch) dimension DataFrame — broadcast per micro-batch, no
     * watermark, no join state. The canonical streaming dimension join. */
@@ -72,6 +66,12 @@ object StreamingOps {
       .groupBy(col("c_mktsegment"), col("event_type"))
       .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
 
+  /** Stream-stream inner self-join: purchases ⋈ same-user clicks in the
+    * preceding 30 minutes. Watermarks on BOTH sides plus the time-range
+    * join condition let Spark expire click state older than the watermark
+    * + range — state is bounded by (horizon × active users), not stream
+    * length. Returns the raw matched pairs; the batch analog aggregates
+    * them (graft.ops.StreamOps.qStreamJoin). */
   def purchaseClicks(events: DataFrame): DataFrame = {
     val clicks = events.filter(col("event_type") === "click")
       .select(col("user_id").as("c_user"), col("ts").as("c_ts"),

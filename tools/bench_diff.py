@@ -31,7 +31,14 @@ def load_queries(path):
             text = d["tail"]
     except ValueError:
         pass
-    return {k: float(v) for k, v in re.findall(r'"(q_[a-z0-9_]+)":([0-9.]+)', text)}
+    # keep the FIRST occurrence per query: Bench prints the per_query
+    # (min-across-runs) line before per_query_cold, and letting the cold
+    # values overwrite the best ones would diff plan+codegen-inclusive
+    # numbers against best-time baselines
+    out = {}
+    for k, v in re.findall(r'"(q_[a-z0-9_]+)":(-?[0-9.]+)', text):
+        out.setdefault(k, float(v))
+    return out
 
 
 def main():
