@@ -80,7 +80,12 @@ object LlmOps {
     val hex32 = md5($"sh")
     val lanes = (0 until 8).map(j =>
       min(substring(hex32, 4 * j + 1, 4)).as(s"m$j"))
-    val sig = sh.groupBy($"doc_id").agg(lanes.head, lanes.tail: _*)
+    // cache: the signature subtree feeds BOTH sides of the band self-join
+    // (alias attribute ids differ, so exchange reuse cannot dedupe it) —
+    // without this the explode+groupBy pipeline runs twice. At scale the
+    // signature table is 8 small strings per doc: kilobytes per million
+    // docs vs re-scanning the corpus.
+    val sig = sh.groupBy($"doc_id").agg(lanes.head, lanes.tail: _*).cache()
     val bandStructs = array((0 until 4).map(b =>
       struct(lit(b).as("band"),
         concat(col(s"m${2 * b}"), lit("|"), col(s"m${2 * b + 1}")).as("bkey"))): _*)
@@ -91,6 +96,8 @@ object LlmOps {
           $"x.doc_id" < $"y.doc_id")
       .select($"x.doc_id".as("doc_a"), $"y.doc_id".as("doc_b"))
       .distinct()
+      // consumed three times below (both candDocs legs + the final join)
+      .cache()
     // Exact Jaccard verify on candidates only: shingle ARRAYS are built
     // per-row just for docs that survived banding (semi-join first, like
     // q_dedup_ngram), ride along the two joins, and intersect per-row
