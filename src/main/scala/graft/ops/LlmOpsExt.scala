@@ -89,6 +89,7 @@ object LlmOpsExt {
     val cands = block.as("x").join(block.as("y"),
         $"x.bk" === $"y.bk" && $"x.doc_id" < $"y.doc_id")
       .select($"x.doc_id".as("doc_a"), $"y.doc_id".as("doc_b"))
+      .cache() // consumed by both candDocs legs and the intersection join
     // grams are only needed for docs that survived blocking (~10% of the
     // table) — semi-join before the expensive character-gram explosion
     val candDocs = cands.select($"doc_a".as("doc_id"))
@@ -98,6 +99,10 @@ object LlmOpsExt {
         explode(transform(sequence(lit(1), greatest(length($"text") - 4, lit(1))),
           i => $"text".substr(i, lit(5)))).as("g"))
       .distinct()
+      // the char-gram explosion is the expensive stage and feeds BOTH
+      // sides of the intersection join plus the per-doc size counts —
+      // uncached it would run four times
+      .cache()
     val sizes = grams.groupBy($"doc_id").agg(count(lit(1)).as("n"))
     val inter = cands
       .join(grams.as("ga"), $"doc_a" === $"ga.doc_id")
