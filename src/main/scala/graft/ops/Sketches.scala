@@ -29,6 +29,7 @@ object Sketches {
     val perGroup = table(s, dir, "lineitem")
       .groupBy($"l_returnflag")
       .agg(expr("hll_sketch_agg(l_partkey, 14)").as("sk"))
+      .cache() // feeds both the per-group rows and the union rollup
     perGroup.select($"l_returnflag",
         expr("hll_sketch_estimate(sk)").cast("long").as("hll_parts"))
       .unionAll(
@@ -64,10 +65,14 @@ object Sketches {
       .withColumn("returned", ($"l_returnflag" === "R").cast("string"))
       .groupBy($"returned")
       .agg(expr("theta_sketch_agg(l_suppkey)").as("sk"))
+      .cache() // feeds both the per-flag rows and the intersection row
     perFlag.select($"returned",
         expr("theta_sketch_estimate(sk)").cast("long").as("theta_supps"))
       .unionAll(
-        perFlag.agg(
+        // coalesce(1): a partial theta-intersection over an EMPTY partition
+        // cannot serialize (empty intersection = the infinite set); the
+        // input is two rows, so single-partition aggregation is free
+        perFlag.coalesce(1).agg(
             expr("theta_sketch_estimate(theta_intersection_agg(sk))")
               .cast("long").as("theta_supps"))
           .select(lit("BOTH").as("returned"), $"theta_supps"))

@@ -93,6 +93,16 @@ class PlanShapeSpec extends SparkSuite {
     assert(df.agg(org.apache.spark.sql.functions.sum("n")).head.getLong(0) == 59000L)
   }
 
+  test("dedup self-joins reuse their cached signature subtrees") {
+    // the minhash/ngram caches are load-bearing (3.5s->1.4s, 1.1s->0.6s):
+    // a removed .cache() recomputes the expensive subtree per consumer
+    Seq("q_dedup_near", "q_dedup_ngram", "q_dedup_simhash").foreach { name =>
+      val p = plan(name)
+      assert(p.contains("InMemoryTableScan") || p.contains("InMemoryRelation"),
+        s"$name no longer caches its reused subtree:\n$p")
+    }
+  }
+
   test("blocked range join plans as a hash join on the bucket key") {
     // the whole point of the time-bucket blocking: the range condition must
     // ride an EQUALITY join (hash or SMJ), never a nested-loop
