@@ -49,6 +49,11 @@ object Bench {
     // fast time-to-failure masquerade as an improvement.
     val timings = selected.map { case (name, fn) =>
       val ts = (1 to runs).map { _ =>
+        // each run is a FRESH invocation: queries that cache their own
+        // reused subtrees (the dedup family) must rebuild them, so the
+        // reported min is what a new job pays, not a cross-run cache hit —
+        // and 118 queries' caches don't accumulate in the session
+        spark.catalog.clearCache()
         val t0 = System.nanoTime()
         val ok = try { fn(spark, sfDir).count(); true }
           catch { case e: Throwable =>

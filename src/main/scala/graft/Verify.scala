@@ -34,6 +34,7 @@ object Verify {
     SparkEntry.queries
       .filter { case (n, _) => filter.forall(_.contains(n)) }
       .foreach { case (name, fn) =>
+      spark.catalog.clearCache() // self-cached query subtrees must not accumulate
       try ntz(fn(spark, sfDir)).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
