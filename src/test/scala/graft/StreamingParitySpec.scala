@@ -162,6 +162,30 @@ class StreamingParitySpec extends SparkSuite {
       "restart with checkpoint replayed rows (exactly-once violated)")
   }
 
+  test("foreachBatch sink runs custom per-micro-batch logic with batch ids") {
+    import java.nio.file.Files
+    val out = Files.createTempDirectory("graft_feb").toString
+    val seenBatches = java.util.concurrent.ConcurrentHashMap.newKeySet[Long]()
+    val q = eventStream
+      .writeStream
+      .foreachBatch { (df: DataFrame, batchId: Long) =>
+        seenBatches.add(batchId)
+        // arbitrary per-batch logic: aggregate THIS micro-batch and append
+        df.groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+          .coalesce(1).write.mode("append").parquet(s"$out/agg")
+      }
+      .start()
+    q.processAllAvailable(); q.stop()
+    assert(!seenBatches.isEmpty, "foreachBatch never ran")
+    // per-batch partial counts re-aggregate to the batch totals
+    val streamed = spark.read.parquet(s"$out/agg")
+      .groupBy(col("event_type")).agg(sum(col("n")).as("n"))
+    val batch = graft.ops.Util.events(spark, sfDir)
+      .groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+    val diff = streamed.except(batch).count() + batch.except(streamed).count()
+    assert(diff == 0, "foreachBatch partial aggregates != batch totals")
+  }
+
   test("flatMapGroupsWithState on the stream sessionizes like batch gaps-and-islands") {
     import spark.implicits._
     // Real streaming stateful op: per-user sessionization via
