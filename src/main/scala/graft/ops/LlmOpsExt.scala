@@ -298,8 +298,36 @@ object LlmOpsExt {
       .orderBy($"doc_id")
   }
 
+  /** Corpus-level unigram language-model scoring: term probabilities from
+    * the WHOLE corpus (the model), broadcast back onto every token, per-doc
+    * mean negative log-likelihood. The training-data-filtering primitive a
+    * per-row heuristic (q_text_quality) can't express — and the canonical
+    * "small model built FROM the corpus, broadcast join back ONTO the
+    * corpus" shape: at 100 TB the model is vocab-sized (MBs) while the scan
+    * is petabytes, so the score pass is one broadcast hash join, no
+    * shuffle. Parity: log rounded to 8dp before aggregation (the tfidf
+    * convention) and decimal-summed so partial-aggregation order can't
+    * move the double result. */
+  val qTextUnigramLm: Q = (s, dir) => {
+    import s.implicits._
+    val tok = table(s, dir, "documents")
+      .select($"doc_id", explode(toks($"text")).as("t"))
+    val tf = tok.groupBy($"t").agg(count(lit(1)).as("c"))
+    val tot = tf.agg(sum($"c").as("n"))
+    val model = tf.crossJoin(broadcast(tot))
+      .select($"t",
+        round(-log($"c".cast("double") / $"n"), 8)
+          .cast("decimal(18,8)").as("nll"))
+    tok.join(broadcast(model), "t")
+      .groupBy($"doc_id")
+      .agg((sum($"nll").cast("double") / count(lit(1))).as("avg_nll"),
+        count(lit(1)).as("n_toks"))
+      .orderBy($"doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
     "q_dedup_simhash" -> qDedupSimhash,
+    "q_text_unigram_lm" -> qTextUnigramLm,
     "q_dedup_ngram" -> qDedupNgram,
     "q_dedup_embed" -> qDedupEmbed,
     "q_dedup_embed_lsh" -> qDedupEmbedLsh,
@@ -311,6 +339,17 @@ object LlmOpsExt {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q_text_unigram_lm" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text,' ')) AS t FROM documents),
+        |tf AS (SELECT t, count(*) AS c FROM tok GROUP BY t),
+        |tot AS (SELECT sum(c) AS n FROM tf),
+        |model AS (SELECT t,
+        |   CAST(round(-ln(CAST(c AS DOUBLE)/n), 8) AS DECIMAL(18,8)) AS nll
+        |  FROM tf CROSS JOIN tot)
+        |SELECT doc_id, CAST(sum(nll) AS DOUBLE)/count(*) AS avg_nll,
+        | count(*) AS n_toks
+        |FROM tok JOIN model USING (t)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q_dedup_simhash" -> {
       val hex = "'8','9','a','b','c','d','e','f'"
       val bitCols = (1 to 32).map(b =>
