@@ -11,6 +11,17 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked `run`/`runMain` output must land on RAW stdout: by default sbt
+// routes the forked process through its logger, prefixing every line with
+// "[info] " — which is why the driver's JSON tail parse of Bench's
+// `{"metric":"total",...}` line returned null for three straight rounds.
+// StdoutOutput makes the child inherit this process's stdout verbatim.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+// ...and suppress sbt's trailing "[success] Total time: ..." line so the
+// JSON total printed by Bench is the literal LAST stdout line (covers a
+// last-line-only tail parse as well as a scan).
+Global / showSuccess := false
+Global / excludeLintKeys ++= Set(run / outputStrategy, Global / showSuccess)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
