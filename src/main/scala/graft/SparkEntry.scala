@@ -8,6 +8,15 @@ import graft.ops._
   * Each ops module contributes a `queries` map (name → plan builder) and an
   * `oracleSql` map (name → DuckDB-1.0.0 SQL over the same parquet tables).
   * SURVEY.md §2 is the inventory the maps must cover.
+  *
+  * Caching contract for library callers: the dedup/sketch builders
+  * (`q_dedup_near`, `q_dedup_ngram`, `q_dedup_simhash`, sketch rollups)
+  * `.cache()` internally-reused subtrees. Each invocation builds fresh
+  * attribute ids, so repeated calls on a long-lived session accumulate
+  * dead InMemoryRelations rather than reusing them — callers that invoke
+  * a builder repeatedly must `spark.catalog.clearCache()` between
+  * invocations (as Bench and Verify do) or accept storage-memory growth
+  * until Spark's LRU eviction reclaims it.
   */
 object SparkEntry {
 

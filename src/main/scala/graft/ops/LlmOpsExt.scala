@@ -37,9 +37,14 @@ object LlmOpsExt {
     * conditional sums — the measured cost there was whole-stage-codegen
     * compilation of the 32-column aggregate, not data work. Lane math:
     * a 0/1 vote per hex position; bit b set ⇔ Σvotes·2 > n (identical to
-    * the ±1-sum sign). 16-bit lanes bound docs at 65,535 tokens; longer
-    * docs at 100 TB want 2 votes/long (32-bit lanes) — same shape, 16
-    * sums. The signature rides the band join as a bigint built by shifts,
+    * the ±1-sum sign). 16-bit lanes bound docs at ~32,767 tokens under
+    * Spark 4's default ANSI mode: the lane-3 votes carry weight 2^48, so
+    * the long SUM overflows (ANSI ArithmeticException) once n reaches
+    * 2^15 — not the 65,535 the lane width alone suggests (that range is
+    * only reachable with ANSI off, where the sign-bit wrap is benign
+    * because extraction masks each lane with 0xFFFF). Longer docs at
+    * 100 TB want 2 votes/long (32-bit lanes) — same shape, 16 sums. The
+    * signature rides the band join as a bigint built by shifts,
     * so Hamming distance is a native bit_count(XOR), filtered BEFORE the
     * pair distinct so only near-dups reach the shuffle. */
   val qDedupSimhash: Q = (s, dir) => {

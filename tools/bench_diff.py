@@ -31,13 +31,32 @@ def load_queries(path):
             text = d["tail"]
     except ValueError:
         pass
-    # keep the FIRST occurrence per query: Bench prints the per_query
-    # (min-across-runs) line before per_query_cold, and letting the cold
-    # values overwrite the best ones would diff plan+codegen-inclusive
-    # numbers against best-time baselines
+    # Preferred path: Bench prints one intact JSON line per metric — when
+    # the per_query (min-across-runs) line survived the capture, use it
+    # verbatim instead of regex-scraping, so a front-truncated tail can't
+    # hand us per_query_cold values or failed_runs counts by accident.
+    for line in text.splitlines():
+        line = line.strip()
+        if line.startswith("[info]"):  # pre-round-4 captures carry sbt prefixes
+            line = line[len("[info]"):].strip()
+        if not line.startswith("{"):
+            continue
+        try:
+            d = json.loads(line)
+        except ValueError:
+            continue
+        if d.get("metric") == "per_query" and isinstance(d.get("queries"), dict):
+            return {k: float(v) for k, v in d["queries"].items()}
+    # Fallback for truncated fragments: keep the FIRST occurrence per query
+    # (per_query precedes per_query_cold even when its front is cut), and
+    # skip failed_runs lines entirely — their values are failure COUNTS,
+    # not seconds, and must never be diffed against a time baseline.
     out = {}
-    for k, v in re.findall(r'"(q_[a-z0-9_]+)":(-?[0-9.]+)', text):
-        out.setdefault(k, float(v))
+    for line in text.splitlines():
+        if '"failed_runs"' in line:
+            continue
+        for k, v in re.findall(r'"(q_[a-z0-9_]+)":(-?[0-9.]+)', line):
+            out.setdefault(k, float(v))
     return out
 
 
@@ -55,15 +74,22 @@ def main():
     if not common:
         print("no common queries between the two files")
         sys.exit(2)
-    regressed, improved = [], []
+    regressed, improved, failed = [], [], []
     for q in common:
         b, c = base[q], cur[q]
         if b <= 0:
             continue
-        if c > b * factor and c - b > 1.0:
+        if c < 0:
+            # Bench records -1 for a query whose every run threw. A newly
+            # broken query is the worst regression there is — it must never
+            # satisfy the "improved" branch (b > c*factor holds for any c<0).
+            failed.append((q, b))
+        elif c > b * factor and c - b > 1.0:
             regressed.append((q, b, c))
         elif b > c * factor and b - c > 1.0:
             improved.append((q, b, c))
+    for q, b in failed:
+        print(f"FAILED    {q}: {b:.2f}s -> every current run failed")
     for q, b, c in sorted(improved, key=lambda t: t[1] - t[2], reverse=True):
         print(f"IMPROVED  {q}: {b:.2f}s -> {c:.2f}s ({b / c:.1f}x)")
     for q, b, c in sorted(regressed, key=lambda t: t[2] - t[1], reverse=True):
@@ -74,11 +100,12 @@ def main():
         print(f"new queries ({len(only_cur)}): {', '.join(only_cur[:10])}{'...' if len(only_cur) > 10 else ''}")
     if only_base:
         print(f"dropped/missing ({len(only_base)}): {', '.join(only_base[:10])}{'...' if len(only_base) > 10 else ''}")
-    tot_b = sum(base[q] for q in common)
-    tot_c = sum(cur[q] for q in common)
-    print(f"total over {len(common)} common queries: {tot_b:.1f}s -> {tot_c:.1f}s")
-    if regressed:
-        print(f"{len(regressed)} regression(s) beyond {factor}x")
+    timed = [q for q in common if base[q] > 0 and cur[q] >= 0]
+    tot_b = sum(base[q] for q in timed)
+    tot_c = sum(cur[q] for q in timed)
+    print(f"total over {len(timed)} common timed queries: {tot_b:.1f}s -> {tot_c:.1f}s")
+    if regressed or failed:
+        print(f"{len(regressed)} regression(s) beyond {factor}x, {len(failed)} failed")
         sys.exit(1)
     print("no regressions")
 
