@@ -43,6 +43,7 @@ object SparkEntry {
     (TimeSeries.queries, TimeSeries.oracleSql),
     (Sketches.queries, Sketches.oracleSql),
     (Pipelines.queries, Pipelines.oracleSql),
+    (Curation.queries, Curation.oracleSql),
   )
 
   /** One entry per implemented operator from SURVEY.md §2. */

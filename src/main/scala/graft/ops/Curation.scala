@@ -1,0 +1,193 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import Util._
+
+/** Corpus-curation operators a training-data pipeline runs AFTER pairwise
+  * dedup: duplicate-cluster resolution (connected components over the
+  * near-dup graph), benchmark-contamination scoring, PII redaction, and
+  * semantic clustering of the embedding space.
+  *
+  * Scale design: the connected-components loop is an iterative
+  * equi-join that only ever touches the near-dup EDGE list (kilobytes per
+  * million docs — never the corpus); contamination broadcasts the
+  * benchmark shingle set (eval suites are tiny by construction); PII
+  * redaction is a pure per-row projection; clustering is MLlib KMeans,
+  * whose per-iteration cost is one map-side partial aggregation of
+  * (cluster, sum, count) per partition.
+  */
+object Curation {
+
+  /** Duplicate-CLUSTER resolution: connected components over the MinHash
+    * near-dup pairs (q_dedup_near), via iterative min-label propagation to
+    * a fixpoint. Pairwise dedup alone under-deletes: A~B and B~C put A,C
+    * in one transitive cluster even when Jaccard(A,C) < 0.8, and a keeper
+    * must be chosen per CLUSTER, not per pair. Each round is one
+    * edge⋈label equi-join + min-aggregation; rounds = graph diameter
+    * (shared-prefix dup chains are shallow). At 100 TB diameter can grow,
+    * so production would switch to large-star/small-star (O(log n)
+    * rounds) — same join shape, different edge rewriting; the fixpoint
+    * (min doc_id per component) is identical and order-independent.
+    * localCheckpoint truncates the per-round lineage so the plan does not
+    * grow with iteration count. */
+  val qDedupConnected: Q = (s, dir) => {
+    import s.implicits._
+    val pairs = LlmOps.qDedupNear(s, dir).select($"doc_a", $"doc_b")
+    val und = pairs.select($"doc_a".as("a"), $"doc_b".as("b"))
+      .unionAll(pairs.select($"doc_b".as("a"), $"doc_a".as("b")))
+      .cache()
+    var labels = und.select($"a".as("node")).distinct()
+      .select($"node", $"node".as("comp"))
+    var changed = 1L
+    var rounds = 0
+    while (changed > 0) {
+      rounds += 1
+      require(rounds <= 64, s"connected components did not converge in $rounds rounds")
+      val nbr = und.join(labels.select($"node".as("b"), $"comp".as("bc")), "b")
+        .groupBy($"a").agg(min($"bc").as("nmin"))
+      val next = labels.join(nbr.select($"a".as("node"), $"nmin"), Seq("node"), "left")
+        .select($"node", least($"comp", coalesce($"nmin", $"comp")).as("comp"))
+        .localCheckpoint()
+      changed = next.join(labels.select($"node", $"comp".as("old")), "node")
+        .filter($"comp" < $"old").count()
+      labels = next
+    }
+    val sizes = labels.groupBy($"comp").agg(count(lit(1)).as("cluster_size"))
+    labels.join(sizes, "comp")
+      .select($"node".as("doc_id"), $"comp".as("cluster"), $"cluster_size",
+        ($"node" === $"comp").as("is_keeper"))
+      .orderBy($"doc_id")
+  }
+
+  /** Benchmark-contamination scoring: fraction of each corpus doc's
+    * distinct word-3-gram shingles that appear anywhere in the held-out
+    * benchmark set (docs with doc_id % 50 = 0 stand in for an eval
+    * suite). The benchmark shingle set is broadcast — eval suites are
+    * tiny next to a training corpus, so the corpus-side explode joins
+    * against an in-memory hash set and never shuffles. count(hit) (count
+    * of non-null) keeps both engines in BIGINT. */
+  val qTextContamination: Q = (s, dir) => {
+    import s.implicits._
+    // cached: feeds both the benchmark-set distinct and the corpus scan
+    val sh = table(s, dir, "documents")
+      .select($"doc_id",
+        explode(array_distinct(LlmOps.shingles(LlmOps.toks($"text")))).as("sh"))
+      .cache()
+    val bench = sh.filter($"doc_id" % 50 === 0)
+      .select($"sh").distinct().withColumn("hit", lit(1L))
+    sh.filter($"doc_id" % 50 =!= 0)
+      .join(broadcast(bench), Seq("sh"), "left")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_shingles"), count($"hit").as("n_overlap"))
+      .select($"doc_id", $"n_shingles", $"n_overlap",
+        round($"n_overlap".cast("double") / $"n_shingles", 6).as("contamination"))
+      .orderBy($"doc_id")
+  }
+
+  /** PII redaction: global regexp redaction of emails and phone-like
+    * digit runs, with per-doc match counts. The fixture text is digit-free
+    * word salad, so a deterministic contact string derived from fixture
+    * columns is appended first — the REDACTION is the operator; the
+    * planted line makes it observable. Regexes stick to character
+    * classes + bounded repetition so Java (Spark) and RE2 (DuckDB)
+    * agree. Pure per-row projection: no shuffle, fully codegen'd. */
+  val qTextPii: Q = (s, dir) => {
+    import s.implicits._
+    val email = "[a-z0-9.]+@[a-z0-9.]+"
+    val phone = "[0-9][0-9-]{5,}[0-9]"
+    table(s, dir, "documents")
+      .select($"doc_id", concat($"text", lit(" contact user"), $"doc_id",
+        lit("@example.com or 555-01"),
+        lpad(($"doc_id" % 100).cast("string"), 2, "0")).as("raw"))
+      .select($"doc_id",
+        regexp_count($"raw", lit(email)).cast("long").as("n_emails"),
+        regexp_count($"raw", lit(phone)).cast("long").as("n_phones"),
+        md5(regexp_replace(regexp_replace($"raw", email, "<EMAIL>"),
+          phone, "<PHONE>")).as("h"))
+      .orderBy($"doc_id")
+  }
+
+  /** Semantic clustering of the embedding space: MLlib KMeans (k = 10,
+    * fixed seed, k-means|| init) over the 64-d vectors, reported as
+    * per-cluster size + majority planted label + purity. This is the
+    * semantic-dedup / data-mixing primitive: each Lloyd iteration is one
+    * map-side partial aggregation of (sum, count) per cluster per
+    * partition — no shuffle grows with corpus size, only with k·dim.
+    * Fixture note (measured): the embeddings are near-random unit vectors
+    * and `label` is NOT geometric (within-label mean cos 0.0016 vs 0.0003
+    * across), so purity hovers near 1/k by construction — the purity
+    * column is the data-mixing REPORT, not a quality claim. Oracle-exempt
+    * (float centroid sums are partitioning-order dependent in the last
+    * ulp, and cluster ids are arbitrary); CurationSpec instead asserts
+    * the invariants that don't depend on fixture geometry: every vector
+    * sits in its NEAREST centroid's cluster, the clustering cost beats
+    * the single-centroid null model, and same-seed refits agree. */
+  val qClusterKmeans: Q = (s, dir) => {
+    import s.implicits._
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val e = table(s, dir, "embeddings")
+      .select($"vec_id", $"label", array_to_vector($"embedding").as("features"))
+    val model = new KMeans().setK(10).setSeed(7L).setMaxIter(20)
+      .setFeaturesCol("features").setPredictionCol("cluster")
+      .fit(e)
+    val byLabel = model.transform(e)
+      .groupBy($"cluster", $"label").agg(count(lit(1)).as("n"))
+    val tot = byLabel.groupBy($"cluster").agg(sum($"n").as("n_vecs"))
+    val w = Window.partitionBy($"cluster").orderBy($"n".desc, $"label")
+    byLabel.withColumn("rn", row_number().over(w)).filter($"rn" === 1)
+      .join(tot, "cluster")
+      .select($"cluster".cast("long").as("cluster"), $"n_vecs",
+        $"label".cast("long").as("top_label"),
+        round($"n".cast("double") / $"n_vecs", 4).as("purity"))
+      .orderBy($"cluster")
+  }
+
+  val queries: Map[String, Q] = Map(
+    "q_dedup_connected" -> qDedupConnected,
+    "q_text_contamination" -> qTextContamination,
+    "q_text_pii" -> qTextPii,
+    "q_cluster_kmeans" -> qClusterKmeans,
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q_dedup_connected" ->
+      s"""WITH RECURSIVE pairs AS (${LlmOps.oracleSql("q_dedup_near")}),
+         |und AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+         |        UNION ALL SELECT doc_b, doc_a FROM pairs),
+         |nodes AS (SELECT DISTINCT a AS node FROM und),
+         |reach AS (SELECT node, node AS r FROM nodes
+         |  UNION
+         |  SELECT u.b AS node, reach.r FROM reach JOIN und u ON u.a = reach.node),
+         |comp AS (SELECT node, min(r) AS cluster FROM reach GROUP BY node),
+         |sizes AS (SELECT cluster, count(*) AS cluster_size FROM comp GROUP BY cluster)
+         |SELECT c.node AS doc_id, c.cluster, s.cluster_size,
+         |  c.node = c.cluster AS is_keeper
+         |FROM comp c JOIN sizes s ON c.cluster = s.cluster
+         |ORDER BY doc_id""".stripMargin,
+    "q_text_contamination" ->
+      """WITH tok AS (SELECT doc_id, string_split(text,' ') AS ws FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, s FROM (
+        |  SELECT doc_id, unnest(list_transform(generate_series(1, len(ws)-2),
+        |    i -> ws[i]||' '||ws[i+1]||' '||ws[i+2])) AS s FROM tok)),
+        |bench AS (SELECT DISTINCT s FROM sh WHERE doc_id % 50 = 0)
+        |SELECT doc_id, count(*) AS n_shingles, count(b.s) AS n_overlap,
+        | round(CAST(count(b.s) AS DOUBLE)/count(*), 6) AS contamination
+        |FROM sh LEFT JOIN bench b ON sh.s = b.s
+        |WHERE doc_id % 50 <> 0
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q_text_pii" ->
+      """WITH raw AS (SELECT doc_id,
+        |  text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com or 555-01'
+        |    || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0') AS raw
+        | FROM documents)
+        |SELECT doc_id,
+        | CAST(len(regexp_extract_all(raw, '[a-z0-9.]+@[a-z0-9.]+')) AS BIGINT) AS n_emails,
+        | CAST(len(regexp_extract_all(raw, '[0-9][0-9-]{5,}[0-9]')) AS BIGINT) AS n_phones,
+        | md5(regexp_replace(regexp_replace(raw, '[a-z0-9.]+@[a-z0-9.]+', '<EMAIL>', 'g'),
+        |   '[0-9][0-9-]{5,}[0-9]', '<PHONE>', 'g')) AS h
+        |FROM raw ORDER BY doc_id""".stripMargin,
+  )
+}

@@ -17,12 +17,13 @@ import Util._
 object LlmOps {
 
   /** Word tokens of a document, as an array column. */
-  private def toks(c: Column): Column = split(c, " ")
+  private[ops] def toks(c: Column): Column = split(c, " ")
 
   /** Word 3-gram shingles of a token array (explode-ready). The §2.11 UDTF
     * v1 composition: explode(transform(sequence(...))) — a generator built
-    * from HOFs, no custom Catalyst code. */
-  private def shingles(ws: Column): Column =
+    * from HOFs, no custom Catalyst code. Shared with Curation so the
+    * contamination scorer and the dedup family shingle identically. */
+  private[ops] def shingles(ws: Column): Column =
     when(size(ws) >= 3,
       transform(sequence(lit(1), size(ws) - 2),
         i => concat_ws(" ", slice(ws, i, lit(3)))))

@@ -77,12 +77,31 @@ object Scalars2 {
       .orderBy($"l_returnflag")
   }
 
+  /** Spark 4 VARIANT: parse the JSON props column ONCE into a binary
+    * variant, then typed-path extraction — the open-schema semi-structured
+    * path (one parse feeding many extractions; shreddable columnar storage
+    * at scale) vs q_fn_json's per-field string re-parse. try_variant_get
+    * on a missing path yields NULL instead of failing. Oracle: DuckDB
+    * json_extract_string + casts on the same paths. */
+  val qFnVariant: Q = (s, dir) => {
+    import s.implicits._
+    table(s, dir, "events")
+      .select($"event_id", parse_json($"props").as("v"))
+      .select($"event_id",
+        variant_get($"v", "$.k", "bigint").as("k_num"),
+        variant_get($"v", "$.k", "string").as("k_str"),
+        try_variant_get($"v", "$.missing", "bigint").as("k_missing"))
+      .filter($"k_num" > 50)
+      .orderBy($"event_id")
+  }
+
   val queries: Map[String, Q] = Map(
     "q_fn_string2" -> qFnString2,
     "q_fn_date2" -> qFnDate2,
     "q_fn_array2" -> qFnArray2,
     "q_fn_bitwise" -> qFnBitwise,
     "q_agg_salted" -> qAggSalted,
+    "q_fn_variant" -> qFnVariant,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -129,5 +148,13 @@ object Scalars2 {
         | CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
         | count(*) AS n_rows
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q_fn_variant" ->
+      """SELECT event_id,
+        | CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_num,
+        | json_extract_string(props, '$.k') AS k_str,
+        | CAST(json_extract_string(props, '$.missing') AS BIGINT) AS k_missing
+        |FROM events
+        |WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) > 50
+        |ORDER BY event_id""".stripMargin,
   )
 }

@@ -1,0 +1,108 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Semantic invariants for the curation operators (Curation.scala) that the
+  * DuckDB oracle either can't see (q_cluster_kmeans is oracle-exempt) or
+  * that deserve a check independent of the planted fixture values. */
+class CurationSpec extends SparkSuite {
+
+  test("q_dedup_connected: components are consistent, keepers are minima") {
+    import spark.implicits._
+    val comp = SparkEntry.queries("q_dedup_connected")(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getBoolean(3)))
+    val byDoc = comp.toMap
+    assert(comp.nonEmpty, "no near-dup components on the planted fixture")
+    // every near-dup PAIR must land in one component (the whole point of
+    // cluster resolution over pairwise output)
+    val pairs = SparkEntry.queries("q_dedup_near")(spark, sfDir)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    pairs.foreach { case (a, b) =>
+      assert(byDoc(a)._1 == byDoc(b)._1, s"pair ($a,$b) split across components")
+    }
+    // component id = min doc_id of the component; exactly one keeper each
+    comp.groupBy(_._2._1).foreach { case (cid, members) =>
+      assert(members.map(_._1).min == cid, s"component $cid not labeled by its min doc")
+      assert(members.count(_._2._3) == 1, s"component $cid keeper count != 1")
+      assert(members.forall(_._2._2 == members.length), s"component $cid size column wrong")
+    }
+  }
+
+  test("q_cluster_kmeans: nearest-centroid assignment, beats null model, deterministic") {
+    import spark.implicits._
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select($"vec_id", array_to_vector($"embedding").as("features"))
+    val model = new KMeans().setK(10).setSeed(7L).setMaxIter(20)
+      .setFeaturesCol("features").setPredictionCol("cluster").fit(e)
+    val centers = model.clusterCenters.map(_.toArray)
+    val assigned = model.transform(e).select($"vec_id", $"cluster", $"features")
+      .collect().map(r => (r.getLong(0), r.getInt(1),
+        r.getAs[org.apache.spark.ml.linalg.Vector](2).toArray))
+    def d2(x: Array[Double], c: Array[Double]): Double =
+      x.zip(c).map { case (a, b) => (a - b) * (a - b) }.sum
+    // Lloyd invariant: every vector sits in its nearest centroid's cluster
+    assigned.foreach { case (id, cl, x) =>
+      val dists = centers.map(d2(x, _))
+      assert(dists(cl) <= dists.min + 1e-9, s"vec $id not in nearest cluster")
+    }
+    // cost must beat the single-centroid null model (these are near-random
+    // unit vectors, so the gain is modest but must exist)
+    val n = assigned.length
+    val mean = assigned.map(_._3).transpose.map(_.sum / n).toArray
+    val nullCost = assigned.map(t => d2(t._3, mean)).sum
+    val cost = assigned.map { case (_, cl, x) => d2(x, centers(cl)) }.sum
+    assert(cost < nullCost, s"kmeans cost $cost not below null-model $nullCost")
+    // the declared query is structurally sound and same-seed deterministic
+    val q1 = SparkEntry.queries("q_cluster_kmeans")(spark, sfDir).collect()
+    val q2 = SparkEntry.queries("q_cluster_kmeans")(spark, sfDir).collect()
+    assert(q1.length == 10 && q1.map(_.getLong(0)).distinct.length == 10)
+    assert(q1.map(_.getLong(1)).sum == n, "cluster sizes must sum to the corpus")
+    assert(q1.map(_.toSeq) sameElements q2.map(_.toSeq), "same-seed refit diverged")
+  }
+
+  test("q_text_contamination: benchmark excluded, scores in [0,1]") {
+    val rows = SparkEntry.queries("q_text_contamination")(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (doc, nSh, nOv, c) = (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))
+      assert(doc % 50 != 0, s"benchmark doc $doc leaked into the scored corpus")
+      assert(nOv >= 0 && nOv <= nSh, s"doc $doc overlap $nOv outside [0,$nSh]")
+      assert(c >= 0.0 && c <= 1.0)
+    }
+  }
+
+  test("q_text_pii: planted PII is counted and fully redacted") {
+    import spark.implicits._
+    val rows = SparkEntry.queries("q_text_pii")(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(1) >= 1, s"doc ${r.getLong(0)}: planted email not counted")
+      assert(r.getLong(2) >= 1, s"doc ${r.getLong(0)}: planted phone not counted")
+      assert(r.getString(3).matches("[0-9a-f]{32}"))
+    }
+    // rebuild the redacted TEXT (the query only emits its md5) and assert
+    // no email/phone pattern survives redaction
+    val leftovers = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(concat($"text", lit(" contact user"), $"doc_id",
+        lit("@example.com or 555-01"),
+        lpad(($"doc_id" % 100).cast("string"), 2, "0")).as("raw"))
+      .select(regexp_replace(regexp_replace($"raw", "[a-z0-9.]+@[a-z0-9.]+", "<EMAIL>"),
+        "[0-9][0-9-]{5,}[0-9]", "<PHONE>").as("red"))
+      .filter(regexp_count($"red", lit("[a-z0-9.]+@[a-z0-9.]+")) > 0 ||
+        regexp_count($"red", lit("[0-9][0-9-]{5,}[0-9]")) > 0)
+      .count()
+    assert(leftovers == 0, s"$leftovers docs still carry PII after redaction")
+  }
+
+  test("q_fn_variant: typed extraction agrees with the string path") {
+    val rows = SparkEntry.queries("q_fn_variant")(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(1) > 50, "filter on the typed path leaked")
+      assert(r.getLong(1).toString == r.getString(2), "bigint vs string extraction disagree")
+      assert(r.isNullAt(3), "try_variant_get on a missing path must be null")
+    }
+  }
+}

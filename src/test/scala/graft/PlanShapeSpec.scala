@@ -46,6 +46,14 @@ class PlanShapeSpec extends SparkSuite {
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
   }
 
+  test("q_text_contamination broadcasts the benchmark shingle set") {
+    // the corpus-side explode must probe an in-memory hash relation of the
+    // (tiny) benchmark set — a shuffled join here would shuffle the whole
+    // corpus's shingles at 100 TB
+    val p = plan("q_text_contamination")
+    assert(p.contains("BroadcastHashJoin"), s"benchmark set not broadcast:\n$p")
+  }
+
   test("q_dedup_near has no unblocked cross product over documents") {
     val p = plan("q_dedup_near")
     assert(!p.contains("CartesianProduct"), p)
