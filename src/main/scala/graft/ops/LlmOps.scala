@@ -68,7 +68,13 @@ object LlmOps {
     * dups ALWAYS collide); PlantedStructureSpec guards the planted
     * structure. At scale the band join touches only colliding buckets —
     * never the full doc×doc cross product. */
-  val qDedupNear: Q = (s, dir) => {
+  val qDedupNear: Q = (s, dir) =>
+    nearDupPairs(s, dir).orderBy(col("doc_a"), col("doc_b"))
+
+  /** The unsorted (doc_a, doc_b, jac) near-dup pairs — shared with
+    * Curation.qDedupConnected, which consumes the edge list unordered (the
+    * fixpoint loop would otherwise pay a pointless sort per invocation). */
+  private[ops] def nearDupPairs(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     // All 8 min-hash lanes in ONE codegen'd aggregation straight off the
     // shingle explode — no distinct pre-pass (min over the multiset equals
@@ -116,7 +122,6 @@ object LlmOps {
           (size($"sa") + size($"sb") - size(array_intersect($"sa", $"sb"))))
           .as("jac"))
       .filter($"jac" >= 0.8)
-      .orderBy($"doc_a", $"doc_b")
   }
 
   // ----------------------------------------------------- similarity search

@@ -155,6 +155,34 @@ class PlanShapeSpec extends SparkSuite {
     }
   }
 
+  test("runtime bloom filter prunes the fact side of a selective join") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // at 100 TB a selective dim filter should reach the fact scan as an
+    // injected bloom filter (might_contain) so unmatched fact rows die
+    // before the shuffle; size thresholds lowered to test scale, broadcast
+    // off to force the shuffle-join path the injection targets
+    val confs = Map(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "100MB",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val saved = confs.keys.map(k => k -> spark.conf.getOption(k)).toMap
+    try {
+      confs.foreach { case (k, v) => spark.conf.set(k, v) }
+      val o = spark.read.parquet(s"$sfDir/orders.parquet")
+        .filter($"o_orderpriority" === "1-URGENT")
+      val l = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      val j = l.join(o, l("l_orderkey") === o("o_orderkey"))
+        .groupBy($"o_orderpriority").agg(sum($"l_quantity").as("q"))
+      val p = j.queryExecution.executedPlan.toString
+      assert(p.contains("might_contain"),
+        s"no runtime bloom filter injected on the fact side:\n$p")
+    } finally saved.foreach { case (k, v) =>
+      v.fold(spark.conf.unset(k))(spark.conf.set(k, _))
+    }
+  }
+
   test("custom codegen expression compiles into the plan") {
     val df = SparkEntry.queries("q_expr_custom")(spark, sfDir)
     // forcing execution exercises NormDiffCodegen.doGenCode
