@@ -123,8 +123,29 @@ object Pipelines {
       .orderBy($"c_custkey")
   }
 
+  /** Deterministic train/val/test split by content hash: bucket = last
+    * md5 nibble of the doc key — {c,d}→val, {e,f}→test, rest→train
+    * (75/12.5/12.5%). Like q_sample_hash, membership is a pure function
+    * of the KEY: reproducible across engines, partitionings and reruns,
+    * and any downstream job re-derives it without storing an assignment
+    * table. Summarized per split with order-independent checksums. */
+  val qPipelineSplit: Q = (s, dir) => {
+    import s.implicits._
+    val nib = substring(md5($"doc_id".cast("string")), 32, 1)
+    table(s, dir, "documents")
+      .select($"doc_id", $"n_chars",
+        when(nib.isin("c", "d"), "val")
+          .when(nib.isin("e", "f"), "test")
+          .otherwise("train").as("split"))
+      .groupBy($"split")
+      .agg(count(lit(1)).as("n_docs"), min($"doc_id").as("first_doc"),
+        sum($"doc_id").as("docsum"), sum($"n_chars").as("charsum"))
+      .orderBy($"split")
+  }
+
   val queries: Map[String, Q] = Map(
     "q_pipeline_clean" -> qPipelineClean,
+    "q_pipeline_split" -> qPipelineSplit,
     "q_sample_hash" -> qSampleHash,
     "q_sample_stratified" -> qSampleStratified,
     "q_profile" -> qProfile,
@@ -149,6 +170,15 @@ object Pipelines {
         | CAST(sum(n_toks) AS BIGINT) AS sum_toks
         |FROM qq JOIN d ON qq.doc_id = d.keeper
         |GROUP BY source ORDER BY source""".stripMargin,
+    "q_pipeline_split" ->
+      """WITH s AS (SELECT doc_id, n_chars,
+        |  CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 32, 1) IN ('c','d') THEN 'val'
+        |       WHEN substr(md5(CAST(doc_id AS VARCHAR)), 32, 1) IN ('e','f') THEN 'test'
+        |       ELSE 'train' END AS split
+        | FROM documents)
+        |SELECT split, count(*) AS n_docs, min(doc_id) AS first_doc,
+        | CAST(sum(doc_id) AS BIGINT) AS docsum, CAST(sum(n_chars) AS BIGINT) AS charsum
+        |FROM s GROUP BY split ORDER BY split""".stripMargin,
     "q_sample_hash" ->
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
         |WHERE substr(md5(CAST(o_orderkey AS VARCHAR)), 32, 1) IN ('0', '1')

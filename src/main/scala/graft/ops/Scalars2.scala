@@ -95,8 +95,30 @@ object Scalars2 {
       .orderBy($"event_id")
   }
 
+  /** URL parsing — the domain-filtering primitive for web-crawl corpora.
+    * URLs are synthesized deterministically from fixture columns (the
+    * word-salad text has none), then decomposed with Spark's native
+    * parse_url (HOST / PATH / per-key QUERY). The DuckDB oracle has no
+    * parse_url, so it regexp-decomposes the same URLs — two independent
+    * implementations agreeing on the same rows. */
+  val qFnUrl: Q = (s, dir) => {
+    import s.implicits._
+    table(s, dir, "documents")
+      .select($"doc_id", concat(lit("https://"), $"source",
+        lit(".example.org/docs/"), $"doc_id",
+        lit("?lang="), $"lang", lit("&v=1")).as("url"))
+      .select($"doc_id",
+        parse_url($"url", lit("HOST")).as("host"),
+        parse_url($"url", lit("PATH")).as("path"),
+        parse_url($"url", lit("QUERY"), lit("lang")).as("qlang"),
+        regexp_extract(parse_url($"url", lit("HOST")),
+          "^([a-z0-9]+)\\.", 1).as("subdomain"))
+      .orderBy($"doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
     "q_fn_string2" -> qFnString2,
+    "q_fn_url" -> qFnUrl,
     "q_fn_date2" -> qFnDate2,
     "q_fn_array2" -> qFnArray2,
     "q_fn_bitwise" -> qFnBitwise,
@@ -148,6 +170,18 @@ object Scalars2 {
         | CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
         | count(*) AS n_rows
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q_fn_url" ->
+      """WITH u AS (SELECT doc_id,
+        |  'https://' || source || '.example.org/docs/' || CAST(doc_id AS VARCHAR)
+        |    || '?lang=' || lang || '&v=1' AS url
+        | FROM documents)
+        |SELECT doc_id,
+        | regexp_extract(url, 'https://([^/]+)', 1) AS host,
+        | regexp_extract(url, 'https://[^/]+(/[^?]*)', 1) AS path,
+        | regexp_extract(url, 'lang=([a-z]+)', 1) AS qlang,
+        | regexp_extract(regexp_extract(url, 'https://([^/]+)', 1),
+        |   '^([a-z0-9]+)\.', 1) AS subdomain
+        |FROM u ORDER BY doc_id""".stripMargin,
     "q_fn_variant" ->
       """SELECT event_id,
         | CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_num,

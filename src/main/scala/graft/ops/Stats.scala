@@ -43,6 +43,25 @@ object Stats {
       .orderBy($"l_returnflag")
   }
 
+  /** Linear-regression aggregates (regr_*): one-pass mergeable moment
+    * sums, so the fit distributes exactly like sum/count — the scalable
+    * alternative to fitting per-group models driver-side. Rounded to 6dp
+    * like corr/covar (double moment sums are partition-order dependent in
+    * the last ulp). */
+  val qAggRegr: Q = (s, dir) => {
+    import s.implicits._
+    table(s, dir, "lineitem")
+      .groupBy($"l_returnflag")
+      .agg(
+        round(regr_slope($"l_extendedprice", $"l_quantity"), 6).as("slope"),
+        round(regr_intercept($"l_extendedprice", $"l_quantity"), 6).as("icept"),
+        round(regr_r2($"l_extendedprice", $"l_quantity"), 6).as("r2"),
+        regr_count($"l_extendedprice", $"l_quantity").as("n"),
+        round(regr_avgx($"l_extendedprice", $"l_quantity"), 6).as("avgx"),
+        round(regr_avgy($"l_extendedprice", $"l_quantity"), 6).as("avgy"))
+      .orderBy($"l_returnflag")
+  }
+
   /** UNPIVOT via the stack generator: wide → long. */
   val qFnUnpivot: Q = (s, dir) => {
     import s.implicits._
@@ -138,6 +157,7 @@ object Stats {
     "q_dedup_editdist" -> qDedupEditdist,
     "q_fn_trig" -> qFnTrig,
     "q_agg_stats" -> qAggStats,
+    "q_agg_regr" -> qAggRegr,
     "q_fn_unpivot" -> qFnUnpivot,
     "q_agg_minmaxby" -> qAggMinmaxby,
     "q_fn_explode_outer" -> qFnExplodeOuter,
@@ -145,6 +165,15 @@ object Stats {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q_agg_regr" ->
+      """SELECT l_returnflag,
+        | round(regr_slope(l_extendedprice, l_quantity), 6) AS slope,
+        | round(regr_intercept(l_extendedprice, l_quantity), 6) AS icept,
+        | round(regr_r2(l_extendedprice, l_quantity), 6) AS r2,
+        | regr_count(l_extendedprice, l_quantity) AS n,
+        | round(regr_avgx(l_extendedprice, l_quantity), 6) AS avgx,
+        | round(regr_avgy(l_extendedprice, l_quantity), 6) AS avgy
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q_fn_misc" ->
       """SELECT p_type, bool_and(p_retailprice > 100.0) AS all_over100,
         | bool_or(p_size > 40) AS any_big, count(*) AS n
