@@ -132,8 +132,29 @@ object Curation {
       .orderBy($"cluster")
   }
 
+  /** Incremental exact dedup — the daily-crawl shape: a NEW batch
+    * (doc_id ≥ 250 stands in for today's crawl) is first deduped
+    * batch-internally (min-doc_id keeper), then anti-joined against the
+    * EXISTING corpus by content hash so only genuinely new content
+    * survives. At 100 TB the corpus side is the big one: its signature
+    * table (md5 per doc — ~2% of corpus bytes) is what the anti-join
+    * shuffles, and bucketing that table by hash makes the daily job
+    * shuffle only the new batch. */
+  val qDedupIncremental: Q = (s, dir) => {
+    import s.implicits._
+    val d = table(s, dir, "documents")
+      .select($"doc_id", md5(lower(trim($"text"))).as("h"))
+    val batch = d.filter($"doc_id" >= 250)
+      .groupBy($"h").agg(min($"doc_id").as("doc_id"),
+        count(lit(1)).as("n_in_batch"))
+    batch.join(d.filter($"doc_id" < 250).select($"h"), Seq("h"), "left_anti")
+      .select($"doc_id", $"h", $"n_in_batch")
+      .orderBy($"doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
     "q_dedup_connected" -> qDedupConnected,
+    "q_dedup_incremental" -> qDedupIncremental,
     "q_text_contamination" -> qTextContamination,
     "q_text_pii" -> qTextPii,
     "q_cluster_kmeans" -> qClusterKmeans,
@@ -154,6 +175,13 @@ object Curation {
          |  c.node = c.cluster AS is_keeper
          |FROM comp c JOIN sizes s ON c.cluster = s.cluster
          |ORDER BY doc_id""".stripMargin,
+    "q_dedup_incremental" ->
+      """WITH d AS (SELECT doc_id, md5(lower(trim(text))) AS h FROM documents),
+        |batch AS (SELECT h, min(doc_id) AS doc_id, count(*) AS n_in_batch
+        |  FROM d WHERE doc_id >= 250 GROUP BY h)
+        |SELECT doc_id, h, n_in_batch FROM batch
+        |WHERE NOT EXISTS (SELECT 1 FROM d WHERE d.doc_id < 250 AND d.h = batch.h)
+        |ORDER BY doc_id""".stripMargin,
     "q_text_contamination" ->
       """WITH tok AS (SELECT doc_id, string_split(text,' ') AS ws FROM documents),
         |sh AS (SELECT DISTINCT doc_id, s FROM (

@@ -233,6 +233,37 @@ object LlmOpsExt {
       .orderBy($"probe_id", $"rn")
   }
 
+  /** Scalar-quantized (int8) similarity search: each vector compressed to
+    * integer codes in [-127,127] with a per-vector max-abs scale, top-k
+    * cosine computed ON the quantized codes and de-scaled. The
+    * memory-bandwidth lever for brute-force ANN at 100 TB: 4× fewer bytes
+    * scanned per probe than float32 (int8 is how FAISS/ScaNN store flat
+    * indexes). All math is exact in doubles (integer products ≪ 2^53) and
+    * the codes are a pure per-row function, so — unlike kmeans codebooks —
+    * this quantization IS oracle-checkable; CurationSpec additionally
+    * bounds recall vs the exact float top-k. Codes ride the codegen'd
+    * dot_product expression after an int→double transform. */
+  val qSimQuantized: Q = (s, dir) => {
+    import s.implicits._
+    val q = emb(s, dir)
+      .select($"vec_id",
+        greatest(array_max(transform($"emb", x => abs(x))), lit(1e-12)).as("scale"),
+        $"emb")
+      .select($"vec_id", $"scale",
+        transform($"emb", x => round(x / $"scale" * 127, 0)).as("qv"))
+    val probes = q.orderBy($"vec_id").limit(10)
+      .select($"vec_id".as("probe_id"), $"scale".as("ps"), $"qv".as("pq"))
+    val scored = q.crossJoin(broadcast(probes))
+      .filter($"vec_id" =!= $"probe_id")
+      .select($"probe_id", $"vec_id".as("neighbor_id"),
+        round(dot($"pq", $"qv") * $"ps" * $"scale" / lit(127.0 * 127.0), 4)
+          .as("score"))
+    val w = Window.partitionBy($"probe_id").orderBy($"score".desc, $"neighbor_id")
+    scored.withColumn("rn", row_number().over(w).cast("long"))
+      .filter($"rn" <= 5)
+      .orderBy($"probe_id", $"rn")
+  }
+
   // --------------------------------------------------------- text analysis
 
   private val enStops = Seq("the", "a", "of", "to", "and", "in", "is")
@@ -337,6 +368,7 @@ object LlmOpsExt {
     "q_dedup_embed" -> qDedupEmbed,
     "q_dedup_embed_lsh" -> qDedupEmbedLsh,
     "q_sim_ivf" -> qSimIvf,
+    "q_sim_quantized" -> qSimQuantized,
     "q_text_langid" -> qTextLangid,
     "q_text_quality" -> qTextQuality,
     "q_text_tokens" -> qTextTokens,
@@ -344,6 +376,24 @@ object LlmOpsExt {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q_sim_quantized" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+        |  FROM embeddings),
+        |q AS (SELECT vec_id,
+        |   greatest(list_max(list_transform(emb, x -> abs(x))), 1e-12) AS scale,
+        |   list_transform(emb, x ->
+        |     round(x / greatest(list_max(list_transform(emb, y -> abs(y))), 1e-12) * 127, 0)) AS qv
+        |  FROM e),
+        |probes AS (SELECT vec_id AS probe_id, scale AS ps, qv AS pq
+        |  FROM q ORDER BY vec_id LIMIT 10),
+        |scored AS (SELECT probe_id, q.vec_id AS neighbor_id,
+        |   round(list_sum(list_transform(generate_series(1,64), i -> pq[i]*qv[i]))
+        |     * ps * scale / (127.0*127.0), 4) AS score
+        |  FROM q CROSS JOIN probes WHERE q.vec_id <> probe_id)
+        |SELECT probe_id, neighbor_id, score, rn FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY probe_id ORDER BY score DESC, neighbor_id) AS rn
+        |  FROM scored) WHERE rn <= 5
+        |ORDER BY probe_id, rn""".stripMargin,
     "q_text_unigram_lm" ->
       """WITH tok AS (SELECT doc_id, unnest(string_split(text,' ')) AS t FROM documents),
         |tf AS (SELECT t, count(*) AS c FROM tok GROUP BY t),

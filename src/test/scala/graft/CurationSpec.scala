@@ -96,6 +96,15 @@ class CurationSpec extends SparkSuite {
     assert(leftovers == 0, s"$leftovers docs still carry PII after redaction")
   }
 
+  test("q_sim_quantized: int8 top-5 recalls most of the exact float top-5") {
+    val exact = SparkEntry.queries("q_sim_topk")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val quant = SparkEntry.queries("q_sim_quantized")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & quant).size.toDouble / exact.size
+    assert(recall >= 0.8, s"int8 quantization recall $recall < 0.8")
+  }
+
   test("q_fn_variant: typed extraction agrees with the string path") {
     val rows = SparkEntry.queries("q_fn_variant")(spark, sfDir).collect()
     assert(rows.nonEmpty)
