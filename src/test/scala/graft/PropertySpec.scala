@@ -4,6 +4,8 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.scalacheck.Gen
 
+import graft.ops.Util
+
 /** SURVEY §5.3(2): self-oracle property tests — engine invariants that hold
   * for arbitrary inputs, checked on generated data via createDataFrame. */
 class PropertySpec extends SparkSuite {
@@ -157,6 +159,32 @@ class PropertySpec extends SparkSuite {
           .otherwise(0))
         .agg(sum($"new_s")).head.getLong(0)
       assert(n == 3, s"jitter changed session count: $n for $ts")
+    }
+  }
+
+  test("int8 quantized dot product stays within the analytic error bound") {
+    import spark.implicits._
+    import org.apache.spark.sql.Column
+    // per-element quantization error <= scale/254 (half an int8 step), so
+    // |dot_q - dot| <= n*(maxA*eb + maxB*ea + ea*eb) — the invariant that
+    // makes q_sim_quantized's de-scaled scores trustworthy at any scale
+    val vecGen = Gen.listOfN(16, Gen.choose(-10.0, 10.0))
+    forAll(vecGen, vecGen) { (a, b) =>
+      val df = Seq((a.toArray, b.toArray)).toDF("a", "b")
+      def scaleOf(c: Column) =
+        greatest(array_max(transform(c, x => abs(x))), lit(1e-12))
+      val out = df.select(
+        Util.dot($"a", $"b").as("exact"),
+        (Util.dot(
+          transform($"a", x => round(x / scaleOf($"a") * 127, 0)),
+          transform($"b", x => round(x / scaleOf($"b") * 127, 0)))
+          * scaleOf($"a") * scaleOf($"b") / lit(127.0 * 127.0)).as("approx"))
+        .head()
+      val (maxA, maxB) = (a.map(math.abs).max, b.map(math.abs).max)
+      val (ea, eb) = (maxA.max(1e-12) / 254.0, maxB.max(1e-12) / 254.0)
+      val bound = a.length * (maxA * eb + maxB * ea + ea * eb) + 1e-9
+      val err = math.abs(out.getDouble(0) - out.getDouble(1))
+      assert(err <= bound, s"quantization error $err exceeds bound $bound")
     }
   }
 }
