@@ -152,9 +152,46 @@ object Curation {
       .orderBy($"doc_id")
   }
 
+  /** Containment dedup — quote/inclusion detection: for blocked candidate
+    * pairs, C(A,B) = |sh(A)∩sh(B)| / |sh(A)| in BOTH directions. Jaccard
+    * misses a short doc quoted inside a long one (the union term drowns
+    * the overlap); containment is the asymmetric metric that catches it.
+    * Same scale shape as the other dedup ops: prefix-hash blocking first,
+    * shingle arrays built only for survivors (semi-join), per-row
+    * array_intersect — the quadratic stage never leaves the blocked set. */
+  val qDedupContainment: Q = (s, dir) => {
+    import s.implicits._
+    val d = table(s, dir, "documents")
+    val block = d.select($"doc_id", md5(substring($"text", 1, 40)).as("bk"))
+    val cands = block.as("x").join(block.as("y"),
+        $"x.bk" === $"y.bk" && $"x.doc_id" < $"y.doc_id")
+      .select($"x.doc_id".as("doc_a"), $"y.doc_id".as("doc_b"))
+      .cache() // feeds both candDocs legs + the final join
+    val candDocs = cands.select($"doc_a".as("doc_id"))
+      .unionAll(cands.select($"doc_b".as("doc_id"))).distinct()
+    val docsh = d.join(candDocs, Seq("doc_id"), "left_semi")
+      .select($"doc_id",
+        array_distinct(LlmOps.shingles(LlmOps.toks($"text"))).as("shs"))
+    cands
+      .join(docsh.select($"doc_id".as("doc_a"), $"shs".as("sa")), "doc_a")
+      .join(docsh.select($"doc_id".as("doc_b"), $"shs".as("sb")), "doc_b")
+      .select($"doc_a", $"doc_b",
+        size(array_intersect($"sa", $"sb")).cast("double").as("i"),
+        size($"sa").as("na"), size($"sb").as("nb"))
+      // sub-3-token docs have empty shingle sets: 0/0 is NaN, and Spark
+      // sorts NaN ABOVE numbers, so it would pass the >= filter — drop them
+      .filter($"na" > 0 && $"nb" > 0)
+      .select($"doc_a", $"doc_b",
+        round($"i" / $"na", 6).as("c_ab"),
+        round($"i" / $"nb", 6).as("c_ba"))
+      .filter(greatest($"c_ab", $"c_ba") >= 0.5)
+      .orderBy($"doc_a", $"doc_b")
+  }
+
   val queries: Map[String, Q] = Map(
     "q_dedup_connected" -> qDedupConnected,
     "q_dedup_incremental" -> qDedupIncremental,
+    "q_dedup_containment" -> qDedupContainment,
     "q_text_contamination" -> qTextContamination,
     "q_text_pii" -> qTextPii,
     "q_cluster_kmeans" -> qClusterKmeans,
@@ -175,6 +212,29 @@ object Curation {
          |  c.node = c.cluster AS is_keeper
          |FROM comp c JOIN sizes s ON c.cluster = s.cluster
          |ORDER BY doc_id""".stripMargin,
+    "q_dedup_containment" ->
+      """WITH block AS (SELECT doc_id, md5(substr(text, 1, 40)) AS bk FROM documents),
+        |cands AS (SELECT x.doc_id AS doc_a, y.doc_id AS doc_b
+        |  FROM block x JOIN block y ON x.bk = y.bk AND x.doc_id < y.doc_id),
+        |cd AS (SELECT doc_a AS doc_id FROM cands
+        |       UNION SELECT doc_b FROM cands),
+        |tok AS (SELECT d.doc_id, string_split(text,' ') AS ws
+        |  FROM documents d JOIN cd ON d.doc_id = cd.doc_id),
+        |sh AS (SELECT DISTINCT doc_id, s FROM (
+        |  SELECT doc_id, unnest(list_transform(generate_series(1, len(ws)-2),
+        |    i -> ws[i]||' '||ws[i+1]||' '||ws[i+2])) AS s FROM tok)),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        |inter AS (SELECT doc_a, doc_b, count(*) AS i FROM cands
+        |  JOIN sh sa ON sa.doc_id = doc_a
+        |  JOIN sh sb ON sb.doc_id = doc_b AND sa.s = sb.s
+        |  GROUP BY doc_a, doc_b)
+        |SELECT doc_a, doc_b,
+        | round(CAST(i AS DOUBLE)/za.n, 6) AS c_ab,
+        | round(CAST(i AS DOUBLE)/zb.n, 6) AS c_ba
+        |FROM inter JOIN sizes za ON za.doc_id = doc_a
+        | JOIN sizes zb ON zb.doc_id = doc_b
+        |WHERE greatest(CAST(i AS DOUBLE)/za.n, CAST(i AS DOUBLE)/zb.n) >= 0.5
+        |ORDER BY doc_a, doc_b""".stripMargin,
     "q_dedup_incremental" ->
       """WITH d AS (SELECT doc_id, md5(lower(trim(text))) AS h FROM documents),
         |batch AS (SELECT h, min(doc_id) AS doc_id, count(*) AS n_in_batch

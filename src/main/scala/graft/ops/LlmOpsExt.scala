@@ -233,6 +233,37 @@ object LlmOpsExt {
       .orderBy($"probe_id", $"rn")
   }
 
+  /** Corpus bigram LM scoring: P(w2|w1) = c(w1,w2)/c(w1·) estimated from
+    * the corpus itself, per-doc mean NLL over its adjacent-token bigrams —
+    * the stronger fluency filter next to q_text_unigram_lm (a doc of
+    * common words in an improbable ORDER scores badly here but fine
+    * there). No smoothing needed: the model is fit on the scored corpus,
+    * so every observed bigram has c12 ≥ 1. Unlike the unigram model the
+    * bigram table does NOT broadcast at 100 TB (vocab² rows) — the score
+    * join is a plain shuffle join on (w1,w2), which is the honest shape.
+    * NLLs are decimal-summed so the per-doc mean is order-independent. */
+  val qTextBigramLm: Q = (s, dir) => {
+    import s.implicits._
+    val big = table(s, dir, "documents")
+      .select($"doc_id", toks($"text").as("ws"))
+      .filter(size($"ws") >= 2)
+      .select($"doc_id", explode(transform(sequence(lit(1), size($"ws") - 1),
+        i => struct(element_at($"ws", i).as("w1"),
+          element_at($"ws", i + 1).as("w2")))).as("b"))
+      .select($"doc_id", $"b.w1".as("w1"), $"b.w2".as("w2"))
+    val cnt = big.groupBy($"w1", $"w2").agg(count(lit(1)).as("c12"))
+    val ctx = cnt.groupBy($"w1").agg(sum($"c12").as("c1"))
+    val model = cnt.join(ctx, "w1")
+      .select($"w1", $"w2",
+        round(-log($"c12".cast("double") / $"c1"), 8)
+          .cast("decimal(18,8)").as("nll"))
+    big.join(model, Seq("w1", "w2"))
+      .groupBy($"doc_id")
+      .agg((sum($"nll").cast("double") / count(lit(1))).as("avg_nll"),
+        count(lit(1)).as("n_bigrams"))
+      .orderBy($"doc_id")
+  }
+
   /** Scalar-quantized (int8) similarity search: each vector compressed to
     * integer codes in [-127,127] with a per-vector max-abs scale, top-k
     * cosine computed ON the quantized codes and de-scaled. The
@@ -364,6 +395,7 @@ object LlmOpsExt {
   val queries: Map[String, Q] = Map(
     "q_dedup_simhash" -> qDedupSimhash,
     "q_text_unigram_lm" -> qTextUnigramLm,
+    "q_text_bigram_lm" -> qTextBigramLm,
     "q_dedup_ngram" -> qDedupNgram,
     "q_dedup_embed" -> qDedupEmbed,
     "q_dedup_embed_lsh" -> qDedupEmbedLsh,
@@ -404,6 +436,21 @@ object LlmOpsExt {
         |SELECT doc_id, CAST(sum(nll) AS DOUBLE)/count(*) AS avg_nll,
         | count(*) AS n_toks
         |FROM tok JOIN model USING (t)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q_text_bigram_lm" ->
+      """WITH tok AS (SELECT doc_id, string_split(text,' ') AS ws FROM documents),
+        |big AS (SELECT doc_id, u.w1 AS w1, u.w2 AS w2 FROM (
+        |  SELECT doc_id, unnest(list_transform(generate_series(1, len(ws)-1),
+        |    i -> {'w1': ws[i], 'w2': ws[i+1]})) AS u
+        |  FROM tok WHERE len(ws) >= 2)),
+        |cnt AS (SELECT w1, w2, count(*) AS c12 FROM big GROUP BY w1, w2),
+        |ctx AS (SELECT w1, sum(c12) AS c1 FROM cnt GROUP BY w1),
+        |model AS (SELECT w1, w2,
+        |   CAST(round(-ln(CAST(c12 AS DOUBLE)/c1), 8) AS DECIMAL(18,8)) AS nll
+        |  FROM cnt JOIN ctx USING (w1))
+        |SELECT doc_id, CAST(sum(nll) AS DOUBLE)/count(*) AS avg_nll,
+        | count(*) AS n_bigrams
+        |FROM big JOIN model USING (w1, w2)
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q_dedup_simhash" -> {
       val hex = "'8','9','a','b','c','d','e','f'"
