@@ -105,6 +105,29 @@ class CurationSpec extends SparkSuite {
     assert(recall >= 0.8, s"int8 quantization recall $recall < 0.8")
   }
 
+  test("q_sim_pq: ADC top-5 structure is sound and beats random retrieval") {
+    import spark.implicits._
+    val rows = SparkEntry.queries("q_sim_pq")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    assert(rows.length == 50, s"expected 10 probes x top-5, got ${rows.length}")
+    rows.groupBy(_._1).foreach { case (p, g) =>
+      assert(g.map(_._4).sorted.sameElements(1L to 5L), s"probe $p ranks broken")
+    }
+    // the PQ-selected neighbors, re-scored EXACTLY, must beat the corpus
+    // mean pairwise cosine (≈0 on these near-random unit vectors) by a
+    // clear margin — i.e. 16-bit codes still retrieve genuinely close
+    // vectors, not noise
+    val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select($"vec_id", org.apache.spark.sql.functions.transform(
+        $"embedding", x => x.cast("double")).as("emb"))
+      .collect().map(r => r.getLong(0) ->
+        r.getSeq[Double](1).toArray).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double =
+      a.zip(b).map { case (x, y) => x * y }.sum
+    val meanTop = rows.map { case (p, n, _, _) => cos(e(p), e(n)) }.sum / rows.length
+    assert(meanTop > 0.1, s"PQ top-5 mean exact cosine $meanTop not above noise")
+  }
+
   test("q_fn_variant: typed extraction agrees with the string path") {
     val rows = SparkEntry.queries("q_fn_variant")(spark, sfDir).collect()
     assert(rows.nonEmpty)
