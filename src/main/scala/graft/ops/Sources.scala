@@ -111,8 +111,36 @@ object Sources {
       .limit(10)
   }
 
+  /** JDBC round-trip via embedded Derby (which ships in the Spark distro
+    * for the Hive metastore) — closes SURVEY §2.1's "JDBC supported but
+    * unexercised for lack of a fixture" note. Write supplier to a Derby
+    * table, read it back as a PARTITIONED jdbc scan (4 stride-partitioned
+    * parallel reads on s_suppkey — the shape that matters against a real
+    * warehouse) with the balance predicate pushed into the remote WHERE
+    * clause (asserted in PlanShapeSpec). Doubles round-trip IEEE-exact
+    * through Derby DOUBLE, so the oracle reads the original parquet. */
+  val qSrcJdbc: Q = (s, dir) => {
+    import s.implicits._
+    // keep derby.log + the db files under the tmp dir, not the repo
+    System.setProperty("derby.system.home", System.getProperty("java.io.tmpdir"))
+    val url = s"jdbc:derby:graft_jdbc_${Integer.toHexString(dir.hashCode)};create=true"
+    table(s, dir, "supplier")
+      .select($"s_suppkey", $"s_name", $"s_nationkey", $"s_acctbal")
+      .write.mode("overwrite").format("jdbc")
+      .option("url", url).option("dbtable", "supplier").save()
+    s.read.format("jdbc")
+      .option("url", url).option("dbtable", "supplier")
+      .option("partitionColumn", "s_suppkey")
+      .option("lowerBound", "1").option("upperBound", "100000")
+      .option("numPartitions", "4")
+      .load()
+      .filter($"s_acctbal" > 0)
+      .orderBy($"s_suppkey")
+  }
+
   val queries: Map[String, Q] = Map(
     "q_src_csv" -> qSrcCsv,
+    "q_src_jdbc" -> qSrcJdbc,
     "q_src_json" -> qSrcJson,
     "q_src_orc" -> qSrcOrc,
     "q_src_dsv2" -> qSrcDsv2,
@@ -121,6 +149,10 @@ object Sources {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q_src_jdbc" ->
+      """SELECT s_suppkey, s_name, s_nationkey, s_acctbal
+        |FROM supplier WHERE s_acctbal > 0
+        |ORDER BY s_suppkey""".stripMargin,
     "q_src_csv" ->
       """SELECT s_nationkey, count(*) AS n_supps,
         | CAST(sum(CAST(s_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS sum_bal

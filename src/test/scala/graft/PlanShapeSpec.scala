@@ -155,6 +155,15 @@ class PlanShapeSpec extends SparkSuite {
     }
   }
 
+  test("JDBC scan pushes the predicate to the remote database") {
+    // the balance filter must reach Derby as a WHERE clause, not run as a
+    // post-scan Spark filter — against a real warehouse this is the
+    // difference between shipping the table and shipping the result
+    val p = plan("q_src_jdbc")
+    assert(p.contains("PushedFilters") && p.contains("GreaterThan(s_acctbal"),
+      s"balance predicate not pushed into the JDBC scan:\n$p")
+  }
+
   test("runtime bloom filter prunes the fact side of a selective join") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
