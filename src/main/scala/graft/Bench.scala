@@ -52,8 +52,9 @@ object Bench {
         // each run is a FRESH invocation: queries that cache their own
         // reused subtrees (the dedup family) must rebuild them, so the
         // reported min is what a new job pays, not a cross-run cache hit —
-        // and 118 queries' caches don't accumulate in the session
-        spark.catalog.clearCache()
+        // and the queries' caches don't accumulate in the session (builders
+        // register every internal cache; release is deterministic, not LRU)
+        graft.ops.Util.unpersistRegistered()
         val t0 = System.nanoTime()
         val ok = try { fn(spark, sfDir).count(); true }
           catch { case e: Throwable =>

@@ -11,12 +11,13 @@ import graft.ops._
   *
   * Caching contract for library callers: the dedup/sketch builders
   * (`q_dedup_near`, `q_dedup_ngram`, `q_dedup_simhash`, sketch rollups)
-  * `.cache()` internally-reused subtrees. Each invocation builds fresh
-  * attribute ids, so repeated calls on a long-lived session accumulate
-  * dead InMemoryRelations rather than reusing them — callers that invoke
-  * a builder repeatedly must `spark.catalog.clearCache()` between
-  * invocations (as Bench and Verify do) or accept storage-memory growth
-  * until Spark's LRU eviction reclaims it.
+  * cache internally-reused subtrees via `Util.cached`, which registers
+  * every such cache. Each invocation builds fresh attribute ids, so
+  * repeated calls on a long-lived session accumulate dead
+  * InMemoryRelations rather than reusing them — callers that invoke a
+  * builder repeatedly should call `Util.unpersistRegistered()` between
+  * invocations (as Bench and Verify do) for deterministic release, or
+  * accept storage-memory growth until Spark's LRU eviction reclaims it.
   */
 object SparkEntry {
 

@@ -34,7 +34,9 @@ object Verify {
     SparkEntry.queries
       .filter { case (n, _) => filter.forall(_.contains(n)) }
       .foreach { case (name, fn) =>
-      spark.catalog.clearCache() // self-cached query subtrees must not accumulate
+      // self-cached query subtrees must not accumulate: builders register
+      // every internal cache, so release is deterministic (not LRU)
+      graft.ops.Util.unpersistRegistered()
       try ntz(fn(spark, sfDir)).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>

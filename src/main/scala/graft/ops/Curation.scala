@@ -61,7 +61,7 @@ object Curation {
     val sh = table(s, dir, "documents")
       .select($"doc_id",
         explode(array_distinct(LlmOps.shingles(LlmOps.toks($"text")))).as("sh"))
-      .cache()
+      .transform(cached)
     val bench = sh.filter($"doc_id" % 50 === 0)
       .select($"sh").distinct().withColumn("hit", lit(1L))
     sh.filter($"doc_id" % 50 =!= 0)
@@ -152,13 +152,22 @@ object Curation {
       .orderBy($"doc_id")
   }
 
-  /** Containment dedup — quote/inclusion detection: for blocked candidate
-    * pairs, C(A,B) = |sh(A)∩sh(B)| / |sh(A)| in BOTH directions. Jaccard
-    * misses a short doc quoted inside a long one (the union term drowns
-    * the overlap); containment is the asymmetric metric that catches it.
-    * Same scale shape as the other dedup ops: prefix-hash blocking first,
-    * shingle arrays built only for survivors (semi-join), per-row
-    * array_intersect — the quadratic stage never leaves the blocked set. */
+  /** Containment dedup — asymmetric overlap: for blocked candidate pairs,
+    * C(A,B) = |sh(A)∩sh(B)| / |sh(A)| in BOTH directions. Where Jaccard's
+    * union term drowns the overlap between a short doc and a long doc
+    * that extends it, containment still scores high. SCOPE: candidates
+    * are blocked on md5(first 40 chars), so only pairs sharing an
+    * identical 40-char prefix (the fixture's planted extend-a-doc shape)
+    * are reachable — a quote appearing mid-document never becomes a
+    * candidate under prefix blocking. The any-position variant blocks on
+    * sampled shingle hashes instead (candidates = docs sharing any
+    * shingle with hash % P == 0); that shape scales the same way but
+    * degenerates on this fixture's ~40-word vocabulary, where chance
+    * shingle collisions make it near-all-pairs, so it is deliberately
+    * not the declared query. Same scale shape as the other dedup ops:
+    * blocking first, shingle arrays built only for survivors (semi-join),
+    * per-row array_intersect — the quadratic stage never leaves the
+    * blocked set. */
   val qDedupContainment: Q = (s, dir) => {
     import s.implicits._
     val d = table(s, dir, "documents")
@@ -166,7 +175,7 @@ object Curation {
     val cands = block.as("x").join(block.as("y"),
         $"x.bk" === $"y.bk" && $"x.doc_id" < $"y.doc_id")
       .select($"x.doc_id".as("doc_a"), $"y.doc_id".as("doc_b"))
-      .cache() // feeds both candDocs legs + the final join
+      .transform(cached) // feeds both candDocs legs + the final join
     val candDocs = cands.select($"doc_a".as("doc_id"))
       .unionAll(cands.select($"doc_b".as("doc_id"))).distinct()
     val docsh = d.join(candDocs, Seq("doc_id"), "left_semi")

@@ -92,7 +92,7 @@ object LlmOps {
     // without this the explode+groupBy pipeline runs twice. At scale the
     // signature table is 8 small strings per doc: kilobytes per million
     // docs vs re-scanning the corpus.
-    val sig = sh.groupBy($"doc_id").agg(lanes.head, lanes.tail: _*).cache()
+    val sig = sh.groupBy($"doc_id").agg(lanes.head, lanes.tail: _*).transform(cached)
     val bandStructs = array((0 until 4).map(b =>
       struct(lit(b).as("band"),
         concat(col(s"m${2 * b}"), lit("|"), col(s"m${2 * b + 1}")).as("bkey"))): _*)
@@ -104,7 +104,7 @@ object LlmOps {
       .select($"x.doc_id".as("doc_a"), $"y.doc_id".as("doc_b"))
       .distinct()
       // consumed three times below (both candDocs legs + the final join)
-      .cache()
+      .transform(cached)
     // Exact Jaccard verify on candidates only: shingle ARRAYS are built
     // per-row just for docs that survived banding (semi-join first, like
     // q_dedup_ngram), ride along the two joins, and intersect per-row

@@ -69,7 +69,7 @@ object LlmOpsExt {
         .bitwiseAND(lit(0xFFFFL))
       when(lane * 2 > $"n", lit(1L << (32 - b))).otherwise(0L)
     }.reduce(_ + _)
-    val sig = sums.select($"doc_id", shl.as("shl")).cache()
+    val sig = sums.select($"doc_id", shl.as("shl")).transform(cached)
     val bands = sig.select($"doc_id", $"shl",
       explode(array(
         struct(lit(0).as("k"), shiftright($"shl", 16).as("bkey")),
@@ -94,7 +94,7 @@ object LlmOpsExt {
     val cands = block.as("x").join(block.as("y"),
         $"x.bk" === $"y.bk" && $"x.doc_id" < $"y.doc_id")
       .select($"x.doc_id".as("doc_a"), $"y.doc_id".as("doc_b"))
-      .cache() // consumed by both candDocs legs and the intersection join
+      .transform(cached) // consumed by both candDocs legs and the intersection join
     // grams are only needed for docs that survived blocking (~10% of the
     // table) — semi-join before the expensive character-gram explosion
     val candDocs = cands.select($"doc_a".as("doc_id"))
@@ -107,7 +107,7 @@ object LlmOpsExt {
       // the char-gram explosion is the expensive stage and feeds BOTH
       // sides of the intersection join plus the per-doc size counts —
       // uncached it would run four times
-      .cache()
+      .transform(cached)
     val sizes = grams.groupBy($"doc_id").agg(count(lit(1)).as("n"))
     val inter = cands
       .join(grams.as("ga"), $"doc_a" === $"ga.doc_id")
@@ -177,7 +177,7 @@ object LlmOpsExt {
         struct(lit(b).as("band"), substring($"sig", b * 4 + 1, 4).as("bkey"))): _*)).as("f"))
       .select($"vec_id", $"label", $"f.band".as("band"), $"f.bkey".as("bkey"))
       // cache: signatures must not recompute for both sides of the self-join
-      .cache()
+      .transform(cached)
     val cands = bands.as("x").join(bands.as("y"),
         $"x.label" === $"y.label" && $"x.band" === $"y.band" &&
           $"x.bkey" === $"y.bkey" && $"x.vec_id" =!= $"y.vec_id")
@@ -318,7 +318,7 @@ object LlmOpsExt {
     // corpus size — the fit is a constant-cost model-estimation step, only
     // encode/score scale with the corpus. (Here the whole table fits the
     // sample budget.)
-    val train = e.orderBy($"vec_id").limit(100000).coalesce(1).cache()
+    val train = e.orderBy($"vec_id").limit(100000).coalesce(1).transform(cached)
     val codebooks: Seq[Seq[Seq[Double]]] = (0 until m).map { j =>
       val sl = train.select(array_to_vector(slice($"emb", j * sub + 1, sub)).as("features"))
       // random init, few iterations: k-means|| costs ~5 extra passes PER

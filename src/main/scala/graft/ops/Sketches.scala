@@ -29,7 +29,7 @@ object Sketches {
     val perGroup = table(s, dir, "lineitem")
       .groupBy($"l_returnflag")
       .agg(expr("hll_sketch_agg(l_partkey, 14)").as("sk"))
-      .cache() // feeds both the per-group rows and the union rollup
+      .transform(cached) // feeds both the per-group rows and the union rollup
     perGroup.select($"l_returnflag",
         expr("hll_sketch_estimate(sk)").cast("long").as("hll_parts"))
       .unionAll(
@@ -65,7 +65,7 @@ object Sketches {
       .withColumn("returned", ($"l_returnflag" === "R").cast("string"))
       .groupBy($"returned")
       .agg(expr("theta_sketch_agg(l_suppkey)").as("sk"))
-      .cache() // feeds both the per-flag rows and the intersection row
+      .transform(cached) // feeds both the per-flag rows and the intersection row
     perFlag.select($"returned",
         expr("theta_sketch_estimate(sk)").cast("long").as("theta_supps"))
       .unionAll(

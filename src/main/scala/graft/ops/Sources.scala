@@ -119,15 +119,39 @@ object Sources {
     * warehouse) with the balance predicate pushed into the remote WHERE
     * clause (asserted in PlanShapeSpec). Doubles round-trip IEEE-exact
     * through Derby DOUBLE, so the oracle reads the original parquet. */
+  /** One unique Derby home per JVM (db files + derby.log live here, not in
+    * the shared tmpdir where per-fixture-hash directories would accumulate
+    * across JVMs), recursively deleted on JVM exit. Lazy: the property is
+    * set exactly once, before the first embedded-Derby connection. */
+  private lazy val derbyHome: String = {
+    val p = java.nio.file.Files.createTempDirectory("graft_derby_")
+    System.setProperty("derby.system.home", p.toString)
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      import java.nio.file.{Files, Path}
+      import java.util.Comparator
+      try Files.walk(p).sorted(Comparator.reverseOrder[Path]())
+        .forEach(f => Files.deleteIfExists(f))
+      catch { case _: Throwable => () }
+    }))
+    p.toString
+  }
+
+  /** Derby tables already written this JVM, keyed by (session, fixture dir).
+    * computeIfAbsent makes the eager JDBC overwrite happen exactly once per
+    * key and blocks a concurrent second invocation until the write commits —
+    * two threads can no longer race on the same embedded DB. */
+  private val jdbcWritten = new java.util.concurrent.ConcurrentHashMap[String, String]
+
   val qSrcJdbc: Q = (s, dir) => {
     import s.implicits._
-    // keep derby.log + the db files under the tmp dir, not the repo
-    System.setProperty("derby.system.home", System.getProperty("java.io.tmpdir"))
-    val url = s"jdbc:derby:graft_jdbc_${Integer.toHexString(dir.hashCode)};create=true"
-    table(s, dir, "supplier")
-      .select($"s_suppkey", $"s_name", $"s_nationkey", $"s_acctbal")
-      .write.mode("overwrite").format("jdbc")
-      .option("url", url).option("dbtable", "supplier").save()
+    val url = s"jdbc:derby:$derbyHome/graft_jdbc_${Integer.toHexString(dir.hashCode)};create=true"
+    jdbcWritten.computeIfAbsent(s"${System.identityHashCode(s)}:$dir", _ => {
+      table(s, dir, "supplier")
+        .select($"s_suppkey", $"s_name", $"s_nationkey", $"s_acctbal")
+        .write.mode("overwrite").format("jdbc")
+        .option("url", url).option("dbtable", "supplier").save()
+      url
+    })
     s.read.format("jdbc")
       .option("url", url).option("dbtable", "supplier")
       .option("partitionColumn", "s_suppkey")

@@ -35,6 +35,30 @@ object Util {
   /** UTC timestamp literal (fixtures store dates as timestamps). */
   def ts(s: String): Column = lit(s).cast("timestamp")
 
+  // Query builders that reuse a derived subtree (the dedup/sketch family)
+  // must cache it (self-joins get fresh attribute ids, so exchange reuse
+  // never fires). Each invocation builds a NEW InMemoryRelation, so on a
+  // long-lived session repeated invocations would accumulate dead cache
+  // entries. Builders therefore register every internal cache here, and
+  // the harness mains (Bench/Verify, and any library caller) release them
+  // deterministically via unpersistRegistered() instead of relying on
+  // clearCache()/LRU eviction.
+  private val registeredCaches =
+    new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]
+
+  /** `.cache()` + registration for deterministic release. */
+  def cached(df: DataFrame): DataFrame = {
+    val c = df.cache()
+    registeredCaches.add(c)
+    c
+  }
+
+  /** Unpersist (non-blocking) every cache registered since the last call. */
+  def unpersistRegistered(): Unit = {
+    var d = registeredCaches.poll()
+    while (d != null) { d.unpersist(blocking = false); d = registeredCaches.poll() }
+  }
+
   /** Dot product of two double-array columns (unit vectors: = cosine) as
     * the codegen'd Catalyst expression graft.functions.DotProduct — one
     * tight Java loop inside whole-stage codegen. Semantics are identical

@@ -49,12 +49,20 @@ def load_queries(path):
             return {k: float(v) for k, v in d["queries"].items()}
     # Fallback for truncated fragments: keep the FIRST occurrence per query
     # (per_query precedes per_query_cold even when its front is cut), and
-    # skip failed_runs lines entirely — their values are failure COUNTS,
-    # not seconds, and must never be diffed against a time baseline.
+    # skip failed_runs VALUES — they are failure COUNTS, not seconds, and
+    # must never be diffed against a time baseline. The skip is scoped to
+    # the text AFTER the failed_runs object's start marker, so a capture
+    # that collapsed newlines (genuine timings sharing a physical line
+    # with the failed_runs object) keeps the timings that precede it.
     out = {}
     for line in text.splitlines():
-        if '"failed_runs"' in line:
-            continue
+        marker = line.find('{"metric":"failed_runs"')
+        if marker < 0:
+            # front-truncated fragment: the object's {"metric": prefix was
+            # cut but the key survived — skip from the key itself
+            marker = line.find('"failed_runs"')
+        if marker >= 0:
+            line = line[:marker]
         for k, v in re.findall(r'"(q_[a-z0-9_]+)":(-?[0-9.]+)', line):
             out.setdefault(k, float(v))
     return out
