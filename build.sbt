@@ -37,5 +37,9 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 16g default on the 128 GiB bench box: at 8g the tail of a 140-query
+  // bench run (accumulated session state + 32 task threads) can hit
+  // full-GC pauses that make one cheap query read 10x slow in a single
+  // round's capture (BENCH_r04's q_udtf outlier).
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
 )

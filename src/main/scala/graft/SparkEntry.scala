@@ -45,6 +45,8 @@ object SparkEntry {
     (Sketches.queries, Sketches.oracleSql),
     (Pipelines.queries, Pipelines.oracleSql),
     (Curation.queries, Curation.oracleSql),
+    (Corpus.queries, Corpus.oracleSql),
+    (Layout.queries, Layout.oracleSql),
   )
 
   /** One entry per implemented operator from SURVEY.md §2. */

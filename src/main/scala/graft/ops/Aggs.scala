@@ -106,7 +106,22 @@ object Aggs {
       .orderBy($"o_custkey")
   }
 
+  /** Bitwise aggregates (bit_and / bit_or / bit_xor) — the fingerprint/
+    * bitmap-rollup primitive; all three are associative+commutative, so
+    * they combine map-side like sum. */
+  val qAggBits: Q = (s, dir) => {
+    import s.implicits._
+    table(s, dir, "lineitem")
+      .groupBy($"l_returnflag")
+      .agg(bit_and($"l_partkey").as("band"),
+        bit_or($"l_partkey").as("bor"),
+        bit_xor($"l_partkey").as("bxor"),
+        count(lit(1)).as("n"))
+      .orderBy($"l_returnflag")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_agg_bits" -> qAggBits,
     "q_agg_groupby" -> qAggGroupby,
     "q_agg_distinct" -> qAggDistinct,
     "q_agg_rollup" -> qAggRollup,
@@ -117,6 +132,11 @@ object Aggs {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q_agg_bits" ->
+      """SELECT l_returnflag, bit_and(l_partkey) AS band,
+        | bit_or(l_partkey) AS bor, bit_xor(l_partkey) AS bxor,
+        | count(*) AS n
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q_agg_groupby" ->
       """SELECT l_returnflag, l_linestatus,
         | CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,

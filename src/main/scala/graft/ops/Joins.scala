@@ -139,7 +139,33 @@ object Joins {
       .orderBy($"r_name", $"n_name")
   }
 
+  /** Skew-salted join — the explicit fix for a hot key that AQE's
+    * skew-split can't always save (one key too large for any split):
+    * the FACT side gets a deterministic salt (8 lanes of l_orderkey),
+    * the DIM side is replicated once per salt via explode, and the join
+    * runs on (key, salt) so the hot key's rows spread over 8 reducers.
+    * The RESULT is identical to the unsalted join — which is exactly
+    * what the oracle checks (plain join SQL): salting must never change
+    * semantics, only the shuffle distribution. Cost: dim side ×8 (dims
+    * are small; at 100 TB you salt only the known-hot keys and union
+    * with an unsalted join of the rest). */
+  val qJoinSalted: Q = (s, dir) => {
+    import s.implicits._
+    val salts = 8
+    val fact = table(s, dir, "lineitem")
+      .select($"l_suppkey", $"l_extendedprice",
+        pmod($"l_orderkey", lit(salts)).as("salt"))
+    val dim = table(s, dir, "supplier")
+      .select($"s_suppkey", $"s_nationkey",
+        explode(sequence(lit(0), lit(salts - 1))).as("salt"))
+    fact.join(dim, $"l_suppkey" === $"s_suppkey" && fact("salt") === dim("salt"))
+      .groupBy($"s_nationkey")
+      .agg(count(lit(1)).as("n_items"), dsum($"l_extendedprice").as("revenue"))
+      .orderBy($"s_nationkey")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_join_salted" -> qJoinSalted,
     "q_join_inner" -> qJoinInner,
     "q_join_range_blocked" -> qJoinRangeBlocked,
     "q_join_broadcast" -> qJoinBroadcast,
@@ -152,6 +178,11 @@ object Joins {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q_join_salted" ->
+      """SELECT s_nationkey, count(*) AS n_items,
+        | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin,
     "q_join_inner" ->
       """SELECT o_orderkey, c_custkey, c_name, o_totalprice
         |FROM orders JOIN customer ON o_custkey = c_custkey

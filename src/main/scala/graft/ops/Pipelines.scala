@@ -143,7 +143,32 @@ object Pipelines {
       .orderBy($"split")
   }
 
+  /** Incremental aggregate maintenance (materialized-view refresh): the
+    * standing daily rollup was built from the OLD events (event_id <
+    * 5000); a new batch (event_id >= 5000) arrives, gets its own partial
+    * rollup, and the refresh MERGES the two partial-agg tables by key —
+    * sums add, counts add. The merge touches only |keys| rows, never the
+    * raw history: at 100 TB the nightly refresh costs O(batch + keys),
+    * not O(corpus). The oracle recomputes from scratch — incremental
+    * maintenance must be indistinguishable from recomputation. */
+  val qEtlIncrAgg: Q = (s, dir) => {
+    import s.implicits._
+    def rollup(df: org.apache.spark.sql.DataFrame) = df
+      .withColumn("day", to_date($"ts"))
+      .groupBy($"user_id", $"day")
+      .agg(count(lit(1)).as("n_events"), sum(dec($"value")).as("sum_v"))
+    val ev = events(s, dir)
+    val mv = rollup(ev.filter($"event_id" < 5000))
+    val delta = rollup(ev.filter($"event_id" >= 5000))
+    mv.unionAll(delta)
+      .groupBy($"user_id", $"day")
+      .agg(sum($"n_events").as("n_events"),
+        sum($"sum_v").cast("double").as("sum_v"))
+      .orderBy($"user_id", $"day")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_etl_incr_agg" -> qEtlIncrAgg,
     "q_pipeline_clean" -> qPipelineClean,
     "q_pipeline_split" -> qPipelineSplit,
     "q_sample_hash" -> qSampleHash,
@@ -153,6 +178,11 @@ object Pipelines {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q_etl_incr_agg" ->
+      """SELECT user_id, ts::TIMESTAMP::DATE AS day, count(*) AS n_events,
+        | CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_v
+        |FROM events GROUP BY user_id, day
+        |ORDER BY user_id, day""".stripMargin,
     "q_pipeline_clean" ->
       """WITH en AS (
         |  SELECT doc_id, source, text,

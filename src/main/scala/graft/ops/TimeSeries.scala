@@ -72,14 +72,127 @@ object TimeSeries {
       .orderBy($"o_orderpriority")
   }
 
+  /** Truncated EWMA (8 taps, α=0.3) per user over the event series: the
+    * smoothing primitive of monitoring/feature pipelines, expressed as a
+    * FINITE sum of lag taps. The textbook recursion y_t = αx_t+(1−α)y_{t−1}
+    * is inherently sequential and its weighted-sum form needs (1−α)^{−t}
+    * scaling that overflows on long series; 8 taps carry ≥94% of the
+    * weight mass and keep the whole thing a single window over one
+    * shuffle on user_id. Weights are written as exact decimal literals
+    * and the additions in a fixed order, so both engines run the same
+    * IEEE sequence and the result is bit-identical (the oracle casts
+    * every weight literal to DOUBLE: bare 0.21-style literals are
+    * DECIMAL in DuckDB and the denominator chain would sum EXACTLY
+    * while Spark sums doubles — measured 7 193/10 000 last-ulp diffs)
+    * — emitted unrounded,
+    * since round() itself is the cross-engine divergence risk (see
+    * qTsAnomaly); the tail normalizer drops weights whose tap is
+    * before the series start. */
+  val qTsEwma: Q = (s, dir) => {
+    import s.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    val wts = Seq(0.3, 0.21, 0.147, 0.1029, 0.07203, 0.050421,
+      0.0352947, 0.02470629) // 0.3 * 0.7^j, j = 0..7
+    def tap(j: Int) =
+      if (j == 0) $"value" * wts(0)
+      else coalesce(lag($"value", j).over(w), lit(0.0)) * wts(j)
+    def den(j: Int) =
+      if (j == 0) lit(wts(0))
+      else when(lag($"value", j).over(w).isNotNull, wts(j)).otherwise(0.0)
+    val num = (1 until 8).foldLeft(tap(0))((acc, j) => acc + tap(j))
+    val dn = (1 until 8).foldLeft(den(0))((acc, j) => acc + den(j))
+    events(s, dir)
+      .select($"user_id", $"event_id", $"value", (num / dn).as("ewma"))
+      .orderBy($"user_id", $"event_id")
+  }
+
+  /** Rolling z-score anomaly detection: each event scored against the
+    * mean/stddev of its user's PRECEDING 20 events (frame excludes the
+    * current row — the score is out-of-sample). Emits every row with a
+    * nullable score rather than filtering on a |z| threshold: a
+    * threshold filter would make ROW MEMBERSHIP depend on float noise,
+    * while a rounded score column only risks the printed digits. The
+    * moments come from EXACT decimal window sums (Σx, Σx²) rather than
+    * avg/stddev over doubles — a windowed double aggregation is
+    * order-dependent and DuckDB's segment-tree accumulation order
+    * differs from Spark's (measured: 5 of 10 000 rows flip a rounded
+    * 4th decimal); decimal sums are order-independent, so every
+    * downstream double op runs the same IEEE sequence on both engines
+    * and mu/z are BIT-identical — which is also why they are emitted
+    * unrounded: round(x, 4) itself diverges cross-engine when a quotient
+    * lands on a .00005 boundary (JVM rounds the shortest decimal
+    * rendering, DuckDB the raw binary). One window shuffle on user_id. */
+  val qTsAnomaly: Q = (s, dir) => {
+    import s.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      .rowsBetween(-20, -1)
+    val withSums = events(s, dir)
+      .withColumn("v", dec($"value"))
+      .select($"user_id", $"event_id", $"value",
+        sum($"v").over(w).cast("double").as("sx"),
+        sum(($"v" * $"v").cast("decimal(30,8)")).over(w).cast("double").as("sxx"),
+        count($"v").over(w).as("n_prev"))
+    val mu = $"sx" / $"n_prev"
+    // Σ(x−μ)² = Σx² − Σx·μ ; sample variance over the n_prev-row frame
+    val varr = ($"sxx" - $"sx" * mu) / ($"n_prev" - 1)
+    val sd = sqrt(greatest(varr, lit(0.0)))
+    withSums
+      .select($"user_id", $"event_id", $"value", mu.as("mu"),
+        $"n_prev",
+        when($"n_prev" >= 10,
+          when(sd > 1e-9, ($"value" - mu) / sd)).as("z"))
+      .orderBy($"user_id", $"event_id")
+  }
+
   val queries: Map[String, Q] = Map(
     "q_agg_approxq" -> qAggApproxq,
     "q_ts_gapfill" -> qTsGapfill,
+    "q_ts_ewma" -> qTsEwma,
+    "q_ts_anomaly" -> qTsAnomaly,
     "q_agg_grouping" -> qAggGrouping,
     "q_fn_trycast" -> qFnTrycast,
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q_ts_ewma" ->
+      """WITH e AS (SELECT user_id, event_id, value,
+        |  lag(value, 1) OVER w AS l1, lag(value, 2) OVER w AS l2,
+        |  lag(value, 3) OVER w AS l3, lag(value, 4) OVER w AS l4,
+        |  lag(value, 5) OVER w AS l5, lag(value, 6) OVER w AS l6,
+        |  lag(value, 7) OVER w AS l7
+        | FROM events
+        | WINDOW w AS (PARTITION BY user_id ORDER BY ts::TIMESTAMP, event_id))
+        |SELECT user_id, event_id, value,
+        | ((value * 0.3 + coalesce(l1, 0.0) * 0.21
+        |   + coalesce(l2, 0.0) * 0.147 + coalesce(l3, 0.0) * 0.1029
+        |   + coalesce(l4, 0.0) * 0.07203 + coalesce(l5, 0.0) * 0.050421
+        |   + coalesce(l6, 0.0) * 0.0352947 + coalesce(l7, 0.0) * 0.02470629)
+        |  / (CAST(0.3 AS DOUBLE)
+        |   + CASE WHEN l1 IS NOT NULL THEN CAST(0.21 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END
+        |   + CASE WHEN l2 IS NOT NULL THEN CAST(0.147 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END
+        |   + CASE WHEN l3 IS NOT NULL THEN CAST(0.1029 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END
+        |   + CASE WHEN l4 IS NOT NULL THEN CAST(0.07203 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END
+        |   + CASE WHEN l5 IS NOT NULL THEN CAST(0.050421 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END
+        |   + CASE WHEN l6 IS NOT NULL THEN CAST(0.0352947 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END
+        |   + CASE WHEN l7 IS NOT NULL THEN CAST(0.02470629 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END)) AS ewma
+        |FROM e ORDER BY user_id, event_id""".stripMargin,
+    "q_ts_anomaly" ->
+      """WITH e AS (SELECT user_id, event_id, value,
+        |  CAST(sum(CAST(value AS DECIMAL(18,4))) OVER w AS DOUBLE) AS sx,
+        |  CAST(sum(CAST(CAST(value AS DECIMAL(18,4)) * CAST(value AS DECIMAL(18,4))
+        |    AS DECIMAL(30,8))) OVER w AS DOUBLE) AS sxx,
+        |  count(value) OVER w AS n_prev
+        | FROM events
+        | WINDOW w AS (PARTITION BY user_id ORDER BY ts::TIMESTAMP, event_id
+        |   ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING)),
+        |m AS (SELECT user_id, event_id, value, n_prev, sx / n_prev AS mu,
+        |  sqrt(greatest((sxx - sx * (sx / n_prev)) / (n_prev - 1), 0.0)) AS sd
+        | FROM e)
+        |SELECT user_id, event_id, value, mu, n_prev,
+        | CASE WHEN n_prev >= 10
+        |      THEN CASE WHEN sd > 1e-9 THEN (value - mu) / sd END
+        | END AS z
+        |FROM m ORDER BY user_id, event_id""".stripMargin,
     "q_ts_gapfill" ->
       """WITH daily AS (SELECT user_id, ts::TIMESTAMP::DATE AS day,
         |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS day_sum

@@ -90,7 +90,26 @@ object Windows {
       .orderBy($"o_orderkey")
   }
 
+  /** percent_rank + cume_dist over a UNIQUE ordering (totalprice then
+    * orderkey): both are pure rank arithmetic, deterministic once the
+    * order is total. One window shuffle on the partition key. */
+  val qWinPctRank: Q = (s, dir) => {
+    import s.implicits._
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"o_orderpriority")
+      .orderBy($"o_totalprice", $"o_orderkey")
+    table(s, dir, "orders")
+      .filter($"o_custkey" % 100 === 0)
+      .select($"o_orderpriority", $"o_orderkey", $"o_totalprice",
+        // unrounded: rank arithmetic over identical ints is bit-identical
+        // cross-engine, while round() itself can diverge at .5 boundaries
+        percent_rank().over(w).as("pr"),
+        cume_dist().over(w).as("cd"))
+      .orderBy($"o_orderpriority", $"o_orderkey")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_win_pctrank" -> qWinPctRank,
     "q_win_rank" -> qWinRank,
     "q_win_topk_group" -> qWinTopkGroup,
     "q_win_lag" -> qWinLag,
@@ -100,6 +119,14 @@ object Windows {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q_win_pctrank" ->
+      """SELECT o_orderpriority, o_orderkey, o_totalprice,
+        | percent_rank() OVER w AS pr,
+        | cume_dist() OVER w AS cd
+        |FROM orders WHERE o_custkey % 100 = 0
+        |WINDOW w AS (PARTITION BY o_orderpriority
+        |  ORDER BY o_totalprice, o_orderkey)
+        |ORDER BY o_orderpriority, o_orderkey""".stripMargin,
     "q_win_rank" ->
       """SELECT c_custkey, c_mktsegment, c_acctbal,
         | row_number() OVER w AS rn, rank() OVER w AS rk, dense_rank() OVER w AS drk

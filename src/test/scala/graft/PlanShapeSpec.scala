@@ -212,4 +212,32 @@ class PlanShapeSpec extends SparkSuite {
     } finally saved.fold(spark.conf.unset("spark.sql.codegen.fallback"))(
       spark.conf.set("spark.sql.codegen.fallback", _))
   }
+
+  test("morton_interleave codegen expression compiles into the z-order plan") {
+    val saved = spark.conf.getOption("spark.sql.codegen.fallback")
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      val df = SparkEntry.queries("q_layout_zorder")(spark, sfDir)
+      assert(df.count() > 0)
+      val p = df.queryExecution.executedPlan.toString
+      assert(p.contains("morton_interleave"),
+        s"MortonInterleave expression missing from the physical plan:\n$p")
+    } finally saved.fold(spark.conf.unset("spark.sql.codegen.fallback"))(
+      spark.conf.set("spark.sql.codegen.fallback", _))
+  }
+
+  test("z-order buckets have tight envelopes in BOTH dimensions") {
+    // the pruning evidence: under a z-ordered layout each curve bucket
+    // spans ≤ 2^3 of EACH source column (the bucket pins the top 3 bits
+    // of both); a 1-d sort would give tight envelopes in its leading
+    // column but full-range envelopes in the other
+    val rows = SparkEntry.queries("q_layout_zorder")(spark, sfDir)
+      .selectExpr("size_max - size_min", "k64_max - k64_min")
+      .collect()
+    assert(rows.length > 4, "expected many z-buckets")
+    rows.foreach { r =>
+      assert(r.getInt(0) <= 7, s"p_size envelope ${r.getInt(0)} not tight")
+      assert(r.getLong(1) <= 7L, s"key envelope ${r.getLong(1)} not tight")
+    }
+  }
 }

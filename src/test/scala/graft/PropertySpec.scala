@@ -187,4 +187,25 @@ class PropertySpec extends SparkSuite {
       assert(err <= bound, s"quantization error $err exceeds bound $bound")
     }
   }
+
+  test("morton_interleave: magic-mask spread == per-bit interleave; order-embedding") {
+    // the magic-mask implementation must equal the definitional bit loop,
+    // and the curve must embed the per-dimension orders: growing one
+    // coordinate (other fixed) never decreases the key
+    forAll(Gen.choose(0L, 65535L), Gen.choose(0L, 65535L)) { (x, y) =>
+      def bitwise(x: Long, y: Long): Long =
+        (0 until 16).map { i =>
+          (((x >> i) & 1L) << (2 * i)) | (((y >> i) & 1L) << (2 * i + 1))
+        }.reduce(_ | _)
+      val m = graft.functions.MortonInterleave.spread(x) |
+        (graft.functions.MortonInterleave.spread(y) << 1)
+      assert(m == bitwise(x, y), s"magic-mask morton($x,$y) != definition")
+      if (x < 65535L)
+        assert((graft.functions.MortonInterleave.spread(x + 1) |
+          (graft.functions.MortonInterleave.spread(y) << 1)) > m)
+      if (y < 65535L)
+        assert((graft.functions.MortonInterleave.spread(x) |
+          (graft.functions.MortonInterleave.spread(y + 1) << 1)) > m)
+    }
+  }
 }
