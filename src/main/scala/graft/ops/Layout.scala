@@ -49,8 +49,48 @@ object Layout {
       .orderBy($"bucket")
   }
 
+  /** Point-in-bbox spatial join via grid binning — the GEE filterBounds
+    * analog (scene footprints × query points) and the 2-d sibling of the
+    * blocked range join: a naive formulation is a cross join with two
+    * interval predicates (quadratic); binning space into cells the size
+    * of the max bbox extent makes it an EQUI-join on the cell key. Each
+    * bbox explodes to the ≤2×2 cells it can overlap, each point maps to
+    * exactly ONE cell, and the exact containment predicate runs only on
+    * cell-collided pairs — at 100 TB candidate volume scales with local
+    * density, never |scenes|×|points|. Scenes/points are derived
+    * deterministically from part/customer (4×4 bboxes on a ~104×54
+    * grid); the oracle is the naive inequality join, so binning is
+    * proven semantics-preserving. */
+  val qGeoBbox: Q = (s, dir) => {
+    import s.implicits._
+    val cell = 4.0
+    val scenes = table(s, dir, "part")
+      .select($"p_partkey", $"p_brand",
+        ($"p_partkey" % 100).cast("double").as("x0"),
+        $"p_size".cast("double").as("y0"))
+      .withColumn("x1", $"x0" + 4.0).withColumn("y1", $"y0" + 4.0)
+      .withColumn("cx", explode(sequence(
+        floor($"x0" / cell).cast("int"), floor($"x1" / cell).cast("int"))))
+      .withColumn("cy", explode(sequence(
+        floor($"y0" / cell).cast("int"), floor($"y1" / cell).cast("int"))))
+    val points = table(s, dir, "customer")
+      .select($"c_custkey",
+        (($"c_custkey" % 100).cast("double") + 0.5).as("px"),
+        (($"c_custkey" % 50).cast("double") + 0.5).as("py"))
+      .withColumn("cx", floor($"px" / cell).cast("int"))
+      .withColumn("cy", floor($"py" / cell).cast("int"))
+    scenes.join(points, Seq("cx", "cy"))
+      .filter($"px" >= $"x0" && $"px" <= $"x1" &&
+        $"py" >= $"y0" && $"py" <= $"y1")
+      .groupBy($"p_brand")
+      .agg(count(lit(1)).as("n_pairs"),
+        countDistinct($"c_custkey").as("n_points"))
+      .orderBy($"p_brand")
+  }
+
   val queries: Map[String, Q] = Map(
     "q_layout_zorder" -> qLayoutZorder,
+    "q_geo_bbox" -> qGeoBbox,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -77,5 +117,19 @@ object Layout {
         | min(p_size) AS size_min, max(p_size) AS size_max,
         | min(k64) AS k64_min, max(k64) AS k64_max
         |FROM z GROUP BY bucket ORDER BY bucket""".stripMargin,
+    // the oracle is the NAIVE inequality join — the grid binning in the
+    // Spark plan must be invisible in the result
+    "q_geo_bbox" ->
+      """WITH scenes AS (SELECT p_partkey, p_brand,
+        |  CAST(p_partkey % 100 AS DOUBLE) AS x0,
+        |  CAST(p_size AS DOUBLE) AS y0 FROM part),
+        |pts AS (SELECT c_custkey,
+        |  CAST(c_custkey % 100 AS DOUBLE) + 0.5 AS px,
+        |  CAST(c_custkey % 50 AS DOUBLE) + 0.5 AS py FROM customer)
+        |SELECT p_brand, count(*) AS n_pairs,
+        | count(DISTINCT c_custkey) AS n_points
+        |FROM scenes JOIN pts
+        |  ON px >= x0 AND px <= x0 + 4.0 AND py >= y0 AND py <= y0 + 4.0
+        |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
   )
 }

@@ -144,7 +144,26 @@ object TimeSeries {
       .orderBy($"user_id", $"event_id")
   }
 
+  /** Hourly OHLC resample per event type — the time-bucketed composite
+    * (GEE "least-cloudy scene per period" shape): open/close via
+    * min_by/max_by on the UNIQUE event_id arrival order, high/low plain
+    * min/max. One shuffle on the (type, hour) key; min_by/max_by carry
+    * one (value, key) pair of state per group, so the composite costs
+    * the same as a sum at any scale. */
+  val qTsOhlc: Q = (s, dir) => {
+    import s.implicits._
+    events(s, dir)
+      .withColumn("hour", date_trunc("hour", $"ts"))
+      .groupBy($"event_type", $"hour")
+      .agg(min_by($"value", $"event_id").as("open"),
+        max_by($"value", $"event_id").as("close"),
+        max($"value").as("high"), min($"value").as("low"),
+        count(lit(1)).as("n_events"))
+      .orderBy($"event_type", $"hour")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_ts_ohlc" -> qTsOhlc,
     "q_agg_approxq" -> qAggApproxq,
     "q_ts_gapfill" -> qTsGapfill,
     "q_ts_ewma" -> qTsEwma,
@@ -154,6 +173,12 @@ object TimeSeries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q_ts_ohlc" ->
+      """SELECT event_type, date_trunc('hour', ts::TIMESTAMP) AS hour,
+        | arg_min(value, event_id) AS open, arg_max(value, event_id) AS close,
+        | max(value) AS high, min(value) AS low, count(*) AS n_events
+        |FROM events GROUP BY event_type, hour
+        |ORDER BY event_type, hour""".stripMargin,
     "q_ts_ewma" ->
       """WITH e AS (SELECT user_id, event_id, value,
         |  lag(value, 1) OVER w AS l1, lag(value, 2) OVER w AS l2,

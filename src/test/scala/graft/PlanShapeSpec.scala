@@ -226,6 +226,15 @@ class PlanShapeSpec extends SparkSuite {
       spark.conf.set("spark.sql.codegen.fallback", _))
   }
 
+  test("grid-binned bbox join is an equi-join on the cell key, not a nested loop") {
+    val p = SparkEntry.queries("q_geo_bbox")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("HashJoin") || p.contains("SortMergeJoin"),
+      s"expected an equi-join on (cx, cy):\n$p")
+    assert(!p.contains("NestedLoop") && !p.contains("CartesianProduct"),
+      s"bbox join degenerated to a quadratic join:\n$p")
+  }
+
   test("z-order buckets have tight envelopes in BOTH dimensions") {
     // the pruning evidence: under a z-ordered layout each curve bucket
     // spans ≤ 2^3 of EACH source column (the bucket pins the top 3 bits
