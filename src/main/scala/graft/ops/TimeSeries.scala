@@ -162,7 +162,36 @@ object TimeSeries {
       .orderBy($"event_type", $"hour")
   }
 
+  /** Ordered funnel analysis (view → click → purchase per user): each
+    * stage's timestamp is the FIRST event of that type strictly after
+    * the previous stage — the sequence-pattern primitive of product
+    * analytics. Stage-at-a-time conditional aggregation: one filtered
+    * min-agg per stage joined on the user key (partial-agg friendly;
+    * the per-stage tables are |users| rows, so the joins broadcast at
+    * any corpus scale). */
+  val qTsFunnel: Q = (s, dir) => {
+    import s.implicits._
+    val ev = events(s, dir).select($"user_id", $"event_type", $"ts")
+    val users = ev.select($"user_id").distinct()
+    val v = ev.filter($"event_type" === "view")
+      .groupBy($"user_id").agg(min($"ts").as("t_view"))
+    val c = ev.filter($"event_type" === "click").join(v, "user_id")
+      .filter($"ts" > $"t_view")
+      .groupBy($"user_id").agg(min($"ts").as("t_click"))
+    val pch = ev.filter($"event_type" === "purchase").join(c, "user_id")
+      .filter($"ts" > $"t_click")
+      .groupBy($"user_id").agg(min($"ts").as("t_purchase"))
+    users
+      .join(v, Seq("user_id"), "left").join(c, Seq("user_id"), "left")
+      .join(pch, Seq("user_id"), "left")
+      .select($"user_id", $"t_view", $"t_click", $"t_purchase",
+        when($"t_purchase".isNotNull, 3).when($"t_click".isNotNull, 2)
+          .when($"t_view".isNotNull, 1).otherwise(0).as("stage"))
+      .orderBy($"user_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_ts_funnel" -> qTsFunnel,
     "q_ts_ohlc" -> qTsOhlc,
     "q_agg_approxq" -> qAggApproxq,
     "q_ts_gapfill" -> qTsGapfill,
@@ -173,6 +202,26 @@ object TimeSeries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q_ts_funnel" ->
+      """WITH v AS (SELECT user_id, min(ts::TIMESTAMP) AS t_view
+        |  FROM events WHERE event_type = 'view' GROUP BY user_id),
+        |c AS (SELECT e.user_id, min(ts::TIMESTAMP) AS t_click
+        |  FROM events e JOIN v ON e.user_id = v.user_id
+        |  WHERE event_type = 'click' AND ts::TIMESTAMP > t_view
+        |  GROUP BY e.user_id),
+        |p AS (SELECT e.user_id, min(ts::TIMESTAMP) AS t_purchase
+        |  FROM events e JOIN c ON e.user_id = c.user_id
+        |  WHERE event_type = 'purchase' AND ts::TIMESTAMP > t_click
+        |  GROUP BY e.user_id)
+        |SELECT u.user_id, t_view, t_click, t_purchase,
+        | CASE WHEN t_purchase IS NOT NULL THEN 3
+        |      WHEN t_click IS NOT NULL THEN 2
+        |      WHEN t_view IS NOT NULL THEN 1 ELSE 0 END AS stage
+        |FROM (SELECT DISTINCT user_id FROM events) u
+        |LEFT JOIN v ON u.user_id = v.user_id
+        |LEFT JOIN c ON u.user_id = c.user_id
+        |LEFT JOIN p ON u.user_id = p.user_id
+        |ORDER BY u.user_id""".stripMargin,
     "q_ts_ohlc" ->
       """SELECT event_type, date_trunc('hour', ts::TIMESTAMP) AS hour,
         | arg_min(value, event_id) AS open, arg_max(value, event_id) AS close,
