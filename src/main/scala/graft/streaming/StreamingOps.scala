@@ -52,6 +52,22 @@ object StreamingOps {
       .select(col("user_id"), col("session_window.start").as("s_start"),
         col("n_events"), col("sum_value"))
 
+  /** Hourly OHLC composite per event type (streaming form of
+    * graft.ops.TimeSeries.qTsOhlc): min_by/max_by on the unique
+    * event_id arrival order are ordinary declarative aggregates, so the
+    * state store carries one (value, key) pair per group — the same
+    * O(1)-per-group cost as the batch plan, bounded by the watermark
+    * horizon × type cardinality. */
+  def ohlc(events: DataFrame): DataFrame =
+    events.withWatermark("ts", "10 minutes")
+      .groupBy(col("event_type"), window(col("ts"), "1 hour"))
+      .agg(min_by(col("value"), col("event_id")).as("open"),
+        max_by(col("value"), col("event_id")).as("close"),
+        max(col("value")).as("high"), min(col("value")).as("low"),
+        count(lit(1)).as("n_events"))
+      .select(col("event_type"), col("window.start").as("hour"),
+        col("open"), col("close"), col("high"), col("low"), col("n_events"))
+
   /** Exactly-once style dedup on event_id within the watermark horizon. */
   def dedup(events: DataFrame): DataFrame =
     events.withWatermark("ts", "1 hour")

@@ -58,6 +58,19 @@ class StreamingParitySpec extends SparkSuite {
     assertSetEqual(streamed, batch, "sliding")
   }
 
+  test("hourly OHLC: stream == batch declared query") {
+    import org.apache.spark.sql.functions.col
+    val streamed = runToBatch(
+      graft.streaming.StreamingOps.ohlc(eventStream), "t_ohlc")
+      .select("event_type", "hour", "open", "close", "high", "low", "n_events")
+    // parity against the DECLARED batch query (date_trunc('hour') ==
+    // 1-hour tumbling window start), not a re-derivation
+    val batch = SparkEntry.queries("q_ts_ohlc")(spark, sfDir)
+      .select(col("event_type"), col("hour"),
+        col("open"), col("close"), col("high"), col("low"), col("n_events"))
+    assertSetEqual(streamed, batch, "ohlc")
+  }
+
   test("session window: stream == batch") {
     val streamed = runToBatch(
       graft.streaming.StreamingOps.sessions(eventStream), "t_session")
