@@ -162,7 +162,40 @@ object Sources {
       .orderBy($"s_suppkey")
   }
 
+  /** Dynamic partition pruning: the partitioned fact (orders by o_year,
+    * same layout as q_src_partitioned) joined to a broadcast dim whose
+    * FILTER (era = 'late') — not any literal on the fact side — decides
+    * which partitions matter. Spark injects the dim's post-filter key set
+    * into the fact scan as a runtime partition filter
+    * (`dynamicpruningexpression` in PartitionFilters, asserted in
+    * PlanShapeSpec), so only the 2000/2001 directories are read. At
+    * 100 TB this is THE mechanism that lets `fact ⋈ dim WHERE
+    * dim.attr = x` read one partition instead of all of them when the
+    * pruning key never appears as a literal. */
+  val qJoinDpp: Q = (s, dir) => {
+    import s.implicits._
+    val path = tmp(dir, "part_orders_dpp")
+    table(s, dir, "orders")
+      .withColumn("o_year", year($"o_orderdate"))
+      .write.mode("overwrite").partitionBy("o_year").parquet(path)
+    // The dim must be a REAL scan, not a LocalRelation:
+    // ConvertToLocalRelation folds a Filter over local rows into the
+    // relation itself, leaving no selective Filter node for the
+    // PartitionPruning rule to subscribe to — so DPP would never fire.
+    val dimPath = tmp(dir, "dpp_dim")
+    (1995 to 2001).toDF("d_year")
+      .withColumn("era", when($"d_year" >= 2000, "late").otherwise("early"))
+      .write.mode("overwrite").parquet(dimPath)
+    val dim = s.read.parquet(dimPath)
+    s.read.parquet(path)
+      .join(broadcast(dim.filter($"era" === "late")), $"o_year" === $"d_year")
+      .groupBy($"o_year")
+      .agg(count(lit(1)).as("n_orders"), dsum($"o_totalprice").as("sum_price"))
+      .orderBy($"o_year")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_join_dpp" -> qJoinDpp,
     "q_src_csv" -> qSrcCsv,
     "q_src_jdbc" -> qSrcJdbc,
     "q_src_json" -> qSrcJson,
@@ -173,6 +206,11 @@ object Sources {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q_join_dpp" ->
+      """SELECT CAST(year(o_orderdate) AS INT) AS o_year, count(*) AS n_orders,
+        | CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+        |FROM orders WHERE year(o_orderdate) IN (2000, 2001)
+        |GROUP BY o_year ORDER BY o_year""".stripMargin,
     "q_src_jdbc" ->
       """SELECT s_suppkey, s_name, s_nationkey, s_acctbal
         |FROM supplier WHERE s_acctbal > 0

@@ -226,6 +226,14 @@ class PlanShapeSpec extends SparkSuite {
       spark.conf.set("spark.sql.codegen.fallback", _))
   }
 
+  test("dynamic partition pruning fires on the dim-filtered partitioned join") {
+    val df = SparkEntry.queries("q_join_dpp")(spark, sfDir)
+    assert(df.count() == 2, "expected the two 'late'-era year groups")
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("dynamicpruning"),
+      s"no dynamicpruningexpression in the fact scan's PartitionFilters:\n$p")
+  }
+
   test("grid-binned bbox join is an equi-join on the cell key, not a nested loop") {
     val p = SparkEntry.queries("q_geo_bbox")(spark, sfDir)
       .queryExecution.executedPlan.toString
