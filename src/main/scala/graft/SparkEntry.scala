@@ -47,6 +47,7 @@ object SparkEntry {
     (Curation.queries, Curation.oracleSql),
     (Corpus.queries, Corpus.oracleSql),
     (Layout.queries, Layout.oracleSql),
+    (Advanced.queries, Advanced.oracleSql),
   )
 
   /** One entry per implemented operator from SURVEY.md §2. */

@@ -1,0 +1,293 @@
+package graft.ops
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import Util._
+
+/** Round-5 surface widening: recursive CTEs (Spark 4's UnionLoop),
+  * LATERAL top-k-per-row joins, SCD-2 dimension builds, histogram
+  * bucketing, deterministic mode, triangle counting on a derived
+  * co-occurrence graph, rolling autocorrelation from exact decimal
+  * moments, and a per-group quantile curation gate. */
+object Advanced {
+
+  private def views(s: org.apache.spark.sql.SparkSession, dir: String): Unit =
+    Seq("supplier", "nation", "customer").foreach { t =>
+      table(s, dir, t).createOrReplaceTempView(t)
+    }
+
+  /** One SQL text, two engines: WITH RECURSIVE over the implicit binary
+    * tree parent(k) = floor(k/2) on supplier keys — depth + running
+    * path balance from the root. Exercises Spark 4's UnionLoop plan
+    * (iterative union fixpoint). The per-level decimal sum is cast back
+    * to a fixed DECIMAL(28,4) in the recursive leg because the anchor
+    * pins the column type and decimal addition widens. Scale shape:
+    * each recursion level is one join of the (pruned) supplier scan
+    * against the previous frontier — depth is log2(n), so 100 TB of
+    * suppliers costs ~40 frontier joins, each a hash join on the key. */
+  private val sqlRecursive =
+    """WITH RECURSIVE tree AS (
+      |  SELECT s_suppkey AS key, CAST(0 AS BIGINT) AS depth,
+      |    CAST(CAST(s_acctbal AS DECIMAL(18,4)) AS DECIMAL(28,4)) AS path_bal
+      |  FROM supplier WHERE s_suppkey = 0
+      |  UNION ALL
+      |  SELECT s.s_suppkey, t.depth + 1,
+      |    CAST(t.path_bal + CAST(s.s_acctbal AS DECIMAL(18,4)) AS DECIMAL(28,4))
+      |  FROM supplier s JOIN tree t
+      |    ON CAST(FLOOR(s.s_suppkey / 2.0) AS BIGINT) = t.key
+      |  WHERE s.s_suppkey > 0)
+      |SELECT key, depth, CAST(path_bal AS DOUBLE) AS path_bal
+      |FROM tree ORDER BY key""".stripMargin
+
+  val qSqlRecursive: Q = (s, dir) => { views(s, dir); s.sql(sqlRecursive) }
+
+  /** LATERAL correlated subquery with ORDER BY + LIMIT: top-2 customers
+    * by balance per nation, driven from the nation row (Spark plans a
+    * LateralJoin; the per-row limit never materializes the full group).
+    * The oracle states the same semantics as a window rank — lateral
+    * top-k and rank-filter must agree. */
+  val qSqlLateral: Q = (s, dir) => {
+    views(s, dir)
+    s.sql(
+      """SELECT n_name, c_custkey, c_acctbal
+        |FROM nation JOIN LATERAL (
+        |  SELECT c_custkey, c_acctbal FROM customer
+        |  WHERE c_nationkey = n_nationkey
+        |  ORDER BY c_acctbal DESC, c_custkey LIMIT 2)
+        |ORDER BY n_name, c_custkey""".stripMargin)
+  }
+
+  /** SCD type-2 dimension build from the event stream: collapse
+    * consecutive repeats of each user's event_type, then derive
+    * [valid_from, valid_to) intervals + is_current via lead(). The
+    * change-detection lag() and the interval lead() are two window
+    * passes over the SAME (user_id) partitioning — one shuffle, the
+    * second window reuses the first's sort. */
+  val qEtlScd2: Q = (s, dir) => {
+    import s.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    val chg = events(s, dir)
+      .withColumn("prev", lag($"event_type", 1).over(w))
+      .filter($"prev".isNull || $"prev" =!= $"event_type")
+      .select($"user_id", $"event_type", $"ts".as("valid_from"), $"event_id")
+    val w2 = Window.partitionBy($"user_id").orderBy($"valid_from", $"event_id")
+    chg
+      .withColumn("version", row_number().over(w2).cast("long"))
+      .withColumn("valid_to", lead($"valid_from", 1).over(w2))
+      .withColumn("is_current", $"valid_to".isNull)
+      .select($"user_id", $"version", $"event_type", $"valid_from",
+        $"valid_to", $"is_current")
+      .orderBy($"user_id", $"version")
+  }
+
+  /** Numeric histogram via width_bucket with power-of-two bounds
+    * (0, 131072, 16 buckets → step 8192): (x − lo)/step is an exact
+    * exponent shift, so bucket assignment is float-noise-free and the
+    * DuckDB floor-arithmetic emulation lands every row identically. */
+  val qAggHistogram: Q = (s, dir) => {
+    import s.implicits._
+    table(s, dir, "lineitem")
+      .select(expr("width_bucket(l_extendedprice, 0.0D, 131072.0D, 16)")
+        .as("bucket"), $"l_extendedprice")
+      .groupBy($"bucket")
+      .agg(count(lit(1)).as("n_rows"),
+        dsum($"l_extendedprice").as("sum_price"))
+      .orderBy($"bucket")
+  }
+
+  /** Deterministic mode: most frequent o_orderpriority per
+    * (order-year, status), ties broken lexicographically — native
+    * mode() leaves tie order engine-defined, so the rank form is the
+    * portable contract. Partial-aggregated count then a tiny window. */
+  val qAggMode: Q = (s, dir) => {
+    import s.implicits._
+    val counts = table(s, dir, "orders")
+      .groupBy(year($"o_orderdate").cast("int").as("o_year"),
+        $"o_orderstatus", $"o_orderpriority")
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy($"o_year", $"o_orderstatus")
+      .orderBy($"n".desc, $"o_orderpriority")
+    counts.withColumn("rn", row_number().over(w))
+      .filter($"rn" === 1)
+      .select($"o_year", $"o_orderstatus",
+        $"o_orderpriority".as("modal_priority"), $"n".as("n_modal"))
+      .orderBy($"o_year", $"o_orderstatus")
+  }
+
+  /** Triangle counting on the part co-order graph (parts appearing in
+    * the same returned order share an edge): the standard wedge-closing
+    * 3-way self-join with u < v < w canonicalization, reported per
+    * smallest vertex. The edge list is cached — three self-join legs
+    * get fresh attribute ids, so exchange reuse never fires without it.
+    * Scale shape: edges partition by vertex; wedge generation is the
+    * deg² hotspot, bounded here by the order-size cap inherent in the
+    * fixture (orders have ≤7 lines) — at 100 TB the same plan holds
+    * with a high-degree-vertex cutoff. */
+  val qGraphTriangles: Q = (s, dir) => {
+    import s.implicits._
+    val li = table(s, dir, "lineitem")
+      .filter($"l_returnflag" === "R")
+      .select($"l_orderkey", $"l_partkey")
+    val e = li.as("a").join(li.as("b"),
+        $"a.l_orderkey" === $"b.l_orderkey" &&
+          $"a.l_partkey" < $"b.l_partkey")
+      .select($"a.l_partkey".as("u"), $"b.l_partkey".as("v"))
+      .distinct()
+      .transform(cached) // three self-join legs below
+    e.as("e1").join(e.as("e2"), $"e1.v" === $"e2.u")
+      .join(e.as("e3"), $"e1.u" === $"e3.u" && $"e2.v" === $"e3.v")
+      .groupBy($"e1.u".as("u"))
+      .agg(count(lit(1)).as("n_triangles"))
+      .orderBy($"u")
+  }
+
+  /** Rolling lag-1 autocorrelation per user over a trailing 20-row
+    * frame. Pearson moments (Σx, Σy, Σxy, Σx², Σy²) come from EXACT
+    * decimal window sums — windowed double aggregation is
+    * accumulation-order-dependent across engines (see qTsAnomaly) —
+    * then the correlation itself runs the same IEEE double sequence on
+    * both engines, so it is emitted unrounded. Pairs where the lag is
+    * null (each user's first row) are excluded from every moment via
+    * the same conditional. */
+  val qTsCorr: Q = (s, dir) => {
+    import s.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    val wf = w.rowsBetween(-19, 0)
+    def m(c: org.apache.spark.sql.Column) =
+      sum(when($"y".isNotNull, c)).over(wf).cast("double")
+    val lagged = events(s, dir)
+      .withColumn("y", lag($"value", 1).over(w))
+    val sums = lagged.select($"user_id", $"event_id", $"value",
+      m(dec($"value")).as("sx"),
+      m(dec($"y")).as("sy"),
+      m((dec($"value") * dec($"y")).cast("decimal(30,8)")).as("sxy"),
+      m((dec($"value") * dec($"value")).cast("decimal(30,8)")).as("sxx"),
+      m((dec($"y") * dec($"y")).cast("decimal(30,8)")).as("syy"),
+      count($"y").over(wf).cast("double").as("n"))
+    sums.select($"user_id", $"event_id", $"value",
+      $"n".cast("long").as("n_pairs"),
+      when($"n" >= 10 &&
+          ($"n" * $"sxx" - $"sx" * $"sx") > 0 &&
+          ($"n" * $"syy" - $"sy" * $"sy") > 0,
+        ($"n" * $"sxy" - $"sx" * $"sy") /
+          (sqrt($"n" * $"sxx" - $"sx" * $"sx") *
+            sqrt($"n" * $"syy" - $"sy" * $"sy"))).as("autocorr"))
+      .orderBy($"user_id", $"event_id")
+  }
+
+  /** Per-group quantile gate — the corpus-curation primitive "keep the
+    * longest quartile per language". percent_rank over (n_chars,
+    * doc_id) is tie-free (doc_id unique), so the (rank−1)/(n−1)
+    * quotient of small integers is bit-identical cross-engine and the
+    * ≥ 0.75 membership filter is float-noise-free. One window shuffle
+    * on lang. */
+  val qCurateQuantile: Q = (s, dir) => {
+    import s.implicits._
+    val w = Window.partitionBy($"lang").orderBy($"n_chars", $"doc_id")
+    table(s, dir, "documents")
+      .withColumn("pr", percent_rank().over(w))
+      .filter($"pr" >= 0.75)
+      .select($"doc_id", $"lang", $"n_chars", $"pr")
+      .orderBy($"lang", $"doc_id")
+  }
+
+  val queries: Map[String, Q] = Map(
+    "q_sql_recursive" -> qSqlRecursive,
+    "q_sql_lateral" -> qSqlLateral,
+    "q_etl_scd2" -> qEtlScd2,
+    "q_agg_histogram" -> qAggHistogram,
+    "q_agg_mode" -> qAggMode,
+    "q_graph_triangles" -> qGraphTriangles,
+    "q_ts_corr" -> qTsCorr,
+    "q_curate_quantile" -> qCurateQuantile,
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q_sql_recursive" -> sqlRecursive,
+    "q_sql_lateral" ->
+      """SELECT n_name, c_custkey, c_acctbal FROM (
+        |  SELECT n_name, c_custkey, c_acctbal,
+        |    row_number() OVER (PARTITION BY n_nationkey
+        |      ORDER BY c_acctbal DESC, c_custkey) AS rn
+        |  FROM nation JOIN customer ON c_nationkey = n_nationkey)
+        |WHERE rn <= 2 ORDER BY n_name, c_custkey""".stripMargin,
+    "q_etl_scd2" ->
+      """WITH e AS (SELECT user_id, event_type, ts::TIMESTAMP AS ts, event_id
+        |  FROM events),
+        |chg AS (SELECT user_id, event_type, ts, event_id,
+        |  lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |    AS prev FROM e),
+        |scd AS (SELECT user_id, event_type, ts AS valid_from, event_id
+        |  FROM chg WHERE prev IS NULL OR prev <> event_type)
+        |SELECT user_id, row_number() OVER w AS version, event_type,
+        |  valid_from, lead(valid_from) OVER w AS valid_to,
+        |  (lead(valid_from) OVER w IS NULL) AS is_current
+        |FROM scd
+        |WINDOW w AS (PARTITION BY user_id ORDER BY valid_from, event_id)
+        |ORDER BY user_id, version""".stripMargin,
+    "q_agg_histogram" ->
+      """SELECT CASE WHEN l_extendedprice < 0.0 THEN 0
+        |  WHEN l_extendedprice >= 131072.0 THEN 17
+        |  ELSE 1 + CAST(FLOOR(l_extendedprice / 8192.0) AS BIGINT) END AS bucket,
+        | count(*) AS n_rows,
+        | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+        |FROM lineitem GROUP BY bucket ORDER BY bucket""".stripMargin,
+    "q_agg_mode" ->
+      """WITH counts AS (
+        |  SELECT CAST(year(o_orderdate) AS INT) AS o_year, o_orderstatus,
+        |    o_orderpriority, count(*) AS n
+        |  FROM orders GROUP BY 1, 2, 3)
+        |SELECT o_year, o_orderstatus, o_orderpriority AS modal_priority,
+        |  n AS n_modal
+        |FROM (SELECT *, row_number() OVER (PARTITION BY o_year, o_orderstatus
+        |    ORDER BY n DESC, o_orderpriority) AS rn FROM counts)
+        |WHERE rn = 1 ORDER BY o_year, o_orderstatus""".stripMargin,
+    "q_graph_triangles" ->
+      """WITH li AS (SELECT l_orderkey, l_partkey FROM lineitem
+        |  WHERE l_returnflag = 'R'),
+        |e AS (SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+        |  FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+        |    AND a.l_partkey < b.l_partkey)
+        |SELECT e1.u AS u, count(*) AS n_triangles
+        |FROM e e1 JOIN e e2 ON e1.v = e2.u
+        |  JOIN e e3 ON e1.u = e3.u AND e2.v = e3.v
+        |GROUP BY e1.u ORDER BY u""".stripMargin,
+    "q_ts_corr" ->
+      """WITH ev AS (SELECT user_id, event_id, ts::TIMESTAMP AS ts, value
+        |  FROM events),
+        |l AS (SELECT user_id, event_id, ts, value,
+        |  lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS y
+        |  FROM ev),
+        |sums AS (SELECT user_id, event_id, value,
+        |  CAST(sum(CASE WHEN y IS NOT NULL
+        |    THEN CAST(value AS DECIMAL(18,4)) END) OVER w AS DOUBLE) AS sx,
+        |  CAST(sum(CASE WHEN y IS NOT NULL
+        |    THEN CAST(y AS DECIMAL(18,4)) END) OVER w AS DOUBLE) AS sy,
+        |  CAST(sum(CASE WHEN y IS NOT NULL
+        |    THEN CAST(CAST(value AS DECIMAL(18,4)) * CAST(y AS DECIMAL(18,4))
+        |      AS DECIMAL(30,8)) END) OVER w AS DOUBLE) AS sxy,
+        |  CAST(sum(CASE WHEN y IS NOT NULL
+        |    THEN CAST(CAST(value AS DECIMAL(18,4)) * CAST(value AS DECIMAL(18,4))
+        |      AS DECIMAL(30,8)) END) OVER w AS DOUBLE) AS sxx,
+        |  CAST(sum(CASE WHEN y IS NOT NULL
+        |    THEN CAST(CAST(y AS DECIMAL(18,4)) * CAST(y AS DECIMAL(18,4))
+        |      AS DECIMAL(30,8)) END) OVER w AS DOUBLE) AS syy,
+        |  CAST(count(y) OVER w AS DOUBLE) AS n
+        | FROM l WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |   ROWS BETWEEN 19 PRECEDING AND CURRENT ROW))
+        |SELECT user_id, event_id, value, CAST(n AS BIGINT) AS n_pairs,
+        |  CASE WHEN n >= 10 AND (n * sxx - sx * sx) > 0
+        |      AND (n * syy - sy * sy) > 0
+        |    THEN (n * sxy - sx * sy) /
+        |      (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)) END
+        |    AS autocorr
+        |FROM sums ORDER BY user_id, event_id""".stripMargin,
+    "q_curate_quantile" ->
+      """SELECT doc_id, lang, n_chars, pr FROM (
+        |  SELECT doc_id, lang, n_chars,
+        |    percent_rank() OVER (PARTITION BY lang
+        |      ORDER BY n_chars, doc_id) AS pr
+        |  FROM documents)
+        |WHERE pr >= 0.75 ORDER BY lang, doc_id""".stripMargin,
+  )
+}
