@@ -175,6 +175,64 @@ object Advanced {
       .orderBy($"user_id", $"event_id")
   }
 
+  /** PageRank, 5 fixed iterations, d = 0.85, on the undirected part
+    * co-order graph — oracle-checked EXACTLY (unusual for PageRank):
+    * each iteration's contributions are quantized to integer
+    * fixed-point (floor(r/deg · 10¹²) as BIGINT) so the per-node
+    * reduction is an exact integer sum — immune to cross-engine float
+    * accumulation order — and every double op outside the sum runs the
+    * same IEEE sequence on both engines. Declared semantics are
+    * fixed-point PageRank; the 1e-12 quantization error is far below
+    * rank spacing. Scale shape: the edge+degree table is built once and
+    * cached (5 reuses); each iteration is one hash join (edges ⋈ ranks,
+    * both partitioned by source) + one shuffle-agg on the target key —
+    * the classic pregel-style superstep as two exchanges. The 1000-node
+    * driver loop is fine because iteration count is FIXED (5), not
+    * data-dependent: no convergence test, no driver collect. */
+  val qGraphPagerank: Q = (s, dir) => {
+    import s.implicits._
+    val li = table(s, dir, "lineitem")
+      .filter($"l_returnflag" === "R")
+      .select($"l_orderkey", $"l_partkey")
+    val e1 = li.as("a").join(li.as("b"),
+        $"a.l_orderkey" === $"b.l_orderkey" &&
+          $"a.l_partkey" < $"b.l_partkey")
+      .select($"a.l_partkey".as("u"), $"b.l_partkey".as("v"))
+      .distinct()
+    // The fixpoint runs on RDDs, not DataFrames: a DataFrame loop pays
+    // a fixed Catalyst+codegen replan per superstep (measured ~1 s × 5
+    // even with per-step localCheckpoint — the same wall that moved
+    // connected components to GraphX Pregel); the RDD loop plans once
+    // and the co-partitioned join makes each superstep exactly one
+    // shuffle of the rank vector.
+    // Partitioner sized to the EDGE data (≥64k edges/partition, capped
+    // at defaultParallelism): with a fixed 32-way partitioner each
+    // superstep pays 64 near-empty task launches (~0.7 s/superstep
+    // measured) for a rank vector of a few thousand entries. At cluster
+    // scale the edge count drives it back up to full parallelism.
+    val e1c = cached(e1)
+    val nEdges = e1c.count() * 2
+    val part = new org.apache.spark.HashPartitioner(
+      math.max(1, math.min(s.sparkContext.defaultParallelism,
+        (nEdges / 65536 + 1).toInt)))
+    val und = cachedRdd(e1c.as[(Long, Long)].rdd
+      .flatMap { case (u, v) => Seq((u, v), (v, u)) }
+      .partitionBy(part)) // consumed by BOTH the degree pass and the join
+    val deg = und.mapValues(_ => 1L).reduceByKey(part, _ + _)
+    val ed = cachedRdd(und.join(deg, part)) // (u, (v, deg)); 5 reuses
+    val n = deg.count()
+    val base = 0.15 / n
+    var ranks = deg.mapValues(_ => 1.0 / n)
+    for (_ <- 1 to 5) {
+      val contribs = ed.join(ranks, part).map { case (_, ((v, dg), r)) =>
+        (v, math.floor(r / dg * 1e12).toLong)
+      }
+      ranks = contribs.reduceByKey(part, _ + _)
+        .mapValues(sq => base + 0.85 * (sq.toDouble / 1e12))
+    }
+    ranks.toDF("node", "rank").orderBy($"node")
+  }
+
   /** Per-group quantile gate — the corpus-curation primitive "keep the
     * longest quartile per language". percent_rank over (n_chars,
     * doc_id) is tie-free (doc_id unique), so the (rank−1)/(n−1)
@@ -191,7 +249,35 @@ object Advanced {
       .orderBy($"lang", $"doc_id")
   }
 
+  /** DuckDB replica of qGraphPagerank: the 5 supersteps unrolled as a
+    * CTE chain, contributions quantized through the same
+    * floor(·10¹²)-BIGINT fixed point (DuckDB sums BIGINT as HUGEINT,
+    * so the sum is re-cast to BIGINT to match Spark's long). */
+  private val sqlPagerankOracle: String = {
+    val header =
+      """WITH li AS (SELECT l_orderkey, l_partkey FROM lineitem
+        |  WHERE l_returnflag = 'R'),
+        |e1 AS (SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+        |  FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+        |    AND a.l_partkey < b.l_partkey),
+        |e AS (SELECT u, v FROM e1 UNION ALL SELECT v, u FROM e1),
+        |deg AS (SELECT u, count(*) AS deg FROM e GROUP BY u),
+        |ed AS (SELECT e.u, e.v, deg.deg FROM e JOIN deg USING (u)),
+        |nn AS (SELECT count(*) AS n FROM deg),
+        |r0 AS (SELECT u AS node,
+        |  CAST(1.0 AS DOUBLE) / (SELECT n FROM nn) AS rank FROM deg)""".stripMargin
+    val steps = (1 to 5).map { i =>
+      s"""r$i AS (SELECT v AS node,
+         |  CAST(0.15 AS DOUBLE) / (SELECT n FROM nn) + CAST(0.85 AS DOUBLE) *
+         |    (CAST(CAST(sum(CAST(FLOOR((r.rank / ed.deg) * 1e12) AS BIGINT))
+         |        AS BIGINT) AS DOUBLE) / 1e12) AS rank
+         |  FROM ed JOIN r${i - 1} r ON ed.u = r.node GROUP BY v)""".stripMargin
+    }.mkString(",\n", ",\n", "")
+    header + steps + "\nSELECT node, rank FROM r5 ORDER BY node"
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_graph_pagerank" -> qGraphPagerank,
     "q_sql_recursive" -> qSqlRecursive,
     "q_sql_lateral" -> qSqlLateral,
     "q_etl_scd2" -> qEtlScd2,
@@ -203,6 +289,7 @@ object Advanced {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q_graph_pagerank" -> sqlPagerankOracle,
     "q_sql_recursive" -> sqlRecursive,
     "q_sql_lateral" ->
       """SELECT n_name, c_custkey, c_acctbal FROM (

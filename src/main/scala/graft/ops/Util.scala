@@ -53,10 +53,22 @@ object Util {
     c
   }
 
+  private val registeredRdds =
+    new java.util.concurrent.ConcurrentLinkedQueue[org.apache.spark.rdd.RDD[_]]
+
+  /** RDD analog of `cached` for the iterative-fixpoint builders. */
+  def cachedRdd[T](r: org.apache.spark.rdd.RDD[T]): org.apache.spark.rdd.RDD[T] = {
+    r.cache()
+    registeredRdds.add(r)
+    r
+  }
+
   /** Unpersist (non-blocking) every cache registered since the last call. */
   def unpersistRegistered(): Unit = {
     var d = registeredCaches.poll()
     while (d != null) { d.unpersist(blocking = false); d = registeredCaches.poll() }
+    var r = registeredRdds.poll()
+    while (r != null) { r.unpersist(blocking = false); r = registeredRdds.poll() }
   }
 
   /** Dot product of two double-array columns (unit vectors: = cosine) as

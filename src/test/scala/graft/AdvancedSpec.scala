@@ -107,6 +107,22 @@ class AdvancedSpec extends SparkSuite {
     }
   }
 
+  test("q_graph_pagerank conserves rank mass and orders by degree on a star-heavy graph") {
+    import spark.implicits._
+    val r = SparkEntry.queries("q_graph_pagerank")(spark, sfDir).cache()
+    try {
+      val n = r.count()
+      assert(n > 0)
+      val total = r.agg(sum($"rank")).head().getDouble(0)
+      // undirected graph, no dangling mass; only the 1e-12 fixed-point
+      // truncation leaks (≤ |E|·1e-12 per iteration)
+      assert(math.abs(total - 1.0) < 1e-6, s"rank mass $total drifted from 1")
+      assert(r.filter($"rank" <= 0.0).isEmpty, "ranks must be positive")
+      val spread = r.agg(max($"rank") / min($"rank")).head().getDouble(0)
+      assert(spread > 1.5, s"degenerate rank spread $spread — graph not differentiating")
+    } finally r.unpersist()
+  }
+
   test("q_ts_corr: autocorr in [-1,1], null until 10 pairs, n_pairs capped at 20") {
     import spark.implicits._
     val df = SparkEntry.queries("q_ts_corr")(spark, sfDir).cache()
