@@ -167,7 +167,41 @@ object Pipelines {
       .orderBy($"user_id", $"day")
   }
 
+  /** Deequ-style data-quality audit in ONE pass over orders: each
+    * expectation (non-null key, price range, status domain, date range,
+    * key uniqueness) is a conditional count inside a single aggregate —
+    * the 100 TB shape, where N rules cost one scan, not N. Key
+    * uniqueness rides the same pass as count(*) − count(DISTINCT key)
+    * (Catalyst plans the distinct via expand, still one scan). Emitted
+    * long, one row per rule, so adding rules never changes the schema. */
+  val qEtlExpectations: Q = (s, dir) => {
+    import s.implicits._
+    val o = table(s, dir, "orders")
+    val audit = o.agg(
+      count(lit(1)).as("total"),
+      sum(when($"o_custkey".isNull, 1L).otherwise(0L)).as("null_custkey"),
+      sum(when($"o_totalprice" <= 0.0 || $"o_totalprice" > 1000000.0, 1L)
+        .otherwise(0L)).as("price_range"),
+      sum(when(!$"o_orderstatus".isin("O", "F", "P"), 1L).otherwise(0L))
+        .as("status_domain"),
+      sum(when($"o_orderdate" < ts("1992-01-01") ||
+        $"o_orderdate" >= ts("2003-01-01"), 1L).otherwise(0L))
+        .as("date_range"),
+      (count(lit(1)) - countDistinct($"o_orderkey")).as("dup_orderkey"))
+    audit.selectExpr(
+      """stack(6,
+        | 'total_rows', total,
+        | 'null_custkey', null_custkey,
+        | 'price_out_of_range', price_range,
+        | 'status_out_of_domain', status_domain,
+        | 'date_out_of_range', date_range,
+        | 'duplicate_orderkey', dup_orderkey) AS (rule, n_violations)
+        |""".stripMargin)
+      .orderBy($"rule")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_etl_expectations" -> qEtlExpectations,
     "q_etl_incr_agg" -> qEtlIncrAgg,
     "q_pipeline_clean" -> qPipelineClean,
     "q_pipeline_split" -> qPipelineSplit,
@@ -178,6 +212,26 @@ object Pipelines {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q_etl_expectations" ->
+      """WITH a AS (SELECT
+        |  count(*) AS total,
+        |  count(CASE WHEN o_custkey IS NULL THEN 1 END) AS null_custkey,
+        |  count(CASE WHEN o_totalprice <= 0.0 OR o_totalprice > 1000000.0
+        |    THEN 1 END) AS price_range,
+        |  count(CASE WHEN o_orderstatus NOT IN ('O','F','P') THEN 1 END)
+        |    AS status_domain,
+        |  count(CASE WHEN o_orderdate < TIMESTAMP '1992-01-01'
+        |    OR o_orderdate >= TIMESTAMP '2003-01-01' THEN 1 END) AS date_range,
+        |  count(*) - count(DISTINCT o_orderkey) AS dup_orderkey
+        | FROM orders)
+        |SELECT rule, n_violations FROM (
+        |  SELECT 'total_rows' AS rule, total AS n_violations FROM a
+        |  UNION ALL SELECT 'null_custkey', null_custkey FROM a
+        |  UNION ALL SELECT 'price_out_of_range', price_range FROM a
+        |  UNION ALL SELECT 'status_out_of_domain', status_domain FROM a
+        |  UNION ALL SELECT 'date_out_of_range', date_range FROM a
+        |  UNION ALL SELECT 'duplicate_orderkey', dup_orderkey FROM a)
+        |ORDER BY rule""".stripMargin,
     "q_etl_incr_agg" ->
       """SELECT user_id, ts::TIMESTAMP::DATE AS day, count(*) AS n_events,
         | CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_v

@@ -194,7 +194,52 @@ object Sources {
       .orderBy($"o_year")
   }
 
+  /** Schema evolution across parquet batches: an early batch without
+    * c_mktsegment and a later batch with it, unioned by a mergeSchema
+    * read (missing column null-extended) — the append-only data-lake
+    * shape where producers add columns over time. The footer-merge cost
+    * scales with FILE count, not bytes; at 100 TB you pin a table-level
+    * schema instead, but the read semantics exercised here are the same. */
+  val qSrcEvolution: Q = (s, dir) => {
+    import s.implicits._
+    val c = table(s, dir, "customer")
+    val path = tmp(dir, "evolve")
+    c.filter($"c_custkey" % 2 === 0)
+      .select($"c_custkey", $"c_acctbal")
+      .write.mode("overwrite").parquet(s"$path/b1")
+    c.filter($"c_custkey" % 2 =!= 0)
+      .select($"c_custkey", $"c_acctbal", $"c_mktsegment")
+      .write.mode("overwrite").parquet(s"$path/b2")
+    s.read.option("mergeSchema", "true").parquet(s"$path/b1", s"$path/b2")
+      .groupBy($"c_mktsegment")
+      .agg(count(lit(1)).as("n_custs"), dsum($"c_acctbal").as("sum_bal"))
+      .orderBy($"c_mktsegment".asc_nulls_first)
+  }
+
+  /** Raw text-line ingestion: pipe-delimited lines parsed with split +
+    * casts — the "log files on a share" shape. Doubles survive the
+    * round trip because Java's shortest-representation rendering parses
+    * back to the identical bit pattern. */
+  val qSrcText: Q = (s, dir) => {
+    import s.implicits._
+    val path = tmp(dir, "text")
+    table(s, dir, "supplier")
+      .select(concat_ws("|", $"s_suppkey", $"s_nationkey", $"s_acctbal")
+        .as("value"))
+      .write.mode("overwrite").text(path)
+    val parts = split($"value", "\\|")
+    s.read.text(path)
+      .select(parts.getItem(0).cast("long").as("s_suppkey"),
+        parts.getItem(1).cast("int").as("s_nationkey"),
+        parts.getItem(2).cast("double").as("s_acctbal"))
+      .groupBy($"s_nationkey")
+      .agg(count(lit(1)).as("n_supps"), dsum($"s_acctbal").as("sum_bal"))
+      .orderBy($"s_nationkey")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_src_evolution" -> qSrcEvolution,
+    "q_src_text" -> qSrcText,
     "q_join_dpp" -> qJoinDpp,
     "q_src_csv" -> qSrcCsv,
     "q_src_jdbc" -> qSrcJdbc,
@@ -206,6 +251,20 @@ object Sources {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q_src_evolution" ->
+      """WITH m AS (
+        |  SELECT c_custkey, c_acctbal, CAST(NULL AS VARCHAR) AS seg
+        |  FROM customer WHERE c_custkey % 2 = 0
+        |  UNION ALL
+        |  SELECT c_custkey, c_acctbal, c_mktsegment
+        |  FROM customer WHERE c_custkey % 2 <> 0)
+        |SELECT seg AS c_mktsegment, count(*) AS n_custs,
+        | CAST(sum(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS sum_bal
+        |FROM m GROUP BY seg ORDER BY seg NULLS FIRST""".stripMargin,
+    "q_src_text" ->
+      """SELECT s_nationkey, count(*) AS n_supps,
+        | CAST(sum(CAST(s_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS sum_bal
+        |FROM supplier GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin,
     "q_join_dpp" ->
       """SELECT CAST(year(o_orderdate) AS INT) AS o_year, count(*) AS n_orders,
         | CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price

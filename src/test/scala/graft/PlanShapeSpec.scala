@@ -234,6 +234,27 @@ class PlanShapeSpec extends SparkSuite {
       s"no dynamicpruningexpression in the fact scan's PartitionFilters:\n$p")
   }
 
+  test("recursive CTE plans as Spark's UnionLoop iterative operator") {
+    val p = SparkEntry.queries("q_sql_recursive")(spark, sfDir)
+      .queryExecution.optimizedPlan.toString
+    assert(p.contains("UnionLoop"),
+      s"recursive CTE did not lower to UnionLoop:\n$p")
+  }
+
+  test("lateral top-2 join does not degenerate to a cartesian product") {
+    val p = SparkEntry.queries("q_sql_lateral")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"),
+      s"lateral subquery planned a cartesian product:\n$p")
+  }
+
+  test("triangle counting closes wedges with equi-joins only") {
+    val p = SparkEntry.queries("q_graph_triangles")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("NestedLoop") && !p.contains("CartesianProduct"),
+      s"triangle join degenerated to a quadratic join:\n$p")
+  }
+
   test("grid-binned bbox join is an equi-join on the cell key, not a nested loop") {
     val p = SparkEntry.queries("q_geo_bbox")(spark, sfDir)
       .queryExecution.executedPlan.toString
