@@ -1,5 +1,6 @@
 package graft.ops
 
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import Util._
 
@@ -200,7 +201,31 @@ object Pipelines {
       .orderBy($"rule")
   }
 
+  /** CDC-log replay with delete semantics: the event stream read as a
+    * change log per user ('error' = tombstone, anything else = upsert
+    * of that event's value). Current state = last writer wins — one
+    * window pass ranks each user's log by (ts, event_id) descending,
+    * keeps the head row, and drops users whose head is a tombstone.
+    * The 100 TB shape: state reconstruction is one shuffle on the key;
+    * compaction = writing the result back as the new snapshot, after
+    * which only the log's tail needs replaying (q_dedup_incremental's
+    * anti-join shape). */
+  val qEtlCdc: Q = (s, dir) => {
+    import s.implicits._
+    val w = Window.partitionBy($"user_id")
+      .orderBy($"ts".desc, $"event_id".desc)
+    events(s, dir)
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n_changes", count(lit(1)).over(
+        Window.partitionBy($"user_id")))
+      .filter($"rn" === 1 && $"event_type" =!= "error")
+      .select($"user_id", $"event_type".as("last_type"),
+        $"value".as("last_value"), $"ts".as("last_ts"), $"n_changes")
+      .orderBy($"user_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_etl_cdc" -> qEtlCdc,
     "q_etl_expectations" -> qEtlExpectations,
     "q_etl_incr_agg" -> qEtlIncrAgg,
     "q_pipeline_clean" -> qPipelineClean,
@@ -212,6 +237,18 @@ object Pipelines {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q_etl_cdc" ->
+      """WITH e AS (SELECT user_id, event_type, value, ts::TIMESTAMP AS ts,
+        |  event_id FROM events),
+        |ranked AS (SELECT user_id, event_type, value, ts,
+        |  row_number() OVER (PARTITION BY user_id
+        |    ORDER BY ts DESC, event_id DESC) AS rn,
+        |  count(*) OVER (PARTITION BY user_id) AS n_changes
+        | FROM e)
+        |SELECT user_id, event_type AS last_type, value AS last_value,
+        |  ts AS last_ts, n_changes
+        |FROM ranked WHERE rn = 1 AND event_type <> 'error'
+        |ORDER BY user_id""".stripMargin,
     "q_etl_expectations" ->
       """WITH a AS (SELECT
         |  count(*) AS total,

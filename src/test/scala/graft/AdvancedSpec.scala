@@ -123,6 +123,46 @@ class AdvancedSpec extends SparkSuite {
     } finally r.unpersist()
   }
 
+  test("Observation metrics ride a query's own pass (production telemetry, no second job)") {
+    import spark.implicits._
+    val obs = new org.apache.spark.sql.Observation("etl_metrics")
+    val cleaned = spark.read.parquet(s"$sfDir/orders.parquet")
+      .observe(obs, count(lit(1)).as("rows_in"),
+        sum(when($"o_custkey".isNull, 1L).otherwise(0L)).as("null_keys"))
+      .filter($"o_totalprice" > 0.0)
+    val out = cleaned.count()
+    val m = obs.get
+    assert(m("rows_in").asInstanceOf[Long] >= out,
+      "observed input rows must cover the filtered output")
+    assert(m("null_keys").asInstanceOf[Long] == 0L)
+  }
+
+  test("_metadata hidden columns expose file provenance without a schema change") {
+    import spark.implicits._
+    val df = spark.read.parquet(s"$sfDir/orders.parquet")
+      .select($"o_orderkey", $"_metadata.file_name".as("src_file"),
+        $"_metadata.file_size".as("src_size"))
+    val r = df.groupBy($"src_file", $"src_size")
+      .agg(count(lit(1)).as("n")).collect()
+    assert(r.nonEmpty && r.forall(_.getAs[String]("src_file").endsWith(".parquet")))
+    assert(r.map(_.getAs[Long]("n")).sum ==
+      spark.read.parquet(s"$sfDir/orders.parquet").count())
+  }
+
+  test("q_etl_cdc: live users carry their true last event; tombstoned users absent") {
+    import spark.implicits._
+    val cdc = SparkEntry.queries("q_etl_cdc")(spark, sfDir)
+    val ev = graft.ops.Util.events(spark, sfDir)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"user_id").orderBy($"ts".desc, $"event_id".desc)
+    val heads = ev.withColumn("rn", row_number().over(w)).filter($"rn" === 1)
+    val liveHeads = heads.filter($"event_type" =!= "error").count()
+    assert(cdc.count() == liveHeads, "one state row per non-tombstoned user")
+    val joined = cdc.join(heads, "user_id")
+      .filter($"last_type" =!= $"event_type").count()
+    assert(joined == 0, "last_type must equal the head event's type")
+  }
+
   test("q_ts_corr: autocorr in [-1,1], null until 10 pairs, n_pairs capped at 20") {
     import spark.implicits._
     val df = SparkEntry.queries("q_ts_corr")(spark, sfDir).cache()
