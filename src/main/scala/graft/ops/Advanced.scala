@@ -276,7 +276,35 @@ object Advanced {
     header + steps + "\nSELECT node, rank FROM r5 ORDER BY node"
   }
 
+  /** Per-group top-k via the native TopKPerGroupPlan/Exec operator
+    * (graft.plans.TopKPerGroup): top-3 orders per customer by
+    * (totalprice DESC, orderkey ASC — the unique tiebreak that makes
+    * the selection total). Where the window form shuffles and sorts
+    * EVERY order, the native operator's partial phase emits at most
+    * k rows per (customer, partition) so the exchange moves only
+    * survivors — same answer, a fraction of the shuffle. Oracle is the
+    * window-rank form: the two must be indistinguishable. */
+  val qWinTopkNative: Q = (s, dir) => {
+    import s.implicits._
+    import graft.plans.{TopKPerGroupPlan, TopKPerGroupStrategy}
+    import org.apache.spark.sql.catalyst.expressions.{Ascending, Descending, SortOrder}
+    if (!s.experimental.extraStrategies.contains(TopKPerGroupStrategy))
+      s.experimental.extraStrategies =
+        s.experimental.extraStrategies :+ TopKPerGroupStrategy
+    val base = table(s, dir, "orders")
+      .select($"o_custkey", $"o_orderkey", $"o_totalprice")
+    val plan = base.queryExecution.analyzed
+    def attr(n: String) = plan.output.find(_.name == n).get
+    org.apache.spark.sql.graft.GraftSql.ofRows(s,
+      TopKPerGroupPlan(Seq(attr("o_custkey")),
+        Seq(SortOrder(attr("o_totalprice"), Descending),
+          SortOrder(attr("o_orderkey"), Ascending)),
+        3, plan))
+      .orderBy($"o_custkey", $"o_totalprice".desc, $"o_orderkey")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_win_topk_native" -> qWinTopkNative,
     "q_graph_pagerank" -> qGraphPagerank,
     "q_sql_recursive" -> qSqlRecursive,
     "q_sql_lateral" -> qSqlLateral,
@@ -289,6 +317,14 @@ object Advanced {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q_win_topk_native" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_custkey
+        |      ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |  FROM orders)
+        |WHERE rn <= 3
+        |ORDER BY o_custkey, o_totalprice DESC, o_orderkey""".stripMargin,
     "q_graph_pagerank" -> sqlPagerankOracle,
     "q_sql_recursive" -> sqlRecursive,
     "q_sql_lateral" ->

@@ -123,6 +123,24 @@ class AdvancedSpec extends SparkSuite {
     } finally r.unpersist()
   }
 
+  test("native top-k equals the window form, including groups smaller than k") {
+    import spark.implicits._
+    val native = SparkEntry.queries("q_win_topk_native")(spark, sfDir)
+    val o = spark.read.parquet(s"$sfDir/orders.parquet")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"o_custkey").orderBy($"o_totalprice".desc, $"o_orderkey")
+    val viaWindow = o.select($"o_custkey", $"o_orderkey", $"o_totalprice")
+      .withColumn("rn", row_number().over(w)).filter($"rn" <= 3).drop("rn")
+      .orderBy($"o_custkey", $"o_totalprice".desc, $"o_orderkey")
+    assert(native.collect().toSeq == viaWindow.collect().toSeq)
+    // groups smaller than k must survive whole (no customer dropped)
+    assert(native.select($"o_custkey").distinct().count() ==
+      o.select($"o_custkey").distinct().count())
+    // and the answer is partition-layout invariant
+    val repart = SparkEntry.queries("q_win_topk_native")(spark, sfDir)
+    assert(repart.collect().toSeq == native.collect().toSeq)
+  }
+
   test("Observation metrics ride a query's own pass (production telemetry, no second job)") {
     import spark.implicits._
     val obs = new org.apache.spark.sql.Observation("etl_metrics")

@@ -255,6 +255,18 @@ class PlanShapeSpec extends SparkSuite {
       s"triangle join degenerated to a quadratic join:\n$p")
   }
 
+  test("native top-k runs partial+final heaps with ONE exchange of survivors between") {
+    val qe = SparkEntry.queries("q_win_topk_native")(spark, sfDir).queryExecution
+    val p = qe.executedPlan.toString
+    assert("TopKPerGroup".r.findAllIn(p).size == 2,
+      s"expected partial+final TopKPerGroupExec:\n$p")
+    // the exchange between the heap phases moves survivors only — and no
+    // window/sort operator appears below the final orderBy
+    assert(p.contains("Exchange hashpartitioning"),
+      s"no clustered exchange between heap phases:\n$p")
+    assert(!p.contains("Window"), s"native top-k must not fall back to a window:\n$p")
+  }
+
   test("grid-binned bbox join is an equi-join on the cell key, not a nested loop") {
     val p = SparkEntry.queries("q_geo_bbox")(spark, sfDir)
       .queryExecution.executedPlan.toString
