@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 import graft.functions.DotProduct
 import graft.ops.{NormDiff, NormDiffCodegen, ShingleGenerator}
-import graft.plans.{AsOfJoinStrategy, RewritePowAsMultiply}
+import graft.plans.{AsOfJoinStrategy, RewritePowAsMultiply, RewriteWindowTopK, TopKPerGroupStrategy}
 
 /** The library's one-line installation point (SparkSessionExtensions — the
   * public extension hook):
@@ -50,6 +50,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       })
     })
     ext.injectPlannerStrategy(_ => AsOfJoinStrategy)
+    ext.injectPlannerStrategy(_ => TopKPerGroupStrategy)
     ext.injectOptimizerRule(_ => RewritePowAsMultiply)
+    // runs inside the operator-optimization fixpoint: once it fires the
+    // Window is gone, so the pattern can't re-match and the batch stays
+    // convergent
+    ext.injectOptimizerRule(_ => RewriteWindowTopK)
   }
 }

@@ -303,7 +303,34 @@ object Advanced {
       .orderBy($"o_custkey", $"o_totalprice".desc, $"o_orderkey")
   }
 
+  /** The declarative window-top-k idiom, silently rewritten to the
+    * native heap operator by RewriteWindowTopK (experimental.
+    * extraOptimizations) + TopKPerGroupStrategy: the USER writes
+    * row_number().over(...).filter(rn <= 5).drop("rn") — the plan that
+    * executes contains no Window at all (asserted in PlanShapeSpec).
+    * Ordering includes the unique o_orderkey tiebreak so the selection
+    * is total and the oracle comparison exact. */
+  val qRuleTopk: Q = (s, dir) => {
+    import s.implicits._
+    import graft.plans.{RewriteWindowTopK, TopKPerGroupStrategy}
+    if (!s.experimental.extraStrategies.contains(TopKPerGroupStrategy))
+      s.experimental.extraStrategies =
+        s.experimental.extraStrategies :+ TopKPerGroupStrategy
+    if (!s.experimental.extraOptimizations.contains(RewriteWindowTopK))
+      s.experimental.extraOptimizations =
+        s.experimental.extraOptimizations :+ RewriteWindowTopK
+    val w = Window.partitionBy($"o_orderpriority")
+      .orderBy($"o_totalprice".desc, $"o_orderkey")
+    table(s, dir, "orders")
+      .select($"o_orderpriority", $"o_orderkey", $"o_totalprice")
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" <= 5)
+      .drop("rn")
+      .orderBy($"o_orderpriority", $"o_totalprice".desc, $"o_orderkey")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_rule_topk" -> qRuleTopk,
     "q_win_topk_native" -> qWinTopkNative,
     "q_graph_pagerank" -> qGraphPagerank,
     "q_sql_recursive" -> qSqlRecursive,
@@ -317,6 +344,14 @@ object Advanced {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q_rule_topk" ->
+      """SELECT o_orderpriority, o_orderkey, o_totalprice FROM (
+        |  SELECT o_orderpriority, o_orderkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_orderpriority
+        |      ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |  FROM orders)
+        |WHERE rn <= 5
+        |ORDER BY o_orderpriority, o_totalprice DESC, o_orderkey""".stripMargin,
     "q_win_topk_native" ->
       """SELECT o_custkey, o_orderkey, o_totalprice FROM (
         |  SELECT o_custkey, o_orderkey, o_totalprice,

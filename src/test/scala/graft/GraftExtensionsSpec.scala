@@ -52,6 +52,23 @@ class GraftExtensionsSpec extends SparkSuite {
       s"pow survived optimization:\n$opt")
   }
 
+  test("window-top-k rewrites to the heap operator via the injected rule (mid-fixpoint)") {
+    import ext.implicits._
+    import org.apache.spark.sql.functions._
+    val df = Seq((1, 10.0, 1L), (1, 30.0, 2L), (1, 20.0, 3L),
+      (2, 5.0, 4L), (2, 15.0, 5L)).toDF("g", "v", "id")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"g").orderBy($"v".desc, $"id")
+    val top = df.withColumn("rn", row_number().over(w))
+      .filter($"rn" <= 2).drop("rn").orderBy($"g", $"v".desc, $"id")
+    val p = top.queryExecution.executedPlan.toString
+    assert("TopKPerGroup".r.findAllIn(p).size == 2,
+      s"injected RewriteWindowTopK did not fire:\n$p")
+    assert(!p.contains("Window"), s"Window survived:\n$p")
+    assert(top.collect().map(r => (r.getInt(0), r.getDouble(1))).toSeq ==
+      Seq((1, 30.0), (1, 20.0), (2, 15.0), (2, 5.0)))
+  }
+
   test("as-of join plans via the injected strategy (no experimental hook)") {
     import ext.implicits._
     val left = Seq((1L, 100L, "p1"), (2L, 10L, "p2")).toDF("k", "t", "pid")

@@ -267,6 +267,15 @@ class PlanShapeSpec extends SparkSuite {
     assert(!p.contains("Window"), s"native top-k must not fall back to a window:\n$p")
   }
 
+  test("window-top-k idiom is rewritten to the native heap operator (no Window executes)") {
+    val qe = SparkEntry.queries("q_rule_topk")(spark, sfDir).queryExecution
+    val p = qe.executedPlan.toString
+    assert("TopKPerGroup".r.findAllIn(p).size == 2,
+      s"RewriteWindowTopK did not fire:\n$p")
+    assert(!p.contains("Window"),
+      s"the Window survived the rewrite:\n$p")
+  }
+
   test("grid-binned bbox join is an equi-join on the cell key, not a nested loop") {
     val p = SparkEntry.queries("q_geo_bbox")(spark, sfDir)
       .queryExecution.executedPlan.toString
