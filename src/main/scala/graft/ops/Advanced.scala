@@ -329,7 +329,43 @@ object Advanced {
       .orderBy($"o_orderpriority", $"o_totalprice".desc, $"o_orderkey")
   }
 
+  /** Pairwise correlation matrix over four lineitem measures in ONE
+    * pass: all Σx and Σxy moments are exact decimal sums in a single
+    * aggregate (10 sums + a count for 6 correlations), then each
+    * Pearson r runs the same IEEE double sequence on both engines —
+    * emitted unrounded, long-form (col_a, col_b, corr). The 100 TB
+    * shape: a p-column correlation matrix is one scan with p(p+1)/2
+    * map-side-combinable sums, never p² passes. */
+  val qAggCorrMatrix: Q = (s, dir) => {
+    import s.implicits._
+    val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+    def m2(a: String, b: String) =
+      sum((dec(col(a)) * dec(col(b))).cast("decimal(30,8)")).cast("double")
+        .as(s"s_${a}_$b")
+    val aggs =
+      cols.map(c => sum(dec(col(c))).cast("double").as(s"s_$c")) ++
+        (for { i <- cols.indices; j <- i until cols.length }
+          yield m2(cols(i), cols(j))) :+
+        count(lit(1)).cast("double").as("n")
+    val wide = table(s, dir, "lineitem").agg(aggs.head, aggs.tail: _*)
+    val pairs = for { i <- cols.indices; j <- (i + 1) until cols.length }
+      yield (cols(i), cols(j))
+    val rows = pairs.map { case (a, b) =>
+      val (sa, sb, sab) = (col(s"s_$a"), col(s"s_$b"), col(s"s_${a}_$b"))
+      val (saa, sbb) = (col(s"s_${a}_$a"), col(s"s_${b}_$b"))
+      val r = ($"n" * sab - sa * sb) /
+        (sqrt($"n" * saa - sa * sa) * sqrt($"n" * sbb - sb * sb))
+      // rounded like q_agg_regr: the Σx² decimals exceed 2^53 of
+      // underlying integer at bench scale, so the decimal→double cast
+      // itself can differ by 1 ulp cross-engine; 6dp absorbs it
+      wide.select(lit(a).as("col_a"), lit(b).as("col_b"),
+        round(r, 6).as("corr"))
+    }
+    rows.reduce(_ unionAll _).orderBy($"col_a", $"col_b")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_agg_corr_matrix" -> qAggCorrMatrix,
     "q_rule_topk" -> qRuleTopk,
     "q_win_topk_native" -> qWinTopkNative,
     "q_graph_pagerank" -> qGraphPagerank,
@@ -344,6 +380,29 @@ object Advanced {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q_agg_corr_matrix" -> {
+      val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+      val sums = cols.map(c =>
+        s"CAST(sum(CAST($c AS DECIMAL(18,4))) AS DOUBLE) AS s_$c") ++
+        (for { i <- cols.indices; j <- i until cols.length } yield {
+          val (a, b) = (cols(i), cols(j))
+          // (24,4) forces DuckDB onto int128 decimals BEFORE the multiply
+          // (a (18,4)x(18,4) product overflows its int64 fast path on
+          // price-squared magnitudes); (24,4)x(14,4) -> (38,8), the same
+          // exact 4dp-quantized product Spark gets from (18,4)x(18,4)
+          s"CAST(sum(CAST(CAST($a AS DECIMAL(24,4)) * CAST($b AS DECIMAL(14,4)) AS DECIMAL(30,8))) AS DOUBLE) AS s_${a}_$b"
+        }) :+ "CAST(count(*) AS DOUBLE) AS n"
+      val pairs = for { i <- cols.indices; j <- (i + 1) until cols.length }
+        yield (cols(i), cols(j))
+      val selects = pairs.map { case (a, b) =>
+        s"""SELECT '$a' AS col_a, '$b' AS col_b,
+           | round((n * s_${a}_$b - s_$a * s_$b) /
+           |  (sqrt(n * s_${a}_$a - s_$a * s_$a) * sqrt(n * s_${b}_$b - s_$b * s_$b)), 6)
+           |  AS corr FROM w""".stripMargin
+      }.mkString("\n", "\nUNION ALL\n", "\n")
+      s"WITH w AS (SELECT\n ${sums.mkString(",\n ")}\nFROM lineitem)" +
+        s"\nSELECT col_a, col_b, corr FROM ($selects) ORDER BY col_a, col_b"
+    },
     "q_rule_topk" ->
       """SELECT o_orderpriority, o_orderkey, o_totalprice FROM (
         |  SELECT o_orderpriority, o_orderkey, o_totalprice,
