@@ -188,6 +188,38 @@ class PropertySpec extends SparkSuite {
     }
   }
 
+  test("native top-k == window top-k on arbitrary data (incl. tiny groups, any k)") {
+    import spark.implicits._
+    import graft.plans.{TopKPerGroupPlan, TopKPerGroupStrategy}
+    import org.apache.spark.sql.catalyst.expressions.{Ascending, Descending, SortOrder}
+    if (!spark.experimental.extraStrategies.contains(TopKPerGroupStrategy))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ TopKPerGroupStrategy
+    val gen = for {
+      rows <- rowsGen
+      k <- Gen.choose(1, 4)
+      parts <- Gen.choose(1, 5)
+    } yield (rows, k, parts)
+    forAll(gen) { case (rows, k, parts) =>
+      // unique id makes the ordering total, so both forms are deterministic
+      val df = rows.zipWithIndex
+        .map { case ((g, v), id) => (g, v, id.toLong) }
+        .toDF("g", "v", "id").repartition(parts)
+      val plan = df.queryExecution.analyzed
+      def attr(n: String) = plan.output.find(_.name == n).get
+      val native = org.apache.spark.sql.graft.GraftSql.ofRows(spark,
+        TopKPerGroupPlan(Seq(attr("g")),
+          Seq(SortOrder(attr("v"), Descending), SortOrder(attr("id"), Ascending)),
+          k, plan))
+        .orderBy($"g", $"v".desc, $"id").collect().toSeq
+      val w = Window.partitionBy($"g").orderBy($"v".desc, $"id")
+      val win = df.withColumn("rn", row_number().over(w))
+        .filter($"rn" <= k).drop("rn")
+        .orderBy($"g", $"v".desc, $"id").collect().toSeq
+      assert(native == win, s"k=$k parts=$parts: $native != $win")
+    }
+  }
+
   test("morton_interleave: magic-mask spread == per-bit interleave; order-embedding") {
     // the magic-mask implementation must equal the definitional bit loop,
     // and the curve must embed the per-dimension orders: growing one
