@@ -364,7 +364,34 @@ object Advanced {
     rows.reduce(_ unionAll _).orderBy($"col_a", $"col_b")
   }
 
+  /** Winsorization (outlier clipping) by ORDER STATISTIC, not by value
+    * interpolation: the p5/p95 bounds are the group's values at integer
+    * ranks floor((n−1)·p) — all-integer selection, so bounds and clip
+    * membership are bit-exact cross-engine (interpolated percentiles
+    * put a float on the clip boundary; rank selection never does). One
+    * window pass ranks, a tiny per-group aggregate picks the two bound
+    * values, a broadcastable join clips. */
+  val qCurateWinsorize: Q = (s, dir) => {
+    import s.implicits._
+    val w = Window.partitionBy($"lang").orderBy($"n_chars", $"doc_id")
+    val ranked = table(s, dir, "documents")
+      .select($"doc_id", $"lang", $"n_chars")
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy($"lang")))
+    val bounds = ranked.groupBy($"lang").agg(
+      max(when($"rn" - 1 === floor(($"n" - 1) * 5 / lit(100.0)), $"n_chars"))
+        .as("lo"),
+      max(when($"rn" - 1 === floor(($"n" - 1) * 95 / lit(100.0)), $"n_chars"))
+        .as("hi"))
+    ranked.join(broadcast(bounds), "lang")
+      .select($"doc_id", $"lang", $"n_chars",
+        least(greatest($"n_chars", $"lo"), $"hi").as("win_chars"),
+        ($"n_chars" < $"lo" || $"n_chars" > $"hi").as("clipped"))
+      .orderBy($"lang", $"doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_curate_winsorize" -> qCurateWinsorize,
     "q_agg_corr_matrix" -> qAggCorrMatrix,
     "q_rule_topk" -> qRuleTopk,
     "q_win_topk_native" -> qWinTopkNative,
@@ -380,6 +407,24 @@ object Advanced {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q_curate_winsorize" ->
+      """WITH ranked AS (
+        |  SELECT doc_id, lang, n_chars,
+        |    row_number() OVER (PARTITION BY lang ORDER BY n_chars, doc_id) AS rn,
+        |    count(*) OVER (PARTITION BY lang) AS n
+        |  FROM documents),
+        |bounds AS (
+        |  SELECT lang,
+        |    max(CASE WHEN rn - 1 = CAST(FLOOR((n - 1) * 5 / 100.0) AS BIGINT)
+        |      THEN n_chars END) AS lo,
+        |    max(CASE WHEN rn - 1 = CAST(FLOOR((n - 1) * 95 / 100.0) AS BIGINT)
+        |      THEN n_chars END) AS hi
+        |  FROM ranked GROUP BY lang)
+        |SELECT doc_id, r.lang, n_chars,
+        |  least(greatest(n_chars, lo), hi) AS win_chars,
+        |  (n_chars < lo OR n_chars > hi) AS clipped
+        |FROM ranked r JOIN bounds b ON r.lang = b.lang
+        |ORDER BY r.lang, doc_id""".stripMargin,
     "q_agg_corr_matrix" -> {
       val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
       val sums = cols.map(c =>

@@ -141,6 +141,22 @@ class AdvancedSpec extends SparkSuite {
     assert(repart.collect().toSeq == native.collect().toSeq)
   }
 
+  test("q_curate_winsorize clips ~10% of each language and preserves interior values") {
+    import spark.implicits._
+    val df = SparkEntry.queries("q_curate_winsorize")(spark, sfDir).cache()
+    try {
+      val frac = df.groupBy($"lang")
+        .agg((sum(when($"clipped", 1).otherwise(0)).cast("double") /
+          count(lit(1))).as("f")).collect()
+      frac.foreach { r =>
+        assert(r.getDouble(1) <= 0.15, s"${r.getString(0)}: clipped ${r.getDouble(1)}")
+      }
+      assert(df.filter(!$"clipped" && $"win_chars" =!= $"n_chars").isEmpty,
+        "unclipped rows must pass through unchanged")
+      assert(df.filter($"clipped").count() > 0, "expected some clipping")
+    } finally df.unpersist()
+  }
+
   test("Observation metrics ride a query's own pass (production telemetry, no second job)") {
     import spark.implicits._
     val obs = new org.apache.spark.sql.Observation("etl_metrics")
