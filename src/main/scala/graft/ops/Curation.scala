@@ -197,7 +197,55 @@ object Curation {
       .orderBy($"doc_a", $"doc_b")
   }
 
+  /** FUZZY incremental dedup — the daily-crawl near-dup shape: the new
+    * batch's minhash bands are joined one-sidedly against the standing
+    * corpus's signature table (batch × corpus, never batch × batch or
+    * the corpus self-join), then exact Jaccard verifies the candidates.
+    * At 100 TB the corpus side of the band join is a STORED signature
+    * table (8 small strings per doc, bucketable by band key), so a
+    * daily batch shuffles only itself plus the colliding buckets —
+    * the corpus text is touched only for verified candidates. */
+  val qDedupIncrNear: Q = (s, dir) => {
+    import s.implicits._
+    val d = table(s, dir, "documents")
+    val sh = d.select($"doc_id",
+      explode(LlmOps.shingles(LlmOps.toks($"text"))).as("sh"))
+    val hex32 = md5($"sh")
+    val lanes = (0 until 8).map(j =>
+      min(substring(hex32, 4 * j + 1, 4)).as(s"m$j"))
+    val sig = cached(sh.groupBy($"doc_id").agg(lanes.head, lanes.tail: _*))
+    val bandStructs = array((0 until 4).map(b =>
+      struct(lit(b).as("band"),
+        concat(col(s"m${2 * b}"), lit("|"), col(s"m${2 * b + 1}"))
+          .as("bkey"))): _*)
+    val bands = sig.select($"doc_id", explode(bandStructs).as("f"))
+      .select($"doc_id", $"f.band".as("band"), $"f.bkey".as("bkey"))
+    val cands = bands.filter($"doc_id" >= 250).as("x")
+      .join(bands.filter($"doc_id" < 250).as("y"),
+        $"x.band" === $"y.band" && $"x.bkey" === $"y.bkey")
+      .select($"x.doc_id".as("batch_doc"), $"y.doc_id".as("corpus_doc"))
+      .distinct()
+      .transform(cached) // feeds both candDocs legs + the final join
+    val candDocs = cands.select($"batch_doc".as("doc_id"))
+      .unionAll(cands.select($"corpus_doc".as("doc_id"))).distinct()
+    val docsh = d.join(candDocs, Seq("doc_id"), "left_semi")
+      .select($"doc_id",
+        array_distinct(LlmOps.shingles(LlmOps.toks($"text"))).as("shs"))
+    cands
+      .join(docsh.select($"doc_id".as("batch_doc"), $"shs".as("sa")),
+        "batch_doc")
+      .join(docsh.select($"doc_id".as("corpus_doc"), $"shs".as("sb")),
+        "corpus_doc")
+      .select($"batch_doc", $"corpus_doc",
+        (size(array_intersect($"sa", $"sb")).cast("double") /
+          (size($"sa") + size($"sb") - size(array_intersect($"sa", $"sb"))))
+          .as("jac"))
+      .filter($"jac" >= 0.8)
+      .orderBy($"batch_doc", $"corpus_doc")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_dedup_incr_near" -> qDedupIncrNear,
     "q_dedup_connected" -> qDedupConnected,
     "q_dedup_incremental" -> qDedupIncremental,
     "q_dedup_containment" -> qDedupContainment,
@@ -207,6 +255,32 @@ object Curation {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q_dedup_incr_near" -> {
+      val minhashes = (0 until 8)
+        .map(j => s"min(substr(md5(s), ${4 * j + 1}, 4)) AS m$j")
+        .mkString(", ")
+      val bandSelects = (0 until 4)
+        .map(b => s"SELECT doc_id, $b AS band, m${2 * b}||'|'||m${2 * b + 1} AS bkey FROM sig")
+        .mkString(" UNION ALL ")
+      s"""WITH tok AS (SELECT doc_id, string_split(text,' ') AS ws FROM documents),
+         |sh AS (SELECT DISTINCT doc_id, s FROM (
+         |  SELECT doc_id, unnest(list_transform(generate_series(1, len(ws)-2),
+         |    i -> ws[i]||' '||ws[i+1]||' '||ws[i+2])) AS s FROM tok)),
+         |sig AS (SELECT doc_id, $minhashes FROM sh GROUP BY doc_id),
+         |bands AS ($bandSelects),
+         |cands AS (SELECT DISTINCT x.doc_id AS batch_doc, y.doc_id AS corpus_doc
+         |  FROM bands x JOIN bands y ON x.band=y.band AND x.bkey=y.bkey
+         |   AND x.doc_id >= 250 AND y.doc_id < 250),
+         |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+         |inter AS (SELECT batch_doc, corpus_doc, count(*) AS i FROM cands
+         |  JOIN sh sa ON sa.doc_id=batch_doc JOIN sh sb ON sb.doc_id=corpus_doc AND sa.s=sb.s
+         |  GROUP BY batch_doc, corpus_doc)
+         |SELECT batch_doc, corpus_doc,
+         |  CAST(i AS DOUBLE)/(za.n + zb.n - i) AS jac
+         |FROM inter JOIN sizes za ON za.doc_id=batch_doc JOIN sizes zb ON zb.doc_id=corpus_doc
+         |WHERE CAST(i AS DOUBLE)/(za.n + zb.n - i) >= 0.8
+         |ORDER BY batch_doc, corpus_doc""".stripMargin
+    },
     "q_dedup_connected" ->
       s"""WITH RECURSIVE pairs AS (${LlmOps.oracleSql("q_dedup_near")}),
          |und AS (SELECT doc_a AS a, doc_b AS b FROM pairs
