@@ -48,6 +48,7 @@ object SparkEntry {
     (Corpus.queries, Corpus.oracleSql),
     (Layout.queries, Layout.oracleSql),
     (Advanced.queries, Advanced.oracleSql),
+    (Quality.queries, Quality.oracleSql),
   )
 
   /** One entry per implemented operator from SURVEY.md §2. */

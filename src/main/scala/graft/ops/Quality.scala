@@ -1,0 +1,505 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import Util._
+
+/** Round-5 batch 4: retrieval scoring, corpus-level duplication metrics,
+  * quality-rule batteries, information-theoretic signals, exact-distinct
+  * bitmaps, weighted sampling, interpolation resampling, and
+  * moment-statistics — the remaining staples of a training-data curation
+  * stack, each expressed as one declarative Catalyst plan.
+  *
+  * Determinism conventions (SURVEY §5.4): every libm value (ln/log2) is
+  * rounded to 8dp and cast DECIMAL(18,8) BEFORE any aggregation so sums
+  * are exact and order-independent; double formulas that both engines
+  * evaluate identically (same textual op sequence on identical inputs)
+  * are emitted rounded 6dp.
+  */
+object Quality {
+
+  // ---------------------------------------------------------------- BM25
+
+  private val Bm25Terms = Seq("spark", "query", "join")
+
+  /** BM25 retrieval scoring of every document against a fixed term set —
+    * the classic sparse-retrieval primitive (idf from corpus df, tf
+    * saturation k1=1.2, length normalization b=0.75). Corpus stats (N,
+    * avgdl, per-term df) are tiny aggregates broadcast back onto the
+    * per-doc tf table, so at 100 TB the only wide op is the one
+    * (doc, term) tf aggregation — partial-agg friendly. Per-term
+    * contributions are rounded 8dp and decimal-summed (≤3 terms/doc, but
+    * partial-agg order must still not move the double). */
+  val qTextBm25: Q = (s, dir) => {
+    import s.implicits._
+    val d = table(s, dir, "documents")
+      .select($"doc_id", LlmOps.toks($"text").as("ws"))
+    val dl = d.select($"doc_id", size($"ws").cast("long").as("dl"))
+    // avgdl as exact-integer sum / count — DuckDB's avg(BIGINT) is a
+    // streaming double accumulation, not sum/count, and the ulp leaks
+    // into every contrib's 8dp rounding
+    val corpus = dl.agg(count(lit(1)).as("n_docs"),
+      (sum($"dl").cast("double") / count(lit(1))).as("avgdl"))
+    val tf = d.select($"doc_id", explode($"ws").as("w"))
+      .filter($"w".isin(Bm25Terms: _*))
+      .groupBy($"doc_id", $"w").agg(count(lit(1)).as("tf"))
+    val df_ = tf.groupBy($"w").agg(count(lit(1)).as("df"))
+    tf.join(broadcast(df_), "w")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(corpus))
+      .withColumn("idf",
+        log(($"n_docs" - $"df" + 0.5) / ($"df" + 0.5) + 1.0))
+      // k1+1 is written as the literal 2.2 (not 1.2+1.0): the Scala-side
+      // double sum lands exactly between two doubles and round-to-even
+      // need not match the SQL literal the oracle parses
+      .withColumn("contrib",
+        round($"idf" * ($"tf" * lit(2.2)) /
+          ($"tf" + lit(1.2) * (lit(1.0) - lit(0.75) + lit(0.75) * $"dl" / $"avgdl")), 8)
+          .cast("decimal(18,8)"))
+      .groupBy($"doc_id")
+      // the decimal sum is exact — emitted UNROUNDED, because a sum of
+      // 8dp decimals can land exactly on a 6dp .5 boundary where Spark
+      // (rounds the shortest decimal repr) and DuckDB (rounds the binary
+      // value) disagree
+      .agg(count(lit(1)).as("n_terms"),
+        sum($"contrib").cast("double").as("bm25"))
+      .orderBy($"doc_id")
+  }
+
+  // ------------------------------------------- cross-doc duplicated 8-grams
+
+  /** Per-document duplicated-8-gram fraction: of a doc's DISTINCT word
+    * 8-grams, the share that also appear in at least one OTHER document —
+    * the RefinedWeb/Gopher cross-corpus duplication signal (q_text_repetition
+    * is the within-doc sibling). Shape at 100 TB: per-doc distinct first
+    * (explode + distinct is doc-local), then one shuffle on the gram for
+    * the corpus-wide doc-frequency, partial-agg friendly on both. */
+  val qTextDupgrams: Q = (s, dir) => {
+    import s.implicits._
+    val ws = LlmOps.toks($"text")
+    val grams = table(s, dir, "documents")
+      .select($"doc_id", ws.as("ws"))
+      .filter(size($"ws") >= 8)
+      .select($"doc_id", explode(transform(sequence(lit(1), size($"ws") - 7),
+        i => concat_ws(" ", slice($"ws", i, lit(8))))).as("g"))
+      .distinct()
+      .transform(cached) // reused by the doc-frequency and per-doc legs
+    val docFreq = grams.groupBy($"g").agg(count(lit(1)).as("nd"))
+    grams.join(docFreq, "g")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when($"nd" > 1, 1L).otherwise(0L)).as("n_dup"))
+      .withColumn("dup_frac",
+        round($"n_dup".cast("double") / $"n_grams", 6))
+      .orderBy($"doc_id")
+  }
+
+  // ------------------------------------------------- Gopher rule battery
+
+  /** Gopher-style quality-rule battery in ONE pass over the exploded
+    * token table: token-count bounds, mean word length bounds, stopword
+    * evidence (≥2 distinct stopwords present), and alphabetic-word
+    * fraction. Every metric is integer-exact or a rounded ratio of
+    * integers, so the keep/flag decision is engine-exact by
+    * construction. One narrow shuffle on doc_id. */
+  val qCurateGopher: Q = (s, dir) => {
+    import s.implicits._
+    val stop = Seq("the", "a", "value", "key")
+    table(s, dir, "documents")
+      .select($"doc_id", explode(LlmOps.toks($"text")).as("w"))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_toks"),
+        sum(length($"w")).as("n_wchars"),
+        countDistinct(when($"w".isin(stop: _*), $"w")).as("stop_hits"),
+        sum(when($"w".rlike("^[a-z]+$"), 1L).otherwise(0L)).as("n_alpha"))
+      .select($"doc_id", $"n_toks",
+        round($"n_wchars".cast("double") / $"n_toks", 6).as("mean_wlen"),
+        $"stop_hits",
+        round($"n_alpha".cast("double") / $"n_toks", 6).as("alpha_frac"))
+      .withColumn("keep",
+        $"n_toks".between(10, 1000) &&
+          $"mean_wlen".between(2.0, 12.0) &&
+          $"stop_hits" >= 2 &&
+          $"alpha_frac" >= 0.8)
+      .orderBy($"doc_id")
+  }
+
+  // ------------------------------------------------------- word entropy
+
+  /** Per-document word-distribution Shannon entropy (bits) — the
+    * information-density quality signal: H = log2(n) − Σ c·log2(c) / n.
+    * log2 values are rounded 8dp → DECIMAL before the multiply/sum (the
+    * unigram-LM convention), so the aggregation is exact integer×decimal
+    * arithmetic and partial-agg order cannot move the result; the final
+    * two-double expression is identical text on both engines. */
+  val qTextEntropy: Q = (s, dir) => {
+    import s.implicits._
+    table(s, dir, "documents")
+      .select($"doc_id", explode(LlmOps.toks($"text")).as("w"))
+      .groupBy($"doc_id", $"w").agg(count(lit(1)).as("c"))
+      .groupBy($"doc_id")
+      .agg(sum($"c").as("n"), count(lit(1)).as("n_distinct"),
+        sum(($"c".cast("decimal(10,0)") *
+          round(log(2.0, $"c".cast("double")), 8).cast("decimal(18,8)"))
+          .cast("decimal(28,8)")).as("clog"))
+      // final expression emitted UNROUNDED (the bm25/ewma convention):
+      // both terms are deterministic doubles and a final 6dp round can
+      // land on a .5 boundary where the engines' round() algorithms split
+      .select($"doc_id", $"n", $"n_distinct",
+        (round(log(2.0, $"n".cast("double")), 8) -
+          $"clog".cast("double") / $"n").as("entropy_bits"))
+      .orderBy($"doc_id")
+  }
+
+  // ------------------------------------------------------------ BFS hops
+
+  /** Min-hop BFS (4 supersteps) over the part co-order graph from the
+    * smallest part key — the graph-traversal sibling of pagerank /
+    * connected-components / triangles. The fixpoint runs on
+    * co-partitioned RDDs for the same reason pagerank does: a DataFrame
+    * loop pays a fixed Catalyst+codegen replan per level (measured
+    * ~1.2 s × 4 here). Each level is ONE shuffle of the candidate set
+    * (the frontier's adjacency, never the closure); the dedup exploits
+    * the undirected-BFS invariant that a neighbor of a level-(h−1) node
+    * lies at hop h−2, h−1 or h, so subtracting just the previous TWO
+    * frontiers (both narrow, co-partitioned) isolates level h — the
+    * visited set is never shuffled at all. */
+  val qGraphBfs: Q = (s, dir) => {
+    import s.implicits._
+    val li = table(s, dir, "lineitem")
+      .filter($"l_returnflag" === "R")
+      .select($"l_orderkey", $"l_partkey")
+    val half = cached(li.as("a").join(li.as("b"),
+        $"a.l_orderkey" === $"b.l_orderkey" &&
+          $"a.l_partkey" < $"b.l_partkey")
+      .select($"a.l_partkey".as("u"), $"b.l_partkey".as("v"))
+      .distinct())
+    // partitioner sized to the edge data, like pagerank: a fixed wide
+    // partitioner would pay near-empty task launches per level at sf0.1
+    val nEdges = half.count() * 2
+    val part = new org.apache.spark.HashPartitioner(
+      math.max(1, math.min(s.sparkContext.defaultParallelism,
+        (nEdges / 65536 + 1).toInt)))
+    val und = cachedRdd(half.as[(Long, Long)].rdd
+      .flatMap { case (u, v) => Seq((u, v), (v, u)) }
+      .partitionBy(part))
+    val seedNode = und.keys.min()
+    val seed = s.sparkContext
+      .parallelize(Seq((seedNode, 0L))).partitionBy(part)
+    var levels = List(cachedRdd(seed))
+    for (h <- 1 to 4) {
+      val prev = levels.head
+      val prev2 = if (levels.lengthCompare(2) >= 0) levels(1) else prev
+      val next = und.join(prev, part)
+        .map { case (_, (v, _)) => (v, h.toLong) }
+        .reduceByKey(part, (a, _) => a)
+        .subtractByKey(prev, part)
+        .subtractByKey(prev2, part)
+      levels = cachedRdd(next) :: levels
+    }
+    s.sparkContext.union(levels.reverse)
+      .toDF("node", "hop").orderBy($"node")
+  }
+
+  // ------------------------------------------------------ bitmap distinct
+
+  /** Exact distinct-count via bitmaps: users per event type as
+    * bitmap_construct_agg over (type, bucket) sub-aggregates, OR-merged
+    * and popcounted — the EXACT mergeable-distinct shape for 100 TB
+    * (each 32768-id bucket reduces to a 4 KB bitmap map-side; the final
+    * merge shuffles kilobytes per group, where count(DISTINCT) shuffles
+    * every id). The oracle is plain count(DISTINCT user_id) — bitmaps
+    * are exact, so this is oracle-checked, unlike the HLL family. */
+  val qAggBitmapDistinct: Q = (s, dir) => {
+    events(s, dir)
+      .selectExpr("event_type", "user_id")
+      .groupBy(col("event_type"), expr("bitmap_bucket_number(user_id)").as("bkt"))
+      .agg(expr("bitmap_construct_agg(bitmap_bit_position(user_id))").as("bm"))
+      .groupBy(col("event_type"))
+      .agg(sum(expr("bitmap_count(bm)")).as("n_users"))
+      .orderBy(col("event_type"))
+  }
+
+  // ------------------------------------------------------ weighted sample
+
+  /** Deterministic weighted sampling without replacement (top-3 per
+    * language, weight = n_chars): the A-ES exponential-jitter scheme —
+    * key = −ln(u)/w with u a pure md5-derived function of the doc key —
+    * so the sample is reproducible across engines, partitionings and
+    * reruns (the rand() forms are none of these). One window shuffle on
+    * lang; at 100 TB the native top-k operator (q_win_topk_native)
+    * carries the same idiom shuffle-free. */
+  val qSampleWeighted: Q = (s, dir) => {
+    import s.implicits._
+    // u in (0,1): (16-bit md5 prefix + 0.5) / 65536 — shared arithmetic
+    // with the q_pipeline_mixture oracle, shifted off zero for the ln
+    val u = expr(
+      """((position(substr(md5(cast(doc_id AS STRING)), 1, 1) IN '0123456789abcdef') - 1) * 4096
+        | + (position(substr(md5(cast(doc_id AS STRING)), 2, 1) IN '0123456789abcdef') - 1) * 256
+        | + (position(substr(md5(cast(doc_id AS STRING)), 3, 1) IN '0123456789abcdef') - 1) * 16
+        | + (position(substr(md5(cast(doc_id AS STRING)), 4, 1) IN '0123456789abcdef') - 1)
+        | + 0.5) / 65536.0""".stripMargin)
+    val keyed = table(s, dir, "documents")
+      .select($"doc_id", $"lang", $"n_chars",
+        (-log(u) / $"n_chars").as("k"))
+    keyed
+      .withColumn("rk", row_number().over(
+        Window.partitionBy($"lang").orderBy($"k", $"doc_id")))
+      .filter($"rk" <= 3)
+      .select($"lang", $"rk".cast("long").as("rk"), $"doc_id",
+        round($"k", 9).as("k9"))
+      .orderBy($"lang", $"rk")
+  }
+
+  // ------------------------------------------------- linear interpolation
+
+  /** Resample-with-LINEAR-interpolation: per-user hourly mean of purchase
+    * values on a dense hour grid, gaps filled by the line between the
+    * nearest observed neighbors (q_ts_gapfill is the step-function
+    * sibling). Means come from exact decimal sums; the interpolation
+    * ratio is integer hour arithmetic; grid size is span-bounded per
+    * user, so the work scales with users × hours, not events². */
+  val qTsInterp: Q = (s, dir) => {
+    import s.implicits._
+    val hourly = events(s, dir)
+      .filter($"event_type" === "purchase")
+      .groupBy($"user_id", date_trunc("hour", $"ts").as("hour"))
+      .agg((dsum($"value") / count(lit(1))).as("hr_mean"))
+    val grid = hourly.groupBy($"user_id")
+      .agg(min($"hour").as("h0"), max($"hour").as("h1"))
+      .select($"user_id",
+        explode(sequence($"h0", $"h1", expr("interval 1 hour"))).as("hour"))
+    val wPrev = Window.partitionBy($"user_id").orderBy($"hour")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wNext = Window.partitionBy($"user_id").orderBy($"hour")
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val hidx = (unix_timestamp($"hour") / 3600L).cast("long")
+    grid.join(hourly, Seq("user_id", "hour"), "left")
+      .withColumn("hidx", hidx)
+      .withColumn("pv", last($"hr_mean", ignoreNulls = true).over(wPrev))
+      .withColumn("ph",
+        last(when($"hr_mean".isNotNull, $"hidx"), ignoreNulls = true).over(wPrev))
+      .withColumn("nv", first($"hr_mean", ignoreNulls = true).over(wNext))
+      .withColumn("nh",
+        first(when($"hr_mean".isNotNull, $"hidx"), ignoreNulls = true).over(wNext))
+      // emitted UNROUNDED (the q_ts_ewma convention): every input is an
+      // exact-decimal-derived double and the per-row chain is the same
+      // IEEE sequence on both engines, while round() at an exact .5e-6
+      // boundary is where the engines diverge
+      .withColumn("interp",
+        when($"hr_mean".isNotNull, $"hr_mean")
+          .when($"pv".isNull, $"nv")
+          .when($"nv".isNull, $"pv")
+          .otherwise($"pv" + ($"nv" - $"pv") *
+            ($"hidx" - $"ph").cast("double") / ($"nh" - $"ph")))
+      .select($"user_id", $"hour", $"hr_mean".as("observed"), $"interp")
+      .orderBy($"user_id", $"hour")
+  }
+
+  // ------------------------------------------------------- skew/kurtosis
+
+  /** Higher-moment statistics per event type — population skewness and
+    * excess kurtosis derived from EXACT decimal power sums (Σx..Σx⁴), so
+    * the only doubles are the final closed-form combination, identical
+    * text on both engines (Spark's built-in skewness/kurtosis match to
+    * ~1e-9 — asserted in QualitySpec — but are double-accumulated and
+    * order-dependent, so the decimal route is what's oracle-checked).
+    * Decimal widths: x ≤ ~10⁶ fits (10,4); x² (15,8); x³ (26,12);
+    * x⁴ = (x²)² (31,16) — all within DECIMAL(38). */
+  val qAggSkewKurt: Q = (s, dir) => {
+    import s.implicits._
+    val x = $"value".cast("decimal(10,4)")
+    val x2 = ($"value".cast("decimal(10,4)") * $"value".cast("decimal(10,4)"))
+      .cast("decimal(15,8)")
+    events(s, dir)
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(x).cast("double").as("s1"),
+        sum(x2).cast("double").as("s2"),
+        sum((x2 * x).cast("decimal(26,12)")).cast("double").as("s3"),
+        sum((x2 * x2).cast("decimal(31,16)")).cast("double").as("s4"))
+      .withColumn("mu", $"s1" / $"n")
+      .withColumn("m2", $"s2" / $"n" - $"mu" * $"mu")
+      .withColumn("m3",
+        $"s3" / $"n" - lit(3.0) * $"mu" * ($"s2" / $"n") +
+          lit(2.0) * $"mu" * $"mu" * $"mu")
+      .withColumn("m4",
+        $"s4" / $"n" - lit(4.0) * $"mu" * ($"s3" / $"n") +
+          lit(6.0) * $"mu" * $"mu" * ($"s2" / $"n") -
+          lit(3.0) * $"mu" * $"mu" * $"mu" * $"mu")
+      .select($"event_type", $"n",
+        round($"mu", 6).as("mean"),
+        round($"m3" / ($"m2" * sqrt($"m2")), 6).as("skewness"),
+        round($"m4" / ($"m2" * $"m2") - 3.0, 6).as("kurtosis"))
+      .orderBy($"event_type")
+  }
+
+  val queries: Map[String, Q] = Map(
+    "q_text_bm25" -> qTextBm25,
+    "q_text_dupgrams" -> qTextDupgrams,
+    "q_curate_gopher" -> qCurateGopher,
+    "q_text_entropy" -> qTextEntropy,
+    "q_graph_bfs" -> qGraphBfs,
+    "q_agg_bitmap_distinct" -> qAggBitmapDistinct,
+    "q_sample_weighted" -> qSampleWeighted,
+    "q_ts_interp" -> qTsInterp,
+    "q_agg_skewkurt" -> qAggSkewKurt,
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q_text_bm25" ->
+      """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |dl AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS dl FROM tok),
+        |corpus AS (SELECT count(*) AS n_docs,
+        |  CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl),
+        |tf AS (SELECT doc_id, w, count(*) AS tf
+        |  FROM (SELECT doc_id, unnest(ws) AS w FROM tok)
+        |  WHERE w IN ('spark', 'query', 'join') GROUP BY doc_id, w),
+        |df AS (SELECT w, count(*) AS df FROM tf GROUP BY w)
+        |SELECT tf.doc_id, count(*) AS n_terms,
+        | CAST(sum(CAST(round(
+        |   ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+        |   * (tf * 2.2) / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl)), 8)
+        |  AS DECIMAL(18,8))) AS DOUBLE) AS bm25
+        |FROM tf JOIN df USING (w) JOIN dl USING (doc_id) CROSS JOIN corpus
+        |GROUP BY tf.doc_id ORDER BY tf.doc_id""".stripMargin,
+    "q_text_dupgrams" ->
+      """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 8),
+        |g AS (SELECT DISTINCT doc_id, unnest(list_transform(
+        |   generate_series(1, len(ws) - 7),
+        |   i -> array_to_string(ws[i:i+7], ' '))) AS g
+        |  FROM tok),
+        |freq AS (SELECT g, count(*) AS nd FROM g GROUP BY g)
+        |SELECT doc_id, count(*) AS n_grams,
+        | CAST(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+        | round(CAST(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+        |   / count(*), 6) AS dup_frac
+        |FROM g JOIN freq USING (g)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q_curate_gopher" ->
+      """WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+        |  FROM documents),
+        |m AS (SELECT doc_id, count(*) AS n_toks,
+        |   sum(len(w)) AS n_wchars,
+        |   count(DISTINCT CASE WHEN w IN ('the', 'a', 'value', 'key')
+        |     THEN w END) AS stop_hits,
+        |   sum(CASE WHEN regexp_matches(w, '^[a-z]+$') THEN 1 ELSE 0 END)
+        |     AS n_alpha
+        |  FROM w GROUP BY doc_id)
+        |SELECT doc_id, CAST(n_toks AS BIGINT) AS n_toks,
+        | round(CAST(n_wchars AS DOUBLE) / n_toks, 6) AS mean_wlen,
+        | CAST(stop_hits AS BIGINT) AS stop_hits,
+        | round(CAST(n_alpha AS DOUBLE) / n_toks, 6) AS alpha_frac,
+        | (n_toks BETWEEN 10 AND 1000
+        |  AND round(CAST(n_wchars AS DOUBLE) / n_toks, 6) BETWEEN 2.0 AND 12.0
+        |  AND stop_hits >= 2
+        |  AND round(CAST(n_alpha AS DOUBLE) / n_toks, 6) >= 0.8) AS keep
+        |FROM m ORDER BY doc_id""".stripMargin,
+    "q_text_entropy" ->
+      """WITH wc AS (SELECT doc_id, w, count(*) AS c
+        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+        |        FROM documents)
+        |  GROUP BY doc_id, w),
+        |agg AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n,
+        |   count(*) AS n_distinct,
+        |   sum(CAST(CAST(c AS DECIMAL(10,0)) *
+        |     CAST(round(log2(CAST(c AS DOUBLE)), 8) AS DECIMAL(18,8))
+        |    AS DECIMAL(28,8))) AS clog
+        |  FROM wc GROUP BY doc_id)
+        |SELECT doc_id, n, n_distinct,
+        | round(log2(CAST(n AS DOUBLE)), 8)
+        |   - CAST(clog AS DOUBLE) / n AS entropy_bits
+        |FROM agg ORDER BY doc_id""".stripMargin,
+    "q_graph_bfs" ->
+      """WITH RECURSIVE
+        |li AS (SELECT l_orderkey, l_partkey FROM lineitem
+        |  WHERE l_returnflag = 'R'),
+        |half AS (SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+        |  FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+        |   AND a.l_partkey < b.l_partkey),
+        |e AS (SELECT u, v FROM half UNION ALL SELECT v, u FROM half),
+        |walk(node, hop) AS (
+        |  SELECT (SELECT min(u) FROM e), 0
+        |  UNION
+        |  SELECT e.v, walk.hop + 1 FROM walk JOIN e ON e.u = walk.node
+        |  WHERE walk.hop < 4)
+        |SELECT node, CAST(min(hop) AS BIGINT) AS hop
+        |FROM walk GROUP BY node ORDER BY node""".stripMargin,
+    "q_agg_bitmap_distinct" ->
+      """SELECT event_type, count(DISTINCT user_id) AS n_users
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q_sample_weighted" ->
+      """WITH keyed AS (SELECT lang, doc_id,
+        |  -ln(((position(substr(md5(cast(doc_id AS VARCHAR)), 1, 1) IN '0123456789abcdef') - 1) * 4096
+        |   + (position(substr(md5(cast(doc_id AS VARCHAR)), 2, 1) IN '0123456789abcdef') - 1) * 256
+        |   + (position(substr(md5(cast(doc_id AS VARCHAR)), 3, 1) IN '0123456789abcdef') - 1) * 16
+        |   + (position(substr(md5(cast(doc_id AS VARCHAR)), 4, 1) IN '0123456789abcdef') - 1)
+        |   + 0.5) / 65536.0) / n_chars AS k
+        | FROM documents),
+        |ranked AS (SELECT lang, doc_id, k,
+        |  row_number() OVER (PARTITION BY lang ORDER BY k, doc_id) AS rk
+        | FROM keyed)
+        |SELECT lang, CAST(rk AS BIGINT) AS rk, doc_id, round(k, 9) AS k9
+        |FROM ranked WHERE rk <= 3 ORDER BY lang, rk""".stripMargin,
+    "q_ts_interp" ->
+      """WITH hourly AS (SELECT user_id,
+        |  date_trunc('hour', ts::TIMESTAMP) AS hour,
+        |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) / count(*) AS hr_mean
+        | FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
+        |grid AS (SELECT user_id, unnest(generate_series(h0, h1,
+        |   INTERVAL 1 HOUR)) AS hour
+        | FROM (SELECT user_id, min(hour) AS h0, max(hour) AS h1
+        |       FROM hourly GROUP BY user_id)),
+        |j AS (SELECT g.user_id, g.hour, h.hr_mean,
+        |  CAST(floor(epoch(g.hour) / 3600) AS BIGINT) AS hidx
+        | FROM grid g LEFT JOIN hourly h
+        |   ON g.user_id = h.user_id AND g.hour = h.hour),
+        |w AS (SELECT user_id, hour, hr_mean, hidx,
+        |  last_value(hr_mean IGNORE NULLS) OVER wp AS pv,
+        |  last_value(CASE WHEN hr_mean IS NOT NULL THEN hidx END IGNORE NULLS)
+        |    OVER wp AS ph,
+        |  first_value(hr_mean IGNORE NULLS) OVER wn AS nv,
+        |  first_value(CASE WHEN hr_mean IS NOT NULL THEN hidx END IGNORE NULLS)
+        |    OVER wn AS nh
+        | FROM j
+        | WINDOW wp AS (PARTITION BY user_id ORDER BY hour
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        | wn AS (PARTITION BY user_id ORDER BY hour
+        |   ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+        |SELECT user_id, hour, hr_mean AS observed,
+        | CASE WHEN hr_mean IS NOT NULL THEN hr_mean
+        |   WHEN pv IS NULL THEN nv
+        |   WHEN nv IS NULL THEN pv
+        |   ELSE pv + (nv - pv) * CAST(hidx - ph AS DOUBLE) / (nh - ph)
+        |  END AS interp
+        |FROM w ORDER BY user_id, hour""".stripMargin,
+    "q_agg_skewkurt" ->
+      """WITH b AS (SELECT event_type, CAST(value AS DECIMAL(10,4)) AS x,
+        |  -- precision 19 operand forces DuckDB's int128 multiply path
+        |  -- (narrower operands multiply in int64 raw and overflow);
+        |  -- the VALUES are the same exact decimals Spark sums
+        |  CAST(CAST(value AS DECIMAL(10,4)) * CAST(value AS DECIMAL(10,4))
+        |    AS DECIMAL(19,8)) AS x2
+        | FROM events),
+        |m AS (SELECT event_type, count(*) AS n,
+        |  CAST(sum(x) AS DOUBLE) AS s1,
+        |  CAST(sum(x2) AS DOUBLE) AS s2,
+        |  CAST(sum(CAST(x2 * x AS DECIMAL(26,12))) AS DOUBLE) AS s3,
+        |  CAST(sum(CAST(x2 * x2 AS DECIMAL(38,16))) AS DOUBLE) AS s4
+        | FROM b GROUP BY event_type),
+        |c AS (SELECT event_type, n, s1 / n AS mu,
+        |  s2 / n - (s1 / n) * (s1 / n) AS m2,
+        |  s3 / n - 3.0 * (s1 / n) * (s2 / n)
+        |    + 2.0 * (s1 / n) * (s1 / n) * (s1 / n) AS m3,
+        |  s4 / n - 4.0 * (s1 / n) * (s3 / n)
+        |    + 6.0 * (s1 / n) * (s1 / n) * (s2 / n)
+        |    - 3.0 * (s1 / n) * (s1 / n) * (s1 / n) * (s1 / n) AS m4
+        | FROM m)
+        |SELECT event_type, n, round(mu, 6) AS mean,
+        | round(m3 / (m2 * sqrt(m2)), 6) AS skewness,
+        | round(m4 / (m2 * m2) - 3.0, 6) AS kurtosis
+        |FROM c ORDER BY event_type""".stripMargin,
+  )
+}

@@ -1,0 +1,140 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Invariants for the round-5 Quality batch, beyond the oracle hash-match:
+  * closed-form moment stats vs Spark's built-ins, entropy bounds, BFS
+  * frontier structure, bitmap-vs-exact distinct, interpolation envelope,
+  * and determinism of the weighted sample. */
+class QualitySpec extends SparkSuite {
+
+  test("q_agg_skewkurt matches Spark's built-in skewness/kurtosis to 1e-6") {
+    import spark.implicits._
+    val ours = SparkEntry.queries("q_agg_skewkurt")(spark, sfDir)
+      .select($"event_type", $"skewness", $"kurtosis").collect()
+      .map(r => r.getString(0) -> ((r.getDouble(1), r.getDouble(2)))).toMap
+    val builtin = graft.ops.Util.events(spark, sfDir)
+      .groupBy($"event_type")
+      .agg(skewness($"value").as("sk"), kurtosis($"value").as("ku"))
+      .collect()
+      .map(r => r.getString(0) -> ((r.getDouble(1), r.getDouble(2)))).toMap
+    assert(ours.keySet == builtin.keySet)
+    ours.foreach { case (k, (sk, ku)) =>
+      val (bsk, bku) = builtin(k)
+      assert(math.abs(sk - bsk) < 1e-6, s"$k skewness $sk vs builtin $bsk")
+      assert(math.abs(ku - bku) < 1e-6, s"$k kurtosis $ku vs builtin $bku")
+    }
+  }
+
+  test("q_text_entropy is bounded by [0, log2(n_distinct)]") {
+    import spark.implicits._
+    val rows = SparkEntry.queries("q_text_entropy")(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (nd, h) = (r.getLong(2), r.getDouble(3))
+      assert(h >= -1e-9, s"negative entropy $h")
+      assert(h <= math.log(nd.toDouble) / math.log(2.0) + 1e-6,
+        s"entropy $h above log2($nd)")
+    }
+    // a uniform-distribution doc (all words distinct) hits the upper bound
+    val uniform = rows.filter(r => r.getLong(1) == r.getLong(2))
+    uniform.foreach { r =>
+      val expect = math.log(r.getLong(1).toDouble) / math.log(2.0)
+      assert(math.abs(r.getDouble(3) - expect) < 1e-6)
+    }
+  }
+
+  test("q_graph_bfs: single seed, frontier hops, and edge-consistency") {
+    import spark.implicits._
+    val bfs = SparkEntry.queries("q_graph_bfs")(spark, sfDir)
+    val byHop = bfs.groupBy($"hop").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(byHop(0L) == 1L, "exactly one seed at hop 0")
+    assert(byHop.keySet.max <= 4L)
+    // every hop-h node (h>0) must have a neighbor at hop h-1: BFS levels
+    // are exactly the min-hop partition of the reachable set
+    val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .filter($"l_returnflag" === "R")
+      .select($"l_orderkey", $"l_partkey")
+    val half = li.as("a").join(li.as("b"),
+        $"a.l_orderkey" === $"b.l_orderkey" && $"a.l_partkey" < $"b.l_partkey")
+      .select($"a.l_partkey".as("u"), $"b.l_partkey".as("v")).distinct()
+    val e = half.union(half.select($"v".as("u"), $"u".as("v")))
+    val hops = bfs.select($"node", $"hop")
+    val bad = hops.filter($"hop" > 0).as("x")
+      .join(e, $"x.node" === e("v"))
+      .join(hops.as("p"), e("u") === $"p.node")
+      .groupBy($"x.node", $"x.hop").agg(min($"p.hop").as("best"))
+      .filter($"best" =!= $"x.hop" - 1)
+    assert(bad.isEmpty, "a BFS level is not one step from the previous level")
+  }
+
+  test("q_agg_bitmap_distinct equals exact countDistinct") {
+    import spark.implicits._
+    val bm = SparkEntry.queries("q_agg_bitmap_distinct")(spark, sfDir)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = graft.ops.Util.events(spark, sfDir)
+      .groupBy($"event_type").agg(countDistinct($"user_id").as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bm == exact)
+  }
+
+  test("q_sample_weighted is deterministic and draws 3 per language") {
+    import spark.implicits._
+    val a = SparkEntry.queries("q_sample_weighted")(spark, sfDir).collect()
+    val b = SparkEntry.queries("q_sample_weighted")(spark, sfDir).collect()
+    assert(a.toSeq == b.toSeq, "weighted sample not reproducible")
+    val langs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select($"lang").distinct().count()
+    assert(a.length == 3 * langs)
+  }
+
+  test("q_ts_interp: observed rows preserved, gaps filled within envelope") {
+    import spark.implicits._
+    val out = SparkEntry.queries("q_ts_interp")(spark, sfDir).cache()
+    try {
+      assert(out.filter($"interp".isNull).isEmpty,
+        "a grid row has no interpolated value")
+      // interpolated gap values stay inside each user's observed range
+      val env = out.filter($"observed".isNotNull).groupBy($"user_id")
+        .agg(min($"observed").as("lo"), max($"observed").as("hi"))
+      val bad = out.filter($"observed".isNull).join(env, "user_id")
+        .filter($"interp" < $"lo" - 1e-9 || $"interp" > $"hi" + 1e-9)
+      assert(bad.isEmpty, "interpolated value escapes the observed envelope")
+      // observed rows carry their own mean through unchanged
+      assert(out.filter($"observed".isNotNull &&
+        $"observed" =!= $"interp").isEmpty)
+    } finally out.unpersist()
+  }
+
+  test("q_text_dupgrams: planted duplicates surface as dup_frac = 1 docs") {
+    import spark.implicits._
+    val rows = SparkEntry.queries("q_text_dupgrams")(spark, sfDir)
+    // the fixtures plant exact-duplicate text pairs (see q_dedup_exact):
+    // each such doc's every 8-gram also lives in its twin
+    val full = rows.filter($"dup_frac" === 1.0).count()
+    assert(full >= 2, s"expected planted duplicate docs at dup_frac=1, got $full")
+    assert(rows.filter($"dup_frac" < 0 || $"dup_frac" > 1).isEmpty)
+  }
+
+  test("q_curate_gopher: keep flag is consistent with its own metrics") {
+    import spark.implicits._
+    val bad = SparkEntry.queries("q_curate_gopher")(spark, sfDir)
+      .filter($"keep" =!= ($"n_toks".between(10, 1000) &&
+        $"mean_wlen".between(2.0, 12.0) && $"stop_hits" >= 2 &&
+        $"alpha_frac" >= 0.8))
+    assert(bad.isEmpty)
+  }
+
+  test("q_text_bm25 scores only docs containing a query term, positively") {
+    import spark.implicits._
+    val out = SparkEntry.queries("q_text_bm25")(spark, sfDir).cache()
+    try {
+      assert(out.filter($"bm25" <= 0.0).isEmpty, "BM25 must be positive here")
+      val withTerm = spark.read.parquet(s"$sfDir/documents.parquet")
+        .filter($"text".rlike("(^| )(spark|query|join)( |$)"))
+        .count()
+      assert(out.count() == withTerm, "scored docs != docs containing a term")
+    } finally out.unpersist()
+  }
+}
