@@ -335,6 +335,97 @@ object Quality {
       .orderBy($"event_type")
   }
 
+  // --------------------------------------------------- DSIR importance
+
+  /** DSIR-style importance weighting (Xie et al.): score every document
+    * by the unigram log-likelihood ratio between a TARGET distribution
+    * (here the 'en' slice — the domain being selected for) and the whole
+    * corpus, both add-1 smoothed over the shared vocabulary. The model
+    * is vocab-sized (per-word llr, rounded 8dp → decimal) so at 100 TB
+    * it broadcasts back onto the token scan — the same "model built FROM
+    * the corpus, broadcast ONTO the corpus" shape as the unigram LM —
+    * and per-doc scores are exact decimal sums of c(doc,w)·llr(w),
+    * emitted unrounded (bm25 convention). */
+  val qCurateDsir: Q = (s, dir) => {
+    import s.implicits._
+    val tok = cached(table(s, dir, "documents")
+      .select($"doc_id", $"lang", explode(LlmOps.toks($"text")).as("w")))
+    val wc = tok.groupBy($"w")
+      .agg(count(lit(1)).as("cc"),
+        sum(when($"lang" === "en", 1L).otherwise(0L)).as("ct"))
+    val totals = wc.agg(sum($"cc").as("nc"), sum($"ct").as("nt"),
+      count(lit(1)).as("v"))
+    val model = wc.crossJoin(broadcast(totals))
+      .select($"w", round(
+        log((($"ct" + 1L).cast("double") / ($"nt" + $"v")) /
+          (($"cc" + 1L).cast("double") / ($"nc" + $"v"))), 8)
+        .cast("decimal(18,8)").as("llr"))
+    tok.groupBy($"doc_id", $"w").agg(count(lit(1)).as("c"))
+      .join(broadcast(model), "w")
+      .groupBy($"doc_id")
+      .agg(sum($"c").as("n_toks"),
+        sum(($"c".cast("decimal(10,0)") * $"llr").cast("decimal(28,8)"))
+          .cast("double").as("llr_sum"))
+      .withColumn("selected", $"llr_sum" > 0.0)
+      .orderBy($"doc_id")
+  }
+
+  // ------------------------------------------------------------ masking
+
+  /** Data-masking battery on the customer dim: the built-in mask()
+    * (upper→X, lower→x, digit→n, other kept) plus a custom-replacement
+    * variant — the redaction primitive next to q_text_pii's regexp
+    * route. Pure per-row codegen'd string work; the oracle rebuilds the
+    * same masks from chained regexp_replace. */
+  val qFnMask: Q = (s, dir) => {
+    import s.implicits._
+    table(s, dir, "customer")
+      .select($"c_custkey",
+        mask($"c_name").as("masked_name"),
+        mask($"c_mktsegment").as("masked_seg"),
+        mask($"c_name", lit("X"), lit("x"), lit("n"), lit("*"))
+          .as("masked_name_star"))
+      .orderBy($"c_custkey")
+  }
+
+  // ------------------------------------------------------ weighted SSSP
+
+  /** Single-source shortest paths, 4 relaxation rounds of Bellman-Ford
+    * over the WEIGHTED part co-order graph (weight = co-occurrence
+    * count, so costs stay integer-exact) — the weighted sibling of
+    * q_graph_bfs. Same RDD-fixpoint rationale; each round is one
+    * shuffle of the relaxed-candidate set plus the min-merge, and after
+    * round k the vector is exactly min-cost over ≤k-edge paths (the
+    * bounded-round Bellman-Ford invariant), which is what the oracle's
+    * recursive walk enumeration computes. */
+  val qGraphSssp: Q = (s, dir) => {
+    import s.implicits._
+    val li = table(s, dir, "lineitem")
+      .filter($"l_returnflag" === "R")
+      .select($"l_orderkey", $"l_partkey")
+    val half = cached(li.as("a").join(li.as("b"),
+        $"a.l_orderkey" === $"b.l_orderkey" &&
+          $"a.l_partkey" < $"b.l_partkey")
+      .groupBy($"a.l_partkey".as("u"), $"b.l_partkey".as("v"))
+      .agg(count(lit(1)).as("w")))
+    val nEdges = half.count() * 2
+    val part = new org.apache.spark.HashPartitioner(
+      math.max(1, math.min(s.sparkContext.defaultParallelism,
+        (nEdges / 65536 + 1).toInt)))
+    val und = cachedRdd(half.as[(Long, Long, Long)].rdd
+      .flatMap { case (u, v, w) => Seq((u, (v, w)), (v, (u, w))) }
+      .partitionBy(part))
+    val seedNode = und.keys.min()
+    var dist = s.sparkContext
+      .parallelize(Seq((seedNode, 0L))).partitionBy(part)
+    for (_ <- 1 to 4) {
+      val relaxed = und.join(dist, part)
+        .map { case (_, ((v, w), d)) => (v, d + w) }
+      dist = dist.union(relaxed).reduceByKey(part, math.min(_: Long, _: Long))
+    }
+    dist.toDF("node", "cost").orderBy($"node")
+  }
+
   val queries: Map[String, Q] = Map(
     "q_text_bm25" -> qTextBm25,
     "q_text_dupgrams" -> qTextDupgrams,
@@ -345,9 +436,62 @@ object Quality {
     "q_sample_weighted" -> qSampleWeighted,
     "q_ts_interp" -> qTsInterp,
     "q_agg_skewkurt" -> qAggSkewKurt,
+    "q_curate_dsir" -> qCurateDsir,
+    "q_fn_mask" -> qFnMask,
+    "q_graph_sssp" -> qGraphSssp,
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q_curate_dsir" ->
+      """WITH tok AS (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS w
+        |  FROM documents),
+        |wc AS (SELECT w, count(*) AS cc,
+        |   sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS ct
+        |  FROM tok GROUP BY w),
+        |tot AS (SELECT CAST(sum(cc) AS BIGINT) AS nc,
+        |   CAST(sum(ct) AS BIGINT) AS nt, count(*) AS v FROM wc),
+        |model AS (SELECT w, CAST(round(ln(
+        |   (CAST(ct + 1 AS DOUBLE) / (nt + v)) /
+        |   (CAST(cc + 1 AS DOUBLE) / (nc + v))), 8) AS DECIMAL(18,8)) AS llr
+        |  FROM wc CROSS JOIN tot),
+        |dc AS (SELECT doc_id, w, count(*) AS c FROM tok GROUP BY doc_id, w),
+        |agg AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_toks,
+        |   CAST(sum(CAST(CAST(c AS DECIMAL(10,0)) * llr AS DECIMAL(28,8)))
+        |     AS DOUBLE) AS llr_sum
+        |  FROM dc JOIN model USING (w) GROUP BY doc_id)
+        |SELECT doc_id, n_toks, llr_sum, llr_sum > 0.0 AS selected
+        |FROM agg ORDER BY doc_id""".stripMargin,
+    "q_fn_mask" ->
+      """SELECT c_custkey,
+        | regexp_replace(regexp_replace(regexp_replace(c_name,
+        |   '[A-Z]', 'X', 'g'), '[a-z]', 'x', 'g'), '[0-9]', 'n', 'g')
+        |  AS masked_name,
+        | regexp_replace(regexp_replace(regexp_replace(c_mktsegment,
+        |   '[A-Z]', 'X', 'g'), '[a-z]', 'x', 'g'), '[0-9]', 'n', 'g')
+        |  AS masked_seg,
+        | -- after the three class replacements the only chars left are
+        | -- 'other' chars (c_name's alphabet adds only '#'), so the
+        | -- custom-other variant is one more sweep
+        | regexp_replace(regexp_replace(regexp_replace(regexp_replace(c_name,
+        |   '[A-Z]', 'X', 'g'), '[a-z]', 'x', 'g'), '[0-9]', 'n', 'g'),
+        |   '[^Xxn]', '*', 'g') AS masked_name_star
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+    "q_graph_sssp" ->
+      """WITH RECURSIVE
+        |li AS (SELECT l_orderkey, l_partkey FROM lineitem
+        |  WHERE l_returnflag = 'R'),
+        |e1 AS (SELECT a.l_partkey AS u, b.l_partkey AS v, count(*) AS w
+        |  FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+        |   AND a.l_partkey < b.l_partkey
+        |  GROUP BY u, v),
+        |e AS (SELECT u, v, w FROM e1 UNION ALL SELECT v, u, w FROM e1),
+        |walk(node, cost, hop) AS (
+        |  SELECT (SELECT min(u) FROM e), CAST(0 AS BIGINT), 0
+        |  UNION
+        |  SELECT e.v, walk.cost + e.w, walk.hop + 1
+        |  FROM walk JOIN e ON e.u = walk.node WHERE walk.hop < 4)
+        |SELECT node, CAST(min(cost) AS BIGINT) AS cost
+        |FROM walk GROUP BY node ORDER BY node""".stripMargin,
     "q_text_bm25" ->
       """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
         |dl AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS dl FROM tok),

@@ -126,6 +126,47 @@ class QualitySpec extends SparkSuite {
     assert(bad.isEmpty)
   }
 
+  test("q_curate_dsir: the importance weights prefer the target domain") {
+    import spark.implicits._
+    val scored = SparkEntry.queries("q_curate_dsir")(spark, sfDir)
+      .join(spark.read.parquet(s"$sfDir/documents.parquet")
+        .select($"doc_id", $"lang"), "doc_id")
+    val means = scored
+      .groupBy($"lang" === "en")
+      .agg(avg($"llr_sum" / $"n_toks").as("m"))
+      .collect().map(r => r.getBoolean(0) -> r.getDouble(1)).toMap
+    assert(means(true) > means(false),
+      s"en mean per-token llr ${means(true)} not above non-en ${means(false)}")
+    val bad = scored.filter($"selected" =!= ($"llr_sum" > 0.0))
+    assert(bad.isEmpty, "selected flag inconsistent with llr_sum")
+  }
+
+  test("q_fn_mask preserves shape: lengths and character classes") {
+    import spark.implicits._
+    val out = SparkEntry.queries("q_fn_mask")(spark, sfDir)
+      .join(spark.read.parquet(s"$sfDir/customer.parquet"), "c_custkey")
+    assert(out.filter(length($"masked_name") =!= length($"c_name")).isEmpty)
+    assert(out.filter(!$"masked_seg".rlike("^[Xxn]*$")).isEmpty,
+      "default mask leaked a raw character from an alphabetic column")
+    assert(out.filter(!$"masked_name_star".rlike("^[Xxn*]*$")).isEmpty,
+      "custom mask left an unmasked 'other' character")
+  }
+
+  test("q_graph_sssp agrees with BFS reachability; weighted costs dominate hops") {
+    import spark.implicits._
+    val sssp = SparkEntry.queries("q_graph_sssp")(spark, sfDir)
+    val bfs = SparkEntry.queries("q_graph_bfs")(spark, sfDir)
+    val joined = sssp.join(bfs, "node").cache()
+    try {
+      // identical graph + seed + 4 rounds => identical reachable sets
+      assert(sssp.count() == bfs.count())
+      assert(joined.count() == sssp.count())
+      // every edge weighs >= 1, so min-cost >= min-hop, and the seed is 0
+      assert(joined.filter($"cost" < $"hop").isEmpty)
+      assert(joined.filter($"hop" === 0 && $"cost" =!= 0).isEmpty)
+    } finally joined.unpersist()
+  }
+
   test("q_text_bm25 scores only docs containing a query term, positively") {
     import spark.implicits._
     val out = SparkEntry.queries("q_text_bm25")(spark, sfDir).cache()
