@@ -150,8 +150,30 @@ object StreamOps {
       .orderBy($"c_mktsegment", $"event_type")
   }
 
+  /** Batch analog of the stream-stream LEFT OUTER join
+    * (StreamingOps.purchaseClicksOuter, parity-proven in
+    * StreamingParitySpec): every purchase keeps a row, n_clicks = 0 and
+    * last_click null when no same-user click precedes it within 30
+    * minutes — the attribution query where "unattributed" is itself the
+    * signal. Same one-shuffle equi-join shape as qStreamJoin. */
+  val qStreamOuter: Q = (s, dir) => {
+    import s.implicits._
+    val ev = events(s, dir)
+    val clicks = ev.filter($"event_type" === "click")
+      .select($"user_id".as("c_user"), $"ts".as("c_ts"), $"event_id".as("c_id"))
+    val purch = ev.filter($"event_type" === "purchase")
+      .select($"user_id", $"ts".as("p_ts"), $"event_id".as("p_id"))
+    purch.join(clicks, $"user_id" === $"c_user" &&
+        $"c_ts" <= $"p_ts" && $"c_ts" >= $"p_ts" - expr("INTERVAL 30 MINUTES"),
+        "left_outer")
+      .groupBy($"user_id", $"p_id")
+      .agg(count($"c_id").as("n_clicks"), max($"c_id").as("last_click"))
+      .orderBy($"p_id")
+  }
+
   val queries: Map[String, Q] = Map(
     "q_stream_join" -> qStreamJoin,
+    "q_stream_outer" -> qStreamOuter,
     "q_stream_enrich" -> qStreamEnrich,
     "q_stream_tumbling" -> qStreamTumbling,
     "q_stream_sliding" -> qStreamSliding,
@@ -173,6 +195,14 @@ object StreamOps {
         |p AS (SELECT user_id, ts AS p_ts, event_id AS p_id FROM e WHERE event_type = 'purchase')
         |SELECT user_id, p_id, count(*) AS n_clicks, max(c_id) AS last_click
         |FROM p JOIN c ON user_id = c_user AND c_ts <= p_ts
+        | AND c_ts >= p_ts - INTERVAL 30 MINUTE
+        |GROUP BY user_id, p_id ORDER BY p_id""".stripMargin,
+    "q_stream_outer" ->
+      """WITH e AS (SELECT user_id, event_id, event_type, ts::TIMESTAMP AS ts FROM events),
+        |c AS (SELECT user_id AS c_user, ts AS c_ts, event_id AS c_id FROM e WHERE event_type = 'click'),
+        |p AS (SELECT user_id, ts AS p_ts, event_id AS p_id FROM e WHERE event_type = 'purchase')
+        |SELECT user_id, p_id, count(c_id) AS n_clicks, max(c_id) AS last_click
+        |FROM p LEFT JOIN c ON user_id = c_user AND c_ts <= p_ts
         | AND c_ts >= p_ts - INTERVAL 30 MINUTE
         |GROUP BY user_id, p_id ORDER BY p_id""".stripMargin,
     "q_stream_tumbling" ->

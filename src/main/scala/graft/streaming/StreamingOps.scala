@@ -100,4 +100,25 @@ object StreamingOps {
       expr("user_id = c_user AND c_ts <= p_ts AND c_ts >= p_ts - INTERVAL 30 MINUTES"))
       .select(col("user_id"), col("p_id"), col("c_id"))
   }
+
+  /** Stream-stream LEFT OUTER join — same bounded predicate as
+    * purchaseClicks, but a purchase with no qualifying click emits one
+    * null-padded row once the GLOBAL watermark (min across both sides)
+    * passes its join window, i.e. the row is provably unmatchable. This
+    * is the streaming semantics inner joins can't express: "every
+    * purchase, attributed or not". State stays bounded exactly as in
+    * the inner form. */
+  def purchaseClicksOuter(events: DataFrame): DataFrame = {
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
+        col("event_id").as("c_id"))
+      .withWatermark("c_ts", "10 minutes")
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts").as("p_ts"), col("event_id").as("p_id"))
+      .withWatermark("p_ts", "10 minutes")
+    purchases.join(clicks,
+      expr("user_id = c_user AND c_ts <= p_ts AND c_ts >= p_ts - INTERVAL 30 MINUTES"),
+      "leftOuter")
+      .select(col("user_id"), col("p_id"), col("c_id"))
+  }
 }

@@ -115,6 +115,41 @@ class StreamingParitySpec extends SparkSuite {
     assertSetEqual(streamed, batch, "stream-stream join")
   }
 
+  test("stream-stream LEFT OUTER join: null-padded rows flush at the watermark") {
+    import spark.implicits._
+    // Outer results only emit once the GLOBAL watermark passes a row's
+    // join window, and a finite stream's tail never flushes on its own —
+    // so feed sentinel click+purchase rows 2 h past the fixture horizon
+    // (raw nanos schema, negative ids) purely to advance both watermarks.
+    val ev = graft.ops.Util.events(spark, sfDir)
+    val maxMs = ev.agg(max($"ts")).head().getTimestamp(0).getTime
+    val d = java.nio.file.Files.createTempDirectory("graft_events_outer")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sfDir/events.parquet"),
+      d.resolve("events.parquet"))
+    val sentinelNs = (maxMs + 2 * 3600 * 1000L) * 1000000L
+    Seq((-1L, sentinelNs, -1L, "click", 0.0, "{}"),
+        (-2L, sentinelNs, -1L, "purchase", 0.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("append").parquet(d.toString)
+    val streamed = runToBatch(
+      graft.streaming.StreamingOps.purchaseClicksOuter(
+        graft.streaming.StreamingOps.readEvents(spark, d.toString)),
+      "t_ssouter", mode = "append")
+      .filter($"user_id" >= 0)
+    val clicks = ev.filter($"event_type" === "click")
+      .select($"user_id".as("c_user"), $"ts".as("c_ts"), $"event_id".as("c_id"))
+    val purch = ev.filter($"event_type" === "purchase")
+      .select($"user_id", $"ts".as("p_ts"), $"event_id".as("p_id"))
+    val batch = purch.join(clicks, $"user_id" === $"c_user" &&
+        $"c_ts" <= $"p_ts" && $"c_ts" >= $"p_ts" - expr("INTERVAL 30 MINUTES"),
+        "left_outer")
+      .select($"user_id", $"p_id", $"c_id")
+    assertSetEqual(streamed, batch, "stream-stream left-outer join")
+    assert(streamed.filter($"c_id".isNull).count() > 0,
+      "expected at least one null-padded (unattributed) purchase")
+  }
+
   test("watermark drops a late row (two micro-batches through a file source)") {
     import java.nio.file.Files
     val dir = Files.createTempDirectory("graft_late").toFile
