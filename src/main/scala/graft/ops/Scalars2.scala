@@ -116,7 +116,46 @@ object Scalars2 {
       .orderBy($"doc_id")
   }
 
+  /** AES encryption round-trip (deterministic ECB/PKCS so the ciphertext
+    * is a pure function of (key, plaintext)): the oracle can't run AES,
+    * but it CAN pin the decrypt(encrypt(x)) == x round-trip and the
+    * PKCS-padded ciphertext length 16·(⌊n/16⌋+1) — so the query is fully
+    * hash-checked, and the ciphertext bytes themselves are pinned by a
+    * known-vector assertion in QualitySpec. Per-row codegen'd; GCM (the
+    * production mode) is random-IV and therefore untestable by value. */
+  val qFnAes: Q = (s, dir) => {
+    import s.implicits._
+    table(s, dir, "customer")
+      .select($"c_custkey", $"c_name",
+        expr("aes_encrypt(c_name, '0123456789abcdef', 'ECB', 'PKCS')").as("ct"))
+      .select($"c_custkey",
+        expr("CAST(aes_decrypt(ct, '0123456789abcdef', 'ECB', 'PKCS') AS STRING)")
+          .as("roundtrip"),
+        length($"ct").cast("long").as("ct_len"))
+      .orderBy($"c_custkey")
+  }
+
+  /** Error-safe arithmetic battery: try_add/try_subtract/try_multiply/
+    * try_divide return null instead of raising on overflow or ÷0 — the
+    * ANSI-mode companion of q_fn_trycast. The overflow probes use
+    * Long.MaxValue-scale literals so the non-try result would abort the
+    * whole 100 TB job; the oracle models each null case explicitly. */
+  val qFnTryArith: Q = (s, dir) => {
+    import s.implicits._
+    table(s, dir, "lineitem")
+      .select($"l_orderkey", $"l_linenumber", $"l_quantity", $"l_discount")
+      .select($"l_orderkey", $"l_linenumber",
+        expr("try_divide(l_quantity, l_linenumber - 3)").as("div_maybe_zero"),
+        expr("try_add(9223372036854775807L, l_orderkey)").as("add_overflow"),
+        expr("try_multiply(4611686018427387904L, l_linenumber)").as("mul_overflow"),
+        expr("try_subtract(-9223372036854775807L, l_orderkey)").as("sub_overflow"))
+      .orderBy($"l_orderkey", $"l_linenumber",
+        $"div_maybe_zero", $"add_overflow", $"mul_overflow", $"sub_overflow")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_fn_aes" -> qFnAes,
+    "q_fn_tryarith" -> qFnTryArith,
     "q_fn_string2" -> qFnString2,
     "q_fn_url" -> qFnUrl,
     "q_fn_date2" -> qFnDate2,
@@ -127,6 +166,23 @@ object Scalars2 {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q_fn_aes" ->
+      """SELECT c_custkey, c_name AS roundtrip,
+        | CAST((length(c_name) // 16 + 1) * 16 AS BIGINT) AS ct_len
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+    "q_fn_tryarith" ->
+      """SELECT l_orderkey, l_linenumber,
+        | CASE WHEN l_linenumber = 3 THEN NULL
+        |      ELSE l_quantity / (l_linenumber - 3) END AS div_maybe_zero,
+        | CASE WHEN l_orderkey > 0 THEN NULL
+        |      ELSE 9223372036854775807 + l_orderkey END AS add_overflow,
+        | CASE WHEN l_linenumber >= 2 THEN NULL
+        |      ELSE 4611686018427387904 * l_linenumber END AS mul_overflow,
+        | CASE WHEN l_orderkey >= 2 THEN NULL
+        |      ELSE -9223372036854775807 - l_orderkey END AS sub_overflow
+        |FROM lineitem
+        |ORDER BY l_orderkey, l_linenumber, div_maybe_zero, add_overflow,
+        | mul_overflow, sub_overflow""".stripMargin,
     "q_fn_string2" ->
       """SELECT p_partkey,
         | repeat(p_brand, 2) AS rep,

@@ -237,7 +237,51 @@ object Sources {
       .orderBy($"s_nationkey")
   }
 
+  /** Binary files already materialized this JVM, keyed by (session, dir) —
+    * the qSrcJdbc memoization pattern. */
+  private val binWritten = new java.util.concurrent.ConcurrentHashMap[String, String]
+
+  /** The binaryFile source — the real multimodal INGESTION path (the mm_*
+    * family models payloads already in a table; this reads raw files into
+    * (path, length, content) rows). A deterministic shard of documents is
+    * materialized once per JVM as .bin files (content = the UTF-8 text
+    * bytes), then read back via format("binaryFile"); the oracle never
+    * touches the files — it recomputes each file's expected name, byte
+    * length and hex-md5 from the SOURCE rows, so the round-trip through
+    * the filesystem is what's being checked. At 100 TB this source is
+    * listing-bound, not data-bound: pathGlobFilter + partitioned listing
+    * parallelize the scan, and content is lazily read per task. */
+  val qSrcBinaryfile: Q = (s, dir) => {
+    import s.implicits._
+    val binDir = binWritten.computeIfAbsent(
+      s"${System.identityHashCode(s)}:$dir", _ => {
+        val d = java.nio.file.Files.createTempDirectory("graft_bin_").toString
+        // distributed export: each task writes its partition's files (on a
+        // cluster `d` would be a shared filesystem path) — no driver collect
+        table(s, dir, "documents")
+          .filter($"doc_id" % 100 === 0)
+          .select($"doc_id", $"text")
+          .as[(Long, String)]
+          .foreachPartition { it: Iterator[(Long, String)] =>
+            it.foreach { case (id, text) =>
+              java.nio.file.Files.write(
+                java.nio.file.Paths.get(d, s"doc_$id.bin"),
+                text.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+            }
+          }
+        d
+      })
+    s.read.format("binaryFile")
+      .option("pathGlobFilter", "*.bin")
+      .load(binDir)
+      .select(regexp_extract($"path", "([^/]+)$", 1).as("fname"),
+        $"length".as("flen"),
+        md5(hex($"content")).as("h"))
+      .orderBy($"fname")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_src_binaryfile" -> qSrcBinaryfile,
     "q_src_evolution" -> qSrcEvolution,
     "q_src_text" -> qSrcText,
     "q_join_dpp" -> qJoinDpp,
@@ -251,6 +295,12 @@ object Sources {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q_src_binaryfile" ->
+      """SELECT 'doc_' || doc_id || '.bin' AS fname,
+        | octet_length(CAST(text AS BLOB)) AS flen,
+        | md5(hex(CAST(text AS BLOB))) AS h
+        |FROM documents WHERE doc_id % 100 = 0
+        |ORDER BY fname""".stripMargin,
     "q_src_evolution" ->
       """WITH m AS (
         |  SELECT c_custkey, c_acctbal, CAST(NULL AS VARCHAR) AS seg

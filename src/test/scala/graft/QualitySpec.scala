@@ -167,6 +167,24 @@ class QualitySpec extends SparkSuite {
     } finally joined.unpersist()
   }
 
+  test("q_fn_aes ciphertext matches an independent JCE AES/ECB/PKCS5 vector") {
+    import spark.implicits._
+    val sparkCt = spark.read.parquet(s"$sfDir/customer.parquet")
+      .limit(5)
+      .select($"c_name",
+        expr("aes_encrypt(c_name, '0123456789abcdef', 'ECB', 'PKCS')").as("ct"))
+      .collect()
+    val cipher = javax.crypto.Cipher.getInstance("AES/ECB/PKCS5Padding")
+    cipher.init(javax.crypto.Cipher.ENCRYPT_MODE,
+      new javax.crypto.spec.SecretKeySpec(
+        "0123456789abcdef".getBytes("UTF-8"), "AES"))
+    sparkCt.foreach { r =>
+      val expect = cipher.doFinal(r.getString(0).getBytes("UTF-8"))
+      assert(java.util.Arrays.equals(r.getAs[Array[Byte]](1), expect),
+        s"AES ciphertext mismatch for ${r.getString(0)}")
+    }
+  }
+
   test("q_text_bm25 scores only docs containing a query term, positively") {
     import spark.implicits._
     val out = SparkEntry.queries("q_text_bm25")(spark, sfDir).cache()
