@@ -42,6 +42,27 @@ object Extras {
       |ORDER BY revenue DESC, o_orderkey
       |LIMIT 20""".stripMargin
 
+  /** One SQL text, two engines: a time-valued RANGE frame — each event's
+    * trailing-1-hour count/sum per user (RANGE BETWEEN INTERVAL ... is
+    * frame-by-VALUE, so peers with equal timestamps share a frame and
+    * the result is order-independent; the ROWS-frame siblings are
+    * q_win_frame_rows/q_ts_*). The Spark view pre-normalizes ts to µs,
+    * so the shared `ts::TIMESTAMP` is a no-op there and the ns→µs
+    * truncation on DuckDB — same values both sides. */
+  private val sqlTimerange =
+    """SELECT user_id, event_id, ts::TIMESTAMP AS ts,
+      | count(*) OVER w AS n_1h,
+      | CAST(sum(CAST(value AS DECIMAL(18,4))) OVER w AS DOUBLE) AS sum_1h
+      |FROM events
+      |WINDOW w AS (PARTITION BY user_id ORDER BY ts::TIMESTAMP
+      |  RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+      |ORDER BY user_id, event_id""".stripMargin
+
+  val qSqlTimerange: Q = (s, dir) => {
+    Util.events(s, dir).createOrReplaceTempView("events")
+    s.sql(sqlTimerange)
+  }
+
   val qSqlCorrelated: Q = (s, dir) => { views(s, dir); s.sql(sqlCorrelated) }
   val qSqlMultijoin: Q = (s, dir) => { views(s, dir); s.sql(sqlMultijoin) }
 
@@ -128,6 +149,7 @@ object Extras {
   }
 
   val queries: Map[String, Q] = Map(
+    "q_sql_timerange" -> qSqlTimerange,
     "q_sql_correlated" -> qSqlCorrelated,
     "q_sql_multijoin" -> qSqlMultijoin,
     "q_agg_pivot" -> qAggPivot,
@@ -139,6 +161,7 @@ object Extras {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q_sql_timerange" -> sqlTimerange,
     "q_sql_correlated" -> sqlCorrelated,
     "q_sql_multijoin" -> sqlMultijoin,
     "q_agg_pivot" ->

@@ -224,7 +224,42 @@ object Pipelines {
       .orderBy($"user_id")
   }
 
+  /** Hive-layout tables already backfilled this JVM, keyed by
+    * (session, fixture dir) — the qSrcJdbc memoization pattern. */
+  private val backfilled = new java.util.concurrent.ConcurrentHashMap[String, String]
+
+  /** Partition backfill via DYNAMIC partition overwrite — the restatement
+    * primitive (INSERT OVERWRITE one partition, leave the rest untouched):
+    * orders land partitioned by o_year, then ONE year is rewritten with
+    * restated prices under partitionOverwriteMode=dynamic, which replaces
+    * exactly the partitions present in the incoming frame. Static mode
+    * would truncate the whole table — the difference between a backfill
+    * and an outage at 100 TB. The read-back aggregates per year, so the
+    * oracle (CASE-restated source rows) proves untouched partitions
+    * survived byte-for-byte and the restated one changed. */
+  val qEtlBackfill: Q = (s, dir) => {
+    import s.implicits._
+    val path = backfilled.computeIfAbsent(
+      s"${System.identityHashCode(s)}:$dir", _ => {
+        val d = java.nio.file.Files.createTempDirectory("graft_backfill_").toString
+        val base = table(s, dir, "orders")
+          .select($"o_orderkey", $"o_custkey", $"o_totalprice",
+            year($"o_orderdate").as("o_year"))
+        base.write.partitionBy("o_year").mode("overwrite").parquet(d)
+        base.filter($"o_year" === 1996)
+          .withColumn("o_totalprice", $"o_totalprice" + 1000.0)
+          .write.partitionBy("o_year").mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic").parquet(d)
+        d
+      })
+    s.read.parquet(path)
+      .groupBy($"o_year")
+      .agg(count(lit(1)).as("n_orders"), dsum($"o_totalprice").as("sum_price"))
+      .orderBy($"o_year")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_etl_backfill" -> qEtlBackfill,
     "q_etl_cdc" -> qEtlCdc,
     "q_etl_expectations" -> qEtlExpectations,
     "q_etl_incr_agg" -> qEtlIncrAgg,
@@ -237,6 +272,13 @@ object Pipelines {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q_etl_backfill" ->
+      """SELECT CAST(year(o_orderdate::TIMESTAMP) AS INT) AS o_year,
+        | count(*) AS n_orders,
+        | CAST(sum(CAST(CASE WHEN year(o_orderdate::TIMESTAMP) = 1996
+        |   THEN o_totalprice + 1000.0 ELSE o_totalprice END
+        |  AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+        |FROM orders GROUP BY o_year ORDER BY o_year""".stripMargin,
     "q_etl_cdc" ->
       """WITH e AS (SELECT user_id, event_type, value, ts::TIMESTAMP AS ts,
         |  event_id FROM events),
