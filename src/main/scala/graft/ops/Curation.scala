@@ -244,7 +244,50 @@ object Curation {
       .orderBy($"batch_doc", $"corpus_doc")
   }
 
+  /** Model-BASED curation — the fastText/DCLM quality-classifier shape:
+    * fit a linear classifier on a labeled seed, score the whole corpus,
+    * gate on the prediction. The label is few-shot style: ONE seed
+    * example (vec_id 0) defines the "quality direction", every vector is
+    * labeled by the sign of its cosine to the seed, and MLlib
+    * LogisticRegression must RECOVER that direction from a deterministic
+    * hash-split train set (the fixture's categorical labels are not
+    * linearly separable — measured 0.43 holdout — so the seed-direction
+    * target is what makes the task honest rather than impossible).
+    * Oracle-exempt like q_cluster_kmeans (L-BFGS double reductions are
+    * partition-order sensitive in the last ulp); CurationSpec bounds
+    * holdout accuracy instead. At 100 TB the fit runs on the labeled
+    * SEED (tiny); scoring is one broadcast of the weight vector over the
+    * corpus scan — the same model-out/broadcast-back shape as the
+    * unigram LM and DSIR. */
+  val qCurateClassifier: Q = (s, dir) => {
+    import s.implicits._
+    import org.apache.spark.ml.classification.LogisticRegression
+    import org.apache.spark.ml.functions.array_to_vector
+    val emb = table(s, dir, "embeddings")
+    val anchor = emb.filter($"vec_id" === 0)
+      .select($"embedding".as("anchor"))
+    val e = emb.crossJoin(broadcast(anchor))
+      .select($"vec_id",
+        (dot($"embedding".cast("array<double>"),
+          $"anchor".cast("array<double>")) > 0.0).cast("double").as("y"),
+        array_to_vector($"embedding").as("features"))
+      .withColumn("split",
+        when(pmod(crc32($"vec_id".cast("string")), lit(5)) === 0, "holdout")
+          .otherwise("train"))
+    val model = new LogisticRegression()
+      .setMaxIter(50).setRegParam(0.01)
+      .setLabelCol("y").setFeaturesCol("features")
+      .fit(e.filter($"split" === "train"))
+    model.transform(e)
+      .groupBy($"split")
+      .agg(count(lit(1)).as("n"),
+        sum(when($"prediction" === $"y", 1L).otherwise(0L)).as("n_correct"))
+      .withColumn("accuracy", round($"n_correct".cast("double") / $"n", 4))
+      .orderBy($"split")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_curate_classifier" -> qCurateClassifier,
     "q_dedup_incr_near" -> qDedupIncrNear,
     "q_dedup_connected" -> qDedupConnected,
     "q_dedup_incremental" -> qDedupIncremental,

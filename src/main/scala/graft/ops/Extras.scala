@@ -14,7 +14,8 @@ object Extras {
   /** Register the fixture tables as temp views so spark.sql can run the
     * exact oracle SQL text. */
   private def views(s: org.apache.spark.sql.SparkSession, dir: String): Unit =
-    Seq("customer", "orders", "lineitem", "part").foreach { t =>
+    Seq("customer", "orders", "lineitem", "part",
+        "supplier", "nation", "region").foreach { t =>
       table(s, dir, t).createOrReplaceTempView(t)
     }
 
@@ -62,6 +63,61 @@ object Extras {
     Util.events(s, dir).createOrReplaceTempView("events")
     s.sql(sqlTimerange)
   }
+
+  /** The TPC-H classics as ONE SQL text each (the reference-workload
+    * canon §7.4 traces to): Q5 local-supplier volume (6-way star through
+    * region→nation with the customer-supplier same-nation constraint),
+    * Q10 returned-item reporting (top-20 by lost revenue), Q18 large-
+    * volume customers (HAVING-gated IN subquery over a re-aggregated
+    * fact). Decimal-summed money per §5.4; every ORDER BY carries a
+    * unique tiebreak. */
+  private val sqlQ5 =
+    """SELECT n_name,
+      | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS revenue
+      |FROM customer
+      | JOIN orders ON c_custkey = o_custkey
+      | JOIN lineitem ON l_orderkey = o_orderkey
+      | JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      | JOIN nation ON s_nationkey = n_nationkey
+      | JOIN region ON n_regionkey = r_regionkey
+      |WHERE r_name = 'ASIA'
+      |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+      |  AND o_orderdate < TIMESTAMP '1997-01-01'
+      |GROUP BY n_name
+      |ORDER BY revenue DESC, n_name""".stripMargin
+
+  private val sqlQ10 =
+    """SELECT c_custkey, c_name, n_name,
+      | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS revenue,
+      | count(*) AS n_items
+      |FROM customer
+      | JOIN orders ON c_custkey = o_custkey
+      | JOIN lineitem ON l_orderkey = o_orderkey
+      | JOIN nation ON c_nationkey = n_nationkey
+      |WHERE o_orderdate >= TIMESTAMP '1996-10-01'
+      |  AND o_orderdate < TIMESTAMP '1997-01-01'
+      |  AND l_returnflag = 'R'
+      |GROUP BY c_custkey, c_name, n_name
+      |ORDER BY revenue DESC, c_custkey
+      |LIMIT 20""".stripMargin
+
+  private val sqlQ18 =
+    """SELECT c_custkey, o_orderkey, o_orderdate, o_totalprice,
+      | CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
+      |FROM customer
+      | JOIN orders ON c_custkey = o_custkey
+      | JOIN lineitem ON o_orderkey = l_orderkey
+      |WHERE o_orderkey IN (
+      |  SELECT l_orderkey FROM lineitem
+      |  GROUP BY l_orderkey
+      |  HAVING sum(CAST(l_quantity AS DECIMAL(18,4))) > 200)
+      |GROUP BY c_custkey, o_orderkey, o_orderdate, o_totalprice
+      |ORDER BY o_totalprice DESC, o_orderkey
+      |LIMIT 20""".stripMargin
+
+  val qSqlQ5: Q = (s, dir) => { views(s, dir); s.sql(sqlQ5) }
+  val qSqlQ10: Q = (s, dir) => { views(s, dir); s.sql(sqlQ10) }
+  val qSqlQ18: Q = (s, dir) => { views(s, dir); s.sql(sqlQ18) }
 
   val qSqlCorrelated: Q = (s, dir) => { views(s, dir); s.sql(sqlCorrelated) }
   val qSqlMultijoin: Q = (s, dir) => { views(s, dir); s.sql(sqlMultijoin) }
@@ -149,6 +205,9 @@ object Extras {
   }
 
   val queries: Map[String, Q] = Map(
+    "q_sql_q5" -> qSqlQ5,
+    "q_sql_q10" -> qSqlQ10,
+    "q_sql_q18" -> qSqlQ18,
     "q_sql_timerange" -> qSqlTimerange,
     "q_sql_correlated" -> qSqlCorrelated,
     "q_sql_multijoin" -> qSqlMultijoin,
@@ -161,6 +220,9 @@ object Extras {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q_sql_q5" -> sqlQ5,
+    "q_sql_q10" -> sqlQ10,
+    "q_sql_q18" -> sqlQ18,
     "q_sql_timerange" -> sqlTimerange,
     "q_sql_correlated" -> sqlCorrelated,
     "q_sql_multijoin" -> sqlMultijoin,

@@ -28,6 +28,18 @@ class CurationSpec extends SparkSuite {
     }
   }
 
+  test("q_curate_classifier recovers the seed direction on held-out vectors") {
+    import spark.implicits._
+    val acc = SparkEntry.queries("q_curate_classifier")(spark, sfDir)
+      .collect().map(r => r.getString(0) -> r.getDouble(3)).toMap
+    assert(acc.keySet == Set("train", "holdout"))
+    assert(acc("holdout") >= 0.8,
+      s"holdout accuracy ${acc("holdout")} below 0.8 — the linear probe " +
+        "failed to recover the seed-anchored quality direction")
+    assert(acc("train") >= acc("holdout") - 0.05,
+      "train accuracy implausibly below holdout")
+  }
+
   test("q_cluster_kmeans: nearest-centroid assignment, beats null model, deterministic") {
     import spark.implicits._
     import org.apache.spark.ml.clustering.KMeans
