@@ -267,7 +267,7 @@ object Curation {
     val anchor = emb.filter($"vec_id" === 0)
       .select($"embedding".as("anchor"))
     val e = emb.crossJoin(broadcast(anchor))
-      .select($"vec_id",
+      .select($"vec_id", $"embedding".cast("array<double>").as("x"),
         (dot($"embedding".cast("array<double>"),
           $"anchor".cast("array<double>")) > 0.0).cast("double").as("y"),
         array_to_vector($"embedding").as("features"))
@@ -278,10 +278,18 @@ object Curation {
       .setMaxIter(50).setRegParam(0.01)
       .setLabelCol("y").setFeaturesCol("features")
       .fit(e.filter($"split" === "train"))
-    model.transform(e)
+    // score declaratively with the extracted weight vector (margin > 0 ⇔
+    // the model's 0.5-threshold prediction) instead of model.transform:
+    // the UDF route serializes the model WITH its training summary's
+    // SparkSession — which explodes as soon as anything (an Observation)
+    // has initialized session-attached state — and the literal-weights
+    // dot product is the broadcast-the-model scoring shape anyway
+    val w = model.coefficients.toArray
+    e.withColumn("pred",
+        ((dot($"x", typedlit(w)) + model.intercept) > 0.0).cast("double"))
       .groupBy($"split")
       .agg(count(lit(1)).as("n"),
-        sum(when($"prediction" === $"y", 1L).otherwise(0L)).as("n_correct"))
+        sum(when($"pred" === $"y", 1L).otherwise(0L)).as("n_correct"))
       .withColumn("accuracy", round($"n_correct".cast("double") / $"n", 4))
       .orderBy($"split")
   }
