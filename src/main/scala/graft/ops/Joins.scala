@@ -50,6 +50,45 @@ object Joins {
       .orderBy($"o_orderpriority")
   }
 
+  /** The third join strategy: SHUFFLED HASH (build a hash map per
+    * partition instead of sorting both sides). Worth forcing when one
+    * side is much smaller per partition but too big to broadcast — it
+    * skips both sorts. The shuffle_hash hint is the per-join control;
+    * ShuffledHashJoin presence is asserted in PlanShapeSpec (BHJ and SMJ
+    * have their own queries, completing the strategy triple). */
+  val qJoinShuffleHash: Q = (s, dir) => {
+    import s.implicits._
+    val li = table(s, dir, "lineitem")
+    val sup = table(s, dir, "supplier").hint("shuffle_hash")
+    li.join(sup, li("l_suppkey") === sup("s_suppkey"))
+      .groupBy($"s_nationkey")
+      .agg(count(lit(1)).as("n_lines"),
+        dsum($"l_extendedprice").as("sum_price"))
+      .orderBy($"s_nationkey")
+  }
+
+  /** Null-SAFE equality join (<=>): null keys match each other instead
+    * of vanishing — the semantics MERGE/dedup pipelines need when the
+    * join key is legitimately absent. Planned as an ordinary hash join
+    * on the null-safe comparator, NOT a cartesian residual; the nation
+    * dim keeps the null⋈null block tiny here, and at scale a null-heavy
+    * key column should be pre-split (nulls don't need the join at all)
+    * — the same reasoning as skew salting. */
+  val qJoinNullsafe: Q = (s, dir) => {
+    import s.implicits._
+    val a = table(s, dir, "nation")
+      .select($"n_nationkey".as("a_key"),
+        expr("nullif(n_regionkey, 2)").as("k"))
+    val b = table(s, dir, "nation")
+      .select($"n_nationkey".as("b_key"),
+        expr("nullif(n_regionkey, 2)").as("k"))
+    a.join(b, a("k") <=> b("k"))
+      .groupBy(a("k").as("k"))
+      .agg(count(lit(1)).as("n_pairs"),
+        countDistinct($"b_key").as("n_right"))
+      .orderBy($"k".asc_nulls_first)
+  }
+
   /** Left + full outer with null extension, tagged and unioned.
     * Left side: BUILDING customers; right side: orders > 100k — so the full
     * outer has both left-only and right-only rows. */
@@ -165,6 +204,8 @@ object Joins {
   }
 
   val queries: Map[String, Q] = Map(
+    "q_join_shuffle_hash" -> qJoinShuffleHash,
+    "q_join_nullsafe" -> qJoinNullsafe,
     "q_join_salted" -> qJoinSalted,
     "q_join_inner" -> qJoinInner,
     "q_join_range_blocked" -> qJoinRangeBlocked,
@@ -178,6 +219,19 @@ object Joins {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q_join_shuffle_hash" ->
+      """SELECT s_nationkey, count(*) AS n_lines,
+        | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+        |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin,
+    "q_join_nullsafe" ->
+      """WITH a AS (SELECT n_nationkey AS a_key, nullif(n_regionkey, 2) AS k
+        |  FROM nation),
+        |b AS (SELECT n_nationkey AS b_key, nullif(n_regionkey, 2) AS k
+        |  FROM nation)
+        |SELECT a.k, count(*) AS n_pairs, count(DISTINCT b_key) AS n_right
+        |FROM a JOIN b ON a.k IS NOT DISTINCT FROM b.k
+        |GROUP BY a.k ORDER BY a.k ASC NULLS FIRST""".stripMargin,
     "q_join_salted" ->
       """SELECT s_nationkey, count(*) AS n_items,
         | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue

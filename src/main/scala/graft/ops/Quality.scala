@@ -335,6 +335,27 @@ object Quality {
       .orderBy($"event_type")
   }
 
+  // ------------------------------------------------------ BPE statistics
+
+  /** The BPE-training kernel: corpus-wide adjacent-character-pair
+    * frequencies within words, top 20 — the statistic a byte-pair-
+    * encoding trainer maximizes at every merge step (the full trainer
+    * iterates argmax→merge; the kernel is this ONE exploded aggregation,
+    * map-side combinable on the pair key, and at 100 TB it is the only
+    * part that touches the corpus — the merge table itself is
+    * vocab-sized driver state in any real tokenizer trainer). */
+  val qTextBpeStep: Q = (s, dir) => {
+    import s.implicits._
+    table(s, dir, "documents")
+      .select(explode(LlmOps.toks($"text")).as("w"))
+      .filter(length($"w") >= 2)
+      .select(explode(transform(sequence(lit(1), length($"w") - 1),
+        i => $"w".substr(i, lit(2)))).as("pair"))
+      .groupBy($"pair").agg(count(lit(1)).as("cnt"))
+      .orderBy($"cnt".desc, $"pair")
+      .limit(20)
+  }
+
   // --------------------------------------------------- DSIR importance
 
   /** DSIR-style importance weighting (Xie et al.): score every document
@@ -439,9 +460,17 @@ object Quality {
     "q_curate_dsir" -> qCurateDsir,
     "q_fn_mask" -> qFnMask,
     "q_graph_sssp" -> qGraphSssp,
+    "q_text_bpe_step" -> qTextBpeStep,
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q_text_bpe_step" ->
+      """WITH w AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+        |p AS (SELECT unnest(list_transform(generate_series(1, len(w) - 1),
+        |   i -> w[i:i+1])) AS pair
+        |  FROM w WHERE len(w) >= 2)
+        |SELECT pair, count(*) AS cnt FROM p GROUP BY pair
+        |ORDER BY cnt DESC, pair LIMIT 20""".stripMargin,
     "q_curate_dsir" ->
       """WITH tok AS (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS w
         |  FROM documents),

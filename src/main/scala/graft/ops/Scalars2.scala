@@ -116,6 +116,27 @@ object Scalars2 {
       .orderBy($"doc_id")
   }
 
+  /** The higher-order-function battery over the token array: transform,
+    * filter, exists, forall, aggregate (fold) and zip_with — the lambda
+    * surface that keeps array work INSIDE codegen instead of exploding
+    * rows or dropping to UDFs. At 100 TB the difference is a per-row
+    * loop vs an explode→shuffle→reagg detour. DuckDB mirrors each with
+    * its list_* forms (exists/forall spelled via list_filter lengths). */
+  val qFnHof: Q = (s, dir) => {
+    import s.implicits._
+    val ws = LlmOps.toks($"text")
+    table(s, dir, "documents")
+      .select($"doc_id",
+        size(filter(ws, w => length(w) > 4)).cast("long").as("n_long"),
+        exists(ws, _ === "spark").as("has_spark"),
+        forall(ws, w => length(w) > 0).as("all_nonempty"),
+        aggregate(ws, lit(0L), (acc, w) => acc + length(w)).as("sum_len"),
+        md5(array_join(transform(ws, w => upper(w)), " ")).as("h_upper"),
+        md5(array_join(zip_with(ws, reverse(ws),
+          (a, b) => concat(a, lit("|"), b)), " ")).as("h_zip"))
+      .orderBy($"doc_id")
+  }
+
   /** AES encryption round-trip (deterministic ECB/PKCS so the ciphertext
     * is a pure function of (key, plaintext)): the oracle can't run AES,
     * but it CAN pin the decrypt(encrypt(x)) == x round-trip and the
@@ -154,6 +175,7 @@ object Scalars2 {
   }
 
   val queries: Map[String, Q] = Map(
+    "q_fn_hof" -> qFnHof,
     "q_fn_aes" -> qFnAes,
     "q_fn_tryarith" -> qFnTryArith,
     "q_fn_string2" -> qFnString2,
@@ -166,6 +188,17 @@ object Scalars2 {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q_fn_hof" ->
+      """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
+        |SELECT doc_id,
+        | CAST(len(list_filter(ws, w -> len(w) > 4)) AS BIGINT) AS n_long,
+        | len(list_filter(ws, w -> w = 'spark')) > 0 AS has_spark,
+        | len(list_filter(ws, w -> len(w) = 0)) = 0 AS all_nonempty,
+        | CAST(list_sum(list_transform(ws, w -> len(w))) AS BIGINT) AS sum_len,
+        | md5(array_to_string(list_transform(ws, w -> upper(w)), ' ')) AS h_upper,
+        | md5(array_to_string(list_transform(generate_series(1, len(ws)),
+        |    i -> ws[i] || '|' || ws[len(ws) - i + 1]), ' ')) AS h_zip
+        |FROM tok ORDER BY doc_id""".stripMargin,
     "q_fn_aes" ->
       """SELECT c_custkey, c_name AS roundtrip,
         | CAST((length(c_name) // 16 + 1) * 16 AS BIGINT) AS ct_len

@@ -36,6 +36,15 @@ class PlanShapeSpec extends SparkSuite {
     assert(plan("q_join_smj").contains("SortMergeJoin"))
   }
 
+  test("q_join_shuffle_hash honors the shuffle_hash hint (strategy triple complete)") {
+    assert(plan("q_join_shuffle_hash").contains("ShuffledHashJoin"))
+  }
+
+  test("q_join_nullsafe plans a hash join on the null-safe comparator, no cartesian") {
+    val p = plan("q_join_nullsafe")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"), p)
+  }
+
   test("q_join_theta is an equi join with range residual, not a cartesian") {
     val p = plan("q_join_theta")
     assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"), p)
