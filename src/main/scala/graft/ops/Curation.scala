@@ -35,14 +35,40 @@ object Curation {
     * component diameter, and dup chains are shallow. */
   val qDedupConnected: Q = (s, dir) => {
     import s.implicits._
-    import org.apache.spark.graphx.Graph
     val pairs = LlmOps.nearDupPairs(s, dir).select($"doc_a", $"doc_b")
-    val edges = pairs.as[(Long, Long)].rdd
-    val comp = Graph.fromEdgeTuples(edges, 0).connectedComponents()
-      .vertices // (doc_id, min doc_id of its component)
-    val labels = s.createDataFrame(comp).toDF("node", "comp")
-    val sizes = labels.groupBy($"comp").agg(count(lit(1)).as("cluster_size"))
-    labels.join(sizes, "comp")
+    // Hash-min DELTA iteration on co-partitioned RDDs (the Pregel trick,
+    // without GraphX's per-round framework overhead): only nodes whose
+    // label CHANGED last round push to their neighbors, so late rounds
+    // shuffle a shrinking frontier instead of the whole label vector,
+    // and the loop's only action is the frontier count. Labels only
+    // decrease, so the min label still floods every component — exact CC
+    // at convergence, rounds = component diameter (dup chains are
+    // shallow). Same replan-free rationale as pagerank/BFS.
+    val part = new org.apache.spark.HashPartitioner(
+      math.max(1, math.min(s.sparkContext.defaultParallelism, 4)))
+    val und = cachedRdd(pairs.as[(Long, Long)].rdd
+      .flatMap { case (a, b) => Seq((a, b), (b, a)) }
+      .partitionBy(part))
+    var labels = cachedRdd(
+      und.mapValues(_ => ()).keys.map(n => (n, n))
+        .reduceByKey(part, math.min(_: Long, _: Long)))
+    var active = labels
+    var n = 1L
+    while (n > 0) {
+      val pushed = und.join(active, part)
+        .map { case (_, (v, lu)) => (v, lu) }
+        .reduceByKey(part, math.min(_: Long, _: Long))
+      val upd = labels.leftOuterJoin(pushed, part)
+        .mapValues { case (old, p) => (old, p.filter(_ < old)) }
+      active = cachedRdd(upd
+        .filter { case (_, (_, p)) => p.isDefined }
+        .mapValues { case (_, p) => p.get })
+      n = active.count()
+      labels = cachedRdd(upd.mapValues { case (old, p) => p.getOrElse(old) })
+    }
+    val labelsDf = labels.toDF("node", "comp")
+    val sizes = labelsDf.groupBy($"comp").agg(count(lit(1)).as("cluster_size"))
+    labelsDf.join(sizes, "comp")
       .select($"node".as("doc_id"), $"comp".as("cluster"), $"cluster_size",
         ($"node" === $"comp").as("is_keeper"))
       .orderBy($"doc_id")
