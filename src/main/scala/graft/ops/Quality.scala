@@ -335,6 +335,38 @@ object Quality {
       .orderBy($"event_type")
   }
 
+  // --------------------------------------------------- gaps-and-islands
+
+  /** Batch sessionization as the gaps-and-islands window idiom: a new
+    * island starts where the gap to the previous event exceeds 30
+    * minutes (lag → boundary flag → running sum = session id), then one
+    * aggregation per (user, session). The declarative twin of the
+    * streaming session_window (q_stream_session) and the
+    * flatMapGroupsWithState form — same semantics, one window pass + one
+    * shuffle, no state store. Session bounds are min/max event times and
+    * the id is 0-based per user, so every output column is
+    * integer/timestamp-exact. */
+  val qWinIslands: Q = (s, dir) => {
+    import s.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    val flagged = events(s, dir)
+      .select($"user_id", $"event_id", $"ts")
+      .withColumn("prev_ts", lag($"ts", 1).over(w))
+      // µs integers on both engines: unix_timestamp/epoch would compare
+      // truncated seconds vs fractional seconds at the gap boundary
+      .withColumn("new_island",
+        ($"prev_ts".isNull ||
+          unix_micros($"ts") - unix_micros($"prev_ts") > 1800000000L)
+          .cast("long"))
+      .withColumn("session_id",
+        sum($"new_island").over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)) - 1L)
+    flagged.groupBy($"user_id", $"session_id")
+      .agg(count(lit(1)).as("n_events"),
+        min($"ts").as("s_start"), max($"ts").as("s_end"))
+      .orderBy($"user_id", $"session_id")
+  }
+
   // ------------------------------------------------------ BPE statistics
 
   /** The BPE-training kernel: corpus-wide adjacent-character-pair
@@ -461,9 +493,27 @@ object Quality {
     "q_fn_mask" -> qFnMask,
     "q_graph_sssp" -> qGraphSssp,
     "q_text_bpe_step" -> qTextBpeStep,
+    "q_win_islands" -> qWinIslands,
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q_win_islands" ->
+      """WITH e AS (SELECT user_id, event_id, ts::TIMESTAMP AS ts FROM events),
+        |f AS (SELECT user_id, event_id, ts,
+        |   lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+        |  FROM e),
+        |g AS (SELECT user_id, event_id, ts,
+        |   CASE WHEN prev_ts IS NULL
+        |     OR epoch_us(ts) - epoch_us(prev_ts) > 1800000000 THEN 1 ELSE 0 END AS new_island
+        |  FROM f),
+        |s AS (SELECT user_id, ts,
+        |   sum(new_island) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1 AS session_id
+        |  FROM g)
+        |SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+        | count(*) AS n_events, min(ts) AS s_start, max(ts) AS s_end
+        |FROM s GROUP BY user_id, session_id
+        |ORDER BY user_id, session_id""".stripMargin,
     "q_text_bpe_step" ->
       """WITH w AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents),
         |p AS (SELECT unnest(list_transform(generate_series(1, len(w) - 1),
