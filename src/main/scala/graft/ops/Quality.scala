@@ -335,6 +335,35 @@ object Quality {
       .orderBy($"event_type")
   }
 
+  // -------------------------------------------------- canonical-URL dedup
+
+  /** Crawl-frontier URL dedup: canonicalize (lowercase host, drop the
+    * query string and fragment, strip a trailing slash) and keep one
+    * fetch per canonical URL — the step BEFORE content dedup in a crawl
+    * pipeline, where the same page hides behind ?session= and #fragment
+    * variants. URLs are synthesized from fixture columns (the q_fn_url
+    * convention) with the variant noise in the query/fragment, so
+    * canonicalization provably collapses them. One groupBy on the
+    * canonical key — at 100 TB this is a map-side-combinable exact-dedup
+    * shuffle over ~60-byte keys. */
+  val qDedupUrl: Q = (s, dir) => {
+    import s.implicits._
+    val url = concat(
+      lit("https://"), upper($"source"), lit(".Example.org/"),
+      $"lang", lit("/page"),
+      when($"doc_id" % 3 === 0, lit("/")).otherwise(lit("")),
+      lit("?session="), $"doc_id", lit("#sec"), $"doc_id" % 7)
+    table(s, dir, "documents")
+      .select($"doc_id", url.as("url"))
+      .withColumn("canonical",
+        regexp_replace(
+          lower(regexp_replace($"url", "[?#].*$", "")), "/$", ""))
+      .groupBy($"canonical")
+      .agg(count(lit(1)).as("n_variants"),
+        min($"doc_id").as("keeper_doc"))
+      .orderBy($"canonical")
+  }
+
   // --------------------------------------------------- gaps-and-islands
 
   /** Batch sessionization as the gaps-and-islands window idiom: a new
@@ -494,9 +523,23 @@ object Quality {
     "q_graph_sssp" -> qGraphSssp,
     "q_text_bpe_step" -> qTextBpeStep,
     "q_win_islands" -> qWinIslands,
+    "q_dedup_url" -> qDedupUrl,
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q_dedup_url" ->
+      """WITH u AS (SELECT doc_id,
+        |  'https://' || upper(source) || '.Example.org/' || lang || '/page'
+        |   || CASE WHEN doc_id % 3 = 0 THEN '/' ELSE '' END
+        |   || '?session=' || doc_id || '#sec' || (doc_id % 7) AS url
+        | FROM documents),
+        |c AS (SELECT doc_id,
+        |  regexp_replace(lower(regexp_replace(url, '[?#].*$', '')),
+        |   '/$', '') AS canonical
+        | FROM u)
+        |SELECT canonical, count(*) AS n_variants,
+        | min(doc_id) AS keeper_doc
+        |FROM c GROUP BY canonical ORDER BY canonical""".stripMargin,
     "q_win_islands" ->
       """WITH e AS (SELECT user_id, event_id, ts::TIMESTAMP AS ts FROM events),
         |f AS (SELECT user_id, event_id, ts,
