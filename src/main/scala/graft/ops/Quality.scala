@@ -417,6 +417,63 @@ object Quality {
       .limit(20)
   }
 
+  // ----------------------------------------------------- BPE trainer
+
+  /** A 3-merge BPE TRAINER as one declarative plan: each round counts
+    * adjacent symbol pairs over the whole corpus (q_text_bpe_step's
+    * kernel), takes the argmax pair (count desc, pair asc — the
+    * deterministic tie-break), and re-tokenizes every word by merging
+    * that pair. The 1-row argmax cross-joins back (broadcast) so "apply
+    * the learned merge" is a per-row string replace — no driver loop, no
+    * collect; 3 unrolled stages. Merge semantics are greedy
+    * non-overlapping left-to-right (both engines' replace()), so an
+    * immediately-repeated pair ('a a a a') merges at alternating
+    * positions and leaves the rest to later rounds — documented, and
+    * identical on both engines by construction. At 100 TB each round is
+    * one map-side-combinable pair count + one broadcast + one projection
+    * — the merge TABLE is vocab-sized in any real trainer; only the
+    * counts touch the corpus. */
+  val qTextBpeTrain: Q = (s, dir) => {
+    import s.implicits._
+    // The corpus is touched ONCE — the word-frequency dictionary
+    // (word, multiplicity) is what iterates, exactly like real BPE
+    // trainers (HF/GPT-2 count merges over the word dict, not the raw
+    // corpus). Rounds then run on vocabulary-sized data with
+    // multiplicity-WEIGHTED pair counts: 5.5 s (instance-level, three
+    // cached 600k-row corpus rewrites) → sub-second.
+    val words = cached(table(s, dir, "documents")
+      .select(explode(LlmOps.toks($"text")).as("w"))
+      .groupBy($"w").agg(count(lit(1)).as("mult"))
+      // ' a b c ' via one regexp (each char → char+space + leading pad)
+      .select(concat(lit(" "), regexp_replace($"w", "(.)", "$1 ")).as("s"),
+        $"mult"))
+    def pairs(col: org.apache.spark.sql.Column) = {
+      val syms = split(trim(col), " ")
+      // size-1 guard: Spark's sequence(1, 0) DESCENDS ([1,0]) instead of
+      // returning empty, and element_at(_, 0) then throws
+      when(size(syms) >= 2,
+        transform(sequence(lit(1), size(syms) - 1),
+          i => concat(element_at(syms, i), lit(" "), element_at(syms, i + 1))))
+        .otherwise(array())
+    }
+    def round1(tok: DataFrame, r: Int): (DataFrame, DataFrame) = {
+      val top = tok
+        .select(explode(pairs($"s")).as("pair"), $"mult")
+        .groupBy($"pair").agg(sum($"mult").as("cnt"))
+        .orderBy($"cnt".desc, $"pair").limit(1)
+        .select(lit(r.toLong).as("round"), $"pair", $"cnt")
+      val merged = tok.crossJoin(broadcast(top.select($"pair")))
+        .select(expr(
+          "replace(s, ' ' || pair || ' ', ' ' || replace(pair, ' ', '') || ' ')")
+          .as("s"), $"mult")
+      (merged, top)
+    }
+    val (t1, m1) = round1(words, 1)
+    val (t2, m2) = round1(t1, 2)
+    val (_, m3) = round1(t2, 3)
+    m1.union(m2).union(m3).orderBy($"round")
+  }
+
   // --------------------------------------------------- DSIR importance
 
   /** DSIR-style importance weighting (Xie et al.): score every document
@@ -524,9 +581,41 @@ object Quality {
     "q_text_bpe_step" -> qTextBpeStep,
     "q_win_islands" -> qWinIslands,
     "q_dedup_url" -> qDedupUrl,
+    "q_text_bpe_train" -> qTextBpeTrain,
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q_text_bpe_train" ->
+      """WITH w0 AS (SELECT ' ' || regexp_replace(w, '(.)', '\1 ', 'g') AS s,
+        |   count(*) AS mult
+        |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+        |  GROUP BY w),
+        |pr1 AS (SELECT unnest(list_transform(generate_series(1, len(sy) - 1),
+        |    i -> sy[i] || ' ' || sy[i+1])) AS pair, mult
+        |  FROM (SELECT string_split(trim(s), ' ') AS sy, mult FROM w0)),
+        |t1 AS (SELECT CAST(1 AS BIGINT) AS round, pair,
+        |   CAST(sum(mult) AS BIGINT) AS cnt
+        |  FROM pr1 GROUP BY pair ORDER BY cnt DESC, pair LIMIT 1),
+        |w1 AS (SELECT replace(s, ' ' || pair || ' ', ' ' || replace(pair, ' ', '') || ' ') AS s, mult
+        |  FROM w0 CROSS JOIN t1),
+        |pr2 AS (SELECT unnest(list_transform(generate_series(1, len(sy) - 1),
+        |    i -> sy[i] || ' ' || sy[i+1])) AS pair, mult
+        |  FROM (SELECT string_split(trim(s), ' ') AS sy, mult FROM w1)),
+        |t2 AS (SELECT CAST(2 AS BIGINT) AS round, pair,
+        |   CAST(sum(mult) AS BIGINT) AS cnt
+        |  FROM pr2 GROUP BY pair ORDER BY cnt DESC, pair LIMIT 1),
+        |w2 AS (SELECT replace(s, ' ' || pair || ' ', ' ' || replace(pair, ' ', '') || ' ') AS s, mult
+        |  FROM w1 CROSS JOIN t2),
+        |pr3 AS (SELECT unnest(list_transform(generate_series(1, len(sy) - 1),
+        |    i -> sy[i] || ' ' || sy[i+1])) AS pair, mult
+        |  FROM (SELECT string_split(trim(s), ' ') AS sy, mult FROM w2)),
+        |t3 AS (SELECT CAST(3 AS BIGINT) AS round, pair,
+        |   CAST(sum(mult) AS BIGINT) AS cnt
+        |  FROM pr3 GROUP BY pair ORDER BY cnt DESC, pair LIMIT 1)
+        |SELECT round, pair, cnt FROM t1
+        |UNION ALL SELECT round, pair, cnt FROM t2
+        |UNION ALL SELECT round, pair, cnt FROM t3
+        |ORDER BY round""".stripMargin,
     "q_dedup_url" ->
       """WITH u AS (SELECT doc_id,
         |  'https://' || upper(source) || '.Example.org/' || lang || '/page'
