@@ -167,6 +167,41 @@ class QualitySpec extends SparkSuite {
     } finally joined.unpersist()
   }
 
+  test("q_text_bpe_train: merge frequencies are non-increasing and symbols grow") {
+    import spark.implicits._
+    val rounds = SparkEntry.queries("q_text_bpe_train")(spark, sfDir)
+      .collect().sortBy(_.getLong(0))
+    assert(rounds.length == 3)
+    // classic BPE invariant: the best pair's frequency never increases
+    // round over round (a merge can only reduce or preserve other
+    // pairs' counts, and new pairs are bounded by the merged count)
+    val cnts = rounds.map(_.getLong(2))
+    assert(cnts.sliding(2).forall { case Array(a, b) => a >= b },
+      s"merge frequencies increased: ${cnts.mkString(",")}")
+    // each learned pair joins two existing symbols: round-1 merges two
+    // single chars; later rounds may reuse earlier merges
+    assert(rounds.head.getString(1).matches(". ."),
+      s"round-1 pair not two single chars: ${rounds.head.getString(1)}")
+  }
+
+  test("q_win_islands conserves events and respects the 30-minute gap") {
+    import spark.implicits._
+    val islands = SparkEntry.queries("q_win_islands")(spark, sfDir).cache()
+    try {
+      val total = islands.agg(sum($"n_events")).head().getLong(0)
+      assert(total == graft.ops.Util.events(spark, sfDir).count())
+      // sessions of one user never overlap, and consecutive sessions are
+      // separated by MORE than the 30-minute gap
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"user_id").orderBy($"session_id")
+      val bad = islands
+        .withColumn("prev_end", lag($"s_end", 1).over(w))
+        .filter($"prev_end".isNotNull &&
+          unix_micros($"s_start") - unix_micros($"prev_end") <= 1800000000L)
+      assert(bad.isEmpty, "two consecutive sessions violate the gap")
+    } finally islands.unpersist()
+  }
+
   test("q_fn_aes ciphertext matches an independent JCE AES/ECB/PKCS5 vector") {
     import spark.implicits._
     val sparkCt = spark.read.parquet(s"$sfDir/customer.parquet")
