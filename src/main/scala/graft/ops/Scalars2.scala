@@ -137,6 +137,34 @@ object Scalars2 {
       .orderBy($"doc_id")
   }
 
+  /** Map-typed higher-order functions — transform_keys/transform_values/
+    * map_filter/map_zip_with over a per-doc word-count map (q_fn_map
+    * covers construction/lookup; this is the lambda surface). Maps have
+    * no cross-engine canonical order, so every map output is serialized
+    * as its SORTED entry list before comparison — the oracle computes
+    * the same strings from the flat (word, count) table, which is also
+    * how a DuckDB user would express these transforms. */
+  val qFnMap2: Q = (s, dir) => {
+    import s.implicits._
+    val wc = table(s, dir, "documents")
+      .select($"doc_id", explode(split($"text", " ")).as("w"))
+      .groupBy($"doc_id", $"w").agg(count(lit(1)).as("c"))
+    val m = wc.groupBy($"doc_id")
+      .agg(map_from_entries(array_sort(collect_list(struct($"w", $"c"))))
+        .as("m"))
+    def ser(mapCol: org.apache.spark.sql.Column) =
+      array_join(array_sort(transform(map_entries(mapCol),
+        e => concat(e.getField("key"), lit("="), e.getField("value")))), ",")
+    m.select($"doc_id",
+        size($"m").cast("long").as("n_keys"),
+        ser(map_filter($"m", (_, v) => v >= 3)).as("frequent"),
+        ser(transform_keys($"m", (k, _) => upper(k))).as("upper_keys"),
+        ser(map_zip_with($"m",
+          transform_values($"m", (_, v) => v * 2),
+          (_, a, b) => a + b)).as("tripled"))
+      .orderBy($"doc_id")
+  }
+
   /** AES encryption round-trip (deterministic ECB/PKCS so the ciphertext
     * is a pure function of (key, plaintext)): the oracle can't run AES,
     * but it CAN pin the decrypt(encrypt(x)) == x round-trip and the
@@ -175,6 +203,7 @@ object Scalars2 {
   }
 
   val queries: Map[String, Q] = Map(
+    "q_fn_map2" -> qFnMap2,
     "q_fn_hof" -> qFnHof,
     "q_fn_aes" -> qFnAes,
     "q_fn_tryarith" -> qFnTryArith,
@@ -188,6 +217,19 @@ object Scalars2 {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q_fn_map2" ->
+      """WITH wc AS (SELECT doc_id, w, count(*) AS c
+        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+        |        FROM documents)
+        |  GROUP BY doc_id, w)
+        |SELECT doc_id, count(*) AS n_keys,
+        | coalesce(string_agg(CASE WHEN c >= 3 THEN w || '=' || c END, ','
+        |   ORDER BY CASE WHEN c >= 3 THEN w || '=' || c END), '') AS frequent,
+        | string_agg(upper(w) || '=' || c, ','
+        |   ORDER BY upper(w) || '=' || c) AS upper_keys,
+        | string_agg(w || '=' || (c * 3), ','
+        |   ORDER BY w || '=' || (c * 3)) AS tripled
+        |FROM wc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q_fn_hof" ->
       """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
         |SELECT doc_id,
