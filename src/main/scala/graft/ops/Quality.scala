@@ -417,6 +417,32 @@ object Quality {
       .limit(20)
   }
 
+  // ------------------------------------------------- token-budget fill
+
+  /** Budget-constrained selection: fill a fixed per-language token
+    * budget greedily by rank (longest docs first, doc_id tiebreak) —
+    * the "assemble exactly N tokens of training data" step downstream
+    * of all the quality gates. A doc is kept while the running token
+    * total INCLUDING it fits the budget; the window cumsum makes the
+    * cut integer-exact on both engines. One window shuffle per
+    * language; at 100 TB the rank ordering comes from the native
+    * top-k/window machinery and budgets are per-shard. */
+  val qCurateBudget: Q = (s, dir) => {
+    import s.implicits._
+    val budget = 5000L
+    val w = Window.partitionBy($"lang").orderBy($"n_toks".desc, $"doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    table(s, dir, "documents")
+      .select($"doc_id", $"lang",
+        size(LlmOps.toks($"text")).cast("long").as("n_toks"))
+      .withColumn("cum", sum($"n_toks").over(w))
+      .filter($"cum" <= budget)
+      .groupBy($"lang")
+      .agg(count(lit(1)).as("n_kept"), max($"cum").as("tokens_kept"),
+        min($"n_toks").as("shortest_kept"))
+      .orderBy($"lang")
+  }
+
   // ----------------------------------------------------- BPE trainer
 
   /** A 3-merge BPE TRAINER as one declarative plan: each round counts
@@ -582,9 +608,23 @@ object Quality {
     "q_win_islands" -> qWinIslands,
     "q_dedup_url" -> qDedupUrl,
     "q_text_bpe_train" -> qTextBpeTrain,
+    "q_curate_budget" -> qCurateBudget,
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q_curate_budget" ->
+      """WITH t AS (SELECT doc_id, lang,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks
+        | FROM documents),
+        |c AS (SELECT doc_id, lang, n_toks,
+        |  sum(n_toks) OVER (PARTITION BY lang ORDER BY n_toks DESC, doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        | FROM t)
+        |SELECT lang, count(*) AS n_kept,
+        | CAST(max(cum) AS BIGINT) AS tokens_kept,
+        | min(n_toks) AS shortest_kept
+        |FROM c WHERE cum <= 5000
+        |GROUP BY lang ORDER BY lang""".stripMargin,
     "q_text_bpe_train" ->
       """WITH w0 AS (SELECT ' ' || regexp_replace(w, '(.)', '\1 ', 'g') AS s,
         |   count(*) AS mult
