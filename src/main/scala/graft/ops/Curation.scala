@@ -35,7 +35,7 @@ object Curation {
     * component diameter, and dup chains are shallow. */
   val qDedupConnected: Q = (s, dir) => {
     import s.implicits._
-    val pairs = LlmOps.nearDupPairs(s, dir).select($"doc_a", $"doc_b")
+    val pairs = cached(LlmOps.nearDupPairs(s, dir).select($"doc_a", $"doc_b"))
     // Hash-min DELTA iteration on co-partitioned RDDs (the Pregel trick,
     // without GraphX's per-round framework overhead): only nodes whose
     // label CHANGED last round push to their neighbors, so late rounds
@@ -44,8 +44,15 @@ object Curation {
     // decrease, so the min label still floods every component — exact CC
     // at convergence, rounds = component diameter (dup chains are
     // shallow). Same replan-free rationale as pagerank/BFS.
+    // Partitioner sized to the EDGE data (≥64k edges/partition, capped at
+    // defaultParallelism) exactly like pagerank/BFS/SSSP: a fixed small
+    // cap would funnel the whole fixpoint through a handful of reducers
+    // once the near-dup edge list grows 100×, while a fixed 32-way one
+    // pays near-empty task launches per round on a tiny local graph.
+    val nEdges = pairs.count() * 2
     val part = new org.apache.spark.HashPartitioner(
-      math.max(1, math.min(s.sparkContext.defaultParallelism, 4)))
+      math.max(1, math.min(s.sparkContext.defaultParallelism,
+        (nEdges / 65536 + 1).toInt)))
     val und = cachedRdd(pairs.as[(Long, Long)].rdd
       .flatMap { case (a, b) => Seq((a, b), (b, a)) }
       .partitionBy(part))
