@@ -240,8 +240,8 @@ object Pipelines {
   val qEtlBackfill: Q = (s, dir) => {
     import s.implicits._
     val path = backfilled.computeIfAbsent(
-      s"${System.identityHashCode(s)}:$dir", _ => {
-        val d = java.nio.file.Files.createTempDirectory("graft_backfill_").toString
+      s"${Util.sessionKey(s)}:$dir", _ => {
+        val d = Util.managedTempDir("graft_backfill_")
         val base = table(s, dir, "orders")
           .select($"o_orderkey", $"o_custkey", $"o_totalprice",
             year($"o_orderdate").as("o_year"))

@@ -233,22 +233,36 @@ object Quality {
   val qSampleWeighted: Q = (s, dir) => {
     import s.implicits._
     // u in (0,1): (16-bit md5 prefix + 0.5) / 65536 — shared arithmetic
-    // with the q_pipeline_mixture oracle, shifted off zero for the ln
+    // with the q_pipeline_mixture oracle, shifted off zero for the ln.
+    // u is computed in DOUBLE end-to-end and is EXACT: the numerator
+    // (n + 0.5, n ≤ 65535) is exactly representable and /65536 is a
+    // power-of-two division — so both engines hand libm ln the identical
+    // bit pattern. (A decimal-literal route here quantizes u differently
+    // per engine; 1/u amplifies that through the ln for small u.)
     val u = expr(
-      """((position(substr(md5(cast(doc_id AS STRING)), 1, 1) IN '0123456789abcdef') - 1) * 4096
+      """(CAST((position(substr(md5(cast(doc_id AS STRING)), 1, 1) IN '0123456789abcdef') - 1) * 4096
         | + (position(substr(md5(cast(doc_id AS STRING)), 2, 1) IN '0123456789abcdef') - 1) * 256
         | + (position(substr(md5(cast(doc_id AS STRING)), 3, 1) IN '0123456789abcdef') - 1) * 16
         | + (position(substr(md5(cast(doc_id AS STRING)), 4, 1) IN '0123456789abcdef') - 1)
-        | + 0.5) / 65536.0""".stripMargin)
+        | AS DOUBLE) + 0.5D) / 65536.0D""".stripMargin)
+    // libm parity: −ln(u) is rounded 8dp and squeezed through DECIMAL
+    // before the divide (the batch-wide convention, cf. bm25/entropy), so
+    // a 1-ulp JVM-vs-DuckDB ln() difference can't flip near-tied ranks;
+    // the double divide then has exact inputs on both engines.
     val keyed = table(s, dir, "documents")
       .select($"doc_id", $"lang", $"n_chars",
-        (-log(u) / $"n_chars").as("k"))
+        (round(-log(u), 8).cast("decimal(12,8)").cast("double") / $"n_chars")
+          .as("k"))
     keyed
       .withColumn("rk", row_number().over(
         Window.partitionBy($"lang").orderBy($"k", $"doc_id")))
       .filter($"rk" <= 3)
-      .select($"lang", $"rk".cast("long").as("rk"), $"doc_id",
-        round($"k", 9).as("k9"))
+      // k is emitted UNROUNDED (§5.4): its inputs are exact on both
+      // engines (8dp-decimal ln, integer n_chars), so the double divide is
+      // bit-identical — while round(k, 9) can straddle a .5 boundary that
+      // Spark (decimal HALF_UP) and DuckDB (binary) settle differently
+      // (observed at sf0.1).
+      .select($"lang", $"rk".cast("long").as("rk"), $"doc_id", $"k")
       .orderBy($"lang", $"rk")
   }
 
@@ -305,8 +319,11 @@ object Quality {
     * text on both engines (Spark's built-in skewness/kurtosis match to
     * ~1e-9 — asserted in QualitySpec — but are double-accumulated and
     * order-dependent, so the decimal route is what's oracle-checked).
-    * Decimal widths: x ≤ ~10⁶ fits (10,4); x² (15,8); x³ (26,12);
-    * x⁴ = (x²)² (31,16) — all within DECIMAL(38). */
+    * Decimal widths: x fits (10,4) up to ~10⁶, but the binding bound is
+    * x² in (15,8), which only holds |x²| < 10⁷ i.e. |x| < ~3162 (fixture
+    * max is 560.21 — safe with 5× headroom); x³ (26,12); x⁴ = (x²)²
+    * (31,16) — all within DECIMAL(38). Widen x² to (20,8) first if the
+    * value domain ever grows past ~3e3. */
   val qAggSkewKurt: Q = (s, dir) => {
     import s.implicits._
     val x = $"value".cast("decimal(10,4)")
@@ -827,16 +844,16 @@ object Quality {
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q_sample_weighted" ->
       """WITH keyed AS (SELECT lang, doc_id,
-        |  -ln(((position(substr(md5(cast(doc_id AS VARCHAR)), 1, 1) IN '0123456789abcdef') - 1) * 4096
+        |  CAST(CAST(round(-ln((CAST((position(substr(md5(cast(doc_id AS VARCHAR)), 1, 1) IN '0123456789abcdef') - 1) * 4096
         |   + (position(substr(md5(cast(doc_id AS VARCHAR)), 2, 1) IN '0123456789abcdef') - 1) * 256
         |   + (position(substr(md5(cast(doc_id AS VARCHAR)), 3, 1) IN '0123456789abcdef') - 1) * 16
         |   + (position(substr(md5(cast(doc_id AS VARCHAR)), 4, 1) IN '0123456789abcdef') - 1)
-        |   + 0.5) / 65536.0) / n_chars AS k
+        |   AS DOUBLE) + 0.5) / 65536.0), 8) AS DECIMAL(12,8)) AS DOUBLE) / n_chars AS k
         | FROM documents),
         |ranked AS (SELECT lang, doc_id, k,
         |  row_number() OVER (PARTITION BY lang ORDER BY k, doc_id) AS rk
         | FROM keyed)
-        |SELECT lang, CAST(rk AS BIGINT) AS rk, doc_id, round(k, 9) AS k9
+        |SELECT lang, CAST(rk AS BIGINT) AS rk, doc_id, k
         |FROM ranked WHERE rk <= 3 ORDER BY lang, rk""".stripMargin,
     "q_ts_interp" ->
       """WITH hourly AS (SELECT user_id,

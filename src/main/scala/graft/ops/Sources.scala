@@ -145,7 +145,7 @@ object Sources {
   val qSrcJdbc: Q = (s, dir) => {
     import s.implicits._
     val url = s"jdbc:derby:$derbyHome/graft_jdbc_${Integer.toHexString(dir.hashCode)};create=true"
-    jdbcWritten.computeIfAbsent(s"${System.identityHashCode(s)}:$dir", _ => {
+    jdbcWritten.computeIfAbsent(s"${Util.sessionKey(s)}:$dir", _ => {
       table(s, dir, "supplier")
         .select($"s_suppkey", $"s_name", $"s_nationkey", $"s_acctbal")
         .write.mode("overwrite").format("jdbc")
@@ -254,8 +254,8 @@ object Sources {
   val qSrcBinaryfile: Q = (s, dir) => {
     import s.implicits._
     val binDir = binWritten.computeIfAbsent(
-      s"${System.identityHashCode(s)}:$dir", _ => {
-        val d = java.nio.file.Files.createTempDirectory("graft_bin_").toString
+      s"${Util.sessionKey(s)}:$dir", _ => {
+        val d = Util.managedTempDir("graft_bin_")
         // distributed export: each task writes its partition's files (on a
         // cluster `d` would be a shared filesystem path) — no driver collect
         table(s, dir, "documents")

@@ -63,6 +63,43 @@ object Util {
     r
   }
 
+  // Per-session identity for memo keys. identityHashCode is NOT
+  // collision-free across a session's lifetime (a GC'd session's hash can
+  // be reissued, silently reusing a directory written under the old
+  // session), so builders that materialize per-session state key it on
+  // this UUID instead: the WeakHashMap never pins the session, and a new
+  // session can never inherit a dead one's id.
+  private val sessionIds = new java.util.WeakHashMap[SparkSession, String]
+
+  /** Stable, collision-free memo key for `s` (random UUID, weakly held). */
+  def sessionKey(s: SparkSession): String = sessionIds.synchronized {
+    var id = sessionIds.get(s)
+    if (id == null) {
+      id = java.util.UUID.randomUUID().toString
+      sessionIds.put(s, id)
+    }
+    id
+  }
+
+  /** Temp directory with JVM-exit cleanup: library callers shouldn't leak
+    * one directory of parquet/bin fixtures per (session, dir) memo entry.
+    * Best-effort recursive delete on a shutdown hook (deleteOnExit can't
+    * remove non-empty directories). */
+  def managedTempDir(prefix: String): String = {
+    val d = java.nio.file.Files.createTempDirectory(prefix)
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      try {
+        java.nio.file.Files.walk(d)
+          .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+          .forEach { p =>
+            try java.nio.file.Files.deleteIfExists(p)
+            catch { case _: Exception => () }
+          }
+      } catch { case _: Exception => () }
+    }))
+    d.toString
+  }
+
   /** Unpersist (non-blocking) every cache registered since the last call. */
   def unpersistRegistered(): Unit = {
     var d = registeredCaches.poll()
