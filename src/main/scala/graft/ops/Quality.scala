@@ -517,6 +517,56 @@ object Quality {
     m1.union(m2).union(m3).orderBy($"round")
   }
 
+  /** BPE ENCODE — the operator a pretraining pipeline actually runs over
+    * the whole corpus once the trainer (q_text_bpe_train) has learned its
+    * merge table: re-tokenize every document with the learned merges and
+    * report per-doc token statistics. Same 100 TB shape as the trainer,
+    * inverted: the merges are (re)learned on the vocab-sized word dict,
+    * applied to the DICT (each word encoded once, multiplicity-weighted —
+    * never per word instance), and the word→token-count map is broadcast
+    * back onto the corpus token scan. Greedy left-to-right replace
+    * semantics identical to the trainer (non-overlapping, both engines'
+    * replace()). n_syms = pre-merge symbol (=char) count, so
+    * n_syms - n_tokens = number of merge applications inside the doc. */
+  val qTextBpeApply: Q = (s, dir) => {
+    import s.implicits._
+    val words = cached(table(s, dir, "documents")
+      .select(explode(LlmOps.toks($"text")).as("w"))
+      .groupBy($"w").agg(count(lit(1)).as("mult"))
+      .select($"w",
+        concat(lit(" "), regexp_replace($"w", "(.)", "$1 ")).as("s"),
+        $"mult"))
+    def pairsOf(col: org.apache.spark.sql.Column) = {
+      val syms = split(trim(col), " ")
+      when(size(syms) >= 2,
+        transform(sequence(lit(1), size(syms) - 1),
+          i => concat(element_at(syms, i), lit(" "), element_at(syms, i + 1))))
+        .otherwise(array())
+    }
+    // one merge round: argmax pair on the dict, then rewrite the dict
+    def merge1(tok: DataFrame): DataFrame = {
+      val top = tok
+        .select(explode(pairsOf($"s")).as("pair"), $"mult")
+        .groupBy($"pair").agg(sum($"mult").as("cnt"))
+        .orderBy($"cnt".desc, $"pair").limit(1)
+        .select($"pair")
+      tok.crossJoin(broadcast(top))
+        .select($"w", expr(
+          "replace(s, ' ' || pair || ' ', ' ' || replace(pair, ' ', '') || ' ')")
+          .as("s"), $"mult")
+    }
+    val encodedDict = merge1(merge1(merge1(words)))
+      .select($"w", size(split(trim($"s"), " ")).cast("long").as("n_tok"))
+    table(s, dir, "documents")
+      .select($"doc_id", explode(LlmOps.toks($"text")).as("w"))
+      .join(broadcast(encodedDict), Seq("w"))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_words"),
+        sum(length($"w")).cast("long").as("n_syms"),
+        sum($"n_tok").as("n_tokens"))
+      .orderBy($"doc_id")
+  }
+
   // --------------------------------------------------- DSIR importance
 
   /** DSIR-style importance weighting (Xie et al.): score every document
@@ -625,6 +675,7 @@ object Quality {
     "q_win_islands" -> qWinIslands,
     "q_dedup_url" -> qDedupUrl,
     "q_text_bpe_train" -> qTextBpeTrain,
+    "q_text_bpe_apply" -> qTextBpeApply,
     "q_curate_budget" -> qCurateBudget,
   )
 
@@ -673,6 +724,40 @@ object Quality {
         |UNION ALL SELECT round, pair, cnt FROM t2
         |UNION ALL SELECT round, pair, cnt FROM t3
         |ORDER BY round""".stripMargin,
+    "q_text_bpe_apply" ->
+      """WITH w0 AS (SELECT w, ' ' || regexp_replace(w, '(.)', '\1 ', 'g') AS s,
+        |   count(*) AS mult
+        |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+        |  GROUP BY w),
+        |pr1 AS (SELECT unnest(list_transform(generate_series(1, len(sy) - 1),
+        |    i -> sy[i] || ' ' || sy[i+1])) AS pair, mult
+        |  FROM (SELECT string_split(trim(s), ' ') AS sy, mult FROM w0)),
+        |t1 AS (SELECT pair FROM (SELECT pair, CAST(sum(mult) AS BIGINT) AS cnt
+        |  FROM pr1 GROUP BY pair ORDER BY cnt DESC, pair LIMIT 1)),
+        |w1 AS (SELECT w, replace(s, ' ' || pair || ' ', ' ' || replace(pair, ' ', '') || ' ') AS s, mult
+        |  FROM w0 CROSS JOIN t1),
+        |pr2 AS (SELECT unnest(list_transform(generate_series(1, len(sy) - 1),
+        |    i -> sy[i] || ' ' || sy[i+1])) AS pair, mult
+        |  FROM (SELECT string_split(trim(s), ' ') AS sy, mult FROM w1)),
+        |t2 AS (SELECT pair FROM (SELECT pair, CAST(sum(mult) AS BIGINT) AS cnt
+        |  FROM pr2 GROUP BY pair ORDER BY cnt DESC, pair LIMIT 1)),
+        |w2 AS (SELECT w, replace(s, ' ' || pair || ' ', ' ' || replace(pair, ' ', '') || ' ') AS s, mult
+        |  FROM w1 CROSS JOIN t2),
+        |pr3 AS (SELECT unnest(list_transform(generate_series(1, len(sy) - 1),
+        |    i -> sy[i] || ' ' || sy[i+1])) AS pair, mult
+        |  FROM (SELECT string_split(trim(s), ' ') AS sy, mult FROM w2)),
+        |t3 AS (SELECT pair FROM (SELECT pair, CAST(sum(mult) AS BIGINT) AS cnt
+        |  FROM pr3 GROUP BY pair ORDER BY cnt DESC, pair LIMIT 1)),
+        |w3 AS (SELECT w, replace(s, ' ' || pair || ' ', ' ' || replace(pair, ' ', '') || ' ') AS s, mult
+        |  FROM w2 CROSS JOIN t3),
+        |wt AS (SELECT w, CAST(len(string_split(trim(s), ' ')) AS BIGINT) AS n_tok
+        |  FROM w3),
+        |d AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+        |SELECT d.doc_id, count(*) AS n_words,
+        | CAST(sum(len(d.w)) AS BIGINT) AS n_syms,
+        | CAST(sum(wt.n_tok) AS BIGINT) AS n_tokens
+        |FROM d JOIN wt ON d.w = wt.w
+        |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin,
     "q_dedup_url" ->
       """WITH u AS (SELECT doc_id,
         |  'https://' || upper(source) || '.Example.org/' || lang || '/page'

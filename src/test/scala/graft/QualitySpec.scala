@@ -184,6 +184,30 @@ class QualitySpec extends SparkSuite {
       s"round-1 pair not two single chars: ${rounds.head.getString(1)}")
   }
 
+  test("q_text_bpe_apply: token counts round-trip the learned merges") {
+    import spark.implicits._
+    val enc = SparkEntry.queries("q_text_bpe_apply")(spark, sfDir).cache()
+    try {
+      val docs = graft.ops.Util.table(spark, sfDir, "documents")
+      assert(enc.count() == docs.count(), "every document must be encoded")
+      // per-doc sandwich: a word of L chars starts as L symbols and each
+      // merge application removes exactly one token, so
+      // n_words <= n_tokens <= n_syms
+      val bad = enc.filter($"n_tokens" > $"n_syms" || $"n_tokens" < $"n_words")
+        .count()
+      assert(bad == 0, s"$bad docs violate n_words <= n_tokens <= n_syms")
+      // n_syms is the exact corpus char count of the tokenized words
+      val symsFromDocs = docs
+        .select(explode(split($"text", " ")).as("w"))
+        .agg(sum(length($"w"))).head().getLong(0)
+      val symsFromEnc = enc.agg(sum($"n_syms")).head().getLong(0)
+      assert(symsFromEnc == symsFromDocs)
+      // 3 merges were learned on a real corpus: some must have applied
+      val merged = enc.agg(sum($"n_syms" - $"n_tokens")).head().getLong(0)
+      assert(merged > 0, "no merge ever applied — encode is a no-op")
+    } finally enc.unpersist()
+  }
+
   test("q_win_islands conserves events and respects the 30-minute gap") {
     import spark.implicits._
     val islands = SparkEntry.queries("q_win_islands")(spark, sfDir).cache()
