@@ -33,7 +33,10 @@ object Curation {
     * cached RDD lineage. The graph never holds the corpus — only the
     * near-dup EDGE list (kilobytes per million docs); at 100 TB rounds =
     * component diameter, and dup chains are shallow. */
-  val qDedupConnected: Q = (s, dir) => {
+  /** Connected-component labels (node, comp) over the near-dup graph —
+    * the reusable core of qDedupConnected, also consumed by the composite
+    * curation pipeline (q_pipeline_e2e) as its cluster-keeper stage. */
+  private[ops] def ccLabels(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val pairs = cached(LlmOps.nearDupPairs(s, dir).select($"doc_a", $"doc_b"))
     // Hash-min DELTA iteration on co-partitioned RDDs (the Pregel trick,
@@ -73,7 +76,12 @@ object Curation {
       n = active.count()
       labels = cachedRdd(upd.mapValues { case (old, p) => p.getOrElse(old) })
     }
-    val labelsDf = labels.toDF("node", "comp")
+    labels.toDF("node", "comp")
+  }
+
+  val qDedupConnected: Q = (s, dir) => {
+    import s.implicits._
+    val labelsDf = ccLabels(s, dir)
     val sizes = labelsDf.groupBy($"comp").agg(count(lit(1)).as("cluster_size"))
     labelsDf.join(sizes, "comp")
       .select($"node".as("doc_id"), $"comp".as("cluster"), $"cluster_size",

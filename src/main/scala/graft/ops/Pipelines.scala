@@ -40,6 +40,46 @@ object Pipelines {
       .orderBy($"source")
   }
 
+  /** The FULL curation funnel as one declarative plan — the real-user
+    * shape the standalone stages compose into: quality gates → NEAR-dup
+    * cluster keeper (MinHash pairs → connected components → keep the
+    * min-doc_id doc per transitive cluster) → per-language corpus
+    * mixture totals, with the funnel counts (raw → gated → kept)
+    * surfaced per language so the job's data-loss profile is an output,
+    * not a log line.
+    *
+    * Scale shape: the gates are a codegen'd scan-side filter; the CC
+    * labels live on the near-dup EDGE list (kilobytes per million docs)
+    * so the non-keeper set is broadcast into a left-anti join against
+    * the gated scan — the corpus is never shuffled; the three funnel
+    * aggregates are map-side-combinable counts off one cached projection.
+    * The gate comparison is integer-exact ((chars - toks + 1) ≤ 15·toks,
+    * no float avg-word-length boundary). At sf0.1 the near-dup signature
+    * pipeline dominates (~3 s) — the funnel itself is sub-second. */
+  val qPipelineE2e: Q = (s, dir) => {
+    import s.implicits._
+    val raw = cached(table(s, dir, "documents")
+      .select($"doc_id", $"lang",
+        size(split($"text", " ")).cast("long").as("n_toks"),
+        length($"text").cast("long").as("n_chars_txt")))
+    val gated = raw.filter($"n_toks".between(5L, 1000L) &&
+      ($"n_chars_txt" - $"n_toks" + 1L) <= $"n_toks" * 15L)
+    // docs that sit in a near-dup cluster but are NOT its keeper
+    val nonKeepers = Curation.ccLabels(s, dir)
+      .filter($"node" =!= $"comp").select($"node".as("doc_id"))
+    val kept = gated.join(broadcast(nonKeepers), Seq("doc_id"), "left_anti")
+    val f1 = raw.groupBy($"lang").agg(count(lit(1)).as("n_raw"))
+    val f2 = gated.groupBy($"lang").agg(count(lit(1)).as("n_gated"))
+    val f3 = kept.groupBy($"lang")
+      .agg(count(lit(1)).as("n_kept"), sum($"n_toks").as("tokens_kept"))
+    f1.join(f2, Seq("lang"), "left").join(f3, Seq("lang"), "left")
+      .select($"lang", $"n_raw",
+        coalesce($"n_gated", lit(0L)).as("n_gated"),
+        coalesce($"n_kept", lit(0L)).as("n_kept"),
+        coalesce($"tokens_kept", lit(0L)).as("tokens_kept"))
+      .orderBy($"lang")
+  }
+
   /** Deterministic ~12.5% Bernoulli sample by content hash: the selector
     * is a pure function of the KEY (last md5 hex nibble ∈ {0,1}), so the
     * sample is reproducible across engines, partitionings, and reruns —
@@ -264,6 +304,7 @@ object Pipelines {
     "q_etl_expectations" -> qEtlExpectations,
     "q_etl_incr_agg" -> qEtlIncrAgg,
     "q_pipeline_clean" -> qPipelineClean,
+    "q_pipeline_e2e" -> qPipelineE2e,
     "q_pipeline_split" -> qPipelineSplit,
     "q_sample_hash" -> qSampleHash,
     "q_sample_stratified" -> qSampleStratified,
@@ -333,6 +374,29 @@ object Pipelines {
         | CAST(sum(n_toks) AS BIGINT) AS sum_toks
         |FROM qq JOIN d ON qq.doc_id = d.keeper
         |GROUP BY source ORDER BY source""".stripMargin,
+    "q_pipeline_e2e" ->
+      s"""WITH cc AS (${Curation.oracleSql("q_dedup_connected")}),
+         |raw AS (SELECT doc_id, lang,
+         |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks,
+         |  CAST(length(text) AS BIGINT) AS n_chars_txt
+         | FROM documents),
+         |gated AS (SELECT * FROM raw
+         | WHERE n_toks BETWEEN 5 AND 1000
+         |   AND (n_chars_txt - n_toks + 1) <= n_toks * 15),
+         |kept AS (SELECT g.* FROM gated g
+         | WHERE NOT EXISTS (SELECT 1 FROM cc
+         |   WHERE cc.doc_id = g.doc_id AND NOT cc.is_keeper)),
+         |f1 AS (SELECT lang, count(*) AS n_raw FROM raw GROUP BY lang),
+         |f2 AS (SELECT lang, count(*) AS n_gated FROM gated GROUP BY lang),
+         |f3 AS (SELECT lang, count(*) AS n_kept,
+         |  CAST(sum(n_toks) AS BIGINT) AS tokens_kept FROM kept GROUP BY lang)
+         |SELECT f1.lang, n_raw,
+         | coalesce(n_gated, 0) AS n_gated,
+         | coalesce(n_kept, 0) AS n_kept,
+         | coalesce(tokens_kept, 0) AS tokens_kept
+         |FROM f1 LEFT JOIN f2 ON f1.lang = f2.lang
+         | LEFT JOIN f3 ON f1.lang = f3.lang
+         |ORDER BY f1.lang""".stripMargin,
     "q_pipeline_split" ->
       """WITH s AS (SELECT doc_id, n_chars,
         |  CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 32, 1) IN ('c','d') THEN 'val'

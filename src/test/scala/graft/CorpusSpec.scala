@@ -32,6 +32,25 @@ class CorpusSpec extends SparkSuite {
     assert(packSum.getLong(1) == docs.getLong(1), "token mass mismatch")
   }
 
+  test("q_pipeline_e2e funnel is monotone and consistent with its stages") {
+    import spark.implicits._
+    val funnel = SparkEntry.queries("q_pipeline_e2e")(spark, sfDir).collect()
+    assert(funnel.nonEmpty)
+    funnel.foreach { r =>
+      val (raw, gated, kept) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(raw >= gated && gated >= kept,
+        s"funnel not monotone for ${r.getString(0)}: $raw >= $gated >= $kept")
+      assert(kept > 0, s"lang ${r.getString(0)} lost every document")
+    }
+    // cross-stage consistency: the number of docs the keeper stage may
+    // drop is bounded by the non-keeper count q_dedup_connected reports
+    val nonKeepers = SparkEntry.queries("q_dedup_connected")(spark, sfDir)
+      .filter(!$"is_keeper").count()
+    val dropped = funnel.map(r => r.getLong(2) - r.getLong(3)).sum
+    assert(dropped <= nonKeepers,
+      s"keeper stage dropped $dropped docs but only $nonKeepers non-keepers exist")
+  }
+
   test("q_pipeline_chunk covers every token with the declared stride") {
     import spark.implicits._
     val chunks = SparkEntry.queries("q_pipeline_chunk")(spark, sfDir)
