@@ -88,12 +88,77 @@ object Layout {
       .orderBy($"p_brand")
   }
 
+  /** "fragDir|compDir" pairs already materialized this JVM, keyed by
+    * (session UUID, fixture dir) — the write happens exactly once.
+    * private[graft] so the compaction spec can count the actual files. */
+  private[graft] val compactedDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]
+
+  /** Small-file COMPACTION — the other half of table maintenance next to
+    * Z-order: an OPTIMIZE-style bin-packing rewrite of an over-fragmented
+    * table back to target-sized files. The bin-packer is Spark's own
+    * file-scan partition packing: reading the fragmented table with
+    * `maxPartitionBytes` = target size (and `openCostInBytes` lowered so
+    * packing is purely size-driven) groups small files first-fit into
+    * target-sized scan partitions, and the narrow (shuffle-free) rewrite
+    * emits ONE file per packed partition. No repartition(): the data
+    * never shuffles, each task streams its bin's files into one output —
+    * exactly what Delta/Iceberg OPTIMIZE does, expressed through the
+    * scanner. At 100 TB compaction runs per table partition with this
+    * identical plan; cost is one read+write of the fragmented bytes.
+    * The query then reads the COMPACTED table and reports per-language
+    * content aggregates incl. min/max text-md5 — the oracle recomputes
+    * them from the source rows, so the fragment→compact round-trip is
+    * what's proven lossless. File-count/size bounds are asserted in
+    * LayoutCompactionSpec (the oracle can't see the filesystem). */
+  val qLayoutCompact: Q = (s, dir) => {
+    import s.implicits._
+    val path = compactedDirs.computeIfAbsent(
+      s"${Util.sessionKey(s)}:$dir", _ => {
+        val frag = Util.managedTempDir("graft_frag_")
+        val comp = Util.managedTempDir("graft_compact_")
+        // over-fragment: 64 round-robin shards of a small table
+        table(s, dir, "documents")
+          .select($"doc_id", $"lang", $"text", $"n_chars")
+          .repartition(64)
+          .write.mode("overwrite").parquet(frag)
+        val conf = s.conf
+        val oldMax = conf.get("spark.sql.files.maxPartitionBytes")
+        val oldOpen = conf.get("spark.sql.files.openCostInBytes")
+        try {
+          conf.set("spark.sql.files.maxPartitionBytes", (4L << 20).toString)
+          conf.set("spark.sql.files.openCostInBytes", "1024")
+          s.read.parquet(frag).write.mode("overwrite").parquet(comp)
+        } finally {
+          conf.set("spark.sql.files.maxPartitionBytes", oldMax)
+          conf.set("spark.sql.files.openCostInBytes", oldOpen)
+        }
+        s"$frag|$comp"
+      })
+    s.read.parquet(path.split('|')(1))
+      .groupBy($"lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum($"doc_id").as("docsum"),
+        sum($"n_chars").as("charsum"),
+        min(md5($"text")).as("md5_min"),
+        max(md5($"text")).as("md5_max"))
+      .orderBy($"lang")
+  }
+
   val queries: Map[String, Q] = Map(
     "q_layout_zorder" -> qLayoutZorder,
+    "q_layout_compact" -> qLayoutCompact,
     "q_geo_bbox" -> qGeoBbox,
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q_layout_compact" ->
+      """SELECT lang, count(*) AS n_docs,
+        | CAST(sum(doc_id) AS BIGINT) AS docsum,
+        | CAST(sum(n_chars) AS BIGINT) AS charsum,
+        | min(md5(text)) AS md5_min,
+        | max(md5(text)) AS md5_max
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
     // spread(v) = five shift/mask steps (DuckDB reuses SELECT aliases, so
     // the steps chain in one projection); morton = spread(x) | spread(y)<<1
     "q_layout_zorder" ->
