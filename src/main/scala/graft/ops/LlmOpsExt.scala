@@ -319,26 +319,48 @@ object LlmOpsExt {
     // encode/score scale with the corpus. (Here the whole table fits the
     // sample budget.)
     val train = e.orderBy($"vec_id").limit(100000).coalesce(1).transform(cached)
-    val codebooks: Seq[Seq[Seq[Double]]] = (0 until m).map { j =>
-      val sl = train.select(array_to_vector(slice($"emb", j * sub + 1, sub)).as("features"))
-      // random init, few iterations: k-means|| costs ~5 extra passes PER
-      // subspace fit, and a PQ codebook only needs a decent quantizer, not
-      // a converged clustering (measured 11.5s -> ~3s for the whole query)
-      new KMeans().setK(k).setSeed(11L + j).setMaxIter(4)
-        .setInitMode("random")
-        .setFeaturesCol("features").fit(sl)
-        .clusterCenters.map(_.toArray.toSeq).toSeq
-    }
+    train.count() // materialize ONCE before the concurrent fits share it
+    // The m per-subspace fits are independent seeded jobs on the same
+    // cached single-partition sample — run them CONCURRENTLY (Spark's
+    // scheduler interleaves the jobs; results are identical to the
+    // sequential loop because each fit is seeded and reads an immutable
+    // cache). Sequential fits were the bulk of this query's wall-clock.
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(m)
+    val codebooks: Seq[Seq[Seq[Double]]] =
+      try {
+        implicit val ec: scala.concurrent.ExecutionContext =
+          scala.concurrent.ExecutionContext.fromExecutorService(pool)
+        val fits = (0 until m).map { j =>
+          scala.concurrent.Future {
+            val sl = train.select(
+              array_to_vector(slice($"emb", j * sub + 1, sub)).as("features"))
+            // random init, few iterations: k-means|| costs ~5 extra passes
+            // PER subspace fit, and a PQ codebook only needs a decent
+            // quantizer, not a converged clustering (measured 11.5s -> ~3s
+            // for the whole query)
+            new KMeans().setK(k).setSeed(11L + j).setMaxIter(4)
+              .setInitMode("random")
+              .setFeaturesCol("features").fit(sl)
+              .clusterCenters.map(_.toArray.toSeq).toSeq
+          }
+        }
+        fits.map(f => scala.concurrent.Await.result(
+          f, scala.concurrent.duration.Duration.Inf))
+      } finally pool.shutdown()
     val cb = typedlit(codebooks) // m × k × sub nested array literal
-    // encode: code_j = argmin_c ||slice_j - cb[j][c]||² (argmin via
-    // array_position of the min — the min is compared against itself, so
-    // double equality is exact)
-    def dist2(a: Column, c: Column): Column =
-      aggregate(zip_with(a, c, (x, y) => (x - y) * (x - y)), lit(0.0), _ + _)
-    val coded = e.select($"vec_id", $"emb",
+    // encode: code_j = argmin_c ||slice_j - cb[j][c]||², computed as
+    // argmin_c (-2·a·c + |c|²) — the |a|² term is constant per row, so the
+    // argmin is identical, and the dot products ride the tight-loop
+    // DotProduct expression instead of an interpreted zip_with+aggregate
+    // lambda (HOF lambda bodies don't codegen; the custom expression's
+    // eval is still one fused Java loop). argmin via array_position of
+    // the min — the min is compared against itself, so double equality
+    // is exact.
+    val coded = e.select($"vec_id",
       transform(sequence(lit(0), lit(m - 1)), j => {
+        val sl = slice($"emb", j * lit(sub) + 1, lit(sub))
         val dists = transform(element_at(cb, j + 1),
-          c => dist2(slice($"emb", j * lit(sub) + 1, lit(sub)), c))
+          c => lit(-2.0) * dot(sl, c) + dot(c, c))
         array_position(dists, array_min(dists)).cast("int")
       }).as("codes")) // codes are 1-based positions into cb[j]
     // ADC: per probe, LUT[j][c] = dot(probe_slice_j, cb[j][c])
