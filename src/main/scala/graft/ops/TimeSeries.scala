@@ -190,7 +190,69 @@ object TimeSeries {
       .orderBy($"user_id")
   }
 
+  /** LTTB (Largest-Triangle-Three-Buckets) downsampling to 12 points per
+    * series — the standard visualization downsample, in its PARALLEL
+    * bucket-average form: each middle bucket keeps the point whose
+    * triangle against the NEIGHBOR BUCKET AVERAGES has maximal area
+    * (classic LTTB anchors on the previously-SELECTED point, a sequential
+    * dependence that would serialize a 100 TB series through the driver;
+    * anchoring on the fixed neighbor averages makes every bucket's argmax
+    * independent — one window pass — and is the established distributed
+    * adaptation). Determinism is engineered end-to-end: x is the
+    * per-series ROW INDEX (small integers), bucket boundaries are integer
+    * floor division, and the triangle area is compared via the
+    * denominator-cleared cross product |(Sax−na·bx)(Scy−nc·by) −
+    * (Scx−nc·bx)(Say−na·by)| — all decimal-exact (scaling by na·nc is
+    * constant within a bucket, so the argmax is the true area argmax; no
+    * float ever enters the comparison). First/last points are always kept
+    * (pseudo-buckets -1 and 10). One window pass + one tiny broadcast
+    * join; the corpus-side cost is a single shuffle on event_type. */
+  val qTsLttb: Q = (s, dir) => {
+    import s.implicits._
+    val B = 10 // middle buckets; output = B + 2 points per series
+    val w = Window.partitionBy($"event_type").orderBy($"ts", $"event_id")
+    val base = cached(events(s, dir)
+      .select($"event_type", $"event_id", $"ts", dec($"value").as("y"))
+      .withColumn("idx", row_number().over(w).cast("long"))
+      .withColumn("n",
+        count(lit(1)).over(Window.partitionBy($"event_type"))))
+    val mid = base.filter($"idx" >= 2L && $"idx" <= $"n" - 1L)
+      .withColumn("bucket", expr(s"(idx - 2) * $B DIV (n - 2)"))
+    val firstLast = base.filter($"idx" === 1L || $"idx" === $"n")
+      .select($"event_type",
+        when($"idx" === 1L, lit(-1L)).otherwise(lit(B.toLong)).as("bucket"),
+        $"idx", $"ts", $"y")
+    val aggs = mid.groupBy($"event_type", $"bucket")
+      .agg(count(lit(1)).as("cnt"), sum($"idx").as("sx"), sum($"y").as("sy"))
+      .unionByName(firstLast.groupBy($"event_type", $"bucket")
+        .agg(count(lit(1)).as("cnt"), sum($"idx").as("sx"),
+          sum($"y").as("sy")))
+    val prevA = aggs.select($"event_type", ($"bucket" + 1L).as("bucket"),
+      $"cnt".as("na"), $"sx".as("sax"), $"sy".as("say"))
+    val nextC = aggs.select($"event_type", ($"bucket" - 1L).as("bucket"),
+      $"cnt".as("nc"), $"sx".as("scx"), $"sy".as("scy"))
+    val scored = mid
+      .join(broadcast(prevA), Seq("event_type", "bucket"))
+      .join(broadcast(nextC), Seq("event_type", "bucket"))
+      // widths: |p1|,|q1| ≤ n² < 10¹⁹ raw; |p2|,|q2| ≤ cnt·max|y| ≪ 10¹²
+      // — each product is exact in DECIMAL(36,4), no rounding anywhere
+      .withColumn("p1", ($"sax" - $"na" * $"idx").cast("decimal(19,0)"))
+      .withColumn("q2", ($"scy" - $"nc" * $"y").cast("decimal(16,4)"))
+      .withColumn("q1", ($"scx" - $"nc" * $"idx").cast("decimal(19,0)"))
+      .withColumn("p2", ($"say" - $"na" * $"y").cast("decimal(16,4)"))
+      .withColumn("area2", abs($"p1" * $"q2" - $"q1" * $"p2"))
+    val wb = Window.partitionBy($"event_type", $"bucket")
+      .orderBy($"area2".desc, $"idx")
+    scored.withColumn("rn", row_number().over(wb)).filter($"rn" === 1)
+      .select($"event_type", $"bucket", $"idx", $"ts", $"y")
+      .unionByName(firstLast)
+      .select($"event_type", $"bucket", $"idx", $"ts",
+        $"y".cast("double").as("value"))
+      .orderBy($"event_type", $"bucket")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_ts_lttb" -> qTsLttb,
     "q_ts_funnel" -> qTsFunnel,
     "q_ts_ohlc" -> qTsOhlc,
     "q_agg_approxq" -> qAggApproxq,
@@ -202,6 +264,40 @@ object TimeSeries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q_ts_lttb" ->
+      """WITH e AS (SELECT event_type, event_id, ts::TIMESTAMP AS ts,
+        |  CAST(value AS DECIMAL(18,4)) AS y FROM events),
+        |r AS (SELECT *,
+        |  CAST(row_number() OVER (PARTITION BY event_type
+        |    ORDER BY ts, event_id) AS BIGINT) AS idx,
+        |  count(*) OVER (PARTITION BY event_type) AS n FROM e),
+        |mid AS (SELECT *, (idx - 2) * 10 // (n - 2) AS bucket
+        |  FROM r WHERE idx >= 2 AND idx <= n - 1),
+        |fl AS (SELECT event_type,
+        |   CAST(CASE WHEN idx = 1 THEN -1 ELSE 10 END AS BIGINT) AS bucket,
+        |   idx, ts, y FROM r WHERE idx = 1 OR idx = n),
+        |aggs AS (SELECT event_type, bucket, count(*) AS cnt,
+        |   CAST(sum(idx) AS BIGINT) AS sx, sum(y) AS sy
+        |  FROM mid GROUP BY 1, 2
+        |  UNION ALL SELECT event_type, bucket, count(*),
+        |   CAST(sum(idx) AS BIGINT), sum(y) FROM fl GROUP BY 1, 2),
+        |sc AS (SELECT m.event_type, m.bucket, m.idx, m.ts, m.y,
+        |   CAST(a.sx - a.cnt * m.idx AS DECIMAL(19,0)) AS p1,
+        |   CAST(c.sy - CAST(c.cnt AS DECIMAL(19,0)) * m.y AS DECIMAL(16,4)) AS q2,
+        |   CAST(c.sx - c.cnt * m.idx AS DECIMAL(19,0)) AS q1,
+        |   CAST(a.sy - CAST(a.cnt AS DECIMAL(19,0)) * m.y AS DECIMAL(16,4)) AS p2
+        |  FROM mid m
+        |  JOIN aggs a ON a.event_type = m.event_type AND a.bucket = m.bucket - 1
+        |  JOIN aggs c ON c.event_type = m.event_type AND c.bucket = m.bucket + 1),
+        |sc2 AS (SELECT *,
+        |   row_number() OVER (PARTITION BY event_type, bucket
+        |     ORDER BY abs(p1 * q2 - q1 * p2) DESC, idx) AS rn
+        |  FROM sc)
+        |SELECT event_type, bucket, idx, ts, CAST(y AS DOUBLE) AS value
+        |FROM sc2 WHERE rn = 1
+        |UNION ALL
+        |SELECT event_type, bucket, idx, ts, CAST(y AS DOUBLE) FROM fl
+        |ORDER BY event_type, bucket""".stripMargin,
     "q_ts_funnel" ->
       """WITH v AS (SELECT user_id, min(ts::TIMESTAMP) AS t_view
         |  FROM events WHERE event_type = 'view' GROUP BY user_id),

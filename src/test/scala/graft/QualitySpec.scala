@@ -208,6 +208,28 @@ class QualitySpec extends SparkSuite {
     } finally enc.unpersist()
   }
 
+  test("q_ts_lttb keeps exactly 12 ordered points per series incl. endpoints") {
+    import spark.implicits._
+    val out = SparkEntry.queries("q_ts_lttb")(spark, sfDir).collect()
+    val byType = out.groupBy(_.getString(0))
+    assert(byType.nonEmpty)
+    val counts = graft.ops.Util.events(spark, sfDir)
+      .groupBy($"event_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    byType.foreach { case (et, rows) =>
+      assert(rows.length == 12, s"$et: ${rows.length} points, expected 12")
+      val sorted = rows.sortBy(_.getLong(1)) // by bucket
+      // endpoints always survive the downsample
+      assert(sorted.head.getLong(2) == 1L, s"$et: first point not kept")
+      assert(sorted.last.getLong(2) == counts(et), s"$et: last point not kept")
+      // selection order follows time order: idx strictly increases bucket
+      // over bucket (each bucket's span is disjoint and later)
+      val idxs = sorted.map(_.getLong(2))
+      assert(idxs.sliding(2).forall { case Array(a, b) => a < b },
+        s"$et: selected indices not increasing: ${idxs.mkString(",")}")
+    }
+  }
+
   test("q_win_islands conserves events and respects the 30-minute gap") {
     import spark.implicits._
     val islands = SparkEntry.queries("q_win_islands")(spark, sfDir).cache()
