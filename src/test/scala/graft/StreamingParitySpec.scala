@@ -150,6 +150,20 @@ class StreamingParitySpec extends SparkSuite {
       "expected at least one null-padded (unattributed) purchase")
   }
 
+  test("session/stateful results are invariant across 4 vs 16 shuffle partitions") {
+    // partition-count determinism for the stateful pair, matching the
+    // batch determinism audit: the suite runs everything at 4 shuffle
+    // partitions; re-running in a sibling session at 16 must produce the
+    // identical ordered result (same SparkContext, different partitioning)
+    val s16 = spark.newSession()
+    s16.conf.set("spark.sql.shuffle.partitions", "16")
+    Seq("q_stream_session", "q_stream_stateful").foreach { q =>
+      val a = SparkEntry.queries(q)(spark, sfDir).collect().toSeq
+      val b = SparkEntry.queries(q)(s16, sfDir).collect().toSeq
+      assert(a == b, s"$q differs between 4 and 16 shuffle partitions")
+    }
+  }
+
   test("watermark drops a late row (two micro-batches through a file source)") {
     import java.nio.file.Files
     val dir = Files.createTempDirectory("graft_late").toFile
