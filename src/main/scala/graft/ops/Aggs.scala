@@ -106,23 +106,6 @@ object Aggs {
       .orderBy($"o_custkey")
   }
 
-  /** Modal value per group with a DETERMINISTIC tiebreak (highest count,
-    * then smallest value) — engines' built-in mode() leaves ties
-    * unspecified, so the portable form is the count + argmax-window
-    * composition spelled out on both sides. Two-level shape: the count
-    * aggregation is map-side combinable on (group, value); the window
-    * then runs on the already-tiny (group × distinct-value) table. */
-  val qAggMode: Q = (s, dir) => {
-    import s.implicits._
-    val counts = table(s, dir, "lineitem")
-      .groupBy($"l_returnflag", $"l_shipmode")
-      .agg(count(lit(1)).as("cnt"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy($"l_returnflag").orderBy($"cnt".desc, $"l_shipmode")
-    counts.withColumn("rn", row_number().over(w)).filter($"rn" === 1)
-      .select($"l_returnflag", $"l_shipmode".as("mode_shipmode"), $"cnt")
-      .orderBy($"l_returnflag")
-  }
 
   /** Bitwise aggregates (bit_and / bit_or / bit_xor) — the fingerprint/
     * bitmap-rollup primitive; all three are associative+commutative, so
@@ -147,17 +130,9 @@ object Aggs {
     "q_agg_gsets" -> qAggGsets,
     "q_agg_percentile" -> qAggPercentile,
     "q_agg_collect" -> qAggCollect,
-    "q_agg_mode" -> qAggMode,
   )
 
   val oracleSql: Map[String, String] = Map(
-    "q_agg_mode" ->
-      """WITH c AS (SELECT l_returnflag, l_shipmode, count(*) AS cnt
-        |  FROM lineitem GROUP BY 1, 2),
-        |r AS (SELECT *, row_number() OVER (PARTITION BY l_returnflag
-        |   ORDER BY cnt DESC, l_shipmode) AS rn FROM c)
-        |SELECT l_returnflag, l_shipmode AS mode_shipmode, cnt
-        |FROM r WHERE rn = 1 ORDER BY l_returnflag""".stripMargin,
     "q_agg_bits" ->
       """SELECT l_returnflag, bit_and(l_partkey) AS band,
         | bit_or(l_partkey) AS bor, bit_xor(l_partkey) AS bxor,

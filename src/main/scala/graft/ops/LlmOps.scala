@@ -76,23 +76,28 @@ object LlmOps {
     * fixpoint loop would otherwise pay a pointless sort per invocation). */
   private[ops] def nearDupPairs(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    // All 8 min-hash lanes in ONE codegen'd aggregation straight off the
-    // shingle explode — no distinct pre-pass (min over the multiset equals
-    // min over the set), so signatures cost exactly one shuffle. (A
-    // per-row HOF formulation — array_min over transform — was benched
-    // and rejected: Spark lambda HOFs run interpreted, ~4× slower than
-    // these codegen'd aggregates.)
-    val sh = table(s, dir, "documents")
-      .select($"doc_id", explode(shingles(toks($"text"))).as("sh"))
-    val hex32 = md5($"sh")
-    val lanes = (0 until 8).map(j =>
-      min(substring(hex32, 4 * j + 1, 4)).as(s"m$j"))
+    // All 8 min-hash lanes in ONE per-row pass via the codegen'd
+    // MinHashLanes kernel — signature generation is pure map-side
+    // compute with NO shuffle (round 5 used an explode→groupBy(min)
+    // aggregation: one shuffle of per-shingle partial mins and ~2.3 s of
+    // the query's 3.2 s at sf0.1; the kernel's byte-identical md5-lane
+    // semantics keep the oracle and all downstream banding unchanged).
+    // An HOF formulation — array_min over transform — was also benched
+    // and rejected: Spark lambda HOFs run interpreted.
+    val lanesArr = org.apache.spark.sql.graft.GraftSql.column(
+      graft.functions.MinHashLanes(
+        org.apache.spark.sql.graft.GraftSql.expression(toks($"text"))))
     // cache: the signature subtree feeds BOTH sides of the band self-join
     // (alias attribute ids differ, so exchange reuse cannot dedupe it) —
-    // without this the explode+groupBy pipeline runs twice. At scale the
+    // without this the per-row kernel scan runs twice. At scale the
     // signature table is 8 small strings per doc: kilobytes per million
     // docs vs re-scanning the corpus.
-    val sig = sh.groupBy($"doc_id").agg(lanes.head, lanes.tail: _*).transform(cached)
+    val sig = table(s, dir, "documents")
+      .select($"doc_id", lanesArr.as("lanes"))
+      .filter($"lanes".isNotNull)
+      .select($"doc_id" +: (0 until 8).map(j =>
+        element_at($"lanes", j + 1).as(s"m$j")): _*)
+      .transform(cached)
     val bandStructs = array((0 until 4).map(b =>
       struct(lit(b).as("band"),
         concat(col(s"m${2 * b}"), lit("|"), col(s"m${2 * b + 1}")).as("bkey"))): _*)

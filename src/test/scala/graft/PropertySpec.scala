@@ -144,6 +144,43 @@ class PropertySpec extends SparkSuite {
     assert(r.isNullAt(0), "length mismatch must yield null")
   }
 
+  test("MinHashLanes kernel equals the explode+groupBy md5-substring aggregation") {
+    import spark.implicits._
+    // the per-row kernel replaced the shuffle-based signature pipeline on
+    // the promise of byte-identical lanes — replay the OLD formulation on
+    // the real fixture corpus and diff every doc's signature
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val ws = split($"text", " ")
+    val shingles = when(size(ws) >= 3,
+      transform(sequence(lit(1), size(ws) - 2), i =>
+        concat(element_at(ws, i), lit(" "), element_at(ws, i + 1),
+          lit(" "), element_at(ws, i + 2)))).otherwise(array())
+    val hex32 = md5($"sh")
+    val old = docs.select($"doc_id", explode(shingles).as("sh"))
+      .groupBy($"doc_id")
+      .agg(min(substring(hex32, 1, 4)).as("l"),
+        (1 until 8).map(j => min(substring(hex32, 4 * j + 1, 4)).as(s"l$j")): _*)
+      .select($"doc_id",
+        array($"l" +: (1 until 8).map(j => col(s"l$j")): _*).as("lanes"))
+    val kernel = docs.select($"doc_id",
+      org.apache.spark.sql.graft.GraftSql.column(graft.functions.MinHashLanes(
+        org.apache.spark.sql.graft.GraftSql.expression(ws))).as("lanes"))
+      .filter($"lanes".isNotNull)
+    val diff = old.as("o").join(kernel.as("k"), Seq("doc_id"), "full")
+      .filter($"o.lanes".isNull || $"k.lanes".isNull ||
+        $"o.lanes" =!= $"k.lanes")
+      .count()
+    assert(diff == 0, s"$diff docs with differing signatures")
+    // a doc with < 3 tokens has no shingles -> null, like the explode
+    // form's absent row
+    val r = Seq("one two").toDF("text")
+      .select(org.apache.spark.sql.graft.GraftSql.column(
+        graft.functions.MinHashLanes(
+          org.apache.spark.sql.graft.GraftSql.expression(split($"text", " ")))))
+      .head
+    assert(r.isNullAt(0), "< 3 tokens must yield null")
+  }
+
   test("session count is invariant under per-event jitter smaller than gap slack") {
     import spark.implicits._
     // events at least 100s apart within sessions, gaps >= 2000s between
