@@ -249,12 +249,9 @@ object Curation {
   val qDedupIncrNear: Q = (s, dir) => {
     import s.implicits._
     val d = table(s, dir, "documents")
-    val sh = d.select($"doc_id",
-      explode(LlmOps.shingles(LlmOps.toks($"text"))).as("sh"))
-    val hex32 = md5($"sh")
-    val lanes = (0 until 8).map(j =>
-      min(substring(hex32, 4 * j + 1, 4)).as(s"m$j"))
-    val sig = cached(sh.groupBy($"doc_id").agg(lanes.head, lanes.tail: _*))
+    // signatures via the shuffle-free MinHashLanes kernel (shared with
+    // the batch path — see LlmOps.minHashSig)
+    val sig = cached(LlmOps.minHashSig(s, dir))
     val bandStructs = array((0 until 4).map(b =>
       struct(lit(b).as("band"),
         concat(col(s"m${2 * b}"), lit("|"), col(s"m${2 * b + 1}"))

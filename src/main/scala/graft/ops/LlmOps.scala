@@ -74,30 +74,37 @@ object LlmOps {
   /** The unsorted (doc_a, doc_b, jac) near-dup pairs — shared with
     * Curation.qDedupConnected, which consumes the edge list unordered (the
     * fixpoint loop would otherwise pay a pointless sort per invocation). */
-  private[ops] def nearDupPairs(s: SparkSession, dir: String): DataFrame = {
+  /** (doc_id, m0..m7) MinHash signatures — all 8 md5-substring lanes in
+    * ONE per-row pass via the codegen'd MinHashLanes kernel, so signature
+    * generation is pure map-side compute with NO shuffle (round 5 used an
+    * explode→groupBy(min) aggregation: one shuffle of per-shingle partial
+    * mins and ~70% of q_dedup_near's runtime; the kernel's byte-identical
+    * lane semantics — proven in PropertySpec — keep every oracle and
+    * banding join unchanged). Docs with < 3 tokens have no shingles and
+    * are dropped, exactly like the explode form's absent rows. An HOF
+    * formulation (array_min over transform) was also benched and
+    * rejected: Spark lambda HOFs run interpreted. Shared by the batch
+    * (nearDupPairs) and incremental (qDedupIncrNear) dedup paths. */
+  private[ops] def minHashSig(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    // All 8 min-hash lanes in ONE per-row pass via the codegen'd
-    // MinHashLanes kernel — signature generation is pure map-side
-    // compute with NO shuffle (round 5 used an explode→groupBy(min)
-    // aggregation: one shuffle of per-shingle partial mins and ~2.3 s of
-    // the query's 3.2 s at sf0.1; the kernel's byte-identical md5-lane
-    // semantics keep the oracle and all downstream banding unchanged).
-    // An HOF formulation — array_min over transform — was also benched
-    // and rejected: Spark lambda HOFs run interpreted.
     val lanesArr = org.apache.spark.sql.graft.GraftSql.column(
       graft.functions.MinHashLanes(
         org.apache.spark.sql.graft.GraftSql.expression(toks($"text"))))
+    table(s, dir, "documents")
+      .select($"doc_id", lanesArr.as("lanes"))
+      .filter($"lanes".isNotNull)
+      .select($"doc_id" +: (0 until 8).map(j =>
+        element_at($"lanes", j + 1).as(s"m$j")): _*)
+  }
+
+  private[ops] def nearDupPairs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
     // cache: the signature subtree feeds BOTH sides of the band self-join
     // (alias attribute ids differ, so exchange reuse cannot dedupe it) —
     // without this the per-row kernel scan runs twice. At scale the
     // signature table is 8 small strings per doc: kilobytes per million
     // docs vs re-scanning the corpus.
-    val sig = table(s, dir, "documents")
-      .select($"doc_id", lanesArr.as("lanes"))
-      .filter($"lanes".isNotNull)
-      .select($"doc_id" +: (0 until 8).map(j =>
-        element_at($"lanes", j + 1).as(s"m$j")): _*)
-      .transform(cached)
+    val sig = cached(minHashSig(s, dir))
     val bandStructs = array((0 until 4).map(b =>
       struct(lit(b).as("band"),
         concat(col(s"m${2 * b}"), lit("|"), col(s"m${2 * b + 1}")).as("bkey"))): _*)
