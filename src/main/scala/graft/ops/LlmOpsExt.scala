@@ -49,27 +49,18 @@ object LlmOpsExt {
     * pair distinct so only near-dups reach the shuffle. */
   val qDedupSimhash: Q = (s, dir) => {
     import s.implicits._
-    // vote for hex position b: 1 iff the nibble's high bit is set (char in
-    // 8..f ⇔ ascii ≥ '8'=56; md5 emits lowercase hex so no other chars)
-    def vote(b: Int): Column = (ascii(substring($"h", b, 1)) >= 56).cast("long")
-    val packed = (0 until 8).map { j =>
-      (0 until 4).map(l => vote(4 * j + l + 1) * lit(1L << (16 * l)))
-        .reduce(_ + _).as(s"p$j")
-    }
-    val sums = table(s, dir, "documents")
-      .select($"doc_id", explode(toks($"text")).as("t"))
-      .select($"doc_id", md5($"t").as("h"))
-      .select($"doc_id" +: packed: _*)
-      .groupBy($"doc_id")
-      .agg(count(lit(1)).as("n"), (0 until 8).map(j => sum(col(s"p$j")).as(s"s$j")): _*)
-    // unpack: s_b = lane (j = (b-1)/4, l = (b-1)%4); bit b (1 = MSB, same
-    // order as the oracle's concatenated bit string) set ⇔ 2·s_b > n
-    val shl = (1 to 32).map { b =>
-      val lane = shiftright(col(s"s${(b - 1) / 4}"), 16 * ((b - 1) % 4))
-        .bitwiseAND(lit(0xFFFFL))
-      when(lane * 2 > $"n", lit(1L << (32 - b))).otherwise(0L)
-    }.reduce(_ + _)
-    val sig = sums.select($"doc_id", shl.as("shl")).transform(cached)
+    // 32-bit signature in one per-row pass via the codegen'd SimHashBits
+    // kernel — per-token md5 votes (hex nibble high bit), majority per
+    // bit, token multiplicity counted: integer sums in either order, so
+    // bit-identical to the round-5 explode→packed-vote aggregation
+    // (bit-parity proven in PropertySpec) with NO shuffle and no
+    // 9-column vote buffer. The oracle replays the same votes in SQL.
+    val sig = table(s, dir, "documents")
+      .select($"doc_id", org.apache.spark.sql.graft.GraftSql.column(
+        graft.functions.SimHashBits(
+          org.apache.spark.sql.graft.GraftSql.expression(toks($"text"))))
+        .as("shl"))
+      .transform(cached)
     val bands = sig.select($"doc_id", $"shl",
       explode(array(
         struct(lit(0).as("k"), shiftright($"shl", 16).as("bkey")),

@@ -181,6 +181,36 @@ class PropertySpec extends SparkSuite {
     assert(r.isNullAt(0), "< 3 tokens must yield null")
   }
 
+  test("SimHashBits kernel equals the explode+packed-vote aggregation") {
+    import spark.implicits._
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    def vote(b: Int) = (ascii(substring($"h", b, 1)) >= 56).cast("long")
+    val packed = (0 until 8).map { j =>
+      (0 until 4).map(l => vote(4 * j + l + 1) * lit(1L << (16 * l)))
+        .reduce(_ + _).as(s"p$j")
+    }
+    val sums = docs.select($"doc_id", explode(split($"text", " ")).as("t"))
+      .select($"doc_id", md5($"t").as("h"))
+      .select($"doc_id" +: packed: _*)
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n"),
+        (0 until 8).map(j => sum(col(s"p$j")).as(s"s$j")): _*)
+    val shl = (1 to 32).map { b =>
+      val lane = shiftright(col(s"s${(b - 1) / 4}"), 16 * ((b - 1) % 4))
+        .bitwiseAND(lit(0xFFFFL))
+      when(lane * 2 > $"n", lit(1L << (32 - b))).otherwise(0L)
+    }.reduce(_ + _)
+    val old = sums.select($"doc_id", shl.as("shl"))
+    val kernel = docs.select($"doc_id",
+      org.apache.spark.sql.graft.GraftSql.column(graft.functions.SimHashBits(
+        org.apache.spark.sql.graft.GraftSql.expression(split($"text", " "))))
+        .as("shl"))
+    val diff = old.as("o").join(kernel.as("k"), Seq("doc_id"), "full")
+      .filter($"o.shl".isNull || $"k.shl".isNull || $"o.shl" =!= $"k.shl")
+      .count()
+    assert(diff == 0, s"$diff docs with differing simhash signatures")
+  }
+
   test("session count is invariant under per-event jitter smaller than gap slack") {
     import spark.implicits._
     // events at least 100s apart within sessions, gaps >= 2000s between
