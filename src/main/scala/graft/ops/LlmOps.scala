@@ -85,7 +85,7 @@ object LlmOps {
     * formulation (array_min over transform) was also benched and
     * rejected: Spark lambda HOFs run interpreted. Shared by the batch
     * (nearDupPairs) and incremental (qDedupIncrNear) dedup paths. */
-  private[ops] def minHashSig(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def minHashSig(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val lanesArr = org.apache.spark.sql.graft.GraftSql.column(
       graft.functions.MinHashLanes(

@@ -63,6 +63,28 @@ class PlanShapeSpec extends SparkSuite {
     assert(p.contains("BroadcastHashJoin"), s"benchmark set not broadcast:\n$p")
   }
 
+  test("minhash/simhash signature generation plans no shuffle (per-row kernels)") {
+    import org.apache.spark.sql.functions._
+    // the round-6 kernels moved signature generation from explode+groupBy
+    // (one shuffle of per-shingle/per-token partials) to pure map-side
+    // expressions — the 100 TB claim is that the corpus scan emits
+    // signatures directly, so the plan must show scan -> project, no
+    // Exchange anywhere
+    val mh = graft.ops.LlmOps.minHashSig(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!mh.contains("Exchange"), s"minhash signatures shuffle:\n$mh")
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val sh = docs.select(col("doc_id"),
+      org.apache.spark.sql.graft.GraftSql.column(graft.functions.SimHashBits(
+        org.apache.spark.sql.graft.GraftSql.expression(split(col("text"), " ")))))
+      .queryExecution.executedPlan.toString
+    assert(!sh.contains("Exchange"), s"simhash signatures shuffle:\n$sh")
+    // and both ride whole-stage codegen ("*(n)" stage markers in the
+    // compact plan string), not the interpreted fallback
+    assert(mh.contains("*(1)"), s"minhash not codegen'd:\n$mh")
+    assert(sh.contains("*(1)"), s"simhash not codegen'd:\n$sh")
+  }
+
   test("q_dedup_near has no unblocked cross product over documents") {
     val p = plan("q_dedup_near")
     assert(!p.contains("CartesianProduct"), p)
