@@ -23,6 +23,7 @@ case class SimHashBits(child: Expression) extends UnaryExpression {
 
   override def dataType: DataType = LongType
   override def prettyName: String = "simhash_bits"
+  override def nullable: Boolean = true
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
@@ -34,7 +35,14 @@ case class SimHashBits(child: Expression) extends UnaryExpression {
     SimHashKernel.compute(input.asInstanceOf[ArrayData])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, a => s"graft.functions.SimHashKernel.compute($a)")
+    nullSafeCodeGen(ctx, ev, a => {
+      val tmp = ctx.freshName("simhash")
+      s"""
+         |java.lang.Long $tmp = graft.functions.SimHashKernel.compute($a);
+         |${ev.isNull} = ($tmp == null);
+         |${ev.value} = ${ev.isNull} ? -1L : $tmp.longValue();
+       """.stripMargin
+    })
 
   override protected def withNewChildInternal(
       newChild: Expression): SimHashBits = copy(child = newChild)
@@ -47,9 +55,14 @@ object SimHashKernel {
       java.security.MessageDigest.getInstance("MD5")
   }
 
-  /** Packed 32-bit signature (bit 1 = MSB at 1L<<31 … bit 32 at 1L<<0). */
-  def compute(tokens: ArrayData): Long = {
+  /** Packed 32-bit signature (bit 1 = MSB at 1L<<31 … bit 32 at 1L<<0).
+    * NULL for an EMPTY token array: the explode→vote form emits no row at
+    * all for a zero-token doc, so the kernel's parity with it must not
+    * invent a 0-signature there. Unreachable from split(text,' ') (never
+    * empty) but the expression is general-purpose. */
+  def compute(tokens: ArrayData): java.lang.Long = {
     val n = tokens.numElements()
+    if (n == 0) return null
     val md = mdLocal.get()
     val votes = new Array[Int](32)
     var i = 0

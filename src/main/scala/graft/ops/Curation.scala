@@ -53,9 +53,11 @@ object Curation {
     // once the near-dup edge list grows 100×, while a fixed 32-way one
     // pays near-empty task launches per round on a tiny local graph.
     val nEdges = pairs.count() * 2
+    // clamp BEFORE toInt: past ~1.4e14 edges the raw .toInt wraps negative
+    // and math.max would silently collapse the fixpoint to 1 partition
     val part = new org.apache.spark.HashPartitioner(
-      math.max(1, math.min(s.sparkContext.defaultParallelism,
-        (nEdges / 65536 + 1).toInt)))
+      math.max(1, math.min(s.sparkContext.defaultParallelism.toLong,
+        math.min(nEdges / 65536 + 1, Int.MaxValue.toLong)).toInt))
     val und = cachedRdd(pairs.as[(Long, Long)].rdd
       .flatMap { case (a, b) => Seq((a, b), (b, a)) }
       .partitionBy(part))

@@ -122,17 +122,15 @@ object Layout {
           .select($"doc_id", $"lang", $"text", $"n_chars")
           .repartition(64)
           .write.mode("overwrite").parquet(frag)
-        val conf = s.conf
-        val oldMax = conf.get("spark.sql.files.maxPartitionBytes")
-        val oldOpen = conf.get("spark.sql.files.openCostInBytes")
-        try {
-          conf.set("spark.sql.files.maxPartitionBytes", (4L << 20).toString)
-          conf.set("spark.sql.files.openCostInBytes", "1024")
-          s.read.parquet(frag).write.mode("overwrite").parquet(comp)
-        } finally {
-          conf.set("spark.sql.files.maxPartitionBytes", oldMax)
-          conf.set("spark.sql.files.openCostInBytes", oldOpen)
-        }
+        // The bin-size scanner confs live in a CLONED session (same
+        // SparkContext, isolated SQLConf), so queries planned concurrently
+        // on the caller's session — a real pattern here, e.g. qSimPq's
+        // parallel fits — can never observe the temporary 4 MB scan
+        // setting. Nothing to restore; the clone is discarded.
+        val s2 = s.newSession()
+        s2.conf.set("spark.sql.files.maxPartitionBytes", (4L << 20).toString)
+        s2.conf.set("spark.sql.files.openCostInBytes", "1024")
+        s2.read.parquet(frag).write.mode("overwrite").parquet(comp)
         s"$frag|$comp"
       })
     s.read.parquet(path.split('|')(1))

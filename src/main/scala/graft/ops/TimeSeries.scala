@@ -206,7 +206,14 @@ object TimeSeries {
     * constant within a bucket, so the argmax is the true area argmax; no
     * float ever enters the comparison). First/last points are always kept
     * (pseudo-buckets -1 and 10). One window pass + one tiny broadcast
-    * join; the corpus-side cost is a single shuffle on event_type. */
+    * join; the corpus-side cost is a single shuffle on event_type.
+    *
+    * Assumes n ≥ 12 points per series: the inner joins against the
+    * NEIGHBOR bucket aggregates drop a middle bucket's candidates when an
+    * adjacent bucket is empty (possible only for series with < B+2 mid
+    * points), so shorter series yield fewer than 12 output points. The
+    * oracle mirrors the same inner joins, so cross-engine parity holds
+    * regardless; the fixtures' series are all ≫ 12 points. */
   val qTsLttb: Q = (s, dir) => {
     import s.implicits._
     val B = 10 // middle buckets; output = B + 2 points per series

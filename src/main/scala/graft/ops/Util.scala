@@ -81,22 +81,35 @@ object Util {
     id
   }
 
+  // ONE static shutdown hook draining a concurrent list (not one hook per
+  // directory): the per-directory form is unbounded if a caller ever
+  // creates temp dirs per-query instead of per-(session, dir) memo entry.
+  private val managedTempDirs =
+    new java.util.concurrent.ConcurrentLinkedQueue[java.nio.file.Path]
+  private lazy val tempDirHookInstalled: Unit =
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      var d = managedTempDirs.poll()
+      while (d != null) {
+        try {
+          java.nio.file.Files.walk(d)
+            .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+            .forEach { p =>
+              try java.nio.file.Files.deleteIfExists(p)
+              catch { case _: Exception => () }
+            }
+        } catch { case _: Exception => () }
+        d = managedTempDirs.poll()
+      }
+    }))
+
   /** Temp directory with JVM-exit cleanup: library callers shouldn't leak
     * one directory of parquet/bin fixtures per (session, dir) memo entry.
-    * Best-effort recursive delete on a shutdown hook (deleteOnExit can't
-    * remove non-empty directories). */
+    * Best-effort recursive delete on a single shared shutdown hook
+    * (deleteOnExit can't remove non-empty directories). */
   def managedTempDir(prefix: String): String = {
+    tempDirHookInstalled
     val d = java.nio.file.Files.createTempDirectory(prefix)
-    Runtime.getRuntime.addShutdownHook(new Thread(() => {
-      try {
-        java.nio.file.Files.walk(d)
-          .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
-          .forEach { p =>
-            try java.nio.file.Files.deleteIfExists(p)
-            catch { case _: Exception => () }
-          }
-      } catch { case _: Exception => () }
-    }))
+    managedTempDirs.add(d)
     d.toString
   }
 
