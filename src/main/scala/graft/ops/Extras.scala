@@ -144,18 +144,45 @@ object Extras {
       .orderBy($"tag", $"o_custkey")
   }
 
-  /** first_value / last_value / nth_value over a full-partition frame. */
+  /** first_value / last_value / nth_value over a full-partition frame.
+    * mktsegment has ~5 values — the full-partition-frame window would
+    * funnel each segment through one task at scale — so the frame
+    * semantics are re-expressed distributively: under the total
+    * (acctbal DESC, custkey) order, first = max(acctbal), last =
+    * min(acctbal), and nth_value(3) is the acctbal of the row
+    * [[DistRank.rowNumberInGroup]] (cost-based two-phase kernel)
+    * numbers 3 (NULL when a segment has
+    * < 3 rows, exactly like the window). groupBy is partial-agg
+    * (map-side combine) and the per-segment result broadcasts back.
+    * The window form remains the DuckDB oracle. */
   val qWinFirstLast: Q = (s, dir) => {
     import s.implicits._
-    val w = Window.partitionBy($"c_mktsegment")
-      .orderBy($"c_acctbal".desc, $"c_custkey")
-      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    table(s, dir, "customer")
-      .select($"c_custkey", $"c_mktsegment", $"c_acctbal",
+    val src = table(s, dir, "customer")
+      .select($"c_custkey", $"c_mktsegment", $"c_acctbal")
+    if (DistRank.isBig(src)) {
+      val ranked = cached(DistRank.twoPhase(
+        src, Seq("c_mktsegment"), Seq($"c_acctbal".desc, $"c_custkey"),
+        sliceKey = -$"c_acctbal", out = "_rn"))
+      val segs = ranked.groupBy($"c_mktsegment").agg(
+        max($"c_acctbal").as("seg_max"),
+        min($"c_acctbal").as("seg_min"),
+        max(when($"_rn" === 3L, $"c_acctbal")).as("seg_third"))
+      ranked.join(broadcast(segs), "c_mktsegment")
+        .select($"c_custkey", $"c_mktsegment", $"c_acctbal",
+          $"seg_max", $"seg_min", $"seg_third")
+        .orderBy($"c_custkey")
+    } else {
+      // below the cost gate the single full-frame window is the
+      // cheapest correct plan (one barrier, no cache/broadcast)
+      val w = Window.partitionBy($"c_mktsegment")
+        .orderBy($"c_acctbal".desc, $"c_custkey")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      src.select($"c_custkey", $"c_mktsegment", $"c_acctbal",
         first($"c_acctbal").over(w).as("seg_max"),
         last($"c_acctbal").over(w).as("seg_min"),
         nth_value($"c_acctbal", 3).over(w).as("seg_third"))
-      .orderBy($"c_custkey")
+        .orderBy($"c_custkey")
+    }
   }
 
   /** regexp_extract_all → joined scalar output. */

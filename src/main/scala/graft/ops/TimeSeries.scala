@@ -217,12 +217,17 @@ object TimeSeries {
   val qTsLttb: Q = (s, dir) => {
     import s.implicits._
     val B = 10 // middle buckets; output = B + 2 points per series
-    val w = Window.partitionBy($"event_type").orderBy($"ts", $"event_id")
-    val base = cached(events(s, dir)
-      .select($"event_type", $"event_id", $"ts", dec($"value").as("y"))
-      .withColumn("idx", row_number().over(w).cast("long"))
-      .withColumn("n",
-        count(lit(1)).over(Window.partitionBy($"event_type"))))
+    // idx + per-series count via DistRank.rowNumberInGroup: event_type
+    // has ~5 values, so the plain row_number window (and the count(*)
+    // window over the bare key) would funnel each series through one task
+    // at scale — the round-6 audit's low-cardinality-window finding. The
+    // kernel engages cost-based (>= 1 GiB estimated input); the bucket
+    // argmax below is already partition-independent.
+    val base = cached(DistRank.rowNumberInGroup(
+      events(s, dir)
+        .select($"event_type", $"event_id", $"ts", dec($"value").as("y")),
+      Seq("event_type"), Seq($"ts", $"event_id"),
+      sliceKey = unix_micros($"ts"), out = "idx", countOut = Some("n")))
     val mid = base.filter($"idx" >= 2L && $"idx" <= $"n" - 1L)
       .withColumn("bucket", expr(s"(idx - 2) * $B DIV (n - 2)"))
     val firstLast = base.filter($"idx" === 1L || $"idx" === $"n")

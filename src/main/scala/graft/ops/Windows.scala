@@ -14,16 +14,39 @@ import Util._
 object Windows {
 
   /** row_number/rank/dense_rank per mktsegment by acctbal desc (GEE
-    * least-cloudy-scene ranking analog). */
+    * least-cloudy-scene ranking analog). mktsegment has ~5 values, so the
+    * plain window would funnel each segment through ONE task at scale —
+    * routed through [[DistRank.rowNumberInGroup]], which engages the
+    * two-phase kernel cost-based (estimated input ≥ 1 GiB; below that the
+    * single window IS the cheapest correct plan). rank and dense_rank
+    * equal row_number under this total (custkey-tie-broken) ordering, and
+    * the single-window form remains the DuckDB oracle. */
   val qWinRank: Q = (s, dir) => {
     import s.implicits._
-    val w = Window.partitionBy($"c_mktsegment")
-      .orderBy($"c_acctbal".desc, $"c_custkey")
-    table(s, dir, "customer")
+    DistRank.rowNumberInGroup(
+      table(s, dir, "customer")
+        .select($"c_custkey", $"c_mktsegment", $"c_acctbal"),
+      Seq("c_mktsegment"), Seq($"c_acctbal".desc, $"c_custkey"),
+      sliceKey = -$"c_acctbal", out = "rn")
       .select($"c_custkey", $"c_mktsegment", $"c_acctbal",
-        row_number().over(w).cast("long").as("rn"),
-        rank().over(w).cast("long").as("rk"),
-        dense_rank().over(w).cast("long").as("drk"))
+        $"rn", $"rn".as("rk"), $"rn".as("drk"))
+      .orderBy($"c_custkey")
+  }
+
+  /** The ALWAYS-two-phase form of q_win_rank: [[DistRank.twoPhase]]
+    * unconditionally, so the driver's DuckDB oracle verifies the kernel
+    * itself (boundary slicing, local ranks, broadcast offsets) at every
+    * scale factor — the cost-based default above would pick the plain
+    * window at test scale and leave the kernel oracle-unchecked. */
+  val qWinRankDist: Q = (s, dir) => {
+    import s.implicits._
+    DistRank.twoPhase(
+      table(s, dir, "customer")
+        .select($"c_custkey", $"c_mktsegment", $"c_acctbal"),
+      Seq("c_mktsegment"), Seq($"c_acctbal".desc, $"c_custkey"),
+      sliceKey = -$"c_acctbal", out = "rn")
+      .select($"c_custkey", $"c_mktsegment", $"c_acctbal",
+        $"rn", $"rn".as("rk"), $"rn".as("drk"))
       .orderBy($"c_custkey")
   }
 
@@ -92,25 +115,35 @@ object Windows {
 
   /** percent_rank + cume_dist over a UNIQUE ordering (totalprice then
     * orderkey): both are pure rank arithmetic, deterministic once the
-    * order is total. One window shuffle on the partition key. */
+    * order is total. orderpriority has ~5 values — the ~5-task window
+    * funnel — so the ranks come from [[DistRank.rowNumberInGroup]]
+    * (two-phase kernel above the 1 GiB cost threshold, plain window
+    * below) and the percentiles are derived arithmetically: under a
+    * total order
+    * percent_rank = (rn−1)/(n−1) (0 when n = 1, matching both engines'
+    * definition) and cume_dist = rn/n. Unrounded: divisions of identical
+    * exact integers are bit-identical cross-engine, while round() itself
+    * can diverge at .5 boundaries. The window form stays as the oracle. */
   val qWinPctRank: Q = (s, dir) => {
     import s.implicits._
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy($"o_orderpriority")
-      .orderBy($"o_totalprice", $"o_orderkey")
-    table(s, dir, "orders")
-      .filter($"o_custkey" % 100 === 0)
+    DistRank.rowNumberInGroup(
+      table(s, dir, "orders")
+        .filter($"o_custkey" % 100 === 0)
+        .select($"o_orderpriority", $"o_orderkey", $"o_totalprice"),
+      Seq("o_orderpriority"), Seq($"o_totalprice", $"o_orderkey"),
+      sliceKey = $"o_totalprice", out = "_rn", countOut = Some("_n"))
       .select($"o_orderpriority", $"o_orderkey", $"o_totalprice",
-        // unrounded: rank arithmetic over identical ints is bit-identical
-        // cross-engine, while round() itself can diverge at .5 boundaries
-        percent_rank().over(w).as("pr"),
-        cume_dist().over(w).as("cd"))
+        when($"_n" === 1L, lit(0.0))
+          .otherwise(($"_rn" - 1L).cast("double") / ($"_n" - 1L).cast("double"))
+          .as("pr"),
+        ($"_rn".cast("double") / $"_n".cast("double")).as("cd"))
       .orderBy($"o_orderpriority", $"o_orderkey")
   }
 
   val queries: Map[String, Q] = Map(
     "q_win_pctrank" -> qWinPctRank,
     "q_win_rank" -> qWinRank,
+    "q_win_rank_dist" -> qWinRankDist,
     "q_win_topk_group" -> qWinTopkGroup,
     "q_win_lag" -> qWinLag,
     "q_win_frame_rows" -> qWinFrameRows,
@@ -128,6 +161,14 @@ object Windows {
         |  ORDER BY o_totalprice, o_orderkey)
         |ORDER BY o_orderpriority, o_orderkey""".stripMargin,
     "q_win_rank" ->
+      """SELECT c_custkey, c_mktsegment, c_acctbal,
+        | row_number() OVER w AS rn, rank() OVER w AS rk, dense_rank() OVER w AS drk
+        |FROM customer
+        |WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+    // the kernel form must agree with the plain window form exactly —
+    // same oracle (salting precedent: optimized form vs plain oracle)
+    "q_win_rank_dist" ->
       """SELECT c_custkey, c_mktsegment, c_acctbal,
         | row_number() OVER w AS rn, rank() OVER w AS rk, dense_rank() OVER w AS drk
         |FROM customer

@@ -316,6 +316,46 @@ class PlanShapeSpec extends SparkSuite {
       s"bbox join degenerated to a quadratic join:\n$p")
   }
 
+  test("rank family routes through the two-phase kernel at scale (no bare-key window funnel)") {
+    // the round-6 scale audit's one perf-weak finding: Window.partitionBy
+    // on a ~5-value key executes ONE task per key value, funneling a full
+    // segment through a single reducer at 100 TB. The family now routes
+    // through DistRank.rowNumberInGroup, which is COST-BASED (like
+    // Spark's broadcast-vs-shuffle choice): below the 1 GiB default the
+    // single window is the cheapest correct plan (a sub-gigabyte segment
+    // in one task is not a funnel), at/above it the two-phase kernel
+    // engages. Lowering the threshold to 0 here simulates the 100 TB
+    // input: every plan must (a) carry the percentile boundary sketch
+    // and (b) partition every row_number window by >= 2 expressions
+    // (_rp + group, or group + bucket) — never the bare low-cardinality
+    // key. (The tiny prefix-sum window over the P×K-row count table is
+    // group-partitioned but has no row_number in it.)
+    val partSpec = "\\], \\[([^\\]]*)\\], \\[[^\\]]*\\]\\s*$".r
+    val saved = spark.conf.getOption(graft.ops.DistRank.ThresholdConf)
+    try {
+      spark.conf.set(graft.ops.DistRank.ThresholdConf, "0")
+      Seq("q_win_rank", "q_win_pctrank", "q_win_firstlast", "q_ts_lttb").foreach { name =>
+        val p = plan(name)
+        assert(p.contains("percentile_approx"),
+          s"$name: two-phase slice-boundary sketch missing:\n$p")
+        val rnWindows = p.linesIterator
+          .filter(l => l.contains("Window ") && l.contains("row_number")).toSeq
+        assert(rnWindows.nonEmpty, s"$name: expected a kernel row_number window:\n$p")
+        rnWindows.foreach { l =>
+          val spec = partSpec.findFirstMatchIn(l).map(_.group(1)).getOrElse("")
+          assert(spec.split(",").length >= 2,
+            s"$name: row_number window partitioned by the bare key — funnel is back: $l")
+        }
+      }
+    } finally saved.fold(spark.conf.unset(graft.ops.DistRank.ThresholdConf))(
+      spark.conf.set(graft.ops.DistRank.ThresholdConf, _))
+    // and the default threshold picks the plain single-barrier window at
+    // test scale — the cost model's other half
+    val small = plan("q_win_rank")
+    assert(!small.contains("percentile_approx"),
+      s"cost model ignored the threshold (kernel engaged on tiny input):\n$small")
+  }
+
   test("z-order buckets have tight envelopes in BOTH dimensions") {
     // the pruning evidence: under a z-ordered layout each curve bucket
     // spans ≤ 2^3 of EACH source column (the bucket pins the top 3 bits
