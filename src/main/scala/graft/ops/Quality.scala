@@ -75,6 +75,61 @@ object Quality {
     * is the within-doc sibling). Shape at 100 TB: per-doc distinct first
     * (explode + distinct is doc-local), then one shuffle on the gram for
     * the corpus-wide doc-frequency, partial-agg friendly on both. */
+  /** Cross-document EXACT-SUBSTRING duplicated runs — the standard
+    * exact-substring dedup pass (the pass pretraining pipelines run after
+    * document-level minhash/simhash): every maximal run of ≥ k tokens
+    * shared verbatim across ≥ 2 distinct documents, with its position and
+    * text. q_text_dupgrams reports only the duplicated FRACTION; this
+    * operator emits the RUNS themselves, so a downstream rewrite can cut
+    * them.
+    *
+    * Shape: word k-grams WITH their start position; a gram is duplicated
+    * when it occurs in ≥ 2 distinct docs (per-doc distinct first, then
+    * one partial-agg-friendly shuffle on the gram — q_text_dupgrams'
+    * proven shape). A doc's duplicated positions coalesce into maximal
+    * runs by gaps-and-islands: island = pos − row_number() over
+    * (doc ordered by pos) — integer-exact, and the window partitions on
+    * doc_id (high cardinality, no low-card funnel). A run of consecutive
+    * duplicated gram starts [p..q] covers tokens [p, q+k−1]; runs from
+    * near-adjacent (gap ≥ 1) duplicated grams may overlap by < k−1
+    * tokens — deterministic, and mirrored exactly by the oracle.
+    * At 100 TB the gram table is the big intermediate (≈ tokens rows);
+    * every stage over it is partial-agg or doc-local, nothing funnels. */
+  private[graft] def substringRuns(docs: DataFrame, k: Int): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val toks = cached(docs.select($"doc_id", LlmOps.toks($"text").as("ws"))
+      .filter(size($"ws") >= k))
+    val grams = cached(toks
+      .select($"doc_id", $"ws",
+        explode(sequence(lit(1), size($"ws") - (k - 1))).as("pos"))
+      .select($"doc_id", $"pos",
+        concat_ws(" ", slice($"ws", $"pos", lit(k))).as("gram")))
+    val dup = grams.select($"doc_id", $"gram").distinct()
+      .groupBy($"gram").agg(count(lit(1)).as("nd"))
+      .filter($"nd" > 1).select($"gram")
+    val wI = Window.partitionBy($"doc_id").orderBy($"pos")
+    val runs = grams.join(dup, "gram")
+      .select($"doc_id", $"pos")
+      .withColumn("isl", $"pos" - row_number().over(wI))
+      .groupBy($"doc_id", $"isl")
+      .agg(min($"pos").as("rs"), max($"pos").as("mp"),
+        count(lit(1)).as("n_grams"))
+    runs.join(toks, "doc_id")
+      .select($"doc_id",
+        $"rs".cast("long").as("run_start"),
+        ($"mp" + (k - 1)).cast("long").as("run_end"),
+        ($"mp" - $"rs" + k).cast("long").as("n_tokens"),
+        $"n_grams",
+        concat_ws(" ", slice($"ws", $"rs", $"mp" - $"rs" + k)).as("run_text"))
+      .orderBy($"doc_id", $"run_start")
+  }
+
+  /** The 8-gram exact-substring pass over the documents corpus (k matches
+    * q_text_dupgrams' gram size, so the two signals are comparable). */
+  val qDedupSubstring: Q = (s, dir) =>
+    substringRuns(table(s, dir, "documents"), 8)
+
   val qTextDupgrams: Q = (s, dir) => {
     import s.implicits._
     val ws = LlmOps.toks($"text")
@@ -661,6 +716,7 @@ object Quality {
   val queries: Map[String, Q] = Map(
     "q_text_bm25" -> qTextBm25,
     "q_text_dupgrams" -> qTextDupgrams,
+    "q_dedup_substring" -> qDedupSubstring,
     "q_curate_gopher" -> qCurateGopher,
     "q_text_entropy" -> qTextEntropy,
     "q_graph_bfs" -> qGraphBfs,
@@ -680,6 +736,30 @@ object Quality {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q_dedup_substring" ->
+      """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 8),
+        |p AS (SELECT doc_id, ws, unnest(generate_series(1, len(ws) - 7)) AS pos
+        |  FROM tok),
+        |gr AS (SELECT doc_id, pos, array_to_string(ws[pos:pos+7], ' ') AS gram
+        |  FROM p),
+        |dup AS (SELECT gram FROM (
+        |   SELECT gram, count(*) AS nd
+        |   FROM (SELECT DISTINCT doc_id, gram FROM gr) GROUP BY gram)
+        |  WHERE nd > 1),
+        |d AS (SELECT doc_id, pos FROM gr WHERE gram IN (SELECT gram FROM dup)),
+        |i AS (SELECT doc_id, pos,
+        |   pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS isl
+        |  FROM d),
+        |r AS (SELECT doc_id, min(pos) AS rs, max(pos) AS mp,
+        |   count(*) AS n_grams
+        |  FROM i GROUP BY doc_id, isl)
+        |SELECT r.doc_id, CAST(rs AS BIGINT) AS run_start,
+        | CAST(mp + 7 AS BIGINT) AS run_end,
+        | CAST(mp - rs + 8 AS BIGINT) AS n_tokens, n_grams,
+        | array_to_string(ws[rs:mp+7], ' ') AS run_text
+        |FROM r JOIN tok ON tok.doc_id = r.doc_id
+        |ORDER BY r.doc_id, run_start""".stripMargin,
     "q_curate_budget" ->
       """WITH t AS (SELECT doc_id, lang,
         |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks

@@ -266,6 +266,40 @@ class QualitySpec extends SparkSuite {
     }
   }
 
+  test("q_dedup_substring finds and coalesces planted multi-sentence duplicates") {
+    import spark.implicits._
+    // 19-token passage shared verbatim by docs 1 and 2 at DIFFERENT
+    // offsets; doc 3 shares nothing; docs 4 and 5 share two 8-token runs
+    // separated by a doc-unique gap token (the islands split)
+    val shared = "the quick brown fox jumps over the lazy dog and then " +
+      "the fox sat down by the river bank" // 19 tokens
+    val s1 = "aa bb cc dd ee ff gg hh" // 8 tokens
+    val s2 = "ii jj kk ll mm nn oo pp" // 8 tokens
+    val docs = Seq(
+      (1L, s"alpha beta gamma $shared delta epsilon"),
+      (2L, s"one two three four five six $shared seven eight"),
+      (3L, "totally unrelated filler with enough words to clear the " +
+        "eight token minimum easily"),
+      (4L, s"$s1 xgap $s2"),
+      (5L, s"$s1 ygap $s2")).toDF("doc_id", "text")
+    val runs = graft.ops.Quality.substringRuns(docs, 8)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getString(5)))
+    // docs 1/2: ONE maximal coalesced run each (12 consecutive dup grams),
+    // at offset 4 resp. 7, recovering the shared text verbatim
+    assert(runs.filter(_._1 == 1L).toSeq == Seq((1L, 4L, 22L, 19L, 12L, shared)))
+    assert(runs.filter(_._1 == 2L).toSeq == Seq((2L, 7L, 25L, 19L, 12L, shared)))
+    assert(!runs.exists(_._1 == 3L), "unshared doc must emit no runs")
+    // docs 4/5: TWO runs each — the unique gap token splits the island
+    Seq(4L, 5L).foreach { id =>
+      assert(runs.filter(_._1 == id).toSeq ==
+        Seq((id, 1L, 8L, 8L, 1L, s1), (id, 10L, 17L, 8L, 1L, s2)),
+        s"doc $id: expected exactly the two planted runs")
+    }
+    graft.ops.Util.unpersistRegistered()
+  }
+
   test("q_text_bm25 scores only docs containing a query term, positively") {
     import spark.implicits._
     val out = SparkEntry.queries("q_text_bm25")(spark, sfDir).cache()
