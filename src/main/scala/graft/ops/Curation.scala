@@ -175,6 +175,53 @@ object Curation {
       .orderBy($"cluster")
   }
 
+  /** SemDeDup — semantic dedup blocked on the LEARNED k-means clusters
+    * (not the fixture's ground-truth label, which q_dedup_embed blocks
+    * on): fit the same deterministic model as q_cluster_kmeans (k = 10,
+    * seed 7, k-means||), then within each learned cluster drop every
+    * vector that has a SMALLER-id cluster-mate with cosine ≥ τ. This is
+    * the standard SemDeDup pipeline shape — the model's own partitions
+    * are the blocking structure, so the quadratic stage is O(n²/k) per
+    * cluster and never all-pairs; at 100 TB the clusters ARE the answer
+    * to the cross-corpus O(n²) (see SCALE.md §semantic-dedup).
+    *
+    * Keeper rule is declarative and monotone (drop v iff ∃ u < v in the
+    * same cluster with cos(u,v) ≥ τ), so the kept set is unique given
+    * the assignment — no sequential scan order — and no two kept
+    * vectors in one cluster are τ-close (asserted in CurationSpec,
+    * together with witness validity and same-seed determinism).
+    *
+    * τ = 0.35 is a declared FIXTURE parameter: these embeddings are
+    * near-random unit vectors (max pairwise cos 0.48, median 0.0), so
+    * the production 0.95 would drop nothing; 0.35 exercises real drops.
+    * Oracle-exempt like q_cluster_kmeans (learned float centroids are
+    * not expressible cross-engine); the driver records the rows-only
+    * check — output is one row per vector, so the row count is stable
+    * even if a boundary vector flips clusters in the last ulp. */
+  val qDedupSemantic: Q = (s, dir) => {
+    import s.implicits._
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val e = cached(table(s, dir, "embeddings")
+      .select($"vec_id",
+        transform($"embedding", x => x.cast("double")).as("emb"),
+        array_to_vector($"embedding").as("features")))
+    val model = new KMeans().setK(10).setSeed(7L).setMaxIter(20)
+      .setFeaturesCol("features").setPredictionCol("cluster")
+      .fit(e)
+    val assigned = cached(model.transform(e)
+      .select($"vec_id", $"cluster".cast("long").as("cluster"), $"emb"))
+    val dropped = assigned.as("a").join(assigned.as("b"),
+        $"a.cluster" === $"b.cluster" && $"a.vec_id" < $"b.vec_id")
+      .filter(dot($"a.emb", $"b.emb") >= 0.35)
+      .select($"b.vec_id".as("vec_id")).distinct()
+      .withColumn("is_dup", lit(true))
+    assigned.join(dropped, Seq("vec_id"), "left")
+      .select($"vec_id", $"cluster",
+        coalesce($"is_dup", lit(false)).as("is_dup"))
+      .orderBy($"vec_id")
+  }
+
   /** Incremental exact dedup — the daily-crawl shape: a NEW batch
     * (doc_id ≥ 250 stands in for today's crawl) is first deduped
     * batch-internally (min-doc_id keeper), then anti-joined against the
@@ -343,6 +390,7 @@ object Curation {
     "q_text_contamination" -> qTextContamination,
     "q_text_pii" -> qTextPii,
     "q_cluster_kmeans" -> qClusterKmeans,
+    "q_dedup_semantic" -> qDedupSemantic,
   )
 
   val oracleSql: Map[String, String] = Map(

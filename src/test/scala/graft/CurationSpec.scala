@@ -160,4 +160,45 @@ class CurationSpec extends SparkSuite {
       assert(r.isNullAt(3), "try_variant_get on a missing path must be null")
     }
   }
+
+  test("q_dedup_semantic: SemDeDup guarantee, witness validity, determinism") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val out = SparkEntry.queries("q_dedup_semantic")(spark, sfDir).cache()
+    try {
+      val n = out.count()
+      assert(n == spark.read.parquet(s"$sfDir/embeddings.parquet").count(),
+        "one row per vector")
+      val nDropped = out.filter($"is_dup").count()
+      assert(nDropped >= 1, "fixture has pairs above tau=0.35 — expected drops")
+      assert(nDropped < n, "must not drop everything")
+      // cosine table over the reported assignment
+      val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+        .select($"vec_id", transform($"embedding", x => x.cast("double")).as("emb"))
+      val withEmb = out.join(emb, "vec_id")
+      val pairs = withEmb.as("a").join(withEmb.as("b"),
+          $"a.cluster" === $"b.cluster" && $"a.vec_id" < $"b.vec_id")
+        .select($"a.vec_id".as("u"), $"b.vec_id".as("v"),
+          $"a.is_dup".as("du"), $"b.is_dup".as("dv"),
+          graft.ops.Util.dot($"a.emb", $"b.emb").as("cos"))
+        .cache()
+      // (1) SemDeDup guarantee: no two KEPT cluster-mates are tau-close
+      assert(pairs.filter(!$"du" && !$"dv" && $"cos" >= 0.35).isEmpty,
+        "two kept vectors in one cluster are tau-close")
+      // (2) every dropped vector has a smaller-id cluster-mate witness
+      val witnessed = pairs.filter($"cos" >= 0.35)
+        .select($"v".as("vec_id")).distinct()
+      val unwitnessed = out.filter($"is_dup")
+        .join(witnessed, Seq("vec_id"), "left_anti").count()
+      assert(unwitnessed == 0, s"$unwitnessed dropped vectors lack a witness")
+      pairs.unpersist()
+      // (3) same-seed refit: bit-identical decision vector
+      val again = SparkEntry.queries("q_dedup_semantic")(spark, sfDir).collect()
+      assert(out.collect().map(_.toString).toSeq ==
+        again.map(_.toString).toSeq, "refit changed the kept set")
+    } finally {
+      out.unpersist()
+      graft.ops.Util.unpersistRegistered()
+    }
+  }
 }
