@@ -280,7 +280,39 @@ object Sources {
       .orderBy($"fname")
   }
 
+  /** Store dirs already written this JVM, keyed by (session UUID, dir) —
+    * the connector write happens exactly once per fixture. */
+  private val storeWritten = new java.util.concurrent.ConcurrentHashMap[String, String]
+
+  /** DSv2 WRITE-path round trip through graft.sources.GraftStore — the
+    * other half of the connector surface next to SynthSource's read
+    * optimizations: the lineitem flagship aggregate is written through
+    * the manifest-pointer commit protocol (clusterBy/sortBy demanded BY
+    * THE SINK via RequiresDistributionAndOrdering — Spark plans the
+    * exchange) and read back through the connector's scan. The DuckDB
+    * oracle computes the same aggregate from the source parquet, so
+    * what is hash-checked is the full write→commit→read fidelity.
+    * Exactly-once under task failure and the abort path are proven in
+    * GraftStoreSpec (the oracle can't kill tasks). */
+  val qSinkRoundtrip: Q = (s, dir) => {
+    import s.implicits._
+    val path = storeWritten.computeIfAbsent(s"${Util.sessionKey(s)}:$dir", _ => {
+      val d = Util.managedTempDir("graft_store_")
+      table(s, dir, "lineitem")
+        .groupBy($"l_returnflag", $"l_linestatus")
+        .agg(count(lit(1)).as("n_rows"), dsum($"l_quantity").as("sum_qty"))
+        .write.format("graft.sources.GraftStore")
+        .option("path", d)
+        .option("clusterBy", "l_returnflag").option("sortBy", "l_linestatus")
+        .mode("overwrite").save()
+      d
+    })
+    s.read.format("graft.sources.GraftStore").option("path", path).load()
+      .orderBy($"l_returnflag", $"l_linestatus")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_sink_roundtrip" -> qSinkRoundtrip,
     "q_src_binaryfile" -> qSrcBinaryfile,
     "q_src_evolution" -> qSrcEvolution,
     "q_src_text" -> qSrcText,
@@ -295,6 +327,11 @@ object Sources {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q_sink_roundtrip" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n_rows,
+        | CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
     "q_src_binaryfile" ->
       """SELECT 'doc_' || doc_id || '.bin' AS fname,
         | octet_length(CAST(text AS BLOB)) AS flen,

@@ -1,0 +1,147 @@
+package graft
+
+import java.io.File
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.sources.{GraftStore, GraftStoreFileReader}
+
+/** The DSv2 write path's commit protocol, beyond the q_sink_roundtrip
+  * oracle (which proves content fidelity but cannot kill tasks):
+  * exactly-once under a real failed-then-retried task, the atomic
+  * abort path (a failed overwrite must leave the old table intact),
+  * orphan GC, and the sink-demanded clustering layout. */
+class GraftStoreSpec extends SparkSuite {
+
+  private def tempTable(): String =
+    graft.ops.Util.managedTempDir("graft_store_spec_")
+
+  private def writeDf(df: DataFrame, path: String,
+      extra: Map[String, String] = Map.empty, mode: String = "overwrite"): Unit = {
+    val w = df.write.format("graft.sources.GraftStore").option("path", path)
+    extra.foreach { case (k, v) => w.option(k, v) }
+    w.mode(mode).save()
+  }
+
+  private def readBack(path: String): DataFrame =
+    spark.read.format("graft.sources.GraftStore").option("path", path).load()
+
+  private def dataFiles(path: String): Seq[String] =
+    Option(new File(path, "data").listFiles()).getOrElse(Array.empty)
+      .map(_.getName).toSeq.sorted
+
+  test("round trip preserves arbitrary-schema content exactly") {
+    import spark.implicits._
+    val path = tempTable()
+    val df = spark.range(0, 1000, 1, 4)
+      .select($"id", ($"id" % 7).cast("int").as("k"),
+        concat(lit("v"), $"id").as("s"),
+        ($"id" * 0.5).as("d"),
+        array($"id", $"id" + 1).as("arr"))
+    writeDf(df, path)
+    val back = readBack(path)
+    assert(back.schema.fieldNames.toSeq == df.schema.fieldNames.toSeq)
+    assert(back.orderBy($"id").collect().map(_.toString).toSeq ==
+      df.orderBy($"id").collect().map(_.toString).toSeq)
+  }
+
+  test("kill-one-task: a real failed-then-retried attempt is exactly-once") {
+    import spark.implicits._
+    val path = tempTable()
+    val df = spark.range(0, 400, 1, 4).select($"id", ($"id" % 5).as("k"))
+    // partition 0's FIRST attempt dies mid-file (after 2 rows); the
+    // local[4, 2] master retries it once and the retry succeeds
+    writeDf(df, path, Map("failFirstAttemptOf" -> "0"))
+    val back = readBack(path).orderBy($"id").collect()
+    assert(back.length == 400, s"expected 400 rows, got ${back.length} " +
+      "(duplicate or lost rows after retry)")
+    assert(back.map(_.getLong(0)).toSeq == (0L until 400L),
+      "retried write lost or duplicated specific rows")
+    // the dead attempt's half-written file is not referenced and was GC'd
+    val manifest = GraftStore.readManifest(path).get._2.map(_.stripPrefix("data/"))
+    assert(dataFiles(path).toSet == manifest.toSet,
+      s"orphan attempt files survived: ${dataFiles(path).toSet -- manifest.toSet}")
+    assert(manifest.size == 4, "one committed file per partition")
+  }
+
+  test("abort path: a failed overwrite leaves the previous table intact") {
+    import spark.implicits._
+    val path = tempTable()
+    val v1 = spark.range(0, 100, 1, 2).select($"id", lit("v1").as("tag"))
+    writeDf(v1, path)
+    val v1Rows = readBack(path).orderBy($"id").collect().map(_.toString).toSeq
+    // partition 1 fails on EVERY attempt -> the job fails -> driver abort
+    val v2 = spark.range(0, 100, 1, 2).select($"id", lit("v2").as("tag"))
+    intercept[Exception] {
+      writeDf(v2, path, Map("failAllAttemptsOf" -> "1"))
+    }
+    // manifest swap never happened: old table readable, bit-identical
+    assert(readBack(path).orderBy($"id").collect().map(_.toString).toSeq == v1Rows,
+      "failed overwrite corrupted the committed table")
+    // abort deleted the successful-task files of the failed job; only
+    // v1's committed files remain
+    val manifest = GraftStore.readManifest(path).get._2.map(_.stripPrefix("data/"))
+    assert(dataFiles(path).toSet == manifest.toSet,
+      "failed job left unreferenced data files behind")
+  }
+
+  test("protocol level: an abandoned attempt (simulated JVM kill) is invisible and GC'd") {
+    import spark.implicits._
+    val path = tempTable()
+    val df = spark.range(0, 50, 1, 2).select($"id", ($"id" * 2).as("v"))
+    writeDf(df, path)
+    // simulate an attempt that died without abort(): drop a stray file
+    // into data/ that no manifest references
+    val stray = new File(path, "data/part-9-999.bin")
+    java.nio.file.Files.write(stray.toPath, Array[Byte](1, 2, 3))
+    assert(readBack(path).count() == 50, "stray unreferenced file became visible")
+    // next successful commit sweeps it
+    writeDf(df, path)
+    assert(!stray.exists(), "commit did not GC the orphan")
+  }
+
+  test("append mode accumulates; overwrite truncates") {
+    import spark.implicits._
+    val path = tempTable()
+    val df = spark.range(0, 10, 1, 2).toDF("id")
+    writeDf(df, path)
+    writeDf(df, path, mode = "append")
+    assert(readBack(path).count() == 20, "append did not accumulate")
+    writeDf(df, path)
+    assert(readBack(path).count() == 10, "overwrite did not truncate")
+  }
+
+  test("sink-demanded clustering: each key lives in exactly one data file") {
+    import spark.implicits._
+    val path = tempTable()
+    val df = spark.range(0, 1000, 1, 8)
+      .select(($"id" % 10).as("k"), $"id".as("v"))
+    writeDf(df, path, Map("clusterBy" -> "k", "sortBy" -> "v"))
+    // read each committed file separately through the connector's own
+    // reader; a key appearing in two files means Spark did not honor the
+    // sink's RequiresDistributionAndOrdering clustering
+    val (schema, files) = GraftStore.readManifest(path).get
+    val keysByFile = files.map { f =>
+      val r = new GraftStoreFileReader(new File(path, f).getAbsolutePath, schema.size)
+      val keys = scala.collection.mutable.Set[Long]()
+      var lastV = Long.MinValue
+      var sorted = true
+      while (r.next()) {
+        val row = r.get()
+        keys += row.getLong(0)
+        val v = row.getLong(1)
+        if (v < lastV) sorted = false
+        lastV = v
+      }
+      r.close()
+      assert(sorted, s"$f not sorted by the sink-demanded ordering")
+      keys.toSet
+    }
+    val all = keysByFile.flatten
+    assert(all.size == all.toSet.size,
+      "a cluster key is split across data files — clustering not honored")
+    assert(all.toSet == (0L until 10L).toSet)
+    assert(readBack(path).count() == 1000)
+  }
+}

@@ -10,8 +10,12 @@ trait SparkSuite extends AnyFunSuite {
     * relocated testdata tree keeps working (no absolute paths in specs). */
   def sfSibling(sf: String): String =
     new java.io.File(new java.io.File(sfDir).getParentFile, s"sf$sf").getPath
+  // local[4, 2]: 4 threads, maxFailures = 2 — one task retry, so the
+  // GraftStoreSpec kill-one-task exactly-once proof can run a REAL
+  // failed-then-retried attempt (plain local[N] hardcodes maxFailures=1
+  // and any injected task failure would fail the whole job)
   lazy val spark: SparkSession = SparkSession.builder()
-    .master("local[4]")
+    .master("local[4, 2]")
     .appName(getClass.getSimpleName)
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.sql.session.timeZone", "UTC")
