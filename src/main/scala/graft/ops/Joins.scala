@@ -187,7 +187,15 @@ object Joins {
     * what the oracle checks (plain join SQL): salting must never change
     * semantics, only the shuffle distribution. Cost: dim side ×8 (dims
     * are small; at 100 TB you salt only the known-hot keys and union
-    * with an unsalted join of the rest). */
+    * with an unsalted join of the rest).
+    *
+    * When to salt vs when AQE is enough (SCALE.md §joins; the AQE half
+    * is pinned in PlanShapeSpec's skew=true test): AQE's skew split
+    * already fixes oversized SMJ partitions at runtime for free —
+    * reach for manual salt only when one build-side key exceeds a
+    * task's memory outright, in stateful streaming (no AQE), or for
+    * skewed AGGREGATION keys (AQE splits join partitions, not groupBy
+    * keys). */
   val qJoinSalted: Q = (s, dir) => {
     import s.implicits._
     val salts = 8
