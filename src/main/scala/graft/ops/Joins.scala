@@ -211,7 +211,42 @@ object Joins {
       .orderBy($"s_nationkey")
   }
 
+  /** Runtime Bloom-filter join pruning — the row-level sibling of
+    * q_join_dpp's partition-level pruning. A selective predicate on the
+    * orders (creation) side lets Catalyst's InjectRuntimeFilter build a
+    * Bloom filter over the surviving join keys and evaluate
+    * `might_contain(xxhash64(l_orderkey))` INSIDE the lineitem scan stage,
+    * so non-joining fact rows die before the shuffle instead of after it.
+    * At 100 TB this is the difference between shuffling the whole fact
+    * table and shuffling only the ~fraction that can join — with zero
+    * manual work beyond leaving the optimizer enabled (exactness is
+    * unconditional: false positives just travel to the join and lose
+    * there). Runs in a cloned session (conf-isolation precedent:
+    * q_layout_compact) because the fixture-sized scan sits below the
+    * 10 GB default application-side threshold that gates the rewrite on
+    * real clusters; broadcast is disabled so the plan is the shuffle join
+    * the rule targets. PlanShapeSpec pins `might_contain` into the
+    * executed plan. */
+  val qJoinBloom: Q = (s, dir) => {
+    val s2 = s.newSession()
+    s2.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+    s2.conf.set(
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+      "1024")
+    s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    import s2.implicits._
+    val urgent = table(s2, dir, "orders")
+      .filter($"o_orderpriority" === "1-URGENT")
+      .select($"o_orderkey", $"o_custkey")
+    table(s2, dir, "lineitem")
+      .join(urgent, $"l_orderkey" === $"o_orderkey")
+      .groupBy($"l_returnflag", $"l_linestatus")
+      .agg(count(lit(1)).as("n"), dsum($"l_extendedprice").as("sum_price"))
+      .orderBy($"l_returnflag", $"l_linestatus")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_join_bloom" -> qJoinBloom,
     "q_join_shuffle_hash" -> qJoinShuffleHash,
     "q_join_nullsafe" -> qJoinNullsafe,
     "q_join_salted" -> qJoinSalted,
@@ -227,6 +262,12 @@ object Joins {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q_join_bloom" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+        | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_orderpriority = '1-URGENT'
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q_join_shuffle_hash" ->
       """SELECT s_nationkey, count(*) AS n_lines,
         | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price

@@ -98,6 +98,67 @@ object Sources {
       .orderBy($"bucket")
   }
 
+  /** DSv2 AGGREGATE pushdown (SupportsPushDownAggregates on SynthSource):
+    * COUNT/SUM/MIN/MAX grouped by bucket evaluate inside the connector —
+    * each input partition emits ≤50 partial rows instead of its ~18k raw
+    * rows, and Spark's final aggregate merely recombines them (SUM over
+    * counts/sums, MIN over mins, MAX over maxes). Composes with the range
+    * filter, which still narrows the generated interval first. At 100 TB
+    * this is "run the aggregate at the storage layer": the scan→agg
+    * boundary carries #groups × #partitions rows, not the table.
+    * PlanShapeSpec asserts the scan's output schema IS the aggregate
+    * schema (aggPushed in the scan description, no raw columns). */
+  val qSrcAggpush: Q = (s, dir) => {
+    import s.implicits._
+    s.read.format("graft.sources.SynthSource")
+      .option("rows", "200000").option("slices", "8").load()
+      .filter($"id" >= 5000 && $"id" < 150000)
+      .groupBy($"bucket")
+      .agg(count(lit(1)).as("n"), sum($"val").as("sum_val"),
+        min($"id").as("min_id"), max($"id").as("max_id"))
+      .orderBy($"bucket")
+  }
+
+  /** Storage-partitioned join (SPJ): both sides are SynthSource scans in
+    * `partitionBy=bucket` mode — one input partition per bucket, each
+    * tagged with its key (HasPartitionKey), the scan reporting connector
+    * KeyGroupedPartitioning. With spark.sql.sources.v2.bucketing.enabled
+    * and the join keyed on EXACTLY the partition key, Spark lines the two
+    * 50-partition scans up and plans the join WITH NO EXCHANGE ON EITHER
+    * SIDE; the downstream per-bucket aggregate inherits the same
+    * clustering, so the only shuffle in the whole query is the final
+    * presentation sort. This is the Iceberg-style answer to "co-locate
+    * the join" at 100 TB: the storage layout, not a runtime repartition,
+    * carries the distribution. Cloned session for the confs (precedent:
+    * q_layout_compact); broadcast disabled so the plan is the partitioned
+    * join the demo pins (a broadcast would also be shuffle-free but
+    * proves nothing about SPJ). PlanShapeSpec asserts exactly one
+    * Exchange (the sort) in the executed plan.
+    *
+    * Composition limit, pinned in SourcePushdownSpec: Spark's
+    * V2ScanPartitioningAndOrdering resolves the reported partition keys
+    * against the relation's ORIGINAL attributes, which aggregate pushdown
+    * replaces — so a scan can carry KeyGroupedPartitioning or a pushed
+    * aggregate, not both. The join here therefore reads raw rows (the
+    * intra-bucket pair counts are the point), and q_src_aggpush exercises
+    * the aggregate half separately. */
+  val qSrcSpj: Q = (s, dir) => {
+    val s2 = s.newSession()
+    s2.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    import s2.implicits._
+    def synth(rows: Long) = s2.read.format("graft.sources.SynthSource")
+      .option("rows", rows.toString).option("partitionBy", "bucket").load()
+    val a = synth(2500).select($"bucket", $"val".as("a_val"))
+    val b = synth(5000).filter($"id" >= 1000).select($"bucket", $"val".as("b_val"))
+    // per-bucket pair aggregate over the co-partitioned join; products are
+    // integer-valued (≤999²) and per-bucket sums stay < 2^53: double-exact
+    a.join(b, "bucket")
+      .groupBy($"bucket")
+      .agg(count(lit(1)).as("n"), sum($"a_val" * $"b_val").as("sum_prod"))
+      .orderBy($"bucket")
+  }
+
   /** The custom ShingleGenerator planned as a real Generator: top-10 word
     * 3-gram shingles by frequency. */
   val qUdtfGen: Q = (s, dir) => {
@@ -322,6 +383,8 @@ object Sources {
     "q_src_json" -> qSrcJson,
     "q_src_orc" -> qSrcOrc,
     "q_src_dsv2" -> qSrcDsv2,
+    "q_src_aggpush" -> qSrcAggpush,
+    "q_src_spj" -> qSrcSpj,
     "q_udtf_gen" -> qUdtfGen,
     "q_src_partitioned" -> qSrcPartitioned,
   )
@@ -373,6 +436,24 @@ object Sources {
       """SELECT CAST(id % 50 AS INT) AS bucket, count(*) AS n,
         | sum(CAST(id * 37 % 1000 AS DOUBLE)) AS sum_val
         |FROM (SELECT unnest(generate_series(1000, 59999)) AS id)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_src_aggpush" ->
+      """SELECT CAST(id % 50 AS INT) AS bucket, count(*) AS n,
+        | sum(CAST(id * 37 % 1000 AS DOUBLE)) AS sum_val,
+        | min(id) AS min_id, max(id) AS max_id
+        |FROM (SELECT unnest(generate_series(5000, 149999)) AS id)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_src_spj" ->
+      """WITH a AS (
+        |  SELECT CAST(id % 50 AS INT) AS bucket,
+        |   CAST(id * 37 % 1000 AS DOUBLE) AS a_val
+        |  FROM (SELECT unnest(generate_series(0, 2499)) AS id)),
+        |b AS (
+        |  SELECT CAST(id % 50 AS INT) AS bucket,
+        |   CAST(id * 37 % 1000 AS DOUBLE) AS b_val
+        |  FROM (SELECT unnest(generate_series(1000, 4999)) AS id))
+        |SELECT a.bucket, count(*) AS n, sum(a_val * b_val) AS sum_prod
+        |FROM a JOIN b USING (bucket)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_src_orc" ->
       """SELECT p_brand, count(*) AS n_parts,

@@ -120,15 +120,24 @@ class PlanShapeSpec extends SparkSuite {
   }
 
   test("DSv2 connector receives the pushed range filter and pruned columns") {
-    val df = SparkEntry.queries("q_src_dsv2")(spark, sfDir)
-    val p = df.queryExecution.executedPlan.toString
-    // the connector narrows its generated interval from the pushed filters
-    // and reports it in Scan.description; id is pruned from the read schema
+    // raw scan (no aggregate, so nothing else can claim the columns): the
+    // connector narrows its generated interval from the pushed filters and
+    // reports it in Scan.description; id is pruned from the read schema
     // because the filter was claimed fully
+    import org.apache.spark.sql.functions.col
+    val raw = spark.read.format("graft.sources.SynthSource")
+      .option("rows", "100000").option("slices", "8").load()
+      .filter(col("id") >= 1000 && col("id") < 60000)
+      .select(col("bucket"), col("val"))
+    val p = raw.queryExecution.executedPlan.toString
     assert(p.contains("range=[1000,60000)"), s"filters not pushed into the source:\n$p")
     assert(p.contains("cols=bucket,val"), s"columns not pruned at the connector:\n$p")
     assert(!p.contains("Filter ("), s"Spark kept a post-scan filter despite full claim:\n$p")
-    // and the values are right: 59000 ids in [1000, 60000)
+    // the registered query's aggregate now ALSO pushes into the connector
+    // (SourcePushdownSpec pins the shape); values stay right: 59000 ids
+    val df = SparkEntry.queries("q_src_dsv2")(spark, sfDir)
+    assert(df.queryExecution.executedPlan.toString.contains("aggPushed=byBucket"),
+      "q_src_dsv2's aggregate no longer pushes into the connector")
     assert(df.agg(org.apache.spark.sql.functions.sum("n")).head.getLong(0) == 59000L)
   }
 
