@@ -255,6 +255,45 @@ object LlmOpsExt {
       .orderBy($"doc_id")
   }
 
+  /** PMI collocation mining — the corpus-analysis staple next to the two
+    * LM scores: rank adjacent-word pairs by pointwise mutual information
+    * pmi(w1,w2) = ln( p(w1,w2) / (p(w1)·p(w2)) ), with pair probability
+    * from bigram counts over NB bigrams and word probabilities from
+    * unigram counts over NT tokens, gated at c12 ≥ 5 (the classic
+    * min-count guard against one-off pairs dominating). Shapes for
+    * 100 TB: both count aggregations are partial-agg friendly; the score
+    * join broadcasts the VOCAB-sized unigram table onto the bigram table
+    * twice (the unigram-LM precedent) — never the reverse; top-100 is
+    * TakeOrderedAndProject, no global sort. Determinism: counts are
+    * BIGINT; the pmi operand is one double expression with identical
+    * association on both engines (products < 2^53 only AFTER the single
+    * divide, so each step is same-rounded IEEE), and ln is rounded 8dp →
+    * DECIMAL per the batch-wide libm-parity convention. */
+  val qTextCollocations: Q = (s, dir) => {
+    import s.implicits._
+    val tok = table(s, dir, "documents").select(toks($"text").as("ws"))
+    val uni = tok.select(explode($"ws").as("w"))
+      .groupBy($"w").agg(count(lit(1)).as("c"))
+    val bi = tok.filter(size($"ws") >= 2)
+      .select(explode(transform(sequence(lit(1), size($"ws") - 1),
+        i => struct(element_at($"ws", i).as("w1"),
+          element_at($"ws", i + 1).as("w2")))).as("b"))
+      .groupBy($"b.w1".as("w1"), $"b.w2".as("w2"))
+      .agg(count(lit(1)).as("c12"))
+    val totals = uni.agg(sum($"c").as("nt"))
+      .crossJoin(bi.agg(sum($"c12").as("nb")))
+    bi.filter($"c12" >= 5)
+      .join(broadcast(uni.select($"w".as("w1"), $"c".as("c1"))), "w1")
+      .join(broadcast(uni.select($"w".as("w2"), $"c".as("c2"))), "w2")
+      .crossJoin(broadcast(totals))
+      .select($"w1", $"w2", $"c12", $"c1", $"c2",
+        round(log(($"c12".cast("double") * $"nt" * $"nt") /
+          ($"nb".cast("double") * $"c1" * $"c2")), 8)
+          .cast("decimal(18,8)").as("pmi"))
+      .orderBy($"pmi".desc, $"w1", $"w2")
+      .limit(100)
+  }
+
   /** Scalar-quantized (int8) similarity search: each vector compressed to
     * integer codes in [-127,127] with a per-vector max-abs scale, top-k
     * cosine computed ON the quantized codes and de-scaled. The
@@ -475,6 +514,7 @@ object LlmOpsExt {
     "q_dedup_simhash" -> qDedupSimhash,
     "q_text_unigram_lm" -> qTextUnigramLm,
     "q_text_bigram_lm" -> qTextBigramLm,
+    "q_text_collocations" -> qTextCollocations,
     "q_dedup_ngram" -> qDedupNgram,
     "q_dedup_embed" -> qDedupEmbed,
     "q_dedup_embed_lsh" -> qDedupEmbedLsh,
@@ -532,6 +572,26 @@ object LlmOpsExt {
         | count(*) AS n_bigrams
         |FROM big JOIN model USING (w1, w2)
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q_text_collocations" ->
+      """WITH tok AS (SELECT string_split(text,' ') AS ws FROM documents),
+        |uni AS (SELECT unnest(ws) AS w FROM tok),
+        |ucnt AS (SELECT w, count(*) AS c FROM uni GROUP BY w),
+        |big AS (SELECT u.w1 AS w1, u.w2 AS w2 FROM (
+        |  SELECT unnest(list_transform(generate_series(1, len(ws)-1),
+        |    i -> {'w1': ws[i], 'w2': ws[i+1]})) AS u
+        |  FROM tok WHERE len(ws) >= 2)),
+        |bcnt AS (SELECT w1, w2, count(*) AS c12 FROM big GROUP BY w1, w2),
+        |tot AS (SELECT (SELECT sum(c) FROM ucnt) AS nt,
+        |               (SELECT sum(c12) FROM bcnt) AS nb)
+        |SELECT w1, w2, c12, u1.c AS c1, u2.c AS c2,
+        | CAST(round(ln((CAST(c12 AS DOUBLE) * nt * nt) /
+        |   (CAST(nb AS DOUBLE) * u1.c * u2.c)), 8) AS DECIMAL(18,8)) AS pmi
+        |FROM bcnt
+        |JOIN ucnt u1 ON bcnt.w1 = u1.w
+        |JOIN ucnt u2 ON bcnt.w2 = u2.w
+        |CROSS JOIN tot
+        |WHERE c12 >= 5
+        |ORDER BY pmi DESC, w1, w2 LIMIT 100""".stripMargin,
     "q_dedup_simhash" -> {
       val hex = "'8','9','a','b','c','d','e','f'"
       val bitCols = (1 to 32).map(b =>

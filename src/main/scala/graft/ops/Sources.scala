@@ -159,6 +159,26 @@ object Sources {
       .orderBy($"bucket")
   }
 
+  /** Batch form of the connector's STREAMING surface (q_src_stream): the
+    * same SynthSource table also exposes MICRO_BATCH_READ — a bounded
+    * replay stream with at most `microBatchRows` ids admitted per trigger
+    * (position offsets, checkpoint-resumable). The oracle can only check
+    * the batch result; StreamingParitySpec runs this very aggregation via
+    * readStream → memory sink, asserts stream == batch, and asserts the
+    * stream made genuine multi-batch progress (≥4 triggers with rows).
+    * At 100 TB the streaming path is how a backfill and its live tail
+    * share one connector: same pushdown, same partitions-per-batch
+    * parallelism, offsets are just log positions. */
+  val qSrcStream: Q = (s, dir) => {
+    import s.implicits._
+    s.read.format("graft.sources.SynthSource")
+      .option("rows", "20000").option("slices", "4").load()
+      .groupBy($"bucket")
+      .agg(count(lit(1)).as("n"), sum($"val").as("sum_val"),
+        max($"id").as("max_id"))
+      .orderBy($"bucket")
+  }
+
   /** The custom ShingleGenerator planned as a real Generator: top-10 word
     * 3-gram shingles by frequency. */
   val qUdtfGen: Q = (s, dir) => {
@@ -385,6 +405,7 @@ object Sources {
     "q_src_dsv2" -> qSrcDsv2,
     "q_src_aggpush" -> qSrcAggpush,
     "q_src_spj" -> qSrcSpj,
+    "q_src_stream" -> qSrcStream,
     "q_udtf_gen" -> qUdtfGen,
     "q_src_partitioned" -> qSrcPartitioned,
   )
@@ -454,6 +475,11 @@ object Sources {
         |  FROM (SELECT unnest(generate_series(1000, 4999)) AS id))
         |SELECT a.bucket, count(*) AS n, sum(a_val * b_val) AS sum_prod
         |FROM a JOIN b USING (bucket)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_src_stream" ->
+      """SELECT CAST(id % 50 AS INT) AS bucket, count(*) AS n,
+        | sum(CAST(id * 37 % 1000 AS DOUBLE)) AS sum_val, max(id) AS max_id
+        |FROM (SELECT unnest(generate_series(0, 19999)) AS id)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_src_orc" ->
       """SELECT p_brand, count(*) AS n_parts,

@@ -9,6 +9,7 @@ import org.apache.spark.sql.connector.expressions.{Expression, Expressions, Name
 import org.apache.spark.sql.connector.expressions.aggregate.{AggregateFunc, Aggregation, CountStar, Max, Min, Sum}
 import org.apache.spark.sql.connector.read.{Batch, HasPartitionKey, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownRequiredColumns, SupportsReportPartitioning}
 import org.apache.spark.sql.connector.read.partitioning.{KeyGroupedPartitioning, Partitioning, UnknownPartitioning}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
 import org.apache.spark.sql.sources.{Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types.{DataType, DoubleType, IntegerType, LongType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -109,22 +110,24 @@ class SynthSource extends TableProvider {
       properties: util.Map[String, String]): Table =
     new SynthTable(properties.getOrDefault("rows", "100000").toLong,
       properties.getOrDefault("slices", "8").toInt,
-      properties.getOrDefault("partitionBy", "") == "bucket")
+      properties.getOrDefault("partitionBy", "") == "bucket",
+      properties.getOrDefault("microBatchRows", "4096").toLong)
 }
 
-class SynthTable(rows: Long, slices: Int, byBucket: Boolean)
-    extends Table with SupportsRead {
+class SynthTable(rows: Long, slices: Int, byBucket: Boolean,
+    microBatchRows: Long) extends Table with SupportsRead {
   override def name(): String = s"synth($rows)"
   override def schema(): StructType = SynthSource.fullSchema
   override def partitioning(): Array[Transform] =
     if (byBucket) Array(Expressions.identity("bucket")) else Array.empty
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new SynthScanBuilder(rows, slices, byBucket)
+    new SynthScanBuilder(rows, slices, byBucket, microBatchRows)
 }
 
-class SynthScanBuilder(rows: Long, slices: Int, byBucket: Boolean)
+class SynthScanBuilder(rows: Long, slices: Int, byBucket: Boolean,
+    microBatchRows: Long = 4096)
     extends ScanBuilder
     with SupportsPushDownFilters with SupportsPushDownRequiredColumns
     with SupportsPushDownAggregates {
@@ -202,12 +205,12 @@ class SynthScanBuilder(rows: Long, slices: Int, byBucket: Boolean)
   }
 
   override def build(): Scan =
-    new SynthScan(lo, hi, slices, byBucket, required, pushed, agg)
+    new SynthScan(lo, hi, slices, byBucket, required, pushed, agg, microBatchRows)
 }
 
 class SynthScan(lo: Long, hi: Long, slices: Int, byBucket: Boolean,
     required: StructType, pushed: Array[Filter],
-    agg: Option[SynthSource.AggSpec])
+    agg: Option[SynthSource.AggSpec], microBatchRows: Long = 4096)
     extends Scan with Batch with SupportsReportPartitioning {
   import SynthSource._
 
@@ -251,6 +254,54 @@ class SynthScan(lo: Long, hi: Long, slices: Int, byBucket: Boolean,
 
   override def createReaderFactory(): PartitionReaderFactory =
     new SynthReaderFactory(output, agg)
+
+  /** Streaming half of the connector (MICRO_BATCH_READ): the same id
+    * range replayed as a bounded stream, at most `microBatchRows` ids per
+    * micro-batch — an admission-control stand-in for "the offsets that
+    * arrived since the last trigger" in a real log-backed source (Kafka,
+    * a manifest log). Offsets are plain positions in the id range, so a
+    * restart resumes from the checkpoint exactly; each batch re-slices
+    * its sub-range across `slices` parallel partitions. Filter pushdown
+    * composes (lo/hi were already narrowed when this scan was built);
+    * aggregate pushdown does not apply to streaming plans and
+    * key-grouped partition mode is a batch-layout concern, so both are
+    * ignored here. StreamingParitySpec proves batch/stream equality and
+    * genuine multi-batch incremental progress. */
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+    new SynthMicroBatchStream(lo, hi, slices, required, microBatchRows)
+}
+
+/** Offset = exclusive position in the synthetic id range. */
+case class SynthOffset(pos: Long) extends Offset {
+  override def json(): String = pos.toString
+}
+
+class SynthMicroBatchStream(lo: Long, hi: Long, slices: Int,
+    required: StructType, microBatchRows: Long) extends MicroBatchStream {
+  private val step = math.max(1L, microBatchRows)
+  // the furthest end offset handed to the engine so far; advances by one
+  // admission quantum per latestOffset() poll until the range is drained
+  private var furthest = lo
+
+  override def initialOffset(): Offset = SynthOffset(lo)
+  override def deserializeOffset(json: String): Offset = SynthOffset(json.toLong)
+  override def latestOffset(): Offset = {
+    furthest = math.min(hi, math.max(furthest, lo) + step)
+    SynthOffset(furthest)
+  }
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[SynthOffset].pos
+    val e = end.asInstanceOf[SynthOffset].pos
+    val n = math.max(1, slices)
+    val span = math.max(0L, e - s)
+    (0 until n).map { i =>
+      SynthPartition(s + span * i / n, s + span * (i + 1) / n)
+    }.filter(p => p.end > p.start).toArray
+  }
+  override def createReaderFactory(): PartitionReaderFactory =
+    new SynthReaderFactory(required, None)
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
 }
 
 case class SynthPartition(start: Long, end: Long) extends InputPartition

@@ -318,4 +318,25 @@ class StreamingParitySpec extends SparkSuite {
       spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
     }
   }
+
+  test("DSv2 micro-batch stream (q_src_stream): stream == batch, in real increments") {
+    // the SAME connector serves readStream: 20k ids admitted 3000/trigger
+    val stream = spark.readStream.format("graft.sources.SynthSource")
+      .option("rows", "20000").option("slices", "4")
+      .option("microBatchRows", "3000").load()
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"), sum(col("val")).as("sum_val"),
+        max(col("id")).as("max_id"))
+    val q = stream.writeStream.outputMode("complete")
+      .format("memory").queryName("t_src_stream").start()
+    q.processAllAvailable()
+    val batchesWithRows = q.recentProgress.count(_.numInputRows > 0)
+    q.stop()
+    val streamed = spark.table("t_src_stream")
+    val batch = SparkEntry.queries("q_src_stream")(spark, sfDir)
+    assertSetEqual(streamed, batch, "dsv2 micro-batch")
+    // 20000 rows / 3000-row admission quantum => at least 7 non-empty batches
+    assert(batchesWithRows >= 7,
+      s"stream drained in $batchesWithRows batches — admission control not engaged")
+  }
 }
