@@ -392,7 +392,41 @@ object Sources {
       .orderBy($"l_returnflag", $"l_linestatus")
   }
 
+  /** SQL-DDL catalog surface (round 7): graft.sources.GraftCatalog makes
+    * the GraftStore connector a full catalog citizen — this query drives
+    * the whole lifecycle with NOTHING but SQL: DROP IF EXISTS → CTAS
+    * (create-table-as-select plans catalog.createTable + the connector's
+    * manifest-commit write) → INSERT INTO (append = manifest grows) →
+    * SELECT back through the catalog's loadTable. The storage IS the
+    * metadata (schema line in the manifest, no metastore), the
+    * Iceberg/Delta stance that keeps 100 TB table resolution free of a
+    * central-metastore RPC per query. Oracle recomputes the union of the
+    * two writes from the source parquet — the hash checks
+    * create→insert→read fidelity end-to-end. Cloned session: catalog
+    * registration is session conf (precedent: q_layout_compact). */
+  val qCatalogSql: Q = (s, dir) => {
+    val s2 = s.newSession()
+    s2.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+    s2.conf.set("spark.sql.catalog.graft.root", Util.managedTempDir("graft_catalog_"))
+    table(s2, dir, "lineitem").createOrReplaceTempView("li")
+    s2.sql("DROP TABLE IF EXISTS graft.flagship")
+    s2.sql(
+      """CREATE TABLE graft.flagship AS
+        |SELECT l_returnflag, l_linestatus, count(*) AS n_rows,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
+        |FROM li WHERE l_returnflag = 'A' GROUP BY 1, 2""".stripMargin)
+    s2.sql(
+      """INSERT INTO graft.flagship
+        |SELECT l_returnflag, l_linestatus, count(*) AS n_rows,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
+        |FROM li WHERE l_returnflag <> 'A' GROUP BY 1, 2""".stripMargin)
+    s2.sql(
+      """SELECT l_returnflag, l_linestatus, n_rows, sum_qty
+        |FROM graft.flagship ORDER BY 1, 2""".stripMargin)
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_catalog_sql" -> qCatalogSql,
     "q_sink_roundtrip" -> qSinkRoundtrip,
     "q_src_binaryfile" -> qSrcBinaryfile,
     "q_src_evolution" -> qSrcEvolution,
@@ -411,6 +445,10 @@ object Sources {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q_catalog_sql" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n_rows,
+        | CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
+        |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q_sink_roundtrip" ->
       """SELECT l_returnflag, l_linestatus, count(*) AS n_rows,
         | CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty

@@ -1,0 +1,108 @@
+package graft.sources
+
+import java.io.File
+import java.util
+
+import org.apache.spark.sql.catalyst.analysis.{NoSuchTableException, TableAlreadyExistsException}
+import org.apache.spark.sql.connector.catalog.{Identifier, Table, TableCatalog, TableChange}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** TableCatalog over GraftStore tables — the piece that turns the
+  * connector pair into a full catalog citizen: after
+  *
+  * {{{
+  *   spark.sql.catalog.graft      = graft.sources.GraftCatalog
+  *   spark.sql.catalog.graft.root = /some/dir
+  * }}}
+  *
+  * plain SQL drives the whole lifecycle — `CREATE TABLE graft.t (…)`,
+  * `CREATE TABLE graft.t AS SELECT …`, `INSERT INTO graft.t …`,
+  * `SELECT … FROM graft.t`, `DROP/ALTER-less RENAME` — with reads and
+  * writes going through GraftStoreTable's scan/write builders and their
+  * manifest-pointer commit protocol (exactly-once, atomic swap, GC).
+  *
+  * Layout: a table named `graft.ns….name` lives at `root/ns…/name`; a
+  * directory IS a table iff it holds a `_manifest` (whose first line is
+  * the schema, so the catalog needs no metastore — the storage is the
+  * metadata, the same stance Iceberg/Delta take at 100 TB where a
+  * central metastore RPC per task is the scaling anti-pattern).
+  * `createTable` materializes an EMPTY manifest atomically, so a crashed
+  * create can never leave a half-table visible; `dropTable` removes the
+  * manifest first (readers instantly see no table) and then the data.
+  */
+class GraftCatalog extends TableCatalog {
+  private var catalogName: String = _
+  private var root: String = _
+
+  override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
+    catalogName = name
+    root = options.get("root")
+    require(root != null, s"catalog $name requires spark.sql.catalog.$name.root")
+  }
+  override def name(): String = catalogName
+
+  /** root/ns…/name with traversal-proof segments. */
+  private def dirFor(ident: Identifier): File = {
+    val parts = ident.namespace().toSeq :+ ident.name()
+    parts.foreach(p => require(!p.contains("/") && !p.contains("\\") &&
+      p != ".." && p.nonEmpty, s"illegal identifier segment: $p"))
+    new File((root +: parts).mkString(File.separator))
+  }
+  private def isTable(dir: File): Boolean =
+    new File(dir, GraftStore.ManifestName).isFile
+
+  override def listTables(namespace: Array[String]): Array[Identifier] = {
+    val ns = new File((root +: namespace.toSeq).mkString(File.separator))
+    Option(ns.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && isTable(f))
+      .map(f => Identifier.of(namespace, f.getName))
+      .sortBy(_.name())
+  }
+
+  override def loadTable(ident: Identifier): Table = {
+    val dir = dirFor(ident)
+    if (!isTable(dir)) throw new NoSuchTableException(ident)
+    val schema = GraftStore.readManifest(dir.getPath).get._1
+    new GraftStoreTable(dir.getPath, schema, None, None, None, None)
+  }
+
+  override def createTable(ident: Identifier, schema: StructType,
+      partitions: Array[Transform], properties: util.Map[String, String]): Table = {
+    require(partitions.isEmpty,
+      "graft catalog tables do not support partition transforms")
+    val dir = dirFor(ident)
+    if (isTable(dir)) throw new TableAlreadyExistsException(ident)
+    dir.mkdirs()
+    // an empty manifest IS the table: created atomically, never half-visible
+    GraftStore.writeManifestAtomic(dir.getPath, schema, Seq.empty)
+    new GraftStoreTable(dir.getPath, schema, None, None, None, None)
+  }
+
+  override def alterTable(ident: Identifier, changes: TableChange*): Table =
+    throw new UnsupportedOperationException(
+      "graft catalog tables are schema-immutable (rewrite via CTAS)")
+
+  override def dropTable(ident: Identifier): Boolean = {
+    val dir = dirFor(ident)
+    if (!isTable(dir)) return false
+    // manifest first: the atomic "table gone" step; data files after
+    new File(dir, GraftStore.ManifestName).delete()
+    Option(new File(dir, "data").listFiles()).getOrElse(Array.empty)
+      .foreach(_.delete())
+    new File(dir, "data").delete()
+    dir.delete()
+    true
+  }
+
+  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit = {
+    val from = dirFor(oldIdent)
+    val to = dirFor(newIdent)
+    if (!isTable(from)) throw new NoSuchTableException(oldIdent)
+    if (isTable(to)) throw new TableAlreadyExistsException(newIdent)
+    to.getParentFile.mkdirs()
+    if (!from.renameTo(to)) throw new IllegalStateException(
+      s"rename ${from.getPath} -> ${to.getPath} failed")
+  }
+}

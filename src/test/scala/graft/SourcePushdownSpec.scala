@@ -90,6 +90,40 @@ class SourcePushdownSpec extends SparkSuite {
       s"Bloom probe not keyed on the fact join key:\n$p")
   }
 
+  test("one-side-bucketed join: only the un-bucketed side shuffles, into the scan's partitioning") {
+    // spark.sql.sources.v2.bucketing.shuffle.enabled: when just ONE side
+    // carries storage partitioning, Spark shuffles the OTHER side into the
+    // scan's key-grouped layout instead of shuffling both into a fresh
+    // hash partitioning — at 100 TB that keeps the big bucketed fact
+    // stationary and moves only the small side
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    s2.conf.set("spark.sql.sources.v2.bucketing.shuffle.enabled", "true")
+    s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    def rd(rows: Int, opts: (String, String)*) = {
+      val r = s2.read.format("graft.sources.SynthSource").option("rows", rows.toString)
+      opts.foldLeft(r) { case (acc, (k, v)) => acc.option(k, v) }.load()
+    }
+    val fact = rd(2500, "partitionBy" -> "bucket").select(col("bucket"), col("val"))
+    val dim = rd(500, "slices" -> "4")
+      .select(col("bucket"), col("val").as("dim_val"))
+    val j = fact.join(dim, "bucket")
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"), sum(col("val") * col("dim_val")).as("s"))
+      .orderBy(col("bucket"))
+    j.collect()
+    val p = j.queryExecution.executedPlan.toString
+    val kgShuffles = "Exchange keygroupedpartitioning".r.findAllIn(p).size
+    val hashShuffles = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(kgShuffles >= 1,
+      s"un-bucketed side was not shuffled into the storage partitioning:\n$p")
+    assert(hashShuffles == 0,
+      s"join fell back to hash-shuffling (bucketed side moved too):\n$p")
+    // values: bucket b has 50 fact rows × 10 dim rows
+    val r = j.collect()
+    assert(r.length == 50 && r.forall(_.getLong(1) == 500L))
+  }
+
   test("KGP and aggregate pushdown do not compose (pinned Spark limitation)") {
     // V2ScanPartitioningAndOrdering resolves reported partition keys
     // against the relation's ORIGINAL output, which aggregate pushdown
