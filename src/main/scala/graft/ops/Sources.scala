@@ -159,6 +159,28 @@ object Sources {
       .orderBy($"bucket")
   }
 
+  /** DSv2 runtime partition pruning (q_join_dpp's connector sibling):
+    * SynthSource in bucketed mode implements SupportsRuntimeFiltering,
+    * offering `bucket` as a runtime-filterable attribute. The selective
+    * dim filter (one region's 5 nations) reaches the fact scan as a
+    * dynamicpruning subquery AFTER the dim side executes, and the
+    * connector drops the 45 disproved bucket partitions before planning a
+    * single task — hive-layout DPP semantics for a custom source. At
+    * 100 TB this is the connector hook that turns "join to a filtered
+    * dim" into "read 10% of the fact table". SourcePushdownSpec pins the
+    * RuntimeFilters entry in the plan AND the actual partition drop
+    * (5 of 50 read). */
+  val qJoinDppV2: Q = (s, dir) => {
+    import s.implicits._
+    val fact = s.read.format("graft.sources.SynthSource")
+      .option("rows", "100000").option("partitionBy", "bucket").load()
+    val dim = table(s, dir, "nation").filter($"n_regionkey" === 2)
+    fact.join(dim, fact("bucket") === dim("n_nationkey"))
+      .groupBy($"n_name")
+      .agg(count(lit(1)).as("n"), sum($"val").as("sum_val"))
+      .orderBy($"n_name")
+  }
+
   /** Batch form of the connector's STREAMING surface (q_src_stream): the
     * same SynthSource table also exposes MICRO_BATCH_READ — a bounded
     * replay stream with at most `microBatchRows` ids admitted per trigger
@@ -440,6 +462,7 @@ object Sources {
     "q_src_aggpush" -> qSrcAggpush,
     "q_src_spj" -> qSrcSpj,
     "q_src_stream" -> qSrcStream,
+    "q_join_dpp_v2" -> qJoinDppV2,
     "q_udtf_gen" -> qUdtfGen,
     "q_src_partitioned" -> qSrcPartitioned,
   )
@@ -513,6 +536,13 @@ object Sources {
         |  FROM (SELECT unnest(generate_series(1000, 4999)) AS id))
         |SELECT a.bucket, count(*) AS n, sum(a_val * b_val) AS sum_prod
         |FROM a JOIN b USING (bucket)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_join_dpp_v2" ->
+      """SELECT n_name, count(*) AS n,
+        | sum(CAST(id * 37 % 1000 AS DOUBLE)) AS sum_val
+        |FROM (SELECT unnest(generate_series(0, 99999)) AS id)
+        |JOIN nation ON CAST(id % 50 AS INT) = n_nationkey
+        |WHERE n_regionkey = 2
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_src_stream" ->
       """SELECT CAST(id % 50 AS INT) AS bucket, count(*) AS n,

@@ -7,10 +7,10 @@ import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.{Expression, Expressions, NamedReference, Transform}
 import org.apache.spark.sql.connector.expressions.aggregate.{AggregateFunc, Aggregation, CountStar, Max, Min, Sum}
-import org.apache.spark.sql.connector.read.{Batch, HasPartitionKey, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownRequiredColumns, SupportsReportPartitioning}
+import org.apache.spark.sql.connector.read.{Batch, HasPartitionKey, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownRequiredColumns, SupportsReportPartitioning, SupportsRuntimeFiltering}
 import org.apache.spark.sql.connector.read.partitioning.{KeyGroupedPartitioning, Partitioning, UnknownPartitioning}
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
-import org.apache.spark.sql.sources.{Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
+import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, In, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types.{DataType, DoubleType, IntegerType, LongType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
@@ -211,10 +211,29 @@ class SynthScanBuilder(rows: Long, slices: Int, byBucket: Boolean,
 class SynthScan(lo: Long, hi: Long, slices: Int, byBucket: Boolean,
     required: StructType, pushed: Array[Filter],
     agg: Option[SynthSource.AggSpec], microBatchRows: Long = 4096)
-    extends Scan with Batch with SupportsReportPartitioning {
+    extends Scan with Batch with SupportsReportPartitioning
+    with SupportsRuntimeFiltering {
   import SynthSource._
 
   private val output: StructType = agg.map(_.schema).getOrElse(required)
+
+  // runtime partition pruning (DPP-for-connectors): in bucketed mode the
+  // scan offers `bucket` as a runtime-filterable attribute; when the
+  // optimizer proves a joined dim narrows it (dynamicpruning subquery),
+  // filter() arrives AFTER the dim side ran and BEFORE this scan plans
+  // its partitions — whole bucket partitions are dropped, the connector
+  // analog of hive-partition DPP. None = no runtime filter received.
+  @volatile private var runtimeKeep: Option[Set[Int]] = None
+
+  override def filterAttributes(): Array[NamedReference] =
+    if (byBucket) Array(Expressions.column("bucket")) else Array.empty
+  override def filter(filters: Array[Filter]): Unit = {
+    val keeps = filters.collect {
+      case In("bucket", vs) => vs.collect { case i: Int => i }.toSet
+      case EqualTo("bucket", v: Int) => Set(v)
+    }
+    if (keeps.nonEmpty) runtimeKeep = Some(keeps.reduce(_ intersect _))
+  }
 
   override def readSchema(): StructType = output
   override def description(): String =
@@ -229,8 +248,11 @@ class SynthScan(lo: Long, hi: Long, slices: Int, byBucket: Boolean,
     if (byBucket) {
       // one partition per bucket value, even if its slice of [lo,hi) is
       // empty — keeps the partition-value sets of two synth scans aligned
-      // for storage-partitioned joins regardless of pushed ranges
-      (0 until NumBuckets).map(b => SynthBucketPartition(b, lo, hi)).toArray
+      // for storage-partitioned joins regardless of pushed ranges;
+      // runtime filtering (above) may drop buckets a dim join disproved
+      (0 until NumBuckets)
+        .filter(b => runtimeKeep.forall(_.contains(b)))
+        .map(b => SynthBucketPartition(b, lo, hi)).toArray
     } else {
       val n = math.max(1, slices)
       val span = math.max(0L, hi - lo)

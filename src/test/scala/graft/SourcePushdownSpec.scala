@@ -124,6 +124,31 @@ class SourcePushdownSpec extends SparkSuite {
     assert(r.length == 50 && r.forall(_.getLong(1) == 500L))
   }
 
+  test("runtime V2 filtering: the dim's filter drops 45 of 50 fact bucket partitions") {
+    val df = SparkEntry.queries("q_join_dpp_v2")(spark, sfDir)
+    // grab the live Scan instance BEFORE execution: runtime filtering
+    // mutates this very object once the dim side has run
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+    val pre = df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.inputPlan
+      case p => p
+    }
+    val synthScans = pre.collect {
+      case b: BatchScanExec if b.scan.description().startsWith("SynthScan") => b.scan
+    }
+    assert(synthScans.size == 1, s"expected one synth scan:\n$pre")
+    assert(synthScans.head.toBatch.planInputPartitions().length == 50,
+      "pre-execution scan should offer all 50 bucket partitions")
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("RuntimeFilters: [dynamicpruningexpression(bucket"),
+      s"no runtime filter reached the connector scan:\n$p")
+    // the dim (region 2 => 5 nations) disproved 45 buckets at runtime
+    assert(synthScans.head.toBatch.planInputPartitions().length == 5,
+      "runtime filter did not drop the disproved bucket partitions")
+  }
+
   test("KGP and aggregate pushdown do not compose (pinned Spark limitation)") {
     // V2ScanPartitioningAndOrdering resolves reported partition keys
     // against the relation's ORIGINAL output, which aggregate pushdown
