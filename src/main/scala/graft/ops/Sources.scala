@@ -181,6 +181,29 @@ object Sources {
       .orderBy($"n_name")
   }
 
+  /** Vectorized (columnar) connector read: with `columnar=true` the
+    * SynthSource reader fills OnHeapColumnVectors 4096 ids per batch and
+    * Spark plans a ColumnarToRow bridge into whole-stage codegen — the
+    * parquet-reader architecture demonstrated at the connector level
+    * (one virtual call per batch, primitive-array access for the
+    * consumer). The aggregates here (avg, sum(id)) are deliberately
+    * OUTSIDE the source's pushdown vocabulary so the raw columnar scan
+    * is what executes; determinism: val is integer-valued so every
+    * partial double sum is exact in any order, and sum(id) stays a
+    * BIGINT on both engines. SourcePushdownSpec pins ColumnarToRow in
+    * the plan and columnar==row-mode content equality. */
+  val qSrcColumnar: Q = (s, dir) => {
+    import s.implicits._
+    s.read.format("graft.sources.SynthSource")
+      .option("rows", "200000").option("slices", "8")
+      .option("columnar", "true").load()
+      .filter($"id" >= 1000 && $"id" < 150000)
+      .groupBy($"bucket")
+      .agg(count(lit(1)).as("n"), avg($"val").as("avg_val"),
+        sum($"id").as("sum_id"))
+      .orderBy($"bucket")
+  }
+
   /** Batch form of the connector's STREAMING surface (q_src_stream): the
     * same SynthSource table also exposes MICRO_BATCH_READ — a bounded
     * replay stream with at most `microBatchRows` ids admitted per trigger
@@ -463,6 +486,7 @@ object Sources {
     "q_src_spj" -> qSrcSpj,
     "q_src_stream" -> qSrcStream,
     "q_join_dpp_v2" -> qJoinDppV2,
+    "q_src_columnar" -> qSrcColumnar,
     "q_udtf_gen" -> qUdtfGen,
     "q_src_partitioned" -> qSrcPartitioned,
   )
@@ -536,6 +560,12 @@ object Sources {
         |  FROM (SELECT unnest(generate_series(1000, 4999)) AS id))
         |SELECT a.bucket, count(*) AS n, sum(a_val * b_val) AS sum_prod
         |FROM a JOIN b USING (bucket)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_src_columnar" ->
+      """SELECT CAST(id % 50 AS INT) AS bucket, count(*) AS n,
+        | avg(CAST(id * 37 % 1000 AS DOUBLE)) AS avg_val,
+        | CAST(sum(id) AS BIGINT) AS sum_id
+        |FROM (SELECT unnest(generate_series(1000, 149999)) AS id)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_join_dpp_v2" ->
       """SELECT n_name, count(*) AS n,

@@ -101,15 +101,33 @@ object Windows {
       .orderBy($"l_suppkey", $"l_orderkey", $"l_linenumber", $"ship_sec", $"qty_30d")
   }
 
-  /** ntile(4) + percent_rank + cume_dist over order totals. */
+  /** ntile(4) + percent_rank + cume_dist over order totals. The window
+    * is GLOBAL (no partition key at all — the K=1 extreme of the
+    * low-cardinality funnel), so the row numbers come from
+    * [[DistRank.rowNumberInGroup]] with an empty group and every rank
+    * statistic is derived arithmetically from (rn, n) under the total
+    * order: percent_rank = (rn−1)/(n−1), cume_dist = rn/n, and
+    * ntile(q) by its integer fill rule — the first n%q tiles hold
+    * n div q + 1 rows, the rest n div q (`div` keeps it integer-exact;
+    * the zero-divisor branch is unreachable because when n < q every
+    * row lands in the first-tiles CASE arm). The plain window form
+    * stays as the oracle. */
   val qWinNtile: Q = (s, dir) => {
     import s.implicits._
-    val w = Window.orderBy($"o_totalprice", $"o_orderkey")
-    table(s, dir, "orders")
+    DistRank.rowNumberInGroup(
+      table(s, dir, "orders").select($"o_orderkey", $"o_totalprice"),
+      Seq.empty, Seq($"o_totalprice", $"o_orderkey"),
+      sliceKey = $"o_totalprice", out = "_rn", countOut = Some("_n"))
+      .withColumn("_rem", $"_n" % 4)
+      .withColumn("_big", expr("_n div 4") + 1L)
       .select($"o_orderkey", $"o_totalprice",
-        ntile(4).over(w).cast("long").as("quartile"),
-        percent_rank().over(w).as("pct_rank"),
-        cume_dist().over(w).as("cd"))
+        when($"_rn" <= $"_rem" * $"_big", expr("(_rn - 1) div _big") + 1L)
+          .otherwise($"_rem" + expr("(_rn - _rem * _big - 1) div (_big - 1)") + 1L)
+          .cast("long").as("quartile"),
+        when($"_n" === 1L, lit(0.0))
+          .otherwise(($"_rn" - 1L).cast("double") / ($"_n" - 1L).cast("double"))
+          .as("pct_rank"),
+        ($"_rn".cast("double") / $"_n".cast("double")).as("cd"))
       .orderBy($"o_orderkey")
   }
 

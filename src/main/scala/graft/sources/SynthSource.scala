@@ -111,11 +111,12 @@ class SynthSource extends TableProvider {
     new SynthTable(properties.getOrDefault("rows", "100000").toLong,
       properties.getOrDefault("slices", "8").toInt,
       properties.getOrDefault("partitionBy", "") == "bucket",
-      properties.getOrDefault("microBatchRows", "4096").toLong)
+      properties.getOrDefault("microBatchRows", "4096").toLong,
+      properties.getOrDefault("columnar", "false").toBoolean)
 }
 
 class SynthTable(rows: Long, slices: Int, byBucket: Boolean,
-    microBatchRows: Long) extends Table with SupportsRead {
+    microBatchRows: Long, columnar: Boolean) extends Table with SupportsRead {
   override def name(): String = s"synth($rows)"
   override def schema(): StructType = SynthSource.fullSchema
   override def partitioning(): Array[Transform] =
@@ -123,11 +124,11 @@ class SynthTable(rows: Long, slices: Int, byBucket: Boolean,
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new SynthScanBuilder(rows, slices, byBucket, microBatchRows)
+    new SynthScanBuilder(rows, slices, byBucket, microBatchRows, columnar)
 }
 
 class SynthScanBuilder(rows: Long, slices: Int, byBucket: Boolean,
-    microBatchRows: Long = 4096)
+    microBatchRows: Long = 4096, columnar: Boolean = false)
     extends ScanBuilder
     with SupportsPushDownFilters with SupportsPushDownRequiredColumns
     with SupportsPushDownAggregates {
@@ -205,12 +206,14 @@ class SynthScanBuilder(rows: Long, slices: Int, byBucket: Boolean,
   }
 
   override def build(): Scan =
-    new SynthScan(lo, hi, slices, byBucket, required, pushed, agg, microBatchRows)
+    new SynthScan(lo, hi, slices, byBucket, required, pushed, agg,
+      microBatchRows, columnar)
 }
 
 class SynthScan(lo: Long, hi: Long, slices: Int, byBucket: Boolean,
     required: StructType, pushed: Array[Filter],
-    agg: Option[SynthSource.AggSpec], microBatchRows: Long = 4096)
+    agg: Option[SynthSource.AggSpec], microBatchRows: Long = 4096,
+    columnar: Boolean = false)
     extends Scan with Batch with SupportsReportPartitioning
     with SupportsRuntimeFiltering {
   import SynthSource._
@@ -275,7 +278,7 @@ class SynthScan(lo: Long, hi: Long, slices: Int, byBucket: Boolean,
     }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new SynthReaderFactory(output, agg)
+    new SynthReaderFactory(output, agg, columnar && agg.isEmpty)
 
   /** Streaming half of the connector (MICRO_BATCH_READ): the same id
     * range replayed as a bounded stream, at most `microBatchRows` ids per
@@ -344,18 +347,76 @@ case class SynthBucketPartition(bucket: Int, lo: Long, hi: Long)
 }
 
 class SynthReaderFactory(output: StructType,
-    agg: Option[SynthSource.AggSpec]) extends PartitionReaderFactory {
+    agg: Option[SynthSource.AggSpec], columnar: Boolean = false)
+    extends PartitionReaderFactory {
   import SynthSource._
+
+  private def bounds(partition: InputPartition): (Long, Long, Long) =
+    partition match {
+      case p: SynthPartition => (p.start, p.end, 1L)
+      case b: SynthBucketPartition => (b.firstId, b.hi, NumBuckets.toLong)
+    }
 
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     agg match {
       case Some(spec) => new SynthAggReader(partition, spec)
-      case None => partition match {
-        case p: SynthPartition => new SynthRowReader(output, p.start, p.end, 1L)
-        case b: SynthBucketPartition =>
-          new SynthRowReader(output, b.firstId, b.hi, NumBuckets.toLong)
-      }
+      case None =>
+        val (first, limit, step) = bounds(partition)
+        new SynthRowReader(output, first, limit, step)
     }
+
+  // the vectorized path (columnar=true option, raw reads only): the scan
+  // hands Spark ColumnarBatches and the plan gets a ColumnarToRow bridge
+  // feeding whole-stage codegen — the parquet-reader architecture,
+  // demonstrated at the connector level
+  override def supportColumnarReads(partition: InputPartition): Boolean = columnar
+  override def createColumnarReader(
+      partition: InputPartition): PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] = {
+    val (first, limit, step) = bounds(partition)
+    new SynthColumnarReader(output, first, limit, step)
+  }
+}
+
+/** Vectorized reader: fills OnHeapColumnVectors 4096 ids at a time — one
+  * virtual call per BATCH instead of per row-field, and the consumer
+  * reads primitive arrays directly (the reason columnar scan + WSCG is
+  * the fast path for parquet; here the "decode" is the generator
+  * arithmetic). The batch and its vectors are reused across next()
+  * calls, as the parquet vectorized reader does. */
+class SynthColumnarReader(output: StructType, first: Long, limit: Long,
+    step: Long)
+    extends PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] {
+  import org.apache.spark.sql.execution.vectorized.OnHeapColumnVector
+  import org.apache.spark.sql.vectorized.{ColumnarBatch, ColumnVector}
+
+  private val BatchRows = 4096
+  private val vectors = OnHeapColumnVector.allocateColumns(BatchRows, output)
+  private val batch = new ColumnarBatch(vectors.map(v => v: ColumnVector))
+  private var cur = first
+
+  override def next(): Boolean = {
+    if (cur >= limit) return false
+    var n = 0
+    vectors.foreach(_.reset())
+    while (n < BatchRows && cur < limit) {
+      var i = 0
+      while (i < output.fields.length) {
+        output.fields(i).name match {
+          case "id" => vectors(i).putLong(n, cur)
+          case "bucket" => vectors(i).putInt(n, SynthSource.bucketOf(cur))
+          case "val" => vectors(i).putDouble(n, SynthSource.valOf(cur))
+        }
+        i += 1
+      }
+      n += 1
+      cur += step
+    }
+    batch.setNumRows(n)
+    true
+  }
+
+  override def get(): ColumnarBatch = batch
+  override def close(): Unit = batch.close()
 }
 
 /** Raw-row reader over an arithmetic id progression (step 1 for slice

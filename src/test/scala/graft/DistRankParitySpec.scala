@@ -22,7 +22,8 @@ class DistRankParitySpec extends SparkSuite {
       spark.conf.set(graft.ops.DistRank.ThresholdConf, _))
   }
 
-  Seq("q_win_rank", "q_win_pctrank", "q_win_firstlast", "q_ts_lttb").foreach { name =>
+  Seq("q_win_rank", "q_win_pctrank", "q_win_firstlast", "q_ts_lttb",
+      "q_win_ntile").foreach { name =>
     test(s"$name: two-phase kernel output equals the plain-window output") {
       val plain = collectSorted(SparkEntry.queries(name)(spark, sfDir))
       val kernel = withKernelForced {
@@ -34,6 +35,30 @@ class DistRankParitySpec extends SparkSuite {
           s"(first diff: ${plain.zip(kernel).find(p => p._1 != p._2)})")
       graft.ops.Util.unpersistRegistered()
     }
+  }
+
+  test("derived ntile(4) equals the ntile window function on torture sizes") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // every n in 1..25 (covers n < q, n % q = 0..3) against real ntile
+    (1 to 25).foreach { n =>
+      val df = (1 to n).map(i => (i.toLong, (i * 13 % 7).toDouble))
+        .toDF("id", "v")
+      val ranked = graft.ops.DistRank.twoPhase(
+        df, Seq.empty, Seq($"v", $"id"), sliceKey = $"v", out = "_rn",
+        countOut = Some("_n"))
+        .withColumn("_rem", $"_n" % 4)
+        .withColumn("_big", expr("_n div 4") + 1L)
+        .select($"id",
+          when($"_rn" <= $"_rem" * $"_big", expr("(_rn - 1) div _big") + 1L)
+            .otherwise($"_rem" + expr("(_rn - _rem * _big - 1) div (_big - 1)") + 1L)
+            .cast("long").as("q"))
+      val w = org.apache.spark.sql.expressions.Window.orderBy($"v", $"id")
+      val expected = df.select($"id", ntile(4).over(w).cast("long").as("q"))
+      assert(ranked.collect().map(_.toSeq).toSet ==
+        expected.collect().map(_.toSeq).toSet, s"ntile mismatch at n=$n")
+    }
+    graft.ops.Util.unpersistRegistered()
   }
 
   test("q_win_rank_dist (always-kernel registry entry) equals q_win_rank") {

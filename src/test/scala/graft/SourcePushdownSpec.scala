@@ -124,6 +124,23 @@ class SourcePushdownSpec extends SparkSuite {
     assert(r.length == 50 && r.forall(_.getLong(1) == 500L))
   }
 
+  test("columnar read path: ColumnarToRow in the plan, content identical to row mode") {
+    val df = SparkEntry.queries("q_src_columnar")(spark, sfDir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("ColumnarToRow"),
+      s"vectorized reader did not engage (no ColumnarToRow bridge):\n$p")
+    // same scan in row mode must produce identical grouped results
+    val row = synth(200000, "slices" -> "8")
+      .filter(col("id") >= 1000 && col("id") < 150000)
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"), avg(col("val")).as("avg_val"),
+        sum(col("id")).as("sum_id"))
+      .orderBy(col("bucket"))
+    assert(df.collect().toSeq == row.collect().toSeq,
+      "columnar and row readers disagree")
+  }
+
   test("runtime V2 filtering: the dim's filter drops 45 of 50 fact bucket partitions") {
     val df = SparkEntry.queries("q_join_dpp_v2")(spark, sfDir)
     // grab the live Scan instance BEFORE execution: runtime filtering
