@@ -50,6 +50,53 @@ class PlanShapeSpec extends SparkSuite {
     assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"), p)
   }
 
+  // AQE hides stage subtrees from TreeNode.children (QueryStageExec keeps
+  // its materialized plan as an inner child), so a plain collect() never
+  // sees operators below the first exchange — descend explicitly
+  private def allNodes(p: org.apache.spark.sql.execution.SparkPlan)
+      : Seq[org.apache.spark.sql.execution.SparkPlan] = {
+    val inner = p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        Seq(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        Seq(q.plan)
+      case _ => Nil
+    }
+    p +: (p.children ++ inner).flatMap(allNodes)
+  }
+
+  test("q_join_bucketed: SMJ over bucketed scans, zero shuffle AND zero sort below the join") {
+    val df = SparkEntry.queries("q_join_bucketed")(spark, sfDir)
+    df.collect()
+    val smj = allNodes(df.queryExecution.executedPlan).collect {
+      case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j }
+    assert(smj.nonEmpty, s"no SortMergeJoin:\n${df.queryExecution.executedPlan}")
+    // the write-time exchange is the ONLY one: the join itself reads the
+    // bucketed layout directly (the amortized-shuffle claim)
+    val shuffles = allNodes(smj.head).collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike => e }
+    assert(shuffles.isEmpty, s"bucketed join still shuffles:\n${smj.head}")
+    // one file per bucket (repartition before write) + the legacy
+    // sorted-scan conf => per-file sortBy order is trusted, sorts elided
+    val sorts = allNodes(smj.head).collect {
+      case so: org.apache.spark.sql.execution.SortExec => so }
+    assert(sorts.isEmpty, s"sortBy order not trusted (Sort not elided):\n${smj.head}")
+  }
+
+  test("bucketed scan statically prunes to one bucket on a key-literal filter") {
+    import org.apache.spark.sql.functions._
+    SparkEntry.queries("q_join_bucketed")(spark, sfDir).collect() // ensure tables
+    // scan-only queries auto-DISABLE bucketed reads (no join/agg to feed);
+    // pruning needs the bucketed scan kept on
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+    val ct = s"graft_bkt_customer_${Integer.toHexString(sfDir.hashCode)}"
+    val p = s2.table(ct).filter(col("c_custkey") === 42)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("SelectedBucketsCount: 1 out of 8"),
+      s"no static bucket pruning:\n$p")
+  }
+
   test("q_sim_topk broadcasts the probe side") {
     val p = plan("q_sim_topk")
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
