@@ -437,6 +437,75 @@ object Sources {
       .orderBy($"l_returnflag", $"l_linestatus")
   }
 
+  /** Skipping-table dirs already written this JVM, keyed by (session, dir). */
+  private val skipWritten = new java.util.concurrent.ConcurrentHashMap[String, String]
+
+  /** Manifest-statistics FILE SKIPPING (round 7): the GraftStore writer
+    * records per-file min/max/null-count for every numeric column in the
+    * manifest, and the scan's SupportsPushDownFilters copy of the query's
+    * predicates disproves whole files at PLANNING time — no data I/O, the
+    * Iceberg scan-planning story in miniature. The write
+    * `repartitionByRange`s on the filter column first, so the 8 data
+    * files carry disjoint o_orderkey ranges and the `<=` predicate
+    * selects 1 of them (pinned live in GraftStoreSpec via the scan
+    * description and the planned-partition count). Filters stay RESIDUAL
+    * — Spark still evaluates them row-by-row inside the surviving files,
+    * exactly parquet's min/max semantics. At 100 TB this is the
+    * difference between listing+reading a million files and opening the
+    * handful the manifest cannot disprove. */
+  val qSrcSkipping: Q = (s, dir) => {
+    import s.implicits._
+    val path = skipWritten.computeIfAbsent(s"${Util.sessionKey(s)}:$dir", _ => {
+      val d = Util.managedTempDir("graft_skip_")
+      table(s, dir, "orders")
+        .select($"o_orderkey", $"o_custkey", $"o_totalprice")
+        .repartitionByRange(8, $"o_orderkey")
+        .write.format("graft.sources.GraftStore")
+        .option("path", d).mode("overwrite").save()
+      d
+    })
+    s.read.format("graft.sources.GraftStore").option("path", path).load()
+      .filter($"o_orderkey" <= 6000)
+      .groupBy(($"o_orderkey" % 10).as("k"))
+      .agg(count(lit(1)).as("n"), dsum($"o_totalprice").as("sum_price"))
+      .orderBy($"k")
+  }
+
+  /** Metadata-only DELETE (round 7): batch-aligned ingest (one append per
+    * priority class — each commit's files are single-valued on `pri`,
+    * min==max in the manifest stats) followed by
+    * `DELETE FROM graft.dtab WHERE pri = 2`, which the connector decides
+    * ENTIRELY from manifest stats: batch-2 files provably all-match and
+    * are dropped in one atomic manifest swap; every other file provably
+    * none-matches and is untouched. No data file is read or written — the
+    * Iceberg partition-grained delete economics, and the everyday
+    * pipeline shape (drop the bad ingest day). A predicate that would
+    * SPLIT a file is refused up front (canDeleteWhere false, pinned in
+    * GraftStoreSpec) — never a silent partial delete. Fresh table per
+    * invocation: DELETE mutates, memoizing would leak state across runs.
+    * Oracle recomputes from the source parquet with the complement
+    * predicate. */
+  val qEtlDelete: Q = (s, dir) => {
+    val s2 = s.newSession()
+    val root = Util.managedTempDir("graft_del_")
+    s2.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+    s2.conf.set("spark.sql.catalog.graft.root", root)
+    import s2.implicits._
+    val o = table(s2, dir, "orders")
+      .select($"o_orderkey", $"o_totalprice",
+        substring($"o_orderpriority", 1, 1).cast("int").as("pri"))
+    (1 to 5).foreach { v =>
+      o.filter($"pri" === v).repartition(2)
+        .write.format("graft.sources.GraftStore")
+        .option("path", s"$root/dtab").mode("append").save()
+    }
+    s2.sql("DELETE FROM graft.dtab WHERE pri = 2")
+    s2.sql(
+      """SELECT pri, count(*) AS n,
+        | CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+        |FROM graft.dtab GROUP BY pri ORDER BY pri""".stripMargin)
+  }
+
   /** SQL-DDL catalog surface (round 7): graft.sources.GraftCatalog makes
     * the GraftStore connector a full catalog citizen — this query drives
     * the whole lifecycle with NOTHING but SQL: DROP IF EXISTS → CTAS
@@ -471,6 +540,8 @@ object Sources {
   }
 
   val queries: Map[String, Q] = Map(
+    "q_src_skipping" -> qSrcSkipping,
+    "q_etl_delete" -> qEtlDelete,
     "q_catalog_sql" -> qCatalogSql,
     "q_sink_roundtrip" -> qSinkRoundtrip,
     "q_src_binaryfile" -> qSrcBinaryfile,
@@ -560,6 +631,18 @@ object Sources {
         |  FROM (SELECT unnest(generate_series(1000, 4999)) AS id))
         |SELECT a.bucket, count(*) AS n, sum(a_val * b_val) AS sum_prod
         |FROM a JOIN b USING (bucket)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_src_skipping" ->
+      """SELECT o_orderkey % 10 AS k, count(*) AS n,
+        | CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+        |FROM orders WHERE o_orderkey <= 6000
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_etl_delete" ->
+      """SELECT CAST(substr(o_orderpriority, 1, 1) AS INT) AS pri,
+        | count(*) AS n,
+        | CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+        |FROM orders
+        |WHERE CAST(substr(o_orderpriority, 1, 1) AS INT) <> 2
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_src_columnar" ->
       """SELECT CAST(id % 50 AS INT) AS bucket, count(*) AS n,

@@ -60,25 +60,190 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
 object GraftStore {
   private[graft] val ManifestName = "_manifest"
 
-  /** Manifest = schema JSON line, then one committed file name per line.
-    * Read/written only on the driver. */
-  private[graft] def readManifest(path: String): Option[(StructType, Seq[String])] = {
+  /** Per-file, per-column statistics for the numeric columns (int / long /
+    * double): min and max over the file's NON-NULL values as type-faithful
+    * strings (Long.toString / Double.toString round-trip exactly; empty
+    * when every value is null) plus the null count. The manifest carries
+    * one [[FileEntry]] per committed data file, which is what makes the
+    * two Iceberg-style metadata operations possible with no data I/O:
+    * scan-side FILE SKIPPING (a pushed filter disproves whole files) and
+    * METADATA-ONLY DELETE (a predicate every file either entirely
+    * satisfies or entirely misses = a manifest swap). */
+  case class ColStats(min: String, max: String, nulls: Long)
+  case class FileEntry(file: String, rows: Long, stats: Map[String, ColStats])
+
+  // file<TAB>rows<TAB>col=min:max:nulls;col2=... — ':'/';'/'=' cannot
+  // occur inside Long/Double.toString, and stats-bearing column names are
+  // restricted to ones without the delimiters (others just carry no stats)
+  private def fmtEntry(e: FileEntry): String = {
+    val st = e.stats.toSeq.sortBy(_._1)
+      .map { case (c, s) => s"$c=${s.min}:${s.max}:${s.nulls}" }.mkString(";")
+    s"${e.file}\t${e.rows}\t$st"
+  }
+
+  private def parseEntry(line: String): FileEntry = line.split('\t') match {
+    case Array(f) => FileEntry(f, -1L, Map.empty) // pre-stats manifest line
+    case parts =>
+      val stats = if (parts.length < 3 || parts(2).isEmpty) Map.empty[String, ColStats]
+      else parts(2).split(';').map { kv =>
+        val Array(c, v) = kv.split('=')
+        val Array(mn, mx, nulls) = v.split(':')
+        c -> ColStats(mn, mx, nulls.toLong)
+      }.toMap
+      FileEntry(parts(0), parts(1).toLong, stats)
+  }
+
+  /** Manifest = schema DDL line, then one [[FileEntry]] line per committed
+    * data file. Read/written only on the driver. */
+  private[graft] def readManifest(path: String): Option[(StructType, Seq[FileEntry])] = {
     val f = new File(path, ManifestName)
     if (!f.exists()) None
     else {
       val lines = new String(Files.readAllBytes(f.toPath), StandardCharsets.UTF_8)
         .split('\n').toSeq.filter(_.nonEmpty)
-      Some((StructType.fromDDL(lines.head), lines.tail))
+      Some((StructType.fromDDL(lines.head), lines.tail.map(parseEntry)))
     }
   }
 
   private[sources] def writeManifestAtomic(
-      path: String, schema: StructType, files: Seq[String]): Unit = {
+      path: String, schema: StructType, files: Seq[FileEntry]): Unit = {
     val tmp = Paths.get(path, s".manifest.tmp.${java.util.UUID.randomUUID()}")
     Files.write(tmp,
-      (schema.toDDL +: files).mkString("\n").getBytes(StandardCharsets.UTF_8))
+      (schema.toDDL +: files.map(fmtEntry)).mkString("\n").getBytes(StandardCharsets.UTF_8))
     Files.move(tmp, Paths.get(path, ManifestName),
       StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** Tri-state evaluation of a pushed v1 Filter against one file's stats:
+    * does the predicate hold for ALL of the file's rows, for NONE of them,
+    * or can the stats not decide (Unknown)? The scan skips NoRows files;
+    * DELETE additionally demands every file decide to AllRows or NoRows
+    * (a mixed file would need a rewrite — the caller gets a clean
+    * "cannot delete" instead of a silent partial delete).
+    *
+    * SQL three-valued logic: a NULL never satisfies a comparison, so a
+    * file whose column is all-null contributes NoRows to any range
+    * predicate, and AllRows for a range additionally requires zero nulls.
+    * Comparisons are done in the column's own type (longs exact; doubles
+    * via the exact Double.toString round-trip), never through a lossy
+    * common cast. */
+  private[sources] object StatsPruning {
+    sealed trait Tri
+    case object AllRows extends Tri
+    case object NoRows extends Tri
+    case object Unknown extends Tri
+
+    import org.apache.spark.sql.sources._
+    import org.apache.spark.sql.types._
+
+    private def statable(dt: DataType): Boolean = dt match {
+      case IntegerType | LongType | DoubleType => true
+      case _ => false
+    }
+
+    /** (min, max, value) as comparable doubles for DoubleType, exact longs
+      * widened to double for int/long — safe because stats compare is only
+      * ever used to BUCKET files, and long→double is exact to 2^53 (the
+      * fixture/table ids); beyond that a collapsed compare degrades to
+      * Unknown-ish conservatism only when min==max tests are involved, so
+      * correctness is kept by the residual evaluation Spark always runs. */
+    private def cmp(dt: DataType, s: String): Double = dt match {
+      case DoubleType => s.toDouble
+      case _ => s.toLong.toDouble
+    }
+    private def cmpValue(v: Any): Double = v match {
+      case n: java.lang.Number => n.doubleValue()
+      case _ => Double.NaN
+    }
+
+    def eval(f: Filter, e: FileEntry, schema: StructType): Tri = {
+      def col(c: String): Option[(ColStats, DataType)] =
+        e.stats.get(c).flatMap(st =>
+          schema.fields.find(_.name == c).filter(f => statable(f.dataType))
+            .map(f => (st, f.dataType)))
+      // range predicate on column c: given (lo-ok, hi-ok) bounds checks
+      // over non-null values, fold in the null rules
+      def range(c: String, v: Any)(all: (Double, Double, Double) => Boolean)
+          (none: (Double, Double, Double) => Boolean): Tri =
+        col(c) match {
+          case Some((st, dt)) =>
+            val x = cmpValue(v)
+            if (x.isNaN) Unknown
+            else if (st.min.isEmpty) NoRows // every value null
+            else {
+              val (mn, mx) = (cmp(dt, st.min), cmp(dt, st.max))
+              if (none(mn, mx, x)) NoRows
+              else if (all(mn, mx, x) && st.nulls == 0) AllRows
+              else Unknown
+            }
+          case None => Unknown
+        }
+      f match {
+        case EqualTo(c, v) =>
+          range(c, v)((mn, mx, x) => mn == x && mx == x)((mn, mx, x) => x < mn || x > mx)
+        case GreaterThan(c, v) =>
+          range(c, v)((mn, _, x) => mn > x)((_, mx, x) => mx <= x)
+        case GreaterThanOrEqual(c, v) =>
+          range(c, v)((mn, _, x) => mn >= x)((_, mx, x) => mx < x)
+        case LessThan(c, v) =>
+          range(c, v)((_, mx, x) => mx < x)((mn, _, x) => mn >= x)
+        case LessThanOrEqual(c, v) =>
+          range(c, v)((_, mx, x) => mx <= x)((mn, _, x) => mn > x)
+        case In(c, vs) if vs.nonEmpty =>
+          val tris = vs.toSeq.map(v => eval(EqualTo(c, v), e, schema))
+          if (tris.contains(AllRows)) AllRows // single-valued file, value present
+          else if (tris.forall(_ == NoRows)) NoRows
+          else Unknown
+        case IsNotNull(c) =>
+          col(c) match {
+            case Some((st, _)) if st.nulls == 0 => AllRows
+            case Some((st, _)) if e.rows >= 0 && st.nulls == e.rows => NoRows
+            case _ => Unknown
+          }
+        case IsNull(c) =>
+          col(c) match {
+            case Some((st, _)) if st.nulls == 0 => NoRows
+            case Some((st, _)) if e.rows >= 0 && st.nulls == e.rows => AllRows
+            case _ => Unknown
+          }
+        case And(l, r) =>
+          (eval(l, e, schema), eval(r, e, schema)) match {
+            case (AllRows, AllRows) => AllRows
+            case (NoRows, _) | (_, NoRows) => NoRows
+            case _ => Unknown
+          }
+        case Or(l, r) =>
+          (eval(l, e, schema), eval(r, e, schema)) match {
+            case (NoRows, NoRows) => NoRows
+            case (AllRows, _) | (_, AllRows) => AllRows
+            case _ => Unknown
+          }
+        case Not(inner) =>
+          eval(inner, e, schema) match {
+            // only safe to flip when the column is null-free: NOT of an
+            // all-null-failing predicate is still false for null rows
+            case AllRows => NoRows
+            case NoRows if nullFree(inner, e, schema) => AllRows
+            case _ => Unknown
+          }
+        case _ => Unknown
+      }
+    }
+
+    private def nullFree(f: Filter, e: FileEntry, schema: StructType): Boolean =
+      f.references.forall(c => e.stats.get(c).exists(_.nulls == 0))
+
+    /** Conjunction of a filter set (the DELETE condition / pushed scan
+      * filters): AllRows iff every conjunct is AllRows, NoRows iff any
+      * is NoRows. Empty = AllRows (unconditional). */
+    def evalAll(fs: Seq[Filter], e: FileEntry, schema: StructType): Tri =
+      fs.foldLeft(AllRows: Tri) { (acc, f) =>
+        (acc, eval(f, e, schema)) match {
+          case (NoRows, _) | (_, NoRows) => NoRows
+          case (AllRows, AllRows) => AllRows
+          case _ => Unknown
+        }
+      }
   }
 
   /** Attempts that died before commit/abort (JVM kill) leave orphans;
@@ -121,7 +286,8 @@ class GraftStore extends TableProvider {
 class GraftStoreTable(path: String, tableSchema: StructType,
     clusterBy: Option[String], sortBy: Option[String],
     failFirstAttemptOf: Option[Int], failAllAttemptsOf: Option[Int])
-  extends Table with SupportsRead with SupportsWrite {
+  extends Table with SupportsRead with SupportsWrite
+  with org.apache.spark.sql.connector.catalog.SupportsDelete {
 
   override def name(): String = s"graft_store($path)"
   override def schema(): StructType = tableSchema
@@ -135,6 +301,38 @@ class GraftStoreTable(path: String, tableSchema: StructType,
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new GraftStoreWriteBuilder(path, info.schema(), clusterBy, sortBy,
       failFirstAttemptOf, failAllAttemptsOf)
+
+  // ------------------------------------------------- metadata-only DELETE
+  // `DELETE FROM graft.t WHERE …` succeeds iff the manifest stats DECIDE
+  // the predicate for every data file (entirely-matching files are
+  // dropped from the manifest in one atomic swap; entirely-missing files
+  // are kept untouched). A predicate that would split a file is refused
+  // up front — Spark surfaces "cannot delete", never a partial result.
+  // This is the Iceberg partition-grained delete economics: dropping an
+  // ingest batch (whose files are single-valued on the batch key) is
+  // pure metadata, no data I/O, readers see old-or-new atomically.
+
+  import org.apache.spark.sql.sources.Filter
+
+  override def canDeleteWhere(filters: Array[Filter]): Boolean =
+    GraftStore.readManifest(path).forall { case (sch, entries) =>
+      entries.forall(e =>
+        GraftStore.StatsPruning.evalAll(filters.toSeq, e, sch) !=
+          GraftStore.StatsPruning.Unknown)
+    }
+
+  override def deleteWhere(filters: Array[Filter]): Unit = {
+    val (sch, entries) = GraftStore.readManifest(path).getOrElse(return)
+    val tri = entries.map(e =>
+      e -> GraftStore.StatsPruning.evalAll(filters.toSeq, e, sch))
+    // canDeleteWhere gates this, but belt-and-braces: an undecidable file
+    // must fail loudly, never be silently dropped or kept
+    require(tri.forall(_._2 != GraftStore.StatsPruning.Unknown),
+      s"delete predicate undecidable for ${tri.count(_._2 == GraftStore.StatsPruning.Unknown)} file(s)")
+    val kept = tri.collect { case (e, GraftStore.StatsPruning.NoRows) => e }
+    GraftStore.writeManifestAtomic(path, sch, kept)
+    GraftStore.gcUnreferenced(path, kept.map(_.file).toSet)
+  }
 }
 
 // ----------------------------------------------------------------- write
@@ -174,8 +372,8 @@ class GraftStoreWrite(path: String, schema: StructType, truncateFirst: Boolean,
       failAllAttemptsOf)
 }
 
-case class GraftStoreCommitMessage(file: String, rows: Long)
-  extends WriterCommitMessage
+case class GraftStoreCommitMessage(file: String, rows: Long,
+    stats: Map[String, GraftStore.ColStats]) extends WriterCommitMessage
 
 class GraftStoreBatchWrite(path: String, schema: StructType,
     truncateFirst: Boolean, failFirstAttemptOf: Option[Int],
@@ -190,18 +388,20 @@ class GraftStoreBatchWrite(path: String, schema: StructType,
   override def useCommitCoordinator(): Boolean = true
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
-    val committed = messages.map(_.asInstanceOf[GraftStoreCommitMessage].file).toSeq
+    val committed = messages.toSeq.map { case m: GraftStoreCommitMessage =>
+      GraftStore.FileEntry(m.file, m.rows, m.stats)
+    }
     val previous =
       if (truncateFirst) Seq.empty
       else GraftStore.readManifest(path).map(_._2).getOrElse(Seq.empty)
     val files = previous ++ committed
     GraftStore.writeManifestAtomic(path, schema, files)
-    GraftStore.gcUnreferenced(path, files.toSet)
+    GraftStore.gcUnreferenced(path, files.map(_.file).toSet)
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit =
     messages.foreach {
-      case GraftStoreCommitMessage(f, _) => new File(path, f).delete()
+      case GraftStoreCommitMessage(f, _, _) => new File(path, f).delete()
       case _ =>
     }
 }
@@ -229,6 +429,59 @@ class GraftStoreDataWriter(path: String, schema: StructType, partitionId: Int,
     new BufferedOutputStream(new FileOutputStream(file)))
   private val toUnsafe = UnsafeProjection.create(schema)
   private var rows = 0L
+
+  // per-column min/max/nulls for the numeric columns (manifest stats —
+  // the file-skipping / metadata-delete substrate). Longs and doubles
+  // tracked in their own type; serialization via toString is exact.
+  import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType}
+  private val statIdx = schema.fields.zipWithIndex.collect {
+    case (f, i) if (f.dataType == IntegerType || f.dataType == LongType ||
+      f.dataType == DoubleType) &&
+      !f.name.exists(ch => ch == '=' || ch == ';' || ch == ':' || ch == '\t')
+      => i
+  }
+  private val minL = Array.fill(schema.length)(Long.MaxValue)
+  private val maxL = Array.fill(schema.length)(Long.MinValue)
+  private val minD = Array.fill(schema.length)(Double.PositiveInfinity)
+  private val maxD = Array.fill(schema.length)(Double.NegativeInfinity)
+  private val nulls = Array.fill(schema.length)(0L)
+  private val nonNull = Array.fill(schema.length)(0L)
+
+  private def observe(row: InternalRow): Unit = {
+    var j = 0
+    while (j < statIdx.length) {
+      val i = statIdx(j)
+      if (row.isNullAt(i)) nulls(i) += 1
+      else {
+        nonNull(i) += 1
+        schema.fields(i).dataType match {
+          case DoubleType =>
+            val v = row.getDouble(i)
+            if (v < minD(i)) minD(i) = v
+            if (v > maxD(i)) maxD(i) = v
+          case IntegerType =>
+            val v = row.getInt(i).toLong
+            if (v < minL(i)) minL(i) = v
+            if (v > maxL(i)) maxL(i) = v
+          case _ =>
+            val v = row.getLong(i)
+            if (v < minL(i)) minL(i) = v
+            if (v > maxL(i)) maxL(i) = v
+        }
+      }
+      j += 1
+    }
+  }
+
+  private def collectedStats: Map[String, GraftStore.ColStats] =
+    statIdx.map { i =>
+      val f = schema.fields(i)
+      val (mn, mx) =
+        if (nonNull(i) == 0) ("", "")
+        else if (f.dataType == DoubleType) (minD(i).toString, maxD(i).toString)
+        else (minL(i).toString, maxL(i).toString)
+      f.name -> GraftStore.ColStats(mn, mx, nulls(i))
+    }.toMap
   private val failThis = failAllAttemptsOf.contains(partitionId) ||
     (failFirstAttemptOf.contains(partitionId) &&
       org.apache.spark.TaskContext.get() != null &&
@@ -245,6 +498,7 @@ class GraftStoreDataWriter(path: String, schema: StructType, partitionId: Int,
       case u: UnsafeRow => u
       case other => toUnsafe(other)
     }
+    observe(unsafe)
     val bytes = unsafe.getBytes
     out.writeInt(bytes.length)
     out.write(bytes)
@@ -254,7 +508,7 @@ class GraftStoreDataWriter(path: String, schema: StructType, partitionId: Int,
 
   override def commit(): WriterCommitMessage = {
     out.close()
-    GraftStoreCommitMessage(rel, rows)
+    GraftStoreCommitMessage(rel, rows, collectedStats)
   }
 
   override def abort(): Unit = {
@@ -267,25 +521,50 @@ class GraftStoreDataWriter(path: String, schema: StructType, partitionId: Int,
 
 // ------------------------------------------------------------------ read
 
-class GraftStoreScanBuilder(path: String) extends ScanBuilder {
-  override def build(): Scan = new GraftStoreScan(path)
+class GraftStoreScanBuilder(path: String) extends ScanBuilder
+    with org.apache.spark.sql.connector.read.SupportsPushDownFilters {
+  import org.apache.spark.sql.sources.Filter
+  private var pushed = Array.empty[Filter]
+
+  /** Every filter is kept as a RESIDUAL for Spark to evaluate row-by-row
+    * — the pushed copy only feeds manifest-stats FILE SKIPPING (exactly
+    * parquet's min/max semantics: stats prune containers, they never
+    * replace row filtering). */
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    pushed = filters
+    filters
+  }
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def build(): Scan = new GraftStoreScan(path, pushed)
 }
 
-class GraftStoreScan(path: String) extends Scan with Batch {
-  private val (schema, files) = GraftStore.readManifest(path)
+class GraftStoreScan(path: String,
+    pushed: Array[org.apache.spark.sql.sources.Filter] = Array.empty)
+  extends Scan with Batch {
+  private val (schema, entries) = GraftStore.readManifest(path)
     .getOrElse(throw new IllegalArgumentException(
       s"no graft-store table at $path"))
+
+  // manifest-stats file skipping: a file is read only if no pushed filter
+  // disproves it (tri-state NoRows). Decided at planning time on the
+  // driver from manifest lines alone — no data I/O, the Iceberg scan-
+  // planning story in miniature.
+  private val selected = entries.filter(e =>
+    GraftStore.StatsPruning.evalAll(pushed.toSeq, e, schema) !=
+      GraftStore.StatsPruning.NoRows)
 
   override def readSchema(): StructType = schema
   override def toBatch: Batch = this
   override def description(): String =
-    s"graft_store($path, files=${files.size})"
+    s"graft_store($path, files=${selected.size}/${entries.size})"
 
-  // one input partition per committed data file — the write-side
+  // one input partition per surviving data file — the write-side
   // clustering IS the read-side parallelism
   override def planInputPartitions(): Array[InputPartition] =
-    files.map(f => GraftStoreFilePartition(new File(path, f).getAbsolutePath)
-      : InputPartition).toArray
+    selected.map(e =>
+      GraftStoreFilePartition(new File(path, e.file).getAbsolutePath)
+        : InputPartition).toArray
 
   override def createReaderFactory(): PartitionReaderFactory =
     new GraftStoreReaderFactory(schema.size)

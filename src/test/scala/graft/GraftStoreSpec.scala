@@ -59,7 +59,7 @@ class GraftStoreSpec extends SparkSuite {
     assert(back.map(_.getLong(0)).toSeq == (0L until 400L),
       "retried write lost or duplicated specific rows")
     // the dead attempt's half-written file is not referenced and was GC'd
-    val manifest = GraftStore.readManifest(path).get._2.map(_.stripPrefix("data/"))
+    val manifest = GraftStore.readManifest(path).get._2.map(_.file.stripPrefix("data/"))
     assert(dataFiles(path).toSet == manifest.toSet,
       s"orphan attempt files survived: ${dataFiles(path).toSet -- manifest.toSet}")
     assert(manifest.size == 4, "one committed file per partition")
@@ -81,7 +81,7 @@ class GraftStoreSpec extends SparkSuite {
       "failed overwrite corrupted the committed table")
     // abort deleted the successful-task files of the failed job; only
     // v1's committed files remain
-    val manifest = GraftStore.readManifest(path).get._2.map(_.stripPrefix("data/"))
+    val manifest = GraftStore.readManifest(path).get._2.map(_.file.stripPrefix("data/"))
     assert(dataFiles(path).toSet == manifest.toSet,
       "failed job left unreferenced data files behind")
   }
@@ -112,6 +112,73 @@ class GraftStoreSpec extends SparkSuite {
     assert(readBack(path).count() == 10, "overwrite did not truncate")
   }
 
+  test("manifest stats skip disproved files at planning time") {
+    import spark.implicits._
+    import org.apache.spark.sql.sources.{LessThan, EqualTo}
+    val path = tempTable()
+    writeDf(spark.range(0, 800, 1, 1)
+      .select($"id", ($"id" * 0.5).as("v"))
+      .repartitionByRange(8, $"id"), path)
+    // protocol level: the scan's own planning drops disproved files
+    val all = new graft.sources.GraftStoreScan(path)
+    assert(all.planInputPartitions().length == 8)
+    val pruned = new graft.sources.GraftStoreScan(path, Array(LessThan("id", 100L)))
+    assert(pruned.planInputPartitions().length == 1,
+      s"expected 1 surviving file, got ${pruned.description()}")
+    // double stats prune too
+    val prunedD = new graft.sources.GraftStoreScan(path, Array(EqualTo("v", 10.25)))
+    assert(prunedD.planInputPartitions().length == 1, prunedD.description())
+    // end to end: Spark pushes the query filter into the scan builder and
+    // the result is identical to the unskipped read
+    val filtered = readBack(path).filter($"id" < 100)
+    assert(filtered.collect().map(_.getLong(0)).sorted.toSeq == (0L until 100L),
+      "file skipping changed query results")
+    val desc = filtered.queryExecution.executedPlan.toString
+    assert(desc.contains("files=1/8"),
+      s"planned scan did not skip disproved files:\n$desc")
+  }
+
+  test("metadata-only DELETE drops whole batches and never touches kept files") {
+    import spark.implicits._
+    val root = graft.ops.Util.managedTempDir("graft_store_spec_del_")
+    val path = s"$root/t"
+    // batch-aligned ingest: five appends, each single-valued on k
+    (1 to 5).foreach { v =>
+      writeDf(spark.range(0, 100, 1, 2).select($"id", lit(v).as("k")),
+        path, mode = "append")
+    }
+    val before = dataFiles(path)
+    assert(before.size == 10)
+    val mtimes = before.map(f => f -> new File(path, s"data/$f").lastModified()).toMap
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.catalog.gdel", "graft.sources.GraftCatalog")
+    s2.conf.set("spark.sql.catalog.gdel.root", root)
+    s2.sql("DELETE FROM gdel.t WHERE k = 2")
+    val after = dataFiles(path)
+    assert(after.size == 8, s"expected batch 2's two files dropped: $after")
+    // kept data files are bit-for-bit untouched (metadata-only op)
+    after.foreach(f => assert(
+      new File(path, s"data/$f").lastModified() == mtimes(f),
+      s"kept file $f was rewritten"))
+    val back = readBack(path)
+    assert(back.count() == 400)
+    assert(back.filter($"k" === 2).count() == 0, "deleted rows still visible")
+  }
+
+  test("DELETE refuses a predicate that would split a file (no partial delete)") {
+    import spark.implicits._
+    val root = graft.ops.Util.managedTempDir("graft_store_spec_del2_")
+    val path = s"$root/t"
+    // ONE file holding k = 0..4: k = 2 is undecidable from [0,4] stats
+    writeDf(spark.range(0, 500, 1, 1).select($"id", ($"id" % 5).as("k")), path)
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.catalog.gdel2", "graft.sources.GraftCatalog")
+    s2.conf.set("spark.sql.catalog.gdel2.root", root)
+    intercept[Exception] { s2.sql("DELETE FROM gdel2.t WHERE k = 2") }
+    assert(readBack(path).count() == 500,
+      "refused delete must leave the table untouched")
+  }
+
   test("sink-demanded clustering: each key lives in exactly one data file") {
     import spark.implicits._
     val path = tempTable()
@@ -122,7 +189,7 @@ class GraftStoreSpec extends SparkSuite {
     // reader; a key appearing in two files means Spark did not honor the
     // sink's RequiresDistributionAndOrdering clustering
     val (schema, files) = GraftStore.readManifest(path).get
-    val keysByFile = files.map { f =>
+    val keysByFile = files.map(_.file).map { f =>
       val r = new GraftStoreFileReader(new File(path, f).getAbsolutePath, schema.size)
       val keys = scala.collection.mutable.Set[Long]()
       var lastV = Long.MinValue
