@@ -91,6 +91,41 @@ object Curation {
       .orderBy($"doc_id")
   }
 
+  /** Duplicate-cluster resolution with the KEEPER A REAL PIPELINE PICKS:
+    * the highest-QUALITY document of each near-dup cluster (min doc_id
+    * only as the tie-break), not the arbitrary min-id of
+    * q_dedup_connected. Quality is q_text_quality's composite —
+    * `(1 − digit_ratio) · min(n_tokens/20, 1)` rounded to 4dp, a value
+    * the oracle already hash-matches, so the cross-engine equality
+    * compare inside the argmax is exact. Shape: cluster labels (CC over
+    * near-dup pairs) ⋈ per-doc quality, per-cluster max, then keeper =
+    * min doc_id among max-quality docs. The per-cluster aggregates are
+    * CLUSTER-sized (kilobytes per million docs), broadcast back onto the
+    * doc-level rows — at 100 TB the corpus shuffles once on the cluster
+    * key and everything else is metadata-sized. */
+  val qDedupKeepbest: Q = (s, dir) => {
+    import s.implicits._
+    val q = table(s, dir, "documents")
+      .select($"doc_id",
+        round((lit(1.0) -
+          length(regexp_replace($"text", "[^0-9]", "")).cast("double") /
+            length($"text")) *
+          least(size(LlmOps.toks($"text")).cast("double") / 20.0, lit(1.0)),
+          4).as("quality"))
+    val lq = ccLabels(s, dir)
+      .join(q, $"node" === $"doc_id")
+      .select($"doc_id", $"comp".as("cluster"), $"quality")
+      .transform(cached)
+    val best = lq.groupBy($"cluster").agg(max($"quality").as("max_q"))
+    val keeper = lq.join(broadcast(best), "cluster")
+      .filter($"quality" === $"max_q")
+      .groupBy($"cluster").agg(min($"doc_id").as("keeper_id"))
+    lq.join(broadcast(keeper), "cluster")
+      .select($"doc_id", $"cluster", $"quality",
+        ($"doc_id" === $"keeper_id").as("is_keeper"))
+      .orderBy($"doc_id")
+  }
+
   /** Benchmark-contamination scoring: fraction of each corpus doc's
     * distinct word-3-gram shingles that appear anywhere in the held-out
     * benchmark set (docs with doc_id % 50 = 0 stand in for an eval
@@ -385,6 +420,7 @@ object Curation {
     "q_curate_classifier" -> qCurateClassifier,
     "q_dedup_incr_near" -> qDedupIncrNear,
     "q_dedup_connected" -> qDedupConnected,
+    "q_dedup_keepbest" -> qDedupKeepbest,
     "q_dedup_incremental" -> qDedupIncremental,
     "q_dedup_containment" -> qDedupContainment,
     "q_text_contamination" -> qTextContamination,
@@ -420,6 +456,30 @@ object Curation {
          |WHERE CAST(i AS DOUBLE)/(za.n + zb.n - i) >= 0.8
          |ORDER BY batch_doc, corpus_doc""".stripMargin
     },
+    "q_dedup_keepbest" ->
+      s"""WITH RECURSIVE pairs AS (${LlmOps.oracleSql("q_dedup_near")}),
+         |und AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+         |        UNION ALL SELECT doc_b, doc_a FROM pairs),
+         |nodes AS (SELECT DISTINCT a AS node FROM und),
+         |reach AS (SELECT node, node AS r FROM nodes
+         |  UNION
+         |  SELECT u.b AS node, reach.r FROM reach JOIN und u ON u.a = reach.node),
+         |comp AS (SELECT node, min(r) AS cluster FROM reach GROUP BY node),
+         |q AS (SELECT doc_id,
+         |  round((1.0 - CAST(length(regexp_replace(text,'[^0-9]','','g')) AS DOUBLE)
+         |      / length(text))
+         |    * least(CAST(len(string_split(text,' ')) AS DOUBLE)/20.0, 1.0), 4)
+         |  AS quality FROM documents),
+         |lq AS (SELECT q.doc_id, comp.cluster, q.quality
+         |  FROM comp JOIN q ON comp.node = q.doc_id),
+         |best AS (SELECT cluster, max(quality) AS max_q FROM lq GROUP BY cluster),
+         |keeper AS (SELECT lq.cluster, min(doc_id) AS keeper_id
+         |  FROM lq JOIN best ON lq.cluster = best.cluster
+         |   AND lq.quality = best.max_q GROUP BY lq.cluster)
+         |SELECT lq.doc_id, lq.cluster, lq.quality,
+         |  lq.doc_id = k.keeper_id AS is_keeper
+         |FROM lq JOIN keeper k ON lq.cluster = k.cluster
+         |ORDER BY lq.doc_id""".stripMargin,
     "q_dedup_connected" ->
       s"""WITH RECURSIVE pairs AS (${LlmOps.oracleSql("q_dedup_near")}),
          |und AS (SELECT doc_a AS a, doc_b AS b FROM pairs

@@ -28,6 +28,23 @@ class CurationSpec extends SparkSuite {
     }
   }
 
+  test("q_dedup_keepbest: keeper is the max-quality cluster member, min-id on ties") {
+    val rows = SparkEntry.queries("q_dedup_keepbest")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getBoolean(3)))
+    assert(rows.nonEmpty, "no clusters on the planted fixture")
+    rows.groupBy(_._2).foreach { case (cid, members) =>
+      val keepers = members.filter(_._4)
+      assert(keepers.length == 1, s"cluster $cid keeper count != 1")
+      val maxQ = members.map(_._3).max
+      assert(keepers.head._3 == maxQ,
+        s"cluster $cid keeper quality ${keepers.head._3} != max $maxQ")
+      // tie-break: min doc_id among the max-quality members
+      assert(keepers.head._1 == members.filter(_._3 == maxQ).map(_._1).min,
+        s"cluster $cid tie-break not min-id")
+    }
+    graft.ops.Util.unpersistRegistered()
+  }
+
   test("q_curate_classifier recovers the seed direction on held-out vectors") {
     import spark.implicits._
     val acc = SparkEntry.queries("q_curate_classifier")(spark, sfDir)
