@@ -437,6 +437,41 @@ object Sources {
       .orderBy($"l_returnflag", $"l_linestatus")
   }
 
+  /** STREAMING sink (round 7): readStream on the SynthSource micro-batch
+    * replay → writeStream through GraftStore's StreamingWrite — each
+    * epoch commits through the same manifest-pointer protocol as a batch
+    * write (epoch-tagged attempt-unique files, one atomic swap per
+    * epoch, `!epoch=<n>` recorded for replay idempotence: a recovered
+    * driver re-committing the last epoch is a no-op that deletes its
+    * redundant files; the spec proves it at the protocol level, this
+    * query proves the end-to-end content). Fresh output + checkpoint
+    * dirs per invocation — the stream is bounded and deterministic
+    * (position-offset replay), so the final table content is exactly the
+    * id range regardless of epoch boundaries, which is what the oracle
+    * hash-checks. At 100 TB this is how a live tail lands in the same
+    * table format the batch backfill wrote, with the same stats lines
+    * feeding the same file-skipping reads. */
+  val qStreamSink: Q = (s, dir) => {
+    import s.implicits._
+    val out = Util.managedTempDir("graft_sink_stream_")
+    val ckpt = Util.managedTempDir("graft_sink_ckpt_")
+    val q = s.readStream.format("graft.sources.SynthSource")
+      .option("rows", "20000").option("slices", "4")
+      .option("microBatchRows", "4096")
+      .load()
+      .writeStream.format("graft.sources.GraftStore")
+      .option("path", out).option("checkpointLocation", ckpt)
+      .outputMode("append")
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    s.read.format("graft.sources.GraftStore").option("path", out).load()
+      .groupBy(($"id" % 10).as("k"))
+      .agg(count(lit(1)).as("n"), sum($"id").as("sum_id"),
+        round(sum($"val"), 4).as("sum_val"))
+      .orderBy($"k")
+  }
+
   /** Skipping-table dirs already written this JVM, keyed by (session, dir). */
   private val skipWritten = new java.util.concurrent.ConcurrentHashMap[String, String]
 
@@ -542,6 +577,7 @@ object Sources {
   val queries: Map[String, Q] = Map(
     "q_src_skipping" -> qSrcSkipping,
     "q_etl_delete" -> qEtlDelete,
+    "q_stream_sink" -> qStreamSink,
     "q_catalog_sql" -> qCatalogSql,
     "q_sink_roundtrip" -> qSinkRoundtrip,
     "q_src_binaryfile" -> qSrcBinaryfile,
@@ -631,6 +667,12 @@ object Sources {
         |  FROM (SELECT unnest(generate_series(1000, 4999)) AS id))
         |SELECT a.bucket, count(*) AS n, sum(a_val * b_val) AS sum_prod
         |FROM a JOIN b USING (bucket)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_stream_sink" ->
+      """SELECT id % 10 AS k, count(*) AS n,
+        | CAST(sum(id) AS BIGINT) AS sum_id,
+        | round(sum(CAST(id * 37 % 1000 AS DOUBLE)), 4) AS sum_val
+        |FROM (SELECT unnest(generate_series(0, 19999)) AS id)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_src_skipping" ->
       """SELECT o_orderkey % 10 AS k, count(*) AS n,

@@ -93,23 +93,35 @@ object GraftStore {
       FileEntry(parts(0), parts(1).toLong, stats)
   }
 
-  /** Manifest = schema DDL line, then one [[FileEntry]] line per committed
-    * data file. Read/written only on the driver. */
+  /** Manifest = schema DDL line, optional `!`-prefixed header lines
+    * (currently `!epoch=<n>`, the last committed STREAMING epoch — the
+    * replay-idempotence marker), then one [[FileEntry]] line per
+    * committed data file. Read/written only on the driver. */
   private[graft] def readManifest(path: String): Option[(StructType, Seq[FileEntry])] = {
     val f = new File(path, ManifestName)
     if (!f.exists()) None
     else {
       val lines = new String(Files.readAllBytes(f.toPath), StandardCharsets.UTF_8)
         .split('\n').toSeq.filter(_.nonEmpty)
-      Some((StructType.fromDDL(lines.head), lines.tail.map(parseEntry)))
+      Some((StructType.fromDDL(lines.head),
+        lines.tail.filterNot(_.startsWith("!")).map(parseEntry)))
     }
   }
 
+  /** Last streaming epoch committed to this table, if any. */
+  private[graft] def readEpoch(path: String): Option[Long] = {
+    val f = new File(path, ManifestName)
+    if (!f.exists()) None
+    else new String(Files.readAllBytes(f.toPath), StandardCharsets.UTF_8)
+      .split('\n').find(_.startsWith("!epoch=")).map(_.stripPrefix("!epoch=").toLong)
+  }
+
   private[sources] def writeManifestAtomic(
-      path: String, schema: StructType, files: Seq[FileEntry]): Unit = {
+      path: String, schema: StructType, files: Seq[FileEntry],
+      epoch: Option[Long] = None): Unit = {
     val tmp = Paths.get(path, s".manifest.tmp.${java.util.UUID.randomUUID()}")
-    Files.write(tmp,
-      (schema.toDDL +: files.map(fmtEntry)).mkString("\n").getBytes(StandardCharsets.UTF_8))
+    val lines = schema.toDDL +: (epoch.map(e => s"!epoch=$e").toSeq ++ files.map(fmtEntry))
+    Files.write(tmp, lines.mkString("\n").getBytes(StandardCharsets.UTF_8))
     Files.move(tmp, Paths.get(path, ManifestName),
       StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
   }
@@ -293,7 +305,7 @@ class GraftStoreTable(path: String, tableSchema: StructType,
   override def schema(): StructType = tableSchema
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
-      TableCapability.TRUNCATE)
+      TableCapability.TRUNCATE, TableCapability.STREAMING_WRITE)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new GraftStoreScanBuilder(path)
@@ -370,6 +382,72 @@ class GraftStoreWrite(path: String, schema: StructType, truncateFirst: Boolean,
   override def toBatch: BatchWrite =
     new GraftStoreBatchWrite(path, schema, truncateFirst, failFirstAttemptOf,
       failAllAttemptsOf)
+
+  override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite =
+    new GraftStoreStreamingWrite(path, schema, truncateFirst)
+}
+
+/** Streaming half of the sink: each micro-batch epoch commits through the
+  * SAME manifest-pointer protocol as a batch write — task attempts write
+  * epoch-tagged attempt-unique files, the driver's `commit(epoch, msgs)`
+  * appends exactly the committed files in one atomic manifest swap, and
+  * the manifest records the epoch (`!epoch=<n>`).
+  *
+  * Exactly-once under recovery: after a driver restart Spark REPLAYS the
+  * last unacknowledged epoch from the checkpointed offsets. The replayed
+  * commit sees `epoch <= !epoch` in the manifest and becomes a no-op that
+  * merely deletes its redundant files — the sink-side half of
+  * end-to-end exactly-once (the source half is the checkpointed offset
+  * replay being deterministic, which SynthSource's position offsets are).
+  * Epoch monotonicity assumes one streaming writer per table — the same
+  * single-writer discipline every manifest-pointer lakehouse table
+  * requires. Output mode append = manifest grows per epoch; complete
+  * (truncate) = each epoch's manifest lists that epoch's files only. */
+class GraftStoreStreamingWrite(path: String, schema: StructType,
+    truncateEachEpoch: Boolean)
+  extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
+  import org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory
+
+  override def createStreamingWriterFactory(
+      info: PhysicalWriteInfo): StreamingDataWriterFactory =
+    new GraftStoreStreamingWriterFactory(path, schema)
+
+  override def useCommitCoordinator(): Boolean = true
+
+  override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
+    val last = GraftStore.readEpoch(path)
+    if (last.exists(_ >= epochId)) {
+      // replayed epoch after recovery: already committed — drop the
+      // redundant files, leave the manifest untouched (idempotence)
+      messages.foreach { case m: GraftStoreCommitMessage =>
+        new File(path, m.file).delete()
+      }
+    } else {
+      val committed = messages.toSeq.map { case m: GraftStoreCommitMessage =>
+        GraftStore.FileEntry(m.file, m.rows, m.stats)
+      }
+      val previous =
+        if (truncateEachEpoch) Seq.empty
+        else GraftStore.readManifest(path).map(_._2).getOrElse(Seq.empty)
+      val files = previous ++ committed
+      GraftStore.writeManifestAtomic(path, schema, files, Some(epochId))
+      GraftStore.gcUnreferenced(path, files.map(_.file).toSet)
+    }
+  }
+
+  override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
+    messages.foreach {
+      case GraftStoreCommitMessage(f, _, _) => new File(path, f).delete()
+      case _ =>
+    }
+}
+
+class GraftStoreStreamingWriterFactory(path: String, schema: StructType)
+  extends org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long,
+      epochId: Long): DataWriter[InternalRow] =
+    new GraftStoreDataWriter(path, schema, partitionId, taskId, None, None,
+      s"data/part-$partitionId-$taskId-e$epochId.bin")
 }
 
 case class GraftStoreCommitMessage(file: String, rows: Long,
@@ -395,7 +473,10 @@ class GraftStoreBatchWrite(path: String, schema: StructType,
       if (truncateFirst) Seq.empty
       else GraftStore.readManifest(path).map(_._2).getOrElse(Seq.empty)
     val files = previous ++ committed
-    GraftStore.writeManifestAtomic(path, schema, files)
+    // a batch append into a table that also has streaming commits must
+    // not clobber the epoch marker; truncate legitimately resets it
+    GraftStore.writeManifestAtomic(path, schema, files,
+      if (truncateFirst) None else GraftStore.readEpoch(path))
     GraftStore.gcUnreferenced(path, files.map(_.file).toSet)
   }
 
@@ -419,10 +500,12 @@ class GraftStoreWriterFactory(path: String, schema: StructType,
   * predecessor's bytes. */
 class GraftStoreDataWriter(path: String, schema: StructType, partitionId: Int,
     taskId: Long, failFirstAttemptOf: Option[Int],
-    failAllAttemptsOf: Option[Int])
+    failAllAttemptsOf: Option[Int],
+    relName: String = null)
   extends DataWriter[InternalRow] {
 
-  private val rel = s"data/part-$partitionId-$taskId.bin"
+  private val rel =
+    if (relName != null) relName else s"data/part-$partitionId-$taskId.bin"
   private val file = new File(path, rel)
   file.getParentFile.mkdirs()
   private val out = new DataOutputStream(
