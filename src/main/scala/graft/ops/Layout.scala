@@ -88,6 +88,49 @@ object Layout {
       .orderBy($"p_brand")
   }
 
+  /** Within-radius spatial SELF-join via grid-cell blocking — the
+    * all-pairs killer for proximity queries: points land in cells of
+    * side r (integer division), the probe side replicates into its 3×3
+    * cell neighborhood, and candidates come from an EQUALITY join on the
+    * cell key — any pair within L2 distance r is guaranteed to share one
+    * of the 9 cells, so the exact integer d² ≤ r² filter sees only
+    * neighborhood-local candidates. At 100 TB: a 9× replication of one
+    * side against a hash equi-join, never a cross product; per-cell
+    * density bounds every task (the same blocking argument as the
+    * minhash band join, in 2-D). Coordinates are 16-bit integers from
+    * md5 nibbles of the key (the §5.4 portable-hash idiom shared with
+    * q_sample_weighted — a LINEAR key→coord map was tried first and put
+    * every point on a sparse lattice with no close pairs at all);
+    * deterministic and exact on both engines, genuinely scattered. Each
+    * qualifying pair matches in exactly ONE cell (the probe's 9 shifted
+    * cells are distinct), so no dedup pass is needed, and (id_a < id_b)
+    * halves the symmetric pairs. */
+  val qGeoJoin: Q = (s, dir) => {
+    import s.implicits._
+    val r = 500L
+    def nib(i: Int) =
+      s"(position(substr(md5(cast(c_custkey AS STRING)), $i, 1) IN '0123456789abcdef') - 1)"
+    def coord(off: Int) = // nibbles off..off+3 -> 0..65535
+      s"CAST(${nib(off)}*4096 + ${nib(off + 1)}*256 + ${nib(off + 2)}*16 + ${nib(off + 3)} AS BIGINT)"
+    val pts = table(s, dir, "customer").select($"c_custkey".as("id"),
+      expr(coord(1)).as("x"), expr(coord(5)).as("y"))
+    val a = pts.select($"id".as("id_a"), $"x".as("xa"), $"y".as("ya"),
+      expr(s"x div $r").as("cx"), expr(s"y div $r").as("cy"))
+    val b = pts
+      .withColumn("dx", explode(array(lit(-1L), lit(0L), lit(1L))))
+      .withColumn("dy", explode(array(lit(-1L), lit(0L), lit(1L))))
+      .select($"id".as("id_b"), $"x".as("xb"), $"y".as("yb"),
+        (expr(s"x div $r") + $"dx").as("cx"),
+        (expr(s"y div $r") + $"dy").as("cy"))
+    a.join(b, Seq("cx", "cy"))
+      .filter($"id_a" < $"id_b")
+      .withColumn("d2",
+        ($"xa" - $"xb") * ($"xa" - $"xb") + ($"ya" - $"yb") * ($"ya" - $"yb"))
+      .filter($"d2" <= r * r)
+      .select($"id_a", $"id_b", $"d2")
+      .orderBy($"id_a", $"id_b")
+  }
+
   /** "fragDir|compDir" pairs already materialized this JVM, keyed by
     * (session UUID, fixture dir) — the write happens exactly once.
     * private[graft] so the compaction spec can count the actual files. */
@@ -147,6 +190,7 @@ object Layout {
     "q_layout_zorder" -> qLayoutZorder,
     "q_layout_compact" -> qLayoutCompact,
     "q_geo_bbox" -> qGeoBbox,
+    "q_geo_join" -> qGeoJoin,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -180,6 +224,23 @@ object Layout {
         | min(p_size) AS size_min, max(p_size) AS size_max,
         | min(k64) AS k64_min, max(k64) AS k64_max
         |FROM z GROUP BY bucket ORDER BY bucket""".stripMargin,
+    "q_geo_join" ->
+      s"""WITH pts AS (SELECT c_custkey AS id,
+        |  CAST((position(substr(md5(cast(c_custkey AS VARCHAR)), 1, 1) IN '0123456789abcdef') - 1)*4096 + (position(substr(md5(cast(c_custkey AS VARCHAR)), 2, 1) IN '0123456789abcdef') - 1)*256 + (position(substr(md5(cast(c_custkey AS VARCHAR)), 3, 1) IN '0123456789abcdef') - 1)*16 + (position(substr(md5(cast(c_custkey AS VARCHAR)), 4, 1) IN '0123456789abcdef') - 1) AS BIGINT) AS x,
+        |  CAST((position(substr(md5(cast(c_custkey AS VARCHAR)), 5, 1) IN '0123456789abcdef') - 1)*4096 + (position(substr(md5(cast(c_custkey AS VARCHAR)), 6, 1) IN '0123456789abcdef') - 1)*256 + (position(substr(md5(cast(c_custkey AS VARCHAR)), 7, 1) IN '0123456789abcdef') - 1)*16 + (position(substr(md5(cast(c_custkey AS VARCHAR)), 8, 1) IN '0123456789abcdef') - 1) AS BIGINT) AS y FROM customer),
+        |a AS (SELECT id AS id_a, x AS xa, y AS ya,
+        |  x // 500 AS cx, y // 500 AS cy FROM pts),
+        |b AS (SELECT id AS id_b, x AS xb, y AS yb,
+        |  x // 500 + dx.g AS cx, y // 500 + dy.g AS cy
+        | FROM pts,
+        |  (SELECT unnest(generate_series(-1, 1)) AS g) dx,
+        |  (SELECT unnest(generate_series(-1, 1)) AS g) dy)
+        |SELECT id_a, id_b,
+        |  (xa-xb)*(xa-xb) + (ya-yb)*(ya-yb) AS d2
+        |FROM a JOIN b USING (cx, cy)
+        |WHERE id_a < id_b
+        |  AND (xa-xb)*(xa-xb) + (ya-yb)*(ya-yb) <= 250000
+        |ORDER BY id_a, id_b""".stripMargin,
     // the oracle is the NAIVE inequality join — the grid binning in the
     // Spark plan must be invisible in the result
     "q_geo_bbox" ->

@@ -372,6 +372,15 @@ class PlanShapeSpec extends SparkSuite {
       s"bbox join degenerated to a quadratic join:\n$p")
   }
 
+  test("grid-cell radius self-join is an equi-join on the cell key, not a cross product") {
+    val p = SparkEntry.queries("q_geo_join")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("HashJoin") || p.contains("SortMergeJoin"),
+      s"expected an equi-join on (cx, cy):\n$p")
+    assert(!p.contains("NestedLoop") && !p.contains("CartesianProduct"),
+      s"radius self-join degenerated to a quadratic join:\n$p")
+  }
+
   test("rank family routes through the two-phase kernel at scale (no bare-key window funnel)") {
     // the round-6 scale audit's one perf-weak finding: Window.partitionBy
     // on a ~5-value key executes ONE task per key value, funneling a full
