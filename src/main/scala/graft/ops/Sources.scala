@@ -437,6 +437,92 @@ object Sources {
       .orderBy($"l_returnflag", $"l_linestatus")
   }
 
+  /** Time-travel table dirs already written this JVM, keyed by
+    * (session UUID, fixture dir). */
+  private val ttWritten = new java.util.concurrent.ConcurrentHashMap[String, String]
+
+  /** TIME TRAVEL through the manifest-pointer history (round 7): every
+    * GraftStore commit retains its manifest as `_manifest.v<n>` next to
+    * the atomically-swapped pointer, so any past snapshot stays readable
+    * (`versionAsOf` read option, `VERSION AS OF` in catalog SQL) until
+    * `expireSnapshots` reclaims it — the Iceberg/Delta history model:
+    * snapshots cost one small metadata file each, data files are shared
+    * across versions and GC'd only when no retained snapshot references
+    * them. The query writes orders slice A (v1), appends slice B (v2),
+    * then reads snapshot v1 AND the current table in one plan; the
+    * oracle recomputes both contents from the source parquet, so the
+    * hash check proves v1 is EXACTLY the pre-append table — the audit /
+    * reproducible-training-run story at 100 TB ("train on the corpus as
+    * of snapshot N" while ingestion keeps appending). Expiry + GC
+    * interplay is proven in GraftStoreSpec (the oracle can't list data
+    * files). */
+  val qStoreTimetravel: Q = (s, dir) => {
+    import s.implicits._
+    val path = ttWritten.computeIfAbsent(s"${Util.sessionKey(s)}:$dir", _ => {
+      val d = Util.managedTempDir("graft_tt_")
+      val o = table(s, dir, "orders")
+        .select($"o_orderkey", $"o_custkey", $"o_totalprice")
+      o.filter($"o_orderkey" % 7 === 0).write
+        .format("graft.sources.GraftStore").option("path", d)
+        .mode("overwrite").save() // snapshot v1
+      o.filter($"o_orderkey" % 7 === 1).write
+        .format("graft.sources.GraftStore").option("path", d)
+        .mode("append").save() // snapshot v2 (current)
+      d
+    })
+    def agg(df: org.apache.spark.sql.DataFrame, tag: String) =
+      df.groupBy(($"o_orderkey" % 10).as("bucket"))
+        .agg(count(lit(1)).as("n_rows"), sum($"o_orderkey").as("sum_key"),
+          dsum($"o_totalprice").as("sum_price"))
+        .select(lit(tag).as("snap"), $"bucket", $"n_rows", $"sum_key", $"sum_price")
+    val v1 = s.read.format("graft.sources.GraftStore")
+      .option("path", path).option("versionAsOf", "1").load()
+    val cur = s.read.format("graft.sources.GraftStore")
+      .option("path", path).load()
+    agg(v1, "v1").unionAll(agg(cur, "current"))
+      .orderBy($"snap", $"bucket")
+  }
+
+  /** OPTIMIZE'd table dirs already written this JVM, keyed by
+    * (session UUID, fixture dir). */
+  private val optWritten = new java.util.concurrent.ConcurrentHashMap[String, String]
+
+  /** Connector-level OPTIMIZE (round 7) — the table-maintenance sibling
+    * of q_layout_compact, run through the commit protocol instead of a
+    * path rewrite: many small files from two 8-way writes are bin-packed
+    * by GraftStore.compact, which CONCATENATES each bin's length-framed
+    * UnsafeRow files byte-for-byte (zero decode/re-encode — a server-
+    * side multipart copy on an object store), merges their manifest
+    * stats (min/max union, so file skipping keeps working on the packed
+    * files), and commits ONE atomic manifest swap; one Spark task per
+    * bin, the driver touches only metadata. The pre-compaction snapshot
+    * stays time-travel readable (its files survive GC until snapshot
+    * expiry) — OPTIMIZE is content-invisible and history-preserving,
+    * which is exactly what the oracle hash-checks: the post-compaction
+    * read must equal the aggregate computed from the source parquet.
+    * File-count/stats/history bounds live in GraftStoreSpec. */
+  val qStoreOptimize: Q = (s, dir) => {
+    import s.implicits._
+    val path = optWritten.computeIfAbsent(s"${Util.sessionKey(s)}:$dir", _ => {
+      val d = Util.managedTempDir("graft_opt_")
+      val li = table(s, dir, "lineitem")
+        .select($"l_orderkey", $"l_returnflag", $"l_quantity")
+      li.filter($"l_orderkey" % 2 === 0).repartition(8).write
+        .format("graft.sources.GraftStore").option("path", d)
+        .mode("overwrite").save() // v1: 8 small files
+      li.filter($"l_orderkey" % 2 === 1).repartition(8).write
+        .format("graft.sources.GraftStore").option("path", d)
+        .mode("append").save() // v2: 16 small files
+      graft.sources.GraftStore.compact(s, d, 1L << 30) // v3: packed
+      d
+    })
+    s.read.format("graft.sources.GraftStore").option("path", path).load()
+      .groupBy($"l_returnflag")
+      .agg(count(lit(1)).as("n_rows"), sum($"l_orderkey").as("sum_key"),
+        dsum($"l_quantity").as("sum_qty"))
+      .orderBy($"l_returnflag")
+  }
+
   /** STREAMING sink (round 7): readStream on the SynthSource micro-batch
     * replay → writeStream through GraftStore's StreamingWrite — each
     * epoch commits through the same manifest-pointer protocol as a batch
@@ -580,6 +666,8 @@ object Sources {
     "q_stream_sink" -> qStreamSink,
     "q_catalog_sql" -> qCatalogSql,
     "q_sink_roundtrip" -> qSinkRoundtrip,
+    "q_store_timetravel" -> qStoreTimetravel,
+    "q_store_optimize" -> qStoreOptimize,
     "q_src_binaryfile" -> qSrcBinaryfile,
     "q_src_evolution" -> qSrcEvolution,
     "q_src_text" -> qSrcText,
@@ -608,6 +696,28 @@ object Sources {
         | CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
         |FROM lineitem GROUP BY l_returnflag, l_linestatus
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    // the oracle recomputes BOTH snapshots from the source parquet: v1
+    // must be exactly the pre-append table, current exactly the union
+    "q_store_timetravel" ->
+      """WITH v1 AS (
+        |  SELECT 'v1' AS snap, o_orderkey % 10 AS bucket, count(*) AS n_rows,
+        |   sum(o_orderkey) AS sum_key,
+        |   CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+        |  FROM orders WHERE o_orderkey % 7 = 0 GROUP BY 2),
+        |cur AS (
+        |  SELECT 'current' AS snap, o_orderkey % 10 AS bucket, count(*) AS n_rows,
+        |   sum(o_orderkey) AS sum_key,
+        |   CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+        |  FROM orders WHERE o_orderkey % 7 IN (0, 1) GROUP BY 2)
+        |SELECT * FROM v1 UNION ALL SELECT * FROM cur
+        |ORDER BY snap, bucket""".stripMargin,
+    // content-invisibility of OPTIMIZE: the post-compaction read must
+    // equal the aggregate computed straight from the source parquet
+    "q_store_optimize" ->
+      """SELECT l_returnflag, count(*) AS n_rows, sum(l_orderkey) AS sum_key,
+        | CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
+        |FROM lineitem GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
     "q_src_binaryfile" ->
       """SELECT 'doc_' || doc_id || '.bin' AS fname,
         | octet_length(CAST(text AS BLOB)) AS flen,

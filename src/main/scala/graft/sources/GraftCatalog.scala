@@ -68,6 +68,21 @@ class GraftCatalog extends TableCatalog {
     new GraftStoreTable(dir.getPath, schema, None, None, None, None)
   }
 
+  /** `SELECT … FROM graft.t VERSION AS OF <n>` — time travel lands here;
+    * the returned table scans the retained `_manifest.v<n>` snapshot
+    * (same format, same stats and file skipping — only the pointer
+    * differs) and refuses writes. */
+  override def loadTable(ident: Identifier, version: String): Table = {
+    val dir = dirFor(ident)
+    if (!isTable(dir)) throw new NoSuchTableException(ident)
+    val v = version.toLong
+    val snap = new java.io.File(dir,
+      s"${GraftStore.ManifestName}.v$v")
+    val schema = GraftStore.readManifestFile(snap)
+      .getOrElse(throw new NoSuchTableException(ident))._1
+    new GraftStoreTable(dir.getPath, schema, None, None, None, None, Some(v))
+  }
+
   override def createTable(ident: Identifier, schema: StructType,
       partitions: Array[Transform], properties: util.Map[String, String]): Table = {
     require(partitions.isEmpty,
@@ -87,8 +102,9 @@ class GraftCatalog extends TableCatalog {
   override def dropTable(ident: Identifier): Boolean = {
     val dir = dirFor(ident)
     if (!isTable(dir)) return false
-    // manifest first: the atomic "table gone" step; data files after
+    // manifest first: the atomic "table gone" step; snapshots + data after
     new File(dir, GraftStore.ManifestName).delete()
+    GraftStore.snapshotFiles(dir.getPath).foreach(_.delete())
     Option(new File(dir, "data").listFiles()).getOrElse(Array.empty)
       .foreach(_.delete())
     new File(dir, "data").delete()

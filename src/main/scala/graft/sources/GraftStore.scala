@@ -94,11 +94,14 @@ object GraftStore {
   }
 
   /** Manifest = schema DDL line, optional `!`-prefixed header lines
-    * (currently `!epoch=<n>`, the last committed STREAMING epoch — the
-    * replay-idempotence marker), then one [[FileEntry]] line per
-    * committed data file. Read/written only on the driver. */
-  private[graft] def readManifest(path: String): Option[(StructType, Seq[FileEntry])] = {
-    val f = new File(path, ManifestName)
+    * (`!version=<n>`, the snapshot id; `!epoch=<n>`, the last committed
+    * STREAMING epoch — the replay-idempotence marker), then one
+    * [[FileEntry]] line per committed data file. Read/written only on
+    * the driver. */
+  private[graft] def readManifest(path: String): Option[(StructType, Seq[FileEntry])] =
+    readManifestFile(new File(path, ManifestName))
+
+  private[graft] def readManifestFile(f: File): Option[(StructType, Seq[FileEntry])] = {
     if (!f.exists()) None
     else {
       val lines = new String(Files.readAllBytes(f.toPath), StandardCharsets.UTF_8)
@@ -108,6 +111,22 @@ object GraftStore {
     }
   }
 
+  /** Snapshot id the current pointer carries (0 = pre-versioning table
+    * or no table — the next commit becomes v1 either way). */
+  private[graft] def readVersion(path: String): Long = {
+    val f = new File(path, ManifestName)
+    if (!f.exists()) 0L
+    else new String(Files.readAllBytes(f.toPath), StandardCharsets.UTF_8)
+      .split('\n').find(_.startsWith("!version="))
+      .map(_.stripPrefix("!version=").toLong).getOrElse(0L)
+  }
+
+  /** Retained snapshot manifests (`_manifest.v<n>`), oldest first. */
+  private[graft] def snapshotFiles(path: String): Seq[File] =
+    Option(new File(path).listFiles()).getOrElse(Array.empty)
+      .filter(_.getName.startsWith(ManifestName + ".v")).toSeq
+      .sortBy(_.getName.stripPrefix(ManifestName + ".v").toLong)
+
   /** Last streaming epoch committed to this table, if any. */
   private[graft] def readEpoch(path: String): Option[Long] = {
     val f = new File(path, ManifestName)
@@ -116,14 +135,129 @@ object GraftStore {
       .split('\n').find(_.startsWith("!epoch=")).map(_.stripPrefix("!epoch=").toLong)
   }
 
+  /** Every commit writes the manifest under the NEXT snapshot id and
+    * retains the previous ones: the versioned copy `_manifest.v<n>`
+    * lands first (history files are invisible — only the pointer is
+    * read by default), then the tmp file ATOMIC_MOVEs onto `_manifest`
+    * — still the single atomic commit step. A crash between the two
+    * leaves an orphan snapshot that the retried commit (computing its
+    * version from the unchanged pointer) simply overwrites. Retained
+    * snapshots are what make time-travel reads and cross-OPTIMIZE
+    * history possible; [[expireSnapshots]] bounds their cost. */
   private[sources] def writeManifestAtomic(
       path: String, schema: StructType, files: Seq[FileEntry],
-      epoch: Option[Long] = None): Unit = {
+      epoch: Option[Long] = None): Long = {
+    val v = readVersion(path) + 1
     val tmp = Paths.get(path, s".manifest.tmp.${java.util.UUID.randomUUID()}")
-    val lines = schema.toDDL +: (epoch.map(e => s"!epoch=$e").toSeq ++ files.map(fmtEntry))
+    val lines = schema.toDDL +: (s"!version=$v" +:
+      (epoch.map(e => s"!epoch=$e").toSeq ++ files.map(fmtEntry)))
     Files.write(tmp, lines.mkString("\n").getBytes(StandardCharsets.UTF_8))
+    Files.copy(tmp, Paths.get(path, s"$ManifestName.v$v"),
+      StandardCopyOption.REPLACE_EXISTING)
     Files.move(tmp, Paths.get(path, ManifestName),
       StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    v
+  }
+
+  /** Snapshot retention: keep the newest `keepLast` snapshot manifests
+    * (the current pointer's snapshot is always among them), delete the
+    * older ones, then GC data files no retained manifest references —
+    * the Iceberg expire-snapshots economics: history costs only the
+    * small manifest files plus the data files exclusive to expired
+    * versions, and reclaiming it is a driver-side metadata walk. */
+  private[graft] def expireSnapshots(path: String, keepLast: Int): Unit = {
+    require(keepLast >= 1, "must retain at least the current snapshot")
+    snapshotFiles(path).dropRight(keepLast).foreach(_.delete())
+    gcUnreferenced(path,
+      readManifest(path).map(_._2.map(_.file)).getOrElse(Seq.empty).toSet)
+  }
+
+  /** Union of two files' per-column stats — min of mins, max of maxes,
+    * null counts add; an all-null side (empty min/max strings) defers to
+    * the other. Comparison happens in the column's own type via the
+    * schema, exactly like [[StatsPruning]] — never through a lossy
+    * string compare ("9" < "10" numerically, not lexically). */
+  private[sources] def mergeStats(schema: StructType,
+      a: Map[String, ColStats], b: Map[String, ColStats]): Map[String, ColStats] = {
+    import org.apache.spark.sql.types.DoubleType
+    (a.keySet ++ b.keySet).flatMap { c =>
+      (a.get(c), b.get(c)) match {
+        case (Some(x), Some(y)) =>
+          val merged =
+            if (x.min.isEmpty) ColStats(y.min, y.max, x.nulls + y.nulls)
+            else if (y.min.isEmpty) ColStats(x.min, x.max, x.nulls + y.nulls)
+            else schema.fields.find(_.name == c).map(_.dataType) match {
+              case Some(DoubleType) => ColStats(
+                math.min(x.min.toDouble, y.min.toDouble).toString,
+                math.max(x.max.toDouble, y.max.toDouble).toString,
+                x.nulls + y.nulls)
+              case _ => ColStats(
+                math.min(x.min.toLong, y.min.toLong).toString,
+                math.max(x.max.toLong, y.max.toLong).toString,
+                x.nulls + y.nulls)
+            }
+          Some(c -> merged)
+        case _ => None // a pre-stats file poisons the column: no stats
+      }
+    }.toMap
+  }
+
+  /** Table-level OPTIMIZE: bin-pack the current snapshot's small data
+    * files into ~`targetBytes` files and commit the rewritten manifest
+    * in one atomic pointer swap. Because rows are length-framed
+    * UnsafeRow bytes, a bin is compacted by CONCATENATING its files'
+    * bytes — zero decode, zero re-encode (on an object store this is a
+    * server-side multipart copy; no row ever moves through compute).
+    * The rewrite is distributed: one Spark task per bin does the
+    * concatenation; the driver only swaps the manifest. Merged entries
+    * carry union stats ([[mergeStats]]), so file skipping works on the
+    * packed files exactly as before. Single-file bins keep their
+    * original file untouched (no write amplification on already-packed
+    * data). The PRE-compaction snapshot stays readable via time travel
+    * — its files survive GC until [[expireSnapshots]] — so OPTIMIZE is
+    * content-invisible AND history-preserving. Returns the new snapshot
+    * version, or -1 if nothing needed rewriting. */
+  private[graft] def compact(spark: org.apache.spark.sql.SparkSession,
+      path: String, targetBytes: Long): Long = {
+    val (schema, entries) = readManifest(path).getOrElse(
+      throw new IllegalArgumentException(s"no graft-store table at $path"))
+    // first-fit in manifest order: deterministic, preserves write locality
+    val bins = scala.collection.mutable.ArrayBuffer.empty[scala.collection.mutable.ArrayBuffer[FileEntry]]
+    var binBytes = 0L
+    entries.foreach { e =>
+      val sz = new File(path, e.file).length()
+      if (bins.isEmpty || binBytes + sz > targetBytes) {
+        bins += scala.collection.mutable.ArrayBuffer(e); binBytes = sz
+      } else { bins.last += e; binBytes += sz }
+    }
+    val toPack = bins.zipWithIndex.filter(_._1.length >= 2)
+    if (toPack.isEmpty) return -1L
+    val stamp = java.util.UUID.randomUUID().toString.take(8)
+    // one task per bin: read-concat-write its files (shared-filesystem
+    // path locally; GET+multipart-PUT on an object store)
+    val packed = spark.sparkContext
+      .parallelize(toPack.map { case (bin, i) =>
+        (i, bin.map(_.file).toSeq) }.toSeq, math.max(1, toPack.size))
+      .map { case (i, files) =>
+        val rel = s"data/compact-$stamp-$i.bin"
+        val out = new BufferedOutputStream(
+          new FileOutputStream(new File(path, rel)))
+        files.foreach { f =>
+          Files.copy(Paths.get(path, f), out) // frame-preserving byte copy
+        }
+        out.close()
+        (i, rel)
+      }.collect().toMap
+    val rewritten = bins.zipWithIndex.map { case (bin, i) =>
+      packed.get(i) match {
+        case Some(rel) => FileEntry(rel, bin.map(_.rows).sum,
+          bin.map(_.stats).reduce(mergeStats(schema, _, _)))
+        case None => bin.head
+      }
+    }.toSeq
+    val v = writeManifestAtomic(path, schema, rewritten, readEpoch(path))
+    gcUnreferenced(path, rewritten.map(_.file).toSet)
+    v
   }
 
   /** Tri-state evaluation of a pushed v1 Filter against one file's stats:
@@ -260,10 +394,18 @@ object GraftStore {
 
   /** Attempts that died before commit/abort (JVM kill) leave orphans;
     * every successful commit sweeps them. */
+  /** Delete data files referenced neither by the caller (the manifest
+    * just committed) nor by any RETAINED snapshot manifest — a file
+    * dropped from the live table survives as long as some time-travel
+    * snapshot can still reach it, and dies at [[expireSnapshots]]. */
   private[sources] def gcUnreferenced(path: String, referenced: Set[String]): Unit = {
+    val retained = snapshotFiles(path)
+      .flatMap(f => readManifestFile(f).map(_._2).getOrElse(Seq.empty))
+      .map(_.file).toSet
+    val keep = referenced ++ retained
     val dataDir = new File(path, "data")
     Option(dataDir.listFiles()).getOrElse(Array.empty).foreach { f =>
-      if (!referenced.contains(s"data/${f.getName}")) f.delete()
+      if (!keep.contains(s"data/${f.getName}")) f.delete()
     }
   }
 }
@@ -291,13 +433,15 @@ class GraftStore extends TableProvider {
     new GraftStoreTable(opt("path").orNull, schema,
       opt("clusterBy"), opt("sortBy"),
       opt("failFirstAttemptOf").map(_.toInt),
-      opt("failAllAttemptsOf").map(_.toInt))
+      opt("failAllAttemptsOf").map(_.toInt),
+      opt("versionAsOf").map(_.toLong))
   }
 }
 
 class GraftStoreTable(path: String, tableSchema: StructType,
     clusterBy: Option[String], sortBy: Option[String],
-    failFirstAttemptOf: Option[Int], failAllAttemptsOf: Option[Int])
+    failFirstAttemptOf: Option[Int], failAllAttemptsOf: Option[Int],
+    versionAsOf: Option[Long] = None)
   extends Table with SupportsRead with SupportsWrite
   with org.apache.spark.sql.connector.catalog.SupportsDelete {
 
@@ -308,11 +452,15 @@ class GraftStoreTable(path: String, tableSchema: StructType,
       TableCapability.TRUNCATE, TableCapability.STREAMING_WRITE)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new GraftStoreScanBuilder(path)
+    new GraftStoreScanBuilder(path,
+      Option(options.get("versionAsOf")).map(_.toLong).orElse(versionAsOf))
 
-  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    require(versionAsOf.isEmpty,
+      "cannot write to a time-travel snapshot — writes go to the current table")
     new GraftStoreWriteBuilder(path, info.schema(), clusterBy, sortBy,
       failFirstAttemptOf, failAllAttemptsOf)
+  }
 
   // ------------------------------------------------- metadata-only DELETE
   // `DELETE FROM graft.t WHERE …` succeeds iff the manifest stats DECIDE
@@ -604,7 +752,8 @@ class GraftStoreDataWriter(path: String, schema: StructType, partitionId: Int,
 
 // ------------------------------------------------------------------ read
 
-class GraftStoreScanBuilder(path: String) extends ScanBuilder
+class GraftStoreScanBuilder(path: String, versionAsOf: Option[Long] = None)
+    extends ScanBuilder
     with org.apache.spark.sql.connector.read.SupportsPushDownFilters {
   import org.apache.spark.sql.sources.Filter
   private var pushed = Array.empty[Filter]
@@ -619,15 +768,26 @@ class GraftStoreScanBuilder(path: String) extends ScanBuilder
   }
   override def pushedFilters(): Array[Filter] = pushed
 
-  override def build(): Scan = new GraftStoreScan(path, pushed)
+  override def build(): Scan = new GraftStoreScan(path, pushed, versionAsOf)
 }
 
 class GraftStoreScan(path: String,
-    pushed: Array[org.apache.spark.sql.sources.Filter] = Array.empty)
+    pushed: Array[org.apache.spark.sql.sources.Filter] = Array.empty,
+    versionAsOf: Option[Long] = None)
   extends Scan with Batch {
-  private val (schema, entries) = GraftStore.readManifest(path)
-    .getOrElse(throw new IllegalArgumentException(
-      s"no graft-store table at $path"))
+  // a time-travel read plans against the RETAINED snapshot manifest —
+  // same format, same stats, same file skipping; only the pointer differs
+  private val (schema, entries) = versionAsOf match {
+    case Some(v) =>
+      GraftStore.readManifestFile(
+        new File(path, s"${GraftStore.ManifestName}.v$v"))
+        .getOrElse(throw new IllegalArgumentException(
+          s"no snapshot v$v at $path (never committed, or expired)"))
+    case None =>
+      GraftStore.readManifest(path)
+        .getOrElse(throw new IllegalArgumentException(
+          s"no graft-store table at $path"))
+  }
 
   // manifest-stats file skipping: a file is read only if no pushed filter
   // disproves it (tri-state NoRows). Decided at planning time on the

@@ -68,6 +68,22 @@ class GraftCatalogSpec extends SparkSuite {
     assert(session.sql("SELECT x FROM g.b").head.getInt(0) == 1)
   }
 
+  test("VERSION AS OF reads a past snapshot through plain SQL") {
+    session.sql("DROP TABLE IF EXISTS g.tt")
+    session.sql("CREATE TABLE g.tt AS SELECT 1 AS x") // snapshot v2 (v1 = empty create)
+    session.sql("INSERT INTO g.tt SELECT 2 AS x") // snapshot v3
+    assert(session.sql("SELECT x FROM g.tt ORDER BY x")
+      .collect().map(_.getInt(0)).toSeq == Seq(1, 2))
+    assert(session.sql("SELECT x FROM g.tt VERSION AS OF 2 ORDER BY x")
+      .collect().map(_.getInt(0)).toSeq == Seq(1),
+      "VERSION AS OF did not read the pre-insert snapshot")
+    assert(session.sql("SELECT count(*) FROM g.tt VERSION AS OF 1")
+      .head.getLong(0) == 0, "v1 is the empty created table")
+    intercept[Exception] {
+      session.sql("SELECT x FROM g.tt VERSION AS OF 99").collect()
+    }
+  }
+
   test("identifier segments cannot escape the catalog root") {
     intercept[IllegalArgumentException] {
       catalog.loadTable(Identifier.of(Array.empty, ".."))

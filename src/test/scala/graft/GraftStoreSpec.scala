@@ -154,8 +154,16 @@ class GraftStoreSpec extends SparkSuite {
     s2.conf.set("spark.sql.catalog.gdel", "graft.sources.GraftCatalog")
     s2.conf.set("spark.sql.catalog.gdel.root", root)
     s2.sql("DELETE FROM gdel.t WHERE k = 2")
+    // the manifest dropped batch 2's files, but the bytes stay on disk
+    // while pre-delete snapshots can still reach them (time travel);
+    // snapshot EXPIRY is what reclaims them
+    val manifest = GraftStore.readManifest(path).get._2.map(_.file.stripPrefix("data/"))
+    assert(manifest.size == 8, s"expected batch 2's two files dropped: $manifest")
+    assert(dataFiles(path).size == 10,
+      "deleted files must survive until their snapshots expire")
+    GraftStore.expireSnapshots(path, 1)
     val after = dataFiles(path)
-    assert(after.size == 8, s"expected batch 2's two files dropped: $after")
+    assert(after.size == 8, s"expiry did not reclaim the deleted batch: $after")
     // kept data files are bit-for-bit untouched (metadata-only op)
     after.foreach(f => assert(
       new File(path, s"data/$f").lastModified() == mtimes(f),
@@ -231,6 +239,95 @@ class GraftStoreSpec extends SparkSuite {
       s"expected multi-epoch progress, got epoch ${GraftStore.readEpoch(out)}")
     val ids = readBack(out).select($"id").collect().map(_.getLong(0)).sorted
     assert(ids.toSeq == (0L until 10000L), "streamed table content not exactly-once")
+  }
+
+  // ------------------------------------------------ snapshots / history
+
+  test("every commit retains a snapshot manifest and bumps the version") {
+    import spark.implicits._
+    val path = tempTable()
+    writeDf(spark.range(0, 100, 1, 2).toDF("id"), path)
+    assert(GraftStore.readVersion(path) == 1)
+    writeDf(spark.range(100, 200, 1, 2).toDF("id"), path, mode = "append")
+    assert(GraftStore.readVersion(path) == 2)
+    assert(GraftStore.snapshotFiles(path).map(_.getName) ==
+      Seq("_manifest.v1", "_manifest.v2"))
+  }
+
+  test("time travel: versionAsOf reads past snapshots; truncate keeps history readable") {
+    import spark.implicits._
+    val path = tempTable()
+    writeDf(spark.range(0, 100, 1, 2).toDF("id"), path) // v1
+    writeDf(spark.range(100, 200, 1, 2).toDF("id"), path, mode = "append") // v2
+    writeDf(spark.range(1000, 1010, 1, 2).toDF("id"), path) // v3: truncate
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.getLong(0)).sorted.toSeq
+    assert(ids(readBack(path)) == (1000L until 1010L))
+    // the truncated-away files are still reachable through their snapshots
+    val v1 = spark.read.format("graft.sources.GraftStore")
+      .option("path", path).option("versionAsOf", "1").load()
+    assert(ids(v1) == (0L until 100L), "snapshot v1 is not the pre-append table")
+    val v2 = spark.read.format("graft.sources.GraftStore")
+      .option("path", path).option("versionAsOf", "2").load()
+    assert(ids(v2) == (0L until 200L), "snapshot v2 is not the pre-truncate table")
+  }
+
+  test("expireSnapshots reclaims old manifests and their exclusive data files") {
+    import spark.implicits._
+    val path = tempTable()
+    writeDf(spark.range(0, 100, 1, 2).toDF("id"), path) // v1
+    writeDf(spark.range(100, 200, 1, 2).toDF("id"), path) // v2: truncate
+    assert(dataFiles(path).size == 4, "v1's files must survive while v1 is retained")
+    GraftStore.expireSnapshots(path, 1)
+    assert(GraftStore.snapshotFiles(path).map(_.getName) == Seq("_manifest.v2"))
+    assert(dataFiles(path).size == 2, "v1's exclusive files must be GC'd at expiry")
+    assert(readBack(path).count() == 100, "current table must be untouched")
+    intercept[Exception] {
+      spark.read.format("graft.sources.GraftStore")
+        .option("path", path).option("versionAsOf", "1").load().count()
+    }
+  }
+
+  test("abort does not create a snapshot or bump the version") {
+    import spark.implicits._
+    val path = tempTable()
+    writeDf(spark.range(0, 100, 1, 2).toDF("id"), path)
+    intercept[Exception] {
+      writeDf(spark.range(100, 200, 1, 2).toDF("id"), path,
+        Map("failAllAttemptsOf" -> "1"), mode = "append")
+    }
+    assert(GraftStore.readVersion(path) == 1, "failed job bumped the version")
+    assert(GraftStore.snapshotFiles(path).map(_.getName) == Seq("_manifest.v1"))
+  }
+
+  test("OPTIMIZE byte-concat: shrinks files, preserves content, merges stats, keeps history") {
+    import spark.implicits._
+    val path = tempTable()
+    // two 8-way writes with per-file key ranges -> 16 small files
+    writeDf(spark.range(0, 800, 1, 1).select($"id", ($"id" * 0.5).as("v"))
+      .repartitionByRange(8, $"id"), path)
+    writeDf(spark.range(800, 1600, 1, 1).select($"id", ($"id" * 0.5).as("v"))
+      .repartitionByRange(8, $"id"), path, mode = "append")
+    assert(GraftStore.readManifest(path).get._2.size == 16)
+    val pre = readBack(path).collect().map(_.toString).sorted.toSeq
+    val v = GraftStore.compact(spark, path, 1L << 30)
+    assert(v == 3, s"compaction should commit snapshot v3, got $v")
+    val (_, entries) = GraftStore.readManifest(path).get
+    assert(entries.size == 1, s"expected one packed file, got ${entries.map(_.file)}")
+    assert(entries.head.rows == 1600)
+    // merged stats span the union of the inputs -> file skipping intact
+    val st = entries.head.stats("id")
+    assert(st.min == "0" && st.max == "1599" && st.nulls == 0,
+      s"merged stats wrong: $st")
+    assert(readBack(path).collect().map(_.toString).sorted.toSeq == pre,
+      "compaction changed table content")
+    // pre-compaction snapshot still readable: OPTIMIZE is history-preserving
+    val v2 = spark.read.format("graft.sources.GraftStore")
+      .option("path", path).option("versionAsOf", "2").load()
+    assert(v2.collect().map(_.toString).sorted.toSeq == pre)
+    // nothing left to pack -> no-op, no version bump
+    assert(GraftStore.compact(spark, path, 1L << 30) == -1L)
+    assert(GraftStore.readVersion(path) == 3)
   }
 
   test("sink-demanded clustering: each key lives in exactly one data file") {
