@@ -456,9 +456,12 @@ object Sources {
     * of snapshot N" while ingestion keeps appending). Expiry + GC
     * interplay is proven in GraftStoreSpec (the oracle can't list data
     * files). */
-  val qStoreTimetravel: Q = (s, dir) => {
-    import s.implicits._
-    val path = ttWritten.computeIfAbsent(s"${Util.sessionKey(s)}:$dir", _ => {
+  /** Shared two-snapshot fixture table: v1 = orders slice A, v2 = A+B
+    * (one append). Written once per (session, fixture dir); the time-
+    * travel, incremental-read, and history queries all read it. */
+  private def ttPath(s: org.apache.spark.sql.SparkSession, dir: String): String =
+    ttWritten.computeIfAbsent(s"${Util.sessionKey(s)}:$dir", _ => {
+      import s.implicits._
       val d = Util.managedTempDir("graft_tt_")
       val o = table(s, dir, "orders")
         .select($"o_orderkey", $"o_custkey", $"o_totalprice")
@@ -470,6 +473,10 @@ object Sources {
         .mode("append").save() // snapshot v2 (current)
       d
     })
+
+  val qStoreTimetravel: Q = (s, dir) => {
+    import s.implicits._
+    val path = ttPath(s, dir)
     def agg(df: org.apache.spark.sql.DataFrame, tag: String) =
       df.groupBy(($"o_orderkey" % 10).as("bucket"))
         .agg(count(lit(1)).as("n_rows"), sum($"o_orderkey").as("sum_key"),
@@ -481,6 +488,46 @@ object Sources {
       .option("path", path).load()
     agg(v1, "v1").unionAll(agg(cur, "current"))
       .orderBy($"snap", $"bucket")
+  }
+
+  /** INCREMENTAL read (round 7) — the consumption half of the snapshot
+    * history: `fromVersion=1` plans only the files ADDED since snapshot
+    * v1, a metadata-time file-set diff against the retained base
+    * manifest (valid because committed files are immutable; a range
+    * crossing a non-append snapshot is refused — the Iceberg
+    * incremental-scan contract, refusal pinned in GraftStoreSpec). The
+    * oracle recomputes the appended slice from source parquet, so the
+    * hash check proves the diff is EXACTLY batch B — no rescan of A, no
+    * missed or duplicated rows. At 100 TB this is the daily-crawl
+    * pipeline shape: each run processes precisely the new files,
+    * planned from manifest lines, while the corpus behind them never
+    * re-enters the scan. */
+  val qStoreIncremental: Q = (s, dir) => {
+    import s.implicits._
+    val path = ttPath(s, dir)
+    s.read.format("graft.sources.GraftStore")
+      .option("path", path).option("fromVersion", "1").load()
+      .groupBy(($"o_orderkey" % 10).as("bucket"))
+      .agg(count(lit(1)).as("n_rows"), sum($"o_orderkey").as("sum_key"),
+        dsum($"o_totalprice").as("sum_price"))
+      .orderBy($"bucket")
+  }
+
+  /** Snapshot HISTORY metadata table (round 7): (version, n_rows) per
+    * retained snapshot from a driver-side walk over the manifest files
+    * — the `.snapshots` metadata-table economics (one small file read
+    * per version, zero data I/O; this is metadata BY CONSTRUCTION, the
+    * one place a driver-side list is the honest plan). File counts are
+    * deliberately NOT emitted — they depend on write parallelism, while
+    * row counts are content-determined, which is what the oracle can
+    * recompute from source parquet. */
+  val qStoreHistory: Q = (s, dir) => {
+    import s.implicits._
+    val path = ttPath(s, dir)
+    val h = graft.sources.GraftStore.history(path)
+      .map { case (v, _, rows) => (v, rows) }
+    s.createDataFrame(h).toDF("version", "n_rows")
+      .orderBy($"version")
   }
 
   /** OPTIMIZE'd table dirs already written this JVM, keyed by
@@ -668,6 +715,8 @@ object Sources {
     "q_sink_roundtrip" -> qSinkRoundtrip,
     "q_store_timetravel" -> qStoreTimetravel,
     "q_store_optimize" -> qStoreOptimize,
+    "q_store_incremental" -> qStoreIncremental,
+    "q_store_history" -> qStoreHistory,
     "q_src_binaryfile" -> qSrcBinaryfile,
     "q_src_evolution" -> qSrcEvolution,
     "q_src_text" -> qSrcText,
@@ -711,6 +760,21 @@ object Sources {
         |  FROM orders WHERE o_orderkey % 7 IN (0, 1) GROUP BY 2)
         |SELECT * FROM v1 UNION ALL SELECT * FROM cur
         |ORDER BY snap, bucket""".stripMargin,
+    // the incremental diff must be EXACTLY the appended slice B
+    "q_store_incremental" ->
+      """SELECT o_orderkey % 10 AS bucket, count(*) AS n_rows,
+        | sum(o_orderkey) AS sum_key,
+        | CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+        |FROM orders WHERE o_orderkey % 7 = 1
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // snapshot row counts are content-determined: v1 = slice A, v2 = A+B
+    "q_store_history" ->
+      """SELECT CAST(1 AS BIGINT) AS version, count(*) AS n_rows
+        |FROM orders WHERE o_orderkey % 7 = 0
+        |UNION ALL
+        |SELECT CAST(2 AS BIGINT) AS version, count(*) AS n_rows
+        |FROM orders WHERE o_orderkey % 7 IN (0, 1)
+        |ORDER BY version""".stripMargin,
     // content-invisibility of OPTIMIZE: the post-compaction read must
     // equal the aggregate computed straight from the source parquet
     "q_store_optimize" ->

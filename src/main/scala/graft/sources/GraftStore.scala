@@ -172,6 +172,18 @@ object GraftStore {
       readManifest(path).map(_._2.map(_.file)).getOrElse(Seq.empty).toSet)
   }
 
+  /** Snapshot history as (version, nFiles, nRows), oldest first —
+    * driver-side metadata walk over the retained manifests, the
+    * `.snapshots` metadata-table economics: answering "how did this
+    * table grow" costs one small file read per retained version, no
+    * data I/O. */
+  private[graft] def history(path: String): Seq[(Long, Long, Long)] =
+    snapshotFiles(path).map { f =>
+      val v = f.getName.stripPrefix(ManifestName + ".v").toLong
+      val entries = readManifestFile(f).map(_._2).getOrElse(Seq.empty)
+      (v, entries.size.toLong, entries.map(_.rows).sum)
+    }
+
   /** Union of two files' per-column stats — min of mins, max of maxes,
     * null counts add; an all-null side (empty min/max strings) defers to
     * the other. Comparison happens in the column's own type via the
@@ -453,7 +465,8 @@ class GraftStoreTable(path: String, tableSchema: StructType,
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new GraftStoreScanBuilder(path,
-      Option(options.get("versionAsOf")).map(_.toLong).orElse(versionAsOf))
+      Option(options.get("versionAsOf")).map(_.toLong).orElse(versionAsOf),
+      Option(options.get("fromVersion")).map(_.toLong))
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     require(versionAsOf.isEmpty,
@@ -752,7 +765,8 @@ class GraftStoreDataWriter(path: String, schema: StructType, partitionId: Int,
 
 // ------------------------------------------------------------------ read
 
-class GraftStoreScanBuilder(path: String, versionAsOf: Option[Long] = None)
+class GraftStoreScanBuilder(path: String, versionAsOf: Option[Long] = None,
+    fromVersion: Option[Long] = None)
     extends ScanBuilder
     with org.apache.spark.sql.connector.read.SupportsPushDownFilters {
   import org.apache.spark.sql.sources.Filter
@@ -768,16 +782,18 @@ class GraftStoreScanBuilder(path: String, versionAsOf: Option[Long] = None)
   }
   override def pushedFilters(): Array[Filter] = pushed
 
-  override def build(): Scan = new GraftStoreScan(path, pushed, versionAsOf)
+  override def build(): Scan =
+    new GraftStoreScan(path, pushed, versionAsOf, fromVersion)
 }
 
 class GraftStoreScan(path: String,
     pushed: Array[org.apache.spark.sql.sources.Filter] = Array.empty,
-    versionAsOf: Option[Long] = None)
+    versionAsOf: Option[Long] = None,
+    fromVersion: Option[Long] = None)
   extends Scan with Batch {
   // a time-travel read plans against the RETAINED snapshot manifest —
   // same format, same stats, same file skipping; only the pointer differs
-  private val (schema, entries) = versionAsOf match {
+  private val (schema, current) = versionAsOf match {
     case Some(v) =>
       GraftStore.readManifestFile(
         new File(path, s"${GraftStore.ManifestName}.v$v"))
@@ -787,6 +803,29 @@ class GraftStoreScan(path: String,
       GraftStore.readManifest(path)
         .getOrElse(throw new IllegalArgumentException(
           s"no graft-store table at $path"))
+  }
+
+  // INCREMENTAL read: only the files added SINCE snapshot `fromVersion`
+  // (exclusive) — a file-set diff against the retained base manifest,
+  // valid because committed data files are immutable. A range that
+  // crosses a non-append snapshot (DELETE / truncate / OPTIMIZE removed
+  // base files) is REFUSED rather than silently mis-diffed — the
+  // Iceberg incremental-scan contract. This is the daily-crawl
+  // consumption shape at 100 TB: each pipeline run processes exactly
+  // the new files, metadata-planned, never rescanning the corpus.
+  private val entries = fromVersion match {
+    case Some(v) =>
+      val base = GraftStore.readManifestFile(
+        new File(path, s"${GraftStore.ManifestName}.v$v"))
+        .getOrElse(throw new IllegalArgumentException(
+          s"no snapshot v$v at $path (never committed, or expired)"))
+        ._2.map(_.file).toSet
+      val removed = base -- current.map(_.file).toSet
+      require(removed.isEmpty,
+        s"incremental read from v$v crosses a non-append snapshot " +
+          s"(${removed.size} base file(s) no longer present)")
+      current.filterNot(e => base(e.file))
+    case None => current
   }
 
   // manifest-stats file skipping: a file is read only if no pushed filter

@@ -330,6 +330,28 @@ class GraftStoreSpec extends SparkSuite {
     assert(GraftStore.readVersion(path) == 3)
   }
 
+  test("incremental read: fromVersion diffs file sets; non-append ranges refused") {
+    import spark.implicits._
+    val path = tempTable()
+    writeDf(spark.range(0, 100, 1, 2).toDF("id"), path) // v1
+    writeDf(spark.range(100, 200, 1, 2).toDF("id"), path, mode = "append") // v2
+    writeDf(spark.range(200, 300, 1, 2).toDF("id"), path, mode = "append") // v3
+    def incr(from: Long) = spark.read.format("graft.sources.GraftStore")
+      .option("path", path).option("fromVersion", from.toString).load()
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(incr(1) == (100L until 300L), "fromVersion=1 must be batches 2+3 exactly")
+    assert(incr(2) == (200L until 300L), "fromVersion=2 must be batch 3 exactly")
+    assert(incr(3) == Seq.empty, "fromVersion=current must be empty")
+    // snapshot metadata walk
+    assert(GraftStore.history(path).map { case (v, _, r) => (v, r) } ==
+      Seq((1L, 100L), (2L, 200L), (3L, 300L)))
+    // a truncate makes the range non-append: the diff would be a lie
+    writeDf(spark.range(0, 10, 1, 2).toDF("id"), path) // v4: truncate
+    val e = intercept[Exception] { incr(1) }
+    assert(e.getMessage.contains("non-append"),
+      s"expected the non-append refusal, got: ${e.getMessage}")
+  }
+
   test("sink-demanded clustering: each key lives in exactly one data file") {
     import spark.implicits._
     val path = tempTable()
