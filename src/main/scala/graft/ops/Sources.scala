@@ -530,6 +530,40 @@ object Sources {
       .orderBy($"version")
   }
 
+  /** STREAMING read of a GraftStore table (round 7) — the table is also
+    * a stream: snapshot versions are the offsets, each micro-batch is
+    * exactly the files a commit range added (the incremental-read diff
+    * run continuously — Delta's streaming-source design, where the txn
+    * log IS the write-ahead log). The query tails the two-snapshot
+    * fixture table through a real readStream→memory-sink run (bounded:
+    * the retained history is drained by processAllAvailable) and
+    * aggregates the drained rows; the oracle recomputes the same
+    * aggregate from source parquet, proving the tail replayed the full
+    * table exactly once across its version boundaries. Per-commit batch
+    * granularity, the fromVersion starting offset, and the
+    * snapshot-expired failure are pinned in GraftStoreSpec. At 100 TB
+    * this closes the loop: backfill, live tail INTO the table
+    * (q_stream_sink), and live tail OUT of it all share one commit
+    * protocol and one retention story. */
+  val qStreamTail: Q = (s, dir) => {
+    import s.implicits._
+    val path = ttPath(s, dir)
+    val sink = s"tail_${java.lang.Long.toHexString(System.nanoTime())}"
+    val q = s.readStream.format("graft.sources.GraftStore")
+      .option("path", path).load()
+      .writeStream.format("memory").queryName(sink)
+      .outputMode("append")
+      .option("checkpointLocation", Util.managedTempDir("graft_tail_ckpt_"))
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    s.table(sink)
+      .groupBy(($"o_orderkey" % 10).as("bucket"))
+      .agg(count(lit(1)).as("n_rows"), sum($"o_orderkey").as("sum_key"),
+        dsum($"o_totalprice").as("sum_price"))
+      .orderBy($"bucket")
+  }
+
   /** OPTIMIZE'd table dirs already written this JVM, keyed by
     * (session UUID, fixture dir). */
   private val optWritten = new java.util.concurrent.ConcurrentHashMap[String, String]
@@ -717,6 +751,7 @@ object Sources {
     "q_store_optimize" -> qStoreOptimize,
     "q_store_incremental" -> qStoreIncremental,
     "q_store_history" -> qStoreHistory,
+    "q_stream_tail" -> qStreamTail,
     "q_src_binaryfile" -> qSrcBinaryfile,
     "q_src_evolution" -> qSrcEvolution,
     "q_src_text" -> qSrcText,
@@ -766,6 +801,13 @@ object Sources {
         | sum(o_orderkey) AS sum_key,
         | CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
         |FROM orders WHERE o_orderkey % 7 = 1
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // the drained tail must equal the full table content exactly once
+    "q_stream_tail" ->
+      """SELECT o_orderkey % 10 AS bucket, count(*) AS n_rows,
+        | sum(o_orderkey) AS sum_key,
+        | CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+        |FROM orders WHERE o_orderkey % 7 IN (0, 1)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     // snapshot row counts are content-determined: v1 = slice A, v2 = A+B
     "q_store_history" ->

@@ -461,7 +461,8 @@ class GraftStoreTable(path: String, tableSchema: StructType,
   override def schema(): StructType = tableSchema
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
-      TableCapability.TRUNCATE, TableCapability.STREAMING_WRITE)
+      TableCapability.TRUNCATE, TableCapability.STREAMING_WRITE,
+      TableCapability.MICRO_BATCH_READ)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new GraftStoreScanBuilder(path,
@@ -841,6 +842,21 @@ class GraftStoreScan(path: String,
   override def description(): String =
     s"graft_store($path, files=${selected.size}/${entries.size})"
 
+  /** The table is also a STREAM: snapshot versions are the offsets, so
+    * each micro-batch is exactly the files some commit range added —
+    * the incremental-read diff run continuously (Delta's streaming-
+    * source design: the txn log IS the write-ahead log). `fromVersion`
+    * doubles as the starting offset (tail only what comes after
+    * snapshot N); with no option the stream begins before v1 and the
+    * first batch replays the whole table. Restart safety = the
+    * checkpointed version offsets plus manifest retention: snapshots a
+    * checkpoint may resume from must outlive it (expireSnapshots is the
+    * operator's contract there, exactly Delta's vacuum caveat). */
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new GraftStoreMicroBatchStream(path, schema.size,
+      fromVersion.getOrElse(0L))
+
   // one input partition per surviving data file — the write-side
   // clustering IS the read-side parallelism
   override def planInputPartitions(): Array[InputPartition] =
@@ -853,6 +869,60 @@ class GraftStoreScan(path: String,
 }
 
 case class GraftStoreFilePartition(absolutePath: String) extends InputPartition
+
+/** Offset = committed snapshot version (0 = before the first commit). */
+case class GraftVersionOffset(version: Long)
+  extends org.apache.spark.sql.connector.read.streaming.Offset {
+  override def json(): String = version.toString
+}
+
+/** Micro-batch tail of a GraftStore table: `latestOffset` polls the
+  * manifest pointer's version; `planInputPartitions(s, e)` is the
+  * file-set diff between snapshots s and e — one partition per file a
+  * commit in that range added, read by the ordinary batch reader. The
+  * same non-append guard as the incremental read applies per batch: a
+  * truncate/DELETE/OPTIMIZE inside an uncommitted range would make the
+  * diff a lie, so it fails loudly instead. */
+class GraftStoreMicroBatchStream(path: String, numFields: Int,
+    startVersion: Long)
+  extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
+  import org.apache.spark.sql.connector.read.streaming.Offset
+
+  private def filesAt(v: Long): Set[String] =
+    if (v <= 0) Set.empty
+    else GraftStore.readManifestFile(
+      new File(path, s"${GraftStore.ManifestName}.v$v"))
+      .getOrElse(throw new IllegalStateException(
+        s"snapshot v$v at $path expired while a stream checkpoint still " +
+          "references it — retain snapshots at least as long as readers"))
+      ._2.map(_.file).toSet
+
+  override def initialOffset(): Offset = GraftVersionOffset(startVersion)
+  override def deserializeOffset(json: String): Offset =
+    GraftVersionOffset(json.toLong)
+  override def latestOffset(): Offset =
+    GraftVersionOffset(GraftStore.readVersion(path))
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[GraftVersionOffset].version
+    val e = end.asInstanceOf[GraftVersionOffset].version
+    if (e <= s) return Array.empty
+    val base = filesAt(s)
+    val now = filesAt(e)
+    val removed = base -- now
+    require(removed.isEmpty,
+      s"stream batch v$s..v$e crosses a non-append snapshot " +
+        s"(${removed.size} base file(s) removed)")
+    (now -- base).toSeq.sorted.map(f =>
+      GraftStoreFilePartition(new File(path, f).getAbsolutePath)
+        : InputPartition).toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new GraftStoreReaderFactory(numFields)
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+}
 
 class GraftStoreReaderFactory(numFields: Int) extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] =

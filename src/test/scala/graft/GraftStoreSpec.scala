@@ -352,6 +352,41 @@ class GraftStoreSpec extends SparkSuite {
       s"expected the non-append refusal, got: ${e.getMessage}")
   }
 
+  test("streaming source: commits become micro-batches; fromVersion starts the tail mid-history") {
+    import spark.implicits._
+    val path = tempTable()
+    writeDf(spark.range(0, 100, 1, 2).toDF("id"), path) // v1
+    val sink = s"tail_spec_${java.lang.Long.toHexString(System.nanoTime())}"
+    val q = spark.readStream.format("graft.sources.GraftStore")
+      .option("path", path).load()
+      .writeStream.format("memory").queryName(sink).outputMode("append")
+      .option("checkpointLocation",
+        graft.ops.Util.managedTempDir("graft_tail_spec_ckpt_"))
+      .start()
+    def ids() = spark.table(sink).collect().map(_.getLong(0)).sorted.toSeq
+    q.processAllAvailable()
+    assert(ids() == (0L until 100L), "first batch must replay snapshot v1")
+    // a commit landing WHILE the stream runs arrives as its own batch
+    writeDf(spark.range(100, 200, 1, 2).toDF("id"), path, mode = "append") // v2
+    q.processAllAvailable()
+    assert(ids() == (0L until 200L), "appended snapshot did not arrive as a batch")
+    assert(q.recentProgress.count(_.numInputRows > 0) >= 2,
+      "commits must arrive as separate micro-batches, not one replay")
+    q.stop()
+    // fromVersion=1: tail only what came after the first snapshot
+    val sink2 = s"${sink}_b"
+    val q2 = spark.readStream.format("graft.sources.GraftStore")
+      .option("path", path).option("fromVersion", "1").load()
+      .writeStream.format("memory").queryName(sink2).outputMode("append")
+      .option("checkpointLocation",
+        graft.ops.Util.managedTempDir("graft_tail_spec_ckpt2_"))
+      .start()
+    q2.processAllAvailable()
+    q2.stop()
+    assert(spark.table(sink2).collect().map(_.getLong(0)).sorted.toSeq ==
+      (100L until 200L), "fromVersion tail must skip the base snapshot")
+  }
+
   test("sink-demanded clustering: each key lives in exactly one data file") {
     import spark.implicits._
     val path = tempTable()
