@@ -741,10 +741,44 @@ object Sources {
         |FROM graft.flagship ORDER BY 1, 2""".stripMargin)
   }
 
+  /** SCHEMA EVOLUTION on the connector (round 7) — `ALTER TABLE … ADD
+    * COLUMN` as a pure metadata COMMIT: only the manifest's schema line
+    * changes (atomic pointer swap, version bump — time travel to a
+    * pre-ALTER snapshot reads the OLD schema), every data file stays
+    * byte-identical, and the reader null-pads old files' rows to the
+    * new width using the per-entry arity the manifest records (UnsafeRow
+    * bakes its field count into the bytes, so old frames are parsed at
+    * their own arity — the q_src_evolution story done properly, with
+    * table metadata instead of parquet footer merging). Pre-ALTER rows
+    * come back with NULL in the appended column, post-ALTER writes carry
+    * real values; the oracle splices the same union from source parquet.
+    * Only nullable end-appended columns are allowed — the one evolution
+    * needing no data rewrite; everything else is refused (pinned in
+    * GraftCatalogSpec along with the mixed-arity compaction guard). */
+  val qStoreEvolution: Q = (s, dir) => {
+    val s2 = s.newSession()
+    s2.conf.set("spark.sql.catalog.gev", "graft.sources.GraftCatalog")
+    s2.conf.set("spark.sql.catalog.gev.root", Util.managedTempDir("graft_evolution_"))
+    table(s2, dir, "supplier").createOrReplaceTempView("supp")
+    s2.sql("DROP TABLE IF EXISTS gev.sup")
+    s2.sql(
+      """CREATE TABLE gev.sup AS
+        |SELECT s_suppkey, s_nationkey FROM supp WHERE s_suppkey % 2 = 0""".stripMargin)
+    s2.sql("ALTER TABLE gev.sup ADD COLUMN s_acctbal DOUBLE")
+    s2.sql(
+      """INSERT INTO gev.sup
+        |SELECT s_suppkey, s_nationkey, s_acctbal
+        |FROM supp WHERE s_suppkey % 2 = 1""".stripMargin)
+    s2.sql(
+      """SELECT s_suppkey, s_nationkey, s_acctbal
+        |FROM gev.sup ORDER BY s_suppkey""".stripMargin)
+  }
+
   val queries: Map[String, Q] = Map(
     "q_src_skipping" -> qSrcSkipping,
     "q_etl_delete" -> qEtlDelete,
     "q_stream_sink" -> qStreamSink,
+    "q_store_evolution" -> qStoreEvolution,
     "q_catalog_sql" -> qCatalogSql,
     "q_sink_roundtrip" -> qSinkRoundtrip,
     "q_store_timetravel" -> qStoreTimetravel,
@@ -802,6 +836,15 @@ object Sources {
         | CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
         |FROM orders WHERE o_orderkey % 7 = 1
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // pre-ALTER rows surface NULL in the appended column; post-ALTER
+    // rows carry real values — the oracle splices the same union
+    "q_store_evolution" ->
+      """SELECT s_suppkey, s_nationkey, CAST(NULL AS DOUBLE) AS s_acctbal
+        |FROM supplier WHERE s_suppkey % 2 = 0
+        |UNION ALL
+        |SELECT s_suppkey, s_nationkey, s_acctbal
+        |FROM supplier WHERE s_suppkey % 2 = 1
+        |ORDER BY s_suppkey""".stripMargin,
     // the drained tail must equal the full table content exactly once
     "q_stream_tail" ->
       """SELECT o_orderkey % 10 AS bucket, count(*) AS n_rows,

@@ -95,9 +95,37 @@ class GraftCatalog extends TableCatalog {
     new GraftStoreTable(dir.getPath, schema, None, None, None, None)
   }
 
-  override def alterTable(ident: Identifier, changes: TableChange*): Table =
-    throw new UnsupportedOperationException(
-      "graft catalog tables are schema-immutable (rewrite via CTAS)")
+  /** Schema evolution = a metadata COMMIT: `ALTER TABLE … ADD COLUMN`
+    * rewrites only the manifest's schema line (every data file untouched
+    * — their per-entry arity says how many fields their bytes carry and
+    * the reader null-pads the tail), through the same atomic pointer
+    * swap as a write, so it bumps the version and time travel to a
+    * pre-ALTER snapshot reads the OLD schema. Only nullable end-appended
+    * top-level columns are supported — the one evolution that needs no
+    * data rewrite; everything else is refused loudly (Iceberg-style
+    * full evolution needs field IDs, out of scope by design). */
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    val dir = dirFor(ident)
+    if (!isTable(dir)) throw new NoSuchTableException(ident)
+    val (schema, entries) = GraftStore.readManifest(dir.getPath).get
+    val newSchema = changes.foldLeft(schema) {
+      case (sch, add: TableChange.AddColumn) =>
+        require(add.fieldNames().length == 1,
+          "nested ADD COLUMN is not supported")
+        val name = add.fieldNames()(0)
+        require(add.isNullable,
+          s"appended column $name must be nullable — existing files null-pad it")
+        require(add.position() == null,
+          "only appending at the END of the schema is supported")
+        require(!sch.fieldNames.contains(name), s"column $name already exists")
+        sch.add(name, add.dataType(), nullable = true)
+      case (_, other) => throw new UnsupportedOperationException(
+        s"graft catalog tables support only ADD COLUMN (got ${other.getClass.getSimpleName})")
+    }
+    GraftStore.writeManifestAtomic(dir.getPath, newSchema, entries,
+      GraftStore.readEpoch(dir.getPath))
+    new GraftStoreTable(dir.getPath, newSchema, None, None, None, None)
+  }
 
   override def dropTable(ident: Identifier): Boolean = {
     val dir = dirFor(ident)

@@ -70,15 +70,23 @@ object GraftStore {
     * METADATA-ONLY DELETE (a predicate every file either entirely
     * satisfies or entirely misses = a manifest swap). */
   case class ColStats(min: String, max: String, nulls: Long)
-  case class FileEntry(file: String, rows: Long, stats: Map[String, ColStats])
 
-  // file<TAB>rows<TAB>col=min:max:nulls;col2=... — ':'/';'/'=' cannot
-  // occur inside Long/Double.toString, and stats-bearing column names are
-  // restricted to ones without the delimiters (others just carry no stats)
+  /** `cols` = how many leading schema fields the file's rows physically
+    * carry (UnsafeRow arity is baked into the bytes at write time). A
+    * table that gained columns via ADD COLUMN has old files with fewer
+    * — the reader null-pads them to the scan schema; -1 means "written
+    * before arity tracking" and is treated as full-width. */
+  case class FileEntry(file: String, rows: Long, stats: Map[String, ColStats],
+      cols: Int = -1)
+
+  // file<TAB>rows<TAB>col=min:max:nulls;col2=...<TAB>cols — ':'/';'/'='
+  // cannot occur inside Long/Double.toString, and stats-bearing column
+  // names are restricted to ones without the delimiters (others just
+  // carry no stats); the 4th field is absent in pre-evolution manifests
   private def fmtEntry(e: FileEntry): String = {
     val st = e.stats.toSeq.sortBy(_._1)
       .map { case (c, s) => s"$c=${s.min}:${s.max}:${s.nulls}" }.mkString(";")
-    s"${e.file}\t${e.rows}\t$st"
+    s"${e.file}\t${e.rows}\t$st\t${e.cols}"
   }
 
   private def parseEntry(line: String): FileEntry = line.split('\t') match {
@@ -90,7 +98,8 @@ object GraftStore {
         val Array(mn, mx, nulls) = v.split(':')
         c -> ColStats(mn, mx, nulls.toLong)
       }.toMap
-      FileEntry(parts(0), parts(1).toLong, stats)
+      FileEntry(parts(0), parts(1).toLong, stats,
+        if (parts.length >= 4) parts(3).toInt else -1)
   }
 
   /** Manifest = schema DDL line, optional `!`-prefixed header lines
@@ -238,7 +247,10 @@ object GraftStore {
     var binBytes = 0L
     entries.foreach { e =>
       val sz = new File(path, e.file).length()
-      if (bins.isEmpty || binBytes + sz > targetBytes) {
+      // mixed-arity files (pre/post ADD COLUMN) never share a bin: the
+      // byte concat would splice frames of different field counts
+      if (bins.isEmpty || binBytes + sz > targetBytes ||
+          bins.last.head.cols != e.cols) {
         bins += scala.collection.mutable.ArrayBuffer(e); binBytes = sz
       } else { bins.last += e; binBytes += sz }
     }
@@ -263,7 +275,7 @@ object GraftStore {
     val rewritten = bins.zipWithIndex.map { case (bin, i) =>
       packed.get(i) match {
         case Some(rel) => FileEntry(rel, bin.map(_.rows).sum,
-          bin.map(_.stats).reduce(mergeStats(schema, _, _)))
+          bin.map(_.stats).reduce(mergeStats(schema, _, _)), bin.head.cols)
         case None => bin.head
       }
     }.toSeq
@@ -586,20 +598,27 @@ class GraftStoreStreamingWrite(path: String, schema: StructType,
       }
     } else {
       val committed = messages.toSeq.map { case m: GraftStoreCommitMessage =>
-        GraftStore.FileEntry(m.file, m.rows, m.stats)
+        GraftStore.FileEntry(m.file, m.rows, m.stats, m.cols)
       }
+      val existing = GraftStore.readManifest(path)
       val previous =
         if (truncateEachEpoch) Seq.empty
-        else GraftStore.readManifest(path).map(_._2).getOrElse(Seq.empty)
+        else existing.map(_._2).getOrElse(Seq.empty)
       val files = previous ++ committed
-      GraftStore.writeManifestAtomic(path, schema, files, Some(epochId))
+      // append epochs keep the TABLE's schema (the query's output schema
+      // may carry tighter nullability, e.g. literal columns — writing it
+      // back would let readers elide null checks on evolved columns)
+      val tableSchema =
+        if (truncateEachEpoch) schema
+        else existing.map(_._1).getOrElse(schema)
+      GraftStore.writeManifestAtomic(path, tableSchema, files, Some(epochId))
       GraftStore.gcUnreferenced(path, files.map(_.file).toSet)
     }
   }
 
   override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
     messages.foreach {
-      case GraftStoreCommitMessage(f, _, _) => new File(path, f).delete()
+      case GraftStoreCommitMessage(f, _, _, _) => new File(path, f).delete()
       case _ =>
     }
 }
@@ -613,7 +632,8 @@ class GraftStoreStreamingWriterFactory(path: String, schema: StructType)
 }
 
 case class GraftStoreCommitMessage(file: String, rows: Long,
-    stats: Map[String, GraftStore.ColStats]) extends WriterCommitMessage
+    stats: Map[String, GraftStore.ColStats], cols: Int)
+  extends WriterCommitMessage
 
 class GraftStoreBatchWrite(path: String, schema: StructType,
     truncateFirst: Boolean, failFirstAttemptOf: Option[Int],
@@ -629,22 +649,29 @@ class GraftStoreBatchWrite(path: String, schema: StructType,
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val committed = messages.toSeq.map { case m: GraftStoreCommitMessage =>
-      GraftStore.FileEntry(m.file, m.rows, m.stats)
+      GraftStore.FileEntry(m.file, m.rows, m.stats, m.cols)
     }
+    val existing = GraftStore.readManifest(path)
     val previous =
       if (truncateFirst) Seq.empty
-      else GraftStore.readManifest(path).map(_._2).getOrElse(Seq.empty)
+      else existing.map(_._2).getOrElse(Seq.empty)
     val files = previous ++ committed
-    // a batch append into a table that also has streaming commits must
-    // not clobber the epoch marker; truncate legitimately resets it
-    GraftStore.writeManifestAtomic(path, schema, files,
+    // an append keeps the TABLE's schema: the query's output schema may
+    // carry tighter nullability (literal columns), and writing it back
+    // would let readers elide null checks on evolved columns whose old
+    // files null-pad. Truncate replaces the table wholesale — the write
+    // schema IS the new contract. The epoch marker follows the same
+    // logic (append must not clobber a streaming table's marker).
+    GraftStore.writeManifestAtomic(path,
+      if (truncateFirst) schema else existing.map(_._1).getOrElse(schema),
+      files,
       if (truncateFirst) None else GraftStore.readEpoch(path))
     GraftStore.gcUnreferenced(path, files.map(_.file).toSet)
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit =
     messages.foreach {
-      case GraftStoreCommitMessage(f, _, _) => new File(path, f).delete()
+      case GraftStoreCommitMessage(f, _, _, _) => new File(path, f).delete()
       case _ =>
     }
 }
@@ -753,7 +780,7 @@ class GraftStoreDataWriter(path: String, schema: StructType, partitionId: Int,
 
   override def commit(): WriterCommitMessage = {
     out.close()
-    GraftStoreCommitMessage(rel, rows, collectedStats)
+    GraftStoreCommitMessage(rel, rows, collectedStats, schema.size)
   }
 
   override def abort(): Unit = {
@@ -861,14 +888,15 @@ class GraftStoreScan(path: String,
   // clustering IS the read-side parallelism
   override def planInputPartitions(): Array[InputPartition] =
     selected.map(e =>
-      GraftStoreFilePartition(new File(path, e.file).getAbsolutePath)
+      GraftStoreFilePartition(new File(path, e.file).getAbsolutePath, e.cols)
         : InputPartition).toArray
 
   override def createReaderFactory(): PartitionReaderFactory =
     new GraftStoreReaderFactory(schema.size)
 }
 
-case class GraftStoreFilePartition(absolutePath: String) extends InputPartition
+case class GraftStoreFilePartition(absolutePath: String, cols: Int = -1)
+  extends InputPartition
 
 /** Offset = committed snapshot version (0 = before the first commit). */
 case class GraftVersionOffset(version: Long)
@@ -888,14 +916,14 @@ class GraftStoreMicroBatchStream(path: String, numFields: Int,
   extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
   import org.apache.spark.sql.connector.read.streaming.Offset
 
-  private def filesAt(v: Long): Set[String] =
-    if (v <= 0) Set.empty
+  private def filesAt(v: Long): Map[String, Int] =
+    if (v <= 0) Map.empty
     else GraftStore.readManifestFile(
       new File(path, s"${GraftStore.ManifestName}.v$v"))
       .getOrElse(throw new IllegalStateException(
         s"snapshot v$v at $path expired while a stream checkpoint still " +
           "references it — retain snapshots at least as long as readers"))
-      ._2.map(_.file).toSet
+      ._2.map(e => e.file -> e.cols).toMap
 
   override def initialOffset(): Offset = GraftVersionOffset(startVersion)
   override def deserializeOffset(json: String): Offset =
@@ -907,15 +935,16 @@ class GraftStoreMicroBatchStream(path: String, numFields: Int,
     val s = start.asInstanceOf[GraftVersionOffset].version
     val e = end.asInstanceOf[GraftVersionOffset].version
     if (e <= s) return Array.empty
-    val base = filesAt(s)
+    val base = filesAt(s).keySet
     val now = filesAt(e)
-    val removed = base -- now
+    val removed = base -- now.keySet
     require(removed.isEmpty,
       s"stream batch v$s..v$e crosses a non-append snapshot " +
         s"(${removed.size} base file(s) removed)")
-    (now -- base).toSeq.sorted.map(f =>
-      GraftStoreFilePartition(new File(path, f).getAbsolutePath)
-        : InputPartition).toArray
+    (now -- base).toSeq.sortBy(_._1).map { case (f, cols) =>
+      GraftStoreFilePartition(new File(path, f).getAbsolutePath, cols)
+        : InputPartition
+    }.toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
@@ -924,17 +953,32 @@ class GraftStoreMicroBatchStream(path: String, numFields: Int,
   override def stop(): Unit = ()
 }
 
-class GraftStoreReaderFactory(numFields: Int) extends PartitionReaderFactory {
-  override def createReader(p: InputPartition): PartitionReader[InternalRow] =
-    new GraftStoreFileReader(
-      p.asInstanceOf[GraftStoreFilePartition].absolutePath, numFields)
+class GraftStoreReaderFactory(scanFields: Int) extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+    val fp = p.asInstanceOf[GraftStoreFilePartition]
+    // a file written before an ADD COLUMN carries fewer fields than the
+    // scan schema: parse at its own arity (UnsafeRow layout bakes the
+    // field count into the bytes) and null-pad the tail
+    val fileFields = if (fp.cols > 0) fp.cols else scanFields
+    new GraftStoreFileReader(fp.absolutePath, fileFields, scanFields)
+  }
 }
 
-class GraftStoreFileReader(file: String, numFields: Int)
+class GraftStoreFileReader(file: String, numFields: Int, scanFields: Int)
   extends PartitionReader[InternalRow] {
+  def this(file: String, numFields: Int) = this(file, numFields, numFields)
   private val in = new DataInputStream(
     new BufferedInputStream(new FileInputStream(file)))
   private val row = new UnsafeRow(numFields)
+  // appended-column padding: JoinedRow(fileRow, all-null tail) — zero
+  // per-row allocation, and the common fileFields == scanFields case
+  // returns the UnsafeRow untouched (no wrapper on the hot path)
+  private val pad =
+    if (scanFields > numFields)
+      new org.apache.spark.sql.catalyst.expressions.JoinedRow()
+        .withRight(new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+          scanFields - numFields))
+    else null
   private var current: Array[Byte] = _
 
   override def next(): Boolean =
@@ -949,7 +993,7 @@ class GraftStoreFileReader(file: String, numFields: Int)
 
   override def get(): InternalRow = {
     row.pointTo(current, current.length)
-    row
+    if (pad != null) pad.withLeft(row) else row
   }
 
   override def close(): Unit = in.close()

@@ -84,6 +84,46 @@ class GraftCatalogSpec extends SparkSuite {
     }
   }
 
+  test("ADD COLUMN: metadata-only commit, null-padded old files, old schema via time travel") {
+    import graft.sources.GraftStore
+    session.sql("DROP TABLE IF EXISTS g.ev")
+    session.sql("CREATE TABLE g.ev AS SELECT 1 AS a") // v1 create + v2 write
+    val root = session.conf.get("spark.sql.catalog.g.root")
+    val path = s"$root/ev"
+    val preFiles = GraftStore.readManifest(path).get._2
+    session.sql("ALTER TABLE g.ev ADD COLUMN b BIGINT") // v3: schema-line commit
+    // metadata-only: same data files, byte-identical entries, new version
+    val postAlter = GraftStore.readManifest(path).get
+    assert(postAlter._1.fieldNames.toSeq == Seq("a", "b"))
+    assert(postAlter._2.map(_.file) == preFiles.map(_.file),
+      "ALTER must not touch data files")
+    assert(GraftStore.readVersion(path) == 3)
+    session.sql("INSERT INTO g.ev SELECT 2 AS a, CAST(20 AS BIGINT) AS b") // v4
+    assert(session.sql("SELECT a, b FROM g.ev ORDER BY a")
+      .collect().map(r => (r.getInt(0), if (r.isNullAt(1)) -1L else r.getLong(1)))
+      .toSeq == Seq((1, -1L), (2, 20L)),
+      "old rows must null-pad the appended column")
+    // pre-ALTER snapshot still reads the OLD schema
+    assert(session.sql("SELECT * FROM g.ev VERSION AS OF 2")
+      .schema.fieldNames.toSeq == Seq("a"))
+    // arity recorded per file: the pre-ALTER file is narrower
+    assert(GraftStore.readManifest(path).get._2.map(_.cols).sorted == Seq(1, 2))
+    // only nullable end-appended ADD COLUMN is supported
+    intercept[Exception] { session.sql("ALTER TABLE g.ev DROP COLUMN b") }
+    intercept[Exception] {
+      session.sql("ALTER TABLE g.ev ADD COLUMN c INT NOT NULL")
+    }
+    // mixed-arity files never share a compaction bin (frame widths differ)
+    session.sql("INSERT INTO g.ev SELECT 3 AS a, CAST(30 AS BIGINT) AS b")
+    GraftStore.compact(spark, path, 1L << 30)
+    val packed = GraftStore.readManifest(path).get._2
+    assert(packed.map(_.cols).sorted == Seq(1, 2),
+      s"compaction spliced mixed-arity frames: $packed")
+    assert(session.sql("SELECT a, b FROM g.ev ORDER BY a")
+      .collect().map(r => (r.getInt(0), if (r.isNullAt(1)) -1L else r.getLong(1)))
+      .toSeq == Seq((1, -1L), (2, 20L), (3, 30L)))
+  }
+
   test("identifier segments cannot escape the catalog root") {
     intercept[IllegalArgumentException] {
       catalog.loadTable(Identifier.of(Array.empty, ".."))
