@@ -741,6 +741,43 @@ object Sources {
         |FROM graft.flagship ORDER BY 1, 2""".stripMargin)
   }
 
+  /** Bloom-skip table dirs already written this JVM, keyed by
+    * (session UUID, fixture dir). */
+  private val bloomWritten = new java.util.concurrent.ConcurrentHashMap[String, String]
+
+  /** STRING-equality file skipping via per-file Bloom filters (round 7)
+    * — the manifest's numeric min/max can't carry arbitrary strings
+    * (delimiter collisions), so every string column gets a 256-bit
+    * Murmur3 Bloom in its stats line instead: equality predicates probe
+    * it at PLANNING time and absence proves a file empty of the value
+    * (one-sided, like parquet/Iceberg bloom filters — false positives
+    * just read the file, the residual filter still runs). Customer is
+    * written clustered on c_mktsegment, so each segment's rows live in
+    * one file and a segment lookup plans ~1 of N files from manifest
+    * lines alone; the oracle recomputes the filtered aggregate from
+    * source parquet, proving skipping is invisible to results. The
+    * needle-in-100 TB shape: lookups by url/id/hash skip almost every
+    * file with zero data I/O. Protocol-level skip counts + absent-key
+    * zero-file plan pinned in GraftStoreSpec. */
+  val qStoreBloomskip: Q = (s, dir) => {
+    import s.implicits._
+    val path = bloomWritten.computeIfAbsent(s"${Util.sessionKey(s)}:$dir", _ => {
+      val d = Util.managedTempDir("graft_bloom_")
+      table(s, dir, "customer")
+        .select($"c_custkey", $"c_mktsegment", $"c_acctbal")
+        .write.format("graft.sources.GraftStore").option("path", d)
+        .option("clusterBy", "c_mktsegment").option("sortBy", "c_custkey")
+        .mode("overwrite").save()
+      d
+    })
+    s.read.format("graft.sources.GraftStore").option("path", path).load()
+      .filter($"c_mktsegment" === "BUILDING")
+      .groupBy($"c_mktsegment")
+      .agg(count(lit(1)).as("n_custs"), sum($"c_custkey").as("sum_key"),
+        dsum($"c_acctbal").as("sum_bal"))
+      .orderBy($"c_mktsegment")
+  }
+
   /** SCHEMA EVOLUTION on the connector (round 7) — `ALTER TABLE … ADD
     * COLUMN` as a pure metadata COMMIT: only the manifest's schema line
     * changes (atomic pointer swap, version bump — time travel to a
@@ -779,6 +816,7 @@ object Sources {
     "q_etl_delete" -> qEtlDelete,
     "q_stream_sink" -> qStreamSink,
     "q_store_evolution" -> qStoreEvolution,
+    "q_store_bloomskip" -> qStoreBloomskip,
     "q_catalog_sql" -> qCatalogSql,
     "q_sink_roundtrip" -> qSinkRoundtrip,
     "q_store_timetravel" -> qStoreTimetravel,
@@ -836,6 +874,13 @@ object Sources {
         | CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
         |FROM orders WHERE o_orderkey % 7 = 1
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // bloom skipping must be invisible to results: same filtered
+    // aggregate straight from source parquet
+    "q_store_bloomskip" ->
+      """SELECT c_mktsegment, count(*) AS n_custs, sum(c_custkey) AS sum_key,
+        | CAST(sum(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS sum_bal
+        |FROM customer WHERE c_mktsegment = 'BUILDING'
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
     // pre-ALTER rows surface NULL in the appended column; post-ALTER
     // rows carry real values — the oracle splices the same union
     "q_store_evolution" ->

@@ -69,7 +69,49 @@ object GraftStore {
     * scan-side FILE SKIPPING (a pushed filter disproves whole files) and
     * METADATA-ONLY DELETE (a predicate every file either entirely
     * satisfies or entirely misses = a manifest swap). */
-  case class ColStats(min: String, max: String, nulls: Long)
+  case class ColStats(min: String, max: String, nulls: Long,
+      bloom: String = "")
+
+  /** Tiny per-file Bloom filter for STRING columns (256 bits, 2 probes,
+    * Murmur3 over the UTF-8 bytes — deterministic across JVMs), carried
+    * in the manifest as 64 hex chars. Strings can't ride the min/max
+    * fields (arbitrary values would collide with the tab-format
+    * delimiters) but a fixed-width hash sketch can — and equality is
+    * what string predicates overwhelmingly are. One-sided by
+    * construction: absent ⇒ NoRows (skip the file), present ⇒ Unknown
+    * (false positives just read the file; the residual filter still
+    * runs) — the same contract parquet/Iceberg bloom filters have. At
+    * ~100 distinct values per file the false-positive rate is ≈0.4%,
+    * and a miss-heavy workload (needle-in-100TB lookups by id/url/hash)
+    * skips almost every file from manifest lines alone. */
+  private[sources] object StringBloom {
+    private val Bits = 256
+    import scala.util.hashing.MurmurHash3
+    private def probes(bytes: Array[Byte]): (Int, Int) = (
+      (MurmurHash3.bytesHash(bytes, 0x9747b28c) & 0x7fffffff) % Bits,
+      (MurmurHash3.bytesHash(bytes, 0x5f3759df) & 0x7fffffff) % Bits)
+    def add(bits: Array[Long], bytes: Array[Byte]): Unit = {
+      val (a, b) = probes(bytes)
+      bits(a >> 6) |= 1L << (a & 63)
+      bits(b >> 6) |= 1L << (b & 63)
+    }
+    def hex(bits: Array[Long]): String =
+      bits.map(l => f"$l%016x").mkString
+    /** Bitwise OR of two bloom hexes (compaction stats merge). */
+    def orHex(a: String, b: String): String =
+      a.grouped(16).zip(b.grouped(16)).map { case (x, y) =>
+        f"${java.lang.Long.parseUnsignedLong(x, 16) | java.lang.Long.parseUnsignedLong(y, 16)}%016x"
+      }.mkString
+    def mightContain(hexStr: String, v: String): Boolean = {
+      val (a, b) = probes(v.getBytes(StandardCharsets.UTF_8))
+      def bit(i: Int): Boolean = {
+        val word = java.lang.Long.parseUnsignedLong(
+          hexStr.substring((i >> 6) * 16, (i >> 6) * 16 + 16), 16)
+        (word & (1L << (i & 63))) != 0
+      }
+      bit(a) && bit(b)
+    }
+  }
 
   /** `cols` = how many leading schema fields the file's rows physically
     * carry (UnsafeRow arity is baked into the bytes at write time). A
@@ -85,7 +127,10 @@ object GraftStore {
   // carry no stats); the 4th field is absent in pre-evolution manifests
   private def fmtEntry(e: FileEntry): String = {
     val st = e.stats.toSeq.sortBy(_._1)
-      .map { case (c, s) => s"$c=${s.min}:${s.max}:${s.nulls}" }.mkString(";")
+      .map { case (c, s) =>
+        val b = if (s.bloom.isEmpty) "" else s":${s.bloom}"
+        s"$c=${s.min}:${s.max}:${s.nulls}$b"
+      }.mkString(";")
     s"${e.file}\t${e.rows}\t$st\t${e.cols}"
   }
 
@@ -95,8 +140,11 @@ object GraftStore {
       val stats = if (parts.length < 3 || parts(2).isEmpty) Map.empty[String, ColStats]
       else parts(2).split(';').map { kv =>
         val Array(c, v) = kv.split('=')
-        val Array(mn, mx, nulls) = v.split(':')
-        c -> ColStats(mn, mx, nulls.toLong)
+        v.split(':') match {
+          case Array(mn, mx, nulls) => c -> ColStats(mn, mx, nulls.toLong)
+          case Array(mn, mx, nulls, bloom) =>
+            c -> ColStats(mn, mx, nulls.toLong, bloom)
+        }
       }.toMap
       FileEntry(parts(0), parts(1).toLong, stats,
         if (parts.length >= 4) parts(3).toInt else -1)
@@ -204,18 +252,24 @@ object GraftStore {
     (a.keySet ++ b.keySet).flatMap { c =>
       (a.get(c), b.get(c)) match {
         case (Some(x), Some(y)) =>
+          // blooms OR together; one side lacking its bloom poisons the
+          // merged one (absence could no longer prove absence)
+          val bloom =
+            if (x.bloom.nonEmpty && y.bloom.nonEmpty)
+              StringBloom.orHex(x.bloom, y.bloom)
+            else ""
           val merged =
-            if (x.min.isEmpty) ColStats(y.min, y.max, x.nulls + y.nulls)
-            else if (y.min.isEmpty) ColStats(x.min, x.max, x.nulls + y.nulls)
+            if (x.min.isEmpty) ColStats(y.min, y.max, x.nulls + y.nulls, bloom)
+            else if (y.min.isEmpty) ColStats(x.min, x.max, x.nulls + y.nulls, bloom)
             else schema.fields.find(_.name == c).map(_.dataType) match {
               case Some(DoubleType) => ColStats(
                 math.min(x.min.toDouble, y.min.toDouble).toString,
                 math.max(x.max.toDouble, y.max.toDouble).toString,
-                x.nulls + y.nulls)
+                x.nulls + y.nulls, bloom)
               case _ => ColStats(
                 math.min(x.min.toLong, y.min.toLong).toString,
                 math.max(x.max.toLong, y.max.toLong).toString,
-                x.nulls + y.nulls)
+                x.nulls + y.nulls, bloom)
             }
           Some(c -> merged)
         case _ => None // a pre-stats file poisons the column: no stats
@@ -349,6 +403,15 @@ object GraftStore {
           case None => Unknown
         }
       f match {
+        // string equality probes the per-file Bloom: one-sided — absence
+        // proves NoRows (skip), presence is Unknown (false positives just
+        // read the file; the residual filter still runs)
+        case EqualTo(c, v: String) =>
+          e.stats.get(c) match {
+            case Some(st) if st.bloom.nonEmpty =>
+              if (StringBloom.mightContain(st.bloom, v)) Unknown else NoRows
+            case _ => Unknown
+          }
         case EqualTo(c, v) =>
           range(c, v)((mn, mx, x) => mn == x && mx == x)((mn, mx, x) => x < mn || x > mx)
         case GreaterThan(c, v) =>
@@ -364,16 +427,18 @@ object GraftStore {
           if (tris.contains(AllRows)) AllRows // single-valued file, value present
           else if (tris.forall(_ == NoRows)) NoRows
           else Unknown
+        // null-count logic needs only the stats entry, not a numeric
+        // type — string columns carry null counts alongside their bloom
         case IsNotNull(c) =>
-          col(c) match {
-            case Some((st, _)) if st.nulls == 0 => AllRows
-            case Some((st, _)) if e.rows >= 0 && st.nulls == e.rows => NoRows
+          e.stats.get(c) match {
+            case Some(st) if st.nulls == 0 => AllRows
+            case Some(st) if e.rows >= 0 && st.nulls == e.rows => NoRows
             case _ => Unknown
           }
         case IsNull(c) =>
-          col(c) match {
-            case Some((st, _)) if st.nulls == 0 => NoRows
-            case Some((st, _)) if e.rows >= 0 && st.nulls == e.rows => AllRows
+          e.stats.get(c) match {
+            case Some(st) if st.nulls == 0 => NoRows
+            case Some(st) if e.rows >= 0 && st.nulls == e.rows => AllRows
             case _ => Unknown
           }
         case And(l, r) =>
@@ -705,13 +770,21 @@ class GraftStoreDataWriter(path: String, schema: StructType, partitionId: Int,
   // per-column min/max/nulls for the numeric columns (manifest stats —
   // the file-skipping / metadata-delete substrate). Longs and doubles
   // tracked in their own type; serialization via toString is exact.
-  import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType}
+  import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType, StringType}
+  private def safeName(f: org.apache.spark.sql.types.StructField): Boolean =
+    !f.name.exists(ch => ch == '=' || ch == ';' || ch == ':' || ch == '\t')
   private val statIdx = schema.fields.zipWithIndex.collect {
     case (f, i) if (f.dataType == IntegerType || f.dataType == LongType ||
-      f.dataType == DoubleType) &&
-      !f.name.exists(ch => ch == '=' || ch == ';' || ch == ':' || ch == '\t')
+      f.dataType == DoubleType) && safeName(f)
       => i
   }
+  // string columns get a per-file Bloom (values can't ride the min/max
+  // manifest fields — arbitrary strings collide with the delimiters, a
+  // fixed-width hex sketch can't) + the null count
+  private val bloomIdx = schema.fields.zipWithIndex.collect {
+    case (f, i) if f.dataType == StringType && safeName(f) => i
+  }
+  private val blooms = bloomIdx.map(_ => Array.fill(4)(0L))
   private val minL = Array.fill(schema.length)(Long.MaxValue)
   private val maxL = Array.fill(schema.length)(Long.MinValue)
   private val minD = Array.fill(schema.length)(Double.PositiveInfinity)
@@ -743,6 +816,13 @@ class GraftStoreDataWriter(path: String, schema: StructType, partitionId: Int,
       }
       j += 1
     }
+    var k = 0
+    while (k < bloomIdx.length) {
+      val i = bloomIdx(k)
+      if (row.isNullAt(i)) nulls(i) += 1
+      else GraftStore.StringBloom.add(blooms(k), row.getUTF8String(i).getBytes)
+      k += 1
+    }
   }
 
   private def collectedStats: Map[String, GraftStore.ColStats] =
@@ -753,6 +833,9 @@ class GraftStoreDataWriter(path: String, schema: StructType, partitionId: Int,
         else if (f.dataType == DoubleType) (minD(i).toString, maxD(i).toString)
         else (minL(i).toString, maxL(i).toString)
       f.name -> GraftStore.ColStats(mn, mx, nulls(i))
+    }.toMap ++ bloomIdx.zipWithIndex.map { case (i, k) =>
+      schema.fields(i).name -> GraftStore.ColStats("", "", nulls(i),
+        GraftStore.StringBloom.hex(blooms(k)))
     }.toMap
   private val failThis = failAllAttemptsOf.contains(partitionId) ||
     (failFirstAttemptOf.contains(partitionId) &&

@@ -138,6 +138,32 @@ class GraftStoreSpec extends SparkSuite {
       s"planned scan did not skip disproved files:\n$desc")
   }
 
+  test("string-column bloom stats skip files on equality lookups") {
+    import spark.implicits._
+    import org.apache.spark.sql.sources.EqualTo
+    val path = tempTable()
+    // sink-demanded clustering on the string key -> per-file disjoint keys
+    val df = spark.range(0, 800, 1, 8)
+      .select(concat(lit("user_"), $"id" % 8).as("k"), $"id".as("v"))
+    writeDf(df, path, Map("clusterBy" -> "k"))
+    val entries = GraftStore.readManifest(path).get._2
+    assert(entries.filter(_.rows > 0).forall(_.stats("k").bloom.nonEmpty),
+      "string column must carry a bloom in the manifest")
+    val all = new graft.sources.GraftStoreScan(path).planInputPartitions().length
+    // a present key reads only its own file (plus ~0.4% false positives)
+    val hit = new graft.sources.GraftStoreScan(path,
+      Array(EqualTo("k", "user_3"))).planInputPartitions().length
+    assert(hit >= 1 && hit <= 2, s"expected ~1 of $all files, got $hit")
+    // an absent key is disproved everywhere from manifest lines alone
+    val miss = new graft.sources.GraftStoreScan(path,
+      Array(EqualTo("k", "no_such_user"))).planInputPartitions().length
+    assert(miss == 0, s"absent key should skip every file, read $miss")
+    // end to end through Spark's pushdown: same rows as an unskipped read
+    val got = readBack(path).filter($"k" === "user_3")
+      .collect().map(_.getLong(1)).sorted.toSeq
+    assert(got == (0L until 800L).filter(_ % 8 == 3), "bloom skipping changed results")
+  }
+
   test("metadata-only DELETE drops whole batches and never touches kept files") {
     import spark.implicits._
     val root = graft.ops.Util.managedTempDir("graft_store_spec_del_")
