@@ -741,6 +741,26 @@ object Sources {
         |FROM graft.flagship ORDER BY 1, 2""".stripMargin)
   }
 
+  /** METADATA-ONLY aggregates (round 7): COUNT(*) / COUNT(col) /
+    * MIN / MAX with no grouping and no filters never open a data file —
+    * the scan builder answers them from manifest lines (rows and null
+    * counts sum, per-file extremes fold) and plans ONE synthetic
+    * partition carrying the answer row, claimed as COMPLETE pushdown
+    * because it is exact. Iceberg's "count(*) costs one metadata read"
+    * economics — at 100 TB the difference between a second and a
+    * cluster-hour. The oracle recomputes the same aggregates from
+    * source parquet; the zero-I/O claim is proven brutally in
+    * GraftStoreSpec (data files deleted from disk, the aggregate still
+    * answers) and the plan shape in PlanShapeSpec. */
+  val qStoreMetaagg: Q = (s, dir) => {
+    import s.implicits._
+    val path = ttPath(s, dir)
+    s.read.format("graft.sources.GraftStore").option("path", path).load()
+      .agg(expr("count(*)").as("n_rows"),
+        min($"o_orderkey").as("min_key"), max($"o_orderkey").as("max_key"),
+        min($"o_custkey").as("min_cust"), max($"o_custkey").as("max_cust"))
+  }
+
   /** Bloom-skip table dirs already written this JVM, keyed by
     * (session UUID, fixture dir). */
   private val bloomWritten = new java.util.concurrent.ConcurrentHashMap[String, String]
@@ -817,6 +837,7 @@ object Sources {
     "q_stream_sink" -> qStreamSink,
     "q_store_evolution" -> qStoreEvolution,
     "q_store_bloomskip" -> qStoreBloomskip,
+    "q_store_metaagg" -> qStoreMetaagg,
     "q_catalog_sql" -> qCatalogSql,
     "q_sink_roundtrip" -> qSinkRoundtrip,
     "q_store_timetravel" -> qStoreTimetravel,
@@ -874,6 +895,13 @@ object Sources {
         | CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
         |FROM orders WHERE o_orderkey % 7 = 1
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // the metadata answer must equal the real aggregate over the
+    // table's content (both fixture batches)
+    "q_store_metaagg" ->
+      """SELECT count(*) AS n_rows,
+        | min(o_orderkey) AS min_key, max(o_orderkey) AS max_key,
+        | min(o_custkey) AS min_cust, max(o_custkey) AS max_cust
+        |FROM orders WHERE o_orderkey % 7 IN (0, 1)""".stripMargin,
     // bloom skipping must be invisible to results: same filtered
     // aggregate straight from source parquet
     "q_store_bloomskip" ->

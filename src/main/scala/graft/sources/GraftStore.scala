@@ -241,6 +241,38 @@ object GraftStore {
       (v, entries.size.toLong, entries.map(_.rows).sum)
     }
 
+  /** The (schema, entries) a read with these options sees: the current
+    * pointer or a retained snapshot (`versionAsOf`), minus the base
+    * snapshot's files for an incremental read (`fromVersion`, non-append
+    * ranges refused). Shared by the scan and the metadata-aggregate
+    * answerer so both always agree on the file set. */
+  private[sources] def selectEntries(path: String, versionAsOf: Option[Long],
+      fromVersion: Option[Long]): (StructType, Seq[FileEntry]) = {
+    val (schema, current) = versionAsOf match {
+      case Some(v) =>
+        readManifestFile(new File(path, s"$ManifestName.v$v"))
+          .getOrElse(throw new IllegalArgumentException(
+            s"no snapshot v$v at $path (never committed, or expired)"))
+      case None =>
+        readManifest(path).getOrElse(throw new IllegalArgumentException(
+          s"no graft-store table at $path"))
+    }
+    val entries = fromVersion match {
+      case Some(v) =>
+        val base = readManifestFile(new File(path, s"$ManifestName.v$v"))
+          .getOrElse(throw new IllegalArgumentException(
+            s"no snapshot v$v at $path (never committed, or expired)"))
+          ._2.map(_.file).toSet
+        val removed = base -- current.map(_.file).toSet
+        require(removed.isEmpty,
+          s"incremental read from v$v crosses a non-append snapshot " +
+            s"(${removed.size} base file(s) no longer present)")
+        current.filterNot(e => base(e.file))
+      case None => current
+    }
+    (schema, entries)
+  }
+
   /** Union of two files' per-column stats — min of mins, max of maxes,
     * null counts add; an all-null side (empty min/max strings) defers to
     * the other. Comparison happens in the column's own type via the
@@ -879,9 +911,14 @@ class GraftStoreDataWriter(path: String, schema: StructType, partitionId: Int,
 class GraftStoreScanBuilder(path: String, versionAsOf: Option[Long] = None,
     fromVersion: Option[Long] = None)
     extends ScanBuilder
-    with org.apache.spark.sql.connector.read.SupportsPushDownFilters {
+    with org.apache.spark.sql.connector.read.SupportsPushDownFilters
+    with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
   import org.apache.spark.sql.sources.Filter
+  import org.apache.spark.sql.connector.expressions.NamedReference
+  import org.apache.spark.sql.connector.expressions.aggregate.{AggregateFunc, Aggregation, Count, CountStar, Max, Min}
+  import org.apache.spark.sql.types.{DataType, DoubleType, IntegerType, LongType}
   private var pushed = Array.empty[Filter]
+  private var metaAgg: Option[(StructType, Seq[Any])] = None
 
   /** Every filter is kept as a RESIDUAL for Spark to evaluate row-by-row
     * — the pushed copy only feeds manifest-stats FILE SKIPPING (exactly
@@ -893,51 +930,105 @@ class GraftStoreScanBuilder(path: String, versionAsOf: Option[Long] = None,
   }
   override def pushedFilters(): Array[Filter] = pushed
 
+  // ----------------------------------------- metadata-only aggregates
+  // COUNT(*) / COUNT(col) / MIN(col) / MAX(col) with no grouping and no
+  // filters are answered ENTIRELY from manifest lines: rows and null
+  // counts sum, per-file mins/maxes fold, and the scan plans ONE
+  // synthetic partition carrying the answer — zero data files opened.
+  // The Iceberg "SELECT count(*) costs one metadata read" economics; at
+  // 100 TB the difference between a second and a cluster-hour. Complete
+  // pushdown is claimed because the answer is exact and final (min/max
+  // from stats are true extremes over non-null values; files with no
+  // non-null values contribute nothing, matching SQL aggregate null
+  // semantics). Spark only attempts aggregate pushdown when no residual
+  // filter sits below the aggregate, so the no-filter precondition is
+  // structural; the `pushed.isEmpty` check is belt-and-braces.
+
+  private def field(e: org.apache.spark.sql.connector.expressions.Expression): Option[String] =
+    e match {
+      case nr: NamedReference if nr.fieldNames.length == 1 => Some(nr.fieldNames()(0))
+      case _ => None
+    }
+
+  private def tryAnswer(a: Aggregation): Option[(StructType, Seq[Any])] = {
+    if (pushed.nonEmpty || a.groupByExpressions.nonEmpty) return None
+    val (schema, entries) = try GraftStore.selectEntries(path, versionAsOf, fromVersion)
+      catch { case _: Exception => return None }
+    def statType(c: String): Option[DataType] =
+      schema.fields.find(_.name == c).map(_.dataType).filter(dt =>
+        dt == IntegerType || dt == LongType || dt == DoubleType)
+    def extreme(c: String, pickMax: Boolean): Option[(DataType, Any)] =
+      statType(c).flatMap { dt =>
+        if (!entries.forall(e => e.stats.contains(c))) None
+        else {
+          val vals = entries.map(e => if (pickMax) e.stats(c).max else e.stats(c).min)
+            .filter(_.nonEmpty)
+          val v: Any =
+            if (vals.isEmpty) null // every row null (or no rows): SQL min/max = NULL
+            else dt match {
+              case DoubleType =>
+                val ds = vals.map(_.toDouble); if (pickMax) ds.max else ds.min
+              case IntegerType =>
+                val is = vals.map(_.toInt); if (pickMax) is.max else is.min
+              case _ =>
+                val ls = vals.map(_.toLong); if (pickMax) ls.max else ls.min
+            }
+          Some((dt, v))
+        }
+      }
+    val answered = a.aggregateExpressions.toSeq.zipWithIndex.map {
+      case (f: AggregateFunc, i) => (f match {
+        case _: CountStar =>
+          if (entries.forall(_.rows >= 0))
+            Some((LongType: DataType, entries.map(_.rows).sum: Any))
+          else None
+        case c: Count if !c.isDistinct =>
+          field(c.column).flatMap { col =>
+            if (entries.forall(e => e.rows >= 0 && e.stats.contains(col)))
+              Some((LongType: DataType,
+                entries.map(e => e.rows - e.stats(col).nulls).sum: Any))
+            else None
+          }
+        case m: Min => field(m.column).flatMap(extreme(_, pickMax = false))
+        case m: Max => field(m.column).flatMap(extreme(_, pickMax = true))
+        case _ => None
+      }).map { case (dt, v) => (s"agg_$i", dt, v) }
+    }
+    if (answered.exists(_.isEmpty)) None
+    else {
+      val cols = answered.flatten
+      Some((StructType(cols.map { case (n, dt, _) =>
+        org.apache.spark.sql.types.StructField(n, dt) }),
+        cols.map(_._3)))
+    }
+  }
+
+  override def supportCompletePushDown(a: Aggregation): Boolean =
+    tryAnswer(a).isDefined
+
+  override def pushAggregation(a: Aggregation): Boolean =
+    tryAnswer(a) match {
+      case some @ Some(_) => metaAgg = some; true
+      case None => false
+    }
+
   override def build(): Scan =
-    new GraftStoreScan(path, pushed, versionAsOf, fromVersion)
+    new GraftStoreScan(path, pushed, versionAsOf, fromVersion, metaAgg)
 }
 
 class GraftStoreScan(path: String,
     pushed: Array[org.apache.spark.sql.sources.Filter] = Array.empty,
     versionAsOf: Option[Long] = None,
-    fromVersion: Option[Long] = None)
+    fromVersion: Option[Long] = None,
+    metaAgg: Option[(StructType, Seq[Any])] = None)
   extends Scan with Batch {
-  // a time-travel read plans against the RETAINED snapshot manifest —
-  // same format, same stats, same file skipping; only the pointer differs
-  private val (schema, current) = versionAsOf match {
-    case Some(v) =>
-      GraftStore.readManifestFile(
-        new File(path, s"${GraftStore.ManifestName}.v$v"))
-        .getOrElse(throw new IllegalArgumentException(
-          s"no snapshot v$v at $path (never committed, or expired)"))
-    case None =>
-      GraftStore.readManifest(path)
-        .getOrElse(throw new IllegalArgumentException(
-          s"no graft-store table at $path"))
-  }
-
-  // INCREMENTAL read: only the files added SINCE snapshot `fromVersion`
-  // (exclusive) — a file-set diff against the retained base manifest,
-  // valid because committed data files are immutable. A range that
-  // crosses a non-append snapshot (DELETE / truncate / OPTIMIZE removed
-  // base files) is REFUSED rather than silently mis-diffed — the
-  // Iceberg incremental-scan contract. This is the daily-crawl
-  // consumption shape at 100 TB: each pipeline run processes exactly
-  // the new files, metadata-planned, never rescanning the corpus.
-  private val entries = fromVersion match {
-    case Some(v) =>
-      val base = GraftStore.readManifestFile(
-        new File(path, s"${GraftStore.ManifestName}.v$v"))
-        .getOrElse(throw new IllegalArgumentException(
-          s"no snapshot v$v at $path (never committed, or expired)"))
-        ._2.map(_.file).toSet
-      val removed = base -- current.map(_.file).toSet
-      require(removed.isEmpty,
-        s"incremental read from v$v crosses a non-append snapshot " +
-          s"(${removed.size} base file(s) no longer present)")
-      current.filterNot(e => base(e.file))
-    case None => current
-  }
+  // a time-travel read plans against the RETAINED snapshot manifest
+  // (same format, stats, skipping — only the pointer differs); an
+  // INCREMENTAL read keeps only the files added since `fromVersion` —
+  // the file-set diff the Iceberg incremental-scan contract describes,
+  // with non-append ranges refused (see GraftStore.selectEntries)
+  private val (schema, entries) =
+    GraftStore.selectEntries(path, versionAsOf, fromVersion)
 
   // manifest-stats file skipping: a file is read only if no pushed filter
   // disproves it (tri-state NoRows). Decided at planning time on the
@@ -947,10 +1038,14 @@ class GraftStoreScan(path: String,
     GraftStore.StatsPruning.evalAll(pushed.toSeq, e, schema) !=
       GraftStore.StatsPruning.NoRows)
 
-  override def readSchema(): StructType = schema
+  override def readSchema(): StructType =
+    metaAgg.map(_._1).getOrElse(schema)
   override def toBatch: Batch = this
-  override def description(): String =
-    s"graft_store($path, files=${selected.size}/${entries.size})"
+  override def description(): String = metaAgg match {
+    case Some((s, _)) =>
+      s"graft_store($path, metadata-only aggregate [${s.fieldNames.mkString(", ")}], files=0/${entries.size})"
+    case None => s"graft_store($path, files=${selected.size}/${entries.size})"
+  }
 
   /** The table is also a STREAM: snapshot versions are the offsets, so
     * each micro-batch is exactly the files some commit range added —
@@ -968,14 +1063,21 @@ class GraftStoreScan(path: String,
       fromVersion.getOrElse(0L))
 
   // one input partition per surviving data file — the write-side
-  // clustering IS the read-side parallelism
+  // clustering IS the read-side parallelism; a pushed metadata
+  // aggregate plans ONE synthetic partition carrying the answer row
+  // (zero data files opened)
   override def planInputPartitions(): Array[InputPartition] =
-    selected.map(e =>
-      GraftStoreFilePartition(new File(path, e.file).getAbsolutePath, e.cols)
-        : InputPartition).toArray
+    metaAgg match {
+      case Some((_, values)) =>
+        Array(GraftStoreMetaAggPartition(values.toArray))
+      case None =>
+        selected.map(e =>
+          GraftStoreFilePartition(new File(path, e.file).getAbsolutePath, e.cols)
+            : InputPartition).toArray
+    }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new GraftStoreReaderFactory(schema.size)
+    new GraftStoreReaderFactory(readSchema().size)
 }
 
 case class GraftStoreFilePartition(absolutePath: String, cols: Int = -1)
@@ -1036,14 +1138,26 @@ class GraftStoreMicroBatchStream(path: String, numFields: Int,
   override def stop(): Unit = ()
 }
 
+/** One-row partition for a manifest-answered aggregate: the values were
+  * computed at PLANNING time on the driver; the "read" just emits them. */
+case class GraftStoreMetaAggPartition(values: Array[Any]) extends InputPartition
+
 class GraftStoreReaderFactory(scanFields: Int) extends PartitionReaderFactory {
-  override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
-    val fp = p.asInstanceOf[GraftStoreFilePartition]
-    // a file written before an ADD COLUMN carries fewer fields than the
-    // scan schema: parse at its own arity (UnsafeRow layout bakes the
-    // field count into the bytes) and null-pad the tail
-    val fileFields = if (fp.cols > 0) fp.cols else scanFields
-    new GraftStoreFileReader(fp.absolutePath, fileFields, scanFields)
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] = p match {
+    case GraftStoreMetaAggPartition(values) =>
+      new PartitionReader[InternalRow] {
+        private var served = false
+        override def next(): Boolean = { val r = !served; served = true; r }
+        override def get(): InternalRow =
+          new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(values)
+        override def close(): Unit = ()
+      }
+    case fp: GraftStoreFilePartition =>
+      // a file written before an ADD COLUMN carries fewer fields than the
+      // scan schema: parse at its own arity (UnsafeRow layout bakes the
+      // field count into the bytes) and null-pad the tail
+      val fileFields = if (fp.cols > 0) fp.cols else scanFields
+      new GraftStoreFileReader(fp.absolutePath, fileFields, scanFields)
   }
 }
 

@@ -164,6 +164,31 @@ class GraftStoreSpec extends SparkSuite {
     assert(got == (0L until 800L).filter(_ % 8 == 3), "bloom skipping changed results")
   }
 
+  test("count/min/max answered from manifest metadata alone (zero data I/O)") {
+    import spark.implicits._
+    val path = tempTable()
+    val df = spark.range(0, 1000, 1, 4).select($"id",
+      when($"id" % 10 === 0, lit(null)).otherwise($"id" * 0.5).as("v"))
+    writeDf(df, path)
+    // destroy every data file: if the aggregate still answers, the scan
+    // provably planned from manifest lines alone
+    Option(new File(path, "data").listFiles()).get.foreach(_.delete())
+    val agg = readBack(path).agg(expr("count(*)").as("n"),
+      count($"v").as("nv"), min($"id").as("mn"), max($"v").as("mx"))
+    assert(agg.queryExecution.executedPlan.toString.contains("metadata-only aggregate"),
+      s"aggregate not answered from metadata:\n${agg.queryExecution.executedPlan}")
+    val r = agg.collect()(0)
+    assert(r.getLong(0) == 1000 && r.getLong(1) == 900,
+      s"count wrong: ${r.toString}")
+    assert(r.getLong(2) == 0 && r.getDouble(3) == 499.5,
+      s"min/max wrong: ${r.toString}")
+    // a row filter disables the metadata path (per-file stats describe
+    // ALL rows) — the plan must fall back to reading data files
+    val filtered = readBack(path).filter($"id" > 10).agg(expr("count(*)"))
+    assert(!filtered.queryExecution.executedPlan.toString.contains("metadata-only"),
+      "filtered aggregate must not claim the metadata answer")
+  }
+
   test("metadata-only DELETE drops whole batches and never touches kept files") {
     import spark.implicits._
     val root = graft.ops.Util.managedTempDir("graft_store_spec_del_")

@@ -381,6 +381,13 @@ class PlanShapeSpec extends SparkSuite {
       s"radius self-join degenerated to a quadratic join:\n$p")
   }
 
+  test("store metadata aggregate plans the answer row, not a data scan") {
+    val p = SparkEntry.queries("q_store_metaagg")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("metadata-only aggregate"),
+      s"count/min/max did not come from manifest lines:\n$p")
+  }
+
   test("rank family routes through the two-phase kernel at scale (no bare-key window funnel)") {
     // the round-6 scale audit's one perf-weak finding: Window.partitionBy
     // on a ~5-value key executes ONE task per key value, funneling a full
