@@ -761,6 +761,82 @@ object Sources {
         min($"o_custkey").as("min_cust"), max($"o_custkey").as("max_cust"))
   }
 
+  /** DML-query catalog roots, keyed by (session UUID, fixture dir, tag).
+    * Only the ROOT directory is memoized — each invocation DROPs and
+    * recreates its table, so a repeated run (bench min-of-2) is
+    * deterministic. */
+  private val dmlRoots = new java.util.concurrent.ConcurrentHashMap[String, String]
+  private def dmlRoot(s: org.apache.spark.sql.SparkSession, dir: String,
+      tag: String): String =
+    dmlRoots.computeIfAbsent(s"${Util.sessionKey(s)}:$dir:$tag",
+      _ => Util.managedTempDir(s"graft_$tag"))
+
+  /** MERGE INTO (round 7) — the lakehouse upsert, run copy-on-write
+    * through the connector's group-based row-level operation: Spark
+    * rewrites the MERGE into a ReplaceData plan whose scan carries a
+    * runtime group filter on the `_file` METADATA column (the matching
+    * rows' files, computed as a subquery), so only files containing
+    * matched keys are rewritten — unmatched files are preserved verbatim
+    * by the manifest commit (`current - scanned + written`, one atomic
+    * pointer swap, pre-merge snapshot still time-travelable). Exercises
+    * all three action kinds: conditional DELETE, UPDATE, and INSERT.
+    * The oracle replays the same merge semantics as joins over the
+    * source parquet — the hash check proves matched/unmatched routing,
+    * action conditions, and the copy-on-write commit end-to-end. At
+    * 100 TB this is the CDC-ingest shape: write amplification bounded
+    * by files actually containing matches, not table size. */
+  val qStoreMerge: Q = (s, dir) => {
+    val s2 = s.newSession()
+    s2.conf.set("spark.sql.catalog.graftm", "graft.sources.GraftCatalog")
+    s2.conf.set("spark.sql.catalog.graftm.root", dmlRoot(s, dir, "merge_"))
+    table(s2, dir, "orders").createOrReplaceTempView("ord")
+    s2.sql("DROP TABLE IF EXISTS graftm.t")
+    s2.sql(
+      """CREATE TABLE graftm.t AS
+        |SELECT o_orderkey, o_custkey FROM ord WHERE o_orderkey % 7 = 0""".stripMargin)
+    s2.sql(
+      """MERGE INTO graftm.t t
+        |USING (SELECT o_orderkey, o_custkey FROM ord
+        |       WHERE o_orderkey % 7 = 1
+        |          OR (o_orderkey % 7 = 0 AND o_orderkey % 2 = 0)) s
+        |ON t.o_orderkey = s.o_orderkey
+        |WHEN MATCHED AND s.o_orderkey % 3 = 0 THEN DELETE
+        |WHEN MATCHED THEN UPDATE SET o_custkey = s.o_custkey + 1000000
+        |WHEN NOT MATCHED THEN INSERT (o_orderkey, o_custkey)
+        |  VALUES (s.o_orderkey, s.o_custkey)""".stripMargin)
+    s2.sql(
+      """SELECT o_orderkey % 10 AS bucket, count(*) AS n_rows,
+        | sum(o_custkey) AS sum_cust, sum(o_orderkey) AS sum_key
+        |FROM graftm.t GROUP BY 1 ORDER BY 1""".stripMargin)
+  }
+
+  /** Copy-on-write UPDATE + DELETE (round 7): predicates the manifest
+    * stats CANNOT decide (`%` has no v1 filter translation), so the
+    * metadata-only DELETE fast path refuses and Spark's row-level
+    * rewrite rewrites exactly the affected files — the surviving rows
+    * are recomputed row-by-row, files the runtime `_file` group filter
+    * disproves are never rewritten. The DELETE runs on the UPDATEd
+    * table, so the oracle chains both (update CASE, then delete WHERE)
+    * over source parquet; matching hashes prove the two DMLs composed
+    * correctly through two manifest commits. */
+  val qStoreDml: Q = (s, dir) => {
+    val s2 = s.newSession()
+    s2.conf.set("spark.sql.catalog.graftu", "graft.sources.GraftCatalog")
+    s2.conf.set("spark.sql.catalog.graftu.root", dmlRoot(s, dir, "dml_"))
+    table(s2, dir, "orders").createOrReplaceTempView("ord")
+    s2.sql("DROP TABLE IF EXISTS graftu.t")
+    s2.sql(
+      """CREATE TABLE graftu.t AS
+        |SELECT o_orderkey, o_custkey, o_orderkey % 5 AS seg
+        |FROM ord WHERE o_orderkey % 3 = 0""".stripMargin)
+    s2.sql("UPDATE graftu.t SET o_custkey = o_custkey + 500000 WHERE o_orderkey % 10 = 3")
+    s2.sql("DELETE FROM graftu.t WHERE o_custkey % 7 = 2")
+    s2.sql(
+      """SELECT seg, count(*) AS n_rows, sum(o_custkey) AS sum_cust,
+        | sum(o_orderkey) AS sum_key
+        |FROM graftu.t GROUP BY 1 ORDER BY 1""".stripMargin)
+  }
+
   /** Bloom-skip table dirs already written this JVM, keyed by
     * (session UUID, fixture dir). */
   private val bloomWritten = new java.util.concurrent.ConcurrentHashMap[String, String]
@@ -838,6 +914,8 @@ object Sources {
     "q_store_evolution" -> qStoreEvolution,
     "q_store_bloomskip" -> qStoreBloomskip,
     "q_store_metaagg" -> qStoreMetaagg,
+    "q_store_merge" -> qStoreMerge,
+    "q_store_dml" -> qStoreDml,
     "q_catalog_sql" -> qCatalogSql,
     "q_sink_roundtrip" -> qSinkRoundtrip,
     "q_store_timetravel" -> qStoreTimetravel,
@@ -902,6 +980,38 @@ object Sources {
         | min(o_orderkey) AS min_key, max(o_orderkey) AS max_key,
         | min(o_custkey) AS min_cust, max(o_custkey) AS max_cust
         |FROM orders WHERE o_orderkey % 7 IN (0, 1)""".stripMargin,
+    // the merge result must equal the same merge replayed as joins over
+    // source parquet: matched & key%3=0 deleted, matched else updated,
+    // unmatched source inserted, unmatched target kept
+    "q_store_merge" ->
+      """WITH t AS (SELECT o_orderkey, o_custkey FROM orders WHERE o_orderkey % 7 = 0),
+        |s AS (SELECT o_orderkey, o_custkey FROM orders
+        |      WHERE o_orderkey % 7 = 1 OR (o_orderkey % 7 = 0 AND o_orderkey % 2 = 0)),
+        |merged AS (
+        |  SELECT t.o_orderkey AS o_orderkey,
+        |         CASE WHEN s.o_orderkey IS NOT NULL THEN s.o_custkey + 1000000
+        |              ELSE t.o_custkey END AS o_custkey
+        |  FROM t LEFT JOIN s ON t.o_orderkey = s.o_orderkey
+        |  WHERE s.o_orderkey IS NULL OR s.o_orderkey % 3 <> 0
+        |  UNION ALL
+        |  SELECT s.o_orderkey, s.o_custkey
+        |  FROM s LEFT JOIN t ON s.o_orderkey = t.o_orderkey
+        |  WHERE t.o_orderkey IS NULL)
+        |SELECT o_orderkey % 10 AS bucket, CAST(count(*) AS BIGINT) AS n_rows,
+        | CAST(sum(o_custkey) AS BIGINT) AS sum_cust,
+        | CAST(sum(o_orderkey) AS BIGINT) AS sum_key
+        |FROM merged GROUP BY 1 ORDER BY 1""".stripMargin,
+    // UPDATE then DELETE replayed as a CASE projection then a filter
+    "q_store_dml" ->
+      """WITH t AS (SELECT o_orderkey, o_custkey, o_orderkey % 5 AS seg
+        |           FROM orders WHERE o_orderkey % 3 = 0),
+        |up AS (SELECT o_orderkey,
+        |         CASE WHEN o_orderkey % 10 = 3 THEN o_custkey + 500000
+        |              ELSE o_custkey END AS o_custkey, seg FROM t)
+        |SELECT seg, CAST(count(*) AS BIGINT) AS n_rows,
+        | CAST(sum(o_custkey) AS BIGINT) AS sum_cust,
+        | CAST(sum(o_orderkey) AS BIGINT) AS sum_key
+        |FROM up WHERE o_custkey % 7 <> 2 GROUP BY 1 ORDER BY 1""".stripMargin,
     // bloom skipping must be invisible to results: same filtered
     // aggregate straight from source parquet
     "q_store_bloomskip" ->

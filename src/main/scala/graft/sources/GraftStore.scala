@@ -564,7 +564,25 @@ class GraftStoreTable(path: String, tableSchema: StructType,
     failFirstAttemptOf: Option[Int], failAllAttemptsOf: Option[Int],
     versionAsOf: Option[Long] = None)
   extends Table with SupportsRead with SupportsWrite
-  with org.apache.spark.sql.connector.catalog.SupportsDelete {
+  with org.apache.spark.sql.connector.catalog.SupportsDelete
+  with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations
+  with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns {
+
+  /** `_file` metadata column (Iceberg's provenance column): the manifest-
+    * relative data file a row was read from. Costs nothing to produce
+    * (the reader already knows its file) and is what makes row-level
+    * operations GROUP-aware: the runtime group filter projects `_file`
+    * of the matching rows, and the scan drops every file not named —
+    * exact file-level pruning, no stats conservatism. */
+  override def metadataColumns(): Array[org.apache.spark.sql.connector.catalog.MetadataColumn] =
+    Array(new org.apache.spark.sql.connector.catalog.MetadataColumn {
+      override def name(): String = "_file"
+      override def dataType(): org.apache.spark.sql.types.DataType =
+        org.apache.spark.sql.types.StringType
+      override def isNullable: Boolean = false
+      override def comment(): String =
+        "manifest-relative data file path this row was read from"
+    })
 
   override def name(): String = s"graft_store($path)"
   override def schema(): StructType = tableSchema
@@ -616,6 +634,122 @@ class GraftStoreTable(path: String, tableSchema: StructType,
     GraftStore.writeManifestAtomic(path, sch, kept)
     GraftStore.gcUnreferenced(path, kept.map(_.file).toSet)
   }
+
+  // -------------------------------------- copy-on-write DELETE/UPDATE/MERGE
+  // Group-based row-level operations complete the DML surface: Spark's
+  // analyzer rewrites `DELETE`/`UPDATE`/`MERGE INTO` on this table into a
+  // ReplaceData plan that (a) scans the AFFECTED data files through the
+  // operation's scan builder — Spark pushes the command's CONDITION (not
+  // its negation) there, so manifest-stats file skipping prunes every
+  // file the predicate provably misses, and pruned = PRESERVED, not
+  // rewritten; (b) recomputes those files' full surviving row set
+  // row-by-row above the scan; (c) writes the replacement files and
+  // commits. The commit swaps exactly the scanned files for the written
+  // ones in one atomic manifest move — the Iceberg copy-on-write shape,
+  // where write amplification is bounded by the files the predicate
+  // actually touches, and history is preserved (the pre-DML snapshot
+  // stays time-travelable until expiry). Metadata-decidable DELETEs never
+  // reach this path: Spark's OptimizeMetadataOnlyDeleteFromTable rule
+  // still routes them to [[deleteWhere]] (zero data I/O).
+  override def newRowLevelOperationBuilder(
+      info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
+      : org.apache.spark.sql.connector.write.RowLevelOperationBuilder = {
+    require(versionAsOf.isEmpty,
+      "cannot modify a time-travel snapshot — DML goes to the current table")
+    () => new GraftStoreRowLevelOperation(path, info.command())
+  }
+}
+
+/** One DELETE/UPDATE/MERGE execution: the scan it builds records which
+  * data files survived pruning (the REPLACED group set), and the write it
+  * builds commits `current - replaced + written` atomically. Scan and
+  * write coordinate only through this object — the connector-side
+  * contract of Spark's group-based row-level operation API. */
+class GraftStoreRowLevelOperation(path: String,
+    cmd: org.apache.spark.sql.connector.write.RowLevelOperation.Command)
+  extends org.apache.spark.sql.connector.write.RowLevelOperation {
+
+  @volatile private var configuredScan: Option[GraftStoreScan] = None
+
+  override def command(): org.apache.spark.sql.connector.write.RowLevelOperation.Command = cmd
+  override def description(): String = s"graft_store copy-on-write $cmd"
+
+  // requiring `_file` does two things: (a) Spark's runtime group filter
+  // narrows the scan to exactly the files containing matching rows;
+  // (b) the replacement rows reach the writer through the data/metadata
+  // projections (the write sees ONLY the table columns — without a
+  // metadata attribute Spark's group-based write path hands the writer
+  // the raw rewrite rows, operation column included)
+  override def requiredMetadataAttributes()
+      : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    Array(Expressions.column("_file"))
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new GraftStoreScanBuilder(path) {
+      override def build(): Scan = {
+        val s = super.build().asInstanceOf[GraftStoreScan]
+        configuredScan = Some(s)
+        s
+      }
+    }
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new WriteBuilder {
+      override def build(): Write = new GraftStoreReplaceDataWrite(path,
+        info.schema(), () => configuredScan.getOrElse(throw new IllegalStateException(
+          "row-level write built before its scan")).plannedFiles)
+    }
+}
+
+class GraftStoreReplaceDataWrite(path: String, schema: StructType,
+    replacedFiles: () => Seq[String]) extends Write {
+  override def description(): String = s"graft_store replace-data -> $path"
+  override def toBatch: BatchWrite =
+    new GraftStoreReplaceBatchWrite(path, schema, replacedFiles)
+}
+
+class GraftStoreReplaceBatchWrite(path: String, schema: StructType,
+    replacedFiles: () => Seq[String]) extends BatchWrite {
+
+  // job-unique file prefix: replacement files must NEVER collide with a
+  // live committed file's name (task ids restart across JVMs), because
+  // until the manifest swap the old bytes ARE the table
+  private val stamp = java.util.UUID.randomUUID().toString.take(8)
+
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
+    new GraftStoreReplaceWriterFactory(path, schema, stamp)
+
+  override def useCommitCoordinator(): Boolean = true
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val (committed, empty) = messages.toSeq.map { case m: GraftStoreCommitMessage =>
+      GraftStore.FileEntry(m.file, m.rows, m.stats, m.cols)
+    }.partition(_.rows > 0)
+    // a partition whose surviving-row set is empty wrote an empty file:
+    // drop it rather than committing zero-row entries
+    empty.foreach(e => new File(path, e.file).delete())
+    val (tblSchema, entries) = GraftStore.readManifest(path)
+      .getOrElse((schema, Seq.empty[GraftStore.FileEntry]))
+    val replaced = replacedFiles().toSet
+    val files = entries.filterNot(e => replaced(e.file)) ++ committed
+    // table schema and streaming-epoch marker survive DML untouched
+    GraftStore.writeManifestAtomic(path, tblSchema, files,
+      GraftStore.readEpoch(path))
+    GraftStore.gcUnreferenced(path, files.map(_.file).toSet)
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit =
+    messages.foreach {
+      case GraftStoreCommitMessage(f, _, _, _) => new File(path, f).delete()
+      case _ =>
+    }
+}
+
+class GraftStoreReplaceWriterFactory(path: String, schema: StructType,
+    stamp: String) extends DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+    new GraftStoreDataWriter(path, schema, partitionId, taskId, None, None,
+      s"data/rw-$stamp-$partitionId-$taskId.bin")
 }
 
 // ----------------------------------------------------------------- write
@@ -882,7 +1016,10 @@ class GraftStoreDataWriter(path: String, schema: StructType, partitionId: Int,
       throw new RuntimeException(
         s"injected failure: partition $partitionId attempt 0")
     val unsafe = row match {
-      case u: UnsafeRow => u
+      // arity guard: a row whose bytes don't match the write schema
+      // (e.g. a rewrite row that still carries plan-internal columns)
+      // must go through the projection, never verbatim to disk
+      case u: UnsafeRow if u.numFields == schema.size => u
       case other => toUnsafe(other)
     }
     observe(unsafe)
@@ -912,13 +1049,22 @@ class GraftStoreScanBuilder(path: String, versionAsOf: Option[Long] = None,
     fromVersion: Option[Long] = None)
     extends ScanBuilder
     with org.apache.spark.sql.connector.read.SupportsPushDownFilters
-    with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
+    with org.apache.spark.sql.connector.read.SupportsPushDownAggregates
+    with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns {
   import org.apache.spark.sql.sources.Filter
   import org.apache.spark.sql.connector.expressions.NamedReference
   import org.apache.spark.sql.connector.expressions.aggregate.{AggregateFunc, Aggregation, Count, CountStar, Max, Min}
   import org.apache.spark.sql.types.{DataType, DoubleType, IntegerType, LongType}
   private var pushed = Array.empty[Filter]
   private var metaAgg: Option[(StructType, Seq[Any])] = None
+  private var withFileCol = false
+
+  /** Rows are parsed whole either way (UnsafeRow bytes carry every
+    * field), so data-column pruning buys nothing here — the one request
+    * this scan honors is the `_file` METADATA column, appended to the
+    * read schema when the query (or a row-level operation) asks for it. */
+  override def pruneColumns(required: StructType): Unit =
+    withFileCol = required.fieldNames.contains("_file")
 
   /** Every filter is kept as a RESIDUAL for Spark to evaluate row-by-row
     * — the pushed copy only feeds manifest-stats FILE SKIPPING (exactly
@@ -1013,15 +1159,18 @@ class GraftStoreScanBuilder(path: String, versionAsOf: Option[Long] = None,
     }
 
   override def build(): Scan =
-    new GraftStoreScan(path, pushed, versionAsOf, fromVersion, metaAgg)
+    new GraftStoreScan(path, pushed, versionAsOf, fromVersion, metaAgg,
+      withFileCol)
 }
 
 class GraftStoreScan(path: String,
     pushed: Array[org.apache.spark.sql.sources.Filter] = Array.empty,
     versionAsOf: Option[Long] = None,
     fromVersion: Option[Long] = None,
-    metaAgg: Option[(StructType, Seq[Any])] = None)
-  extends Scan with Batch {
+    metaAgg: Option[(StructType, Seq[Any])] = None,
+    withFileCol: Boolean = false)
+  extends Scan with Batch
+  with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering {
   // a time-travel read plans against the RETAINED snapshot manifest
   // (same format, stats, skipping — only the pointer differs); an
   // INCREMENTAL read keeps only the files added since `fromVersion` —
@@ -1030,16 +1179,43 @@ class GraftStoreScan(path: String,
   private val (schema, entries) =
     GraftStore.selectEntries(path, versionAsOf, fromVersion)
 
-  // manifest-stats file skipping: a file is read only if no pushed filter
-  // disproves it (tri-state NoRows). Decided at planning time on the
-  // driver from manifest lines alone — no data I/O, the Iceberg scan-
-  // planning story in miniature.
-  private val selected = entries.filter(e =>
-    GraftStore.StatsPruning.evalAll(pushed.toSeq, e, schema) !=
-      GraftStore.StatsPruning.NoRows)
+  // RUNTIME group filtering on `_file` (the Iceberg design): for a
+  // DELETE/UPDATE/MERGE, Spark computes the distinct `_file` values of
+  // the rows the condition actually matches (a subquery over this same
+  // table) and delivers them here as an IN list before partitions are
+  // planned — the scan then reads EXACTLY the files containing matches,
+  // no stats conservatism, and everything it skips is preserved
+  // verbatim by the copy-on-write commit.
+  @volatile private var runtimeFiles: Option[Set[String]] = None
+  override def filterAttributes(): Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    Array(Expressions.column("_file"))
+  override def filter(filters: Array[org.apache.spark.sql.sources.Filter]): Unit = {
+    import org.apache.spark.sql.sources.{EqualTo, In}
+    val keeps = filters.collect {
+      case In("_file", vs) => vs.collect { case s: String => s }.toSet
+      case EqualTo("_file", v: String) => Set(v)
+    }
+    if (keeps.nonEmpty) runtimeFiles = Some(keeps.reduce(_ intersect _))
+  }
 
-  override def readSchema(): StructType =
-    metaAgg.map(_._1).getOrElse(schema)
+  // manifest-stats file skipping: a file is read only if no pushed filter
+  // disproves it (tri-state NoRows) and no runtime group filter excludes
+  // it. Decided at planning time on the driver from manifest lines alone
+  // — no data I/O, the Iceberg scan-planning story in miniature.
+  private def selected = entries.filter(e =>
+    runtimeFiles.forall(_.contains(e.file)) &&
+      GraftStore.StatsPruning.evalAll(pushed.toSeq, e, schema) !=
+        GraftStore.StatsPruning.NoRows)
+
+  /** The files this scan planned partitions for — for a row-level
+    * operation this IS the replaced-group set its write commits against
+    * (planInputPartitions always runs before the write's commit). */
+  @volatile private[sources] var plannedFiles: Seq[String] = Seq.empty
+
+  override def readSchema(): StructType = metaAgg.map(_._1).getOrElse(
+    if (withFileCol)
+      schema.add("_file", org.apache.spark.sql.types.StringType, nullable = false)
+    else schema)
   override def toBatch: Batch = this
   override def description(): String = metaAgg match {
     case Some((s, _)) =>
@@ -1071,17 +1247,19 @@ class GraftStoreScan(path: String,
       case Some((_, values)) =>
         Array(GraftStoreMetaAggPartition(values.toArray))
       case None =>
-        selected.map(e =>
-          GraftStoreFilePartition(new File(path, e.file).getAbsolutePath, e.cols)
-            : InputPartition).toArray
+        val sel = selected
+        plannedFiles = sel.map(_.file)
+        sel.map(e =>
+          GraftStoreFilePartition(new File(path, e.file).getAbsolutePath,
+            e.cols, e.file): InputPartition).toArray
     }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new GraftStoreReaderFactory(readSchema().size)
+    new GraftStoreReaderFactory(schema.size, withFileCol)
 }
 
-case class GraftStoreFilePartition(absolutePath: String, cols: Int = -1)
-  extends InputPartition
+case class GraftStoreFilePartition(absolutePath: String, cols: Int = -1,
+    relPath: String = "") extends InputPartition
 
 /** Offset = committed snapshot version (0 = before the first commit). */
 case class GraftVersionOffset(version: Long)
@@ -1142,7 +1320,8 @@ class GraftStoreMicroBatchStream(path: String, numFields: Int,
   * computed at PLANNING time on the driver; the "read" just emits them. */
 case class GraftStoreMetaAggPartition(values: Array[Any]) extends InputPartition
 
-class GraftStoreReaderFactory(scanFields: Int) extends PartitionReaderFactory {
+class GraftStoreReaderFactory(scanFields: Int, withFileCol: Boolean = false)
+  extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = p match {
     case GraftStoreMetaAggPartition(values) =>
       new PartitionReader[InternalRow] {
@@ -1157,25 +1336,33 @@ class GraftStoreReaderFactory(scanFields: Int) extends PartitionReaderFactory {
       // scan schema: parse at its own arity (UnsafeRow layout bakes the
       // field count into the bytes) and null-pad the tail
       val fileFields = if (fp.cols > 0) fp.cols else scanFields
-      new GraftStoreFileReader(fp.absolutePath, fileFields, scanFields)
+      new GraftStoreFileReader(fp.absolutePath, fileFields, scanFields,
+        if (withFileCol) fp.relPath else null)
   }
 }
 
-class GraftStoreFileReader(file: String, numFields: Int, scanFields: Int)
+class GraftStoreFileReader(file: String, numFields: Int, scanFields: Int,
+    emitFile: String = null)
   extends PartitionReader[InternalRow] {
   def this(file: String, numFields: Int) = this(file, numFields, numFields)
   private val in = new DataInputStream(
     new BufferedInputStream(new FileInputStream(file)))
   private val row = new UnsafeRow(numFields)
-  // appended-column padding: JoinedRow(fileRow, all-null tail) — zero
-  // per-row allocation, and the common fileFields == scanFields case
-  // returns the UnsafeRow untouched (no wrapper on the hot path)
-  private val pad =
-    if (scanFields > numFields)
+  // appended-column padding and the `_file` metadata column share one
+  // JoinedRow(dataRow, tail) wrapper — zero per-row allocation, and the
+  // common case (full-width file, no metadata) returns the UnsafeRow
+  // untouched (no wrapper on the hot path). Tail layout: evolution
+  // nulls, then `_file` if requested.
+  private val pad = {
+    val tail = (scanFields - numFields) + (if (emitFile != null) 1 else 0)
+    if (tail > 0) {
+      val vals = new Array[Any](tail)
+      if (emitFile != null)
+        vals(tail - 1) = org.apache.spark.unsafe.types.UTF8String.fromString(emitFile)
       new org.apache.spark.sql.catalyst.expressions.JoinedRow()
-        .withRight(new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
-          scanFields - numFields))
-    else null
+        .withRight(new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(vals))
+    } else null
+  }
   private var current: Array[Byte] = _
 
   override def next(): Boolean =

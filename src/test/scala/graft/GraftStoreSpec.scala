@@ -224,18 +224,106 @@ class GraftStoreSpec extends SparkSuite {
     assert(back.filter($"k" === 2).count() == 0, "deleted rows still visible")
   }
 
-  test("DELETE refuses a predicate that would split a file (no partial delete)") {
+  test("DELETE beyond stats decidability falls back to copy-on-write rewrite") {
     import spark.implicits._
     val root = graft.ops.Util.managedTempDir("graft_store_spec_del2_")
     val path = s"$root/t"
-    // ONE file holding k = 0..4: k = 2 is undecidable from [0,4] stats
+    // ONE file holding k = 0..4: k = 2 is undecidable from [0,4] stats,
+    // so the metadata-only path refuses and Spark rewrites the file
+    // copy-on-write through the row-level operation
     writeDf(spark.range(0, 500, 1, 1).select($"id", ($"id" % 5).as("k")), path)
+    val vBefore = GraftStore.readVersion(path)
     val s2 = spark.newSession()
     s2.conf.set("spark.sql.catalog.gdel2", "graft.sources.GraftCatalog")
     s2.conf.set("spark.sql.catalog.gdel2.root", root)
-    intercept[Exception] { s2.sql("DELETE FROM gdel2.t WHERE k = 2") }
-    assert(readBack(path).count() == 500,
-      "refused delete must leave the table untouched")
+    s2.sql("DELETE FROM gdel2.t WHERE k = 2")
+    val back = readBack(path)
+    assert(back.count() == 400, "copy-on-write delete dropped wrong rows")
+    assert(back.filter($"k" === 2).count() == 0, "deleted rows still visible")
+    // the rewrite replaced the file (new name) and committed a snapshot;
+    // the pre-delete content stays time-travelable
+    val manifest = GraftStore.readManifest(path).get._2.map(_.file)
+    assert(manifest.forall(_.startsWith("data/rw-")),
+      s"expected a rewritten replacement file: $manifest")
+    val old = spark.read.format("graft.sources.GraftStore")
+      .option("path", path).option("versionAsOf", vBefore.toString).load()
+    assert(old.count() == 500, "pre-delete snapshot lost rows")
+  }
+
+  test("copy-on-write DELETE rewrites only the files the predicate touches") {
+    import spark.implicits._
+    val root = graft.ops.Util.managedTempDir("graft_store_spec_cow_")
+    val path = s"$root/t"
+    // five single-valued-on-k batches, two files each
+    (1 to 5).foreach { v =>
+      writeDf(spark.range(0, 100, 1, 2).select($"id", lit(v.toLong).as("k")),
+        path, mode = "append")
+    }
+    val before = dataFiles(path)
+    val mtimes = before.map(f => f -> new File(path, s"data/$f").lastModified()).toMap
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.catalog.gcow", "graft.sources.GraftCatalog")
+    s2.conf.set("spark.sql.catalog.gcow.root", root)
+    // k = 2 is stats-pushable (prunes the other four batches); id % 2
+    // has no v1 translation, so the whole predicate is NOT metadata-
+    // decidable and the copy-on-write path must run — but only over
+    // batch 2's two files
+    s2.sql("DELETE FROM gcow.t WHERE k = 2 AND id % 2 = 0")
+    val back = readBack(path)
+    assert(back.count() == 450, s"expected 450 rows, got ${back.count()}")
+    assert(back.filter($"k" === 2).count() == 50, "odd-id rows of batch 2 must survive")
+    // batches 1,3,4,5 were provably untouched: same files, same bytes
+    val manifest = GraftStore.readManifest(path).get._2.map(_.file.stripPrefix("data/"))
+    val keptOriginals = manifest.filter(mtimes.contains)
+    assert(keptOriginals.size == 8,
+      s"exactly the four untouched batches keep their files: $manifest")
+    keptOriginals.foreach(f => assert(
+      new File(path, s"data/$f").lastModified() == mtimes(f),
+      s"untouched file $f was rewritten"))
+    assert(manifest.count(_.startsWith("rw-")) >= 1,
+      s"batch 2 must have been rewritten: $manifest")
+  }
+
+  test("_file metadata column names each row's manifest-relative data file") {
+    import spark.implicits._
+    val path = tempTable()
+    writeDf(spark.range(0, 100, 1, 4).toDF("id"), path)
+    val files = readBack(path).select($"id", $"_file")
+      .groupBy($"_file").count().collect()
+    assert(files.length == 4, s"expected 4 files: ${files.mkString(",")}")
+    files.foreach { r =>
+      assert(r.getString(0).startsWith("data/"), s"not a relative path: $r")
+      assert(r.getLong(1) == 25, s"uneven file attribution: $r")
+    }
+  }
+
+  test("UPDATE and MERGE INTO run copy-on-write through the catalog") {
+    import spark.implicits._
+    val root = graft.ops.Util.managedTempDir("graft_store_spec_dml_")
+    val path = s"$root/t"
+    writeDf(spark.range(0, 200, 1, 2).select($"id", ($"id" % 4).as("k")), path)
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.catalog.gdml", "graft.sources.GraftCatalog")
+    s2.conf.set("spark.sql.catalog.gdml.root", root)
+    s2.sql("UPDATE gdml.t SET k = k + 100 WHERE id % 50 = 0")
+    val afterUpdate = readBack(path)
+    assert(afterUpdate.filter($"k" >= 100).count() == 4, "4 rows must be updated")
+    assert(afterUpdate.count() == 200, "update must not change row count")
+    // MERGE: source matches ids 150..249 — half update (ids 150..199,
+    // setting k = -1), half insert (ids 200..249, k = -2)
+    s2.range(150, 250).select($"id", lit(0L).as("k"))
+      .createOrReplaceTempView("src")
+    s2.sql(
+      """MERGE INTO gdml.t t USING src s ON t.id = s.id
+        |WHEN MATCHED THEN UPDATE SET k = -1
+        |WHEN NOT MATCHED THEN INSERT (id, k) VALUES (s.id, -2)""".stripMargin)
+    val merged = readBack(path)
+    assert(merged.count() == 250, "merge must insert the unmatched 50 rows")
+    assert(merged.filter($"k" === -1).count() == 50, "matched rows updated")
+    assert(merged.filter($"k" === -2).count() == 50, "unmatched rows inserted")
+    // ids 0, 50, 100 keep their updated k; 150 was re-matched by the merge
+    assert(merged.filter($"id" < 150 && $"k" >= 100).count() == 3,
+      "earlier UPDATE's rows must survive the merge")
   }
 
   test("streaming sink: epoch commits append atomically; a replayed epoch is a no-op") {
