@@ -62,6 +62,17 @@ class GraftCatalog extends TableCatalog {
   }
 
   override def loadTable(ident: Identifier): Table = {
+    // Iceberg-style METADATA TABLES: `SELECT * FROM cat.`t$snapshots``
+    // (version/n_files/n_rows per retained snapshot) and `t$files` (the
+    // current manifest's per-file entries). Driver-side metadata walks
+    // by construction — one small file read per snapshot, zero data I/O.
+    ident.name().split('$') match {
+      case Array(base, kind @ ("snapshots" | "files")) =>
+        val dir = dirFor(Identifier.of(ident.namespace(), base))
+        if (!isTable(dir)) throw new NoSuchTableException(ident)
+        return new GraftMetadataTable(dir.getPath, ident.toString, kind)
+      case _ =>
+    }
     val dir = dirFor(ident)
     if (!isTable(dir)) throw new NoSuchTableException(ident)
     val schema = GraftStore.readManifest(dir.getPath).get._1
@@ -150,3 +161,72 @@ class GraftCatalog extends TableCatalog {
       s"rename ${from.getPath} -> ${to.getPath} failed")
   }
 }
+
+/** Read-only metadata table over a GraftStore table's manifest state:
+  * `snapshots` = (version, n_files, n_rows) per retained snapshot,
+  * `files` = the current manifest's per-file entries. Planned fresh at
+  * every scan from a driver-side metadata walk (one small file read per
+  * snapshot, zero data I/O — metadata BY CONSTRUCTION, like q_store_history). */
+class GraftMetadataTable(path: String, ident: String, kind: String)
+  extends Table with org.apache.spark.sql.connector.catalog.SupportsRead {
+  import org.apache.spark.sql.connector.catalog.TableCapability
+  import org.apache.spark.sql.types.{IntegerType, LongType, StringType, StructField}
+
+  override def name(): String = ident
+  override def schema(): StructType = kind match {
+    case "snapshots" => StructType(Seq(
+      StructField("version", LongType, nullable = false),
+      StructField("n_files", LongType, nullable = false),
+      StructField("n_rows", LongType, nullable = false)))
+    case _ => StructType(Seq(
+      StructField("file", StringType, nullable = false),
+      StructField("rows", LongType, nullable = false),
+      StructField("cols", IntegerType, nullable = false)))
+  }
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(
+      options: org.apache.spark.sql.util.CaseInsensitiveStringMap)
+      : org.apache.spark.sql.connector.read.ScanBuilder =
+    () => new GraftMetadataScan(path, kind, schema())
+}
+
+class GraftMetadataScan(path: String, kind: String, schema: StructType)
+  extends org.apache.spark.sql.connector.read.Scan
+  with org.apache.spark.sql.connector.read.Batch {
+  import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader, PartitionReaderFactory}
+
+  override def readSchema(): StructType = schema
+  override def toBatch: org.apache.spark.sql.connector.read.Batch = this
+  override def description(): String = s"graft_metadata($path, $kind)"
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val rows: Array[Array[Any]] = kind match {
+      case "snapshots" => GraftStore.history(path)
+        .map { case (v, f, r) => Array[Any](v, f, r) }.toArray
+      case _ => GraftStore.readManifest(path).map(_._2).getOrElse(Seq.empty)
+        .map(e => Array[Any](
+          org.apache.spark.unsafe.types.UTF8String.fromString(e.file),
+          e.rows, e.cols)).toArray
+    }
+    Array(GraftMetadataPartition(rows))
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new PartitionReaderFactory {
+      override def createReader(p: InputPartition)
+          : PartitionReader[org.apache.spark.sql.catalyst.InternalRow] = {
+        val rows = p.asInstanceOf[GraftMetadataPartition].rows
+        new PartitionReader[org.apache.spark.sql.catalyst.InternalRow] {
+          private var i = -1
+          override def next(): Boolean = { i += 1; i < rows.length }
+          override def get(): org.apache.spark.sql.catalyst.InternalRow =
+            new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(rows(i))
+          override def close(): Unit = ()
+        }
+      }
+    }
+}
+
+case class GraftMetadataPartition(rows: Array[Array[Any]])
+  extends org.apache.spark.sql.connector.read.InputPartition

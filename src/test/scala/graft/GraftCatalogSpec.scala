@@ -124,6 +124,23 @@ class GraftCatalogSpec extends SparkSuite {
       .toSeq == Seq((1, -1L), (2, 20L), (3, 30L)))
   }
 
+  test("$snapshots and $files metadata tables answer from manifest walks") {
+    session.sql("CREATE TABLE g.meta (id BIGINT) USING graft")
+    session.sql("INSERT INTO g.meta SELECT * FROM range(0, 30)")
+    session.sql("INSERT INTO g.meta SELECT * FROM range(30, 100)")
+    // v1 = empty create, v2 = +30, v3 = +100
+    val snaps = session.sql(
+      "SELECT version, n_rows FROM g.`meta$snapshots` ORDER BY version").collect()
+    assert(snaps.map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      Seq((1L, 0L), (2L, 30L), (3L, 100L)), snaps.mkString(","))
+    val files = session.sql(
+      "SELECT file, rows FROM g.`meta$files` ORDER BY file").collect()
+    assert(files.map(_.getLong(1)).sum == 100, files.mkString(","))
+    assert(files.forall(_.getString(0).startsWith("data/")), files.mkString(","))
+    // a metadata table over a missing base refuses
+    intercept[Exception] { session.sql("SELECT * FROM g.`nope$snapshots`").collect() }
+  }
+
   test("identifier segments cannot escape the catalog root") {
     intercept[IllegalArgumentException] {
       catalog.loadTable(Identifier.of(Array.empty, ".."))
