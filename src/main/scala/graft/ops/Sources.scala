@@ -525,8 +525,8 @@ object Sources {
     import s.implicits._
     val path = ttPath(s, dir)
     val h = graft.sources.GraftStore.history(path)
-      .map { case (v, _, rows) => (v, rows) }
-    s.createDataFrame(h).toDF("version", "n_rows")
+      .map { case (v, _, rows, op) => (v, rows, op) }
+    s.createDataFrame(h).toDF("version", "n_rows", "op")
       .orderBy($"version")
   }
 
@@ -837,6 +837,52 @@ object Sources {
         |FROM graftu.t GROUP BY 1 ORDER BY 1""".stripMargin)
   }
 
+  /** CHANGE DATA FEED (round 7, second half): the row-level delta
+    * between two snapshots as a readable DataFrame —
+    * `changesFrom`/`changesTo` read options surface every commit in the
+    * range as (row, _change_type, _commit_version), planned entirely
+    * from the retained manifests' file diffs (one partition per CHANGED
+    * file; cost proportional to the delta, never a table rescan — the
+    * Delta/Iceberg CDF economics). The `!op=` header each commit now
+    * records is what keeps the feed honest: this query drives every
+    * commit kind through one table — three batch-aligned appends
+    * (inserts), a metadata-only DELETE (deletes, zero data I/O), a
+    * copy-on-write UPDATE (paired delete+insert carrying the new
+    * values), then an OPTIMIZE whose file churn emits NOTHING (a diff
+    * without the op header could not tell it from an overwrite). The
+    * oracle reconstructs all five commits' deltas from source parquet —
+    * the hash check proves the feed is loss-free and phantom-free. At
+    * 100 TB this is how downstream incremental consumers (index
+    * refresh, aggregate maintenance, replication) follow a mutating
+    * table without rescanning it; it also answers the ranges the plain
+    * incremental read refuses. Fresh table per invocation (DML
+    * mutates). Protocol-level bounds live in GraftStoreSpec. */
+  val qStoreCdf: Q = (s, dir) => {
+    val s2 = s.newSession()
+    val root = Util.managedTempDir("graft_cdf_")
+    s2.conf.set("spark.sql.catalog.graftc", "graft.sources.GraftCatalog")
+    s2.conf.set("spark.sql.catalog.graftc.root", root)
+    import s2.implicits._
+    val o = table(s2, dir, "orders")
+      .select($"o_orderkey", $"o_totalprice",
+        substring($"o_orderpriority", 1, 1).cast("int").as("pri"))
+    (1 to 3).foreach { v => // v1..v3: appends, single-valued on pri
+      o.filter($"pri" === v).repartition(2)
+        .write.format("graft.sources.GraftStore")
+        .option("path", s"$root/ctab").mode("append").save()
+    }
+    s2.sql("DELETE FROM graftc.ctab WHERE pri = 2") // v4: metadata-only
+    s2.sql("UPDATE graftc.ctab SET o_totalprice = -o_totalprice WHERE pri = 3") // v5: copy-on-write
+    graft.sources.GraftStore.compact(s2, s"$root/ctab", 1L << 30) // v6: optimize — silent in the feed
+    s2.read.format("graft.sources.GraftStore")
+      .option("path", s"$root/ctab")
+      .option("changesFrom", "0").load()
+      .groupBy($"_commit_version", $"_change_type", $"pri")
+      .agg(count(lit(1)).as("n"), sum($"o_orderkey").as("sum_key"),
+        dsum($"o_totalprice").as("sum_price"))
+      .orderBy($"_commit_version", $"_change_type", $"pri")
+  }
+
   /** Bloom-skip table dirs already written this JVM, keyed by
     * (session UUID, fixture dir). */
   private val bloomWritten = new java.util.concurrent.ConcurrentHashMap[String, String]
@@ -916,6 +962,7 @@ object Sources {
     "q_store_metaagg" -> qStoreMetaagg,
     "q_store_merge" -> qStoreMerge,
     "q_store_dml" -> qStoreDml,
+    "q_store_cdf" -> qStoreCdf,
     "q_catalog_sql" -> qCatalogSql,
     "q_sink_roundtrip" -> qSinkRoundtrip,
     "q_store_timetravel" -> qStoreTimetravel,
@@ -1012,6 +1059,31 @@ object Sources {
         | CAST(sum(o_custkey) AS BIGINT) AS sum_cust,
         | CAST(sum(o_orderkey) AS BIGINT) AS sum_key
         |FROM up WHERE o_custkey % 7 <> 2 GROUP BY 1 ORDER BY 1""".stripMargin,
+    // the change feed replayed commit-by-commit: appends v1..v3 insert
+    // each pri slice, the metadata DELETE deletes slice 2, the
+    // copy-on-write UPDATE deletes slice 3 and re-inserts it negated,
+    // and the trailing OPTIMIZE contributes no rows at all
+    "q_store_cdf" ->
+      """WITH o AS (SELECT o_orderkey, o_totalprice,
+        |             CAST(substring(o_orderpriority, 1, 1) AS INT) AS pri
+        |           FROM orders),
+        |base AS (SELECT pri, CAST(count(*) AS BIGINT) AS n,
+        |           CAST(sum(o_orderkey) AS BIGINT) AS sum_key,
+        |           CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+        |         FROM o WHERE pri <= 3 GROUP BY pri)
+        |SELECT CAST(pri AS BIGINT) AS _commit_version,
+        |       'insert' AS _change_type, pri, n, sum_key, sum_price
+        |FROM base
+        |UNION ALL
+        |SELECT CAST(4 AS BIGINT), 'delete', pri, n, sum_key, sum_price
+        |FROM base WHERE pri = 2
+        |UNION ALL
+        |SELECT CAST(5 AS BIGINT), 'delete', pri, n, sum_key, sum_price
+        |FROM base WHERE pri = 3
+        |UNION ALL
+        |SELECT CAST(5 AS BIGINT), 'insert', pri, n, sum_key, -sum_price
+        |FROM base WHERE pri = 3
+        |ORDER BY _commit_version, _change_type, pri""".stripMargin,
     // bloom skipping must be invisible to results: same filtered
     // aggregate straight from source parquet
     "q_store_bloomskip" ->
@@ -1035,12 +1107,15 @@ object Sources {
         | CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
         |FROM orders WHERE o_orderkey % 7 IN (0, 1)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
-    // snapshot row counts are content-determined: v1 = slice A, v2 = A+B
+    // snapshot row counts are content-determined: v1 = slice A
+    // (overwrite), v2 = A+B (append); ops are fixed by the fixture
     "q_store_history" ->
-      """SELECT CAST(1 AS BIGINT) AS version, count(*) AS n_rows
+      """SELECT CAST(1 AS BIGINT) AS version, count(*) AS n_rows,
+        | 'overwrite' AS op
         |FROM orders WHERE o_orderkey % 7 = 0
         |UNION ALL
-        |SELECT CAST(2 AS BIGINT) AS version, count(*) AS n_rows
+        |SELECT CAST(2 AS BIGINT) AS version, count(*) AS n_rows,
+        | 'append' AS op
         |FROM orders WHERE o_orderkey % 7 IN (0, 1)
         |ORDER BY version""".stripMargin,
     // content-invisibility of OPTIMIZE: the post-compaction read must

@@ -102,7 +102,8 @@ class GraftCatalog extends TableCatalog {
     if (isTable(dir)) throw new TableAlreadyExistsException(ident)
     dir.mkdirs()
     // an empty manifest IS the table: created atomically, never half-visible
-    GraftStore.writeManifestAtomic(dir.getPath, schema, Seq.empty)
+    GraftStore.writeManifestAtomic(dir.getPath, schema, Seq.empty,
+      op = "create")
     new GraftStoreTable(dir.getPath, schema, None, None, None, None)
   }
 
@@ -134,7 +135,7 @@ class GraftCatalog extends TableCatalog {
         s"graft catalog tables support only ADD COLUMN (got ${other.getClass.getSimpleName})")
     }
     GraftStore.writeManifestAtomic(dir.getPath, newSchema, entries,
-      GraftStore.readEpoch(dir.getPath))
+      GraftStore.readEpoch(dir.getPath), op = "evolve")
     new GraftStoreTable(dir.getPath, newSchema, None, None, None, None)
   }
 
@@ -177,7 +178,8 @@ class GraftMetadataTable(path: String, ident: String, kind: String)
     case "snapshots" => StructType(Seq(
       StructField("version", LongType, nullable = false),
       StructField("n_files", LongType, nullable = false),
-      StructField("n_rows", LongType, nullable = false)))
+      StructField("n_rows", LongType, nullable = false),
+      StructField("op", StringType, nullable = false)))
     case _ => StructType(Seq(
       StructField("file", StringType, nullable = false),
       StructField("rows", LongType, nullable = false),
@@ -203,7 +205,8 @@ class GraftMetadataScan(path: String, kind: String, schema: StructType)
   override def planInputPartitions(): Array[InputPartition] = {
     val rows: Array[Array[Any]] = kind match {
       case "snapshots" => GraftStore.history(path)
-        .map { case (v, f, r) => Array[Any](v, f, r) }.toArray
+        .map { case (v, f, r, op) => Array[Any](v, f, r,
+          org.apache.spark.unsafe.types.UTF8String.fromString(op)) }.toArray
       case _ => GraftStore.readManifest(path).map(_._2).getOrElse(Seq.empty)
         .map(e => Array[Any](
           org.apache.spark.unsafe.types.UTF8String.fromString(e.file),

@@ -192,6 +192,20 @@ object GraftStore {
       .split('\n').find(_.startsWith("!epoch=")).map(_.stripPrefix("!epoch=").toLong)
   }
 
+  /** Operation kind a snapshot's commit recorded (`!op=` header):
+    * "create" / "append" / "overwrite" / "delete" / "replace" (copy-on-
+    * write DML) / "optimize" / "evolve"; "" for manifests written before
+    * op tracking. What makes the CHANGE-DATA-FEED read precise: a
+    * file-set diff alone cannot tell a compaction (files churn, content
+    * identical — emit NOTHING) from an overwrite (same churn shape,
+    * content replaced — emit everything), the Iceberg snapshot-summary
+    * `operation` field distinction. */
+  private[graft] def readOpOf(f: File): String =
+    if (!f.exists()) ""
+    else new String(Files.readAllBytes(f.toPath), StandardCharsets.UTF_8)
+      .split('\n').find(_.startsWith("!op=")).map(_.stripPrefix("!op="))
+      .getOrElse("")
+
   /** Every commit writes the manifest under the NEXT snapshot id and
     * retains the previous ones: the versioned copy `_manifest.v<n>`
     * lands first (history files are invisible — only the pointer is
@@ -203,11 +217,12 @@ object GraftStore {
     * history possible; [[expireSnapshots]] bounds their cost. */
   private[sources] def writeManifestAtomic(
       path: String, schema: StructType, files: Seq[FileEntry],
-      epoch: Option[Long] = None): Long = {
+      epoch: Option[Long] = None, op: String = ""): Long = {
     val v = readVersion(path) + 1
     val tmp = Paths.get(path, s".manifest.tmp.${java.util.UUID.randomUUID()}")
     val lines = schema.toDDL +: (s"!version=$v" +:
-      (epoch.map(e => s"!epoch=$e").toSeq ++ files.map(fmtEntry)))
+      ((if (op.nonEmpty) Seq(s"!op=$op") else Seq.empty) ++
+        epoch.map(e => s"!epoch=$e").toSeq ++ files.map(fmtEntry)))
     Files.write(tmp, lines.mkString("\n").getBytes(StandardCharsets.UTF_8))
     Files.copy(tmp, Paths.get(path, s"$ManifestName.v$v"),
       StandardCopyOption.REPLACE_EXISTING)
@@ -229,16 +244,17 @@ object GraftStore {
       readManifest(path).map(_._2.map(_.file)).getOrElse(Seq.empty).toSet)
   }
 
-  /** Snapshot history as (version, nFiles, nRows), oldest first —
+  /** Snapshot history as (version, nFiles, nRows, op), oldest first —
     * driver-side metadata walk over the retained manifests, the
     * `.snapshots` metadata-table economics: answering "how did this
     * table grow" costs one small file read per retained version, no
-    * data I/O. */
-  private[graft] def history(path: String): Seq[(Long, Long, Long)] =
+    * data I/O. `op` is the commit kind the snapshot recorded ("" for
+    * pre-op-tracking manifests). */
+  private[graft] def history(path: String): Seq[(Long, Long, Long, String)] =
     snapshotFiles(path).map { f =>
       val v = f.getName.stripPrefix(ManifestName + ".v").toLong
       val entries = readManifestFile(f).map(_._2).getOrElse(Seq.empty)
-      (v, entries.size.toLong, entries.map(_.rows).sum)
+      (v, entries.size.toLong, entries.map(_.rows).sum, readOpOf(f))
     }
 
   /** The (schema, entries) a read with these options sees: the current
@@ -266,11 +282,72 @@ object GraftStore {
         val removed = base -- current.map(_.file).toSet
         require(removed.isEmpty,
           s"incremental read from v$v crosses a non-append snapshot " +
-            s"(${removed.size} base file(s) no longer present)")
+            s"(${removed.size} base file(s) no longer present) — use a " +
+            "change-feed read (changesFrom/changesTo) for ranges with " +
+            "deletes or rewrites")
         current.filterNot(e => base(e.file))
       case None => current
     }
     (schema, entries)
+  }
+
+  /** A change-feed read's schema: the data schema plus the two CDF
+    * columns every row carries. */
+  private[graft] def cdfSchema(dataSchema: StructType): StructType =
+    dataSchema
+      .add("_change_type", org.apache.spark.sql.types.StringType, nullable = false)
+      .add("_commit_version", org.apache.spark.sql.types.LongType, nullable = false)
+
+  /** CHANGE DATA FEED planning: walk the retained manifests of versions
+    * (fromV, toV] and turn each commit into file-grained change sets —
+    * files a commit removed emit their rows as `delete` (read from the
+    * PREVIOUS snapshot, whose manifest still references them, so GC
+    * retention covers exactly the feed's needs), files it added emit as
+    * `insert`. The `!op=` header is what makes the diff honest:
+    * `optimize` (byte-identical rewrite) and `evolve`/`create`
+    * (metadata-only) emit NOTHING — without the op a compaction's file
+    * churn is indistinguishable from an overwrite. Copy-on-write
+    * `replace` commits surface at file granularity: rows copied
+    * unchanged into a replacement file appear as a paired delete+insert
+    * (net change exact, like Delta tables without per-commit CDC
+    * files); batch-aligned layouts (cluster on the DML key) keep those
+    * pairs to the files the predicate actually touched. This is the
+    * answer to the non-append ranges the incremental read refuses:
+    * every commit kind has a defined, loss-free change representation.
+    * Returns (relFile, fileArity, changeType, version) tuples — one
+    * scan partition each; cost is metadata-proportional to the CHANGED
+    * files only, never a rescan of the table. */
+  private[sources] def cdfFileDiffs(path: String, fromV: Long,
+      toV: Long): Seq[(String, Int, String, Long)] = {
+    require(0 <= fromV && fromV <= toV,
+      s"invalid change range v$fromV..v$toV")
+    def manifestAt(v: Long): (String, Seq[FileEntry]) = {
+      val f = new File(path, s"$ManifestName.v$v")
+      val entries = readManifestFile(f).getOrElse(
+        throw new IllegalArgumentException(
+          s"snapshot v$v at $path is not retained (expired or never " +
+            "committed) — a change feed needs every snapshot in its range"))
+        ._2
+      (readOpOf(f), entries)
+    }
+    var base: Map[String, FileEntry] =
+      if (fromV == 0) Map.empty
+      else manifestAt(fromV)._2.map(e => e.file -> e).toMap
+    (fromV + 1 to toV).flatMap { v =>
+      val (op, entries) = manifestAt(v)
+      val cur = entries.map(e => e.file -> e).toMap
+      val out: Seq[(String, Int, String, Long)] =
+        if (op == "optimize" || op == "evolve" || op == "create") Seq.empty
+        else {
+          val removed = (base.keySet -- cur.keySet).toSeq.sorted
+            .map(f => (f, base(f).cols, "delete", v))
+          val added = (cur.keySet -- base.keySet).toSeq.sorted
+            .map(f => (f, cur(f).cols, "insert", v))
+          removed ++ added
+        }
+      base = cur
+      out
+    }
   }
 
   /** Union of two files' per-column stats — min of mins, max of maxes,
@@ -365,7 +442,8 @@ object GraftStore {
         case None => bin.head
       }
     }.toSeq
-    val v = writeManifestAtomic(path, schema, rewritten, readEpoch(path))
+    val v = writeManifestAtomic(path, schema, rewritten, readEpoch(path),
+      op = "optimize")
     gcUnreferenced(path, rewritten.map(_.file).toSet)
     v
   }
@@ -539,10 +617,20 @@ class GraftStore extends TableProvider {
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
     val path = options.get("path")
     require(path != null, "graft store requires a path option")
-    GraftStore.readManifest(path)
-      .map(_._1)
-      .getOrElse(throw new IllegalArgumentException(
-        s"no graft-store table at $path (missing ${GraftStore.ManifestName})"))
+    // a change-feed read surfaces the schema AT `changesTo` plus the two
+    // CDF columns (old files inside the range null-pad as usual)
+    Option(options.get("changesFrom")) match {
+      case Some(_) =>
+        val toV = Option(options.get("changesTo")).map(_.toLong)
+          .getOrElse(GraftStore.readVersion(path))
+        GraftStore.cdfSchema(
+          GraftStore.selectEntries(path, Some(toV), None)._1)
+      case None =>
+        GraftStore.readManifest(path)
+          .map(_._1)
+          .getOrElse(throw new IllegalArgumentException(
+            s"no graft-store table at $path (missing ${GraftStore.ManifestName})"))
+    }
   }
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
@@ -555,14 +643,17 @@ class GraftStore extends TableProvider {
       opt("clusterBy"), opt("sortBy"),
       opt("failFirstAttemptOf").map(_.toInt),
       opt("failAllAttemptsOf").map(_.toInt),
-      opt("versionAsOf").map(_.toLong))
+      opt("versionAsOf").map(_.toLong),
+      opt("changesFrom").map(_.toLong),
+      opt("changesTo").map(_.toLong))
   }
 }
 
 class GraftStoreTable(path: String, tableSchema: StructType,
     clusterBy: Option[String], sortBy: Option[String],
     failFirstAttemptOf: Option[Int], failAllAttemptsOf: Option[Int],
-    versionAsOf: Option[Long] = None)
+    versionAsOf: Option[Long] = None,
+    changesFrom: Option[Long] = None, changesTo: Option[Long] = None)
   extends Table with SupportsRead with SupportsWrite
   with org.apache.spark.sql.connector.catalog.SupportsDelete
   with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations
@@ -592,13 +683,23 @@ class GraftStoreTable(path: String, tableSchema: StructType,
       TableCapability.MICRO_BATCH_READ)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new GraftStoreScanBuilder(path,
-      Option(options.get("versionAsOf")).map(_.toLong).orElse(versionAsOf),
-      Option(options.get("fromVersion")).map(_.toLong))
+    Option(options.get("changesFrom")).map(_.toLong).orElse(changesFrom) match {
+      case Some(fromV) =>
+        // change-feed read: tableSchema already carries the two CDF
+        // columns (inferSchema appended them) — strip to the data schema
+        val toV = Option(options.get("changesTo")).map(_.toLong)
+          .orElse(changesTo).getOrElse(GraftStore.readVersion(path))
+        () => new GraftStoreCdfScan(path, fromV, toV,
+          StructType(tableSchema.dropRight(2)))
+      case None =>
+        new GraftStoreScanBuilder(path,
+          Option(options.get("versionAsOf")).map(_.toLong).orElse(versionAsOf),
+          Option(options.get("fromVersion")).map(_.toLong))
+    }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
-    require(versionAsOf.isEmpty,
-      "cannot write to a time-travel snapshot — writes go to the current table")
+    require(versionAsOf.isEmpty && changesFrom.isEmpty,
+      "cannot write to a time-travel snapshot or change feed — writes go to the current table")
     new GraftStoreWriteBuilder(path, info.schema(), clusterBy, sortBy,
       failFirstAttemptOf, failAllAttemptsOf)
   }
@@ -631,7 +732,7 @@ class GraftStoreTable(path: String, tableSchema: StructType,
     require(tri.forall(_._2 != GraftStore.StatsPruning.Unknown),
       s"delete predicate undecidable for ${tri.count(_._2 == GraftStore.StatsPruning.Unknown)} file(s)")
     val kept = tri.collect { case (e, GraftStore.StatsPruning.NoRows) => e }
-    GraftStore.writeManifestAtomic(path, sch, kept)
+    GraftStore.writeManifestAtomic(path, sch, kept, op = "delete")
     GraftStore.gcUnreferenced(path, kept.map(_.file).toSet)
   }
 
@@ -734,7 +835,7 @@ class GraftStoreReplaceBatchWrite(path: String, schema: StructType,
     val files = entries.filterNot(e => replaced(e.file)) ++ committed
     // table schema and streaming-epoch marker survive DML untouched
     GraftStore.writeManifestAtomic(path, tblSchema, files,
-      GraftStore.readEpoch(path))
+      GraftStore.readEpoch(path), op = "replace")
     GraftStore.gcUnreferenced(path, files.map(_.file).toSet)
   }
 
@@ -842,7 +943,8 @@ class GraftStoreStreamingWrite(path: String, schema: StructType,
       val tableSchema =
         if (truncateEachEpoch) schema
         else existing.map(_._1).getOrElse(schema)
-      GraftStore.writeManifestAtomic(path, tableSchema, files, Some(epochId))
+      GraftStore.writeManifestAtomic(path, tableSchema, files, Some(epochId),
+        op = if (truncateEachEpoch) "overwrite" else "append")
       GraftStore.gcUnreferenced(path, files.map(_.file).toSet)
     }
   }
@@ -896,7 +998,8 @@ class GraftStoreBatchWrite(path: String, schema: StructType,
     GraftStore.writeManifestAtomic(path,
       if (truncateFirst) schema else existing.map(_._1).getOrElse(schema),
       files,
-      if (truncateFirst) None else GraftStore.readEpoch(path))
+      if (truncateFirst) None else GraftStore.readEpoch(path),
+      op = if (truncateFirst) "overwrite" else "append")
     GraftStore.gcUnreferenced(path, files.map(_.file).toSet)
   }
 
@@ -1261,6 +1364,37 @@ class GraftStoreScan(path: String,
 case class GraftStoreFilePartition(absolutePath: String, cols: Int = -1,
     relPath: String = "") extends InputPartition
 
+/** One changed file of one commit: its rows are served with the partition's
+  * constant (_change_type, _commit_version) pair appended. */
+case class GraftStoreCdfPartition(absolutePath: String, cols: Int,
+    changeType: String, version: Long) extends InputPartition
+
+/** CHANGE DATA FEED scan (`changesFrom` / `changesTo` read options): the
+  * row-level delta between two snapshots, emitted as the table's schema
+  * plus `_change_type` ('insert' | 'delete') and `_commit_version` — the
+  * Delta/Iceberg CDF surface. Planning is [[GraftStore.cdfFileDiffs]]:
+  * one partition per CHANGED file per commit, decided on the driver from
+  * manifest lines alone, so a feed over a 100 TB table costs I/O
+  * proportional to what actually changed. Readers are the ordinary batch
+  * file readers with the two CDF constants riding the zero-allocation
+  * JoinedRow tail. Filters/aggregates are deliberately not pushed — a
+  * change feed is consumed whole by definition; Spark evaluates
+  * everything above the scan. */
+class GraftStoreCdfScan(path: String, fromV: Long, toV: Long,
+    dataSchema: StructType) extends Scan with Batch {
+  override def readSchema(): StructType = GraftStore.cdfSchema(dataSchema)
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"graft_store_changes($path, v$fromV..v$toV)"
+  override def planInputPartitions(): Array[InputPartition] =
+    GraftStore.cdfFileDiffs(path, fromV, toV).map { case (f, cols, typ, v) =>
+      GraftStoreCdfPartition(new File(path, f).getAbsolutePath, cols, typ, v)
+        : InputPartition
+    }.toArray
+  override def createReaderFactory(): PartitionReaderFactory =
+    new GraftStoreReaderFactory(dataSchema.size)
+}
+
 /** Offset = committed snapshot version (0 = before the first commit). */
 case class GraftVersionOffset(version: Long)
   extends org.apache.spark.sql.connector.read.streaming.Offset {
@@ -1303,7 +1437,8 @@ class GraftStoreMicroBatchStream(path: String, numFields: Int,
     val removed = base -- now.keySet
     require(removed.isEmpty,
       s"stream batch v$s..v$e crosses a non-append snapshot " +
-        s"(${removed.size} base file(s) removed)")
+        s"(${removed.size} base file(s) removed) — tail a change feed " +
+        "(changesFrom/changesTo batch reads) across deletes or rewrites")
     (now -- base).toSeq.sortBy(_._1).map { case (f, cols) =>
       GraftStoreFilePartition(new File(path, f).getAbsolutePath, cols)
         : InputPartition
@@ -1322,6 +1457,7 @@ case class GraftStoreMetaAggPartition(values: Array[Any]) extends InputPartition
 
 class GraftStoreReaderFactory(scanFields: Int, withFileCol: Boolean = false)
   extends PartitionReaderFactory {
+  import org.apache.spark.unsafe.types.UTF8String
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = p match {
     case GraftStoreMetaAggPartition(values) =>
       new PartitionReader[InternalRow] {
@@ -1331,34 +1467,41 @@ class GraftStoreReaderFactory(scanFields: Int, withFileCol: Boolean = false)
           new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(values)
         override def close(): Unit = ()
       }
+    case GraftStoreCdfPartition(abs, cols, changeType, version) =>
+      // change-feed partition: the ordinary file read, with the two CDF
+      // columns riding the same constant-tail wrapper as `_file`
+      val fileFields = if (cols > 0) cols else scanFields
+      new GraftStoreFileReader(abs, fileFields, scanFields,
+        Array[Any](UTF8String.fromString(changeType), version))
     case fp: GraftStoreFilePartition =>
       // a file written before an ADD COLUMN carries fewer fields than the
       // scan schema: parse at its own arity (UnsafeRow layout bakes the
       // field count into the bytes) and null-pad the tail
       val fileFields = if (fp.cols > 0) fp.cols else scanFields
       new GraftStoreFileReader(fp.absolutePath, fileFields, scanFields,
-        if (withFileCol) fp.relPath else null)
+        if (withFileCol) Array[Any](UTF8String.fromString(fp.relPath)) else null)
   }
 }
 
 class GraftStoreFileReader(file: String, numFields: Int, scanFields: Int,
-    emitFile: String = null)
+    tailVals: Array[Any] = null)
   extends PartitionReader[InternalRow] {
   def this(file: String, numFields: Int) = this(file, numFields, numFields)
   private val in = new DataInputStream(
     new BufferedInputStream(new FileInputStream(file)))
   private val row = new UnsafeRow(numFields)
-  // appended-column padding and the `_file` metadata column share one
-  // JoinedRow(dataRow, tail) wrapper — zero per-row allocation, and the
-  // common case (full-width file, no metadata) returns the UnsafeRow
-  // untouched (no wrapper on the hot path). Tail layout: evolution
-  // nulls, then `_file` if requested.
+  // appended-column padding and the constant metadata columns (`_file`,
+  // or the CDF pair) share one JoinedRow(dataRow, tail) wrapper — zero
+  // per-row allocation, and the common case (full-width file, no
+  // metadata) returns the UnsafeRow untouched (no wrapper on the hot
+  // path). Tail layout: evolution nulls, then the constant values.
   private val pad = {
-    val tail = (scanFields - numFields) + (if (emitFile != null) 1 else 0)
+    val extra = if (tailVals != null) tailVals.length else 0
+    val tail = (scanFields - numFields) + extra
     if (tail > 0) {
       val vals = new Array[Any](tail)
-      if (emitFile != null)
-        vals(tail - 1) = org.apache.spark.unsafe.types.UTF8String.fromString(emitFile)
+      if (extra > 0)
+        System.arraycopy(tailVals, 0, vals, tail - extra, extra)
       new org.apache.spark.sql.catalyst.expressions.JoinedRow()
         .withRight(new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(vals))
     } else null

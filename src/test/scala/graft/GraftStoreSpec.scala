@@ -482,8 +482,8 @@ class GraftStoreSpec extends SparkSuite {
     assert(incr(2) == (200L until 300L), "fromVersion=2 must be batch 3 exactly")
     assert(incr(3) == Seq.empty, "fromVersion=current must be empty")
     // snapshot metadata walk
-    assert(GraftStore.history(path).map { case (v, _, r) => (v, r) } ==
-      Seq((1L, 100L), (2L, 200L), (3L, 300L)))
+    assert(GraftStore.history(path).map { case (v, _, r, op) => (v, r, op) } ==
+      Seq((1L, 100L, "overwrite"), (2L, 200L, "append"), (3L, 300L, "append")))
     // a truncate makes the range non-append: the diff would be a lie
     writeDf(spark.range(0, 10, 1, 2).toDF("id"), path) // v4: truncate
     val e = intercept[Exception] { incr(1) }
@@ -557,5 +557,86 @@ class GraftStoreSpec extends SparkSuite {
       "a cluster key is split across data files — clustering not honored")
     assert(all.toSet == (0L until 10L).toSet)
     assert(readBack(path).count() == 1000)
+  }
+
+  private def changes(path: String, from: Long, to: Long): DataFrame =
+    spark.read.format("graft.sources.GraftStore").option("path", path)
+      .option("changesFrom", from.toString)
+      .option("changesTo", to.toString).load()
+
+  test("change feed: appends emit inserts, optimize emits nothing, overwrite emits full churn") {
+    import spark.implicits._
+    val path = tempTable()
+    writeDf(spark.range(0, 100, 1, 2).toDF("id"), path) // v1
+    writeDf(spark.range(100, 200, 1, 2).toDF("id"), path, mode = "append") // v2
+    // schema = data cols + (_change_type, _commit_version)
+    val c = changes(path, 0, 2)
+    assert(c.schema.fieldNames.toSeq == Seq("id", "_change_type", "_commit_version"))
+    val rows = c.collect()
+    assert(rows.forall(_.getString(1) == "insert"), "appends are pure inserts")
+    assert(rows.map(_.getLong(0)).sorted.toSeq == (0L until 200L))
+    assert(rows.filter(_.getLong(2) == 1L).map(_.getLong(0)).sorted.toSeq ==
+      (0L until 100L), "each insert must carry its own commit version")
+    // OPTIMIZE churns every file but the op header keeps the feed silent
+    assert(GraftStore.compact(spark, path, 1L << 30) == 3L)
+    assert(changes(path, 2, 3).count() == 0,
+      "a compaction is content-invisible — the feed must emit nothing")
+    // overwrite: everything out, the new content in
+    writeDf(spark.range(500, 510, 1, 1).toDF("id"), path) // v4
+    val c34 = changes(path, 3, 4).collect()
+    assert(c34.filter(_.getString(1) == "delete").map(_.getLong(0)).sorted
+      .toSeq == (0L until 200L))
+    assert(c34.filter(_.getString(1) == "insert").map(_.getLong(0)).sorted
+      .toSeq == (500L until 510L))
+  }
+
+  test("change feed: DML deltas are loss-free — replaying the feed reconstructs the table") {
+    import spark.implicits._
+    val root = graft.ops.Util.managedTempDir("graft_store_spec_cdf_")
+    val path = s"$root/t"
+    (1 to 3).foreach { k => // batch-aligned: k single-valued per commit
+      writeDf(spark.range(0, 100, 1, 2).select($"id", lit(k.toLong).as("k")),
+        path, mode = "append") // v1..v3
+    }
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.catalog.gcdf", "graft.sources.GraftCatalog")
+    s2.conf.set("spark.sql.catalog.gcdf.root", root)
+    s2.sql("DELETE FROM gcdf.t WHERE k = 2") // v4: metadata-only
+    s2.sql("UPDATE gcdf.t SET id = id + 1000 WHERE k = 3") // v5: copy-on-write
+    val feed = changes(path, 3, 5)
+    // v4 deletes exactly batch 2; v5 pairs batch 3's old rows (delete)
+    // with the updated ones (insert)
+    val v4 = feed.filter($"_commit_version" === 4).collect()
+    assert(v4.forall(r => r.getString(2) == "delete" && r.getLong(1) == 2L))
+    assert(v4.length == 100)
+    val v5del = feed.filter($"_commit_version" === 5 && $"_change_type" === "delete")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    val v5ins = feed.filter($"_commit_version" === 5 && $"_change_type" === "insert")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(v5del == (0L until 100L), "update must delete the pre-image")
+    assert(v5ins == (1000L until 1100L), "update must insert the post-image")
+    // net replay from the v3 snapshot = the current table, row for row
+    val v3 = spark.read.format("graft.sources.GraftStore").option("path", path)
+      .option("versionAsOf", "3").load().select($"id", $"k")
+    val ins = feed.filter($"_change_type" === "insert").select($"id", $"k")
+    val del = feed.filter($"_change_type" === "delete").select($"id", $"k")
+    val replayed = v3.unionAll(ins).exceptAll(del)
+      .orderBy($"k", $"id").collect().map(_.toString).toSeq
+    val current = readBack(path).orderBy($"k", $"id")
+      .collect().map(_.toString).toSeq
+    assert(replayed == current,
+      "insert/delete feed does not reconstruct the table")
+    // the feed needs every snapshot in its range retained
+    GraftStore.expireSnapshots(path, 1)
+    val e = intercept[Exception] { changes(path, 3, 5).collect() }
+    assert(e.getMessage.contains("not retained"),
+      s"expected the retention refusal, got: ${e.getMessage}")
+    // and a change feed is read-only
+    val w = intercept[Exception] {
+      spark.range(1).toDF("id").withColumn("k", lit(9L))
+        .write.format("graft.sources.GraftStore").option("path", path)
+        .option("changesFrom", "0").mode("append").save()
+    }
+    assert(w.getMessage.contains("change feed"))
   }
 }
