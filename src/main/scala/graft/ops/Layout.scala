@@ -8,8 +8,8 @@ import Util._
 object Layout {
 
   /** Z-order (Morton) key via the codegen'd graft.functions.MortonInterleave
-    * expression. */
-  private def morton(x: Column, y: Column): Column =
+    * expression (shared with the GraftStore ZORDER rewrite in Sources). */
+  private[graft] def morton(x: Column, y: Column): Column =
     org.apache.spark.sql.graft.GraftSql.column(
       graft.functions.MortonInterleave(
         org.apache.spark.sql.graft.GraftSql.expression(x),

@@ -837,6 +837,56 @@ object Sources {
         |FROM graftu.t GROUP BY 1 ORDER BY 1""".stripMargin)
   }
 
+  /** Z-ordered table dirs already written this JVM, keyed by
+    * (session UUID, fixture dir). */
+  private val zorderWritten = new java.util.concurrent.ConcurrentHashMap[String, String]
+
+  /** OPTIMIZE ZORDER on the connector (round 7) — the layout-maintenance
+    * sibling of q_store_optimize's byte-concat: rewrite the whole table
+    * range-partitioned + sorted on the Morton interleave of TWO columns
+    * (the codegen'd MortonInterleave expression q_layout_zorder
+    * introduced), so every data file's manifest entry gets a tight
+    * min/max envelope in BOTH dimensions and file skipping prunes scans
+    * filtered on EITHER — a hash or 1-d-sorted layout prunes only its
+    * leading column, and the pre-rewrite layout here (row-hash
+    * repartition) prunes nothing at all. The curve inputs are scaled
+    * into the interleave's 16-bit lanes using the table's OWN manifest
+    * maxes (a metadata-only aggregate — zero data I/O to plan the
+    * rewrite). The rewrite commits through the ordinary write path with
+    * `dataChange=false` (Delta's compaction-write flag): the commit
+    * records `!op=optimize`, so the change feed stays silent and the
+    * pre-rewrite snapshot stays time-travelable. The oracle recomputes
+    * the two-dim-filtered aggregate from source parquet — clustering
+    * must be invisible to results; the pruning evidence (files planned
+    * before vs after, feed silence, maintenance op in history) is
+    * pinned in GraftStoreSpec. At 100 TB this decides whether a
+    * two-predicate lookup reads a handful of files or all of them. */
+  val qStoreZorder: Q = (s, dir) => {
+    import s.implicits._
+    val path = zorderWritten.computeIfAbsent(s"${Util.sessionKey(s)}:$dir", _ => {
+      val d = Util.managedTempDir("graft_zorder_")
+      table(s, dir, "orders")
+        .select($"o_orderkey", $"o_custkey", $"o_totalprice")
+        .repartition(8) // row-hash layout: every file spans both key ranges
+        .write.format("graft.sources.GraftStore").option("path", d)
+        .mode("overwrite").save()
+      val r = s.read.format("graft.sources.GraftStore").option("path", d)
+        .load().agg(max($"o_custkey"), max($"o_orderkey")).head()
+      val (mc, mk) = (r.getLong(0) + 1, r.getLong(1) + 1)
+      graft.sources.GraftStore.rewriteClustered(s, d,
+        Layout.morton(($"o_custkey" * 65536L / mc).cast("long"),
+          ($"o_orderkey" * 65536L / mk).cast("long")),
+        targetFiles = 16)
+      d
+    })
+    s.read.format("graft.sources.GraftStore").option("path", path).load()
+      .filter($"o_custkey" <= 300 && $"o_orderkey" <= 15000)
+      .groupBy(($"o_orderkey" % 10).as("k"))
+      .agg(count(lit(1)).as("n"), sum($"o_custkey").as("sum_cust"),
+        dsum($"o_totalprice").as("sum_price"))
+      .orderBy($"k")
+  }
+
   /** CHANGE DATA FEED (round 7, second half): the row-level delta
     * between two snapshots as a readable DataFrame —
     * `changesFrom`/`changesTo` read options surface every commit in the
@@ -963,6 +1013,7 @@ object Sources {
     "q_store_merge" -> qStoreMerge,
     "q_store_dml" -> qStoreDml,
     "q_store_cdf" -> qStoreCdf,
+    "q_store_zorder" -> qStoreZorder,
     "q_catalog_sql" -> qCatalogSql,
     "q_sink_roundtrip" -> qSinkRoundtrip,
     "q_store_timetravel" -> qStoreTimetravel,
@@ -1059,6 +1110,14 @@ object Sources {
         | CAST(sum(o_custkey) AS BIGINT) AS sum_cust,
         | CAST(sum(o_orderkey) AS BIGINT) AS sum_key
         |FROM up WHERE o_custkey % 7 <> 2 GROUP BY 1 ORDER BY 1""".stripMargin,
+    // z-ordering must be invisible to results: the same two-dim-filtered
+    // aggregate computed straight from source parquet
+    "q_store_zorder" ->
+      """SELECT o_orderkey % 10 AS k, count(*) AS n,
+        | CAST(sum(o_custkey) AS BIGINT) AS sum_cust,
+        | CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+        |FROM orders WHERE o_custkey <= 300 AND o_orderkey <= 15000
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     // the change feed replayed commit-by-commit: appends v1..v3 insert
     // each pri slice, the metadata DELETE deletes slice 2, the
     // copy-on-write UPDATE deletes slice 3 and re-inserts it negated,

@@ -94,6 +94,20 @@ class GraftCatalog extends TableCatalog {
     new GraftStoreTable(dir.getPath, schema, None, None, None, None, Some(v))
   }
 
+  /** `SELECT … FROM graft.t TIMESTAMP AS OF <t>` — Spark hands the
+    * timestamp in MICROseconds; it resolves to the latest snapshot whose
+    * `!ts=` commit time is at or before it (the Iceberg/Delta rule),
+    * then reads exactly like VERSION AS OF. */
+  override def loadTable(ident: Identifier, timestamp: Long): Table = {
+    val dir = dirFor(ident)
+    if (!isTable(dir)) throw new NoSuchTableException(ident)
+    val v = GraftStore.versionAsOfTimestamp(dir.getPath, timestamp / 1000L)
+      .getOrElse(throw new IllegalArgumentException(
+        s"no snapshot of $ident committed at or before timestamp " +
+          s"${timestamp}us — the table's retained history starts later"))
+    loadTable(ident, v.toString)
+  }
+
   override def createTable(ident: Identifier, schema: StructType,
       partitions: Array[Transform], properties: util.Map[String, String]): Table = {
     require(partitions.isEmpty,

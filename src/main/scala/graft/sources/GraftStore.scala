@@ -206,6 +206,23 @@ object GraftStore {
       .split('\n').find(_.startsWith("!op=")).map(_.stripPrefix("!op="))
       .getOrElse("")
 
+  /** Commit wall-clock millis a snapshot recorded (`!ts=` header; 0 for
+    * manifests written before timestamp tracking). Resolution input for
+    * TIMESTAMP-AS-OF reads; deliberately NOT exposed in oracle-checked
+    * query output (wall clocks aren't reproducible). */
+  private[graft] def readTsOf(f: File): Long =
+    if (!f.exists()) 0L
+    else new String(Files.readAllBytes(f.toPath), StandardCharsets.UTF_8)
+      .split('\n').find(_.startsWith("!ts=")).map(_.stripPrefix("!ts=").toLong)
+      .getOrElse(0L)
+
+  /** Latest snapshot committed at or before `tsMillis` (the Iceberg/Delta
+    * timestamp-resolution rule), or None if the table's history starts
+    * after it. */
+  private[graft] def versionAsOfTimestamp(path: String, tsMillis: Long): Option[Long] =
+    snapshotFiles(path).filter(readTsOf(_) <= tsMillis).lastOption
+      .map(_.getName.stripPrefix(ManifestName + ".v").toLong)
+
   /** Every commit writes the manifest under the NEXT snapshot id and
     * retains the previous ones: the versioned copy `_manifest.v<n>`
     * lands first (history files are invisible — only the pointer is
@@ -221,8 +238,9 @@ object GraftStore {
     val v = readVersion(path) + 1
     val tmp = Paths.get(path, s".manifest.tmp.${java.util.UUID.randomUUID()}")
     val lines = schema.toDDL +: (s"!version=$v" +:
-      ((if (op.nonEmpty) Seq(s"!op=$op") else Seq.empty) ++
-        epoch.map(e => s"!epoch=$e").toSeq ++ files.map(fmtEntry)))
+      (s"!ts=${System.currentTimeMillis()}" +:
+        ((if (op.nonEmpty) Seq(s"!op=$op") else Seq.empty) ++
+          epoch.map(e => s"!epoch=$e").toSeq ++ files.map(fmtEntry))))
     Files.write(tmp, lines.mkString("\n").getBytes(StandardCharsets.UTF_8))
     Files.copy(tmp, Paths.get(path, s"$ManifestName.v$v"),
       StandardCopyOption.REPLACE_EXISTING)
@@ -448,6 +466,34 @@ object GraftStore {
     v
   }
 
+  /** Layout OPTIMIZE (the ZORDER BY sibling of [[compact]]): rewrite the
+    * whole table range-partitioned + sorted on a caller-built clustering
+    * key (typically a Morton interleave of two scaled columns, via
+    * graft.functions.MortonInterleave), so every data file gets a TIGHT
+    * min/max envelope in EVERY interleaved dimension and manifest-stats
+    * skipping prunes scans filtered on ANY of them — a one-dimensional
+    * sort only ever prunes its leading column. Unlike [[compact]] this
+    * moves rows (a full shuffle+rewrite, the price of multi-dimensional
+    * locality); it commits through the ordinary write path with
+    * `dataChange=false`, so the commit records `!op=optimize`: change
+    * feeds stay silent, history shows maintenance, and the pre-rewrite
+    * snapshot stays time-travelable. The key column is computed, sorted
+    * on, and DROPPED before the sink — stored bytes carry only table
+    * columns. Returns the new snapshot version. */
+  private[graft] def rewriteClustered(spark: org.apache.spark.sql.SparkSession,
+      path: String, zkey: org.apache.spark.sql.Column,
+      targetFiles: Int): Long = {
+    import org.apache.spark.sql.functions.col
+    spark.read.format("graft.sources.GraftStore").option("path", path).load()
+      .withColumn("__zkey", zkey)
+      .repartitionByRange(targetFiles, col("__zkey"))
+      .sortWithinPartitions("__zkey")
+      .drop("__zkey")
+      .write.format("graft.sources.GraftStore").option("path", path)
+      .option("dataChange", "false").mode("overwrite").save()
+    readVersion(path)
+  }
+
   /** Tri-state evaluation of a pushed v1 Filter against one file's stats:
     * does the predicate hold for ALL of the file's rows, for NONE of them,
     * or can the stats not decide (Unknown)? The scan skips NoRows files;
@@ -645,7 +691,8 @@ class GraftStore extends TableProvider {
       opt("failAllAttemptsOf").map(_.toInt),
       opt("versionAsOf").map(_.toLong),
       opt("changesFrom").map(_.toLong),
-      opt("changesTo").map(_.toLong))
+      opt("changesTo").map(_.toLong),
+      dataChange = !opt("dataChange").contains("false"))
   }
 }
 
@@ -653,7 +700,8 @@ class GraftStoreTable(path: String, tableSchema: StructType,
     clusterBy: Option[String], sortBy: Option[String],
     failFirstAttemptOf: Option[Int], failAllAttemptsOf: Option[Int],
     versionAsOf: Option[Long] = None,
-    changesFrom: Option[Long] = None, changesTo: Option[Long] = None)
+    changesFrom: Option[Long] = None, changesTo: Option[Long] = None,
+    dataChange: Boolean = true)
   extends Table with SupportsRead with SupportsWrite
   with org.apache.spark.sql.connector.catalog.SupportsDelete
   with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations
@@ -701,7 +749,7 @@ class GraftStoreTable(path: String, tableSchema: StructType,
     require(versionAsOf.isEmpty && changesFrom.isEmpty,
       "cannot write to a time-travel snapshot or change feed — writes go to the current table")
     new GraftStoreWriteBuilder(path, info.schema(), clusterBy, sortBy,
-      failFirstAttemptOf, failAllAttemptsOf)
+      failFirstAttemptOf, failAllAttemptsOf, dataChange)
   }
 
   // ------------------------------------------------- metadata-only DELETE
@@ -857,7 +905,8 @@ class GraftStoreReplaceWriterFactory(path: String, schema: StructType,
 
 class GraftStoreWriteBuilder(path: String, schema: StructType,
     clusterBy: Option[String], sortBy: Option[String],
-    failFirstAttemptOf: Option[Int], failAllAttemptsOf: Option[Int])
+    failFirstAttemptOf: Option[Int], failAllAttemptsOf: Option[Int],
+    dataChange: Boolean = true)
   extends WriteBuilder with SupportsTruncate {
   private var truncateFirst = false
 
@@ -865,12 +914,13 @@ class GraftStoreWriteBuilder(path: String, schema: StructType,
 
   override def build(): Write =
     new GraftStoreWrite(path, schema, truncateFirst, clusterBy, sortBy,
-      failFirstAttemptOf, failAllAttemptsOf)
+      failFirstAttemptOf, failAllAttemptsOf, dataChange)
 }
 
 class GraftStoreWrite(path: String, schema: StructType, truncateFirst: Boolean,
     clusterBy: Option[String], sortBy: Option[String],
-    failFirstAttemptOf: Option[Int], failAllAttemptsOf: Option[Int])
+    failFirstAttemptOf: Option[Int], failAllAttemptsOf: Option[Int],
+    dataChange: Boolean = true)
   extends Write with RequiresDistributionAndOrdering {
 
   override def description(): String = s"graft_store write -> $path"
@@ -887,7 +937,7 @@ class GraftStoreWrite(path: String, schema: StructType, truncateFirst: Boolean,
 
   override def toBatch: BatchWrite =
     new GraftStoreBatchWrite(path, schema, truncateFirst, failFirstAttemptOf,
-      failAllAttemptsOf)
+      failAllAttemptsOf, dataChange)
 
   override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite =
     new GraftStoreStreamingWrite(path, schema, truncateFirst)
@@ -968,9 +1018,17 @@ case class GraftStoreCommitMessage(file: String, rows: Long,
     stats: Map[String, GraftStore.ColStats], cols: Int)
   extends WriterCommitMessage
 
+/** `dataChange = false` (the Delta compaction-write flag): the caller
+  * asserts this write REARRANGES existing rows without changing table
+  * content — the commit records `!op=optimize`, so change feeds stay
+  * silent across it and history shows it as maintenance. The writer
+  * cannot verify the assertion (that would cost a full diff); a caller
+  * that lies gets a feed that misses its changes — same trust contract
+  * as Delta's flag. */
 class GraftStoreBatchWrite(path: String, schema: StructType,
     truncateFirst: Boolean, failFirstAttemptOf: Option[Int],
-    failAllAttemptsOf: Option[Int]) extends BatchWrite {
+    failAllAttemptsOf: Option[Int], dataChange: Boolean = true)
+  extends BatchWrite {
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
     new GraftStoreWriterFactory(path, schema, failFirstAttemptOf,
@@ -999,7 +1057,8 @@ class GraftStoreBatchWrite(path: String, schema: StructType,
       if (truncateFirst) schema else existing.map(_._1).getOrElse(schema),
       files,
       if (truncateFirst) None else GraftStore.readEpoch(path),
-      op = if (truncateFirst) "overwrite" else "append")
+      op = if (!dataChange) "optimize"
+           else if (truncateFirst) "overwrite" else "append")
     GraftStore.gcUnreferenced(path, files.map(_.file).toSet)
   }
 

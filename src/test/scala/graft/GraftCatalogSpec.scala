@@ -84,6 +84,37 @@ class GraftCatalogSpec extends SparkSuite {
     }
   }
 
+  test("TIMESTAMP AS OF resolves to the latest snapshot at or before the instant") {
+    import graft.sources.GraftStore
+    session.sql("DROP TABLE IF EXISTS g.ts")
+    session.sql("CREATE TABLE g.ts AS SELECT 1 AS x") // v1 create, v2 write
+    Thread.sleep(25) // millisecond commit-clock resolution
+    session.sql("INSERT INTO g.ts SELECT 2 AS x") // v3
+    val root = session.conf.get("spark.sql.catalog.g.root")
+    val snaps = GraftStore.snapshotFiles(s"$root/ts")
+    val Seq(ts2, ts3) = snaps.takeRight(2).map(GraftStore.readTsOf)
+    assert(ts2 > 0 && ts3 > ts2, "commits must record increasing !ts headers")
+    // an instant between the two commits reads the pre-insert snapshot;
+    // session tz is UTC, so format the millis as a UTC timestamp literal
+    def iso(ms: Long): String = java.time.Instant.ofEpochMilli(ms)
+      .atZone(java.time.ZoneOffset.UTC).toLocalDateTime.toString.replace('T', ' ')
+    val between = (ts2 + ts3) / 2
+    assert(session.sql(
+      s"SELECT x FROM g.ts TIMESTAMP AS OF '${iso(between)}' ORDER BY x")
+      .collect().map(_.getInt(0)).toSeq == Seq(1),
+      "TIMESTAMP AS OF between commits must read the earlier snapshot")
+    assert(session.sql(
+      s"SELECT x FROM g.ts TIMESTAMP AS OF '${iso(ts3 + 1)}' ORDER BY x")
+      .collect().map(_.getInt(0)).toSeq == Seq(1, 2),
+      "TIMESTAMP AS OF after the last commit must read the current table")
+    val e = intercept[Exception] {
+      session.sql(s"SELECT x FROM g.ts TIMESTAMP AS OF '${iso(ts2 - 60000)}'")
+        .collect()
+    }
+    assert(e.getMessage.contains("history starts later"),
+      s"expected the pre-history refusal, got: ${e.getMessage}")
+  }
+
   test("ADD COLUMN: metadata-only commit, null-padded old files, old schema via time travel") {
     import graft.sources.GraftStore
     session.sql("DROP TABLE IF EXISTS g.ev")

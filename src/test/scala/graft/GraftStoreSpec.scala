@@ -559,6 +559,43 @@ class GraftStoreSpec extends SparkSuite {
     assert(readBack(path).count() == 1000)
   }
 
+  test("z-order rewrite: two-dim file envelopes prune on either dimension; commit is maintenance") {
+    import spark.implicits._
+    import org.apache.spark.sql.sources.LessThan
+    val path = tempTable()
+    // a 64x64 grid hash-scattered over 8 files: every file spans BOTH
+    // dimensions end to end, so stats can prune nothing
+    val grid = spark.range(0, 4096, 1, 4)
+      .select(($"id" % 64).as("x"), ($"id" / 64).cast("long").as("y"))
+    writeDf(grid.repartition(8), path)
+    def planned(fs: org.apache.spark.sql.sources.Filter*): Int =
+      new graft.sources.GraftStoreScan(path, fs.toArray)
+        .planInputPartitions().length
+    assert(planned(LessThan("x", 16L), LessThan("y", 16L)) == 8,
+      "hash layout must be unprunable — the baseline this test needs")
+    // rewrite clustered on the interleave; x and y are equal-width (6
+    // bits) so they feed the curve unscaled
+    val v = GraftStore.rewriteClustered(spark, path,
+      graft.ops.Layout.morton($"x", $"y"), targetFiles = 16)
+    assert(v == 2L)
+    // the 16x16 corner is exactly the curve's first quadrant-of-a-
+    // quadrant: one file of 16 covers it (allow 2 for range-partition
+    // boundary jitter)
+    val after = planned(LessThan("x", 16L), LessThan("y", 16L))
+    assert(after <= 2, s"z-ordered scan planned $after of 16 files")
+    // either single dimension prunes too — the whole point vs a 1-d sort
+    assert(planned(LessThan("y", 8L)) <= 4,
+      "trailing dimension did not prune — layout is not multi-dimensional")
+    // content identical, change feed silent, history records maintenance
+    assert(readBack(path).orderBy($"x", $"y").collect().map(_.toString).toSeq
+      == grid.orderBy($"x", $"y").collect().map(_.toString).toSeq)
+    assert(changes(path, 1, 2).count() == 0,
+      "a dataChange=false rewrite must be invisible to the change feed")
+    assert(GraftStore.history(path).last._4 == "optimize")
+    // the clustering key never reaches the stored bytes
+    assert(readBack(path).schema.fieldNames.toSeq == Seq("x", "y"))
+  }
+
   private def changes(path: String, from: Long, to: Long): DataFrame =
     spark.read.format("graft.sources.GraftStore").option("path", path)
       .option("changesFrom", from.toString)
