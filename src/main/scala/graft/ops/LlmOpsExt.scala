@@ -255,6 +255,53 @@ object LlmOpsExt {
       .orderBy($"doc_id")
   }
 
+  /** CCNet-style PERPLEXITY GATE (round 7) — the composition the two LM
+    * scores exist for: fit the bigram LM on the corpus, score every doc's
+    * mean NLL, keep the most-fluent 70% by GLOBAL rank, and report the
+    * surviving mass per language. The global ranking is the scale trap —
+    * `row_number() OVER (ORDER BY avg_nll)` is one task sorting the
+    * whole corpus — so the rank runs through the two-phase DistRank
+    * kernel (range-sliced local ranks + broadcast offsets; the plain
+    * window form stays as the oracle, the q_join_salted precedent). The
+    * gate itself is integer-exact: keep iff rn·10 ≤ n_docs·7 — no
+    * float threshold to disagree on. Determinism: per-doc NLL totals
+    * stay DECIMAL end-to-end (the double avg is used only for ORDERING,
+    * where bit-identical inputs give identical order); survivors'
+    * decimal totals sum exactly in any partition order. At 100 TB this
+    * is the standard corpus-quality pass: LM fit, score, quantile gate —
+    * all shuffle-bounded, no driver materialization, no single-task
+    * sort. */
+  val qCuratePerplexity: Q = (s, dir) => {
+    import s.implicits._
+    val d = table(s, dir, "documents")
+    val big = d
+      .select($"doc_id", toks($"text").as("ws"))
+      .filter(size($"ws") >= 2)
+      .select($"doc_id", explode(transform(sequence(lit(1), size($"ws") - 1),
+        i => struct(element_at($"ws", i).as("w1"),
+          element_at($"ws", i + 1).as("w2")))).as("b"))
+      .select($"doc_id", $"b.w1".as("w1"), $"b.w2".as("w2"))
+    val cnt = big.groupBy($"w1", $"w2").agg(count(lit(1)).as("c12"))
+    val ctx = cnt.groupBy($"w1").agg(sum($"c12").as("c1"))
+    val model = cnt.join(ctx, "w1")
+      .select($"w1", $"w2",
+        round(-log($"c12".cast("double") / $"c1"), 8)
+          .cast("decimal(18,8)").as("nll"))
+    val scored = big.join(model, Seq("w1", "w2"))
+      .groupBy($"doc_id")
+      .agg(sum($"nll").as("tot_nll"), count(lit(1)).as("n_bigrams"))
+      .withColumn("avg_nll", $"tot_nll".cast("double") / $"n_bigrams")
+      .join(d.select($"doc_id", $"lang"), "doc_id")
+    DistRank.rowNumberInGroup(scored, Seq.empty,
+        Seq($"avg_nll", $"doc_id"), $"avg_nll", "rn", Some("n_docs"))
+      .filter($"rn" * 10 <= $"n_docs" * 7)
+      .groupBy($"lang")
+      .agg(count(lit(1)).as("n_kept"),
+        sum($"n_bigrams").as("sum_bigrams"),
+        sum($"tot_nll").cast("double").as("sum_nll"))
+      .orderBy($"lang")
+  }
+
   /** PMI collocation mining — the corpus-analysis staple next to the two
     * LM scores: rank adjacent-word pairs by pointwise mutual information
     * pmi(w1,w2) = ln( p(w1,w2) / (p(w1)·p(w2)) ), with pair probability
@@ -514,6 +561,7 @@ object LlmOpsExt {
     "q_dedup_simhash" -> qDedupSimhash,
     "q_text_unigram_lm" -> qTextUnigramLm,
     "q_text_bigram_lm" -> qTextBigramLm,
+    "q_curate_perplexity" -> qCuratePerplexity,
     "q_text_collocations" -> qTextCollocations,
     "q_dedup_ngram" -> qDedupNgram,
     "q_dedup_embed" -> qDedupEmbed,
@@ -572,6 +620,31 @@ object LlmOpsExt {
         | count(*) AS n_bigrams
         |FROM big JOIN model USING (w1, w2)
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // the gate replayed with the PLAIN global window (the oracle for the
+    // two-phase DistRank form — same precedent as q_join_salted)
+    "q_curate_perplexity" ->
+      """WITH tok AS (SELECT doc_id, string_split(text,' ') AS ws FROM documents),
+        |big AS (SELECT doc_id, u.w1 AS w1, u.w2 AS w2 FROM (
+        |  SELECT doc_id, unnest(list_transform(generate_series(1, len(ws)-1),
+        |    i -> {'w1': ws[i], 'w2': ws[i+1]})) AS u
+        |  FROM tok WHERE len(ws) >= 2)),
+        |cnt AS (SELECT w1, w2, count(*) AS c12 FROM big GROUP BY w1, w2),
+        |ctx AS (SELECT w1, sum(c12) AS c1 FROM cnt GROUP BY w1),
+        |model AS (SELECT w1, w2,
+        |   CAST(round(-ln(CAST(c12 AS DOUBLE)/c1), 8) AS DECIMAL(18,8)) AS nll
+        |  FROM cnt JOIN ctx USING (w1)),
+        |scored AS (SELECT doc_id, sum(nll) AS tot_nll, count(*) AS n_bigrams,
+        |   CAST(sum(nll) AS DOUBLE)/count(*) AS avg_nll
+        |  FROM big JOIN model USING (w1, w2) GROUP BY doc_id),
+        |ranked AS (SELECT s.doc_id, s.tot_nll, s.n_bigrams, d.lang,
+        |   row_number() OVER (ORDER BY s.avg_nll, s.doc_id) AS rn,
+        |   count(*) OVER () AS n_docs
+        |  FROM scored s JOIN documents d USING (doc_id))
+        |SELECT lang, count(*) AS n_kept,
+        | CAST(sum(n_bigrams) AS BIGINT) AS sum_bigrams,
+        | CAST(sum(tot_nll) AS DOUBLE) AS sum_nll
+        |FROM ranked WHERE rn * 10 <= n_docs * 7
+        |GROUP BY lang ORDER BY lang""".stripMargin,
     "q_text_collocations" ->
       """WITH tok AS (SELECT string_split(text,' ') AS ws FROM documents),
         |uni AS (SELECT unnest(ws) AS w FROM tok),
