@@ -933,6 +933,53 @@ object Sources {
       .orderBy($"_commit_version", $"_change_type", $"pri")
   }
 
+  /** STREAMING change feed (round 7) — the live half of q_store_cdf:
+    * readStream with `changesFrom` tails a MUTATING table, version
+    * offsets like q_stream_tail but each micro-batch is the CDF diff of
+    * its commit range, so the tail follows DELETE/UPDATE (emitting
+    * their deltas) and stays silent across OPTIMIZE instead of refusing
+    * non-append history — the one shape the plain table tail cannot
+    * serve. The query drives append/append/metadata-DELETE/copy-on-
+    * write-UPDATE/OPTIMIZE through a table while a real
+    * readStream→memory-sink tail drains it, then aggregates the drained
+    * feed; the oracle reconstructs every commit's delta from source
+    * parquet — the drained stream must be loss-free and phantom-free
+    * across all five commit kinds. At 100 TB this is the incremental
+    * consumer loop (index/aggregate/replica maintenance) running LIVE
+    * against the curation pipeline's own DML. Per-commit batch
+    * boundaries + OPTIMIZE silence pinned in GraftStoreSpec. */
+  val qStreamCdf: Q = (s, dir) => {
+    val s2 = s.newSession()
+    val root = Util.managedTempDir("graft_scdf_")
+    s2.conf.set("spark.sql.catalog.graftsc", "graft.sources.GraftCatalog")
+    s2.conf.set("spark.sql.catalog.graftsc.root", root)
+    import s2.implicits._
+    val o = table(s2, dir, "orders")
+      .select($"o_orderkey", $"o_totalprice",
+        substring($"o_orderpriority", 1, 1).cast("int").as("pri"))
+    (1 to 2).foreach { v => // v1, v2: batch-aligned appends
+      o.filter($"pri" === v).repartition(2)
+        .write.format("graft.sources.GraftStore")
+        .option("path", s"$root/ctab").mode("append").save()
+    }
+    s2.sql("DELETE FROM graftsc.ctab WHERE pri = 2") // v3: metadata-only
+    s2.sql("UPDATE graftsc.ctab SET o_totalprice = -o_totalprice WHERE pri = 1") // v4: copy-on-write
+    graft.sources.GraftStore.compact(s2, s"$root/ctab", 1L << 30) // v5: silent
+    val sink = s"scdf_${java.lang.Long.toHexString(System.nanoTime())}"
+    val q = s2.readStream.format("graft.sources.GraftStore")
+      .option("path", s"$root/ctab").option("changesFrom", "0").load()
+      .writeStream.format("memory").queryName(sink).outputMode("append")
+      .option("checkpointLocation", Util.managedTempDir("graft_scdf_ckpt_"))
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    s2.table(sink)
+      .groupBy($"_commit_version", $"_change_type", $"pri")
+      .agg(count(lit(1)).as("n"), sum($"o_orderkey").as("sum_key"),
+        dsum($"o_totalprice").as("sum_price"))
+      .orderBy($"_commit_version", $"_change_type", $"pri")
+  }
+
   /** Bloom-skip table dirs already written this JVM, keyed by
     * (session UUID, fixture dir). */
   private val bloomWritten = new java.util.concurrent.ConcurrentHashMap[String, String]
@@ -1014,6 +1061,7 @@ object Sources {
     "q_store_dml" -> qStoreDml,
     "q_store_cdf" -> qStoreCdf,
     "q_store_zorder" -> qStoreZorder,
+    "q_stream_cdf" -> qStreamCdf,
     "q_catalog_sql" -> qCatalogSql,
     "q_sink_roundtrip" -> qSinkRoundtrip,
     "q_store_timetravel" -> qStoreTimetravel,
@@ -1118,6 +1166,30 @@ object Sources {
         | CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
         |FROM orders WHERE o_custkey <= 300 AND o_orderkey <= 15000
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // the drained LIVE feed replayed: appends insert pri 1-2, the
+    // metadata DELETE removes slice 2, the copy-on-write UPDATE pairs
+    // slice 1's pre-image with its negated post-image, OPTIMIZE silent
+    "q_stream_cdf" ->
+      """WITH o AS (SELECT o_orderkey, o_totalprice,
+        |             CAST(substring(o_orderpriority, 1, 1) AS INT) AS pri
+        |           FROM orders),
+        |base AS (SELECT pri, CAST(count(*) AS BIGINT) AS n,
+        |           CAST(sum(o_orderkey) AS BIGINT) AS sum_key,
+        |           CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+        |         FROM o WHERE pri <= 2 GROUP BY pri)
+        |SELECT CAST(pri AS BIGINT) AS _commit_version,
+        |       'insert' AS _change_type, pri, n, sum_key, sum_price
+        |FROM base
+        |UNION ALL
+        |SELECT CAST(3 AS BIGINT), 'delete', pri, n, sum_key, sum_price
+        |FROM base WHERE pri = 2
+        |UNION ALL
+        |SELECT CAST(4 AS BIGINT), 'delete', pri, n, sum_key, sum_price
+        |FROM base WHERE pri = 1
+        |UNION ALL
+        |SELECT CAST(4 AS BIGINT), 'insert', pri, n, sum_key, -sum_price
+        |FROM base WHERE pri = 1
+        |ORDER BY _commit_version, _change_type, pri""".stripMargin,
     // the change feed replayed commit-by-commit: appends v1..v3 insert
     // each pri slice, the metadata DELETE deletes slice 2, the
     // copy-on-write UPDATE deletes slice 3 and re-inserts it negated,

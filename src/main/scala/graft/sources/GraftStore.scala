@@ -1452,6 +1452,47 @@ class GraftStoreCdfScan(path: String, fromV: Long, toV: Long,
     }.toArray
   override def createReaderFactory(): PartitionReaderFactory =
     new GraftStoreReaderFactory(dataSchema.size)
+
+  /** The change feed is also a STREAM: version offsets like the plain
+    * table tail, but each micro-batch is the CDF diff of its commit
+    * range — so the tail survives DELETE/UPDATE/overwrite (emitting
+    * their deltas) and OPTIMIZE (emitting nothing) instead of refusing
+    * non-append history. The streaming consumer of a MUTATING table:
+    * `changesFrom` is the starting offset. */
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new GraftStoreCdfMicroBatchStream(path, dataSchema.size, fromV)
+}
+
+/** Micro-batch tail of the change feed: `latestOffset` polls the manifest
+  * pointer; `planInputPartitions(s, e)` is [[GraftStore.cdfFileDiffs]]
+  * over that commit range. The retention contract matches the batch CDF:
+  * every snapshot a checkpoint may resume from must outlive it. */
+class GraftStoreCdfMicroBatchStream(path: String, numDataFields: Int,
+    startVersion: Long)
+  extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
+  import org.apache.spark.sql.connector.read.streaming.Offset
+
+  override def initialOffset(): Offset = GraftVersionOffset(startVersion)
+  override def deserializeOffset(json: String): Offset =
+    GraftVersionOffset(json.toLong)
+  override def latestOffset(): Offset =
+    GraftVersionOffset(GraftStore.readVersion(path))
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[GraftVersionOffset].version
+    val e = end.asInstanceOf[GraftVersionOffset].version
+    if (e <= s) return Array.empty
+    GraftStore.cdfFileDiffs(path, s, e).map { case (f, cols, typ, v) =>
+      GraftStoreCdfPartition(new File(path, f).getAbsolutePath, cols, typ, v)
+        : InputPartition
+    }.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new GraftStoreReaderFactory(numDataFields)
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
 }
 
 /** Offset = committed snapshot version (0 = before the first commit). */

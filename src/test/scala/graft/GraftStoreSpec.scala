@@ -559,6 +559,50 @@ class GraftStoreSpec extends SparkSuite {
     assert(readBack(path).count() == 1000)
   }
 
+  test("streaming change feed: a live tail follows DML and stays silent across OPTIMIZE") {
+    import spark.implicits._
+    val root = graft.ops.Util.managedTempDir("graft_store_spec_scdf_")
+    val path = s"$root/t"
+    def batch(k: Long): DataFrame =
+      spark.range(0, 100, 1, 2).select($"id", lit(k).as("k"))
+    writeDf(batch(1), path, mode = "append") // v1
+    writeDf(batch(2), path, mode = "append") // v2
+    val sink = s"scdf_${java.lang.Long.toHexString(System.nanoTime())}"
+    val q = spark.readStream.format("graft.sources.GraftStore")
+      .option("path", path).option("changesFrom", "0").load()
+      .writeStream.format("memory").queryName(sink).outputMode("append")
+      .option("checkpointLocation",
+        graft.ops.Util.managedTempDir("graft_scdf_ckpt_"))
+      .start()
+    q.processAllAvailable()
+    def drained = spark.table(sink).collect()
+    assert(drained.length == 200 && drained.forall(_.getString(2) == "insert"),
+      "initial tail must replay both appends as inserts")
+    // a metadata-only DELETE arrives as that commit's delete rows
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.catalog.gscdf", "graft.sources.GraftCatalog")
+    s2.conf.set("spark.sql.catalog.gscdf.root", root)
+    s2.sql("DELETE FROM gscdf.t WHERE k = 2") // v3
+    q.processAllAvailable()
+    val afterDel = drained
+    assert(afterDel.length == 300, "delete batch must arrive as rows")
+    assert(afterDel.count(r => r.getString(2) == "delete" &&
+      r.getLong(3) == 3L && r.getLong(1) == 2L) == 100)
+    // OPTIMIZE churns files but the tail stays silent
+    assert(GraftStore.compact(spark, path, 1L << 30) == 4L)
+    q.processAllAvailable()
+    assert(drained.length == 300,
+      "a compaction must not re-emit rows into the live tail")
+    // a later append keeps flowing
+    writeDf(batch(3), path, mode = "append") // v5
+    q.processAllAvailable()
+    q.stop()
+    val fin = drained
+    assert(fin.length == 400)
+    assert(fin.count(r => r.getString(2) == "insert" && r.getLong(3) == 5L) == 100,
+      "post-compaction appends must keep arriving with their versions")
+  }
+
   test("z-order rewrite: two-dim file envelopes prune on either dimension; commit is maintenance") {
     import spark.implicits._
     import org.apache.spark.sql.sources.LessThan
