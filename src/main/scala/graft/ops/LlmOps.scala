@@ -85,17 +85,21 @@ object LlmOps {
     * formulation (array_min over transform) was also benched and
     * rejected: Spark lambda HOFs run interpreted. Shared by the batch
     * (nearDupPairs) and incremental (qDedupIncrNear) dedup paths. */
-  private[graft] def minHashSig(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
+  /** MinHashLanes signatures of any (doc_id, text) frame — the one
+    * shuffle-free per-row kernel pass shared by the batch, incremental,
+    * and CDF-fed dedup paths. */
+  private[graft] def minHashSigOf(df: DataFrame): DataFrame = {
     val lanesArr = org.apache.spark.sql.graft.GraftSql.column(
       graft.functions.MinHashLanes(
-        org.apache.spark.sql.graft.GraftSql.expression(toks($"text"))))
-    table(s, dir, "documents")
-      .select($"doc_id", lanesArr.as("lanes"))
-      .filter($"lanes".isNotNull)
-      .select($"doc_id" +: (0 until 8).map(j =>
-        element_at($"lanes", j + 1).as(s"m$j")): _*)
+        org.apache.spark.sql.graft.GraftSql.expression(toks(col("text")))))
+    df.select(col("doc_id"), lanesArr.as("lanes"))
+      .filter(col("lanes").isNotNull)
+      .select(col("doc_id") +: (0 until 8).map(j =>
+        element_at(col("lanes"), j + 1).as(s"m$j")): _*)
   }
+
+  private[graft] def minHashSig(s: SparkSession, dir: String): DataFrame =
+    minHashSigOf(table(s, dir, "documents"))
 
   private[ops] def nearDupPairs(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._

@@ -933,6 +933,85 @@ object Sources {
       .orderBy($"_commit_version", $"_change_type", $"pri")
   }
 
+  /** Incremental-pipeline table dirs already written this JVM, keyed by
+    * (session UUID, fixture dir). */
+  private val pincrWritten = new java.util.concurrent.ConcurrentHashMap[String, String]
+
+  /** CDF-FED INCREMENTAL CURATION (round 7) — the lakehouse and the
+    * curation pipeline in ONE declarative plan, the daily-crawl loop a
+    * 100 TB corpus actually runs: the standing corpus is snapshot v1 of
+    * a GraftStore table, the day's crawl lands as commit v2, and the
+    * pipeline's INPUT is the change feed of that commit (insert rows of
+    * changesFrom=1..2) — never a rescan of the corpus table. The feed
+    * rows pass a cheap quality gate, get MinHashLanes signatures (the
+    * shuffle-free kernel, shared with every other dedup path), and band-
+    * join ONE-SIDEDLY against the corpus snapshot's signatures
+    * (batch × corpus, never corpus × corpus); exact Jaccard over
+    * shingles verifies candidates (corpus text touched only for
+    * survivors via a semi-join) and verified near-dups of the corpus
+    * are anti-joined away. Output: surviving mass per language. Every
+    * stage is shuffle-bounded by the BATCH size plus colliding buckets
+    * — the corpus contributes one kernel pass over its snapshot (at
+    * scale: a stored signature table) and nothing else. The oracle
+    * replays gate + minhash + banding + verification + anti-join in
+    * SQL from source parquet. */
+  val qPipelineIncr: Q = (s, dir) => {
+    import s.implicits._
+    val path = pincrWritten.computeIfAbsent(s"${Util.sessionKey(s)}:$dir", _ => {
+      val d = Util.managedTempDir("graft_pincr_")
+      val doc = table(s, dir, "documents")
+        .select($"doc_id", $"lang", $"text", $"n_chars")
+      doc.filter($"doc_id" % 5 < 4).repartition(4)
+        .write.format("graft.sources.GraftStore").option("path", d)
+        .mode("append").save() // v1: the standing corpus
+      doc.filter($"doc_id" % 5 === 4).repartition(2)
+        .write.format("graft.sources.GraftStore").option("path", d)
+        .mode("append").save() // v2: the day's crawl
+      d
+    })
+    val corpus = s.read.format("graft.sources.GraftStore")
+      .option("path", path).option("versionAsOf", "1").load()
+    val batch = s.read.format("graft.sources.GraftStore")
+      .option("path", path)
+      .option("changesFrom", "1").option("changesTo", "2").load()
+      .filter($"_change_type" === "insert")
+      .select($"doc_id", $"lang", $"text", $"n_chars")
+    val gated = Util.cached(batch
+      .filter($"n_chars" >= 100 && size(LlmOps.toks($"text")) >= 20))
+    val bandStructs = array((0 until 4).map(b =>
+      struct(lit(b).as("band"),
+        concat(col(s"m${2 * b}"), lit("|"), col(s"m${2 * b + 1}"))
+          .as("bkey"))): _*)
+    def bandsOf(df: org.apache.spark.sql.DataFrame) =
+      LlmOps.minHashSigOf(df)
+        .select($"doc_id", explode(bandStructs).as("f"))
+        .select($"doc_id", $"f.band".as("band"), $"f.bkey".as("bkey"))
+    val cands = bandsOf(gated).as("x")
+      .join(bandsOf(corpus).as("y"),
+        $"x.band" === $"y.band" && $"x.bkey" === $"y.bkey")
+      .select($"x.doc_id".as("batch_doc"), $"y.doc_id".as("corpus_doc"))
+      .distinct()
+      .transform(Util.cached) // feeds both candDocs legs + the verify join
+    val candDocs = cands.select($"batch_doc".as("doc_id"))
+      .unionAll(cands.select($"corpus_doc".as("doc_id"))).distinct()
+    val docsh = gated.select($"doc_id", $"text")
+      .unionAll(corpus.select($"doc_id", $"text"))
+      .join(candDocs, Seq("doc_id"), "left_semi")
+      .select($"doc_id",
+        array_distinct(LlmOps.shingles(LlmOps.toks($"text"))).as("shs"))
+    val dup = cands
+      .join(docsh.select($"doc_id".as("batch_doc"), $"shs".as("sa")), "batch_doc")
+      .join(docsh.select($"doc_id".as("corpus_doc"), $"shs".as("sb")), "corpus_doc")
+      .filter((size(array_intersect($"sa", $"sb")).cast("double") /
+        (size($"sa") + size($"sb") - size(array_intersect($"sa", $"sb"))))
+        >= 0.8)
+      .select($"batch_doc".as("doc_id")).distinct()
+    gated.join(dup, Seq("doc_id"), "left_anti")
+      .groupBy($"lang")
+      .agg(count(lit(1)).as("n_kept"), sum($"n_chars").as("sum_chars"))
+      .orderBy($"lang")
+  }
+
   /** STREAMING change feed (round 7) — the live half of q_store_cdf:
     * readStream with `changesFrom` tails a MUTATING table, version
     * offsets like q_stream_tail but each micro-batch is the CDF diff of
@@ -1062,6 +1141,7 @@ object Sources {
     "q_store_cdf" -> qStoreCdf,
     "q_store_zorder" -> qStoreZorder,
     "q_stream_cdf" -> qStreamCdf,
+    "q_pipeline_incr" -> qPipelineIncr,
     "q_catalog_sql" -> qCatalogSql,
     "q_sink_roundtrip" -> qSinkRoundtrip,
     "q_store_timetravel" -> qStoreTimetravel,
@@ -1166,6 +1246,45 @@ object Sources {
         | CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
         |FROM orders WHERE o_custkey <= 300 AND o_orderkey <= 15000
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // the CDF-fed incremental pass replayed: gate the new slice, minhash
+    // both sides, band-join batch x corpus, Jaccard-verify, anti-join
+    "q_pipeline_incr" -> {
+      val minhashes = (0 until 8)
+        .map(j => s"min(substr(md5(s), ${4 * j + 1}, 4)) AS m$j")
+        .mkString(", ")
+      val bandSelects = (0 until 4)
+        .map(b => s"SELECT doc_id, $b AS band, m${2 * b}||'|'||m${2 * b + 1} AS bkey FROM sig")
+        .mkString(" UNION ALL ")
+      s"""WITH corpus AS (SELECT doc_id, lang, text, n_chars FROM documents
+         |  WHERE doc_id % 5 < 4),
+         |gated AS (SELECT doc_id, lang, text, n_chars FROM documents
+         |  WHERE doc_id % 5 = 4 AND n_chars >= 100
+         |    AND len(string_split(text, ' ')) >= 20),
+         |tok AS (SELECT doc_id, string_split(text,' ') AS ws FROM (
+         |  SELECT doc_id, text FROM gated
+         |  UNION ALL SELECT doc_id, text FROM corpus)),
+         |sh AS (SELECT DISTINCT doc_id, s FROM (
+         |  SELECT doc_id, unnest(list_transform(generate_series(1, len(ws)-2),
+         |    i -> ws[i]||' '||ws[i+1]||' '||ws[i+2])) AS s FROM tok)),
+         |sig AS (SELECT doc_id, $minhashes FROM sh GROUP BY doc_id),
+         |bands AS ($bandSelects),
+         |cands AS (SELECT DISTINCT x.doc_id AS batch_doc, y.doc_id AS corpus_doc
+         |  FROM bands x JOIN bands y ON x.band = y.band AND x.bkey = y.bkey
+         |   AND x.doc_id % 5 = 4 AND y.doc_id % 5 < 4),
+         |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+         |inter AS (SELECT batch_doc, corpus_doc, count(*) AS i FROM cands
+         |  JOIN sh sa ON sa.doc_id = batch_doc
+         |  JOIN sh sb ON sb.doc_id = corpus_doc AND sa.s = sb.s
+         |  GROUP BY batch_doc, corpus_doc),
+         |dup AS (SELECT DISTINCT batch_doc FROM inter
+         |  JOIN sizes za ON za.doc_id = batch_doc
+         |  JOIN sizes zb ON zb.doc_id = corpus_doc
+         |  WHERE CAST(i AS DOUBLE) / (za.n + zb.n - i) >= 0.8)
+         |SELECT lang, count(*) AS n_kept,
+         | CAST(sum(n_chars) AS BIGINT) AS sum_chars
+         |FROM gated WHERE doc_id NOT IN (SELECT batch_doc FROM dup)
+         |GROUP BY lang ORDER BY lang""".stripMargin
+    },
     // the drained LIVE feed replayed: appends insert pri 1-2, the
     // metadata DELETE removes slice 2, the copy-on-write UPDATE pairs
     // slice 1's pre-image with its negated post-image, OPTIMIZE silent

@@ -1349,8 +1349,13 @@ class GraftStoreScan(path: String,
   // no stats conservatism, and everything it skips is preserved
   // verbatim by the copy-on-write commit.
   @volatile private var runtimeFiles: Option[Set[String]] = None
+  // advertised only when the scan actually PROJECTS `_file` (row-level
+  // operations do; plain reads don't): Spark's runtime-filtering rule
+  // resolves these names against the scan output, so advertising a
+  // metadata column a plain scan doesn't carry breaks any equi-join
+  // over two store reads at planning time
   override def filterAttributes(): Array[org.apache.spark.sql.connector.expressions.NamedReference] =
-    Array(Expressions.column("_file"))
+    if (withFileCol) Array(Expressions.column("_file")) else Array.empty
   override def filter(filters: Array[org.apache.spark.sql.sources.Filter]): Unit = {
     import org.apache.spark.sql.sources.{EqualTo, In}
     val keeps = filters.collect {
