@@ -933,6 +933,45 @@ object Sources {
       .orderBy($"_commit_version", $"_change_type", $"pri")
   }
 
+  /** PARTITIONED tables (round 7): `CREATE TABLE … PARTITIONED BY (pri)`
+    * stores the (immutable) partition spec beside the manifest; every
+    * write then demands clustering + ordering on the column and the
+    * task writer ROLLS a new data file at each value change — one file
+    * per partition value per task, every manifest entry single-valued
+    * (min = max) on the column BY CONSTRUCTION. The consequences this
+    * query proves end-to-end through plain SQL: partition pruning is
+    * ordinary stats skipping (no separate partition metadata), and
+    * `DELETE WHERE pri = 2` is ALWAYS metadata-only — unlike
+    * q_etl_delete, which had to batch-align its appends by hand, the
+    * layout here is the TABLE's own contract, kept by every writer
+    * (the CTAS and the INSERT both interleave all five values and the
+    * sink unscrambles them). The Hive/Iceberg partition economics with
+    * the manifest as the only metadata. Single-valued entries, file
+    * rolling, metadata-only delete and the multi-transform refusal are
+    * pinned in GraftStoreSpec/GraftCatalogSpec. */
+  val qStorePartitioned: Q = (s, dir) => {
+    val s2 = s.newSession()
+    val root = Util.managedTempDir("graft_part_")
+    s2.conf.set("spark.sql.catalog.graftp", "graft.sources.GraftCatalog")
+    s2.conf.set("spark.sql.catalog.graftp.root", root)
+    table(s2, dir, "orders").createOrReplaceTempView("ord_part")
+    s2.sql(
+      """CREATE TABLE graftp.p PARTITIONED BY (pri) AS
+        |SELECT o_orderkey, o_totalprice,
+        |  CAST(substring(o_orderpriority, 1, 1) AS INT) AS pri
+        |FROM ord_part WHERE o_orderkey % 2 = 0""".stripMargin)
+    s2.sql(
+      """INSERT INTO graftp.p
+        |SELECT o_orderkey, o_totalprice,
+        |  CAST(substring(o_orderpriority, 1, 1) AS INT) AS pri
+        |FROM ord_part WHERE o_orderkey % 2 = 1""".stripMargin)
+    s2.sql("DELETE FROM graftp.p WHERE pri = 2") // metadata-only by construction
+    s2.sql(
+      """SELECT pri, count(*) AS n_rows, sum(o_orderkey) AS sum_key,
+        | CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+        |FROM graftp.p GROUP BY pri ORDER BY pri""".stripMargin)
+  }
+
   /** Incremental-pipeline table dirs already written this JVM, keyed by
     * (session UUID, fixture dir). */
   private val pincrWritten = new java.util.concurrent.ConcurrentHashMap[String, String]
@@ -1142,6 +1181,7 @@ object Sources {
     "q_store_zorder" -> qStoreZorder,
     "q_stream_cdf" -> qStreamCdf,
     "q_pipeline_incr" -> qPipelineIncr,
+    "q_store_partitioned" -> qStorePartitioned,
     "q_catalog_sql" -> qCatalogSql,
     "q_sink_roundtrip" -> qSinkRoundtrip,
     "q_store_timetravel" -> qStoreTimetravel,
@@ -1245,6 +1285,15 @@ object Sources {
         | CAST(sum(o_custkey) AS BIGINT) AS sum_cust,
         | CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
         |FROM orders WHERE o_custkey <= 300 AND o_orderkey <= 15000
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // both writes land all five priorities; the partition layout makes
+    // the delete exact — oracle is the complement aggregate
+    "q_store_partitioned" ->
+      """SELECT CAST(substring(o_orderpriority, 1, 1) AS INT) AS pri,
+        | count(*) AS n_rows, sum(o_orderkey) AS sum_key,
+        | CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+        |FROM orders
+        |WHERE CAST(substring(o_orderpriority, 1, 1) AS INT) <> 2
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     // the CDF-fed incremental pass replayed: gate the new slice, minhash
     // both sides, band-join batch x corpus, Jaccard-verify, anti-join

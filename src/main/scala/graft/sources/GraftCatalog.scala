@@ -76,7 +76,8 @@ class GraftCatalog extends TableCatalog {
     val dir = dirFor(ident)
     if (!isTable(dir)) throw new NoSuchTableException(ident)
     val schema = GraftStore.readManifest(dir.getPath).get._1
-    new GraftStoreTable(dir.getPath, schema, None, None, None, None)
+    new GraftStoreTable(dir.getPath, schema, None, None, None, None,
+      partitionBy = GraftStore.readPartitionBy(dir.getPath))
   }
 
   /** `SELECT … FROM graft.t VERSION AS OF <n>` — time travel lands here;
@@ -108,17 +109,40 @@ class GraftCatalog extends TableCatalog {
     loadTable(ident, v.toString)
   }
 
+  /** `PARTITIONED BY (col)` — ONE identity transform on a top-level
+    * schema column. The spec is table-constant, stored once in the
+    * `_partition` sibling (written BEFORE the manifest, so it is never
+    * observable without the table); writes then demand clustering +
+    * ordering on the column and ROLL a new data file at each value
+    * change, so every manifest entry is single-valued (min = max) on
+    * the partition column by construction — partition pruning is
+    * ordinary stats skipping and dropping a partition is always a
+    * metadata-only DELETE. Anything fancier (bucket/days/truncate
+    * transforms, multi-column specs) is refused loudly. */
   override def createTable(ident: Identifier, schema: StructType,
       partitions: Array[Transform], properties: util.Map[String, String]): Table = {
-    require(partitions.isEmpty,
-      "graft catalog tables do not support partition transforms")
+    val partitionBy = partitions.toSeq match {
+      case Seq() => None
+      case Seq(t) if t.name() == "identity" && t.references().length == 1 =>
+        val ref = t.references()(0).fieldNames()
+        require(ref.length == 1 && schema.fieldNames.contains(ref.head),
+          s"partition column ${ref.mkString(".")} must be a top-level table column")
+        Some(ref.head)
+      case other => throw new UnsupportedOperationException(
+        "graft catalog tables support at most ONE identity partition " +
+          s"transform (got ${other.mkString(", ")})")
+    }
     val dir = dirFor(ident)
     if (isTable(dir)) throw new TableAlreadyExistsException(ident)
     dir.mkdirs()
+    partitionBy.foreach(c => java.nio.file.Files.write(
+      new File(dir, GraftStore.PartitionFileName).toPath,
+      c.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
     // an empty manifest IS the table: created atomically, never half-visible
     GraftStore.writeManifestAtomic(dir.getPath, schema, Seq.empty,
       op = "create")
-    new GraftStoreTable(dir.getPath, schema, None, None, None, None)
+    new GraftStoreTable(dir.getPath, schema, None, None, None, None,
+      partitionBy = partitionBy)
   }
 
   /** Schema evolution = a metadata COMMIT: `ALTER TABLE … ADD COLUMN`
@@ -158,6 +182,7 @@ class GraftCatalog extends TableCatalog {
     if (!isTable(dir)) return false
     // manifest first: the atomic "table gone" step; snapshots + data after
     new File(dir, GraftStore.ManifestName).delete()
+    new File(dir, GraftStore.PartitionFileName).delete()
     GraftStore.snapshotFiles(dir.getPath).foreach(_.delete())
     Option(new File(dir, "data").listFiles()).getOrElse(Array.empty)
       .foreach(_.delete())

@@ -309,6 +309,30 @@ object GraftStore {
     (schema, entries)
   }
 
+  /** Flatten task commit messages: plain writers send one
+    * [[GraftStoreCommitMessage]], partition-rolling writers send a
+    * [[GraftStoreMultiMessage]] of them. */
+  private[sources] def flatMessages(ms: Array[WriterCommitMessage]): Seq[GraftStoreCommitMessage] =
+    ms.toSeq.flatMap {
+      case s: GraftStoreCommitMessage => Seq(s)
+      case GraftStoreMultiMessage(ps) => ps
+      case _ => Seq.empty // abort sees null slots for never-committed partitions
+    }
+
+  private[sources] val PartitionFileName = "_partition"
+
+  /** The table's partition column, if it was created PARTITIONED BY —
+    * stored once at create time in an immutable sibling file (written
+    * BEFORE the first manifest, so it is never observable without it;
+    * partition spec is table-constant, so unlike ops/epochs it never
+    * rides the per-commit headers). */
+  private[graft] def readPartitionBy(path: String): Option[String] = {
+    val f = new File(path, PartitionFileName)
+    if (!f.exists()) None
+    else Some(new String(Files.readAllBytes(f.toPath), StandardCharsets.UTF_8)
+      .trim).filter(_.nonEmpty)
+  }
+
   /** A change-feed read's schema: the data schema plus the two CDF
     * columns every row carries. */
   private[graft] def cdfSchema(dataSchema: StructType): StructType =
@@ -692,7 +716,8 @@ class GraftStore extends TableProvider {
       opt("versionAsOf").map(_.toLong),
       opt("changesFrom").map(_.toLong),
       opt("changesTo").map(_.toLong),
-      dataChange = !opt("dataChange").contains("false"))
+      dataChange = !opt("dataChange").contains("false"),
+      partitionBy = opt("path").flatMap(GraftStore.readPartitionBy))
   }
 }
 
@@ -701,7 +726,8 @@ class GraftStoreTable(path: String, tableSchema: StructType,
     failFirstAttemptOf: Option[Int], failAllAttemptsOf: Option[Int],
     versionAsOf: Option[Long] = None,
     changesFrom: Option[Long] = None, changesTo: Option[Long] = None,
-    dataChange: Boolean = true)
+    dataChange: Boolean = true,
+    partitionBy: Option[String] = None)
   extends Table with SupportsRead with SupportsWrite
   with org.apache.spark.sql.connector.catalog.SupportsDelete
   with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations
@@ -725,6 +751,8 @@ class GraftStoreTable(path: String, tableSchema: StructType,
 
   override def name(): String = s"graft_store($path)"
   override def schema(): StructType = tableSchema
+  override def partitioning(): Array[Transform] =
+    partitionBy.map(c => Expressions.identity(c)).toArray
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
       TableCapability.TRUNCATE, TableCapability.STREAMING_WRITE,
@@ -749,7 +777,7 @@ class GraftStoreTable(path: String, tableSchema: StructType,
     require(versionAsOf.isEmpty && changesFrom.isEmpty,
       "cannot write to a time-travel snapshot or change feed — writes go to the current table")
     new GraftStoreWriteBuilder(path, info.schema(), clusterBy, sortBy,
-      failFirstAttemptOf, failAllAttemptsOf, dataChange)
+      failFirstAttemptOf, failAllAttemptsOf, dataChange, partitionBy)
   }
 
   // ------------------------------------------------- metadata-only DELETE
@@ -906,7 +934,7 @@ class GraftStoreReplaceWriterFactory(path: String, schema: StructType,
 class GraftStoreWriteBuilder(path: String, schema: StructType,
     clusterBy: Option[String], sortBy: Option[String],
     failFirstAttemptOf: Option[Int], failAllAttemptsOf: Option[Int],
-    dataChange: Boolean = true)
+    dataChange: Boolean = true, partitionBy: Option[String] = None)
   extends WriteBuilder with SupportsTruncate {
   private var truncateFirst = false
 
@@ -914,30 +942,37 @@ class GraftStoreWriteBuilder(path: String, schema: StructType,
 
   override def build(): Write =
     new GraftStoreWrite(path, schema, truncateFirst, clusterBy, sortBy,
-      failFirstAttemptOf, failAllAttemptsOf, dataChange)
+      failFirstAttemptOf, failAllAttemptsOf, dataChange, partitionBy)
 }
 
 class GraftStoreWrite(path: String, schema: StructType, truncateFirst: Boolean,
     clusterBy: Option[String], sortBy: Option[String],
     failFirstAttemptOf: Option[Int], failAllAttemptsOf: Option[Int],
-    dataChange: Boolean = true)
+    dataChange: Boolean = true, partitionBy: Option[String] = None)
   extends Write with RequiresDistributionAndOrdering {
 
   override def description(): String = s"graft_store write -> $path"
 
   // the sink REQUESTS its layout; Spark plans the exchange/sort. With no
   // clusterBy the distribution is unspecified (no exchange inserted).
+  // A PARTITIONED table demands clustering + ordering on its partition
+  // column (so the rolling writer sees each value contiguous and
+  // complete), with any sortBy as the secondary sort within a value.
+  private def orderCols: Seq[String] =
+    (partitionBy.toSeq ++ sortBy.toSeq).distinct
   override def requiredDistribution(): Distribution =
-    clusterBy.map(c => Distributions.clustered(Array(Expressions.column(c))))
+    partitionBy.orElse(clusterBy)
+      .map(c => Distributions.clustered(Array(Expressions.column(c))))
       .getOrElse(Distributions.unspecified())
   override def requiredOrdering(): Array[SortOrder] =
-    sortBy.map(c => Array(Expressions.sort(Expressions.column(c),
-      org.apache.spark.sql.connector.expressions.SortDirection.ASCENDING)))
-      .getOrElse(Array.empty)
+    orderCols.map(c => Expressions.sort(Expressions.column(c),
+      org.apache.spark.sql.connector.expressions.SortDirection.ASCENDING)
+      : SortOrder).toArray
 
   override def toBatch: BatchWrite =
     new GraftStoreBatchWrite(path, schema, truncateFirst, failFirstAttemptOf,
-      failAllAttemptsOf, dataChange)
+      failAllAttemptsOf, dataChange,
+      rollOnIdx = partitionBy.map(schema.fieldIndex))
 
   override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite =
     new GraftStoreStreamingWrite(path, schema, truncateFirst)
@@ -1018,6 +1053,71 @@ case class GraftStoreCommitMessage(file: String, rows: Long,
     stats: Map[String, GraftStore.ColStats], cols: Int)
   extends WriterCommitMessage
 
+/** A partition-rolling task's commit: one entry per partition value the
+  * task received. */
+case class GraftStoreMultiMessage(parts: Seq[GraftStoreCommitMessage])
+  extends WriterCommitMessage
+
+/** PARTITIONED-table task writer: rows arrive clustered AND sorted on
+  * the table's partition column (the sink demands that layout), so a
+  * value change means the previous value's rows are COMPLETE for this
+  * task — finish that file and roll to the next. One data file per
+  * partition value per task, each manifest entry single-valued
+  * (min = max) on the partition column BY CONSTRUCTION: partition
+  * pruning is ordinary stats skipping, and `DELETE WHERE part = v` is
+  * always metadata-only — the Hive/Iceberg partition economics without
+  * a separate partition layout, the manifest stays the only metadata.
+  * Delegates each file to the ordinary [[GraftStoreDataWriter]] (same
+  * framing, same stats collection); commit carries every finished
+  * file's entry, abort deletes them all. */
+class GraftStorePartitionedWriter(path: String, schema: StructType,
+    partitionId: Int, taskId: Long, rollIdx: Int)
+  extends DataWriter[InternalRow] {
+  private val dt = schema.fields(rollIdx).dataType
+  private var current: GraftStoreDataWriter = null
+  private var lastVal: Any = null
+  private var started = false
+  private var seq = 0
+  private val done =
+    scala.collection.mutable.ArrayBuffer.empty[GraftStoreCommitMessage]
+
+  override def write(row: InternalRow): Unit = {
+    // copy string keys out of the row's reused buffer before holding them
+    val v: Any =
+      if (row.isNullAt(rollIdx)) null
+      else row.get(rollIdx, dt) match {
+        case s: org.apache.spark.unsafe.types.UTF8String => s.clone()
+        case other => other
+      }
+    if (!started || v != lastVal) {
+      if (current != null) {
+        done += current.commit().asInstanceOf[GraftStoreCommitMessage]
+      }
+      current = new GraftStoreDataWriter(path, schema, partitionId, taskId,
+        None, None, s"data/part-$partitionId-$taskId-p$seq.bin")
+      seq += 1
+      lastVal = v
+      started = true
+    }
+    current.write(row)
+  }
+
+  override def commit(): WriterCommitMessage = {
+    if (current != null) {
+      done += current.commit().asInstanceOf[GraftStoreCommitMessage]
+      current = null
+    }
+    GraftStoreMultiMessage(done.toSeq)
+  }
+
+  override def abort(): Unit = {
+    if (current != null) current.abort()
+    done.foreach(m => new File(path, m.file).delete())
+  }
+
+  override def close(): Unit = ()
+}
+
 /** `dataChange = false` (the Delta compaction-write flag): the caller
   * asserts this write REARRANGES existing rows without changing table
   * content — the commit records `!op=optimize`, so change feeds stay
@@ -1027,21 +1127,21 @@ case class GraftStoreCommitMessage(file: String, rows: Long,
   * as Delta's flag. */
 class GraftStoreBatchWrite(path: String, schema: StructType,
     truncateFirst: Boolean, failFirstAttemptOf: Option[Int],
-    failAllAttemptsOf: Option[Int], dataChange: Boolean = true)
+    failAllAttemptsOf: Option[Int], dataChange: Boolean = true,
+    rollOnIdx: Option[Int] = None)
   extends BatchWrite {
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
     new GraftStoreWriterFactory(path, schema, failFirstAttemptOf,
-      failAllAttemptsOf)
+      failAllAttemptsOf, rollOnIdx)
 
   // at most one attempt per partition may deliver a commit message —
   // the coordinator half of the exactly-once argument
   override def useCommitCoordinator(): Boolean = true
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
-    val committed = messages.toSeq.map { case m: GraftStoreCommitMessage =>
-      GraftStore.FileEntry(m.file, m.rows, m.stats, m.cols)
-    }
+    val committed = GraftStore.flatMessages(messages).map(m =>
+      GraftStore.FileEntry(m.file, m.rows, m.stats, m.cols))
     val existing = GraftStore.readManifest(path)
     val previous =
       if (truncateFirst) Seq.empty
@@ -1063,18 +1163,22 @@ class GraftStoreBatchWrite(path: String, schema: StructType,
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit =
-    messages.foreach {
-      case GraftStoreCommitMessage(f, _, _, _) => new File(path, f).delete()
-      case _ =>
-    }
+    GraftStore.flatMessages(messages).foreach(m =>
+      new File(path, m.file).delete())
 }
 
 class GraftStoreWriterFactory(path: String, schema: StructType,
-    failFirstAttemptOf: Option[Int], failAllAttemptsOf: Option[Int])
+    failFirstAttemptOf: Option[Int], failAllAttemptsOf: Option[Int],
+    rollOnIdx: Option[Int] = None)
   extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
-    new GraftStoreDataWriter(path, schema, partitionId, taskId,
-      failFirstAttemptOf, failAllAttemptsOf)
+    rollOnIdx match {
+      case Some(i) =>
+        new GraftStorePartitionedWriter(path, schema, partitionId, taskId, i)
+      case None =>
+        new GraftStoreDataWriter(path, schema, partitionId, taskId,
+          failFirstAttemptOf, failAllAttemptsOf)
+    }
 }
 
 /** Length-framed UnsafeRow stream; file name is attempt-unique (taskId

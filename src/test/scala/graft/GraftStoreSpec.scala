@@ -559,6 +559,57 @@ class GraftStoreSpec extends SparkSuite {
     assert(readBack(path).count() == 1000)
   }
 
+  test("partitioned table: writers roll per value, entries single-valued, partition delete metadata-only") {
+    import spark.implicits._
+    val root = graft.ops.Util.managedTempDir("graft_store_spec_part_")
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.catalog.gpart", "graft.sources.GraftCatalog")
+    s2.conf.set("spark.sql.catalog.gpart.root", root)
+    s2.range(0, 1000, 1, 8)
+      .select($"id", ($"id" % 5).as("k"), ($"id" * 0.25).as("v"))
+      .createOrReplaceTempView("src_part")
+    s2.sql("CREATE TABLE gpart.t PARTITIONED BY (k) AS SELECT * FROM src_part")
+    val path = s"$root/t"
+    // every committed entry is single-valued on k (min = max) even
+    // though the source interleaves all five values across 8 partitions
+    val entries = GraftStore.readManifest(path).get._2
+    assert(entries.nonEmpty)
+    entries.foreach { e =>
+      val st = e.stats("k")
+      assert(st.min == st.max, s"${e.file} spans k=[${st.min},${st.max}]")
+    }
+    // a partition value lives in exactly one file (clustering + rolling)
+    assert(entries.map(_.stats("k").min).distinct.size == 5)
+    assert(entries.size == 5,
+      s"expected one file per partition value, got ${entries.size}")
+    // partition pruning = ordinary stats skipping
+    import org.apache.spark.sql.sources.EqualTo
+    val pruned = new graft.sources.GraftStoreScan(path, Array(EqualTo("k", 3L)))
+    assert(pruned.planInputPartitions().length == 1, pruned.description())
+    // dropping a partition is metadata-only: kept bytes untouched
+    val mtimes = dataFiles(path).map(f =>
+      f -> new File(path, s"data/$f").lastModified()).toMap
+    s2.sql("DELETE FROM gpart.t WHERE k = 3")
+    val kept = GraftStore.readManifest(path).get._2.map(_.file)
+    assert(kept.size == 4 && kept.forall(_.startsWith("data/part-")),
+      s"partition delete must not rewrite files: $kept")
+    kept.foreach(f => assert(
+      new File(path, f).lastModified() == mtimes(f.stripPrefix("data/")),
+      s"kept file $f was rewritten by a partition delete"))
+    assert(s2.sql("SELECT count(*) FROM gpart.t").head.getLong(0) == 800)
+    // INSERT INTO keeps the layout contract
+    s2.sql("INSERT INTO gpart.t SELECT id + 1000 AS id, id % 5 AS k, id * 0.25 AS v FROM src_part")
+    GraftStore.readManifest(path).get._2.foreach { e =>
+      val st = e.stats("k")
+      assert(st.min == st.max, s"post-insert ${e.file} spans k")
+    }
+    // multi-column / non-identity partition specs are refused
+    val e1 = intercept[Exception] {
+      s2.sql("CREATE TABLE gpart.bad (a BIGINT, b BIGINT) PARTITIONED BY (a, b)")
+    }
+    assert(e1.getMessage.contains("ONE identity partition"))
+  }
+
   test("streaming change feed: a live tail follows DML and stays silent across OPTIMIZE") {
     import spark.implicits._
     val root = graft.ops.Util.managedTempDir("graft_store_spec_scdf_")
