@@ -833,7 +833,7 @@ class GraftStoreTable(path: String, tableSchema: StructType,
       : org.apache.spark.sql.connector.write.RowLevelOperationBuilder = {
     require(versionAsOf.isEmpty,
       "cannot modify a time-travel snapshot — DML goes to the current table")
-    () => new GraftStoreRowLevelOperation(path, info.command())
+    () => new GraftStoreRowLevelOperation(path, info.command(), partitionBy)
   }
 }
 
@@ -843,7 +843,8 @@ class GraftStoreTable(path: String, tableSchema: StructType,
   * write coordinate only through this object — the connector-side
   * contract of Spark's group-based row-level operation API. */
 class GraftStoreRowLevelOperation(path: String,
-    cmd: org.apache.spark.sql.connector.write.RowLevelOperation.Command)
+    cmd: org.apache.spark.sql.connector.write.RowLevelOperation.Command,
+    partitionBy: Option[String] = None)
   extends org.apache.spark.sql.connector.write.RowLevelOperation {
 
   @volatile private var configuredScan: Option[GraftStoreScan] = None
@@ -874,19 +875,35 @@ class GraftStoreRowLevelOperation(path: String,
     new WriteBuilder {
       override def build(): Write = new GraftStoreReplaceDataWrite(path,
         info.schema(), () => configuredScan.getOrElse(throw new IllegalStateException(
-          "row-level write built before its scan")).plannedFiles)
+          "row-level write built before its scan")).plannedFiles,
+        partitionBy)
     }
 }
 
+/** A partitioned table's rewrite demands the SAME clustering+ordering
+  * its appends do and rolls files per value, so copy-on-write DML
+  * preserves the single-valued-entry invariant — a partition DELETE
+  * stays metadata-only even after arbitrary UPDATE/MERGE history. */
 class GraftStoreReplaceDataWrite(path: String, schema: StructType,
-    replacedFiles: () => Seq[String]) extends Write {
+    replacedFiles: () => Seq[String],
+    partitionBy: Option[String] = None)
+  extends Write with RequiresDistributionAndOrdering {
   override def description(): String = s"graft_store replace-data -> $path"
+  override def requiredDistribution(): Distribution =
+    partitionBy.map(c => Distributions.clustered(Array(Expressions.column(c))))
+      .getOrElse(Distributions.unspecified())
+  override def requiredOrdering(): Array[SortOrder] =
+    partitionBy.map(c => Array(Expressions.sort(Expressions.column(c),
+      org.apache.spark.sql.connector.expressions.SortDirection.ASCENDING)))
+      .getOrElse(Array.empty)
   override def toBatch: BatchWrite =
-    new GraftStoreReplaceBatchWrite(path, schema, replacedFiles)
+    new GraftStoreReplaceBatchWrite(path, schema, replacedFiles,
+      partitionBy.map(schema.fieldIndex))
 }
 
 class GraftStoreReplaceBatchWrite(path: String, schema: StructType,
-    replacedFiles: () => Seq[String]) extends BatchWrite {
+    replacedFiles: () => Seq[String], rollOnIdx: Option[Int] = None)
+  extends BatchWrite {
 
   // job-unique file prefix: replacement files must NEVER collide with a
   // live committed file's name (task ids restart across JVMs), because
@@ -894,14 +911,14 @@ class GraftStoreReplaceBatchWrite(path: String, schema: StructType,
   private val stamp = java.util.UUID.randomUUID().toString.take(8)
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
-    new GraftStoreReplaceWriterFactory(path, schema, stamp)
+    new GraftStoreReplaceWriterFactory(path, schema, stamp, rollOnIdx)
 
   override def useCommitCoordinator(): Boolean = true
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
-    val (committed, empty) = messages.toSeq.map { case m: GraftStoreCommitMessage =>
-      GraftStore.FileEntry(m.file, m.rows, m.stats, m.cols)
-    }.partition(_.rows > 0)
+    val (committed, empty) = GraftStore.flatMessages(messages).map(m =>
+      GraftStore.FileEntry(m.file, m.rows, m.stats, m.cols))
+      .partition(_.rows > 0)
     // a partition whose surviving-row set is empty wrote an empty file:
     // drop it rather than committing zero-row entries
     empty.foreach(e => new File(path, e.file).delete())
@@ -916,17 +933,19 @@ class GraftStoreReplaceBatchWrite(path: String, schema: StructType,
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit =
-    messages.foreach {
-      case GraftStoreCommitMessage(f, _, _, _) => new File(path, f).delete()
-      case _ =>
-    }
+    GraftStore.flatMessages(messages).foreach(m =>
+      new File(path, m.file).delete())
 }
 
 class GraftStoreReplaceWriterFactory(path: String, schema: StructType,
-    stamp: String) extends DataWriterFactory {
+    stamp: String, rollOnIdx: Option[Int] = None) extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
-    new GraftStoreDataWriter(path, schema, partitionId, taskId, None, None,
-      s"data/rw-$stamp-$partitionId-$taskId.bin")
+    rollOnIdx match {
+      case Some(i) => new GraftStorePartitionedWriter(path, schema,
+        partitionId, taskId, i, s"data/rw-$stamp-$partitionId-$taskId")
+      case None => new GraftStoreDataWriter(path, schema, partitionId, taskId,
+        None, None, s"data/rw-$stamp-$partitionId-$taskId.bin")
+    }
 }
 
 // ----------------------------------------------------------------- write
@@ -974,8 +993,13 @@ class GraftStoreWrite(path: String, schema: StructType, truncateFirst: Boolean,
       failAllAttemptsOf, dataChange,
       rollOnIdx = partitionBy.map(schema.fieldIndex))
 
-  override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite =
+  override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite = {
+    require(partitionBy.isEmpty,
+      "streaming writes to a PARTITIONED table are not supported — the " +
+        "epoch writer does not roll files per partition value; land the " +
+        "stream in an unpartitioned table and INSERT INTO ... SELECT")
     new GraftStoreStreamingWrite(path, schema, truncateFirst)
+  }
 }
 
 /** Streaming half of the sink: each micro-batch epoch commits through the
@@ -1071,8 +1095,11 @@ case class GraftStoreMultiMessage(parts: Seq[GraftStoreCommitMessage])
   * framing, same stats collection); commit carries every finished
   * file's entry, abort deletes them all. */
 class GraftStorePartitionedWriter(path: String, schema: StructType,
-    partitionId: Int, taskId: Long, rollIdx: Int)
+    partitionId: Int, taskId: Long, rollIdx: Int,
+    namePrefix: String = null)
   extends DataWriter[InternalRow] {
+  private val prefix =
+    if (namePrefix != null) namePrefix else s"data/part-$partitionId-$taskId"
   private val dt = schema.fields(rollIdx).dataType
   private var current: GraftStoreDataWriter = null
   private var lastVal: Any = null
@@ -1094,7 +1121,7 @@ class GraftStorePartitionedWriter(path: String, schema: StructType,
         done += current.commit().asInstanceOf[GraftStoreCommitMessage]
       }
       current = new GraftStoreDataWriter(path, schema, partitionId, taskId,
-        None, None, s"data/part-$partitionId-$taskId-p$seq.bin")
+        None, None, s"$prefix-p$seq.bin")
       seq += 1
       lastVal = v
       started = true

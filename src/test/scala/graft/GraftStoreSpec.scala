@@ -603,11 +603,37 @@ class GraftStoreSpec extends SparkSuite {
       val st = e.stats("k")
       assert(st.min == st.max, s"post-insert ${e.file} spans k")
     }
+    // copy-on-write DML preserves the layout contract: the rewrite
+    // demands the same clustering+ordering and rolls per value, so a
+    // partition delete stays metadata-only after arbitrary UPDATEs
+    s2.sql("UPDATE gpart.t SET v = -v WHERE id % 7 = 0") // touches all partitions
+    val postDml = GraftStore.readManifest(path).get._2
+    postDml.foreach { e =>
+      val st = e.stats("k")
+      assert(st.min == st.max, s"post-UPDATE ${e.file} spans k=[${st.min},${st.max}]")
+    }
+    s2.sql("DELETE FROM gpart.t WHERE k = 4")
+    assert(GraftStore.readManifest(path).get._2
+      .forall(e => !e.stats("k").min.contains("4")),
+      "partition delete after DML must still drop whole files")
     // multi-column / non-identity partition specs are refused
     val e1 = intercept[Exception] {
       s2.sql("CREATE TABLE gpart.bad (a BIGINT, b BIGINT) PARTITIONED BY (a, b)")
     }
     assert(e1.getMessage.contains("ONE identity partition"))
+    // streaming writes can't keep the rolling contract: refused loudly
+    val e2 = intercept[Exception] {
+      spark.readStream.format("graft.sources.SynthSource")
+        .option("rows", "100").option("slices", "2")
+        .option("microBatchRows", "64").load()
+        .writeStream.format("graft.sources.GraftStore")
+        .option("path", path)
+        .option("checkpointLocation",
+          graft.ops.Util.managedTempDir("graft_part_ckpt_"))
+        .outputMode("append").start().processAllAvailable()
+    }
+    assert(e2.getMessage.contains("PARTITIONED"),
+      s"expected the streaming-write refusal, got: ${e2.getMessage}")
   }
 
   test("streaming change feed: a live tail follows DML and stays silent across OPTIMIZE") {
