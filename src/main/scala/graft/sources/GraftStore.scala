@@ -223,43 +223,107 @@ object GraftStore {
     snapshotFiles(path).filter(readTsOf(_) <= tsMillis).lastOption
       .map(_.getName.stripPrefix(ManifestName + ".v").toLong)
 
+  /** Two writers that both read base version N both try to commit N+1 —
+    * without a claim step the second pointer move would silently erase
+    * the first commit's files from the table. Thrown instead; appends
+    * retry against the fresh base, content-dependent commits surface it. */
+  class ConflictException(msg: String) extends RuntimeException(msg)
+
+  /** Next version = one past the highest COMMITTED snapshot (the pointer
+    * can lag for an instant between a competitor's claim and its pointer
+    * refresh — versioning must never reuse a claimed id). */
+  private[sources] def nextVersion(path: String): Long =
+    (readVersion(path) +: snapshotFiles(path).map(
+      _.getName.stripPrefix(ManifestName + ".v").toLong)).max + 1
+
   /** Every commit writes the manifest under the NEXT snapshot id and
-    * retains the previous ones: the versioned copy `_manifest.v<n>`
-    * lands first (history files are invisible — only the pointer is
-    * read by default), then the tmp file ATOMIC_MOVEs onto `_manifest`
-    * — still the single atomic commit step. A crash between the two
-    * leaves an orphan snapshot that the retried commit (computing its
-    * version from the unchanged pointer) simply overwrites. Retained
-    * snapshots are what make time-travel reads and cross-OPTIMIZE
-    * history possible; [[expireSnapshots]] bounds their cost. */
+    * retains the previous ones. OPTIMISTIC CONCURRENCY: the versioned
+    * name `_manifest.v<n>` is CLAIMED with a hard link — `link(2)` is
+    * atomic and fails with EEXIST if a competing writer claimed n first
+    * (on an object store: an if-none-match PUT) — so the SNAPSHOT is
+    * the commit point and a conflict loser throws [[ConflictException]]
+    * with nothing clobbered, never a silent lost update. The pointer
+    * move after it is a cache refresh for readers: if two refreshes
+    * race out of order the pointer briefly lags (read-committed
+    * staleness, repaired by [[repointIfBehind]] / the next commit) but
+    * always names a fully-committed snapshot. Crash after claim,
+    * before refresh = a committed version the pointer hasn't surfaced
+    * yet — the same commit-ambiguity window every log-structured table
+    * format has. Retained snapshots are what make time-travel reads
+    * and cross-OPTIMIZE history possible; [[expireSnapshots]] bounds
+    * their cost. */
   private[sources] def writeManifestAtomic(
       path: String, schema: StructType, files: Seq[FileEntry],
       epoch: Option[Long] = None, op: String = ""): Long = {
-    val v = readVersion(path) + 1
+    val v = nextVersion(path)
+    writeManifestAtomicAt(path, v, schema, files, epoch, op)
+    v
+  }
+
+  /** The claim-then-refresh step at an EXPLICIT version id (split out so
+    * the conflict branch is unit-testable without a thread race). */
+  private[graft] def writeManifestAtomicAt(
+      path: String, v: Long, schema: StructType, files: Seq[FileEntry],
+      epoch: Option[Long] = None, op: String = ""): Unit = {
     val tmp = Paths.get(path, s".manifest.tmp.${java.util.UUID.randomUUID()}")
     val lines = schema.toDDL +: (s"!version=$v" +:
       (s"!ts=${System.currentTimeMillis()}" +:
         ((if (op.nonEmpty) Seq(s"!op=$op") else Seq.empty) ++
           epoch.map(e => s"!epoch=$e").toSeq ++ files.map(fmtEntry))))
     Files.write(tmp, lines.mkString("\n").getBytes(StandardCharsets.UTF_8))
-    Files.copy(tmp, Paths.get(path, s"$ManifestName.v$v"),
-      StandardCopyOption.REPLACE_EXISTING)
+    try Files.createLink(Paths.get(path, s"$ManifestName.v$v"), tmp)
+    catch {
+      case _: java.nio.file.FileAlreadyExistsException =>
+        Files.delete(tmp)
+        throw new ConflictException(
+          s"concurrent commit: snapshot v$v at $path was claimed by " +
+            "another writer — re-read the base and retry (appends) or " +
+            "fail (content-dependent commits)")
+    }
     Files.move(tmp, Paths.get(path, ManifestName),
       StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
-    v
+    repointIfBehind(path)
   }
+
+  /** If a racing pointer refresh landed out of order, re-point to the
+    * highest committed snapshot (idempotent, at most one step here plus
+    * every future commit). */
+  private[sources] def repointIfBehind(path: String): Unit = {
+    val latest = snapshotFiles(path).lastOption
+      .map(_.getName.stripPrefix(ManifestName + ".v").toLong).getOrElse(0L)
+    if (readVersion(path) < latest) {
+      val tmp = Paths.get(path, s".manifest.tmp.${java.util.UUID.randomUUID()}")
+      Files.copy(Paths.get(path, s"$ManifestName.v$latest"), tmp)
+      Files.move(tmp, Paths.get(path, ManifestName),
+        StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    }
+  }
+
+  /** The latest COMMITTED table state — the highest retained snapshot if
+    * the pointer lags it (commit retry must merge against this, never a
+    * stale pointer). */
+  private[graft] def readLatest(path: String): Option[(StructType, Seq[FileEntry])] =
+    snapshotFiles(path).lastOption match {
+      case Some(f) => readManifestFile(f)
+      case None => readManifest(path)
+    }
 
   /** Snapshot retention: keep the newest `keepLast` snapshot manifests
     * (the current pointer's snapshot is always among them), delete the
     * older ones, then GC data files no retained manifest references —
     * the Iceberg expire-snapshots economics: history costs only the
     * small manifest files plus the data files exclusive to expired
-    * versions, and reclaiming it is a driver-side metadata walk. */
-  private[graft] def expireSnapshots(path: String, keepLast: Int): Unit = {
+    * versions, and reclaiming it is a driver-side metadata walk.
+    * `graceMs` is the vacuum-retention dial: unreferenced files younger
+    * than it survive (they may be a concurrent writer's uncommitted
+    * output); pass 0 only when no other writer can be in flight. */
+  private[graft] def expireSnapshots(path: String, keepLast: Int,
+      graceMs: Long = GcGraceMs): Unit = {
     require(keepLast >= 1, "must retain at least the current snapshot")
     snapshotFiles(path).dropRight(keepLast).foreach(_.delete())
     gcUnreferenced(path,
-      readManifest(path).map(_._2.map(_.file)).getOrElse(Seq.empty).toSet)
+      readManifest(path).map(_._2.map(_.file)).getOrElse(Seq.empty).toSet,
+      graceMs)
   }
 
   /** Snapshot history as (version, nFiles, nRows, op), oldest first —
@@ -667,14 +731,25 @@ object GraftStore {
     * just committed) nor by any RETAINED snapshot manifest — a file
     * dropped from the live table survives as long as some time-travel
     * snapshot can still reach it, and dies at [[expireSnapshots]]. */
-  private[sources] def gcUnreferenced(path: String, referenced: Set[String]): Unit = {
+  /** Unreferenced files younger than this survive the orphan sweep: with
+    * optimistic multi-writer commits, a competing job's fully-written but
+    * NOT-YET-COMMITTED data files are indistinguishable from crash
+    * orphans — age is the only safe discriminator (Delta's vacuum
+    * retention argument). Crash orphans die at the first sweep after the
+    * grace expires. */
+  private[graft] val GcGraceMs = 300000L
+
+  private[sources] def gcUnreferenced(path: String, referenced: Set[String],
+      graceMs: Long = GcGraceMs): Unit = {
     val retained = snapshotFiles(path)
       .flatMap(f => readManifestFile(f).map(_._2).getOrElse(Seq.empty))
       .map(_.file).toSet
     val keep = referenced ++ retained
+    val cutoff = System.currentTimeMillis() - graceMs
     val dataDir = new File(path, "data")
     Option(dataDir.listFiles()).getOrElse(Array.empty).foreach { f =>
-      if (!keep.contains(s"data/${f.getName}")) f.delete()
+      if (!keep.contains(s"data/${f.getName}") && f.lastModified() <= cutoff)
+        f.delete()
     }
   }
 }
@@ -1169,23 +1244,41 @@ class GraftStoreBatchWrite(path: String, schema: StructType,
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val committed = GraftStore.flatMessages(messages).map(m =>
       GraftStore.FileEntry(m.file, m.rows, m.stats, m.cols))
-    val existing = GraftStore.readManifest(path)
-    val previous =
-      if (truncateFirst) Seq.empty
-      else existing.map(_._2).getOrElse(Seq.empty)
-    val files = previous ++ committed
-    // an append keeps the TABLE's schema: the query's output schema may
-    // carry tighter nullability (literal columns), and writing it back
-    // would let readers elide null checks on evolved columns whose old
-    // files null-pad. Truncate replaces the table wholesale — the write
-    // schema IS the new contract. The epoch marker follows the same
-    // logic (append must not clobber a streaming table's marker).
-    GraftStore.writeManifestAtomic(path,
-      if (truncateFirst) schema else existing.map(_._1).getOrElse(schema),
-      files,
-      if (truncateFirst) None else GraftStore.readEpoch(path),
-      op = if (!dataChange) "optimize"
-           else if (truncateFirst) "overwrite" else "append")
+    // OPTIMISTIC RETRY: an append's merge is base-independent (its own
+    // files + whatever is committed now), so a conflict loser re-reads
+    // the LATEST snapshot (never a lagging pointer) and retries — the
+    // Delta concurrent-append semantics. Truncate replaces wholesale,
+    // so its retry is equally safe (last truncate wins, a real order).
+    var attempt = 0
+    var files = Seq.empty[GraftStore.FileEntry]
+    var done = false
+    while (!done) {
+      val existing = GraftStore.readLatest(path)
+      val previous =
+        if (truncateFirst) Seq.empty
+        else existing.map(_._2).getOrElse(Seq.empty)
+      files = previous ++ committed
+      // an append keeps the TABLE's schema: the query's output schema may
+      // carry tighter nullability (literal columns), and writing it back
+      // would let readers elide null checks on evolved columns whose old
+      // files null-pad. Truncate replaces the table wholesale — the write
+      // schema IS the new contract. The epoch marker follows the same
+      // logic (append must not clobber a streaming table's marker).
+      try {
+        GraftStore.writeManifestAtomic(path,
+          if (truncateFirst) schema else existing.map(_._1).getOrElse(schema),
+          files,
+          if (truncateFirst) None else GraftStore.readEpoch(path),
+          op = if (!dataChange) "optimize"
+               else if (truncateFirst) "overwrite" else "append")
+        done = true
+      } catch {
+        case c: GraftStore.ConflictException =>
+          attempt += 1
+          if (attempt >= 10) throw c
+          Thread.sleep(5L * attempt)
+      }
+    }
     GraftStore.gcUnreferenced(path, files.map(_.file).toSet)
   }
 

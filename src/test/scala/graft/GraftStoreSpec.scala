@@ -96,9 +96,14 @@ class GraftStoreSpec extends SparkSuite {
     val stray = new File(path, "data/part-9-999.bin")
     java.nio.file.Files.write(stray.toPath, Array[Byte](1, 2, 3))
     assert(readBack(path).count() == 50, "stray unreferenced file became visible")
-    // next successful commit sweeps it
+    // a YOUNG unreferenced file survives the sweep — it could be a
+    // concurrent writer's not-yet-committed output (the multi-writer
+    // grace); an AGED one is a crash orphan and the next commit sweeps it
     writeDf(df, path)
-    assert(!stray.exists(), "commit did not GC the orphan")
+    assert(stray.exists(), "sweep must spare files younger than the GC grace")
+    stray.setLastModified(System.currentTimeMillis() - 2 * GraftStore.GcGraceMs)
+    writeDf(df, path)
+    assert(!stray.exists(), "commit did not GC the aged orphan")
   }
 
   test("append mode accumulates; overwrite truncates") {
@@ -212,7 +217,7 @@ class GraftStoreSpec extends SparkSuite {
     assert(manifest.size == 8, s"expected batch 2's two files dropped: $manifest")
     assert(dataFiles(path).size == 10,
       "deleted files must survive until their snapshots expire")
-    GraftStore.expireSnapshots(path, 1)
+    GraftStore.expireSnapshots(path, 1, graceMs = 0) // vacuum(0): no writers in flight
     val after = dataFiles(path)
     assert(after.size == 8, s"expiry did not reclaim the deleted batch: $after")
     // kept data files are bit-for-bit untouched (metadata-only op)
@@ -417,7 +422,7 @@ class GraftStoreSpec extends SparkSuite {
     writeDf(spark.range(0, 100, 1, 2).toDF("id"), path) // v1
     writeDf(spark.range(100, 200, 1, 2).toDF("id"), path) // v2: truncate
     assert(dataFiles(path).size == 4, "v1's files must survive while v1 is retained")
-    GraftStore.expireSnapshots(path, 1)
+    GraftStore.expireSnapshots(path, 1, graceMs = 0) // vacuum(0): no writers in flight
     assert(GraftStore.snapshotFiles(path).map(_.getName) == Seq("_manifest.v2"))
     assert(dataFiles(path).size == 2, "v1's exclusive files must be GC'd at expiry")
     assert(readBack(path).count() == 100, "current table must be untouched")
@@ -557,6 +562,35 @@ class GraftStoreSpec extends SparkSuite {
       "a cluster key is split across data files — clustering not honored")
     assert(all.toSet == (0L until 10L).toSet)
     assert(readBack(path).count() == 1000)
+  }
+
+  test("optimistic concurrency: version claim is atomic, concurrent appends both land") {
+    import spark.implicits._
+    val path = tempTable()
+    writeDf(spark.range(0, 100, 1, 2).toDF("id"), path) // v1
+    // protocol level: two writers that both computed v2 — the hard-link
+    // claim admits exactly one; the loser throws with nothing clobbered
+    val (schema, entries) = GraftStore.readManifest(path).get
+    GraftStore.writeManifestAtomicAt(path, 2L, schema, entries, op = "append")
+    val e = intercept[GraftStore.ConflictException] {
+      GraftStore.writeManifestAtomicAt(path, 2L, schema, Seq.empty, op = "overwrite")
+    }
+    assert(e.getMessage.contains("claimed by another writer"))
+    assert(GraftStore.readManifest(path).get._2.map(_.file).toSet ==
+      entries.map(_.file).toSet, "conflict loser must not alter the table")
+    // end to end: two threads appending concurrently — the loser retries
+    // against the fresh base and BOTH batches land (no lost update)
+    val t1 = new Thread(() => writeDf(
+      spark.range(1000, 1500, 1, 2).toDF("id"), path, mode = "append"))
+    val t2 = new Thread(() => writeDf(
+      spark.range(2000, 2500, 1, 2).toDF("id"), path, mode = "append"))
+    t1.start(); t2.start(); t1.join(); t2.join()
+    val ids = readBack(path).collect().map(_.getLong(0)).sorted.toSeq
+    assert(ids == ((0L until 100L) ++ (1000L until 1500L) ++
+      (2000L until 2500L)), "a concurrent append was lost")
+    // versions advanced past both commits; pointer names the latest
+    assert(GraftStore.readVersion(path) == 4L,
+      s"expected v4 after two concurrent appends, got v${GraftStore.readVersion(path)}")
   }
 
   test("partitioned table: writers roll per value, entries single-valued, partition delete metadata-only") {
