@@ -120,17 +120,29 @@ class StreamingParitySpec extends SparkSuite {
     // Outer results only emit once the GLOBAL watermark passes a row's
     // join window, and a finite stream's tail never flushes on its own —
     // so feed sentinel click+purchase rows 2 h past the fixture horizon
-    // (raw nanos schema, negative ids) purely to advance both watermarks.
+    // (negative ids) purely to advance both watermarks. The sentinel file
+    // must carry the SAME raw ts type as the fixture (nanos LONG vs µs
+    // NTZ has differed across fixture generations) or the mixed directory
+    // fails the parquet read.
     val ev = graft.ops.Util.events(spark, sfDir)
     val maxMs = ev.agg(max($"ts")).head().getTimestamp(0).getTime
     val d = java.nio.file.Files.createTempDirectory("graft_events_outer")
     java.nio.file.Files.copy(
       java.nio.file.Paths.get(s"$sfDir/events.parquet"),
       d.resolve("events.parquet"))
-    val sentinelNs = (maxMs + 2 * 3600 * 1000L) * 1000000L
-    Seq((-1L, sentinelNs, -1L, "click", 0.0, "{}"),
-        (-2L, sentinelNs, -1L, "purchase", 0.0, "{}"))
-      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val sentinelUs = (maxMs + 2 * 3600 * 1000L) * 1000L
+    val rawTsType = spark.read.parquet(s"$sfDir/events.parquet").schema("ts").dataType
+    val tsCol = rawTsType match {
+      case LongType         => $"ts_us" * 1000L
+      case TimestampNTZType => timestamp_micros($"ts_us").cast(TimestampNTZType)
+      case TimestampType    => timestamp_micros($"ts_us")
+      case other => fail(s"unsupported fixture ts type $other")
+    }
+    Seq((-1L, sentinelUs, -1L, "click", 0.0, "{}"),
+        (-2L, sentinelUs, -1L, "purchase", 0.0, "{}"))
+      .toDF("event_id", "ts_us", "user_id", "event_type", "value", "props")
+      .select($"event_id", tsCol.as("ts"), $"user_id", $"event_type",
+        $"value", $"props")
       .write.mode("append").parquet(d.toString)
     val streamed = runToBatch(
       graft.streaming.StreamingOps.purchaseClicksOuter(
