@@ -480,7 +480,7 @@ object Sources {
     def agg(df: org.apache.spark.sql.DataFrame, tag: String) =
       df.groupBy(($"o_orderkey" % 10).as("bucket"))
         .agg(count(lit(1)).as("n_rows"), sum($"o_orderkey").as("sum_key"),
-          dsum($"o_totalprice").as("sum_price"))
+          dsumd($"o_totalprice").as("sum_price"))
         .select(lit(tag).as("snap"), $"bucket", $"n_rows", $"sum_key", $"sum_price")
     val v1 = s.read.format("graft.sources.GraftStore")
       .option("path", path).option("versionAsOf", "1").load()
@@ -509,7 +509,7 @@ object Sources {
       .option("path", path).option("fromVersion", "1").load()
       .groupBy(($"o_orderkey" % 10).as("bucket"))
       .agg(count(lit(1)).as("n_rows"), sum($"o_orderkey").as("sum_key"),
-        dsum($"o_totalprice").as("sum_price"))
+        dsumd($"o_totalprice").as("sum_price"))
       .orderBy($"bucket")
   }
 
@@ -560,7 +560,7 @@ object Sources {
     s.table(sink)
       .groupBy(($"o_orderkey" % 10).as("bucket"))
       .agg(count(lit(1)).as("n_rows"), sum($"o_orderkey").as("sum_key"),
-        dsum($"o_totalprice").as("sum_price"))
+        dsumd($"o_totalprice").as("sum_price"))
       .orderBy($"bucket")
   }
 
@@ -600,7 +600,7 @@ object Sources {
     s.read.format("graft.sources.GraftStore").option("path", path).load()
       .groupBy($"l_returnflag")
       .agg(count(lit(1)).as("n_rows"), sum($"l_orderkey").as("sum_key"),
-        dsum($"l_quantity").as("sum_qty"))
+        dsumd($"l_quantity").as("sum_qty"))
       .orderBy($"l_returnflag")
   }
 
@@ -968,7 +968,7 @@ object Sources {
     s2.sql("DELETE FROM graftp.p WHERE pri = 2") // metadata-only by construction
     s2.sql(
       """SELECT pri, count(*) AS n_rows, sum(o_orderkey) AS sum_key,
-        | CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+        | CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS sum_price
         |FROM graftp.p GROUP BY pri ORDER BY pri""".stripMargin)
   }
 
@@ -1131,7 +1131,7 @@ object Sources {
       .filter($"c_mktsegment" === "BUILDING")
       .groupBy($"c_mktsegment")
       .agg(count(lit(1)).as("n_custs"), sum($"c_custkey").as("sum_key"),
-        dsum($"c_acctbal").as("sum_bal"))
+        dsumd($"c_acctbal").as("sum_bal"))
       .orderBy($"c_mktsegment")
   }
 
@@ -1223,12 +1223,12 @@ object Sources {
       """WITH v1 AS (
         |  SELECT 'v1' AS snap, o_orderkey % 10 AS bucket, count(*) AS n_rows,
         |   sum(o_orderkey) AS sum_key,
-        |   CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+        |   CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS sum_price
         |  FROM orders WHERE o_orderkey % 7 = 0 GROUP BY 2),
         |cur AS (
         |  SELECT 'current' AS snap, o_orderkey % 10 AS bucket, count(*) AS n_rows,
         |   sum(o_orderkey) AS sum_key,
-        |   CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+        |   CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS sum_price
         |  FROM orders WHERE o_orderkey % 7 IN (0, 1) GROUP BY 2)
         |SELECT * FROM v1 UNION ALL SELECT * FROM cur
         |ORDER BY snap, bucket""".stripMargin,
@@ -1236,7 +1236,7 @@ object Sources {
     "q_store_incremental" ->
       """SELECT o_orderkey % 10 AS bucket, count(*) AS n_rows,
         | sum(o_orderkey) AS sum_key,
-        | CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+        | CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS sum_price
         |FROM orders WHERE o_orderkey % 7 = 1
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     // the metadata answer must equal the real aggregate over the
@@ -1291,7 +1291,7 @@ object Sources {
     "q_store_partitioned" ->
       """SELECT CAST(substring(o_orderpriority, 1, 1) AS INT) AS pri,
         | count(*) AS n_rows, sum(o_orderkey) AS sum_key,
-        | CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+        | CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS sum_price
         |FROM orders
         |WHERE CAST(substring(o_orderpriority, 1, 1) AS INT) <> 2
         |GROUP BY 1 ORDER BY 1""".stripMargin,
@@ -1387,7 +1387,7 @@ object Sources {
     // aggregate straight from source parquet
     "q_store_bloomskip" ->
       """SELECT c_mktsegment, count(*) AS n_custs, sum(c_custkey) AS sum_key,
-        | CAST(sum(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS sum_bal
+        | CAST(sum(CAST(c_acctbal AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS sum_bal
         |FROM customer WHERE c_mktsegment = 'BUILDING'
         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
     // pre-ALTER rows surface NULL in the appended column; post-ALTER
@@ -1403,7 +1403,7 @@ object Sources {
     "q_stream_tail" ->
       """SELECT o_orderkey % 10 AS bucket, count(*) AS n_rows,
         | sum(o_orderkey) AS sum_key,
-        | CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+        | CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS sum_price
         |FROM orders WHERE o_orderkey % 7 IN (0, 1)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     // snapshot row counts are content-determined: v1 = slice A
@@ -1421,7 +1421,7 @@ object Sources {
     // equal the aggregate computed straight from the source parquet
     "q_store_optimize" ->
       """SELECT l_returnflag, count(*) AS n_rows, sum(l_orderkey) AS sum_key,
-        | CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
+        | CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS sum_qty
         |FROM lineitem GROUP BY l_returnflag
         |ORDER BY l_returnflag""".stripMargin,
     "q_src_binaryfile" ->

@@ -32,6 +32,12 @@ object Util {
   /** Exact decimal sum surfaced as DOUBLE (deterministic cross-engine). */
   def dsum(c: Column): Column = sum(dec(c)).cast("double")
 
+  /** Exact decimal sum surfaced AS DECIMAL(18,4) — no float anywhere in
+    * the output, so the driver's value hash cannot drift with an engine's
+    * float→string formatting (round-7 store-family hash-fail remedy; the
+    * oracle mirrors with CAST(sum(...) AS DECIMAL(18,4))). */
+  def dsumd(c: Column): Column = sum(dec(c)).cast("decimal(18,4)")
+
   /** UTC timestamp literal (fixtures store dates as timestamps). */
   def ts(s: String): Column = lit(s).cast("timestamp")
 
