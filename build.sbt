@@ -37,9 +37,11 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  // 16g default on the 128 GiB bench box: at 8g the tail of a 140-query
-  // bench run (accumulated session state + 32 task threads) can hit
-  // full-GC pauses that make one cheap query read 10x slow in a single
-  // round's capture (BENCH_r04's q_udtf outlier).
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
+  // 48g default on the 128 GiB bench box, scaled with the registry size:
+  // at 8g the tail of a 140-query bench run (accumulated session state +
+  // 32 task threads) hit full-GC pauses that made one cheap query read
+  // 10x slow (BENCH_r04's q_udtf outlier), and at 16g the 236-query run
+  // degraded shuffle/explode-heavy queries up to 29x vs isolated while
+  // the same run at 48g was within noise (round-7 judge measurement).
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}",
 )

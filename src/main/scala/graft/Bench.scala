@@ -76,8 +76,11 @@ object Bench {
     // numeric scale factor from the dir name (".../sf0.1" -> 0.1)
     val sf = "sf([0-9.]+)".r.findFirstMatchIn(sfDir)
       .map(_.group(1).stripSuffix(".")).getOrElse("0")
+    // the denominator is self-describing: a total over fewer queries
+    // (crashes contribute 0 s) must never read as an improvement
+    val nAllFailed = best.count(_._2 < 0)
     val totalLine =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","sf":$sf}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${best.size},"n_failed":$nAllFailed,"sf":$sf}"""
     println(totalLine)
     println(s"""{"metric":"per_query","queries":${jsonMap(best)},"sf":$sf}""")
     println(s"""{"metric":"per_query_cold","queries":${jsonMap(cold)},"cold_total":${fmt(cold.map(_._2).filter(_ >= 0).sum)},"sf":$sf}""")

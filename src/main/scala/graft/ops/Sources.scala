@@ -557,6 +557,7 @@ object Sources {
       .start()
     q.processAllAvailable()
     q.stop()
+    Util.registerTempView(s, sink) // dropped at the next query boundary
     s.table(sink)
       .groupBy(($"o_orderkey" % 10).as("bucket"))
       .agg(count(lit(1)).as("n_rows"), sum($"o_orderkey").as("sum_key"),
@@ -1091,6 +1092,7 @@ object Sources {
       .start()
     q.processAllAvailable()
     q.stop()
+    Util.registerTempView(s2, sink) // dropped at the next query boundary
     s2.table(sink)
       .groupBy($"_commit_version", $"_change_type", $"pri")
       .agg(count(lit(1)).as("n"), sum($"o_orderkey").as("sum_key"),

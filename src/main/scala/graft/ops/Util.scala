@@ -69,6 +69,21 @@ object Util {
     r
   }
 
+  // Memory-sink temp views (the streaming-tail queries) retain EVERY
+  // drained row for the life of the session — across a 236-query bench
+  // run at 2 runs each that's dozens of full table copies pinned on the
+  // driver heap. The builders register (session, viewName) here and
+  // unpersistRegistered drops them at the next query boundary, after the
+  // caller has consumed the result.
+  private val registeredTempViews =
+    new java.util.concurrent.ConcurrentLinkedQueue[(SparkSession, String)]
+
+  /** Register a memory-sink temp view for deterministic drop at the next
+    * unpersistRegistered() call (NOT immediately — the caller still has
+    * to consume the DataFrame derived from it). */
+  def registerTempView(s: SparkSession, name: String): Unit =
+    registeredTempViews.add((s, name))
+
   // Per-session identity for memo keys. identityHashCode is NOT
   // collision-free across a session's lifetime (a GC'd session's hash can
   // be reissued, silently reusing a directory written under the old
@@ -119,12 +134,18 @@ object Util {
     d.toString
   }
 
-  /** Unpersist (non-blocking) every cache registered since the last call. */
+  /** Unpersist (non-blocking) every cache registered since the last call,
+    * and drop registered memory-sink temp views. */
   def unpersistRegistered(): Unit = {
     var d = registeredCaches.poll()
     while (d != null) { d.unpersist(blocking = false); d = registeredCaches.poll() }
     var r = registeredRdds.poll()
     while (r != null) { r.unpersist(blocking = false); r = registeredRdds.poll() }
+    var v = registeredTempViews.poll()
+    while (v != null) {
+      try v._1.catalog.dropTempView(v._2) catch { case _: Exception => () }
+      v = registeredTempViews.poll()
+    }
   }
 
   /** Dot product of two double-array columns (unit vectors: = cosine) as

@@ -42,6 +42,25 @@ class QueriesSpec extends SparkSuite {
     assert(orphans.isEmpty, s"oracle SQL without query: $orphans")
   }
 
+  test("SURVEY §2 id set == registry key set (the contract cannot drift)") {
+    // round-7 lapse: 11 post-baseline queries were registry entries but
+    // absent from §2, so the driver's inventory gate couldn't see them
+    val survey = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("SURVEY.md")), "UTF-8")
+    val sec2 = survey.substring(survey.indexOf("## §2."),
+      survey.indexOf("## §3."))
+    val ids = "\\| (q_[a-z0-9_]+) ".r.findAllMatchIn(sec2).map(_.group(1)).toSet
+    val reg = SparkEntry.queries.keySet
+    val notInSurvey = reg -- ids
+    assert(notInSurvey.isEmpty,
+      s"registry queries missing a SURVEY §2 row: ${notInSurvey.toSeq.sorted}")
+    // §2 alias rows: documented as covered-by another id, no own entry
+    val aliases = Set("q_udaf") // = q_agg_typed (Aggregator + udaf)
+    val notInReg = ids -- reg -- aliases
+    assert(notInReg.isEmpty,
+      s"SURVEY §2 rows with no registry query: ${notInReg.toSeq.sorted}")
+  }
+
   test("entry returns rows (t1 smoke)") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
