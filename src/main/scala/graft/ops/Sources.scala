@@ -640,6 +640,164 @@ object Sources {
       .orderBy($"k")
   }
 
+  /** Restored-table dirs already written this JVM, keyed by (session, dir). */
+  private val restWritten = new java.util.concurrent.ConcurrentHashMap[String, String]
+
+  /** RESTORE / rollback-as-commit (round 8) — the recovery half of time
+    * travel: a bad commit (here: the v2 append) is undone by
+    * `GraftStore.restore(path, 1)`, which re-commits snapshot v1's exact
+    * file set as v3. Pure metadata — no data file is read or moved; the
+    * restore is itself a history entry (Delta RESTORE semantics), so v2
+    * stays time-travel readable until expiry and audit sees WHAT was
+    * rolled back and WHEN. The oracle recomputes slice A from source
+    * parquet: the current read after restore must be exactly the
+    * pre-append table, proving the rollback byte-complete. At 100 TB
+    * this is the ops story for a poisoned daily batch: one manifest
+    * commit, zero data I/O, history intact. Version chain + op tags
+    * pinned in GraftStoreSpec. */
+  val qStoreRestore: Q = (s, dir) => {
+    import s.implicits._
+    val path = restWritten.computeIfAbsent(s"${Util.sessionKey(s)}:$dir", _ => {
+      val d = Util.managedTempDir("graft_restore_")
+      val o = table(s, dir, "orders")
+        .select($"o_orderkey", $"o_custkey", $"o_totalprice")
+      o.filter($"o_orderkey" % 7 === 0).write
+        .format("graft.sources.GraftStore").option("path", d)
+        .mode("overwrite").save() // v1: the good state
+      o.filter($"o_orderkey" % 7 === 1).write
+        .format("graft.sources.GraftStore").option("path", d)
+        .mode("append").save() // v2: the "bad" commit
+      graft.sources.GraftStore.restore(d, 1) // v3 == v1's file set
+      d
+    })
+    s.read.format("graft.sources.GraftStore").option("path", path).load()
+      .groupBy(($"o_orderkey" % 10).as("bucket"))
+      .agg(count(lit(1)).as("n_rows"), sum($"o_orderkey").as("sum_key"),
+        dsumd($"o_totalprice").as("sum_price"))
+      .orderBy($"bucket")
+  }
+
+  /** Vacuumed-table dirs already written this JVM, keyed by (session, dir). */
+  private val vacWritten = new java.util.concurrent.ConcurrentHashMap[String, String]
+
+  /** VACUUM / expire-snapshots (round 8) — the retention end of the
+    * snapshot lifecycle: v1 (slice A) is fully replaced by v2 (slice B,
+    * overwrite), then `expireSnapshots(keepLast=1, grace=0)` drops the
+    * v1 manifest and GCs the data files only v1 referenced — a
+    * driver-side metadata walk plus unlink, zero data reads (the
+    * Iceberg expire-snapshots economics; grace=0 is safe here because
+    * no concurrent writer exists, the production default keeps a grace
+    * window for in-flight writers). The oracle recomputes slice B: the
+    * current read after vacuum must be byte-identical, proving
+    * retention is content-invisible. Reclaimed-file and dead-manifest
+    * accounting is pinned in GraftStoreSpec. At 100 TB vacuum is what
+    * keeps storage ∝ live data instead of ∝ history. */
+  val qStoreVacuum: Q = (s, dir) => {
+    import s.implicits._
+    val path = vacWritten.computeIfAbsent(s"${Util.sessionKey(s)}:$dir", _ => {
+      val d = Util.managedTempDir("graft_vacuum_")
+      val o = table(s, dir, "orders")
+        .select($"o_orderkey", $"o_custkey", $"o_totalprice")
+      o.filter($"o_orderkey" % 7 === 0).write
+        .format("graft.sources.GraftStore").option("path", d)
+        .mode("overwrite").save() // v1: slice A
+      o.filter($"o_orderkey" % 7 === 1).write
+        .format("graft.sources.GraftStore").option("path", d)
+        .mode("overwrite").save() // v2: slice B replaces A entirely
+      graft.sources.GraftStore.expireSnapshots(d, keepLast = 1, graceMs = 0)
+      d
+    })
+    s.read.format("graft.sources.GraftStore").option("path", path).load()
+      .groupBy(($"o_orderkey" % 10).as("bucket"))
+      .agg(count(lit(1)).as("n_rows"), sum($"o_orderkey").as("sum_key"),
+        dsumd($"o_totalprice").as("sum_price"))
+      .orderBy($"bucket")
+  }
+
+  /** Cloned-table dirs already written this JVM, keyed by (session, dir). */
+  private val cloneWritten = new java.util.concurrent.ConcurrentHashMap[String, String]
+
+  /** Zero-copy SHALLOW CLONE (round 8): `GraftStore.cloneTable` gives a
+    * new table whose v1 manifest lists the SOURCE's current file
+    * entries (stats included — file skipping works on the clone
+    * immediately); data files are hard-linked, the local analog of the
+    * object-store metadata copy Delta/Iceberg clones do. O(files)
+    * driver metadata ops, zero data movement. The clone then takes an
+    * append the source never sees — immutable committed files are what
+    * make divergence safe (each side's DML/GC writes or unlinks its OWN
+    * files). Output: both tables' aggregates, tagged — the source must
+    * still be exactly slices {0,1}, the clone slices {0,1,2} — which is
+    * what the oracle recomputes from source parquet. The dev/test-
+    * sandbox story at 100 TB: fork a petabyte table in milliseconds,
+    * experiment, throw it away. */
+  val qStoreClone: Q = (s, dir) => {
+    import s.implicits._
+    val src = ttPath(s, dir) // slices {0,1}, never mutated by any query
+    val dst = cloneWritten.computeIfAbsent(s"${Util.sessionKey(s)}:$dir", _ => {
+      val d = Util.managedTempDir("graft_clone_")
+      graft.sources.GraftStore.cloneTable(src, d)
+      table(s, dir, "orders")
+        .select($"o_orderkey", $"o_custkey", $"o_totalprice")
+        .filter($"o_orderkey" % 7 === 2).write
+        .format("graft.sources.GraftStore").option("path", d)
+        .mode("append").save() // diverges: clone-only append
+      d
+    })
+    def agg(path: String, tag: String) =
+      s.read.format("graft.sources.GraftStore").option("path", path).load()
+        .groupBy(($"o_orderkey" % 10).as("bucket"))
+        .agg(count(lit(1)).as("n_rows"), sum($"o_orderkey").as("sum_key"),
+          dsumd($"o_totalprice").as("sum_price"))
+        .select(lit(tag).as("side"), $"bucket", $"n_rows", $"sum_key", $"sum_price")
+    agg(src, "src").unionAll(agg(dst, "clone"))
+      .orderBy($"side", $"bucket")
+  }
+
+  /** STREAMING UPSERT (round 8) — the CDC-apply loop at the heart of
+    * every incremental 100 TB pipeline: a stream lands in the table not
+    * as blind appends but as per-micro-batch MERGEs (foreachBatch — the
+    * Structured Streaming idiom for sinks with richer-than-append
+    * semantics). Each batch pre-aggregates to one row per key (latest =
+    * max id wins) BEFORE merging — the shuffle is batch-sized — and the
+    * MERGE's update arm guards `s.id > t.id`, so the final table state
+    * is max-per-key over the whole stream regardless of how the source
+    * was chopped into batches: exactly-once-EFFECTIVE even under batch
+    * replay, because the merge is idempotent by construction. The
+    * oracle computes max-per-key over the full id range. Batch
+    * boundaries + replay idempotence are additionally pinned in
+    * GraftStoreSpec's epoch tests. */
+  val qStreamUpsert: Q = (s, dir) => {
+    import s.implicits._
+    val s2 = s.newSession()
+    val root = Util.managedTempDir("graft_upsert_")
+    s2.conf.set("spark.sql.catalog.graftu", "graft.sources.GraftCatalog")
+    s2.conf.set("spark.sql.catalog.graftu.root", root)
+    s2.sql(
+      """CREATE TABLE graftu.u AS
+        |SELECT CAST(0 AS BIGINT) AS k, CAST(0 AS BIGINT) AS id
+        |WHERE 1 = 0""".stripMargin)
+    val q = s2.readStream.format("graft.sources.SynthSource")
+      .option("rows", "20000").option("slices", "4")
+      .option("microBatchRows", "4096")
+      .load()
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val up = batch.groupBy(($"id" % 1000).as("k"))
+          .agg(max($"id").as("id"))
+        up.createOrReplaceTempView("up_batch")
+        up.sparkSession.sql(
+          """MERGE INTO graftu.u t USING up_batch s ON t.k = s.k
+            |WHEN MATCHED AND s.id > t.id THEN UPDATE SET id = s.id
+            |WHEN NOT MATCHED THEN INSERT (k, id) VALUES (s.k, s.id)""".stripMargin)
+        ()
+      }
+      .option("checkpointLocation", Util.managedTempDir("graft_upsert_ckpt_"))
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    s2.sql("SELECT k, id FROM graftu.u ORDER BY k")
+  }
+
   /** Skipping-table dirs already written this JVM, keyed by (session, dir). */
   private val skipWritten = new java.util.concurrent.ConcurrentHashMap[String, String]
 
@@ -1187,6 +1345,10 @@ object Sources {
     "q_catalog_sql" -> qCatalogSql,
     "q_sink_roundtrip" -> qSinkRoundtrip,
     "q_store_timetravel" -> qStoreTimetravel,
+    "q_store_restore" -> qStoreRestore,
+    "q_store_vacuum" -> qStoreVacuum,
+    "q_store_clone" -> qStoreClone,
+    "q_stream_upsert" -> qStreamUpsert,
     "q_store_optimize" -> qStoreOptimize,
     "q_store_incremental" -> qStoreIncremental,
     "q_store_history" -> qStoreHistory,
@@ -1234,6 +1396,41 @@ object Sources {
         |  FROM orders WHERE o_orderkey % 7 IN (0, 1) GROUP BY 2)
         |SELECT * FROM v1 UNION ALL SELECT * FROM cur
         |ORDER BY snap, bucket""".stripMargin,
+    // after RESTORE to v1, the current read must be exactly slice A
+    "q_store_restore" ->
+      """SELECT o_orderkey % 10 AS bucket, count(*) AS n_rows,
+        | sum(o_orderkey) AS sum_key,
+        | CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS sum_price
+        |FROM orders WHERE o_orderkey % 7 = 0
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // after expire-snapshots the current read must be exactly slice B
+    // (vacuum is content-invisible)
+    "q_store_vacuum" ->
+      """SELECT o_orderkey % 10 AS bucket, count(*) AS n_rows,
+        | sum(o_orderkey) AS sum_key,
+        | CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS sum_price
+        |FROM orders WHERE o_orderkey % 7 = 1
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // source must still be slices {0,1}; the diverged clone {0,1,2}
+    "q_store_clone" ->
+      """WITH a AS (
+        |  SELECT 'src' AS side, o_orderkey % 10 AS bucket, count(*) AS n_rows,
+        |   sum(o_orderkey) AS sum_key,
+        |   CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS sum_price
+        |  FROM orders WHERE o_orderkey % 7 IN (0, 1) GROUP BY 2),
+        |b AS (
+        |  SELECT 'clone' AS side, o_orderkey % 10 AS bucket, count(*) AS n_rows,
+        |   sum(o_orderkey) AS sum_key,
+        |   CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS sum_price
+        |  FROM orders WHERE o_orderkey % 7 IN (0, 1, 2) GROUP BY 2)
+        |SELECT * FROM a UNION ALL SELECT * FROM b
+        |ORDER BY side, bucket""".stripMargin,
+    // final state = max id per key over the whole stream, independent
+    // of micro-batch boundaries
+    "q_stream_upsert" ->
+      """SELECT id % 1000 AS k, max(id) AS id
+        |FROM (SELECT unnest(generate_series(0, 19999)) AS id)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     // the incremental diff must be EXACTLY the appended slice B
     "q_store_incremental" ->
       """SELECT o_orderkey % 10 AS bucket, count(*) AS n_rows,

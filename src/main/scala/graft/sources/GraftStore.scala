@@ -326,6 +326,52 @@ object GraftStore {
       graceMs)
   }
 
+  /** RESTORE (rollback-as-commit, the Delta `RESTORE TABLE ... VERSION
+    * AS OF` semantics): re-commit snapshot `version`'s exact (schema,
+    * file set) as a NEW version instead of rewinding the pointer, so
+    * the restore itself is in the history, later snapshots stay
+    * time-travel readable until expiry, and concurrent readers never
+    * observe a version number going backwards. Pure metadata — no data
+    * file is read, written, or moved; the restored files still exist
+    * because every retained snapshot's files survive GC by contract.
+    * Goes through the same claim-then-refresh commit as every writer,
+    * so a racing append either lands before (restore wins the race and
+    * undoes it — the documented RESTORE hazard) or conflicts and
+    * retries on top. */
+  private[graft] def restore(path: String, version: Long): Long = {
+    val (schema, entries) = readManifestFile(
+      new File(path, s"$ManifestName.v$version")).getOrElse(
+      throw new IllegalArgumentException(
+        s"no snapshot v$version at $path (never committed, or expired)"))
+    writeManifestAtomic(path, schema, entries, op = s"restore(v$version)")
+  }
+
+  /** Zero-copy SHALLOW CLONE: a new table at `dst` whose v1 manifest
+    * lists the SAME file entries (stats and all) as `src`'s current
+    * snapshot. Data files are hard-linked — the local-filesystem analog
+    * of the object-store metadata copy Delta/Iceberg shallow clones do;
+    * O(files) driver-side metadata ops, zero bytes of data movement,
+    * and because committed files are immutable by the format's contract,
+    * the two tables cannot observe each other's subsequent commits
+    * (copy-on-write DML writes NEW files; GC on either side only
+    * deletes files its own retained manifests stop referencing, which
+    * for a hard-linked file just drops one link). Partition spec, if
+    * any, is cloned with the table. */
+  private[graft] def cloneTable(src: String, dst: String): Unit = {
+    val (schema, entries) = readManifest(src).getOrElse(
+      throw new IllegalArgumentException(s"no graft-store table at $src"))
+    Files.createDirectories(Paths.get(dst))
+    entries.foreach { e =>
+      val to = Paths.get(dst, e.file)
+      if (to.getParent != null) Files.createDirectories(to.getParent)
+      Files.createLink(to, Paths.get(src, e.file))
+    }
+    val part = new File(src, PartitionFileName)
+    if (part.exists())
+      Files.copy(part.toPath, Paths.get(dst, PartitionFileName))
+    writeManifestAtomicAt(dst, 1, schema, entries, op = s"clone")
+  }
+
   /** Snapshot history as (version, nFiles, nRows, op), oldest first —
     * driver-side metadata walk over the retained manifests, the
     * `.snapshots` metadata-table economics: answering "how did this

@@ -432,6 +432,54 @@ class GraftStoreSpec extends SparkSuite {
     }
   }
 
+  test("restore re-commits an old snapshot as a new version, metadata-only") {
+    import spark.implicits._
+    val path = tempTable()
+    writeDf(spark.range(0, 100, 1, 2).toDF("id"), path) // v1
+    writeDf(spark.range(100, 200, 1, 2).toDF("id"), path,
+      mode = "append") // v2: the commit to undo
+    val before = dataFiles(path)
+    val v = GraftStore.restore(path, 1)
+    assert(v == 3, "restore must commit a NEW version, not rewind")
+    assert(dataFiles(path) == before,
+      "restore must not write, move, or delete any data file")
+    assert(readBack(path).select($"id").as[Long].collect().sorted.toSeq ==
+      (0L until 100L), "current read after restore must equal v1")
+    // history keeps the undone v2 and tags the restore op
+    val h = GraftStore.history(path)
+    assert(h.map(_._1) == Seq(1L, 2L, 3L))
+    assert(h.last._4 == "restore(v1)", s"op tag: ${h.last._4}")
+    val v2 = spark.read.format("graft.sources.GraftStore")
+      .option("path", path).option("versionAsOf", "2").load()
+    assert(v2.count() == 200, "the rolled-back snapshot stays readable")
+  }
+
+  test("shallow clone: zero-copy manifest fork; sides diverge independently") {
+    import spark.implicits._
+    val src = tempTable()
+    writeDf(spark.range(0, 100, 1, 2).toDF("id"), src) // v1
+    val dst = graft.ops.Util.managedTempDir("graft_store_spec_clone_")
+    GraftStore.cloneTable(src, dst)
+    // zero-copy: every clone data file is a hard link to the source's
+    // (same inode ⇒ link count 2), not a byte copy
+    dataFiles(dst).foreach { f =>
+      val attrs = java.nio.file.Files.getAttribute(
+        java.nio.file.Paths.get(dst, "data", f), "unix:nlink")
+      assert(attrs.asInstanceOf[Int] >= 2, s"$f is a copy, not a link")
+    }
+    assert(readBack(dst).count() == 100)
+    // divergence: append lands on the clone only; source unchanged
+    writeDf(spark.range(100, 150, 1, 1).toDF("id"), dst, mode = "append")
+    assert(readBack(dst).count() == 150)
+    assert(readBack(src).count() == 100, "source must not see clone commits")
+    // GC on the source after divergence must not break the clone: the
+    // shared files just drop one link
+    writeDf(spark.range(500, 600, 1, 2).toDF("id"), src) // src v2: truncate
+    GraftStore.expireSnapshots(src, 1, graceMs = 0)
+    assert(readBack(dst).select($"id").as[Long].collect().sorted.toSeq ==
+      (0L until 150L), "clone must survive source truncate + vacuum")
+  }
+
   test("abort does not create a snapshot or bump the version") {
     import spark.implicits._
     val path = tempTable()
