@@ -61,6 +61,11 @@ object Bench {
           catch { case e: Throwable =>
             System.err.println(s"[bench] $name failed: ${e.getMessage}"); false }
         val sec = (System.nanoTime() - t0) / 1e9
+        // live progress on stderr: lets a human (or a profiler hook) see
+        // WHERE a long run is, and which single run was slow, without
+        // waiting for the end-of-run maps
+        System.err.println(s"[bench] $name run ${fmt(sec)}s" +
+          (if (ok) "" else " FAILED"))
         if (ok) Some(sec) else None
       }
       name -> ts
