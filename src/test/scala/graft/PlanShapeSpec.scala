@@ -442,4 +442,26 @@ class PlanShapeSpec extends SparkSuite {
       assert(r.getLong(1) <= 7L, s"key envelope ${r.getLong(1)} not tight")
     }
   }
+
+  test("q_pipeline_incr_stored signs only the batch — one kernel pass, not two") {
+    // the stored-signature variant's scale claim: corpus-side band keys
+    // come from the persisted signature table, so the plan carries ONE
+    // minhash_lanes-bearing projection site (the day's batch) where the
+    // recomputing form carries TWO (batch + corpus). The kernel sits
+    // inside the cached candidate subtree (invisible to node collect
+    // through InMemoryRelation/AQE boundaries), so count plan-STRING
+    // lines that are lanes-bearing Projects: each call site prints once
+    // per cached-subtree reference, identically for both queries, so the
+    // recomputing form must show exactly 2x the stored form's lines.
+    def lanesProjLines(name: String): Int =
+      plan(name).split("\n").count(l =>
+        l.contains("Project") && l.contains("minhash_lanes"))
+    val stored = lanesProjLines("q_pipeline_incr_stored")
+    val recomputing = lanesProjLines("q_pipeline_incr")
+    assert(stored > 0, "stored variant must sign the batch")
+    assert(recomputing == 2 * stored,
+      s"expected the recomputing form to carry exactly 2x the stored " +
+        s"form's lanes projections (batch + corpus vs batch only); " +
+        s"got stored=$stored recomputing=$recomputing")
+  }
 }
