@@ -224,6 +224,93 @@ object LlmOpsExt {
       .orderBy($"probe_id", $"rn")
   }
 
+  /** (vector table, centroid table) dirs already written this JVM. */
+  private val ivfStoredWritten =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, String)]
+
+  /** STORED IVF INDEX (round 8) — q_sim_ivf with the index as TABLES
+    * instead of a per-query recomputation, the q_pipeline_incr_stored
+    * pattern applied to ANN: the centroid sidecar (nlist rows of one
+    * 64-d array each) and the vectors CLUSTERED by cell land in
+    * GraftStore once at build time; a probe then (1) broadcasts the
+    * tiny centroid table, ranks cells, keeps nprobe=2, and (2) joins
+    * the winners against the vector table on the cell key — which the
+    * store's runtime CLUSTER-KEY pruning turns into planning-time file
+    * skipping: the clustered write single-values `label` per file, the
+    * scan advertises it for runtime filtering, Spark delivers the ≤
+    * probes·nprobe surviving cells as an IN list, and only those cells'
+    * files are read (asserted in GraftStoreSpec). At 100 TB this is the
+    * real IVF economics — index build amortized across queries, probe
+    * cost ∝ nprobe/nlist of the corpus in actual bytes-from-storage,
+    * not just in rows-after-filter. Centroids are the same exact
+    * decimal-summed means as q_sim_ivf (double roundtrip through the
+    * store is bit-exact), so the results — and the oracle — are
+    * identical. */
+  val qSimIvfStored: Q = (s, dir) => {
+    import s.implicits._
+    val (vecPath, centPath) = ivfStoredWritten.computeIfAbsent(
+      s"${Util.sessionKey(s)}:$dir", _ => {
+        val root = Util.managedTempDir("graft_ivf_vec_")
+        val cd = Util.managedTempDir("graft_ivf_cent_")
+        val e = emb(s, dir)
+        // vectors PARTITIONED BY cell: per-value file rolling single-
+        // values `label` per file, which is what the scan's cluster-like
+        // detection needs to advertise it for runtime pruning
+        val s2 = s.newSession()
+        s2.conf.set("spark.sql.catalog.givf", "graft.sources.GraftCatalog")
+        s2.conf.set("spark.sql.catalog.givf.root", root)
+        emb(s2, dir).createOrReplaceTempView("ivf_vecs")
+        s2.sql(
+          """CREATE TABLE givf.v PARTITIONED BY (label) AS
+            |SELECT vec_id, label, emb FROM ivf_vecs""".stripMargin)
+        val vd = s"$root/v"
+        e.select($"label", posexplode($"emb").as(Seq("pos", "v")))
+          .groupBy($"label", $"pos")
+          .agg((sum($"v".cast("decimal(18,8)")).cast("double") / count(lit(1))).as("c"))
+          .groupBy($"label")
+          .agg(transform(array_sort(collect_list(struct($"pos", $"c"))),
+            x => x.getField("c")).as("cent"))
+          .repartition(1)
+          .write.format("graft.sources.GraftStore").option("path", cd)
+          .mode("overwrite").save()
+        (vd, cd)
+      })
+    val vecs = s.read.format("graft.sources.GraftStore")
+      .option("path", vecPath).load()
+    val cent = s.read.format("graft.sources.GraftStore")
+      .option("path", centPath).load()
+    val probes = emb(s, dir).orderBy($"vec_id").limit(10)
+      .select($"vec_id".as("probe_id"), $"emb".as("pemb"))
+    val wl = Window.partitionBy($"probe_id").orderBy($"cscore".desc, $"label")
+    val top2 = probes.crossJoin(broadcast(cent))
+      .select($"probe_id", $"pemb", $"label",
+        round(dot($"pemb", $"cent"), 6).as("cscore"))
+      .withColumn("lrn", row_number().over(wl))
+      .filter($"lrn" <= 2)
+      .select($"probe_id", $"pemb", $"label")
+    val wv = Window.partitionBy($"probe_id").orderBy($"score".desc, $"neighbor_id")
+    // TWO-PHASE probe, the control plane every IVF service runs: the
+    // surviving cell ids (≤ probes·nprobe values — metadata by
+    // construction, like the compaction bins) come to the driver and
+    // re-enter as a LITERAL IN predicate, which the manifest's
+    // min==max-per-file stats prune at PLANNING time — only the probed
+    // cells' files are read, asserted below and in GraftStoreSpec. The
+    // join-driven alternative (runtime cluster-key pruning, also in
+    // GraftStoreSpec) stays correct here but degrades to reading every
+    // cell: Spark's adaptive DPP only reuses a broadcast whose build
+    // side has no nested stages, and the probe subtree has one. The
+    // literal predicate is deterministic and shape-independent.
+    val cells = top2.select($"label").distinct().collect().map(_.getInt(0))
+    broadcast(top2).join(
+        vecs.filter($"label".isin(cells.toSeq: _*)), Seq("label"))
+      .filter($"vec_id" =!= $"probe_id")
+      .select($"probe_id", $"vec_id".as("neighbor_id"),
+        round(dot($"pemb", $"emb"), 4).as("score"))
+      .withColumn("rn", row_number().over(wv).cast("long"))
+      .filter($"rn" <= 5)
+      .orderBy($"probe_id", $"rn")
+  }
+
   /** Corpus bigram LM scoring: P(w2|w1) = c(w1,w2)/c(w1·) estimated from
     * the corpus itself, per-doc mean NLL over its adjacent-token bigrams —
     * the stronger fluency filter next to q_text_unigram_lm (a doc of
@@ -570,6 +657,7 @@ object LlmOpsExt {
     "q_dedup_embed" -> qDedupEmbed,
     "q_dedup_embed_lsh" -> qDedupEmbedLsh,
     "q_sim_ivf" -> qSimIvf,
+    "q_sim_ivf_stored" -> qSimIvfStored,
     "q_sim_quantized" -> qSimQuantized,
     "q_sim_pq" -> qSimPq,
     "q_text_langid" -> qTextLangid,
@@ -717,6 +805,28 @@ object LlmOpsExt {
         | FROM scored) WHERE rn = 1
         |ORDER BY vec_id""".stripMargin,
     "q_sim_ivf" ->
+      """WITH e AS (SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+        |  FROM embeddings),
+        |dims AS (SELECT label, i AS pos, emb[i] AS v FROM e, unnest(generate_series(1,64)) AS t(i)),
+        |cdim AS (SELECT label, pos,
+        |   CAST(sum(CAST(v AS DECIMAL(18,8))) AS DOUBLE)/count(*) AS c
+        |  FROM dims GROUP BY label, pos),
+        |cent AS (SELECT label, list(c ORDER BY pos) AS cent FROM cdim GROUP BY label),
+        |probes AS (SELECT vec_id AS probe_id, emb AS pemb FROM e ORDER BY vec_id LIMIT 10),
+        |csc AS (SELECT probe_id, pemb, label,
+        |   round(list_sum(list_transform(generate_series(1,64), i -> pemb[i]*cent[i])), 6) AS cscore
+        |  FROM probes CROSS JOIN cent),
+        |top2 AS (SELECT probe_id, pemb, label FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY probe_id ORDER BY cscore DESC, label) AS lrn
+        |  FROM csc) WHERE lrn <= 2),
+        |scored AS (SELECT probe_id, e.vec_id AS neighbor_id,
+        |   round(list_sum(list_transform(generate_series(1,64), i -> pemb[i]*emb[i])), 4) AS score
+        |  FROM top2 JOIN e ON top2.label = e.label WHERE e.vec_id <> probe_id)
+        |SELECT probe_id, neighbor_id, score, rn FROM (
+        | SELECT *, row_number() OVER (PARTITION BY probe_id ORDER BY score DESC, neighbor_id) AS rn
+        | FROM scored) WHERE rn <= 5
+        |ORDER BY probe_id, rn""".stripMargin,
+    "q_sim_ivf_stored" ->
       """WITH e AS (SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
         |  FROM embeddings),
         |dims AS (SELECT label, i AS pos, emb[i] AS v FROM e, unnest(generate_series(1,64)) AS t(i)),

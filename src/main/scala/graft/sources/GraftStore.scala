@@ -1619,13 +1619,47 @@ class GraftStoreScan(path: String,
   // no stats conservatism, and everything it skips is preserved
   // verbatim by the copy-on-write commit.
   @volatile private var runtimeFiles: Option[Set[String]] = None
-  // advertised only when the scan actually PROJECTS `_file` (row-level
-  // operations do; plain reads don't): Spark's runtime-filtering rule
-  // resolves these names against the scan output, so advertising a
-  // metadata column a plain scan doesn't carry breaks any equi-join
-  // over two store reads at planning time
+  // ...and runtime DATA filters on cluster-like columns (below): kept as
+  // a file-pruning input only, rows are still filtered by the join.
+  @volatile private var runtimeDataFilters: Seq[org.apache.spark.sql.sources.Filter] = Seq.empty
+
+  /** Cluster-like columns: numeric columns whose per-file stats show
+    * min == max with zero nulls in EVERY entry — each file carries one
+    * value, so the column behaves like a partition value even though the
+    * table is merely WRITTEN clustered (clusterBy / partitioned write /
+    * any layout that single-values files). Advertising them for runtime
+    * filtering gives a clustered table the same join-driven dynamic
+    * pruning a hive-partitioned one gets: Spark runs the dim side,
+    * delivers the join keys as an IN list, and whole files drop at
+    * planning time. Derived from stats, not declared — a table whose
+    * layout degrades (a file with mixed values) silently loses the
+    * advertisement, never correctness (the IN list is evaluated against
+    * the same tri-state stats pruning, which degrades to Unknown). */
+  private val clusterLike: Seq[String] = {
+    import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType}
+    if (entries.isEmpty) Seq.empty
+    else schema.fields.iterator
+      .filter(f => f.dataType == IntegerType || f.dataType == LongType ||
+        f.dataType == DoubleType)
+      .map(_.name)
+      .filter(c => entries.forall(e => e.stats.get(c).exists(st =>
+        st.nulls == 0 && st.min.nonEmpty && st.min == st.max)))
+      .toSeq
+  }
+
+  // `_file` is advertised only when the scan actually PROJECTS it
+  // (row-level operations do; plain reads don't): Spark's runtime-
+  // filtering rule resolves these names against the scan output, so
+  // advertising a metadata column a plain scan doesn't carry breaks any
+  // equi-join over two store reads at planning time. Cluster-like
+  // columns are real schema columns (rows parse whole — no pruning), so
+  // they are always resolvable. A metadata-only aggregate scan answers
+  // from ALL entries at build time and must not advertise anything.
   override def filterAttributes(): Array[org.apache.spark.sql.connector.expressions.NamedReference] =
-    if (withFileCol) Array(Expressions.column("_file")) else Array.empty
+    if (metaAgg.isDefined) Array.empty
+    else (if (withFileCol) Seq("_file") else Seq.empty) ++ clusterLike match {
+      case cols => cols.map(Expressions.column).toArray
+    }
   override def filter(filters: Array[org.apache.spark.sql.sources.Filter]): Unit = {
     import org.apache.spark.sql.sources.{EqualTo, In}
     val keeps = filters.collect {
@@ -1633,15 +1667,20 @@ class GraftStoreScan(path: String,
       case EqualTo("_file", v: String) => Set(v)
     }
     if (keeps.nonEmpty) runtimeFiles = Some(keeps.reduce(_ intersect _))
+    val dataFs = filters.filter(f => f.references.forall(clusterLike.contains))
+    if (dataFs.nonEmpty) runtimeDataFilters = dataFs.toSeq
   }
 
   // manifest-stats file skipping: a file is read only if no pushed filter
-  // disproves it (tri-state NoRows) and no runtime group filter excludes
-  // it. Decided at planning time on the driver from manifest lines alone
-  // — no data I/O, the Iceberg scan-planning story in miniature.
+  // disproves it (tri-state NoRows), no runtime group filter excludes
+  // it, and no runtime data filter disproves its cluster value. Decided
+  // at planning time on the driver from manifest lines alone — no data
+  // I/O, the Iceberg scan-planning story in miniature.
   private def selected = entries.filter(e =>
     runtimeFiles.forall(_.contains(e.file)) &&
       GraftStore.StatsPruning.evalAll(pushed.toSeq, e, schema) !=
+        GraftStore.StatsPruning.NoRows &&
+      GraftStore.StatsPruning.evalAll(runtimeDataFilters, e, schema) !=
         GraftStore.StatsPruning.NoRows)
 
   /** The files this scan planned partitions for — for a row-level

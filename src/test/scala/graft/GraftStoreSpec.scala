@@ -480,6 +480,64 @@ class GraftStoreSpec extends SparkSuite {
       (0L until 150L), "clone must survive source truncate + vacuum")
   }
 
+  test("cluster-key runtime pruning: a dim join drops unprobed cells' files at planning time") {
+    import spark.implicits._
+    // 10 cells via a PARTITIONED table (per-value file rolling) => label
+    // single-valued per file, so the scan derives `label` as cluster-like
+    // and advertises it for runtime filtering (no declaration anywhere —
+    // the stats are the source of truth)
+    val s2 = spark.newSession()
+    val root = graft.ops.Util.managedTempDir("graft_store_spec_ck_")
+    s2.conf.set("spark.sql.catalog.gck", "graft.sources.GraftCatalog")
+    s2.conf.set("spark.sql.catalog.gck.root", root)
+    s2.range(0, 1000, 1, 4).toDF("id")
+      .select($"id", ($"id" % 10).cast("int").as("label"))
+      .createOrReplaceTempView("ck_src")
+    s2.sql(
+      """CREATE TABLE gck.t PARTITIONED BY (label) AS
+        |SELECT id, label FROM ck_src""".stripMargin)
+    val path = s"$root/t"
+    assert(dataFiles(path).size == 10, "partitioned write should roll 10 files")
+    val vecs = spark.read.format("graft.sources.GraftStore")
+      .option("path", path).load()
+    // the dim must carry a SELECTIVE predicate on a column OTHER than the
+    // join key (a key predicate would be statically inferred through the
+    // join and pruned by plain stats pushdown — this test is about the
+    // RUNTIME path, where only executing the dim reveals the keys)
+    val dim = spark.range(0, 10).toDF("k")
+      .select($"k".cast("int").as("k"), ($"k" / 3).cast("int").as("grp"))
+      .filter($"grp" === 0) // k in {0,1,2}: 3 of 10 cells survive
+    val df = vecs.join(dim, vecs("label") === dim("k"))
+      .groupBy($"label").agg(count(lit(1)).as("n"))
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+    val pre = df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.inputPlan
+      case p => p
+    }
+    val scans = pre.collect {
+      case b: BatchScanExec if b.scan.description().startsWith("graft_store") => b.scan
+    }
+    assert(scans.size == 1, s"expected one store scan:\n$pre")
+    assert(scans.head.toBatch.planInputPartitions().length == 10,
+      "pre-execution scan should offer all 10 cell files")
+    val rows = df.collect()
+    assert(rows.map(_.getLong(1)).sum == 300, "3 cells x 100 rows")
+    assert(scans.head.toBatch.planInputPartitions().length == 3,
+      "runtime cluster-key filter did not drop the 7 unprobed cells' files")
+    // correctness guard: a file whose stats DON'T single-value the column
+    // must not be advertised (mixed layout degrades pruning, never results)
+    val mixed = tempTable()
+    writeDf(spark.range(0, 1000, 1, 4).toDF("id")
+      .select($"id", ($"id" % 10).cast("int").as("label")), mixed)
+    val mv = spark.read.format("graft.sources.GraftStore")
+      .option("path", mixed).load()
+    val mdf = mv.join(dim, mv("label") === dim("k"))
+      .groupBy($"label").agg(count(lit(1)).as("n"))
+    assert(mdf.collect().map(_.getLong(1)).sum == 300,
+      "mixed-layout table must still answer correctly (no pruning, same rows)")
+  }
+
   test("abort does not create a snapshot or bump the version") {
     import spark.implicits._
     val path = tempTable()

@@ -464,4 +464,27 @@ class PlanShapeSpec extends SparkSuite {
         s"form's lanes projections (batch + corpus vs batch only); " +
         s"got stored=$stored recomputing=$recomputing")
   }
+
+  test("q_sim_ivf_stored plans only the probed cells' files") {
+    import org.apache.spark.sql.functions._
+    // the two-phase probe turns cell selection into a literal IN that
+    // the vector table's min==max-per-file stats answer at planning
+    // time: the scan description must show files = |distinct probed
+    // cells| of N, with the unprobed cells never planned
+    val p = plan("q_sim_ivf_stored")
+    val m = "graft_store\\([^)]*ivf_vec[^)]*, files=(\\d+)/(\\d+)\\)".r
+      .findFirstMatchIn(p)
+      .getOrElse(fail(s"no vector-table store scan in plan:\n$p"))
+    val (planned, total) = (m.group(1).toInt, m.group(2).toInt)
+    // recompute the expected probed-cell count the way the query does
+    val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val nCells = e.select(col("label")).distinct().count().toInt
+    assert(total == nCells, s"vector table should roll one file per cell")
+    assert(planned <= total, s"planned $planned of $total")
+    // the probe set is 10 vectors x nprobe=2 cells — at any fixture
+    // scale with more cells than that coverage, files must drop
+    if (nCells > 20)
+      assert(planned < total,
+        s"expected planning-time cell skipping: planned=$planned total=$total")
+  }
 }
