@@ -677,6 +677,48 @@ object Sources {
       .orderBy($"bucket")
   }
 
+  /** Timestamp-travel table dirs already written this JVM. */
+  private val tsTravelWritten = new java.util.concurrent.ConcurrentHashMap[String, String]
+
+  /** TIMESTAMP AS OF time travel (round 8) — the calendar half of
+    * q_store_timetravel: `timestampAsOf` resolves to the latest snapshot
+    * committed at or before the instant (the Iceberg/Delta rule) and
+    * then reads exactly like a version pin. The query asks the table's
+    * own commit-timestamp metadata for v1's wall clock and reads AS OF
+    * that instant, so the result is deterministic (slice A, the
+    * pre-append table) even though wall clocks aren't: the oracle
+    * recomputes slice A from source parquet. The build spaces the two
+    * commits a few ms apart so the resolution boundary is real. At
+    * 100 TB this is the audit/repro question — "what did the table say
+    * when the job ran last night" — answered from one manifest-header
+    * walk. Boundary semantics (between-commits instant → earlier
+    * snapshot; pre-history instant → refused) pinned in GraftStoreSpec. */
+  val qStoreTimetravelTs: Q = (s, dir) => {
+    import s.implicits._
+    val path = tsTravelWritten.computeIfAbsent(s"${Util.sessionKey(s)}:$dir", _ => {
+      val d = Util.managedTempDir("graft_tstravel_")
+      val o = table(s, dir, "orders")
+        .select($"o_orderkey", $"o_custkey", $"o_totalprice")
+      o.filter($"o_orderkey" % 7 === 0).write
+        .format("graft.sources.GraftStore").option("path", d)
+        .mode("overwrite").save() // v1
+      Thread.sleep(10) // commits a real wall-clock gap apart
+      o.filter($"o_orderkey" % 7 === 1).write
+        .format("graft.sources.GraftStore").option("path", d)
+        .mode("append").save() // v2
+      d
+    })
+    val tsV1 = graft.sources.GraftStore.commitTimestamps(path)
+      .find(_._1 == 1L).map(_._2).getOrElse(
+        throw new IllegalStateException(s"no v1 commit timestamp at $path"))
+    s.read.format("graft.sources.GraftStore")
+      .option("path", path).option("timestampAsOf", tsV1.toString).load()
+      .groupBy(($"o_orderkey" % 10).as("bucket"))
+      .agg(count(lit(1)).as("n_rows"), sum($"o_orderkey").as("sum_key"),
+        dsumd($"o_totalprice").as("sum_price"))
+      .orderBy($"bucket")
+  }
+
   /** Vacuumed-table dirs already written this JVM, keyed by (session, dir). */
   private val vacWritten = new java.util.concurrent.ConcurrentHashMap[String, String]
 
@@ -1446,6 +1488,7 @@ object Sources {
     "q_sink_roundtrip" -> qSinkRoundtrip,
     "q_store_timetravel" -> qStoreTimetravel,
     "q_store_restore" -> qStoreRestore,
+    "q_store_timetravel_ts" -> qStoreTimetravelTs,
     "q_store_vacuum" -> qStoreVacuum,
     "q_store_clone" -> qStoreClone,
     "q_stream_upsert" -> qStreamUpsert,
@@ -1496,6 +1539,13 @@ object Sources {
         |  FROM orders WHERE o_orderkey % 7 IN (0, 1) GROUP BY 2)
         |SELECT * FROM v1 UNION ALL SELECT * FROM cur
         |ORDER BY snap, bucket""".stripMargin,
+    // AS OF v1's commit instant, the read must be exactly slice A
+    "q_store_timetravel_ts" ->
+      """SELECT o_orderkey % 10 AS bucket, count(*) AS n_rows,
+        | sum(o_orderkey) AS sum_key,
+        | CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS sum_price
+        |FROM orders WHERE o_orderkey % 7 = 0
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     // after RESTORE to v1, the current read must be exactly slice A
     "q_store_restore" ->
       """SELECT o_orderkey % 10 AS bucket, count(*) AS n_rows,

@@ -223,6 +223,12 @@ object GraftStore {
     snapshotFiles(path).filter(readTsOf(_) <= tsMillis).lastOption
       .map(_.getName.stripPrefix(ManifestName + ".v").toLong)
 
+  /** (version, commit wall-clock millis) per retained snapshot, oldest
+    * first — the resolution table a TIMESTAMP AS OF read consults. */
+  private[graft] def commitTimestamps(path: String): Seq[(Long, Long)] =
+    snapshotFiles(path).map(f =>
+      (f.getName.stripPrefix(ManifestName + ".v").toLong, readTsOf(f)))
+
   /** Two writers that both read base version N both try to commit N+1 —
     * without a claim step the second pointer move would silently erase
     * the first commit's files from the table. Thrown instead; appends
@@ -889,8 +895,18 @@ class GraftStoreTable(path: String, tableSchema: StructType,
         () => new GraftStoreCdfScan(path, fromV, toV,
           StructType(tableSchema.dropRight(2)))
       case None =>
+        // TIMESTAMP AS OF resolves to the latest snapshot committed at or
+        // before the instant (Iceberg/Delta rule) and then behaves exactly
+        // like a version read; explicit versionAsOf wins when both given
+        val byTs = Option(options.get("timestampAsOf")).map { t =>
+          GraftStore.versionAsOfTimestamp(path, t.toLong).getOrElse(
+            throw new IllegalArgumentException(
+              s"no snapshot at or before timestamp $t at $path " +
+                "(history starts later, or was expired)"))
+        }
         new GraftStoreScanBuilder(path,
-          Option(options.get("versionAsOf")).map(_.toLong).orElse(versionAsOf),
+          Option(options.get("versionAsOf")).map(_.toLong)
+            .orElse(versionAsOf).orElse(byTs),
           Option(options.get("fromVersion")).map(_.toLong))
     }
 

@@ -432,6 +432,25 @@ class GraftStoreSpec extends SparkSuite {
     }
   }
 
+  test("timestampAsOf resolves to the latest snapshot at-or-before the instant") {
+    import spark.implicits._
+    val path = tempTable()
+    writeDf(spark.range(0, 100, 1, 2).toDF("id"), path) // v1
+    Thread.sleep(10)
+    writeDf(spark.range(100, 200, 1, 2).toDF("id"), path, mode = "append") // v2
+    val Seq((1L, ts1), (2L, ts2)) = GraftStore.commitTimestamps(path)
+    assert(ts1 < ts2, "commits must carry increasing wall clocks")
+    def readAt(ts: Long) = spark.read.format("graft.sources.GraftStore")
+      .option("path", path).option("timestampAsOf", ts.toString).load().count()
+    assert(readAt(ts1) == 100, "AS OF v1's instant reads v1")
+    assert(readAt(ts1 + (ts2 - ts1) / 2) == 100,
+      "an instant BETWEEN commits reads the earlier snapshot")
+    assert(readAt(ts2) == 200, "AS OF v2's instant reads v2")
+    assert(readAt(System.currentTimeMillis() + 60000) == 200,
+      "a future instant reads the current table")
+    intercept[Exception] { readAt(ts1 - 60000) } // pre-history: refused
+  }
+
   test("restore re-commits an old snapshot as a new version, metadata-only") {
     import spark.implicits._
     val path = tempTable()
