@@ -92,7 +92,46 @@ object Sketches {
       .orderBy($"n".desc, $"priority")
   }
 
+  /** Count-min sketch heavy hitters, built from first principles with the
+    * engine's own codegen'd pieces (Spark ships no CM aggregate): depth=4
+    * seeded xxhash64 rows × width=512 buckets of token-occurrence counts
+    * — a 2k-counter mergeable summary of a corpus-sized frequency table.
+    * The sketch build is ONE groupBy over (row, bucket): map-side partial
+    * agg shrinks every partition to ≤2048 counters, so the shuffle
+    * carries kilobytes regardless of corpus size — the 100 TB frequency
+    * story next to the HLL/KLL/theta mergeability. Estimates (min over
+    * the 4 rows — the classic one-sided bound: est ≥ true, inflated only
+    * by collisions) are read back for candidate words by joining the
+    * BROADCAST sketch; top-20 by estimate. Deterministic (seeded hashes,
+    * integer counts) but engine-specific (DuckDB has no xxhash64) →
+    * oracle-exempt by the sketch-family precedent; SketchesSpec asserts
+    * the one-sided bound on every word and exactness on the true
+    * heavy hitters. */
+  val qAggCountmin: Q = (s, dir) => {
+    import s.implicits._
+    val D = 4
+    val W = 512
+    val toks = table(s, dir, "documents")
+      .select(explode(split($"text", " ")).as("w"))
+      .filter(length($"w") > 0)
+    val rowsOf = (w: org.apache.spark.sql.Column) =>
+      array((0 until D).map(j => struct(lit(j).as("d"),
+        pmod(xxhash64(w, lit(j)), lit(W)).as("b"))): _*)
+    val sketch = toks
+      .select(explode(rowsOf($"w")).as("e"))
+      .groupBy($"e.d".as("d"), $"e.b".as("b"))
+      .agg(count(lit(1)).as("c"))
+    val est = toks.distinct()
+      .select($"w", explode(rowsOf($"w")).as("e"))
+      .select($"w", $"e.d".as("d"), $"e.b".as("b"))
+      .join(broadcast(sketch), Seq("d", "b"))
+      .groupBy($"w")
+      .agg(min($"c").as("est"))
+    est.orderBy($"est".desc, $"w").limit(20)
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_agg_countmin" -> qAggCountmin,
     "q_agg_hllsketch" -> qAggHllsketch,
     "q_agg_kll" -> qAggKll,
     "q_agg_theta" -> qAggTheta,

@@ -84,6 +84,33 @@ class SketchesSpec extends SparkSuite {
       s"approx_top_k ${approx.toSeq} != exact ${exact.toSeq}")
   }
 
+  test("q_agg_countmin: one-sided bound everywhere, exact on true heavy hitters") {
+    import spark.implicits._
+    val est = SparkEntry.queries("q_agg_countmin")(spark, sfDir)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(explode(split($"text", " ")).as("w"))
+      .filter(length($"w") > 0)
+      .groupBy($"w").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // the CM guarantee: estimates never undercount
+    est.foreach { case (w, e) =>
+      assert(e >= exact(w), s"count-min undercounted '$w': $e < ${exact(w)}")
+    }
+    // the top exact heavy hitters must surface with near-exact counts:
+    // at sf0.001 the vocabulary is far smaller than depth*width, so
+    // collisions can inflate a bucket but the top words' estimates are
+    // within the total collision mass of a single 512-bucket row
+    val topExact = exact.toSeq.sortBy { case (w, n) => (-n, w) }.take(5)
+    topExact.foreach { case (w, n) =>
+      assert(est.contains(w) || est.size == 20,
+        s"true heavy hitter '$w' missing from a <20-word result")
+      est.get(w).foreach(e =>
+        assert(e <= n + exact.values.sum / 512,
+          s"'$w' estimate $e implausibly inflated vs exact $n"))
+    }
+  }
+
   test("q_dedup_embed_lsh recalls >= 0.9 of exact top-1 neighbors (sf0.01)") {
     val dir = sfSibling("0.01")
     val exact = SparkEntry.queries("q_dedup_embed")(spark, dir)
