@@ -677,6 +677,58 @@ object Sources {
       .orderBy($"bucket")
   }
 
+  /** SPJ table-pair roots already written this JVM. */
+  private val spjStoreWritten = new java.util.concurrent.ConcurrentHashMap[String, String]
+
+  /** STORAGE-PARTITIONED JOIN on GraftStore (round 8) — q_src_spj's
+    * proof carried to the real table format: orders and a customer-
+    * priority rollup both land PARTITIONED BY the same key, the scans
+    * report KeyGroupedPartitioning with each file tagged by its cell
+    * value, and the per-priority join plans with NO exchange on either
+    * side (pinned in GraftStoreSpec) — Spark lines the cells up from
+    * the manifests' own stats. The v2 successor of the bucketed-parquet
+    * join (q_join_bucketed): writes pay the clustering once, every
+    * subsequent join of tables sharing the layout reads co-located
+    * cells, and the shuffle that dominates a 100 TB join plan is gone.
+    * The oracle replays the join from source parquet. */
+  val qStoreSpj: Q = (s, dir) => {
+    val s2 = s.newSession()
+    s2.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    // join keys (pri, o_custkey) are a SUPERSET of the partition key —
+    // co-location on pri alone satisfies the join's clustering, but
+    // Spark only accepts the coarser co-partitioning when not required
+    // to match every cluster key
+    s2.conf.set("spark.sql.requireAllClusterKeysForCoPartition", "false")
+    import s2.implicits._
+    val root = spjStoreWritten.computeIfAbsent(s"${Util.sessionKey(s)}:$dir", _ => {
+      val r = Util.managedTempDir("graft_spj_")
+      val sc = s.newSession()
+      sc.conf.set("spark.sql.catalog.gspj", "graft.sources.GraftCatalog")
+      sc.conf.set("spark.sql.catalog.gspj.root", r)
+      table(sc, dir, "orders").createOrReplaceTempView("spj_orders")
+      sc.sql(
+        """CREATE TABLE gspj.o PARTITIONED BY (pri) AS
+          |SELECT o_orderkey, o_custkey, o_totalprice,
+          |  CAST(substring(o_orderpriority, 1, 1) AS INT) AS pri
+          |FROM spj_orders""".stripMargin)
+      sc.sql(
+        """CREATE TABLE gspj.c PARTITIONED BY (pri) AS
+          |SELECT o_custkey, count(*) AS n_orders,
+          |  CAST(substring(o_orderpriority, 1, 1) AS INT) AS pri
+          |FROM spj_orders GROUP BY o_custkey,
+          |  CAST(substring(o_orderpriority, 1, 1) AS INT)""".stripMargin)
+      r
+    })
+    val o = s2.read.format("graft.sources.GraftStore").option("path", s"$root/o").load()
+    val c = s2.read.format("graft.sources.GraftStore").option("path", s"$root/c").load()
+    o.join(c, Seq("pri", "o_custkey"))
+      .groupBy($"pri")
+      .agg(count(lit(1)).as("n_pairs"), sum($"n_orders").as("sum_cust_orders"),
+        dsumd($"o_totalprice").as("sum_price"))
+      .orderBy($"pri")
+  }
+
   /** Timestamp-travel table dirs already written this JVM. */
   private val tsTravelWritten = new java.util.concurrent.ConcurrentHashMap[String, String]
 
@@ -1489,6 +1541,7 @@ object Sources {
     "q_store_timetravel" -> qStoreTimetravel,
     "q_store_restore" -> qStoreRestore,
     "q_store_timetravel_ts" -> qStoreTimetravelTs,
+    "q_store_spj" -> qStoreSpj,
     "q_store_vacuum" -> qStoreVacuum,
     "q_store_clone" -> qStoreClone,
     "q_stream_upsert" -> qStreamUpsert,
@@ -1539,6 +1592,17 @@ object Sources {
         |  FROM orders WHERE o_orderkey % 7 IN (0, 1) GROUP BY 2)
         |SELECT * FROM v1 UNION ALL SELECT * FROM cur
         |ORDER BY snap, bucket""".stripMargin,
+    // the co-partitioned join replayed from source parquet
+    "q_store_spj" ->
+      """WITH o AS (SELECT o_orderkey, o_custkey, o_totalprice,
+        |  CAST(substring(o_orderpriority, 1, 1) AS INT) AS pri FROM orders),
+        |c AS (SELECT o_custkey, count(*) AS n_orders, pri
+        |      FROM o GROUP BY o_custkey, pri)
+        |SELECT pri, count(*) AS n_pairs,
+        | CAST(sum(n_orders) AS BIGINT) AS sum_cust_orders,
+        | CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS sum_price
+        |FROM o JOIN c USING (pri, o_custkey)
+        |GROUP BY pri ORDER BY pri""".stripMargin,
     // AS OF v1's commit instant, the read must be exactly slice A
     "q_store_timetravel_ts" ->
       """SELECT o_orderkey % 10 AS bucket, count(*) AS n_rows,

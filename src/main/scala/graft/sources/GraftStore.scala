@@ -1618,7 +1618,8 @@ class GraftStoreScan(path: String,
     metaAgg: Option[(StructType, Seq[Any])] = None,
     withFileCol: Boolean = false)
   extends Scan with Batch
-  with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering {
+  with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering
+  with org.apache.spark.sql.connector.read.SupportsReportPartitioning {
   // a time-travel read plans against the RETAINED snapshot manifest
   // (same format, stats, skipping — only the pointer differs); an
   // INCREMENTAL read keeps only the files added since `fromVersion` —
@@ -1730,6 +1731,51 @@ class GraftStoreScan(path: String,
     new GraftStoreMicroBatchStream(path, schema.size,
       fromVersion.getOrElse(0L))
 
+  /** STORAGE-PARTITIONED JOIN support: a PARTITIONED table whose every
+    * file is provably single-valued on the partition column (per-value
+    * rolling writes that; the stats are re-checked rather than trusted)
+    * reports KeyGroupedPartitioning over it and tags each file partition
+    * with its key — two tables partitioned on the same key then join
+    * with NO exchange on either side (gated by Spark's
+    * `spark.sql.sources.v2.bucketing.enabled`). The v2 successor of the
+    * bucketed-parquet join: at 100 TB the join reads co-located cells
+    * and the shuffle that dominated the plan disappears. */
+  private def spjKey: Option[(String, org.apache.spark.sql.types.DataType)] = {
+    import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType}
+    if (metaAgg.isDefined) None
+    else GraftStore.readPartitionBy(path)
+      .flatMap(c => schema.fields.find(_.name == c))
+      .filter(f => f.dataType == IntegerType || f.dataType == LongType ||
+        f.dataType == DoubleType)
+      .filter(f => entries.nonEmpty && entries.forall(e =>
+        e.stats.get(f.name).exists(st =>
+          st.nulls == 0 && st.min.nonEmpty && st.min == st.max)))
+      .map(f => (f.name, f.dataType))
+  }
+
+  private def keyValueOf(e: GraftStore.FileEntry,
+      col: String, dt: org.apache.spark.sql.types.DataType): Any = {
+    import org.apache.spark.sql.types.{DoubleType, IntegerType}
+    val s = e.stats(col).min
+    dt match {
+      case IntegerType => s.toInt
+      case DoubleType => s.toDouble
+      case _ => s.toLong
+    }
+  }
+
+  override def outputPartitioning()
+      : org.apache.spark.sql.connector.read.partitioning.Partitioning =
+    spjKey match {
+      case Some((c, dt)) =>
+        val n = selected.map(keyValueOf(_, c, dt)).distinct.size
+        new org.apache.spark.sql.connector.read.partitioning.KeyGroupedPartitioning(
+          Array(Expressions.identity(c)), n)
+      case None =>
+        new org.apache.spark.sql.connector.read.partitioning.UnknownPartitioning(
+          selected.size)
+    }
+
   // one input partition per surviving data file — the write-side
   // clustering IS the read-side parallelism; a pushed metadata
   // aggregate plans ONE synthetic partition carrying the answer row
@@ -1741,9 +1787,16 @@ class GraftStoreScan(path: String,
       case None =>
         val sel = selected
         plannedFiles = sel.map(_.file)
-        sel.map(e =>
-          GraftStoreFilePartition(new File(path, e.file).getAbsolutePath,
-            e.cols, e.file): InputPartition).toArray
+        spjKey match {
+          case Some((c, dt)) =>
+            sel.map(e => GraftStoreKeyedFilePartition(
+              new File(path, e.file).getAbsolutePath,
+              e.cols, e.file, keyValueOf(e, c, dt)): InputPartition).toArray
+          case None =>
+            sel.map(e =>
+              GraftStoreFilePartition(new File(path, e.file).getAbsolutePath,
+                e.cols, e.file): InputPartition).toArray
+        }
     }
 
   override def createReaderFactory(): PartitionReaderFactory =
@@ -1752,6 +1805,18 @@ class GraftStoreScan(path: String,
 
 case class GraftStoreFilePartition(absolutePath: String, cols: Int = -1,
     relPath: String = "") extends InputPartition
+
+/** File partition that also carries its single partition-column value, so
+  * Spark's key-grouped machinery can line files up across the two sides
+  * of a storage-partitioned join (multiple files may share a key — Spark
+  * groups them). */
+case class GraftStoreKeyedFilePartition(absolutePath: String, cols: Int,
+    relPath: String, key: Any)
+  extends InputPartition
+  with org.apache.spark.sql.connector.read.HasPartitionKey {
+  override def partitionKey(): InternalRow =
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(Array[Any](key))
+}
 
 /** One changed file of one commit: its rows are served with the partition's
   * constant (_change_type, _commit_version) pair appended. */
@@ -1903,6 +1968,10 @@ class GraftStoreReaderFactory(scanFields: Int, withFileCol: Boolean = false)
       val fileFields = if (cols > 0) cols else scanFields
       new GraftStoreFileReader(abs, fileFields, scanFields,
         Array[Any](UTF8String.fromString(changeType), version))
+    case kp: GraftStoreKeyedFilePartition =>
+      val fileFields = if (kp.cols > 0) kp.cols else scanFields
+      new GraftStoreFileReader(kp.absolutePath, fileFields, scanFields,
+        if (withFileCol) Array[Any](UTF8String.fromString(kp.relPath)) else null)
     case fp: GraftStoreFilePartition =>
       // a file written before an ADD COLUMN carries fewer fields than the
       // scan schema: parse at its own arity (UnsafeRow layout bakes the

@@ -465,6 +465,18 @@ class PlanShapeSpec extends SparkSuite {
         s"got stored=$stored recomputing=$recomputing")
   }
 
+  test("q_store_spj: the co-partitioned store join plans no exchange below the SMJ") {
+    val df = SparkEntry.queries("q_store_spj")(spark, sfDir)
+    df.collect()
+    val smj = allNodes(df.queryExecution.executedPlan).collect {
+      case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j }
+    assert(smj.nonEmpty, s"no SortMergeJoin:\n${df.queryExecution.executedPlan}")
+    val shuffles = allNodes(smj.head).collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike => e }
+    assert(shuffles.isEmpty,
+      s"storage-partitioned store join still shuffles:\n${smj.head}")
+  }
+
   test("q_sim_ivf_stored plans only the probed cells' files") {
     import org.apache.spark.sql.functions._
     // the two-phase probe turns cell selection into a literal IN that
