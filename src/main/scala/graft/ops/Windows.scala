@@ -158,7 +158,32 @@ object Windows {
       .orderBy($"o_orderpriority", $"o_orderkey")
   }
 
+  /** Event-time RANGE frame with an INTERVAL bound — the sliding
+    * "last hour per user" aggregate WITHOUT bucketing the time axis:
+    * every event sees the exact sum/count of its user's events in the
+    * preceding hour (window() tumbling/sliding buckets approximate
+    * this; the interval frame is exact per row). Value-based frames are
+    * tie-safe (equal timestamps share a frame), and the framed sum runs
+    * in decimal so its order inside the frame cannot flake the hash.
+    * At 100 TB the plan is the same single shuffle on user_id every
+    * window query pays — the frame adds no extra exchange. */
+  val qWinRangeTime: Q = (s, dir) => {
+    import s.implicits._
+    Util.events(s, dir)
+      .selectExpr("user_id", "event_id", "ts", "value",
+        """CAST(sum(CAST(value AS DECIMAL(18,4))) OVER (
+          |  PARTITION BY user_id ORDER BY ts
+          |  RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+          | AS DOUBLE) AS sum_1h""".stripMargin,
+        """count(*) OVER (
+          |  PARTITION BY user_id ORDER BY ts
+          |  RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+          | AS n_1h""".stripMargin)
+      .orderBy($"user_id", $"event_id", $"ts", $"value", $"sum_1h", $"n_1h")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_win_range_time" -> qWinRangeTime,
     "q_win_pctrank" -> qWinPctRank,
     "q_win_rank" -> qWinRank,
     "q_win_rank_dist" -> qWinRankDist,
@@ -170,6 +195,14 @@ object Windows {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q_win_range_time" ->
+      """SELECT user_id, event_id, ts, value,
+        | CAST(sum(CAST(value AS DECIMAL(18,4))) OVER w AS DOUBLE) AS sum_1h,
+        | count(*) OVER w AS n_1h
+        |FROM (SELECT user_id, event_id, ts::TIMESTAMP AS ts, value FROM events)
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts
+        |  RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+        |ORDER BY user_id, event_id, ts, value, sum_1h, n_1h""".stripMargin,
     "q_win_pctrank" ->
       """SELECT o_orderpriority, o_orderkey, o_totalprice,
         | percent_rank() OVER w AS pr,
