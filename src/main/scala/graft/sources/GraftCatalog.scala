@@ -139,7 +139,8 @@ class GraftCatalog extends TableCatalog {
       new File(dir, GraftStore.PartitionFileName).toPath,
       c.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
     // an empty manifest IS the table: created atomically, never half-visible
-    GraftStore.writeManifestAtomic(dir.getPath, schema, Seq.empty,
+    // (base 0: a racing CREATE on the same ident conflicts on the v1 claim)
+    GraftStore.writeManifestAtomic(dir.getPath, 0L, schema, Seq.empty,
       op = "create")
     new GraftStoreTable(dir.getPath, schema, None, None, None, None,
       partitionBy = partitionBy)
@@ -157,7 +158,8 @@ class GraftCatalog extends TableCatalog {
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
     val dir = dirFor(ident)
     if (!isTable(dir)) throw new NoSuchTableException(ident)
-    val (schema, entries) = GraftStore.readManifest(dir.getPath).get
+    val (base, latest) = GraftStore.readLatestVersioned(dir.getPath)
+    val (schema, entries) = latest.get
     val newSchema = changes.foldLeft(schema) {
       case (sch, add: TableChange.AddColumn) =>
         require(add.fieldNames().length == 1,
@@ -172,7 +174,7 @@ class GraftCatalog extends TableCatalog {
       case (_, other) => throw new UnsupportedOperationException(
         s"graft catalog tables support only ADD COLUMN (got ${other.getClass.getSimpleName})")
     }
-    GraftStore.writeManifestAtomic(dir.getPath, newSchema, entries,
+    GraftStore.writeManifestAtomic(dir.getPath, base, newSchema, entries,
       GraftStore.readEpoch(dir.getPath), op = "evolve")
     new GraftStoreTable(dir.getPath, newSchema, None, None, None, None)
   }

@@ -258,13 +258,38 @@ object GraftStore {
     * format has. Retained snapshots are what make time-travel reads
     * and cross-OPTIMIZE history possible; [[expireSnapshots]] bounds
     * their cost. */
+  /** Commit as a true COMPARE-AND-SWAP: the claimed version is exactly
+    * `baseVersion + 1`, where `baseVersion` is the version the CALLER's
+    * base read observed (via [[readLatestVersioned]]) — never a version
+    * recomputed at claim time. The distinction is the lost-update bug
+    * class: with a claim-time `nextVersion()`, a writer whose base read
+    * raced behind N other commits would claim base+N+1 WITHOUT conflict
+    * and publish its stale merge, silently erasing those commits'
+    * files (caught by the 8-writer stress spec). Pinning the claim to
+    * base+1 makes any interleaving commit turn the claim into
+    * [[ConflictException]], which appends retry and content-dependent
+    * commits surface. */
   private[sources] def writeManifestAtomic(
-      path: String, schema: StructType, files: Seq[FileEntry],
+      path: String, baseVersion: Long, schema: StructType,
+      files: Seq[FileEntry],
       epoch: Option[Long] = None, op: String = ""): Long = {
-    val v = nextVersion(path)
+    val v = baseVersion + 1
     writeManifestAtomicAt(path, v, schema, files, epoch, op)
     v
   }
+
+  /** The latest committed (version, schema, entries) as ONE observation —
+    * the base every compare-and-swap commit must be computed from. The
+    * version comes from the same snapshot file the content is read from,
+    * so a commit claiming version+1 proves no interleaving writer. For a
+    * table with no snapshot yet: (0, None). */
+  private[graft] def readLatestVersioned(
+      path: String): (Long, Option[(StructType, Seq[FileEntry])]) =
+    snapshotFiles(path).lastOption match {
+      case Some(f) =>
+        (f.getName.stripPrefix(ManifestName + ".v").toLong, readManifestFile(f))
+      case None => (math.max(0L, readVersion(path)), readManifest(path))
+    }
 
   /** The claim-then-refresh step at an EXPLICIT version id (split out so
     * the conflict branch is unit-testable without a thread race). */
@@ -349,7 +374,8 @@ object GraftStore {
       new File(path, s"$ManifestName.v$version")).getOrElse(
       throw new IllegalArgumentException(
         s"no snapshot v$version at $path (never committed, or expired)"))
-    writeManifestAtomic(path, schema, entries, op = s"restore(v$version)")
+    val (base, _) = readLatestVersioned(path)
+    writeManifestAtomic(path, base, schema, entries, op = s"restore(v$version)")
   }
 
   /** Zero-copy SHALLOW CLONE: a new table at `dst` whose v1 manifest
@@ -561,7 +587,8 @@ object GraftStore {
     * version, or -1 if nothing needed rewriting. */
   private[graft] def compact(spark: org.apache.spark.sql.SparkSession,
       path: String, targetBytes: Long): Long = {
-    val (schema, entries) = readManifest(path).getOrElse(
+    val (base, latest) = readLatestVersioned(path)
+    val (schema, entries) = latest.getOrElse(
       throw new IllegalArgumentException(s"no graft-store table at $path"))
     // first-fit in manifest order: deterministic, preserves write locality
     val bins = scala.collection.mutable.ArrayBuffer.empty[scala.collection.mutable.ArrayBuffer[FileEntry]]
@@ -600,7 +627,7 @@ object GraftStore {
         case None => bin.head
       }
     }.toSeq
-    val v = writeManifestAtomic(path, schema, rewritten, readEpoch(path),
+    val v = writeManifestAtomic(path, base, schema, rewritten, readEpoch(path),
       op = "optimize")
     gcUnreferenced(path, rewritten.map(_.file).toSet)
     v
@@ -937,7 +964,8 @@ class GraftStoreTable(path: String, tableSchema: StructType,
     }
 
   override def deleteWhere(filters: Array[Filter]): Unit = {
-    val (sch, entries) = GraftStore.readManifest(path).getOrElse(return)
+    val (base, latest0) = GraftStore.readLatestVersioned(path)
+    val (sch, entries) = latest0.getOrElse(return)
     val tri = entries.map(e =>
       e -> GraftStore.StatsPruning.evalAll(filters.toSeq, e, sch))
     // canDeleteWhere gates this, but belt-and-braces: an undecidable file
@@ -945,7 +973,7 @@ class GraftStoreTable(path: String, tableSchema: StructType,
     require(tri.forall(_._2 != GraftStore.StatsPruning.Unknown),
       s"delete predicate undecidable for ${tri.count(_._2 == GraftStore.StatsPruning.Unknown)} file(s)")
     val kept = tri.collect { case (e, GraftStore.StatsPruning.NoRows) => e }
-    GraftStore.writeManifestAtomic(path, sch, kept, op = "delete")
+    GraftStore.writeManifestAtomic(path, base, sch, kept, op = "delete")
     GraftStore.gcUnreferenced(path, kept.map(_.file).toSet)
   }
 
@@ -1059,12 +1087,15 @@ class GraftStoreReplaceBatchWrite(path: String, schema: StructType,
     // a partition whose surviving-row set is empty wrote an empty file:
     // drop it rather than committing zero-row entries
     empty.foreach(e => new File(path, e.file).delete())
-    val (tblSchema, entries) = GraftStore.readManifest(path)
+    val (base, latest0) = GraftStore.readLatestVersioned(path)
+    val (tblSchema, entries) = latest0
       .getOrElse((schema, Seq.empty[GraftStore.FileEntry]))
     val replaced = replacedFiles().toSet
     val files = entries.filterNot(e => replaced(e.file)) ++ committed
-    // table schema and streaming-epoch marker survive DML untouched
-    GraftStore.writeManifestAtomic(path, tblSchema, files,
+    // table schema and streaming-epoch marker survive DML untouched;
+    // a commit that interleaved since this row-level operation's base
+    // read surfaces as ConflictException (stale copy-on-write merge)
+    GraftStore.writeManifestAtomic(path, base, tblSchema, files,
       GraftStore.readEpoch(path), op = "replace")
     GraftStore.gcUnreferenced(path, files.map(_.file).toSet)
   }
@@ -1178,7 +1209,7 @@ class GraftStoreStreamingWrite(path: String, schema: StructType,
       val committed = messages.toSeq.map { case m: GraftStoreCommitMessage =>
         GraftStore.FileEntry(m.file, m.rows, m.stats, m.cols)
       }
-      val existing = GraftStore.readManifest(path)
+      val (base, existing) = GraftStore.readLatestVersioned(path)
       val previous =
         if (truncateEachEpoch) Seq.empty
         else existing.map(_._2).getOrElse(Seq.empty)
@@ -1189,7 +1220,8 @@ class GraftStoreStreamingWrite(path: String, schema: StructType,
       val tableSchema =
         if (truncateEachEpoch) schema
         else existing.map(_._1).getOrElse(schema)
-      GraftStore.writeManifestAtomic(path, tableSchema, files, Some(epochId),
+      GraftStore.writeManifestAtomic(path, base, tableSchema, files,
+        Some(epochId),
         op = if (truncateEachEpoch) "overwrite" else "append")
       GraftStore.gcUnreferenced(path, files.map(_.file).toSet)
     }
@@ -1315,7 +1347,7 @@ class GraftStoreBatchWrite(path: String, schema: StructType,
     var files = Seq.empty[GraftStore.FileEntry]
     var done = false
     while (!done) {
-      val existing = GraftStore.readLatest(path)
+      val (base, existing) = GraftStore.readLatestVersioned(path)
       val previous =
         if (truncateFirst) Seq.empty
         else existing.map(_._2).getOrElse(Seq.empty)
@@ -1327,7 +1359,7 @@ class GraftStoreBatchWrite(path: String, schema: StructType,
       // schema IS the new contract. The epoch marker follows the same
       // logic (append must not clobber a streaming table's marker).
       try {
-        GraftStore.writeManifestAtomic(path,
+        GraftStore.writeManifestAtomic(path, base,
           if (truncateFirst) schema else existing.map(_._1).getOrElse(schema),
           files,
           if (truncateFirst) None else GraftStore.readEpoch(path),
