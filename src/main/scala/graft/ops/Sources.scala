@@ -677,6 +677,43 @@ object Sources {
       .orderBy($"bucket")
   }
 
+  /** EXACTLY-ONCE foreachBatch APPEND via writer-transaction handles
+    * (round 8) — the general half of q_stream_upsert's story: that query
+    * is replay-safe because MERGE-max is semantically idempotent; THIS
+    * one appends (no idempotent payload to lean on) and is exactly-once
+    * because every micro-batch write carries (txnAppId, txnVersion =
+    * batch id) and the table refuses a version it has already recorded
+    * (the Delta idempotent-write design — the manifest carries per-app
+    * watermarks forward through every commit, surviving vacuum). A
+    * recovered driver re-delivering a batch is a no-op that deletes its
+    * own files; replay behavior is pinned at the protocol level in
+    * GraftStoreSpec. The oracle recomputes the full range aggregate:
+    * every batch exactly once. */
+  val qStreamTxnSink: Q = (s, dir) => {
+    import s.implicits._
+    val out = Util.managedTempDir("graft_txnsink_")
+    val q = s.readStream.format("graft.sources.SynthSource")
+      .option("rows", "20000").option("slices", "4")
+      .option("microBatchRows", "4096")
+      .load()
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+        batch.select(($"id" % 10).as("k"), $"id")
+          .write.format("graft.sources.GraftStore").option("path", out)
+          .option("txnAppId", "tail").option("txnVersion", id.toString)
+          .mode("append").save()
+        ()
+      }
+      .option("checkpointLocation", Util.managedTempDir("graft_txnsink_ckpt_"))
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    s.read.format("graft.sources.GraftStore").option("path", out).load()
+      .groupBy($"k")
+      .agg(count(lit(1)).as("n"), sum($"id").as("sum_id"))
+      .orderBy($"k")
+  }
+
   /** SPJ table-pair roots already written this JVM. */
   private val spjStoreWritten = new java.util.concurrent.ConcurrentHashMap[String, String]
 
@@ -1545,6 +1582,7 @@ object Sources {
     "q_store_vacuum" -> qStoreVacuum,
     "q_store_clone" -> qStoreClone,
     "q_stream_upsert" -> qStreamUpsert,
+    "q_stream_txn_sink" -> qStreamTxnSink,
     "q_store_optimize" -> qStoreOptimize,
     "q_store_incremental" -> qStoreIncremental,
     "q_store_history" -> qStoreHistory,
@@ -1592,6 +1630,11 @@ object Sources {
         |  FROM orders WHERE o_orderkey % 7 IN (0, 1) GROUP BY 2)
         |SELECT * FROM v1 UNION ALL SELECT * FROM cur
         |ORDER BY snap, bucket""".stripMargin,
+    // every micro-batch exactly once: the full id range, no dup, no gap
+    "q_stream_txn_sink" ->
+      """SELECT id % 10 AS k, count(*) AS n, CAST(sum(id) AS BIGINT) AS sum_id
+        |FROM (SELECT unnest(generate_series(0, 19999)) AS id)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     // the co-partitioned join replayed from source parquet
     "q_store_spj" ->
       """WITH o AS (SELECT o_orderkey, o_custkey, o_totalprice,

@@ -216,6 +216,21 @@ object GraftStore {
       .split('\n').find(_.startsWith("!ts=")).map(_.stripPrefix("!ts=").toLong)
       .getOrElse(0L)
 
+  /** Writer-transaction watermarks a snapshot recorded (`!txn=app:ver`
+    * lines, carried forward by every commit): the highest `txnVersion`
+    * each `txnAppId` has committed. The Delta idempotent-write design —
+    * a re-delivered (app, version ≤ recorded) write is a no-op, which is
+    * what makes foreachBatch appends exactly-once under replay even when
+    * the payload itself isn't idempotent. */
+  private[graft] def readTxnsOf(f: File): Map[String, Long] =
+    if (!f.exists()) Map.empty
+    else new String(Files.readAllBytes(f.toPath), StandardCharsets.UTF_8)
+      .split('\n').filter(_.startsWith("!txn=")).map { l =>
+        val kv = l.stripPrefix("!txn=")
+        val i = kv.lastIndexOf(':')
+        kv.take(i) -> kv.drop(i + 1).toLong
+      }.toMap
+
   /** Latest snapshot committed at or before `tsMillis` (the Iceberg/Delta
     * timestamp-resolution rule), or None if the table's history starts
     * after it. */
@@ -272,9 +287,20 @@ object GraftStore {
   private[sources] def writeManifestAtomic(
       path: String, baseVersion: Long, schema: StructType,
       files: Seq[FileEntry],
-      epoch: Option[Long] = None, op: String = ""): Long = {
+      epoch: Option[Long] = None, op: String = "",
+      newTxn: Option[(String, Long)] = None): Long = {
     val v = baseVersion + 1
-    writeManifestAtomicAt(path, v, schema, files, epoch, op)
+    // txn watermarks carry FORWARD through every commit (vacuum may drop
+    // the snapshot that first recorded one): merge the base's map with
+    // this commit's claim, keeping the max per app
+    val baseTxns =
+      if (baseVersion > 0)
+        readTxnsOf(new File(path, s"$ManifestName.v$baseVersion"))
+      else Map.empty[String, Long]
+    val txns = newTxn.fold(baseTxns) { case (app, ver) =>
+      baseTxns + (app -> math.max(ver, baseTxns.getOrElse(app, Long.MinValue)))
+    }
+    writeManifestAtomicAt(path, v, schema, files, epoch, op, txns)
     v
   }
 
@@ -295,12 +321,15 @@ object GraftStore {
     * the conflict branch is unit-testable without a thread race). */
   private[graft] def writeManifestAtomicAt(
       path: String, v: Long, schema: StructType, files: Seq[FileEntry],
-      epoch: Option[Long] = None, op: String = ""): Unit = {
+      epoch: Option[Long] = None, op: String = "",
+      txns: Map[String, Long] = Map.empty): Unit = {
     val tmp = Paths.get(path, s".manifest.tmp.${java.util.UUID.randomUUID()}")
     val lines = schema.toDDL +: (s"!version=$v" +:
       (s"!ts=${System.currentTimeMillis()}" +:
         ((if (op.nonEmpty) Seq(s"!op=$op") else Seq.empty) ++
-          epoch.map(e => s"!epoch=$e").toSeq ++ files.map(fmtEntry))))
+          epoch.map(e => s"!epoch=$e").toSeq ++
+          txns.toSeq.sortBy(_._1).map { case (a, ver) => s"!txn=$a:$ver" } ++
+          files.map(fmtEntry))))
     Files.write(tmp, lines.mkString("\n").getBytes(StandardCharsets.UTF_8))
     try Files.createLink(Paths.get(path, s"$ManifestName.v$v"), tmp)
     catch {
@@ -940,8 +969,16 @@ class GraftStoreTable(path: String, tableSchema: StructType,
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     require(versionAsOf.isEmpty && changesFrom.isEmpty,
       "cannot write to a time-travel snapshot or change feed — writes go to the current table")
+    // idempotent-write handle: both txn options or neither
+    val txn = (Option(info.options.get("txnAppId")),
+      Option(info.options.get("txnVersion"))) match {
+      case (Some(a), Some(v)) => Some((a, v.toLong))
+      case (None, None) => None
+      case _ => throw new IllegalArgumentException(
+        "txnAppId and txnVersion must be given together")
+    }
     new GraftStoreWriteBuilder(path, info.schema(), clusterBy, sortBy,
-      failFirstAttemptOf, failAllAttemptsOf, dataChange, partitionBy)
+      failFirstAttemptOf, failAllAttemptsOf, dataChange, partitionBy, txn)
   }
 
   // ------------------------------------------------- metadata-only DELETE
@@ -1121,7 +1158,8 @@ class GraftStoreReplaceWriterFactory(path: String, schema: StructType,
 class GraftStoreWriteBuilder(path: String, schema: StructType,
     clusterBy: Option[String], sortBy: Option[String],
     failFirstAttemptOf: Option[Int], failAllAttemptsOf: Option[Int],
-    dataChange: Boolean = true, partitionBy: Option[String] = None)
+    dataChange: Boolean = true, partitionBy: Option[String] = None,
+    txn: Option[(String, Long)] = None)
   extends WriteBuilder with SupportsTruncate {
   private var truncateFirst = false
 
@@ -1129,13 +1167,14 @@ class GraftStoreWriteBuilder(path: String, schema: StructType,
 
   override def build(): Write =
     new GraftStoreWrite(path, schema, truncateFirst, clusterBy, sortBy,
-      failFirstAttemptOf, failAllAttemptsOf, dataChange, partitionBy)
+      failFirstAttemptOf, failAllAttemptsOf, dataChange, partitionBy, txn)
 }
 
 class GraftStoreWrite(path: String, schema: StructType, truncateFirst: Boolean,
     clusterBy: Option[String], sortBy: Option[String],
     failFirstAttemptOf: Option[Int], failAllAttemptsOf: Option[Int],
-    dataChange: Boolean = true, partitionBy: Option[String] = None)
+    dataChange: Boolean = true, partitionBy: Option[String] = None,
+    txn: Option[(String, Long)] = None)
   extends Write with RequiresDistributionAndOrdering {
 
   override def description(): String = s"graft_store write -> $path"
@@ -1159,7 +1198,7 @@ class GraftStoreWrite(path: String, schema: StructType, truncateFirst: Boolean,
   override def toBatch: BatchWrite =
     new GraftStoreBatchWrite(path, schema, truncateFirst, failFirstAttemptOf,
       failAllAttemptsOf, dataChange,
-      rollOnIdx = partitionBy.map(schema.fieldIndex))
+      rollOnIdx = partitionBy.map(schema.fieldIndex), txn = txn)
 
   override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite = {
     require(partitionBy.isEmpty,
@@ -1324,7 +1363,7 @@ class GraftStorePartitionedWriter(path: String, schema: StructType,
 class GraftStoreBatchWrite(path: String, schema: StructType,
     truncateFirst: Boolean, failFirstAttemptOf: Option[Int],
     failAllAttemptsOf: Option[Int], dataChange: Boolean = true,
-    rollOnIdx: Option[Int] = None)
+    rollOnIdx: Option[Int] = None, txn: Option[(String, Long)] = None)
   extends BatchWrite {
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
@@ -1348,6 +1387,21 @@ class GraftStoreBatchWrite(path: String, schema: StructType,
     var done = false
     while (!done) {
       val (base, existing) = GraftStore.readLatestVersioned(path)
+      // IDEMPOTENT WRITE: a (txnAppId, txnVersion) the table has already
+      // recorded is a replay — drop this attempt's files and do nothing
+      // (checked against the SAME base the CAS claim pins, so a racing
+      // first delivery either lands before this read or conflicts the
+      // claim and this check re-runs)
+      val replayed = txn.exists { case (app, ver) =>
+        base > 0 && GraftStore.readTxnsOf(
+          new File(path, s"${GraftStore.ManifestName}.v$base"))
+          .get(app).exists(_ >= ver)
+      }
+      if (replayed) {
+        committed.foreach(e => new File(path, e.file).delete())
+        files = existing.map(_._2).getOrElse(Seq.empty)
+        done = true
+      } else {
       val previous =
         if (truncateFirst) Seq.empty
         else existing.map(_._2).getOrElse(Seq.empty)
@@ -1364,13 +1418,15 @@ class GraftStoreBatchWrite(path: String, schema: StructType,
           files,
           if (truncateFirst) None else GraftStore.readEpoch(path),
           op = if (!dataChange) "optimize"
-               else if (truncateFirst) "overwrite" else "append")
+               else if (truncateFirst) "overwrite" else "append",
+          newTxn = txn)
         done = true
       } catch {
         case c: GraftStore.ConflictException =>
           attempt += 1
           if (attempt >= 10) throw c
           Thread.sleep(5L * attempt)
+      }
       }
     }
     GraftStore.gcUnreferenced(path, files.map(_.file).toSet)

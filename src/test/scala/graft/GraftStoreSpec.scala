@@ -718,6 +718,37 @@ class GraftStoreSpec extends SparkSuite {
       s"expected v4 after two concurrent appends, got v${GraftStore.readVersion(path)}")
   }
 
+  test("idempotent writes: a replayed (txnAppId, txnVersion) append is a no-op") {
+    import spark.implicits._
+    val path = tempTable()
+    def appendTxn(lo: Long, ver: Long): Unit =
+      spark.range(lo, lo + 50, 1, 1).toDF("id")
+        .write.format("graft.sources.GraftStore").option("path", path)
+        .option("txnAppId", "nightly").option("txnVersion", ver.toString)
+        .mode("append").save()
+    writeDf(spark.range(0, 10, 1, 1).toDF("id"), path) // v1, no txn
+    appendTxn(100, 1) // v2
+    assert(readBack(path).count() == 60)
+    appendTxn(900, 1) // REPLAY of version 1: different payload, same handle
+    assert(readBack(path).count() == 60,
+      "a replayed txnVersion must not append again")
+    assert(GraftStore.readVersion(path) == 2L,
+      "a replayed write must not even commit a snapshot")
+    appendTxn(200, 2) // v3: a genuinely new version lands
+    assert(readBack(path).count() == 110)
+    // the watermark survives unrelated commits and vacuum: replay of
+    // version 2 after both is still a no-op
+    writeDf(spark.range(500, 510, 1, 1).toDF("id"), path, mode = "append") // v4
+    GraftStore.expireSnapshots(path, 1, graceMs = 0)
+    appendTxn(901, 2)
+    assert(readBack(path).count() == 120,
+      "txn watermark must survive unrelated commits and snapshot expiry")
+    // no orphaned files from dropped replays
+    val referenced = GraftStore.readManifest(path).get._2.map(_.file).toSet
+    assert(dataFiles(path).forall(f => referenced(s"data/$f")),
+      "replayed attempts must clean up their files")
+  }
+
   test("concurrency stress: 8 simultaneous appenders all land, none lost, versions dense") {
     import spark.implicits._
     val path = tempTable()
