@@ -884,6 +884,106 @@ object Sources {
       .orderBy($"side", $"bucket")
   }
 
+  /** DELETION VECTORS (round 8, second half) — merge-on-read DELETE:
+    * `GraftStore.deleteWhereDV` marks matched ROWS deleted in per-file
+    * position sidecars (found by one distributed scan projecting the
+    * `_file`/`_pos` metadata columns; sidecars written by EXECUTORS,
+    * clustered by file) and commits metadata only — write amplification
+    * ∝ deleted rows, where copy-on-write (q_store_dml) rewrites every
+    * file containing a match. Readers apply the vector as a frame-skip
+    * — no join, no shuffle, no extra pass. Two composed deletes prove
+    * DVs are CUMULATIVE over physical positions (the second delete's
+    * scan sees live rows only, yet its sidecar addresses pre-deletion
+    * ordinals); `purgeDeletes` then folds the vectors back into clean
+    * files (reading ONLY the delete-vectored files — exact `files`
+    * selection, not a table scan) and must be content-invisible: the
+    * query emits the SAME aggregate from the dv'd and the purged table,
+    * tagged, and the oracle recomputes both sides identically from
+    * source parquet. At 100 TB this is the GDPR-deletion / CDC-retract
+    * economics: deleting 0.1% of rows scattered everywhere costs MBs of
+    * sidecars, not a table rewrite. Protocol bounds (sidecar I/O, CDF
+    * row-level delta, stats degradation, guard rails) in
+    * GraftStoreSpec. */
+  val qStoreDv: Q = (s, dir) => {
+    import s.implicits._
+    val root = Util.managedTempDir("graft_dv_")
+    val t = s"$root/t"
+    table(s, dir, "orders")
+      .select($"o_orderkey", $"o_custkey", $"o_totalprice")
+      .filter($"o_orderkey" % 3 === 0)
+      .repartition(4)
+      .write.format("graft.sources.GraftStore").option("path", t)
+      .mode("overwrite").save()
+    graft.sources.GraftStore.deleteWhereDV(s, t, $"o_custkey" % 5 === 2)
+    val vDv = graft.sources.GraftStore.deleteWhereDV(s, t,
+      $"o_orderkey" % 11 === 0)
+    graft.sources.GraftStore.purgeDeletes(s, t)
+    // the dv side reads the PRE-purge snapshot via time travel (vectors
+    // applied as frame-skips); the purged side reads the current clean
+    // files — both sides must agree, and both must equal the oracle
+    def agg(tag: String, versionAsOf: Option[Long]) = {
+      val r = s.read.format("graft.sources.GraftStore").option("path", t)
+      versionAsOf.foreach(v => r.option("versionAsOf", v.toString))
+      r.load()
+        .groupBy(($"o_orderkey" % 10).as("bucket"))
+        .agg(count(lit(1)).as("n_rows"), sum($"o_custkey").as("sum_cust"),
+          dsumd($"o_totalprice").as("sum_price"))
+        .select(lit(tag).as("side"), $"bucket", $"n_rows", $"sum_cust",
+          $"sum_price")
+    }
+    agg("dv", Some(vDv)).unionAll(agg("purged", None))
+      .orderBy($"side", $"bucket")
+  }
+
+  /** WRITE-AUDIT-PUBLISH (round 8, second half) — the Iceberg WAP
+    * pattern on the clone-as-branch mechanism: stage a day's ingest on
+    * a zero-copy BRANCH (`cloneTable` — main's readers never see staged
+    * rows), AUDIT it there (the expectation query finds the planted
+    * negative prices), FIX it in place with a merge-on-read DV delete,
+    * then `GraftStore.publish` fast-forwards main: staged data files
+    * hard-link over (zero bytes rewritten) and the branch's manifest
+    * commits through main's compare-and-swap pinned at the FORK version
+    * — any commit that landed on main since the fork turns publish into
+    * a ConflictException instead of a lost update (re-branch + replay,
+    * git's fast-forward discipline). The final main read must be: the
+    * original slice, plus the staged slice MINUS the rows the audit
+    * killed — which is exactly what the oracle recomputes from source
+    * parquet. The 100 TB ingest-quality story: bad data never touches
+    * the serving table, and publishing a validated petabyte costs one
+    * manifest commit. Conflict/atomicity bounds in GraftStoreSpec. */
+  val qStoreWap: Q = (s, dir) => {
+    import s.implicits._
+    val root = Util.managedTempDir("graft_wap_")
+    val main = s"$root/main"
+    val branch = s"$root/branch"
+    val o = table(s, dir, "orders")
+      .select($"o_orderkey", $"o_custkey", $"o_totalprice")
+    o.filter($"o_orderkey" % 5 === 0)
+      .write.format("graft.sources.GraftStore").option("path", main)
+      .mode("overwrite").save()
+    graft.sources.GraftStore.cloneTable(main, branch)
+    // the day's ingest, with planted corruption: % 13 rows arrive with
+    // negated prices
+    o.filter($"o_orderkey" % 5 === 1)
+      .withColumn("o_totalprice",
+        when($"o_orderkey" % 13 === 0, -$"o_totalprice")
+          .otherwise($"o_totalprice"))
+      .write.format("graft.sources.GraftStore").option("path", branch)
+      .mode("append").save()
+    // AUDIT on the branch; the expectation failing rows are then killed
+    // in place by a merge-on-read delete — main never saw any of it
+    val bad = s.read.format("graft.sources.GraftStore").option("path", branch)
+      .load().filter($"o_totalprice" < 0).count()
+    if (bad > 0)
+      graft.sources.GraftStore.deleteWhereDV(s, branch, $"o_totalprice" < 0)
+    graft.sources.GraftStore.publish(main, branch)
+    s.read.format("graft.sources.GraftStore").option("path", main).load()
+      .groupBy(($"o_orderkey" % 10).as("bucket"))
+      .agg(count(lit(1)).as("n_rows"), sum($"o_orderkey").as("sum_key"),
+        dsumd($"o_totalprice").as("sum_price"))
+      .orderBy($"bucket")
+  }
+
   /** STREAMING UPSERT (round 8) — the CDC-apply loop at the heart of
     * every incremental 100 TB pipeline: a stream lands in the table not
     * as blind appends but as per-micro-batch MERGEs (foreachBatch — the
@@ -1581,6 +1681,8 @@ object Sources {
     "q_store_spj" -> qStoreSpj,
     "q_store_vacuum" -> qStoreVacuum,
     "q_store_clone" -> qStoreClone,
+    "q_store_dv" -> qStoreDv,
+    "q_store_wap" -> qStoreWap,
     "q_stream_upsert" -> qStreamUpsert,
     "q_stream_txn_sink" -> qStreamTxnSink,
     "q_store_optimize" -> qStoreOptimize,
@@ -1682,6 +1784,32 @@ object Sources {
         |  FROM orders WHERE o_orderkey % 7 IN (0, 1, 2) GROUP BY 2)
         |SELECT * FROM a UNION ALL SELECT * FROM b
         |ORDER BY side, bucket""".stripMargin,
+    // merge-on-read (pre-purge snapshot, vectors applied) and the
+    // purged clean files must BOTH be exactly the doubly-filtered slice
+    "q_store_dv" ->
+      """WITH t AS (
+        |  SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |  WHERE o_orderkey % 3 = 0
+        |    AND NOT (o_custkey % 5 = 2)
+        |    AND NOT (o_orderkey % 11 = 0)),
+        |a AS (
+        |  SELECT o_orderkey % 10 AS bucket, count(*) AS n_rows,
+        |   sum(o_custkey) AS sum_cust,
+        |   CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS sum_price
+        |  FROM t GROUP BY 1)
+        |SELECT 'dv' AS side, * FROM a
+        |UNION ALL SELECT 'purged' AS side, * FROM a
+        |ORDER BY side, bucket""".stripMargin,
+    // published main = original slice ∪ (staged slice minus the rows
+    // the audit killed: the planted negative-price % 13 rows)
+    "q_store_wap" ->
+      """SELECT o_orderkey % 10 AS bucket, count(*) AS n_rows,
+        | sum(o_orderkey) AS sum_key,
+        | CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS sum_price
+        |FROM orders
+        |WHERE o_orderkey % 5 = 0
+        |   OR (o_orderkey % 5 = 1 AND o_orderkey % 13 <> 0)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     // final state = max id per key over the whole stream, independent
     // of micro-batch boundaries
     "q_stream_upsert" ->

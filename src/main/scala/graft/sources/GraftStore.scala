@@ -117,21 +117,34 @@ object GraftStore {
     * carry (UnsafeRow arity is baked into the bytes at write time). A
     * table that gained columns via ADD COLUMN has old files with fewer
     * — the reader null-pads them to the scan schema; -1 means "written
-    * before arity tracking" and is treated as full-width. */
+    * before arity tracking" and is treated as full-width.
+    *
+    * `dv` = relative path of the file's DELETION VECTOR sidecar (empty =
+    * none): the merge-on-read DELETE representation. `rows` is always the
+    * LIVE count (physical rows minus deleted positions), which keeps the
+    * metadata-only COUNT answer exact; per-column min/max stay valid
+    * BOUNDS over the live rows (deletion only shrinks the true range, so
+    * skip decisions remain sound) but null counts become unknowable
+    * without a rescan and are recorded as -1 — every consumer that needs
+    * an exact null count (AllRows pruning, metadata COUNT(col)/MIN/MAX,
+    * cluster-like detection) degrades conservatively on -1. */
   case class FileEntry(file: String, rows: Long, stats: Map[String, ColStats],
-      cols: Int = -1)
+      cols: Int = -1, dv: String = "")
 
-  // file<TAB>rows<TAB>col=min:max:nulls;col2=...<TAB>cols — ':'/';'/'='
-  // cannot occur inside Long/Double.toString, and stats-bearing column
-  // names are restricted to ones without the delimiters (others just
-  // carry no stats); the 4th field is absent in pre-evolution manifests
+  // file<TAB>rows<TAB>col=min:max:nulls;col2=...<TAB>cols<TAB>dv —
+  // ':'/';'/'=' cannot occur inside Long/Double.toString, and
+  // stats-bearing column names are restricted to ones without the
+  // delimiters (others just carry no stats); the 4th field is absent in
+  // pre-evolution manifests, the 5th only present when the file carries
+  // a deletion vector (trailing empty fields don't survive split)
   private def fmtEntry(e: FileEntry): String = {
     val st = e.stats.toSeq.sortBy(_._1)
       .map { case (c, s) =>
         val b = if (s.bloom.isEmpty) "" else s":${s.bloom}"
         s"$c=${s.min}:${s.max}:${s.nulls}$b"
       }.mkString(";")
-    s"${e.file}\t${e.rows}\t$st\t${e.cols}"
+    val dvf = if (e.dv.isEmpty) "" else s"\t${e.dv}"
+    s"${e.file}\t${e.rows}\t$st\t${e.cols}$dvf"
   }
 
   private def parseEntry(line: String): FileEntry = line.split('\t') match {
@@ -147,7 +160,42 @@ object GraftStore {
         }
       }.toMap
       FileEntry(parts(0), parts(1).toLong, stats,
-        if (parts.length >= 4) parts(3).toInt else -1)
+        if (parts.length >= 4) parts(3).toInt else -1,
+        if (parts.length >= 5) parts(4) else "")
+  }
+
+  /** Deletion-vector sidecar: Int count + sorted Long physical row
+    * ordinals, written atomically (tmp + move). A DV is CUMULATIVE —
+    * each DELETE writes a fresh sidecar holding the union of every
+    * deleted position for its file, so one manifest field suffices and
+    * the row-level change between two snapshots is the set difference
+    * of their sidecars. Positions are physical (pre-deletion) ordinals:
+    * what the reader's frame counter sees, stable across any number of
+    * later deletes. */
+  private[sources] object Dv {
+    def write(abs: String, positions: Array[Long]): Unit = {
+      val tmp = Paths.get(abs + ".tmp" + java.util.UUID.randomUUID().toString.take(8))
+      val out = new DataOutputStream(new BufferedOutputStream(
+        new FileOutputStream(tmp.toFile)))
+      out.writeInt(positions.length)
+      positions.foreach(out.writeLong)
+      out.close()
+      Files.move(tmp, Paths.get(abs), StandardCopyOption.ATOMIC_MOVE,
+        StandardCopyOption.REPLACE_EXISTING)
+    }
+    def read(abs: String): Array[Long] = {
+      val in = new DataInputStream(new BufferedInputStream(
+        new FileInputStream(abs)))
+      try {
+        val n = in.readInt()
+        Array.fill(n)(in.readLong())
+      } finally in.close()
+    }
+    def bitset(abs: String): java.util.BitSet = {
+      val bs = new java.util.BitSet()
+      read(abs).foreach(p => bs.set(p.toInt))
+      bs
+    }
   }
 
   /** Manifest = schema DDL line, optional `!`-prefixed header lines
@@ -382,7 +430,9 @@ object GraftStore {
     require(keepLast >= 1, "must retain at least the current snapshot")
     snapshotFiles(path).dropRight(keepLast).foreach(_.delete())
     gcUnreferenced(path,
-      readManifest(path).map(_._2.map(_.file)).getOrElse(Seq.empty).toSet,
+      readManifest(path).map(_._2.flatMap(e =>
+        if (e.dv.isEmpty) Seq(e.file) else Seq(e.file, e.dv)))
+        .getOrElse(Seq.empty).toSet,
       graceMs)
   }
 
@@ -426,11 +476,182 @@ object GraftStore {
       val to = Paths.get(dst, e.file)
       if (to.getParent != null) Files.createDirectories(to.getParent)
       Files.createLink(to, Paths.get(src, e.file))
+      if (e.dv.nonEmpty)
+        Files.createLink(Paths.get(dst, e.dv), Paths.get(src, e.dv))
     }
     val part = new File(src, PartitionFileName)
     if (part.exists())
       Files.copy(part.toPath, Paths.get(dst, PartitionFileName))
-    writeManifestAtomicAt(dst, 1, schema, entries, op = s"clone")
+    // the clone's v1 records the source version it forked from — the
+    // fast-forward baseline a write-audit-publish `publish` checks
+    writeManifestAtomicAt(dst, 1, schema, entries,
+      op = s"clone(v${readVersion(src)})")
+  }
+
+  /** MERGE-ON-READ DELETE via deletion vectors (the Delta/Iceberg-v2 DV
+    * design): instead of rewriting every file containing a match
+    * (copy-on-write `DELETE`, write amplification ∝ matched FILES), mark
+    * the matched ROWS deleted in per-file position sidecars and commit a
+    * manifest that points at them — write amplification ∝ matched ROWS.
+    * At 100 TB, deleting 0.1% of rows scattered across every file is the
+    * difference between rewriting the table and writing a few MB of
+    * sidecars. The mechanics:
+    *   1. one distributed scan finds matches, projecting the `_file` /
+    *      `_pos` metadata columns (`_pos` is the PHYSICAL pre-deletion
+    *      ordinal, so repeated deletes compose);
+    *   2. EXECUTORS write the sidecars — matches are clustered by file,
+    *      each task merges its files' new positions with the existing DV
+    *      (DVs are cumulative: one sidecar per file, ever) and emits one
+    *      summary row per file;
+    *   3. the driver commits metadata only: affected entries get the new
+    *      `dv`, live `rows`, and null counts degraded to -1 (unknowable
+    *      without a rescan); a fully-deleted file's entry is dropped.
+    * Readers apply DVs as a frame-skip (no join, no shuffle); the change
+    * feed emits exactly the newly-deleted positions ([[CdfUnit]]);
+    * [[purgeDeletes]] is the compaction path that folds DVs back into
+    * clean files. Commit is the same compare-and-swap as every writer.
+    * Returns the committed version (or the base version if nothing
+    * matched — a no-op writes no commit). */
+  private[graft] def deleteWhereDV(spark: org.apache.spark.sql.SparkSession,
+      path: String, condition: org.apache.spark.sql.Column): Long = {
+    import org.apache.spark.sql.functions.col
+    val (base, latest) = readLatestVersioned(path)
+    val (schema, entries) = latest.getOrElse(
+      throw new IllegalArgumentException(s"no graft-store table at $path"))
+    val oldDvByFile = entries.map(e => e.file -> e.dv).toMap
+    val absRoot = new File(path).getAbsolutePath
+    val stamp = java.util.UUID.randomUUID().toString.take(8)
+    val matches = spark.read.format("graft.sources.GraftStore")
+      .option("path", path).option("versionAsOf", base.toString).load()
+      .select(col("*"), col("_file"), col("_pos"))
+      .filter(condition)
+      .select(col("_file"), col("_pos"))
+    // executor-side sidecar writes: cluster matches by file, one sidecar
+    // write per affected file, one metadata-sized summary row back
+    val summary: Array[(String, String, Long)] = matches
+      .repartition(col("_file"))
+      .sortWithinPartitions(col("_file"), col("_pos"))
+      .rdd.mapPartitions { it =>
+        val out = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+        var curFile: String = null
+        var buf = scala.collection.mutable.ArrayBuffer.empty[Long]
+        def flush(): Unit = if (curFile != null) {
+          val oldRel = oldDvByFile.getOrElse(curFile, "")
+          val oldPos =
+            if (oldRel.isEmpty) Array.empty[Long]
+            else Dv.read(new File(absRoot, oldRel).getPath)
+          val rel = s"$curFile.dv.$stamp"
+          Dv.write(new File(absRoot, rel).getPath,
+            (oldPos ++ buf).distinct.sorted)
+          out += ((curFile, rel, buf.length.toLong))
+          buf = scala.collection.mutable.ArrayBuffer.empty[Long]
+        }
+        it.foreach { row =>
+          val f = row.getString(0)
+          if (f != curFile) { flush(); curFile = f }
+          buf += row.getLong(1)
+        }
+        flush()
+        out.iterator
+      }.collect()
+    if (summary.isEmpty) return base
+    val byFile = summary.map(s => s._1 -> s).toMap
+    val newEntries = entries.flatMap { e =>
+      byFile.get(e.file) match {
+        case Some((_, rel, newly)) =>
+          val live = e.rows - newly
+          if (live <= 0) None // every row deleted: drop the entry
+          else Some(e.copy(rows = live, dv = rel,
+            stats = e.stats.map { case (c, st) => c -> st.copy(nulls = -1L) }))
+        case None => Some(e)
+      }
+    }
+    writeManifestAtomic(path, base, schema, newEntries, readEpoch(path),
+      op = "delete")
+  }
+
+  /** REWRITE DATA FILES (Iceberg's `rewrite_data_files` / Delta's `PURGE`
+    * DV compaction): fold every deletion vector back into clean files —
+    * read ONLY the delete-vectored files (exact file selection via the
+    * `files` read option, never a table scan), write the surviving rows
+    * through the ordinary writer (fresh exact stats, null counts
+    * restored), hard-link the results in, and commit `!op=optimize`
+    * (content-identical ⇒ the change feed stays silent, the pre-purge
+    * snapshot stays time-travelable). Restores metadata-only aggregates
+    * and AllRows pruning, which degrade conservatively while DVs are
+    * present. I/O ∝ delete-vectored files only. Returns the committed
+    * version (base version if the table has no DVs). */
+  private[graft] def purgeDeletes(spark: org.apache.spark.sql.SparkSession,
+      path: String): Long = {
+    val (base, latest) = readLatestVersioned(path)
+    val (schema, entries) = latest.getOrElse(
+      throw new IllegalArgumentException(s"no graft-store table at $path"))
+    val dvd = entries.filter(_.dv.nonEmpty)
+    if (dvd.isEmpty) return base
+    val scratch = Files.createTempDirectory("graft_purge").toFile
+    spark.read.format("graft.sources.GraftStore").option("path", path)
+      .option("versionAsOf", base.toString)
+      .option("files", dvd.map(_.file).mkString(","))
+      .load()
+      .write.format("graft.sources.GraftStore")
+      .option("path", scratch.getAbsolutePath).mode("append").save()
+    val fresh = readManifest(scratch.getAbsolutePath).map(_._2).getOrElse(Seq.empty)
+    fresh.foreach { e =>
+      val to = Paths.get(path, e.file)
+      if (to.getParent != null) Files.createDirectories(to.getParent)
+      Files.createLink(to, Paths.get(scratch.getAbsolutePath, e.file))
+    }
+    val v = writeManifestAtomic(path, base, schema,
+      entries.filterNot(_.dv.nonEmpty) ++ fresh, readEpoch(path),
+      op = "optimize")
+    deleteRecursively(scratch) // data bytes survive via the hard links
+    v
+  }
+
+  /** WRITE-AUDIT-PUBLISH: fast-forward a branch (a [[cloneTable]] fork)
+    * back onto its source table. The Iceberg WAP pattern with clone as
+    * the branch mechanism: stage a day's writes on the branch, AUDIT
+    * them there (expectations, dedup, contamination checks — any query;
+    * main's readers never see staged data), then publish atomically.
+    * Publish = hard-link the branch's new data files into main (zero
+    * copy — staged bytes are never rewritten) and commit the branch's
+    * exact (schema, entries) through main's compare-and-swap at the
+    * branch-point version + 1, so ANY commit that landed on main since
+    * the fork turns publish into [[ConflictException]] — never a silent
+    * lost update (re-branch and replay is the resolution, exactly
+    * git's fast-forward-only discipline). Returns main's new version. */
+  private[graft] def publish(mainPath: String, branchPath: String): Long = {
+    val (schema, entries) = readManifest(branchPath).getOrElse(
+      throw new IllegalArgumentException(
+        s"no graft-store branch table at $branchPath"))
+    val v1op = readOpOf(new File(branchPath, s"$ManifestName.v1"))
+    require(v1op.startsWith("clone(v"),
+      s"publish source is not a cloned branch (v1 op is '$v1op')")
+    val forkV = v1op.stripPrefix("clone(v").stripSuffix(")").toLong
+    val (mainV, _) = readLatestVersioned(mainPath)
+    if (mainV != forkV)
+      throw new ConflictException(
+        s"cannot fast-forward publish: main is at v$mainV but the branch " +
+          s"forked from v$forkV — re-branch from the current main and " +
+          "replay the staged writes")
+    entries.foreach { e =>
+      val to = Paths.get(mainPath, e.file)
+      if (!Files.exists(to)) {
+        if (to.getParent != null) Files.createDirectories(to.getParent)
+        Files.createLink(to, Paths.get(branchPath, e.file))
+      }
+      if (e.dv.nonEmpty) {
+        val dvTo = Paths.get(mainPath, e.dv)
+        if (!Files.exists(dvTo))
+          Files.createLink(dvTo, Paths.get(branchPath, e.dv))
+      }
+    }
+    writeManifestAtomic(mainPath, mainV, schema, entries, op = "publish")
+  }
+
+  private def deleteRecursively(f: File): Unit = {
+    Option(f.listFiles()).getOrElse(Array.empty).foreach(deleteRecursively)
+    f.delete()
   }
 
   /** Snapshot history as (version, nFiles, nRows, op), oldest first —
@@ -467,14 +688,20 @@ object GraftStore {
         val base = readManifestFile(new File(path, s"$ManifestName.v$v"))
           .getOrElse(throw new IllegalArgumentException(
             s"no snapshot v$v at $path (never committed, or expired)"))
-          ._2.map(_.file).toSet
-        val removed = base -- current.map(_.file).toSet
+          ._2.map(e => e.file -> e.dv).toMap
+        // a file whose DELETION VECTOR changed is content-mutated even
+        // though its name survives — append-only means names AND dvs
+        // are stable for every base file
+        val removed = (base.keySet -- current.map(_.file).toSet) ++
+          current.collect {
+            case e if base.get(e.file).exists(_ != e.dv) => e.file
+          }
         require(removed.isEmpty,
           s"incremental read from v$v crosses a non-append snapshot " +
-            s"(${removed.size} base file(s) no longer present) — use a " +
-            "change-feed read (changesFrom/changesTo) for ranges with " +
-            "deletes or rewrites")
-        current.filterNot(e => base(e.file))
+            s"(${removed.size} base file(s) no longer present or " +
+            "delete-vectored) — use a change-feed read " +
+            "(changesFrom/changesTo) for ranges with deletes or rewrites")
+        current.filterNot(e => base.contains(e.file))
       case None => current
     }
     (schema, entries)
@@ -530,8 +757,19 @@ object GraftStore {
     * Returns (relFile, fileArity, changeType, version) tuples — one
     * scan partition each; cost is metadata-proportional to the CHANGED
     * files only, never a rescan of the table. */
+  /** One planned unit of change-feed work: a whole file's LIVE rows
+    * (`dvDelta = false`, skipping `applyDv`'s positions — so a file that
+    * already carried deletions never re-emits them), or, for a commit
+    * that only GREW a file's deletion vector, exactly the NEWLY deleted
+    * positions (`dvDelta = true`: emit positions in `applyDv` minus
+    * `baseDv`) — row-level precision at I/O cost proportional to one
+    * file, the Delta deletion-vector CDF shape. */
+  private[sources] case class CdfUnit(file: String, cols: Int,
+      changeType: String, version: Long, applyDv: String = "",
+      baseDv: String = "", dvDelta: Boolean = false)
+
   private[sources] def cdfFileDiffs(path: String, fromV: Long,
-      toV: Long): Seq[(String, Int, String, Long)] = {
+      toV: Long): Seq[CdfUnit] = {
     require(0 <= fromV && fromV <= toV,
       s"invalid change range v$fromV..v$toV")
     def manifestAt(v: Long): (String, Seq[FileEntry]) = {
@@ -549,14 +787,23 @@ object GraftStore {
     (fromV + 1 to toV).flatMap { v =>
       val (op, entries) = manifestAt(v)
       val cur = entries.map(e => e.file -> e).toMap
-      val out: Seq[(String, Int, String, Long)] =
-        if (op == "optimize" || op == "evolve" || op == "create") Seq.empty
+      val out: Seq[CdfUnit] =
+        if (op == "optimize" || op == "evolve" || op.startsWith("create"))
+          Seq.empty
         else {
           val removed = (base.keySet -- cur.keySet).toSeq.sorted
-            .map(f => (f, base(f).cols, "delete", v))
+            .map(f => CdfUnit(f, base(f).cols, "delete", v,
+              applyDv = base(f).dv))
           val added = (cur.keySet -- base.keySet).toSeq.sorted
-            .map(f => (f, cur(f).cols, "insert", v))
-          removed ++ added
+            .map(f => CdfUnit(f, cur(f).cols, "insert", v,
+              applyDv = cur(f).dv))
+          // same file, grown deletion vector: emit ONLY the newly
+          // deleted rows — the merge-on-read DELETE's change feed
+          val dvGrown = (base.keySet & cur.keySet).toSeq.sorted
+            .filter(f => base(f).dv != cur(f).dv)
+            .map(f => CdfUnit(f, cur(f).cols, "delete", v,
+              applyDv = cur(f).dv, baseDv = base(f).dv, dvDelta = true))
+          removed ++ added ++ dvGrown
         }
       base = cur
       out
@@ -619,10 +866,13 @@ object GraftStore {
     val (base, latest) = readLatestVersioned(path)
     val (schema, entries) = latest.getOrElse(
       throw new IllegalArgumentException(s"no graft-store table at $path"))
+    // delete-vectored files never join a bin: a byte concat would revive
+    // their deleted frames — purgeDeletes is their compaction path
+    val (dvEntries, packable) = entries.partition(_.dv.nonEmpty)
     // first-fit in manifest order: deterministic, preserves write locality
     val bins = scala.collection.mutable.ArrayBuffer.empty[scala.collection.mutable.ArrayBuffer[FileEntry]]
     var binBytes = 0L
-    entries.foreach { e =>
+    packable.foreach { e =>
       val sz = new File(path, e.file).length()
       // mixed-arity files (pre/post ADD COLUMN) never share a bin: the
       // byte concat would splice frames of different field counts
@@ -655,10 +905,11 @@ object GraftStore {
           bin.map(_.stats).reduce(mergeStats(schema, _, _)), bin.head.cols)
         case None => bin.head
       }
-    }.toSeq
+    }.toSeq ++ dvEntries
     val v = writeManifestAtomic(path, base, schema, rewritten, readEpoch(path),
       op = "optimize")
-    gcUnreferenced(path, rewritten.map(_.file).toSet)
+    gcUnreferenced(path, rewritten.flatMap(e =>
+      if (e.dv.isEmpty) Seq(e.file) else Seq(e.file, e.dv)).toSet)
     v
   }
 
@@ -851,7 +1102,8 @@ object GraftStore {
       graceMs: Long = GcGraceMs): Unit = {
     val retained = snapshotFiles(path)
       .flatMap(f => readManifestFile(f).map(_._2).getOrElse(Seq.empty))
-      .map(_.file).toSet
+      .flatMap(e => if (e.dv.isEmpty) Seq(e.file) else Seq(e.file, e.dv))
+      .toSet
     val keep = referenced ++ retained
     val cutoff = System.currentTimeMillis() - graceMs
     val dataDir = new File(path, "data")
@@ -930,6 +1182,15 @@ class GraftStoreTable(path: String, tableSchema: StructType,
       override def isNullable: Boolean = false
       override def comment(): String =
         "manifest-relative data file path this row was read from"
+    }, new org.apache.spark.sql.connector.catalog.MetadataColumn {
+      override def name(): String = "_pos"
+      override def dataType(): org.apache.spark.sql.types.DataType =
+        org.apache.spark.sql.types.LongType
+      override def isNullable: Boolean = false
+      override def comment(): String =
+        "physical (pre-deletion) row ordinal within _file — the " +
+          "position a deletion vector addresses; stable across any " +
+          "number of later merge-on-read deletes"
     })
 
   override def name(): String = s"graft_store($path)"
@@ -963,7 +1224,8 @@ class GraftStoreTable(path: String, tableSchema: StructType,
         new GraftStoreScanBuilder(path,
           Option(options.get("versionAsOf")).map(_.toLong)
             .orElse(versionAsOf).orElse(byTs),
-          Option(options.get("fromVersion")).map(_.toLong))
+          Option(options.get("fromVersion")).map(_.toLong),
+          Option(options.get("files")).map(_.split(',').toSet))
     }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
@@ -1582,7 +1844,8 @@ class GraftStoreDataWriter(path: String, schema: StructType, partitionId: Int,
 // ------------------------------------------------------------------ read
 
 class GraftStoreScanBuilder(path: String, versionAsOf: Option[Long] = None,
-    fromVersion: Option[Long] = None)
+    fromVersion: Option[Long] = None,
+    onlyFiles: Option[Set[String]] = None)
     extends ScanBuilder
     with org.apache.spark.sql.connector.read.SupportsPushDownFilters
     with org.apache.spark.sql.connector.read.SupportsPushDownAggregates
@@ -1594,13 +1857,17 @@ class GraftStoreScanBuilder(path: String, versionAsOf: Option[Long] = None,
   private var pushed = Array.empty[Filter]
   private var metaAgg: Option[(StructType, Seq[Any])] = None
   private var withFileCol = false
+  private var withPosCol = false
 
   /** Rows are parsed whole either way (UnsafeRow bytes carry every
-    * field), so data-column pruning buys nothing here — the one request
-    * this scan honors is the `_file` METADATA column, appended to the
-    * read schema when the query (or a row-level operation) asks for it. */
-  override def pruneColumns(required: StructType): Unit =
+    * field), so data-column pruning buys nothing here — the requests
+    * this scan honors are the `_file` / `_pos` METADATA columns,
+    * appended to the read schema when the query (or a row-level
+    * operation, or a deletion-vector build) asks for them. */
+  override def pruneColumns(required: StructType): Unit = {
     withFileCol = required.fieldNames.contains("_file")
+    withPosCol = required.fieldNames.contains("_pos")
+  }
 
   /** Every filter is kept as a RESIDUAL for Spark to evaluate row-by-row
     * — the pushed copy only feeds manifest-stats FILE SKIPPING (exactly
@@ -1633,9 +1900,16 @@ class GraftStoreScanBuilder(path: String, versionAsOf: Option[Long] = None,
     }
 
   private def tryAnswer(a: Aggregation): Option[(StructType, Seq[Any])] = {
-    if (pushed.nonEmpty || a.groupByExpressions.nonEmpty) return None
+    if (pushed.nonEmpty || a.groupByExpressions.nonEmpty ||
+      onlyFiles.isDefined) return None
     val (schema, entries) = try GraftStore.selectEntries(path, versionAsOf, fromVersion)
       catch { case _: Exception => return None }
+    // a delete-vectored file's min/max may no longer be attained (the
+    // extreme row may be deleted) and its null counts are unknown (-1):
+    // COUNT(*) from live `rows` would still be exact, but refusing the
+    // whole pushdown keeps the invariant simple — purgeDeletes restores
+    // metadata-only answers
+    if (entries.exists(_.dv.nonEmpty)) return None
     def statType(c: String): Option[DataType] =
       schema.fields.find(_.name == c).map(_.dataType).filter(dt =>
         dt == IntegerType || dt == LongType || dt == DoubleType)
@@ -1696,7 +1970,7 @@ class GraftStoreScanBuilder(path: String, versionAsOf: Option[Long] = None,
 
   override def build(): Scan =
     new GraftStoreScan(path, pushed, versionAsOf, fromVersion, metaAgg,
-      withFileCol)
+      withFileCol, withPosCol, onlyFiles)
 }
 
 class GraftStoreScan(path: String,
@@ -1704,7 +1978,9 @@ class GraftStoreScan(path: String,
     versionAsOf: Option[Long] = None,
     fromVersion: Option[Long] = None,
     metaAgg: Option[(StructType, Seq[Any])] = None,
-    withFileCol: Boolean = false)
+    withFileCol: Boolean = false,
+    withPosCol: Boolean = false,
+    onlyFiles: Option[Set[String]] = None)
   extends Scan with Batch
   with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering
   with org.apache.spark.sql.connector.read.SupportsReportPartitioning {
@@ -1776,6 +2052,19 @@ class GraftStoreScan(path: String,
     if (dataFs.nonEmpty) runtimeDataFilters = dataFs.toSeq
   }
 
+  // an explicit `_file` equality/IN predicate in the query itself (not
+  // just the runtime group filter) also prunes at planning time — what
+  // makes "read only these named files" (purgeDeletes, targeted repair)
+  // cost I/O proportional to the named set, not the table
+  private val pushedFileSet: Option[Set[String]] = {
+    import org.apache.spark.sql.sources.{EqualTo, In}
+    val sets = pushed.collect {
+      case In("_file", vs) => vs.collect { case s: String => s }.toSet
+      case EqualTo("_file", v: String) => Set(v)
+    }
+    if (sets.isEmpty) None else Some(sets.reduce(_ intersect _))
+  }
+
   // manifest-stats file skipping: a file is read only if no pushed filter
   // disproves it (tri-state NoRows), no runtime group filter excludes
   // it, and no runtime data filter disproves its cluster value. Decided
@@ -1783,6 +2072,8 @@ class GraftStoreScan(path: String,
   // I/O, the Iceberg scan-planning story in miniature.
   private def selected = entries.filter(e =>
     runtimeFiles.forall(_.contains(e.file)) &&
+      pushedFileSet.forall(_.contains(e.file)) &&
+      onlyFiles.forall(_.contains(e.file)) &&
       GraftStore.StatsPruning.evalAll(pushed.toSeq, e, schema) !=
         GraftStore.StatsPruning.NoRows &&
       GraftStore.StatsPruning.evalAll(runtimeDataFilters, e, schema) !=
@@ -1793,10 +2084,15 @@ class GraftStoreScan(path: String,
     * (planInputPartitions always runs before the write's commit). */
   @volatile private[sources] var plannedFiles: Seq[String] = Seq.empty
 
-  override def readSchema(): StructType = metaAgg.map(_._1).getOrElse(
-    if (withFileCol)
-      schema.add("_file", org.apache.spark.sql.types.StringType, nullable = false)
-    else schema)
+  override def readSchema(): StructType = metaAgg.map(_._1).getOrElse {
+    val withF =
+      if (withFileCol)
+        schema.add("_file", org.apache.spark.sql.types.StringType, nullable = false)
+      else schema
+    if (withPosCol)
+      withF.add("_pos", org.apache.spark.sql.types.LongType, nullable = false)
+    else withF
+  }
   override def toBatch: Batch = this
   override def description(): String = metaAgg match {
     case Some((s, _)) =>
@@ -1875,31 +2171,33 @@ class GraftStoreScan(path: String,
       case None =>
         val sel = selected
         plannedFiles = sel.map(_.file)
+        def dvAbs(e: GraftStore.FileEntry): String =
+          if (e.dv.isEmpty) "" else new File(path, e.dv).getAbsolutePath
         spjKey match {
           case Some((c, dt)) =>
             sel.map(e => GraftStoreKeyedFilePartition(
               new File(path, e.file).getAbsolutePath,
-              e.cols, e.file, keyValueOf(e, c, dt)): InputPartition).toArray
+              e.cols, e.file, keyValueOf(e, c, dt), dvAbs(e)): InputPartition).toArray
           case None =>
             sel.map(e =>
               GraftStoreFilePartition(new File(path, e.file).getAbsolutePath,
-                e.cols, e.file): InputPartition).toArray
+                e.cols, e.file, dvAbs(e)): InputPartition).toArray
         }
     }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new GraftStoreReaderFactory(schema.size, withFileCol)
+    new GraftStoreReaderFactory(schema.size, withFileCol, withPosCol)
 }
 
 case class GraftStoreFilePartition(absolutePath: String, cols: Int = -1,
-    relPath: String = "") extends InputPartition
+    relPath: String = "", dvAbs: String = "") extends InputPartition
 
 /** File partition that also carries its single partition-column value, so
   * Spark's key-grouped machinery can line files up across the two sides
   * of a storage-partitioned join (multiple files may share a key — Spark
   * groups them). */
 case class GraftStoreKeyedFilePartition(absolutePath: String, cols: Int,
-    relPath: String, key: Any)
+    relPath: String, key: Any, dvAbs: String = "")
   extends InputPartition
   with org.apache.spark.sql.connector.read.HasPartitionKey {
   override def partitionKey(): InternalRow =
@@ -1907,9 +2205,14 @@ case class GraftStoreKeyedFilePartition(absolutePath: String, cols: Int,
 }
 
 /** One changed file of one commit: its rows are served with the partition's
-  * constant (_change_type, _commit_version) pair appended. */
+  * constant (_change_type, _commit_version) pair appended. `applyDvAbs`
+  * masks rows already deleted BEFORE the range (never part of this
+  * change); `dvDelta` flips the mask — emit ONLY the positions that
+  * `applyDvAbs` has and `baseDvAbs` lacks, i.e. the rows one commit's
+  * merge-on-read DELETE removed. */
 case class GraftStoreCdfPartition(absolutePath: String, cols: Int,
-    changeType: String, version: Long) extends InputPartition
+    changeType: String, version: Long, applyDvAbs: String = "",
+    baseDvAbs: String = "", dvDelta: Boolean = false) extends InputPartition
 
 /** CHANGE DATA FEED scan (`changesFrom` / `changesTo` read options): the
   * row-level delta between two snapshots, emitted as the table's schema
@@ -1929,9 +2232,12 @@ class GraftStoreCdfScan(path: String, fromV: Long, toV: Long,
   override def description(): String =
     s"graft_store_changes($path, v$fromV..v$toV)"
   override def planInputPartitions(): Array[InputPartition] =
-    GraftStore.cdfFileDiffs(path, fromV, toV).map { case (f, cols, typ, v) =>
-      GraftStoreCdfPartition(new File(path, f).getAbsolutePath, cols, typ, v)
-        : InputPartition
+    GraftStore.cdfFileDiffs(path, fromV, toV).map { u =>
+      GraftStoreCdfPartition(new File(path, u.file).getAbsolutePath, u.cols,
+        u.changeType, u.version,
+        if (u.applyDv.isEmpty) "" else new File(path, u.applyDv).getAbsolutePath,
+        if (u.baseDv.isEmpty) "" else new File(path, u.baseDv).getAbsolutePath,
+        u.dvDelta): InputPartition
     }.toArray
   override def createReaderFactory(): PartitionReaderFactory =
     new GraftStoreReaderFactory(dataSchema.size)
@@ -1966,9 +2272,12 @@ class GraftStoreCdfMicroBatchStream(path: String, numDataFields: Int,
     val s = start.asInstanceOf[GraftVersionOffset].version
     val e = end.asInstanceOf[GraftVersionOffset].version
     if (e <= s) return Array.empty
-    GraftStore.cdfFileDiffs(path, s, e).map { case (f, cols, typ, v) =>
-      GraftStoreCdfPartition(new File(path, f).getAbsolutePath, cols, typ, v)
-        : InputPartition
+    GraftStore.cdfFileDiffs(path, s, e).map { u =>
+      GraftStoreCdfPartition(new File(path, u.file).getAbsolutePath, u.cols,
+        u.changeType, u.version,
+        if (u.applyDv.isEmpty) "" else new File(path, u.applyDv).getAbsolutePath,
+        if (u.baseDv.isEmpty) "" else new File(path, u.baseDv).getAbsolutePath,
+        u.dvDelta): InputPartition
     }.toArray
   }
 
@@ -1996,14 +2305,14 @@ class GraftStoreMicroBatchStream(path: String, numFields: Int,
   extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
   import org.apache.spark.sql.connector.read.streaming.Offset
 
-  private def filesAt(v: Long): Map[String, Int] =
+  private def filesAt(v: Long): Map[String, (Int, String)] =
     if (v <= 0) Map.empty
     else GraftStore.readManifestFile(
       new File(path, s"${GraftStore.ManifestName}.v$v"))
       .getOrElse(throw new IllegalStateException(
         s"snapshot v$v at $path expired while a stream checkpoint still " +
           "references it — retain snapshots at least as long as readers"))
-      ._2.map(e => e.file -> e.cols).toMap
+      ._2.map(e => e.file -> (e.cols, e.dv)).toMap
 
   override def initialOffset(): Offset = GraftVersionOffset(startVersion)
   override def deserializeOffset(json: String): Offset =
@@ -2015,15 +2324,21 @@ class GraftStoreMicroBatchStream(path: String, numFields: Int,
     val s = start.asInstanceOf[GraftVersionOffset].version
     val e = end.asInstanceOf[GraftVersionOffset].version
     if (e <= s) return Array.empty
-    val base = filesAt(s).keySet
+    val base = filesAt(s)
     val now = filesAt(e)
-    val removed = base -- now.keySet
+    // a base file removed OR delete-vectored inside the range makes the
+    // append-only file diff a lie — refuse, same contract as the batch
+    // incremental read
+    val removed = (base.keySet -- now.keySet) ++
+      base.keySet.filter(f => now.get(f).exists(_._2 != base(f)._2))
     require(removed.isEmpty,
       s"stream batch v$s..v$e crosses a non-append snapshot " +
-        s"(${removed.size} base file(s) removed) — tail a change feed " +
-        "(changesFrom/changesTo batch reads) across deletes or rewrites")
-    (now -- base).toSeq.sortBy(_._1).map { case (f, cols) =>
-      GraftStoreFilePartition(new File(path, f).getAbsolutePath, cols)
+        s"(${removed.size} base file(s) removed or delete-vectored) — " +
+        "tail a change feed (changesFrom/changesTo batch reads) across " +
+        "deletes or rewrites")
+    (now -- base.keySet).toSeq.sortBy(_._1).map { case (f, (cols, dv)) =>
+      GraftStoreFilePartition(new File(path, f).getAbsolutePath, cols, f,
+        if (dv.isEmpty) "" else new File(path, dv).getAbsolutePath)
         : InputPartition
     }.toArray
   }
@@ -2038,9 +2353,21 @@ class GraftStoreMicroBatchStream(path: String, numFields: Int,
   * computed at PLANNING time on the driver; the "read" just emits them. */
 case class GraftStoreMetaAggPartition(values: Array[Any]) extends InputPartition
 
-class GraftStoreReaderFactory(scanFields: Int, withFileCol: Boolean = false)
+class GraftStoreReaderFactory(scanFields: Int, withFileCol: Boolean = false,
+    withPosCol: Boolean = false)
   extends PartitionReaderFactory {
   import org.apache.spark.unsafe.types.UTF8String
+
+  private def consts(relPath: String): Array[Any] = {
+    val c = (if (withFileCol) Seq[Any](UTF8String.fromString(relPath)) else Seq.empty) ++
+      (if (withPosCol) Seq[Any](0L) else Seq.empty)
+    if (c.isEmpty) null else c.toArray
+  }
+  private def posSlot(tail: Array[Any]): Int =
+    if (withPosCol && tail != null) tail.length - 1 else -1
+  private def skipOf(dvAbs: String): java.util.BitSet =
+    if (dvAbs == null || dvAbs.isEmpty) null else GraftStore.Dv.bitset(dvAbs)
+
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = p match {
     case GraftStoreMetaAggPartition(values) =>
       new PartitionReader[InternalRow] {
@@ -2050,28 +2377,41 @@ class GraftStoreReaderFactory(scanFields: Int, withFileCol: Boolean = false)
           new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(values)
         override def close(): Unit = ()
       }
-    case GraftStoreCdfPartition(abs, cols, changeType, version) =>
+    case GraftStoreCdfPartition(abs, cols, changeType, version, applyDv,
+        baseDv, dvDelta) =>
       // change-feed partition: the ordinary file read, with the two CDF
-      // columns riding the same constant-tail wrapper as `_file`
+      // columns riding the same constant-tail wrapper as `_file`. A
+      // dv-delta partition inverts the mask: serve ONLY the newly
+      // deleted positions (applyDv minus baseDv).
       val fileFields = if (cols > 0) cols else scanFields
+      val (skip, only) =
+        if (dvDelta) {
+          val o = GraftStore.Dv.bitset(applyDv)
+          if (baseDv.nonEmpty) o.andNot(GraftStore.Dv.bitset(baseDv))
+          (null, o)
+        } else (skipOf(applyDv), null)
       new GraftStoreFileReader(abs, fileFields, scanFields,
-        Array[Any](UTF8String.fromString(changeType), version))
+        Array[Any](UTF8String.fromString(changeType), version),
+        skipDv = skip, onlyDv = only)
     case kp: GraftStoreKeyedFilePartition =>
       val fileFields = if (kp.cols > 0) kp.cols else scanFields
+      val tail = consts(kp.relPath)
       new GraftStoreFileReader(kp.absolutePath, fileFields, scanFields,
-        if (withFileCol) Array[Any](UTF8String.fromString(kp.relPath)) else null)
+        tail, skipDv = skipOf(kp.dvAbs), posSlot = posSlot(tail))
     case fp: GraftStoreFilePartition =>
       // a file written before an ADD COLUMN carries fewer fields than the
       // scan schema: parse at its own arity (UnsafeRow layout bakes the
       // field count into the bytes) and null-pad the tail
       val fileFields = if (fp.cols > 0) fp.cols else scanFields
+      val tail = consts(fp.relPath)
       new GraftStoreFileReader(fp.absolutePath, fileFields, scanFields,
-        if (withFileCol) Array[Any](UTF8String.fromString(fp.relPath)) else null)
+        tail, skipDv = skipOf(fp.dvAbs), posSlot = posSlot(tail))
   }
 }
 
 class GraftStoreFileReader(file: String, numFields: Int, scanFields: Int,
-    tailVals: Array[Any] = null)
+    tailVals: Array[Any] = null, skipDv: java.util.BitSet = null,
+    onlyDv: java.util.BitSet = null, posSlot: Int = -1)
   extends PartitionReader[InternalRow] {
   def this(file: String, numFields: Int) = this(file, numFields, numFields)
   private val in = new DataInputStream(
@@ -2081,29 +2421,51 @@ class GraftStoreFileReader(file: String, numFields: Int, scanFields: Int,
   // or the CDF pair) share one JoinedRow(dataRow, tail) wrapper — zero
   // per-row allocation, and the common case (full-width file, no
   // metadata) returns the UnsafeRow untouched (no wrapper on the hot
-  // path). Tail layout: evolution nulls, then the constant values.
-  private val pad = {
-    val extra = if (tailVals != null) tailVals.length else 0
-    val tail = (scanFields - numFields) + extra
-    if (tail > 0) {
-      val vals = new Array[Any](tail)
+  // path). Tail layout: evolution nulls, then the constant values; the
+  // `_pos` slot, when present, is the one per-row-mutable tail cell.
+  private val tailRow =
+    if (tailVals != null || scanFields > numFields) {
+      val extra = if (tailVals != null) tailVals.length else 0
+      val vals = new Array[Any]((scanFields - numFields) + extra)
       if (extra > 0)
-        System.arraycopy(tailVals, 0, vals, tail - extra, extra)
-      new org.apache.spark.sql.catalyst.expressions.JoinedRow()
-        .withRight(new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(vals))
+        System.arraycopy(tailVals, 0, vals, vals.length - extra, extra)
+      new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(vals)
     } else null
-  }
+  private val pad =
+    if (tailRow != null)
+      new org.apache.spark.sql.catalyst.expressions.JoinedRow()
+        .withRight(tailRow)
+    else null
+  // absolute index of the _pos slot inside the tail row (posSlot indexes
+  // tailVals, which sit after the evolution-null padding)
+  private val posIdx =
+    if (posSlot >= 0 && tailRow != null)
+      (scanFields - numFields) + posSlot
+    else -1
   private var current: Array[Byte] = _
+  private var pos = -1L // physical (pre-deletion) ordinal of `current`
 
-  override def next(): Boolean =
-    try {
-      // committed files end exactly on a frame boundary, so EOF can only
-      // surface here, never inside readFully
-      val len = in.readInt()
+  override def next(): Boolean = {
+    // committed files end exactly on a frame boundary, so EOF can only
+    // surface here, never inside readFully
+    while (true) {
+      val len =
+        try in.readInt()
+        catch { case _: java.io.EOFException => return false }
       current = new Array[Byte](len)
       in.readFully(current)
-      true
-    } catch { case _: java.io.EOFException => false }
+      pos += 1
+      val p = pos.toInt
+      val emit =
+        if (onlyDv != null) onlyDv.get(p)
+        else skipDv == null || !skipDv.get(p)
+      if (emit) {
+        if (posIdx >= 0) tailRow.update(posIdx, pos)
+        return true
+      }
+    }
+    false
+  }
 
   override def get(): InternalRow = {
     row.pointTo(current, current.length)

@@ -1015,4 +1015,163 @@ class GraftStoreSpec extends SparkSuite {
     }
     assert(w.getMessage.contains("change feed"))
   }
+
+  private def dvSidecars(path: String): Seq[String] =
+    dataFiles(path).filter(_.contains(".dv."))
+
+  test("deletion vectors: delete writes sidecars only; reads mask; deletes compose") {
+    import spark.implicits._
+    val path = tempTable()
+    writeDf(spark.range(0, 1000, 1, 4).select($"id", ($"id" % 7).as("k")), path)
+    val before = dataFiles(path)
+    val mtimes = before.map(f => f -> new File(path, s"data/$f").lastModified()).toMap
+    GraftStore.deleteWhereDV(spark, path, $"id" % 10 === 3)
+    // no data file was rewritten or dropped — only sidecars appeared
+    val after = dataFiles(path)
+    assert(after.filterNot(_.contains(".dv.")).toSet == before.toSet,
+      "merge-on-read delete must not touch data files")
+    before.foreach(f => assert(
+      new File(path, s"data/$f").lastModified() == mtimes(f),
+      s"data file $f was rewritten by a DV delete"))
+    assert(dvSidecars(path).size == 4, s"one sidecar per affected file: $after")
+    // manifest: every entry carries its dv and the LIVE row count
+    val entries = GraftStore.readManifest(path).get._2
+    assert(entries.forall(_.dv.nonEmpty))
+    assert(entries.map(_.rows).sum == 900)
+    assert(readBack(path).count() == 900)
+    assert(readBack(path).filter($"id" % 10 === 3).count() == 0)
+    // second delete composes: its scan sees live rows, its sidecar
+    // addresses PHYSICAL positions — both masks apply
+    GraftStore.deleteWhereDV(spark, path, $"id" % 9 === 1)
+    val expect = (0L until 1000L).filterNot(i => i % 10 == 3 || i % 9 == 1)
+    assert(readBack(path).orderBy($"id").collect().map(_.getLong(0)).toSeq ==
+      expect, "composed DV deletes returned the wrong row set")
+    // cumulative: still one sidecar per file referenced, old ones GC-able
+    assert(GraftStore.readManifest(path).get._2.forall(_.dv.nonEmpty))
+  }
+
+  test("deletion vectors: change feed emits exactly the newly deleted rows") {
+    import spark.implicits._
+    val path = tempTable()
+    writeDf(spark.range(0, 100, 1, 1).select($"id", ($"id" % 5).as("k")), path) // v1
+    GraftStore.deleteWhereDV(spark, path, $"id" % 10 === 3) // v2
+    GraftStore.deleteWhereDV(spark, path, $"id" % 7 === 0)  // v3
+    def changes(f: Long, t: Long) =
+      spark.read.format("graft.sources.GraftStore").option("path", path)
+        .option("changesFrom", f.toString).option("changesTo", t.toString)
+        .load()
+    val d1 = changes(1, 2).collect()
+    assert(d1.forall(_.getString(2) == "delete"))
+    assert(d1.map(_.getLong(0)).sorted.toSeq ==
+      (0L until 100L).filter(_ % 10 == 3),
+      "first DV delta must be exactly the %10==3 rows")
+    // the second delta must NOT re-emit rows the first delete removed
+    val d2 = changes(2, 3).collect()
+    assert(d2.map(_.getLong(0)).sorted.toSeq ==
+      (0L until 100L).filter(i => i % 7 == 0 && i % 10 != 3),
+      "second DV delta re-emitted already-deleted rows or lost new ones")
+    // full-range feed replay: inserts minus deletes == current table
+    val all = changes(0, 3)
+    val replayed = all.filter($"_change_type" === "insert").select($"id")
+      .exceptAll(all.filter($"_change_type" === "delete").select($"id"))
+      .orderBy($"id").collect().map(_.getLong(0)).toSeq
+    assert(replayed ==
+      readBack(path).orderBy($"id").collect().map(_.getLong(0)).toSeq,
+      "replaying the DV feed does not reconstruct the table")
+  }
+
+  test("deletion vectors: append-only readers refuse dv ranges; metadata aggs decline") {
+    import spark.implicits._
+    val path = tempTable()
+    writeDf(spark.range(0, 200, 1, 2).select($"id"), path) // v1
+    GraftStore.deleteWhereDV(spark, path, $"id" % 4 === 1) // v2
+    // incremental (fromVersion) read: the base files mutated underneath
+    val e = intercept[Exception] {
+      spark.read.format("graft.sources.GraftStore").option("path", path)
+        .option("fromVersion", "1").load().collect()
+    }
+    assert(e.getMessage.contains("delete-vectored"),
+      s"expected the dv refusal, got: ${e.getMessage}")
+    // metadata-only aggregates decline while vectors exist (a deleted
+    // row may have held the extreme; null counts are unknown)
+    val agg = readBack(path).agg(expr("count(*)").as("n"), max($"id"))
+    assert(!agg.queryExecution.executedPlan.toString.contains("metadata-only"),
+      "metadata aggregate must decline on a delete-vectored table")
+    assert(agg.collect()(0).getLong(0) == 150)
+  }
+
+  test("purgeDeletes folds vectors into clean files: invisible, feed-silent, metadata restored") {
+    import spark.implicits._
+    val path = tempTable()
+    writeDf(spark.range(0, 500, 1, 4).select($"id", ($"id" % 3).as("k")), path)
+    GraftStore.deleteWhereDV(spark, path, $"id" % 5 === 2)
+    val vDv = GraftStore.readVersion(path)
+    val contentBefore = readBack(path).orderBy($"id").collect().map(_.toString).toSeq
+    GraftStore.purgeDeletes(spark, path)
+    // content-invisible rewrite
+    assert(readBack(path).orderBy($"id").collect().map(_.toString).toSeq ==
+      contentBefore, "purge changed table content")
+    // manifest is vector-free; live rows exact
+    val entries = GraftStore.readManifest(path).get._2
+    assert(entries.forall(_.dv.isEmpty), "purge left delete-vectored entries")
+    assert(entries.map(_.rows).sum == 400)
+    // the change feed is silent across the purge (op=optimize)
+    val feed = spark.read.format("graft.sources.GraftStore").option("path", path)
+      .option("changesFrom", vDv.toString).load()
+    assert(feed.count() == 0, "purge must emit nothing in the change feed")
+    // metadata-only aggregates return, with fresh exact stats
+    val agg = readBack(path).agg(expr("count(*)").as("n"), max($"id").as("mx"))
+    assert(agg.queryExecution.executedPlan.toString.contains("metadata-only aggregate"),
+      "metadata aggregate did not return after purge")
+    val r = agg.collect()(0)
+    assert(r.getLong(0) == 400 && r.getLong(1) == 499)
+    // pre-purge snapshot still time-travels WITH its vectors applied
+    val tt = spark.read.format("graft.sources.GraftStore").option("path", path)
+      .option("versionAsOf", vDv.toString).load()
+    assert(tt.count() == 400)
+  }
+
+  test("write-audit-publish: staged rows invisible on main; publish is fast-forward-only") {
+    import spark.implicits._
+    val root = graft.ops.Util.managedTempDir("graft_store_spec_wap_")
+    val main = s"$root/main"
+    val branch = s"$root/branch"
+    writeDf(spark.range(0, 300, 1, 2).select($"id", lit("base").as("src")), main)
+    val mainV = GraftStore.readVersion(main)
+    GraftStore.cloneTable(main, branch)
+    writeDf(spark.range(300, 400, 1, 1).select($"id", lit("day").as("src")),
+      branch, mode = "append")
+    // staged rows are invisible on main — version AND content untouched
+    assert(GraftStore.readVersion(main) == mainV)
+    assert(readBack(main).count() == 300, "staged rows leaked to main")
+    GraftStore.publish(main, branch)
+    assert(readBack(main).count() == 400)
+    assert(readBack(main).filter($"src" === "day").count() == 100)
+    // zero-copy: the staged file on main is a hard link to the branch's
+    val staged = GraftStore.readManifest(main).get._2
+      .filterNot(e => GraftStore.readManifestFile(
+        new File(branch, "_manifest.v1")).get._2.map(_.file).contains(e.file))
+    assert(staged.nonEmpty)
+    staged.foreach { e =>
+      val a = java.nio.file.Files.getAttribute(
+        new File(main, e.file).toPath, "unix:ino")
+      val b = java.nio.file.Files.getAttribute(
+        new File(branch, e.file).toPath, "unix:ino")
+      assert(a == b, s"published file ${e.file} was copied, not linked")
+    }
+    // a second branch forked from the OLD version cannot publish over
+    // the new commit — fast-forward only, never a lost update
+    val stale = s"$root/stale"
+    GraftStore.cloneTable(main, stale)
+    writeDf(spark.range(400, 410, 1, 1).select($"id", lit("x").as("src")),
+      main, mode = "append") // main advances past the fork
+    writeDf(spark.range(500, 510, 1, 1).select($"id", lit("y").as("src")),
+      stale, mode = "append")
+    val c = intercept[GraftStore.ConflictException] {
+      GraftStore.publish(main, stale)
+    }
+    assert(c.getMessage.contains("fast-forward"))
+    assert(readBack(main).filter($"src" === "y").count() == 0,
+      "conflicted publish leaked staged rows")
+  }
 }
