@@ -647,7 +647,70 @@ object LlmOpsExt {
       .orderBy($"doc_id")
   }
 
+  /** Sparse-cosine all-pairs similarity with DOMINANT-TERM BLOCKING: the
+    * text-side analogue of the embedding ANN family. TF-IDF sparse vectors
+    * over the corpus vocabulary; candidate pairs must share their argmax
+    * (top tf-idf) term — a deterministic blocking key that cuts the
+    * all-pairs space by ~|vocab|× — then EXACT cosine on candidates only,
+    * thresholded.
+    *
+    * Plan shape: one self-join on (top_term, term) — each posting list is
+    * partitioned by the compound key, so the quadratic blow-up is bounded
+    * per (block, term) cell rather than per term (this fixture's vocabulary
+    * is 31 terms with df ≈ 0.8·N: plain inverted-index joins are O(|V|·N²),
+    * the blocked join is O(|V|·(N/|V|)²·|V|) = O(N²) but with every cell
+    * independently parallel and threshold-filtered before any wide row is
+    * materialized). At 100 TB the blocking key would also be size-capped
+    * (split blocks over a posting-length bound, the canopy/LSH discipline
+    * q_dedup_embed_lsh uses); the join never materializes non-candidate
+    * pairs, and weights/norms/dots are exact scaled INTEGERS (idf
+    * quantized at 1e-4) so partial-aggregation order and cross-engine
+    * decimal rounding rules can't move the hash — doubles appear only in
+    * per-row IEEE-exact ops (convert-below-2^53, multiply, sqrt,
+    * divide). */
+  val qSimSparse: Q = (s, dir) => {
+    import s.implicits._
+    val d = table(s, dir, "documents")
+    val tf = d.select($"doc_id", explode(toks($"text")).as("term"))
+      .groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy($"term").agg(count(lit(1)).as("df"))
+    val n = d.agg(count(lit(1)).as("n_docs"))
+    // cross-engine hash parity demands NO decimal downscales (Spark rounds
+    // HALF_UP where DuckDB truncates) and NO big-decimal→double casts (not
+    // correctly rounded identically): quantize the idf to an exact scaled
+    // INTEGER (round(·,0) yields an integral double both engines agree on —
+    // the 31 idf values sit ≥3e-3 from any .5 boundary), so weights, dots
+    // and norms are exact int64 < 2^53 (exact in double), and the 10⁴
+    // weight scale cancels between dot and √(ssq_a·ssq_b); the remaining
+    // double ops (multiply, sqrt, divide, 6dp round) are IEEE-deterministic
+    val w = tf.join(broadcast(df), "term").crossJoin(broadcast(n))
+      .select($"doc_id", $"term",
+        ($"tf" * round(log($"n_docs".cast("double") / $"df") * 10000, 0)
+          .cast("long")).as("w"))
+    val top = w.withColumn("rn",
+        row_number().over(
+          Window.partitionBy($"doc_id").orderBy($"w".desc, $"term")))
+      .filter($"rn" === 1).select($"doc_id", $"term".as("top_term"))
+    val norm = w.groupBy($"doc_id").agg(sum($"w" * $"w").as("ssq"))
+    val wt = w.join(top, "doc_id")
+    val dots = wt.as("a").join(wt.as("b"),
+        $"a.top_term" === $"b.top_term" && $"a.term" === $"b.term" &&
+          $"a.doc_id" < $"b.doc_id")
+      .groupBy($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"))
+      .agg(sum($"a.w" * $"b.w").as("dot"))
+    dots
+      .join(norm.select($"doc_id".as("doc_a"), $"ssq".as("ssq_a")), "doc_a")
+      .join(norm.select($"doc_id".as("doc_b"), $"ssq".as("ssq_b")), "doc_b")
+      .select($"doc_a", $"doc_b",
+        round($"dot".cast("double") /
+          sqrt($"ssq_a".cast("double") * $"ssq_b".cast("double")), 6)
+          .as("cosine"))
+      .filter($"cosine" >= 0.9)
+      .orderBy($"doc_a", $"doc_b")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_sim_sparse" -> qSimSparse,
     "q_dedup_simhash" -> qDedupSimhash,
     "q_text_unigram_lm" -> qTextUnigramLm,
     "q_text_bigram_lm" -> qTextBigramLm,
@@ -667,6 +730,35 @@ object LlmOpsExt {
   )
 
   val oracleSql: Map[String, String] = Map(
+    // blocked candidates (shared argmax tf-idf term), exact cosine over
+    // INTEGER-quantized weights (idf × 10⁴ rounded to an integer); all
+    // sums exact int64 < 2^53, doubles only in IEEE-exact scalar ops
+    "q_sim_sparse" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text,' ')) AS term FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+        |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        |n AS (SELECT count(*) AS n_docs FROM documents),
+        |w AS (SELECT doc_id, tf.term,
+        |    tf * CAST(round(ln(CAST(n_docs AS DOUBLE)/df) * 10000, 0) AS BIGINT) AS w
+        |  FROM tf JOIN df ON tf.term = df.term CROSS JOIN n),
+        |top AS (SELECT doc_id, term AS top_term FROM (
+        |    SELECT doc_id, term,
+        |      row_number() OVER (PARTITION BY doc_id ORDER BY w DESC, term) AS rn
+        |    FROM w) WHERE rn = 1),
+        |norm AS (SELECT doc_id, sum(w*w) AS ssq FROM w GROUP BY 1),
+        |wt AS (SELECT w.doc_id, w.term, w.w, top.top_term
+        |  FROM w JOIN top ON w.doc_id = top.doc_id),
+        |dots AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, sum(a.w*b.w) AS dot
+        |  FROM wt a JOIN wt b
+        |    ON a.top_term = b.top_term AND a.term = b.term AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT doc_a, doc_b, cosine FROM (
+        |  SELECT doc_a, doc_b,
+        |    round(CAST(dot AS DOUBLE) /
+        |      sqrt(CAST(na.ssq AS DOUBLE) * CAST(nb.ssq AS DOUBLE)), 6) AS cosine
+        |  FROM dots JOIN norm na ON doc_a = na.doc_id JOIN norm nb ON doc_b = nb.doc_id)
+        |WHERE cosine >= 0.9
+        |ORDER BY doc_a, doc_b""".stripMargin,
     "q_sim_quantized" ->
       """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
         |  FROM embeddings),

@@ -134,6 +134,45 @@ class CurationSpec extends SparkSuite {
     assert(recall >= 0.8, s"int8 quantization recall $recall < 0.8")
   }
 
+  test("q_sim_sparse: blocked pairs are a sound, high-recall subset of all-pairs") {
+    import spark.implicits._
+    val blocked = SparkEntry.queries("q_sim_sparse")(spark, sfDir).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(blocked.nonEmpty, "no blocked pairs at this scale")
+    blocked.foreach { case ((a, b), c) =>
+      assert(a < b, s"pair ($a,$b) not canonically ordered")
+      assert(c >= 0.9 && c <= 1.0, s"cosine $c outside [0.9, 1]")
+    }
+    // ground truth: the same integer-weight cosine WITHOUT the blocking
+    // constraint (full inverted-index join) — blocking must never invent a
+    // pair (soundness) and must keep most of the threshold set (recall)
+    val d = graft.ops.Util.table(spark, sfDir, "documents")
+    val tf = d.select($"doc_id", explode(split($"text", " ")).as("term"))
+      .groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy($"term").agg(count(lit(1)).as("df"))
+    val n = d.agg(count(lit(1)).as("n_docs"))
+    val w = tf.join(broadcast(df), "term").crossJoin(broadcast(n))
+      .select($"doc_id", $"term",
+        ($"tf" * round(log($"n_docs".cast("double") / $"df") * 10000, 0)
+          .cast("long")).as("w"))
+    val norm = w.groupBy($"doc_id").agg(sum($"w" * $"w").as("ssq"))
+    val all = w.as("a").join(w.as("b"),
+        $"a.term" === $"b.term" && $"a.doc_id" < $"b.doc_id")
+      .groupBy($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"))
+      .agg(sum($"a.w" * $"b.w").as("dot"))
+      .join(norm.select($"doc_id".as("doc_a"), $"ssq".as("ssq_a")), "doc_a")
+      .join(norm.select($"doc_id".as("doc_b"), $"ssq".as("ssq_b")), "doc_b")
+      .select($"doc_a", $"doc_b",
+        round($"dot".cast("double") /
+          sqrt($"ssq_a".cast("double") * $"ssq_b".cast("double")), 6).as("c"))
+      .filter($"c" >= 0.9).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    blocked.foreach { case (k, c) =>
+      assert(all.get(k).contains(c), s"blocked pair $k absent or differs in exact all-pairs") }
+    val recall = blocked.size.toDouble / all.size
+    assert(recall >= 0.5, s"dominant-term blocking recall $recall < 0.5")
+  }
+
   test("q_sim_pq: ADC top-5 structure is sound and beats random retrieval") {
     import spark.implicits._
     val rows = SparkEntry.queries("q_sim_pq")(spark, sfDir).collect()
