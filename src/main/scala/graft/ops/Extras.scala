@@ -231,7 +231,54 @@ object Extras {
       .orderBy($"p_partkey")
   }
 
+  /** MATERIALIZED-VIEW AUTO-REWRITE (round 8) — build a tiny rollup of
+    * lineitem at (l_returnflag, l_linestatus) grain, register it with the
+    * source's file-list fingerprint, inject the RewriteAggToMv optimizer
+    * rule, then run a plain aggregate over the FACT table grouped by the
+    * coarser l_returnflag: the rule substitutes a re-aggregation over the
+    * ~6-row MV for the full scan (SUMs re-sum, COUNT re-sums the stored
+    * count), transparently and only while the fingerprint still matches.
+    * The oracle recomputes from source — equality IS the proof the
+    * substituted plan is semantically invisible. Plan-shape and staleness
+    * bounds in PlanShapeSpec. */
+  val qMvRewrite: Q = (s, dir) => {
+    import s.implicits._
+    import graft.plans.{MvCatalog, RewriteAggToMv}
+    val src = table(s, dir, "lineitem")
+    val lr = src.queryExecution.analyzed.collectFirst {
+      case l: org.apache.spark.sql.execution.datasources.LogicalRelation => l
+    }.get
+    val key = MvCatalog.sourceKey(lr).get
+    val fp = MvCatalog.fingerprint(lr).get
+    // build + register once per (source file set); rebuilds only when the
+    // fixture dir (and so the fingerprint) changes
+    if (!MvCatalog.lookup(key).exists(_.fingerprint == fp)) {
+      val mvPath = Util.managedTempDir("graft_mv_") + "/lineitem_by_flag_status"
+      src.groupBy($"l_returnflag", $"l_linestatus")
+        .agg(sum(dec($"l_quantity")).as("s_qty"),
+          sum(dec($"l_extendedprice")).as("s_price"),
+          count(lit(1)).as("cnt"))
+        .write.mode("overwrite").parquet(mvPath)
+      MvCatalog.register(key, MvCatalog.MvDef(mvPath, fp,
+        groupCols = Set("l_returnflag", "l_linestatus"),
+        measures = Map(
+          "sum:l_quantity:decimal(18,4)" -> "s_qty",
+          "sum:l_extendedprice:decimal(18,4)" -> "s_price",
+          "cnt" -> "cnt")))
+    }
+    if (!s.experimental.extraOptimizations.contains(RewriteAggToMv))
+      s.experimental.extraOptimizations =
+        s.experimental.extraOptimizations :+ RewriteAggToMv
+    table(s, dir, "lineitem")
+      .groupBy($"l_returnflag")
+      .agg(dsumd($"l_quantity").as("sum_qty"),
+        dsumd($"l_extendedprice").as("sum_price"),
+        count(lit(1)).as("n_rows"))
+      .orderBy($"l_returnflag")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_mv_rewrite" -> qMvRewrite,
     "q_sql_q5" -> qSqlQ5,
     "q_sql_q10" -> qSqlQ10,
     "q_sql_q18" -> qSqlQ18,
@@ -280,6 +327,14 @@ object Extras {
         | array_to_string(regexp_extract_all(p_name, '[aeiou]+'), ',') AS vowel_runs,
         | CAST(len(regexp_extract_all(p_name, '[aeiou]+')) AS BIGINT) AS n_runs
         |FROM part ORDER BY p_partkey""".stripMargin,
+    // recomputed from SOURCE — equality proves the MV-substituted plan
+    // is semantically invisible
+    "q_mv_rewrite" ->
+      """SELECT l_returnflag,
+        | CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS sum_qty,
+        | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS sum_price,
+        | count(*) AS n_rows
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_rule_rewrite" ->
       """SELECT p_partkey,
         | round((p_retailprice - 1000.0) * (p_retailprice - 1000.0), 4) AS sq_dev

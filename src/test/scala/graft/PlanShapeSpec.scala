@@ -1,5 +1,7 @@
 package graft
 
+import org.apache.spark.sql.functions.{avg, col, count, lit}
+
 /** SURVEY §5.3(5): plan-shape assertions — the optimizer behaviors the
   * 100 TB design depends on must be visible in the physical plan, not
   * assumed. */
@@ -498,5 +500,50 @@ class PlanShapeSpec extends SparkSuite {
     if (nCells > 20)
       assert(planned < total,
         s"expected planning-time cell skipping: planned=$planned total=$total")
+  }
+
+  test("q_mv_rewrite substitutes the MV scan for the fact scan") {
+    val df = SparkEntry.queries("q_mv_rewrite")(spark, sfDir)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("graft_mv_"),
+      s"physical plan does not read the materialized view:\n$p")
+    assert(!p.contains("lineitem.parquet"),
+      s"physical plan still scans the fact table (rewrite did not fire):\n$p")
+  }
+
+  test("MV rewrite declines on fingerprint mismatch (stale view never serves)") {
+    import graft.plans.{MvCatalog, RewriteAggToMv}
+    import org.apache.spark.sql.execution.datasources.LogicalRelation
+    if (!spark.experimental.extraOptimizations.contains(RewriteAggToMv))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ RewriteAggToMv
+    val src = graft.ops.Util.table(spark, sfDir, "nation")
+    val lr = src.queryExecution.analyzed.collectFirst { case l: LogicalRelation => l }.get
+    val key = MvCatalog.sourceKey(lr).get
+    // a well-formed MV whose fingerprint does NOT match the live file set
+    MvCatalog.register(key, MvCatalog.MvDef(
+      mvPath = "/nonexistent/should/never/be/read",
+      fingerprint = "stale0000",
+      groupCols = Set("n_regionkey"),
+      measures = Map("cnt" -> "cnt")))
+    try {
+      val q = src.groupBy(col("n_regionkey")).agg(count(lit(1)).as("cnt"))
+      val p = q.queryExecution.executedPlan.toString
+      assert(p.contains("nation.parquet"),
+        s"stale-MV query must fall back to the source scan:\n$p")
+      assert(q.collect().map(_.getLong(1)).sum == 25L)
+    } finally MvCatalog.deregister(key)
+  }
+
+  test("MV rewrite declines on unsupported aggregates (avg/distinct compute from source)") {
+    // q_mv_rewrite has registered the lineitem MV and injected the rule;
+    // an avg (not derivable from the stored measures) must decline
+    SparkEntry.queries("q_mv_rewrite")(spark, sfDir).collect()
+    val q = graft.ops.Util.table(spark, sfDir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(avg(col("l_discount")).as("a"))
+    val p = q.queryExecution.executedPlan.toString
+    assert(p.contains("lineitem.parquet"),
+      s"avg is not MV-derivable; plan must scan the source:\n$p")
   }
 }
