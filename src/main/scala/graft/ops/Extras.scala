@@ -277,8 +277,67 @@ object Extras {
       .orderBy($"l_returnflag")
   }
 
+  /** INCREMENTAL MV MAINTENANCE (round 8) — the staleness gate is not just
+    * a safety valve, it's the refresh TRIGGER and the refresh DIFF BASE:
+    * the MvDef records the exact source file list at build time, so when
+    * ingest appends files the maintainer (a) detects staleness by
+    * fingerprint, (b) aggregates ONLY the new files (I/O ∝ delta, the MV's
+    * own contents fold in at MV size — never a re-scan of the old
+    * petabytes; sums/counts are self-mergeable, the DBSP/incremental-view
+    * insight), (c) re-registers at the new fingerprint. The query then
+    * auto-rewrites against the refreshed MV. The oracle recomputes the
+    * whole thing from source — equality proves maintenance lost nothing.
+    * Plan substitution pinned in PlanShapeSpec. */
+  val qMvIncr: Q = (s, dir) => {
+    import s.implicits._
+    import graft.plans.{MvCatalog, RewriteAggToMv}
+    import org.apache.spark.sql.execution.datasources.LogicalRelation
+    val root = Util.managedTempDir("graft_mvi_")
+    val fact = s"$root/fact"
+    val o = table(s, dir, "orders").select($"o_orderkey", $"o_orderstatus", $"o_totalprice")
+    o.filter($"o_orderkey" % 3 === 0).write.parquet(fact)
+    def factLr = s.read.parquet(fact).queryExecution.analyzed
+      .collectFirst { case l: LogicalRelation => l }.get
+    def mvOf(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy($"o_orderstatus")
+        .agg(dsumd($"o_totalprice").as("s_price"), count(lit(1)).as("cnt"))
+    // v1: full build + register
+    val lr1 = factLr
+    val key = MvCatalog.sourceKey(lr1).get
+    mvOf(s.read.parquet(fact)).write.parquet(s"$root/mv_v1")
+    val measures = Map("sum:o_totalprice:decimal(18,4)" -> "s_price", "cnt" -> "cnt")
+    MvCatalog.register(key, MvCatalog.MvDef(s"$root/mv_v1",
+      MvCatalog.fingerprint(lr1).get, Set("o_orderstatus"), measures,
+      MvCatalog.inputFiles(lr1)))
+    // ingest: a second slice lands as appended files
+    o.filter($"o_orderkey" % 3 === 1).write.mode("append").parquet(fact)
+    // maintenance: stale by fingerprint -> aggregate ONLY the new files,
+    // fold the old MV in (MV-sized), re-register at the new fingerprint
+    val lr2 = factLr
+    val mv0 = MvCatalog.lookup(key).get
+    assert(MvCatalog.fingerprint(lr2).get != mv0.fingerprint)
+    val newFiles = (MvCatalog.inputFiles(lr2) -- mv0.files).toSeq.sorted
+    val delta = mvOf(s.read.parquet(newFiles: _*))
+    s.read.parquet(mv0.mvPath).unionAll(delta)
+      .groupBy($"o_orderstatus")
+      .agg(sum($"s_price").cast("decimal(18,4)").as("s_price"), sum($"cnt").as("cnt"))
+      .write.parquet(s"$root/mv_v2")
+    MvCatalog.register(key, MvCatalog.MvDef(s"$root/mv_v2",
+      MvCatalog.fingerprint(lr2).get, Set("o_orderstatus"), measures,
+      MvCatalog.inputFiles(lr2)))
+    if (!s.experimental.extraOptimizations.contains(RewriteAggToMv))
+      s.experimental.extraOptimizations =
+        s.experimental.extraOptimizations :+ RewriteAggToMv
+    // the user query over the grown fact table — served by the maintained MV
+    s.read.parquet(fact)
+      .groupBy($"o_orderstatus")
+      .agg(dsumd($"o_totalprice").as("sum_price"), count(lit(1)).as("n_rows"))
+      .orderBy($"o_orderstatus")
+  }
+
   val queries: Map[String, Q] = Map(
     "q_mv_rewrite" -> qMvRewrite,
+    "q_mv_incr" -> qMvIncr,
     "q_sql_q5" -> qSqlQ5,
     "q_sql_q10" -> qSqlQ10,
     "q_sql_q18" -> qSqlQ18,
@@ -335,6 +394,14 @@ object Extras {
         | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS sum_price,
         | count(*) AS n_rows
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+    // full recompute from source over BOTH ingest slices — equality proves
+    // the delta-only maintenance lost nothing
+    "q_mv_incr" ->
+      """SELECT o_orderstatus,
+        | CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS sum_price,
+        | count(*) AS n_rows
+        |FROM orders WHERE o_orderkey % 3 IN (0, 1)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_rule_rewrite" ->
       """SELECT p_partkey,
         | round((p_retailprice - 1000.0) * (p_retailprice - 1000.0), 4) AS sq_dev

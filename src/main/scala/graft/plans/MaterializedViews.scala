@@ -42,7 +42,10 @@ object MvCatalog {
       groupCols: Set[String],
       // measure key (e.g. "sum:l_quantity:decimal(18,4)", "cnt",
       // "min:l_shipdate") -> MV output column name
-      measures: Map[String, String])
+      measures: Map[String, String],
+      // exact source file list at build time: the staleness DIFF base —
+      // incremental maintenance aggregates only (current ∖ files)
+      files: Set[String] = Set.empty)
 
   private val defs = new java.util.concurrent.ConcurrentHashMap[String, MvDef]()
 
@@ -62,6 +65,11 @@ object MvCatalog {
       h.location.inputFiles.sorted.foreach(f => md.update(f.getBytes("UTF-8")))
       Some(md.digest().map("%02x".format(_)).mkString)
     case _ => None
+  }
+
+  def inputFiles(lr: LogicalRelation): Set[String] = lr.relation match {
+    case h: HadoopFsRelation => h.location.inputFiles.toSet
+    case _ => Set.empty
   }
 
   /** Source-relation extraction for the candidate Aggregate child: the scan

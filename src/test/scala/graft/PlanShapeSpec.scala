@@ -511,6 +511,15 @@ class PlanShapeSpec extends SparkSuite {
       s"physical plan still scans the fact table (rewrite did not fire):\n$p")
   }
 
+  test("q_mv_incr: the incrementally maintained MV serves the grown fact table") {
+    val df = SparkEntry.queries("q_mv_incr")(spark, sfDir)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("mv_v2"),
+      s"physical plan does not read the maintained MV:\n$p")
+    assert(!p.contains("/fact"),
+      s"physical plan still scans the fact table after maintenance:\n$p")
+  }
+
   test("MV rewrite declines on fingerprint mismatch (stale view never serves)") {
     import graft.plans.{MvCatalog, RewriteAggToMv}
     import org.apache.spark.sql.execution.datasources.LogicalRelation
