@@ -316,7 +316,62 @@ object Joins {
       .orderBy($"c_mktsegment")
   }
 
+  /** CBO catalog tables (stats-analyzed, unbucketed) already written this
+    * JVM — same SharedState guard discipline as bucketedTables. */
+  private val cboLock = new Object
+
+  private def cboTables(s: SparkSession, dir: String): (String, String, String) =
+    cboLock.synchronized {
+      val hex = Integer.toHexString(dir.hashCode)
+      val (lt, ot, ct) = (s"graft_cbo_lineitem_$hex", s"graft_cbo_orders_$hex",
+        s"graft_cbo_customer_$hex")
+      if (!s.catalog.tableExists(lt)) {
+        table(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_extendedprice"))
+          .write.option("path", s"${Util.managedTempDir("graft_cbo_")}/lineitem")
+          .saveAsTable(lt)
+        table(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"))
+          .write.option("path", s"${Util.managedTempDir("graft_cbo_")}/orders")
+          .saveAsTable(ot)
+        table(s, dir, "customer")
+          .select(col("c_custkey"), col("c_mktsegment"))
+          .filter(col("c_mktsegment") === "BUILDING")
+          .write.option("path", s"${Util.managedTempDir("graft_cbo_")}/customer")
+          .saveAsTable(ct)
+        Seq(lt, ot, ct).foreach(t =>
+          s.sql(s"ANALYZE TABLE $t COMPUTE STATISTICS FOR ALL COLUMNS"))
+      }
+      (lt, ot, ct)
+    }
+
+  /** COST-BASED JOIN REORDER — the statistics leg of "let Catalyst
+    * optimize": three catalog tables carry ANALYZE TABLE row/column stats,
+    * the query text joins them in the WORST order (fact⋈fact first, the
+    * selective dimension last), and the CBO join-reorder rule
+    * (spark.sql.cbo.joinReorder) re-plans the chain cheapest-first from
+    * the stats — the selective customer slice joins orders before the
+    * lineitem fact ever enters. At 100 TB this is the difference between
+    * shuffling the full fact⋈fact intermediate and never materializing
+    * it; the engine's job is to keep stats fresh, not to hand-order SQL.
+    * PlanShapeSpec pins the reorder (lineitem is the OUTERMOST join leaf
+    * in the optimized plan, despite being first in the query text). */
+  val qCboReorder: Q = (s, dir) => {
+    val (lt, ot, ct) = cboTables(s, dir)
+    val s2 = s.newSession()
+    s2.conf.set("spark.sql.cbo.enabled", "true")
+    s2.conf.set("spark.sql.cbo.joinReorder.enabled", "true")
+    import s2.implicits._
+    val l = s2.table(lt); val o = s2.table(ot); val c = s2.table(ct)
+    l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .join(c, o("o_custkey") === c("c_custkey"))
+      .groupBy($"o_orderstatus")
+      .agg(count(lit(1)).as("n_rows"), dsumd($"l_extendedprice").as("sum_price"))
+      .orderBy($"o_orderstatus")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_cbo_reorder" -> qCboReorder,
     "q_join_bucketed" -> qJoinBucketed,
     "q_join_bloom" -> qJoinBloom,
     "q_join_shuffle_hash" -> qJoinShuffleHash,
@@ -334,6 +389,15 @@ object Joins {
   )
 
   val oracleSql: Map[String, String] = Map(
+    // content is invariant to the join order CBO picks
+    "q_cbo_reorder" ->
+      """SELECT o_orderstatus, count(*) AS n_rows,
+        | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS sum_price
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_join_bucketed" ->
       """SELECT c_mktsegment, count(*) AS n_orders,
         | CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price

@@ -502,6 +502,18 @@ class PlanShapeSpec extends SparkSuite {
         s"expected planning-time cell skipping: planned=$planned total=$total")
   }
 
+  test("q_cbo_reorder: stats reorder the join chain (fact joins last, not first)") {
+    val df = SparkEntry.queries("q_cbo_reorder")(spark, sfDir)
+    val leaves = df.queryExecution.optimizedPlan.collectLeaves().map(_.toString)
+    val li = leaves.indexWhere(_.contains("graft_cbo_lineitem"))
+    assert(li >= 0, s"lineitem leaf missing:\n${leaves.mkString("\n")}")
+    // query text joins lineitem FIRST; CBO must move it to the outermost
+    // position so the selective customer⋈orders pair builds first
+    assert(li == leaves.size - 1,
+      s"CBO did not reorder: lineitem at leaf $li of ${leaves.size}:\n" +
+        df.queryExecution.optimizedPlan)
+  }
+
   test("q_mv_rewrite substitutes the MV scan for the fact scan") {
     val df = SparkEntry.queries("q_mv_rewrite")(spark, sfDir)
     val p = df.queryExecution.executedPlan.toString
