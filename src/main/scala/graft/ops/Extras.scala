@@ -241,7 +241,9 @@ object Extras {
     * The oracle recomputes from source — equality IS the proof the
     * substituted plan is semantically invisible. Plan-shape and staleness
     * bounds in PlanShapeSpec. */
-  val qMvRewrite: Q = (s, dir) => {
+  /** Build + register the lineitem rollup MV (once per source file set)
+    * and inject the rewrite rule into the session. */
+  private def ensureLineitemMv(s: org.apache.spark.sql.SparkSession, dir: String): Unit = {
     import s.implicits._
     import graft.plans.{MvCatalog, RewriteAggToMv}
     val src = table(s, dir, "lineitem")
@@ -250,8 +252,6 @@ object Extras {
     }.get
     val key = MvCatalog.sourceKey(lr).get
     val fp = MvCatalog.fingerprint(lr).get
-    // build + register once per (source file set); rebuilds only when the
-    // fixture dir (and so the fingerprint) changes
     if (!MvCatalog.lookup(key).exists(_.fingerprint == fp)) {
       val mvPath = Util.managedTempDir("graft_mv_") + "/lineitem_by_flag_status"
       src.groupBy($"l_returnflag", $"l_linestatus")
@@ -264,16 +264,38 @@ object Extras {
         measures = Map(
           "sum:l_quantity:decimal(18,4)" -> "s_qty",
           "sum:l_extendedprice:decimal(18,4)" -> "s_price",
-          "cnt" -> "cnt")))
+          "cnt" -> "cnt"),
+        files = MvCatalog.inputFiles(lr)))
     }
     if (!s.experimental.extraOptimizations.contains(RewriteAggToMv))
       s.experimental.extraOptimizations =
         s.experimental.extraOptimizations :+ RewriteAggToMv
+  }
+
+  val qMvRewrite: Q = (s, dir) => {
+    import s.implicits._
+    ensureLineitemMv(s, dir)
     table(s, dir, "lineitem")
       .groupBy($"l_returnflag")
       .agg(dsumd($"l_quantity").as("sum_qty"),
         dsumd($"l_extendedprice").as("sum_price"),
         count(lit(1)).as("n_rows"))
+      .orderBy($"l_returnflag")
+  }
+
+  /** MV rewrite through a GRAIN-COLUMN FILTER (round 8) — the matcher is
+    * not limited to bare Aggregate-over-scan: a Filter below the aggregate
+    * that references only grain columns replays against the rollup rows
+    * (the rule remaps its attributes and keeps it below the substituted
+    * Aggregate). The selective-slice dashboard query — "status F only,
+    * by returnflag" — reads MV rows, not the fact table. */
+  val qMvFilter: Q = (s, dir) => {
+    import s.implicits._
+    ensureLineitemMv(s, dir)
+    table(s, dir, "lineitem")
+      .filter($"l_linestatus" === "F")
+      .groupBy($"l_returnflag")
+      .agg(dsumd($"l_quantity").as("sum_qty"), count(lit(1)).as("n_rows"))
       .orderBy($"l_returnflag")
   }
 
@@ -337,6 +359,7 @@ object Extras {
 
   val queries: Map[String, Q] = Map(
     "q_mv_rewrite" -> qMvRewrite,
+    "q_mv_filter" -> qMvFilter,
     "q_mv_incr" -> qMvIncr,
     "q_sql_q5" -> qSqlQ5,
     "q_sql_q10" -> qSqlQ10,
@@ -394,6 +417,14 @@ object Extras {
         | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS sum_price,
         | count(*) AS n_rows
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+    // recomputed from SOURCE with the filter applied — proves the
+    // grain-column filter replays correctly against the rollup
+    "q_mv_filter" ->
+      """SELECT l_returnflag,
+        | CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS sum_qty,
+        | count(*) AS n_rows
+        |FROM lineitem WHERE l_linestatus = 'F'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     // full recompute from source over BOTH ingest slices — equality proves
     // the delta-only maintenance lost nothing
     "q_mv_incr" ->

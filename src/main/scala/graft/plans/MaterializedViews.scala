@@ -3,7 +3,7 @@ package graft.plans
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.expressions.aggregate._
-import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
 import org.apache.spark.sql.types.IntegerType
@@ -73,10 +73,15 @@ object MvCatalog {
   }
 
   /** Source-relation extraction for the candidate Aggregate child: the scan
-    * itself, or a pure column-pruning Project over it. */
-  def sourceOf(plan: LogicalPlan): Option[LogicalRelation] = plan match {
-    case lr: LogicalRelation => Some(lr)
-    case Project(pl, lr: LogicalRelation) if pl.forall(_.isInstanceOf[AttributeReference]) => Some(lr)
+    * itself, reached through any stack of pure column-pruning Projects and
+    * Filters (collected — a filter is MV-compatible iff it references only
+    * grain columns, so it can replay against the rollup). */
+  def sourceOf(plan: LogicalPlan): Option[(LogicalRelation, Seq[Expression])] = plan match {
+    case lr: LogicalRelation => Some((lr, Nil))
+    case Project(pl, child) if pl.forall(_.isInstanceOf[AttributeReference]) =>
+      sourceOf(child)
+    case Filter(cond, child) =>
+      sourceOf(child).map { case (lr, cs) => (lr, cond +: cs) }
     case _ => None
   }
 
@@ -98,16 +103,19 @@ object RewriteAggToMv extends Rule[LogicalPlan] {
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
     case agg: Aggregate =>
       (for {
-        lr <- sourceOf(agg.child)
+        (lr, conds) <- sourceOf(agg.child)
         key <- sourceKey(lr)
         mv <- lookup(key)
         fp <- fingerprint(lr)
         if fp == mv.fingerprint // freshness gate: exact file-list match
-        rewritten <- tryRewrite(agg, mv)
+        // a filter below the aggregate is MV-compatible iff it touches
+        // only grain columns — it then replays against the rollup rows
+        if conds.forall(_.references.forall(a => mv.groupCols.contains(a.name)))
+        rewritten <- tryRewrite(agg, conds, mv)
       } yield rewritten).getOrElse(agg)
   }
 
-  private def tryRewrite(agg: Aggregate, mv: MvDef): Option[LogicalPlan] = {
+  private def tryRewrite(agg: Aggregate, conds: Seq[Expression], mv: MvDef): Option[LogicalPlan] = {
     val mvPlan = SparkSession.active.read.parquet(mv.mvPath).queryExecution.analyzed
     val mvRel = mvPlan.collectFirst { case l: LogicalRelation => l }.getOrElse(return None)
     val mvOut = mvRel.output.map(a => a.name -> a).toMap
@@ -165,6 +173,13 @@ object RewriteAggToMv extends Rule[LogicalPlan] {
       case _ => return None
     }
 
-    Some(agg.copy(groupingExpressions = newGe, aggregateExpressions = newAe, child = mvRel))
+    // replay grain-column filters against the rollup (exprIds remapped)
+    val newChild = if (conds.isEmpty) mvRel else {
+      val remapped = conds.map(_.transform {
+        case a: AttributeReference => mvOut.getOrElse(a.name, return None)
+      })
+      Filter(remapped.reduce(And), mvRel)
+    }
+    Some(agg.copy(groupingExpressions = newGe, aggregateExpressions = newAe, child = newChild))
   }
 }

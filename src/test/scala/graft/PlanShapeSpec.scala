@@ -523,6 +523,23 @@ class PlanShapeSpec extends SparkSuite {
       s"physical plan still scans the fact table (rewrite did not fire):\n$p")
   }
 
+  test("q_mv_filter: a grain-column filter replays against the MV rollup") {
+    val df = SparkEntry.queries("q_mv_filter")(spark, sfDir)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("graft_mv_"),
+      s"physical plan does not read the materialized view:\n$p")
+    assert(!p.contains("lineitem.parquet"),
+      s"physical plan still scans the fact table (filtered rewrite did not fire):\n$p")
+    // and a NON-grain filter must decline (the predicate needs fact rows)
+    val q = graft.ops.Util.table(spark, sfDir, "lineitem")
+      .filter(col("l_quantity") > 10)
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"))
+    val p2 = q.queryExecution.executedPlan.toString
+    assert(p2.contains("lineitem.parquet"),
+      s"non-grain filter must compute from source:\n$p2")
+  }
+
   test("q_mv_incr: the incrementally maintained MV serves the grown fact table") {
     val df = SparkEntry.queries("q_mv_incr")(spark, sfDir)
     val p = df.queryExecution.executedPlan.toString
