@@ -884,6 +884,72 @@ object Sources {
       .orderBy($"side", $"bucket")
   }
 
+  /** MV OVER A GRAFTSTORE TABLE (round 8) — the lakehouse close of the MV
+    * arc: freshness is the table's SNAPSHOT VERSION (not a file list), any
+    * version/time/feed-pinned read is disqualified from substitution (a
+    * time-travel query must never be served a current-version rollup), and
+    * the refresh is CDF-DRIVEN AND SIGNED: the maintainer reads only
+    * `changesFrom v1 .. v2` (changes SINCE the MV's snapshot — I/O ∝ the
+    * commits in between), folds
+    * +rows for inserts and −rows for deletes into the rollup, drops
+    * zero-count groups, and re-registers at v2. That is the full
+    * retractable incremental-view-maintenance loop every warehouse runs
+    * nightly at 100 TB — append + delete both maintained without ever
+    * re-scanning the table. Plan substitution pinned in PlanShapeSpec. */
+  val qStoreMv: Q = (s, dir) => {
+    import s.implicits._
+    import graft.plans.{MvCatalog, RewriteAggToMv}
+    val root = Util.managedTempDir("graft_smv_")
+    val t = s"$root/t"
+    val o = table(s, dir, "orders")
+      .select($"o_orderkey", $"o_orderstatus", $"o_totalprice")
+    o.filter($"o_orderkey" % 4 === 0)
+      .write.format("graft.sources.GraftStore").option("path", t)
+      .mode("overwrite").save()
+    def store = s.read.format("graft.sources.GraftStore")
+      .option("path", t).load()
+    val key = s"graftstore:$t"
+    val measures = Map("sum:o_totalprice:decimal(18,4)" -> "s_price",
+      "cnt" -> "cnt")
+    // v1: full rollup build + register at the current snapshot version
+    val v1 = graft.sources.GraftStore.readVersion(t)
+    store.groupBy($"o_orderstatus")
+      .agg(dsumd($"o_totalprice").as("s_price"), count(lit(1)).as("cnt"))
+      .write.parquet(s"$root/mv_v1")
+    MvCatalog.register(key, MvCatalog.MvDef(s"$root/mv_v1", s"v$v1",
+      Set("o_orderstatus"), measures))
+    // ingest since the MV: an append AND a merge-on-read delete commit
+    o.filter($"o_orderkey" % 4 === 1)
+      .write.format("graft.sources.GraftStore").option("path", t)
+      .mode("append").save()
+    graft.sources.GraftStore.deleteWhereDV(s, t, $"o_orderkey" % 9 === 0)
+    val v2 = graft.sources.GraftStore.readVersion(t)
+    // CDF-driven SIGNED refresh: +insert / −delete, feed rows only
+    val sgn = when($"_change_type" === "insert", 1).otherwise(-1)
+    val delta = s.read.format("graft.sources.GraftStore")
+      .option("path", t)
+      .option("changesFrom", v1.toString)
+      .option("changesTo", v2.toString).load()
+      .groupBy($"o_orderstatus")
+      .agg(sum(dec($"o_totalprice") * sgn).cast("decimal(18,4)").as("s_price"),
+        sum(sgn.cast("long")).as("cnt"))
+    s.read.parquet(s"$root/mv_v1").unionAll(delta)
+      .groupBy($"o_orderstatus")
+      .agg(sum($"s_price").cast("decimal(18,4)").as("s_price"),
+        sum($"cnt").as("cnt"))
+      .filter($"cnt" > 0)
+      .write.parquet(s"$root/mv_v2")
+    MvCatalog.register(key, MvCatalog.MvDef(s"$root/mv_v2", s"v$v2",
+      Set("o_orderstatus"), measures))
+    if (!s.experimental.extraOptimizations.contains(RewriteAggToMv))
+      s.experimental.extraOptimizations =
+        s.experimental.extraOptimizations :+ RewriteAggToMv
+    // the user query over the store table — served by the maintained MV
+    store.groupBy($"o_orderstatus")
+      .agg(dsumd($"o_totalprice").as("sum_price"), count(lit(1)).as("n_rows"))
+      .orderBy($"o_orderstatus")
+  }
+
   /** DELETION VECTORS (round 8, second half) — merge-on-read DELETE:
     * `GraftStore.deleteWhereDV` marks matched ROWS deleted in per-file
     * position sidecars (found by one distributed scan projecting the
@@ -1682,6 +1748,7 @@ object Sources {
     "q_store_vacuum" -> qStoreVacuum,
     "q_store_clone" -> qStoreClone,
     "q_store_dv" -> qStoreDv,
+    "q_store_mv" -> qStoreMv,
     "q_store_wap" -> qStoreWap,
     "q_stream_upsert" -> qStreamUpsert,
     "q_stream_txn_sink" -> qStreamTxnSink,
@@ -1784,6 +1851,15 @@ object Sources {
         |  FROM orders WHERE o_orderkey % 7 IN (0, 1, 2) GROUP BY 2)
         |SELECT * FROM a UNION ALL SELECT * FROM b
         |ORDER BY side, bucket""".stripMargin,
+    // the store after append + DV delete, recomputed from source — the
+    // signed CDF refresh must land the MV exactly here
+    "q_store_mv" ->
+      """SELECT o_orderstatus,
+        | CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS sum_price,
+        | count(*) AS n_rows
+        |FROM orders
+        |WHERE o_orderkey % 4 IN (0, 1) AND NOT (o_orderkey % 9 = 0)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     // merge-on-read (pre-purge snapshot, vectors applied) and the
     // purged clean files must BOTH be exactly the doubly-filtered slice
     "q_store_dv" ->

@@ -76,12 +76,36 @@ object MvCatalog {
     * itself, reached through any stack of pure column-pruning Projects and
     * Filters (collected — a filter is MV-compatible iff it references only
     * grain columns, so it can replay against the rollup). */
-  def sourceOf(plan: LogicalPlan): Option[(LogicalRelation, Seq[Expression])] = plan match {
+  def sourceOf(plan: LogicalPlan): Option[(LogicalPlan, Seq[Expression])] = plan match {
     case lr: LogicalRelation => Some((lr, Nil))
+    // by extraOptimizations time, V2 pushdown has turned the relation into
+    // a scan relation — the scan itself knows whether substitution is safe
+    case d: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation
+        if d.scan.isInstanceOf[graft.sources.GraftStoreScan] => Some((d, Nil))
     case Project(pl, child) if pl.forall(_.isInstanceOf[AttributeReference]) =>
       sourceOf(child)
     case Filter(cond, child) =>
       sourceOf(child).map { case (lr, cs) => (lr, cond +: cs) }
+    case _ => None
+  }
+
+  /** (source key, freshness fingerprint) of a supported scan leaf. For
+    * parquet relations the fingerprint is the exact file list; for
+    * GraftStore tables it is the CURRENT snapshot version — and any pin
+    * (version/time travel, incremental range, pushed filter, metadata agg,
+    * provenance column, file subset) disqualifies the scan, because a
+    * pinned or filtered read must never be served a current-version
+    * rollup. */
+  def sourceId(leaf: LogicalPlan): Option[(String, String)] = leaf match {
+    case lr: LogicalRelation =>
+      for { k <- sourceKey(lr); f <- fingerprint(lr) } yield (k, f)
+    case d: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation =>
+      d.scan match {
+        case sc: graft.sources.GraftStoreScan if sc.isMvSubstitutable =>
+          Some((s"graftstore:${sc.scanPath}",
+            s"v${graft.sources.GraftStore.readVersion(sc.scanPath)}"))
+        case _ => None
+      }
     case _ => None
   }
 
@@ -103,11 +127,10 @@ object RewriteAggToMv extends Rule[LogicalPlan] {
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
     case agg: Aggregate =>
       (for {
-        (lr, conds) <- sourceOf(agg.child)
-        key <- sourceKey(lr)
+        (leaf, conds) <- sourceOf(agg.child)
+        (key, fp) <- sourceId(leaf)
         mv <- lookup(key)
-        fp <- fingerprint(lr)
-        if fp == mv.fingerprint // freshness gate: exact file-list match
+        if fp == mv.fingerprint // freshness gate: file list / snapshot version
         // a filter below the aggregate is MV-compatible iff it touches
         // only grain columns — it then replays against the rollup rows
         if conds.forall(_.references.forall(a => mv.groupCols.contains(a.name)))

@@ -1168,6 +1168,7 @@ class GraftStoreTable(path: String, tableSchema: StructType,
   with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations
   with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns {
 
+
   /** `_file` metadata column (Iceberg's provenance column): the manifest-
     * relative data file a row was read from. Costs nothing to produce
     * (the reader already knows its file) and is what makes row-level
@@ -1984,6 +1985,16 @@ class GraftStoreScan(path: String,
   extends Scan with Batch
   with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering
   with org.apache.spark.sql.connector.read.SupportsReportPartitioning {
+
+  /** MV-rewrite hooks (graft.plans.MaterializedViews): only a plain
+    * current-version table scan may be substituted by a rollup — any
+    * pushed filter (it would be silently dropped), version/time pin,
+    * incremental range, metadata aggregate, provenance column, or file
+    * subset disqualifies this scan. */
+  private[graft] def scanPath: String = path
+  private[graft] def isMvSubstitutable: Boolean =
+    pushed.isEmpty && versionAsOf.isEmpty && fromVersion.isEmpty &&
+      metaAgg.isEmpty && !withFileCol && !withPosCol && onlyFiles.isEmpty
   // a time-travel read plans against the RETAINED snapshot manifest
   // (same format, stats, skipping — only the pointer differs); an
   // INCREMENTAL read keeps only the files added since `fromVersion` —

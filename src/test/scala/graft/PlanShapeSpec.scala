@@ -549,6 +549,50 @@ class PlanShapeSpec extends SparkSuite {
       s"physical plan still scans the fact table after maintenance:\n$p")
   }
 
+  test("q_store_mv: snapshot-fresh MV serves the store table, not the store scan") {
+    val df = SparkEntry.queries("q_store_mv")(spark, sfDir)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("mv_v2"),
+      s"physical plan does not read the CDF-maintained MV:\n$p")
+    assert(!p.contains("graft_store("),
+      s"physical plan still scans the store table:\n$p")
+  }
+
+  test("store MV: version-pinned reads are never served a current-version rollup") {
+    import graft.plans.{MvCatalog, RewriteAggToMv}
+    if (!spark.experimental.extraOptimizations.contains(RewriteAggToMv))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ RewriteAggToMv
+    val root = graft.ops.Util.managedTempDir("graft_smvspec_")
+    val t = s"$root/t"
+    graft.ops.Util.table(spark, sfDir, "nation")
+      .write.format("graft.sources.GraftStore").option("path", t)
+      .mode("overwrite").save()
+    def rollup(df: org.apache.spark.sql.DataFrame) = df
+      .groupBy(col("n_regionkey")).agg(count(lit(1)).as("cnt"))
+    rollup(spark.read.format("graft.sources.GraftStore").option("path", t).load())
+      .write.parquet(s"$root/mv_v1")
+    val key = s"graftstore:$t"
+    MvCatalog.register(key, MvCatalog.MvDef(s"$root/mv_v1",
+      s"v${graft.sources.GraftStore.readVersion(t)}",
+      Set("n_regionkey"), Map("cnt" -> "cnt")))
+    try {
+      // current read: substituted
+      val cur = rollup(spark.read.format("graft.sources.GraftStore")
+        .option("path", t).load())
+      assert(cur.queryExecution.executedPlan.toString.contains("mv_v1"),
+        "current-version read should be served by the MV")
+      // pinned read: MUST scan the store even though the version matches
+      val pinned = rollup(spark.read.format("graft.sources.GraftStore")
+        .option("path", t)
+        .option("versionAsOf", graft.sources.GraftStore.readVersion(t).toString)
+        .load())
+      val pp = pinned.queryExecution.executedPlan.toString
+      assert(pp.contains("graft_store(") && !pp.contains("mv_v1"),
+        s"version-pinned read must not be MV-substituted:\n$pp")
+    } finally MvCatalog.deregister(key)
+  }
+
   test("MV rewrite declines on fingerprint mismatch (stale view never serves)") {
     import graft.plans.{MvCatalog, RewriteAggToMv}
     import org.apache.spark.sql.execution.datasources.LogicalRelation
