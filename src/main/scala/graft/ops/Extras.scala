@@ -257,14 +257,18 @@ object Extras {
       src.groupBy($"l_returnflag", $"l_linestatus")
         .agg(sum(dec($"l_quantity")).as("s_qty"),
           sum(dec($"l_extendedprice")).as("s_price"),
-          count(lit(1)).as("cnt"))
+          count(lit(1)).as("cnt"),
+          min($"l_quantity").as("mn_qty"),
+          max($"l_quantity").as("mx_qty"))
         .write.mode("overwrite").parquet(mvPath)
       MvCatalog.register(key, MvCatalog.MvDef(mvPath, fp,
         groupCols = Set("l_returnflag", "l_linestatus"),
         measures = Map(
           "sum:l_quantity:decimal(18,4)" -> "s_qty",
           "sum:l_extendedprice:decimal(18,4)" -> "s_price",
-          "cnt" -> "cnt"),
+          "cnt" -> "cnt",
+          "min:l_quantity" -> "mn_qty",
+          "max:l_quantity" -> "mx_qty"),
         files = MvCatalog.inputFiles(lr)))
     }
     if (!s.experimental.extraOptimizations.contains(RewriteAggToMv))

@@ -617,6 +617,26 @@ class PlanShapeSpec extends SparkSuite {
     } finally MvCatalog.deregister(key)
   }
 
+  test("MV min/max derivation: substituted plan agrees with rule-free computation") {
+    // q_mv_rewrite has registered the MV (with min/max measures) and
+    // injected the rule into THIS session
+    SparkEntry.queries("q_mv_rewrite")(spark, sfDir).collect()
+    def q(s: org.apache.spark.sql.SparkSession) =
+      graft.ops.Util.table(s, sfDir, "lineitem")
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(org.apache.spark.sql.functions.min(col("l_quantity")).as("mn"),
+          org.apache.spark.sql.functions.max(col("l_quantity")).as("mx"),
+          count(lit(1)).as("n"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    val withMv = q(spark)
+    assert(withMv.queryExecution.executedPlan.toString.contains("graft_mv_"),
+      "min/max query should be MV-substituted")
+    // a fresh session has no injected rule: ground truth from source
+    val expected = q(spark.newSession()).collect().toSeq
+    assert(withMv.collect().toSeq == expected,
+      "MV-derived min/max/count must equal the from-source computation")
+  }
+
   test("MV rewrite declines on unsupported aggregates (avg/distinct compute from source)") {
     // q_mv_rewrite has registered the lineitem MV and injected the rule;
     // an avg (not derivable from the stored measures) must decline
