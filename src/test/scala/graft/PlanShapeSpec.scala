@@ -617,6 +617,22 @@ class PlanShapeSpec extends SparkSuite {
     } finally MvCatalog.deregister(key)
   }
 
+  test("DISTINCT at MV grain is served by the rollup's group rows") {
+    SparkEntry.queries("q_mv_rewrite")(spark, sfDir).collect() // MV + rule
+    // SELECT DISTINCT grain-cols optimizes to an Aggregate whose result
+    // expressions are all bare grouping attributes — the rewrite serves it
+    // from the MV's (already-distinct) group rows with no aggregation work
+    val q = graft.ops.Util.table(spark, sfDir, "lineitem")
+      .select(col("l_returnflag"), col("l_linestatus")).distinct()
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+    val p = q.queryExecution.executedPlan.toString
+    assert(p.contains("graft_mv_"), s"DISTINCT not MV-substituted:\n$p")
+    val expected = graft.ops.Util.table(spark.newSession(), sfDir, "lineitem")
+      .select(col("l_returnflag"), col("l_linestatus")).distinct()
+      .orderBy(col("l_returnflag"), col("l_linestatus")).collect().toSeq
+    assert(q.collect().toSeq == expected)
+  }
+
   test("MV min/max derivation: substituted plan agrees with rule-free computation") {
     // q_mv_rewrite has registered the MV (with min/max measures) and
     // injected the rule into THIS session
