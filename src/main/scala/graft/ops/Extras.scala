@@ -242,8 +242,14 @@ object Extras {
     * substituted plan is semantically invisible. Plan-shape and staleness
     * bounds in PlanShapeSpec. */
   /** Build + register the lineitem rollup MV (once per source file set)
-    * and inject the rewrite rule into the session. */
-  private def ensureLineitemMv(s: org.apache.spark.sql.SparkSession, dir: String): Unit = {
+    * and return a CLONED session with the rewrite rule injected — the
+    * shared session stays rule-free so no OTHER registry query's bench
+    * number silently measures the MV path instead of its own plan.
+    * (MvCatalog registration is JVM-wide either way; it is inert without
+    * the rule.) */
+  private def ensureLineitemMv(s0: org.apache.spark.sql.SparkSession, dir: String)
+      : org.apache.spark.sql.SparkSession = {
+    val s = s0
     import s.implicits._
     import graft.plans.{MvCatalog, RewriteAggToMv}
     val src = table(s, dir, "lineitem")
@@ -271,14 +277,15 @@ object Extras {
           "max:l_quantity" -> "mx_qty"),
         files = MvCatalog.inputFiles(lr)))
     }
-    if (!s.experimental.extraOptimizations.contains(RewriteAggToMv))
-      s.experimental.extraOptimizations =
-        s.experimental.extraOptimizations :+ RewriteAggToMv
+    val s2 = s0.newSession()
+    s2.experimental.extraOptimizations =
+      s2.experimental.extraOptimizations :+ RewriteAggToMv
+    s2
   }
 
-  val qMvRewrite: Q = (s, dir) => {
+  val qMvRewrite: Q = (s0, dir) => {
+    val s = ensureLineitemMv(s0, dir)
     import s.implicits._
-    ensureLineitemMv(s, dir)
     table(s, dir, "lineitem")
       .groupBy($"l_returnflag")
       .agg(dsumd($"l_quantity").as("sum_qty"),
@@ -293,9 +300,9 @@ object Extras {
     * (the rule remaps its attributes and keeps it below the substituted
     * Aggregate). The selective-slice dashboard query — "status F only,
     * by returnflag" — reads MV rows, not the fact table. */
-  val qMvFilter: Q = (s, dir) => {
+  val qMvFilter: Q = (s0, dir) => {
+    val s = ensureLineitemMv(s0, dir)
     import s.implicits._
-    ensureLineitemMv(s, dir)
     table(s, dir, "lineitem")
       .filter($"l_linestatus" === "F")
       .groupBy($"l_returnflag")
@@ -351,11 +358,12 @@ object Extras {
     MvCatalog.register(key, MvCatalog.MvDef(s"$root/mv_v2",
       MvCatalog.fingerprint(lr2).get, Set("o_orderstatus"), measures,
       MvCatalog.inputFiles(lr2)))
-    if (!s.experimental.extraOptimizations.contains(RewriteAggToMv))
-      s.experimental.extraOptimizations =
-        s.experimental.extraOptimizations :+ RewriteAggToMv
+    // rule on a CLONE so the shared session's other queries stay unrewritten
+    val s2 = s.newSession()
+    s2.experimental.extraOptimizations =
+      s2.experimental.extraOptimizations :+ RewriteAggToMv
     // the user query over the grown fact table — served by the maintained MV
-    s.read.parquet(fact)
+    s2.read.parquet(fact)
       .groupBy($"o_orderstatus")
       .agg(dsumd($"o_totalprice").as("sum_price"), count(lit(1)).as("n_rows"))
       .orderBy($"o_orderstatus")

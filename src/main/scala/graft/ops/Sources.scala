@@ -941,11 +941,13 @@ object Sources {
       .write.parquet(s"$root/mv_v2")
     MvCatalog.register(key, MvCatalog.MvDef(s"$root/mv_v2", s"v$v2",
       Set("o_orderstatus"), measures))
-    if (!s.experimental.extraOptimizations.contains(RewriteAggToMv))
-      s.experimental.extraOptimizations =
-        s.experimental.extraOptimizations :+ RewriteAggToMv
+    // rule on a CLONE so the shared session's other queries stay unrewritten
+    val s2 = s.newSession()
+    s2.experimental.extraOptimizations =
+      s2.experimental.extraOptimizations :+ RewriteAggToMv
     // the user query over the store table — served by the maintained MV
-    store.groupBy($"o_orderstatus")
+    s2.read.format("graft.sources.GraftStore").option("path", t).load()
+      .groupBy($"o_orderstatus")
       .agg(dsumd($"o_totalprice").as("sum_price"), count(lit(1)).as("n_rows"))
       .orderBy($"o_orderstatus")
   }

@@ -530,7 +530,12 @@ class PlanShapeSpec extends SparkSuite {
       s"physical plan does not read the materialized view:\n$p")
     assert(!p.contains("lineitem.parquet"),
       s"physical plan still scans the fact table (filtered rewrite did not fire):\n$p")
-    // and a NON-grain filter must decline (the predicate needs fact rows)
+    // and a NON-grain filter must decline (the predicate needs fact
+    // rows) — on a session that HAS the rule, so the decline is real
+    import graft.plans.RewriteAggToMv
+    if (!spark.experimental.extraOptimizations.contains(RewriteAggToMv))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ RewriteAggToMv
     val q = graft.ops.Util.table(spark, sfDir, "lineitem")
       .filter(col("l_quantity") > 10)
       .groupBy(col("l_returnflag"))
@@ -618,7 +623,13 @@ class PlanShapeSpec extends SparkSuite {
   }
 
   test("DISTINCT at MV grain is served by the rollup's group rows") {
-    SparkEntry.queries("q_mv_rewrite")(spark, sfDir).collect() // MV + rule
+    SparkEntry.queries("q_mv_rewrite")(spark, sfDir).collect() // registers MV
+    // the query builders inject the rule only on their own clones; this
+    // spec session opts in explicitly
+    import graft.plans.RewriteAggToMv
+    if (!spark.experimental.extraOptimizations.contains(RewriteAggToMv))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ RewriteAggToMv
     // SELECT DISTINCT grain-cols optimizes to an Aggregate whose result
     // expressions are all bare grouping attributes — the rewrite serves it
     // from the MV's (already-distinct) group rows with no aggregation work
@@ -634,9 +645,11 @@ class PlanShapeSpec extends SparkSuite {
   }
 
   test("MV min/max derivation: substituted plan agrees with rule-free computation") {
-    // q_mv_rewrite has registered the MV (with min/max measures) and
-    // injected the rule into THIS session
-    SparkEntry.queries("q_mv_rewrite")(spark, sfDir).collect()
+    SparkEntry.queries("q_mv_rewrite")(spark, sfDir).collect() // registers MV
+    import graft.plans.RewriteAggToMv
+    if (!spark.experimental.extraOptimizations.contains(RewriteAggToMv))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ RewriteAggToMv
     def q(s: org.apache.spark.sql.SparkSession) =
       graft.ops.Util.table(s, sfDir, "lineitem")
         .groupBy(col("l_returnflag"), col("l_linestatus"))
@@ -654,9 +667,14 @@ class PlanShapeSpec extends SparkSuite {
   }
 
   test("MV rewrite declines on unsupported aggregates (avg/distinct compute from source)") {
-    // q_mv_rewrite has registered the lineitem MV and injected the rule;
-    // an avg (not derivable from the stored measures) must decline
+    // registers the lineitem MV; the rule goes on THIS session so the
+    // decline is meaningful (not just rule-absent) — an avg is not
+    // derivable from the stored measures and must compute from source
     SparkEntry.queries("q_mv_rewrite")(spark, sfDir).collect()
+    import graft.plans.RewriteAggToMv
+    if (!spark.experimental.extraOptimizations.contains(RewriteAggToMv))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ RewriteAggToMv
     val q = graft.ops.Util.table(spark, sfDir, "lineitem")
       .groupBy(col("l_returnflag"))
       .agg(avg(col("l_discount")).as("a"))
