@@ -1080,6 +1080,33 @@ class GraftStoreSpec extends SparkSuite {
       "replaying the DV feed does not reconstruct the table")
   }
 
+  test("change feed range: changesFrom is the EXCLUSIVE base version") {
+    // regression guard for a real bug: an MV refresh passed changesFrom =
+    // v1+1 expecting "v1+1 onwards" and silently dropped the v1+1 commit's
+    // inserts — the feed's contract is "changes SINCE changesFrom", i.e.
+    // versions changesFrom+1 .. changesTo inclusive
+    import spark.implicits._
+    val path = tempTable()
+    writeDf(spark.range(0, 50, 1, 1).select($"id"), path)                 // v1
+    writeDf(spark.range(100, 150, 1, 1).select($"id"), path, mode = "append") // v2
+    GraftStore.deleteWhereDV(spark, path, $"id" % 10 === 0)               // v3
+    def changes(f: Long, t: Long) =
+      spark.read.format("graft.sources.GraftStore").option("path", path)
+        .option("changesFrom", f.toString).option("changesTo", t.toString)
+        .load().select($"id", $"_change_type", $"_commit_version")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    // since v1: the v2 append's inserts AND the v3 deletes
+    val sinceV1 = changes(1, 3)
+    assert(sinceV1.count(_._2 == "insert") == 50,
+      s"changesFrom=1 must include the v2 append: $sinceV1")
+    assert(sinceV1.count(_._2 == "delete") == 10)
+    assert(sinceV1.filter(_._2 == "insert").forall(_._3 == 2L))
+    // since v2: ONLY the v3 deletes — v2's own commit is the base
+    val sinceV2 = changes(2, 3)
+    assert(sinceV2.forall(_._2 == "delete") && sinceV2.size == 10,
+      s"changesFrom=2 must exclude v2's own inserts: $sinceV2")
+  }
+
   test("deletion vectors: append-only readers refuse dv ranges; metadata aggs decline") {
     import spark.implicits._
     val path = tempTable()
