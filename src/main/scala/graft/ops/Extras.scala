@@ -275,7 +275,8 @@ object Extras {
           "cnt" -> "cnt",
           "min:l_quantity" -> "mn_qty",
           "max:l_quantity" -> "mx_qty"),
-        files = MvCatalog.inputFiles(lr)))
+        files = MvCatalog.inputFiles(lr),
+        rows = s.read.parquet(mvPath).count()))
     }
     val s2 = s0.newSession()
     s2.experimental.extraOptimizations =
@@ -347,7 +348,7 @@ object Extras {
     // maintenance: stale by fingerprint -> aggregate ONLY the new files,
     // fold the old MV in (MV-sized), re-register at the new fingerprint
     val lr2 = factLr
-    val mv0 = MvCatalog.lookup(key).get
+    val mv0 = MvCatalog.lookup(key).head
     assert(MvCatalog.fingerprint(lr2).get != mv0.fingerprint)
     val newFiles = (MvCatalog.inputFiles(lr2) -- mv0.files).toSeq.sorted
     val delta = mvOf(s.read.parquet(newFiles: _*))
@@ -369,9 +370,129 @@ object Extras {
       .orderBy($"o_orderstatus")
   }
 
+  /** MULTI-MV SELECTION BY COST (round 9) — the same lineitem source
+    * carries TWO registered rollups: the 6-row (l_returnflag,
+    * l_linestatus) MV from ensureLineitemMv and a FINER one at
+    * (l_returnflag, l_linestatus, l_linenumber) (~42 rows) added here.
+    * The rule gathers every fresh, filter-compatible, measure-complete
+    * candidate and substitutes the one with the fewest stored rows —
+    * so a coarse dashboard query reads 6 rows while this query's grain
+    * (l_returnflag, l_linenumber) is NOT derivable from the coarse MV
+    * and lands on the finer one. Cost choice (coarse wins when both
+    * serve) is pinned in MvRewriteSpec; the oracle recomputes from the
+    * fact table, proving the selection layer is semantically
+    * invisible. */
+  private def ensureFineLineitemMv(s0: org.apache.spark.sql.SparkSession, dir: String)
+      : org.apache.spark.sql.SparkSession = {
+    val s = ensureLineitemMv(s0, dir) // the coarse MV + a rule-injected clone
+    import s.implicits._
+    import graft.plans.MvCatalog
+    val src = table(s0, dir, "lineitem")
+    val lr = src.queryExecution.analyzed.collectFirst {
+      case l: org.apache.spark.sql.execution.datasources.LogicalRelation => l
+    }.get
+    val key = MvCatalog.sourceKey(lr).get
+    val fp = MvCatalog.fingerprint(lr).get
+    val finePath = Util.managedTempDir("graft_mv_") + "/lineitem_by_flag_status_line"
+    if (!MvCatalog.lookup(key).exists(d =>
+        d.fingerprint == fp && d.groupCols.contains("l_linenumber"))) {
+      src.groupBy($"l_returnflag", $"l_linestatus", $"l_linenumber")
+        .agg(sum(dec($"l_quantity")).as("s_qty"),
+          sum(dec($"l_extendedprice")).as("s_price"),
+          count(lit(1)).as("cnt"),
+          min($"l_quantity").as("mn_qty"),
+          max($"l_quantity").as("mx_qty"))
+        .write.mode("overwrite").parquet(finePath)
+      MvCatalog.register(key, MvCatalog.MvDef(finePath, fp,
+        groupCols = Set("l_returnflag", "l_linestatus", "l_linenumber"),
+        measures = Map(
+          "sum:l_quantity:decimal(18,4)" -> "s_qty",
+          "sum:l_extendedprice:decimal(18,4)" -> "s_price",
+          "cnt" -> "cnt",
+          "min:l_quantity" -> "mn_qty",
+          "max:l_quantity" -> "mx_qty"),
+        files = MvCatalog.inputFiles(lr),
+        rows = s0.read.parquet(finePath).count()))
+    }
+    s
+  }
+
+  val qMvChoose: Q = (s0, dir) => {
+    val s = ensureFineLineitemMv(s0, dir)
+    import s.implicits._
+    table(s, dir, "lineitem")
+      .groupBy($"l_returnflag", $"l_linenumber")
+      .agg(dsumd($"l_quantity").as("sum_qty"), count(lit(1)).as("n_rows"),
+        max($"l_quantity").as("max_qty"))
+      .orderBy($"l_returnflag", $"l_linenumber")
+  }
+
+  /** JOIN-AWARE MV MATCHING (round 9) — the MV is a rollup over the
+    * lineitem ⋈ orders join tree at (o_orderpriority, l_returnflag)
+    * grain, registered under an orientation-normalized (source, source,
+    * join-keys) key with BOTH sides' file-list fingerprints. The rule
+    * recognizes the same inner equi-join under an Aggregate and
+    * substitutes the pre-joined rollup: at 100 TB the win is not just
+    * the fact scan but the fact⋈fact JOIN SHUFFLE the query never runs.
+    * Either side's ingest breaks its fingerprint and declines the
+    * rewrite (fresh-both gate). Oracle recomputes the join from source
+    * parquet. Plan substitution + decline-on-different-keys pinned in
+    * PlanShapeSpec/MvRewriteSpec. */
+  private def ensureJoinMv(s0: org.apache.spark.sql.SparkSession, dir: String)
+      : org.apache.spark.sql.SparkSession = {
+    import s0.implicits._
+    import graft.plans.{MvCatalog, RewriteAggToMv}
+    import org.apache.spark.sql.execution.datasources.LogicalRelation
+    def leafOf(df: org.apache.spark.sql.DataFrame) =
+      df.queryExecution.analyzed.collectFirst { case l: LogicalRelation => l }.get
+    val li = table(s0, dir, "lineitem")
+    val or = table(s0, dir, "orders")
+    val (lLr, oLr) = (leafOf(li), leafOf(or))
+    val (lKey, oKey) = (MvCatalog.sourceKey(lLr).get, MvCatalog.sourceKey(oLr).get)
+    val (lFp, oFp) = (MvCatalog.fingerprint(lLr).get, MvCatalog.fingerprint(oLr).get)
+    val jk = MvCatalog.joinKey(lKey, oKey, Seq("l_orderkey" -> "o_orderkey"))
+    val (fpA, fpB) = if (lKey <= oKey) (lFp, oFp) else (oFp, lFp)
+    if (!MvCatalog.lookupJoin(jk).exists(d =>
+        d.leftFingerprint == fpA && d.rightFingerprint == fpB)) {
+      val mvPath = Util.managedTempDir("graft_mv_") + "/lineitem_orders_by_pri_flag"
+      li.join(or, li("l_orderkey") === or("o_orderkey"))
+        .groupBy($"o_orderpriority", $"l_returnflag")
+        .agg(sum(dec($"l_quantity")).as("s_qty"),
+          sum(dec($"l_extendedprice")).as("s_price"),
+          count(lit(1)).as("cnt"))
+        .write.mode("overwrite").parquet(mvPath)
+      MvCatalog.registerJoin(jk, MvCatalog.JoinMvDef(mvPath, fpA, fpB,
+        groupCols = Set("o_orderpriority", "l_returnflag"),
+        measures = Map(
+          "sum:l_quantity:decimal(18,4)" -> "s_qty",
+          "sum:l_extendedprice:decimal(18,4)" -> "s_price",
+          "cnt" -> "cnt"),
+        rows = s0.read.parquet(mvPath).count()))
+    }
+    val s2 = s0.newSession()
+    s2.experimental.extraOptimizations =
+      s2.experimental.extraOptimizations :+ RewriteAggToMv
+    s2
+  }
+
+  val qMvJoin: Q = (s0, dir) => {
+    val s = ensureJoinMv(s0, dir)
+    import s.implicits._
+    val li = table(s, dir, "lineitem")
+    val or = table(s, dir, "orders")
+    li.join(or, li("l_orderkey") === or("o_orderkey"))
+      .groupBy($"o_orderpriority")
+      .agg(dsumd($"l_quantity").as("sum_qty"),
+        dsumd($"l_extendedprice").as("sum_price"),
+        count(lit(1)).as("n_rows"))
+      .orderBy($"o_orderpriority")
+  }
+
   val queries: Map[String, Q] = Map(
     "q_mv_rewrite" -> qMvRewrite,
     "q_mv_filter" -> qMvFilter,
+    "q_mv_choose" -> qMvChoose,
+    "q_mv_join" -> qMvJoin,
     "q_mv_incr" -> qMvIncr,
     "q_sql_q5" -> qSqlQ5,
     "q_sql_q10" -> qSqlQ10,
@@ -444,6 +565,24 @@ object Extras {
         | CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS sum_price,
         | count(*) AS n_rows
         |FROM orders WHERE o_orderkey % 3 IN (0, 1)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // recomputed from source at the FINE grain — only the finer of the
+    // two registered MVs can serve it; equality proves the selection
+    // layer picked a valid rollup
+    "q_mv_choose" ->
+      """SELECT l_returnflag, l_linenumber,
+        | CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS sum_qty,
+        | count(*) AS n_rows,
+        | max(l_quantity) AS max_qty
+        |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // full join recompute from source — proves the pre-joined rollup
+    // substitution is semantically invisible
+    "q_mv_join" ->
+      """SELECT o_orderpriority,
+        | CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS sum_qty,
+        | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS sum_price,
+        | count(*) AS n_rows
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_rule_rewrite" ->
       """SELECT p_partkey,

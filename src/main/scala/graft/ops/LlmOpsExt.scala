@@ -722,8 +722,70 @@ object LlmOpsExt {
       .orderBy($"doc_a", $"doc_b")
   }
 
+  /** q_sim_sparse with the BLOCK-SIZE CAP the 100 TB shape demands —
+    * previously documented, now implemented: a dominant-term block is a
+    * skew cell (a stop-word-ish argmax term can own a large fraction of
+    * the corpus, so one (block, term) join cell serializes into one
+    * task and one hash build). The cap splits every oversize block with
+    * SALTED TRIANGULAR REPLICATION — the exact-preserving skew-join
+    * discipline, not the approximate second-term canopy: the left
+    * posting set takes a deterministic per-doc salt in [0, g) with
+    * g = ceil(block/CAP), the right is replicated across all g salts,
+    * and the equi-join gains the salt key. Every candidate pair (a<b)
+    * still meets EXACTLY once (in a's salt cell), so results are
+    * bit-identical to the uncapped query and the same DuckDB oracle
+    * applies — but the biggest block now builds g bounded hash tables
+    * in g parallel tasks instead of one unbounded one. Work stays
+    * O(block²) (inherent to exact all-pairs); what the cap bounds is
+    * per-task MEMORY and the critical path. */
+  val qSimSparseCapped: Q = (s, dir) => {
+    import s.implicits._
+    val Cap = 64L // posting-length bound per salt cell (fixture-sized; content-invariant)
+    val d = table(s, dir, "documents")
+    val tf = d.select($"doc_id", explode(toks($"text")).as("term"))
+      .groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy($"term").agg(count(lit(1)).as("df"))
+    val n = d.agg(count(lit(1)).as("n_docs"))
+    val dict = df.withColumn("tid",
+      row_number().over(Window.orderBy($"term")))
+    val w = tf.join(broadcast(dict), "term").crossJoin(broadcast(n))
+      .select($"doc_id", $"tid",
+        ($"tf" * round(log($"n_docs".cast("double") / $"df") * 10000, 0)
+          .cast("long")).as("w"))
+    val top = w.withColumn("rn",
+        row_number().over(
+          Window.partitionBy($"doc_id").orderBy($"w".desc, $"tid")))
+      .filter($"rn" === 1).select($"doc_id", $"tid".as("top_tid"))
+    // block sizes -> salt-group counts (tiny: one row per distinct
+    // dominant term; broadcast back onto the postings)
+    val groups = top.groupBy($"top_tid")
+      .agg(ceil(count(lit(1)).cast("double") / Cap).cast("int").as("g"))
+    val norm = w.groupBy($"doc_id").agg(sum($"w" * $"w").as("ssq"))
+    val wt = w.join(top, "doc_id").join(broadcast(groups), "top_tid")
+    // left: one deterministic salt per doc; right: replicated to all g
+    val a = wt.withColumn("salt",
+      pmod(xxhash64($"doc_id"), $"g".cast("long")).cast("int"))
+    val b = wt.withColumn("salt",
+      explode(sequence(lit(0), $"g" - 1)))
+    val dots = a.as("a").join(b.as("b"),
+        $"a.top_tid" === $"b.top_tid" && $"a.salt" === $"b.salt" &&
+          $"a.tid" === $"b.tid" && $"a.doc_id" < $"b.doc_id")
+      .groupBy($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"))
+      .agg(sum($"a.w" * $"b.w").as("dot"))
+    dots
+      .join(norm.select($"doc_id".as("doc_a"), $"ssq".as("ssq_a")), "doc_a")
+      .join(norm.select($"doc_id".as("doc_b"), $"ssq".as("ssq_b")), "doc_b")
+      .select($"doc_a", $"doc_b",
+        round($"dot".cast("double") /
+          sqrt($"ssq_a".cast("double") * $"ssq_b".cast("double")), 6)
+          .as("cosine"))
+      .filter($"cosine" >= 0.9)
+      .orderBy($"doc_a", $"doc_b")
+  }
+
   val queries: Map[String, Q] = Map(
     "q_sim_sparse" -> qSimSparse,
+    "q_sim_sparse_capped" -> qSimSparseCapped,
     "q_dedup_simhash" -> qDedupSimhash,
     "q_text_unigram_lm" -> qTextUnigramLm,
     "q_text_bigram_lm" -> qTextBigramLm,
@@ -747,6 +809,36 @@ object LlmOpsExt {
     // INTEGER-quantized weights (idf × 10⁴ rounded to an integer); all
     // sums exact int64 < 2^53, doubles only in IEEE-exact scalar ops
     "q_sim_sparse" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text,' ')) AS term FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+        |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        |n AS (SELECT count(*) AS n_docs FROM documents),
+        |w AS (SELECT doc_id, tf.term,
+        |    tf * CAST(round(ln(CAST(n_docs AS DOUBLE)/df) * 10000, 0) AS BIGINT) AS w
+        |  FROM tf JOIN df ON tf.term = df.term CROSS JOIN n),
+        |top AS (SELECT doc_id, term AS top_term FROM (
+        |    SELECT doc_id, term,
+        |      row_number() OVER (PARTITION BY doc_id ORDER BY w DESC, term) AS rn
+        |    FROM w) WHERE rn = 1),
+        |norm AS (SELECT doc_id, sum(w*w) AS ssq FROM w GROUP BY 1),
+        |wt AS (SELECT w.doc_id, w.term, w.w, top.top_term
+        |  FROM w JOIN top ON w.doc_id = top.doc_id),
+        |dots AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, sum(a.w*b.w) AS dot
+        |  FROM wt a JOIN wt b
+        |    ON a.top_term = b.top_term AND a.term = b.term AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT doc_a, doc_b, cosine FROM (
+        |  SELECT doc_a, doc_b,
+        |    round(CAST(dot AS DOUBLE) /
+        |      sqrt(CAST(na.ssq AS DOUBLE) * CAST(nb.ssq AS DOUBLE)), 6) AS cosine
+        |  FROM dots JOIN norm na ON doc_a = na.doc_id JOIN norm nb ON doc_b = nb.doc_id)
+        |WHERE cosine >= 0.9
+        |ORDER BY doc_a, doc_b""".stripMargin,
+    // the salted block-cap is exact-preserving (every pair meets exactly
+    // once), so the capped variant answers to the SAME oracle as the
+    // uncapped query — the equality IS the proof the skew split changes
+    // nothing
+    "q_sim_sparse_capped" ->
       """WITH tok AS (SELECT doc_id, unnest(string_split(text,' ')) AS term FROM documents),
         |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
         |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),

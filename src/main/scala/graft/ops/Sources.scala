@@ -952,6 +952,79 @@ object Sources {
       .orderBy($"o_orderstatus")
   }
 
+  /** EXACTLY-ONCE MV REFRESH VIA TXN WATERMARKS (round 9) — the missing
+    * piece between q_store_mv's CDF-driven refresh and a production
+    * refresh JOB that can crash and retry: the MV is itself a GraftStore
+    * table whose every refresh commit carries (txnAppId="mv_refresh",
+    * txnVersion=<source snapshot version consumed>). Delta application
+    * and watermark advance are ONE atomic manifest commit, so there is
+    * no window where the delta landed but the watermark didn't (or vice
+    * versa) — and a DUPLICATE delivery of the same refresh (the crashed-
+    * before-ack retry, run here deliberately with the same stale
+    * watermark) is replayed away by the writer-transaction protocol: no
+    * new snapshot, bit-identical content. The scheduler needs no
+    * distributed lock and no dedup state of its own; the TABLE is the
+    * ledger. Oracle recomputes the rollup from source parquet over both
+    * ingest slices — equality proves the watermark loop lost nothing
+    * and double-applied nothing. Version-pinning of the no-op replay in
+    * GraftStoreSpec. */
+  val qMvTxnRefresh: Q = (s, dir) => {
+    import s.implicits._
+    val root = Util.managedTempDir("graft_mvtxn_")
+    val src = s"$root/src"
+    val mv = s"$root/mv"
+    val o = table(s, dir, "orders")
+      .select($"o_orderkey", $"o_orderstatus", $"o_totalprice")
+    o.filter($"o_orderkey" % 5 === 0)
+      .write.format("graft.sources.GraftStore").option("path", src)
+      .mode("overwrite").save()
+    def rollup(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy($"o_orderstatus")
+        .agg(dsumd($"o_totalprice").as("s_price"), count(lit(1)).as("cnt"))
+    // initial build commits WITH the consumed source version as watermark
+    val v1 = graft.sources.GraftStore.readVersion(src)
+    rollup(s.read.format("graft.sources.GraftStore").option("path", src).load())
+      .write.format("graft.sources.GraftStore").option("path", mv)
+      .option("txnAppId", "mv_refresh").option("txnVersion", v1.toString)
+      .mode("overwrite").save()
+    // ingest: a second slice appends (the nightly crawl)
+    o.filter($"o_orderkey" % 5 === 1)
+      .write.format("graft.sources.GraftStore").option("path", src)
+      .mode("append").save()
+    // the refresh job, parameterized by the watermark it OBSERVED —
+    // running it twice with the same stale observation simulates the
+    // crashed-before-ack duplicate delivery
+    def applyRefresh(observedWatermark: Long): Unit = {
+      val cur = graft.sources.GraftStore.readVersion(src)
+      if (cur > observedWatermark) {
+        val sgn = when($"_change_type" === "insert", 1).otherwise(-1)
+        val delta = s.read.format("graft.sources.GraftStore")
+          .option("path", src)
+          .option("changesFrom", observedWatermark.toString)
+          .option("changesTo", cur.toString).load()
+          .groupBy($"o_orderstatus")
+          .agg(sum(dec($"o_totalprice") * sgn).cast("decimal(18,4)").as("s_price"),
+            sum(sgn.cast("long")).as("cnt"))
+        s.read.format("graft.sources.GraftStore").option("path", mv).load()
+          .unionAll(delta)
+          .groupBy($"o_orderstatus")
+          .agg(sum($"s_price").cast("decimal(18,4)").as("s_price"),
+            sum($"cnt").as("cnt"))
+          .filter($"cnt" > 0)
+          .write.format("graft.sources.GraftStore").option("path", mv)
+          .option("txnAppId", "mv_refresh").option("txnVersion", cur.toString)
+          .mode("overwrite").save()
+      }
+    }
+    applyRefresh(v1) // the real refresh: delta v1→v2, watermark → v2
+    val committed = graft.sources.GraftStore.readVersion(mv)
+    applyRefresh(v1) // duplicate delivery: same txnVersion → replayed, no commit
+    assert(graft.sources.GraftStore.readVersion(mv) == committed,
+      "duplicate refresh must be replayed away by the txn watermark")
+    s.read.format("graft.sources.GraftStore").option("path", mv).load()
+      .orderBy($"o_orderstatus")
+  }
+
   /** DELETION VECTORS (round 8, second half) — merge-on-read DELETE:
     * `GraftStore.deleteWhereDV` marks matched ROWS deleted in per-file
     * position sidecars (found by one distributed scan projecting the
@@ -1726,7 +1799,62 @@ object Sources {
         |FROM gev.sup ORDER BY s_suppkey""".stripMargin)
   }
 
+  /** CBO store dirs already written this JVM, keyed by (session, dir). */
+  private val cboStoreWritten = new java.util.concurrent.ConcurrentHashMap[String, String]
+
+  /** COST-BASED JOIN REORDER FED BY MANIFEST STATISTICS (round 9) — the
+    * bridge between the store's per-file stats and Catalyst's cost
+    * model, with NO ANALYZE TABLE anywhere: GraftStoreScan implements
+    * SupportsReportStatistics, folding manifest lines into exact row
+    * counts, per-column min/max/null bounds, and HLL-union distinct
+    * estimates (write-time NdvHll sketches, merged per register) — and
+    * Spark's `transformV2Stats` lands them as catalyst attributeStats,
+    * so `spark.sql.cbo.joinReorder` re-plans the join chain from table-
+    * format metadata alone. The query text joins in the WORST order
+    * (lineitem fact first, the selective customer slice last); the cost
+    * model must move the fact to the outermost join (pinned in
+    * PlanShapeSpec). Where q_cbo_reorder needs a scheduled full-scan
+    * ANALYZE to stay fresh, these stats are BY CONSTRUCTION as fresh as
+    * the snapshot being read — the difference between "stats as
+    * maintenance" and "stats as metadata" at 100 TB. The oracle
+    * recomputes from source parquet: content is invariant to join
+    * order, so the hash check also proves the stats path never touches
+    * results. */
+  val qStoreCbo: Q = (s, dir) => {
+    val root = cboStoreWritten.computeIfAbsent(s"${Util.sessionKey(s)}:$dir", _ => {
+      import s.implicits._
+      val d = Util.managedTempDir("graft_cbostore_")
+      table(s, dir, "lineitem")
+        .select($"l_orderkey", $"l_extendedprice")
+        .write.format("graft.sources.GraftStore")
+        .option("path", s"$d/lineitem").mode("overwrite").save()
+      table(s, dir, "orders")
+        .select($"o_orderkey", $"o_custkey", $"o_orderstatus")
+        .write.format("graft.sources.GraftStore")
+        .option("path", s"$d/orders").mode("overwrite").save()
+      table(s, dir, "customer")
+        .select($"c_custkey", $"c_mktsegment")
+        .filter($"c_mktsegment" === "BUILDING")
+        .write.format("graft.sources.GraftStore")
+        .option("path", s"$d/customer").mode("overwrite").save()
+      d
+    })
+    val s2 = s.newSession()
+    s2.conf.set("spark.sql.cbo.enabled", "true")
+    s2.conf.set("spark.sql.cbo.joinReorder.enabled", "true")
+    import s2.implicits._
+    def t(n: String) = s2.read.format("graft.sources.GraftStore")
+      .option("path", s"$root/$n").load()
+    val l = t("lineitem"); val o = t("orders"); val c = t("customer")
+    l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .join(c, o("o_custkey") === c("c_custkey"))
+      .groupBy($"o_orderstatus")
+      .agg(count(lit(1)).as("n_rows"), dsumd($"l_extendedprice").as("sum_price"))
+      .orderBy($"o_orderstatus")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_store_cbo" -> qStoreCbo,
     "q_src_skipping" -> qSrcSkipping,
     "q_etl_delete" -> qEtlDelete,
     "q_stream_sink" -> qStreamSink,
@@ -1751,6 +1879,7 @@ object Sources {
     "q_store_clone" -> qStoreClone,
     "q_store_dv" -> qStoreDv,
     "q_store_mv" -> qStoreMv,
+    "q_mv_txn_refresh" -> qMvTxnRefresh,
     "q_store_wap" -> qStoreWap,
     "q_stream_upsert" -> qStreamUpsert,
     "q_stream_txn_sink" -> qStreamTxnSink,
@@ -1777,6 +1906,14 @@ object Sources {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q_store_cbo" ->
+      """SELECT o_orderstatus, count(*) AS n_rows,
+        | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS sum_price
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_catalog_sql" ->
       """SELECT l_returnflag, l_linestatus, count(*) AS n_rows,
         | CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
@@ -1861,6 +1998,14 @@ object Sources {
         | count(*) AS n_rows
         |FROM orders
         |WHERE o_orderkey % 4 IN (0, 1) AND NOT (o_orderkey % 9 = 0)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // full recompute over both ingest slices — equality proves the
+    // watermarked refresh applied the delta exactly once
+    "q_mv_txn_refresh" ->
+      """SELECT o_orderstatus,
+        | CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS s_price,
+        | count(*) AS cnt
+        |FROM orders WHERE o_orderkey % 5 IN (0, 1)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     // merge-on-read (pre-purge snapshot, vectors applied) and the
     // purged clean files must BOTH be exactly the doubly-filtered slice

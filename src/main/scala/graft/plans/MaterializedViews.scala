@@ -3,7 +3,8 @@ package graft.plans
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.expressions.aggregate._
-import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.plans.Inner
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, Join, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
 import org.apache.spark.sql.types.IntegerType
@@ -34,6 +35,19 @@ import org.apache.spark.sql.types.IntegerType
   *  - output aliases keep their original exprIds and dataTypes (SUM is
   *    cast back: re-summing widens decimal precision), so parent plan
   *    nodes never see the substitution.
+  *
+  * Round 9 generalizations, both with real-engine precedent:
+  *  - MULTI-MV SELECTION BY COST: a source may carry several rollups at
+  *    different grains; among the candidates that are fresh, filter-
+  *    compatible, and measure-complete, the rule substitutes the one
+  *    with the FEWEST stored rows (the recorded build-time count) — the
+  *    finest query still matches its minimal rollup, the coarse
+  *    dashboard query its 6-row one.
+  *  - JOIN-AWARE MATCHING: an MV may be a rollup over an inner equi-JOIN
+  *    of two scans (fact ⋈ dim). The rule recognizes the same join tree
+  *    (both source fingerprints must match; orientation-normalized join
+  *    keys) under the Aggregate and substitutes the pre-joined rollup —
+  *    at 100 TB this removes the join shuffle, not just the fact scan.
   */
 object MvCatalog {
   final case class MvDef(
@@ -45,14 +59,55 @@ object MvCatalog {
       measures: Map[String, String],
       // exact source file list at build time: the staleness DIFF base —
       // incremental maintenance aggregates only (current ∖ files)
-      files: Set[String] = Set.empty)
+      files: Set[String] = Set.empty,
+      // stored rollup size (build-time count): the COST key when several
+      // MVs serve the same query; -1 = unknown (sorts last)
+      rows: Long = -1L)
 
-  private val defs = new java.util.concurrent.ConcurrentHashMap[String, MvDef]()
+  /** A rollup over `leftSource ⋈ rightSource` on normalized equi-keys.
+    * Both fingerprints gate freshness independently — either side's
+    * ingest declines the rewrite. */
+  final case class JoinMvDef(
+      mvPath: String,
+      leftFingerprint: String,
+      rightFingerprint: String,
+      groupCols: Set[String],
+      measures: Map[String, String],
+      rows: Long = -1L)
 
-  def register(sourceKey: String, d: MvDef): Unit = defs.put(sourceKey, d)
+  // several MVs per source key, latest registration first; register
+  // upserts by mvPath so re-registering a refreshed MV replaces itself
+  private val defs =
+    new java.util.concurrent.ConcurrentHashMap[String, List[MvDef]]()
+  private val joinDefs =
+    new java.util.concurrent.ConcurrentHashMap[String, List[JoinMvDef]]()
+
+  def register(sourceKey: String, d: MvDef): Unit =
+    defs.compute(sourceKey, (_, old) =>
+      d :: Option(old).getOrElse(Nil).filterNot(_.mvPath == d.mvPath))
   def deregister(sourceKey: String): Unit = defs.remove(sourceKey)
-  def lookup(sourceKey: String): Option[MvDef] = Option(defs.get(sourceKey))
-  def clear(): Unit = defs.clear()
+  /** All MVs registered for the source, latest-first. */
+  def lookup(sourceKey: String): List[MvDef] =
+    Option(defs.get(sourceKey)).getOrElse(Nil)
+
+  def registerJoin(joinKey: String, d: JoinMvDef): Unit =
+    joinDefs.compute(joinKey, (_, old) =>
+      d :: Option(old).getOrElse(Nil).filterNot(_.mvPath == d.mvPath))
+  def lookupJoin(joinKey: String): List[JoinMvDef] =
+    Option(joinDefs.get(joinKey)).getOrElse(Nil)
+
+  def clear(): Unit = { defs.clear(); joinDefs.clear() }
+
+  /** Orientation-free key for a two-source equi-join: sides are ordered
+    * lexicographically by source key and the column pairs flipped to
+    * match, so `a ⋈ b` and `b ⋈ a` land on the same registration. */
+  def joinKey(leftKey: String, rightKey: String,
+      pairs: Seq[(String, String)]): String = {
+    val (lk, rk, ps) =
+      if (leftKey <= rightKey) (leftKey, rightKey, pairs)
+      else (rightKey, leftKey, pairs.map(_.swap))
+    s"$lk⋈$rk⋈${ps.map { case (a, b) => s"$a=$b" }.sorted.mkString(",")}"
+  }
 
   def sourceKey(lr: LogicalRelation): Option[String] = lr.relation match {
     case h: HadoopFsRelation => Some(h.location.rootPaths.map(_.toString).sorted.mkString(","))
@@ -126,48 +181,130 @@ object RewriteAggToMv extends Rule[LogicalPlan] {
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
     case agg: Aggregate =>
-      (for {
-        (leaf, conds) <- sourceOf(agg.child)
-        (key, fp) <- sourceId(leaf)
-        mv <- lookup(key)
-        if fp == mv.fingerprint // freshness gate: file list / snapshot version
-        // a filter below the aggregate is MV-compatible iff it touches
-        // only grain columns — it then replays against the rollup rows
-        if conds.forall(_.references.forall(a => mv.groupCols.contains(a.name)))
-        rewritten <- tryRewrite(agg, conds, mv)
-      } yield rewritten).getOrElse(agg)
+      rewritePlain(agg).orElse(rewriteJoin(agg)).getOrElse(agg)
   }
 
-  private def tryRewrite(agg: Aggregate, conds: Seq[Expression], mv: MvDef): Option[LogicalPlan] = {
-    val mvPlan = SparkSession.active.read.parquet(mv.mvPath).queryExecution.analyzed
+  /** Single-source match: among the registered MVs that are fresh,
+    * whose grain covers every filter below the aggregate, and that can
+    * actually serve the aggregate, substitute the SMALLEST (stored
+    * rows) — the cost-based selection when a source carries rollups at
+    * several grains. */
+  private def rewritePlain(agg: Aggregate): Option[LogicalPlan] =
+    for {
+      (leaf, conds) <- sourceOf(agg.child)
+      (key, fp) <- sourceId(leaf)
+      rewritten <- lookup(key).iterator
+        .filter(_.fingerprint == fp) // freshness gate: file list / snapshot
+        // a filter below the aggregate is MV-compatible iff it touches
+        // only grain columns — it then replays against the rollup rows
+        .filter(mv => conds.forall(
+          _.references.forall(a => mv.groupCols.contains(a.name))))
+        .toSeq
+        .sortBy(mv => if (mv.rows < 0) Long.MaxValue else mv.rows)
+        .iterator
+        .flatMap(mv => tryRewrite(agg, conds, mv.mvPath, mv.groupCols, mv.measures))
+        .nextOption()
+    } yield rewritten
+
+  /** Join-tree match: Aggregate over Inner-equi-Join of two clean scans
+    * (filters above the join replay on grain columns; any filter BELOW
+    * the join declines — the rollup pre-joined unfiltered sources). */
+  private def rewriteJoin(agg: Aggregate): Option[LogicalPlan] = {
+    def peel(p: LogicalPlan, conds: Seq[Expression]): Option[(Join, Seq[Expression])] =
+      p match {
+        case j: Join => Some((j, conds))
+        case Project(pl, c) if pl.forall(_.isInstanceOf[AttributeReference]) =>
+          peel(c, conds)
+        case Filter(cond, c) => peel(c, cond +: conds)
+        case _ => None
+      }
+    for {
+      (j, conds) <- peel(agg.child, Nil)
+      if j.joinType == Inner
+      (ll, lcs) <- sourceOf(j.left)
+      (rr, rcs) <- sourceOf(j.right)
+      (lk, lfp) <- sourceId(ll)
+      (rk, rfp) <- sourceId(rr)
+      pairs <- eqPairs(j.condition, ll, rr)
+      // below-join filters: ONLY the IsNotNull(join key) conjuncts the
+      // optimizer itself infers from the inner equi-join are admissible
+      // (null keys never match, so the rollup already excludes them);
+      // anything else means the rollup pre-joined rows this query
+      // filters out — decline
+      keyNames = pairs.iterator.flatMap(p => Iterator(p._1, p._2)).toSet
+      if (lcs ++ rcs).forall(c => splitConjuncts(c).forall {
+        case IsNotNull(a: AttributeReference) => keyNames.contains(a.name)
+        case _ => false
+      })
+      // normalize fingerprint orientation along with the key
+      (fpA, fpB) = if (lk <= rk) (lfp, rfp) else (rfp, lfp)
+      rewritten <- lookupJoin(joinKey(lk, rk, pairs)).iterator
+        .filter(mv => mv.leftFingerprint == fpA && mv.rightFingerprint == fpB)
+        .filter(mv => conds.forall(
+          _.references.forall(a => mv.groupCols.contains(a.name))))
+        .toSeq
+        .sortBy(mv => if (mv.rows < 0) Long.MaxValue else mv.rows)
+        .iterator
+        .flatMap(mv => tryRewrite(agg, conds, mv.mvPath, mv.groupCols, mv.measures))
+        .nextOption()
+    } yield rewritten
+  }
+
+  private def splitConjuncts(e: Expression): Seq[Expression] = e match {
+    case And(a, b) => splitConjuncts(a) ++ splitConjuncts(b)
+    case other => Seq(other)
+  }
+
+  /** The join condition as bare-attribute equi-pairs oriented (left
+    * column, right column); anything else (residual predicates, casts,
+    * null-safe equality) declines the match. */
+  private def eqPairs(cond: Option[Expression], l: LogicalPlan,
+      r: LogicalPlan): Option[Seq[(String, String)]] = cond.flatMap { c =>
+    val lset = l.outputSet
+    val rset = r.outputSet
+    def split(e: Expression): Option[Seq[(String, String)]] = e match {
+      case And(a, b) => for { x <- split(a); y <- split(b) } yield x ++ y
+      case EqualTo(a: AttributeReference, b: AttributeReference) =>
+        if (lset.contains(a) && rset.contains(b)) Some(Seq((a.name, b.name)))
+        else if (lset.contains(b) && rset.contains(a)) Some(Seq((b.name, a.name)))
+        else None
+      case _ => None
+    }
+    split(c)
+  }
+
+  private def tryRewrite(agg: Aggregate, conds: Seq[Expression],
+      mvPath: String, groupCols: Set[String],
+      measures: Map[String, String]): Option[LogicalPlan] = {
+    val mvPlan = SparkSession.active.read.parquet(mvPath).queryExecution.analyzed
     val mvRel = mvPlan.collectFirst { case l: LogicalRelation => l }.getOrElse(return None)
     val mvOut = mvRel.output.map(a => a.name -> a).toMap
 
     // grouping: bare columns of the MV grain only
     val newGe = agg.groupingExpressions.map {
-      case a: AttributeReference if mv.groupCols.contains(a.name) && mvOut.contains(a.name) =>
+      case a: AttributeReference if groupCols.contains(a.name) && mvOut.contains(a.name) =>
         mvOut(a.name)
       case _ => return None
     }
 
     def rewriteFn(fn: AggregateFunction): Option[Expression] = fn match {
       case s: Sum =>
-        measureKey("sum", s.child).flatMap(mv.measures.get).map { c =>
+        measureKey("sum", s.child).flatMap(measures.get).map { c =>
           Cast(Sum(mvOut(c)).toAggregateExpression(), fn.dataType)
         }
       case c: Count => c.children match {
         case Seq(Literal(1, IntegerType)) =>
-          mv.measures.get("cnt").map { col =>
+          measures.get("cnt").map { col =>
             Coalesce(Seq(Cast(Sum(mvOut(col)).toAggregateExpression(), fn.dataType), Literal(0L)))
           }
         case _ => None
       }
       case m: Min =>
-        measureKey("min", m.child).flatMap(mv.measures.get).map { c =>
+        measureKey("min", m.child).flatMap(measures.get).map { c =>
           Cast(Min(mvOut(c)).toAggregateExpression(), fn.dataType)
         }
       case m: Max =>
-        measureKey("max", m.child).flatMap(mv.measures.get).map { c =>
+        measureKey("max", m.child).flatMap(measures.get).map { c =>
           Cast(Max(mvOut(c)).toAggregateExpression(), fn.dataType)
         }
       case _ => None
@@ -177,7 +314,7 @@ object RewriteAggToMv extends Rule[LogicalPlan] {
     // unsupported node so the whole Aggregate is left untouched
     def rewriteNode(e: Expression): Option[Expression] = e match {
       case a: AttributeReference =>
-        if (mv.groupCols.contains(a.name)) mvOut.get(a.name) else None
+        if (groupCols.contains(a.name)) mvOut.get(a.name) else None
       case ae: AggregateExpression if !ae.isDistinct && ae.filter.isEmpty =>
         rewriteFn(ae.aggregateFunction)
       case _ =>

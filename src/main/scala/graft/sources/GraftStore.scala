@@ -70,7 +70,63 @@ object GraftStore {
     * METADATA-ONLY DELETE (a predicate every file either entirely
     * satisfies or entirely misses = a manifest swap). */
   case class ColStats(min: String, max: String, nulls: Long,
-      bloom: String = "")
+      bloom: String = "", ndv: String = "")
+
+  /** Tiny per-file HyperLogLog NDV sketch (m=64 registers, 2 hex chars
+    * each = 128 manifest chars per column), kept for every stats-bearing
+    * column so the manifest can answer "how many distinct values" at
+    * PLANNING time — the input Spark's cost-based optimizer needs for
+    * equi-join cardinality estimates. Registers merge by max, so the
+    * table-level NDV is a union of per-file sketches with no data I/O:
+    * the ANALYZE TABLE full scan every warehouse schedules becomes a
+    * fold over manifest lines (the Iceberg puffin/theta-sketch idea, in
+    * miniature). Deterministic (seeded Murmur3 over the value bytes);
+    * ~13%% standard error at m=64 — an ESTIMATE feeding the cost model,
+    * never a query result. Deletion vectors only remove rows, so a DV'd
+    * file's sketch stays a sound upper estimate. */
+  private[graft] object NdvHll {
+    val M = 64
+    import scala.util.hashing.MurmurHash3
+    def empty: Array[Byte] = new Array[Byte](M)
+    def add(regs: Array[Byte], bytes: Array[Byte]): Unit = {
+      val h = MurmurHash3.bytesHash(bytes, 0x2545f491)
+      val idx = h & (M - 1)
+      val w = h >>> 6 // remaining 26 bits
+      val rank = (if (w == 0) 27 else Integer.numberOfTrailingZeros(w) + 1).toByte
+      if (rank > regs(idx)) regs(idx) = rank
+    }
+    def addLong(regs: Array[Byte], v: Long): Unit = {
+      val b = new Array[Byte](8)
+      var i = 0; var x = v
+      while (i < 8) { b(i) = (x & 0xff).toByte; x >>>= 8; i += 1 }
+      add(regs, b)
+    }
+    def hex(regs: Array[Byte]): String = regs.map(r => f"$r%02x").mkString
+    def fromHex(s: String): Array[Byte] =
+      Array.tabulate(M)(i => Integer.parseInt(s.substring(2 * i, 2 * i + 2), 16).toByte)
+    /** Per-register max — the HLL union (associative, order-free). */
+    def mergeHex(a: String, b: String): String = {
+      val (x, y) = (fromHex(a), fromHex(b))
+      hex(Array.tabulate(M)(i => if (x(i) >= y(i)) x(i) else y(i)))
+    }
+    /** Standard HLL estimate with the small-range linear-counting
+      * correction (alpha for m=64 per Flajolet et al.). */
+    def estimate(regs: Array[Byte]): Long = {
+      val alpha = 0.709
+      var sum = 0.0; var zeros = 0
+      var i = 0
+      while (i < M) {
+        sum += java.lang.Math.pow(2.0, -regs(i).toDouble)
+        if (regs(i) == 0) zeros += 1
+        i += 1
+      }
+      val raw = alpha * M * M / sum
+      val est =
+        if (raw <= 2.5 * M && zeros > 0) M * math.log(M.toDouble / zeros)
+        else raw
+      math.max(1L, math.round(est))
+    }
+  }
 
   /** Tiny per-file Bloom filter for STRING columns (256 bits, 2 probes,
     * Murmur3 over the UTF-8 bytes — deterministic across JVMs), carried
@@ -136,11 +192,18 @@ object GraftStore {
   // stats-bearing column names are restricted to ones without the
   // delimiters (others just carry no stats); the 4th field is absent in
   // pre-evolution manifests, the 5th only present when the file carries
-  // a deletion vector (trailing empty fields don't survive split)
+  // a deletion vector (trailing empty fields don't survive split).
+  // Per-column sub-fields: min:max:nulls[:bloom[:ndv]] — bloom is the
+  // string-equality sketch (empty for numerics), ndv the HLL hex; a
+  // column with an ndv but no bloom writes the empty bloom explicitly
+  // (interior empty fields DO survive split).
   private def fmtEntry(e: FileEntry): String = {
     val st = e.stats.toSeq.sortBy(_._1)
       .map { case (c, s) =>
-        val b = if (s.bloom.isEmpty) "" else s":${s.bloom}"
+        val b =
+          if (s.ndv.nonEmpty) s":${s.bloom}:${s.ndv}"
+          else if (s.bloom.nonEmpty) s":${s.bloom}"
+          else ""
         s"$c=${s.min}:${s.max}:${s.nulls}$b"
       }.mkString(";")
     val dvf = if (e.dv.isEmpty) "" else s"\t${e.dv}"
@@ -157,6 +220,8 @@ object GraftStore {
           case Array(mn, mx, nulls) => c -> ColStats(mn, mx, nulls.toLong)
           case Array(mn, mx, nulls, bloom) =>
             c -> ColStats(mn, mx, nulls.toLong, bloom)
+          case Array(mn, mx, nulls, bloom, ndv) =>
+            c -> ColStats(mn, mx, nulls.toLong, bloom, ndv)
         }
       }.toMap
       FileEntry(parts(0), parts(1).toLong, stats,
@@ -822,23 +887,28 @@ object GraftStore {
       (a.get(c), b.get(c)) match {
         case (Some(x), Some(y)) =>
           // blooms OR together; one side lacking its bloom poisons the
-          // merged one (absence could no longer prove absence)
+          // merged one (absence could no longer prove absence). NDV
+          // sketches union by register max; one side lacking its sketch
+          // poisons the estimate the same way.
           val bloom =
             if (x.bloom.nonEmpty && y.bloom.nonEmpty)
               StringBloom.orHex(x.bloom, y.bloom)
             else ""
+          val ndv =
+            if (x.ndv.nonEmpty && y.ndv.nonEmpty) NdvHll.mergeHex(x.ndv, y.ndv)
+            else ""
           val merged =
-            if (x.min.isEmpty) ColStats(y.min, y.max, x.nulls + y.nulls, bloom)
-            else if (y.min.isEmpty) ColStats(x.min, x.max, x.nulls + y.nulls, bloom)
+            if (x.min.isEmpty) ColStats(y.min, y.max, x.nulls + y.nulls, bloom, ndv)
+            else if (y.min.isEmpty) ColStats(x.min, x.max, x.nulls + y.nulls, bloom, ndv)
             else schema.fields.find(_.name == c).map(_.dataType) match {
               case Some(DoubleType) => ColStats(
                 math.min(x.min.toDouble, y.min.toDouble).toString,
                 math.max(x.max.toDouble, y.max.toDouble).toString,
-                x.nulls + y.nulls, bloom)
+                x.nulls + y.nulls, bloom, ndv)
               case _ => ColStats(
                 math.min(x.min.toLong, y.min.toLong).toString,
                 math.max(x.max.toLong, y.max.toLong).toString,
-                x.nulls + y.nulls, bloom)
+                x.nulls + y.nulls, bloom, ndv)
             }
           Some(c -> merged)
         case _ => None // a pre-stats file poisons the column: no stats
@@ -1750,6 +1820,12 @@ class GraftStoreDataWriter(path: String, schema: StructType, partitionId: Int,
     case (f, i) if f.dataType == StringType && safeName(f) => i
   }
   private val blooms = bloomIdx.map(_ => Array.fill(4)(0L))
+  // per-column HLL NDV sketches (numeric + string stat columns): the
+  // write-time pass the manifest needs so table-level distinct-count
+  // estimates exist at PLANNING time with zero data I/O (see NdvHll)
+  private val ndvIdx = statIdx ++ bloomIdx
+  private val ndvs = ndvIdx.map(_ => GraftStore.NdvHll.empty)
+  private val ndvPos: Map[Int, Int] = ndvIdx.zipWithIndex.toMap
   private val minL = Array.fill(schema.length)(Long.MaxValue)
   private val maxL = Array.fill(schema.length)(Long.MinValue)
   private val minD = Array.fill(schema.length)(Double.PositiveInfinity)
@@ -1769,14 +1845,18 @@ class GraftStoreDataWriter(path: String, schema: StructType, partitionId: Int,
             val v = row.getDouble(i)
             if (v < minD(i)) minD(i) = v
             if (v > maxD(i)) maxD(i) = v
+            GraftStore.NdvHll.addLong(ndvs(ndvPos(i)),
+              java.lang.Double.doubleToLongBits(v))
           case IntegerType =>
             val v = row.getInt(i).toLong
             if (v < minL(i)) minL(i) = v
             if (v > maxL(i)) maxL(i) = v
+            GraftStore.NdvHll.addLong(ndvs(ndvPos(i)), v)
           case _ =>
             val v = row.getLong(i)
             if (v < minL(i)) minL(i) = v
             if (v > maxL(i)) maxL(i) = v
+            GraftStore.NdvHll.addLong(ndvs(ndvPos(i)), v)
         }
       }
       j += 1
@@ -1785,7 +1865,11 @@ class GraftStoreDataWriter(path: String, schema: StructType, partitionId: Int,
     while (k < bloomIdx.length) {
       val i = bloomIdx(k)
       if (row.isNullAt(i)) nulls(i) += 1
-      else GraftStore.StringBloom.add(blooms(k), row.getUTF8String(i).getBytes)
+      else {
+        val bytes = row.getUTF8String(i).getBytes
+        GraftStore.StringBloom.add(blooms(k), bytes)
+        GraftStore.NdvHll.add(ndvs(ndvPos(i)), bytes)
+      }
       k += 1
     }
   }
@@ -1797,10 +1881,12 @@ class GraftStoreDataWriter(path: String, schema: StructType, partitionId: Int,
         if (nonNull(i) == 0) ("", "")
         else if (f.dataType == DoubleType) (minD(i).toString, maxD(i).toString)
         else (minL(i).toString, maxL(i).toString)
-      f.name -> GraftStore.ColStats(mn, mx, nulls(i))
+      f.name -> GraftStore.ColStats(mn, mx, nulls(i),
+        ndv = GraftStore.NdvHll.hex(ndvs(ndvPos(i))))
     }.toMap ++ bloomIdx.zipWithIndex.map { case (i, k) =>
       schema.fields(i).name -> GraftStore.ColStats("", "", nulls(i),
-        GraftStore.StringBloom.hex(blooms(k)))
+        GraftStore.StringBloom.hex(blooms(k)),
+        GraftStore.NdvHll.hex(ndvs(ndvPos(i))))
     }.toMap
   private val failThis = failAllAttemptsOf.contains(partitionId) ||
     (failFirstAttemptOf.contains(partitionId) &&
@@ -1984,7 +2070,8 @@ class GraftStoreScan(path: String,
     onlyFiles: Option[Set[String]] = None)
   extends Scan with Batch
   with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering
-  with org.apache.spark.sql.connector.read.SupportsReportPartitioning {
+  with org.apache.spark.sql.connector.read.SupportsReportPartitioning
+  with org.apache.spark.sql.connector.read.SupportsReportStatistics {
 
   /** MV-rewrite hooks (graft.plans.MaterializedViews): only a plain
     * current-version table scan may be substituted by a rollup — any
@@ -2089,6 +2176,85 @@ class GraftStoreScan(path: String,
         GraftStore.StatsPruning.NoRows &&
       GraftStore.StatsPruning.evalAll(runtimeDataFilters, e, schema) !=
         GraftStore.StatsPruning.NoRows)
+
+  /** MANIFEST-DERIVED PLANNING STATISTICS — the ANALYZE-free CBO feed.
+    * Called by Spark after pushdown, so row counts and column stats
+    * reflect the files that survived manifest skipping. Everything here
+    * folds over manifest lines on the driver (no data I/O): exact live
+    * row counts, exact per-column min/max/null bounds, and HLL-union
+    * distinct estimates ([[GraftStore.NdvHll]]) — which is precisely the
+    * input `spark.sql.cbo.*` join estimation and join reorder need.
+    * Where a warehouse schedules a full-scan ANALYZE TABLE to feed its
+    * cost model, a table format that keeps per-file sketches answers at
+    * planning time, always as fresh as the snapshot being read. Columns
+    * missing stats in ANY selected file report nothing (estimates may be
+    * loose, never fabricated); tables with pre-stats files report no row
+    * count at all and fall back to Spark's defaults. */
+  override def estimateStatistics(): org.apache.spark.sql.connector.read.Statistics = {
+    import org.apache.spark.sql.connector.read.colstats.ColumnStatistics
+    import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType}
+    import java.util.{Optional, OptionalLong}
+    val files = selected
+    val haveRows = files.nonEmpty && files.forall(_.rows >= 0)
+    val rowCount = if (haveRows) files.map(_.rows).sum else -1L
+    val rowWidth = schema.fields.map(_.dataType.defaultSize).sum + 8L
+    val colMap = new java.util.HashMap[
+      org.apache.spark.sql.connector.expressions.NamedReference, ColumnStatistics]()
+    if (haveRows) schema.fields.foreach { f =>
+      val sts = files.flatMap(e => e.stats.get(f.name))
+      if (sts.length == files.length) {
+        val nullsKnown = sts.forall(_.nulls >= 0)
+        val nullSum = if (nullsKnown) sts.map(_.nulls).sum else -1L
+        val ndvEst: Long =
+          if (sts.forall(_.ndv.nonEmpty)) {
+            val merged = sts.map(_.ndv).reduce(GraftStore.NdvHll.mergeHex)
+            math.min(GraftStore.NdvHll.estimate(GraftStore.NdvHll.fromHex(merged)),
+              math.max(1L, rowCount))
+          } else -1L
+        val nonEmpty = sts.filter(_.min.nonEmpty)
+        // boxed catalyst-internal values per column type; string columns
+        // carry no min/max (their manifest stats are bloom + ndv only)
+        val (mnV, mxV): (Option[Any], Option[Any]) =
+          if (nonEmpty.isEmpty) (None, None)
+          else f.dataType match {
+            case DoubleType =>
+              (Some(Double.box(nonEmpty.map(_.min.toDouble).min)),
+                Some(Double.box(nonEmpty.map(_.max.toDouble).max)))
+            case IntegerType =>
+              (Some(Int.box(nonEmpty.map(_.min.toLong).min.toInt)),
+                Some(Int.box(nonEmpty.map(_.max.toLong).max.toInt)))
+            case LongType =>
+              (Some(Long.box(nonEmpty.map(_.min.toLong).min)),
+                Some(Long.box(nonEmpty.map(_.max.toLong).max)))
+            case _ => (None, None)
+          }
+        if (ndvEst >= 0 || nullSum >= 0 || mnV.isDefined)
+          colMap.put(Expressions.column(f.name), new ColumnStatistics {
+            override def distinctCount(): OptionalLong =
+              if (ndvEst >= 0) OptionalLong.of(ndvEst) else OptionalLong.empty()
+            override def min(): Optional[Object] =
+              mnV.map(v => Optional.of(v.asInstanceOf[Object])).getOrElse(Optional.empty())
+            override def max(): Optional[Object] =
+              mxV.map(v => Optional.of(v.asInstanceOf[Object])).getOrElse(Optional.empty())
+            override def nullCount(): OptionalLong =
+              if (nullSum >= 0) OptionalLong.of(nullSum) else OptionalLong.empty()
+            override def avgLen(): OptionalLong =
+              OptionalLong.of(f.dataType.defaultSize.toLong)
+            override def maxLen(): OptionalLong =
+              OptionalLong.of(f.dataType.defaultSize.toLong)
+          })
+      }
+    }
+    new org.apache.spark.sql.connector.read.Statistics {
+      override def sizeInBytes(): OptionalLong =
+        if (haveRows) OptionalLong.of(math.max(1L, rowCount) * rowWidth)
+        else OptionalLong.empty()
+      override def numRows(): OptionalLong =
+        if (haveRows) OptionalLong.of(rowCount) else OptionalLong.empty()
+      override def columnStats(): java.util.Map[
+        org.apache.spark.sql.connector.expressions.NamedReference, ColumnStatistics] = colMap
+    }
+  }
 
   /** The files this scan planned partitions for — for a row-level
     * operation this IS the replaced-group set its write commits against

@@ -169,6 +169,49 @@ class GraftStoreSpec extends SparkSuite {
     assert(got == (0L until 800L).filter(_ % 8 == 3), "bloom skipping changed results")
   }
 
+  test("manifest NDV sketches: write-time HLL, union across files, planner-visible stats") {
+    import spark.implicits._
+    val path = tempTable()
+    // 4 files x 250 rows: id unique (1000 distinct), g 10 distinct
+    // spread across every file, s a string column with 50 distinct
+    writeDf(spark.range(0, 1000, 1, 4)
+      .select($"id", ($"id" % 10).as("g"),
+        concat(lit("u"), $"id" % 50).as("s")), path)
+    val entries = GraftStore.readManifest(path).get._2
+    assert(entries.forall(e => e.stats("id").ndv.nonEmpty &&
+      e.stats("g").ndv.nonEmpty && e.stats("s").ndv.nonEmpty),
+      "every stats-bearing column must carry an NDV sketch")
+    def unionNdv(c: String): Long = {
+      val merged = entries.map(_.stats(c).ndv).reduce(GraftStore.NdvHll.mergeHex)
+      GraftStore.NdvHll.estimate(GraftStore.NdvHll.fromHex(merged))
+    }
+    // m=64 HLL has ~13% standard error — assert generous 3σ-ish windows
+    val idN = unionNdv("id")
+    assert(idN > 600 && idN < 1500, s"id NDV estimate $idN vs true 1000")
+    val gN = unionNdv("g")
+    assert(gN >= 8 && gN <= 13, s"g NDV estimate $gN vs true 10")
+    val sN = unionNdv("s")
+    assert(sN > 35 && sN < 70, s"s NDV estimate $sN vs true 50")
+    // the estimates reach Spark's planner as attributeStats on the scan
+    // relation, alongside the exact live row count and min/max bounds
+    val leaf = readBack(path).queryExecution.optimizedPlan.collectLeaves().head
+    assert(leaf.stats.rowCount.contains(BigInt(1000)),
+      s"manifest row count missing from plan stats: ${leaf.stats}")
+    val byName = leaf.stats.attributeStats.map { case (a, cs) => a.name -> cs }
+    assert(byName.get("g").exists(_.distinctCount.exists(n => n >= 8 && n <= 13)),
+      s"NDV estimate did not reach attributeStats: ${leaf.stats.attributeStats}")
+    assert(byName.get("id").exists(c => c.min.contains(0L) && c.max.contains(999L)),
+      s"min/max bounds wrong in attributeStats: ${leaf.stats.attributeStats}")
+    // compaction merges sketches per-register — the union estimate is
+    // IDENTICAL after OPTIMIZE (not merely close: same registers)
+    GraftStore.compact(spark, path, 1L << 30)
+    val after = GraftStore.readManifest(path).get._2
+    assert(after.length == 1, "compaction should bin-pack to one file")
+    assert(GraftStore.NdvHll.estimate(
+      GraftStore.NdvHll.fromHex(after.head.stats("g").ndv)) == gN,
+      "compacted NDV sketch must equal the union of its inputs")
+  }
+
   test("count/min/max answered from manifest metadata alone (zero data I/O)") {
     import spark.implicits._
     val path = tempTable()

@@ -61,6 +61,77 @@ class MvRewriteSpec extends SparkSuite {
       s"only $substituted of ${grains.size * measures.size} combinations were MV-substituted")
   }
 
+  test("multi-MV cost selection: coarse query reads the 6-row MV, fine query the finer one") {
+    // q_mv_choose registers the FINE (l_returnflag, l_linestatus,
+    // l_linenumber) MV next to the coarse one on the same source key
+    SparkEntry.queries("q_mv_choose")(spark, sfDir).collect()
+    val s2 = mvSession
+    // coarse grain: BOTH MVs serve; the rule must pick the fewest-rows
+    // candidate — the original coarse rollup, not the finer one
+    val coarse = lineitem(s2).groupBy(col("l_returnflag"))
+      .agg(graft.ops.Util.dsumd(col("l_quantity")).as("sum_qty"))
+    val coarsePlan = coarse.queryExecution.executedPlan.toString
+    assert(coarsePlan.contains("lineitem_by_flag_status") &&
+      !coarsePlan.contains("lineitem_by_flag_status_line"),
+      s"coarse query should read the COARSE (cheapest) MV:\n$coarsePlan")
+    // fine grain: only the finer MV's grain covers l_linenumber
+    val fine = lineitem(s2).groupBy(col("l_returnflag"), col("l_linenumber"))
+      .agg(count(lit(1)).as("n"))
+    val finePlan = fine.queryExecution.executedPlan.toString
+    assert(finePlan.contains("lineitem_by_flag_status_line"),
+      s"fine query should be served by the finer MV:\n$finePlan")
+    // and both agree with the rule-free session
+    assert(coarse.collect().toSeq ==
+      lineitem(spark).groupBy(col("l_returnflag"))
+        .agg(graft.ops.Util.dsumd(col("l_quantity")).as("sum_qty"))
+        .collect().toSeq)
+    assert(fine.orderBy(col("l_returnflag"), col("l_linenumber")).collect().toSeq ==
+      lineitem(spark).groupBy(col("l_returnflag"), col("l_linenumber"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("l_returnflag"), col("l_linenumber")).collect().toSeq)
+  }
+
+  test("join-aware MV: same join tree substitutes, different join keys decline") {
+    // q_mv_join registers the lineitem⋈orders rollup and returns from a
+    // rule-injected clone; re-run the shape here on our own clone
+    SparkEntry.queries("q_mv_join")(spark, sfDir).collect()
+    val s2 = mvSession
+    def orders(s: SparkSession) = graft.ops.Util.table(s, sfDir, "orders")
+    val li = lineitem(s2); val or = orders(s2)
+    val q = li.join(or, li("l_orderkey") === or("o_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(graft.ops.Util.dsumd(col("l_quantity")).as("sum_qty"))
+    val p = q.queryExecution.executedPlan.toString
+    assert(p.contains("lineitem_orders_by_pri_flag"),
+      s"join query should read the pre-joined rollup:\n$p")
+    assert(!p.contains("lineitem.parquet") && !p.contains("orders.parquet"),
+      s"join query still scans a source table:\n$p")
+    // flipped orientation (orders ⋈ lineitem) must ALSO substitute —
+    // the key is orientation-normalized
+    val li2 = lineitem(s2); val or2 = orders(s2)
+    val flipped = or2.join(li2, li2("l_orderkey") === or2("o_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"))
+    assert(flipped.queryExecution.executedPlan.toString
+        .contains("lineitem_orders_by_pri_flag"),
+      "orientation-flipped join should hit the same MV")
+    // a DIFFERENT join key (theta on partkey) must decline
+    val li3 = lineitem(s2); val or3 = orders(s2)
+    val other = li3.join(or3, li3("l_partkey") === or3("o_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"))
+    assert(!other.queryExecution.executedPlan.toString
+        .contains("lineitem_orders_by_pri_flag"),
+      "a different join key must never be served the rollup")
+    // and the substituted result agrees with the rule-free plan
+    val liF = lineitem(spark); val orF = orders(spark)
+    assert(q.orderBy(col("o_orderpriority")).collect().toSeq ==
+      liF.join(orF, liF("l_orderkey") === orF("o_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(graft.ops.Util.dsumd(col("l_quantity")).as("sum_qty"))
+        .orderBy(col("o_orderpriority")).collect().toSeq)
+  }
+
   test("global (no-grain) aggregate is also served and agrees") {
     val s2 = mvSession
     def q(s: SparkSession) = lineitem(s)

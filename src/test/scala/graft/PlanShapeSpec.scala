@@ -514,6 +514,43 @@ class PlanShapeSpec extends SparkSuite {
         df.queryExecution.optimizedPlan)
   }
 
+  test("q_sim_sparse_capped: salt key reaches the hot join; bit-identical to uncapped") {
+    val capped = SparkEntry.queries("q_sim_sparse_capped")(spark, sfDir)
+    val p = capped.queryExecution.executedPlan.toString
+    // the block-cap is real only if the self-join's equi-keys include
+    // the salt next to (top_tid, tid)
+    assert(p.contains("salt"),
+      s"salt key missing from the physical join:\n$p")
+    val plain = SparkEntry.queries("q_sim_sparse")(spark, sfDir)
+    assert(capped.collect().toSeq == plain.collect().toSeq,
+      "salted triangular replication must preserve the exact pair set")
+  }
+
+  test("q_store_cbo: manifest stats reorder the join chain, no ANALYZE") {
+    val df = SparkEntry.queries("q_store_cbo")(spark, sfDir)
+    val opt = df.queryExecution.optimizedPlan
+    val leaves = opt.collectLeaves()
+    // every store leaf must carry manifest-derived stats: exact row
+    // count + attribute stats (the SupportsReportStatistics bridge)
+    leaves.foreach { l =>
+      assert(l.stats.rowCount.isDefined,
+        s"store scan reports no row count: $l")
+      assert(l.stats.attributeStats.nonEmpty,
+        s"store scan reports no column stats: $l")
+      assert(l.stats.attributeStats.exists(_._2.distinctCount.isDefined),
+        s"no NDV estimate reached catalyst attributeStats: $l")
+    }
+    // query text joins lineitem FIRST; the cost model must move it to
+    // the outermost position so the selective customer⋈orders pair
+    // builds first — same contract as q_cbo_reorder, but the stats come
+    // from manifest lines instead of a full-scan ANALYZE
+    val strs = leaves.map(_.toString)
+    val li = strs.indexWhere(s => s.contains("graft_cbostore_") && s.contains("lineitem"))
+    assert(li >= 0, s"lineitem store leaf missing:\n${strs.mkString("\n")}")
+    assert(li == strs.size - 1,
+      s"CBO did not reorder: lineitem at leaf $li of ${strs.size}:\n$opt")
+  }
+
   test("q_mv_rewrite substitutes the MV scan for the fact scan") {
     val df = SparkEntry.queries("q_mv_rewrite")(spark, sfDir)
     val p = df.queryExecution.executedPlan.toString
