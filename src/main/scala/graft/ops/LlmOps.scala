@@ -240,7 +240,34 @@ object LlmOps {
       .orderBy($"lang")
   }
 
+  /** Mean-pooling chunk embeddings into group embeddings — the
+    * aggregation between chunk-level encoders and doc-level semantic ops
+    * (SemDeDup centroids, retrieval indexes): element-wise mean per
+    * label, emitted in LONG FORM (label, dim, …) so every value is a
+    * scalar the cross-engine hash can pin. Plan shape: posexplode →
+    * (label, dim)-keyed partial aggregation — the map-side-combining
+    * form: the shuffle carries |labels|×64 partial sums, never the
+    * vectors (the collect_list-then-fold alternative ships every vector
+    * through the shuffle and loses partial aggregation). Parity: floats
+    * quantized to exact scaled int64 (×10⁶, the q_sim_sparse
+    * discipline) so sums are order-free; `pooled` is one IEEE-exact
+    * division of the integer sum — no rounding anywhere after
+    * quantization. */
+  val qEmbedPool: Q = (s, dir) => {
+    import s.implicits._
+    emb(s, dir)
+      .select($"label", posexplode($"emb").as(Seq("dim", "v")))
+      .select($"label", $"dim",
+        round($"v" * 1000000, 0).cast("long").as("vq"))
+      .groupBy($"label", $"dim")
+      .agg(sum($"vq").as("sum_e6"), count(lit(1)).as("n_vecs"))
+      .select($"label", $"dim", $"sum_e6", $"n_vecs",
+        ($"sum_e6".cast("double") / ($"n_vecs" * lit(1000000.0))).as("pooled"))
+      .orderBy($"label", $"dim")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_embed_pool" -> qEmbedPool,
     "q_dedup_exact" -> qDedupExact,
     "q_dedup_near" -> qDedupNear,
     "q_sim_topk" -> qSimTopk,
@@ -282,6 +309,17 @@ object LlmOps {
          |WHERE CAST(i AS DOUBLE)/(za.n + zb.n - i) >= 0.8
          |ORDER BY doc_a, doc_b""".stripMargin
     },
+    // long-form pooled matrix: quantized int64 sums are order-free, and
+    // `pooled` is a single IEEE-exact division — no post-quantization
+    // rounding anywhere. DuckDB lists are 1-indexed; dim = i-1 aligns
+    // with Spark's 0-based posexplode
+    "q_embed_pool" ->
+      """WITH x AS (SELECT label, i - 1 AS dim,
+        |    CAST(round(CAST(embedding[i] AS DOUBLE) * 1000000, 0) AS BIGINT) AS vq
+        |  FROM embeddings CROSS JOIN generate_series(1, 64) AS t(i))
+        |SELECT label, dim, sum(vq) AS sum_e6, count(*) AS n_vecs,
+        |  CAST(sum(vq) AS DOUBLE) / (count(*) * 1000000.0) AS pooled
+        |FROM x GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q_sim_topk" ->
       """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
         |  FROM embeddings),

@@ -744,13 +744,19 @@ object Sources {
       sc.conf.set("spark.sql.catalog.gspj", "graft.sources.GraftCatalog")
       sc.conf.set("spark.sql.catalog.gspj.root", r)
       table(sc, dir, "orders").createOrReplaceTempView("spj_orders")
+      // sortBy: the CTAS writes each partition's file SORTED on the
+      // secondary join key; the writer verifies and records the order
+      // per file (ColStats.mono), and the scan's reported ordering then
+      // lets the SMJ below skip BOTH SortExecs (sorted SPJ)
       sc.sql(
-        """CREATE TABLE gspj.o PARTITIONED BY (pri) AS
+        """CREATE TABLE gspj.o PARTITIONED BY (pri)
+          |TBLPROPERTIES('sortBy'='o_custkey') AS
           |SELECT o_orderkey, o_custkey, o_totalprice,
           |  CAST(substring(o_orderpriority, 1, 1) AS INT) AS pri
           |FROM spj_orders""".stripMargin)
       sc.sql(
-        """CREATE TABLE gspj.c PARTITIONED BY (pri) AS
+        """CREATE TABLE gspj.c PARTITIONED BY (pri)
+          |TBLPROPERTIES('sortBy'='o_custkey') AS
           |SELECT o_custkey, count(*) AS n_orders,
           |  CAST(substring(o_orderpriority, 1, 1) AS INT) AS pri
           |FROM spj_orders GROUP BY o_custkey,

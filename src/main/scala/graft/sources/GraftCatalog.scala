@@ -138,11 +138,25 @@ class GraftCatalog extends TableCatalog {
     partitionBy.foreach(c => java.nio.file.Files.write(
       new File(dir, GraftStore.PartitionFileName).toPath,
       c.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+    // TBLPROPERTIES('sortBy'='col'): the CTAS write demands this as the
+    // secondary sort within each partition value — the writer then
+    // VERIFIES the order per file and records ColStats.mono, which is
+    // what the scan's reported ordering is proven from (the property
+    // itself persists nothing: unsorted later appends simply write
+    // files without the flag and the advertisement degrades)
+    import scala.jdk.CollectionConverters._
+    val sortBy = properties.asScala.collectFirst {
+      case (k, v) if k.equalsIgnoreCase("sortBy") => v
+    }.map { c =>
+      require(schema.fieldNames.contains(c),
+        s"sortBy column $c must be a table column")
+      c
+    }
     // an empty manifest IS the table: created atomically, never half-visible
     // (base 0: a racing CREATE on the same ident conflicts on the v1 claim)
     GraftStore.writeManifestAtomic(dir.getPath, 0L, schema, Seq.empty,
       op = "create")
-    new GraftStoreTable(dir.getPath, schema, None, None, None, None,
+    new GraftStoreTable(dir.getPath, schema, None, sortBy, None, None,
       partitionBy = partitionBy)
   }
 

@@ -69,8 +69,18 @@ object GraftStore {
     * scan-side FILE SKIPPING (a pushed filter disproves whole files) and
     * METADATA-ONLY DELETE (a predicate every file either entirely
     * satisfies or entirely misses = a manifest swap). */
+  /** `mono` = the WRITER VERIFIED this column arrived nondecreasing with
+    * no nulls while streaming the file's rows (one compare per row,
+    * alongside the min/max update) — per-file sortedness as a proven
+    * manifest fact, never a declared hope. Any set of individually-
+    * monotonic columns is lexicographically sorted in any order (ties in
+    * one column leave the others still globally nondecreasing), which is
+    * what lets the scan advertise a reported ordering (see
+    * GraftStoreScan.outputOrdering). Compaction concatenation drops the
+    * flag (merged ranges may interleave); deletion vectors only remove
+    * rows, so the flag survives them. */
   case class ColStats(min: String, max: String, nulls: Long,
-      bloom: String = "", ndv: String = "")
+      bloom: String = "", ndv: String = "", mono: Boolean = false)
 
   /** Tiny per-file HyperLogLog NDV sketch (m=64 registers, 2 hex chars
     * each = 128 manifest chars per column), kept for every stats-bearing
@@ -193,15 +203,17 @@ object GraftStore {
   // delimiters (others just carry no stats); the 4th field is absent in
   // pre-evolution manifests, the 5th only present when the file carries
   // a deletion vector (trailing empty fields don't survive split).
-  // Per-column sub-fields: min:max:nulls[:bloom[:ndv]] — bloom is the
-  // string-equality sketch (empty for numerics), ndv the HLL hex; a
-  // column with an ndv but no bloom writes the empty bloom explicitly
+  // Per-column sub-fields: min:max:nulls[:bloom[:ndv[:mono]]] — bloom is
+  // the string-equality sketch (empty for numerics), ndv the HLL hex,
+  // mono the writer-verified sortedness marker (emitted only when true);
+  // a column with an ndv but no bloom writes the empty bloom explicitly
   // (interior empty fields DO survive split).
   private def fmtEntry(e: FileEntry): String = {
     val st = e.stats.toSeq.sortBy(_._1)
       .map { case (c, s) =>
         val b =
-          if (s.ndv.nonEmpty) s":${s.bloom}:${s.ndv}"
+          if (s.mono) s":${s.bloom}:${s.ndv}:1"
+          else if (s.ndv.nonEmpty) s":${s.bloom}:${s.ndv}"
           else if (s.bloom.nonEmpty) s":${s.bloom}"
           else ""
         s"$c=${s.min}:${s.max}:${s.nulls}$b"
@@ -222,6 +234,8 @@ object GraftStore {
             c -> ColStats(mn, mx, nulls.toLong, bloom)
           case Array(mn, mx, nulls, bloom, ndv) =>
             c -> ColStats(mn, mx, nulls.toLong, bloom, ndv)
+          case Array(mn, mx, nulls, bloom, ndv, mono) =>
+            c -> ColStats(mn, mx, nulls.toLong, bloom, ndv, mono == "1")
         }
       }.toMap
       FileEntry(parts(0), parts(1).toLong, stats,
@@ -1832,12 +1846,17 @@ class GraftStoreDataWriter(path: String, schema: StructType, partitionId: Int,
   private val maxD = Array.fill(schema.length)(Double.NegativeInfinity)
   private val nulls = Array.fill(schema.length)(0L)
   private val nonNull = Array.fill(schema.length)(0L)
+  // writer-verified sortedness: stays true while the column arrives
+  // nondecreasing and null-free (one compare per row — see ColStats.mono)
+  private val mono = Array.fill(schema.length)(true)
+  private val prevL = Array.fill(schema.length)(Long.MinValue)
+  private val prevD = Array.fill(schema.length)(Double.NegativeInfinity)
 
   private def observe(row: InternalRow): Unit = {
     var j = 0
     while (j < statIdx.length) {
       val i = statIdx(j)
-      if (row.isNullAt(i)) nulls(i) += 1
+      if (row.isNullAt(i)) { nulls(i) += 1; mono(i) = false }
       else {
         nonNull(i) += 1
         schema.fields(i).dataType match {
@@ -1845,17 +1864,23 @@ class GraftStoreDataWriter(path: String, schema: StructType, partitionId: Int,
             val v = row.getDouble(i)
             if (v < minD(i)) minD(i) = v
             if (v > maxD(i)) maxD(i) = v
+            if (v < prevD(i)) mono(i) = false
+            prevD(i) = v
             GraftStore.NdvHll.addLong(ndvs(ndvPos(i)),
               java.lang.Double.doubleToLongBits(v))
           case IntegerType =>
             val v = row.getInt(i).toLong
             if (v < minL(i)) minL(i) = v
             if (v > maxL(i)) maxL(i) = v
+            if (v < prevL(i)) mono(i) = false
+            prevL(i) = v
             GraftStore.NdvHll.addLong(ndvs(ndvPos(i)), v)
           case _ =>
             val v = row.getLong(i)
             if (v < minL(i)) minL(i) = v
             if (v > maxL(i)) maxL(i) = v
+            if (v < prevL(i)) mono(i) = false
+            prevL(i) = v
             GraftStore.NdvHll.addLong(ndvs(ndvPos(i)), v)
         }
       }
@@ -1882,7 +1907,8 @@ class GraftStoreDataWriter(path: String, schema: StructType, partitionId: Int,
         else if (f.dataType == DoubleType) (minD(i).toString, maxD(i).toString)
         else (minL(i).toString, maxL(i).toString)
       f.name -> GraftStore.ColStats(mn, mx, nulls(i),
-        ndv = GraftStore.NdvHll.hex(ndvs(ndvPos(i))))
+        ndv = GraftStore.NdvHll.hex(ndvs(ndvPos(i))),
+        mono = mono(i) && nonNull(i) > 0)
     }.toMap ++ bloomIdx.zipWithIndex.map { case (i, k) =>
       schema.fields(i).name -> GraftStore.ColStats("", "", nulls(i),
         GraftStore.StringBloom.hex(blooms(k)),
@@ -2071,6 +2097,7 @@ class GraftStoreScan(path: String,
   extends Scan with Batch
   with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering
   with org.apache.spark.sql.connector.read.SupportsReportPartitioning
+  with org.apache.spark.sql.connector.read.SupportsReportOrdering
   with org.apache.spark.sql.connector.read.SupportsReportStatistics {
 
   /** MV-rewrite hooks (graft.plans.MaterializedViews): only a plain
@@ -2336,6 +2363,46 @@ class GraftStoreScan(path: String,
         new org.apache.spark.sql.connector.read.partitioning.UnknownPartitioning(
           selected.size)
     }
+
+  /** MANIFEST-PROVEN SORTEDNESS — the ordering leg next to the
+    * statistics leg: the writer VERIFIES per-column monotonicity while
+    * streaming each file's rows (ColStats.mono), and any set of
+    * individually-nondecreasing null-free columns is lexicographically
+    * sorted in every order (ties in one column leave the others still
+    * globally nondecreasing) — so each input partition (one file) can
+    * advertise a reported ordering over exactly the columns proven
+    * sorted in EVERY selected file. On a storage-partitioned table the
+    * partition key leads (single-valued per file ⇒ trivially sorted)
+    * and secondary columns are advertised only when each key owns ONE
+    * file (Spark concatenates same-key files inside a grouped
+    * partition, which would break a secondary order). Net effect: a
+    * co-partitioned SMJ whose tables were WRITTEN sorted drops its
+    * SortExec on both sides — the no-exchange join becomes a
+    * no-exchange, NO-SORT join (Iceberg's sorted-SPJ read). Proven from
+    * manifest lines, never declared: compaction or an unsorted append
+    * clears the flags and the advertisement degrades, never
+    * correctness. */
+  override def outputOrdering(): Array[org.apache.spark.sql.connector.expressions.SortOrder] = {
+    if (metaAgg.isDefined) return Array.empty
+    val sel = selected
+    if (sel.isEmpty) return Array.empty
+    def asc(c: String) = Expressions.sort(Expressions.identity(c),
+      org.apache.spark.sql.connector.expressions.SortDirection.ASCENDING)
+    val sortedCols = schema.fields.iterator.map(_.name)
+      .filter(c => sel.forall(_.stats.get(c).exists(_.mono)))
+      .toSeq
+    spjKey match {
+      case Some((k, dt)) =>
+        val oneFilePerKey =
+          sel.groupBy(keyValueOf(_, k, dt)).forall(_._2.size == 1)
+        val secondary =
+          if (oneFilePerKey) sortedCols.filterNot(_ == k).sorted else Nil
+        (k +: secondary).map(asc).toArray
+      case None =>
+        // one partition per file: per-partition ordering always holds
+        sortedCols.sorted.map(asc).toArray
+    }
+  }
 
   // one input partition per surviving data file — the write-side
   // clustering IS the read-side parallelism; a pushed metadata

@@ -477,6 +477,13 @@ class PlanShapeSpec extends SparkSuite {
       case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike => e }
     assert(shuffles.isEmpty,
       s"storage-partitioned store join still shuffles:\n${smj.head}")
+    // manifest-proven sortedness (SupportsReportOrdering on the re-checked
+    // single-valued partition key) must also elide BOTH SortExecs — the
+    // no-exchange join is a no-sort join
+    val sorts = allNodes(smj.head).collect {
+      case s: org.apache.spark.sql.execution.SortExec => s }
+    assert(sorts.isEmpty,
+      s"SPJ sides still sort despite reported ordering:\n${smj.head}")
   }
 
   test("q_sim_ivf_stored plans only the probed cells' files") {
