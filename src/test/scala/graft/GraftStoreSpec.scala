@@ -212,6 +212,59 @@ class GraftStoreSpec extends SparkSuite {
       "compacted NDV sketch must equal the union of its inputs")
   }
 
+  test("writer-verified sortedness: mono flags, reported ordering, graceful degradation") {
+    import spark.implicits._
+    val path = tempTable()
+    // a single sorted write: id arrives nondecreasing in every partition
+    writeDf(spark.range(0, 800, 1, 4).toDF("id")
+      .withColumn("v", ($"id" % 7).cast("double")), path)
+    val entries = GraftStore.readManifest(path).get._2
+    assert(entries.forall(_.stats("id").mono),
+      "range partitions arrive sorted on id — the writer must prove it")
+    assert(entries.forall(!_.stats("v").mono),
+      "v cycles 0..6 — must NOT be flagged sorted")
+    // the scan advertises exactly the proven columns
+    val ord = new graft.sources.GraftStoreScan(path).outputOrdering()
+    assert(ord.map(_.toString).exists(_.contains("id")),
+      s"proven-sorted id missing from reported ordering: ${ord.mkString(", ")}")
+    assert(!ord.map(_.toString).exists(_.contains("v")),
+      s"unsorted v must not be advertised: ${ord.mkString(", ")}")
+    // an UNSORTED append degrades the advertisement (id no longer proven
+    // in every selected file), never correctness
+    writeDf(spark.range(0, 100, 1, 1).toDF("id")
+      .select(($"id" * 37 % 100).as("id"), lit(0.0).as("v")), path,
+      mode = "append")
+    val ord2 = new graft.sources.GraftStoreScan(path).outputOrdering()
+    assert(ord2.isEmpty,
+      s"degraded layout must clear the advertisement: ${ord2.mkString(", ")}")
+    // compaction concatenates files -> merged entry drops the flag
+    val path2 = tempTable()
+    writeDf(spark.range(0, 800, 1, 4).toDF("id"), path2)
+    GraftStore.compact(spark, path2, 1L << 30)
+    val after = GraftStore.readManifest(path2).get._2
+    assert(after.length == 1 && !after.head.stats("id").mono,
+      "byte-concat compaction cannot prove order — flag must drop")
+  }
+
+  test("manifest stats round-trip: ndv + mono + bloom + dv survive format/parse") {
+    import spark.implicits._
+    val path = tempTable()
+    writeDf(spark.range(0, 500, 1, 2).toDF("id")
+      .withColumn("s", concat(lit("k"), $"id" % 20)), path)
+    // force a re-commit (append) so entries pass through fmtEntry/parseEntry
+    writeDf(spark.range(500, 600, 1, 1).toDF("id")
+      .withColumn("s", lit("k0")), path, mode = "append")
+    val entries = GraftStore.readManifest(path).get._2
+    entries.foreach { e =>
+      val id = e.stats("id")
+      assert(id.ndv.length == 128, s"ndv hex must round-trip: ${id.ndv.take(16)}…")
+      assert(id.mono, "sorted range write must round-trip its mono flag")
+      val sCol = e.stats("s")
+      assert(sCol.bloom.nonEmpty && sCol.ndv.length == 128,
+        "string column must round-trip bloom AND ndv")
+    }
+  }
+
   test("count/min/max answered from manifest metadata alone (zero data I/O)") {
     import spark.implicits._
     val path = tempTable()
