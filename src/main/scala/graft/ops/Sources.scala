@@ -958,6 +958,60 @@ object Sources {
       .orderBy($"o_orderstatus")
   }
 
+  /** JOIN MV OVER STORE TABLES (round 9) — the join-aware matcher
+    * composed with the lakehouse: the MV pre-joins TWO GraftStore
+    * tables (fact lineitem slice ⋈ dim orders slice) and registers
+    * under the orientation-normalized key with BOTH snapshot versions
+    * as fingerprints. The optimizer then serves the same store-store
+    * inner equi-join from the rollup — no fact scan, no dim scan, no
+    * join shuffle — and EITHER side's next commit breaks its version
+    * fingerprint and declines the rewrite (freshness from the table
+    * format, not a file listing). The inferred IsNotNull(join key)
+    * pushdown both store scans receive is admissible by inner-join
+    * semantics; anything else declines. Oracle recomputes the join
+    * from source parquet; staleness decline pinned in PlanShapeSpec. */
+  val qStoreMvJoin: Q = (s, dir) => {
+    import s.implicits._
+    import graft.plans.{MvCatalog, RewriteAggToMv}
+    val root = Util.managedTempDir("graft_smvj_")
+    val lt = s"$root/l"
+    val ot = s"$root/o"
+    table(s, dir, "lineitem")
+      .select($"l_orderkey", $"l_extendedprice", $"l_returnflag")
+      .write.format("graft.sources.GraftStore").option("path", lt)
+      .mode("overwrite").save()
+    table(s, dir, "orders").select($"o_orderkey", $"o_orderpriority")
+      .write.format("graft.sources.GraftStore").option("path", ot)
+      .mode("overwrite").save()
+    def rd(sx: org.apache.spark.sql.SparkSession, p: String) =
+      sx.read.format("graft.sources.GraftStore").option("path", p).load()
+    val mvPath = s"$root/mv"
+    rd(s, lt).join(rd(s, ot), $"l_orderkey" === $"o_orderkey")
+      .groupBy($"o_orderpriority", $"l_returnflag")
+      .agg(sum(dec($"l_extendedprice")).as("s_price"), count(lit(1)).as("cnt"))
+      .write.parquet(mvPath)
+    val (lk, ok) = (s"graftstore:$lt", s"graftstore:$ot")
+    val lfp = s"v${graft.sources.GraftStore.readVersion(lt)}"
+    val ofp = s"v${graft.sources.GraftStore.readVersion(ot)}"
+    val (fpA, fpB) = if (lk <= ok) (lfp, ofp) else (ofp, lfp)
+    MvCatalog.registerJoin(
+      MvCatalog.joinKey(lk, ok, Seq("l_orderkey" -> "o_orderkey")),
+      MvCatalog.JoinMvDef(mvPath, fpA, fpB,
+        groupCols = Set("o_orderpriority", "l_returnflag"),
+        measures = Map(
+          "sum:l_extendedprice:decimal(18,4)" -> "s_price",
+          "cnt" -> "cnt"),
+        rows = s.read.parquet(mvPath).count()))
+    val s2 = s.newSession()
+    s2.experimental.extraOptimizations =
+      s2.experimental.extraOptimizations :+ RewriteAggToMv
+    rd(s2, lt).join(rd(s2, ot), col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(dsumd(col("l_extendedprice")).as("sum_price"),
+        count(lit(1)).as("n_rows"))
+      .orderBy(col("o_orderpriority"))
+  }
+
   /** EXACTLY-ONCE MV REFRESH VIA TXN WATERMARKS (round 9) — the missing
     * piece between q_store_mv's CDF-driven refresh and a production
     * refresh JOB that can crash and retry: the MV is itself a GraftStore
@@ -1886,6 +1940,7 @@ object Sources {
     "q_store_dv" -> qStoreDv,
     "q_store_mv" -> qStoreMv,
     "q_mv_txn_refresh" -> qMvTxnRefresh,
+    "q_store_mv_join" -> qStoreMvJoin,
     "q_store_wap" -> qStoreWap,
     "q_stream_upsert" -> qStreamUpsert,
     "q_stream_txn_sink" -> qStreamTxnSink,
@@ -2004,6 +2059,14 @@ object Sources {
         | count(*) AS n_rows
         |FROM orders
         |WHERE o_orderkey % 4 IN (0, 1) AND NOT (o_orderkey % 9 = 0)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // full join recompute from source parquet — proves the pre-joined
+    // store rollup substitution is semantically invisible
+    "q_store_mv_join" ->
+      """SELECT o_orderpriority,
+        | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS sum_price,
+        | count(*) AS n_rows
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     // full recompute over both ingest slices — equality proves the
     // watermarked refresh applied the delta exactly once

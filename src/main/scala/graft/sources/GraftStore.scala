@@ -2102,12 +2102,16 @@ class GraftStoreScan(path: String,
 
   /** MV-rewrite hooks (graft.plans.MaterializedViews): only a plain
     * current-version table scan may be substituted by a rollup — any
-    * pushed filter (it would be silently dropped), version/time pin,
-    * incremental range, metadata aggregate, provenance column, or file
-    * subset disqualifies this scan. */
+    * version/time pin, incremental range, metadata aggregate, provenance
+    * column, or file subset disqualifies this scan. Pushed FILTERS do
+    * not: this connector keeps every pushed filter as a residual in the
+    * plan (the pushed copy only skips files), so the rewrite rule's own
+    * plan-level filter gates see and handle them — which is what lets a
+    * store-store join (whose join keys get inferred-IsNotNull pushdown)
+    * still match its pre-joined rollup. */
   private[graft] def scanPath: String = path
   private[graft] def isMvSubstitutable: Boolean =
-    pushed.isEmpty && versionAsOf.isEmpty && fromVersion.isEmpty &&
+    versionAsOf.isEmpty && fromVersion.isEmpty &&
       metaAgg.isEmpty && !withFileCol && !withPosCol && onlyFiles.isEmpty
   // a time-travel read plans against the RETAINED snapshot manifest
   // (same format, stats, skipping — only the pointer differs); an

@@ -558,6 +558,36 @@ class PlanShapeSpec extends SparkSuite {
       s"CBO did not reorder: lineitem at leaf $li of ${strs.size}:\n$opt")
   }
 
+  test("q_store_mv_join: store-store join served by the rollup; a commit on either side declines") {
+    val df = SparkEntry.queries("q_store_mv_join")(spark, sfDir)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("graft_smvj_") && p.contains("/mv"),
+      s"store-store join should read the pre-joined rollup:\n$p")
+    assert(!p.contains("graft_store("),
+      s"substituted plan must scan NO store table:\n$p")
+    // extract the two table paths from the MV path, append to the dim
+    // side, and re-plan: the version fingerprint breaks -> decline
+    val root = "graft_smvj_[0-9]+".r.findFirstIn(p)
+      .map(m => s"${System.getProperty("java.io.tmpdir")}/$m")
+      .getOrElse(fail(s"mv path not found in plan:\n$p"))
+    import spark.implicits._
+    Seq((-1L, "0-URGENT")).toDF("o_orderkey", "o_orderpriority")
+      .write.format("graft.sources.GraftStore").option("path", s"$root/o")
+      .mode("append").save()
+    import graft.plans.RewriteAggToMv
+    val s2 = spark.newSession()
+    s2.experimental.extraOptimizations =
+      s2.experimental.extraOptimizations :+ RewriteAggToMv
+    def rd(pth: String) = s2.read.format("graft.sources.GraftStore")
+      .option("path", pth).load()
+    import org.apache.spark.sql.functions.{col, count, lit}
+    val stale = rd(s"$root/l").join(rd(s"$root/o"),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderpriority")).agg(count(lit(1)).as("n"))
+    assert(stale.queryExecution.executedPlan.toString.contains("graft_store("),
+      "a committed append must break the version fingerprint and decline the rewrite")
+  }
+
   test("q_mv_rewrite substitutes the MV scan for the fact scan") {
     val df = SparkEntry.queries("q_mv_rewrite")(spark, sfDir)
     val p = df.queryExecution.executedPlan.toString
