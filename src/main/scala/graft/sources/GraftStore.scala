@@ -903,7 +903,29 @@ object GraftStore {
           // blooms OR together; one side lacking its bloom poisons the
           // merged one (absence could no longer prove absence). NDV
           // sketches union by register max; one side lacking its sketch
-          // poisons the estimate the same way.
+          // poisons the estimate the same way. Monotonicity SURVIVES a
+          // concatenation merge exactly when both inputs are proven
+          // sorted AND their ranges are ordered non-overlapping in
+          // concat order (left.max <= right.min): compaction's
+          // manifest-order byte concat of range-clustered sorted files
+          // then yields a provably-sorted packed file, and the
+          // left-fold reduce keeps the check pairwise-sound (a passing
+          // prefix's max IS its last file's max).
+          val merged =
+            if (x.min.isEmpty) ColStats(y.min, y.max, x.nulls + y.nulls)
+            else if (y.min.isEmpty) ColStats(x.min, x.max, x.nulls + y.nulls)
+            else schema.fields.find(_.name == c).map(_.dataType) match {
+              case Some(DoubleType) => ColStats(
+                math.min(x.min.toDouble, y.min.toDouble).toString,
+                math.max(x.max.toDouble, y.max.toDouble).toString,
+                x.nulls + y.nulls,
+                mono = x.mono && y.mono && x.max.toDouble <= y.min.toDouble)
+              case _ => ColStats(
+                math.min(x.min.toLong, y.min.toLong).toString,
+                math.max(x.max.toLong, y.max.toLong).toString,
+                x.nulls + y.nulls,
+                mono = x.mono && y.mono && x.max.toLong <= y.min.toLong)
+            }
           val bloom =
             if (x.bloom.nonEmpty && y.bloom.nonEmpty)
               StringBloom.orHex(x.bloom, y.bloom)
@@ -911,20 +933,7 @@ object GraftStore {
           val ndv =
             if (x.ndv.nonEmpty && y.ndv.nonEmpty) NdvHll.mergeHex(x.ndv, y.ndv)
             else ""
-          val merged =
-            if (x.min.isEmpty) ColStats(y.min, y.max, x.nulls + y.nulls, bloom, ndv)
-            else if (y.min.isEmpty) ColStats(x.min, x.max, x.nulls + y.nulls, bloom, ndv)
-            else schema.fields.find(_.name == c).map(_.dataType) match {
-              case Some(DoubleType) => ColStats(
-                math.min(x.min.toDouble, y.min.toDouble).toString,
-                math.max(x.max.toDouble, y.max.toDouble).toString,
-                x.nulls + y.nulls, bloom, ndv)
-              case _ => ColStats(
-                math.min(x.min.toLong, y.min.toLong).toString,
-                math.max(x.max.toLong, y.max.toLong).toString,
-                x.nulls + y.nulls, bloom, ndv)
-            }
-          Some(c -> merged)
+          Some(c -> merged.copy(bloom = bloom, ndv = ndv))
         case _ => None // a pre-stats file poisons the column: no stats
       }
     }.toMap

@@ -237,13 +237,26 @@ class GraftStoreSpec extends SparkSuite {
     val ord2 = new graft.sources.GraftStoreScan(path).outputOrdering()
     assert(ord2.isEmpty,
       s"degraded layout must clear the advertisement: ${ord2.mkString(", ")}")
-    // compaction concatenates files -> merged entry drops the flag
+    // compaction: manifest-order byte concat of range-clustered sorted
+    // files (ranges ordered, non-overlapping) PRESERVES the proof...
     val path2 = tempTable()
     writeDf(spark.range(0, 800, 1, 4).toDF("id"), path2)
     GraftStore.compact(spark, path2, 1L << 30)
     val after = GraftStore.readManifest(path2).get._2
-    assert(after.length == 1 && !after.head.stats("id").mono,
-      "byte-concat compaction cannot prove order — flag must drop")
+    assert(after.length == 1 && after.head.stats("id").mono,
+      "ordered non-overlapping sorted inputs stay provably sorted through concat")
+    assert(new graft.sources.GraftStoreScan(path2).outputOrdering()
+        .map(_.toString).exists(_.contains("id")),
+      "compacted table should still advertise the proven order")
+    // ...but OVERLAPPING sorted inputs (two appends covering the same
+    // range) cannot prove concat order — flag must drop
+    val path3 = tempTable()
+    writeDf(spark.range(0, 400, 1, 1).toDF("id"), path3)
+    writeDf(spark.range(100, 500, 1, 1).toDF("id"), path3, mode = "append")
+    GraftStore.compact(spark, path3, 1L << 30)
+    val after3 = GraftStore.readManifest(path3).get._2
+    assert(after3.length == 1 && !after3.head.stats("id").mono,
+      "overlapping ranges concatenated cannot be proven sorted")
   }
 
   test("manifest stats round-trip: ndv + mono + bloom + dv survive format/parse") {
