@@ -132,6 +132,39 @@ class MvRewriteSpec extends SparkSuite {
         .orderBy(col("o_orderpriority")).collect().toSeq)
   }
 
+  test("a cheaper-but-STALE MV never wins cost selection") {
+    import graft.plans.MvCatalog
+    // register a 1-row decoy on the same source key with a bogus
+    // fingerprint: freshness must filter BEFORE cost ranks, so the
+    // decoy is invisible no matter how cheap it claims to be
+    SparkEntry.queries("q_mv_rewrite")(spark, sfDir).collect()
+    val lr = lineitem(spark).queryExecution.analyzed.collectFirst {
+      case l: org.apache.spark.sql.execution.datasources.LogicalRelation => l
+    }.get
+    val key = MvCatalog.sourceKey(lr).get
+    MvCatalog.register(key, MvCatalog.MvDef("/tmp/graft_mv_decoy/never_built",
+      fingerprint = "stale-decoy", groupCols = Set("l_returnflag", "l_linestatus"),
+      measures = Map("cnt" -> "cnt"), rows = 1L))
+    try {
+      val s2 = mvSession
+      val q = lineitem(s2).groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"))
+      val p = q.queryExecution.executedPlan.toString
+      assert(!p.contains("graft_mv_decoy"),
+        s"stale decoy must never be substituted:\n$p")
+      assert(p.contains("graft_mv_"),
+        s"the FRESH MV should still serve the query:\n$p")
+      assert(q.orderBy(col("l_returnflag")).collect().toSeq ==
+        lineitem(spark).groupBy(col("l_returnflag"))
+          .agg(count(lit(1)).as("n")).orderBy(col("l_returnflag"))
+          .collect().toSeq)
+    } finally {
+      // re-register only the real MVs (deregister drops the whole key)
+      MvCatalog.deregister(key)
+      SparkEntry.queries("q_mv_rewrite")(spark, sfDir).collect()
+    }
+  }
+
   test("global (no-grain) aggregate is also served and agrees") {
     val s2 = mvSession
     def q(s: SparkSession) = lineitem(s)
