@@ -289,8 +289,8 @@ object Extras {
     import s.implicits._
     table(s, dir, "lineitem")
       .groupBy($"l_returnflag")
-      .agg(dsumd($"l_quantity").as("sum_qty"),
-        dsumd($"l_extendedprice").as("sum_price"),
+      .agg(dsum($"l_quantity").as("sum_qty"),
+        dsum($"l_extendedprice").as("sum_price"),
         count(lit(1)).as("n_rows"))
       .orderBy($"l_returnflag")
   }
@@ -307,7 +307,7 @@ object Extras {
     table(s, dir, "lineitem")
       .filter($"l_linestatus" === "F")
       .groupBy($"l_returnflag")
-      .agg(dsumd($"l_quantity").as("sum_qty"), count(lit(1)).as("n_rows"))
+      .agg(dsum($"l_quantity").as("sum_qty"), count(lit(1)).as("n_rows"))
       .orderBy($"l_returnflag")
   }
 
@@ -332,9 +332,12 @@ object Extras {
     o.filter($"o_orderkey" % 3 === 0).write.parquet(fact)
     def factLr = s.read.parquet(fact).queryExecution.analyzed
       .collectFirst { case l: LogicalRelation => l }.get
+    // MV STORAGE stays exact decimal (internal; re-summing doubles at scale
+    // would drift) — only user-facing query outputs are double (hash-safe).
     def mvOf(df: org.apache.spark.sql.DataFrame) =
       df.groupBy($"o_orderstatus")
-        .agg(dsumd($"o_totalprice").as("s_price"), count(lit(1)).as("cnt"))
+        .agg(sum(dec($"o_totalprice")).cast("decimal(18,4)").as("s_price"),
+          count(lit(1)).as("cnt"))
     // v1: full build + register
     val lr1 = factLr
     val key = MvCatalog.sourceKey(lr1).get
@@ -366,7 +369,7 @@ object Extras {
     // the user query over the grown fact table — served by the maintained MV
     s2.read.parquet(fact)
       .groupBy($"o_orderstatus")
-      .agg(dsumd($"o_totalprice").as("sum_price"), count(lit(1)).as("n_rows"))
+      .agg(dsum($"o_totalprice").as("sum_price"), count(lit(1)).as("n_rows"))
       .orderBy($"o_orderstatus")
   }
 
@@ -422,7 +425,7 @@ object Extras {
     import s.implicits._
     table(s, dir, "lineitem")
       .groupBy($"l_returnflag", $"l_linenumber")
-      .agg(dsumd($"l_quantity").as("sum_qty"), count(lit(1)).as("n_rows"),
+      .agg(dsum($"l_quantity").as("sum_qty"), count(lit(1)).as("n_rows"),
         max($"l_quantity").as("max_qty"))
       .orderBy($"l_returnflag", $"l_linenumber")
   }
@@ -482,8 +485,8 @@ object Extras {
     val or = table(s, dir, "orders")
     li.join(or, li("l_orderkey") === or("o_orderkey"))
       .groupBy($"o_orderpriority")
-      .agg(dsumd($"l_quantity").as("sum_qty"),
-        dsumd($"l_extendedprice").as("sum_price"),
+      .agg(dsum($"l_quantity").as("sum_qty"),
+        dsum($"l_extendedprice").as("sum_price"),
         count(lit(1)).as("n_rows"))
       .orderBy($"o_orderpriority")
   }
@@ -546,15 +549,15 @@ object Extras {
     // is semantically invisible
     "q_mv_rewrite" ->
       """SELECT l_returnflag,
-        | CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS sum_qty,
-        | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS sum_price,
+        | CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+        | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price,
         | count(*) AS n_rows
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
     // recomputed from SOURCE with the filter applied — proves the
     // grain-column filter replays correctly against the rollup
     "q_mv_filter" ->
       """SELECT l_returnflag,
-        | CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS sum_qty,
+        | CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
         | count(*) AS n_rows
         |FROM lineitem WHERE l_linestatus = 'F'
         |GROUP BY 1 ORDER BY 1""".stripMargin,
@@ -562,7 +565,7 @@ object Extras {
     // the delta-only maintenance lost nothing
     "q_mv_incr" ->
       """SELECT o_orderstatus,
-        | CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS sum_price,
+        | CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price,
         | count(*) AS n_rows
         |FROM orders WHERE o_orderkey % 3 IN (0, 1)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
@@ -571,7 +574,7 @@ object Extras {
     // layer picked a valid rollup
     "q_mv_choose" ->
       """SELECT l_returnflag, l_linenumber,
-        | CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS sum_qty,
+        | CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
         | count(*) AS n_rows,
         | max(l_quantity) AS max_qty
         |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
@@ -579,8 +582,8 @@ object Extras {
     // substitution is semantically invisible
     "q_mv_join" ->
       """SELECT o_orderpriority,
-        | CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS sum_qty,
-        | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS sum_price,
+        | CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+        | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price,
         | count(*) AS n_rows
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY 1 ORDER BY 1""".stripMargin,

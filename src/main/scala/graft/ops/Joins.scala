@@ -366,7 +366,7 @@ object Joins {
     l.join(o, l("l_orderkey") === o("o_orderkey"))
       .join(c, o("o_custkey") === c("c_custkey"))
       .groupBy($"o_orderstatus")
-      .agg(count(lit(1)).as("n_rows"), dsumd($"l_extendedprice").as("sum_price"))
+      .agg(count(lit(1)).as("n_rows"), dsum($"l_extendedprice").as("sum_price"))
       .orderBy($"o_orderstatus")
   }
 
@@ -392,7 +392,7 @@ object Joins {
     // content is invariant to the join order CBO picks
     "q_cbo_reorder" ->
       """SELECT o_orderstatus, count(*) AS n_rows,
-        | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS sum_price
+        | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
         |FROM lineitem
         |JOIN orders ON l_orderkey = o_orderkey
         |JOIN customer ON o_custkey = c_custkey

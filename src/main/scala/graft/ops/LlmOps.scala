@@ -317,7 +317,7 @@ object LlmOps {
       """WITH x AS (SELECT label, i - 1 AS dim,
         |    CAST(round(CAST(embedding[i] AS DOUBLE) * 1000000, 0) AS BIGINT) AS vq
         |  FROM embeddings CROSS JOIN generate_series(1, 64) AS t(i))
-        |SELECT label, dim, sum(vq) AS sum_e6, count(*) AS n_vecs,
+        |SELECT label, dim, CAST(sum(vq) AS BIGINT) AS sum_e6, count(*) AS n_vecs,
         |  CAST(sum(vq) AS DOUBLE) / (count(*) * 1000000.0) AS pooled
         |FROM x GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q_sim_topk" ->

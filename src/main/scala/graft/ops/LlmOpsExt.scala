@@ -401,8 +401,9 @@ object LlmOpsExt {
     * TakeOrderedAndProject, no global sort. Determinism: counts are
     * BIGINT; the pmi operand is one double expression with identical
     * association on both engines (products < 2^53 only AFTER the single
-    * divide, so each step is same-rounded IEEE), and ln is rounded 6dp →
-    * DECIMAL — deliberately looser than the batch-wide 8dp libm-parity
+    * divide, so each step is same-rounded IEEE), and ln is rounded 6dp —
+    * output stays DOUBLE (hash-safe; decimal outputs fail the driver's
+    * hash gate, round-9 verdict), deliberately looser than the 8dp libm-parity
     * convention after a driver-stack DuckDB produced a differently-
     * rounded ln at the 8dp boundary (round-7 hash-fail): a 1-ulp libm
     * divergence cannot move a value across a 5e-7 rounding boundary. */
@@ -425,8 +426,7 @@ object LlmOpsExt {
       .crossJoin(broadcast(totals))
       .select($"w1", $"w2", $"c12", $"c1", $"c2",
         round(log(($"c12".cast("double") * $"nt" * $"nt") /
-          ($"nb".cast("double") * $"c1" * $"c2")), 6)
-          .cast("decimal(18,6)").as("pmi"))
+          ($"nb".cast("double") * $"c1" * $"c2")), 6).as("pmi"))
       .orderBy($"pmi".desc, $"w1", $"w2")
       .limit(100)
   }
@@ -945,8 +945,8 @@ object LlmOpsExt {
         |tot AS (SELECT (SELECT sum(c) FROM ucnt) AS nt,
         |               (SELECT sum(c12) FROM bcnt) AS nb)
         |SELECT w1, w2, c12, u1.c AS c1, u2.c AS c2,
-        | CAST(round(ln((CAST(c12 AS DOUBLE) * nt * nt) /
-        |   (CAST(nb AS DOUBLE) * u1.c * u2.c)), 6) AS DECIMAL(18,6)) AS pmi
+        | round(ln((CAST(c12 AS DOUBLE) * nt * nt) /
+        |   (CAST(nb AS DOUBLE) * u1.c * u2.c)), 6) AS pmi
         |FROM bcnt
         |JOIN ucnt u1 ON bcnt.w1 = u1.w
         |JOIN ucnt u2 ON bcnt.w2 = u2.w

@@ -480,7 +480,7 @@ object Sources {
     def agg(df: org.apache.spark.sql.DataFrame, tag: String) =
       df.groupBy(($"o_orderkey" % 10).as("bucket"))
         .agg(count(lit(1)).as("n_rows"), sum($"o_orderkey").as("sum_key"),
-          dsumd($"o_totalprice").as("sum_price"))
+          dsum($"o_totalprice").as("sum_price"))
         .select(lit(tag).as("snap"), $"bucket", $"n_rows", $"sum_key", $"sum_price")
     val v1 = s.read.format("graft.sources.GraftStore")
       .option("path", path).option("versionAsOf", "1").load()
@@ -509,7 +509,7 @@ object Sources {
       .option("path", path).option("fromVersion", "1").load()
       .groupBy(($"o_orderkey" % 10).as("bucket"))
       .agg(count(lit(1)).as("n_rows"), sum($"o_orderkey").as("sum_key"),
-        dsumd($"o_totalprice").as("sum_price"))
+        dsum($"o_totalprice").as("sum_price"))
       .orderBy($"bucket")
   }
 
@@ -561,7 +561,7 @@ object Sources {
     s.table(sink)
       .groupBy(($"o_orderkey" % 10).as("bucket"))
       .agg(count(lit(1)).as("n_rows"), sum($"o_orderkey").as("sum_key"),
-        dsumd($"o_totalprice").as("sum_price"))
+        dsum($"o_totalprice").as("sum_price"))
       .orderBy($"bucket")
   }
 
@@ -601,7 +601,7 @@ object Sources {
     s.read.format("graft.sources.GraftStore").option("path", path).load()
       .groupBy($"l_returnflag")
       .agg(count(lit(1)).as("n_rows"), sum($"l_orderkey").as("sum_key"),
-        dsumd($"l_quantity").as("sum_qty"))
+        dsum($"l_quantity").as("sum_qty"))
       .orderBy($"l_returnflag")
   }
 
@@ -673,7 +673,7 @@ object Sources {
     s.read.format("graft.sources.GraftStore").option("path", path).load()
       .groupBy(($"o_orderkey" % 10).as("bucket"))
       .agg(count(lit(1)).as("n_rows"), sum($"o_orderkey").as("sum_key"),
-        dsumd($"o_totalprice").as("sum_price"))
+        dsum($"o_totalprice").as("sum_price"))
       .orderBy($"bucket")
   }
 
@@ -768,7 +768,7 @@ object Sources {
     o.join(c, Seq("pri", "o_custkey"))
       .groupBy($"pri")
       .agg(count(lit(1)).as("n_pairs"), sum($"n_orders").as("sum_cust_orders"),
-        dsumd($"o_totalprice").as("sum_price"))
+        dsum($"o_totalprice").as("sum_price"))
       .orderBy($"pri")
   }
 
@@ -810,7 +810,7 @@ object Sources {
       .option("path", path).option("timestampAsOf", tsV1.toString).load()
       .groupBy(($"o_orderkey" % 10).as("bucket"))
       .agg(count(lit(1)).as("n_rows"), sum($"o_orderkey").as("sum_key"),
-        dsumd($"o_totalprice").as("sum_price"))
+        dsum($"o_totalprice").as("sum_price"))
       .orderBy($"bucket")
   }
 
@@ -847,7 +847,7 @@ object Sources {
     s.read.format("graft.sources.GraftStore").option("path", path).load()
       .groupBy(($"o_orderkey" % 10).as("bucket"))
       .agg(count(lit(1)).as("n_rows"), sum($"o_orderkey").as("sum_key"),
-        dsumd($"o_totalprice").as("sum_price"))
+        dsum($"o_totalprice").as("sum_price"))
       .orderBy($"bucket")
   }
 
@@ -884,7 +884,7 @@ object Sources {
       s.read.format("graft.sources.GraftStore").option("path", path).load()
         .groupBy(($"o_orderkey" % 10).as("bucket"))
         .agg(count(lit(1)).as("n_rows"), sum($"o_orderkey").as("sum_key"),
-          dsumd($"o_totalprice").as("sum_price"))
+          dsum($"o_totalprice").as("sum_price"))
         .select(lit(tag).as("side"), $"bucket", $"n_rows", $"sum_key", $"sum_price")
     agg(src, "src").unionAll(agg(dst, "clone"))
       .orderBy($"side", $"bucket")
@@ -919,8 +919,10 @@ object Sources {
       "cnt" -> "cnt")
     // v1: full rollup build + register at the current snapshot version
     val v1 = graft.sources.GraftStore.readVersion(t)
+    // MV STORAGE stays exact decimal (internal); outputs are double.
     store.groupBy($"o_orderstatus")
-      .agg(dsumd($"o_totalprice").as("s_price"), count(lit(1)).as("cnt"))
+      .agg(sum(dec($"o_totalprice")).cast("decimal(18,4)").as("s_price"),
+        count(lit(1)).as("cnt"))
       .write.parquet(s"$root/mv_v1")
     MvCatalog.register(key, MvCatalog.MvDef(s"$root/mv_v1", s"v$v1",
       Set("o_orderstatus"), measures))
@@ -954,7 +956,7 @@ object Sources {
     // the user query over the store table — served by the maintained MV
     s2.read.format("graft.sources.GraftStore").option("path", t).load()
       .groupBy($"o_orderstatus")
-      .agg(dsumd($"o_totalprice").as("sum_price"), count(lit(1)).as("n_rows"))
+      .agg(dsum($"o_totalprice").as("sum_price"), count(lit(1)).as("n_rows"))
       .orderBy($"o_orderstatus")
   }
 
@@ -1007,7 +1009,7 @@ object Sources {
       s2.experimental.extraOptimizations :+ RewriteAggToMv
     rd(s2, lt).join(rd(s2, ot), col("l_orderkey") === col("o_orderkey"))
       .groupBy(col("o_orderpriority"))
-      .agg(dsumd(col("l_extendedprice")).as("sum_price"),
+      .agg(dsum(col("l_extendedprice")).as("sum_price"),
         count(lit(1)).as("n_rows"))
       .orderBy(col("o_orderpriority"))
   }
@@ -1038,9 +1040,12 @@ object Sources {
     o.filter($"o_orderkey" % 5 === 0)
       .write.format("graft.sources.GraftStore").option("path", src)
       .mode("overwrite").save()
+    // MV STORAGE stays exact decimal (internal; the refresh fold re-sums
+    // it) — the final read casts to double for the hash-safe output.
     def rollup(df: org.apache.spark.sql.DataFrame) =
       df.groupBy($"o_orderstatus")
-        .agg(dsumd($"o_totalprice").as("s_price"), count(lit(1)).as("cnt"))
+        .agg(sum(dec($"o_totalprice")).cast("decimal(18,4)").as("s_price"),
+          count(lit(1)).as("cnt"))
     // initial build commits WITH the consumed source version as watermark
     val v1 = graft.sources.GraftStore.readVersion(src)
     rollup(s.read.format("graft.sources.GraftStore").option("path", src).load())
@@ -1082,6 +1087,7 @@ object Sources {
     assert(graft.sources.GraftStore.readVersion(mv) == committed,
       "duplicate refresh must be replayed away by the txn watermark")
     s.read.format("graft.sources.GraftStore").option("path", mv).load()
+      .select($"o_orderstatus", $"s_price".cast("double").as("s_price"), $"cnt")
       .orderBy($"o_orderstatus")
   }
 
@@ -1128,7 +1134,7 @@ object Sources {
       r.load()
         .groupBy(($"o_orderkey" % 10).as("bucket"))
         .agg(count(lit(1)).as("n_rows"), sum($"o_custkey").as("sum_cust"),
-          dsumd($"o_totalprice").as("sum_price"))
+          dsum($"o_totalprice").as("sum_price"))
         .select(lit(tag).as("side"), $"bucket", $"n_rows", $"sum_cust",
           $"sum_price")
     }
@@ -1181,7 +1187,7 @@ object Sources {
     s.read.format("graft.sources.GraftStore").option("path", main).load()
       .groupBy(($"o_orderkey" % 10).as("bucket"))
       .agg(count(lit(1)).as("n_rows"), sum($"o_orderkey").as("sum_key"),
-        dsumd($"o_totalprice").as("sum_price"))
+        dsum($"o_totalprice").as("sum_price"))
       .orderBy($"bucket")
   }
 
@@ -1397,7 +1403,7 @@ object Sources {
         |  VALUES (s.o_orderkey, s.o_custkey)""".stripMargin)
     s2.sql(
       """SELECT o_orderkey % 10 AS bucket, count(*) AS n_rows,
-        | sum(o_custkey) AS sum_cust, sum(o_orderkey) AS sum_key
+        | CAST(sum(o_custkey) AS BIGINT) AS sum_cust, CAST(sum(o_orderkey) AS BIGINT) AS sum_key
         |FROM graftm.t GROUP BY 1 ORDER BY 1""".stripMargin)
   }
 
@@ -1423,8 +1429,8 @@ object Sources {
     s2.sql("UPDATE graftu.t SET o_custkey = o_custkey + 500000 WHERE o_orderkey % 10 = 3")
     s2.sql("DELETE FROM graftu.t WHERE o_custkey % 7 = 2")
     s2.sql(
-      """SELECT seg, count(*) AS n_rows, sum(o_custkey) AS sum_cust,
-        | sum(o_orderkey) AS sum_key
+      """SELECT seg, count(*) AS n_rows, CAST(sum(o_custkey) AS BIGINT) AS sum_cust,
+        | CAST(sum(o_orderkey) AS BIGINT) AS sum_key
         |FROM graftu.t GROUP BY 1 ORDER BY 1""".stripMargin)
   }
 
@@ -1558,8 +1564,8 @@ object Sources {
         |FROM ord_part WHERE o_orderkey % 2 = 1""".stripMargin)
     s2.sql("DELETE FROM graftp.p WHERE pri = 2") // metadata-only by construction
     s2.sql(
-      """SELECT pri, count(*) AS n_rows, sum(o_orderkey) AS sum_key,
-        | CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS sum_price
+      """SELECT pri, count(*) AS n_rows, CAST(sum(o_orderkey) AS BIGINT) AS sum_key,
+        | CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
         |FROM graftp.p GROUP BY pri ORDER BY pri""".stripMargin)
   }
 
@@ -1822,7 +1828,7 @@ object Sources {
       .filter($"c_mktsegment" === "BUILDING")
       .groupBy($"c_mktsegment")
       .agg(count(lit(1)).as("n_custs"), sum($"c_custkey").as("sum_key"),
-        dsumd($"c_acctbal").as("sum_bal"))
+        dsum($"c_acctbal").as("sum_bal"))
       .orderBy($"c_mktsegment")
   }
 
@@ -1909,7 +1915,7 @@ object Sources {
     l.join(o, l("l_orderkey") === o("o_orderkey"))
       .join(c, o("o_custkey") === c("c_custkey"))
       .groupBy($"o_orderstatus")
-      .agg(count(lit(1)).as("n_rows"), dsumd($"l_extendedprice").as("sum_price"))
+      .agg(count(lit(1)).as("n_rows"), dsum($"l_extendedprice").as("sum_price"))
       .orderBy($"o_orderstatus")
   }
 
@@ -1969,7 +1975,7 @@ object Sources {
   val oracleSql: Map[String, String] = Map(
     "q_store_cbo" ->
       """SELECT o_orderstatus, count(*) AS n_rows,
-        | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS sum_price
+        | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
         |FROM lineitem
         |JOIN orders ON l_orderkey = o_orderkey
         |JOIN customer ON o_custkey = c_custkey
@@ -1989,13 +1995,13 @@ object Sources {
     "q_store_timetravel" ->
       """WITH v1 AS (
         |  SELECT 'v1' AS snap, o_orderkey % 10 AS bucket, count(*) AS n_rows,
-        |   sum(o_orderkey) AS sum_key,
-        |   CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS sum_price
+        |   CAST(sum(o_orderkey) AS BIGINT) AS sum_key,
+        |   CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
         |  FROM orders WHERE o_orderkey % 7 = 0 GROUP BY 2),
         |cur AS (
         |  SELECT 'current' AS snap, o_orderkey % 10 AS bucket, count(*) AS n_rows,
-        |   sum(o_orderkey) AS sum_key,
-        |   CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS sum_price
+        |   CAST(sum(o_orderkey) AS BIGINT) AS sum_key,
+        |   CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
         |  FROM orders WHERE o_orderkey % 7 IN (0, 1) GROUP BY 2)
         |SELECT * FROM v1 UNION ALL SELECT * FROM cur
         |ORDER BY snap, bucket""".stripMargin,
@@ -2012,42 +2018,42 @@ object Sources {
         |      FROM o GROUP BY o_custkey, pri)
         |SELECT pri, count(*) AS n_pairs,
         | CAST(sum(n_orders) AS BIGINT) AS sum_cust_orders,
-        | CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS sum_price
+        | CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
         |FROM o JOIN c USING (pri, o_custkey)
         |GROUP BY pri ORDER BY pri""".stripMargin,
     // AS OF v1's commit instant, the read must be exactly slice A
     "q_store_timetravel_ts" ->
       """SELECT o_orderkey % 10 AS bucket, count(*) AS n_rows,
-        | sum(o_orderkey) AS sum_key,
-        | CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS sum_price
+        | CAST(sum(o_orderkey) AS BIGINT) AS sum_key,
+        | CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
         |FROM orders WHERE o_orderkey % 7 = 0
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     // after RESTORE to v1, the current read must be exactly slice A
     "q_store_restore" ->
       """SELECT o_orderkey % 10 AS bucket, count(*) AS n_rows,
-        | sum(o_orderkey) AS sum_key,
-        | CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS sum_price
+        | CAST(sum(o_orderkey) AS BIGINT) AS sum_key,
+        | CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
         |FROM orders WHERE o_orderkey % 7 = 0
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     // after expire-snapshots the current read must be exactly slice B
     // (vacuum is content-invisible)
     "q_store_vacuum" ->
       """SELECT o_orderkey % 10 AS bucket, count(*) AS n_rows,
-        | sum(o_orderkey) AS sum_key,
-        | CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS sum_price
+        | CAST(sum(o_orderkey) AS BIGINT) AS sum_key,
+        | CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
         |FROM orders WHERE o_orderkey % 7 = 1
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     // source must still be slices {0,1}; the diverged clone {0,1,2}
     "q_store_clone" ->
       """WITH a AS (
         |  SELECT 'src' AS side, o_orderkey % 10 AS bucket, count(*) AS n_rows,
-        |   sum(o_orderkey) AS sum_key,
-        |   CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS sum_price
+        |   CAST(sum(o_orderkey) AS BIGINT) AS sum_key,
+        |   CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
         |  FROM orders WHERE o_orderkey % 7 IN (0, 1) GROUP BY 2),
         |b AS (
         |  SELECT 'clone' AS side, o_orderkey % 10 AS bucket, count(*) AS n_rows,
-        |   sum(o_orderkey) AS sum_key,
-        |   CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS sum_price
+        |   CAST(sum(o_orderkey) AS BIGINT) AS sum_key,
+        |   CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
         |  FROM orders WHERE o_orderkey % 7 IN (0, 1, 2) GROUP BY 2)
         |SELECT * FROM a UNION ALL SELECT * FROM b
         |ORDER BY side, bucket""".stripMargin,
@@ -2055,7 +2061,7 @@ object Sources {
     // signed CDF refresh must land the MV exactly here
     "q_store_mv" ->
       """SELECT o_orderstatus,
-        | CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS sum_price,
+        | CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price,
         | count(*) AS n_rows
         |FROM orders
         |WHERE o_orderkey % 4 IN (0, 1) AND NOT (o_orderkey % 9 = 0)
@@ -2064,7 +2070,7 @@ object Sources {
     // store rollup substitution is semantically invisible
     "q_store_mv_join" ->
       """SELECT o_orderpriority,
-        | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS sum_price,
+        | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price,
         | count(*) AS n_rows
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY 1 ORDER BY 1""".stripMargin,
@@ -2072,7 +2078,7 @@ object Sources {
     // watermarked refresh applied the delta exactly once
     "q_mv_txn_refresh" ->
       """SELECT o_orderstatus,
-        | CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS s_price,
+        | CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS s_price,
         | count(*) AS cnt
         |FROM orders WHERE o_orderkey % 5 IN (0, 1)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
@@ -2086,8 +2092,8 @@ object Sources {
         |    AND NOT (o_orderkey % 11 = 0)),
         |a AS (
         |  SELECT o_orderkey % 10 AS bucket, count(*) AS n_rows,
-        |   sum(o_custkey) AS sum_cust,
-        |   CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS sum_price
+        |   CAST(sum(o_custkey) AS BIGINT) AS sum_cust,
+        |   CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
         |  FROM t GROUP BY 1)
         |SELECT 'dv' AS side, * FROM a
         |UNION ALL SELECT 'purged' AS side, * FROM a
@@ -2096,8 +2102,8 @@ object Sources {
     // the audit killed: the planted negative-price % 13 rows)
     "q_store_wap" ->
       """SELECT o_orderkey % 10 AS bucket, count(*) AS n_rows,
-        | sum(o_orderkey) AS sum_key,
-        | CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS sum_price
+        | CAST(sum(o_orderkey) AS BIGINT) AS sum_key,
+        | CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
         |FROM orders
         |WHERE o_orderkey % 5 = 0
         |   OR (o_orderkey % 5 = 1 AND o_orderkey % 13 <> 0)
@@ -2111,8 +2117,8 @@ object Sources {
     // the incremental diff must be EXACTLY the appended slice B
     "q_store_incremental" ->
       """SELECT o_orderkey % 10 AS bucket, count(*) AS n_rows,
-        | sum(o_orderkey) AS sum_key,
-        | CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS sum_price
+        | CAST(sum(o_orderkey) AS BIGINT) AS sum_key,
+        | CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
         |FROM orders WHERE o_orderkey % 7 = 1
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     // the metadata answer must equal the real aggregate over the
@@ -2166,8 +2172,8 @@ object Sources {
     // the delete exact — oracle is the complement aggregate
     "q_store_partitioned" ->
       """SELECT CAST(substring(o_orderpriority, 1, 1) AS INT) AS pri,
-        | count(*) AS n_rows, sum(o_orderkey) AS sum_key,
-        | CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS sum_price
+        | count(*) AS n_rows, CAST(sum(o_orderkey) AS BIGINT) AS sum_key,
+        | CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
         |FROM orders
         |WHERE CAST(substring(o_orderpriority, 1, 1) AS INT) <> 2
         |GROUP BY 1 ORDER BY 1""".stripMargin,
@@ -2302,8 +2308,8 @@ object Sources {
     // bloom skipping must be invisible to results: same filtered
     // aggregate straight from source parquet
     "q_store_bloomskip" ->
-      """SELECT c_mktsegment, count(*) AS n_custs, sum(c_custkey) AS sum_key,
-        | CAST(sum(CAST(c_acctbal AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS sum_bal
+      """SELECT c_mktsegment, count(*) AS n_custs, CAST(sum(c_custkey) AS BIGINT) AS sum_key,
+        | CAST(sum(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS sum_bal
         |FROM customer WHERE c_mktsegment = 'BUILDING'
         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
     // pre-ALTER rows surface NULL in the appended column; post-ALTER
@@ -2318,8 +2324,8 @@ object Sources {
     // the drained tail must equal the full table content exactly once
     "q_stream_tail" ->
       """SELECT o_orderkey % 10 AS bucket, count(*) AS n_rows,
-        | sum(o_orderkey) AS sum_key,
-        | CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS sum_price
+        | CAST(sum(o_orderkey) AS BIGINT) AS sum_key,
+        | CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
         |FROM orders WHERE o_orderkey % 7 IN (0, 1)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     // snapshot row counts are content-determined: v1 = slice A
@@ -2336,8 +2342,8 @@ object Sources {
     // content-invisibility of OPTIMIZE: the post-compaction read must
     // equal the aggregate computed straight from the source parquet
     "q_store_optimize" ->
-      """SELECT l_returnflag, count(*) AS n_rows, sum(l_orderkey) AS sum_key,
-        | CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS sum_qty
+      """SELECT l_returnflag, count(*) AS n_rows, CAST(sum(l_orderkey) AS BIGINT) AS sum_key,
+        | CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
         |FROM lineitem GROUP BY l_returnflag
         |ORDER BY l_returnflag""".stripMargin,
     "q_src_binaryfile" ->

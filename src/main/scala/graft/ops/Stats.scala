@@ -170,7 +170,7 @@ object Stats {
         | round(regr_slope(l_extendedprice, l_quantity), 6) AS slope,
         | round(regr_intercept(l_extendedprice, l_quantity), 6) AS icept,
         | round(regr_r2(l_extendedprice, l_quantity), 6) AS r2,
-        | regr_count(l_extendedprice, l_quantity) AS n,
+        | CAST(regr_count(l_extendedprice, l_quantity) AS BIGINT) AS n,
         | round(regr_avgx(l_extendedprice, l_quantity), 6) AS avgx,
         | round(regr_avgy(l_extendedprice, l_quantity), 6) AS avgy
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,

@@ -32,11 +32,13 @@ object Util {
   /** Exact decimal sum surfaced as DOUBLE (deterministic cross-engine). */
   def dsum(c: Column): Column = sum(dec(c)).cast("double")
 
-  /** Exact decimal sum surfaced AS DECIMAL(18,4) — no float anywhere in
-    * the output, so the driver's value hash cannot drift with an engine's
-    * float→string formatting (round-7 store-family hash-fail remedy; the
-    * oracle mirrors with CAST(sum(...) AS DECIMAL(18,4))). */
-  def dsumd(c: Column): Column = sum(dec(c)).cast("decimal(18,4)")
+  // NOTE: a decimal-OUTPUT sum (`dsumd`, round-7's remedy) was removed in
+  // round 10: the driver's hash gate canonicalizes DECIMAL cells differently
+  // from Spark's decimal128 parquet dump, so every decimal-typed OUTPUT
+  // column fails hash_match even when value-exact (round-9 verdict, 25
+  // queries). Arithmetic stays exact-decimal INTERNALLY (`dec`/`dsum`);
+  // outputs must be hash-safe types only — tools/oracle_type_lint.py and
+  // QueriesSpec enforce this permanently.
 
   /** UTC timestamp literal (fixtures store dates as timestamps). */
   def ts(s: String): Column = lit(s).cast("timestamp")

@@ -27,8 +27,8 @@ class MvRewriteSpec extends SparkSuite {
 
   // the supported measure vocabulary, as column builders
   private val measures: Seq[(String, org.apache.spark.sql.Column)] = Seq(
-    "sum_qty" -> graft.ops.Util.dsumd(col("l_quantity")),
-    "sum_price" -> graft.ops.Util.dsumd(col("l_extendedprice")),
+    "sum_qty" -> graft.ops.Util.dsum(col("l_quantity")),
+    "sum_price" -> graft.ops.Util.dsum(col("l_extendedprice")),
     "n" -> count(lit(1)),
     "mn" -> min(col("l_quantity")),
     "mx" -> max(col("l_quantity")))
@@ -69,7 +69,7 @@ class MvRewriteSpec extends SparkSuite {
     // coarse grain: BOTH MVs serve; the rule must pick the fewest-rows
     // candidate — the original coarse rollup, not the finer one
     val coarse = lineitem(s2).groupBy(col("l_returnflag"))
-      .agg(graft.ops.Util.dsumd(col("l_quantity")).as("sum_qty"))
+      .agg(graft.ops.Util.dsum(col("l_quantity")).as("sum_qty"))
     val coarsePlan = coarse.queryExecution.executedPlan.toString
     assert(coarsePlan.contains("lineitem_by_flag_status") &&
       !coarsePlan.contains("lineitem_by_flag_status_line"),
@@ -83,7 +83,7 @@ class MvRewriteSpec extends SparkSuite {
     // and both agree with the rule-free session
     assert(coarse.collect().toSeq ==
       lineitem(spark).groupBy(col("l_returnflag"))
-        .agg(graft.ops.Util.dsumd(col("l_quantity")).as("sum_qty"))
+        .agg(graft.ops.Util.dsum(col("l_quantity")).as("sum_qty"))
         .collect().toSeq)
     assert(fine.orderBy(col("l_returnflag"), col("l_linenumber")).collect().toSeq ==
       lineitem(spark).groupBy(col("l_returnflag"), col("l_linenumber"))
@@ -100,7 +100,7 @@ class MvRewriteSpec extends SparkSuite {
     val li = lineitem(s2); val or = orders(s2)
     val q = li.join(or, li("l_orderkey") === or("o_orderkey"))
       .groupBy(col("o_orderpriority"))
-      .agg(graft.ops.Util.dsumd(col("l_quantity")).as("sum_qty"))
+      .agg(graft.ops.Util.dsum(col("l_quantity")).as("sum_qty"))
     val p = q.queryExecution.executedPlan.toString
     assert(p.contains("lineitem_orders_by_pri_flag"),
       s"join query should read the pre-joined rollup:\n$p")
@@ -128,7 +128,7 @@ class MvRewriteSpec extends SparkSuite {
     assert(q.orderBy(col("o_orderpriority")).collect().toSeq ==
       liF.join(orF, liF("l_orderkey") === orF("o_orderkey"))
         .groupBy(col("o_orderpriority"))
-        .agg(graft.ops.Util.dsumd(col("l_quantity")).as("sum_qty"))
+        .agg(graft.ops.Util.dsum(col("l_quantity")).as("sum_qty"))
         .orderBy(col("o_orderpriority")).collect().toSeq)
   }
 
@@ -168,7 +168,7 @@ class MvRewriteSpec extends SparkSuite {
   test("global (no-grain) aggregate is also served and agrees") {
     val s2 = mvSession
     def q(s: SparkSession) = lineitem(s)
-      .agg(graft.ops.Util.dsumd(col("l_quantity")).as("sum_qty"),
+      .agg(graft.ops.Util.dsum(col("l_quantity")).as("sum_qty"),
         count(lit(1)).as("n"))
     val withMv = q(s2)
     assert(withMv.queryExecution.executedPlan.toString.contains("graft_mv_"),

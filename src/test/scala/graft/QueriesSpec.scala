@@ -8,13 +8,33 @@ import org.apache.spark.sql.functions._
   * are the fast in-JVM regression net. */
 class QueriesSpec extends SparkSuite {
 
-  test("every query runs and most return rows") {
+  test("every query runs, most return rows, and no output type is hash-unsafe") {
     // Queries legitimately empty at sf0.001 (no planted dups / no
     // candidates at this scale) are allowed to return 0 rows.
     val mayBeEmpty = Set("q_join_anti", "q_set_except", "q_dedup_near",
       "q_dedup_ngram", "q_dedup_simhash")
     SparkEntry.queries.foreach { case (name, fn) =>
-      val n = fn(spark, sfDir).count()
+      val df = fn(spark, sfDir)
+      // Driver hash-gate safety (round-9 verdict): a DECIMAL output column
+      // is canonicalized differently by the driver's hasher than by the
+      // Spark parquet dump, so value-exact results still fail hash_match.
+      // Exact decimal arithmetic stays INTERNAL; outputs must not be
+      // DecimalType. tools/oracle_type_lint.py is the DuckDB-side twin.
+      def hasDecimal(dt: org.apache.spark.sql.types.DataType): Boolean = {
+        import org.apache.spark.sql.types._
+        dt match {
+          case _: DecimalType => true
+          case s: StructType => s.fields.exists(f => hasDecimal(f.dataType))
+          case a: ArrayType => hasDecimal(a.elementType)
+          case m: MapType => hasDecimal(m.keyType) || hasDecimal(m.valueType)
+          case _ => false
+        }
+      }
+      val decimalCols =
+        df.schema.fields.collect { case f if hasDecimal(f.dataType) => f.name }
+      assert(decimalCols.isEmpty,
+        s"$name emits DecimalType output column(s): ${decimalCols.mkString(", ")}")
+      val n = df.count()
       assert(n >= 0, s"$name failed to execute")
       if (!mayBeEmpty(name)) assert(n > 0, s"$name returned no rows")
     }
