@@ -1860,6 +1860,18 @@ class GraftStoreDataWriter(path: String, schema: StructType, partitionId: Int,
   private val mono = Array.fill(schema.length)(true)
   private val prevL = Array.fill(schema.length)(Long.MinValue)
   private val prevD = Array.fill(schema.length)(Double.NegativeInfinity)
+  // NaN discipline (double columns): IEEE comparisons with NaN are all
+  // false, so a plain `v < prev` / min/max update silently SKIPS NaN —
+  // the file would advertise an ordering and bounds the data does not
+  // satisfy under Spark's NaN-GREATEST total order (SMJ could elide its
+  // sort and return wrong rows; `v > x` filters match NaN rows a stale
+  // max would prune). Track NaN presence and non-NaN count explicitly:
+  // max becomes the literal "NaN" (exactly Spark's max() over such data),
+  // min stays the non-NaN minimum ("NaN" only when every value is NaN),
+  // and mono survives only while all NaNs sit at the tail — the one
+  // arrangement Spark's sort order calls sorted.
+  private val nanSeen = Array.fill(schema.length)(false)
+  private val nonNaN = Array.fill(schema.length)(0L)
 
   private def observe(row: InternalRow): Unit = {
     var j = 0
@@ -1871,10 +1883,16 @@ class GraftStoreDataWriter(path: String, schema: StructType, partitionId: Int,
         schema.fields(i).dataType match {
           case DoubleType =>
             val v = row.getDouble(i)
-            if (v < minD(i)) minD(i) = v
-            if (v > maxD(i)) maxD(i) = v
-            if (v < prevD(i)) mono(i) = false
-            prevD(i) = v
+            if (java.lang.Double.isNaN(v)) nanSeen(i) = true
+            else {
+              // a non-NaN AFTER a NaN is out of order under NaN-greatest
+              if (nanSeen(i)) mono(i) = false
+              nonNaN(i) += 1
+              if (v < minD(i)) minD(i) = v
+              if (v > maxD(i)) maxD(i) = v
+              if (v < prevD(i)) mono(i) = false
+              prevD(i) = v
+            }
             GraftStore.NdvHll.addLong(ndvs(ndvPos(i)),
               java.lang.Double.doubleToLongBits(v))
           case IntegerType =>
@@ -1913,7 +1931,13 @@ class GraftStoreDataWriter(path: String, schema: StructType, partitionId: Int,
       val f = schema.fields(i)
       val (mn, mx) =
         if (nonNull(i) == 0) ("", "")
-        else if (f.dataType == DoubleType) (minD(i).toString, maxD(i).toString)
+        else if (f.dataType == DoubleType) (
+          // "NaN" parses back to Double.NaN, whose IEEE comparisons are
+          // all false: every max-based prune/AllRows check conservatively
+          // declines, while Scala 2.13's TotalOrdering (metadata-agg
+          // min/max fold) treats it greatest — exactly Spark's semantics
+          if (nonNaN(i) == 0) "NaN" else minD(i).toString,
+          if (nanSeen(i)) "NaN" else maxD(i).toString)
         else (minL(i).toString, maxL(i).toString)
       f.name -> GraftStore.ColStats(mn, mx, nulls(i),
         ndv = GraftStore.NdvHll.hex(ndvs(ndvPos(i))),
