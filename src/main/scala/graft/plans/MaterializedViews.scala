@@ -225,15 +225,21 @@ object RewriteAggToMv extends Rule[LogicalPlan] {
       (rr, rcs) <- sourceOf(j.right)
       (lk, lfp) <- sourceId(ll)
       (rk, rfp) <- sourceId(rr)
-      pairs <- eqPairs(j.condition, ll, rr)
+      (pairs, lKeys, rKeys) <- eqPairs(j.condition, ll, rr)
       // below-join filters: ONLY the IsNotNull(join key) conjuncts the
       // optimizer itself infers from the inner equi-join are admissible
       // (null keys never match, so the rollup already excludes them);
       // anything else means the rollup pre-joined rows this query
-      // filters out — decline
-      keyNames = pairs.iterator.flatMap(p => Iterator(p._1, p._2)).toSet
-      if (lcs ++ rcs).forall(c => splitConjuncts(c).forall {
-        case IsNotNull(a: AttributeReference) => keyNames.contains(a.name)
+      // filters out — decline. Admissibility is checked PER SIDE and by
+      // exprId (AttributeSet), never by name: an IsNotNull on a non-key
+      // column that merely shares its NAME with the other side's join
+      // key is a real filter and must decline the rewrite.
+      if lcs.forall(c => splitConjuncts(c).forall {
+        case IsNotNull(a: AttributeReference) => lKeys.contains(a)
+        case _ => false
+      })
+      if rcs.forall(c => splitConjuncts(c).forall {
+        case IsNotNull(a: AttributeReference) => rKeys.contains(a)
         case _ => false
       })
       // normalize fingerprint orientation along with the key
@@ -256,22 +262,28 @@ object RewriteAggToMv extends Rule[LogicalPlan] {
   }
 
   /** The join condition as bare-attribute equi-pairs oriented (left
-    * column, right column); anything else (residual predicates, casts,
-    * null-safe equality) declines the match. */
-  private def eqPairs(cond: Option[Expression], l: LogicalPlan,
-      r: LogicalPlan): Option[Seq[(String, String)]] = cond.flatMap { c =>
-    val lset = l.outputSet
-    val rset = r.outputSet
-    def split(e: Expression): Option[Seq[(String, String)]] = e match {
-      case And(a, b) => for { x <- split(a); y <- split(b) } yield x ++ y
-      case EqualTo(a: AttributeReference, b: AttributeReference) =>
-        if (lset.contains(a) && rset.contains(b)) Some(Seq((a.name, b.name)))
-        else if (lset.contains(b) && rset.contains(a)) Some(Seq((b.name, a.name)))
-        else None
-      case _ => None
+    * column, right column), plus the actual key attributes per side
+    * (exprId-keyed — the admissibility check above must not conflate a
+    * name collision across sides); anything else (residual predicates,
+    * casts, null-safe equality) declines the match. */
+  private def eqPairs(cond: Option[Expression], l: LogicalPlan, r: LogicalPlan)
+      : Option[(Seq[(String, String)], AttributeSet, AttributeSet)] =
+    cond.flatMap { c =>
+      val lset = l.outputSet
+      val rset = r.outputSet
+      def split(e: Expression): Option[Seq[(Attribute, Attribute)]] = e match {
+        case And(a, b) => for { x <- split(a); y <- split(b) } yield x ++ y
+        case EqualTo(a: AttributeReference, b: AttributeReference) =>
+          if (lset.contains(a) && rset.contains(b)) Some(Seq((a, b)))
+          else if (lset.contains(b) && rset.contains(a)) Some(Seq((b, a)))
+          else None
+        case _ => None
+      }
+      split(c).map { ps =>
+        (ps.map { case (a, b) => (a.name, b.name) },
+          AttributeSet(ps.map(_._1)), AttributeSet(ps.map(_._2)))
+      }
     }
-    split(c)
-  }
 
   private def tryRewrite(agg: Aggregate, conds: Seq[Expression],
       mvPath: String, groupCols: Set[String],

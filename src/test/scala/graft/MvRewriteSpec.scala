@@ -165,6 +165,75 @@ class MvRewriteSpec extends SparkSuite {
     }
   }
 
+  test("join MV declines an IsNotNull filter on a NON-key column that " +
+      "shares its name with the other side's join key") {
+    import graft.plans.{MvCatalog, RewriteAggToMv}
+    import org.apache.spark.sql.execution.datasources.LogicalRelation
+    // The trap (round-10 verdict #1): fact ⋈ dim on fact.k = dim.fk,
+    // where dim ALSO carries a non-key nullable column NAMED `k`. A
+    // below-join filter `dim.k IS NOT NULL` excludes real rows; a
+    // name-pooled admissibility check (old code: one Set of both sides'
+    // key NAMES) wrongly admits it because "k" is the left join key's
+    // name — the pre-joined rollup then serves rows the query filtered
+    // out. Per-side exprId matching must DECLINE.
+    val base = graft.ops.Util.managedTempDir("graft_mv_trap_")
+    val s = spark
+    import s.implicits._
+    // dim rows 10 and 11 have a NULL non-key `k`; their fact matches
+    // (2 rows each) are excluded by the trap filter
+    Seq((1L, "a", 5.0), (1L, "a", 6.0), (2L, "b", 7.0), (2L, "b", 8.0),
+      (3L, "a", 9.0), (3L, "b", 1.0))
+      .toDF("k", "side", "q").write.parquet(s"$base/fact")
+    Seq((1L, Option("x1"), "g1"), (2L, Option.empty[String], "g1"),
+      (3L, Option.empty[String], "g2"))
+      .toDF("fk", "k", "g").write.parquet(s"$base/dim")
+    val fact = spark.read.parquet(s"$base/fact")
+    val dim = spark.read.parquet(s"$base/dim")
+    def leafOf(df: org.apache.spark.sql.DataFrame) =
+      df.queryExecution.analyzed.collectFirst { case l: LogicalRelation => l }.get
+    val (fLr, dLr) = (leafOf(fact), leafOf(dim))
+    val (fKey, dKey) = (MvCatalog.sourceKey(fLr).get, MvCatalog.sourceKey(dLr).get)
+    val (fFp, dFp) = (MvCatalog.fingerprint(fLr).get, MvCatalog.fingerprint(dLr).get)
+    val mvPath = s"$base/mv_fact_dim"
+    fact.join(dim, fact("k") === dim("fk")).groupBy($"g")
+      .agg(count(lit(1)).as("cnt")).write.parquet(mvPath)
+    val (fpA, fpB) = if (fKey <= dKey) (fFp, dFp) else (dFp, fFp)
+    MvCatalog.registerJoin(
+      MvCatalog.joinKey(fKey, dKey, Seq("k" -> "fk")),
+      MvCatalog.JoinMvDef(mvPath, fpA, fpB, groupCols = Set("g"),
+        measures = Map("cnt" -> "cnt"), rows = 2L))
+    val s2 = spark.newSession()
+    s2.experimental.extraOptimizations =
+      s2.experimental.extraOptimizations :+ RewriteAggToMv
+    def tables(sx: SparkSession) =
+      (sx.read.parquet(s"$base/fact"), sx.read.parquet(s"$base/dim"))
+    // positive control: the unfiltered join substitutes (only the
+    // optimizer-inferred IsNotNull(join key) conjuncts sit below it)
+    val (f1, d1) = tables(s2)
+    val clean = f1.join(d1, f1("k") === d1("fk")).groupBy($"g")
+      .agg(count(lit(1)).as("n"))
+    assert(clean.queryExecution.executedPlan.toString.contains("mv_fact_dim"),
+      "control: the clean join must be served by the rollup")
+    assert(clean.orderBy($"g").collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+      == Seq(("g1", 4L), ("g2", 2L)))
+    // the trap: IsNotNull on dim's NON-key `k` below the join — by name
+    // it collides with fact's join key; by exprId it is not a key
+    def trap(sx: SparkSession) = {
+      val (f, d) = tables(sx)
+      val dF = d.filter(d("k").isNotNull)
+      f.join(dF, f("k") === dF("fk")).groupBy(col("g"))
+        .agg(count(lit(1)).as("n")).orderBy(col("g"))
+    }
+    val trapped = trap(s2)
+    assert(!trapped.queryExecution.executedPlan.toString.contains("mv_fact_dim"),
+      "a below-join filter on a non-key column must DECLINE the join MV " +
+        "even when its name collides with the other side's join key")
+    val expected = trap(spark).collect().toSeq
+    assert(trapped.collect().toSeq == expected &&
+      expected.map(r => (r.getString(0), r.getLong(1))) == Seq(("g1", 2L)),
+      "trap query must compute from source (g1 keeps only fk=1's two rows)")
+  }
+
   test("global (no-grain) aggregate is also served and agrees") {
     val s2 = mvSession
     def q(s: SparkSession) = lineitem(s)
