@@ -285,13 +285,41 @@ object GraftStore {
   private[graft] def readManifest(path: String): Option[(StructType, Seq[FileEntry])] =
     readManifestFile(new File(path, ManifestName))
 
+  /** Double-column stats format version. v2 (round 10) made the writer
+    * NaN-sound: NaN presence demotes mono unless NaN-tailed, max becomes
+    * the literal "NaN" when any value is NaN, min "NaN" only when all
+    * are. Stats written by a v1 (pre-NaN-fix) build may advertise a
+    * stale non-NaN max and mono=true over NaN-bearing doubles — unsound
+    * for the LessThan-AllRows fast path and SMJ sort elision — so
+    * [[readManifestFile]] DEMOTES them: a manifest without `!stats=2`
+    * has every DoubleType column's stats dropped at parse time
+    * (no pruning, no metadata agg, no ordering claim — conservative,
+    * never wrong). Because demotion happens before any carry-forward,
+    * a new commit on an old table may claim `!stats=2` unconditionally:
+    * double stats can only enter a v2 manifest through the v2 writer.
+    * Old tables regain double stats via rewrite (OPTIMIZE/clone/CTAS). */
+  private[graft] val StatsFormatVersion = 2L
+
   private[graft] def readManifestFile(f: File): Option[(StructType, Seq[FileEntry])] = {
     if (!f.exists()) None
     else {
       val lines = new String(Files.readAllBytes(f.toPath), StandardCharsets.UTF_8)
         .split('\n').toSeq.filter(_.nonEmpty)
-      Some((StructType.fromDDL(lines.head),
-        lines.tail.filterNot(_.startsWith("!")).map(parseEntry)))
+      val schema = StructType.fromDDL(lines.head)
+      val statsV = lines.tail.find(_.startsWith("!stats="))
+        .map(_.stripPrefix("!stats=").toLong).getOrElse(1L)
+      val entries = lines.tail.filterNot(_.startsWith("!")).map(parseEntry)
+      val safe =
+        if (statsV >= StatsFormatVersion) entries
+        else {
+          // pre-NaN-fix double stats are untrustworthy (see above)
+          val doubleCols = schema.fields
+            .filter(_.dataType == org.apache.spark.sql.types.DoubleType)
+            .map(_.name).toSet
+          if (doubleCols.isEmpty) entries
+          else entries.map(e => e.copy(stats = e.stats -- doubleCols))
+        }
+      Some((schema, safe))
     }
   }
 
@@ -453,10 +481,11 @@ object GraftStore {
     val tmp = Paths.get(path, s".manifest.tmp.${java.util.UUID.randomUUID()}")
     val lines = schema.toDDL +: (s"!version=$v" +:
       (s"!ts=${System.currentTimeMillis()}" +:
+        (s"!stats=$StatsFormatVersion" +:
         ((if (op.nonEmpty) Seq(s"!op=$op") else Seq.empty) ++
           epoch.map(e => s"!epoch=$e").toSeq ++
           txns.toSeq.sortBy(_._1).map { case (a, ver) => s"!txn=$a:$ver" } ++
-          files.map(fmtEntry))))
+          files.map(fmtEntry)))))
     Files.write(tmp, lines.mkString("\n").getBytes(StandardCharsets.UTF_8))
     try Files.createLink(Paths.get(path, s"$ManifestName.v$v"), tmp)
     catch {
@@ -915,11 +944,27 @@ object GraftStore {
             if (x.min.isEmpty) ColStats(y.min, y.max, x.nulls + y.nulls)
             else if (y.min.isEmpty) ColStats(x.min, x.max, x.nulls + y.nulls)
             else schema.fields.find(_.name == c).map(_.dataType) match {
-              case Some(DoubleType) => ColStats(
-                math.min(x.min.toDouble, y.min.toDouble).toString,
-                math.max(x.max.toDouble, y.max.toDouble).toString,
-                x.nulls + y.nulls,
-                mono = x.mono && y.mono && x.max.toDouble <= y.min.toDouble)
+              case Some(DoubleType) =>
+                // Spark's NaN-GREATEST total order: an all-NaN side's
+                // "NaN" min sentinel must not poison the merged minimum
+                // (math.min propagates NaN) — take the other side's real
+                // min, "NaN" only when both sides are all-NaN. math.max's
+                // NaN propagation already coincides with NaN-greatest (a
+                // NaN max IS the greatest value present), keep it. The
+                // mono range check uses total-order <= (everything <= NaN,
+                // NaN <= only NaN) so a sorted non-NaN file followed by an
+                // all-NaN file stays provably sorted.
+                val (xm, xM) = (x.min.toDouble, x.max.toDouble)
+                val (ym, yM) = (y.min.toDouble, y.max.toDouble)
+                def leTotal(p: Double, q: Double): Boolean =
+                  q.isNaN || (!p.isNaN && p <= q)
+                ColStats(
+                  if (xm.isNaN) y.min
+                  else if (ym.isNaN) x.min
+                  else math.min(xm, ym).toString,
+                  math.max(xM, yM).toString,
+                  x.nulls + y.nulls,
+                  mono = x.mono && y.mono && leTotal(xM, ym))
               case _ => ColStats(
                 math.min(x.min.toLong, y.min.toLong).toString,
                 math.max(x.max.toLong, y.max.toLong).toString,
@@ -2245,8 +2290,11 @@ class GraftStoreScan(path: String,
     * Called by Spark after pushdown, so row counts and column stats
     * reflect the files that survived manifest skipping. Everything here
     * folds over manifest lines on the driver (no data I/O): exact live
-    * row counts, exact per-column min/max/null bounds, and HLL-union
-    * distinct estimates ([[GraftStore.NdvHll]]) — which is precisely the
+    * row counts, per-column min/max/null BOUNDS (exact on freshly
+    * written files; on delete-vectored files the recorded extremes may
+    * no longer be attained and NDV over-counts deleted values, so they
+    * are upper bounds — sound for estimation, not for answers), and
+    * HLL-union distinct estimates ([[GraftStore.NdvHll]]) — precisely the
     * input `spark.sql.cbo.*` join estimation and join reorder need.
     * Where a warehouse schedules a full-scan ANALYZE TABLE to feed its
     * cost model, a table format that keeps per-file sketches answers at
@@ -2282,8 +2330,22 @@ class GraftStoreScan(path: String,
           if (nonEmpty.isEmpty) (None, None)
           else f.dataType match {
             case DoubleType =>
-              (Some(Double.box(nonEmpty.map(_.min.toDouble).min)),
-                Some(Double.box(nonEmpty.map(_.max.toDouble).max)))
+              // Non-finite bounds stay OUT of the CBO feed: a NaN/Inf in
+              // attributeStats poisons range-selectivity arithmetic
+              // (comparisons false, subtractions NaN). An all-NaN file's
+              // "NaN" min sentinel is exactly droppable (the file has no
+              // non-NaN minimum); any other non-finite bound — a NaN max
+              // (true max IS NaN under NaN-greatest) or a real ±Inf —
+              // means the finite fold would misstate the bound, so the
+              // column reports none. Estimate-quality only, never results.
+              val minVals = nonEmpty.map(_.min.toDouble)
+              val maxVals = nonEmpty.map(_.max.toDouble)
+              val finMins = minVals.filter(d => java.lang.Double.isFinite(d))
+              val minOk = finMins.nonEmpty &&
+                minVals.forall(d => java.lang.Double.isFinite(d) || d.isNaN)
+              val maxOk = maxVals.forall(d => java.lang.Double.isFinite(d))
+              (if (minOk) Some(Double.box(finMins.min)) else None,
+                if (maxOk && maxVals.nonEmpty) Some(Double.box(maxVals.max)) else None)
             case IntegerType =>
               (Some(Int.box(nonEmpty.map(_.min.toLong).min.toInt)),
                 Some(Int.box(nonEmpty.map(_.max.toLong).max.toInt)))
@@ -2292,7 +2354,7 @@ class GraftStoreScan(path: String,
                 Some(Long.box(nonEmpty.map(_.max.toLong).max)))
             case _ => (None, None)
           }
-        if (ndvEst >= 0 || nullSum >= 0 || mnV.isDefined)
+        if (ndvEst >= 0 || nullSum >= 0 || mnV.isDefined || mxV.isDefined)
           colMap.put(Expressions.column(f.name), new ColumnStatistics {
             override def distinctCount(): OptionalLong =
               if (ndvEst >= 0) OptionalLong.of(ndvEst) else OptionalLong.empty()
