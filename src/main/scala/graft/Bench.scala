@@ -45,6 +45,20 @@ object Bench {
       .map(_.split(",").toSet)
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => filter.forall(_.contains(n)) }
+    // fixture pre-pass: some builders stage one-time MEMOIZED fixtures
+    // (store-table writes keyed by (session, dir)) eagerly at first
+    // invocation — which otherwise lands inside whichever timed run gets
+    // there first, so a single-sample capture reports fixture-write +
+    // query as the query. Invoking every builder once here (NO action on
+    // the returned frame) moves that one-time setup into warmup while
+    // leaving plan construction + codegen in the cold run, where they
+    // belong. Builders with eager per-invocation work (the stream
+    // family) cost one extra un-timed execution here — a few warmup
+    // seconds buying steady single samples across the whole registry.
+    selected.foreach { case (_, fn) =>
+      try { fn(spark, sfDir); () } catch { case _: Throwable => () }
+    }
+    graft.ops.Util.unpersistRegistered()
     // timings(i) = (name, Seq(Option(sec)...)); run1 is the cold run.
     // A run that throws records None — min-across-runs must never let a
     // fast time-to-failure masquerade as an improvement.

@@ -336,7 +336,7 @@ object Extras {
     // would drift) — only user-facing query outputs are double (hash-safe).
     def mvOf(df: org.apache.spark.sql.DataFrame) =
       df.groupBy($"o_orderstatus")
-        .agg(sum(dec($"o_totalprice")).cast("decimal(18,4)").as("s_price"),
+        .agg(sum(dec($"o_totalprice")).cast("decimal(28,4)").as("s_price"),
           count(lit(1)).as("cnt"))
     // v1: full build + register
     val lr1 = factLr
@@ -357,7 +357,7 @@ object Extras {
     val delta = mvOf(s.read.parquet(newFiles: _*))
     s.read.parquet(mv0.mvPath).unionAll(delta)
       .groupBy($"o_orderstatus")
-      .agg(sum($"s_price").cast("decimal(18,4)").as("s_price"), sum($"cnt").as("cnt"))
+      .agg(sum($"s_price").cast("decimal(28,4)").as("s_price"), sum($"cnt").as("cnt"))
       .write.parquet(s"$root/mv_v2")
     MvCatalog.register(key, MvCatalog.MvDef(s"$root/mv_v2",
       MvCatalog.fingerprint(lr2).get, Set("o_orderstatus"), measures,

@@ -300,27 +300,63 @@ object GraftStore {
     * Old tables regain double stats via rewrite (OPTIMIZE/clone/CTAS). */
   private[graft] val StatsFormatVersion = 2L
 
+  /** Parsed-manifest LRU: every metadata consumer (scan planning, file
+    * skipping, estimateStatistics, metadata aggregates, DML base reads,
+    * the catalog) funnels through [[readManifestFile]], and a busy
+    * session re-reads the SAME immutable snapshot many times per query.
+    * Snapshot files (`_manifest.v<n>`) never change once claimed and
+    * the pointer is only ever atomically replaced, so (path, mtime,
+    * size) identifies content; any rewrite lands a fresh mtime/size and
+    * simply misses. Driver-side only, 64 entries — at 10^6-line
+    * manifests this turns the per-query metadata fold from re-parse
+    * (O(lines × columns) string work) into a map hit. */
+  private val manifestCache =
+    new java.util.LinkedHashMap[(String, java.nio.file.attribute.FileTime, Long),
+        Option[(StructType, Seq[FileEntry])]](64, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[(String, java.nio.file.attribute.FileTime, Long),
+            Option[(StructType, Seq[FileEntry])]]): Boolean = size() > 64
+    }
+
   private[graft] def readManifestFile(f: File): Option[(StructType, Seq[FileEntry])] = {
     if (!f.exists()) None
     else {
-      val lines = new String(Files.readAllBytes(f.toPath), StandardCharsets.UTF_8)
-        .split('\n').toSeq.filter(_.nonEmpty)
-      val schema = StructType.fromDDL(lines.head)
-      val statsV = lines.tail.find(_.startsWith("!stats="))
-        .map(_.stripPrefix("!stats=").toLong).getOrElse(1L)
-      val entries = lines.tail.filterNot(_.startsWith("!")).map(parseEntry)
-      val safe =
-        if (statsV >= StatsFormatVersion) entries
-        else {
-          // pre-NaN-fix double stats are untrustworthy (see above)
-          val doubleCols = schema.fields
-            .filter(_.dataType == org.apache.spark.sql.types.DoubleType)
-            .map(_.name).toSet
-          if (doubleCols.isEmpty) entries
-          else entries.map(e => e.copy(stats = e.stats -- doubleCols))
-        }
-      Some((schema, safe))
+      val key = try {
+        (f.getAbsolutePath,
+          Files.getLastModifiedTime(f.toPath), // ns-resolution where the FS has it
+          f.length())
+      } catch { case _: java.io.IOException => null } // raced deletion: parse uncached
+      if (key != null) {
+        val hit = manifestCache.synchronized(Option(manifestCache.get(key)))
+        if (hit.isDefined) return hit.get
+      }
+      val parsed = parseManifestBytes(
+        try Files.readAllBytes(f.toPath)
+        catch { case _: java.io.IOException => return None }) // raced deletion
+      if (key != null) manifestCache.synchronized(manifestCache.put(key, parsed))
+      parsed
     }
+  }
+
+  private def parseManifestBytes(bytes: Array[Byte]): Option[(StructType, Seq[FileEntry])] = {
+    val lines = new String(bytes, StandardCharsets.UTF_8)
+      .split('\n').toSeq.filter(_.nonEmpty)
+    if (lines.isEmpty) return None
+    val schema = StructType.fromDDL(lines.head)
+    val statsV = lines.tail.find(_.startsWith("!stats="))
+      .map(_.stripPrefix("!stats=").toLong).getOrElse(1L)
+    val entries = lines.tail.filterNot(_.startsWith("!")).map(parseEntry)
+    val safe =
+      if (statsV >= StatsFormatVersion) entries
+      else {
+        // pre-NaN-fix double stats are untrustworthy (see above)
+        val doubleCols = schema.fields
+          .filter(_.dataType == org.apache.spark.sql.types.DoubleType)
+          .map(_.name).toSet
+        if (doubleCols.isEmpty) entries
+        else entries.map(e => e.copy(stats = e.stats -- doubleCols))
+      }
+    Some((schema, safe))
   }
 
   /** Snapshot id the current pointer carries (0 = pre-versioning table

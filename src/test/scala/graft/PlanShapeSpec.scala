@@ -586,6 +586,9 @@ class PlanShapeSpec extends SparkSuite {
       .groupBy(col("o_orderpriority")).agg(count(lit(1)).as("n"))
     assert(stale.queryExecution.executedPlan.toString.contains("graft_store("),
       "a committed append must break the version fingerprint and decline the rewrite")
+    // the append above broke the SHARED memoized fixture's fingerprint —
+    // drop the memo so later invocations rebuild a rewrite-eligible one
+    graft.ops.Sources.invalidateStoreMvJoinFixture()
   }
 
   test("q_mv_rewrite substitutes the MV scan for the fact scan") {
