@@ -1617,6 +1617,60 @@ object Sources {
         |FROM graftp.p GROUP BY pri ORDER BY pri""".stripMargin)
   }
 
+  /** Partition-evolution table roots already written this JVM, keyed by
+    * (session UUID, fixture dir). */
+  private val partEvolveWritten = new java.util.concurrent.ConcurrentHashMap[String, String]
+
+  /** PARTITION-SPEC EVOLUTION (round 11) — re-partition a live table
+    * WITHOUT rewriting a byte of data, the Iceberg REPLACE PARTITION
+    * FIELD economics: the first slice lands under PARTITIONED BY (pri)
+    * (one file per priority, rolled at write time), then
+    * [[graft.sources.GraftStore.evolvePartitionBy]] swaps the spec to
+    * `bkt` as a pure metadata commit, and the second slice lands
+    * clustered + rolled per bkt value. The read side needs NO
+    * spec-awareness because nothing ever trusted the spec: a `bkt`
+    * predicate prunes post-evolution files by ordinary stats skipping
+    * (single-valued by construction), scans the pre-evolution files it
+    * cannot disprove, and the mixed-spec table simply stops advertising
+    * key-grouped partitioning (SPJ re-proves min==max per file and
+    * degrades). At 100 TB this is the difference between "change the
+    * partition key" being a full-table rewrite scheduled over a weekend
+    * and a versioned metadata operation whose layout converges as new
+    * data arrives. The oracle recomputes the filtered aggregate from
+    * source parquet — layout evolution must be invisible to results.
+    * File-level pruning/degradation pinned in PartitionEvolutionSpec. */
+  val qStorePartEvolve: Q = (s, dir) => {
+    import s.implicits._
+    val path = partEvolveWritten.computeIfAbsent(s"${Util.sessionKey(s)}:$dir", _ => {
+      val s2 = s.newSession()
+      val root = Util.managedTempDir("graft_pevo_")
+      s2.conf.set("spark.sql.catalog.graftpe", "graft.sources.GraftCatalog")
+      s2.conf.set("spark.sql.catalog.graftpe.root", root)
+      table(s2, dir, "orders").createOrReplaceTempView("ord_pevo")
+      s2.sql(
+        """CREATE TABLE graftpe.t PARTITIONED BY (pri) AS
+          |SELECT o_orderkey, o_totalprice,
+          |  CAST(substring(o_orderpriority, 1, 1) AS INT) AS pri,
+          |  o_orderkey % 8 AS bkt
+          |FROM ord_pevo WHERE o_orderkey % 2 = 0""".stripMargin)
+      graft.sources.GraftStore.evolvePartitionBy(s"$root/t", Some("bkt"))
+      s2.sql(
+        """INSERT INTO graftpe.t
+          |SELECT o_orderkey, o_totalprice,
+          |  CAST(substring(o_orderpriority, 1, 1) AS INT) AS pri,
+          |  o_orderkey % 8 AS bkt
+          |FROM ord_pevo WHERE o_orderkey % 2 = 1""".stripMargin)
+      s"$root/t"
+    })
+    s.read.format("graft.sources.GraftStore").option("path", path).load()
+      .filter($"bkt" === 3)
+      .groupBy($"pri")
+      .agg(count(lit(1)).as("n_rows"),
+        sum($"o_orderkey").as("sum_key"),
+        dsum($"o_totalprice").as("sum_price"))
+      .orderBy($"pri")
+  }
+
   /** Incremental-pipeline table dirs already written this JVM, keyed by
     * (session UUID, fixture dir). */
   private val pincrWritten = new java.util.concurrent.ConcurrentHashMap[String, String]
@@ -2004,6 +2058,7 @@ object Sources {
     "q_pipeline_incr" -> qPipelineIncr,
     "q_pipeline_incr_stored" -> qPipelineIncrStored,
     "q_store_partitioned" -> qStorePartitioned,
+    "q_store_part_evolve" -> qStorePartEvolve,
     "q_catalog_sql" -> qCatalogSql,
     "q_sink_roundtrip" -> qSinkRoundtrip,
     "q_store_timetravel" -> qStoreTimetravel,
@@ -2245,6 +2300,14 @@ object Sources {
         | CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
         |FROM orders
         |WHERE CAST(substring(o_orderpriority, 1, 1) AS INT) <> 2
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // partition evolution must be invisible to results: both slices land
+    // (under different specs), the bkt filter recomputed from source
+    "q_store_part_evolve" ->
+      """SELECT CAST(substring(o_orderpriority, 1, 1) AS INT) AS pri,
+        | count(*) AS n_rows, CAST(sum(o_orderkey) AS BIGINT) AS sum_key,
+        | CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+        |FROM orders WHERE o_orderkey % 8 = 3
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     // the CDF-fed incremental pass replayed: gate the new slice, minhash
     // both sides, band-join batch x corpus, Jaccard-verify, anti-join

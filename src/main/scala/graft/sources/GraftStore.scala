@@ -863,16 +863,56 @@ object GraftStore {
 
   private[sources] val PartitionFileName = "_partition"
 
-  /** The table's partition column, if it was created PARTITIONED BY —
-    * stored once at create time in an immutable sibling file (written
-    * BEFORE the first manifest, so it is never observable without it;
-    * partition spec is table-constant, so unlike ops/epochs it never
-    * rides the per-commit headers). */
+  /** The table's CURRENT partition column, if any — stored in a sibling
+    * file (written BEFORE the first manifest at create time, so it is
+    * never observable without the table). The spec does not ride the
+    * per-commit headers because no reader TRUSTS it: every consumer
+    * (pruning, SPJ reporting, metadata-only delete) re-proves
+    * single-valuedness from per-file stats, which is what makes
+    * [[evolvePartitionBy]] a pure metadata operation. */
   private[graft] def readPartitionBy(path: String): Option[String] = {
     val f = new File(path, PartitionFileName)
     if (!f.exists()) None
     else Some(new String(Files.readAllBytes(f.toPath), StandardCharsets.UTF_8)
       .trim).filter(_.nonEmpty)
+  }
+
+  /** PARTITION-SPEC EVOLUTION (round 11) — the Iceberg
+    * `REPLACE PARTITION FIELD` semantics on the one-column identity
+    * spec this format supports: atomically swap the `_partition`
+    * sibling (tmp + ATOMIC_MOVE; None drops the spec) and version the
+    * change as a metadata-only commit (op="evolve-partition" — CDF
+    * emits nothing, history/time-travel record it, zero data I/O).
+    * Old files keep their old layout and are NEVER rewritten: every
+    * read-side consumer re-proves its claims from per-file stats
+    * rather than trusting the spec — pruning on the new column is
+    * ordinary stats skipping (new files are single-valued on it by
+    * write-time rolling; old files usually straddle and stay scanned),
+    * SPJ/key-grouped reporting checks min==max on EVERY selected file
+    * and silently degrades on a mixed-spec table, and metadata-only
+    * DELETE demands entire-file proof as always. Appends after the
+    * swap cluster + roll on the NEW column, so the table converges to
+    * the new layout as data arrives; OPTIMIZE-style rewrite of the old
+    * files completes it eagerly. Time-travel reads of pre-evolution
+    * snapshots see the CURRENT spec for write-distribution purposes
+    * only — their correctness never depended on it. */
+  private[graft] def evolvePartitionBy(path: String, newCol: Option[String]): Long = {
+    val (baseV, latest) = readLatestVersioned(path)
+    val (schema, entries) = latest.getOrElse(throw new IllegalArgumentException(
+      s"no graft-store table at $path"))
+    newCol.foreach(c => require(schema.fieldNames.contains(c),
+      s"partition column $c must be a top-level table column"))
+    newCol match {
+      case Some(c) =>
+        val tmp = Paths.get(path, s".partition.tmp.${java.util.UUID.randomUUID()}")
+        Files.write(tmp, c.getBytes(StandardCharsets.UTF_8))
+        Files.move(tmp, Paths.get(path, PartitionFileName),
+          StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+      case None =>
+        Files.deleteIfExists(Paths.get(path, PartitionFileName))
+    }
+    writeManifestAtomic(path, baseV, schema, entries,
+      epoch = readEpoch(path), op = "evolve-partition")
   }
 
   /** A change-feed read's schema: the data schema plus the two CDF
@@ -932,7 +972,7 @@ object GraftStore {
       val (op, entries) = manifestAt(v)
       val cur = entries.map(e => e.file -> e).toMap
       val out: Seq[CdfUnit] =
-        if (op == "optimize" || op == "evolve" || op.startsWith("create"))
+        if (op == "optimize" || op.startsWith("evolve") || op.startsWith("create"))
           Seq.empty
         else {
           val removed = (base.keySet -- cur.keySet).toSeq.sorted
