@@ -1430,6 +1430,71 @@ object Sources {
     * action conditions, and the copy-on-write commit end-to-end. At
     * 100 TB this is the CDC-ingest shape: write amplification bounded
     * by files actually containing matches, not table size. */
+  /** SCD TYPE-2 CDC APPLY (round 11) — the dimension-history maintenance
+    * loop every warehouse runs nightly, on the lakehouse MERGE surface:
+    * where q_stream_upsert keeps only the LATEST row per key (type 1),
+    * SCD2 keeps every VERSION with validity metadata. Each batch applies
+    * as two commits, both through the store's row-level machinery:
+    *   (1) MERGE closes the current row of every key whose attribute
+    *       actually changed (`ON t.k = s.k AND t.ver_to = 0` with a
+    *       `t.price <> s.price` guard — unchanged deliveries are
+    *       no-ops, the CDC idempotence property), stamping `ver_to`;
+    *   (2) INSERT opens new versions for exactly the keys with no
+    *       surviving current row (changed-just-closed ∪ brand-new) via
+    *       an anti-join on the open set.
+    * Write amplification is bounded by files containing CHANGED keys
+    * (the group-based MERGE scans/rewrites only those), never by
+    * history size — the property that keeps a 100 TB slowly-changing
+    * dimension maintainable. `ver_to = 0` marks the open row (sentinel
+    * instead of NULL so the validity interval is hash-comparable). The
+    * oracle reconstructs the full (k, price, ver_from, ver_to) history
+    * relationally from the two batch definitions — every row of every
+    * version checked, not an aggregate. */
+  val qStoreScd2: Q = (s, dir) => {
+    val s2 = s.newSession()
+    s2.conf.set("spark.sql.catalog.graftsd", "graft.sources.GraftCatalog")
+    s2.conf.set("spark.sql.catalog.graftsd.root", dmlRoot(s, dir, "scd2_"))
+    table(s2, dir, "orders").createOrReplaceTempView("ord_scd")
+    s2.sql("DROP TABLE IF EXISTS graftsd.d")
+    s2.sql(
+      """CREATE TABLE graftsd.d AS
+        |SELECT CAST(0 AS BIGINT) AS k, CAST(0 AS DECIMAL(18,4)) AS price,
+        |       CAST(0 AS BIGINT) AS ver_from, CAST(0 AS BIGINT) AS ver_to
+        |WHERE 1 = 0""".stripMargin)
+    // batch 1: the initial dimension load; batch 2: re-delivery of every
+    // existing key (half changed: % 6 = 0 gets +100, half identical) plus
+    // the % 3 = 1 keys as brand-new
+    def batchSql(ver: Int): String =
+      if (ver == 1)
+        """SELECT o_orderkey AS k, CAST(o_totalprice AS DECIMAL(18,4)) AS price
+          |FROM ord_scd WHERE o_orderkey % 3 = 0""".stripMargin
+      else
+        """SELECT o_orderkey AS k,
+          |  CAST(o_totalprice AS DECIMAL(18,4)) +
+          |    CASE WHEN o_orderkey % 6 = 0 THEN 100 ELSE 0 END AS price
+          |FROM ord_scd WHERE o_orderkey % 3 = 0
+          |UNION ALL
+          |SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(18,4))
+          |FROM ord_scd WHERE o_orderkey % 3 = 1""".stripMargin
+    for (ver <- 1 to 2) {
+      s2.sql(s"CREATE OR REPLACE TEMPORARY VIEW scd_batch AS ${batchSql(ver)}")
+      s2.sql(
+        s"""MERGE INTO graftsd.d t USING scd_batch s
+           |ON t.k = s.k AND t.ver_to = 0
+           |WHEN MATCHED AND t.price <> s.price THEN UPDATE SET ver_to = $ver
+           |""".stripMargin)
+      s2.sql(
+        s"""INSERT INTO graftsd.d
+           |SELECT s.k, s.price, $ver AS ver_from, CAST(0 AS BIGINT) AS ver_to
+           |FROM scd_batch s
+           |LEFT ANTI JOIN (SELECT k FROM graftsd.d WHERE ver_to = 0) c
+           |  ON s.k = c.k""".stripMargin)
+    }
+    s2.sql(
+      """SELECT k, CAST(price AS DOUBLE) AS price, ver_from, ver_to
+        |FROM graftsd.d ORDER BY k, ver_from""".stripMargin)
+  }
+
   val qStoreMerge: Q = (s, dir) => {
     val s2 = s.newSession()
     s2.conf.set("spark.sql.catalog.graftm", "graft.sources.GraftCatalog")
@@ -2051,6 +2116,7 @@ object Sources {
     "q_store_bloomskip" -> qStoreBloomskip,
     "q_store_metaagg" -> qStoreMetaagg,
     "q_store_merge" -> qStoreMerge,
+    "q_store_scd2" -> qStoreScd2,
     "q_store_dml" -> qStoreDml,
     "q_store_cdf" -> qStoreCdf,
     "q_store_zorder" -> qStoreZorder,
@@ -2301,6 +2367,25 @@ object Sources {
         |FROM orders
         |WHERE CAST(substring(o_orderpriority, 1, 1) AS INT) <> 2
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // the full SCD2 history reconstructed relationally from the two
+    // batch definitions: v1 rows (closed at 2 iff changed), v2 rows for
+    // changed keys (+100), v2 rows for brand-new keys
+    "q_store_scd2" ->
+      """WITH b AS (SELECT o_orderkey AS k,
+        |    CAST(o_totalprice AS DECIMAL(18,4)) AS price,
+        |    o_orderkey % 6 = 0 AS chg
+        |  FROM orders WHERE o_orderkey % 3 = 0)
+        |SELECT k, CAST(price AS DOUBLE) AS price,
+        |  CAST(1 AS BIGINT) AS ver_from,
+        |  CAST(CASE WHEN chg THEN 2 ELSE 0 END AS BIGINT) AS ver_to FROM b
+        |UNION ALL
+        |SELECT k, CAST(price + 100 AS DOUBLE), CAST(2 AS BIGINT),
+        |  CAST(0 AS BIGINT) FROM b WHERE chg
+        |UNION ALL
+        |SELECT o_orderkey, CAST(CAST(o_totalprice AS DECIMAL(18,4)) AS DOUBLE),
+        |  CAST(2 AS BIGINT), CAST(0 AS BIGINT)
+        |FROM orders WHERE o_orderkey % 3 = 1
+        |ORDER BY k, ver_from""".stripMargin,
     // partition evolution must be invisible to results: both slices land
     // (under different specs), the bkt filter recomputed from source
     "q_store_part_evolve" ->
