@@ -1406,6 +1406,46 @@ object Sources {
         min($"o_custkey").as("min_cust"), max($"o_custkey").as("max_cust"))
   }
 
+  /** Grouped-metaagg fixture tables, keyed by (session UUID, fixture dir). */
+  private val metaGroupWritten = new java.util.concurrent.ConcurrentHashMap[String, String]
+
+  /** GROUPED metadata-only aggregates (round 11) — q_store_metaagg's
+    * missing half: `GROUP BY pri` over a table whose write layout makes
+    * every file single-valued on `pri` (PARTITIONED BY rolling) is
+    * answered ENTIRELY from manifest lines — each group's rows are a
+    * disjoint subset of whole files, so per-group count/count(col)/
+    * min/max folds are exact, and the scan plans ONE synthetic partition
+    * carrying one row per group (complete pushdown: Spark plans no
+    * aggregate at all). The Iceberg partition-stats economics: the
+    * per-partition dashboard query every 100 TB table gets pointed at
+    * ("rows and key ranges by day/segment/priority") costs one driver
+    * metadata read instead of a cluster scan. Declines — and the
+    * ordinary scan plans — whenever any file straddles group values
+    * (plain appends), the key is a double (NaN equality buys nothing),
+    * a filter is pushed, or any file carries a deletion vector.
+    * Zero-data-I/O + decline-on-straddle pinned in GraftStoreSpec. */
+  val qStoreMetaaggGroup: Q = (s, dir) => {
+    import s.implicits._
+    val path = metaGroupWritten.computeIfAbsent(s"${Util.sessionKey(s)}:$dir", _ => {
+      val s2 = s.newSession()
+      val root = Util.managedTempDir("graft_magrp_")
+      s2.conf.set("spark.sql.catalog.graftmg", "graft.sources.GraftCatalog")
+      s2.conf.set("spark.sql.catalog.graftmg.root", root)
+      table(s2, dir, "orders").createOrReplaceTempView("ord_mg")
+      s2.sql(
+        """CREATE TABLE graftmg.g PARTITIONED BY (pri) AS
+          |SELECT o_orderkey, o_custkey,
+          |  CAST(substring(o_orderpriority, 1, 1) AS INT) AS pri
+          |FROM ord_mg""".stripMargin)
+      s"$root/g"
+    })
+    s.read.format("graft.sources.GraftStore").option("path", path).load()
+      .groupBy($"pri")
+      .agg(count(lit(1)).as("n_rows"), count($"o_custkey").as("n_cust"),
+        min($"o_orderkey").as("min_key"), max($"o_orderkey").as("max_key"))
+      .orderBy($"pri")
+  }
+
   /** DML-query catalog roots, keyed by (session UUID, fixture dir, tag).
     * Only the ROOT directory is memoized — each invocation DROPs and
     * recreates its table, so a repeated run (bench min-of-2) is
@@ -2115,6 +2155,7 @@ object Sources {
     "q_store_evolution" -> qStoreEvolution,
     "q_store_bloomskip" -> qStoreBloomskip,
     "q_store_metaagg" -> qStoreMetaagg,
+    "q_store_metaagg_group" -> qStoreMetaaggGroup,
     "q_store_merge" -> qStoreMerge,
     "q_store_scd2" -> qStoreScd2,
     "q_store_dml" -> qStoreDml,
@@ -2367,6 +2408,14 @@ object Sources {
         |FROM orders
         |WHERE CAST(substring(o_orderpriority, 1, 1) AS INT) <> 2
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // the grouped metadata answer recomputed the ordinary way from source
+    // parquet — metadata-only grouping must be invisible to results
+    "q_store_metaagg_group" ->
+      """SELECT CAST(substring(o_orderpriority, 1, 1) AS INT) AS pri,
+        | count(*) AS n_rows, count(o_custkey) AS n_cust,
+        | CAST(min(o_orderkey) AS BIGINT) AS min_key,
+        | CAST(max(o_orderkey) AS BIGINT) AS max_key
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
     // the full SCD2 history reconstructed relationally from the two
     // batch definitions: v1 rows (closed at 2 iff changed), v2 rows for
     // changed keys (+100), v2 rows for brand-new keys

@@ -2122,7 +2122,7 @@ class GraftStoreScanBuilder(path: String, versionAsOf: Option[Long] = None,
   import org.apache.spark.sql.connector.expressions.aggregate.{AggregateFunc, Aggregation, Count, CountStar, Max, Min}
   import org.apache.spark.sql.types.{DataType, DoubleType, IntegerType, LongType}
   private var pushed = Array.empty[Filter]
-  private var metaAgg: Option[(StructType, Seq[Any])] = None
+  private var metaAgg: Option[(StructType, Seq[Array[Any]])] = None
   private var withFileCol = false
   private var withPosCol = false
 
@@ -2166,9 +2166,8 @@ class GraftStoreScanBuilder(path: String, versionAsOf: Option[Long] = None,
       case _ => None
     }
 
-  private def tryAnswer(a: Aggregation): Option[(StructType, Seq[Any])] = {
-    if (pushed.nonEmpty || a.groupByExpressions.nonEmpty ||
-      onlyFiles.isDefined) return None
+  private def tryAnswer(a: Aggregation): Option[(StructType, Seq[Array[Any]])] = {
+    if (pushed.nonEmpty || onlyFiles.isDefined) return None
     val (schema, entries) = try GraftStore.selectEntries(path, versionAsOf, fromVersion)
       catch { case _: Exception => return None }
     // a delete-vectored file's min/max may no longer be attained (the
@@ -2180,49 +2179,100 @@ class GraftStoreScanBuilder(path: String, versionAsOf: Option[Long] = None,
     def statType(c: String): Option[DataType] =
       schema.fields.find(_.name == c).map(_.dataType).filter(dt =>
         dt == IntegerType || dt == LongType || dt == DoubleType)
-    def extreme(c: String, pickMax: Boolean): Option[(DataType, Any)] =
-      statType(c).flatMap { dt =>
-        if (!entries.forall(e => e.stats.contains(c))) None
-        else {
-          val vals = entries.map(e => if (pickMax) e.stats(c).max else e.stats(c).min)
-            .filter(_.nonEmpty)
-          val v: Any =
-            if (vals.isEmpty) null // every row null (or no rows): SQL min/max = NULL
-            else dt match {
-              case DoubleType =>
-                val ds = vals.map(_.toDouble); if (pickMax) ds.max else ds.min
-              case IntegerType =>
-                val is = vals.map(_.toInt); if (pickMax) is.max else is.min
-              case _ =>
-                val ls = vals.map(_.toLong); if (pickMax) ls.max else ls.min
+    // GROUPED metadata aggregates (round 11): GROUP BY one int/long
+    // column on which EVERY live file is provably single-valued
+    // (min == max, no nulls — the clusterBy/partitionBy write layout) is
+    // exactly as answerable as the ungrouped form: each group's rows are
+    // a disjoint subset of whole files, so per-group folds over manifest
+    // lines are exact. The Iceberg partition-stats economics: per-
+    // partition dashboard counts at 100 TB cost one metadata read, not a
+    // scan. Doubles are refused as group keys (NaN/-0.0 equality
+    // subtleties buy nothing here); any other shape declines and the
+    // ordinary scan plans.
+    val groupKey: Option[(String, DataType)] = a.groupByExpressions.toSeq match {
+      case Seq() => None
+      case Seq(e) =>
+        val ok = field(e).flatMap(c => statType(c).map(dt => (c, dt)))
+          .filter { case (_, dt) => dt == IntegerType || dt == LongType }
+          .filter { case (c, _) => entries.forall(e0 =>
+            e0.stats.get(c).exists(st =>
+              st.nulls == 0 && st.min.nonEmpty && st.min == st.max)) }
+        if (ok.isEmpty) return None
+        ok
+      case _ => return None
+    }
+    def answerOver(group: Seq[GraftStore.FileEntry]): Option[Seq[(DataType, Any)]] = {
+      def extreme(c: String, pickMax: Boolean): Option[(DataType, Any)] =
+        statType(c).flatMap { dt =>
+          if (!group.forall(e => e.stats.contains(c))) None
+          else {
+            val vals = group.map(e => if (pickMax) e.stats(c).max else e.stats(c).min)
+              .filter(_.nonEmpty)
+            val v: Any =
+              if (vals.isEmpty) null // every row null (or no rows): SQL min/max = NULL
+              else dt match {
+                case DoubleType =>
+                  val ds = vals.map(_.toDouble); if (pickMax) ds.max else ds.min
+                case IntegerType =>
+                  val is = vals.map(_.toInt); if (pickMax) is.max else is.min
+                case _ =>
+                  val ls = vals.map(_.toLong); if (pickMax) ls.max else ls.min
+              }
+            Some((dt, v))
+          }
+        }
+      val answered = a.aggregateExpressions.toSeq.map {
+        case f: AggregateFunc => f match {
+          case _: CountStar =>
+            if (group.forall(_.rows >= 0))
+              Some((LongType: DataType, group.map(_.rows).sum: Any))
+            else None
+          case c: Count if !c.isDistinct =>
+            field(c.column).flatMap { col =>
+              if (group.forall(e => e.rows >= 0 && e.stats.contains(col)))
+                Some((LongType: DataType,
+                  group.map(e => e.rows - e.stats(col).nulls).sum: Any))
+              else None
             }
-          Some((dt, v))
+          case m: Min => field(m.column).flatMap(extreme(_, pickMax = false))
+          case m: Max => field(m.column).flatMap(extreme(_, pickMax = true))
+          case _ => None
         }
       }
-    val answered = a.aggregateExpressions.toSeq.zipWithIndex.map {
-      case (f: AggregateFunc, i) => (f match {
-        case _: CountStar =>
-          if (entries.forall(_.rows >= 0))
-            Some((LongType: DataType, entries.map(_.rows).sum: Any))
-          else None
-        case c: Count if !c.isDistinct =>
-          field(c.column).flatMap { col =>
-            if (entries.forall(e => e.rows >= 0 && e.stats.contains(col)))
-              Some((LongType: DataType,
-                entries.map(e => e.rows - e.stats(col).nulls).sum: Any))
-            else None
-          }
-        case m: Min => field(m.column).flatMap(extreme(_, pickMax = false))
-        case m: Max => field(m.column).flatMap(extreme(_, pickMax = true))
-        case _ => None
-      }).map { case (dt, v) => (s"agg_$i", dt, v) }
+      if (answered.exists(_.isEmpty)) None else Some(answered.flatten)
     }
-    if (answered.exists(_.isEmpty)) None
-    else {
-      val cols = answered.flatten
-      Some((StructType(cols.map { case (n, dt, _) =>
-        org.apache.spark.sql.types.StructField(n, dt) }),
-        cols.map(_._3)))
+    groupKey match {
+      case None =>
+        answerOver(entries).map { cols =>
+          (StructType(cols.zipWithIndex.map { case ((dt, _), i) =>
+            org.apache.spark.sql.types.StructField(s"agg_$i", dt) }),
+            Seq(cols.map(_._2).toArray))
+        }
+      case Some((g, gdt)) =>
+        // structural probe over zero files fixes the agg column TYPES even
+        // for an empty table (the scan schema must carry group + agg
+        // columns regardless of row count)
+        val probe = answerOver(Seq.empty)
+        if (probe.isEmpty) return None
+        val aggFields = probe.get.zipWithIndex.map { case ((dt, _), i) =>
+          org.apache.spark.sql.types.StructField(s"agg_$i", dt) }
+        val groups = entries.groupBy(e =>
+          if (gdt == IntegerType) e.stats(g).min.toInt.asInstanceOf[Any]
+          else e.stats(g).min.toLong.asInstanceOf[Any])
+        val rows = groups.toSeq.map { case (k, ge) =>
+          answerOver(ge).map(cols => (k, cols))
+        }
+        if (rows.exists(_.isEmpty)) None
+        else {
+          // sorted by key for a deterministic (if unordered-contract) emit
+          val sorted = rows.flatten.sortBy { case (k, _) => k match {
+            case i: Int => i.toLong
+            case l: Long => l
+          } }
+          Some((StructType(
+            org.apache.spark.sql.types.StructField(g, gdt, nullable = false) +: aggFields),
+            sorted.map { case (k, cols) => (k +: cols.map(_._2)).toArray }))
+        }
     }
   }
 
@@ -2244,7 +2294,7 @@ class GraftStoreScan(path: String,
     pushed: Array[org.apache.spark.sql.sources.Filter] = Array.empty,
     versionAsOf: Option[Long] = None,
     fromVersion: Option[Long] = None,
-    metaAgg: Option[(StructType, Seq[Any])] = None,
+    metaAgg: Option[(StructType, Seq[Array[Any]])] = None,
     withFileCol: Boolean = false,
     withPosCol: Boolean = false,
     onlyFiles: Option[Set[String]] = None)
@@ -2585,8 +2635,8 @@ class GraftStoreScan(path: String,
   // (zero data files opened)
   override def planInputPartitions(): Array[InputPartition] =
     metaAgg match {
-      case Some((_, values)) =>
-        Array(GraftStoreMetaAggPartition(values.toArray))
+      case Some((_, rows)) =>
+        Array(GraftStoreMetaAggPartition(rows.toArray))
       case None =>
         val sel = selected
         plannedFiles = sel.map(_.file)
@@ -2768,9 +2818,11 @@ class GraftStoreMicroBatchStream(path: String, numFields: Int,
   override def stop(): Unit = ()
 }
 
-/** One-row partition for a manifest-answered aggregate: the values were
-  * computed at PLANNING time on the driver; the "read" just emits them. */
-case class GraftStoreMetaAggPartition(values: Array[Any]) extends InputPartition
+/** Partition for a manifest-answered aggregate: the rows (one for the
+  * ungrouped form, one per group for GROUP BY a single-valued column)
+  * were computed at PLANNING time on the driver; the "read" just emits
+  * them. */
+case class GraftStoreMetaAggPartition(rows: Array[Array[Any]]) extends InputPartition
 
 class GraftStoreReaderFactory(scanFields: Int, withFileCol: Boolean = false,
     withPosCol: Boolean = false)
@@ -2788,12 +2840,12 @@ class GraftStoreReaderFactory(scanFields: Int, withFileCol: Boolean = false,
     if (dvAbs == null || dvAbs.isEmpty) null else GraftStore.Dv.bitset(dvAbs)
 
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = p match {
-    case GraftStoreMetaAggPartition(values) =>
+    case GraftStoreMetaAggPartition(rows) =>
       new PartitionReader[InternalRow] {
-        private var served = false
-        override def next(): Boolean = { val r = !served; served = true; r }
+        private var i = -1
+        override def next(): Boolean = { i += 1; i < rows.length }
         override def get(): InternalRow =
-          new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(values)
+          new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(rows(i))
         override def close(): Unit = ()
       }
     case GraftStoreCdfPartition(abs, cols, changeType, version, applyDv,

@@ -278,6 +278,49 @@ class GraftStoreSpec extends SparkSuite {
     }
   }
 
+  test("GROUPED metadata aggregate: answered from manifest lines when files " +
+    "are single-valued on the key; declines on straddling files") {
+    import spark.implicits._
+    // single-valued layout: partitioned-table rolling via the catalog
+    val s2 = spark.newSession()
+    val root = graft.ops.Util.managedTempDir("graft_magrp_spec_")
+    s2.conf.set("spark.sql.catalog.gmg", "graft.sources.GraftCatalog")
+    s2.conf.set("spark.sql.catalog.gmg.root", root)
+    s2.range(0, 900).selectExpr("id", "id % 3 AS g",
+      "CASE WHEN id % 10 = 0 THEN CAST(NULL AS BIGINT) ELSE id END AS v")
+      .createOrReplaceTempView("mg_src")
+    s2.sql("CREATE TABLE gmg.t PARTITIONED BY (g) AS SELECT * FROM mg_src")
+    val path = s"$root/t"
+    // destroy the data files: a served answer provably came from metadata
+    Option(new File(path, "data").listFiles()).get.foreach(_.delete())
+    val agg = readBack(path).groupBy($"g")
+      .agg(count(lit(1)).as("n"), count($"v").as("nv"),
+        min($"id").as("mn"), max($"id").as("mx"))
+      .orderBy($"g")
+    assert(agg.queryExecution.executedPlan.toString.contains("metadata-only aggregate"),
+      s"grouped aggregate not answered from metadata:\n${agg.queryExecution.executedPlan}")
+    val rows = agg.collect()
+    assert(rows.length == 3)
+    for (r <- rows) {
+      val g = r.getLong(0)
+      assert(r.getLong(1) == 300, s"group $g count wrong: $r")
+      // ids ≡ 0 (mod 10) hit every mod-3 class exactly 30 times in [0,900)
+      assert(r.getLong(2) == 270, s"group $g count(v) wrong: $r")
+    }
+    // exact extremes: min per group is g itself; max is the largest id ≡ g (mod 3)
+    assert(rows.map(r => (r.getLong(0), r.getLong(3), r.getLong(4))).toSeq ==
+      Seq((0L, 0L, 897L), (1L, 1L, 898L), (2L, 2L, 899L)))
+    // straddling layout (plain append, no rolling) must DECLINE — and
+    // with intact data files the ordinary scan returns the same answer
+    val straddle = tempTable()
+    writeDf(spark.range(0, 900, 1, 4).selectExpr("id", "id % 3 AS g").toDF(), straddle)
+    val agg2 = readBack(straddle).groupBy($"g").agg(count(lit(1)).as("n")).orderBy($"g")
+    assert(!agg2.queryExecution.executedPlan.toString.contains("metadata-only aggregate"),
+      "files straddling group values must decline the grouped metadata path")
+    assert(agg2.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      Seq((0L, 300L), (1L, 300L), (2L, 300L)))
+  }
+
   test("count/min/max answered from manifest metadata alone (zero data I/O)") {
     import spark.implicits._
     val path = tempTable()
