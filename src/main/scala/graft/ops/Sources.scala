@@ -1442,7 +1442,8 @@ object Sources {
     s.read.format("graft.sources.GraftStore").option("path", path).load()
       .groupBy($"pri")
       .agg(count(lit(1)).as("n_rows"), count($"o_custkey").as("n_cust"),
-        min($"o_orderkey").as("min_key"), max($"o_orderkey").as("max_key"))
+        min($"o_orderkey").as("min_key"), max($"o_orderkey").as("max_key"),
+        sum($"o_orderkey").as("sum_key"))
       .orderBy($"pri")
   }
 
@@ -2414,7 +2415,8 @@ object Sources {
       """SELECT CAST(substring(o_orderpriority, 1, 1) AS INT) AS pri,
         | count(*) AS n_rows, count(o_custkey) AS n_cust,
         | CAST(min(o_orderkey) AS BIGINT) AS min_key,
-        | CAST(max(o_orderkey) AS BIGINT) AS max_key
+        | CAST(max(o_orderkey) AS BIGINT) AS max_key,
+        | CAST(sum(o_orderkey) AS BIGINT) AS sum_key
         |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
     // the full SCD2 history reconstructed relationally from the two
     // batch definitions: v1 rows (closed at 2 iff changed), v2 rows for

@@ -79,8 +79,18 @@ object GraftStore {
     * GraftStoreScan.outputOrdering). Compaction concatenation drops the
     * flag (merged ranges may interleave); deletion vectors only remove
     * rows, so the flag survives them. */
+  /** `sum` (round 11) = the file's EXACT wrap-around int64 sum over
+    * non-null values of an int/long column (empty when unrecorded, when
+    * the column is a double — FP addition is order-dependent, a
+    * metadata fold could not reproduce Spark's result — or when every
+    * value is null). Java `+` wraps exactly like Spark's non-ANSI
+    * sum(long), and wrap-add is associative, so per-file partial sums
+    * fold to the table sum in any order — which is what makes
+    * metadata-only SUM (and grouped SUM) an exact answer, not an
+    * estimate. */
   case class ColStats(min: String, max: String, nulls: Long,
-      bloom: String = "", ndv: String = "", mono: Boolean = false)
+      bloom: String = "", ndv: String = "", mono: Boolean = false,
+      sum: String = "")
 
   /** Tiny per-file HyperLogLog NDV sketch (m=64 registers, 2 hex chars
     * each = 128 manifest chars per column), kept for every stats-bearing
@@ -203,16 +213,20 @@ object GraftStore {
   // delimiters (others just carry no stats); the 4th field is absent in
   // pre-evolution manifests, the 5th only present when the file carries
   // a deletion vector (trailing empty fields don't survive split).
-  // Per-column sub-fields: min:max:nulls[:bloom[:ndv[:mono]]] — bloom is
-  // the string-equality sketch (empty for numerics), ndv the HLL hex,
-  // mono the writer-verified sortedness marker (emitted only when true);
-  // a column with an ndv but no bloom writes the empty bloom explicitly
+  // Per-column sub-fields: min:max:nulls[:bloom[:ndv[:mono[:sum]]]] —
+  // bloom is the string-equality sketch (empty for numerics), ndv the
+  // HLL hex, mono the writer-verified sortedness marker (emitted as "1"
+  // only when true; an empty slot when a later field follows), sum the
+  // exact wrap-around int64 sum (round 11; emitted only when recorded).
+  // A column with an ndv but no bloom writes the empty bloom explicitly
   // (interior empty fields DO survive split).
   private def fmtEntry(e: FileEntry): String = {
     val st = e.stats.toSeq.sortBy(_._1)
       .map { case (c, s) =>
         val b =
-          if (s.mono) s":${s.bloom}:${s.ndv}:1"
+          if (s.sum.nonEmpty)
+            s":${s.bloom}:${s.ndv}:${if (s.mono) "1" else ""}:${s.sum}"
+          else if (s.mono) s":${s.bloom}:${s.ndv}:1"
           else if (s.ndv.nonEmpty) s":${s.bloom}:${s.ndv}"
           else if (s.bloom.nonEmpty) s":${s.bloom}"
           else ""
@@ -236,6 +250,8 @@ object GraftStore {
             c -> ColStats(mn, mx, nulls.toLong, bloom, ndv)
           case Array(mn, mx, nulls, bloom, ndv, mono) =>
             c -> ColStats(mn, mx, nulls.toLong, bloom, ndv, mono == "1")
+          case Array(mn, mx, nulls, bloom, ndv, mono, sum) =>
+            c -> ColStats(mn, mx, nulls.toLong, bloom, ndv, mono == "1", sum)
         }
       }.toMap
       FileEntry(parts(0), parts(1).toLong, stats,
@@ -1054,7 +1070,16 @@ object GraftStore {
           val ndv =
             if (x.ndv.nonEmpty && y.ndv.nonEmpty) NdvHll.mergeHex(x.ndv, y.ndv)
             else ""
-          Some(c -> merged.copy(bloom = bloom, ndv = ndv))
+          // exact sums wrap-add (associative); an all-null side (empty
+          // min — contributed no values) defers to the other; a side
+          // with VALUES but no recorded sum (pre-sum manifest) poisons
+          val sum =
+            if (x.min.isEmpty) y.sum
+            else if (y.min.isEmpty) x.sum
+            else if (x.sum.nonEmpty && y.sum.nonEmpty)
+              (x.sum.toLong + y.sum.toLong).toString
+            else ""
+          Some(c -> merged.copy(bloom = bloom, ndv = ndv, sum = sum))
         case _ => None // a pre-stats file poisons the column: no stats
       }
     }.toMap
@@ -1981,6 +2006,8 @@ class GraftStoreDataWriter(path: String, schema: StructType, partitionId: Int,
   private val mono = Array.fill(schema.length)(true)
   private val prevL = Array.fill(schema.length)(Long.MinValue)
   private val prevD = Array.fill(schema.length)(Double.NegativeInfinity)
+  // exact wrap-around sums for int/long columns (see ColStats.sum)
+  private val sums = Array.fill(schema.length)(0L)
   // NaN discipline (double columns): IEEE comparisons with NaN are all
   // false, so a plain `v < prev` / min/max update silently SKIPS NaN —
   // the file would advertise an ordering and bounds the data does not
@@ -2022,6 +2049,7 @@ class GraftStoreDataWriter(path: String, schema: StructType, partitionId: Int,
             if (v > maxL(i)) maxL(i) = v
             if (v < prevL(i)) mono(i) = false
             prevL(i) = v
+            sums(i) += v
             GraftStore.NdvHll.addLong(ndvs(ndvPos(i)), v)
           case _ =>
             val v = row.getLong(i)
@@ -2029,6 +2057,7 @@ class GraftStoreDataWriter(path: String, schema: StructType, partitionId: Int,
             if (v > maxL(i)) maxL(i) = v
             if (v < prevL(i)) mono(i) = false
             prevL(i) = v
+            sums(i) += v
             GraftStore.NdvHll.addLong(ndvs(ndvPos(i)), v)
         }
       }
@@ -2062,7 +2091,9 @@ class GraftStoreDataWriter(path: String, schema: StructType, partitionId: Int,
         else (minL(i).toString, maxL(i).toString)
       f.name -> GraftStore.ColStats(mn, mx, nulls(i),
         ndv = GraftStore.NdvHll.hex(ndvs(ndvPos(i))),
-        mono = mono(i) && nonNull(i) > 0)
+        mono = mono(i) && nonNull(i) > 0,
+        sum = if (f.dataType == DoubleType || nonNull(i) == 0) ""
+          else sums(i).toString)
     }.toMap ++ bloomIdx.zipWithIndex.map { case (i, k) =>
       schema.fields(i).name -> GraftStore.ColStats("", "", nulls(i),
         GraftStore.StringBloom.hex(blooms(k)),
@@ -2119,7 +2150,7 @@ class GraftStoreScanBuilder(path: String, versionAsOf: Option[Long] = None,
     with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns {
   import org.apache.spark.sql.sources.Filter
   import org.apache.spark.sql.connector.expressions.NamedReference
-  import org.apache.spark.sql.connector.expressions.aggregate.{AggregateFunc, Aggregation, Count, CountStar, Max, Min}
+  import org.apache.spark.sql.connector.expressions.aggregate.{AggregateFunc, Aggregation, Count, CountStar, Max, Min, Sum}
   import org.apache.spark.sql.types.{DataType, DoubleType, IntegerType, LongType}
   private var pushed = Array.empty[Filter]
   private var metaAgg: Option[(StructType, Seq[Array[Any]])] = None
@@ -2236,6 +2267,26 @@ class GraftStoreScanBuilder(path: String, versionAsOf: Option[Long] = None,
             }
           case m: Min => field(m.column).flatMap(extreme(_, pickMax = false))
           case m: Max => field(m.column).flatMap(extreme(_, pickMax = true))
+          case sm: Sum if !sm.isDistinct =>
+            // exact from per-file wrap-around partials (int/long only —
+            // a double sum is FP-order-dependent and never recorded).
+            // Spark's Sum(int)/Sum(long) result type is LongType, and
+            // Java wrap-add reproduces non-ANSI overflow exactly. A file
+            // with values but no recorded sum (pre-sum manifest)
+            // declines; an all-null file contributes nothing; every file
+            // all-null = SQL NULL.
+            field(sm.column).flatMap { col =>
+              val dtOk = statType(col).exists(dt =>
+                dt == IntegerType || dt == LongType)
+              def usable(e: GraftStore.FileEntry) = e.stats.get(col).exists(st =>
+                st.sum.nonEmpty || (e.rows >= 0 && st.nulls == e.rows))
+              if (dtOk && group.forall(usable)) {
+                val parts = group.flatMap(e =>
+                  e.stats(col).sum match { case "" => None; case s0 => Some(s0.toLong) })
+                Some((LongType: DataType,
+                  if (parts.isEmpty) null else (parts.foldLeft(0L)(_ + _): Any)))
+              } else None
+            }
           case _ => None
         }
       }

@@ -295,7 +295,8 @@ class GraftStoreSpec extends SparkSuite {
     Option(new File(path, "data").listFiles()).get.foreach(_.delete())
     val agg = readBack(path).groupBy($"g")
       .agg(count(lit(1)).as("n"), count($"v").as("nv"),
-        min($"id").as("mn"), max($"id").as("mx"))
+        min($"id").as("mn"), max($"id").as("mx"),
+        sum($"id").as("sm"), sum($"v").as("sv"))
       .orderBy($"g")
     assert(agg.queryExecution.executedPlan.toString.contains("metadata-only aggregate"),
       s"grouped aggregate not answered from metadata:\n${agg.queryExecution.executedPlan}")
@@ -306,6 +307,11 @@ class GraftStoreSpec extends SparkSuite {
       assert(r.getLong(1) == 300, s"group $g count wrong: $r")
       // ids ≡ 0 (mod 10) hit every mod-3 class exactly 30 times in [0,900)
       assert(r.getLong(2) == 270, s"group $g count(v) wrong: $r")
+      // exact metadata SUMs: sum of the 300 ids ≡ g (mod 3), and the
+      // same minus the 30 null-v ids (≡ residue r10(g) mod 30)
+      val ids = (0L until 900L).filter(_ % 3 == g)
+      assert(r.getLong(5) == ids.sum, s"group $g sum(id) wrong: $r")
+      assert(r.getLong(6) == ids.filter(_ % 10 != 0).sum, s"group $g sum(v) wrong: $r")
     }
     // exact extremes: min per group is g itself; max is the largest id ≡ g (mod 3)
     assert(rows.map(r => (r.getLong(0), r.getLong(3), r.getLong(4))).toSeq ==
@@ -319,6 +325,14 @@ class GraftStoreSpec extends SparkSuite {
       "files straddling group values must decline the grouped metadata path")
     assert(agg2.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq ==
       Seq((0L, 300L), (1L, 300L), (2L, 300L)))
+    // compaction wrap-adds the exact per-file sums: the packed file's
+    // UNGROUPED metadata sum still answers exactly, zero data I/O
+    assert(GraftStore.compact(spark, straddle, 1L << 30) > 0)
+    Option(new File(straddle, "data").listFiles()).get.foreach(_.delete())
+    val sumAgg = readBack(straddle).agg(sum($"id").as("s"))
+    assert(sumAgg.queryExecution.executedPlan.toString.contains("metadata-only aggregate"),
+      "post-compaction sum must still answer from merged metadata")
+    assert(sumAgg.collect()(0).getLong(0) == (0L until 900L).sum)
   }
 
   test("count/min/max answered from manifest metadata alone (zero data I/O)") {
