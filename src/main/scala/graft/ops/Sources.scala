@@ -1406,6 +1406,46 @@ object Sources {
         min($"o_custkey").as("min_cust"), max($"o_custkey").as("max_cust"))
   }
 
+  /** Multi-column-partitioned fixture tables, keyed by (session UUID, dir). */
+  private val partMultiWritten = new java.util.concurrent.ConcurrentHashMap[String, String]
+
+  /** MULTI-COLUMN PARTITIONING (round 11) — `PARTITIONED BY (pri, rgn)`,
+    * the two-level day×source layout every 100 TB table actually uses:
+    * the write demands clustering + ordering on BOTH columns and rolls a
+    * file at every (pri, rgn) change, so each manifest entry is
+    * single-valued on each partition column. Everything downstream is
+    * the existing stats machinery with no spec-awareness: a predicate on
+    * EITHER column (or both) prunes files by min==max stats, dropping a
+    * whole (pri, rgn) cell is a metadata-only DELETE, key-grouped
+    * reporting keys on the leading column, and grouped metadata
+    * aggregates on either column still answer from manifest lines. The
+    * oracle recomputes the rgn-filtered per-pri aggregate from source
+    * parquet — layout invisible to results. File-grain invariants pinned
+    * in PartitionEvolutionSpec. */
+  val qStorePartMulti: Q = (s, dir) => {
+    import s.implicits._
+    val path = partMultiWritten.computeIfAbsent(s"${Util.sessionKey(s)}:$dir", _ => {
+      val s2 = s.newSession()
+      val root = Util.managedTempDir("graft_pmulti_")
+      s2.conf.set("spark.sql.catalog.graftpm", "graft.sources.GraftCatalog")
+      s2.conf.set("spark.sql.catalog.graftpm.root", root)
+      table(s2, dir, "orders").createOrReplaceTempView("ord_pm")
+      s2.sql(
+        """CREATE TABLE graftpm.t PARTITIONED BY (pri, rgn) AS
+          |SELECT o_orderkey, o_totalprice,
+          |  CAST(substring(o_orderpriority, 1, 1) AS INT) AS pri,
+          |  o_orderkey % 4 AS rgn
+          |FROM ord_pm""".stripMargin)
+      s"$root/t"
+    })
+    s.read.format("graft.sources.GraftStore").option("path", path).load()
+      .filter($"rgn" === 2)
+      .groupBy($"pri")
+      .agg(count(lit(1)).as("n_rows"), sum($"o_orderkey").as("sum_key"),
+        dsum($"o_totalprice").as("sum_price"))
+      .orderBy($"pri")
+  }
+
   /** Grouped-metaagg fixture tables, keyed by (session UUID, fixture dir). */
   private val metaGroupWritten = new java.util.concurrent.ConcurrentHashMap[String, String]
 
@@ -2167,6 +2207,7 @@ object Sources {
     "q_pipeline_incr_stored" -> qPipelineIncrStored,
     "q_store_partitioned" -> qStorePartitioned,
     "q_store_part_evolve" -> qStorePartEvolve,
+    "q_store_part_multi" -> qStorePartMulti,
     "q_catalog_sql" -> qCatalogSql,
     "q_sink_roundtrip" -> qSinkRoundtrip,
     "q_store_timetravel" -> qStoreTimetravel,
@@ -2437,6 +2478,14 @@ object Sources {
         |  CAST(2 AS BIGINT), CAST(0 AS BIGINT)
         |FROM orders WHERE o_orderkey % 3 = 1
         |ORDER BY k, ver_from""".stripMargin,
+    // the two-level layout must be invisible to results: the rgn-filtered
+    // per-pri aggregate recomputed from source parquet
+    "q_store_part_multi" ->
+      """SELECT CAST(substring(o_orderpriority, 1, 1) AS INT) AS pri,
+        | count(*) AS n_rows, CAST(sum(o_orderkey) AS BIGINT) AS sum_key,
+        | CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+        |FROM orders WHERE o_orderkey % 4 = 2
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     // partition evolution must be invisible to results: both slices land
     // (under different specs), the bkt filter recomputed from source
     "q_store_part_evolve" ->

@@ -123,14 +123,24 @@ class GraftCatalog extends TableCatalog {
       partitions: Array[Transform], properties: util.Map[String, String]): Table = {
     val partitionBy = partitions.toSeq match {
       case Seq() => None
-      case Seq(t) if t.name() == "identity" && t.references().length == 1 =>
-        val ref = t.references()(0).fieldNames()
-        require(ref.length == 1 && schema.fieldNames.contains(ref.head),
-          s"partition column ${ref.mkString(".")} must be a top-level table column")
-        Some(ref.head)
+      case ts if ts.forall(t => t.name() == "identity" && t.references().length == 1) =>
+        // round 11: MULTI-COLUMN identity specs (`PARTITIONED BY (day,
+        // source)` — the two-level layout); packed comma-joined into the
+        // same `_partition` sibling, split at every use site
+        val names = ts.map { t =>
+          val ref = t.references()(0).fieldNames()
+          require(ref.length == 1 && schema.fieldNames.contains(ref.head),
+            s"partition column ${ref.mkString(".")} must be a top-level table column")
+          require(!ref.head.contains(","),
+            s"partition column ${ref.head} must not contain ','")
+          ref.head
+        }
+        require(names.distinct.size == names.size,
+          s"duplicate partition columns: ${names.mkString(", ")}")
+        Some(names.mkString(","))
       case other => throw new UnsupportedOperationException(
-        "graft catalog tables support at most ONE identity partition " +
-          s"transform (got ${other.mkString(", ")})")
+        "graft catalog tables support only IDENTITY partition " +
+          s"transforms (got ${other.mkString(", ")})")
     }
     val dir = dirFor(ident)
     if (isTable(dir)) throw new TableAlreadyExistsException(ident)

@@ -893,6 +893,18 @@ object GraftStore {
       .trim).filter(_.nonEmpty)
   }
 
+  /** The spec as a column list — round 11 extends the `_partition` file
+    * to a comma-joined MULTI-COLUMN identity spec (`day,source` — the
+    * two-level layout every 100 TB table actually uses). The packed
+    * Option[String] rides the existing plumbing unchanged; every use
+    * site that needs the columns splits here. Commas are refused in
+    * partition column names at create/evolve time. */
+  private[graft] def partitionColsOf(spec: Option[String]): Seq[String] =
+    spec.toSeq.flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty)
+
+  private[graft] def readPartitionCols(path: String): Seq[String] =
+    partitionColsOf(readPartitionBy(path))
+
   /** PARTITION-SPEC EVOLUTION (round 11) — the Iceberg
     * `REPLACE PARTITION FIELD` semantics on the one-column identity
     * spec this format supports: atomically swap the `_partition`
@@ -916,7 +928,7 @@ object GraftStore {
     val (baseV, latest) = readLatestVersioned(path)
     val (schema, entries) = latest.getOrElse(throw new IllegalArgumentException(
       s"no graft-store table at $path"))
-    newCol.foreach(c => require(schema.fieldNames.contains(c),
+    partitionColsOf(newCol).foreach(c => require(schema.fieldNames.contains(c),
       s"partition column $c must be a top-level table column"))
     newCol match {
       case Some(c) =>
@@ -1436,7 +1448,7 @@ class GraftStoreTable(path: String, tableSchema: StructType,
   override def name(): String = s"graft_store($path)"
   override def schema(): StructType = tableSchema
   override def partitioning(): Array[Transform] =
-    partitionBy.map(c => Expressions.identity(c)).toArray
+    GraftStore.partitionColsOf(partitionBy).map(c => Expressions.identity(c)).toArray
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
       TableCapability.TRUNCATE, TableCapability.STREAMING_WRITE,
@@ -1592,21 +1604,23 @@ class GraftStoreReplaceDataWrite(path: String, schema: StructType,
     replacedFiles: () => Seq[String],
     partitionBy: Option[String] = None)
   extends Write with RequiresDistributionAndOrdering {
+  private def partitionCols: Seq[String] = GraftStore.partitionColsOf(partitionBy)
   override def description(): String = s"graft_store replace-data -> $path"
   override def requiredDistribution(): Distribution =
-    partitionBy.map(c => Distributions.clustered(Array(Expressions.column(c))))
-      .getOrElse(Distributions.unspecified())
+    if (partitionCols.isEmpty) Distributions.unspecified()
+    else Distributions.clustered(partitionCols.map(c =>
+      Expressions.column(c): org.apache.spark.sql.connector.expressions.Expression).toArray)
   override def requiredOrdering(): Array[SortOrder] =
-    partitionBy.map(c => Array(Expressions.sort(Expressions.column(c),
-      org.apache.spark.sql.connector.expressions.SortDirection.ASCENDING)))
-      .getOrElse(Array.empty)
+    partitionCols.map(c => Expressions.sort(Expressions.column(c),
+      org.apache.spark.sql.connector.expressions.SortDirection.ASCENDING)
+      : SortOrder).toArray
   override def toBatch: BatchWrite =
     new GraftStoreReplaceBatchWrite(path, schema, replacedFiles,
-      partitionBy.map(schema.fieldIndex))
+      partitionCols.map(schema.fieldIndex))
 }
 
 class GraftStoreReplaceBatchWrite(path: String, schema: StructType,
-    replacedFiles: () => Seq[String], rollOnIdx: Option[Int] = None)
+    replacedFiles: () => Seq[String], rollOnIdx: Seq[Int] = Seq.empty)
   extends BatchWrite {
 
   // job-unique file prefix: replacement files must NEVER collide with a
@@ -1645,14 +1659,13 @@ class GraftStoreReplaceBatchWrite(path: String, schema: StructType,
 }
 
 class GraftStoreReplaceWriterFactory(path: String, schema: StructType,
-    stamp: String, rollOnIdx: Option[Int] = None) extends DataWriterFactory {
+    stamp: String, rollOnIdx: Seq[Int] = Seq.empty) extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
-    rollOnIdx match {
-      case Some(i) => new GraftStorePartitionedWriter(path, schema,
-        partitionId, taskId, i, s"data/rw-$stamp-$partitionId-$taskId")
-      case None => new GraftStoreDataWriter(path, schema, partitionId, taskId,
-        None, None, s"data/rw-$stamp-$partitionId-$taskId.bin")
-    }
+    if (rollOnIdx.nonEmpty)
+      new GraftStorePartitionedWriter(path, schema,
+        partitionId, taskId, rollOnIdx, s"data/rw-$stamp-$partitionId-$taskId")
+    else new GraftStoreDataWriter(path, schema, partitionId, taskId,
+      None, None, s"data/rw-$stamp-$partitionId-$taskId.bin")
 }
 
 // ----------------------------------------------------------------- write
@@ -1686,10 +1699,14 @@ class GraftStoreWrite(path: String, schema: StructType, truncateFirst: Boolean,
   // A PARTITIONED table demands clustering + ordering on its partition
   // column (so the rolling writer sees each value contiguous and
   // complete), with any sortBy as the secondary sort within a value.
+  private def partitionCols: Seq[String] = GraftStore.partitionColsOf(partitionBy)
   private def orderCols: Seq[String] =
-    (partitionBy.toSeq ++ sortBy.toSeq).distinct
+    (partitionCols ++ sortBy.toSeq).distinct
   override def requiredDistribution(): Distribution =
-    partitionBy.orElse(clusterBy)
+    if (partitionCols.nonEmpty)
+      Distributions.clustered(partitionCols.map(c =>
+        Expressions.column(c): org.apache.spark.sql.connector.expressions.Expression).toArray)
+    else clusterBy
       .map(c => Distributions.clustered(Array(Expressions.column(c))))
       .getOrElse(Distributions.unspecified())
   override def requiredOrdering(): Array[SortOrder] =
@@ -1700,7 +1717,7 @@ class GraftStoreWrite(path: String, schema: StructType, truncateFirst: Boolean,
   override def toBatch: BatchWrite =
     new GraftStoreBatchWrite(path, schema, truncateFirst, failFirstAttemptOf,
       failAllAttemptsOf, dataChange,
-      rollOnIdx = partitionBy.map(schema.fieldIndex), txn = txn)
+      rollOnIdx = partitionCols.map(schema.fieldIndex), txn = txn)
 
   override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite = {
     require(partitionBy.isEmpty,
@@ -1805,27 +1822,32 @@ case class GraftStoreMultiMessage(parts: Seq[GraftStoreCommitMessage])
   * framing, same stats collection); commit carries every finished
   * file's entry, abort deletes them all. */
 class GraftStorePartitionedWriter(path: String, schema: StructType,
-    partitionId: Int, taskId: Long, rollIdx: Int,
+    partitionId: Int, taskId: Long, rollIdxs: Seq[Int],
     namePrefix: String = null)
   extends DataWriter[InternalRow] {
   private val prefix =
     if (namePrefix != null) namePrefix else s"data/part-$partitionId-$taskId"
-  private val dt = schema.fields(rollIdx).dataType
+  private val idxArr = rollIdxs.toArray
+  private val dts = idxArr.map(schema.fields(_).dataType)
   private var current: GraftStoreDataWriter = null
-  private var lastVal: Any = null
+  private var lastVal: Seq[Any] = null
   private var started = false
   private var seq = 0
   private val done =
     scala.collection.mutable.ArrayBuffer.empty[GraftStoreCommitMessage]
 
   override def write(row: InternalRow): Unit = {
+    // a new file whenever the TUPLE of partition values changes (the
+    // demanded clustering + ordering makes each combination contiguous);
     // copy string keys out of the row's reused buffer before holding them
-    val v: Any =
-      if (row.isNullAt(rollIdx)) null
-      else row.get(rollIdx, dt) match {
+    val v: Seq[Any] = idxArr.indices.map { j =>
+      val i = idxArr(j)
+      if (row.isNullAt(i)) null
+      else row.get(i, dts(j)) match {
         case s: org.apache.spark.unsafe.types.UTF8String => s.clone()
         case other => other
       }
+    }
     if (!started || v != lastVal) {
       if (current != null) {
         done += current.commit().asInstanceOf[GraftStoreCommitMessage]
@@ -1865,7 +1887,7 @@ class GraftStorePartitionedWriter(path: String, schema: StructType,
 class GraftStoreBatchWrite(path: String, schema: StructType,
     truncateFirst: Boolean, failFirstAttemptOf: Option[Int],
     failAllAttemptsOf: Option[Int], dataChange: Boolean = true,
-    rollOnIdx: Option[Int] = None, txn: Option[(String, Long)] = None)
+    rollOnIdx: Seq[Int] = Seq.empty, txn: Option[(String, Long)] = None)
   extends BatchWrite {
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
@@ -1941,16 +1963,14 @@ class GraftStoreBatchWrite(path: String, schema: StructType,
 
 class GraftStoreWriterFactory(path: String, schema: StructType,
     failFirstAttemptOf: Option[Int], failAllAttemptsOf: Option[Int],
-    rollOnIdx: Option[Int] = None)
+    rollOnIdx: Seq[Int] = Seq.empty)
   extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
-    rollOnIdx match {
-      case Some(i) =>
-        new GraftStorePartitionedWriter(path, schema, partitionId, taskId, i)
-      case None =>
-        new GraftStoreDataWriter(path, schema, partitionId, taskId,
-          failFirstAttemptOf, failAllAttemptsOf)
-    }
+    if (rollOnIdx.nonEmpty)
+      new GraftStorePartitionedWriter(path, schema, partitionId, taskId, rollOnIdx)
+    else
+      new GraftStoreDataWriter(path, schema, partitionId, taskId,
+        failFirstAttemptOf, failAllAttemptsOf)
 }
 
 /** Length-framed UnsafeRow stream; file name is attempt-unique (taskId
@@ -2607,7 +2627,7 @@ class GraftStoreScan(path: String,
   private def spjKey: Option[(String, org.apache.spark.sql.types.DataType)] = {
     import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType}
     if (metaAgg.isDefined) None
-    else GraftStore.readPartitionBy(path)
+    else GraftStore.readPartitionCols(path).headOption // leading spec col keys the grouping
       .flatMap(c => schema.fields.find(_.name == c))
       .filter(f => f.dataType == IntegerType || f.dataType == LongType ||
         f.dataType == DoubleType)

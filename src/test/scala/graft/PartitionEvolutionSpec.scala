@@ -115,6 +115,51 @@ class PartitionEvolutionSpec extends SparkSuite {
       "a rewrite under the current spec restores key-grouped reporting")
   }
 
+  test("multi-column spec: per-cell rolling, pruning on either column, " +
+    "metadata delete of a cell, grouped metaagg on the leading column") {
+    import spark.implicits._
+    val s2 = spark.newSession()
+    val root = graft.ops.Util.managedTempDir("graft_pmulti_spec_")
+    s2.conf.set("spark.sql.catalog.gpm", "graft.sources.GraftCatalog")
+    s2.conf.set("spark.sql.catalog.gpm.root", root)
+    s2.range(0, 600).selectExpr("id", "id % 3 AS a", "id % 2 AS b")
+      .createOrReplaceTempView("pm_src")
+    s2.sql("CREATE TABLE gpm.t PARTITIONED BY (a, b) AS SELECT * FROM pm_src")
+    val path = s"$root/t"
+    // one file per live (a, b) cell, single-valued on BOTH columns
+    val es = entries(path)
+    assert(es.size == 6, s"expected 6 cells, got ${es.size}")
+    assert(es.forall(e => e.stats("a").min == e.stats("a").max &&
+      e.stats("b").min == e.stats("b").max))
+    // pruning on either column alone
+    def planned(f: org.apache.spark.sql.DataFrame): (Int, Int) = {
+      f.count()
+      val m = "files=(\\d+)/(\\d+)".r
+        .findFirstMatchIn(f.queryExecution.executedPlan.toString).get
+      (m.group(1).toInt, m.group(2).toInt)
+    }
+    val t = spark.read.format("graft.sources.GraftStore").option("path", path).load()
+    assert(planned(t.filter($"a" === 1)) == (2, 6), "a=1 selects its 2 cells")
+    assert(planned(t.filter($"b" === 0)) == (3, 6), "b=0 selects its 3 cells")
+    assert(planned(t.filter($"a" === 1 && $"b" === 0)) == (1, 6), "one cell")
+    // dropping a cell is a metadata-only DELETE (whole files match)
+    s2.sql("DELETE FROM gpm.t WHERE a = 2 AND b = 1")
+    assert(entries(path).size == 5)
+    assert(t.count() == 500)
+    // grouped metadata aggregate on the LEADING column still answers
+    // from manifest lines (files remain single-valued on a)
+    Option(new File(path, "data").listFiles()).get.foreach(_.delete())
+    val g = spark.read.format("graft.sources.GraftStore").option("path", path).load()
+      .groupBy($"a").agg(count(lit(1)).as("n"), sum($"id").as("s")).orderBy($"a")
+    assert(g.queryExecution.executedPlan.toString.contains("metadata-only aggregate"))
+    val ids = (0L until 600L)
+    assert(g.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq ==
+      Seq(
+        (0L, 200L, ids.filter(_ % 3 == 0).sum),
+        (1L, 200L, ids.filter(_ % 3 == 1).sum),
+        (2L, 100L, ids.filter(i => i % 3 == 2 && i % 2 == 0).sum)))
+  }
+
   test("the evolve commit is CDF-silent and history-visible") {
     import spark.implicits._
     val path = freshTable()
