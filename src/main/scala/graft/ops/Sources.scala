@@ -1446,6 +1446,91 @@ object Sources {
       .orderBy($"pri")
   }
 
+  /** days(ts)-partitioned fixture tables, keyed by (session UUID, dir). */
+  private val partDaysWritten = new java.util.concurrent.ConcurrentHashMap[String, String]
+
+  /** HIDDEN PARTITIONING (round 11) — `PARTITIONED BY (days(ts))`, the
+    * Iceberg transform-partitioning contract on the one layout every
+    * 100 TB fact table uses: the table is partitioned by a DERIVED day
+    * the user never sees or stores — the CTAS demands ordering on `ts`
+    * (days() is monotone, so ts-ordered rows are day-contiguous) and
+    * rolls a file at each day boundary, making every manifest entry
+    * single-day with exact epoch-micros min/max stats. The query then
+    * filters the RAW `ts` column — hidden partitioning's whole point:
+    * no `WHERE day = ...` mistake to make, no derived column to
+    * maintain — and whole files outside the week prune from manifest
+    * micros bounds before any data I/O; dropping a retention day is a
+    * metadata-only DELETE on the same proof. The ORDER BY upstream
+    * range-partitions the write so the file count tracks the day count
+    * (not days × tasks). File-grain/prune/delete/zero-I/O invariants
+    * pinned in TransformPartitionSpec; oracle recomputes the week's
+    * per-type aggregate from source parquet — layout invisible to
+    * results. */
+  val qStorePartDays: Q = (s, dir) => {
+    import s.implicits._
+    val path = partDaysWritten.computeIfAbsent(s"${Util.sessionKey(s)}:$dir", _ => {
+      val s2 = s.newSession()
+      val root = Util.managedTempDir("graft_pdays_")
+      s2.conf.set("spark.sql.catalog.graftpd", "graft.sources.GraftCatalog")
+      s2.conf.set("spark.sql.catalog.graftpd.root", root)
+      table(s2, dir, "events").createOrReplaceTempView("ev_pd")
+      s2.sql(
+        """CREATE TABLE graftpd.e PARTITIONED BY (days(ts)) AS
+          |SELECT event_id, ts, user_id, event_type, value
+          |FROM ev_pd ORDER BY ts""".stripMargin)
+      s"$root/e"
+    })
+    s.read.format("graft.sources.GraftStore").option("path", path).load()
+      .filter($"ts" >= Util.ts("2024-01-08 00:00:00") &&
+        $"ts" < Util.ts("2024-01-15 00:00:00"))
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n_rows"),
+        Util.dsum($"value").as("sum_value"),
+        min($"ts").as("first_ts"), max($"ts").as("last_ts"))
+      .orderBy($"event_type")
+  }
+
+  /** bucket(n,k)-partitioned fixture tables, keyed by (session UUID, dir). */
+  private val partBucketWritten = new java.util.concurrent.ConcurrentHashMap[String, String]
+
+  /** BUCKET PARTITIONING (round 11) — `PARTITIONED BY (bucket(16,
+    * o_orderkey))`, the layout point-lookup-heavy 100 TB tables use
+    * when no natural range key exists: the catalog's V2 `bucket`
+    * function (GraftFunctions.scala — the Iceberg SparkFunctions
+    * pattern) resolves the write's clustered distribution into an
+    * evaluable derived-key exchange, so exactly one task owns each
+    * bucket and writes exactly one single-bucket file, its bucket id
+    * recorded as a pseudo-column manifest stat (no source min/max range
+    * could prove hash membership). The query is the bucketed table's
+    * reason to exist: `k = v` / `k IN (...)` hashes its literals at
+    * planning time and reads ONLY the matching buckets' files —
+    * files=3/16 in the plan, the n-fold I/O cut a point lookup gets
+    * without any range clustering. Single-bucket grain, 1/16 lookup
+    * prune, IN-list prune, compaction degradation pinned in
+    * TransformPartitionSpec; oracle recomputes the lookup from source
+    * parquet. */
+  val qStorePartBucket: Q = (s, dir) => {
+    import s.implicits._
+    val path = partBucketWritten.computeIfAbsent(s"${Util.sessionKey(s)}:$dir", _ => {
+      val s2 = s.newSession()
+      val root = Util.managedTempDir("graft_pbkt_")
+      s2.conf.set("spark.sql.catalog.graftpb", "graft.sources.GraftCatalog")
+      s2.conf.set("spark.sql.catalog.graftpb.root", root)
+      table(s2, dir, "orders").createOrReplaceTempView("ord_pb")
+      s2.sql(
+        """CREATE TABLE graftpb.t PARTITIONED BY (bucket(16, o_orderkey)) AS
+          |SELECT o_orderkey, o_custkey, o_totalprice, o_orderpriority
+          |FROM ord_pb""".stripMargin)
+      s"$root/t"
+    })
+    s.read.format("graft.sources.GraftStore").option("path", path).load()
+      .filter($"o_orderkey".isin(7L, 4000L, 29989L, 100003L, 599936L))
+      .select($"o_orderkey", $"o_custkey",
+        Util.dec($"o_totalprice").cast("double").as("price"),
+        $"o_orderpriority")
+      .orderBy($"o_orderkey")
+  }
+
   /** Grouped-metaagg fixture tables, keyed by (session UUID, fixture dir). */
   private val metaGroupWritten = new java.util.concurrent.ConcurrentHashMap[String, String]
 
@@ -2208,6 +2293,8 @@ object Sources {
     "q_store_partitioned" -> qStorePartitioned,
     "q_store_part_evolve" -> qStorePartEvolve,
     "q_store_part_multi" -> qStorePartMulti,
+    "q_store_part_days" -> qStorePartDays,
+    "q_store_part_bucket" -> qStorePartBucket,
     "q_catalog_sql" -> qCatalogSql,
     "q_sink_roundtrip" -> qSinkRoundtrip,
     "q_store_timetravel" -> qStoreTimetravel,
@@ -2486,6 +2573,26 @@ object Sources {
         | CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
         |FROM orders WHERE o_orderkey % 4 = 2
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // hidden partitioning must be invisible to results: the week's
+    // per-type aggregate recomputed from source parquet
+    "q_store_part_days" ->
+      """SELECT event_type, count(*) AS n_rows,
+        | CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value,
+        | min(ts) AS first_ts, max(ts) AS last_ts
+        |FROM events
+        |WHERE ts >= TIMESTAMP '2024-01-08 00:00:00'
+        |  AND ts < TIMESTAMP '2024-01-15 00:00:00'
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // the bucket layout must be invisible to results: the point lookup
+    // recomputed from source parquet (keys chosen to exist across SFs
+    // where present; missing keys simply match nothing on both sides)
+    "q_store_part_bucket" ->
+      """SELECT o_orderkey, o_custkey,
+        | CAST(CAST(o_totalprice AS DECIMAL(18,4)) AS DOUBLE) AS price,
+        | o_orderpriority
+        |FROM orders
+        |WHERE o_orderkey IN (7, 4000, 29989, 100003, 599936)
+        |ORDER BY o_orderkey""".stripMargin,
     // partition evolution must be invisible to results: both slices land
     // (under different specs), the bkt filter recomputed from source
     "q_store_part_evolve" ->

@@ -3,8 +3,9 @@ package graft.sources
 import java.io.File
 import java.util
 
-import org.apache.spark.sql.catalyst.analysis.{NoSuchTableException, TableAlreadyExistsException}
-import org.apache.spark.sql.connector.catalog.{Identifier, Table, TableCatalog, TableChange}
+import org.apache.spark.sql.catalyst.analysis.{NoSuchFunctionException, NoSuchTableException, TableAlreadyExistsException}
+import org.apache.spark.sql.connector.catalog.{FunctionCatalog, Identifier, Table, TableCatalog, TableChange}
+import org.apache.spark.sql.connector.catalog.functions.UnboundFunction
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -32,9 +33,22 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * create can never leave a half-table visible; `dropTable` removes the
   * manifest first (readers instantly see no table) and then the data.
   */
-class GraftCatalog extends TableCatalog {
+class GraftCatalog extends TableCatalog with FunctionCatalog {
   private var catalogName: String = _
   private var root: String = _
+
+  /** FunctionCatalog half (the Iceberg SparkFunctions pattern): exposes
+    * the ONE function the engine's transforms need resolved — `bucket`
+    * — so Spark's write-distribution machinery can turn a
+    * `PARTITIONED BY (bucket(n, k))` transform into an evaluable
+    * exchange key and SPJ can compare bucket partitionings by canonical
+    * name. Resolved from any namespace depth (transform resolution
+    * probes the empty namespace). */
+  override def listFunctions(namespace: Array[String]): Array[Identifier] =
+    Array(Identifier.of(namespace, "bucket"))
+  override def loadFunction(ident: Identifier): UnboundFunction =
+    if (ident.name().equalsIgnoreCase("bucket")) new GraftBucketUnbound
+    else throw new NoSuchFunctionException(ident)
 
   override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
     catalogName = name
@@ -109,38 +123,86 @@ class GraftCatalog extends TableCatalog {
     loadTable(ident, v.toString)
   }
 
-  /** `PARTITIONED BY (col)` — ONE identity transform on a top-level
-    * schema column. The spec is table-constant, stored once in the
-    * `_partition` sibling (written BEFORE the manifest, so it is never
-    * observable without the table); writes then demand clustering +
-    * ordering on the column and ROLL a new data file at each value
-    * change, so every manifest entry is single-valued (min = max) on
-    * the partition column by construction — partition pruning is
-    * ordinary stats skipping and dropping a partition is always a
-    * metadata-only DELETE. Anything fancier (bucket/days/truncate
-    * transforms, multi-column specs) is refused loudly. */
+  /** `PARTITIONED BY (...)` — identity columns and MONOTONE hidden
+    * transforms (`days(ts)`, `truncate(w, col)`), any mix. The spec is
+    * table-constant, stored once in the `_partition` sibling (written
+    * BEFORE the manifest, so it is never observable without the table);
+    * writes then demand clustering + ordering on each term's SOURCE
+    * column and ROLL a new data file at each derived-value change, so
+    * every manifest entry is single-valued on each term by construction
+    * — partition pruning is ordinary stats skipping ON THE SOURCE
+    * COLUMN (the Iceberg hidden-partitioning contract: the user filters
+    * on `ts`, never on a derived day value) and dropping a whole
+    * partition is a metadata-only DELETE. Bucket transforms are refused
+    * loudly: they are not monotone in their source, so source-ordered
+    * input is not bucket-contiguous and the rolling write cannot prove
+    * single-valued files without a derived-value exchange key. */
   override def createTable(ident: Identifier, schema: StructType,
       partitions: Array[Transform], properties: util.Map[String, String]): Table = {
+    def srcOf(t: Transform): String = {
+      require(t.references().length == 1, s"transform $t must reference one column")
+      val ref = t.references()(0).fieldNames()
+      require(ref.length == 1 && schema.fieldNames.contains(ref.head),
+        s"partition column ${ref.mkString(".")} must be a top-level table column")
+      require(!ref.head.contains(",") && !ref.head.contains("(") &&
+        !ref.head.contains(")"),
+        s"partition column ${ref.head} must not contain ',', '(' or ')'")
+      ref.head
+    }
     val partitionBy = partitions.toSeq match {
       case Seq() => None
-      case ts if ts.forall(t => t.name() == "identity" && t.references().length == 1) =>
-        // round 11: MULTI-COLUMN identity specs (`PARTITIONED BY (day,
-        // source)` — the two-level layout); packed comma-joined into the
-        // same `_partition` sibling, split at every use site
-        val names = ts.map { t =>
-          val ref = t.references()(0).fieldNames()
-          require(ref.length == 1 && schema.fieldNames.contains(ref.head),
-            s"partition column ${ref.mkString(".")} must be a top-level table column")
-          require(!ref.head.contains(","),
-            s"partition column ${ref.head} must not contain ','")
-          ref.head
+      case ts =>
+        // comma-joined term list in the `_partition` sibling; split (top
+        // level only — trunc carries an internal comma) at every use site
+        val terms = ts.map { t =>
+          t.name().toLowerCase(java.util.Locale.ROOT) match {
+            case "identity" => srcOf(t)
+            case "days" =>
+              val c = srcOf(t)
+              val dt = schema.fields(schema.fieldIndex(c)).dataType
+              require(dt == org.apache.spark.sql.types.TimestampType ||
+                dt == org.apache.spark.sql.types.TimestampNTZType ||
+                dt == org.apache.spark.sql.types.DateType,
+                s"days($c) needs a timestamp/date column, got $dt")
+              s"days($c)"
+            case "truncate" | "trunc" =>
+              val c = srcOf(t)
+              val dt = schema.fields(schema.fieldIndex(c)).dataType
+              require(dt == org.apache.spark.sql.types.StringType ||
+                dt == org.apache.spark.sql.types.IntegerType ||
+                dt == org.apache.spark.sql.types.LongType,
+                s"truncate over $c needs a string/int/long column, got $dt")
+              val w = t.arguments().collectFirst {
+                case l: org.apache.spark.sql.connector.expressions.Literal[_]
+                  if l.value().isInstanceOf[Number] =>
+                  l.value().asInstanceOf[Number].intValue()
+              }.getOrElse(throw new IllegalArgumentException(
+                s"truncate needs an integer width argument: $t"))
+              require(w > 0, s"truncate width must be positive, got $w")
+              s"trunc($w,$c)"
+            case "bucket" =>
+              val c = srcOf(t)
+              val dt = schema.fields(schema.fieldIndex(c)).dataType
+              require(dt == org.apache.spark.sql.types.IntegerType ||
+                dt == org.apache.spark.sql.types.LongType,
+                s"bucket over $c needs an int/long column, got $dt")
+              val n = t.arguments().collectFirst {
+                case l: org.apache.spark.sql.connector.expressions.Literal[_]
+                  if l.value().isInstanceOf[Number] =>
+                  l.value().asInstanceOf[Number].intValue()
+              }.getOrElse(throw new IllegalArgumentException(
+                s"bucket needs an integer bucket-count argument: $t"))
+              require(n > 0, s"bucket count must be positive, got $n")
+              s"bucket($n,$c)"
+            case other => throw new UnsupportedOperationException(
+              "graft catalog tables support identity, days, truncate and " +
+                s"bucket partition transforms (got $other in ${ts.mkString(", ")})")
+          }
         }
-        require(names.distinct.size == names.size,
-          s"duplicate partition columns: ${names.mkString(", ")}")
-        Some(names.mkString(","))
-      case other => throw new UnsupportedOperationException(
-        "graft catalog tables support only IDENTITY partition " +
-          s"transforms (got ${other.mkString(", ")})")
+        val sources = ts.map(srcOf)
+        require(sources.distinct.size == sources.size,
+          s"duplicate partition source columns: ${sources.mkString(", ")}")
+        Some(terms.mkString(","))
     }
     val dir = dirFor(ident)
     if (isTable(dir)) throw new TableAlreadyExistsException(ident)

@@ -893,17 +893,96 @@ object GraftStore {
       .trim).filter(_.nonEmpty)
   }
 
-  /** The spec as a column list — round 11 extends the `_partition` file
-    * to a comma-joined MULTI-COLUMN identity spec (`day,source` — the
-    * two-level layout every 100 TB table actually uses). The packed
-    * Option[String] rides the existing plumbing unchanged; every use
-    * site that needs the columns splits here. Commas are refused in
-    * partition column names at create/evolve time. */
+  /** HIDDEN-PARTITIONING terms (round 11, second half) — the `_partition`
+    * file holds a comma-joined list of terms, each either a bare column
+    * (identity) or a MONOTONE transform of one:
+    *
+    *   `col` | `days(col)` | `trunc(W,col)`
+    *
+    * The Iceberg insight re-expressed on this format's invariants: a
+    * transform term changes ONLY the write layout (cluster + order on
+    * the SOURCE column, roll a file whenever the DERIVED value changes —
+    * sound because both transforms are monotone in the source, so
+    * source-ordered rows are derived-contiguous), while the read side
+    * keeps proving everything from per-file SOURCE-column stats exactly
+    * as before: a `days(ts)` table's files each span one UTC day, so the
+    * `ts >= D AND ts < D'` range every dashboard issues prunes whole
+    * files from manifest micros bounds, and dropping a day is a
+    * metadata-only DELETE (entire-file proof from the same bounds).
+    * Users never filter on a hidden partition value — they filter on the
+    * source column, which is precisely what the stats index. Bucket
+    * transforms are NOT monotone and are refused at create/evolve time
+    * (they would need derived-value clustering, i.e. a function-catalog
+    * exchange key).
+    *
+    * Consumers that need IDENTITY semantics (SPJ key grouping, grouped
+    * metadata aggregates, cluster-like runtime filtering) read
+    * [[partitionColsOf]], which returns only the identity subset — a
+    * transform term silently degrades those features, never correctness. */
+  sealed trait PartTerm { def source: String; def render: String }
+  case class PartIdentity(source: String) extends PartTerm {
+    def render: String = source
+  }
+  case class PartDays(source: String) extends PartTerm {
+    def render: String = s"days($source)"
+  }
+  case class PartTrunc(width: Int, source: String) extends PartTerm {
+    def render: String = s"trunc($width,$source)"
+  }
+  /** NOT monotone — the one term that clusters and orders on the
+    * DERIVED value, resolved through the catalog's V2 `bucket` function
+    * (see [[GraftBucket]]); its per-file value is recorded as a
+    * pseudo-column stat ([[PartBucket.statName]]) because no source
+    * min/max range can prove bucket membership. */
+  case class PartBucket(n: Int, source: String) extends PartTerm {
+    def render: String = s"bucket($n,$source)"
+    /** Manifest stats key for the file's derived bucket (safeName-clean:
+      * letters/digits/underscores only). */
+    def statName: String = s"__bucket_${n}_$source"
+  }
+
+  /** Split a spec on TOP-LEVEL commas only (a `trunc(4,c)` term carries
+    * an internal one). */
+  private def splitTerms(spec: String): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    val cur = new StringBuilder
+    var depth = 0
+    spec.foreach {
+      case '(' => depth += 1; cur += '('
+      case ')' => depth -= 1; cur += ')'
+      case ',' if depth == 0 => out += cur.result(); cur.clear()
+      case ch => cur += ch
+    }
+    out += cur.result()
+    out.toSeq.map(_.trim).filter(_.nonEmpty)
+  }
+
+  private val DaysRe = """(?i)days\(\s*([^(),\s]+)\s*\)""".r
+  private val TruncRe = """(?i)trunc\(\s*(\d+)\s*,\s*([^(),\s]+)\s*\)""".r
+  private val BucketRe = """(?i)bucket\(\s*(\d+)\s*,\s*([^(),\s]+)\s*\)""".r
+
+  private[graft] def partitionTermsOf(spec: Option[String]): Seq[PartTerm] =
+    spec.toSeq.flatMap(splitTerms).map {
+      case DaysRe(c) => PartDays(c)
+      case TruncRe(w, c) => PartTrunc(w.toInt, c)
+      case BucketRe(n, c) => PartBucket(n.toInt, c)
+      case c =>
+        require(!c.contains("(") && !c.contains(")"),
+          s"unsupported partition transform term '$c' — supported: " +
+            "identity column, days(col), trunc(width,col), bucket(n,col)")
+        PartIdentity(c)
+    }
+
+  /** The IDENTITY subset of the spec — what SPJ / grouped metadata
+    * aggregates / cluster-like advertisement key on. */
   private[graft] def partitionColsOf(spec: Option[String]): Seq[String] =
-    spec.toSeq.flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty)
+    partitionTermsOf(spec).collect { case PartIdentity(c) => c }
 
   private[graft] def readPartitionCols(path: String): Seq[String] =
     partitionColsOf(readPartitionBy(path))
+
+  private[graft] def readPartitionTerms(path: String): Seq[PartTerm] =
+    partitionTermsOf(readPartitionBy(path))
 
   /** PARTITION-SPEC EVOLUTION (round 11) — the Iceberg
     * `REPLACE PARTITION FIELD` semantics on the one-column identity
@@ -928,8 +1007,9 @@ object GraftStore {
     val (baseV, latest) = readLatestVersioned(path)
     val (schema, entries) = latest.getOrElse(throw new IllegalArgumentException(
       s"no graft-store table at $path"))
-    partitionColsOf(newCol).foreach(c => require(schema.fieldNames.contains(c),
-      s"partition column $c must be a top-level table column"))
+    partitionTermsOf(newCol).foreach(t =>
+      require(schema.fieldNames.contains(t.source),
+        s"partition column ${t.source} must be a top-level table column"))
     newCol match {
       case Some(c) =>
         val tmp = Paths.get(path, s".partition.tmp.${java.util.UUID.randomUUID()}")
@@ -1216,6 +1296,10 @@ object GraftStore {
 
     private def statable(dt: DataType): Boolean = dt match {
       case IntegerType | LongType | DoubleType => true
+      // temporal stats ride the long/int paths: timestamps are epoch
+      // micros internally, dates epoch days — both order-isomorphic to
+      // their SQL semantics, so range pruning is the same arithmetic
+      case TimestampType | TimestampNTZType | DateType => true
       case _ => false
     }
 
@@ -1231,6 +1315,24 @@ object GraftStore {
     }
     private def cmpValue(v: Any): Double = v match {
       case n: java.lang.Number => n.doubleValue()
+      // temporal filter literals arrive as external Java objects (which
+      // flavor depends on spark.sql.datetime.java8API.enabled); convert
+      // to the same epoch-micros / epoch-days unit the manifest records
+      case t: java.sql.Timestamp =>
+        org.apache.spark.sql.catalyst.util.DateTimeUtils
+          .fromJavaTimestamp(t).toDouble
+      case i: java.time.Instant =>
+        org.apache.spark.sql.catalyst.util.DateTimeUtils
+          .instantToMicros(i).toDouble
+      case d: java.sql.Date =>
+        org.apache.spark.sql.catalyst.util.DateTimeUtils
+          .fromJavaDate(d).toDouble
+      case d: java.time.LocalDate =>
+        org.apache.spark.sql.catalyst.util.DateTimeUtils
+          .localDateToDays(d).toDouble
+      case dt: java.time.LocalDateTime =>
+        org.apache.spark.sql.catalyst.util.DateTimeUtils
+          .localDateTimeToMicros(dt).toDouble
       case _ => Double.NaN
     }
 
@@ -1448,7 +1550,14 @@ class GraftStoreTable(path: String, tableSchema: StructType,
   override def name(): String = s"graft_store($path)"
   override def schema(): StructType = tableSchema
   override def partitioning(): Array[Transform] =
-    GraftStore.partitionColsOf(partitionBy).map(c => Expressions.identity(c)).toArray
+    GraftStore.partitionTermsOf(partitionBy).map {
+      case GraftStore.PartIdentity(c) => Expressions.identity(c)
+      case GraftStore.PartDays(c) => Expressions.days(c)
+      case GraftStore.PartTrunc(w, c) =>
+        Expressions.apply("truncate",
+          Expressions.literal(Int.box(w)), Expressions.column(c))
+      case GraftStore.PartBucket(n, c) => Expressions.bucket(n, c)
+    }.toArray
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
       TableCapability.TRUNCATE, TableCapability.STREAMING_WRITE,
@@ -1604,23 +1713,40 @@ class GraftStoreReplaceDataWrite(path: String, schema: StructType,
     replacedFiles: () => Seq[String],
     partitionBy: Option[String] = None)
   extends Write with RequiresDistributionAndOrdering {
-  private def partitionCols: Seq[String] = GraftStore.partitionColsOf(partitionBy)
+  private def partitionTerms: Seq[GraftStore.PartTerm] =
+    GraftStore.partitionTermsOf(partitionBy)
+  // Same layout contract as the append path (see GraftStoreWrite):
+  // identity terms and bucket terms cluster (bucket on the DERIVED
+  // expression via the catalog's V2 function), monotone transforms
+  // leave distribution to the caller; ordering per term in spec order
+  // by the key that makes each derived value contiguous.
   override def description(): String = s"graft_store replace-data -> $path"
+  private def clusterExprs: Seq[org.apache.spark.sql.connector.expressions.Expression] =
+    partitionTerms.collect {
+      case GraftStore.PartIdentity(c) => Expressions.column(c)
+      case GraftStore.PartBucket(n, c) => Expressions.bucket(n, c)
+    }
   override def requiredDistribution(): Distribution =
-    if (partitionCols.isEmpty) Distributions.unspecified()
-    else Distributions.clustered(partitionCols.map(c =>
-      Expressions.column(c): org.apache.spark.sql.connector.expressions.Expression).toArray)
+    if (clusterExprs.isEmpty) Distributions.unspecified()
+    else Distributions.clustered(clusterExprs.toArray)
   override def requiredOrdering(): Array[SortOrder] =
-    partitionCols.map(c => Expressions.sort(Expressions.column(c),
+    partitionTerms.map {
+      case GraftStore.PartBucket(n, c) =>
+        Expressions.bucket(n, c): org.apache.spark.sql.connector.expressions.Expression
+      case t => Expressions.column(t.source)
+    }.foldLeft(Vector.empty[org.apache.spark.sql.connector.expressions.Expression]) {
+      (acc, e) => if (acc.exists(_.toString == e.toString)) acc else acc :+ e
+    }.map(e => Expressions.sort(e,
       org.apache.spark.sql.connector.expressions.SortDirection.ASCENDING)
       : SortOrder).toArray
   override def toBatch: BatchWrite =
     new GraftStoreReplaceBatchWrite(path, schema, replacedFiles,
-      partitionCols.map(schema.fieldIndex))
+      partitionTerms.map(t => (schema.fieldIndex(t.source), t)))
 }
 
 class GraftStoreReplaceBatchWrite(path: String, schema: StructType,
-    replacedFiles: () => Seq[String], rollOnIdx: Seq[Int] = Seq.empty)
+    replacedFiles: () => Seq[String],
+    rollOn: Seq[(Int, GraftStore.PartTerm)] = Seq.empty)
   extends BatchWrite {
 
   // job-unique file prefix: replacement files must NEVER collide with a
@@ -1629,7 +1755,7 @@ class GraftStoreReplaceBatchWrite(path: String, schema: StructType,
   private val stamp = java.util.UUID.randomUUID().toString.take(8)
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
-    new GraftStoreReplaceWriterFactory(path, schema, stamp, rollOnIdx)
+    new GraftStoreReplaceWriterFactory(path, schema, stamp, rollOn)
 
   override def useCommitCoordinator(): Boolean = true
 
@@ -1659,11 +1785,12 @@ class GraftStoreReplaceBatchWrite(path: String, schema: StructType,
 }
 
 class GraftStoreReplaceWriterFactory(path: String, schema: StructType,
-    stamp: String, rollOnIdx: Seq[Int] = Seq.empty) extends DataWriterFactory {
+    stamp: String, rollOn: Seq[(Int, GraftStore.PartTerm)] = Seq.empty)
+  extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
-    if (rollOnIdx.nonEmpty)
+    if (rollOn.nonEmpty)
       new GraftStorePartitionedWriter(path, schema,
-        partitionId, taskId, rollOnIdx, s"data/rw-$stamp-$partitionId-$taskId")
+        partitionId, taskId, rollOn, s"data/rw-$stamp-$partitionId-$taskId")
     else new GraftStoreDataWriter(path, schema, partitionId, taskId,
       None, None, s"data/rw-$stamp-$partitionId-$taskId.bin")
 }
@@ -1697,27 +1824,63 @@ class GraftStoreWrite(path: String, schema: StructType, truncateFirst: Boolean,
   // the sink REQUESTS its layout; Spark plans the exchange/sort. With no
   // clusterBy the distribution is unspecified (no exchange inserted).
   // A PARTITIONED table demands clustering + ordering on its partition
-  // column (so the rolling writer sees each value contiguous and
-  // complete), with any sortBy as the secondary sort within a value.
-  private def partitionCols: Seq[String] = GraftStore.partitionColsOf(partitionBy)
+  // terms' SOURCE columns (transform terms are monotone, so source
+  // order makes each derived value contiguous for the rolling writer),
+  // with any sortBy as the secondary sort within a value.
+  private def partitionTerms: Seq[GraftStore.PartTerm] =
+    GraftStore.partitionTermsOf(partitionBy)
+  private def sourceCols: Seq[String] = partitionTerms.map(_.source).distinct
   private def orderCols: Seq[String] =
-    (partitionCols ++ sortBy.toSeq).distinct
+    (sourceCols ++ sortBy.toSeq).distinct
+  // Distribution: identity terms hash-cluster on their column (same
+  // value → same task → one file per value); bucket terms cluster on
+  // the DERIVED bucket expression — the catalog's V2 `bucket` function
+  // resolves it into an evaluable exchange key (exactly n cells, one
+  // task each). A MONOTONE transform term must NOT hash-cluster on its
+  // raw source — that scatters one derived cell (e.g. one day of
+  // distinct timestamps) across every task and multiplies files by the
+  // task count — so its distribution is left to the caller (a
+  // range-partitioned/sorted upstream gives day-contiguous tasks and
+  // ~1 file per day); only the per-task ORDERING is demanded, which is
+  // all the single-valued-file invariant needs — distribution affects
+  // file COUNT, never correctness.
+  private def clusterExprs: Seq[org.apache.spark.sql.connector.expressions.Expression] =
+    partitionTerms.collect {
+      case GraftStore.PartIdentity(c) => Expressions.column(c)
+      case GraftStore.PartBucket(n, c) => Expressions.bucket(n, c)
+    }
   override def requiredDistribution(): Distribution =
-    if (partitionCols.nonEmpty)
-      Distributions.clustered(partitionCols.map(c =>
-        Expressions.column(c): org.apache.spark.sql.connector.expressions.Expression).toArray)
+    if (clusterExprs.nonEmpty) Distributions.clustered(clusterExprs.toArray)
+    else if (sourceCols.nonEmpty) Distributions.unspecified()
     else clusterBy
       .map(c => Distributions.clustered(Array(Expressions.column(c))))
       .getOrElse(Distributions.unspecified())
-  override def requiredOrdering(): Array[SortOrder] =
-    orderCols.map(c => Expressions.sort(Expressions.column(c),
+  // Ordering: per term IN SPEC ORDER, each by the key that makes its
+  // derived value contiguous — the column itself (identity), the source
+  // column (monotone transforms), the derived bucket expression
+  // (bucket) — then any sortBy within the finest cell.
+  override def requiredOrdering(): Array[SortOrder] = {
+    val termKeys: Seq[org.apache.spark.sql.connector.expressions.Expression] =
+      partitionTerms.map {
+        case GraftStore.PartBucket(n, c) =>
+          Expressions.bucket(n, c): org.apache.spark.sql.connector.expressions.Expression
+        case t => Expressions.column(t.source)
+      }
+    val keys = (termKeys ++ sortBy.toSeq.map(c =>
+      Expressions.column(c): org.apache.spark.sql.connector.expressions.Expression))
+      .foldLeft(Vector.empty[org.apache.spark.sql.connector.expressions.Expression]) {
+        (acc, e) => if (acc.exists(_.toString == e.toString)) acc else acc :+ e
+      }
+    keys.map(e => Expressions.sort(e,
       org.apache.spark.sql.connector.expressions.SortDirection.ASCENDING)
       : SortOrder).toArray
+  }
 
   override def toBatch: BatchWrite =
     new GraftStoreBatchWrite(path, schema, truncateFirst, failFirstAttemptOf,
       failAllAttemptsOf, dataChange,
-      rollOnIdx = partitionCols.map(schema.fieldIndex), txn = txn)
+      rollOn = partitionTerms.map(t => (schema.fieldIndex(t.source), t)),
+      txn = txn)
 
   override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite = {
     require(partitionBy.isEmpty,
@@ -1822,12 +1985,13 @@ case class GraftStoreMultiMessage(parts: Seq[GraftStoreCommitMessage])
   * framing, same stats collection); commit carries every finished
   * file's entry, abort deletes them all. */
 class GraftStorePartitionedWriter(path: String, schema: StructType,
-    partitionId: Int, taskId: Long, rollIdxs: Seq[Int],
+    partitionId: Int, taskId: Long, rollOn: Seq[(Int, GraftStore.PartTerm)],
     namePrefix: String = null)
   extends DataWriter[InternalRow] {
   private val prefix =
     if (namePrefix != null) namePrefix else s"data/part-$partitionId-$taskId"
-  private val idxArr = rollIdxs.toArray
+  private val idxArr = rollOn.map(_._1).toArray
+  private val terms = rollOn.map(_._2).toArray
   private val dts = idxArr.map(schema.fields(_).dataType)
   private var current: GraftStoreDataWriter = null
   private var lastVal: Seq[Any] = null
@@ -1836,22 +2000,70 @@ class GraftStorePartitionedWriter(path: String, schema: StructType,
   private val done =
     scala.collection.mutable.ArrayBuffer.empty[GraftStoreCommitMessage]
 
-  override def write(row: InternalRow): Unit = {
-    // a new file whenever the TUPLE of partition values changes (the
-    // demanded clustering + ordering makes each combination contiguous);
-    // copy string keys out of the row's reused buffer before holding them
-    val v: Seq[Any] = idxArr.indices.map { j =>
-      val i = idxArr(j)
-      if (row.isNullAt(i)) null
-      else row.get(i, dts(j)) match {
+  /** The DERIVED partition value a term assigns this row — what the
+    * file roll keys on. Identity is the raw value; days buckets epoch
+    * micros (or passes epoch days through); trunc floors ints/longs to
+    * width multiples and prefixes strings. All monotone in the source,
+    * which is what makes source-ordered input derived-contiguous. */
+  private def derived(j: Int, row: InternalRow): Any = {
+    import org.apache.spark.sql.types.{DateType, IntegerType, LongType, StringType, TimestampNTZType, TimestampType}
+    val i = idxArr(j)
+    if (row.isNullAt(i)) return null
+    terms(j) match {
+      case GraftStore.PartIdentity(_) => row.get(i, dts(j)) match {
+        // copy string keys out of the row's reused buffer before holding
         case s: org.apache.spark.unsafe.types.UTF8String => s.clone()
         case other => other
       }
-    }
-    if (!started || v != lastVal) {
-      if (current != null) {
-        done += current.commit().asInstanceOf[GraftStoreCommitMessage]
+      case GraftStore.PartDays(_) => dts(j) match {
+        case TimestampType | TimestampNTZType =>
+          Math.floorDiv(row.getLong(i), 86400000000L)
+        case DateType => row.getInt(i) // already day grain
+        case other => throw new IllegalStateException(
+          s"days() over unsupported type $other")
       }
+      case GraftStore.PartTrunc(w, _) => dts(j) match {
+        case StringType => row.getUTF8String(i).substring(0, w).toString
+        case IntegerType => Math.floorDiv(row.getInt(i), w) * w
+        case LongType => Math.floorDiv(row.getLong(i), w.toLong) * w.toLong
+        case other => throw new IllegalStateException(
+          s"trunc() over unsupported type $other")
+      }
+      case GraftStore.PartBucket(n, _) => dts(j) match {
+        case IntegerType => GraftBucket.bucket(n, row.getInt(i).toLong)
+        case LongType => GraftBucket.bucket(n, row.getLong(i))
+        case other => throw new IllegalStateException(
+          s"bucket() over unsupported type $other")
+      }
+    }
+  }
+
+  /** Close the open file, recording each bucket term's derived value as
+    * a pseudo-column stat line — the only way a reader can know a
+    * file's bucket (no source min/max range proves hash membership).
+    * The whole file shares one derived tuple by construction, so the
+    * entry is min == max exact (or all-null for a null-key file). */
+  private def closeCurrent(): Unit = {
+    val m = current.commit().asInstanceOf[GraftStoreCommitMessage]
+    val extra = terms.indices.collect {
+      case j if terms(j).isInstanceOf[GraftStore.PartBucket] =>
+        val t = terms(j).asInstanceOf[GraftStore.PartBucket]
+        t.statName -> (lastVal(j) match {
+          case null => GraftStore.ColStats("", "", m.rows)
+          case b => GraftStore.ColStats(b.toString, b.toString, 0L, mono = true)
+        })
+    }
+    done += (if (extra.isEmpty) m else m.copy(stats = m.stats ++ extra))
+    current = null
+  }
+
+  override def write(row: InternalRow): Unit = {
+    // a new file whenever the TUPLE of derived partition values changes
+    // (the demanded clustering + ordering makes each combination
+    // contiguous)
+    val v: Seq[Any] = idxArr.indices.map(j => derived(j, row))
+    if (!started || v != lastVal) {
+      if (current != null) closeCurrent() // lastVal still = closing file's tuple
       current = new GraftStoreDataWriter(path, schema, partitionId, taskId,
         None, None, s"$prefix-p$seq.bin")
       seq += 1
@@ -1862,10 +2074,7 @@ class GraftStorePartitionedWriter(path: String, schema: StructType,
   }
 
   override def commit(): WriterCommitMessage = {
-    if (current != null) {
-      done += current.commit().asInstanceOf[GraftStoreCommitMessage]
-      current = null
-    }
+    if (current != null) closeCurrent()
     GraftStoreMultiMessage(done.toSeq)
   }
 
@@ -1887,12 +2096,13 @@ class GraftStorePartitionedWriter(path: String, schema: StructType,
 class GraftStoreBatchWrite(path: String, schema: StructType,
     truncateFirst: Boolean, failFirstAttemptOf: Option[Int],
     failAllAttemptsOf: Option[Int], dataChange: Boolean = true,
-    rollOnIdx: Seq[Int] = Seq.empty, txn: Option[(String, Long)] = None)
+    rollOn: Seq[(Int, GraftStore.PartTerm)] = Seq.empty,
+    txn: Option[(String, Long)] = None)
   extends BatchWrite {
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
     new GraftStoreWriterFactory(path, schema, failFirstAttemptOf,
-      failAllAttemptsOf, rollOnIdx)
+      failAllAttemptsOf, rollOn)
 
   // at most one attempt per partition may deliver a commit message —
   // the coordinator half of the exactly-once argument
@@ -1963,11 +2173,11 @@ class GraftStoreBatchWrite(path: String, schema: StructType,
 
 class GraftStoreWriterFactory(path: String, schema: StructType,
     failFirstAttemptOf: Option[Int], failAllAttemptsOf: Option[Int],
-    rollOnIdx: Seq[Int] = Seq.empty)
+    rollOn: Seq[(Int, GraftStore.PartTerm)] = Seq.empty)
   extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
-    if (rollOnIdx.nonEmpty)
-      new GraftStorePartitionedWriter(path, schema, partitionId, taskId, rollOnIdx)
+    if (rollOn.nonEmpty)
+      new GraftStorePartitionedWriter(path, schema, partitionId, taskId, rollOn)
     else
       new GraftStoreDataWriter(path, schema, partitionId, taskId,
         failFirstAttemptOf, failAllAttemptsOf)
@@ -1991,15 +2201,21 @@ class GraftStoreDataWriter(path: String, schema: StructType, partitionId: Int,
   private val toUnsafe = UnsafeProjection.create(schema)
   private var rows = 0L
 
-  // per-column min/max/nulls for the numeric columns (manifest stats —
-  // the file-skipping / metadata-delete substrate). Longs and doubles
-  // tracked in their own type; serialization via toString is exact.
-  import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType, StringType}
+  // per-column min/max/nulls for the numeric and temporal columns
+  // (manifest stats — the file-skipping / metadata-delete substrate).
+  // Longs and doubles tracked in their own type; serialization via
+  // toString is exact. Timestamps ride the long path verbatim (their
+  // internal representation IS epoch micros, whose order is event-time
+  // order), dates the int path (epoch days) — so the time-range
+  // predicate every 100 TB fact table is scanned with prunes files the
+  // same way an id-range one does.
+  import org.apache.spark.sql.types.{DateType, DoubleType, IntegerType, LongType, StringType, TimestampNTZType, TimestampType}
   private def safeName(f: org.apache.spark.sql.types.StructField): Boolean =
     !f.name.exists(ch => ch == '=' || ch == ';' || ch == ':' || ch == '\t')
   private val statIdx = schema.fields.zipWithIndex.collect {
     case (f, i) if (f.dataType == IntegerType || f.dataType == LongType ||
-      f.dataType == DoubleType) && safeName(f)
+      f.dataType == DoubleType || f.dataType == TimestampType ||
+      f.dataType == TimestampNTZType || f.dataType == DateType) && safeName(f)
       => i
   }
   // string columns get a per-file Bloom (values can't ride the min/max
@@ -2063,7 +2279,7 @@ class GraftStoreDataWriter(path: String, schema: StructType, partitionId: Int,
             }
             GraftStore.NdvHll.addLong(ndvs(ndvPos(i)),
               java.lang.Double.doubleToLongBits(v))
-          case IntegerType =>
+          case IntegerType | DateType =>
             val v = row.getInt(i).toLong
             if (v < minL(i)) minL(i) = v
             if (v > maxL(i)) maxL(i) = v
@@ -2112,7 +2328,10 @@ class GraftStoreDataWriter(path: String, schema: StructType, partitionId: Int,
       f.name -> GraftStore.ColStats(mn, mx, nulls(i),
         ndv = GraftStore.NdvHll.hex(ndvs(ndvPos(i))),
         mono = mono(i) && nonNull(i) > 0,
-        sum = if (f.dataType == DoubleType || nonNull(i) == 0) ""
+        // exact wrap-around sums make sense for int/long only: a double
+        // sum is FP-order-dependent, a temporal sum is meaningless
+        sum = if (nonNull(i) == 0 ||
+            (f.dataType != IntegerType && f.dataType != LongType)) ""
           else sums(i).toString)
     }.toMap ++ bloomIdx.zipWithIndex.map { case (i, k) =>
       schema.fields(i).name -> GraftStore.ColStats("", "", nulls(i),
@@ -2229,7 +2448,10 @@ class GraftStoreScanBuilder(path: String, versionAsOf: Option[Long] = None,
     if (entries.exists(_.dv.nonEmpty)) return None
     def statType(c: String): Option[DataType] =
       schema.fields.find(_.name == c).map(_.dataType).filter(dt =>
-        dt == IntegerType || dt == LongType || dt == DoubleType)
+        dt == IntegerType || dt == LongType || dt == DoubleType ||
+        dt == org.apache.spark.sql.types.TimestampType ||
+        dt == org.apache.spark.sql.types.TimestampNTZType ||
+        dt == org.apache.spark.sql.types.DateType)
     // GROUPED metadata aggregates (round 11): GROUP BY one int/long
     // column on which EVERY live file is provably single-valued
     // (min == max, no nulls — the clusterBy/partitionBy write layout) is
@@ -2264,9 +2486,13 @@ class GraftStoreScanBuilder(path: String, versionAsOf: Option[Long] = None,
               else dt match {
                 case DoubleType =>
                   val ds = vals.map(_.toDouble); if (pickMax) ds.max else ds.min
-                case IntegerType =>
+                case IntegerType | org.apache.spark.sql.types.DateType =>
+                  // DateType's internal value is an epoch-day Int
                   val is = vals.map(_.toInt); if (pickMax) is.max else is.min
                 case _ =>
+                  // LongType, and timestamps whose internal value is
+                  // epoch-micros Long — min/max over micros IS the SQL
+                  // min/max ("freshest event" costs one metadata read)
                   val ls = vals.map(_.toLong); if (pickMax) ls.max else ls.min
               }
             Some((dt, v))
@@ -2474,10 +2700,51 @@ class GraftStoreScan(path: String,
   // it, and no runtime data filter disproves its cluster value. Decided
   // at planning time on the driver from manifest lines alone — no data
   // I/O, the Iceberg scan-planning story in miniature.
+  // BUCKET-EQUALITY PRUNING: on a `bucket(n, k)` table, a `k = v` (or
+  // `k IN (...)`) conjunct hashes its literals and drops every file
+  // whose recorded derived bucket ([[GraftStore.PartBucket.statName]]
+  // pseudo-stat, single-valued by the rolling write) is not among the
+  // wanted buckets — no source min/max range could prove hash
+  // membership. A file without the pseudo-stat (compacted bins that
+  // merged buckets, pre-bucket history) is kept: conservative, never
+  // wrong. The n-fold I/O cut every point lookup on a 100 TB bucketed
+  // table counts on.
+  private lazy val bucketTerms: Seq[GraftStore.PartBucket] =
+    GraftStore.partitionTermsOf(GraftStore.readPartitionBy(path))
+      .collect { case b: GraftStore.PartBucket => b }
+  private def bucketKeep(e: GraftStore.FileEntry): Boolean =
+    bucketTerms.forall { bt =>
+      def longOf(v: Any): Option[Long] = v match {
+        case i: java.lang.Integer => Some(i.longValue)
+        case l: java.lang.Long => Some(l.longValue)
+        case _ => None
+      }
+      import org.apache.spark.sql.sources.{EqualTo, In}
+      val wanted = (pushed.toSeq ++ runtimeDataFilters)
+        .foldLeft(Option.empty[Set[Int]]) {
+          case (acc, EqualTo(c, v)) if c == bt.source =>
+            longOf(v).map(l => Set(GraftBucket.bucket(bt.n, l)))
+              .map(s => acc.fold(s)(_ intersect s)).orElse(acc)
+          case (acc, In(c, vs)) if c == bt.source && vs.nonEmpty =>
+            val ls = vs.toSeq.map(longOf)
+            if (ls.forall(_.isDefined)) {
+              val s = ls.flatten.map(GraftBucket.bucket(bt.n, _)).toSet
+              Some(acc.fold(s)(_ intersect s))
+            } else acc
+          case (acc, _) => acc
+        }
+      wanted.forall(ws => e.stats.get(bt.statName) match {
+        case Some(st) if st.min.nonEmpty && st.min == st.max && st.nulls == 0 =>
+          ws.contains(st.min.toInt)
+        case _ => true
+      })
+    }
+
   private def selected = entries.filter(e =>
     runtimeFiles.forall(_.contains(e.file)) &&
       pushedFileSet.forall(_.contains(e.file)) &&
       onlyFiles.forall(_.contains(e.file)) &&
+      bucketKeep(e) &&
       GraftStore.StatsPruning.evalAll(pushed.toSeq, e, schema) !=
         GraftStore.StatsPruning.NoRows &&
       GraftStore.StatsPruning.evalAll(runtimeDataFilters, e, schema) !=
@@ -2546,9 +2813,14 @@ class GraftStoreScan(path: String,
             case IntegerType =>
               (Some(Int.box(nonEmpty.map(_.min.toLong).min.toInt)),
                 Some(Int.box(nonEmpty.map(_.max.toLong).max.toInt)))
-            case LongType =>
+            case LongType | org.apache.spark.sql.types.TimestampType |
+                org.apache.spark.sql.types.TimestampNTZType =>
+              // timestamps: catalyst-internal epoch micros (Long)
               (Some(Long.box(nonEmpty.map(_.min.toLong).min)),
                 Some(Long.box(nonEmpty.map(_.max.toLong).max)))
+            case org.apache.spark.sql.types.DateType =>
+              (Some(Int.box(nonEmpty.map(_.min.toLong).min.toInt)),
+                Some(Int.box(nonEmpty.map(_.max.toLong).max.toInt)))
             case _ => (None, None)
           }
         if (ndvEst >= 0 || nullSum >= 0 || mnV.isDefined || mxV.isDefined)

@@ -1000,13 +1000,13 @@ class GraftStoreSpec extends SparkSuite {
     assert(GraftStore.readManifest(path).get._2
       .forall(e => !e.stats("k").min.contains("4")),
       "partition delete after DML must still drop whole files")
-    // multi-column identity specs are supported as of round 11
-    // (PartitionEvolutionSpec pins them); NON-IDENTITY transforms are
-    // still refused loudly
+    // multi-column identity specs (PartitionEvolutionSpec), monotone
+    // transforms and bucket (TransformPartitionSpec) are supported as of
+    // round 11; anything else is still refused loudly
     val e1 = intercept[Exception] {
-      s2.sql("CREATE TABLE gpart.bad (a BIGINT, b BIGINT) PARTITIONED BY (bucket(4, a))")
+      s2.sql("CREATE TABLE gpart.bad (a BIGINT, ts TIMESTAMP) PARTITIONED BY (hours(ts))")
     }
-    assert(e1.getMessage.contains("IDENTITY partition"))
+    assert(e1.getMessage.contains("identity, days, truncate and bucket"))
     // streaming writes can't keep the rolling contract: refused loudly
     val e2 = intercept[Exception] {
       spark.readStream.format("graft.sources.SynthSource")
