@@ -1531,6 +1531,54 @@ object Sources {
       .orderBy($"o_orderkey")
   }
 
+  /** Bucket-SPJ table-pair roots already written this JVM. */
+  private val spjBucketWritten = new java.util.concurrent.ConcurrentHashMap[String, String]
+
+  /** BUCKET STORAGE-PARTITIONED JOIN (round 11) — q_store_spj's
+    * no-shuffle proof on a SYNTHETIC key: orders and a per-customer
+    * rollup both land `PARTITIONED BY (bucket(16, o_custkey))` — there
+    * is no natural range/identity key to co-partition on, which is
+    * exactly when production fact tables reach for bucketing — and the
+    * scans report KeyGroupedPartitioning over the bucket TRANSFORM,
+    * resolved through the catalog's V2 `bucket` function and matched
+    * across sides by canonical name. The join plans with NO exchange on
+    * either side (pinned in PlanShapeSpec): 16 co-located cells stream
+    * through the join while the hash-repartition of BOTH inputs — the
+    * term that dominates a 100 TB join — never happens; the write paid
+    * it once, every later join of any two tables sharing the layout
+    * rides free. Reads go through the catalog (the relation's
+    * FunctionCatalog is what resolves the transform — a path read would
+    * silently fall back to a shuffled plan, never a wrong one). Oracle
+    * replays the join from source parquet. */
+  val qStoreSpjBucket: Q = (s, dir) => {
+    val s2 = s.newSession()
+    s2.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val root = spjBucketWritten.computeIfAbsent(s"${Util.sessionKey(s)}:$dir", _ => {
+      val r = Util.managedTempDir("graft_bspj_")
+      val sc = s.newSession()
+      sc.conf.set("spark.sql.catalog.gbspj", "graft.sources.GraftCatalog")
+      sc.conf.set("spark.sql.catalog.gbspj.root", r)
+      table(sc, dir, "orders").createOrReplaceTempView("bspj_orders")
+      sc.sql(
+        """CREATE TABLE gbspj.o PARTITIONED BY (bucket(16, o_custkey)) AS
+          |SELECT o_orderkey, o_custkey, o_totalprice FROM bspj_orders""".stripMargin)
+      sc.sql(
+        """CREATE TABLE gbspj.c PARTITIONED BY (bucket(16, o_custkey)) AS
+          |SELECT o_custkey, count(*) AS n_orders FROM bspj_orders
+          |GROUP BY o_custkey""".stripMargin)
+      r
+    })
+    s2.conf.set("spark.sql.catalog.gbspj", "graft.sources.GraftCatalog")
+    s2.conf.set("spark.sql.catalog.gbspj.root", root)
+    s2.sql(
+      """SELECT o.o_custkey % 8 AS cust_band, count(*) AS n_pairs,
+        |  sum(c.n_orders) AS sum_cust_orders,
+        |  CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+        |FROM gbspj.o o JOIN gbspj.c c ON o.o_custkey = c.o_custkey
+        |GROUP BY o.o_custkey % 8 ORDER BY cust_band""".stripMargin)
+  }
+
   /** Grouped-metaagg fixture tables, keyed by (session UUID, fixture dir). */
   private val metaGroupWritten = new java.util.concurrent.ConcurrentHashMap[String, String]
 
@@ -2295,6 +2343,7 @@ object Sources {
     "q_store_part_multi" -> qStorePartMulti,
     "q_store_part_days" -> qStorePartDays,
     "q_store_part_bucket" -> qStorePartBucket,
+    "q_store_spj_bucket" -> qStoreSpjBucket,
     "q_catalog_sql" -> qCatalogSql,
     "q_sink_roundtrip" -> qSinkRoundtrip,
     "q_store_timetravel" -> qStoreTimetravel,
@@ -2583,6 +2632,16 @@ object Sources {
         |WHERE ts >= TIMESTAMP '2024-01-08 00:00:00'
         |  AND ts < TIMESTAMP '2024-01-15 00:00:00'
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // the co-bucketed join must be invisible to results: replayed from
+    // source parquet
+    "q_store_spj_bucket" ->
+      """WITH c AS (SELECT o_custkey, count(*) AS n_orders FROM orders
+        |           GROUP BY o_custkey)
+        |SELECT o.o_custkey % 8 AS cust_band, count(*) AS n_pairs,
+        |  CAST(sum(c.n_orders) AS BIGINT) AS sum_cust_orders,
+        |  CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+        |FROM orders o JOIN c ON o.o_custkey = c.o_custkey
+        |GROUP BY o.o_custkey % 8 ORDER BY cust_band""".stripMargin,
     // the bucket layout must be invisible to results: the point lookup
     // recomputed from source parquet (keys chosen to exist across SFs
     // where present; missing keys simply match nothing on both sides)

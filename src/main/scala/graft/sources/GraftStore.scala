@@ -2920,6 +2920,26 @@ class GraftStoreScan(path: String,
     }
   }
 
+  /** BUCKET-SPJ: a `bucket(n, k)` table whose every selected file is
+    * provably single-bucket (the `__bucket_n_k` pseudo-stat, re-checked
+    * rather than trusted) reports KeyGroupedPartitioning over the
+    * bucket TRANSFORM. Spark resolves it through the relation's
+    * FunctionCatalog (catalog reads only — a path read has none and the
+    * advertisement silently drops) and matches the two sides by the
+    * bound function's canonicalName — two graft tables bucketed the
+    * same way then join with NO exchange on either side: the co-located
+    * join on a synthetic key, which is what bucketing 100 TB fact
+    * tables is FOR. */
+  private def spjBucket: Option[GraftStore.PartBucket] =
+    if (metaAgg.isDefined) None
+    else GraftStore.partitionTermsOf(GraftStore.readPartitionBy(path))
+      .headOption.collect {
+        case b: GraftStore.PartBucket
+          if entries.nonEmpty && entries.forall(e =>
+            e.stats.get(b.statName).exists(st =>
+              st.nulls == 0 && st.min.nonEmpty && st.min == st.max)) => b
+      }
+
   override def outputPartitioning()
       : org.apache.spark.sql.connector.read.partitioning.Partitioning =
     spjKey match {
@@ -2927,9 +2947,15 @@ class GraftStoreScan(path: String,
         val n = selected.map(keyValueOf(_, c, dt)).distinct.size
         new org.apache.spark.sql.connector.read.partitioning.KeyGroupedPartitioning(
           Array(Expressions.identity(c)), n)
-      case None =>
-        new org.apache.spark.sql.connector.read.partitioning.UnknownPartitioning(
-          selected.size)
+      case None => spjBucket match {
+        case Some(b) =>
+          val n = selected.map(_.stats(b.statName).min.toInt).distinct.size
+          new org.apache.spark.sql.connector.read.partitioning.KeyGroupedPartitioning(
+            Array(Expressions.bucket(b.n, b.source)), n)
+        case None =>
+          new org.apache.spark.sql.connector.read.partitioning.UnknownPartitioning(
+            selected.size)
+      }
     }
 
   /** MANIFEST-PROVEN SORTEDNESS — the ordering leg next to the
@@ -2966,9 +2992,19 @@ class GraftStoreScan(path: String,
         val secondary =
           if (oneFilePerKey) sortedCols.filterNot(_ == k).sorted else Nil
         (k +: secondary).map(asc).toArray
-      case None =>
-        // one partition per file: per-partition ordering always holds
-        sortedCols.sorted.map(asc).toArray
+      case None => spjBucket match {
+        case Some(b) =>
+          // key-grouped by bucket: Spark concatenates same-bucket files
+          // inside a grouped partition, so a per-file ordering claim
+          // survives only when each bucket owns ONE file
+          val oneFilePerBucket =
+            sel.groupBy(_.stats(b.statName).min).forall(_._2.size == 1)
+          if (oneFilePerBucket) sortedCols.sorted.map(asc).toArray
+          else Array.empty
+        case None =>
+          // one partition per file: per-partition ordering always holds
+          sortedCols.sorted.map(asc).toArray
+      }
     }
   }
 
@@ -2990,10 +3026,17 @@ class GraftStoreScan(path: String,
             sel.map(e => GraftStoreKeyedFilePartition(
               new File(path, e.file).getAbsolutePath,
               e.cols, e.file, keyValueOf(e, c, dt), dvAbs(e)): InputPartition).toArray
-          case None =>
-            sel.map(e =>
-              GraftStoreFilePartition(new File(path, e.file).getAbsolutePath,
-                e.cols, e.file, dvAbs(e)): InputPartition).toArray
+          case None => spjBucket match {
+            case Some(b) =>
+              sel.map(e => GraftStoreKeyedFilePartition(
+                new File(path, e.file).getAbsolutePath,
+                e.cols, e.file, e.stats(b.statName).min.toInt,
+                dvAbs(e)): InputPartition).toArray
+            case None =>
+              sel.map(e =>
+                GraftStoreFilePartition(new File(path, e.file).getAbsolutePath,
+                  e.cols, e.file, dvAbs(e)): InputPartition).toArray
+          }
         }
     }
 

@@ -486,6 +486,22 @@ class PlanShapeSpec extends SparkSuite {
       s"SPJ sides still sort despite reported ordering:\n${smj.head}")
   }
 
+  test("q_store_spj_bucket: the co-BUCKETED store join plans no exchange below the join") {
+    val df = SparkEntry.queries("q_store_spj_bucket")(spark, sfDir)
+    df.collect()
+    val joins = allNodes(df.queryExecution.executedPlan).collect {
+      case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j
+      case j: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec => j }
+    assert(joins.nonEmpty,
+      s"no shuffle-family join:\n${df.queryExecution.executedPlan}")
+    // the bucket transform resolved through the catalog's V2 function and
+    // matched across sides by canonicalName: neither input re-shuffles
+    val shuffles = allNodes(joins.head).collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike => e }
+    assert(shuffles.isEmpty,
+      s"co-bucketed store join still shuffles:\n${joins.head}")
+  }
+
   test("q_sim_ivf_stored plans only the probed cells' files") {
     import org.apache.spark.sql.functions._
     // the two-phase probe turns cell selection into a literal IN that

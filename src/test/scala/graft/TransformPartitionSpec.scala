@@ -245,6 +245,52 @@ class TransformPartitionSpec extends SparkSuite {
     assert(df3.count() == 1)
   }
 
+  test("bucket SPJ: co-bucketed tables join with zero exchange") {
+    val root = graft.ops.Util.managedTempDir("graft_tpart_spj_")
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.catalog.gbs", "graft.sources.GraftCatalog")
+    s2.conf.set("spark.sql.catalog.gbs.root", root)
+    s2.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    s2.range(0, 512).selectExpr("id AS k", "id * 3 AS v1")
+      .createOrReplaceTempView("spjb_a")
+    s2.range(0, 256).selectExpr("id AS k", "CAST(id % 11 AS DOUBLE) AS v2")
+      .createOrReplaceTempView("spjb_b")
+    s2.sql(
+      """CREATE TABLE gbs.a PARTITIONED BY (bucket(8, k)) AS
+        |SELECT k, v1 FROM spjb_a""".stripMargin)
+    s2.sql(
+      """CREATE TABLE gbs.b PARTITIONED BY (bucket(8, k)) AS
+        |SELECT k, v2 FROM spjb_b""".stripMargin)
+    // catalog reads (the relation's FunctionCatalog is what resolves the
+    // bucket transform in the reported partitioning — a path read has
+    // none and would silently fall back to a shuffled join)
+    val df = s2.sql(
+      """SELECT count(*) AS n, sum(a.v1) AS s1, sum(b.v2) AS s2
+        |FROM gbs.a a JOIN gbs.b b ON a.k = b.k""".stripMargin)
+    val row = df.collect()(0)
+    assert(row.getLong(0) == 256)
+    assert(row.getLong(1) == (0L until 256L).map(_ * 3).sum)
+    def allNodes(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.SparkPlan] =
+      (p +: p.children.flatMap(allNodes)) ++ (p match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          allNodes(a.executedPlan)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          allNodes(q.plan)
+        case _ => Seq.empty
+      })
+    val plan = df.queryExecution.executedPlan
+    val joins = allNodes(plan).collect {
+      case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j
+      case j: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec => j }
+    assert(joins.nonEmpty, s"no shuffle-family join planned:\n$plan")
+    val shuffles = allNodes(joins.head).collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike => e }
+    assert(shuffles.isEmpty,
+      s"co-bucketed join still shuffles:\n${joins.head}")
+  }
+
   test("unsupported transforms are refused loudly") {
     val root = graft.ops.Util.managedTempDir("graft_tpart_ref_")
     val s2 = spark.newSession()
