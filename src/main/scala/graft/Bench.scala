@@ -40,7 +40,8 @@ object Bench {
     // paths, shuffle service init) so per-query times are comparable across
     // rounds regardless of which query happens to run first
     try SparkEntry.queries("q_scan_parquet")(spark, sfDir).count()
-    catch { case _: Throwable => () }
+    catch { case scala.util.control.NonFatal(e) =>
+      System.err.println(s"[bench] warmup failed: ${e.getMessage}") }
     val filter = sys.env.get("SPARK_GRAFT_BENCH_FILTER")
       .map(_.split(",").toSet)
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
@@ -55,8 +56,14 @@ object Bench {
     // belong. Builders with eager per-invocation work (the stream
     // family) cost one extra un-timed execution here — a few warmup
     // seconds buying steady single samples across the whole registry.
-    selected.foreach { case (_, fn) =>
-      try { fn(spark, sfDir); () } catch { case _: Throwable => () }
+    selected.foreach { case (name, fn) =>
+      try { fn(spark, sfDir); () }
+      catch { case scala.util.control.NonFatal(e) =>
+        // a pre-pass failure is usually the same failure the timed run
+        // will hit — surface it instead of swallowing (fatal errors —
+        // OOM, interrupts — propagate: nothing sane can run after them)
+        System.err.println(s"[bench] pre-pass $name failed: ${e.getMessage}")
+      }
     }
     graft.ops.Util.unpersistRegistered()
     // timings(i) = (name, Seq(Option(sec)...)); run1 is the cold run.
@@ -106,6 +113,23 @@ object Bench {
     if (failed.nonEmpty)
       println(s"""{"metric":"failed_runs","queries":${failed.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")},"sf":$sf}""")
     println(totalLine)
+    // persist the FULL per-query map to a file: the driver's stdout tail
+    // truncates long lines, so the round artifact would otherwise lose
+    // most of the 270+ per-query entries — the file is what next round's
+    // regression comparison reads
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "tools/bench_full.json")
+    try {
+      val full = Seq(
+        totalLine,
+        s"""{"metric":"per_query","queries":${jsonMap(best)},"sf":$sf}""",
+        s"""{"metric":"per_query_cold","queries":${jsonMap(cold)},"cold_total":${fmt(cold.map(_._2).filter(_ >= 0).sum)},"sf":$sf}""")
+        .mkString("\n") + "\n"
+      val p = java.nio.file.Paths.get(outPath)
+      if (p.getParent != null) java.nio.file.Files.createDirectories(p.getParent)
+      java.nio.file.Files.write(p,
+        full.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    } catch { case scala.util.control.NonFatal(e) =>
+      System.err.println(s"[bench] could not write $outPath: ${e.getMessage}") }
     spark.stop()
   }
 }

@@ -320,36 +320,85 @@ object GraftStore {
     * skipping, estimateStatistics, metadata aggregates, DML base reads,
     * the catalog) funnels through [[readManifestFile]], and a busy
     * session re-reads the SAME immutable snapshot many times per query.
-    * Snapshot files (`_manifest.v<n>`) never change once claimed and
-    * the pointer is only ever atomically replaced, so (path, mtime,
-    * size) identifies content; any rewrite lands a fresh mtime/size and
-    * simply misses. Driver-side only, 64 entries — at 10^6-line
-    * manifests this turns the per-query metadata fold from re-parse
+    * Only IMMUTABLE content is ever cached, keyed by the snapshot file's
+    * identity `dir/_manifest.v<n>`: snapshot files never change once
+    * their version is claimed, and the POINTER (`_manifest`) is always a
+    * byte-for-byte copy of the snapshot its `!version=` header names
+    * (writeManifestAtomicAt links then moves the same tmp bytes;
+    * repointIfBehind copies a snapshot) — so a pointer read resolves its
+    * version with a two-line header scan (uncached, O(1) I/O) and serves
+    * the parse from the snapshot's cache slot. An mtime/size key would
+    * be wrong here: two commits inside one filesystem timestamp tick
+    * that produce equal-length manifests (metadata-only commits — only
+    * the version digit and ts change) would collide and serve readers a
+    * stale snapshot, breaking read-your-writes on coarse-mtime
+    * filesystems. Pre-versioning pointers (no `!version=`) parse
+    * uncached. Driver-side only, 64 entries — at 10^6-line manifests
+    * this turns the per-query metadata fold from re-parse
     * (O(lines × columns) string work) into a map hit. */
   private val manifestCache =
-    new java.util.LinkedHashMap[(String, java.nio.file.attribute.FileTime, Long),
-        Option[(StructType, Seq[FileEntry])]](64, 0.75f, true) {
+    new java.util.LinkedHashMap[String, Option[(StructType, Seq[FileEntry])]](
+        64, 0.75f, true) {
       override def removeEldestEntry(
-          e: java.util.Map.Entry[(String, java.nio.file.attribute.FileTime, Long),
-            Option[(StructType, Seq[FileEntry])]]): Boolean = size() > 64
+          e: java.util.Map.Entry[String, Option[(StructType, Seq[FileEntry])]])
+          : Boolean = size() > 64
     }
+
+  /** `!version=` from the file's header lines — a two-line read, never a
+    * full parse (the version header is always the line after the schema
+    * DDL). 0 = pre-versioning manifest or unreadable (raced delete). */
+  private def headerVersion(f: File): Long = {
+    val in = try new java.io.BufferedReader(new java.io.InputStreamReader(
+      new FileInputStream(f), StandardCharsets.UTF_8))
+    catch { case _: java.io.IOException => return 0L }
+    try {
+      var line = in.readLine() // schema DDL
+      line = in.readLine()
+      while (line != null && line.startsWith("!")) {
+        if (line.startsWith("!version=")) return line.stripPrefix("!version=").toLong
+        line = in.readLine()
+      }
+      0L
+    } catch { case _: java.io.IOException => 0L } finally in.close()
+  }
 
   private[graft] def readManifestFile(f: File): Option[(StructType, Seq[FileEntry])] = {
     if (!f.exists()) None
     else {
-      val key = try {
-        (f.getAbsolutePath,
-          Files.getLastModifiedTime(f.toPath), // ns-resolution where the FS has it
-          f.length())
-      } catch { case _: java.io.IOException => null } // raced deletion: parse uncached
+      val name = f.getName
+      // cache key = the IMMUTABLE snapshot identity this read resolves to
+      val key: String =
+        if (name.startsWith(ManifestName + ".v")) f.getAbsolutePath
+        else if (name == ManifestName) {
+          val v = headerVersion(f)
+          if (v > 0)
+            new File(f.getParentFile, s"$ManifestName.v$v").getAbsolutePath
+          else null // pre-versioning pointer: mutable content, parse uncached
+        } else null
       if (key != null) {
         val hit = manifestCache.synchronized(Option(manifestCache.get(key)))
         if (hit.isDefined) return hit.get
       }
-      val parsed = parseManifestBytes(
+      val bytes =
         try Files.readAllBytes(f.toPath)
-        catch { case _: java.io.IOException => return None }) // raced deletion
-      if (key != null) manifestCache.synchronized(manifestCache.put(key, parsed))
+        catch { case _: java.io.IOException => return None } // raced deletion
+      val parsed = parseManifestBytes(bytes)
+      if (key != null) {
+        // re-derive the version from the bytes actually read: the pointer
+        // may have been atomically replaced between the header scan and
+        // the full read — cache under the content's OWN version, never
+        // the stale key
+        val actual = new String(bytes, StandardCharsets.UTF_8).split('\n')
+          .find(_.startsWith("!version=")).map(_.stripPrefix("!version=").toLong)
+          .getOrElse(0L)
+        val actualKey =
+          if (name == ManifestName && actual > 0)
+            new File(f.getParentFile, s"$ManifestName.v$actual").getAbsolutePath
+          else if (name == ManifestName) null
+          else key
+        if (actualKey != null)
+          manifestCache.synchronized(manifestCache.put(actualKey, parsed))
+      }
       parsed
     }
   }
@@ -926,6 +975,15 @@ object GraftStore {
   case class PartDays(source: String) extends PartTerm {
     def render: String = s"days($source)"
   }
+  /** Hour-grain sibling of days (round 12, completing the Iceberg
+    * temporal transform family): epoch-micros floor-divided to hours.
+    * Monotone in the source like days, so the same rolling-write /
+    * stats-pruning story holds — a `ts >= H AND ts < H'` range prunes
+    * whole hour files from manifest micros bounds. Timestamp columns
+    * only (a date has no sub-day grain to expose). */
+  case class PartHours(source: String) extends PartTerm {
+    def render: String = s"hours($source)"
+  }
   case class PartTrunc(width: Int, source: String) extends PartTerm {
     def render: String = s"trunc($width,$source)"
   }
@@ -958,18 +1016,21 @@ object GraftStore {
   }
 
   private val DaysRe = """(?i)days\(\s*([^(),\s]+)\s*\)""".r
+  private val HoursRe = """(?i)hours\(\s*([^(),\s]+)\s*\)""".r
   private val TruncRe = """(?i)trunc\(\s*(\d+)\s*,\s*([^(),\s]+)\s*\)""".r
   private val BucketRe = """(?i)bucket\(\s*(\d+)\s*,\s*([^(),\s]+)\s*\)""".r
 
   private[graft] def partitionTermsOf(spec: Option[String]): Seq[PartTerm] =
     spec.toSeq.flatMap(splitTerms).map {
       case DaysRe(c) => PartDays(c)
+      case HoursRe(c) => PartHours(c)
       case TruncRe(w, c) => PartTrunc(w.toInt, c)
       case BucketRe(n, c) => PartBucket(n.toInt, c)
       case c =>
         require(!c.contains("(") && !c.contains(")"),
           s"unsupported partition transform term '$c' — supported: " +
-            "identity column, days(col), trunc(width,col), bucket(n,col)")
+            "identity column, days(col), hours(col), trunc(width,col), " +
+            "bucket(n,col)")
         PartIdentity(c)
     }
 
@@ -1007,9 +1068,14 @@ object GraftStore {
     val (baseV, latest) = readLatestVersioned(path)
     val (schema, entries) = latest.getOrElse(throw new IllegalArgumentException(
       s"no graft-store table at $path"))
-    partitionTermsOf(newCol).foreach(t =>
-      require(schema.fieldNames.contains(t.source),
-        s"partition column ${t.source} must be a top-level table column"))
+    validatePartitionTerms(schema, partitionTermsOf(newCol))
+    // commit FIRST, swap after: a ConflictException (or any commit
+    // failure) must leave the spec untouched — the swap is the effective
+    // change, and a reader between commit and swap merely sees the new
+    // version with the old spec, which is harmless (the spec is a
+    // write-layout hint; every read-side consumer re-proves from stats)
+    val v = writeManifestAtomic(path, baseV, schema, entries,
+      epoch = readEpoch(path), op = "evolve-partition")
     newCol match {
       case Some(c) =>
         val tmp = Paths.get(path, s".partition.tmp.${java.util.UUID.randomUUID()}")
@@ -1019,8 +1085,43 @@ object GraftStore {
       case None =>
         Files.deleteIfExists(Paths.get(path, PartitionFileName))
     }
-    writeManifestAtomic(path, baseV, schema, entries,
-      epoch = readEpoch(path), op = "evolve-partition")
+    v
+  }
+
+  /** Shared per-transform validation (create / evolve must agree):
+    * sources exist and are top-level, `days` needs a temporal column,
+    * `trunc` a string/int/long, `bucket` an int/long — the same checks
+    * [[GraftCatalog.createTable]] enforces, so an evolved spec can never
+    * smuggle in a term the create path would refuse (e.g. days over a
+    * long, which would throw at write time instead). */
+  private[graft] def validatePartitionTerms(schema: StructType,
+      terms: Seq[PartTerm]): Unit = {
+    import org.apache.spark.sql.types._
+    terms.foreach { t =>
+      require(schema.fieldNames.contains(t.source),
+        s"partition column ${t.source} must be a top-level table column")
+      val dt = schema.fields(schema.fieldIndex(t.source)).dataType
+      t match {
+        case PartIdentity(_) => ()
+        case PartDays(c) =>
+          require(dt == TimestampType || dt == TimestampNTZType || dt == DateType,
+            s"days($c) needs a timestamp/date column, got $dt")
+        case PartHours(c) =>
+          require(dt == TimestampType || dt == TimestampNTZType,
+            s"hours($c) needs a timestamp column, got $dt")
+        case PartTrunc(w, c) =>
+          require(dt == StringType || dt == IntegerType || dt == LongType,
+            s"trunc over $c needs a string/int/long column, got $dt")
+          require(w > 0, s"trunc width must be positive, got $w")
+        case PartBucket(n, c) =>
+          require(dt == IntegerType || dt == LongType,
+            s"bucket over $c needs an int/long column, got $dt")
+          require(n > 0, s"bucket count must be positive, got $n")
+      }
+    }
+    val sources = terms.map(_.source)
+    require(sources.distinct.size == sources.size,
+      s"duplicate partition source columns: ${sources.mkString(", ")}")
   }
 
   /** A change-feed read's schema: the data schema plus the two CDF
@@ -1553,6 +1654,7 @@ class GraftStoreTable(path: String, tableSchema: StructType,
     GraftStore.partitionTermsOf(partitionBy).map {
       case GraftStore.PartIdentity(c) => Expressions.identity(c)
       case GraftStore.PartDays(c) => Expressions.days(c)
+      case GraftStore.PartHours(c) => Expressions.hours(c)
       case GraftStore.PartTrunc(w, c) =>
         Expressions.apply("truncate",
           Expressions.literal(Int.box(w)), Expressions.column(c))
@@ -1994,7 +2096,12 @@ class GraftStorePartitionedWriter(path: String, schema: StructType,
   private val terms = rollOn.map(_._2).toArray
   private val dts = idxArr.map(schema.fields(_).dataType)
   private var current: GraftStoreDataWriter = null
-  private var lastVal: Seq[Any] = null
+  // reused per-row scratch for the derived tuple (hand-rolled compare —
+  // a boxed Seq + Seq.equals per row is allocation in the hottest write
+  // loop of every partitioned table); `lastVal` is allocated only when
+  // the tuple actually changes (≈ once per file)
+  private val scratch = new Array[Any](rollOn.length)
+  private var lastVal: Array[Any] = null
   private var started = false
   private var seq = 0
   private val done =
@@ -2010,17 +2117,22 @@ class GraftStorePartitionedWriter(path: String, schema: StructType,
     val i = idxArr(j)
     if (row.isNullAt(i)) return null
     terms(j) match {
-      case GraftStore.PartIdentity(_) => row.get(i, dts(j)) match {
-        // copy string keys out of the row's reused buffer before holding
-        case s: org.apache.spark.unsafe.types.UTF8String => s.clone()
-        case other => other
-      }
+      // raw value here (UTF8String may view the row's reused buffer —
+      // equality compares bytes, so the CHANGE CHECK is safe); the write
+      // loop clones string keys only when it actually retains a tuple
+      case GraftStore.PartIdentity(_) => row.get(i, dts(j))
       case GraftStore.PartDays(_) => dts(j) match {
         case TimestampType | TimestampNTZType =>
           Math.floorDiv(row.getLong(i), 86400000000L)
         case DateType => row.getInt(i) // already day grain
         case other => throw new IllegalStateException(
           s"days() over unsupported type $other")
+      }
+      case GraftStore.PartHours(_) => dts(j) match {
+        case TimestampType | TimestampNTZType =>
+          Math.floorDiv(row.getLong(i), 3600000000L)
+        case other => throw new IllegalStateException(
+          s"hours() over unsupported type $other")
       }
       case GraftStore.PartTrunc(w, _) => dts(j) match {
         case StringType => row.getUTF8String(i).substring(0, w).toString
@@ -2060,14 +2172,30 @@ class GraftStorePartitionedWriter(path: String, schema: StructType,
   override def write(row: InternalRow): Unit = {
     // a new file whenever the TUPLE of derived partition values changes
     // (the demanded clustering + ordering makes each combination
-    // contiguous)
-    val v: Seq[Any] = idxArr.indices.map(j => derived(j, row))
-    if (!started || v != lastVal) {
+    // contiguous); element-wise compare against the retained tuple —
+    // no per-row boxing beyond what derived() itself returns
+    var changed = !started
+    var j = 0
+    while (j < scratch.length) {
+      val d = derived(j, row)
+      scratch(j) = d
+      if (!changed) {
+        val prev = lastVal(j)
+        if (if (d == null) prev != null else d != prev) changed = true
+      }
+      j += 1
+    }
+    if (changed) {
       if (current != null) closeCurrent() // lastVal still = closing file's tuple
       current = new GraftStoreDataWriter(path, schema, partitionId, taskId,
         None, None, s"$prefix-p$seq.bin")
       seq += 1
-      lastVal = v
+      // retain a fresh array; string keys cloned OUT of the row's reused
+      // buffer only here (once per file, not once per row)
+      lastVal = Array.tabulate(scratch.length)(k => scratch(k) match {
+        case s: org.apache.spark.unsafe.types.UTF8String => s.clone()
+        case other => other
+      })
       started = true
     }
     current.write(row)
@@ -2520,13 +2648,35 @@ class GraftStoreScanBuilder(path: String, versionAsOf: Option[Long] = None,
             // Java wrap-add reproduces non-ANSI overflow exactly. A file
             // with values but no recorded sum (pre-sum manifest)
             // declines; an all-null file contributes nothing; every file
-            // all-null = SQL NULL.
+            // all-null = SQL NULL. ANSI mode (Spark 4's default) is the
+            // subtle case: a real scan THROWS on accumulator overflow
+            // where the wrap-add fold silently returns the wrapped value
+            // — and per-file partials are wrap-recorded, so a mere
+            // addExact over them can't reconstruct ANSI behavior (a
+            // file-internal wrap is invisible). Sound gate: from stats,
+            // bound EVERY possible partial sum by Σ_f nonnull_f ×
+            // max(|min_f|, |max_f|); if that fits in int64, no
+            // accumulation order (Spark's included) can overflow, the
+            // recorded partials never wrapped, and the fold is exactly
+            // the value an ANSI scan returns. Otherwise decline under
+            // ANSI — conservative, never wrong.
             field(sm.column).flatMap { col =>
               val dtOk = statType(col).exists(dt =>
                 dt == IntegerType || dt == LongType)
               def usable(e: GraftStore.FileEntry) = e.stats.get(col).exists(st =>
                 st.sum.nonEmpty || (e.rows >= 0 && st.nulls == e.rows))
-              if (dtOk && group.forall(usable)) {
+              val ansiOk = !org.apache.spark.sql.internal.SQLConf.get.ansiEnabled || {
+                val bound = group.foldLeft(BigInt(0)) { (acc, e) =>
+                  e.stats.get(col) match {
+                    case Some(st) if st.min.nonEmpty && st.nulls >= 0 =>
+                      acc + BigInt(e.rows - st.nulls) *
+                        BigInt(st.min.toLong).abs.max(BigInt(st.max.toLong).abs)
+                    case _ => acc // all-null or absent: contributes nothing
+                  }
+                }
+                bound <= BigInt(Long.MaxValue)
+              }
+              if (dtOk && ansiOk && group.forall(usable)) {
                 val parts = group.flatMap(e =>
                   e.stats(col).sum match { case "" => None; case s0 => Some(s0.toLong) })
                 Some((LongType: DataType,

@@ -335,6 +335,30 @@ class GraftStoreSpec extends SparkSuite {
     assert(sumAgg.collect()(0).getLong(0) == (0L until 900L).sum)
   }
 
+  test("ANSI mode: metadata SUM declines when stats cannot rule out overflow") {
+    import spark.implicits._
+    assert(spark.conf.get("spark.sql.ansi.enabled") == "true",
+      "suite assumes Spark 4's ANSI default")
+    // near-Long.MaxValue values: Σ nonnull × max|value| exceeds int64, so
+    // no accumulation-order-free overflow proof exists — a real ANSI scan
+    // might throw ARITHMETIC_OVERFLOW, the wrap-fold must not answer
+    val hot = tempTable()
+    writeDf(spark.range(0, 8, 1, 2)
+      .select(($"id" + Long.MaxValue / 4).as("v")), hot)
+    val hotAgg = readBack(hot).agg(sum($"v").as("s"))
+    assert(!hotAgg.queryExecution.executedPlan.toString.contains("metadata-only"),
+      "overflow-capable ANSI sum must not claim the metadata answer")
+    // bounded values still answer: the stats bound proves every partial
+    // sum fits, so the fold equals the ANSI scan exactly
+    val cool = tempTable()
+    writeDf(spark.range(0, 1000, 1, 4).select($"id".as("v")), cool)
+    Option(new File(cool, "data").listFiles()).get.foreach(_.delete())
+    val coolAgg = readBack(cool).agg(sum($"v").as("s"))
+    assert(coolAgg.queryExecution.executedPlan.toString.contains("metadata-only aggregate"),
+      "bounded ANSI sum must still answer from metadata")
+    assert(coolAgg.collect()(0).getLong(0) == (0L until 1000L).sum)
+  }
+
   test("count/min/max answered from manifest metadata alone (zero data I/O)") {
     import spark.implicits._
     val path = tempTable()
@@ -1002,11 +1026,11 @@ class GraftStoreSpec extends SparkSuite {
       "partition delete after DML must still drop whole files")
     // multi-column identity specs (PartitionEvolutionSpec), monotone
     // transforms and bucket (TransformPartitionSpec) are supported as of
-    // round 11; anything else is still refused loudly
+    // round 11, hours since round 12; anything else is still refused loudly
     val e1 = intercept[Exception] {
-      s2.sql("CREATE TABLE gpart.bad (a BIGINT, ts TIMESTAMP) PARTITIONED BY (hours(ts))")
+      s2.sql("CREATE TABLE gpart.bad (a BIGINT, ts TIMESTAMP) PARTITIONED BY (years(ts))")
     }
-    assert(e1.getMessage.contains("identity, days, truncate and bucket"))
+    assert(e1.getMessage.contains("identity, days, hours, truncate and bucket"))
     // streaming writes can't keep the rolling contract: refused loudly
     val e2 = intercept[Exception] {
       spark.readStream.format("graft.sources.SynthSource")
@@ -1368,5 +1392,29 @@ class GraftStoreSpec extends SparkSuite {
     assert(c.getMessage.contains("fast-forward"))
     assert(readBack(main).filter($"src" === "y").count() == 0,
       "conflicted publish leaked staged rows")
+  }
+
+  test("manifest cache: equal-length same-mtime pointer rewrites never serve stale snapshots") {
+    import org.apache.spark.sql.types.StructType
+    val path = tempTable()
+    val schema = StructType.fromDDL("a BIGINT")
+    // v1 and v2 list different (equal-name-length) files — the shape of
+    // two metadata-only commits landing inside one filesystem timestamp
+    // tick with byte-equal lengths, which an (mtime, size) cache key
+    // cannot tell apart
+    GraftStore.writeManifestAtomicAt(path, 1, schema,
+      Seq(GraftStore.FileEntry("data/f1.bin", 1, Map.empty)))
+    assert(GraftStore.readManifest(path).get._2.map(_.file) == Seq("data/f1.bin"))
+    val ptr = java.nio.file.Paths.get(path, "_manifest")
+    val t1 = java.nio.file.Files.getLastModifiedTime(ptr)
+    GraftStore.writeManifestAtomicAt(path, 2, schema,
+      Seq(GraftStore.FileEntry("data/f2.bin", 1, Map.empty)))
+    // force the collision: pin the pointer's mtime back to v1's (the
+    // !ts= headers are both 13-digit millis, so sizes already match
+    // whenever the version digit width does)
+    java.nio.file.Files.setLastModifiedTime(ptr, t1)
+    assert(GraftStore.readManifest(path).get._2.map(_.file) == Seq("data/f2.bin"),
+      "pointer read served a stale snapshot — read-your-writes broken")
+    assert(GraftStore.readVersion(path) == 2L)
   }
 }

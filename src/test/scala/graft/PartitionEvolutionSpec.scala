@@ -173,4 +173,28 @@ class PartitionEvolutionSpec extends SparkSuite {
     assert(feed.count() == 0, "a pure spec swap must emit no row changes")
     assert(GraftStore.readOpOf(new File(path, s"_manifest.v$v2")) == "evolve-partition")
   }
+
+  test("evolve validates transforms like create, and a conflict leaves the spec untouched") {
+    val path = freshTable()
+    // the create-path type checks apply to evolve too: days over a long
+    // would otherwise throw at WRITE time, far from the spec change
+    val e1 = intercept[IllegalArgumentException] {
+      GraftStore.evolvePartitionBy(path, Some("days(id)"))
+    }
+    assert(e1.getMessage.contains("timestamp"), e1.getMessage)
+    val e2 = intercept[IllegalArgumentException] {
+      GraftStore.evolvePartitionBy(path, Some("trunc(0,id)"))
+    }
+    assert(e2.getMessage.contains("positive"), e2.getMessage)
+    assert(GraftStore.readPartitionBy(path).contains("pri"),
+      "a refused evolve must not have swapped the spec")
+    // hours over a timestampless table column: same create-path refusal
+    val e3 = intercept[IllegalArgumentException] {
+      GraftStore.evolvePartitionBy(path, Some("hours(bkt)"))
+    }
+    assert(e3.getMessage.contains("timestamp"), e3.getMessage)
+    assert(GraftStore.readPartitionBy(path).contains("pri"),
+      "every refused evolve must leave the partition spec unchanged " +
+        "(the swap happens only after the commit succeeds)")
+  }
 }

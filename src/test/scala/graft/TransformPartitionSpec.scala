@@ -297,13 +297,52 @@ class TransformPartitionSpec extends SparkSuite {
     s2.conf.set("spark.sql.catalog.gtr", "graft.sources.GraftCatalog")
     s2.conf.set("spark.sql.catalog.gtr.root", root)
     s2.sql("SELECT timestamp_seconds(0) AS ts").createOrReplaceTempView("ref_src")
-    val ex = intercept[Exception] {
-      s2.sql("CREATE TABLE gtr.t PARTITIONED BY (hours(ts)) AS SELECT ts FROM ref_src")
-    }
     def msgs(t: Throwable): Seq[String] =
       if (t == null) Seq.empty else Option(t.getMessage).toSeq ++ msgs(t.getCause)
-    assert(msgs(ex).exists(m => m.contains("hours")),
+    // years() stays unsupported (no manifest story for calendar-variable
+    // grains); hours() over a non-timestamp is a TYPE refusal
+    val ex = intercept[Exception] {
+      s2.sql("CREATE TABLE gtr.t PARTITIONED BY (years(ts)) AS SELECT ts FROM ref_src")
+    }
+    assert(msgs(ex).exists(m => m.contains("years")),
       s"refusal must name the transform: ${msgs(ex)}")
+    s2.sql("SELECT 1L AS v").createOrReplaceTempView("ref_long")
+    val ex2 = intercept[Exception] {
+      s2.sql("CREATE TABLE gtr.t2 PARTITIONED BY (hours(v)) AS SELECT v FROM ref_long")
+    }
+    assert(msgs(ex2).exists(m => m.contains("timestamp")),
+      s"hours over a long must be a type refusal: ${msgs(ex2)}")
+  }
+
+  test("hours(ts): files roll per hour and hour ranges prune from micros bounds") {
+    import spark.implicits._
+    val root = graft.ops.Util.managedTempDir("graft_tpart_hr_")
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.catalog.gth", "graft.sources.GraftCatalog")
+    s2.conf.set("spark.sql.catalog.gth.root", root)
+    // 8 hours × 12 events, minute grain, single ordered slice
+    s2.range(0, 8 * 12, 1, 1)
+      .selectExpr("timestamp_seconds(1704067200 + id * 300) AS ts", "id AS v")
+      .createOrReplaceTempView("hr_src")
+    s2.sql("CREATE TABLE gth.t PARTITIONED BY (hours(ts)) AS SELECT * FROM hr_src")
+    val path = s"$root/t"
+    val es = GraftStore.readManifest(path).get._2
+    assert(es.size == 8, s"expected one file per hour, got ${es.size}")
+    es.foreach { e =>
+      val st = e.stats("ts")
+      assert(Math.floorDiv(st.min.toLong, 3600000000L) ==
+        Math.floorDiv(st.max.toLong, 3600000000L),
+        s"${e.file} straddles hours: [${st.min}, ${st.max}]")
+    }
+    // a one-hour range reads exactly one file (planning-time skip) and
+    // returns exactly that hour's rows
+    val scan = spark.read.format("graft.sources.GraftStore")
+      .option("path", path).load()
+      .filter($"ts" >= lit("2024-01-01 02:00:00").cast("timestamp") &&
+        $"ts" < lit("2024-01-01 03:00:00").cast("timestamp"))
+    assert(scan.count() == 12)
+    val desc = scan.queryExecution.executedPlan.toString
+    assert(desc.contains("files=1/8"), s"hour range must plan 1 file:\n$desc")
   }
 
   test("temporal stats survive compaction merge and stay pruning-exact") {
