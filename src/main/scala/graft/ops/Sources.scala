@@ -1597,9 +1597,8 @@ object Sources {
     * (plain appends), the key is a double (NaN equality buys nothing),
     * a filter is pushed, or any file carries a deletion vector.
     * Zero-data-I/O + decline-on-straddle pinned in GraftStoreSpec. */
-  val qStoreMetaaggGroup: Q = (s, dir) => {
-    import s.implicits._
-    val path = metaGroupWritten.computeIfAbsent(s"${Util.sessionKey(s)}:$dir", _ => {
+  private def metaGroupPath(s: org.apache.spark.sql.SparkSession, dir: String): String =
+    metaGroupWritten.computeIfAbsent(s"${Util.sessionKey(s)}:$dir", _ => {
       val s2 = s.newSession()
       val root = Util.managedTempDir("graft_magrp_")
       s2.conf.set("spark.sql.catalog.graftmg", "graft.sources.GraftCatalog")
@@ -1612,12 +1611,40 @@ object Sources {
           |FROM ord_mg""".stripMargin)
       s"$root/g"
     })
+
+  val qStoreMetaaggGroup: Q = (s, dir) => {
+    import s.implicits._
+    val path = metaGroupPath(s, dir)
     s.read.format("graft.sources.GraftStore").option("path", path).load()
       .groupBy($"pri")
       .agg(count(lit(1)).as("n_rows"), count($"o_custkey").as("n_cust"),
         min($"o_orderkey").as("min_key"), max($"o_orderkey").as("max_key"),
         sum($"o_orderkey").as("sum_key"))
       .orderBy($"pri")
+  }
+
+  /** FILTERED metadata-only aggregates (round 12) — the remaining gap in
+    * the metadata-answer family: `COUNT/SUM/MIN/MAX WHERE pri = 2` on a
+    * pri-partitioned table is as answerable as the unfiltered form,
+    * because the rolling write makes every file single-valued on `pri`
+    * and so every file DECIDES the predicate (AllRows or NoRows, never
+    * straddling). The scan builder accepts such filters completely
+    * (pinning the snapshot the decision was read from), which is what
+    * lets Spark push the aggregate at all, and the answer folds over
+    * exactly the AllRows files. The everyday 100 TB shape: "how many
+    * rows landed for segment X" costs one manifest read, zero data I/O
+    * (GraftStoreSpec deletes the data files and still answers). A
+    * predicate any file straddles declines at acceptance time and the
+    * ordinary scan + residual filter plans instead — conservative,
+    * never wrong. */
+  val qStoreMetaaggFiltered: Q = (s, dir) => {
+    import s.implicits._
+    val path = metaGroupPath(s, dir)
+    s.read.format("graft.sources.GraftStore").option("path", path).load()
+      .filter($"pri" === 2)
+      .agg(count(lit(1)).as("n_rows"), count($"o_custkey").as("n_cust"),
+        min($"o_orderkey").as("min_key"), max($"o_orderkey").as("max_key"),
+        sum($"o_orderkey").as("sum_key"))
   }
 
   /** DML-query catalog roots, keyed by (session UUID, fixture dir, tag).
@@ -2330,6 +2357,7 @@ object Sources {
     "q_store_bloomskip" -> qStoreBloomskip,
     "q_store_metaagg" -> qStoreMetaagg,
     "q_store_metaagg_group" -> qStoreMetaaggGroup,
+    "q_store_metaagg_filtered" -> qStoreMetaaggFiltered,
     "q_store_merge" -> qStoreMerge,
     "q_store_scd2" -> qStoreScd2,
     "q_store_dml" -> qStoreDml,
@@ -2595,6 +2623,15 @@ object Sources {
         | CAST(max(o_orderkey) AS BIGINT) AS max_key,
         | CAST(sum(o_orderkey) AS BIGINT) AS sum_key
         |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+    // the filtered metadata answer recomputed the ordinary way from
+    // source parquet — complete filter acceptance must be invisible
+    "q_store_metaagg_filtered" ->
+      """SELECT count(*) AS n_rows, count(o_custkey) AS n_cust,
+        | CAST(min(o_orderkey) AS BIGINT) AS min_key,
+        | CAST(max(o_orderkey) AS BIGINT) AS max_key,
+        | CAST(sum(o_orderkey) AS BIGINT) AS sum_key
+        |FROM orders
+        |WHERE CAST(substring(o_orderpriority, 1, 1) AS INT) = 2""".stripMargin,
     // the full SCD2 history reconstructed relationally from the two
     // batch definitions: v1 rows (closed at 2 iff changed), v2 rows for
     // changed keys (+100), v2 rows for brand-new keys

@@ -1790,7 +1790,7 @@ class GraftStoreRowLevelOperation(path: String,
     Array(Expressions.column("_file"))
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new GraftStoreScanBuilder(path) {
+    new GraftStoreScanBuilder(path, allowCompleteFilters = false) {
       override def build(): Scan = {
         val s = super.build().asInstanceOf[GraftStoreScan]
         configuredScan = Some(s)
@@ -2510,7 +2510,8 @@ class GraftStoreDataWriter(path: String, schema: StructType, partitionId: Int,
 
 class GraftStoreScanBuilder(path: String, versionAsOf: Option[Long] = None,
     fromVersion: Option[Long] = None,
-    onlyFiles: Option[Set[String]] = None)
+    onlyFiles: Option[Set[String]] = None,
+    allowCompleteFilters: Boolean = true)
     extends ScanBuilder
     with org.apache.spark.sql.connector.read.SupportsPushDownFilters
     with org.apache.spark.sql.connector.read.SupportsPushDownAggregates
@@ -2520,6 +2521,8 @@ class GraftStoreScanBuilder(path: String, versionAsOf: Option[Long] = None,
   import org.apache.spark.sql.connector.expressions.aggregate.{AggregateFunc, Aggregation, Count, CountStar, Max, Min, Sum}
   import org.apache.spark.sql.types.{DataType, DoubleType, IntegerType, LongType}
   private var pushed = Array.empty[Filter]
+  private var residual = Array.empty[Filter]
+  private var pinnedVersion: Option[Long] = None
   private var metaAgg: Option[(StructType, Seq[Array[Any]])] = None
   private var withFileCol = false
   private var withPosCol = false
@@ -2534,13 +2537,66 @@ class GraftStoreScanBuilder(path: String, versionAsOf: Option[Long] = None,
     withPosCol = required.fieldNames.contains("_pos")
   }
 
-  /** Every filter is kept as a RESIDUAL for Spark to evaluate row-by-row
-    * — the pushed copy only feeds manifest-stats FILE SKIPPING (exactly
-    * parquet's min/max semantics: stats prune containers, they never
-    * replace row filtering). */
+  /** By default every filter is kept as a RESIDUAL for Spark to evaluate
+    * row-by-row — the pushed copy only feeds manifest-stats FILE
+    * SKIPPING (exactly parquet's min/max semantics: stats prune
+    * containers, they never replace row filtering).
+    *
+    * COMPLETE acceptance (round 12): a filter that every manifest entry
+    * DECIDES under the tri-state evaluator (AllRows or NoRows, never
+    * Unknown — the partition-predicate shape: `pri = 2` on a table whose
+    * rolling writes single-value `pri` per file) is consumed entirely:
+    * NoRows files are skipped at planning, AllRows files pass every live
+    * row, so no residual evaluation exists to run. That is what makes a
+    * FILTERED metadata-only aggregate reachable — Spark only attempts
+    * aggregate pushdown when nothing remains between the aggregate and
+    * the scan, so `COUNT(*) WHERE pri = 2` on a partitioned 100 TB table
+    * becomes one manifest read instead of a scan of the partition. The
+    * acceptance decision and the scan must see the SAME snapshot (a
+    * commit racing between them could turn a decided file into a
+    * straddling one), so accepting pins the scan to the version the
+    * decision read; unversioned (pre-versioning) tables never accept.
+    * Row-level operations pass `allowCompleteFilters = false`: their
+    * scan feeds a rewrite whose matched-row discovery and survivor
+    * recomputation assume residual filters stay in the plan. */
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     pushed = filters
-    filters
+    residual = filters
+    if (!allowCompleteFilters || filters.isEmpty ||
+        fromVersion.isDefined || onlyFiles.isDefined) return residual
+    val observed: Option[(Long, StructType, Seq[GraftStore.FileEntry])] =
+      try versionAsOf match {
+        case Some(v) =>
+          val (sch, es) = GraftStore.selectEntries(path, Some(v), None)
+          Some((v, sch, es))
+        case None =>
+          val (v, latest) = GraftStore.readLatestVersioned(path)
+          latest.map { case (sch, es) => (v, sch, es) }
+      } catch { case _: Exception => None }
+    observed match {
+      case Some((v, sch, entries)) if v > 0 =>
+        def tris(f: Filter) = entries.map(e =>
+          GraftStore.StatsPruning.evalAll(Seq(f), e, sch))
+        val decided = filters.filter(f =>
+          !tris(f).contains(GraftStore.StatsPruning.Unknown))
+        // accept only when some decided filter actually PRUNES (has a
+        // NoRows file): a trivially-true filter (the inferred IsNotNull
+        // under every join) costs nothing as a residual, and consuming
+        // it would needlessly pin the scan — disqualifying MV rewrite
+        // on every join over this table. Once a pruning filter pins the
+        // snapshot, its trivially-true companions ride along (Spark only
+        // attempts aggregate pushdown when NOTHING remains between
+        // aggregate and scan, and `WHERE pri = 2` always arrives as
+        // EqualTo + inferred IsNotNull).
+        val worthIt = decided.exists(f =>
+          tris(f).contains(GraftStore.StatsPruning.NoRows))
+        if (worthIt) {
+          residual = filters.filterNot(decided.contains)
+          if (versionAsOf.isEmpty) pinnedVersion = Some(v)
+        }
+      case _ => ()
+    }
+    residual
   }
   override def pushedFilters(): Array[Filter] = pushed
 
@@ -2565,15 +2621,29 @@ class GraftStoreScanBuilder(path: String, versionAsOf: Option[Long] = None,
     }
 
   private def tryAnswer(a: Aggregation): Option[(StructType, Seq[Array[Any]])] = {
-    if (pushed.nonEmpty || onlyFiles.isDefined) return None
-    val (schema, entries) = try GraftStore.selectEntries(path, versionAsOf, fromVersion)
+    // accepted (completely-consumed) filters are compatible with a
+    // metadata answer — the answer folds over exactly the AllRows files;
+    // any RESIDUAL filter is not (stats describe whole files, residuals
+    // filter rows)
+    if (residual.nonEmpty || onlyFiles.isDefined) return None
+    val (schema, allEntries) = try GraftStore.selectEntries(path,
+      versionAsOf.orElse(pinnedVersion), fromVersion)
       catch { case _: Exception => return None }
     // a delete-vectored file's min/max may no longer be attained (the
     // extreme row may be deleted) and its null counts are unknown (-1):
     // COUNT(*) from live `rows` would still be exact, but refusing the
     // whole pushdown keeps the invariant simple — purgeDeletes restores
     // metadata-only answers
-    if (entries.exists(_.dv.nonEmpty)) return None
+    if (allEntries.exists(_.dv.nonEmpty)) return None
+    // restrict to the files the accepted filters keep (AllRows); every
+    // entry must still be DECIDED against this snapshot — an Unknown
+    // here means the manifest changed since acceptance, decline
+    val tri = allEntries.map(e =>
+      GraftStore.StatsPruning.evalAll(pushed.toSeq, e, schema))
+    if (tri.contains(GraftStore.StatsPruning.Unknown)) return None
+    val entries = allEntries.zip(tri).collect {
+      case (e, GraftStore.StatsPruning.AllRows) => e
+    }
     def statType(c: String): Option[DataType] =
       schema.fields.find(_.name == c).map(_.dataType).filter(dt =>
         dt == IntegerType || dt == LongType || dt == DoubleType ||
@@ -2733,8 +2803,8 @@ class GraftStoreScanBuilder(path: String, versionAsOf: Option[Long] = None,
     }
 
   override def build(): Scan =
-    new GraftStoreScan(path, pushed, versionAsOf, fromVersion, metaAgg,
-      withFileCol, withPosCol, onlyFiles)
+    new GraftStoreScan(path, pushed, versionAsOf.orElse(pinnedVersion),
+      fromVersion, metaAgg, withFileCol, withPosCol, onlyFiles)
 }
 
 class GraftStoreScan(path: String,

@@ -359,6 +359,45 @@ class GraftStoreSpec extends SparkSuite {
     assert(coolAgg.collect()(0).getLong(0) == (0L until 1000L).sum)
   }
 
+  test("FILTERED metadata aggregate: partition predicates every file decides answer from manifest lines") {
+    import spark.implicits._
+    val root = graft.ops.Util.managedTempDir("graft_mafil_spec_")
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.catalog.gmf", "graft.sources.GraftCatalog")
+    s2.conf.set("spark.sql.catalog.gmf.root", root)
+    s2.range(0, 900).select($"id", ($"id" % 3).as("g"),
+      when($"id" % 9 === 0, lit(null)).otherwise($"id" * 2).as("v"))
+      .createOrReplaceTempView("mafil_src")
+    s2.sql("CREATE TABLE gmf.t PARTITIONED BY (g) AS SELECT * FROM mafil_src")
+    val path = s"$root/t"
+    // zero-data-I/O proof: destroy every data file — only a manifest fold
+    // can still answer
+    Option(new File(path, "data").listFiles()).get.foreach(_.delete())
+    def readT = spark.read.format("graft.sources.GraftStore")
+      .option("path", path).load()
+    val agg = readT.filter($"g" === 1)
+      .agg(expr("count(*)").as("n"), count($"v").as("nv"),
+        min($"id").as("mn"), max($"id").as("mx"), sum($"id").as("sm"))
+    assert(agg.queryExecution.executedPlan.toString.contains("metadata-only aggregate"),
+      s"filtered aggregate not metadata-answered:\n${agg.queryExecution.executedPlan}")
+    val r = agg.collect()(0)
+    val ids = (0L until 900L).filter(_ % 3 == 1)
+    assert(r.getLong(0) == ids.size && r.getLong(1) == ids.count(_ % 9 != 0))
+    assert(r.getLong(2) == ids.min && r.getLong(3) == ids.max &&
+      r.getLong(4) == ids.sum)
+    // IN-list partition predicates decide the same way
+    val in = readT.filter($"g".isin(0, 2)).agg(expr("count(*)").as("n"))
+    assert(in.queryExecution.executedPlan.toString.contains("metadata-only aggregate"))
+    assert(in.collect()(0).getLong(0) == (0L until 900L).count(_ % 3 != 1))
+    // a predicate some file straddles (id ranges overlap the cut) must
+    // DECLINE acceptance — the plan keeps the residual filter and reads
+    // data (which we deleted, so only the plan shape is checked)
+    val straddle = readT.filter($"id" >= 450)
+      .agg(expr("count(*)").as("n"))
+    assert(!straddle.queryExecution.executedPlan.toString.contains("metadata-only"),
+      "straddling predicate must not claim the metadata answer")
+  }
+
   test("count/min/max answered from manifest metadata alone (zero data I/O)") {
     import spark.implicits._
     val path = tempTable()
