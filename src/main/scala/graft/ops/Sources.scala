@@ -772,6 +772,54 @@ object Sources {
       .orderBy($"pri")
   }
 
+  private val spjMultiWritten = new java.util.concurrent.ConcurrentHashMap[String, String]
+
+  /** MULTI-COLUMN STORAGE-PARTITIONED JOIN (round 12) — q_store_spj on a
+    * TWO-column identity layout: fact and per-cell rollup both
+    * `PARTITIONED BY (pri, rgn)`, each scan re-proves every selected
+    * file single-valued on BOTH columns and reports
+    * KeyGroupedPartitioning over the full identity prefix, so the join
+    * keyed on (pri, rgn) plans with ZERO exchange on either side — the
+    * Iceberg multi-transform SPJ shape. This is the day × tenant layout
+    * every multi-dimension 100 TB table uses: the expensive two-key
+    * hash-repartition of both inputs was paid once at write time and
+    * every later co-layout join rides free. A join keyed on the leading
+    * column only degrades to a shuffled plan (subset-key SPJ is an
+    * explicit Spark opt-in), never a wrong one — pinned alongside the
+    * zero-exchange proof in PlanShapeSpec. */
+  val qStoreSpjMulti: Q = (s, dir) => {
+    val s2 = s.newSession()
+    s2.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    import s2.implicits._
+    val root = spjMultiWritten.computeIfAbsent(s"${Util.sessionKey(s)}:$dir", _ => {
+      val r = Util.managedTempDir("graft_spjm_")
+      val sc = s.newSession()
+      sc.conf.set("spark.sql.catalog.gspjm", "graft.sources.GraftCatalog")
+      sc.conf.set("spark.sql.catalog.gspjm.root", r)
+      table(sc, dir, "orders").createOrReplaceTempView("spjm_orders")
+      sc.sql(
+        """CREATE TABLE gspjm.o PARTITIONED BY (pri, rgn) AS
+          |SELECT o_orderkey, o_totalprice,
+          |  CAST(substring(o_orderpriority, 1, 1) AS INT) AS pri,
+          |  o_custkey % 4 AS rgn
+          |FROM spjm_orders""".stripMargin)
+      sc.sql(
+        """CREATE TABLE gspjm.r PARTITIONED BY (pri, rgn) AS
+          |SELECT CAST(substring(o_orderpriority, 1, 1) AS INT) AS pri,
+          |  o_custkey % 4 AS rgn, count(*) AS cell_orders
+          |FROM spjm_orders GROUP BY 1, 2""".stripMargin)
+      r
+    })
+    val o = s2.read.format("graft.sources.GraftStore").option("path", s"$root/o").load()
+    val r = s2.read.format("graft.sources.GraftStore").option("path", s"$root/r").load()
+    o.join(r, Seq("pri", "rgn"))
+      .groupBy($"pri")
+      .agg(count(lit(1)).as("n_rows"), sum($"o_orderkey").as("sum_key"),
+        sum($"cell_orders").as("sum_cell"), dsum($"o_totalprice").as("sum_price"))
+      .orderBy($"pri")
+  }
+
   /** Timestamp-travel table dirs already written this JVM. */
   private val tsTravelWritten = new java.util.concurrent.ConcurrentHashMap[String, String]
 
@@ -2378,6 +2426,7 @@ object Sources {
     "q_store_restore" -> qStoreRestore,
     "q_store_timetravel_ts" -> qStoreTimetravelTs,
     "q_store_spj" -> qStoreSpj,
+    "q_store_spj_multi" -> qStoreSpjMulti,
     "q_store_vacuum" -> qStoreVacuum,
     "q_store_clone" -> qStoreClone,
     "q_store_dv" -> qStoreDv,
@@ -2457,6 +2506,19 @@ object Sources {
         | CAST(sum(n_orders) AS BIGINT) AS sum_cust_orders,
         | CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
         |FROM o JOIN c USING (pri, o_custkey)
+        |GROUP BY pri ORDER BY pri""".stripMargin,
+    // the two-key co-partitioned join replayed from source parquet
+    "q_store_spj_multi" ->
+      """WITH o AS (SELECT o_orderkey, o_totalprice,
+        |  CAST(substring(o_orderpriority, 1, 1) AS INT) AS pri,
+        |  o_custkey % 4 AS rgn FROM orders),
+        |r AS (SELECT pri, rgn, count(*) AS cell_orders
+        |      FROM o GROUP BY pri, rgn)
+        |SELECT pri, count(*) AS n_rows,
+        | CAST(sum(o_orderkey) AS BIGINT) AS sum_key,
+        | CAST(sum(cell_orders) AS BIGINT) AS sum_cell,
+        | CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+        |FROM o JOIN r USING (pri, rgn)
         |GROUP BY pri ORDER BY pri""".stripMargin,
     // AS OF v1's commit instant, the read must be exactly slice A
     "q_store_timetravel_ts" ->

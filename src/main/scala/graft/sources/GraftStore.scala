@@ -320,21 +320,19 @@ object GraftStore {
     * skipping, estimateStatistics, metadata aggregates, DML base reads,
     * the catalog) funnels through [[readManifestFile]], and a busy
     * session re-reads the SAME immutable snapshot many times per query.
-    * Only IMMUTABLE content is ever cached, keyed by the snapshot file's
-    * identity `dir/_manifest.v<n>`: snapshot files never change once
-    * their version is claimed, and the POINTER (`_manifest`) is always a
-    * byte-for-byte copy of the snapshot its `!version=` header names
-    * (writeManifestAtomicAt links then moves the same tmp bytes;
-    * repointIfBehind copies a snapshot) — so a pointer read resolves its
-    * version with a two-line header scan (uncached, O(1) I/O) and serves
-    * the parse from the snapshot's cache slot. An mtime/size key would
-    * be wrong here: two commits inside one filesystem timestamp tick
-    * that produce equal-length manifests (metadata-only commits — only
-    * the version digit and ts change) would collide and serve readers a
-    * stale snapshot, breaking read-your-writes on coarse-mtime
-    * filesystems. Pre-versioning pointers (no `!version=`) parse
-    * uncached. Driver-side only, 64 entries — at 10^6-line manifests
-    * this turns the per-query metadata fold from re-parse
+    * The cache key is the manifest's `!uid=` header — a UUID stamped by
+    * every manifest write, i.e. the CONTENT's own identity. Nothing
+    * stat-derived can be sound here: an (mtime, size) key collides when
+    * two commits inside one filesystem timestamp tick produce
+    * equal-length manifests (metadata-only commits — only the version
+    * digit and ts change), and a (path, version) key collides when a
+    * table is dropped and recreated in the same directory (versions
+    * restart at 1, `_manifest.v1` gets REWRITTEN) — both serve readers
+    * a stale snapshot, breaking read-your-writes. The uid is resolved
+    * with a three-line header scan (uncached, O(1) I/O); manifests
+    * written before uid stamping parse uncached — correct, merely
+    * unaccelerated. Driver-side only, 64 entries — at 10^6-line
+    * manifests this turns the per-query metadata fold from re-parse
     * (O(lines × columns) string work) into a map hit. */
   private val manifestCache =
     new java.util.LinkedHashMap[String, Option[(StructType, Seq[FileEntry])]](
@@ -344,61 +342,46 @@ object GraftStore {
           : Boolean = size() > 64
     }
 
-  /** `!version=` from the file's header lines — a two-line read, never a
-    * full parse (the version header is always the line after the schema
-    * DDL). 0 = pre-versioning manifest or unreadable (raced delete). */
-  private def headerVersion(f: File): Long = {
+  /** `!uid=` from the file's header lines — a three-line read, never a
+    * full parse (headers directly follow the schema DDL line). Empty =
+    * pre-uid manifest or unreadable (raced delete). */
+  private def headerUid(f: File): String = {
     val in = try new java.io.BufferedReader(new java.io.InputStreamReader(
       new FileInputStream(f), StandardCharsets.UTF_8))
-    catch { case _: java.io.IOException => return 0L }
+    catch { case _: java.io.IOException => return "" }
     try {
       var line = in.readLine() // schema DDL
       line = in.readLine()
       while (line != null && line.startsWith("!")) {
-        if (line.startsWith("!version=")) return line.stripPrefix("!version=").toLong
+        if (line.startsWith("!uid=")) return line.stripPrefix("!uid=")
         line = in.readLine()
       }
-      0L
-    } catch { case _: java.io.IOException => 0L } finally in.close()
+      ""
+    } catch { case _: java.io.IOException => "" } finally in.close()
   }
+
+  private def uidOfBytes(bytes: Array[Byte]): String =
+    new String(bytes, StandardCharsets.UTF_8).split('\n')
+      .find(_.startsWith("!uid=")).map(_.stripPrefix("!uid=")).getOrElse("")
 
   private[graft] def readManifestFile(f: File): Option[(StructType, Seq[FileEntry])] = {
     if (!f.exists()) None
     else {
-      val name = f.getName
-      // cache key = the IMMUTABLE snapshot identity this read resolves to
-      val key: String =
-        if (name.startsWith(ManifestName + ".v")) f.getAbsolutePath
-        else if (name == ManifestName) {
-          val v = headerVersion(f)
-          if (v > 0)
-            new File(f.getParentFile, s"$ManifestName.v$v").getAbsolutePath
-          else null // pre-versioning pointer: mutable content, parse uncached
-        } else null
-      if (key != null) {
-        val hit = manifestCache.synchronized(Option(manifestCache.get(key)))
+      val uid = headerUid(f)
+      if (uid.nonEmpty) {
+        val hit = manifestCache.synchronized(Option(manifestCache.get(uid)))
         if (hit.isDefined) return hit.get
       }
       val bytes =
         try Files.readAllBytes(f.toPath)
         catch { case _: java.io.IOException => return None } // raced deletion
       val parsed = parseManifestBytes(bytes)
-      if (key != null) {
-        // re-derive the version from the bytes actually read: the pointer
-        // may have been atomically replaced between the header scan and
-        // the full read — cache under the content's OWN version, never
-        // the stale key
-        val actual = new String(bytes, StandardCharsets.UTF_8).split('\n')
-          .find(_.startsWith("!version=")).map(_.stripPrefix("!version=").toLong)
-          .getOrElse(0L)
-        val actualKey =
-          if (name == ManifestName && actual > 0)
-            new File(f.getParentFile, s"$ManifestName.v$actual").getAbsolutePath
-          else if (name == ManifestName) null
-          else key
-        if (actualKey != null)
-          manifestCache.synchronized(manifestCache.put(actualKey, parsed))
-      }
+      // cache under the uid of the bytes ACTUALLY read — the pointer may
+      // have been atomically replaced between the header scan and the
+      // full read
+      val actual = uidOfBytes(bytes)
+      if (actual.nonEmpty)
+        manifestCache.synchronized(manifestCache.put(actual, parsed))
       parsed
     }
   }
@@ -580,13 +563,18 @@ object GraftStore {
       epoch: Option[Long] = None, op: String = "",
       txns: Map[String, Long] = Map.empty): Unit = {
     val tmp = Paths.get(path, s".manifest.tmp.${java.util.UUID.randomUUID()}")
+    // !uid = this manifest WRITE's unique identity — the only sound cache
+    // key: version numbers restart when a table is dropped and recreated
+    // in the same directory, and (mtime, size) collides across same-tick
+    // equal-length rewrites (see manifestCache)
     val lines = schema.toDDL +: (s"!version=$v" +:
-      (s"!ts=${System.currentTimeMillis()}" +:
-        (s"!stats=$StatsFormatVersion" +:
-        ((if (op.nonEmpty) Seq(s"!op=$op") else Seq.empty) ++
-          epoch.map(e => s"!epoch=$e").toSeq ++
-          txns.toSeq.sortBy(_._1).map { case (a, ver) => s"!txn=$a:$ver" } ++
-          files.map(fmtEntry)))))
+      (s"!uid=${java.util.UUID.randomUUID()}" +:
+        (s"!ts=${System.currentTimeMillis()}" +:
+          (s"!stats=$StatsFormatVersion" +:
+          ((if (op.nonEmpty) Seq(s"!op=$op") else Seq.empty) ++
+            epoch.map(e => s"!epoch=$e").toSeq ++
+            txns.toSeq.sortBy(_._1).map { case (a, ver) => s"!txn=$a:$ver" } ++
+            files.map(fmtEntry))))))
     Files.write(tmp, lines.mkString("\n").getBytes(StandardCharsets.UTF_8))
     try Files.createLink(Paths.get(path, s"$ManifestName.v$v"), tmp)
     catch {
@@ -3108,25 +3096,40 @@ class GraftStoreScan(path: String,
       fromVersion.getOrElse(0L))
 
   /** STORAGE-PARTITIONED JOIN support: a PARTITIONED table whose every
-    * file is provably single-valued on the partition column (per-value
+    * file is provably single-valued on the partition column(s) (per-value
     * rolling writes that; the stats are re-checked rather than trusted)
-    * reports KeyGroupedPartitioning over it and tags each file partition
-    * with its key — two tables partitioned on the same key then join
-    * with NO exchange on either side (gated by Spark's
+    * reports KeyGroupedPartitioning over them and tags each file
+    * partition with its key tuple — two tables partitioned the same way
+    * then join with NO exchange on either side (gated by Spark's
     * `spark.sql.sources.v2.bucketing.enabled`). The v2 successor of the
     * bucketed-parquet join: at 100 TB the join reads co-located cells
-    * and the shuffle that dominated the plan disappears. */
-  private def spjKey: Option[(String, org.apache.spark.sql.types.DataType)] = {
+    * and the shuffle that dominated the plan disappears.
+    *
+    * MULTI-COLUMN (round 12): the grouping spans the longest PREFIX of
+    * the spec's identity terms whose per-file single-valuedness proves
+    * for every selected file — a `(pri, rgn)` layout joins zero-exchange
+    * on both keys (Iceberg multi-transform SPJ). Prefix, not arbitrary
+    * subset, as policy: any single-valued subset would make a VALID
+    * grouping claim, but Spark matches the two sides' partitionings by
+    * their expression lists, so reporting a spec-order prefix keeps the
+    * advertisement deterministic under partial degradation (a
+    * compaction that breaks one column degrades every table of the
+    * layout the same way). A join keyed on fewer columns than the reported
+    * grouping falls back to a shuffled plan (Spark's subset-key SPJ is
+    * opt-in), which is a performance degradation, never a wrong one. */
+  private def spjKeys: Seq[(String, org.apache.spark.sql.types.DataType)] = {
     import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType}
-    if (metaAgg.isDefined) None
-    else GraftStore.readPartitionCols(path).headOption // leading spec col keys the grouping
-      .flatMap(c => schema.fields.find(_.name == c))
-      .filter(f => f.dataType == IntegerType || f.dataType == LongType ||
-        f.dataType == DoubleType)
-      .filter(f => entries.nonEmpty && entries.forall(e =>
-        e.stats.get(f.name).exists(st =>
-          st.nulls == 0 && st.min.nonEmpty && st.min == st.max)))
-      .map(f => (f.name, f.dataType))
+    if (metaAgg.isDefined || entries.isEmpty) Seq.empty
+    else GraftStore.readPartitionCols(path).iterator
+      .map(c => schema.fields.find(_.name == c)
+        .filter(f => f.dataType == IntegerType || f.dataType == LongType ||
+          f.dataType == DoubleType)
+        .filter(f => entries.forall(e =>
+          e.stats.get(f.name).exists(st =>
+            st.nulls == 0 && st.min.nonEmpty && st.min == st.max))))
+      .takeWhile(_.isDefined)
+      .map(f => (f.get.name, f.get.dataType))
+      .toSeq
   }
 
   private def keyValueOf(e: GraftStore.FileEntry,
@@ -3139,6 +3142,10 @@ class GraftStoreScan(path: String,
       case _ => s.toLong
     }
   }
+
+  private def keyTupleOf(e: GraftStore.FileEntry,
+      keys: Seq[(String, org.apache.spark.sql.types.DataType)]): Seq[Any] =
+    keys.map { case (c, dt) => keyValueOf(e, c, dt) }
 
   /** BUCKET-SPJ: a `bucket(n, k)` table whose every selected file is
     * provably single-bucket (the `__bucket_n_k` pseudo-stat, re-checked
@@ -3162,12 +3169,14 @@ class GraftStoreScan(path: String,
 
   override def outputPartitioning()
       : org.apache.spark.sql.connector.read.partitioning.Partitioning =
-    spjKey match {
-      case Some((c, dt)) =>
-        val n = selected.map(keyValueOf(_, c, dt)).distinct.size
+    spjKeys match {
+      case keys if keys.nonEmpty =>
+        val n = selected.map(keyTupleOf(_, keys)).distinct.size
         new org.apache.spark.sql.connector.read.partitioning.KeyGroupedPartitioning(
-          Array(Expressions.identity(c)), n)
-      case None => spjBucket match {
+          keys.map { case (c, _) =>
+            Expressions.identity(c): org.apache.spark.sql.connector.expressions.Expression
+          }.toArray, n)
+      case _ => spjBucket match {
         case Some(b) =>
           val n = selected.map(_.stats(b.statName).min.toInt).distinct.size
           new org.apache.spark.sql.connector.read.partitioning.KeyGroupedPartitioning(
@@ -3205,14 +3214,20 @@ class GraftStoreScan(path: String,
     val sortedCols = schema.fields.iterator.map(_.name)
       .filter(c => sel.forall(_.stats.get(c).exists(_.mono)))
       .toSeq
-    spjKey match {
-      case Some((k, dt)) =>
+    spjKeys match {
+      case keys if keys.nonEmpty =>
+        // key columns lead (single-valued per file ⇒ trivially sorted in
+        // any order); secondary columns only when each key TUPLE owns one
+        // file (Spark concatenates same-tuple files inside a grouped
+        // partition, which would break a secondary order)
         val oneFilePerKey =
-          sel.groupBy(keyValueOf(_, k, dt)).forall(_._2.size == 1)
+          sel.groupBy(keyTupleOf(_, keys)).forall(_._2.size == 1)
+        val keyCols = keys.map(_._1)
         val secondary =
-          if (oneFilePerKey) sortedCols.filterNot(_ == k).sorted else Nil
-        (k +: secondary).map(asc).toArray
-      case None => spjBucket match {
+          if (oneFilePerKey) sortedCols.filterNot(keyCols.contains).sorted
+          else Nil
+        (keyCols ++ secondary).map(asc).toArray
+      case _ => spjBucket match {
         case Some(b) =>
           // key-grouped by bucket: Spark concatenates same-bucket files
           // inside a grouped partition, so a per-file ordering claim
@@ -3241,16 +3256,16 @@ class GraftStoreScan(path: String,
         plannedFiles = sel.map(_.file)
         def dvAbs(e: GraftStore.FileEntry): String =
           if (e.dv.isEmpty) "" else new File(path, e.dv).getAbsolutePath
-        spjKey match {
-          case Some((c, dt)) =>
+        spjKeys match {
+          case keys if keys.nonEmpty =>
             sel.map(e => GraftStoreKeyedFilePartition(
               new File(path, e.file).getAbsolutePath,
-              e.cols, e.file, keyValueOf(e, c, dt), dvAbs(e)): InputPartition).toArray
-          case None => spjBucket match {
+              e.cols, e.file, keyTupleOf(e, keys), dvAbs(e)): InputPartition).toArray
+          case _ => spjBucket match {
             case Some(b) =>
               sel.map(e => GraftStoreKeyedFilePartition(
                 new File(path, e.file).getAbsolutePath,
-                e.cols, e.file, e.stats(b.statName).min.toInt,
+                e.cols, e.file, Seq(e.stats(b.statName).min.toInt),
                 dvAbs(e)): InputPartition).toArray
             case None =>
               sel.map(e =>
@@ -3267,16 +3282,16 @@ class GraftStoreScan(path: String,
 case class GraftStoreFilePartition(absolutePath: String, cols: Int = -1,
     relPath: String = "", dvAbs: String = "") extends InputPartition
 
-/** File partition that also carries its single partition-column value, so
-  * Spark's key-grouped machinery can line files up across the two sides
-  * of a storage-partitioned join (multiple files may share a key — Spark
-  * groups them). */
+/** File partition that also carries its partition-key tuple (one value
+  * per reported grouping expression), so Spark's key-grouped machinery
+  * can line files up across the two sides of a storage-partitioned join
+  * (multiple files may share a tuple — Spark groups them). */
 case class GraftStoreKeyedFilePartition(absolutePath: String, cols: Int,
-    relPath: String, key: Any, dvAbs: String = "")
+    relPath: String, keys: Seq[Any], dvAbs: String = "")
   extends InputPartition
   with org.apache.spark.sql.connector.read.HasPartitionKey {
   override def partitionKey(): InternalRow =
-    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(Array[Any](key))
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(keys.toArray)
 }
 
 /** One changed file of one commit: its rows are served with the partition's

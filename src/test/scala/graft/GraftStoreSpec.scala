@@ -1455,5 +1455,13 @@ class GraftStoreSpec extends SparkSuite {
     assert(GraftStore.readManifest(path).get._2.map(_.file) == Seq("data/f2.bin"),
       "pointer read served a stale snapshot — read-your-writes broken")
     assert(GraftStore.readVersion(path) == 2L)
+    // drop + recreate in the SAME directory restarts versions at 1 — a
+    // (path, version) key would serve the dead incarnation's v1 parse
+    new File(path, "_manifest").delete()
+    GraftStore.snapshotFiles(path).foreach(_.delete())
+    GraftStore.writeManifestAtomicAt(path, 1, schema,
+      Seq(GraftStore.FileEntry("data/f3.bin", 1, Map.empty)))
+    assert(GraftStore.readManifest(path).get._2.map(_.file) == Seq("data/f3.bin"),
+      "recreated table served the dead incarnation's manifest")
   }
 }

@@ -486,6 +486,57 @@ class PlanShapeSpec extends SparkSuite {
       s"SPJ sides still sort despite reported ordering:\n${smj.head}")
   }
 
+  test("q_store_spj_multi: the two-key co-partitioned join plans no exchange below the join") {
+    val df = SparkEntry.queries("q_store_spj_multi")(spark, sfDir)
+    df.collect()
+    val joins = allNodes(df.queryExecution.executedPlan).collect {
+      case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j
+      case j: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec => j }
+    assert(joins.nonEmpty,
+      s"no shuffle-family join:\n${df.queryExecution.executedPlan}")
+    val shuffles = allNodes(joins.head).collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike => e }
+    assert(shuffles.isEmpty,
+      s"two-key storage-partitioned join still shuffles:\n${joins.head}")
+  }
+
+  test("multi-key SPJ degradation: a join on only the leading key falls back to a shuffled plan") {
+    // build the same two-column fixture, then join on pri alone — the
+    // reported (pri, rgn) grouping does not satisfy a pri-only join
+    // without Spark's subset-key opt-in, so both sides re-shuffle; a
+    // degradation in exchanges, never in rows
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    import s2.implicits._
+    import org.apache.spark.sql.functions._
+    val root = graft.ops.Util.managedTempDir("graft_spjm_deg_")
+    s2.conf.set("spark.sql.catalog.gsd", "graft.sources.GraftCatalog")
+    s2.conf.set("spark.sql.catalog.gsd.root", root)
+    s2.range(0, 400).select($"id", ($"id" % 5).as("pri"), ($"id" % 4).as("rgn"))
+      .createOrReplaceTempView("deg_src")
+    s2.sql("CREATE TABLE gsd.a PARTITIONED BY (pri, rgn) AS SELECT * FROM deg_src")
+    s2.sql(
+      """CREATE TABLE gsd.b PARTITIONED BY (pri, rgn) AS
+        |SELECT pri, rgn, count(*) AS n FROM deg_src GROUP BY pri, rgn""".stripMargin)
+    def rd(t: String) = s2.read.format("graft.sources.GraftStore")
+      .option("path", s"$root/$t").load()
+    val joined = rd("a").join(rd("b").groupBy($"pri").agg(sum($"n").as("n")), Seq("pri"))
+      .groupBy($"pri").agg(count(lit(1)).as("c"), sum($"n").as("s"))
+      .orderBy($"pri")
+    val rows = joined.collect()
+    assert(rows.length == 5 && rows.map(_.getLong(1)).sum == 400,
+      "degraded join must still return exact rows")
+    val joins = allNodes(joined.queryExecution.executedPlan).collect {
+      case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j
+      case j: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec => j }
+    assert(joins.nonEmpty)
+    val shuffles = allNodes(joins.head).collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike => e }
+    assert(shuffles.nonEmpty,
+      s"pri-only join over a (pri, rgn) grouping should shuffle (no subset-key opt-in):\n${joins.head}")
+  }
+
   test("q_store_spj_bucket: the co-BUCKETED store join plans no exchange below the join") {
     val df = SparkEntry.queries("q_store_spj_bucket")(spark, sfDir)
     df.collect()
