@@ -1538,6 +1538,50 @@ object Sources {
       .orderBy($"event_type")
   }
 
+  private val partHoursWritten = new java.util.concurrent.ConcurrentHashMap[String, String]
+
+  /** HOUR-GRAIN HIDDEN PARTITIONING (round 12) — `PARTITIONED BY
+    * (hours(ts))` completes the temporal transform family next to days:
+    * same monotone-transform rolling write (ts-ordered rows are
+    * hour-contiguous), every manifest entry single-hour with exact
+    * epoch-micros bounds, so the sub-day dashboard range every
+    * operational 100 TB table is scanned with ("the last 6 hours")
+    * prunes whole hour files from manifest lines before any data I/O —
+    * at day grain the same query reads 24× the files. The query filters
+    * the RAW `ts` (hidden partitioning: no derived hour column to
+    * mistake), and dropping an hour of bad ingest is a metadata-only
+    * DELETE on the same entire-file proof. Hour-grain file rolling,
+    * pruning and the non-timestamp type refusal pinned in
+    * TransformPartitionSpec. */
+  val qStorePartHours: Q = (s, dir) => {
+    import s.implicits._
+    val path = partHoursWritten.computeIfAbsent(s"${Util.sessionKey(s)}:$dir", _ => {
+      val s2 = s.newSession()
+      val root = Util.managedTempDir("graft_phrs_")
+      s2.conf.set("spark.sql.catalog.graftph", "graft.sources.GraftCatalog")
+      s2.conf.set("spark.sql.catalog.graftph.root", root)
+      table(s2, dir, "events").createOrReplaceTempView("ev_ph")
+      // one day of events at hour grain keeps the file count honest
+      // (24 files, not days×24)
+      s2.sql(
+        """CREATE TABLE graftph.e PARTITIONED BY (hours(ts)) AS
+          |SELECT event_id, ts, user_id, event_type, value
+          |FROM ev_ph
+          |WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
+          |  AND ts < TIMESTAMP '2024-01-11 00:00:00'
+          |ORDER BY ts""".stripMargin)
+      s"$root/e"
+    })
+    s.read.format("graft.sources.GraftStore").option("path", path).load()
+      .filter($"ts" >= Util.ts("2024-01-10 06:00:00") &&
+        $"ts" < Util.ts("2024-01-10 12:00:00"))
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n_rows"),
+        Util.dsum($"value").as("sum_value"),
+        min($"ts").as("first_ts"), max($"ts").as("last_ts"))
+      .orderBy($"event_type")
+  }
+
   /** bucket(n,k)-partitioned fixture tables, keyed by (session UUID, dir). */
   private val partBucketWritten = new java.util.concurrent.ConcurrentHashMap[String, String]
 
@@ -1669,6 +1713,27 @@ object Sources {
         min($"o_orderkey").as("min_key"), max($"o_orderkey").as("max_key"),
         sum($"o_orderkey").as("sum_key"))
       .orderBy($"pri")
+  }
+
+  /** `$partitions` METADATA TABLE (round 12) — the per-partition-value
+    * stats surface next to `$snapshots`/`$files` (Iceberg's partitions
+    * table): one row per derived partition tuple of the current
+    * manifest, with file and live row counts, each tuple RE-PROVEN from
+    * per-file stats exactly like every other consumer of the spec
+    * (files whose stats cannot pin a cell aggregate into one NULL
+    * catch-all row — degraded honestly, never guessed). The operator
+    * question every 100 TB table gets daily — "which partitions are
+    * skewed / tiny / missing" — answered from one driver-side manifest
+    * fold, zero data I/O. n_files and the catch-all degradation pinned
+    * in GraftCatalogSpec; the oracle checks per-partition row counts
+    * against source parquet. */
+  val qStorePartitionsMeta: Q = (s, dir) => {
+    val path = metaGroupPath(s, dir)
+    val root = new java.io.File(path).getParent
+    val s2 = s.newSession()
+    s2.conf.set("spark.sql.catalog.gpmeta", "graft.sources.GraftCatalog")
+    s2.conf.set("spark.sql.catalog.gpmeta.root", root)
+    s2.sql("SELECT `partition`, n_rows FROM gpmeta.`g$partitions` ORDER BY `partition`")
   }
 
   /** FILTERED metadata-only aggregates (round 12) — the remaining gap in
@@ -2406,6 +2471,7 @@ object Sources {
     "q_store_metaagg" -> qStoreMetaagg,
     "q_store_metaagg_group" -> qStoreMetaaggGroup,
     "q_store_metaagg_filtered" -> qStoreMetaaggFiltered,
+    "q_store_partitions_meta" -> qStorePartitionsMeta,
     "q_store_merge" -> qStoreMerge,
     "q_store_scd2" -> qStoreScd2,
     "q_store_dml" -> qStoreDml,
@@ -2418,6 +2484,7 @@ object Sources {
     "q_store_part_evolve" -> qStorePartEvolve,
     "q_store_part_multi" -> qStorePartMulti,
     "q_store_part_days" -> qStorePartDays,
+    "q_store_part_hours" -> qStorePartHours,
     "q_store_part_bucket" -> qStorePartBucket,
     "q_store_spj_bucket" -> qStoreSpjBucket,
     "q_catalog_sql" -> qCatalogSql,
@@ -2685,6 +2752,12 @@ object Sources {
         | CAST(max(o_orderkey) AS BIGINT) AS max_key,
         | CAST(sum(o_orderkey) AS BIGINT) AS sum_key
         |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+    // per-partition row counts recomputed from source parquet (n_files
+    // is not oracle-derivable and is pinned in GraftCatalogSpec instead)
+    "q_store_partitions_meta" ->
+      """SELECT 'pri=' || CAST(CAST(substring(o_orderpriority, 1, 1) AS INT) AS VARCHAR)
+        |    AS "partition", count(*) AS n_rows
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
     // the filtered metadata answer recomputed the ordinary way from
     // source parquet — complete filter acceptance must be invisible
     "q_store_metaagg_filtered" ->
@@ -2720,6 +2793,16 @@ object Sources {
         | count(*) AS n_rows, CAST(sum(o_orderkey) AS BIGINT) AS sum_key,
         | CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
         |FROM orders WHERE o_orderkey % 4 = 2
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // hour-grain hidden partitioning must be invisible to results: the
+    // six-hour window's per-type aggregate recomputed from source parquet
+    "q_store_part_hours" ->
+      """SELECT event_type, count(*) AS n_rows,
+        | CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value,
+        | min(ts) AS first_ts, max(ts) AS last_ts
+        |FROM events
+        |WHERE ts >= TIMESTAMP '2024-01-10 06:00:00'
+        |  AND ts < TIMESTAMP '2024-01-10 12:00:00'
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     // hidden partitioning must be invisible to results: the week's
     // per-type aggregate recomputed from source parquet

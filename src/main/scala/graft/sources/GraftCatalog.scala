@@ -77,11 +77,13 @@ class GraftCatalog extends TableCatalog with FunctionCatalog {
 
   override def loadTable(ident: Identifier): Table = {
     // Iceberg-style METADATA TABLES: `SELECT * FROM cat.`t$snapshots``
-    // (version/n_files/n_rows per retained snapshot) and `t$files` (the
-    // current manifest's per-file entries). Driver-side metadata walks
-    // by construction — one small file read per snapshot, zero data I/O.
+    // (version/n_files/n_rows per retained snapshot), `t$files` (the
+    // current manifest's per-file entries) and `t$partitions` (files and
+    // live rows per partition-value tuple, re-proven from per-file stats
+    // — see [[GraftStore.partitionRows]]). Driver-side metadata walks by
+    // construction — one small file read per snapshot, zero data I/O.
     ident.name().split('$') match {
-      case Array(base, kind @ ("snapshots" | "files")) =>
+      case Array(base, kind @ ("snapshots" | "files" | "partitions")) =>
         val dir = dirFor(Identifier.of(ident.namespace(), base))
         if (!isTable(dir)) throw new NoSuchTableException(ident)
         return new GraftMetadataTable(dir.getPath, ident.toString, kind)
@@ -314,6 +316,13 @@ class GraftMetadataTable(path: String, ident: String, kind: String)
       StructField("n_files", LongType, nullable = false),
       StructField("n_rows", LongType, nullable = false),
       StructField("op", StringType, nullable = false)))
+    // `partition` is NULL for files whose stats cannot prove a derived
+    // tuple (pre-spec history, compaction-merged cells) — degraded
+    // honestly into one catch-all row, never guessed
+    case "partitions" => StructType(Seq(
+      StructField("partition", StringType, nullable = true),
+      StructField("n_files", LongType, nullable = false),
+      StructField("n_rows", LongType, nullable = false)))
     case _ => StructType(Seq(
       StructField("file", StringType, nullable = false),
       StructField("rows", LongType, nullable = false),
@@ -341,6 +350,10 @@ class GraftMetadataScan(path: String, kind: String, schema: StructType)
       case "snapshots" => GraftStore.history(path)
         .map { case (v, f, r, op) => Array[Any](v, f, r,
           org.apache.spark.unsafe.types.UTF8String.fromString(op)) }.toArray
+      case "partitions" => GraftStore.partitionRows(path)
+        .map { case (p, f, r) => Array[Any](
+          p.map(org.apache.spark.unsafe.types.UTF8String.fromString).orNull,
+          f, r) }.toArray
       case _ => GraftStore.readManifest(path).map(_._2).getOrElse(Seq.empty)
         .map(e => Array[Any](
           org.apache.spark.unsafe.types.UTF8String.fromString(e.file),

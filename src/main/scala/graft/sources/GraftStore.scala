@@ -1112,6 +1112,77 @@ object GraftStore {
       s"duplicate partition source columns: ${sources.mkString(", ")}")
   }
 
+  /** `$partitions` metadata-table rows: (rendered partition tuple,
+    * n_files, live n_rows) per distinct derived partition value of the
+    * CURRENT manifest — the Iceberg partitions-table surface, derived
+    * the way every other consumer of the spec is: RE-PROVEN from
+    * per-file stats, never trusted. A term's derived value is provable
+    * when the file's source bounds pin one cell (identity: min==max &&
+    * no nulls; days/hours: both micros bounds in one day/hour;
+    * trunc(int): both bounds in one width-multiple; bucket: the
+    * single-valued pseudo-stat). Files where ANY term is unprovable
+    * (pre-spec history, compaction-merged cells, string trunc — strings
+    * carry no min/max) aggregate into one NULL-partition catch-all row
+    * — degraded honestly, never guessed. Temporal cells render
+    * human-readable (`ts_day=2024-01-10`, `ts_hour=2024-01-10-06`), the
+    * Iceberg display convention. Driver-side fold over manifest lines;
+    * zero data I/O by construction. */
+  private[graft] def partitionRows(path: String): Seq[(Option[String], Long, Long)] = {
+    val terms = readPartitionTerms(path)
+    val (schema, entries) = readManifest(path)
+      .getOrElse((new StructType(), Seq.empty[FileEntry]))
+    if (terms.isEmpty) return Seq.empty
+    def isDate(c: String): Boolean = schema.fields.find(_.name == c)
+      .exists(_.dataType == org.apache.spark.sql.types.DateType)
+    def derivedOf(t: PartTerm, e: FileEntry): Option[String] = t match {
+      case b: PartBucket =>
+        e.stats.get(b.statName)
+          .filter(st => st.nulls == 0 && st.min.nonEmpty && st.min == st.max)
+          .map(st => s"${b.source}_bucket=${st.min}")
+      case _ =>
+        e.stats.get(t.source)
+          .filter(st => st.nulls == 0 && st.min.nonEmpty)
+          .flatMap { st =>
+            t match {
+              case PartIdentity(c) =>
+                if (st.min == st.max) Some(s"$c=${st.min}") else None
+              case PartDays(c) =>
+                // DateType stats are epoch days already; timestamp stats
+                // are epoch micros — the schema says which
+                val (lo, hi) = (st.min.toLong, st.max.toLong)
+                val (dLo, dHi) =
+                  if (isDate(c)) (lo, hi)
+                  else (Math.floorDiv(lo, 86400000000L),
+                    Math.floorDiv(hi, 86400000000L))
+                if (dLo == dHi)
+                  Some(s"${c}_day=${java.time.LocalDate.ofEpochDay(dLo)}")
+                else None
+              case PartHours(c) =>
+                val (hLo, hHi) = (Math.floorDiv(st.min.toLong, 3600000000L),
+                  Math.floorDiv(st.max.toLong, 3600000000L))
+                if (hLo == hHi)
+                  Some(f"${c}_hour=${java.time.LocalDate.ofEpochDay(Math.floorDiv(hLo, 24L))}-${Math.floorMod(hLo, 24L)}%02d")
+                else None
+              case PartTrunc(w, c) =>
+                // int/long only — string columns carry no min/max stats
+                // and fall through via toLong failure below
+                try {
+                  val (tLo, tHi) = (Math.floorDiv(st.min.toLong, w.toLong) * w,
+                    Math.floorDiv(st.max.toLong, w.toLong) * w)
+                  if (tLo == tHi) Some(s"${c}_trunc=$tLo") else None
+                } catch { case _: NumberFormatException => None }
+              case _ => None
+            }
+          }
+    }
+    entries.groupBy { e =>
+      val parts = terms.map(derivedOf(_, e))
+      if (parts.forall(_.isDefined)) Some(parts.flatten.mkString("/")) else None
+    }.toSeq.map { case (p, es) =>
+      (p, es.size.toLong, es.map(e => math.max(e.rows, 0L)).sum)
+    }.sortBy(_._1.getOrElse(""))
+  }
+
   /** A change-feed read's schema: the data schema plus the two CDF
     * columns every row carries. */
   private[graft] def cdfSchema(dataSchema: StructType): StructType =

@@ -172,6 +172,36 @@ class GraftCatalogSpec extends SparkSuite {
     intercept[Exception] { session.sql("SELECT * FROM g.`nope$snapshots`").collect() }
   }
 
+  test("$partitions metadata table: per-cell files/rows, NULL catch-all for unprovable files") {
+    import org.apache.spark.sql.functions._
+    import session.implicits._
+    session.range(0, 300).select($"id", ($"id" % 3).as("g"))
+      .createOrReplaceTempView("pmeta_src")
+    session.sql("CREATE TABLE g.pmeta PARTITIONED BY (g) AS SELECT * FROM pmeta_src")
+    val rows = session.sql(
+      "SELECT `partition`, n_files, n_rows FROM g.`pmeta$partitions` ORDER BY `partition`")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(rows == Seq(("g=0", 1L, 100L), ("g=1", 1L, 100L), ("g=2", 1L, 100L)),
+      rows.mkString(","))
+    // compaction merges cells: the merged file pins no single g value —
+    // it must land in the NULL catch-all row, never a guessed cell
+    val path = session.conf.get("spark.sql.catalog.g.root") + "/pmeta"
+    graft.sources.GraftStore.compact(session, path, Long.MaxValue)
+    val after = session.sql(
+      "SELECT `partition`, n_files, n_rows FROM g.`pmeta$partitions`")
+      .collect().map(r => (Option(r.getString(0)), r.getLong(1), r.getLong(2))).toSeq
+    assert(after == Seq((None, 1L, 300L)), after.mkString(","))
+    // hour-grain cells render human-readable
+    session.sql("SELECT timestamp_seconds(1704067200 + id * 600) AS ts, id AS v FROM range(0, 12)")
+      .createOrReplaceTempView("pmeta_hr")
+    session.sql("CREATE TABLE g.pmetah PARTITIONED BY (hours(ts)) AS SELECT * FROM pmeta_hr ORDER BY ts")
+    val hr = session.sql(
+      "SELECT `partition`, n_rows FROM g.`pmetah$partitions` ORDER BY `partition`")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(hr == Seq(("ts_hour=2024-01-01-00", 6L), ("ts_hour=2024-01-01-01", 6L)),
+      hr.mkString(","))
+  }
+
   test("identifier segments cannot escape the catalog root") {
     intercept[IllegalArgumentException] {
       catalog.loadTable(Identifier.of(Array.empty, ".."))
