@@ -1849,6 +1849,43 @@ object Sources {
         |FROM graftsd.d ORDER BY k, ver_from""".stripMargin)
   }
 
+  /** MERGE-ON-READ MERGE (round 12) — q_store_merge's exact semantics
+    * through the DELTA write path: the table carries
+    * `write.mode=merge-on-read`, so the same three-arm MERGE writes
+    * deletion-vector sidecars for its DELETE arm, delete+insert for its
+    * UPDATE arm, and ordinary new files for its INSERT arm — matched
+    * data files' bytes are never rewritten (mtime-proofed in
+    * GraftStoreMorSpec), write amplification ∝ matched ROWS. The oracle
+    * is the SAME relational replay as q_store_merge: a hash-equal
+    * result proves the two write paths implement one MERGE semantics.
+    * At 100 TB this is the difference between a CDC batch costing a few
+    * MB of sidecars and costing a rewrite of every touched file. */
+  val qStoreMergeMor: Q = (s, dir) => {
+    val s2 = s.newSession()
+    s2.conf.set("spark.sql.catalog.graftmr", "graft.sources.GraftCatalog")
+    s2.conf.set("spark.sql.catalog.graftmr.root", dmlRoot(s, dir, "mor_"))
+    table(s2, dir, "orders").createOrReplaceTempView("ord_mor")
+    s2.sql("DROP TABLE IF EXISTS graftmr.t")
+    s2.sql(
+      """CREATE TABLE graftmr.t
+        |TBLPROPERTIES('write.mode'='merge-on-read') AS
+        |SELECT o_orderkey, o_custkey FROM ord_mor WHERE o_orderkey % 7 = 0""".stripMargin)
+    s2.sql(
+      """MERGE INTO graftmr.t t
+        |USING (SELECT o_orderkey, o_custkey FROM ord_mor
+        |       WHERE o_orderkey % 7 = 1
+        |          OR (o_orderkey % 7 = 0 AND o_orderkey % 2 = 0)) s
+        |ON t.o_orderkey = s.o_orderkey
+        |WHEN MATCHED AND s.o_orderkey % 3 = 0 THEN DELETE
+        |WHEN MATCHED THEN UPDATE SET o_custkey = s.o_custkey + 1000000
+        |WHEN NOT MATCHED THEN INSERT (o_orderkey, o_custkey)
+        |  VALUES (s.o_orderkey, s.o_custkey)""".stripMargin)
+    s2.sql(
+      """SELECT o_orderkey % 10 AS bucket, count(*) AS n_rows,
+        | CAST(sum(o_custkey) AS BIGINT) AS sum_cust, CAST(sum(o_orderkey) AS BIGINT) AS sum_key
+        |FROM graftmr.t GROUP BY 1 ORDER BY 1""".stripMargin)
+  }
+
   val qStoreMerge: Q = (s, dir) => {
     val s2 = s.newSession()
     s2.conf.set("spark.sql.catalog.graftm", "graft.sources.GraftCatalog")
@@ -2473,6 +2510,7 @@ object Sources {
     "q_store_metaagg_filtered" -> qStoreMetaaggFiltered,
     "q_store_partitions_meta" -> qStorePartitionsMeta,
     "q_store_merge" -> qStoreMerge,
+    "q_store_merge_mor" -> qStoreMergeMor,
     "q_store_scd2" -> qStoreScd2,
     "q_store_dml" -> qStoreDml,
     "q_store_cdf" -> qStoreCdf,
@@ -2697,6 +2735,26 @@ object Sources {
     // the merge result must equal the same merge replayed as joins over
     // source parquet: matched & key%3=0 deleted, matched else updated,
     // unmatched source inserted, unmatched target kept
+    // the SAME relational replay as q_store_merge: hash-equal results
+    // prove copy-on-write and merge-on-read implement one MERGE semantics
+    "q_store_merge_mor" ->
+      """WITH t AS (SELECT o_orderkey, o_custkey FROM orders WHERE o_orderkey % 7 = 0),
+        |s AS (SELECT o_orderkey, o_custkey FROM orders
+        |      WHERE o_orderkey % 7 = 1 OR (o_orderkey % 7 = 0 AND o_orderkey % 2 = 0)),
+        |merged AS (
+        |  SELECT t.o_orderkey AS o_orderkey,
+        |         CASE WHEN s.o_orderkey IS NOT NULL THEN s.o_custkey + 1000000
+        |              ELSE t.o_custkey END AS o_custkey
+        |  FROM t LEFT JOIN s ON t.o_orderkey = s.o_orderkey
+        |  WHERE s.o_orderkey IS NULL OR s.o_orderkey % 3 <> 0
+        |  UNION ALL
+        |  SELECT s.o_orderkey, s.o_custkey
+        |  FROM s LEFT JOIN t ON s.o_orderkey = t.o_orderkey
+        |  WHERE t.o_orderkey IS NULL)
+        |SELECT o_orderkey % 10 AS bucket, CAST(count(*) AS BIGINT) AS n_rows,
+        | CAST(sum(o_custkey) AS BIGINT) AS sum_cust,
+        | CAST(sum(o_orderkey) AS BIGINT) AS sum_key
+        |FROM merged GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_store_merge" ->
       """WITH t AS (SELECT o_orderkey, o_custkey FROM orders WHERE o_orderkey % 7 = 0),
         |s AS (SELECT o_orderkey, o_custkey FROM orders

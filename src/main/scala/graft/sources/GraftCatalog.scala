@@ -233,6 +233,17 @@ class GraftCatalog extends TableCatalog with FunctionCatalog {
         s"sortBy column $c must be a table column")
       c
     }
+    // persisted table properties (the `_props` sibling): write-path dials
+    // only — `write.mode=merge-on-read` routes DML through the deletion-
+    // vector delta path; no reader correctness ever depends on a property
+    val writeMode = properties.asScala.collectFirst {
+      case (k, v) if k.equalsIgnoreCase("write.mode") => v
+    }
+    writeMode.foreach(m => require(
+      m == "copy-on-write" || m == "merge-on-read",
+      s"write.mode must be copy-on-write or merge-on-read, got $m"))
+    GraftStore.writeProps(dir.getPath,
+      writeMode.map(m => "write.mode" -> m).toMap)
     // an empty manifest IS the table: created atomically, never half-visible
     // (base 0: a racing CREATE on the same ident conflicts on the v1 claim)
     GraftStore.writeManifestAtomic(dir.getPath, 0L, schema, Seq.empty,
@@ -280,6 +291,7 @@ class GraftCatalog extends TableCatalog with FunctionCatalog {
     // manifest first: the atomic "table gone" step; snapshots + data after
     new File(dir, GraftStore.ManifestName).delete()
     new File(dir, GraftStore.PartitionFileName).delete()
+    new File(dir, GraftStore.PropsFileName).delete()
     GraftStore.snapshotFiles(dir.getPath).foreach(_.delete())
     Option(new File(dir, "data").listFiles()).getOrElse(Array.empty)
       .foreach(_.delete())

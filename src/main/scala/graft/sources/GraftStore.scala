@@ -915,6 +915,29 @@ object GraftStore {
     }
 
   private[sources] val PartitionFileName = "_partition"
+  private[sources] val PropsFileName = "_props"
+
+  /** Table properties sibling (`k=v` lines, written at create time like
+    * `_partition`). The one consumer today is `write.mode=merge-on-read`
+    * — the Iceberg/Delta dial that routes DELETE/UPDATE/MERGE through
+    * the delta (deletion-vector) write path instead of copy-on-write
+    * group rewrites. Properties are write-path DIALS, never read-path
+    * facts: no reader correctness ever depends on them. */
+  private[graft] def readProps(path: String): Map[String, String] = {
+    val f = new File(path, PropsFileName)
+    if (!f.exists()) Map.empty
+    else new String(Files.readAllBytes(f.toPath), StandardCharsets.UTF_8)
+      .split('\n').filter(_.contains("=")).map { l =>
+        val i = l.indexOf('=')
+        l.take(i).trim -> l.drop(i + 1).trim
+      }.toMap
+  }
+
+  private[graft] def writeProps(path: String, props: Map[String, String]): Unit =
+    if (props.nonEmpty)
+      Files.write(Paths.get(path, PropsFileName),
+        props.toSeq.sortBy(_._1).map { case (k, v) => s"$k=$v" }
+          .mkString("\n").getBytes(StandardCharsets.UTF_8))
 
   /** The table's CURRENT partition column, if any — stored in a sibling
     * file (written BEFORE the first manifest at create time, so it is
@@ -1819,7 +1842,14 @@ class GraftStoreTable(path: String, tableSchema: StructType,
       : org.apache.spark.sql.connector.write.RowLevelOperationBuilder = {
     require(versionAsOf.isEmpty,
       "cannot modify a time-travel snapshot — DML goes to the current table")
-    () => new GraftStoreRowLevelOperation(path, info.command(), partitionBy)
+    // write.mode=merge-on-read (table property) routes DML through the
+    // DELTA operation: deletes become deletion-vector sidecars, updates
+    // become delete+insert — write amplification ∝ matched ROWS, the
+    // CDC-at-100TB economics. Default stays copy-on-write group rewrite.
+    val mor = path != null &&
+      GraftStore.readProps(path).get("write.mode").contains("merge-on-read")
+    if (mor) () => new GraftStoreDeltaOperation(path, info.command())
+    else () => new GraftStoreRowLevelOperation(path, info.command(), partitionBy)
   }
 }
 
@@ -1954,6 +1984,220 @@ class GraftStoreReplaceWriterFactory(path: String, schema: StructType,
         partitionId, taskId, rollOn, s"data/rw-$stamp-$partitionId-$taskId")
     else new GraftStoreDataWriter(path, schema, partitionId, taskId,
       None, None, s"data/rw-$stamp-$partitionId-$taskId.bin")
+}
+
+// ------------------------------------- merge-on-read (delta) DML
+// `write.mode=merge-on-read` routes DELETE/UPDATE/MERGE through Spark's
+// DELTA row-level operation API (SupportsDelta): instead of rewriting
+// every file containing a match, the write receives per-ROW deltas —
+// deletes carry a (_file, _pos) row id and land in deletion-vector
+// sidecars, updates are represented as delete+insert, inserts append
+// ordinary new files. Write amplification is ∝ matched ROWS, not files:
+// at 100 TB, a CDC batch touching 0.1% of rows scattered across every
+// file writes a few MB of sidecars + the new rows, where copy-on-write
+// would rewrite the table. Readers already compose DVs as a frame-skip
+// (zero join); purgeDeletes folds them back into clean files; the change
+// feed emits exactly the newly-deleted positions (dvDelta) plus the
+// inserted files — every piece of the DV machinery this rides on is the
+// q_store_dv path, now driven by the engine's own DML planner.
+
+/** One delta DML execution: rowId = (_file, _pos) — the same physical
+  * position a deletion vector addresses — with updates re-expressed as
+  * delete+insert (the natural form when deletes are positional: an
+  * update's new row generally lands in a different file anyway). The
+  * scan is the ordinary batch scan (runtime group filtering on `_file`
+  * narrows it to files containing matches); complete-filter acceptance
+  * is disabled exactly as on the copy-on-write path. */
+class GraftStoreDeltaOperation(path: String,
+    cmd: org.apache.spark.sql.connector.write.RowLevelOperation.Command)
+  extends org.apache.spark.sql.connector.write.RowLevelOperation
+  with org.apache.spark.sql.connector.write.SupportsDelta {
+  import org.apache.spark.sql.connector.expressions.NamedReference
+
+  override def command(): org.apache.spark.sql.connector.write.RowLevelOperation.Command = cmd
+  override def description(): String = s"graft_store merge-on-read $cmd"
+  override def rowId(): Array[NamedReference] =
+    Array(Expressions.column("_file"), Expressions.column("_pos"))
+  override def representUpdateAsDeleteAndInsert(): Boolean = true
+  override def requiredMetadataAttributes(): Array[NamedReference] =
+    Array.empty // the row id already carries the file identity
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new GraftStoreScanBuilder(path, allowCompleteFilters = false)
+
+  override def newWriteBuilder(info: LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.DeltaWriteBuilder =
+    new org.apache.spark.sql.connector.write.DeltaWriteBuilder {
+      override def build(): org.apache.spark.sql.connector.write.DeltaWrite =
+        new GraftStoreDeltaWrite(path, info.schema(), cmd, info.rowIdSchema())
+    }
+}
+
+/** The delta write demands rows CLUSTERED by `_file` and ordered by
+  * (`_file`, `_pos`): one task owns all of a file's deletes (its DV is
+  * written exactly once, positions pre-sorted), insert rows (null row
+  * id) land wherever their cluster hashes. */
+class GraftStoreDeltaWrite(path: String, schema: StructType,
+    cmd: org.apache.spark.sql.connector.write.RowLevelOperation.Command,
+    rowIdSchema: java.util.Optional[StructType])
+  extends org.apache.spark.sql.connector.write.DeltaWrite
+  with RequiresDistributionAndOrdering {
+
+  override def description(): String = s"graft_store merge-on-read $cmd -> $path"
+  override def requiredDistribution(): Distribution =
+    Distributions.clustered(Array(Expressions.column("_file")))
+  override def requiredOrdering(): Array[SortOrder] =
+    Array("_file", "_pos").map(c => Expressions.sort(Expressions.column(c),
+      org.apache.spark.sql.connector.expressions.SortDirection.ASCENDING)
+      : SortOrder)
+
+  override def toBatch: org.apache.spark.sql.connector.write.DeltaBatchWrite = {
+    // resolve the row-id projection's field order from the ACTUAL write
+    // info rather than trusting the declaration order
+    val (fileIdx, posIdx) = if (rowIdSchema.isPresent) {
+      val s = rowIdSchema.get()
+      (s.fieldIndex("_file"), s.fieldIndex("_pos"))
+    } else (0, 1)
+    new GraftStoreDeltaBatchWrite(path, schema, cmd, fileIdx, posIdx)
+  }
+}
+
+class GraftStoreDeltaBatchWrite(path: String, schema: StructType,
+    cmd: org.apache.spark.sql.connector.write.RowLevelOperation.Command,
+    fileIdx: Int, posIdx: Int)
+  extends org.apache.spark.sql.connector.write.DeltaBatchWrite {
+
+  private val stamp = java.util.UUID.randomUUID().toString.take(8)
+  // (file -> existing DV sidecar) captured on the driver at write
+  // planning: executors merge new positions with the existing vector
+  // (DVs are cumulative — one sidecar per file, ever)
+  private val oldDvByFile: Map[String, String] =
+    GraftStore.readLatest(path).map(_._2).getOrElse(Seq.empty)
+      .collect { case e if e.dv.nonEmpty => e.file -> e.dv }.toMap
+
+  override def createBatchWriterFactory(info: PhysicalWriteInfo)
+      : org.apache.spark.sql.connector.write.DeltaWriterFactory =
+    new GraftStoreDeltaWriterFactory(path, schema, stamp, oldDvByFile,
+      fileIdx, posIdx)
+
+  override def useCommitCoordinator(): Boolean = true
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val msgs = messages.toSeq.collect { case m: GraftStoreDeltaMessage => m }
+    // clustering guarantees one task per file, so no two messages carry
+    // the same file; belt-and-braces keep the last
+    val dvByFile = msgs.flatMap(_.dvs).map(d => d.file -> d).toMap
+    val (inserts, empty) = msgs.flatMap(_.inserts)
+      .map(m => GraftStore.FileEntry(m.file, m.rows, m.stats, m.cols))
+      .partition(_.rows > 0)
+    empty.foreach(e => new File(path, e.file).delete())
+    if (dvByFile.isEmpty && inserts.isEmpty) return // no-op DML: no commit
+    val (base, latest) = GraftStore.readLatestVersioned(path)
+    val (tblSchema, entries) = latest.getOrElse(
+      (schema, Seq.empty[GraftStore.FileEntry]))
+    val newEntries = entries.flatMap { e =>
+      dvByFile.get(e.file) match {
+        case Some(d) =>
+          val live = e.rows - d.newlyDeleted
+          if (live <= 0) None // every live row deleted: drop the entry
+          else Some(e.copy(rows = live, dv = d.dvRel,
+            // null counts unknowable without a rescan; every consumer
+            // degrades conservatively on -1 (same contract as deleteWhereDV)
+            stats = e.stats.map { case (c, st) => c -> st.copy(nulls = -1L) }))
+        case None => Some(e)
+      }
+    } ++ inserts
+    import org.apache.spark.sql.connector.write.RowLevelOperation.Command
+    GraftStore.writeManifestAtomic(path, base, tblSchema, newEntries,
+      GraftStore.readEpoch(path),
+      op = if (cmd == Command.DELETE) "delete" else "replace")
+    GraftStore.gcUnreferenced(path,
+      newEntries.flatMap(e =>
+        if (e.dv.isEmpty) Seq(e.file) else Seq(e.file, e.dv)).toSet)
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit =
+    messages.toSeq.collect { case m: GraftStoreDeltaMessage => m }.foreach { m =>
+      m.dvs.foreach(d => new File(path, d.dvRel).delete())
+      m.inserts.foreach(i => new File(path, i.file).delete())
+    }
+}
+
+case class GraftStoreDvSummary(file: String, dvRel: String, newlyDeleted: Long)
+
+case class GraftStoreDeltaMessage(dvs: Seq[GraftStoreDvSummary],
+    inserts: Seq[GraftStoreCommitMessage]) extends WriterCommitMessage
+
+class GraftStoreDeltaWriterFactory(path: String, schema: StructType,
+    stamp: String, oldDvByFile: Map[String, String],
+    fileIdx: Int, posIdx: Int)
+  extends org.apache.spark.sql.connector.write.DeltaWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long)
+      : org.apache.spark.sql.connector.write.DeltaWriter[InternalRow] =
+    new GraftStoreDeltaWriter(path, schema, partitionId, taskId, stamp,
+      oldDvByFile, fileIdx, posIdx)
+}
+
+/** Per-task delta writer: delete rows arrive clustered by `_file` and
+  * position-sorted (the write demanded it), so each file's vector is
+  * written once — union of the existing sidecar's positions and the new
+  * ones, atomically (tmp + move), under an attempt-unique name (a retry
+  * never clobbers a winner's sidecar; abort deletes only its own).
+  * Insert rows stream into one ordinary stats-collecting data file. */
+class GraftStoreDeltaWriter(path: String, schema: StructType,
+    partitionId: Int, taskId: Long, stamp: String,
+    oldDvByFile: Map[String, String], fileIdx: Int, posIdx: Int)
+  extends org.apache.spark.sql.connector.write.DeltaWriter[InternalRow] {
+
+  private val dvs = scala.collection.mutable.ArrayBuffer.empty[GraftStoreDvSummary]
+  private var curFile: String = null
+  private val buf = scala.collection.mutable.ArrayBuffer.empty[Long]
+  private var insertWriter: GraftStoreDataWriter = null
+
+  private def flushDv(): Unit = if (curFile != null && buf.nonEmpty) {
+    val oldRel = oldDvByFile.getOrElse(curFile, "")
+    val oldPos =
+      if (oldRel.isEmpty) Array.empty[Long]
+      else GraftStore.Dv.read(new File(path, oldRel).getPath)
+    val merged = (oldPos ++ buf).distinct.sorted
+    val rel = s"$curFile.dv.$stamp-$taskId"
+    GraftStore.Dv.write(new File(path, rel).getPath, merged)
+    dvs += GraftStoreDvSummary(curFile, rel,
+      (merged.length - oldPos.length).toLong)
+    buf.clear()
+  }
+
+  override def delete(meta: InternalRow, id: InternalRow): Unit = {
+    val f = id.getUTF8String(fileIdx).toString
+    if (f != curFile) { flushDv(); curFile = f }
+    buf += id.getLong(posIdx)
+  }
+
+  override def update(meta: InternalRow, id: InternalRow, row: InternalRow): Unit =
+    throw new IllegalStateException(
+      "updates are represented as delete+insert (representUpdateAsDeleteAndInsert)")
+
+  override def insert(row: InternalRow): Unit = {
+    if (insertWriter == null)
+      insertWriter = new GraftStoreDataWriter(path, schema, partitionId,
+        taskId, None, None, s"data/mor-$stamp-$partitionId-$taskId.bin")
+    insertWriter.write(row)
+  }
+
+  override def commit(): WriterCommitMessage = {
+    flushDv()
+    val ins =
+      if (insertWriter == null) Seq.empty
+      else Seq(insertWriter.commit().asInstanceOf[GraftStoreCommitMessage])
+    GraftStoreDeltaMessage(dvs.toSeq, ins)
+  }
+
+  override def abort(): Unit = {
+    dvs.foreach(d => new File(path, d.dvRel).delete())
+    if (insertWriter != null) insertWriter.abort()
+  }
+
+  override def close(): Unit = ()
 }
 
 // ----------------------------------------------------------------- write

@@ -1,0 +1,141 @@
+package graft
+
+import java.io.File
+
+import org.apache.spark.sql.functions._
+
+import graft.sources.GraftStore
+
+/** Merge-on-read DML (round 12): `write.mode=merge-on-read` routes
+  * DELETE/UPDATE/MERGE through the delta (deletion-vector) write path.
+  * The core claim — write amplification ∝ matched ROWS, not files — is
+  * pinned physically: matched data files' bytes are UNTOUCHED (mtime +
+  * length proof), only position sidecars and insert files land.
+  */
+class GraftStoreMorSpec extends SparkSuite {
+
+  private def freshMor(tag: String): (org.apache.spark.sql.SparkSession, String, String) = {
+    val root = graft.ops.Util.managedTempDir(s"graft_mor_${tag}_")
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.catalog.gmor", "graft.sources.GraftCatalog")
+    s2.conf.set("spark.sql.catalog.gmor.root", root)
+    s2.range(0, 300, 1, 3).selectExpr("id AS k", "id * 10 AS v")
+      .createOrReplaceTempView("mor_src")
+    s2.sql(
+      """CREATE TABLE gmor.t (k BIGINT, v BIGINT)
+        |TBLPROPERTIES('write.mode'='merge-on-read')""".stripMargin)
+    s2.sql("INSERT INTO gmor.t SELECT * FROM mor_src")
+    (s2, root, s"$root/t")
+  }
+
+  private def dataFiles(path: String): Map[String, (Long, Long)] =
+    Option(new File(path, "data").listFiles()).getOrElse(Array.empty)
+      .filterNot(_.getName.contains(".dv."))
+      .map(f => f.getName -> (f.lastModified(), f.length())).toMap
+
+  test("MOR DELETE: matched files' bytes untouched, only DV sidecars land; results exact") {
+    val (s2, _, path) = freshMor("del")
+    val before = dataFiles(path)
+    assert(before.size == 3)
+    s2.sql("DELETE FROM gmor.t WHERE k % 7 = 3")
+    val after = dataFiles(path)
+    assert(after == before,
+      "merge-on-read DELETE must not rewrite, touch or add data files " +
+        s"(before=$before after=$after)")
+    val entries = GraftStore.readManifest(path).get._2
+    assert(entries.forall(_.dv.nonEmpty), "every touched file carries a DV")
+    assert(entries.map(_.rows).sum == (0L until 300L).count(_ % 7 != 3))
+    // read-back applies vectors as a frame skip
+    val got = s2.sql("SELECT count(*) AS n, sum(v) AS s FROM gmor.t").collect()(0)
+    val keep = (0L until 300L).filter(_ % 7 != 3)
+    assert(got.getLong(0) == keep.size && got.getLong(1) == keep.map(_ * 10).sum)
+    // a SECOND delete composes: cumulative sidecars, data files still byte-identical
+    s2.sql("DELETE FROM gmor.t WHERE k % 5 = 0")
+    assert(dataFiles(path) == before, "second MOR DELETE touched data files")
+    val keep2 = keep.filterNot(_ % 5 == 0)
+    assert(s2.sql("SELECT count(*) FROM gmor.t").collect()(0).getLong(0) == keep2.size)
+    assert(GraftStore.readOpOf(new File(path,
+      s"_manifest.v${GraftStore.readVersion(path)}")) == "delete")
+  }
+
+  test("MOR UPDATE: delete+insert — old files untouched, one insert file, rows exact") {
+    val (s2, _, path) = freshMor("upd")
+    val before = dataFiles(path)
+    s2.sql("UPDATE gmor.t SET v = v + 1000000 WHERE k % 10 = 4")
+    val after = dataFiles(path)
+    assert(before.forall { case (f, sig) => after.get(f).contains(sig) },
+      "MOR UPDATE rewrote a matched data file")
+    val added = after.keySet -- before.keySet
+    assert(added.nonEmpty && added.forall(_.startsWith("mor-")),
+      s"updated rows must land in fresh insert files, got $added")
+    val rows = s2.sql("SELECT k, v FROM gmor.t ORDER BY k").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(rows == (0L until 300L).map(k =>
+      (k, if (k % 10 == 4) k * 10 + 1000000 else k * 10)))
+  }
+
+  test("MOR MERGE: all three arms in one commit; write amplification ∝ matched rows") {
+    val (s2, _, path) = freshMor("mrg")
+    val before = dataFiles(path)
+    val vBefore = GraftStore.readVersion(path)
+    s2.sql(
+      """CREATE OR REPLACE TEMPORARY VIEW mor_batch AS
+        |SELECT id AS k, id * 100 AS v FROM range(250, 350)""".stripMargin)
+    s2.sql(
+      """MERGE INTO gmor.t t USING mor_batch s ON t.k = s.k
+        |WHEN MATCHED AND s.k % 2 = 0 THEN DELETE
+        |WHEN MATCHED THEN UPDATE SET v = s.v
+        |WHEN NOT MATCHED THEN INSERT (k, v) VALUES (s.k, s.v)""".stripMargin)
+    // ONE commit (delete vectors + update-reinserts + inserts together)
+    assert(GraftStore.readVersion(path) == vBefore + 1,
+      "a MOR MERGE must be one atomic commit")
+    val after = dataFiles(path)
+    assert(before.forall { case (f, sig) => after.get(f).contains(sig) },
+      "MOR MERGE rewrote a pre-existing data file")
+    // expected state replayed relationally
+    val expected =
+      (0L until 250L).map(k => (k, k * 10)) ++ // untouched
+        (250L until 300L).filter(_ % 2 != 0).map(k => (k, k * 100)) ++ // updated
+        (300L until 350L).map(k => (k, k * 100)) // inserted
+    val rows = s2.sql("SELECT k, v FROM gmor.t ORDER BY k").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(rows == expected.sortBy(_._1))
+    // write amplification: sidecars address exactly the 50 matched rows
+    // (25 deleted + 25 update-deletes); the bytes written are sidecars +
+    // one insert file, never the 3 base files
+    val dvBytes = Option(new File(path, "data").listFiles()).get
+      .filter(_.getName.contains(".dv.")).map(_.length()).sum
+    assert(dvBytes < 4096, s"DV sidecars should be tiny, got $dvBytes bytes")
+  }
+
+  test("MOR change feed: dv-delta deletes + inserted files; purge restores clean files") {
+    val (s2, _, path) = freshMor("cdf")
+    val v1 = GraftStore.readVersion(path)
+    s2.sql("DELETE FROM gmor.t WHERE k >= 0 AND k < 10")
+    val v2 = GraftStore.readVersion(path)
+    val feed = s2.read.format("graft.sources.GraftStore").option("path", path)
+      .option("changesFrom", v1.toString).option("changesTo", v2.toString).load()
+    val changes = feed.select(col("k"), col("_change_type")).collect()
+      .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1).toSeq
+    assert(changes == (0L until 10L).map(k => (k, "delete")),
+      s"feed must emit exactly the newly-deleted rows, got $changes")
+    // purge folds vectors into clean files; results unchanged, DVs gone
+    GraftStore.purgeDeletes(s2, path)
+    assert(GraftStore.readManifest(path).get._2.forall(_.dv.isEmpty))
+    assert(s2.sql("SELECT count(*) FROM gmor.t").collect()(0).getLong(0) == 290)
+  }
+
+  test("copy-on-write stays the default: same MERGE without the property rewrites files") {
+    val root = graft.ops.Util.managedTempDir("graft_mor_cow_")
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.catalog.gcw", "graft.sources.GraftCatalog")
+    s2.conf.set("spark.sql.catalog.gcw.root", root)
+    s2.sql("CREATE TABLE gcw.t AS SELECT id AS k, id * 10 AS v FROM range(0, 100)")
+    val path = s"$root/t"
+    s2.sql("DELETE FROM gcw.t WHERE k % 7 = 3")
+    val entries = GraftStore.readManifest(path).get._2
+    assert(entries.forall(_.dv.isEmpty),
+      "without write.mode=merge-on-read, DML must stay copy-on-write")
+    assert(entries.map(_.rows).sum == (0L until 100L).count(_ % 7 != 3))
+  }
+}
