@@ -75,6 +75,26 @@ object StreamOps {
       .orderBy($"w_start", $"event_type")
   }
 
+  /** transformWithState batch analog (round 12) — q_stream_stateful's
+    * sibling on Spark 4's SUCCESSOR arbitrary-state API: per-user final
+    * state (event count, distinct event types, last event time) as a
+    * StatefulProcessor with a ValueState would accumulate it. The
+    * registry form is the batch-emulated equivalent (same precedent as
+    * q_stream_stateful/q_stream_late: streaming runs can't be
+    * oracle-hashed, batch analogs can); the REAL transformWithState op
+    * — RocksDB state store, getHandle.getValueState, TimeMode.None —
+    * runs in StreamingParitySpec and is asserted row-equal to THIS
+    * query, so the oracle transitively checks the streaming path. */
+  val qStreamStatefulTws: Q = (s, dir) => {
+    import s.implicits._
+    events(s, dir)
+      .groupBy($"user_id")
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct($"event_type").as("n_types"),
+        max($"ts").as("last_ts"))
+      .orderBy($"user_id")
+  }
+
   /** Stateful sessionization summary (flatMapGroupsWithState batch analog):
     * per-user session count, total duration, events per session. */
   val qStreamStateful: Q = (s, dir) => {
@@ -180,6 +200,7 @@ object StreamOps {
     "q_stream_session" -> qStreamSession,
     "q_stream_late" -> qStreamLate,
     "q_stream_stateful" -> qStreamStateful,
+    "q_stream_stateful_tws" -> qStreamStatefulTws,
     "q_stream_dedup" -> qStreamDedup,
   )
 
@@ -234,6 +255,13 @@ object StreamOps {
         |SELECT date_trunc('hour', ts) AS w_start, event_type, count(*) AS n
         |FROM wm WHERE wm IS NULL OR ts_sec >= wm
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // per-user final state a transformWithState processor accumulates,
+    // recomputed relationally
+    "q_stream_stateful_tws" ->
+      """SELECT user_id, count(*) AS n_events,
+        | count(DISTINCT event_type) AS n_types,
+        | max(ts::TIMESTAMP) AS last_ts
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_stream_stateful" ->
       """WITH e AS (SELECT user_id, event_id, ts::TIMESTAMP AS ts FROM events),
         |flagged AS (SELECT *, CASE WHEN prev_ts IS NULL

@@ -52,6 +52,45 @@ class SketchesSpec extends SparkSuite {
     }
   }
 
+  test("q_agg_kll cross-parallelism drift stays inside the rank-error bound (permanent exemption rationale)") {
+    // KLL is merge-order-sensitive BY CONSTRUCTION (compaction decisions
+    // depend on insertion/merge order), and Spark's partial-agg merge
+    // order varies with parallelism — so q_agg_kll is exempt from the
+    // bit-exact oracle PERMANENTLY, not pending a fix: forcing a
+    // deterministic merge order would mean single-partition aggregation,
+    // which defeats the mergeable-sketch design the query demonstrates.
+    // What IS guaranteed — and pinned here — is that any two
+    // parallelism levels agree within twice the sketch's normalized
+    // rank error (~1.65% at default k; 2 × 5%-rank window used below,
+    // matching the oracle-replacement bound above).
+    import spark.implicits._
+    val src = spark.read.parquet(s"$sfDir/orders.parquet")
+      .select($"o_orderpriority", $"o_totalprice".cast("double").as("p"))
+    def quantiles(parts: Int): Map[String, (Double, Double)] =
+      src.repartition(parts)
+        .groupBy($"o_orderpriority")
+        .agg(expr("kll_sketch_agg_double(p)").as("sk"))
+        .select($"o_orderpriority",
+          expr("kll_sketch_get_quantile_double(sk, 0.5)").as("k50"),
+          expr("kll_sketch_get_quantile_double(sk, 0.9)").as("k90"))
+        .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    val exact = src.groupBy($"o_orderpriority")
+      .agg(expr("percentile(p, 0.40)").as("lo50"), expr("percentile(p, 0.60)").as("hi50"),
+        expr("percentile(p, 0.80)").as("lo90"), expr("percentile(p, 0.97)").as("hi90"))
+      .collect().map(r => r.getString(0) ->
+        (r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+    val (q2, q16) = (quantiles(2), quantiles(16))
+    exact.keys.foreach { g =>
+      val (lo50, hi50, lo90, hi90) = exact(g)
+      Seq(q2, q16).foreach { q =>
+        assert(q(g)._1 >= lo50 && q(g)._1 <= hi50,
+          s"$g p50 at some parallelism drifted outside the doubled rank window: ${q(g)._1}")
+        assert(q(g)._2 >= lo90 && q(g)._2 <= hi90,
+          s"$g p90 at some parallelism drifted outside the doubled rank window: ${q(g)._2}")
+      }
+    }
+  }
+
   test("q_agg_theta estimates within 5% of exact; intersection bounded") {
     import spark.implicits._
     val rows = SparkEntry.queries("q_agg_theta")(spark, sfDir).collect()

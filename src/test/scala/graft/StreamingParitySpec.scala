@@ -290,42 +290,56 @@ class StreamingParitySpec extends SparkSuite {
     assert(diff == 0, "streaming flatMapGroupsWithState != batch gaps-and-islands")
   }
 
-  test("transformWithState (Spark 4 arbitrary state API) counts per user") {
+  test("transformWithState (Spark 4 arbitrary state API) == q_stream_stateful_tws batch analog") {
     import spark.implicits._
     import org.apache.spark.sql.streaming.{StatefulProcessor, TimeMode, TTLConfig, TimerValues}
-    import org.apache.spark.sql.{Encoder, Encoders}
+    import org.apache.spark.sql.Encoders
 
-    class CountProcessor extends StatefulProcessor[Long, (Long, Double), (Long, Long)] {
-      @transient private var count: org.apache.spark.sql.streaming.ValueState[Long] = _
+    // per-user final state a StatefulProcessor accumulates: event count,
+    // distinct event types, max event-time micros — exactly what the
+    // oracle-checked registry entry computes relationally, so the DuckDB
+    // oracle transitively checks this streaming path
+    class StateProcessor
+      extends StatefulProcessor[Long, (Long, String, Long), (Long, Long, Long, Long)] {
+      @transient private var st: org.apache.spark.sql.streaming.ValueState[(Long, Set[String], Long)] = _
       override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
-        count = getHandle.getValueState[Long]("count", Encoders.scalaLong, TTLConfig.NONE)
-      override def handleInputRows(key: Long, rows: Iterator[(Long, Double)],
-          timerValues: TimerValues): Iterator[(Long, Long)] = {
-        val n = (if (count.exists()) count.get() else 0L) + rows.size
-        count.update(n)
-        Iterator.single((key, n))
+        st = getHandle.getValueState[(Long, Set[String], Long)]("st",
+          Encoders.kryo[(Long, Set[String], Long)], TTLConfig.NONE)
+      override def handleInputRows(key: Long, rows: Iterator[(Long, String, Long)],
+          timerValues: TimerValues): Iterator[(Long, Long, Long, Long)] = {
+        var (n, types, maxTs) =
+          if (st.exists()) st.get() else (0L, Set.empty[String], Long.MinValue)
+        rows.foreach { case (_, tpe, micros) =>
+          n += 1; types += tpe; if (micros > maxTs) maxTs = micros
+        }
+        st.update((n, types, maxTs))
+        Iterator.single((key, n, types.size.toLong, maxTs))
       }
     }
 
     spark.conf.set("spark.sql.streaming.stateStore.providerClass",
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     try {
-      val ds = eventStream.select(col("user_id"), col("value"))
-        .as[(Long, Double)]
-      val counted = ds.groupByKey(_._1)
-        .transformWithState(new CountProcessor, TimeMode.None(), OutputMode.Update())
-        .toDF("user_id", "n")
-      val q = counted.writeStream.outputMode("update")
+      val ds = eventStream.select(col("user_id"), col("event_type"),
+          expr("unix_micros(ts)"))
+        .as[(Long, String, Long)]
+      val out = ds.groupByKey(_._1)
+        .transformWithState(new StateProcessor, TimeMode.None(), OutputMode.Update())
+        .toDF("user_id", "n_events", "n_types", "max_micros")
+      val q = out.writeStream.outputMode("update")
         .format("memory").queryName("t_tws").start()
       q.processAllAvailable()
       q.stop()
-      // single micro-batch => the last update per user is the total count
+      // the last update per user is the final state
       val streamed = spark.table("t_tws")
-        .groupBy(col("user_id")).agg(max(col("n")).as("n"))
-      val batch = graft.ops.Util.events(spark, sfDir)
-        .groupBy(col("user_id")).agg(count(lit(1)).as("n"))
+        .groupBy(col("user_id")).agg(max(col("n_events")).as("n_events"),
+          max(col("n_types")).as("n_types"), max(col("max_micros")).as("m"))
+      val batch = SparkEntry.queries("q_stream_stateful_tws")(spark, sfDir)
+        .select(col("user_id"), col("n_events"), col("n_types"),
+          expr("unix_micros(last_ts)").as("m"))
       val diff = streamed.except(batch).count() + batch.except(streamed).count()
-      assert(diff == 0, "transformWithState counts != batch counts")
+      assert(diff == 0,
+        "transformWithState final state != q_stream_stateful_tws batch analog")
     } finally {
       spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
     }
