@@ -196,10 +196,14 @@ class GraftStoreNaNSpec extends SparkSuite {
     val before = GraftStore.readManifest(path).get._2
     assert(before.head.stats.contains("v") && before.head.stats.contains("id"))
     // simulate a table written by the pre-NaN-fix (v1) writer: same
-    // entries, no !stats header — its double stats may be unsound
+    // entries, no !stats header — its double stats may be unsound. A
+    // pre-fix writer predates !uid stamping too, so strip both (and the
+    // uid strip is load-bearing: manifests are immutable-per-uid by
+    // contract, so an in-place rewrite that KEPT the uid would justly be
+    // served the cached pre-rewrite parse)
     for (f <- new File(path).listFiles() if f.getName.startsWith("_manifest")) {
       val lines = new String(Files.readAllBytes(f.toPath), StandardCharsets.UTF_8)
-        .split('\n').filterNot(_.startsWith("!stats="))
+        .split('\n').filterNot(l => l.startsWith("!stats=") || l.startsWith("!uid="))
       Files.write(Paths.get(f.getPath), lines.mkString("\n").getBytes(StandardCharsets.UTF_8))
     }
     val after = GraftStore.readManifest(path).get._2
