@@ -1538,6 +1538,43 @@ object Sources {
       .orderBy($"event_type")
   }
 
+  private val partMonthsWritten = new java.util.concurrent.ConcurrentHashMap[String, String]
+
+  /** MONTH-GRAIN HIDDEN PARTITIONING (round 12) — `PARTITIONED BY
+    * (months(o_orderdate))` completes the temporal transform family at
+    * the retention grain: months-since-epoch is monotone in the date
+    * despite calendar-variable month lengths (the INDEX rolls files,
+    * not the length), so the ~80-month orders history lands one file
+    * per month and the quarter-range query every finance dashboard
+    * issues prunes all other months from manifest epoch-day bounds.
+    * Dropping a month past retention is a metadata-only DELETE on the
+    * same entire-file proof — the month-partitioned shape is exactly
+    * how 100 TB fact tables age out. Month-grain rolling, pruning and
+    * `$partitions` calendar rendering pinned in TransformPartitionSpec. */
+  val qStorePartMonths: Q = (s, dir) => {
+    import s.implicits._
+    val path = partMonthsWritten.computeIfAbsent(s"${Util.sessionKey(s)}:$dir", _ => {
+      val s2 = s.newSession()
+      val root = Util.managedTempDir("graft_pmos_")
+      s2.conf.set("spark.sql.catalog.graftpmo", "graft.sources.GraftCatalog")
+      s2.conf.set("spark.sql.catalog.graftpmo.root", root)
+      table(s2, dir, "orders").createOrReplaceTempView("ord_pmo")
+      s2.sql(
+        """CREATE TABLE graftpmo.o PARTITIONED BY (months(o_orderdate)) AS
+          |SELECT o_orderkey, o_orderdate, o_orderpriority, o_totalprice
+          |FROM ord_pmo ORDER BY o_orderdate""".stripMargin)
+      s"$root/o"
+    })
+    s.read.format("graft.sources.GraftStore").option("path", path).load()
+      .filter($"o_orderdate" >= Util.ts("1996-01-01 00:00:00") &&
+        $"o_orderdate" < Util.ts("1996-07-01 00:00:00"))
+      .groupBy($"o_orderpriority")
+      .agg(count(lit(1)).as("n_rows"),
+        Util.dsum($"o_totalprice").as("sum_price"),
+        min($"o_orderdate").as("first_d"), max($"o_orderdate").as("last_d"))
+      .orderBy($"o_orderpriority")
+  }
+
   private val partHoursWritten = new java.util.concurrent.ConcurrentHashMap[String, String]
 
   /** HOUR-GRAIN HIDDEN PARTITIONING (round 12) — `PARTITIONED BY
@@ -2523,6 +2560,7 @@ object Sources {
     "q_store_part_multi" -> qStorePartMulti,
     "q_store_part_days" -> qStorePartDays,
     "q_store_part_hours" -> qStorePartHours,
+    "q_store_part_months" -> qStorePartMonths,
     "q_store_part_bucket" -> qStorePartBucket,
     "q_store_spj_bucket" -> qStoreSpjBucket,
     "q_catalog_sql" -> qCatalogSql,
@@ -2851,6 +2889,16 @@ object Sources {
         | count(*) AS n_rows, CAST(sum(o_orderkey) AS BIGINT) AS sum_key,
         | CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
         |FROM orders WHERE o_orderkey % 4 = 2
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // month-grain hidden partitioning must be invisible to results: the
+    // half-year window's per-priority aggregate recomputed from parquet
+    "q_store_part_months" ->
+      """SELECT o_orderpriority, count(*) AS n_rows,
+        | CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price,
+        | min(o_orderdate) AS first_d, max(o_orderdate) AS last_d
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1996-07-01 00:00:00'
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     // hour-grain hidden partitioning must be invisible to results: the
     // six-hour window's per-type aggregate recomputed from source parquet

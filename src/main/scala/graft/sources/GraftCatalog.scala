@@ -174,6 +174,14 @@ class GraftCatalog extends TableCatalog with FunctionCatalog {
                 dt == org.apache.spark.sql.types.TimestampNTZType,
                 s"hours($c) needs a timestamp column, got $dt")
               s"hours($c)"
+            case "months" =>
+              val c = srcOf(t)
+              val dt = schema.fields(schema.fieldIndex(c)).dataType
+              require(dt == org.apache.spark.sql.types.TimestampType ||
+                dt == org.apache.spark.sql.types.TimestampNTZType ||
+                dt == org.apache.spark.sql.types.DateType,
+                s"months($c) needs a timestamp/date column, got $dt")
+              s"months($c)"
             case "truncate" | "trunc" =>
               val c = srcOf(t)
               val dt = schema.fields(schema.fieldIndex(c)).dataType
@@ -204,8 +212,8 @@ class GraftCatalog extends TableCatalog with FunctionCatalog {
               require(n > 0, s"bucket count must be positive, got $n")
               s"bucket($n,$c)"
             case other => throw new UnsupportedOperationException(
-              "graft catalog tables support identity, days, hours, truncate " +
-                s"and bucket partition transforms (got $other in ${ts.mkString(", ")})")
+              "graft catalog tables support identity, days, hours, months, " +
+                s"truncate and bucket partition transforms (got $other in ${ts.mkString(", ")})")
           }
         }
         val sources = ts.map(srcOf)

@@ -995,6 +995,22 @@ object GraftStore {
   case class PartHours(source: String) extends PartTerm {
     def render: String = s"hours($source)"
   }
+  /** Month-grain temporal transform (round 12): months-since-epoch
+    * (year−1970)×12 + month−1 of the source's UTC date. Monotone —
+    * increasing time never decreases the month index — so the same
+    * rolling-write / stats-pruning story holds despite the
+    * calendar-variable month LENGTH (the index, not the length, is what
+    * rolls files); timestamp and date columns. */
+  case class PartMonths(source: String) extends PartTerm {
+    def render: String = s"months($source)"
+  }
+
+  /** Months-since-epoch of an epoch day — the derived value
+    * [[PartMonths]] clusters on. */
+  private[sources] def monthIndexOfDay(epochDay: Long): Int = {
+    val ld = java.time.LocalDate.ofEpochDay(epochDay)
+    (ld.getYear - 1970) * 12 + ld.getMonthValue - 1
+  }
   case class PartTrunc(width: Int, source: String) extends PartTerm {
     def render: String = s"trunc($width,$source)"
   }
@@ -1028,6 +1044,7 @@ object GraftStore {
 
   private val DaysRe = """(?i)days\(\s*([^(),\s]+)\s*\)""".r
   private val HoursRe = """(?i)hours\(\s*([^(),\s]+)\s*\)""".r
+  private val MonthsRe = """(?i)months\(\s*([^(),\s]+)\s*\)""".r
   private val TruncRe = """(?i)trunc\(\s*(\d+)\s*,\s*([^(),\s]+)\s*\)""".r
   private val BucketRe = """(?i)bucket\(\s*(\d+)\s*,\s*([^(),\s]+)\s*\)""".r
 
@@ -1035,13 +1052,14 @@ object GraftStore {
     spec.toSeq.flatMap(splitTerms).map {
       case DaysRe(c) => PartDays(c)
       case HoursRe(c) => PartHours(c)
+      case MonthsRe(c) => PartMonths(c)
       case TruncRe(w, c) => PartTrunc(w.toInt, c)
       case BucketRe(n, c) => PartBucket(n.toInt, c)
       case c =>
         require(!c.contains("(") && !c.contains(")"),
           s"unsupported partition transform term '$c' — supported: " +
-            "identity column, days(col), hours(col), trunc(width,col), " +
-            "bucket(n,col)")
+            "identity column, days(col), hours(col), months(col), " +
+            "trunc(width,col), bucket(n,col)")
         PartIdentity(c)
     }
 
@@ -1120,6 +1138,9 @@ object GraftStore {
         case PartHours(c) =>
           require(dt == TimestampType || dt == TimestampNTZType,
             s"hours($c) needs a timestamp column, got $dt")
+        case PartMonths(c) =>
+          require(dt == TimestampType || dt == TimestampNTZType || dt == DateType,
+            s"months($c) needs a timestamp/date column, got $dt")
         case PartTrunc(w, c) =>
           require(dt == StringType || dt == IntegerType || dt == LongType,
             s"trunc over $c needs a string/int/long column, got $dt")
@@ -1179,6 +1200,16 @@ object GraftStore {
                     Math.floorDiv(hi, 86400000000L))
                 if (dLo == dHi)
                   Some(s"${c}_day=${java.time.LocalDate.ofEpochDay(dLo)}")
+                else None
+              case PartMonths(c) =>
+                val (lo, hi) = (st.min.toLong, st.max.toLong)
+                val (dLo, dHi) =
+                  if (isDate(c)) (lo, hi)
+                  else (Math.floorDiv(lo, 86400000000L),
+                    Math.floorDiv(hi, 86400000000L))
+                val (mLo, mHi) = (monthIndexOfDay(dLo), monthIndexOfDay(dHi))
+                if (mLo == mHi)
+                  Some(f"${c}_month=${1970 + mLo / 12}%04d-${mLo % 12 + 1}%02d")
                 else None
               case PartHours(c) =>
                 val (hLo, hHi) = (Math.floorDiv(st.min.toLong, 3600000000L),
@@ -1737,6 +1768,7 @@ class GraftStoreTable(path: String, tableSchema: StructType,
       case GraftStore.PartIdentity(c) => Expressions.identity(c)
       case GraftStore.PartDays(c) => Expressions.days(c)
       case GraftStore.PartHours(c) => Expressions.hours(c)
+      case GraftStore.PartMonths(c) => Expressions.months(c)
       case GraftStore.PartTrunc(w, c) =>
         Expressions.apply("truncate",
           Expressions.literal(Int.box(w)), Expressions.column(c))
@@ -2436,6 +2468,14 @@ class GraftStorePartitionedWriter(path: String, schema: StructType,
           Math.floorDiv(row.getLong(i), 3600000000L)
         case other => throw new IllegalStateException(
           s"hours() over unsupported type $other")
+      }
+      case GraftStore.PartMonths(_) => dts(j) match {
+        case TimestampType | TimestampNTZType =>
+          GraftStore.monthIndexOfDay(Math.floorDiv(row.getLong(i), 86400000000L))
+        case DateType =>
+          GraftStore.monthIndexOfDay(row.getInt(i).toLong)
+        case other => throw new IllegalStateException(
+          s"months() over unsupported type $other")
       }
       case GraftStore.PartTrunc(w, _) => dts(j) match {
         case StringType => row.getUTF8String(i).substring(0, w).toString

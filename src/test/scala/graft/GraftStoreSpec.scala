@@ -1069,7 +1069,7 @@ class GraftStoreSpec extends SparkSuite {
     val e1 = intercept[Exception] {
       s2.sql("CREATE TABLE gpart.bad (a BIGINT, ts TIMESTAMP) PARTITIONED BY (years(ts))")
     }
-    assert(e1.getMessage.contains("identity, days, hours, truncate and bucket"))
+    assert(e1.getMessage.contains("identity, days, hours, months, truncate and bucket"))
     // streaming writes can't keep the rolling contract: refused loudly
     val e2 = intercept[Exception] {
       spark.readStream.format("graft.sources.SynthSource")

@@ -345,6 +345,35 @@ class TransformPartitionSpec extends SparkSuite {
     assert(desc.contains("files=1/8"), s"hour range must plan 1 file:\n$desc")
   }
 
+  test("months(date): files roll per calendar month and date ranges prune") {
+    import spark.implicits._
+    val root = graft.ops.Util.managedTempDir("graft_tpart_mo_")
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.catalog.gtm", "graft.sources.GraftCatalog")
+    s2.conf.set("spark.sql.catalog.gtm.root", root)
+    // 90 days from 2024-01-01 → Jan/Feb/Mar, single ordered slice
+    s2.range(0, 90, 1, 1)
+      .selectExpr("date_add(DATE '2024-01-01', CAST(id AS INT)) AS d", "id AS v")
+      .createOrReplaceTempView("mo_src")
+    s2.sql("CREATE TABLE gtm.t PARTITIONED BY (months(d)) AS SELECT * FROM mo_src")
+    val path = s"$root/t"
+    val es = GraftStore.readManifest(path).get._2
+    assert(es.size == 3, s"expected one file per month, got ${es.size}")
+    // a one-month range reads exactly one file
+    val scan = spark.read.format("graft.sources.GraftStore")
+      .option("path", path).load()
+      .filter($"d" >= lit("2024-02-01").cast("date") &&
+        $"d" < lit("2024-03-01").cast("date"))
+    assert(scan.count() == 29) // 2024 is a leap year
+    assert(scan.queryExecution.executedPlan.toString.contains("files=1/3"),
+      "month range must plan 1 of 3 files")
+    // $partitions renders the calendar month
+    val parts = s2.sql("SELECT `partition`, n_rows FROM gtm.`t$partitions` ORDER BY 1")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(parts == Seq(("d_month=2024-01", 31L), ("d_month=2024-02", 29L),
+      ("d_month=2024-03", 30L)), parts.mkString(","))
+  }
+
   test("temporal stats survive compaction merge and stay pruning-exact") {
     import spark.implicits._
     val path = daysTable()
