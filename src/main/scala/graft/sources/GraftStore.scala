@@ -2124,27 +2124,62 @@ class GraftStoreDeltaBatchWrite(path: String, schema: StructType,
       .partition(_.rows > 0)
     empty.foreach(e => new File(path, e.file).delete())
     if (dvByFile.isEmpty && inserts.isEmpty) return // no-op DML: no commit
-    val (base, latest) = GraftStore.readLatestVersioned(path)
-    val (tblSchema, entries) = latest.getOrElse(
-      (schema, Seq.empty[GraftStore.FileEntry]))
-    val newEntries = entries.flatMap { e =>
-      dvByFile.get(e.file) match {
-        case Some(d) =>
-          val live = e.rows - d.newlyDeleted
-          if (live <= 0) None // every live row deleted: drop the entry
-          else Some(e.copy(rows = live, dv = d.dvRel,
-            // null counts unknowable without a rescan; every consumer
-            // degrades conservatively on -1 (same contract as deleteWhereDV)
-            stats = e.stats.map { case (c, st) => c -> st.copy(nulls = -1L) }))
-        case None => Some(e)
-      }
-    } ++ inserts
+    // OPTIMISTIC RETRY with per-file validity (the Delta conflict-
+    // resolution shape): our row deltas stay valid as long as every file
+    // we delete from is still present with the SAME deletion vector we
+    // merged against — a concurrent APPEND (disjoint new files) never
+    // invalidates them, so its CAS conflict just re-merges and retries;
+    // a concurrent commit that touched one of OUR files (another DML's
+    // vector, a rewrite, a removal) makes the positions stale and fails
+    // loudly. Same single-logical-writer-per-ROW discipline Delta has,
+    // with append-concurrency for free.
     import org.apache.spark.sql.connector.write.RowLevelOperation.Command
-    GraftStore.writeManifestAtomic(path, base, tblSchema, newEntries,
-      GraftStore.readEpoch(path),
-      op = if (cmd == Command.DELETE) "delete" else "replace")
+    var attempt = 0
+    var done = false
+    var committed = Seq.empty[GraftStore.FileEntry]
+    while (!done) {
+      val (base, latest) = GraftStore.readLatestVersioned(path)
+      val (tblSchema, entries) = latest.getOrElse(
+        (schema, Seq.empty[GraftStore.FileEntry]))
+      val stale = dvByFile.keys.filter { f =>
+        entries.find(_.file == f) match {
+          case Some(e) => e.dv != oldDvByFile.getOrElse(f, "")
+          case None => true
+        }
+      }
+      if (stale.nonEmpty)
+        throw new GraftStore.ConflictException(
+          s"merge-on-read DML lost a conflict: ${stale.size} file(s) it " +
+            s"deletes from changed under it (${stale.take(3).mkString(", ")}" +
+            s"${if (stale.size > 3) ", …" else ""}) — re-run the DML " +
+            "against the current table")
+      val newEntries = entries.flatMap { e =>
+        dvByFile.get(e.file) match {
+          case Some(d) =>
+            val live = e.rows - d.newlyDeleted
+            if (live <= 0) None // every live row deleted: drop the entry
+            else Some(e.copy(rows = live, dv = d.dvRel,
+              // null counts unknowable without a rescan; every consumer
+              // degrades conservatively on -1 (same contract as deleteWhereDV)
+              stats = e.stats.map { case (c, st) => c -> st.copy(nulls = -1L) }))
+          case None => Some(e)
+        }
+      } ++ inserts
+      try {
+        GraftStore.writeManifestAtomic(path, base, tblSchema, newEntries,
+          GraftStore.readEpoch(path),
+          op = if (cmd == Command.DELETE) "delete" else "replace")
+        committed = newEntries
+        done = true
+      } catch {
+        case c: GraftStore.ConflictException =>
+          attempt += 1
+          if (attempt >= 10) throw c
+          Thread.sleep(5L * attempt)
+      }
+    }
     GraftStore.gcUnreferenced(path,
-      newEntries.flatMap(e =>
+      committed.flatMap(e =>
         if (e.dv.isEmpty) Seq(e.file) else Seq(e.file, e.dv)).toSet)
   }
 

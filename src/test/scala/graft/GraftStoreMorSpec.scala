@@ -125,6 +125,26 @@ class GraftStoreMorSpec extends SparkSuite {
     assert(s2.sql("SELECT count(*) FROM gmor.t").collect()(0).getLong(0) == 290)
   }
 
+  test("MOR conflict: a touched file changed under the delta write fails loudly") {
+    val (s2, _, path) = freshMor("cfl")
+    val file0 = GraftStore.readManifest(path).get._2.head.file
+    import org.apache.spark.sql.connector.write.RowLevelOperation.Command
+    // delta write planned against the CURRENT state (no DVs yet)…
+    val bw = new graft.sources.GraftStoreDeltaBatchWrite(path,
+      GraftStore.readManifest(path).get._1, Command.DELETE, 0, 1)
+    // …then another DML delete-vectors the same file underneath it
+    s2.sql("DELETE FROM gmor.t WHERE k % 13 = 0")
+    assert(GraftStore.readManifest(path).get._2
+      .find(_.file == file0).exists(_.dv.nonEmpty))
+    val msg = graft.sources.GraftStoreDeltaMessage(
+      Seq(graft.sources.GraftStoreDvSummary(file0, s"$file0.dv.test", 1L)),
+      Seq.empty)
+    val e = intercept[GraftStore.ConflictException] {
+      bw.commit(Array(msg))
+    }
+    assert(e.getMessage.contains("changed under it"), e.getMessage)
+  }
+
   test("copy-on-write stays the default: same MERGE without the property rewrites files") {
     val root = graft.ops.Util.managedTempDir("graft_mor_cow_")
     val s2 = spark.newSession()

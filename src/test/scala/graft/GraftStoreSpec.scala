@@ -396,6 +396,17 @@ class GraftStoreSpec extends SparkSuite {
       .agg(expr("count(*)").as("n"))
     assert(!straddle.queryExecution.executedPlan.toString.contains("metadata-only"),
       "straddling predicate must not claim the metadata answer")
+    // GROUPED + FILTERED compose: the group fold runs over the accepted
+    // filters' AllRows subset
+    val gf = readT.filter($"g" =!= 1).groupBy($"g")
+      .agg(expr("count(*)").as("n"), sum($"id").as("s"))
+      .orderBy($"g")
+    assert(gf.queryExecution.executedPlan.toString.contains("metadata-only aggregate"),
+      s"grouped+filtered aggregate not metadata-answered:\n${gf.queryExecution.executedPlan}")
+    val gfRows = gf.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val byG = (0L until 900L).groupBy(_ % 3)
+    assert(gfRows == Seq(0L, 2L).map(g => (g, byG(g).size.toLong, byG(g).sum)),
+      gfRows.mkString(","))
   }
 
   test("count/min/max answered from manifest metadata alone (zero data I/O)") {
