@@ -2065,23 +2065,48 @@ class GraftStoreDeltaOperation(path: String,
     }
 }
 
-/** The delta write demands rows CLUSTERED by `_file` and ordered by
-  * (`_file`, `_pos`): one task owns all of a file's deletes (its DV is
-  * written exactly once, positions pre-sorted), insert rows (null row
-  * id) land wherever their cluster hashes. */
+/** The delta write demands rows CLUSTERED by `_file` (plus the table's
+  * partition cluster terms) and ordered by (`_file`, partition term
+  * keys, `_pos`): one task owns all of a file's deletes (a rolled
+  * file's partition tuple is constant, so the extra keys never split a
+  * file; the DV is written exactly once, positions pre-sorted), while
+  * INSERT rows (null row id) cluster and arrive sorted on the table's
+  * partition terms — so the insert side of a MOR MERGE on a
+  * partitioned table rolls per-value files exactly like an append,
+  * preserving the single-valued-entry invariant (partition DELETE
+  * stays metadata-only after arbitrary MOR history — the same contract
+  * the copy-on-write path keeps). */
 class GraftStoreDeltaWrite(path: String, schema: StructType,
     cmd: org.apache.spark.sql.connector.write.RowLevelOperation.Command,
     rowIdSchema: java.util.Optional[StructType])
   extends org.apache.spark.sql.connector.write.DeltaWrite
   with RequiresDistributionAndOrdering {
 
+  private def partitionTerms: Seq[GraftStore.PartTerm] =
+    GraftStore.readPartitionTerms(path)
+
   override def description(): String = s"graft_store merge-on-read $cmd -> $path"
   override def requiredDistribution(): Distribution =
-    Distributions.clustered(Array(Expressions.column("_file")))
-  override def requiredOrdering(): Array[SortOrder] =
-    Array("_file", "_pos").map(c => Expressions.sort(Expressions.column(c),
-      org.apache.spark.sql.connector.expressions.SortDirection.ASCENDING)
-      : SortOrder)
+    Distributions.clustered((Expressions.column("_file")
+      +: partitionTerms.collect {
+        case GraftStore.PartIdentity(c) => Expressions.column(c)
+        case GraftStore.PartBucket(n, c) => Expressions.bucket(n, c)
+      }).toArray)
+  override def requiredOrdering(): Array[SortOrder] = {
+    val termKeys: Seq[org.apache.spark.sql.connector.expressions.Expression] =
+      partitionTerms.map {
+        case GraftStore.PartBucket(n, c) =>
+          Expressions.bucket(n, c): org.apache.spark.sql.connector.expressions.Expression
+        case t => Expressions.column(t.source)
+      }
+    ((Expressions.column("_file") +: termKeys) :+ Expressions.column("_pos"))
+      .foldLeft(Vector.empty[org.apache.spark.sql.connector.expressions.Expression]) {
+        (acc, e) => if (acc.exists(_.toString == e.toString)) acc else acc :+ e
+      }
+      .map(e => Expressions.sort(e,
+        org.apache.spark.sql.connector.expressions.SortDirection.ASCENDING)
+        : SortOrder).toArray
+  }
 
   override def toBatch: org.apache.spark.sql.connector.write.DeltaBatchWrite = {
     // resolve the row-id projection's field order from the ACTUAL write
@@ -2090,13 +2115,15 @@ class GraftStoreDeltaWrite(path: String, schema: StructType,
       val s = rowIdSchema.get()
       (s.fieldIndex("_file"), s.fieldIndex("_pos"))
     } else (0, 1)
-    new GraftStoreDeltaBatchWrite(path, schema, cmd, fileIdx, posIdx)
+    new GraftStoreDeltaBatchWrite(path, schema, cmd, fileIdx, posIdx,
+      partitionTerms.map(t => (schema.fieldIndex(t.source), t)))
   }
 }
 
 class GraftStoreDeltaBatchWrite(path: String, schema: StructType,
     cmd: org.apache.spark.sql.connector.write.RowLevelOperation.Command,
-    fileIdx: Int, posIdx: Int)
+    fileIdx: Int, posIdx: Int,
+    rollOn: Seq[(Int, GraftStore.PartTerm)] = Seq.empty)
   extends org.apache.spark.sql.connector.write.DeltaBatchWrite {
 
   private val stamp = java.util.UUID.randomUUID().toString.take(8)
@@ -2110,7 +2137,7 @@ class GraftStoreDeltaBatchWrite(path: String, schema: StructType,
   override def createBatchWriterFactory(info: PhysicalWriteInfo)
       : org.apache.spark.sql.connector.write.DeltaWriterFactory =
     new GraftStoreDeltaWriterFactory(path, schema, stamp, oldDvByFile,
-      fileIdx, posIdx)
+      fileIdx, posIdx, rollOn)
 
   override def useCommitCoordinator(): Boolean = true
 
@@ -2197,12 +2224,13 @@ case class GraftStoreDeltaMessage(dvs: Seq[GraftStoreDvSummary],
 
 class GraftStoreDeltaWriterFactory(path: String, schema: StructType,
     stamp: String, oldDvByFile: Map[String, String],
-    fileIdx: Int, posIdx: Int)
+    fileIdx: Int, posIdx: Int,
+    rollOn: Seq[(Int, GraftStore.PartTerm)] = Seq.empty)
   extends org.apache.spark.sql.connector.write.DeltaWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long)
       : org.apache.spark.sql.connector.write.DeltaWriter[InternalRow] =
     new GraftStoreDeltaWriter(path, schema, partitionId, taskId, stamp,
-      oldDvByFile, fileIdx, posIdx)
+      oldDvByFile, fileIdx, posIdx, rollOn)
 }
 
 /** Per-task delta writer: delete rows arrive clustered by `_file` and
@@ -2213,13 +2241,14 @@ class GraftStoreDeltaWriterFactory(path: String, schema: StructType,
   * Insert rows stream into one ordinary stats-collecting data file. */
 class GraftStoreDeltaWriter(path: String, schema: StructType,
     partitionId: Int, taskId: Long, stamp: String,
-    oldDvByFile: Map[String, String], fileIdx: Int, posIdx: Int)
+    oldDvByFile: Map[String, String], fileIdx: Int, posIdx: Int,
+    rollOn: Seq[(Int, GraftStore.PartTerm)] = Seq.empty)
   extends org.apache.spark.sql.connector.write.DeltaWriter[InternalRow] {
 
   private val dvs = scala.collection.mutable.ArrayBuffer.empty[GraftStoreDvSummary]
   private var curFile: String = null
   private val buf = scala.collection.mutable.ArrayBuffer.empty[Long]
-  private var insertWriter: GraftStoreDataWriter = null
+  private var insertWriter: DataWriter[InternalRow] = null
 
   private def flushDv(): Unit = if (curFile != null && buf.nonEmpty) {
     val oldRel = oldDvByFile.getOrElse(curFile, "")
@@ -2246,8 +2275,15 @@ class GraftStoreDeltaWriter(path: String, schema: StructType,
 
   override def insert(row: InternalRow): Unit = {
     if (insertWriter == null)
-      insertWriter = new GraftStoreDataWriter(path, schema, partitionId,
-        taskId, None, None, s"data/mor-$stamp-$partitionId-$taskId.bin")
+      insertWriter =
+        if (rollOn.nonEmpty)
+          // partitioned table: inserts arrive clustered + sorted on the
+          // partition terms (the delta write demanded it), so the rolling
+          // writer keeps MOR-inserted files single-valued per term
+          new GraftStorePartitionedWriter(path, schema, partitionId, taskId,
+            rollOn, s"data/mor-$stamp-$partitionId-$taskId")
+        else new GraftStoreDataWriter(path, schema, partitionId,
+          taskId, None, None, s"data/mor-$stamp-$partitionId-$taskId.bin")
     insertWriter.write(row)
   }
 
@@ -2255,7 +2291,10 @@ class GraftStoreDeltaWriter(path: String, schema: StructType,
     flushDv()
     val ins =
       if (insertWriter == null) Seq.empty
-      else Seq(insertWriter.commit().asInstanceOf[GraftStoreCommitMessage])
+      else insertWriter.commit() match {
+        case m: GraftStoreCommitMessage => Seq(m)
+        case GraftStoreMultiMessage(ps) => ps
+      }
     GraftStoreDeltaMessage(dvs.toSeq, ins)
   }
 

@@ -145,6 +145,56 @@ class GraftStoreMorSpec extends SparkSuite {
     assert(e.getMessage.contains("changed under it"), e.getMessage)
   }
 
+  test("MOR on a PARTITIONED table: inserts roll per value, partition delete stays metadata-only") {
+    val root = graft.ops.Util.managedTempDir("graft_mor_part_")
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.catalog.gmp", "graft.sources.GraftCatalog")
+    s2.conf.set("spark.sql.catalog.gmp.root", root)
+    s2.sql(
+      """CREATE TABLE gmp.t (k BIGINT, g BIGINT, v BIGINT)
+        |PARTITIONED BY (g)
+        |TBLPROPERTIES('write.mode'='merge-on-read')""".stripMargin)
+    s2.sql("INSERT INTO gmp.t SELECT id, id % 3, id * 10 FROM range(0, 300)")
+    val path = s"$root/t"
+    assert(GraftStore.readManifest(path).get._2.size == 3)
+    // MERGE inserts rows in all three partitions + deletes some existing
+    s2.sql(
+      """MERGE INTO gmp.t t
+        |USING (SELECT id AS k, id % 3 AS g, id * 100 AS v
+        |       FROM range(250, 400)) s
+        |ON t.k = s.k
+        |WHEN MATCHED AND s.k % 2 = 0 THEN DELETE
+        |WHEN NOT MATCHED THEN INSERT (k, g, v) VALUES (s.k, s.g, s.v)""".stripMargin)
+    val entries = GraftStore.readManifest(path).get._2
+    // every entry — pre-existing AND MOR-inserted — stays single-valued
+    // on g (the rolling insert writer preserved the layout invariant)
+    entries.foreach { e =>
+      val st = e.stats("g")
+      assert(st.min == st.max,
+        s"${e.file} spans g=[${st.min},${st.max}] — MOR insert broke the layout")
+    }
+    assert(entries.exists(e => e.file.startsWith("data/mor-")))
+    // rows exact
+    // matched evens in 250..299 deleted (25); every 300..399 inserted
+    val expected = (0L until 300L).count(k => !(k >= 250 && k % 2 == 0)) + 100
+    assert(s2.sql("SELECT count(*) FROM gmp.t").collect()(0).getLong(0) == expected)
+    // partition delete after MOR history: metadata-decidable for g=2 only
+    // if its files are whole-entry decidable — DV'd entries have unknown
+    // null counts but EqualTo-AllRows needs nulls==0… so purge first (the
+    // documented maintenance valve), then the partition drop is pure metadata
+    GraftStore.purgeDeletes(s2, path)
+    val mtimes = Option(new java.io.File(path, "data").listFiles()).get
+      .map(f => f.getName -> f.lastModified()).toMap
+    s2.sql("DELETE FROM gmp.t WHERE g = 2")
+    assert(GraftStore.readOpOf(new java.io.File(path,
+      s"_manifest.v${GraftStore.readVersion(path)}")) == "delete")
+    val after = Option(new java.io.File(path, "data").listFiles()).get
+      .map(f => f.getName -> f.lastModified()).toMap
+    assert(after.forall { case (f, m) => mtimes.get(f).contains(m) },
+      "partition delete must be metadata-only (no file writes)")
+    assert(s2.sql("SELECT count(*) FROM gmp.t WHERE g = 2").collect()(0).getLong(0) == 0)
+  }
+
   test("copy-on-write stays the default: same MERGE without the property rewrites files") {
     val root = graft.ops.Util.managedTempDir("graft_mor_cow_")
     val s2 = spark.newSession()
