@@ -1575,6 +1575,43 @@ object Sources {
       .orderBy($"o_orderpriority")
   }
 
+  private val partYearsWritten = new java.util.concurrent.ConcurrentHashMap[String, String]
+
+  /** YEAR-GRAIN HIDDEN PARTITIONING (round 12) — `PARTITIONED BY
+    * (years(o_orderdate))` is the coarsest member of the Iceberg
+    * temporal family (years/months/days/hours), the archival-tier
+    * grain: years-since-epoch is monotone in the date (leap years vary
+    * a year's LENGTH, never the index order), so the 7-year orders
+    * history lands one file per year, the two-year audit range prunes
+    * every other year from manifest epoch-day bounds, and dropping a
+    * year past legal retention is a metadata-only DELETE on the same
+    * entire-file proof — the coldest tier of the hot/warm/cold layout
+    * a 100 TB archive ages through. Year-grain rolling, pruning and
+    * `$partitions` rendering pinned in TransformPartitionSpec. */
+  val qStorePartYears: Q = (s, dir) => {
+    import s.implicits._
+    val path = partYearsWritten.computeIfAbsent(s"${Util.sessionKey(s)}:$dir", _ => {
+      val s2 = s.newSession()
+      val root = Util.managedTempDir("graft_pyrs_")
+      s2.conf.set("spark.sql.catalog.graftpy", "graft.sources.GraftCatalog")
+      s2.conf.set("spark.sql.catalog.graftpy.root", root)
+      table(s2, dir, "orders").createOrReplaceTempView("ord_pyr")
+      s2.sql(
+        """CREATE TABLE graftpy.o PARTITIONED BY (years(o_orderdate)) AS
+          |SELECT o_orderkey, o_orderdate, o_orderpriority, o_totalprice
+          |FROM ord_pyr ORDER BY o_orderdate""".stripMargin)
+      s"$root/o"
+    })
+    s.read.format("graft.sources.GraftStore").option("path", path).load()
+      .filter($"o_orderdate" >= Util.ts("1995-01-01 00:00:00") &&
+        $"o_orderdate" < Util.ts("1997-01-01 00:00:00"))
+      .groupBy($"o_orderpriority")
+      .agg(count(lit(1)).as("n_rows"),
+        Util.dsum($"o_totalprice").as("sum_price"),
+        min($"o_orderdate").as("first_d"), max($"o_orderdate").as("last_d"))
+      .orderBy($"o_orderpriority")
+  }
+
   private val partHoursWritten = new java.util.concurrent.ConcurrentHashMap[String, String]
 
   /** HOUR-GRAIN HIDDEN PARTITIONING (round 12) — `PARTITIONED BY
@@ -2561,6 +2598,7 @@ object Sources {
     "q_store_part_days" -> qStorePartDays,
     "q_store_part_hours" -> qStorePartHours,
     "q_store_part_months" -> qStorePartMonths,
+    "q_store_part_years" -> qStorePartYears,
     "q_store_part_bucket" -> qStorePartBucket,
     "q_store_spj_bucket" -> qStoreSpjBucket,
     "q_catalog_sql" -> qCatalogSql,
@@ -2899,6 +2937,16 @@ object Sources {
         |FROM orders
         |WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
         |  AND o_orderdate < TIMESTAMP '1996-07-01 00:00:00'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // year-grain hidden partitioning must be invisible to results: the
+    // two-year window's per-priority aggregate recomputed from parquet
+    "q_store_part_years" ->
+      """SELECT o_orderpriority, count(*) AS n_rows,
+        | CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price,
+        | min(o_orderdate) AS first_d, max(o_orderdate) AS last_d
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     // hour-grain hidden partitioning must be invisible to results: the
     // six-hour window's per-type aggregate recomputed from source parquet

@@ -182,6 +182,14 @@ class GraftCatalog extends TableCatalog with FunctionCatalog {
                 dt == org.apache.spark.sql.types.DateType,
                 s"months($c) needs a timestamp/date column, got $dt")
               s"months($c)"
+            case "years" =>
+              val c = srcOf(t)
+              val dt = schema.fields(schema.fieldIndex(c)).dataType
+              require(dt == org.apache.spark.sql.types.TimestampType ||
+                dt == org.apache.spark.sql.types.TimestampNTZType ||
+                dt == org.apache.spark.sql.types.DateType,
+                s"years($c) needs a timestamp/date column, got $dt")
+              s"years($c)"
             case "truncate" | "trunc" =>
               val c = srcOf(t)
               val dt = schema.fields(schema.fieldIndex(c)).dataType
@@ -212,8 +220,8 @@ class GraftCatalog extends TableCatalog with FunctionCatalog {
               require(n > 0, s"bucket count must be positive, got $n")
               s"bucket($n,$c)"
             case other => throw new UnsupportedOperationException(
-              "graft catalog tables support identity, days, hours, months, " +
-                s"truncate and bucket partition transforms (got $other in ${ts.mkString(", ")})")
+              "graft catalog tables support identity, years, months, days, " +
+                s"hours, truncate and bucket partition transforms (got $other in ${ts.mkString(", ")})")
           }
         }
         val sources = ts.map(srcOf)

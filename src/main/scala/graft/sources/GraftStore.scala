@@ -1004,6 +1004,15 @@ object GraftStore {
   case class PartMonths(source: String) extends PartTerm {
     def render: String = s"months($source)"
   }
+  /** Year-grain temporal transform (round 12): years-since-epoch of the
+    * source's UTC date — the coarsest member of the Iceberg temporal
+    * family (years/months/days/hours), the archival-tier grain.
+    * Monotone like the others (leap years change a year's LENGTH, never
+    * the index ordering), so the same rolling-write / stats-pruning
+    * story holds; timestamp and date columns. */
+  case class PartYears(source: String) extends PartTerm {
+    def render: String = s"years($source)"
+  }
 
   /** Months-since-epoch of an epoch day — the derived value
     * [[PartMonths]] clusters on. */
@@ -1011,6 +1020,11 @@ object GraftStore {
     val ld = java.time.LocalDate.ofEpochDay(epochDay)
     (ld.getYear - 1970) * 12 + ld.getMonthValue - 1
   }
+
+  /** Years-since-epoch of an epoch day — the derived value [[PartYears]]
+    * clusters on. */
+  private[sources] def yearIndexOfDay(epochDay: Long): Int =
+    java.time.LocalDate.ofEpochDay(epochDay).getYear - 1970
   case class PartTrunc(width: Int, source: String) extends PartTerm {
     def render: String = s"trunc($width,$source)"
   }
@@ -1045,6 +1059,7 @@ object GraftStore {
   private val DaysRe = """(?i)days\(\s*([^(),\s]+)\s*\)""".r
   private val HoursRe = """(?i)hours\(\s*([^(),\s]+)\s*\)""".r
   private val MonthsRe = """(?i)months\(\s*([^(),\s]+)\s*\)""".r
+  private val YearsRe = """(?i)years\(\s*([^(),\s]+)\s*\)""".r
   private val TruncRe = """(?i)trunc\(\s*(\d+)\s*,\s*([^(),\s]+)\s*\)""".r
   private val BucketRe = """(?i)bucket\(\s*(\d+)\s*,\s*([^(),\s]+)\s*\)""".r
 
@@ -1053,13 +1068,14 @@ object GraftStore {
       case DaysRe(c) => PartDays(c)
       case HoursRe(c) => PartHours(c)
       case MonthsRe(c) => PartMonths(c)
+      case YearsRe(c) => PartYears(c)
       case TruncRe(w, c) => PartTrunc(w.toInt, c)
       case BucketRe(n, c) => PartBucket(n.toInt, c)
       case c =>
         require(!c.contains("(") && !c.contains(")"),
           s"unsupported partition transform term '$c' — supported: " +
-            "identity column, days(col), hours(col), months(col), " +
-            "trunc(width,col), bucket(n,col)")
+            "identity column, years(col), months(col), days(col), " +
+            "hours(col), trunc(width,col), bucket(n,col)")
         PartIdentity(c)
     }
 
@@ -1141,6 +1157,9 @@ object GraftStore {
         case PartMonths(c) =>
           require(dt == TimestampType || dt == TimestampNTZType || dt == DateType,
             s"months($c) needs a timestamp/date column, got $dt")
+        case PartYears(c) =>
+          require(dt == TimestampType || dt == TimestampNTZType || dt == DateType,
+            s"years($c) needs a timestamp/date column, got $dt")
         case PartTrunc(w, c) =>
           require(dt == StringType || dt == IntegerType || dt == LongType,
             s"trunc over $c needs a string/int/long column, got $dt")
@@ -1211,6 +1230,14 @@ object GraftStore {
                 if (mLo == mHi)
                   Some(f"${c}_month=${1970 + mLo / 12}%04d-${mLo % 12 + 1}%02d")
                 else None
+              case PartYears(c) =>
+                val (lo, hi) = (st.min.toLong, st.max.toLong)
+                val (dLo, dHi) =
+                  if (isDate(c)) (lo, hi)
+                  else (Math.floorDiv(lo, 86400000000L),
+                    Math.floorDiv(hi, 86400000000L))
+                val (yLo, yHi) = (yearIndexOfDay(dLo), yearIndexOfDay(dHi))
+                if (yLo == yHi) Some(f"${c}_year=${1970 + yLo}%04d") else None
               case PartHours(c) =>
                 val (hLo, hHi) = (Math.floorDiv(st.min.toLong, 3600000000L),
                   Math.floorDiv(st.max.toLong, 3600000000L))
@@ -1769,6 +1796,7 @@ class GraftStoreTable(path: String, tableSchema: StructType,
       case GraftStore.PartDays(c) => Expressions.days(c)
       case GraftStore.PartHours(c) => Expressions.hours(c)
       case GraftStore.PartMonths(c) => Expressions.months(c)
+      case GraftStore.PartYears(c) => Expressions.years(c)
       case GraftStore.PartTrunc(w, c) =>
         Expressions.apply("truncate",
           Expressions.literal(Int.box(w)), Expressions.column(c))
@@ -2550,6 +2578,14 @@ class GraftStorePartitionedWriter(path: String, schema: StructType,
           GraftStore.monthIndexOfDay(row.getInt(i).toLong)
         case other => throw new IllegalStateException(
           s"months() over unsupported type $other")
+      }
+      case GraftStore.PartYears(_) => dts(j) match {
+        case TimestampType | TimestampNTZType =>
+          GraftStore.yearIndexOfDay(Math.floorDiv(row.getLong(i), 86400000000L))
+        case DateType =>
+          GraftStore.yearIndexOfDay(row.getInt(i).toLong)
+        case other => throw new IllegalStateException(
+          s"years() over unsupported type $other")
       }
       case GraftStore.PartTrunc(w, _) => dts(j) match {
         case StringType => row.getUTF8String(i).substring(0, w).toString

@@ -299,12 +299,13 @@ class TransformPartitionSpec extends SparkSuite {
     s2.sql("SELECT timestamp_seconds(0) AS ts").createOrReplaceTempView("ref_src")
     def msgs(t: Throwable): Seq[String] =
       if (t == null) Seq.empty else Option(t.getMessage).toSeq ++ msgs(t.getCause)
-    // years() stays unsupported (no manifest story for calendar-variable
-    // grains); hours() over a non-timestamp is a TYPE refusal
+    // an unknown transform is a loud refusal that names it; hours()
+    // over a non-timestamp is a TYPE refusal (years/months/days/hours
+    // are all supported as of round 12)
     val ex = intercept[Exception] {
-      s2.sql("CREATE TABLE gtr.t PARTITIONED BY (years(ts)) AS SELECT ts FROM ref_src")
+      s2.sql("CREATE TABLE gtr.t PARTITIONED BY (weeks(ts)) AS SELECT ts FROM ref_src")
     }
-    assert(msgs(ex).exists(m => m.contains("years")),
+    assert(msgs(ex).exists(m => m.contains("weeks")),
       s"refusal must name the transform: ${msgs(ex)}")
     s2.sql("SELECT 1L AS v").createOrReplaceTempView("ref_long")
     val ex2 = intercept[Exception] {
@@ -372,6 +373,43 @@ class TransformPartitionSpec extends SparkSuite {
       .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
     assert(parts == Seq(("d_month=2024-01", 31L), ("d_month=2024-02", 29L),
       ("d_month=2024-03", 30L)), parts.mkString(","))
+  }
+
+  test("years(date): files roll per calendar year and date ranges prune") {
+    import spark.implicits._
+    val root = graft.ops.Util.managedTempDir("graft_tpart_yr_")
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.catalog.gty", "graft.sources.GraftCatalog")
+    s2.conf.set("spark.sql.catalog.gty.root", root)
+    // 900 days from 2023-01-01 → 2023 (365) / 2024 (366, leap) / 2025
+    // (169), single ordered slice
+    s2.range(0, 900, 1, 1)
+      .selectExpr("date_add(DATE '2023-01-01', CAST(id AS INT)) AS d", "id AS v")
+      .createOrReplaceTempView("yr_src")
+    s2.sql("CREATE TABLE gty.t PARTITIONED BY (years(d)) AS SELECT * FROM yr_src")
+    val path = s"$root/t"
+    val es = GraftStore.readManifest(path).get._2
+    assert(es.size == 3, s"expected one file per year, got ${es.size}")
+    // a one-year range reads exactly one file
+    val scan = spark.read.format("graft.sources.GraftStore")
+      .option("path", path).load()
+      .filter($"d" >= lit("2024-01-01").cast("date") &&
+        $"d" < lit("2025-01-01").cast("date"))
+    assert(scan.count() == 366) // 2024 is a leap year
+    assert(scan.queryExecution.executedPlan.toString.contains("files=1/3"),
+      "year range must plan 1 of 3 files")
+    // $partitions renders the calendar year
+    val parts = s2.sql("SELECT `partition`, n_rows FROM gty.`t$partitions` ORDER BY 1")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(parts == Seq(("d_year=2023", 365L), ("d_year=2024", 366L),
+      ("d_year=2025", 169L)), parts.mkString(","))
+    // a non-temporal source is a type refusal at create time, same as
+    // the other temporal transforms
+    val err = intercept[Exception] {
+      s2.sql("CREATE TABLE gty.bad PARTITIONED BY (years(v)) AS SELECT * FROM yr_src")
+    }
+    assert(err.getMessage.contains("years(v) needs a timestamp/date column"),
+      err.getMessage)
   }
 
   test("temporal stats survive compaction merge and stay pruning-exact") {
