@@ -640,6 +640,58 @@ object Sources {
       .orderBy($"k")
   }
 
+  /** Tagged-table dirs already written this JVM, keyed by (session, dir). */
+  private val tagWritten = new java.util.concurrent.ConcurrentHashMap[String, String]
+
+  /** NAMED SNAPSHOT TAGS (round 12) — the Iceberg ref surface that makes
+    * a snapshot a durable AUDIT POINT instead of a number in someone's
+    * notebook: `tagCreate(path, "audit-q1", v1)` pins v1 by name, readers
+    * say `.option("versionAsOf", "audit-q1")` (or SQL
+    * `VERSION AS OF 'audit-q1'`), and — the load-bearing half —
+    * `expireSnapshots` retains a tagged manifest however far history
+    * rolls, so the tag still answers AFTER retention expired every
+    * untagged peer (this query expires down to keepLast=1 before
+    * reading; the v2 manifest is gone, v1 lives only through the tag).
+    * At 100 TB this is the compliance story: "the corpus exactly as the
+    * 2024 audit saw it" survives years of vacuum cycles as one pinned
+    * manifest + its data files, while the rest of history ages out.
+    * Tag atomicity (one `Files.createFile` per `_refs/<name>`, duplicate
+    * = loud refusal), expiry pinning, GC survival and `$refs` rendering
+    * pinned in GraftStoreTagSpec. */
+  val qStoreTag: Q = (s, dir) => {
+    import s.implicits._
+    val path = tagWritten.computeIfAbsent(s"${Util.sessionKey(s)}:$dir", _ => {
+      val d = Util.managedTempDir("graft_tag_")
+      val o = table(s, dir, "orders")
+        .select($"o_orderkey", $"o_custkey", $"o_totalprice")
+      o.filter($"o_orderkey" % 5 === 0).write
+        .format("graft.sources.GraftStore").option("path", d)
+        .mode("overwrite").save() // snapshot v1: the audited state
+      graft.sources.GraftStore.tagCreate(d, "audit-q1", 1L)
+      o.filter($"o_orderkey" % 5 === 1).write
+        .format("graft.sources.GraftStore").option("path", d)
+        .mode("append").save() // v2
+      o.filter($"o_orderkey" % 5 === 2).write
+        .format("graft.sources.GraftStore").option("path", d)
+        .mode("append").save() // v3 (current)
+      // retention rolls past everything but the current snapshot: v2's
+      // manifest is expired; v1 survives ONLY because the tag pins it
+      graft.sources.GraftStore.expireSnapshots(d, keepLast = 1, graceMs = 0L)
+      d
+    })
+    def agg(df: org.apache.spark.sql.DataFrame, snap: String) =
+      df.groupBy(($"o_orderkey" % 10).as("bucket"))
+        .agg(count(lit(1)).as("n_rows"), sum($"o_orderkey").as("sum_key"),
+          dsum($"o_totalprice").as("sum_price"))
+        .select(lit(snap).as("snap"), $"bucket", $"n_rows", $"sum_key", $"sum_price")
+    val tagged = s.read.format("graft.sources.GraftStore")
+      .option("path", path).option("versionAsOf", "audit-q1").load()
+    val cur = s.read.format("graft.sources.GraftStore")
+      .option("path", path).load()
+    agg(tagged, "audit-q1").unionAll(agg(cur, "current"))
+      .orderBy($"snap", $"bucket")
+  }
+
   /** Restored-table dirs already written this JVM, keyed by (session, dir). */
   private val restWritten = new java.util.concurrent.ConcurrentHashMap[String, String]
 
@@ -2604,6 +2656,7 @@ object Sources {
     "q_catalog_sql" -> qCatalogSql,
     "q_sink_roundtrip" -> qSinkRoundtrip,
     "q_store_timetravel" -> qStoreTimetravel,
+    "q_store_tag" -> qStoreTag,
     "q_store_restore" -> qStoreRestore,
     "q_store_timetravel_ts" -> qStoreTimetravelTs,
     "q_store_spj" -> qStoreSpj,
@@ -2671,6 +2724,21 @@ object Sources {
         |   CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
         |  FROM orders WHERE o_orderkey % 7 IN (0, 1) GROUP BY 2)
         |SELECT * FROM v1 UNION ALL SELECT * FROM cur
+        |ORDER BY snap, bucket""".stripMargin,
+    // the tagged snapshot (v1 slice) and current table recomputed from
+    // source parquet — the tag read must equal v1 exactly, post-expiry
+    "q_store_tag" ->
+      """WITH tg AS (
+        |  SELECT 'audit-q1' AS snap, o_orderkey % 10 AS bucket, count(*) AS n_rows,
+        |   CAST(sum(o_orderkey) AS BIGINT) AS sum_key,
+        |   CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+        |  FROM orders WHERE o_orderkey % 5 = 0 GROUP BY 2),
+        |cur AS (
+        |  SELECT 'current' AS snap, o_orderkey % 10 AS bucket, count(*) AS n_rows,
+        |   CAST(sum(o_orderkey) AS BIGINT) AS sum_key,
+        |   CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+        |  FROM orders WHERE o_orderkey % 5 IN (0, 1, 2) GROUP BY 2)
+        |SELECT * FROM tg UNION ALL SELECT * FROM cur
         |ORDER BY snap, bucket""".stripMargin,
     // every micro-batch exactly once: the full id range, no dup, no gap
     "q_stream_txn_sink" ->

@@ -83,7 +83,7 @@ class GraftCatalog extends TableCatalog with FunctionCatalog {
     // — see [[GraftStore.partitionRows]]). Driver-side metadata walks by
     // construction — one small file read per snapshot, zero data I/O.
     ident.name().split('$') match {
-      case Array(base, kind @ ("snapshots" | "files" | "partitions")) =>
+      case Array(base, kind @ ("snapshots" | "files" | "partitions" | "refs")) =>
         val dir = dirFor(Identifier.of(ident.namespace(), base))
         if (!isTable(dir)) throw new NoSuchTableException(ident)
         return new GraftMetadataTable(dir.getPath, ident.toString, kind)
@@ -103,7 +103,10 @@ class GraftCatalog extends TableCatalog with FunctionCatalog {
   override def loadTable(ident: Identifier, version: String): Table = {
     val dir = dirFor(ident)
     if (!isTable(dir)) throw new NoSuchTableException(ident)
-    val v = version.toLong
+    // `VERSION AS OF 'audit-q1'`: a non-numeric version string is a TAG
+    // name resolved against the table's _refs/ (the Iceberg surface
+    // where VERSION AS OF accepts a ref name)
+    val v = GraftStore.resolveVersionSpec(dir.getPath, version)
     val snap = new java.io.File(dir,
       s"${GraftStore.ManifestName}.v$v")
     val schema = GraftStore.readManifestFile(snap)
@@ -351,6 +354,10 @@ class GraftMetadataTable(path: String, ident: String, kind: String)
       StructField("partition", StringType, nullable = true),
       StructField("n_files", LongType, nullable = false),
       StructField("n_rows", LongType, nullable = false)))
+    case "refs" => StructType(Seq(
+      StructField("tag", StringType, nullable = false),
+      StructField("version", LongType, nullable = false),
+      StructField("n_rows", LongType, nullable = false)))
     case _ => StructType(Seq(
       StructField("file", StringType, nullable = false),
       StructField("rows", LongType, nullable = false),
@@ -382,6 +389,14 @@ class GraftMetadataScan(path: String, kind: String, schema: StructType)
         .map { case (p, f, r) => Array[Any](
           p.map(org.apache.spark.unsafe.types.UTF8String.fromString).orNull,
           f, r) }.toArray
+      case "refs" => GraftStore.readRefs(path).toSeq.sortBy(_._1)
+        .map { case (tag, v) =>
+          val rows = GraftStore.readManifestFile(
+            new java.io.File(path, s"${GraftStore.ManifestName}.v$v"))
+            .map(_._2.map(_.rows).sum).getOrElse(0L)
+          Array[Any](
+            org.apache.spark.unsafe.types.UTF8String.fromString(tag), v, rows)
+        }.toArray
       case _ => GraftStore.readManifest(path).map(_._2).getOrElse(Seq.empty)
         .map(e => Array[Any](
           org.apache.spark.unsafe.types.UTF8String.fromString(e.file),

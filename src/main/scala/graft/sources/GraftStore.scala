@@ -625,13 +625,75 @@ object GraftStore {
   private[graft] def expireSnapshots(path: String, keepLast: Int,
       graceMs: Long = GcGraceMs): Unit = {
     require(keepLast >= 1, "must retain at least the current snapshot")
-    snapshotFiles(path).dropRight(keepLast).foreach(_.delete())
+    // a TAGGED snapshot is pinned: its manifest survives expiry however
+    // old, so its data files stay referenced and survive GC — the
+    // Iceberg ref-retention contract that makes a tag a durable audit
+    // point rather than a name that silently dangles after vacuum
+    val tagged = readRefs(path).values.toSet
+    snapshotFiles(path).dropRight(keepLast)
+      .filterNot(f => tagged.contains(
+        f.getName.stripPrefix(ManifestName + ".v").toLong))
+      .foreach(_.delete())
     gcUnreferenced(path,
       readManifest(path).map(_._2.flatMap(e =>
         if (e.dv.isEmpty) Seq(e.file) else Seq(e.file, e.dv)))
         .getOrElse(Seq.empty).toSet,
       graceMs)
   }
+
+  /** NAMED SNAPSHOT REFS — TAGS (the Iceberg `tag` surface): a durable
+    * human name for one snapshot version. `VERSION AS OF 'audit-q1'`
+    * (SQL) and `.option("versionAsOf", "audit-q1")` (reader) resolve
+    * through [[resolveVersionSpec]]; [[expireSnapshots]] pins tagged
+    * manifests (and therefore, via GC's retained-manifest contract,
+    * their data files) however far the history rolls. Representation:
+    * one file per tag under `_refs/` whose single line is the version —
+    * creation is `Files.createFile` (an ATOMIC claim: two racing
+    * creates of the same name cannot both win, and a duplicate is the
+    * same loud refusal with no lock file, no read-modify-write window),
+    * deletion is a single unlink. Tag names are file-safe identifiers
+    * and must not be all-digits (a numeric "tag" would shadow version
+    * numbers in every resolution site). */
+  private[graft] val RefsDirName = "_refs"
+
+  private[graft] def readRefs(path: String): Map[String, Long] =
+    Option(new File(path, RefsDirName).listFiles()).getOrElse(Array.empty)
+      .filter(_.isFile).flatMap { f =>
+        scala.util.Try(new String(Files.readAllBytes(f.toPath),
+          StandardCharsets.UTF_8).trim.toLong).toOption.map(f.getName -> _)
+      }.toMap
+
+  private[graft] def tagCreate(path: String, name: String, version: Long): Unit = {
+    require(name.nonEmpty && name.forall(c =>
+      c.isLetterOrDigit || c == '-' || c == '_' || c == '.'),
+      s"tag name must be a file-safe identifier, got '$name'")
+    require(!name.forall(_.isDigit),
+      s"tag name must not be all digits (would shadow version $name)")
+    require(new File(path, s"$ManifestName.v$version").exists(),
+      s"cannot tag v$version at $path: no such retained snapshot")
+    val dir = new File(path, RefsDirName)
+    Files.createDirectories(dir.toPath)
+    val f = new File(dir, name)
+    try Files.write(f.toPath,
+      version.toString.getBytes(StandardCharsets.UTF_8),
+      java.nio.file.StandardOpenOption.CREATE_NEW)
+    catch { case _: java.nio.file.FileAlreadyExistsException =>
+      throw new IllegalArgumentException(
+        s"tag '$name' already exists at v${readRefs(path).getOrElse(name, -1L)} " +
+          "— drop it first (tags are immutable once created)")
+    }
+  }
+
+  private[graft] def tagDelete(path: String, name: String): Boolean =
+    Files.deleteIfExists(new File(new File(path, RefsDirName), name).toPath)
+
+  /** Resolve a `versionAsOf` spec: a numeric string is a version id, any
+    * other string is a tag name looked up in `_refs/`. */
+  private[graft] def resolveVersionSpec(path: String, spec: String): Long =
+    if (spec.nonEmpty && spec.forall(_.isDigit)) spec.toLong
+    else readRefs(path).getOrElse(spec, throw new IllegalArgumentException(
+      s"no tag '$spec' at $path — known tags: " +
+        s"${readRefs(path).keys.toSeq.sorted.mkString(", ")}"))
 
   /** RESTORE (rollback-as-commit, the Delta `RESTORE TABLE ... VERSION
     * AS OF` semantics): re-commit snapshot `version`'s exact (schema,
@@ -1742,7 +1804,9 @@ class GraftStore extends TableProvider {
       opt("clusterBy"), opt("sortBy"),
       opt("failFirstAttemptOf").map(_.toInt),
       opt("failAllAttemptsOf").map(_.toInt),
-      opt("versionAsOf").map(_.toLong),
+      // a non-numeric versionAsOf is a TAG name, resolved against _refs/
+      opt("versionAsOf").map(v =>
+        GraftStore.resolveVersionSpec(opt("path").orNull, v)),
       opt("changesFrom").map(_.toLong),
       opt("changesTo").map(_.toLong),
       dataChange = !opt("dataChange").contains("false"),
@@ -1827,7 +1891,8 @@ class GraftStoreTable(path: String, tableSchema: StructType,
                 "(history starts later, or was expired)"))
         }
         new GraftStoreScanBuilder(path,
-          Option(options.get("versionAsOf")).map(_.toLong)
+          Option(options.get("versionAsOf"))
+            .map(GraftStore.resolveVersionSpec(path, _))
             .orElse(versionAsOf).orElse(byTs),
           Option(options.get("fromVersion")).map(_.toLong),
           Option(options.get("files")).map(_.split(',').toSet))
