@@ -1384,6 +1384,69 @@ object Sources {
   private val upsertSession = new java.util.concurrent.ConcurrentHashMap[
     String, (org.apache.spark.sql.SparkSession, String)]
 
+  /** STREAMING CDC APPLY, MERGE-ON-READ (round 12) — q_stream_upsert's
+    * exact pipeline against a `write.mode=merge-on-read` target: each
+    * micro-batch's idempotent MERGE (max-per-key, `s.id > t.id` guard)
+    * routes through the DELTA row-level path, so an epoch marks its
+    * superseded rows in deletion-vector sidecars and appends the new
+    * versions — matched files' bytes are never rewritten, and vectors
+    * COMPOSE across epochs (epoch N's `_pos` addresses the physical
+    * pre-deletion ordinals, so five sequential merges stack correctly).
+    * This workload updates densely, so MOR's write-amplification win is
+    * modest here — the 100 TB case for it is the SPARSE-update CDC feed
+    * (0.1% of keys per batch) where CoW rewrites every touched file and
+    * MOR writes a few KB of sidecars; what this query proves is that
+    * the steady-state streaming apply loop and the MOR write path
+    * compose, batch after batch, to the same relational answer. Oracle:
+    * identical to q_stream_upsert — hash-equal results prove CoW and
+    * MOR implement one streaming-MERGE semantics. */
+  val qStreamUpsertMor: Q = (s, dir) => {
+    import s.implicits._
+    val (s2, _) = upsertMorSession.computeIfAbsent(s"${Util.sessionKey(s)}:$dir", _ => {
+      val sx = s.newSession()
+      val root = Util.managedTempDir("graft_upsertmor_")
+      sx.conf.set("spark.sql.catalog.graftum", "graft.sources.GraftCatalog")
+      sx.conf.set("spark.sql.catalog.graftum.root", root)
+      // batch-sized dials, same rationale as q_stream_upsert
+      sx.conf.set("spark.sql.shuffle.partitions", "4")
+      sx.conf.set("spark.sql.adaptive.enabled", "false")
+      sx.conf.set("spark.sql.optimizer.runtime.rowLevelOperationGroupFilter.enabled",
+        "false")
+      sx.sql(
+        """CREATE TABLE graftum.u
+          |TBLPROPERTIES('write.mode'='merge-on-read') AS
+          |SELECT CAST(0 AS BIGINT) AS k, CAST(0 AS BIGINT) AS id
+          |WHERE 1 = 0""".stripMargin)
+      (sx, root)
+    })
+    val q = s2.readStream.format("graft.sources.SynthSource")
+      .option("rows", "20000").option("slices", "4")
+      .option("microBatchRows", "4096")
+      .load()
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val up = batch.groupBy(($"id" % 1000).as("k"))
+          .agg(max($"id").as("id")).persist()
+        try {
+          up.createOrReplaceTempView("up_mor_batch")
+          up.sparkSession.sql(
+            """MERGE INTO graftum.u t USING up_mor_batch s ON t.k = s.k
+              |WHEN MATCHED AND s.id > t.id THEN UPDATE SET id = s.id
+              |WHEN NOT MATCHED THEN INSERT (k, id) VALUES (s.k, s.id)""".stripMargin)
+        } finally { up.unpersist(blocking = false); () }
+        ()
+      }
+      .option("checkpointLocation", Util.managedTempDir("graft_upsertmor_ckpt_"))
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    s2.sql("SELECT k, id FROM graftum.u ORDER BY k")
+  }
+
+  /** Configured MOR upsert sessions, keyed by (parent session UUID, dir). */
+  private val upsertMorSession = new java.util.concurrent.ConcurrentHashMap[
+    String, (org.apache.spark.sql.SparkSession, String)]
+
   /** Skipping-table dirs already written this JVM, keyed by (session, dir). */
   private val skipWritten = new java.util.concurrent.ConcurrentHashMap[String, String]
 
@@ -2669,6 +2732,7 @@ object Sources {
     "q_store_mv_join" -> qStoreMvJoin,
     "q_store_wap" -> qStoreWap,
     "q_stream_upsert" -> qStreamUpsert,
+    "q_stream_upsert_mor" -> qStreamUpsertMor,
     "q_stream_txn_sink" -> qStreamTxnSink,
     "q_store_optimize" -> qStoreOptimize,
     "q_store_incremental" -> qStoreIncremental,
@@ -2859,6 +2923,12 @@ object Sources {
     // final state = max id per key over the whole stream, independent
     // of micro-batch boundaries
     "q_stream_upsert" ->
+      """SELECT id % 1000 AS k, max(id) AS id
+        |FROM (SELECT unnest(generate_series(0, 19999)) AS id)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // same final state through the merge-on-read write path: hash-equal
+    // results prove CoW and MOR implement one streaming-MERGE semantics
+    "q_stream_upsert_mor" ->
       """SELECT id % 1000 AS k, max(id) AS id
         |FROM (SELECT unnest(generate_series(0, 19999)) AS id)
         |GROUP BY 1 ORDER BY 1""".stripMargin,

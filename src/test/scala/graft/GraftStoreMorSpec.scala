@@ -195,6 +195,48 @@ class GraftStoreMorSpec extends SparkSuite {
     assert(s2.sql("SELECT count(*) FROM gmp.t WHERE g = 2").collect()(0).getLong(0) == 0)
   }
 
+  test("sequential MERGEs compose DVs: epoch N merges into already-vectored files") {
+    // the q_stream_upsert_mor shape in miniature: an apply loop of
+    // guarded MERGEs against one MOR target. Each epoch touches a
+    // DISJOINT key stride spread across every original file, so epoch
+    // 2's matches hit files already carrying epoch 1's vector — its
+    // positions must UNION with the existing vector (physical
+    // pre-deletion ordinals), and the final read must see exactly the
+    // per-epoch last-writer state.
+    val (s2, _, path) = freshMor("seq")
+    val before = dataFiles(path)
+    for (epoch <- 1 to 3) {
+      s2.range(0, 300).filter(col("id") % 7 === epoch)
+        .selectExpr("id AS k", s"id + ${epoch * 1000000} AS v")
+        .createOrReplaceTempView("seq_batch")
+      s2.sql(
+        """MERGE INTO gmor.t t USING seq_batch s ON t.k = s.k
+          |WHEN MATCHED AND s.v > t.v THEN UPDATE SET v = s.v
+          |WHEN NOT MATCHED THEN INSERT (k, v) VALUES (s.k, s.v)""".stripMargin)
+    }
+    // k % 7 ∈ {1,2,3} carries its epoch's value; everything else original
+    val got = s2.sql(
+      "SELECT count(*) AS n, sum(v) AS s FROM gmor.t").collect().head
+    val expect = (0L until 300L).map { k =>
+      val e = k % 7
+      if (e >= 1 && e <= 3) k + e * 1000000L else k * 10L
+    }.sum
+    assert(got.getLong(0) == 300L && got.getLong(1) == expect, got)
+    // the original files are byte-untouched after three merges (updated
+    // rows land in fresh mor-* insert files), and each original carries
+    // ONE composed vector (never dropped, never rewritten)
+    val after = dataFiles(path)
+    assert(before.forall { case (f, sig) => after.get(f).contains(sig) },
+      s"sequential MOR MERGEs rewrote an original data file ($before -> $after)")
+    val entries = GraftStore.readManifest(path).get._2
+    val originals = entries.filterNot(_.file.contains("mor-"))
+    assert(originals.size == 3 && originals.forall(_.dv.nonEmpty),
+      s"every original file must carry a composed DV, got $entries")
+    // live-row accounting composed too: 3 epochs × ~43 deletes each
+    val deletedPerEpoch = (1 to 3).map(e => (0L until 300L).count(_ % 7 == e))
+    assert(originals.map(_.rows).sum == 300L - deletedPerEpoch.sum)
+  }
+
   test("copy-on-write stays the default: same MERGE without the property rewrites files") {
     val root = graft.ops.Util.managedTempDir("graft_mor_cow_")
     val s2 = spark.newSession()
