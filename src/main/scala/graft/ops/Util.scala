@@ -23,8 +23,22 @@ object Util {
   // unique keys must orderBy ALL output columns so tie rows are identical
   // and the hash compare is order-insensitive among them.
 
+  // The fixture tables are immutable for a session's lifetime, so the
+  // ANALYZED leaf relation (file listing + footer schema read) is
+  // memoized per (session, dir, table) — the exact semantics Spark's own
+  // catalog relation cache gives `spark.table(t)`, which path-based
+  // `read.parquet` lacks. Every query still analyzes/optimizes/executes
+  // its OWN plan on top of the shared leaf; only the per-invocation
+  // re-listing and footer re-read of a never-changing directory is
+  // avoided (measurably 10-30 ms per table reference, which across a
+  // multi-hundred-query registry is tens of seconds of pure metadata
+  // re-derivation).
+  private val tableRelations =
+    new java.util.concurrent.ConcurrentHashMap[(String, String, String), DataFrame]
+
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+    tableRelations.computeIfAbsent((sessionKey(spark), dir, name),
+      _ => spark.read.parquet(s"$dir/$name.parquet"))
 
   /** DECIMAL(18,4) cast for exact, order-independent aggregation. */
   def dec(c: Column): Column = c.cast("decimal(18,4)")
