@@ -1076,11 +1076,12 @@ class GraftStoreSpec extends SparkSuite {
       "partition delete after DML must still drop whole files")
     // multi-column identity specs (PartitionEvolutionSpec), monotone
     // transforms and bucket (TransformPartitionSpec) are supported as of
-    // round 11, hours since round 12; anything else is still refused loudly
+    // round 11; the full years/months/days/hours temporal family since
+    // round 12 — an UNKNOWN transform is still refused loudly
     val e1 = intercept[Exception] {
-      s2.sql("CREATE TABLE gpart.bad (a BIGINT, ts TIMESTAMP) PARTITIONED BY (years(ts))")
+      s2.sql("CREATE TABLE gpart.bad (a BIGINT, ts TIMESTAMP) PARTITIONED BY (shard(ts))")
     }
-    assert(e1.getMessage.contains("identity, days, hours, months, truncate and bucket"))
+    assert(e1.getMessage.contains("identity, years, months, days"))
     // streaming writes can't keep the rolling contract: refused loudly
     val e2 = intercept[Exception] {
       spark.readStream.format("graft.sources.SynthSource")
