@@ -1447,6 +1447,123 @@ object Sources {
   private val upsertMorSession = new java.util.concurrent.ConcurrentHashMap[
     String, (org.apache.spark.sql.SparkSession, String)]
 
+  /** EQUALITY DELETES + CDC UPSERT-BY-KEY (round 12) — the Iceberg-v2
+    * equality-delete design, the third row-level-delete flavor after
+    * copy-on-write (q_store_merge) and position-vector MOR (q_store_dv/
+    * q_store_merge_mor): `deleteByKey` commits a KEY-SET sidecar that
+    * hides every matching row in every file born before it, WITHOUT
+    * reading a single data file — where a position delete must first
+    * FIND the rows (a keyed scan per batch), an equality delete just
+    * writes the keys. `upsertByKey` is the Flink-on-Iceberg CDC apply:
+    * ONE commit that eq-deletes the batch's keys and appends its rows,
+    * the appended files stamped with the committing version so the
+    * strict `addedv < seq` rule exempts them from their own delete —
+    * which is also what lets an upsert REVIVE a previously-deleted key.
+    * At 100 TB the steady-state CDC apply writes the batch plus a KB
+    * key sidecar and touches nothing else; readers probe a per-sidecar
+    * hash set loaded once per executor JVM, and purgeDeletes folds the
+    * sets back into clean files (restoring metadata-only answers). The
+    * query proves the full lifecycle: delete → upsert-with-revival →
+    * read through the probe path → purge → read the folded files —
+    * both reads hash-equal to the oracle's relational replay. */
+  val qStoreEqdelete: Q = (s, dir) => {
+    import s.implicits._
+    val root = Util.managedTempDir("graft_eqdel_")
+    val t = s"$root/t"
+    table(s, dir, "orders")
+      .select($"o_orderkey", $"o_custkey", $"o_totalprice")
+      .filter($"o_orderkey" % 3 === 0)
+      .repartition(4)
+      .write.format("graft.sources.GraftStore").option("path", t)
+      .mode("overwrite").save()
+    // pure key-set delete: every key ≡ 0 (mod 7) — no data file read
+    graft.sources.GraftStore.deleteByKey(s, t,
+      table(s, dir, "orders")
+        .filter($"o_orderkey" % 3 === 0 && $"o_orderkey" % 7 === 0)
+        .select($"o_orderkey"))
+    // CDC upsert: one commit re-keys the % 5 slice (custkey bumped to
+    // mark the new versions); keys that are BOTH % 7 and % 5 were just
+    // eq-deleted and come back — the addedv exemption in action
+    val vUp = graft.sources.GraftStore.upsertByKey(s, t, Seq("o_orderkey"),
+      table(s, dir, "orders")
+        .filter($"o_orderkey" % 3 === 0 && $"o_orderkey" % 5 === 0)
+        .select($"o_orderkey", ($"o_custkey" + 1000000L).as("o_custkey"),
+          $"o_totalprice"))
+    graft.sources.GraftStore.purgeDeletes(s, t)
+    def agg(tag: String, versionAsOf: Option[Long]) = {
+      val r = s.read.format("graft.sources.GraftStore").option("path", t)
+      versionAsOf.foreach(v => r.option("versionAsOf", v.toString))
+      r.load()
+        .groupBy(($"o_orderkey" % 10).as("bucket"))
+        .agg(count(lit(1)).as("n_rows"), sum($"o_custkey").as("sum_cust"),
+          dsum($"o_totalprice").as("sum_price"))
+        .select(lit(tag).as("side"), $"bucket", $"n_rows", $"sum_cust",
+          $"sum_price")
+    }
+    // the eq side time-travels to the PRE-purge snapshot (rows hidden by
+    // per-row sidecar probes); the purged side reads the folded files
+    agg("eq", Some(vUp)).unionAll(agg("purged", None))
+      .orderBy($"side", $"bucket")
+  }
+
+  /** STREAMING CDC APPLY VIA EQUALITY DELETES (round 12) — the third
+    * sibling of q_stream_upsert (copy-on-write MERGE) and
+    * q_stream_upsert_mor (position-vector MOR MERGE): each micro-batch
+    * applies through [[graft.sources.GraftStore.upsertByKey]] — ONE
+    * pure-append commit per epoch (batch rows + key sidecar), ZERO data
+    * file reads in the apply loop. This is the Flink-on-Iceberg CDC
+    * ingest shape: where even the MOR MERGE must SCAN the target to
+    * locate matched positions every batch, the eq-delete apply's write
+    * cost is ∝ batch alone, so at 100 TB a steady CDC feed deleting
+    * 0.1% of keys per batch costs KBs where position vectors cost a
+    * keyed scan and CoW costs a table rewrite. Last-writer-wins per key
+    * replaces the MERGE guard — sound here because micro-batches
+    * deliver each key's versions in id order (the CDC-log contract).
+    * Oracle: identical to q_stream_upsert — hash-equal results prove
+    * all three write paths implement one streaming-upsert semantics. */
+  val qStreamUpsertEq: Q = (s, dir) => {
+    import s.implicits._
+    val (s2, t) = upsertEqSession.computeIfAbsent(s"${Util.sessionKey(s)}:$dir", _ => {
+      val sx = s.newSession()
+      val root = Util.managedTempDir("graft_upserteq_")
+      sx.conf.set("spark.sql.shuffle.partitions", "4")
+      sx.conf.set("spark.sql.adaptive.enabled", "false")
+      val path = s"$root/t"
+      // seed the empty table (schema-only v1) the first apply commits onto
+      sx.createDataFrame(sx.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("k",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("id",
+            org.apache.spark.sql.types.LongType))))
+        .write.format("graft.sources.GraftStore").option("path", path)
+        .mode("overwrite").save()
+      (sx, path)
+    })
+    val q = s2.readStream.format("graft.sources.SynthSource")
+      .option("rows", "20000").option("slices", "4")
+      .option("microBatchRows", "4096")
+      .load()
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val up = batch.groupBy(($"id" % 1000).as("k"))
+          .agg(max($"id").as("id"))
+        graft.sources.GraftStore.upsertByKey(
+          up.sparkSession, t, Seq("k"), up)
+        ()
+      }
+      .option("checkpointLocation", Util.managedTempDir("graft_upserteq_ckpt_"))
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    s2.read.format("graft.sources.GraftStore").option("path", t).load()
+      .select($"k", $"id").orderBy($"k")
+  }
+
+  /** Configured eq-upsert sessions, keyed by (parent session UUID, dir). */
+  private val upsertEqSession = new java.util.concurrent.ConcurrentHashMap[
+    String, (org.apache.spark.sql.SparkSession, String)]
+
   /** Skipping-table dirs already written this JVM, keyed by (session, dir). */
   private val skipWritten = new java.util.concurrent.ConcurrentHashMap[String, String]
 
@@ -2700,6 +2817,7 @@ object Sources {
     "q_store_partitions_meta" -> qStorePartitionsMeta,
     "q_store_merge" -> qStoreMerge,
     "q_store_merge_mor" -> qStoreMergeMor,
+    "q_store_eqdelete" -> qStoreEqdelete,
     "q_store_scd2" -> qStoreScd2,
     "q_store_dml" -> qStoreDml,
     "q_store_cdf" -> qStoreCdf,
@@ -2733,6 +2851,7 @@ object Sources {
     "q_store_wap" -> qStoreWap,
     "q_stream_upsert" -> qStreamUpsert,
     "q_stream_upsert_mor" -> qStreamUpsertMor,
+    "q_stream_upsert_eq" -> qStreamUpsertEq,
     "q_stream_txn_sink" -> qStreamTxnSink,
     "q_store_optimize" -> qStoreOptimize,
     "q_store_incremental" -> qStoreIncremental,
@@ -2932,6 +3051,33 @@ object Sources {
       """SELECT id % 1000 AS k, max(id) AS id
         |FROM (SELECT unnest(generate_series(0, 19999)) AS id)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // same final state through the pure-append equality-delete path:
+    // hash-equal results prove all three upsert write paths agree
+    "q_stream_upsert_eq" ->
+      """SELECT id % 1000 AS k, max(id) AS id
+        |FROM (SELECT unnest(generate_series(0, 19999)) AS id)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // relational replay of the eq-delete lifecycle: base minus deleted
+    // keys minus upserted keys, plus the upsert rows (revived % 35 keys
+    // included); 'eq' = probe-path read of the pre-purge snapshot,
+    // 'purged' = folded files — both must equal the same replay
+    "q_store_eqdelete" ->
+      """WITH base AS (
+        |  SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |  WHERE o_orderkey % 3 = 0),
+        |fin AS (
+        |  SELECT * FROM base WHERE o_orderkey % 7 <> 0 AND o_orderkey % 5 <> 0
+        |  UNION ALL
+        |  SELECT o_orderkey, o_custkey + 1000000 AS o_custkey, o_totalprice
+        |  FROM base WHERE o_orderkey % 5 = 0),
+        |a AS (
+        |  SELECT o_orderkey % 10 AS bucket, count(*) AS n_rows,
+        |   CAST(sum(o_custkey) AS BIGINT) AS sum_cust,
+        |   CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+        |  FROM fin GROUP BY 1)
+        |SELECT 'eq' AS side, * FROM a
+        |UNION ALL SELECT 'purged' AS side, * FROM a
+        |ORDER BY side, bucket""".stripMargin,
     // the incremental diff must be EXACTLY the appended slice B
     "q_store_incremental" ->
       """SELECT o_orderkey % 10 AS bucket, count(*) AS n_rows,

@@ -203,9 +203,38 @@ object GraftStore {
     * skip decisions remain sound) but null counts become unknowable
     * without a rescan and are recorded as -1 — every consumer that needs
     * an exact null count (AllRows pruning, metadata COUNT(col)/MIN/MAX,
-    * cluster-like detection) degrades conservatively on -1. */
+    * cluster-like detection) degrades conservatively on -1.
+    *
+    * `addedv` = the snapshot version whose commit ADDED this file (0 =
+    * written before tracking, or while the table carried no equality
+    * deletes). Only equality-delete applicability reads it: a delete
+    * committed at seq `d` applies to a file iff `addedv < d` — files
+    * born in the same commit as the delete (CDC upsert's inserts) or
+    * later are exempt, everything older is filtered. 0 is the
+    * conservative floor: an untracked file predates every delete. */
   case class FileEntry(file: String, rows: Long, stats: Map[String, ColStats],
-      cols: Int = -1, dv: String = "")
+      cols: Int = -1, dv: String = "", addedv: Long = 0L)
+
+  /** One EQUALITY-DELETE file (the Iceberg-v2 equality-delete design):
+    * `file` is a sidecar (under data/) holding a set of key TUPLES over
+    * `cols`; every data file with `addedv < seq` hides its rows whose
+    * key tuple is in the set. Written by CDC-shaped writers
+    * ([[deleteByKey]] / [[upsertByKey]]) that must delete by KEY without
+    * reading any data file — write cost ∝ batch, zero data-file I/O,
+    * the pure-append ingest shape a 100 TB streaming upsert needs
+    * (position deletes would first have to FIND the rows: a table
+    * scan per batch). Read cost: files born before the delete probe a
+    * hash set per row; [[purgeDeletes]] folds the sets back into clean
+    * files and bounds the accumulation. */
+  case class EqDelete(file: String, seq: Long, cols: Seq[String])
+
+  private[sources] def fmtEqDelete(d: EqDelete): String =
+    s"!eqdel=${d.seq}\t${d.file}\t${d.cols.mkString(",")}"
+
+  private[sources] def parseEqDelete(line: String): EqDelete = {
+    val Array(seq, file, cols) = line.stripPrefix("!eqdel=").split('\t')
+    EqDelete(file, seq.toLong, cols.split(',').toSeq)
+  }
 
   // file<TAB>rows<TAB>col=min:max:nulls;col2=...<TAB>cols<TAB>dv —
   // ':'/';'/'=' cannot occur inside Long/Double.toString, and
@@ -232,7 +261,11 @@ object GraftStore {
           else ""
         s"$c=${s.min}:${s.max}:${s.nulls}$b"
       }.mkString(";")
-    val dvf = if (e.dv.isEmpty) "" else s"\t${e.dv}"
+    // field 6 (addedv) only when tracked — entries at 0 keep the old
+    // byte format; an interior empty dv field survives split
+    val dvf =
+      if (e.addedv > 0L) s"\t${e.dv}\t${e.addedv}"
+      else if (e.dv.isEmpty) "" else s"\t${e.dv}"
     s"${e.file}\t${e.rows}\t$st\t${e.cols}$dvf"
   }
 
@@ -256,7 +289,8 @@ object GraftStore {
       }.toMap
       FileEntry(parts(0), parts(1).toLong, stats,
         if (parts.length >= 4) parts(3).toInt else -1,
-        if (parts.length >= 5) parts(4) else "")
+        if (parts.length >= 5) parts(4) else "",
+        if (parts.length >= 6) parts(5).toLong else 0L)
   }
 
   /** Deletion-vector sidecar: Int count + sorted Long physical row
@@ -290,6 +324,95 @@ object GraftStore {
       val bs = new java.util.BitSet()
       read(abs).foreach(p => bs.set(p.toInt))
       bs
+    }
+  }
+
+  /** Equality-delete sidecar: a set of key TUPLES, written atomically.
+    * Layout: int nCols, nCols tag bytes ('L' integral, 'S' string), then
+    * tuples until EOF (L = long; S = int byteLen + utf8 bytes). Tuples
+    * are held and probed as canonical encoded strings — longs as
+    * decimal digits, strings length-prefixed (`len:bytes`, so a string
+    * of digits can never alias a long), columns joined by a space.
+    * Sidecars are immutable once committed (uuid-stamped names), so
+    * executors cache parsed sets per JVM ([[EqSet.cached]]) — a 32-task
+    * scan loads each batch's set once, not 32 times. */
+  private[sources] object EqSet {
+    val TagLong: Byte = 'L'
+    val TagString: Byte = 'S'
+
+    def encodeLong(v: Long): String = v.toString
+    def encodeString(s: String): String = s"${s.length}:$s"
+
+    def write(abs: String, tags: Array[Byte],
+        tuples: Iterator[Array[Any]]): Long = {
+      val tmp = Paths.get(abs + ".tmp" + java.util.UUID.randomUUID().toString.take(8))
+      val out = new DataOutputStream(new BufferedOutputStream(
+        new FileOutputStream(tmp.toFile)))
+      var n = 0L
+      try {
+        out.writeInt(tags.length)
+        tags.foreach(out.writeByte(_))
+        tuples.foreach { t =>
+          var i = 0
+          while (i < tags.length) {
+            tags(i) match {
+              case TagLong => out.writeLong(t(i).asInstanceOf[Long])
+              case TagString =>
+                val b = t(i).asInstanceOf[String].getBytes(StandardCharsets.UTF_8)
+                out.writeInt(b.length); out.write(b)
+            }
+            i += 1
+          }
+          n += 1
+        }
+      } finally out.close()
+      Files.move(tmp, Paths.get(abs), StandardCopyOption.ATOMIC_MOVE,
+        StandardCopyOption.REPLACE_EXISTING)
+      n
+    }
+
+    def read(abs: String): java.util.HashSet[String] = {
+      val in = new DataInputStream(new BufferedInputStream(
+        new FileInputStream(abs)))
+      val set = new java.util.HashSet[String]()
+      try {
+        val nCols = in.readInt()
+        val tags = Array.fill(nCols)(in.readByte())
+        val sb = new java.lang.StringBuilder()
+        // committed sidecars end exactly on a tuple boundary, so EOF
+        // can only surface at a tuple's first read
+        try {
+          while (true) {
+            sb.setLength(0)
+            var i = 0
+            while (i < nCols) {
+              if (i > 0) sb.append(' ')
+              tags(i) match {
+                case TagLong => sb.append(encodeLong(in.readLong()))
+                case TagString =>
+                  val b = new Array[Byte](in.readInt()); in.readFully(b)
+                  sb.append(encodeString(new String(b, StandardCharsets.UTF_8)))
+              }
+              i += 1
+            }
+            set.add(sb.toString)
+          }
+        } catch { case _: java.io.EOFException => () }
+      } finally in.close()
+      set
+    }
+
+    // executor-JVM parsed-set LRU (sidecars are immutable; 64 batches)
+    private val cache =
+      new java.util.LinkedHashMap[String, java.util.HashSet[String]](64, 0.75f, true) {
+        override def removeEldestEntry(
+            e: java.util.Map.Entry[String, java.util.HashSet[String]]): Boolean =
+          size() > 64
+      }
+    def cached(abs: String): java.util.HashSet[String] = cache.synchronized {
+      val hit = cache.get(abs)
+      if (hit != null) hit
+      else { val s = read(abs); cache.put(abs, s); s }
     }
   }
 
@@ -335,10 +458,11 @@ object GraftStore {
     * manifests this turns the per-query metadata fold from re-parse
     * (O(lines × columns) string work) into a map hit. */
   private val manifestCache =
-    new java.util.LinkedHashMap[String, Option[(StructType, Seq[FileEntry])]](
-        64, 0.75f, true) {
+    new java.util.LinkedHashMap[String,
+        Option[(StructType, Seq[FileEntry], Seq[EqDelete])]](64, 0.75f, true) {
       override def removeEldestEntry(
-          e: java.util.Map.Entry[String, Option[(StructType, Seq[FileEntry])]])
+          e: java.util.Map.Entry[String,
+            Option[(StructType, Seq[FileEntry], Seq[EqDelete])]])
           : Boolean = size() > 64
     }
 
@@ -364,7 +488,15 @@ object GraftStore {
     new String(bytes, StandardCharsets.UTF_8).split('\n')
       .find(_.startsWith("!uid=")).map(_.stripPrefix("!uid=")).getOrElse("")
 
-  private[graft] def readManifestFile(f: File): Option[(StructType, Seq[FileEntry])] = {
+  private[graft] def readManifestFile(f: File): Option[(StructType, Seq[FileEntry])] =
+    readManifestFull(f).map { case (s, e, _) => (s, e) }
+
+  /** Equality deletes a snapshot manifest carries (same cached parse). */
+  private[graft] def readEqDeletesOf(f: File): Seq[EqDelete] =
+    readManifestFull(f).map(_._3).getOrElse(Seq.empty)
+
+  private[graft] def readManifestFull(
+      f: File): Option[(StructType, Seq[FileEntry], Seq[EqDelete])] = {
     if (!f.exists()) None
     else {
       val uid = headerUid(f)
@@ -386,13 +518,15 @@ object GraftStore {
     }
   }
 
-  private def parseManifestBytes(bytes: Array[Byte]): Option[(StructType, Seq[FileEntry])] = {
+  private def parseManifestBytes(
+      bytes: Array[Byte]): Option[(StructType, Seq[FileEntry], Seq[EqDelete])] = {
     val lines = new String(bytes, StandardCharsets.UTF_8)
       .split('\n').toSeq.filter(_.nonEmpty)
     if (lines.isEmpty) return None
     val schema = StructType.fromDDL(lines.head)
     val statsV = lines.tail.find(_.startsWith("!stats="))
       .map(_.stripPrefix("!stats=").toLong).getOrElse(1L)
+    val eqDels = lines.tail.filter(_.startsWith("!eqdel=")).map(parseEqDelete)
     val entries = lines.tail.filterNot(_.startsWith("!")).map(parseEntry)
     val safe =
       if (statsV >= StatsFormatVersion) entries
@@ -404,7 +538,7 @@ object GraftStore {
         if (doubleCols.isEmpty) entries
         else entries.map(e => e.copy(stats = e.stats -- doubleCols))
       }
-    Some((schema, safe))
+    Some((schema, safe, eqDels))
   }
 
   /** Snapshot id the current pointer carries (0 = pre-versioning table
@@ -527,7 +661,8 @@ object GraftStore {
       path: String, baseVersion: Long, schema: StructType,
       files: Seq[FileEntry],
       epoch: Option[Long] = None, op: String = "",
-      newTxn: Option[(String, Long)] = None): Long = {
+      newTxn: Option[(String, Long)] = None,
+      eqDels: Option[Seq[EqDelete]] = None): Long = {
     val v = baseVersion + 1
     // txn watermarks carry FORWARD through every commit (vacuum may drop
     // the snapshot that first recorded one): merge the base's map with
@@ -539,7 +674,29 @@ object GraftStore {
     val txns = newTxn.fold(baseTxns) { case (app, ver) =>
       baseTxns + (app -> math.max(ver, baseTxns.getOrElse(app, Long.MinValue)))
     }
-    writeManifestAtomicAt(path, v, schema, files, epoch, op, txns)
+    // equality deletes carry forward like txn watermarks (None = carry
+    // the base's; Some(xs) = this commit's authoritative set — the
+    // delete/upsert/overwrite/restore sites). While any delete is live,
+    // every file NEW in this commit gets stamped addedv = v, the
+    // exemption marker that keeps deletes applying only to files that
+    // existed before them (a file the commit merely carries forward
+    // keeps whatever it had — 0 means "predates every delete").
+    val baseFile = new File(path, s"$ManifestName.v$baseVersion")
+    val eqs = eqDels.getOrElse(
+      if (baseVersion > 0) readEqDeletesOf(baseFile) else Seq.empty)
+    val stamped =
+      if (eqs.isEmpty) files
+      else {
+        val baseNames =
+          if (baseVersion > 0)
+            readManifestFile(baseFile).map(_._2.map(_.file).toSet)
+              .getOrElse(Set.empty[String])
+          else Set.empty[String]
+        files.map(e =>
+          if (e.addedv == 0L && !baseNames.contains(e.file)) e.copy(addedv = v)
+          else e)
+      }
+    writeManifestAtomicAt(path, v, schema, stamped, epoch, op, txns, eqs)
     v
   }
 
@@ -561,7 +718,8 @@ object GraftStore {
   private[graft] def writeManifestAtomicAt(
       path: String, v: Long, schema: StructType, files: Seq[FileEntry],
       epoch: Option[Long] = None, op: String = "",
-      txns: Map[String, Long] = Map.empty): Unit = {
+      txns: Map[String, Long] = Map.empty,
+      eqDels: Seq[EqDelete] = Seq.empty): Unit = {
     val tmp = Paths.get(path, s".manifest.tmp.${java.util.UUID.randomUUID()}")
     // !uid = this manifest WRITE's unique identity — the only sound cache
     // key: version numbers restart when a table is dropped and recreated
@@ -574,6 +732,7 @@ object GraftStore {
           ((if (op.nonEmpty) Seq(s"!op=$op") else Seq.empty) ++
             epoch.map(e => s"!epoch=$e").toSeq ++
             txns.toSeq.sortBy(_._1).map { case (a, ver) => s"!txn=$a:$ver" } ++
+            eqDels.map(fmtEqDelete) ++
             files.map(fmtEntry))))))
     Files.write(tmp, lines.mkString("\n").getBytes(StandardCharsets.UTF_8))
     try Files.createLink(Paths.get(path, s"$ManifestName.v$v"), tmp)
@@ -635,8 +794,12 @@ object GraftStore {
         f.getName.stripPrefix(ManifestName + ".v").toLong))
       .foreach(_.delete())
     gcUnreferenced(path,
-      readManifest(path).map(_._2.flatMap(e =>
-        if (e.dv.isEmpty) Seq(e.file) else Seq(e.file, e.dv)))
+      readManifestFull(new File(path, ManifestName))
+        .map { case (_, es, eqs) =>
+          es.flatMap(e =>
+            if (e.dv.isEmpty) Seq(e.file) else Seq(e.file, e.dv)) ++
+            eqs.map(_.file)
+        }
         .getOrElse(Seq.empty).toSet,
       graceMs)
   }
@@ -708,12 +871,15 @@ object GraftStore {
     * undoes it — the documented RESTORE hazard) or conflicts and
     * retries on top. */
   private[graft] def restore(path: String, version: Long): Long = {
-    val (schema, entries) = readManifestFile(
+    val (schema, entries, eqDels) = readManifestFull(
       new File(path, s"$ManifestName.v$version")).getOrElse(
       throw new IllegalArgumentException(
         s"no snapshot v$version at $path (never committed, or expired)"))
     val (base, _) = readLatestVersioned(path)
-    writeManifestAtomic(path, base, schema, entries, op = s"restore(v$version)")
+    // the restored snapshot's equality deletes come with it (restoring
+    // to before a delete revives the rows; to after keeps them hidden)
+    writeManifestAtomic(path, base, schema, entries,
+      op = s"restore(v$version)", eqDels = Some(eqDels))
   }
 
   /** Zero-copy SHALLOW CLONE: a new table at `dst` whose v1 manifest
@@ -728,7 +894,8 @@ object GraftStore {
     * for a hard-linked file just drops one link). Partition spec, if
     * any, is cloned with the table. */
   private[graft] def cloneTable(src: String, dst: String): Unit = {
-    val (schema, entries) = readManifest(src).getOrElse(
+    val (schema, entries, eqDels) = readManifestFull(
+      new File(src, ManifestName)).getOrElse(
       throw new IllegalArgumentException(s"no graft-store table at $src"))
     Files.createDirectories(Paths.get(dst))
     entries.foreach { e =>
@@ -738,13 +905,21 @@ object GraftStore {
       if (e.dv.nonEmpty)
         Files.createLink(Paths.get(dst, e.dv), Paths.get(src, e.dv))
     }
+    // equality-delete sidecars are referenced content like DVs: link
+    // them and carry the headers (entry addedv values come along with
+    // the entries, so applicability is preserved verbatim)
+    eqDels.foreach { d =>
+      val to = Paths.get(dst, d.file)
+      if (to.getParent != null) Files.createDirectories(to.getParent)
+      Files.createLink(to, Paths.get(src, d.file))
+    }
     val part = new File(src, PartitionFileName)
     if (part.exists())
       Files.copy(part.toPath, Paths.get(dst, PartitionFileName))
     // the clone's v1 records the source version it forked from — the
     // fast-forward baseline a write-audit-publish `publish` checks
     writeManifestAtomicAt(dst, 1, schema, entries,
-      op = s"clone(v${readVersion(src)})")
+      op = s"clone(v${readVersion(src)})", eqDels = eqDels)
   }
 
   /** MERGE-ON-READ DELETE via deletion vectors (the Delta/Iceberg-v2 DV
@@ -829,6 +1004,151 @@ object GraftStore {
       op = "delete")
   }
 
+  /** EQUALITY DELETE (the Iceberg-v2 equality-delete file design): mark
+    * every row whose key tuple appears in `keys` as deleted — WITHOUT
+    * reading a single data file. A position delete must first FIND the
+    * rows (a keyed table scan per batch); an equality delete just
+    * writes the key set and commits, so a CDC feed deleting 0.1% of
+    * keys per batch costs KBs of sidecar I/O where position-vector
+    * DELETE costs a scan and copy-on-write costs a table rewrite. The
+    * delete applies to every data file born BEFORE it (`addedv < seq`);
+    * readers probe a per-sidecar hash set (loaded once per executor
+    * JVM); [[purgeDeletes]] folds accumulated sets into clean files.
+    * Key columns: int/long/string, null keys match nothing (SQL
+    * semantics). Empty key set = no commit. Returns the new version. */
+  private[graft] def deleteByKey(spark: org.apache.spark.sql.SparkSession,
+      path: String, keys: org.apache.spark.sql.DataFrame): Long =
+    commitEqDelete(spark, path, keys, appendRows = None, op = "eqdelete")
+
+  /** CDC UPSERT as pure append (the Flink-on-Iceberg ingest shape): ONE
+    * commit that (a) equality-deletes the batch's keys from every
+    * pre-existing file and (b) appends the batch's rows — the appended
+    * files are stamped with the committing version, which exempts them
+    * from their own delete (`addedv < seq` is strict). Last-writer-wins
+    * per key, no read-side MERGE, no data-file read at all: at 100 TB
+    * the steady-state CDC apply writes the batch plus a key sidecar and
+    * touches nothing else. The trade is read-side probing until
+    * [[purgeDeletes]]/compaction folds the sets — the same contract
+    * Iceberg v2 equality deletes carry. Upstream must deliver each
+    * key's changes in order (the CDC-log contract); a keyed MERGE with
+    * a guard is the tool when it cannot. */
+  private[graft] def upsertByKey(spark: org.apache.spark.sql.SparkSession,
+      path: String, keyCols: Seq[String],
+      rows: org.apache.spark.sql.DataFrame): Long = {
+    import org.apache.spark.sql.functions.col
+    commitEqDelete(spark, path, rows.select(keyCols.map(col): _*),
+      appendRows = Some(rows), op = "upsert")
+  }
+
+  private def commitEqDelete(spark: org.apache.spark.sql.SparkSession,
+      path: String, keys: org.apache.spark.sql.DataFrame,
+      appendRows: Option[org.apache.spark.sql.DataFrame], op: String): Long = {
+    import org.apache.spark.sql.types.{IntegerType, LongType, StringType}
+    val (base0, latest0) = readLatestVersioned(path)
+    val (tblSchema, _) = latest0.getOrElse(throw new IllegalArgumentException(
+      s"no graft-store table at $path"))
+    val keyCols = keys.schema.fields.map(_.name).toSeq
+    keys.schema.fields.foreach { f =>
+      val tf = tblSchema.fields.find(_.name == f.name).getOrElse(
+        throw new IllegalArgumentException(
+          s"equality-delete key '${f.name}' is not a column of $path"))
+      require(Seq(IntegerType, LongType, StringType).contains(tf.dataType),
+        s"equality-delete key '${f.name}' has type ${tf.dataType} — " +
+          "int/long/string only (hash-probed per row at read)")
+      // the KEY SET's own type must match the table's: a mistyped key
+      // frame would otherwise encode garbage tuples (getLong over a
+      // double column reinterprets raw bits) and silently delete nothing
+      require(f.dataType == tf.dataType,
+        s"equality-delete key '${f.name}' is ${f.dataType} but the " +
+          s"table column is ${tf.dataType} — cast the key set first " +
+          "(int/long/string only)")
+    }
+    val tags = keys.schema.fields.map(_.dataType match {
+      case StringType => EqSet.TagString
+      case _ => EqSet.TagLong // int widens to long in the sidecar
+    })
+    val srcTags = keys.schema.fields.map(_.dataType match {
+      case IntegerType => 'I'.toByte
+      case StringType => EqSet.TagString
+      case _ => EqSet.TagLong
+    })
+    val stamp = java.util.UUID.randomUUID().toString.take(8)
+    val absRoot = new File(path).getAbsolutePath
+    // executor-side sidecar writes: each partition of the (distinct,
+    // null-free) key set writes its own immutable sidecar; only file
+    // NAMES return to the driver — the key data never leaves executors
+    val sidecars: Seq[String] = keys.na.drop("any").distinct()
+      .queryExecution.toRdd.mapPartitionsWithIndex { (pid, it) =>
+        if (!it.hasNext) Iterator.empty
+        else {
+          val rel = s"data/eqdel-$stamp-$pid.bin"
+          val n = EqSet.write(new File(absRoot, rel).getPath, tags,
+            it.map { row =>
+              val vals = new Array[Any](srcTags.length)
+              var i = 0
+              while (i < srcTags.length) {
+                vals(i) = srcTags(i) match {
+                  case 'I' => row.getInt(i).toLong
+                  case EqSet.TagLong => row.getLong(i)
+                  case _ => row.getUTF8String(i).toString
+                }
+                i += 1
+              }
+              vals
+            })
+          if (n == 0) { new File(absRoot, rel).delete(); Iterator.empty }
+          else Iterator.single(rel)
+        }
+      }.collect().toSeq
+    // append side (upsert): rows write through the ordinary writer into
+    // a scratch table carrying the SAME partition spec (per-value
+    // rolling preserved), then hard-link in — the purge/clone pattern
+    val fresh: Seq[FileEntry] = appendRows match {
+      case Some(rows) =>
+        val scratch = Files.createTempDirectory("graft_upsert").toFile
+        val part = new File(path, PartitionFileName)
+        if (part.exists())
+          Files.copy(part.toPath, Paths.get(scratch.getAbsolutePath, PartitionFileName))
+        rows.write.format("graft.sources.GraftStore")
+          .option("path", scratch.getAbsolutePath).mode("append").save()
+        val es = readManifest(scratch.getAbsolutePath).map(_._2).getOrElse(Seq.empty)
+        es.foreach { e =>
+          val to = Paths.get(path, e.file)
+          if (to.getParent != null) Files.createDirectories(to.getParent)
+          Files.createLink(to, Paths.get(scratch.getAbsolutePath, e.file))
+        }
+        deleteRecursively(scratch)
+        es
+      case _ => Seq.empty
+    }
+    if (sidecars.isEmpty && fresh.isEmpty) return base0
+    // commit with append-style retry: key deletes stay valid under any
+    // concurrent commit (they address KEYS, not positions), so a lost
+    // CAS just re-reads the base — the delete's seq becomes the new
+    // commit's version, which still post-dates every pre-existing file
+    var attempt = 0
+    while (true) {
+      val (base, latest) = readLatestVersioned(path)
+      val (sch, entries) = latest.getOrElse((tblSchema, Seq.empty[FileEntry]))
+      val carried =
+        if (base > 0) readEqDeletesOf(new File(path, s"$ManifestName.v$base"))
+        else Seq.empty
+      val seq = base + 1
+      val added = sidecars.map(f => EqDelete(f, seq, keyCols))
+      try {
+        val v = writeManifestAtomic(path, base, sch, entries ++ fresh,
+          readEpoch(path), op = op, eqDels = Some(carried ++ added))
+        return v
+      } catch {
+        case c: ConflictException =>
+          attempt += 1
+          if (attempt >= 10) throw c
+          Thread.sleep(5L * attempt)
+      }
+    }
+    base0 // unreachable
+  }
+
   /** REWRITE DATA FILES (Iceberg's `rewrite_data_files` / Delta's `PURGE`
     * DV compaction): fold every deletion vector back into clean files —
     * read ONLY the delete-vectored files (exact file selection via the
@@ -845,24 +1165,34 @@ object GraftStore {
     val (base, latest) = readLatestVersioned(path)
     val (schema, entries) = latest.getOrElse(
       throw new IllegalArgumentException(s"no graft-store table at $path"))
-    val dvd = entries.filter(_.dv.nonEmpty)
-    if (dvd.isEmpty) return base
+    // fold BOTH delete flavors: position vectors and applicable
+    // equality deletes (the read below composes them, so the rewritten
+    // files are clean of each) — afterwards the eqdel headers drop and
+    // metadata-only answers come back
+    val eqDels0 =
+      if (base > 0) readEqDeletesOf(new File(path, s"$ManifestName.v$base"))
+      else Seq.empty
+    val dvd = entries.filter(e =>
+      e.dv.nonEmpty || eqDels0.exists(e.addedv < _.seq))
+    if (dvd.isEmpty && eqDels0.isEmpty) return base
     val scratch = Files.createTempDirectory("graft_purge").toFile
-    spark.read.format("graft.sources.GraftStore").option("path", path)
-      .option("versionAsOf", base.toString)
-      .option("files", dvd.map(_.file).mkString(","))
-      .load()
-      .write.format("graft.sources.GraftStore")
-      .option("path", scratch.getAbsolutePath).mode("append").save()
+    if (dvd.nonEmpty)
+      spark.read.format("graft.sources.GraftStore").option("path", path)
+        .option("versionAsOf", base.toString)
+        .option("files", dvd.map(_.file).mkString(","))
+        .load()
+        .write.format("graft.sources.GraftStore")
+        .option("path", scratch.getAbsolutePath).mode("append").save()
     val fresh = readManifest(scratch.getAbsolutePath).map(_._2).getOrElse(Seq.empty)
     fresh.foreach { e =>
       val to = Paths.get(path, e.file)
       if (to.getParent != null) Files.createDirectories(to.getParent)
       Files.createLink(to, Paths.get(scratch.getAbsolutePath, e.file))
     }
+    val dvdSet = dvd.map(_.file).toSet
     val v = writeManifestAtomic(path, base, schema,
-      entries.filterNot(_.dv.nonEmpty) ++ fresh, readEpoch(path),
-      op = "optimize")
+      entries.filterNot(e => dvdSet.contains(e.file)) ++ fresh,
+      readEpoch(path), op = "optimize", eqDels = Some(Seq.empty))
     deleteRecursively(scratch) // data bytes survive via the hard links
     v
   }
@@ -880,7 +1210,8 @@ object GraftStore {
     * lost update (re-branch and replay is the resolution, exactly
     * git's fast-forward-only discipline). Returns main's new version. */
   private[graft] def publish(mainPath: String, branchPath: String): Long = {
-    val (schema, entries) = readManifest(branchPath).getOrElse(
+    val (schema, entries, brEqDels) = readManifestFull(
+      new File(branchPath, ManifestName)).getOrElse(
       throw new IllegalArgumentException(
         s"no graft-store branch table at $branchPath"))
     val v1op = readOpOf(new File(branchPath, s"$ManifestName.v1"))
@@ -905,7 +1236,15 @@ object GraftStore {
           Files.createLink(dvTo, Paths.get(branchPath, e.dv))
       }
     }
-    writeManifestAtomic(mainPath, mainV, schema, entries, op = "publish")
+    brEqDels.foreach { d =>
+      val to = Paths.get(mainPath, d.file)
+      if (!Files.exists(to)) {
+        if (to.getParent != null) Files.createDirectories(to.getParent)
+        Files.createLink(to, Paths.get(branchPath, d.file))
+      }
+    }
+    writeManifestAtomic(mainPath, mainV, schema, entries, op = "publish",
+      eqDels = Some(brEqDels))
   }
 
   private def deleteRecursively(f: File): Unit = {
@@ -933,37 +1272,49 @@ object GraftStore {
     * answerer so both always agree on the file set. */
   private[sources] def selectEntries(path: String, versionAsOf: Option[Long],
       fromVersion: Option[Long]): (StructType, Seq[FileEntry]) = {
-    val (schema, current) = versionAsOf match {
+    val (s, e, _) = selectWithEq(path, versionAsOf, fromVersion)
+    (s, e)
+  }
+
+  private[sources] def selectWithEq(path: String, versionAsOf: Option[Long],
+      fromVersion: Option[Long]): (StructType, Seq[FileEntry], Seq[EqDelete]) = {
+    val (schema, current, eqDels) = versionAsOf match {
       case Some(v) =>
-        readManifestFile(new File(path, s"$ManifestName.v$v"))
+        readManifestFull(new File(path, s"$ManifestName.v$v"))
           .getOrElse(throw new IllegalArgumentException(
             s"no snapshot v$v at $path (never committed, or expired)"))
       case None =>
-        readManifest(path).getOrElse(throw new IllegalArgumentException(
-          s"no graft-store table at $path"))
+        readManifestFull(new File(path, ManifestName))
+          .getOrElse(throw new IllegalArgumentException(
+            s"no graft-store table at $path"))
     }
     val entries = fromVersion match {
       case Some(v) =>
-        val base = readManifestFile(new File(path, s"$ManifestName.v$v"))
-          .getOrElse(throw new IllegalArgumentException(
-            s"no snapshot v$v at $path (never committed, or expired)"))
-          ._2.map(e => e.file -> e.dv).toMap
+        val (_, baseEntries, baseEq) =
+          readManifestFull(new File(path, s"$ManifestName.v$v"))
+            .getOrElse(throw new IllegalArgumentException(
+              s"no snapshot v$v at $path (never committed, or expired)"))
+        val base = baseEntries.map(e => e.file -> e.dv).toMap
         // a file whose DELETION VECTOR changed is content-mutated even
         // though its name survives — append-only means names AND dvs
-        // are stable for every base file
+        // are stable for every base file. An EQUALITY delete landing in
+        // the range mutates content without touching any entry, so the
+        // header sets must match too.
         val removed = (base.keySet -- current.map(_.file).toSet) ++
           current.collect {
             case e if base.get(e.file).exists(_ != e.dv) => e.file
           }
-        require(removed.isEmpty,
+        require(removed.isEmpty && eqDels == baseEq,
           s"incremental read from v$v crosses a non-append snapshot " +
             s"(${removed.size} base file(s) no longer present or " +
-            "delete-vectored) — use a change-feed read " +
+            "delete-vectored" +
+            (if (eqDels != baseEq) "; equality deletes changed" else "") +
+            ") — use a change-feed read " +
             "(changesFrom/changesTo) for ranges with deletes or rewrites")
         current.filterNot(e => base.contains(e.file))
       case None => current
     }
-    (schema, entries)
+    (schema, entries, eqDels)
   }
 
   /** Flatten task commit messages: plain writers send one
@@ -1386,6 +1737,18 @@ object GraftStore {
         if (op == "optimize" || op.startsWith("evolve") || op.startsWith("create"))
           Seq.empty
         else {
+          // an equality-delete commit mutates content with NO entry
+          // diff — its deleted rows are only computable by a keyed
+          // scan, which this positional feed does not do. Refuse loudly
+          // rather than emit a feed that silently misses deletes.
+          // (purgeDeletes commits op=optimize, so a purged history
+          // streams fine.)
+          if (readEqDeletesOf(new File(path, s"$ManifestName.v$v")) !=
+              readEqDeletesOf(new File(path, s"$ManifestName.v${v - 1}")))
+            throw new IllegalArgumentException(
+              s"change feed range v$fromV..v$toV crosses an " +
+                s"equality-delete commit (v$v) — fold deletes first " +
+                "(purgeDeletes) or diff full snapshots")
           val removed = (base.keySet -- cur.keySet).toSeq.sorted
             .map(f => CdfUnit(f, base(f).cols, "delete", v,
               applyDv = base(f).dv))
@@ -1501,8 +1864,16 @@ object GraftStore {
     val (schema, entries) = latest.getOrElse(
       throw new IllegalArgumentException(s"no graft-store table at $path"))
     // delete-vectored files never join a bin: a byte concat would revive
-    // their deleted frames — purgeDeletes is their compaction path
-    val (dvEntries, packable) = entries.partition(_.dv.nonEmpty)
+    // their deleted frames — purgeDeletes is their compaction path.
+    // Files with an APPLICABLE equality delete stay out for the same
+    // reason in reverse: the packed entry is stamped addedv = the
+    // compaction version, which would EXEMPT it from the very deletes
+    // that still hide its rows
+    val eqDels0 =
+      if (base > 0) readEqDeletesOf(new File(path, s"$ManifestName.v$base"))
+      else Seq.empty
+    val (dvEntries, packable) = entries.partition(e =>
+      e.dv.nonEmpty || eqDels0.exists(e.addedv < _.seq))
     // first-fit in manifest order: deterministic, preserves write locality
     val bins = scala.collection.mutable.ArrayBuffer.empty[scala.collection.mutable.ArrayBuffer[FileEntry]]
     var binBytes = 0L
@@ -1757,8 +2128,11 @@ object GraftStore {
   private[sources] def gcUnreferenced(path: String, referenced: Set[String],
       graceMs: Long = GcGraceMs): Unit = {
     val retained = snapshotFiles(path)
-      .flatMap(f => readManifestFile(f).map(_._2).getOrElse(Seq.empty))
-      .flatMap(e => if (e.dv.isEmpty) Seq(e.file) else Seq(e.file, e.dv))
+      .flatMap(f => readManifestFull(f).toSeq.flatMap { case (_, es, eqs) =>
+        es.flatMap(e =>
+          if (e.dv.isEmpty) Seq(e.file) else Seq(e.file, e.dv)) ++
+          eqs.map(_.file)
+      })
       .toSet
     val keep = referenced ++ retained
     val cutoff = System.currentTimeMillis() - graceMs
@@ -2070,6 +2444,19 @@ class GraftStoreReplaceBatchWrite(path: String, schema: StructType,
   // until the manifest swap the old bytes ARE the table
   private val stamp = java.util.UUID.randomUUID().toString.take(8)
 
+  // equality deletes visible when this copy-on-write DML planned: the
+  // replacement files were computed from an eq-filtered scan, so a
+  // CONCURRENT eq-delete commit would leave its deleted rows baked
+  // into the rewrites (which the commit stamps exempt) — stale merge,
+  // fail loudly like any interleaving commit (same guard as the DV
+  // row-level path)
+  private val plannedEqDels: Seq[GraftStore.EqDelete] = {
+    val (v, _) = GraftStore.readLatestVersioned(path)
+    if (v <= 0) Seq.empty
+    else GraftStore.readEqDeletesOf(
+      new File(path, s"${GraftStore.ManifestName}.v$v"))
+  }
+
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
     new GraftStoreReplaceWriterFactory(path, schema, stamp, rollOn)
 
@@ -2085,6 +2472,15 @@ class GraftStoreReplaceBatchWrite(path: String, schema: StructType,
     val (base, latest0) = GraftStore.readLatestVersioned(path)
     val (tblSchema, entries) = latest0
       .getOrElse((schema, Seq.empty[GraftStore.FileEntry]))
+    val curEq =
+      if (base <= 0) Seq.empty
+      else GraftStore.readEqDeletesOf(
+        new File(path, s"${GraftStore.ManifestName}.v$base"))
+    if (curEq != plannedEqDels)
+      throw new GraftStore.ConflictException(
+        "copy-on-write DML lost a conflict: equality deletes changed " +
+          "under it since planning — re-run the DML against the " +
+          "current table")
     val replaced = replacedFiles().toSet
     val files = entries.filterNot(e => replaced(e.file)) ++ committed
     // table schema and streaming-epoch marker survive DML untouched;
@@ -2226,6 +2622,16 @@ class GraftStoreDeltaBatchWrite(path: String, schema: StructType,
   private val oldDvByFile: Map[String, String] =
     GraftStore.readLatest(path).map(_._2).getOrElse(Seq.empty)
       .collect { case e if e.dv.nonEmpty => e.file -> e.dv }.toMap
+  // equality deletes visible when this DML planned: a concurrent
+  // eq-delete commit changes which rows EXIST without touching any
+  // entry, so the planned row deltas were computed against rows that
+  // may no longer be live — stale, fail loudly (checked in commit)
+  private val oldEqDels: Seq[GraftStore.EqDelete] = {
+    val (v, _) = GraftStore.readLatestVersioned(path)
+    if (v <= 0) Seq.empty
+    else GraftStore.readEqDeletesOf(
+      new File(path, s"${GraftStore.ManifestName}.v$v"))
+  }
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo)
       : org.apache.spark.sql.connector.write.DeltaWriterFactory =
@@ -2261,6 +2667,15 @@ class GraftStoreDeltaBatchWrite(path: String, schema: StructType,
       val (base, latest) = GraftStore.readLatestVersioned(path)
       val (tblSchema, entries) = latest.getOrElse(
         (schema, Seq.empty[GraftStore.FileEntry]))
+      val curEq =
+        if (base <= 0) Seq.empty
+        else GraftStore.readEqDeletesOf(
+          new File(path, s"${GraftStore.ManifestName}.v$base"))
+      if (curEq != oldEqDels)
+        throw new GraftStore.ConflictException(
+          "merge-on-read DML lost a conflict: equality deletes changed " +
+            "under it since planning — re-run the DML against the " +
+            "current table")
       val stale = dvByFile.keys.filter { f =>
         entries.find(_.file == f) match {
           case Some(e) => e.dv != oldDvByFile.getOrElse(f, "")
@@ -2547,7 +2962,8 @@ class GraftStoreStreamingWrite(path: String, schema: StructType,
         else existing.map(_._1).getOrElse(schema)
       GraftStore.writeManifestAtomic(path, base, tableSchema, files,
         Some(epochId),
-        op = if (truncateEachEpoch) "overwrite" else "append")
+        op = if (truncateEachEpoch) "overwrite" else "append",
+        eqDels = if (truncateEachEpoch) Some(Seq.empty) else None)
       GraftStore.gcUnreferenced(path, files.map(_.file).toSet)
     }
   }
@@ -2799,7 +3215,10 @@ class GraftStoreBatchWrite(path: String, schema: StructType,
           if (truncateFirst) None else GraftStore.readEpoch(path),
           op = if (!dataChange) "optimize"
                else if (truncateFirst) "overwrite" else "append",
-          newTxn = txn)
+          newTxn = txn,
+          // truncate replaces the content wholesale: any equality
+          // delete's work is done (nothing it applied to survives)
+          eqDels = if (truncateFirst) Some(Seq.empty) else None)
         done = true
       } catch {
         case c: GraftStore.ConflictException =>
@@ -3144,15 +3563,19 @@ class GraftStoreScanBuilder(path: String, versionAsOf: Option[Long] = None,
     // any RESIDUAL filter is not (stats describe whole files, residuals
     // filter rows)
     if (residual.nonEmpty || onlyFiles.isDefined) return None
-    val (schema, allEntries) = try GraftStore.selectEntries(path,
+    val (schema, allEntries, eqDels) = try GraftStore.selectWithEq(path,
       versionAsOf.orElse(pinnedVersion), fromVersion)
       catch { case _: Exception => return None }
     // a delete-vectored file's min/max may no longer be attained (the
     // extreme row may be deleted) and its null counts are unknown (-1):
     // COUNT(*) from live `rows` would still be exact, but refusing the
     // whole pushdown keeps the invariant simple — purgeDeletes restores
-    // metadata-only answers
+    // metadata-only answers. Equality deletes are stricter still: they
+    // hide rows the manifest's `rows` field still COUNTS, so any
+    // applicable delete makes every metadata answer wrong, not just the
+    // extremes.
     if (allEntries.exists(_.dv.nonEmpty)) return None
+    if (eqDels.exists(d => allEntries.exists(_.addedv < d.seq))) return None
     // restrict to the files the accepted filters keep (AllRows); every
     // entry must still be DECIDED against this snapshot — an Unknown
     // here means the manifest changed since acceptance, decline
@@ -3357,8 +3780,33 @@ class GraftStoreScan(path: String,
   // INCREMENTAL read keeps only the files added since `fromVersion` —
   // the file-set diff the Iceberg incremental-scan contract describes,
   // with non-append ranges refused (see GraftStore.selectEntries)
-  private val (schema, entries) =
-    GraftStore.selectEntries(path, versionAsOf, fromVersion)
+  private val (schema, entries, eqDels) =
+    GraftStore.selectWithEq(path, versionAsOf, fromVersion)
+
+  /** Equality deletes applicable to `e`, resolved to reader-side refs
+    * (sidecar path + key ordinals + type tags) against THIS scan's
+    * schema. A delete whose key column the schema no longer carries
+    * cannot be applied and must fail loudly — silently skipping it
+    * would resurrect deleted rows. */
+  private def eqRefsFor(e: GraftStore.FileEntry): Seq[GraftStoreEqDelRef] =
+    eqDels.withFilter(e.addedv < _.seq).map { d =>
+      val ords = d.cols.map { c =>
+        require(schema.fieldNames.contains(c),
+          s"equality delete ${d.file} keys on column '$c' which the " +
+            s"scan schema no longer carries — purge deletes before " +
+            "evolving it away")
+        schema.fieldIndex(c)
+      }
+      val tags = ords.map(i => schema.fields(i).dataType match {
+        case org.apache.spark.sql.types.IntegerType => 'I'.toByte
+        case org.apache.spark.sql.types.LongType => GraftStore.EqSet.TagLong
+        case org.apache.spark.sql.types.StringType => GraftStore.EqSet.TagString
+        case other => throw new IllegalStateException(
+          s"equality-delete key '${d.cols}' over unsupported type $other")
+      })
+      GraftStoreEqDelRef(new File(path, d.file).getAbsolutePath,
+        ords.toArray, tags.toArray)
+    }
 
   // RUNTIME group filtering on `_file` (the Iceberg design): for a
   // DELETE/UPDATE/MERGE, Spark computes the distinct `_file` values of
@@ -3790,17 +4238,18 @@ class GraftStoreScan(path: String,
           case keys if keys.nonEmpty =>
             sel.map(e => GraftStoreKeyedFilePartition(
               new File(path, e.file).getAbsolutePath,
-              e.cols, e.file, keyTupleOf(e, keys), dvAbs(e)): InputPartition).toArray
+              e.cols, e.file, keyTupleOf(e, keys), dvAbs(e),
+              eqRefsFor(e)): InputPartition).toArray
           case _ => spjBucket match {
             case Some(b) =>
               sel.map(e => GraftStoreKeyedFilePartition(
                 new File(path, e.file).getAbsolutePath,
                 e.cols, e.file, Seq(e.stats(b.statName).min.toInt),
-                dvAbs(e)): InputPartition).toArray
+                dvAbs(e), eqRefsFor(e)): InputPartition).toArray
             case None =>
               sel.map(e =>
                 GraftStoreFilePartition(new File(path, e.file).getAbsolutePath,
-                  e.cols, e.file, dvAbs(e)): InputPartition).toArray
+                  e.cols, e.file, dvAbs(e), eqRefsFor(e)): InputPartition).toArray
           }
         }
     }
@@ -3810,14 +4259,22 @@ class GraftStoreScan(path: String,
 }
 
 case class GraftStoreFilePartition(absolutePath: String, cols: Int = -1,
-    relPath: String = "", dvAbs: String = "") extends InputPartition
+    relPath: String = "", dvAbs: String = "",
+    eq: Seq[GraftStoreEqDelRef] = Seq.empty) extends InputPartition
+
+/** One applicable equality delete, reader-ready: the sidecar's absolute
+  * path plus the key columns' ordinals and type tags in the scan
+  * schema. */
+case class GraftStoreEqDelRef(abs: String, ords: Array[Int],
+    tags: Array[Byte])
 
 /** File partition that also carries its partition-key tuple (one value
   * per reported grouping expression), so Spark's key-grouped machinery
   * can line files up across the two sides of a storage-partitioned join
   * (multiple files may share a tuple — Spark groups them). */
 case class GraftStoreKeyedFilePartition(absolutePath: String, cols: Int,
-    relPath: String, keys: Seq[Any], dvAbs: String = "")
+    relPath: String, keys: Seq[Any], dvAbs: String = "",
+    eq: Seq[GraftStoreEqDelRef] = Seq.empty)
   extends InputPartition
   with org.apache.spark.sql.connector.read.HasPartitionKey {
   override def partitionKey(): InternalRow =
@@ -3951,11 +4408,15 @@ class GraftStoreMicroBatchStream(path: String, numFields: Int,
     // incremental read
     val removed = (base.keySet -- now.keySet) ++
       base.keySet.filter(f => now.get(f).exists(_._2 != base(f)._2))
-    require(removed.isEmpty,
+    def eqAt(v: Long) =
+      if (v <= 0) Seq.empty
+      else GraftStore.readEqDeletesOf(
+        new File(path, s"${GraftStore.ManifestName}.v$v"))
+    require(removed.isEmpty && eqAt(s) == eqAt(e),
       s"stream batch v$s..v$e crosses a non-append snapshot " +
-        s"(${removed.size} base file(s) removed or delete-vectored) — " +
-        "tail a change feed (changesFrom/changesTo batch reads) across " +
-        "deletes or rewrites")
+        s"(${removed.size} base file(s) removed or delete-vectored, or " +
+        "equality deletes changed) — tail a change feed " +
+        "(changesFrom/changesTo batch reads) across deletes or rewrites")
     (now -- base.keySet).toSeq.sortBy(_._1).map { case (f, (cols, dv)) =>
       GraftStoreFilePartition(new File(path, f).getAbsolutePath, cols, f,
         if (dv.isEmpty) "" else new File(path, dv).getAbsolutePath)
@@ -4019,7 +4480,8 @@ class GraftStoreReaderFactory(scanFields: Int, withFileCol: Boolean = false,
       val fileFields = if (kp.cols > 0) kp.cols else scanFields
       val tail = consts(kp.relPath)
       new GraftStoreFileReader(kp.absolutePath, fileFields, scanFields,
-        tail, skipDv = skipOf(kp.dvAbs), posSlot = posSlot(tail))
+        tail, skipDv = skipOf(kp.dvAbs), posSlot = posSlot(tail),
+        eqProbes = probesOf(kp.eq))
     case fp: GraftStoreFilePartition =>
       // a file written before an ADD COLUMN carries fewer fields than the
       // scan schema: parse at its own arity (UnsafeRow layout bakes the
@@ -4027,15 +4489,62 @@ class GraftStoreReaderFactory(scanFields: Int, withFileCol: Boolean = false,
       val fileFields = if (fp.cols > 0) fp.cols else scanFields
       val tail = consts(fp.relPath)
       new GraftStoreFileReader(fp.absolutePath, fileFields, scanFields,
-        tail, skipDv = skipOf(fp.dvAbs), posSlot = posSlot(tail))
+        tail, skipDv = skipOf(fp.dvAbs), posSlot = posSlot(tail),
+        eqProbes = probesOf(fp.eq))
   }
+
+  /** Resolve eq-del refs to (parsed set, ordinals, tags) — the sets load
+    * through the executor-JVM cache, once per sidecar not per task. */
+  private def probesOf(eq: Seq[GraftStoreEqDelRef])
+      : Array[(java.util.HashSet[String], Array[Int], Array[Byte])] =
+    if (eq.isEmpty) null
+    else eq.map(r =>
+      (GraftStore.EqSet.cached(r.abs), r.ords, r.tags)).toArray
 }
 
 class GraftStoreFileReader(file: String, numFields: Int, scanFields: Int,
     tailVals: Array[Any] = null, skipDv: java.util.BitSet = null,
-    onlyDv: java.util.BitSet = null, posSlot: Int = -1)
+    onlyDv: java.util.BitSet = null, posSlot: Int = -1,
+    eqProbes: Array[(java.util.HashSet[String], Array[Int], Array[Byte])] = null)
   extends PartitionReader[InternalRow] {
   def this(file: String, numFields: Int) = this(file, numFields, numFields)
+
+  // equality-delete probe: encode this row's key tuple exactly as the
+  // sidecar encodes its set members and test membership. A null key or
+  // a key column the file predates (ordinal beyond its arity) can never
+  // match — deletes target rows that HAD the key. Runs only on files
+  // with an applicable delete; clean files skip the branch entirely.
+  private val probeRow = if (eqProbes == null) null else new UnsafeRow(numFields)
+  private val probeSb = if (eqProbes == null) null else new java.lang.StringBuilder()
+  private def eqDeleted(bytes: Array[Byte]): Boolean = {
+    probeRow.pointTo(bytes, bytes.length)
+    var p = 0
+    while (p < eqProbes.length) {
+      val (set, ords, tags) = eqProbes(p)
+      probeSb.setLength(0)
+      var i = 0
+      var viable = true
+      while (viable && i < ords.length) {
+        val o = ords(i)
+        if (o >= numFields || probeRow.isNullAt(o)) viable = false
+        else {
+          if (i > 0) probeSb.append(' ')
+          tags(i) match {
+            case 'I' => probeSb.append(
+              GraftStore.EqSet.encodeLong(probeRow.getInt(o).toLong))
+            case GraftStore.EqSet.TagLong => probeSb.append(
+              GraftStore.EqSet.encodeLong(probeRow.getLong(o)))
+            case _ => probeSb.append(
+              GraftStore.EqSet.encodeString(probeRow.getUTF8String(o).toString))
+          }
+        }
+        i += 1
+      }
+      if (viable && set.contains(probeSb.toString)) return true
+      p += 1
+    }
+    false
+  }
   private val in = new DataInputStream(
     new BufferedInputStream(new FileInputStream(file)))
   private val row = new UnsafeRow(numFields)
@@ -4079,8 +4588,9 @@ class GraftStoreFileReader(file: String, numFields: Int, scanFields: Int,
       pos += 1
       val p = pos.toInt
       val emit =
-        if (onlyDv != null) onlyDv.get(p)
-        else skipDv == null || !skipDv.get(p)
+        (if (onlyDv != null) onlyDv.get(p)
+         else skipDv == null || !skipDv.get(p)) &&
+          (eqProbes == null || !eqDeleted(current))
       if (emit) {
         if (posIdx >= 0) tailRow.update(posIdx, pos)
         return true

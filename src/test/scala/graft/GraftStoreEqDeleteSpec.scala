@@ -1,0 +1,200 @@
+package graft
+
+import java.io.File
+
+import graft.sources.GraftStore
+
+/** Equality deletes (round 12): the Iceberg-v2 equality-delete design —
+  * `deleteByKey` commits a key-set sidecar that hides every matching row
+  * in every file born before it, WITHOUT reading any data file, and
+  * `upsertByKey` is the pure-append CDC apply (one commit: eq-delete the
+  * batch's keys + append its rows, the appends exempt from their own
+  * delete by the strict `addedv < seq` rule).
+  *
+  * The core economics claim — write cost ∝ batch, zero data-file I/O —
+  * is pinned physically (mtime + length proof on every data file), and
+  * every read-side consumer's contract under live deletes is pinned:
+  * scan probe, time travel, metadata-agg decline + post-purge recovery,
+  * incremental/CDF refusal, compaction exclusion, clone carry.
+  */
+class GraftStoreEqDeleteSpec extends SparkSuite {
+
+  private def fresh(tag: String, rows: Long = 300, slices: Int = 3): String = {
+    val root = graft.ops.Util.managedTempDir(s"graft_eqd_${tag}_")
+    val t = s"$root/t"
+    spark.range(0, rows, 1, slices).selectExpr("id AS k", "id * 10 AS v")
+      .write.format("graft.sources.GraftStore").option("path", t)
+      .mode("overwrite").save()
+    t
+  }
+
+  private def dataFiles(path: String): Map[String, (Long, Long)] =
+    Option(new File(path, "data").listFiles()).getOrElse(Array.empty)
+      .filterNot(f => f.getName.contains(".dv.") || f.getName.startsWith("eqdel-"))
+      .map(f => f.getName -> (f.lastModified(), f.length())).toMap
+
+  private def readT(path: String, versionAsOf: Long = -1L) = {
+    val r = spark.read.format("graft.sources.GraftStore").option("path", path)
+    if (versionAsOf >= 0) r.option("versionAsOf", versionAsOf.toString)
+    r.load()
+  }
+
+  private def keysDf(ks: Long*) = {
+    import spark.implicits._
+    ks.toDF("k")
+  }
+
+  test("deleteByKey: zero data-file I/O (bytes untouched, no DV), rows hidden exactly") {
+    val t = fresh("del")
+    val before = dataFiles(t)
+    assert(before.size == 3)
+    val dead = Seq(3L, 77L, 150L, 299L)
+    val v = GraftStore.deleteByKey(spark, t, keysDf(dead: _*))
+    assert(dataFiles(t) == before,
+      "equality delete must not touch, rewrite or add data files")
+    val entries = GraftStore.readManifest(t).get._2
+    assert(entries.forall(_.dv.isEmpty), "no position vectors involved")
+    // sidecar committed under data/, manifest carries the header
+    val eqs = GraftStore.readEqDeletesOf(new File(t, s"_manifest.v$v"))
+    assert(eqs.nonEmpty && eqs.forall(d =>
+      d.seq == v && d.cols == Seq("k") && new File(t, d.file).isFile))
+    val got = readT(t).selectExpr("k", "v").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want = (0L until 300L).filterNot(dead.contains).map(k => (k, k * 10)).toSet
+    assert(got == want)
+    // deleting already-deleted / absent keys is a harmless no-op commit
+    GraftStore.deleteByKey(spark, t, keysDf(3L, 1000000L))
+    assert(readT(t).count() == want.size)
+  }
+
+  test("upsertByKey: ONE commit, old files untouched, revival via addedv exemption, last-writer-wins") {
+    import spark.implicits._
+    val t = fresh("up")
+    val before = dataFiles(t)
+    GraftStore.deleteByKey(spark, t, keysDf(10L, 20L))
+    val vBase = GraftStore.readVersion(t)
+    // one upsert: replaces k=20 (revives the just-deleted key), replaces
+    // k=30 (live), inserts k=1000 (new)
+    val v = GraftStore.upsertByKey(spark, t, Seq("k"),
+      Seq((20L, -1L), (30L, -2L), (1000L, -3L)).toDF("k", "v"))
+    assert(v == vBase + 1, "upsert is ONE atomic commit")
+    assert(dataFiles(t).view.filterKeys(before.contains).toMap == before,
+      "pre-existing data files must be byte-identical after upsert")
+    val got = readT(t).collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(!got.contains(10L), "k=10 stays deleted")
+    assert(got(20L) == -1L, "upsert revives a previously eq-deleted key")
+    assert(got(30L) == -2L, "upsert replaces a live key (old version hidden)")
+    assert(got(1000L) == -3L, "unmatched key inserts")
+    assert(got(40L) == 400L, "untouched keys keep their rows")
+    assert(got.size == 300 - 2 + 2, "300 base - {10,20} deleted + {20 revived, 1000 new}")
+    // SECOND upsert of the same key wins (appends from commit N are
+    // subject to deletes from commit N+1: strict addedv < seq)
+    GraftStore.upsertByKey(spark, t, Seq("k"), Seq((20L, -9L)).toDF("k", "v"))
+    assert(readT(t).filter($"k" === 20L).collect().map(_.getLong(1)).toSeq == Seq(-9L))
+  }
+
+  test("multi-column string+long keys: tuple encoding, no cross-type or cross-column aliasing") {
+    import spark.implicits._
+    val root = graft.ops.Util.managedTempDir("graft_eqd_tuple_")
+    val t = s"$root/t"
+    Seq(("a b", 1L, 1L), ("a", 1L, 2L), ("12", 12L, 3L), ("5:12", 12L, 4L),
+      (null.asInstanceOf[String], 1L, 5L))
+      .toDF("name", "n", "v")
+      .write.format("graft.sources.GraftStore").option("path", t)
+      .mode("overwrite").save()
+    // delete exactly ("a b", 1): the ("a", 1) row, the numeric-string
+    // rows and the null-key row must all survive
+    GraftStore.deleteByKey(spark, t,
+      Seq(("a b", 1L)).toDF("name", "n"))
+    assert(readT(t).select("v").collect().map(_.getLong(0)).toSet ==
+      Set(2L, 3L, 4L, 5L))
+    // null KEYS in the delete set match nothing (SQL semantics): the
+    // null-name row survives a (null, 1) "delete"
+    GraftStore.deleteByKey(spark, t,
+      Seq((null.asInstanceOf[String], 1L)).toDF("name", "n"))
+    assert(readT(t).select("v").collect().map(_.getLong(0)).toSet ==
+      Set(2L, 3L, 4L, 5L))
+  }
+
+  test("key validation: unknown column and unsupported type are refused loudly") {
+    import spark.implicits._
+    val t = fresh("valid")
+    val e1 = intercept[IllegalArgumentException] {
+      GraftStore.deleteByKey(spark, t, Seq(1L).toDF("nope"))
+    }
+    assert(e1.getMessage.contains("not a column"))
+    // key frame typed differently from the table column: refused (a
+    // getLong over a double column would encode garbage tuples)
+    val e2 = intercept[IllegalArgumentException] {
+      GraftStore.deleteByKey(spark, t, Seq(1.5).toDF("k"))
+    }
+    assert(e2.getMessage.contains("cast the key set"))
+    // unsupported table column type: refused
+    val root = graft.ops.Util.managedTempDir("graft_eqd_badtype_")
+    Seq((1.5, 1L)).toDF("d", "k")
+      .write.format("graft.sources.GraftStore").option("path", s"$root/t")
+      .mode("overwrite").save()
+    val e3 = intercept[IllegalArgumentException] {
+      GraftStore.deleteByKey(spark, s"$root/t", Seq(1.5).toDF("d"))
+    }
+    assert(e3.getMessage.contains("int/long/string"))
+  }
+
+  test("time travel: pre-delete snapshot sees all rows; restore revives; clone carries deletes") {
+    val t = fresh("tt")
+    val v0 = GraftStore.readVersion(t)
+    GraftStore.deleteByKey(spark, t, keysDf(0L, 1L, 2L))
+    assert(readT(t, versionAsOf = v0).count() == 300)
+    assert(readT(t).count() == 297)
+    // clone carries headers + sidecars: the clone reads filtered
+    val dst = graft.ops.Util.managedTempDir("graft_eqd_clone_") + "/c"
+    GraftStore.cloneTable(t, dst)
+    assert(readT(dst).count() == 297)
+    // restore to the pre-delete snapshot revives the rows
+    GraftStore.restore(t, v0)
+    assert(readT(t).count() == 300)
+  }
+
+  test("purgeDeletes folds key sets into clean files; metadata-only aggregates decline while live, answer after") {
+    import org.apache.spark.sql.functions._
+    val t = fresh("purge")
+    GraftStore.deleteByKey(spark, t, keysDf(5L, 6L, 7L))
+    // while a delete is live the manifest's `rows` still count hidden
+    // rows — a metadata-only COUNT would be wrong, so it must decline
+    // and the scan answer must be the LIVE count
+    val live = readT(t).agg(count(lit(1)).as("n"), min("k").as("mn")).collect()(0)
+    assert(live.getLong(0) == 297 && live.getLong(1) == 0L)
+    val v = GraftStore.purgeDeletes(spark, t)
+    assert(GraftStore.readEqDeletesOf(new File(t, s"_manifest.v$v")).isEmpty,
+      "purge drops the eq-delete headers")
+    assert(readT(t).count() == 297)
+    // post-purge entries carry exact rows again (metadata answers safe)
+    assert(GraftStore.readManifest(t).get._2.map(_.rows).sum == 297)
+    // purge with nothing to fold is a version no-op
+    assert(GraftStore.purgeDeletes(spark, t) == v)
+  }
+
+  test("incremental read and CDF refuse ranges crossing an eq-delete commit; compaction excludes affected files") {
+    import spark.implicits._
+    val t = fresh("incr")
+    val v0 = GraftStore.readVersion(t)
+    GraftStore.deleteByKey(spark, t, keysDf(9L))
+    val e = intercept[Exception] {
+      spark.read.format("graft.sources.GraftStore").option("path", t)
+        .option("fromVersion", v0.toString).load().count()
+    }
+    assert(e.getMessage.contains("equality deletes"))
+    val c = intercept[Exception] {
+      spark.read.format("graft.sources.GraftStore").option("path", t)
+        .option("changesFrom", v0.toString)
+        .option("changesTo", GraftStore.readVersion(t).toString)
+        .load().count()
+    }
+    assert(c.getMessage.contains("equality-delete"))
+    // compaction must NOT pack a file with an applicable delete (the
+    // packed entry would be stamped exempt and revive the row): rows
+    // stay correct and k=9 stays dead through a compact
+    GraftStore.compact(spark, t, targetBytes = Long.MaxValue)
+    assert(readT(t).filter($"k" === 9L).count() == 0)
+    assert(readT(t).count() == 299)
+  }
+}
