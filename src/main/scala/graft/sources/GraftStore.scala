@@ -1712,7 +1712,8 @@ object GraftStore {
     * file, the Delta deletion-vector CDF shape. */
   private[sources] case class CdfUnit(file: String, cols: Int,
       changeType: String, version: Long, applyDv: String = "",
-      baseDv: String = "", dvDelta: Boolean = false)
+      baseDv: String = "", dvDelta: Boolean = false,
+      maskEq: Seq[EqDelete] = Seq.empty, onlyEq: Seq[EqDelete] = Seq.empty)
 
   private[sources] def cdfFileDiffs(path: String, fromV: Long,
       toV: Long): Seq[CdfUnit] = {
@@ -1727,46 +1728,95 @@ object GraftStore {
         ._2
       (readOpOf(f), entries)
     }
+    def eqAt(v: Long): Seq[EqDelete] =
+      if (v <= 0) Seq.empty
+      else readEqDeletesOf(new File(path, s"$ManifestName.v$v"))
     var base: Map[String, FileEntry] =
       if (fromV == 0) Map.empty
       else manifestAt(fromV)._2.map(e => e.file -> e).toMap
+    var eqBase: Seq[EqDelete] = eqAt(fromV)
     (fromV + 1 to toV).flatMap { v =>
       val (op, entries) = manifestAt(v)
       val cur = entries.map(e => e.file -> e).toMap
+      val eqCur = eqAt(v)
       val out: Seq[CdfUnit] =
         if (op == "optimize" || op.startsWith("evolve") || op.startsWith("create"))
           Seq.empty
         else {
-          // an equality-delete commit mutates content with NO entry
-          // diff — its deleted rows are only computable by a keyed
-          // scan, which this positional feed does not do. Refuse loudly
-          // rather than emit a feed that silently misses deletes.
-          // (purgeDeletes commits op=optimize, so a purged history
-          // streams fine.)
-          if (readEqDeletesOf(new File(path, s"$ManifestName.v$v")) !=
-              readEqDeletesOf(new File(path, s"$ManifestName.v${v - 1}")))
-            throw new IllegalArgumentException(
-              s"change feed range v$fromV..v$toV crosses an " +
-                s"equality-delete commit (v$v) — fold deletes first " +
-                "(purgeDeletes) or diff full snapshots")
+          // rows already hidden by a PRE-commit equality delete were
+          // never live inside the range — every old-image emission
+          // (removed file, dv delta) masks them out, symmetrically to
+          // how applyDv masks pre-range position deletes
+          def maskPrev(e: FileEntry) = eqBase.filter(e.addedv < _.seq)
           val removed = (base.keySet -- cur.keySet).toSeq.sorted
             .map(f => CdfUnit(f, base(f).cols, "delete", v,
-              applyDv = base(f).dv))
+              applyDv = base(f).dv, maskEq = maskPrev(base(f))))
+          // an added file masks the CURRENT deletes applicable to it:
+          // none in the ordinary append (fresh files are stamped
+          // exempt), but a restore/publish can re-add an OLD file whose
+          // rows a still-live delete hides
           val added = (cur.keySet -- base.keySet).toSeq.sorted
             .map(f => CdfUnit(f, cur(f).cols, "insert", v,
-              applyDv = cur(f).dv))
+              applyDv = cur(f).dv,
+              maskEq = eqCur.filter(cur(f).addedv < _.seq)))
           // same file, grown deletion vector: emit ONLY the newly
           // deleted rows — the merge-on-read DELETE's change feed
           val dvGrown = (base.keySet & cur.keySet).toSeq.sorted
             .filter(f => base(f).dv != cur(f).dv)
             .map(f => CdfUnit(f, cur(f).cols, "delete", v,
-              applyDv = cur(f).dv, baseDv = base(f).dv, dvDelta = true))
-          removed ++ added ++ dvGrown
+              applyDv = cur(f).dv, baseDv = base(f).dv, dvDelta = true,
+              maskEq = maskPrev(cur(f))))
+          // an EQUALITY-DELETE commit (deleteByKey / upsertByKey)
+          // mutates content with no entry diff: emit the OLD IMAGES —
+          // for every carried file the new key sets apply to, the rows
+          // matching them (minus rows already dead: current DV +
+          // pre-commit deletes) — the Iceberg changelog-scan semantics.
+          // I/O ∝ files the delete applies to: the read-side cost the
+          // pure-append write deferred, paid exactly where it's asked
+          // for.
+          val eqPrevSet = eqBase.toSet
+          val newDels = eqCur.filterNot(eqPrevSet)
+          val eqDelta =
+            if (newDels.isEmpty) Seq.empty
+            else (base.keySet & cur.keySet).toSeq.sorted.flatMap { f =>
+              val e = cur(f)
+              val applicable = newDels.filter(e.addedv < _.seq)
+              if (applicable.isEmpty) None
+              else Some(CdfUnit(f, e.cols, "delete", v, applyDv = e.dv,
+                maskEq = maskPrev(e), onlyEq = applicable))
+            }
+          removed ++ added ++ dvGrown ++ eqDelta
         }
       base = cur
+      eqBase = eqCur
       out
     }
   }
+
+  /** Resolve equality deletes to reader-side refs (sidecar absolute
+    * path + key ordinals and type tags in `schema`); a key column the
+    * schema no longer carries fails loudly — silently skipping a delete
+    * would resurrect its rows. */
+  private[sources] def eqRefs(path: String, schema: StructType,
+      dels: Seq[EqDelete]): Seq[GraftStoreEqDelRef] =
+    dels.map { d =>
+      val ords = d.cols.map { c =>
+        require(schema.fieldNames.contains(c),
+          s"equality delete ${d.file} keys on column '$c' which the " +
+            "schema no longer carries — purge deletes before evolving " +
+            "it away")
+        schema.fieldIndex(c)
+      }
+      val tags = ords.map(i => schema.fields(i).dataType match {
+        case org.apache.spark.sql.types.IntegerType => 'I'.toByte
+        case org.apache.spark.sql.types.LongType => EqSet.TagLong
+        case org.apache.spark.sql.types.StringType => EqSet.TagString
+        case other => throw new IllegalStateException(
+          s"equality-delete key '${d.cols}' over unsupported type $other")
+      })
+      GraftStoreEqDelRef(new File(path, d.file).getAbsolutePath,
+        ords.toArray, tags.toArray)
+    }
 
   /** Union of two files' per-column stats — min of mins, max of maxes,
     * null counts add; an all-null side (empty min/max strings) defers to
@@ -3789,24 +3839,7 @@ class GraftStoreScan(path: String,
     * cannot be applied and must fail loudly — silently skipping it
     * would resurrect deleted rows. */
   private def eqRefsFor(e: GraftStore.FileEntry): Seq[GraftStoreEqDelRef] =
-    eqDels.withFilter(e.addedv < _.seq).map { d =>
-      val ords = d.cols.map { c =>
-        require(schema.fieldNames.contains(c),
-          s"equality delete ${d.file} keys on column '$c' which the " +
-            s"scan schema no longer carries — purge deletes before " +
-            "evolving it away")
-        schema.fieldIndex(c)
-      }
-      val tags = ords.map(i => schema.fields(i).dataType match {
-        case org.apache.spark.sql.types.IntegerType => 'I'.toByte
-        case org.apache.spark.sql.types.LongType => GraftStore.EqSet.TagLong
-        case org.apache.spark.sql.types.StringType => GraftStore.EqSet.TagString
-        case other => throw new IllegalStateException(
-          s"equality-delete key '${d.cols}' over unsupported type $other")
-      })
-      GraftStoreEqDelRef(new File(path, d.file).getAbsolutePath,
-        ords.toArray, tags.toArray)
-    }
+    GraftStore.eqRefs(path, schema, eqDels.filter(e.addedv < _.seq))
 
   // RUNTIME group filtering on `_file` (the Iceberg design): for a
   // DELETE/UPDATE/MERGE, Spark computes the distinct `_file` values of
@@ -4289,7 +4322,9 @@ case class GraftStoreKeyedFilePartition(absolutePath: String, cols: Int,
   * merge-on-read DELETE removed. */
 case class GraftStoreCdfPartition(absolutePath: String, cols: Int,
     changeType: String, version: Long, applyDvAbs: String = "",
-    baseDvAbs: String = "", dvDelta: Boolean = false) extends InputPartition
+    baseDvAbs: String = "", dvDelta: Boolean = false,
+    maskEq: Seq[GraftStoreEqDelRef] = Seq.empty,
+    onlyEq: Seq[GraftStoreEqDelRef] = Seq.empty) extends InputPartition
 
 /** CHANGE DATA FEED scan (`changesFrom` / `changesTo` read options): the
   * row-level delta between two snapshots, emitted as the table's schema
@@ -4314,7 +4349,9 @@ class GraftStoreCdfScan(path: String, fromV: Long, toV: Long,
         u.changeType, u.version,
         if (u.applyDv.isEmpty) "" else new File(path, u.applyDv).getAbsolutePath,
         if (u.baseDv.isEmpty) "" else new File(path, u.baseDv).getAbsolutePath,
-        u.dvDelta): InputPartition
+        u.dvDelta,
+        GraftStore.eqRefs(path, dataSchema, u.maskEq),
+        GraftStore.eqRefs(path, dataSchema, u.onlyEq)): InputPartition
     }.toArray
   override def createReaderFactory(): PartitionReaderFactory =
     new GraftStoreReaderFactory(dataSchema.size)
@@ -4327,14 +4364,14 @@ class GraftStoreCdfScan(path: String, fromV: Long, toV: Long,
     * `changesFrom` is the starting offset. */
   override def toMicroBatchStream(checkpointLocation: String)
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
-    new GraftStoreCdfMicroBatchStream(path, dataSchema.size, fromV)
+    new GraftStoreCdfMicroBatchStream(path, dataSchema, fromV)
 }
 
 /** Micro-batch tail of the change feed: `latestOffset` polls the manifest
   * pointer; `planInputPartitions(s, e)` is [[GraftStore.cdfFileDiffs]]
   * over that commit range. The retention contract matches the batch CDF:
   * every snapshot a checkpoint may resume from must outlive it. */
-class GraftStoreCdfMicroBatchStream(path: String, numDataFields: Int,
+class GraftStoreCdfMicroBatchStream(path: String, dataSchema: StructType,
     startVersion: Long)
   extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
   import org.apache.spark.sql.connector.read.streaming.Offset
@@ -4354,12 +4391,14 @@ class GraftStoreCdfMicroBatchStream(path: String, numDataFields: Int,
         u.changeType, u.version,
         if (u.applyDv.isEmpty) "" else new File(path, u.applyDv).getAbsolutePath,
         if (u.baseDv.isEmpty) "" else new File(path, u.baseDv).getAbsolutePath,
-        u.dvDelta): InputPartition
+        u.dvDelta,
+        GraftStore.eqRefs(path, dataSchema, u.maskEq),
+        GraftStore.eqRefs(path, dataSchema, u.onlyEq)): InputPartition
     }.toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new GraftStoreReaderFactory(numDataFields)
+    new GraftStoreReaderFactory(dataSchema.size)
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()
 }
@@ -4461,11 +4500,13 @@ class GraftStoreReaderFactory(scanFields: Int, withFileCol: Boolean = false,
         override def close(): Unit = ()
       }
     case GraftStoreCdfPartition(abs, cols, changeType, version, applyDv,
-        baseDv, dvDelta) =>
+        baseDv, dvDelta, maskEq, onlyEq) =>
       // change-feed partition: the ordinary file read, with the two CDF
       // columns riding the same constant-tail wrapper as `_file`. A
       // dv-delta partition inverts the mask: serve ONLY the newly
-      // deleted positions (applyDv minus baseDv).
+      // deleted positions (applyDv minus baseDv). maskEq hides rows a
+      // PRE-range/pre-commit equality delete had already killed; onlyEq
+      // SELECTS the old images an eq-delete commit is deleting.
       val fileFields = if (cols > 0) cols else scanFields
       val (skip, only) =
         if (dvDelta) {
@@ -4475,7 +4516,8 @@ class GraftStoreReaderFactory(scanFields: Int, withFileCol: Boolean = false,
         } else (skipOf(applyDv), null)
       new GraftStoreFileReader(abs, fileFields, scanFields,
         Array[Any](UTF8String.fromString(changeType), version),
-        skipDv = skip, onlyDv = only)
+        skipDv = skip, onlyDv = only,
+        eqProbes = probesOf(maskEq), onlyEqProbes = probesOf(onlyEq))
     case kp: GraftStoreKeyedFilePartition =>
       val fileFields = if (kp.cols > 0) kp.cols else scanFields
       val tail = consts(kp.relPath)
@@ -4505,7 +4547,8 @@ class GraftStoreReaderFactory(scanFields: Int, withFileCol: Boolean = false,
 class GraftStoreFileReader(file: String, numFields: Int, scanFields: Int,
     tailVals: Array[Any] = null, skipDv: java.util.BitSet = null,
     onlyDv: java.util.BitSet = null, posSlot: Int = -1,
-    eqProbes: Array[(java.util.HashSet[String], Array[Int], Array[Byte])] = null)
+    eqProbes: Array[(java.util.HashSet[String], Array[Int], Array[Byte])] = null,
+    onlyEqProbes: Array[(java.util.HashSet[String], Array[Int], Array[Byte])] = null)
   extends PartitionReader[InternalRow] {
   def this(file: String, numFields: Int) = this(file, numFields, numFields)
 
@@ -4514,13 +4557,18 @@ class GraftStoreFileReader(file: String, numFields: Int, scanFields: Int,
   // a key column the file predates (ordinal beyond its arity) can never
   // match — deletes target rows that HAD the key. Runs only on files
   // with an applicable delete; clean files skip the branch entirely.
-  private val probeRow = if (eqProbes == null) null else new UnsafeRow(numFields)
-  private val probeSb = if (eqProbes == null) null else new java.lang.StringBuilder()
-  private def eqDeleted(bytes: Array[Byte]): Boolean = {
+  // `eqProbes` MASKS matching rows out (the scan path); `onlyEqProbes`
+  // SELECTS matching rows (the change feed's old-image emission).
+  private val anyEq = eqProbes != null || onlyEqProbes != null
+  private val probeRow = if (!anyEq) null else new UnsafeRow(numFields)
+  private val probeSb = if (!anyEq) null else new java.lang.StringBuilder()
+  private def eqMatches(bytes: Array[Byte],
+      probes: Array[(java.util.HashSet[String], Array[Int], Array[Byte])])
+      : Boolean = {
     probeRow.pointTo(bytes, bytes.length)
     var p = 0
-    while (p < eqProbes.length) {
-      val (set, ords, tags) = eqProbes(p)
+    while (p < probes.length) {
+      val (set, ords, tags) = probes(p)
       probeSb.setLength(0)
       var i = 0
       var viable = true
@@ -4590,7 +4638,8 @@ class GraftStoreFileReader(file: String, numFields: Int, scanFields: Int,
       val emit =
         (if (onlyDv != null) onlyDv.get(p)
          else skipDv == null || !skipDv.get(p)) &&
-          (eqProbes == null || !eqDeleted(current))
+          (eqProbes == null || !eqMatches(current, eqProbes)) &&
+          (onlyEqProbes == null || eqMatches(current, onlyEqProbes))
       if (emit) {
         if (posIdx >= 0) tailRow.update(posIdx, pos)
         return true

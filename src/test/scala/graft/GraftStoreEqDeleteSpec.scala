@@ -173,7 +173,7 @@ class GraftStoreEqDeleteSpec extends SparkSuite {
     assert(GraftStore.purgeDeletes(spark, t) == v)
   }
 
-  test("incremental read and CDF refuse ranges crossing an eq-delete commit; compaction excludes affected files") {
+  test("incremental read refuses ranges crossing an eq-delete commit; compaction excludes affected files") {
     import spark.implicits._
     val t = fresh("incr")
     val v0 = GraftStore.readVersion(t)
@@ -183,18 +183,46 @@ class GraftStoreEqDeleteSpec extends SparkSuite {
         .option("fromVersion", v0.toString).load().count()
     }
     assert(e.getMessage.contains("equality deletes"))
-    val c = intercept[Exception] {
-      spark.read.format("graft.sources.GraftStore").option("path", t)
-        .option("changesFrom", v0.toString)
-        .option("changesTo", GraftStore.readVersion(t).toString)
-        .load().count()
-    }
-    assert(c.getMessage.contains("equality-delete"))
     // compaction must NOT pack a file with an applicable delete (the
     // packed entry would be stamped exempt and revive the row): rows
     // stay correct and k=9 stays dead through a compact
     GraftStore.compact(spark, t, targetBytes = Long.MaxValue)
     assert(readT(t).filter($"k" === 9L).count() == 0)
     assert(readT(t).count() == 299)
+  }
+
+  private def changes(t: String, from: Long, to: Long) =
+    spark.read.format("graft.sources.GraftStore").option("path", t)
+      .option("changesFrom", from.toString)
+      .option("changesTo", to.toString).load()
+      .collect()
+      .map(r => (r.getString(2), r.getLong(3), r.getLong(0), r.getLong(1)))
+      .toSet // (_change_type, _commit_version, k, v)
+
+  test("change feed across eq-delete commits: old-image deletes for matched keys, upsert appends as inserts") {
+    val t = fresh("cdf")
+    val v0 = GraftStore.readVersion(t)
+    // v1: pure key delete — feed emits the old images, nothing else
+    val v1 = GraftStore.deleteByKey(spark, t, keysDf(4L, 8L))
+    assert(changes(t, v0, v1) ==
+      Set(("delete", v1, 4L, 40L), ("delete", v1, 8L, 80L)))
+    // v2: upsert replacing k=12 and inserting k=999 — ONE commit emits
+    // the old image of 12 and both new rows; the already-dead 4/8 are
+    // NOT re-emitted (pre-commit deletes mask the old-image scan)
+    import spark.implicits._
+    val v2 = GraftStore.upsertByKey(spark, t, Seq("k"),
+      Seq((12L, -1L), (999L, -2L), (4L, -3L)).toDF("k", "v"))
+    assert(changes(t, v1, v2) ==
+      Set(("delete", v2, 12L, 120L),
+        ("insert", v2, 12L, -1L), ("insert", v2, 999L, -2L),
+        ("insert", v2, 4L, -3L)))
+    // whole range composes; feed sum-of-parts == full-range read
+    assert(changes(t, v0, v2) == changes(t, v0, v1) ++ changes(t, v1, v2))
+    // a feed STARTING after the deletes never resurrects them: a CoW
+    // DELETE of k=0..2 emits old images of the LIVE rows only
+    GraftStore.deleteWhereDV(spark, t, $"k" < 3)
+    val v3 = GraftStore.readVersion(t)
+    assert(changes(t, v2, v3) ==
+      Set(("delete", v3, 0L, 0L), ("delete", v3, 1L, 10L), ("delete", v3, 2L, 20L)))
   }
 }
