@@ -1506,6 +1506,50 @@ object Sources {
       .orderBy($"side", $"bucket")
   }
 
+  /** EQUALITY-DELETE CHANGE FEED (round 12) — the changelog read of an
+    * upsert table, upgrading what was a refusal into an answer: an
+    * eq-delete commit mutates content with NO file-entry diff, so the
+    * feed's planner emits OLD-IMAGE delete units for it — for every
+    * carried file the new key sets apply to (`addedv < seq`), the rows
+    * matching the sidecars, minus rows already dead (current DV +
+    * pre-commit deletes; symmetric with how `applyDv` masks pre-range
+    * position deletes). Upsert appends ride the ordinary insert units.
+    * This is the Iceberg changelog-scan semantics, and the honest
+    * economics of equality deletes made visible: the write side paid
+    * ∝ batch; the CHANGE READER pays the deferred keyed scan — I/O ∝
+    * files the delete applies to — exactly where the old images are
+    * actually demanded. A downstream CDC consumer (the Flink mirror
+    * shape) gets complete retract+upsert semantics: every key's old
+    * image precedes its new version, batch boundaries preserved in
+    * `_commit_version`. */
+  val qStoreEqdeleteCdf: Q = (s, dir) => {
+    import s.implicits._
+    val root = Util.managedTempDir("graft_eqcdf_")
+    val t = s"$root/t"
+    table(s, dir, "orders")
+      .select($"o_orderkey", $"o_custkey", $"o_totalprice")
+      .filter($"o_orderkey" % 3 === 0)
+      .repartition(4)
+      .write.format("graft.sources.GraftStore").option("path", t)
+      .mode("overwrite").save() // v1
+    graft.sources.GraftStore.deleteByKey(s, t, // v2
+      table(s, dir, "orders")
+        .filter($"o_orderkey" % 3 === 0 && $"o_orderkey" % 7 === 0)
+        .select($"o_orderkey"))
+    val vUp = graft.sources.GraftStore.upsertByKey(s, t, Seq("o_orderkey"), // v3
+      table(s, dir, "orders")
+        .filter($"o_orderkey" % 3 === 0 && $"o_orderkey" % 5 === 0)
+        .select($"o_orderkey", ($"o_custkey" + 1000000L).as("o_custkey"),
+          $"o_totalprice"))
+    s.read.format("graft.sources.GraftStore").option("path", t)
+      .option("changesFrom", "1").option("changesTo", vUp.toString).load()
+      .groupBy($"_change_type".as("change_type"),
+        $"_commit_version".as("commit_version"))
+      .agg(count(lit(1)).as("n_rows"), sum($"o_orderkey").as("sum_key"),
+        sum($"o_custkey").as("sum_cust"), dsum($"o_totalprice").as("sum_price"))
+      .orderBy($"change_type", $"commit_version")
+  }
+
   /** STREAMING CDC APPLY VIA EQUALITY DELETES (round 12) — the third
     * sibling of q_stream_upsert (copy-on-write MERGE) and
     * q_stream_upsert_mor (position-vector MOR MERGE): each micro-batch
@@ -1664,6 +1708,50 @@ object Sources {
     s2.sql(
       """SELECT l_returnflag, l_linestatus, n_rows, sum_qty
         |FROM graft.flagship ORDER BY 1, 2""".stripMargin)
+  }
+
+  /** STORED PROCEDURES (round 12) — Spark 4's native ProcedureCatalog:
+    * `CALL cat.system.<proc>(…)` wired to the audited maintenance
+    * primitives (purge_deletes / restore / compact / expire_snapshots),
+    * the Iceberg `CALL` surface without any SQL-extension parser. The
+    * query runs the operational lifecycle a 100 TB table lives by,
+    * entirely in SQL: CTAS (merge-on-read) → DELETE (DV sidecars) →
+    * `CALL purge_deletes` (fold vectors into clean files) →
+    * `CALL restore` (roll back to the pre-delete snapshot as a new
+    * commit) — reading the table between steps. Maintenance-as-SQL is
+    * the difference between a scheduled query and a bespoke JVM
+    * deployment for every housekeeping task. */
+  val qCatalogProc: Q = (s, dir) => {
+    import s.implicits._
+    val s2 = s.newSession()
+    val root = Util.managedTempDir("graft_proccat_")
+    s2.conf.set("spark.sql.catalog.graftpr", "graft.sources.GraftCatalog")
+    s2.conf.set("spark.sql.catalog.graftpr.root", root)
+    s2.conf.set("spark.sql.optimizer.runtime.rowLevelOperationGroupFilter.enabled",
+      "false")
+    table(s2, dir, "orders").createOrReplaceTempView("ord_proc")
+    s2.sql(
+      """CREATE TABLE graftpr.pt
+        |TBLPROPERTIES('write.mode'='merge-on-read') AS
+        |SELECT o_orderkey, o_custkey, o_totalprice FROM ord_proc
+        |WHERE o_orderkey % 3 = 0""".stripMargin)
+    val vFull = graft.sources.GraftStore.readVersion(s"$root/pt")
+    s2.sql("DELETE FROM graftpr.pt WHERE o_orderkey % 7 = 0") // DV sidecars
+    // CALL is EAGER (the analyzer invokes the bound procedure): the
+    // result row carries the committed version for chaining
+    val vPurged = s2.sql("CALL graftpr.system.purge_deletes('pt')")
+      .collect()(0).getLong(0)
+    s2.sql(s"CALL graftpr.system.restore('pt', $vFull)")
+    def agg(tag: String, asOf: String) =
+      s2.sql(
+        s"""SELECT '$tag' AS side, o_orderkey % 10 AS bucket,
+           | count(*) AS n_rows, CAST(sum(o_custkey) AS BIGINT) AS sum_cust,
+           | CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+           |FROM graftpr.pt $asOf GROUP BY 2""".stripMargin)
+    // the purged side time-travels to the folded snapshot; the restored
+    // side reads the current (= pre-delete) state
+    agg("purged", s"VERSION AS OF $vPurged").unionAll(agg("restored", ""))
+      .orderBy($"side", $"bucket")
   }
 
   /** METADATA-ONLY aggregates (round 7): COUNT(*) / COUNT(col) /
@@ -2818,6 +2906,7 @@ object Sources {
     "q_store_merge" -> qStoreMerge,
     "q_store_merge_mor" -> qStoreMergeMor,
     "q_store_eqdelete" -> qStoreEqdelete,
+    "q_store_eqdelete_cdf" -> qStoreEqdeleteCdf,
     "q_store_scd2" -> qStoreScd2,
     "q_store_dml" -> qStoreDml,
     "q_store_cdf" -> qStoreCdf,
@@ -2835,6 +2924,7 @@ object Sources {
     "q_store_part_bucket" -> qStorePartBucket,
     "q_store_spj_bucket" -> qStoreSpjBucket,
     "q_catalog_sql" -> qCatalogSql,
+    "q_catalog_proc" -> qCatalogProc,
     "q_sink_roundtrip" -> qSinkRoundtrip,
     "q_store_timetravel" -> qStoreTimetravel,
     "q_store_tag" -> qStoreTag,
@@ -3078,6 +3168,48 @@ object Sources {
         |SELECT 'eq' AS side, * FROM a
         |UNION ALL SELECT 'purged' AS side, * FROM a
         |ORDER BY side, bucket""".stripMargin,
+    // the purged snapshot is the post-DELETE content; the restored
+    // current state is the full pre-delete slice
+    "q_catalog_proc" ->
+      """WITH base AS (
+        |  SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |  WHERE o_orderkey % 3 = 0),
+        |p AS (
+        |  SELECT o_orderkey % 10 AS bucket, count(*) AS n_rows,
+        |   CAST(sum(o_custkey) AS BIGINT) AS sum_cust,
+        |   CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+        |  FROM base WHERE o_orderkey % 7 <> 0 GROUP BY 1),
+        |r AS (
+        |  SELECT o_orderkey % 10 AS bucket, count(*) AS n_rows,
+        |   CAST(sum(o_custkey) AS BIGINT) AS sum_cust,
+        |   CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+        |  FROM base GROUP BY 1)
+        |SELECT 'purged' AS side, * FROM p
+        |UNION ALL SELECT 'restored' AS side, * FROM r
+        |ORDER BY side, bucket""".stripMargin,
+    // relational replay of the change feed: v2's old images are the
+    // deleted keys; v3 emits old images of the upserted keys still live
+    // at v2 (% 7 survivors) plus every upsert row as an insert
+    "q_store_eqdelete_cdf" ->
+      """WITH base AS (
+        |  SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |  WHERE o_orderkey % 3 = 0),
+        |ch AS (
+        |  SELECT 'delete' AS change_type, CAST(2 AS BIGINT) AS commit_version,
+        |         o_orderkey, o_custkey, o_totalprice
+        |  FROM base WHERE o_orderkey % 7 = 0
+        |  UNION ALL
+        |  SELECT 'delete', CAST(3 AS BIGINT), o_orderkey, o_custkey, o_totalprice
+        |  FROM base WHERE o_orderkey % 5 = 0 AND o_orderkey % 7 <> 0
+        |  UNION ALL
+        |  SELECT 'insert', CAST(3 AS BIGINT), o_orderkey,
+        |         o_custkey + 1000000, o_totalprice
+        |  FROM base WHERE o_orderkey % 5 = 0)
+        |SELECT change_type, commit_version, count(*) AS n_rows,
+        | CAST(sum(o_orderkey) AS BIGINT) AS sum_key,
+        | CAST(sum(o_custkey) AS BIGINT) AS sum_cust,
+        | CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+        |FROM ch GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     // the incremental diff must be EXACTLY the appended slice B
     "q_store_incremental" ->
       """SELECT o_orderkey % 10 AS bucket, count(*) AS n_rows,

@@ -4,8 +4,9 @@ import java.io.File
 import java.util
 
 import org.apache.spark.sql.catalyst.analysis.{NoSuchFunctionException, NoSuchTableException, TableAlreadyExistsException}
-import org.apache.spark.sql.connector.catalog.{FunctionCatalog, Identifier, Table, TableCatalog, TableChange}
+import org.apache.spark.sql.connector.catalog.{FunctionCatalog, Identifier, ProcedureCatalog, Table, TableCatalog, TableChange}
 import org.apache.spark.sql.connector.catalog.functions.UnboundFunction
+import org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -33,9 +34,20 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * create can never leave a half-table visible; `dropTable` removes the
   * manifest first (readers instantly see no table) and then the data.
   */
-class GraftCatalog extends TableCatalog with FunctionCatalog {
+class GraftCatalog extends TableCatalog with FunctionCatalog
+  with ProcedureCatalog {
   private var catalogName: String = _
   private var root: String = _
+
+  /** ProcedureCatalog half (Spark 4's native `CALL` statement): the
+    * table-maintenance surface — purge_deletes / restore / compact /
+    * expire_snapshots — resolved from any namespace (`system` by
+    * convention), each the SQL face of an audited GraftStore primitive.
+    * See [[GraftProcedures]]. */
+  override def listProcedures(namespace: Array[String]): Array[Identifier] =
+    GraftProcedures.names.map(n => Identifier.of(namespace, n)).toArray
+  override def loadProcedure(ident: Identifier): UnboundProcedure =
+    GraftProcedures.load(ident, root)
 
   /** FunctionCatalog half (the Iceberg SparkFunctions pattern): exposes
     * the ONE function the engine's transforms need resolved — `bucket`

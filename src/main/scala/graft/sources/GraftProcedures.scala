@@ -1,0 +1,142 @@
+package graft.sources
+
+import java.io.File
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.Identifier
+import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter, UnboundProcedure}
+import org.apache.spark.sql.connector.read.{LocalScan, Scan}
+import org.apache.spark.sql.types._
+
+/** Table-maintenance STORED PROCEDURES — the Iceberg `CALL
+  * cat.system.<proc>(…)` surface, on Spark 4's native ProcedureCatalog
+  * connector API (no SQL-extension parser needed: `CALL`,
+  * `SHOW PROCEDURES`, `DESCRIBE PROCEDURE` are first-class statements).
+  * Each procedure is the SQL face of an existing audited maintenance
+  * primitive; the result is a one-row LocalScan so a caller can chain
+  * on the returned version. Side-effecting by definition —
+  * `isDeterministic = false` keeps Spark from caching/replaying a call.
+  *
+  * At 100 TB these ARE the operational surface: compaction, delete
+  * folding, snapshot expiry and restore are scheduled jobs written by
+  * platform engineers in SQL, not Scala — a lakehouse without CALL
+  * makes every maintenance task a bespoke JVM deployment. */
+private[sources] object GraftProcedures {
+
+  private def P(name: String, dt: DataType, comment: String) =
+    ProcedureParameter.in(name, dt).comment(comment).build()
+
+  private val VersionOut = new StructType().add("version", LongType,
+    nullable = false)
+
+  /** One-table procedures share arg-0 = table name (single path segment
+    * under the catalog root, same traversal guard as the catalog). */
+  private abstract class GraftProcedure(root: String, procName: String)
+    extends UnboundProcedure with BoundProcedure {
+    override def name(): String = procName
+    override def bind(inputType: StructType): BoundProcedure = this
+    override def isDeterministic: Boolean = false
+
+    protected def out: StructType = VersionOut
+    protected def run(spark: SparkSession, input: InternalRow): Array[Any]
+
+    protected def tablePath(input: InternalRow): String = {
+      val t = input.getUTF8String(0).toString
+      require(t.nonEmpty && !t.contains("/") && !t.contains("\\") &&
+        t != "..", s"illegal table name: $t")
+      new File(root, t).getPath
+    }
+
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val vals = run(SparkSession.active, input)
+      val schema = out
+      val scan: Scan = new LocalScan {
+        override def rows(): Array[InternalRow] =
+          Array(new GenericInternalRow(vals))
+        override def readSchema(): StructType = schema
+        override def description(): String = s"graft_call_$procName"
+      }
+      java.util.Collections.singletonList(scan).iterator()
+    }
+  }
+
+  /** `CALL cat.system.purge_deletes('t')` — fold position vectors and
+    * equality deletes into clean files (rewrite_data_files' delete-
+    * folding half); restores metadata-only answers. */
+  private final class PurgeDeletes(root: String)
+    extends GraftProcedure(root, "purge_deletes") {
+    override def description(): String =
+      "fold deletion vectors and equality deletes into clean data files"
+    override def parameters(): Array[ProcedureParameter] =
+      Array(P("table", StringType, "table name under the catalog root"))
+    override def run(spark: SparkSession, input: InternalRow): Array[Any] =
+      Array(GraftStore.purgeDeletes(spark, tablePath(input)))
+  }
+
+  /** `CALL cat.system.restore('t', 3)` — roll the table back to a
+    * retained snapshot as a NEW commit (history preserved). */
+  private final class Restore(root: String)
+    extends GraftProcedure(root, "restore") {
+    override def description(): String =
+      "restore the table to a retained snapshot (as a new commit)"
+    override def parameters(): Array[ProcedureParameter] = Array(
+      P("table", StringType, "table name under the catalog root"),
+      P("version", LongType, "snapshot version to restore"))
+    override def run(spark: SparkSession, input: InternalRow): Array[Any] =
+      Array(GraftStore.restore(tablePath(input), input.getLong(1)))
+  }
+
+  /** `CALL cat.system.compact('t', 64*1024*1024)` — bin-pack small
+    * files up to target_bytes (skips delete-affected files). Returns
+    * the new version, or the current one when nothing packed. */
+  private final class Compact(root: String)
+    extends GraftProcedure(root, "compact") {
+    override def description(): String =
+      "bin-pack small data files up to target_bytes per file"
+    override def parameters(): Array[ProcedureParameter] = Array(
+      P("table", StringType, "table name under the catalog root"),
+      P("target_bytes", LongType, "max packed file size in bytes"))
+    override def run(spark: SparkSession, input: InternalRow): Array[Any] = {
+      val path = tablePath(input)
+      val v = GraftStore.compact(spark, path, input.getLong(1))
+      Array(if (v < 0) GraftStore.readVersion(path) else v)
+    }
+  }
+
+  /** `CALL cat.system.expire_snapshots('t', 2)` — drop all but the last
+    * `keep_last` snapshots (tagged ones pinned) and GC unreferenced
+    * files. Returns the retained snapshot count. */
+  private final class ExpireSnapshots(root: String)
+    extends GraftProcedure(root, "expire_snapshots") {
+    override def description(): String =
+      "expire old snapshots (tags pinned) and GC unreferenced files"
+    override def parameters(): Array[ProcedureParameter] = Array(
+      P("table", StringType, "table name under the catalog root"),
+      P("keep_last", LongType, "how many trailing snapshots to retain"))
+    override def out: StructType =
+      new StructType().add("retained", LongType, nullable = false)
+    override def run(spark: SparkSession, input: InternalRow): Array[Any] = {
+      val path = tablePath(input)
+      GraftStore.expireSnapshots(path, input.getLong(1).toInt,
+        graceMs = 0L)
+      Array(GraftStore.snapshotFiles(path).size.toLong)
+    }
+  }
+
+  private def all(root: String): Seq[GraftProcedure] = Seq(
+    new PurgeDeletes(root), new Restore(root), new Compact(root),
+    new ExpireSnapshots(root))
+
+  def names: Seq[String] = Seq("purge_deletes", "restore", "compact",
+    "expire_snapshots")
+
+  /** Resolve by name from any namespace (the `system` namespace by
+    * convention, not enforcement — matching the catalog's function
+    * resolution). */
+  def load(ident: Identifier, root: String): UnboundProcedure =
+    all(root).find(_.name() == ident.name().toLowerCase).getOrElse(
+      throw new NoSuchElementException(
+        s"procedure ${ident.name()} (available: ${names.mkString(", ")})"))
+}

@@ -1,0 +1,82 @@
+package graft
+
+import java.io.File
+
+import graft.sources.GraftStore
+
+/** Stored procedures (round 12): Spark 4's native ProcedureCatalog —
+  * `CALL cat.system.<proc>(…)`, `SHOW PROCEDURES`, `DESCRIBE PROCEDURE`
+  * — wired to the audited maintenance primitives. */
+class GraftProcedureSpec extends SparkSuite {
+
+  private lazy val (s2, root) = {
+    val r = graft.ops.Util.managedTempDir("graft_proc_")
+    val sx = spark.newSession()
+    sx.conf.set("spark.sql.catalog.gproc", "graft.sources.GraftCatalog")
+    sx.conf.set("spark.sql.catalog.gproc.root", r)
+    (sx, r)
+  }
+
+  private def freshTable(name: String): String = {
+    s2.range(0, 300, 1, 3).selectExpr("id AS k", "id * 10 AS v")
+      .createOrReplaceTempView(s"src_$name")
+    s2.sql(s"""CREATE TABLE gproc.$name
+      |TBLPROPERTIES('write.mode'='merge-on-read') AS
+      |SELECT * FROM src_$name""".stripMargin)
+    s"$root/$name"
+  }
+
+  test("CALL purge_deletes folds DVs and equality deletes; result row carries the new version") {
+    val path = freshTable("p")
+    s2.sql("DELETE FROM gproc.p WHERE k % 7 = 3") // DV commit
+    GraftStore.deleteByKey(s2, path, {
+      import s2.implicits._; Seq(5L, 6L).toDF("k")
+    }) // eq commit
+    val res = s2.sql("CALL gproc.system.purge_deletes('p')").collect()
+    assert(res.length == 1 && res(0).getLong(0) == GraftStore.readVersion(path))
+    val entries = GraftStore.readManifest(path).get._2
+    assert(entries.forall(_.dv.isEmpty))
+    assert(GraftStore.readEqDeletesOf(
+      new File(path, s"_manifest.v${GraftStore.readVersion(path)}")).isEmpty)
+    val keep = (0L until 300L).filter(k => k % 7 != 3 && k != 5 && k != 6)
+    assert(s2.sql("SELECT count(*), sum(v) FROM gproc.p").collect()(0)
+      .getLong(0) == keep.size)
+  }
+
+  test("CALL restore rolls back as a new commit; CALL compact bin-packs; CALL expire_snapshots prunes") {
+    val path = freshTable("r")
+    val v0 = GraftStore.readVersion(path)
+    s2.sql("DELETE FROM gproc.r WHERE k < 100")
+    assert(s2.sql("SELECT count(*) FROM gproc.r").collect()(0).getLong(0) == 200)
+    val rv = s2.sql(s"CALL gproc.system.restore('r', $v0)").collect()(0).getLong(0)
+    assert(rv == GraftStore.readVersion(path) && rv > v0)
+    assert(s2.sql("SELECT count(*) FROM gproc.r").collect()(0).getLong(0) == 300)
+    // purge first (restore revived, but the DV snapshot's vectors are
+    // gone from the CURRENT manifest already) — compact the 3 files
+    val cv = s2.sql("CALL gproc.system.compact('r', 1000000000)").collect()(0).getLong(0)
+    assert(cv == GraftStore.readVersion(path))
+    assert(Option(new File(path, "data").listFiles()).get
+      .count(_.getName.startsWith("compact-")) >= 1)
+    assert(s2.sql("SELECT count(*) FROM gproc.r").collect()(0).getLong(0) == 300)
+    val kept = s2.sql("CALL gproc.system.expire_snapshots('r', 2)").collect()(0).getLong(0)
+    assert(kept == 2L)
+    // expired snapshots are gone; current content intact
+    assert(GraftStore.snapshotFiles(path).size == 2)
+    assert(s2.sql("SELECT count(*) FROM gproc.r").collect()(0).getLong(0) == 300)
+  }
+
+  test("SHOW PROCEDURES lists the surface; DESCRIBE PROCEDURE works; unknown procedure fails loudly") {
+    val shown = s2.sql("SHOW PROCEDURES IN gproc.system").collect()
+      .map(_.toString).mkString("\n")
+    assert(Seq("purge_deletes", "restore", "compact", "expire_snapshots")
+      .forall(shown.contains))
+    val desc = s2.sql("DESCRIBE PROCEDURE gproc.system.restore").collect()
+      .map(_.toString).mkString
+    assert(desc.contains("restore"))
+    val e = intercept[Exception] {
+      s2.sql("CALL gproc.system.no_such_proc('x')").collect()
+    }
+    assert(e.getMessage.contains("no_such_proc") ||
+      e.getMessage.contains("available"))
+  }
+}
