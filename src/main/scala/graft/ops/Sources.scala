@@ -1550,6 +1550,39 @@ object Sources {
       .orderBy($"change_type", $"commit_version")
   }
 
+  /** `$deletes` METADATA TABLE (round 12) — the purge-scheduling
+    * dashboard: one row per live delete, both flavors — position
+    * vectors (n = masked rows) and equality deletes (n = key tuples).
+    * "How much read-side delete debt has this table accumulated, and
+    * is it time for CALL purge_deletes?" answered from manifest +
+    * sidecar headers alone: zero data I/O, the Iceberg
+    * metadata-table economics. File names and per-sidecar splits are
+    * write-parallelism artifacts, so the query emits only the
+    * content-determined aggregate per kind. */
+  val qStoreDeletesMeta: Q = (s, dir) => {
+    import s.implicits._
+    val s2 = s.newSession()
+    val root = Util.managedTempDir("graft_delmeta_")
+    s2.conf.set("spark.sql.catalog.graftdm", "graft.sources.GraftCatalog")
+    s2.conf.set("spark.sql.catalog.graftdm.root", root)
+    s2.conf.set("spark.sql.optimizer.runtime.rowLevelOperationGroupFilter.enabled",
+      "false")
+    table(s2, dir, "orders").createOrReplaceTempView("ord_dm")
+    s2.sql(
+      """CREATE TABLE graftdm.dt
+        |TBLPROPERTIES('write.mode'='merge-on-read') AS
+        |SELECT o_orderkey, o_custkey FROM ord_dm
+        |WHERE o_orderkey % 3 = 0""".stripMargin)
+    s2.sql("DELETE FROM graftdm.dt WHERE o_orderkey % 7 = 0") // DVs
+    graft.sources.GraftStore.deleteByKey(s2, s"$root/dt",
+      table(s2, dir, "orders")
+        .filter($"o_orderkey" % 3 === 0 && $"o_orderkey" % 11 === 0)
+        .select($"o_orderkey")) // equality
+    s2.sql(
+      """SELECT kind, CAST(sum(n) AS BIGINT) AS n
+        |FROM graftdm.`dt$deletes` GROUP BY kind ORDER BY kind""".stripMargin)
+  }
+
   /** STREAMING CDC APPLY VIA EQUALITY DELETES (round 12) — the third
     * sibling of q_stream_upsert (copy-on-write MERGE) and
     * q_stream_upsert_mor (position-vector MOR MERGE): each micro-batch
@@ -2907,6 +2940,7 @@ object Sources {
     "q_store_merge_mor" -> qStoreMergeMor,
     "q_store_eqdelete" -> qStoreEqdelete,
     "q_store_eqdelete_cdf" -> qStoreEqdeleteCdf,
+    "q_store_deletes_meta" -> qStoreDeletesMeta,
     "q_store_scd2" -> qStoreScd2,
     "q_store_dml" -> qStoreDml,
     "q_store_cdf" -> qStoreCdf,
@@ -3168,6 +3202,15 @@ object Sources {
         |SELECT 'eq' AS side, * FROM a
         |UNION ALL SELECT 'purged' AS side, * FROM a
         |ORDER BY side, bucket""".stripMargin,
+    // delete debt per flavor, content-determined: position = rows the
+    // DV DELETE masked, equality = key tuples committed
+    "q_store_deletes_meta" ->
+      """SELECT 'equality' AS kind, count(*) AS n FROM orders
+        | WHERE o_orderkey % 3 = 0 AND o_orderkey % 11 = 0
+        |UNION ALL
+        |SELECT 'position' AS kind, count(*) AS n FROM orders
+        | WHERE o_orderkey % 3 = 0 AND o_orderkey % 7 = 0
+        |ORDER BY kind""".stripMargin,
     // the purged snapshot is the post-DELETE content; the restored
     // current state is the full pre-delete slice
     "q_catalog_proc" ->

@@ -90,12 +90,14 @@ class GraftCatalog extends TableCatalog with FunctionCatalog
   override def loadTable(ident: Identifier): Table = {
     // Iceberg-style METADATA TABLES: `SELECT * FROM cat.`t$snapshots``
     // (version/n_files/n_rows per retained snapshot), `t$files` (the
-    // current manifest's per-file entries) and `t$partitions` (files and
+    // current manifest's per-file entries), `t$partitions` (files and
     // live rows per partition-value tuple, re-proven from per-file stats
-    // — see [[GraftStore.partitionRows]]). Driver-side metadata walks by
+    // — see [[GraftStore.partitionRows]]), `t$refs` (tags) and
+    // `t$deletes` (live position vectors + equality deletes — the
+    // purge-scheduling dashboard). Driver-side metadata walks by
     // construction — one small file read per snapshot, zero data I/O.
     ident.name().split('$') match {
-      case Array(base, kind @ ("snapshots" | "files" | "partitions" | "refs")) =>
+      case Array(base, kind @ ("snapshots" | "files" | "partitions" | "refs" | "deletes")) =>
         val dir = dirFor(Identifier.of(ident.namespace(), base))
         if (!isTable(dir)) throw new NoSuchTableException(ident)
         return new GraftMetadataTable(dir.getPath, ident.toString, kind)
@@ -370,6 +372,15 @@ class GraftMetadataTable(path: String, ident: String, kind: String)
       StructField("tag", StringType, nullable = false),
       StructField("version", LongType, nullable = false),
       StructField("n_rows", LongType, nullable = false)))
+    // the "how much read-side delete debt has accumulated / when do I
+    // schedule CALL purge_deletes" dashboard: one row per live delete —
+    // position vectors (target = the masked data file, n = masked rows)
+    // and equality deletes (target = the key sidecar, n = key tuples)
+    case "deletes" => StructType(Seq(
+      StructField("kind", StringType, nullable = false),
+      StructField("target", StringType, nullable = false),
+      StructField("detail", StringType, nullable = false),
+      StructField("n", LongType, nullable = false)))
     case _ => StructType(Seq(
       StructField("file", StringType, nullable = false),
       StructField("rows", LongType, nullable = false),
@@ -409,6 +420,24 @@ class GraftMetadataScan(path: String, kind: String, schema: StructType)
           Array[Any](
             org.apache.spark.unsafe.types.UTF8String.fromString(tag), v, rows)
         }.toArray
+      case "deletes" =>
+        import org.apache.spark.unsafe.types.UTF8String.{fromString => utf8}
+        val (_, entries, eqs) = GraftStore.readManifestFull(
+          new java.io.File(path, GraftStore.ManifestName))
+          .getOrElse((null, Seq.empty[GraftStore.FileEntry],
+            Seq.empty[GraftStore.EqDelete]))
+        val dvRows = entries.filter(_.dv.nonEmpty).map { e =>
+          val masked = GraftStore.Dv.bitset(
+            new java.io.File(path, e.dv).getPath).cardinality().toLong
+          Array[Any](utf8("position"), utf8(e.file), utf8(e.dv), masked)
+        }
+        val eqRows = eqs.map { d =>
+          val keys = GraftStore.EqSet.cached(
+            new java.io.File(path, d.file).getPath).size.toLong
+          Array[Any](utf8("equality"), utf8(d.file),
+            utf8(d.cols.mkString(",")), keys)
+        }
+        (dvRows ++ eqRows).toArray
       case _ => GraftStore.readManifest(path).map(_._2).getOrElse(Seq.empty)
         .map(e => Array[Any](
           org.apache.spark.unsafe.types.UTF8String.fromString(e.file),

@@ -65,6 +65,22 @@ class GraftProcedureSpec extends SparkSuite {
     assert(s2.sql("SELECT count(*) FROM gproc.r").collect()(0).getLong(0) == 300)
   }
 
+  test("$deletes metadata table surfaces both delete flavors; empty after CALL purge_deletes") {
+    val path = freshTable("d")
+    s2.sql("DELETE FROM gproc.d WHERE k % 7 = 3") // position vectors
+    GraftStore.deleteByKey(s2, path, {
+      import s2.implicits._; Seq(1L, 2L, 3L).toDF("k")
+    }) // one equality delete per written sidecar partition
+    val rows = s2.sql("SELECT kind, detail, n FROM gproc.`d$deletes`")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val (pos, eq) = rows.partition(_._1 == "position")
+    assert(pos.nonEmpty && pos.map(_._3).sum ==
+      (0L until 300L).count(_ % 7 == 3))
+    assert(eq.nonEmpty && eq.forall(_._2 == "k") && eq.map(_._3).sum == 3)
+    s2.sql("CALL gproc.system.purge_deletes('d')")
+    assert(s2.sql("SELECT * FROM gproc.`d$deletes`").collect().isEmpty)
+  }
+
   test("SHOW PROCEDURES lists the surface; DESCRIBE PROCEDURE works; unknown procedure fails loudly") {
     val shown = s2.sql("SHOW PROCEDURES IN gproc.system").collect()
       .map(_.toString).mkString("\n")

@@ -191,6 +191,28 @@ class GraftStoreEqDeleteSpec extends SparkSuite {
     assert(readT(t).count() == 299)
   }
 
+  test("schema evolution interplay: pre-ADD-COLUMN files never match a delete keyed on the new column") {
+    import spark.implicits._
+    val root = graft.ops.Util.managedTempDir("graft_eqd_evo_")
+    val t = s"$root/t"
+    val sx = spark.newSession()
+    sx.conf.set("spark.sql.catalog.gevo", "graft.sources.GraftCatalog")
+    sx.conf.set("spark.sql.catalog.gevo.root", root)
+    sx.range(0, 10, 1, 1).selectExpr("id AS k")
+      .write.format("graft.sources.GraftStore").option("path", t)
+      .mode("overwrite").save()
+    sx.sql("ALTER TABLE gevo.t ADD COLUMN tag STRING")
+    Seq((100L, "x"), (101L, "y")).toDF("k", "tag")
+      .write.format("graft.sources.GraftStore").option("path", t)
+      .mode("append").save()
+    // delete keyed on the NEW column: only post-evolution rows can
+    // match (old frames lack the ordinal — SQL null-key semantics)
+    GraftStore.deleteByKey(sx, t, Seq("x").toDF("tag"))
+    val got = sx.read.format("graft.sources.GraftStore").option("path", t)
+      .load().select("k").collect().map(_.getLong(0)).toSet
+    assert(got == ((0L until 10L).toSet + 101L))
+  }
+
   private def changes(t: String, from: Long, to: Long) =
     spark.read.format("graft.sources.GraftStore").option("path", t)
       .option("changesFrom", from.toString)
