@@ -1641,6 +1641,83 @@ object Sources {
   private val upsertEqSession = new java.util.concurrent.ConcurrentHashMap[
     String, (org.apache.spark.sql.SparkSession, String)]
 
+  /** CDC MIRROR OVER THE EQUALITY-DELETE CHANGE FEED (round 12) — the
+    * end-to-end proof that the changelog is a COMPLETE retract+upsert
+    * feed: a downstream table maintained purely from the upstream's
+    * change stream must converge to the upstream's content. The
+    * upstream is a CDC-shaped history (seed → upsert → key delete →
+    * upsert-with-revival, all through the pure-append eq-delete write
+    * path); the measured operator is the streaming changelog read plus
+    * the mirror apply loop — per version inside each micro-batch (a
+    * batch may span commits), retract the delete rows' keys, then apply
+    * the insert rows, each through the same keyed write primitives. At
+    * 100 TB this is the cross-region replica / downstream-index shape:
+    * the mirror pays I/O ∝ changes, never a source rescan, and
+    * batch-boundary independence means a lagging mirror catches up
+    * through exactly the same code path. Oracle: the mirror's final
+    * aggregate must hash-equal the source's — emitted as two tagged
+    * sides of one result. */
+  val qStreamMirrorEq: Q = (s, dir) => {
+    val s2 = s.newSession()
+    import s2.implicits._
+    s2.conf.set("spark.sql.shuffle.partitions", "4")
+    val root = mirrorEqWritten.computeIfAbsent(s"${Util.sessionKey(s)}:$dir", _ => {
+      val r = Util.managedTempDir("graft_mirror_")
+      val src = s"$r/src"
+      def base = s2.range(0, 1000, 1, 4).selectExpr("id AS k", "id AS v")
+      base.write.format("graft.sources.GraftStore")
+        .option("path", src).mode("overwrite").save()
+      graft.sources.GraftStore.upsertByKey(s2, src, Seq("k"),
+        base.filter($"k" % 3 === 0).selectExpr("k", "k + 100000 AS v"))
+      graft.sources.GraftStore.deleteByKey(s2, src,
+        base.filter($"k" % 5 === 0).select($"k"))
+      graft.sources.GraftStore.upsertByKey(s2, src, Seq("k"),
+        base.filter($"k" % 7 === 0).selectExpr("k", "k + 200000 AS v"))
+      r
+    })
+    val mirror = s"${Util.managedTempDir("graft_mirror_out_")}/m"
+    s2.range(0, 0).selectExpr("id AS k", "id AS v")
+      .write.format("graft.sources.GraftStore")
+      .option("path", mirror).mode("overwrite").save()
+    val q = s2.readStream.format("graft.sources.GraftStore")
+      .option("path", s"$root/src").option("changesFrom", "0").load()
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val b = batch.persist()
+        try {
+          // a micro-batch may span several commits: apply in version
+          // order — retract the old images, then apply the new rows
+          // (the version list is metadata-sized: ≤ commits per batch)
+          val vs = b.select($"_commit_version").distinct()
+            .collect().map(_.getLong(0)).sorted
+          vs.foreach { v =>
+            val atV = b.filter($"_commit_version" === v)
+            graft.sources.GraftStore.deleteByKey(b.sparkSession, mirror,
+              atV.filter($"_change_type" === "delete").select($"k"))
+            graft.sources.GraftStore.upsertByKey(b.sparkSession, mirror,
+              Seq("k"),
+              atV.filter($"_change_type" === "insert").select($"k", $"v"))
+          }
+        } finally { b.unpersist(blocking = false); () }
+        ()
+      }
+      .option("checkpointLocation", Util.managedTempDir("graft_mirror_ckpt_"))
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    def agg(tag: String, path: String) =
+      s2.read.format("graft.sources.GraftStore").option("path", path).load()
+        .groupBy(($"k" % 10).as("bucket"))
+        .agg(count(lit(1)).as("n_rows"), sum($"v").as("sum_v"))
+        .select(lit(tag).as("side"), $"bucket", $"n_rows", $"sum_v")
+    agg("mirror", mirror).unionAll(agg("source", s"$root/src"))
+      .orderBy($"side", $"bucket")
+  }
+
+  /** Mirror-source CDC fixture roots, keyed by (session UUID, dir). */
+  private val mirrorEqWritten = new java.util.concurrent.ConcurrentHashMap[
+    String, String]
+
   /** Skipping-table dirs already written this JVM, keyed by (session, dir). */
   private val skipWritten = new java.util.concurrent.ConcurrentHashMap[String, String]
 
@@ -2976,6 +3053,7 @@ object Sources {
     "q_stream_upsert" -> qStreamUpsert,
     "q_stream_upsert_mor" -> qStreamUpsertMor,
     "q_stream_upsert_eq" -> qStreamUpsertEq,
+    "q_stream_mirror_eq" -> qStreamMirrorEq,
     "q_stream_txn_sink" -> qStreamTxnSink,
     "q_store_optimize" -> qStoreOptimize,
     "q_store_incremental" -> qStoreIncremental,
@@ -3175,6 +3253,24 @@ object Sources {
       """SELECT id % 1000 AS k, max(id) AS id
         |FROM (SELECT unnest(generate_series(0, 19999)) AS id)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // the mirror maintained purely from the change stream must converge
+    // to the source: final state = seed, %3 re-keyed, %5 deleted, %7
+    // re-keyed (reviving %35); both sides replay to the same aggregate
+    "q_stream_mirror_eq" ->
+      """WITH base AS (SELECT unnest(generate_series(0, 999)) AS k),
+        |fin AS (
+        |  SELECT k,
+        |    CASE WHEN k % 7 = 0 THEN k + 200000
+        |         WHEN k % 3 = 0 THEN k + 100000
+        |         ELSE k END AS v
+        |  FROM base WHERE k % 5 <> 0 OR k % 7 = 0),
+        |a AS (
+        |  SELECT k % 10 AS bucket, count(*) AS n_rows,
+        |    CAST(sum(v) AS BIGINT) AS sum_v
+        |  FROM fin GROUP BY 1)
+        |SELECT 'mirror' AS side, * FROM a
+        |UNION ALL SELECT 'source' AS side, * FROM a
+        |ORDER BY side, bucket""".stripMargin,
     // same final state through the pure-append equality-delete path:
     // hash-equal results prove all three upsert write paths agree
     "q_stream_upsert_eq" ->
