@@ -51,6 +51,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     })
     ext.injectPlannerStrategy(_ => AsOfJoinStrategy)
     ext.injectPlannerStrategy(_ => TopKPerGroupStrategy)
+    // V2 views over GraftCatalog: must run in the HINTS batch — the only
+    // injection point that precedes ResolveSessionCatalog's
+    // MISSING_CATALOG_ABILITY.VIEWS refusal for non-session catalogs
+    ext.injectHintResolutionRule(s => graft.plans.GraftViewRules(s))
     ext.injectOptimizerRule(_ => RewritePowAsMultiply)
     // runs inside the operator-optimization fixpoint: once it fires the
     // Window is gone, so the pattern can't re-match and the batch stays

@@ -303,9 +303,13 @@ object Curation {
       .transform(cached) // feeds both candDocs legs + the final join
     val candDocs = cands.select($"doc_a".as("doc_id"))
       .unionAll(cands.select($"doc_b".as("doc_id"))).distinct()
-    val docsh = d.join(candDocs, Seq("doc_id"), "left_semi")
+    // cached: docsh feeds BOTH pair legs — uncached, the whole
+    // semi-join + shingle subtree executes twice (once per leg), each
+    // paying its own codegen of the shingle lambda (measured 4x the
+    // query's total cost at sf0.1)
+    val docsh = cached(d.join(candDocs, Seq("doc_id"), "left_semi")
       .select($"doc_id",
-        array_distinct(LlmOps.shingles(LlmOps.toks($"text"))).as("shs"))
+        array_distinct(LlmOps.shingles(LlmOps.toks($"text"))).as("shs")))
     cands
       .join(docsh.select($"doc_id".as("doc_a"), $"shs".as("sa")), "doc_a")
       .join(docsh.select($"doc_id".as("doc_b"), $"shs".as("sb")), "doc_b")
@@ -350,9 +354,13 @@ object Curation {
       .transform(cached) // feeds both candDocs legs + the final join
     val candDocs = cands.select($"batch_doc".as("doc_id"))
       .unionAll(cands.select($"corpus_doc".as("doc_id"))).distinct()
-    val docsh = d.join(candDocs, Seq("doc_id"), "left_semi")
+    // cached: docsh feeds BOTH pair legs — uncached, the whole
+    // semi-join + shingle subtree executes twice (once per leg), each
+    // paying its own codegen of the shingle lambda (measured 4x the
+    // query's total cost at sf0.1)
+    val docsh = cached(d.join(candDocs, Seq("doc_id"), "left_semi")
       .select($"doc_id",
-        array_distinct(LlmOps.shingles(LlmOps.toks($"text"))).as("shs"))
+        array_distinct(LlmOps.shingles(LlmOps.toks($"text"))).as("shs")))
     cands
       .join(docsh.select($"doc_id".as("batch_doc"), $"shs".as("sa")),
         "batch_doc")

@@ -127,9 +127,12 @@ object LlmOps {
     // (array_intersect) — no re-explosion, no per-pair aggregation.
     val candDocs = cands.select($"doc_a".as("doc_id"))
       .unionAll(cands.select($"doc_b".as("doc_id"))).distinct()
-    val docsh = table(s, dir, "documents")
+    // cached: docsh feeds BOTH pair legs — uncached, the whole
+    // semi-join + shingle subtree executes twice (once per leg), each
+    // paying its own codegen of the shingle lambda
+    val docsh = cached(table(s, dir, "documents")
       .join(candDocs, Seq("doc_id"), "left_semi")
-      .select($"doc_id", array_distinct(shingles(toks($"text"))).as("shs"))
+      .select($"doc_id", array_distinct(shingles(toks($"text"))).as("shs")))
     cands
       .join(docsh.select($"doc_id".as("doc_a"), $"shs".as("sa")), "doc_a")
       .join(docsh.select($"doc_id".as("doc_b"), $"shs".as("sb")), "doc_b")

@@ -555,8 +555,7 @@ object Sources {
       .outputMode("append")
       .option("checkpointLocation", Util.managedTempDir("graft_tail_ckpt_"))
       .start()
-    q.processAllAvailable()
-    q.stop()
+    try q.processAllAvailable() finally q.stop()
     Util.registerTempView(s, sink) // dropped at the next query boundary
     s.table(sink)
       .groupBy(($"o_orderkey" % 10).as("bucket"))
@@ -631,13 +630,55 @@ object Sources {
       .option("path", out).option("checkpointLocation", ckpt)
       .outputMode("append")
       .start()
-    q.processAllAvailable()
-    q.stop()
+    try q.processAllAvailable() finally q.stop()
     s.read.format("graft.sources.GraftStore").option("path", out).load()
       .groupBy(($"id" % 10).as("k"))
       .agg(count(lit(1)).as("n"), sum($"id").as("sum_id"),
         round(sum($"val"), 4).as("sum_val"))
       .orderBy($"k")
+  }
+
+  /** STREAMING SINK INTO A PARTITIONED TABLE (round 13) — what was a
+    * loud refusal through round 12: the epoch writer now composes with
+    * hidden partitioning. Spark applies the sink Write's
+    * requiredDistribution/requiredOrdering to every micro-batch exactly
+    * as to a batch plan (DistributionAndOrderingUtils.prepareQuery runs
+    * on WriteToMicroBatchDataSource), so rows reach tasks clustered and
+    * sorted on the partition terms and the SAME per-value rolling
+    * writer produces one file per (task, cell, epoch) — single-valued
+    * stats by construction, so pruning and metadata-only DELETE work on
+    * the streamed tail immediately, and epoch-stamped names keep the
+    * replay/abort cleanup exact (a replayed epoch deletes precisely its
+    * own files). This is the day-partitioned ingest tail every real
+    * pipeline runs; at 100 TB the per-epoch cost is rows ∝ batch plus
+    * one manifest commit, files ∝ live cells per batch. The query
+    * streams the synth source into a cell-partitioned table, then
+    * answers a PRUNED aggregate — the plan that proves the streamed
+    * files carry the partition economics. */
+  val qStreamSinkPart: Q = (s, dir) => {
+    import s.implicits._
+    val out = Util.managedTempDir("graft_sink_part_")
+    val ckpt = Util.managedTempDir("graft_sink_part_ckpt_")
+    // declare the partition spec before the first commit (what catalog
+    // CREATE TABLE ... PARTITIONED BY does)
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(out, "_partition"), "cell".getBytes("UTF-8"))
+    val q = s.readStream.format("graft.sources.SynthSource")
+      .option("rows", "20000").option("slices", "4")
+      .option("microBatchRows", "4096")
+      .load()
+      .selectExpr("id", "id % 8 AS cell", "val")
+      .writeStream.format("graft.sources.GraftStore")
+      .option("path", out).option("checkpointLocation", ckpt)
+      .outputMode("append")
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    s.read.format("graft.sources.GraftStore").option("path", out).load()
+      .filter($"cell" < 3) // planning-time file pruning on the tail
+      .groupBy($"cell")
+      .agg(count(lit(1)).as("n"), sum($"id").as("sum_id"),
+        round(sum($"val"), 4).as("sum_val"))
+      .orderBy($"cell")
   }
 
   /** Tagged-table dirs already written this JVM, keyed by (session, dir). */
@@ -758,8 +799,7 @@ object Sources {
       }
       .option("checkpointLocation", Util.managedTempDir("graft_txnsink_ckpt_"))
       .start()
-    q.processAllAvailable()
-    q.stop()
+    try q.processAllAvailable() finally q.stop()
     s.read.format("graft.sources.GraftStore").option("path", out).load()
       .groupBy($"k")
       .agg(count(lit(1)).as("n"), sum($"id").as("sum_id"))
@@ -1303,6 +1343,71 @@ object Sources {
       .orderBy($"bucket")
   }
 
+  /** NAMED WRITABLE BRANCHES (round 13) — the Iceberg branch-ref surface
+    * and the WAP-v2 upgrade over q_store_wap's bare clone: `branchCreate`
+    * forks a named branch (`_branches/<name>/`, hard-linked clone whose
+    * manifest numbering CONTINUES main's lineage from the fork version),
+    * ordinary readers/writers route to it via `.option("branch", name)`
+    * — every table feature works on a branch because a branch IS a
+    * table — and `fastForward` publishes it back in one atomic main
+    * commit, refusing if main has diverged (the Iceberg fast-forward
+    * ancestor contract) and squashing post-fork addedv/eq-seq stamps
+    * order-soundly (the unsound shape — post-fork file predating a
+    * post-fork eq-delete — refuses with purgeDeletes as the remedy).
+    * The query runs the full audit cycle TWICE on the same branch (the
+    * fork marker advances at publish, so one long-lived `audit` branch
+    * serves every ingest cycle — the multi-writer pipeline shape):
+    * ingest with planted corruption → audit on the branch → MOR-delete
+    * the bad rows branch-side → verify main is UNTOUCHED (the "staged"
+    * aggregate) → fast-forward. At 100 TB a branch costs O(files)
+    * metadata and zero data bytes; publish is one manifest commit. */
+  val qStoreBranch: Q = (s, dir) => {
+    import s.implicits._
+    val root = Util.managedTempDir("graft_branch_")
+    val main = s"$root/main"
+    val o = table(s, dir, "orders")
+      .select($"o_orderkey", $"o_custkey", $"o_totalprice")
+    o.filter($"o_orderkey" % 5 === 0)
+      .write.format("graft.sources.GraftStore").option("path", main)
+      .mode("overwrite").save()
+    graft.sources.GraftStore.branchCreate(main, "audit")
+    val seedV = graft.sources.GraftStore.readVersion(main)
+    def agg(tag: String, versionAsOf: Option[Long] = None) = {
+      val r = s.read.format("graft.sources.GraftStore").option("path", main)
+      versionAsOf.foreach(v => r.option("versionAsOf", v.toString))
+      r.load()
+        .groupBy(($"o_orderkey" % 10).as("bucket"))
+        .agg(count(lit(1)).as("n_rows"), sum($"o_orderkey").as("sum_key"),
+          dsum($"o_totalprice").as("sum_price"))
+        .select(lit(tag).as("side"), $"bucket", $"n_rows", $"sum_key",
+          $"sum_price")
+    }
+    def cycle(rem: Int): Unit = {
+      // the day's ingest lands ON THE BRANCH; % 13 rows arrive corrupt
+      o.filter($"o_orderkey" % 5 === rem)
+        .withColumn("o_totalprice",
+          when($"o_orderkey" % 13 === 0, -$"o_totalprice")
+            .otherwise($"o_totalprice"))
+        .write.format("graft.sources.GraftStore").option("path", main)
+        .option("branch", "audit").mode("append").save()
+      // AUDIT on the branch; kill the failures in place (MOR delete)
+      val bad = s.read.format("graft.sources.GraftStore").option("path", main)
+        .option("branch", "audit").load()
+        .filter($"o_totalprice" < 0).count()
+      if (bad > 0)
+        graft.sources.GraftStore.deleteWhereDV(s,
+          graft.sources.GraftStore.branchPath(main, "audit"),
+          $"o_totalprice" < 0)
+      graft.sources.GraftStore.fastForward(main, "audit")
+    }
+    cycle(1)
+    cycle(2) // same branch, second audit cycle — fork marker advanced
+    // "staged" time-travels to the pre-publish seed snapshot: proof the
+    // branch writes and audits never touched main until fast-forward
+    agg("published").unionAll(agg("staged", Some(seedV)))
+      .orderBy($"side", $"bucket")
+  }
+
   /** STREAMING UPSERT (round 8) — the CDC-apply loop at the heart of
     * every incremental 100 TB pipeline: a stream lands in the table not
     * as blind appends but as per-micro-batch MERGEs (foreachBatch — the
@@ -1374,8 +1479,7 @@ object Sources {
       }
       .option("checkpointLocation", Util.managedTempDir("graft_upsert_ckpt_"))
       .start()
-    q.processAllAvailable()
-    q.stop()
+    try q.processAllAvailable() finally q.stop()
     s2.sql("SELECT k, id FROM graftu.u ORDER BY k")
   }
 
@@ -1438,8 +1542,7 @@ object Sources {
       }
       .option("checkpointLocation", Util.managedTempDir("graft_upsertmor_ckpt_"))
       .start()
-    q.processAllAvailable()
-    q.stop()
+    try q.processAllAvailable() finally q.stop()
     s2.sql("SELECT k, id FROM graftum.u ORDER BY k")
   }
 
@@ -1504,6 +1607,52 @@ object Sources {
     // per-row sidecar probes); the purged side reads the folded files
     agg("eq", Some(vUp)).unionAll(agg("purged", None))
       .orderBy($"side", $"bucket")
+  }
+
+  /** DATE / TIMESTAMP EQUALITY-DELETE KEYS (round 13) — the CDC key
+    * shape real feeds carry: `(id, event_date)` composites and raw
+    * event timestamps. Dates ride the sidecar as their day count and
+    * timestamps as their micros — the same physical lane the reader's
+    * UnsafeRow probe reads — so the canonical-string codec extends with
+    * zero new probe cost and the per-JVM sidecar cache is unchanged.
+    * The lifecycle exercises all three temporal key forms against the
+    * `events` table: a (user_id, event_date) composite delete (date in
+    * a multi-column tuple), a timestamp-only delete, and a CDC upsert
+    * keyed (event_id, ts) whose appended rows are exempt from their own
+    * delete (`addedv < seq`). Scale shape identical to q_store_eqdelete:
+    * delete cost ∝ key batch, zero data-file reads at delete time. */
+  val qStoreEqdeleteTs: Q = (s, dir) => {
+    import s.implicits._
+    val root = Util.managedTempDir("graft_eqts_")
+    val t = s"$root/t"
+    val ev = table(s, dir, "events")
+      .select($"event_id", $"user_id", to_date($"ts").as("event_date"),
+        $"ts", $"value")
+    ev.filter($"event_id" % 2 === 0)
+      .repartition(4)
+      .write.format("graft.sources.GraftStore").option("path", t)
+      .mode("overwrite").save()
+    // composite (long, DATE) key delete — every (user, day) pair that
+    // produced a % 10 event loses ALL its rows for that day
+    graft.sources.GraftStore.deleteByKey(s, t,
+      table(s, dir, "events").filter($"event_id" % 10 === 0)
+        .select($"user_id", to_date($"ts").as("event_date")))
+    // TIMESTAMP-only key delete (micros lane)
+    graft.sources.GraftStore.deleteByKey(s, t,
+      table(s, dir, "events").filter($"event_id" % 14 === 0)
+        .select($"ts"))
+    // CDC upsert keyed (long, TIMESTAMP): re-keys the % 8 slice with a
+    // marker user shift; rows just deleted above come back — revival
+    graft.sources.GraftStore.upsertByKey(s, t, Seq("event_id", "ts"),
+      ev.filter($"event_id" % 8 === 0)
+        .select($"event_id", ($"user_id" + 5000L).as("user_id"),
+          $"event_date", $"ts", $"value"))
+    s.read.format("graft.sources.GraftStore").option("path", t).load()
+      .groupBy(($"user_id" % 10).as("bucket"))
+      .agg(count(lit(1)).as("n_rows"), sum($"event_id").as("sum_ev"),
+        max($"event_date").as("max_date"), max($"ts").as("max_ts"),
+        dsum($"value").as("sum_value"))
+      .orderBy($"bucket")
   }
 
   /** EQUALITY-DELETE CHANGE FEED (round 12) — the changelog read of an
@@ -1631,8 +1780,7 @@ object Sources {
       }
       .option("checkpointLocation", Util.managedTempDir("graft_upserteq_ckpt_"))
       .start()
-    q.processAllAvailable()
-    q.stop()
+    try q.processAllAvailable() finally q.stop()
     s2.read.format("graft.sources.GraftStore").option("path", t).load()
       .select($"k", $"id").orderBy($"k")
   }
@@ -1686,25 +1834,31 @@ object Sources {
         val b = batch.persist()
         try {
           // a micro-batch may span several commits: apply in version
-          // order — retract the old images, then apply the new rows
-          // (the version list is metadata-sized: ≤ commits per batch)
-          val vs = b.select($"_commit_version").distinct()
-            .collect().map(_.getLong(0)).sorted
+          // order — retract the old images, then apply the new rows.
+          // ONE aggregate over the cached batch yields the (version,
+          // change_type) row counts (metadata-sized: ≤ 2·commits per
+          // batch), so insert-only versions — the common append shape —
+          // never launch a no-op distributed delete job
+          val slices = b.groupBy($"_commit_version", $"_change_type")
+            .count().collect()
+            .map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+          val vs = slices.keys.map(_._1).toSeq.distinct.sorted
           vs.foreach { v =>
             val atV = b.filter($"_commit_version" === v)
-            graft.sources.GraftStore.deleteByKey(b.sparkSession, mirror,
-              atV.filter($"_change_type" === "delete").select($"k"))
-            graft.sources.GraftStore.upsertByKey(b.sparkSession, mirror,
-              Seq("k"),
-              atV.filter($"_change_type" === "insert").select($"k", $"v"))
+            if (slices.getOrElse((v, "delete"), 0L) > 0)
+              graft.sources.GraftStore.deleteByKey(b.sparkSession, mirror,
+                atV.filter($"_change_type" === "delete").select($"k"))
+            if (slices.getOrElse((v, "insert"), 0L) > 0)
+              graft.sources.GraftStore.upsertByKey(b.sparkSession, mirror,
+                Seq("k"),
+                atV.filter($"_change_type" === "insert").select($"k", $"v"))
           }
         } finally { b.unpersist(blocking = false); () }
         ()
       }
       .option("checkpointLocation", Util.managedTempDir("graft_mirror_ckpt_"))
       .start()
-    q.processAllAvailable()
-    q.stop()
+    try q.processAllAvailable() finally q.stop()
     def agg(tag: String, path: String) =
       s2.read.format("graft.sources.GraftStore").option("path", path).load()
         .groupBy(($"k" % 10).as("bucket"))
@@ -1819,6 +1973,71 @@ object Sources {
       """SELECT l_returnflag, l_linestatus, n_rows, sum_qty
         |FROM graft.flagship ORDER BY 1, 2""".stripMargin)
   }
+
+  /** VIEW CATALOG (round 13) — `CREATE VIEW cat.v AS SELECT …` through
+    * Spark 4's native ViewCatalog API on GraftCatalog: the view's SQL
+    * text plus its capture-time catalog/namespace and declared schema
+    * persist in a `_view` sidecar (atomic tmp+move, storage IS the
+    * metadata, same stance as tables), and the analyzer re-resolves the
+    * text at read time — so a view created over a store table tracks
+    * every later commit with zero refresh cost, the complement of the
+    * materialized-view family (q_store_mv pays storage for freshness
+    * proofs; a view ships the QUERY to the data). The query proves the
+    * lifecycle: CREATE TABLE → CREATE VIEW (aggregating) → INSERT more
+    * rows into the base table → read the view (sees the new rows —
+    * views are late-bound) → SHOW VIEWS/rename surfaces. Nested views
+    * (a view over a view) resolve through the same path. */
+  val qCatalogView: Q = (s, dir) => {
+    // view DDL/resolution rides GraftExtensions' hint-batch rule — a
+    // plain newSession has no extension hook, so this query builds a
+    // REAL extension session on the shared context (memoized: session
+    // construction re-registers analyzer state, not per-run work)
+    // catalog root is pinned at session creation: CatalogManager caches
+    // the initialized catalog instance, so later conf writes would not
+    // re-root it — the DDL below is re-runnable instead (DROP IF EXISTS
+    // + CREATE OR REPLACE), the idempotent-DDL shape real jobs use
+    val s2 = viewSession.computeIfAbsent(Util.sessionKey(s), _ => {
+      val sess = org.apache.spark.sql.SparkSession.builder()
+        .master(s.sparkContext.master)
+        .withExtensions(new graft.GraftExtensions())
+        .config("spark.sql.shuffle.partitions",
+          s.conf.get("spark.sql.shuffle.partitions"))
+        .config("spark.sql.session.timeZone", "UTC")
+        .create()
+      sess.conf.set("spark.sql.catalog.gview", "graft.sources.GraftCatalog")
+      sess.conf.set("spark.sql.catalog.gview.root",
+        Util.managedTempDir("graft_view_"))
+      sess
+    })
+    table(s2, dir, "orders").createOrReplaceTempView("ord_v")
+    s2.sql("DROP TABLE IF EXISTS gview.base")
+    s2.sql(
+      """CREATE TABLE gview.base AS
+        |SELECT o_orderkey, o_custkey, o_orderpriority, o_totalprice
+        |FROM ord_v WHERE o_orderkey % 2 = 0""".stripMargin)
+    s2.sql("DROP VIEW IF EXISTS gview.big_pri")
+    s2.sql(
+      """CREATE OR REPLACE VIEW gview.by_pri AS
+        |SELECT o_orderpriority AS pri, count(*) AS n_orders,
+        |  CAST(sum(o_orderkey) AS BIGINT) AS sum_key,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+        |FROM gview.base GROUP BY o_orderpriority""".stripMargin)
+    // late binding: rows inserted AFTER the view was created are seen
+    s2.sql(
+      """INSERT INTO gview.base
+        |SELECT o_orderkey, o_custkey, o_orderpriority, o_totalprice
+        |FROM ord_v WHERE o_orderkey % 2 = 1""".stripMargin)
+    // a view over the view resolves through the same catalog path
+    s2.sql(
+      """CREATE OR REPLACE VIEW gview.big_pri AS
+        |SELECT pri, n_orders, sum_key, sum_price FROM gview.by_pri
+        |WHERE n_orders > 0""".stripMargin)
+    s2.sql("SELECT * FROM gview.big_pri ORDER BY pri")
+  }
+
+  /** Extension sessions for the view query, keyed by parent session. */
+  private val viewSession = new java.util.concurrent.ConcurrentHashMap[
+    String, org.apache.spark.sql.SparkSession]
 
   /** STORED PROCEDURES (round 12) — Spark 4's native ProcedureCatalog:
     * `CALL cat.system.<proc>(…)` wired to the audited maintenance
@@ -2692,11 +2911,13 @@ object Sources {
       .transform(Util.cached) // feeds both candDocs legs + the verify join
     val candDocs = cands.select($"batch_doc".as("doc_id"))
       .unionAll(cands.select($"corpus_doc".as("doc_id"))).distinct()
-    val docsh = gated.select($"doc_id", $"text")
+    // cached: docsh feeds BOTH pair legs — uncached, the semi-join +
+    // shingle subtree executes once per leg with duplicate codegen
+    val docsh = Util.cached(gated.select($"doc_id", $"text")
       .unionAll(corpus.select($"doc_id", $"text"))
       .join(candDocs, Seq("doc_id"), "left_semi")
       .select($"doc_id",
-        array_distinct(LlmOps.shingles(LlmOps.toks($"text"))).as("shs"))
+        array_distinct(LlmOps.shingles(LlmOps.toks($"text"))).as("shs")))
     val dup = cands
       .join(docsh.select($"doc_id".as("batch_doc"), $"shs".as("sa")), "batch_doc")
       .join(docsh.select($"doc_id".as("corpus_doc"), $"shs".as("sb")), "corpus_doc")
@@ -2791,11 +3012,13 @@ object Sources {
       .transform(Util.cached)
     val candDocs = cands.select($"batch_doc".as("doc_id"))
       .unionAll(cands.select($"corpus_doc".as("doc_id"))).distinct()
-    val docsh = gated.select($"doc_id", $"text")
+    // cached: docsh feeds BOTH pair legs — uncached, the semi-join +
+    // shingle subtree executes once per leg with duplicate codegen
+    val docsh = Util.cached(gated.select($"doc_id", $"text")
       .unionAll(corpus.select($"doc_id", $"text"))
       .join(candDocs, Seq("doc_id"), "left_semi")
       .select($"doc_id",
-        array_distinct(LlmOps.shingles(LlmOps.toks($"text"))).as("shs"))
+        array_distinct(LlmOps.shingles(LlmOps.toks($"text"))).as("shs")))
     val dup = cands
       .join(docsh.select($"doc_id".as("batch_doc"), $"shs".as("sa")), "batch_doc")
       .join(docsh.select($"doc_id".as("corpus_doc"), $"shs".as("sb")), "corpus_doc")
@@ -2854,8 +3077,7 @@ object Sources {
       .writeStream.format("memory").queryName(sink).outputMode("append")
       .option("checkpointLocation", Util.managedTempDir("graft_scdf_ckpt_"))
       .start()
-    q.processAllAvailable()
-    q.stop()
+    try q.processAllAvailable() finally q.stop()
     Util.registerTempView(s2, sink) // dropped at the next query boundary
     s2.table(sink)
       .groupBy($"_commit_version", $"_change_type", $"pri")
@@ -2948,6 +3170,49 @@ object Sources {
         |FROM gev.sup ORDER BY s_suppkey""".stripMargin)
   }
 
+  /** COLUMN RENAME + INT->LONG WIDENING (round 13) — the two schema
+    * evolutions beyond add-nullable-at-end, both pure metadata commits.
+    * Rename needs NO field ids: this format's data files are positional
+    * (length-framed UnsafeRow bytes), so a name never appears in data —
+    * what the commit remaps is every name-keyed metadata consumer
+    * (per-entry stats keys so pruning keeps firing, equality-delete key
+    * lists, the partition spec). Widening rides the UnsafeRow layout:
+    * every fixed-width slot is 8 bytes, so the reader sign-extends the
+    * physically-int lane IN PLACE on files the manifest marks `narrow`
+    * — zero wrapper rows, zero data rewrites, and post-widen appends
+    * carry native longs (this query inserts keys beyond Int range to
+    * prove the point). Time travel to pre-evolution snapshots reads the
+    * OLD name and OLD type (schema resolves AS OF the snapshot);
+    * narrowing is refused. At 100 TB both operations cost one manifest
+    * commit — the Iceberg evolution economics without the field-id
+    * machinery. */
+  val qStoreEvolveRename: Q = (s, dir) => {
+    val s2 = s.newSession()
+    s2.conf.set("spark.sql.catalog.gevn", "graft.sources.GraftCatalog")
+    s2.conf.set("spark.sql.catalog.gevn.root",
+      Util.managedTempDir("graft_evolve_ren_"))
+    table(s2, dir, "supplier").createOrReplaceTempView("supp_ren")
+    s2.sql("DROP TABLE IF EXISTS gevn.sup")
+    s2.sql(
+      """CREATE TABLE gevn.sup AS
+        |SELECT CAST(s_suppkey AS INT) AS s_suppkey, s_nationkey, s_acctbal
+        |FROM supp_ren WHERE s_suppkey % 2 = 0""".stripMargin)
+    s2.sql("ALTER TABLE gevn.sup RENAME COLUMN s_nationkey TO nation")
+    s2.sql("ALTER TABLE gevn.sup ALTER COLUMN s_suppkey TYPE BIGINT")
+    // post-widen insert with keys beyond Int range — the widened lane
+    // and the old int lane aggregate together exactly
+    s2.sql(
+      """INSERT INTO gevn.sup
+        |SELECT s_suppkey + 3000000000 AS s_suppkey, s_nationkey AS nation,
+        |       s_acctbal
+        |FROM supp_ren WHERE s_suppkey % 2 = 1""".stripMargin)
+    s2.sql(
+      """SELECT nation, count(*) AS n_sup,
+        | CAST(sum(s_suppkey) AS BIGINT) AS sum_key,
+        | CAST(sum(CAST(s_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS sum_bal
+        |FROM gevn.sup GROUP BY nation ORDER BY nation""".stripMargin)
+  }
+
   /** CBO store dirs already written this JVM, keyed by (session, dir). */
   private val cboStoreWritten = new java.util.concurrent.ConcurrentHashMap[String, String]
 
@@ -3007,7 +3272,9 @@ object Sources {
     "q_src_skipping" -> qSrcSkipping,
     "q_etl_delete" -> qEtlDelete,
     "q_stream_sink" -> qStreamSink,
+    "q_stream_sink_part" -> qStreamSinkPart,
     "q_store_evolution" -> qStoreEvolution,
+    "q_store_evolve_rename" -> qStoreEvolveRename,
     "q_store_bloomskip" -> qStoreBloomskip,
     "q_store_metaagg" -> qStoreMetaagg,
     "q_store_metaagg_group" -> qStoreMetaaggGroup,
@@ -3016,6 +3283,7 @@ object Sources {
     "q_store_merge" -> qStoreMerge,
     "q_store_merge_mor" -> qStoreMergeMor,
     "q_store_eqdelete" -> qStoreEqdelete,
+    "q_store_eqdelete_ts" -> qStoreEqdeleteTs,
     "q_store_eqdelete_cdf" -> qStoreEqdeleteCdf,
     "q_store_deletes_meta" -> qStoreDeletesMeta,
     "q_store_scd2" -> qStoreScd2,
@@ -3035,6 +3303,7 @@ object Sources {
     "q_store_part_bucket" -> qStorePartBucket,
     "q_store_spj_bucket" -> qStoreSpjBucket,
     "q_catalog_sql" -> qCatalogSql,
+    "q_catalog_view" -> qCatalogView,
     "q_catalog_proc" -> qCatalogProc,
     "q_sink_roundtrip" -> qSinkRoundtrip,
     "q_store_timetravel" -> qStoreTimetravel,
@@ -3050,6 +3319,7 @@ object Sources {
     "q_mv_txn_refresh" -> qMvTxnRefresh,
     "q_store_mv_join" -> qStoreMvJoin,
     "q_store_wap" -> qStoreWap,
+    "q_store_branch" -> qStoreBranch,
     "q_stream_upsert" -> qStreamUpsert,
     "q_stream_upsert_mor" -> qStreamUpsertMor,
     "q_stream_upsert_eq" -> qStreamUpsertEq,
@@ -3090,6 +3360,13 @@ object Sources {
       """SELECT l_returnflag, l_linestatus, count(*) AS n_rows,
         | CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
         |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // the view is late-bound: it aggregates the FULL base table (both
+    // inserts), grouped by priority
+    "q_catalog_view" ->
+      """SELECT o_orderpriority AS pri, count(*) AS n_orders,
+        | CAST(sum(o_orderkey) AS BIGINT) AS sum_key,
+        | CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_sink_roundtrip" ->
       """SELECT l_returnflag, l_linestatus, count(*) AS n_rows,
         | CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
@@ -3241,6 +3518,25 @@ object Sources {
         |WHERE o_orderkey % 5 = 0
         |   OR (o_orderkey % 5 = 1 AND o_orderkey % 13 <> 0)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // published = seed + two audited ingest cycles (corrupt %13 rows
+    // killed on the branch); staged = the untouched seed snapshot
+    "q_store_branch" ->
+      """WITH pub AS (
+        |  SELECT o_orderkey % 10 AS bucket, count(*) AS n_rows,
+        |   CAST(sum(o_orderkey) AS BIGINT) AS sum_key,
+        |   CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+        |  FROM orders
+        |  WHERE o_orderkey % 5 = 0
+        |     OR (o_orderkey % 5 IN (1, 2) AND o_orderkey % 13 <> 0)
+        |  GROUP BY 1),
+        |st AS (
+        |  SELECT o_orderkey % 10 AS bucket, count(*) AS n_rows,
+        |   CAST(sum(o_orderkey) AS BIGINT) AS sum_key,
+        |   CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+        |  FROM orders WHERE o_orderkey % 5 = 0 GROUP BY 1)
+        |SELECT 'published' AS side, * FROM pub
+        |UNION ALL SELECT 'staged' AS side, * FROM st
+        |ORDER BY side, bucket""".stripMargin,
     // final state = max id per key over the whole stream, independent
     // of micro-batch boundaries
     "q_stream_upsert" ->
@@ -3326,6 +3622,31 @@ object Sources {
         |SELECT 'purged' AS side, * FROM p
         |UNION ALL SELECT 'restored' AS side, * FROM r
         |ORDER BY side, bucket""".stripMargin,
+    // relational replay of the temporal-key lifecycle: base minus the
+    // (user_id, day) composite delete minus the timestamp delete minus
+    // the upsert's own keys, plus the upsert rows
+    "q_store_eqdelete_ts" ->
+      """WITH base AS (
+        |  SELECT event_id, user_id, CAST(ts AS DATE) AS event_date, ts, value
+        |  FROM events WHERE event_id % 2 = 0),
+        |up AS (
+        |  SELECT event_id, user_id + 5000 AS user_id,
+        |   CAST(ts AS DATE) AS event_date, ts, value
+        |  FROM events WHERE event_id % 8 = 0),
+        |kept AS (
+        |  SELECT b.* FROM base b
+        |  WHERE NOT EXISTS (SELECT 1 FROM events e WHERE e.event_id % 10 = 0
+        |     AND e.user_id = b.user_id AND CAST(e.ts AS DATE) = b.event_date)
+        |   AND NOT EXISTS (SELECT 1 FROM events e WHERE e.event_id % 14 = 0
+        |     AND e.ts = b.ts)
+        |   AND NOT EXISTS (SELECT 1 FROM up u WHERE u.event_id = b.event_id
+        |     AND u.ts = b.ts)),
+        |fin AS (SELECT * FROM kept UNION ALL SELECT * FROM up)
+        |SELECT user_id % 10 AS bucket, count(*) AS n_rows,
+        | CAST(sum(event_id) AS BIGINT) AS sum_ev,
+        | max(event_date) AS max_date, max(ts) AS max_ts,
+        | CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+        |FROM fin GROUP BY 1 ORDER BY bucket""".stripMargin,
     // relational replay of the change feed: v2's old images are the
     // deleted keys; v3 emits old images of the upserted keys still live
     // at v2 (% 7 survivors) plus every upsert row as an insert
@@ -3695,6 +4016,19 @@ object Sources {
         |SELECT s_suppkey, s_nationkey, s_acctbal
         |FROM supplier WHERE s_suppkey % 2 = 1
         |ORDER BY s_suppkey""".stripMargin,
+    // rename + widen replay: evens keep their keys, odds arrive after
+    // the widen with keys beyond Int range
+    "q_store_evolve_rename" ->
+      """WITH fin AS (
+        |  SELECT s_suppkey AS k, s_nationkey AS nation, s_acctbal
+        |  FROM supplier WHERE s_suppkey % 2 = 0
+        |  UNION ALL
+        |  SELECT s_suppkey + 3000000000, s_nationkey, s_acctbal
+        |  FROM supplier WHERE s_suppkey % 2 = 1)
+        |SELECT nation, count(*) AS n_sup,
+        | CAST(sum(k) AS BIGINT) AS sum_key,
+        | CAST(sum(CAST(s_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS sum_bal
+        |FROM fin GROUP BY nation ORDER BY nation""".stripMargin,
     // the drained tail must equal the full table content exactly once
     "q_stream_tail" ->
       """SELECT o_orderkey % 10 AS bucket, count(*) AS n_rows,
@@ -3785,6 +4119,14 @@ object Sources {
         | CAST(sum(id) AS BIGINT) AS sum_id,
         | round(sum(CAST(id * 37 % 1000 AS DOUBLE)), 4) AS sum_val
         |FROM (SELECT unnest(generate_series(0, 19999)) AS id)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // the streamed-then-pruned partitioned tail: cells 0..2 only
+    "q_stream_sink_part" ->
+      """SELECT id % 8 AS cell, count(*) AS n,
+        | CAST(sum(id) AS BIGINT) AS sum_id,
+        | round(sum(CAST(id * 37 % 1000 AS DOUBLE)), 4) AS sum_val
+        |FROM (SELECT unnest(generate_series(0, 19999)) AS id)
+        |WHERE id % 8 < 3
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_src_skipping" ->
       """SELECT o_orderkey % 10 AS k, count(*) AS n,

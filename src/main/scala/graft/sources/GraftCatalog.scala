@@ -35,9 +35,149 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * manifest first (readers instantly see no table) and then the data.
   */
 class GraftCatalog extends TableCatalog with FunctionCatalog
-  with ProcedureCatalog {
+  with ProcedureCatalog
+  with org.apache.spark.sql.connector.catalog.ViewCatalog {
   private var catalogName: String = _
   private var root: String = _
+
+  // ---------------------------------------------------------------- views
+
+  /** ViewCatalog half (round 13): `CREATE VIEW cat.v AS SELECT …`
+    * through Spark 4's native ViewCatalog API. Storage follows the
+    * catalog's storage-is-the-metadata stance: a view named
+    * `cat.ns….name` is a directory holding ONE `_view` sidecar (java
+    * Properties: the SQL text, the capture-time catalog/namespace the
+    * analyzer re-resolves against, the declared schema DDL, column
+    * lineage arrays, user properties), written atomically (tmp + MOVE)
+    * so a crashed create never leaves a half-view visible. A directory
+    * is a table iff `_manifest`, a view iff `_view` — the two can never
+    * alias. Views are SQL-over-tables: zero data, zero refresh cost;
+    * the 100 TB story is that a view ships the QUERY to the data. */
+  private val ViewFileName = "_view"
+  // unit-separator joins for the string-array view fields (cannot occur
+  // in identifiers or SQL text the analyzer produced)
+  private val SEP: Char = 31.toChar
+  private def isView(dir: File): Boolean = new File(dir, ViewFileName).isFile
+
+  private def writeViewProps(dir: File,
+      p: java.util.Properties): Unit = {
+    java.nio.file.Files.createDirectories(dir.toPath)
+    val tmp = new File(dir, s".view.tmp.${java.util.UUID.randomUUID()}")
+    val out = new java.io.FileOutputStream(tmp)
+    try p.store(out, null) finally out.close()
+    java.nio.file.Files.move(tmp.toPath,
+      new File(dir, ViewFileName).toPath,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  private def readViewProps(dir: File): java.util.Properties = {
+    val p = new java.util.Properties()
+    val in = new java.io.FileInputStream(new File(dir, ViewFileName))
+    try p.load(in) finally in.close()
+    p
+  }
+
+  override def listViews(namespace: String*): Array[Identifier] = {
+    val ns = new File((root +: namespace).mkString(File.separator))
+    Option(ns.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && isView(f))
+      .map(f => Identifier.of(namespace.toArray, f.getName))
+      .sortBy(_.name())
+  }
+
+  override def viewExists(ident: Identifier): Boolean = isView(dirFor(ident))
+
+  override def loadView(ident: Identifier)
+      : org.apache.spark.sql.connector.catalog.View = {
+    val dir = dirFor(ident)
+    if (!isView(dir))
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchViewException(ident)
+    val p = readViewProps(dir)
+    def arr(k: String): Array[String] = {
+      val v = p.getProperty(k, "")
+      if (v.isEmpty) Array.empty else v.split(SEP)
+    }
+    new org.apache.spark.sql.connector.catalog.View {
+      override def name(): String = ident.toString
+      override def query(): String = p.getProperty("sql")
+      override def currentCatalog(): String = p.getProperty("catalog")
+      override def currentNamespace(): Array[String] = arr("namespace")
+      override def schema(): StructType =
+        StructType.fromDDL(p.getProperty("schema"))
+      override def queryColumnNames(): Array[String] = arr("qcols")
+      override def columnAliases(): Array[String] = arr("aliases")
+      override def columnComments(): Array[String] = arr("comments")
+      override def properties(): util.Map[String, String] = {
+        val m = new util.HashMap[String, String]()
+        p.stringPropertyNames().forEach { k =>
+          if (k.startsWith("prop.")) m.put(k.stripPrefix("prop."), p.getProperty(k))
+        }
+        m
+      }
+    }
+  }
+
+  override def createView(
+      info: org.apache.spark.sql.connector.catalog.ViewInfo)
+      : org.apache.spark.sql.connector.catalog.View = {
+    val dir = dirFor(info.ident())
+    if (isView(dir))
+      throw new org.apache.spark.sql.catalyst.analysis
+        .ViewAlreadyExistsException(info.ident())
+    require(!isTable(dir), s"${info.ident()} already exists as a TABLE")
+    val p = new java.util.Properties()
+    p.setProperty("sql", info.sql())
+    p.setProperty("catalog", info.currentCatalog())
+    p.setProperty("namespace", info.currentNamespace().mkString(SEP.toString))
+    p.setProperty("schema", info.schema().toDDL)
+    p.setProperty("qcols", info.queryColumnNames().mkString(SEP.toString))
+    p.setProperty("aliases", info.columnAliases().mkString(SEP.toString))
+    p.setProperty("comments", info.columnComments().mkString(SEP.toString))
+    info.properties().forEach((k, v) => p.setProperty(s"prop.$k", v))
+    writeViewProps(dir, p)
+    loadView(info.ident())
+  }
+
+  override def alterView(ident: Identifier,
+      changes: org.apache.spark.sql.connector.catalog.ViewChange*)
+      : org.apache.spark.sql.connector.catalog.View = {
+    val dir = dirFor(ident)
+    if (!isView(dir))
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchViewException(ident)
+    val p = readViewProps(dir)
+    changes.foreach {
+      case sp: org.apache.spark.sql.connector.catalog.ViewChange.SetProperty =>
+        p.setProperty(s"prop.${sp.property()}", sp.value())
+      case rp: org.apache.spark.sql.connector.catalog.ViewChange.RemoveProperty =>
+        p.remove(s"prop.${rp.property()}")
+      case other => throw new IllegalArgumentException(
+        s"unsupported view change: $other")
+    }
+    writeViewProps(dir, p)
+    loadView(ident)
+  }
+
+  override def dropView(ident: Identifier): Boolean = {
+    val dir = dirFor(ident)
+    if (!isView(dir)) return false
+    new File(dir, ViewFileName).delete()
+    dir.delete() // only removes if now empty — never data
+    true
+  }
+
+  override def renameView(from: Identifier, to: Identifier): Unit = {
+    val src = dirFor(from)
+    if (!isView(src))
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchViewException(from)
+    val dst = dirFor(to)
+    if (isView(dst))
+      throw new org.apache.spark.sql.catalyst.analysis
+        .ViewAlreadyExistsException(to)
+    require(!isTable(dst), s"$to already exists as a TABLE")
+    java.nio.file.Files.createDirectories(dst.toPath.getParent)
+    java.nio.file.Files.move(src.toPath, dst.toPath)
+  }
 
   /** ProcedureCatalog half (Spark 4's native `CALL` statement): the
     * table-maintenance surface — purge_deletes / restore / compact /
@@ -290,16 +430,41 @@ class GraftCatalog extends TableCatalog with FunctionCatalog
     * — their per-entry arity says how many fields their bytes carry and
     * the reader null-pads the tail), through the same atomic pointer
     * swap as a write, so it bumps the version and time travel to a
-    * pre-ALTER snapshot reads the OLD schema. Only nullable end-appended
-    * top-level columns are supported — the one evolution that needs no
-    * data rewrite; everything else is refused loudly (Iceberg-style
-    * full evolution needs field IDs, out of scope by design). */
+    * pre-ALTER snapshot reads the OLD schema. Supported: nullable
+    * end-appended columns (null-padded by arity), RENAME COLUMN
+    * (positional framing makes it safe without field ids — see
+    * [[GraftStore.renameColumn]]), and int->long widening
+    * ([[GraftStore.widenColumn]], in-place lane sign-extension at
+    * read). Anything lossy (narrowing, drops, moves) is refused. */
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
     val dir = dirFor(ident)
     if (!isTable(dir)) throw new NoSuchTableException(ident)
+    // RENAME COLUMN and int->long widening are self-contained metadata
+    // commits with their own name-keyed remapping (stats keys, eq-delete
+    // key lists, partition spec) / per-entry lane markers — route them
+    // to the dedicated operations; ADD COLUMN stays the fold below
+    val routed = changes.partition {
+      case _: TableChange.RenameColumn => true
+      case _: TableChange.UpdateColumnType => true
+      case _ => false
+    }
+    routed._1.foreach {
+      case r: TableChange.RenameColumn =>
+        require(r.fieldNames().length == 1,
+          "nested RENAME COLUMN is not supported")
+        GraftStore.renameColumn(dir.getPath, r.fieldNames()(0), r.newName())
+      case u: TableChange.UpdateColumnType =>
+        require(u.fieldNames().length == 1,
+          "nested ALTER COLUMN TYPE is not supported")
+        require(u.newDataType() ==
+            org.apache.spark.sql.types.LongType,
+          s"only int -> long widening is supported, got ${u.newDataType()}")
+        GraftStore.widenColumn(dir.getPath, u.fieldNames()(0))
+      case _ => ()
+    }
     val (base, latest) = GraftStore.readLatestVersioned(dir.getPath)
     val (schema, entries) = latest.get
-    val newSchema = changes.foldLeft(schema) {
+    val newSchema = routed._2.foldLeft(schema) {
       case (sch, add: TableChange.AddColumn) =>
         require(add.fieldNames().length == 1,
           "nested ADD COLUMN is not supported")
@@ -311,10 +476,12 @@ class GraftCatalog extends TableCatalog with FunctionCatalog
         require(!sch.fieldNames.contains(name), s"column $name already exists")
         sch.add(name, add.dataType(), nullable = true)
       case (_, other) => throw new UnsupportedOperationException(
-        s"graft catalog tables support only ADD COLUMN (got ${other.getClass.getSimpleName})")
+        "graft catalog tables support ADD COLUMN, RENAME COLUMN and " +
+          s"ALTER COLUMN TYPE BIGINT (got ${other.getClass.getSimpleName})")
     }
-    GraftStore.writeManifestAtomic(dir.getPath, base, newSchema, entries,
-      GraftStore.readEpoch(dir.getPath), op = "evolve")
+    if (routed._2.nonEmpty)
+      GraftStore.writeManifestAtomic(dir.getPath, base, newSchema, entries,
+        GraftStore.readEpoch(dir.getPath), op = "evolve")
     new GraftStoreTable(dir.getPath, newSchema, None, None, None, None)
   }
 

@@ -213,7 +213,8 @@ object GraftStore {
     * later are exempt, everything older is filtered. 0 is the
     * conservative floor: an untracked file predates every delete. */
   case class FileEntry(file: String, rows: Long, stats: Map[String, ColStats],
-      cols: Int = -1, dv: String = "", addedv: Long = 0L)
+      cols: Int = -1, dv: String = "", addedv: Long = 0L,
+      narrow: Seq[Int] = Seq.empty)
 
   /** One EQUALITY-DELETE file (the Iceberg-v2 equality-delete design):
     * `file` is a sidecar (under data/) holding a set of key TUPLES over
@@ -262,9 +263,13 @@ object GraftStore {
         s"$c=${s.min}:${s.max}:${s.nulls}$b"
       }.mkString(";")
     // field 6 (addedv) only when tracked — entries at 0 keep the old
-    // byte format; an interior empty dv field survives split
+    // byte format; an interior empty dv field survives split. Field 7
+    // (narrow: ordinals whose physical lane is int under a widened long
+    // schema) forces fields 5-6 explicit when present.
     val dvf =
-      if (e.addedv > 0L) s"\t${e.dv}\t${e.addedv}"
+      if (e.narrow.nonEmpty)
+        s"\t${e.dv}\t${e.addedv}\t${e.narrow.mkString(",")}"
+      else if (e.addedv > 0L) s"\t${e.dv}\t${e.addedv}"
       else if (e.dv.isEmpty) "" else s"\t${e.dv}"
     s"${e.file}\t${e.rows}\t$st\t${e.cols}$dvf"
   }
@@ -290,7 +295,10 @@ object GraftStore {
       FileEntry(parts(0), parts(1).toLong, stats,
         if (parts.length >= 4) parts(3).toInt else -1,
         if (parts.length >= 5) parts(4) else "",
-        if (parts.length >= 6) parts(5).toLong else 0L)
+        if (parts.length >= 6) parts(5).toLong else 0L,
+        if (parts.length >= 7 && parts(6).nonEmpty)
+          parts(6).split(',').map(_.toInt).toSeq
+        else Seq.empty)
   }
 
   /** Deletion-vector sidecar: Int count + sorted Long physical row
@@ -850,6 +858,150 @@ object GraftStore {
   private[graft] def tagDelete(path: String, name: String): Boolean =
     Files.deleteIfExists(new File(new File(path, RefsDirName), name).toPath)
 
+  /** WRITABLE BRANCH REFS (the Iceberg branch surface, round 13): a
+    * branch is an independently-committable line of table history that
+    * forks from main's current snapshot and can later be PUBLISHED back
+    * by fast-forward — the write-audit-publish v2 shape: write to
+    * `audit`, validate by reading the branch, `fastForward` to make main
+    * content-identical in one atomic commit.
+    *
+    * Representation: a full sub-table at `_branches/<name>/` created by
+    * [[cloneTable]] (hard-linked data/DV/eq-sidecar files — zero bytes
+    * of data movement, O(files) metadata), plus a `_fork` file recording
+    * the MAIN version the branch forked from. Because committed files
+    * are immutable and clones hard-link, branch and main cannot observe
+    * each other's subsequent commits, and GC/expire on either side only
+    * unlinks its own references — the branch is self-contained by
+    * construction, no retention pinning needed (contrast tags, which pin
+    * shared manifests).
+    *
+    * Reads and writes route to a branch via `.option("branch", name)` on
+    * the ordinary reader/writer — every table feature (time travel, CDF,
+    * partition specs, DML, streaming sinks) works on a branch because a
+    * branch IS a table. Fast-forward requires main's head to still be
+    * the fork version (i.e. main is an ancestor of the branch tip) —
+    * the Iceberg fast-forward contract; a diverged main refuses loudly
+    * (rebase/cherry-pick is not a thing this format does). */
+  private[graft] val BranchesDirName = "_branches"
+  private[graft] val ForkFileName = "_fork"
+
+  /** Resolve a reader/writer's (path, branch-option) to the directory
+    * the operation actually targets. A named branch must already exist
+    * (branchCreate) — a typo'd branch name must refuse, not silently
+    * create a fresh table beside the real one. */
+  private[graft] def effectivePath(path: String,
+      branch: Option[String]): String =
+    branch.filter(_ => path != null).fold(path) { b =>
+      val bp = branchPath(path, b)
+      require(new File(bp, ManifestName).exists(),
+        s"no branch '$b' at $path — create it first " +
+          s"(known branches: ${branchList(path).mkString(", ")})")
+      bp
+    }
+
+  private[graft] def branchPath(path: String, name: String): String = {
+    require(name.nonEmpty && name.forall(c =>
+      c.isLetterOrDigit || c == '-' || c == '_' || c == '.'),
+      s"branch name must be a file-safe identifier, got '$name'")
+    new File(new File(path, BranchesDirName), name).getPath
+  }
+
+  private[graft] def branchCreate(path: String, name: String): Unit = {
+    val bp = branchPath(path, name)
+    require(!new File(bp, ManifestName).exists(),
+      s"branch '$name' already exists at $path — drop it first")
+    val (forkV, latest) = readLatestVersioned(path)
+    require(latest.isDefined, s"no graft-store table at $path")
+    // the branch's first manifest is numbered forkV (NOT 1): inherited
+    // addedv / eq-delete seq values are main-lineage version numbers, so
+    // the branch's own commits (forkV+1, ...) stay ordered after them —
+    // one coherent lineage, which is also what lets fast-forward graft
+    // the branch numbering straight onto main
+    cloneTable(path, bp, startVersion = Some(forkV))
+    Files.write(Paths.get(bp, ForkFileName),
+      forkV.toString.getBytes(StandardCharsets.UTF_8))
+  }
+
+  private[graft] def branchForkVersion(path: String, name: String): Long = {
+    val f = new File(branchPath(path, name), ForkFileName)
+    require(f.exists(), s"no branch '$name' at $path")
+    new String(Files.readAllBytes(f.toPath), StandardCharsets.UTF_8).trim.toLong
+  }
+
+  private[graft] def branchDelete(path: String, name: String): Unit =
+    deleteRecursively(new File(branchPath(path, name)))
+
+  private[graft] def branchList(path: String): Seq[String] =
+    Option(new File(path, BranchesDirName).listFiles())
+      .getOrElse(Array.empty).filter(_.isDirectory).map(_.getName).toSeq.sorted
+
+  /** Publish a branch to main by FAST-FORWARD: main's next commit gets
+    * exactly the branch tip's (schema, entries, equality deletes).
+    * Sound only while main is an ancestor of the branch tip — i.e. main
+    * has not committed since the fork — so a diverged main refuses
+    * (publishing would silently erase its commits). New files born on
+    * the branch are hard-linked into main first (metadata-speed, like
+    * the clone that created the branch); files the branch merely
+    * carried forward already exist in main. Returns main's new version.
+    * After publish the fork marker advances to the new main head, so
+    * the same branch can keep accumulating the next audit cycle. */
+  private[graft] def fastForward(path: String, name: String): Long = {
+    val bp = branchPath(path, name)
+    val (schema, entries, eqDels) = readManifestFull(
+      new File(bp, ManifestName)).getOrElse(
+      throw new IllegalArgumentException(s"no branch '$name' at $path"))
+    val forkV = branchForkVersion(path, name)
+    val (mainV, _) = readLatestVersioned(path)
+    require(mainV == forkV,
+      s"cannot fast-forward '$name' into $path: main is at v$mainV but " +
+        s"the branch forked at v$forkV — main has committed since the " +
+        "fork and is no longer an ancestor of the branch tip (publish " +
+        "would erase those commits); re-branch and re-apply instead")
+    def linkIn(rel: String): Unit = {
+      val to = Paths.get(path, rel)
+      if (!Files.exists(to)) {
+        if (to.getParent != null) Files.createDirectories(to.getParent)
+        Files.createLink(to, Paths.get(bp, rel))
+      }
+    }
+    entries.foreach { e => linkIn(e.file); if (e.dv.nonEmpty) linkIn(e.dv) }
+    eqDels.foreach(d => linkIn(d.file))
+    // LINEAGE SQUASH: publish is ONE main commit (v = forkV+1), but the
+    // branch may have made several (forkV+1 .. tip) — every addedv /
+    // eq-delete seq above the fork must compress to v while preserving
+    // the `addedv < seq` relation. Compressing k>1 distinct post-fork
+    // versions to one CANNOT preserve a strict in-branch ordering where
+    // a post-fork FILE predates a post-fork DELETE (fork < a < s: the
+    // delete applies on the branch, but after squash a == s == v and
+    // strictness would resurrect the rows) — that one shape refuses,
+    // and purgeDeletes on the branch (folds deletes into clean files)
+    // is the documented remedy. Every other pairing survives the
+    // squash: both ≤ fork untouched; post-fork file vs pre-fork delete
+    // stays exempt (v > s); pre-fork file vs post-fork delete stays
+    // deleted (a ≤ fork < v); post-fork file at-or-after its delete
+    // (s ≤ a) stays exempt (v == v not <).
+    val hazard = for {
+      d <- eqDels if d.seq > forkV
+      e <- entries if e.addedv > forkV && e.addedv < d.seq
+    } yield (e.file, d.file)
+    require(hazard.isEmpty,
+      s"cannot fast-forward '$name': the branch holds a file committed " +
+        s"after the fork that a LATER branch equality-delete applies to " +
+        s"(e.g. ${hazard.head._1} vs ${hazard.head._2}) — squashing the " +
+        "branch history into one publish commit would exempt it and " +
+        "resurrect deleted rows; run purgeDeletes on the branch first")
+    val v0 = mainV + 1 // the version writeManifestAtomic will claim
+    val squashedEntries = entries.map(e =>
+      if (e.addedv > forkV) e.copy(addedv = v0) else e)
+    val squashedDels = eqDels.map(d =>
+      if (d.seq > forkV) d.copy(seq = v0) else d)
+    val v = writeManifestAtomic(path, mainV, schema, squashedEntries,
+      op = s"fastForward($name)", eqDels = Some(squashedDels))
+    Files.write(Paths.get(bp, ForkFileName),
+      v.toString.getBytes(StandardCharsets.UTF_8))
+    v
+  }
+
   /** Resolve a `versionAsOf` spec: a numeric string is a version id, any
     * other string is a tag name looked up in `_refs/`. */
   private[graft] def resolveVersionSpec(path: String, spec: String): Long =
@@ -893,7 +1045,8 @@ object GraftStore {
     * deletes files its own retained manifests stop referencing, which
     * for a hard-linked file just drops one link). Partition spec, if
     * any, is cloned with the table. */
-  private[graft] def cloneTable(src: String, dst: String): Unit = {
+  private[graft] def cloneTable(src: String, dst: String,
+      startVersion: Option[Long] = None): Unit = {
     val (schema, entries, eqDels) = readManifestFull(
       new File(src, ManifestName)).getOrElse(
       throw new IllegalArgumentException(s"no graft-store table at $src"))
@@ -917,8 +1070,14 @@ object GraftStore {
     if (part.exists())
       Files.copy(part.toPath, Paths.get(dst, PartitionFileName))
     // the clone's v1 records the source version it forked from — the
-    // fast-forward baseline a write-audit-publish `publish` checks
-    writeManifestAtomicAt(dst, 1, schema, entries,
+    // fast-forward baseline a write-audit-publish `publish` checks.
+    // startVersion (branches) aligns the clone's numbering with the
+    // SOURCE lineage instead of restarting at 1: inherited addedv /
+    // eq-delete seq values then stay coherent with versions the clone
+    // itself commits next (a v1-restart clone with live deletes could
+    // otherwise mint a new delete whose seq is BELOW inherited addedv
+    // stamps — see the guard in commitEqDelete)
+    writeManifestAtomicAt(dst, startVersion.getOrElse(1L), schema, entries,
       op = s"clone(v${readVersion(src)})", eqDels = eqDels)
   }
 
@@ -1014,7 +1173,9 @@ object GraftStore {
     * delete applies to every data file born BEFORE it (`addedv < seq`);
     * readers probe a per-sidecar hash set (loaded once per executor
     * JVM); [[purgeDeletes]] folds accumulated sets into clean files.
-    * Key columns: int/long/string, null keys match nothing (SQL
+    * Key columns: int/long/string/date/timestamp (dates ride the
+    * sidecar as day counts, timestamps as micros — the physical lane
+    * the reader probes), null keys match nothing (SQL
     * semantics). Empty key set = no commit. Returns the new version. */
   private[graft] def deleteByKey(spark: org.apache.spark.sql.SparkSession,
       path: String, keys: org.apache.spark.sql.DataFrame): Long =
@@ -1043,7 +1204,8 @@ object GraftStore {
   private def commitEqDelete(spark: org.apache.spark.sql.SparkSession,
       path: String, keys: org.apache.spark.sql.DataFrame,
       appendRows: Option[org.apache.spark.sql.DataFrame], op: String): Long = {
-    import org.apache.spark.sql.types.{IntegerType, LongType, StringType}
+    import org.apache.spark.sql.types.{DateType, IntegerType, LongType,
+      StringType, TimestampNTZType, TimestampType}
     val (base0, latest0) = readLatestVersioned(path)
     val (tblSchema, _) = latest0.getOrElse(throw new IllegalArgumentException(
       s"no graft-store table at $path"))
@@ -1052,25 +1214,31 @@ object GraftStore {
       val tf = tblSchema.fields.find(_.name == f.name).getOrElse(
         throw new IllegalArgumentException(
           s"equality-delete key '${f.name}' is not a column of $path"))
-      require(Seq(IntegerType, LongType, StringType).contains(tf.dataType),
+      require(Seq(IntegerType, LongType, StringType, DateType,
+          TimestampType, TimestampNTZType).contains(tf.dataType),
         s"equality-delete key '${f.name}' has type ${tf.dataType} — " +
-          "int/long/string only (hash-probed per row at read)")
+          "int/long/string/date/timestamp only (hash-probed per row at read)")
       // the KEY SET's own type must match the table's: a mistyped key
       // frame would otherwise encode garbage tuples (getLong over a
-      // double column reinterprets raw bits) and silently delete nothing
+      // double column reinterprets raw bits; a date's day-count aliasing
+      // an int column would delete the wrong rows) and silently delete
+      // nothing or the wrong thing
       require(f.dataType == tf.dataType,
         s"equality-delete key '${f.name}' is ${f.dataType} but the " +
           s"table column is ${tf.dataType} — cast the key set first " +
-          "(int/long/string only)")
+          "(int/long/string/date/timestamp only)")
     }
+    // sidecar codec: dates ride as their day count, timestamps as their
+    // micros — both long lanes (canonical decimal-digit encoding), the
+    // same physical value the reader's UnsafeRow probe sees
     val tags = keys.schema.fields.map(_.dataType match {
       case StringType => EqSet.TagString
-      case _ => EqSet.TagLong // int widens to long in the sidecar
+      case _ => EqSet.TagLong // int/date widen to long in the sidecar
     })
     val srcTags = keys.schema.fields.map(_.dataType match {
-      case IntegerType => 'I'.toByte
+      case IntegerType | DateType => 'I'.toByte // 4-byte lanes in InternalRow
       case StringType => EqSet.TagString
-      case _ => EqSet.TagLong
+      case _ => EqSet.TagLong // long + timestamp-micros
     })
     val stamp = java.util.UUID.randomUUID().toString.take(8)
     val absRoot = new File(path).getAbsolutePath
@@ -1134,6 +1302,17 @@ object GraftStore {
         if (base > 0) readEqDeletesOf(new File(path, s"$ManifestName.v$base"))
         else Seq.empty
       val seq = base + 1
+      // lineage soundness: an addedv stamp at or beyond this commit's seq
+      // can only come from a v1-restart clone of a table whose history
+      // was longer than the clone's — minting a delete here would be
+      // silently exempted by those stamps. Branches avoid this by
+      // lineage-continuing numbering (cloneTable startVersion); a plain
+      // clone that trips it re-clones or purges first.
+      require(entries.forall(_.addedv < seq),
+        s"table at $path carries addedv stamps >= the next version $seq " +
+          "(a restarted-lineage clone of a longer history) — an equality " +
+          "delete committed now would not apply to those files; " +
+          "purgeDeletes on the source then re-clone, or OPTIMIZE first")
       val added = sidecars.map(f => EqDelete(f, seq, keyCols))
       try {
         val v = writeManifestAtomic(path, base, sch, entries ++ fresh,
@@ -1546,6 +1725,116 @@ object GraftStore {
     v
   }
 
+  /** COLUMN RENAME (round 13) — metadata-only, NO field ids needed:
+    * this format's data files are POSITIONAL (length-framed UnsafeRow
+    * bytes with per-entry arity), so a name never appears in a data
+    * file and a rename cannot mis-bind old data — the property Iceberg
+    * buys with field ids, this format gets from positional framing.
+    * What a rename must NOT silently break is every NAME-KEYED piece of
+    * metadata, all of it driver-side and O(files): per-entry stats keys
+    * (else pruning and metadata aggregates quietly stop firing for the
+    * column), bucket pseudo-stat keys, live equality-delete key-column
+    * lists (else the read probe fails loudly on a phantom column), and
+    * the `_partition` spec's term sources. All remapped in ONE commit;
+    * time travel to a pre-rename snapshot reads the OLD name with its
+    * OLD stats keys — each manifest is self-consistent. The spec swap
+    * follows the commit exactly like [[evolvePartitionBy]] (commit
+    * first, swap after; the spec is a write-layout hint, never a
+    * read-side fact). */
+  private[graft] def renameColumn(path: String, from: String,
+      to: String): Long = {
+    val (baseV, latest) = readLatestVersioned(path)
+    val (schema, entries) = latest.getOrElse(throw new IllegalArgumentException(
+      s"no graft-store table at $path"))
+    require(schema.fieldNames.contains(from),
+      s"no column '$from' at $path — columns: ${schema.fieldNames.mkString(", ")}")
+    require(!schema.fieldNames.contains(to),
+      s"column '$to' already exists at $path")
+    require(to.nonEmpty && !to.exists(c => c == '=' || c == ':' || c == ';'
+        || c == '\t' || c == ',' || c == '(' || c == ')'),
+      s"'$to' carries a manifest/spec delimiter — pick a plain identifier")
+    val newSchema = StructType(schema.fields.map(f =>
+      if (f.name == from) f.copy(name = to) else f))
+    def mapKey(k: String): String =
+      if (k == from) to
+      // bucket pseudo-stat key: __bucket_<n>_<source>
+      else if (k.startsWith("__bucket_") && k.endsWith(s"_$from"))
+        k.dropRight(from.length) + to
+      else k
+    val newEntries = entries.map(e =>
+      e.copy(stats = e.stats.map { case (k, v) => mapKey(k) -> v }))
+    val eqs = readEqDeletesOf(new File(path, s"$ManifestName.v$baseV"))
+      .map(d => d.copy(cols = d.cols.map(c => if (c == from) to else c)))
+    val v = writeManifestAtomic(path, baseV, newSchema, newEntries,
+      epoch = readEpoch(path), op = s"rename($from->$to)",
+      eqDels = Some(eqs))
+    readPartitionBy(path).foreach { spec =>
+      val terms = partitionTermsOf(Some(spec))
+      if (terms.exists(_.source == from)) {
+        val newSpec = terms.map {
+          case PartIdentity(`from`) => PartIdentity(to).render
+          case PartDays(`from`) => PartDays(to).render
+          case PartHours(`from`) => PartHours(to).render
+          case PartMonths(`from`) => PartMonths(to).render
+          case PartYears(`from`) => PartYears(to).render
+          case PartTrunc(w, `from`) => PartTrunc(w, to).render
+          case PartBucket(n, `from`) => PartBucket(n, to).render
+          case t => t.render
+        }.mkString(",")
+        val tmp = Paths.get(path, s".partition.tmp.${java.util.UUID.randomUUID()}")
+        Files.write(tmp, newSpec.getBytes(StandardCharsets.UTF_8))
+        Files.move(tmp, Paths.get(path, PartitionFileName),
+          StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+      }
+    }
+    v
+  }
+
+  /** TYPE WIDENING int -> long (round 13) — metadata-only, the Iceberg
+    * type-promotion semantics without field ids: the schema field flips
+    * to LongType in one commit and every CURRENT entry that physically
+    * carries the column records its ordinal in `narrow` — the marker
+    * the reader uses to fix the lane up. The fix-up is free by layout:
+    * UnsafeRow gives EVERY fixed-width column an 8-byte slot, an int
+    * lives in the low 4 bytes of its slot, so the reader rewrites the
+    * slot in place (`setLong(i, getInt(i).toLong)`, sign-extending)
+    * right after the frame read — no wrapper row, no per-consumer
+    * special cases, and downstream (codegen, equality-delete probes
+    * tagged from the long schema, sorts) sees a true long lane. Files
+    * written after the widen carry longs natively (no marker); files
+    * that PREDATE the column null-pad as before (arity < ordinal).
+    * Narrowing, and any other type change, is refused — information
+    * loss needs a rewrite, not a metadata commit. Stats survive
+    * verbatim: int min/max/sum strings parse as longs. Time travel to a
+    * pre-widen snapshot reads int with the old schema; RESTORE of one
+    * replays its schema wholesale, staying self-consistent. */
+  private[graft] def widenColumn(path: String, col: String): Long = {
+    import org.apache.spark.sql.types.{IntegerType, LongType}
+    val (baseV, latest) = readLatestVersioned(path)
+    val (schema, entries) = latest.getOrElse(throw new IllegalArgumentException(
+      s"no graft-store table at $path"))
+    require(schema.fieldNames.contains(col),
+      s"no column '$col' at $path — columns: ${schema.fieldNames.mkString(", ")}")
+    val ord = schema.fieldIndex(col)
+    val dt = schema.fields(ord).dataType
+    require(dt == IntegerType,
+      s"widenColumn supports int -> long only; '$col' is $dt" +
+        (if (dt == LongType) " (already long)" else
+          " — other changes lose information and need a rewrite"))
+    val newSchema = StructType(schema.fields.zipWithIndex.map { case (f, i) =>
+      if (i == ord) f.copy(dataType = LongType) else f
+    })
+    val newEntries = entries.map { e =>
+      // only files that physically CARRY the column need the marker; a
+      // pre-ADD-COLUMN file (arity <= ordinal) null-pads either way
+      val arity = if (e.cols > 0) e.cols else schema.size
+      if (arity > ord) e.copy(narrow = (e.narrow :+ ord).distinct.sorted)
+      else e
+    }
+    writeManifestAtomic(path, baseV, newSchema, newEntries,
+      epoch = readEpoch(path), op = s"widen($col)")
+  }
+
   /** Shared per-transform validation (create / evolve must agree):
     * sources exist and are top-level, `days` needs a temporal column,
     * `trunc` a string/int/long, `bucket` an int/long — the same checks
@@ -1713,7 +2002,8 @@ object GraftStore {
   private[sources] case class CdfUnit(file: String, cols: Int,
       changeType: String, version: Long, applyDv: String = "",
       baseDv: String = "", dvDelta: Boolean = false,
-      maskEq: Seq[EqDelete] = Seq.empty, onlyEq: Seq[EqDelete] = Seq.empty)
+      maskEq: Seq[EqDelete] = Seq.empty, onlyEq: Seq[EqDelete] = Seq.empty,
+      narrow: Seq[Int] = Seq.empty)
 
   private[sources] def cdfFileDiffs(path: String, fromV: Long,
       toV: Long): Seq[CdfUnit] = {
@@ -1735,6 +2025,17 @@ object GraftStore {
       if (fromV == 0) Map.empty
       else manifestAt(fromV)._2.map(e => e.file -> e).toMap
     var eqBase: Seq[EqDelete] = eqAt(fromV)
+    // a type-widening commit flips the range's output schema: units
+    // emitted for versions before it would read int lanes into a long
+    // scan. Refuse the crossing range — split it at the widen version
+    // (the same honest bound incremental reads apply to eq-deletes).
+    (fromV + 1 to toV).foreach { v =>
+      val op = manifestAt(v)._1
+      require(!op.startsWith("widen("),
+        s"change range v$fromV..v$toV crosses a type-widening commit " +
+          s"(v$v: $op) — split the feed at v$v (read ..v${v} and v$v.. " +
+          "separately; each side is schema-consistent)")
+    }
     (fromV + 1 to toV).flatMap { v =>
       val (op, entries) = manifestAt(v)
       val cur = entries.map(e => e.file -> e).toMap
@@ -1750,7 +2051,8 @@ object GraftStore {
           def maskPrev(e: FileEntry) = eqBase.filter(e.addedv < _.seq)
           val removed = (base.keySet -- cur.keySet).toSeq.sorted
             .map(f => CdfUnit(f, base(f).cols, "delete", v,
-              applyDv = base(f).dv, maskEq = maskPrev(base(f))))
+              applyDv = base(f).dv, maskEq = maskPrev(base(f)),
+              narrow = base(f).narrow))
           // an added file masks the CURRENT deletes applicable to it:
           // none in the ordinary append (fresh files are stamped
           // exempt), but a restore/publish can re-add an OLD file whose
@@ -1758,14 +2060,15 @@ object GraftStore {
           val added = (cur.keySet -- base.keySet).toSeq.sorted
             .map(f => CdfUnit(f, cur(f).cols, "insert", v,
               applyDv = cur(f).dv,
-              maskEq = eqCur.filter(cur(f).addedv < _.seq)))
+              maskEq = eqCur.filter(cur(f).addedv < _.seq),
+              narrow = cur(f).narrow))
           // same file, grown deletion vector: emit ONLY the newly
           // deleted rows — the merge-on-read DELETE's change feed
           val dvGrown = (base.keySet & cur.keySet).toSeq.sorted
             .filter(f => base(f).dv != cur(f).dv)
             .map(f => CdfUnit(f, cur(f).cols, "delete", v,
               applyDv = cur(f).dv, baseDv = base(f).dv, dvDelta = true,
-              maskEq = maskPrev(cur(f))))
+              maskEq = maskPrev(cur(f)), narrow = cur(f).narrow))
           // an EQUALITY-DELETE commit (deleteByKey / upsertByKey)
           // mutates content with no entry diff: emit the OLD IMAGES —
           // for every carried file the new key sets apply to, the rows
@@ -1783,7 +2086,8 @@ object GraftStore {
               val applicable = newDels.filter(e.addedv < _.seq)
               if (applicable.isEmpty) None
               else Some(CdfUnit(f, e.cols, "delete", v, applyDv = e.dv,
-                maskEq = maskPrev(e), onlyEq = applicable))
+                maskEq = maskPrev(e), onlyEq = applicable,
+                narrow = e.narrow))
             }
           removed ++ added ++ dvGrown ++ eqDelta
         }
@@ -1808,8 +2112,14 @@ object GraftStore {
         schema.fieldIndex(c)
       }
       val tags = ords.map(i => schema.fields(i).dataType match {
-        case org.apache.spark.sql.types.IntegerType => 'I'.toByte
-        case org.apache.spark.sql.types.LongType => EqSet.TagLong
+        // date = int day count, timestamp = long micros in UnsafeRow —
+        // the probe reads the physical lane and the sidecar stores the
+        // same value, so both share the int/long codecs
+        case org.apache.spark.sql.types.IntegerType |
+             org.apache.spark.sql.types.DateType => 'I'.toByte
+        case org.apache.spark.sql.types.LongType |
+             org.apache.spark.sql.types.TimestampType |
+             org.apache.spark.sql.types.TimestampNTZType => EqSet.TagLong
         case org.apache.spark.sql.types.StringType => EqSet.TagString
         case other => throw new IllegalStateException(
           s"equality-delete key '${d.cols}' over unsupported type $other")
@@ -1930,9 +2240,12 @@ object GraftStore {
     packable.foreach { e =>
       val sz = new File(path, e.file).length()
       // mixed-arity files (pre/post ADD COLUMN) never share a bin: the
-      // byte concat would splice frames of different field counts
+      // byte concat would splice frames of different field counts.
+      // Mixed NARROW signatures (pre/post int->long widening) split the
+      // same way: one packed entry cannot describe two physical lanes
       if (bins.isEmpty || binBytes + sz > targetBytes ||
-          bins.last.head.cols != e.cols) {
+          bins.last.head.cols != e.cols ||
+          bins.last.head.narrow != e.narrow) {
         bins += scala.collection.mutable.ArrayBuffer(e); binBytes = sz
       } else { bins.last += e; binBytes += sz }
     }
@@ -1957,7 +2270,8 @@ object GraftStore {
     val rewritten = bins.zipWithIndex.map { case (bin, i) =>
       packed.get(i) match {
         case Some(rel) => FileEntry(rel, bin.map(_.rows).sum,
-          bin.map(_.stats).reduce(mergeStats(schema, _, _)), bin.head.cols)
+          bin.map(_.stats).reduce(mergeStats(schema, _, _)), bin.head.cols,
+          narrow = bin.head.narrow)
         case None => bin.head
       }
     }.toSeq ++ dvEntries
@@ -2200,7 +2514,8 @@ class GraftStore extends TableProvider {
   override def supportsExternalMetadata(): Boolean = true
 
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
-    val path = options.get("path")
+    val path = GraftStore.effectivePath(options.get("path"),
+      Option(options.get("branch")))
     require(path != null, "graft store requires a path option")
     // a change-feed read surfaces the schema AT `changesTo` plus the two
     // CDF columns (old files inside the range null-pad as usual)
@@ -2211,10 +2526,24 @@ class GraftStore extends TableProvider {
         GraftStore.cdfSchema(
           GraftStore.selectEntries(path, Some(toV), None)._1)
       case None =>
-        GraftStore.readManifest(path)
-          .map(_._1)
-          .getOrElse(throw new IllegalArgumentException(
-            s"no graft-store table at $path (missing ${GraftStore.ManifestName})"))
+        // a time-traveled read surfaces the schema AS OF that snapshot —
+        // what makes rename/widen evolution honest under time travel
+        // (the old name, the old type); content-only evolutions (add
+        // column) behaved identically either way via null-padding
+        Option(options.get("versionAsOf")) match {
+          case Some(spec) =>
+            val v = GraftStore.resolveVersionSpec(path, spec)
+            GraftStore.readManifestFile(
+              new java.io.File(path, s"${GraftStore.ManifestName}.v$v"))
+              .map(_._1)
+              .getOrElse(throw new IllegalArgumentException(
+                s"no snapshot v$v at $path (never committed, or expired)"))
+          case None =>
+            GraftStore.readManifest(path)
+              .map(_._1)
+              .getOrElse(throw new IllegalArgumentException(
+                s"no graft-store table at $path (missing ${GraftStore.ManifestName})"))
+        }
     }
   }
 
@@ -2224,17 +2553,22 @@ class GraftStore extends TableProvider {
     // caller (CaseInsensitiveStringMap lowercases keys)
     def opt(k: String): Option[String] =
       Option(properties.get(k)).orElse(Option(properties.get(k.toLowerCase)))
-    new GraftStoreTable(opt("path").orNull, schema,
+    // a `branch` option routes the ENTIRE table surface (reads, writes,
+    // time travel, CDF, DML) to the branch sub-table — a branch IS a
+    // table; see GraftStore.branchCreate. Every path-derived feature
+    // (tag resolution, partition spec) resolves against the branch.
+    val path = GraftStore.effectivePath(opt("path").orNull, opt("branch"))
+    new GraftStoreTable(path, schema,
       opt("clusterBy"), opt("sortBy"),
       opt("failFirstAttemptOf").map(_.toInt),
       opt("failAllAttemptsOf").map(_.toInt),
       // a non-numeric versionAsOf is a TAG name, resolved against _refs/
       opt("versionAsOf").map(v =>
-        GraftStore.resolveVersionSpec(opt("path").orNull, v)),
+        GraftStore.resolveVersionSpec(path, v)),
       opt("changesFrom").map(_.toLong),
       opt("changesTo").map(_.toLong),
       dataChange = !opt("dataChange").contains("false"),
-      partitionBy = opt("path").flatMap(GraftStore.readPartitionBy))
+      partitionBy = Option(path).flatMap(GraftStore.readPartitionBy))
   }
 }
 
@@ -2951,13 +3285,17 @@ class GraftStoreWrite(path: String, schema: StructType, truncateFirst: Boolean,
       rollOn = partitionTerms.map(t => (schema.fieldIndex(t.source), t)),
       txn = txn)
 
-  override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite = {
-    require(partitionBy.isEmpty,
-      "streaming writes to a PARTITIONED table are not supported — the " +
-        "epoch writer does not roll files per partition value; land the " +
-        "stream in an unpartitioned table and INSERT INTO ... SELECT")
-    new GraftStoreStreamingWrite(path, schema, truncateFirst)
-  }
+  override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite =
+    // partitioned tables compose with the epoch protocol (round 13):
+    // Spark applies this Write's requiredDistribution/requiredOrdering
+    // to micro-batches exactly as to batch plans, so rows reach tasks
+    // clustered+sorted on the partition terms and the SAME rolling
+    // writer produces per-cell files — epoch-tagged names keep replay
+    // cleanup exact, and the per-cell single-valued stats (min == max
+    // on partition columns by construction) keep pruning working on
+    // the streamed tail
+    new GraftStoreStreamingWrite(path, schema, truncateFirst,
+      rollOn = partitionTerms.map(t => (schema.fieldIndex(t.source), t)))
 }
 
 /** Streaming half of the sink: each micro-batch epoch commits through the
@@ -2977,26 +3315,34 @@ class GraftStoreWrite(path: String, schema: StructType, truncateFirst: Boolean,
   * requires. Output mode append = manifest grows per epoch; complete
   * (truncate) = each epoch's manifest lists that epoch's files only. */
 class GraftStoreStreamingWrite(path: String, schema: StructType,
-    truncateEachEpoch: Boolean)
+    truncateEachEpoch: Boolean,
+    rollOn: Seq[(Int, GraftStore.PartTerm)] = Seq.empty)
   extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
   import org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory
 
   override def createStreamingWriterFactory(
       info: PhysicalWriteInfo): StreamingDataWriterFactory =
-    new GraftStoreStreamingWriterFactory(path, schema)
+    new GraftStoreStreamingWriterFactory(path, schema, rollOn)
 
   override def useCommitCoordinator(): Boolean = true
+
+  // a partitioned-task commit carries one message per partition value
+  // the task wrote — flatten to the per-file grain every path below
+  // (entry building, replay cleanup, abort) operates on
+  private def flat(messages: Array[WriterCommitMessage]): Seq[GraftStoreCommitMessage] =
+    messages.toSeq.flatMap {
+      case m: GraftStoreCommitMessage => Seq(m)
+      case GraftStoreMultiMessage(parts) => parts
+    }
 
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
     val last = GraftStore.readEpoch(path)
     if (last.exists(_ >= epochId)) {
       // replayed epoch after recovery: already committed — drop the
       // redundant files, leave the manifest untouched (idempotence)
-      messages.foreach { case m: GraftStoreCommitMessage =>
-        new File(path, m.file).delete()
-      }
+      flat(messages).foreach(m => new File(path, m.file).delete())
     } else {
-      val committed = messages.toSeq.map { case m: GraftStoreCommitMessage =>
+      val committed = flat(messages).map { m =>
         GraftStore.FileEntry(m.file, m.rows, m.stats, m.cols)
       }
       val (base, existing) = GraftStore.readLatestVersioned(path)
@@ -3019,18 +3365,22 @@ class GraftStoreStreamingWrite(path: String, schema: StructType,
   }
 
   override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
-    messages.foreach {
-      case GraftStoreCommitMessage(f, _, _, _) => new File(path, f).delete()
-      case _ =>
-    }
+    flat(messages).foreach(m => new File(path, m.file).delete())
 }
 
-class GraftStoreStreamingWriterFactory(path: String, schema: StructType)
+class GraftStoreStreamingWriterFactory(path: String, schema: StructType,
+    rollOn: Seq[(Int, GraftStore.PartTerm)] = Seq.empty)
   extends org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long,
       epochId: Long): DataWriter[InternalRow] =
-    new GraftStoreDataWriter(path, schema, partitionId, taskId, None, None,
-      s"data/part-$partitionId-$taskId-e$epochId.bin")
+    if (rollOn.nonEmpty)
+      // per-partition-value rolling, epoch-stamped names: replayed or
+      // aborted epochs delete exactly their own files
+      new GraftStorePartitionedWriter(path, schema, partitionId, taskId,
+        rollOn, s"data/part-$partitionId-$taskId-e$epochId")
+    else
+      new GraftStoreDataWriter(path, schema, partitionId, taskId, None, None,
+        s"data/part-$partitionId-$taskId-e$epochId.bin")
 }
 
 case class GraftStoreCommitMessage(file: String, rows: Long,
@@ -4272,17 +4622,18 @@ class GraftStoreScan(path: String,
             sel.map(e => GraftStoreKeyedFilePartition(
               new File(path, e.file).getAbsolutePath,
               e.cols, e.file, keyTupleOf(e, keys), dvAbs(e),
-              eqRefsFor(e)): InputPartition).toArray
+              eqRefsFor(e), e.narrow): InputPartition).toArray
           case _ => spjBucket match {
             case Some(b) =>
               sel.map(e => GraftStoreKeyedFilePartition(
                 new File(path, e.file).getAbsolutePath,
                 e.cols, e.file, Seq(e.stats(b.statName).min.toInt),
-                dvAbs(e), eqRefsFor(e)): InputPartition).toArray
+                dvAbs(e), eqRefsFor(e), e.narrow): InputPartition).toArray
             case None =>
               sel.map(e =>
                 GraftStoreFilePartition(new File(path, e.file).getAbsolutePath,
-                  e.cols, e.file, dvAbs(e), eqRefsFor(e)): InputPartition).toArray
+                  e.cols, e.file, dvAbs(e), eqRefsFor(e),
+                  e.narrow): InputPartition).toArray
           }
         }
     }
@@ -4293,7 +4644,8 @@ class GraftStoreScan(path: String,
 
 case class GraftStoreFilePartition(absolutePath: String, cols: Int = -1,
     relPath: String = "", dvAbs: String = "",
-    eq: Seq[GraftStoreEqDelRef] = Seq.empty) extends InputPartition
+    eq: Seq[GraftStoreEqDelRef] = Seq.empty,
+    narrow: Seq[Int] = Seq.empty) extends InputPartition
 
 /** One applicable equality delete, reader-ready: the sidecar's absolute
   * path plus the key columns' ordinals and type tags in the scan
@@ -4307,7 +4659,8 @@ case class GraftStoreEqDelRef(abs: String, ords: Array[Int],
   * (multiple files may share a tuple — Spark groups them). */
 case class GraftStoreKeyedFilePartition(absolutePath: String, cols: Int,
     relPath: String, keys: Seq[Any], dvAbs: String = "",
-    eq: Seq[GraftStoreEqDelRef] = Seq.empty)
+    eq: Seq[GraftStoreEqDelRef] = Seq.empty,
+    narrow: Seq[Int] = Seq.empty)
   extends InputPartition
   with org.apache.spark.sql.connector.read.HasPartitionKey {
   override def partitionKey(): InternalRow =
@@ -4324,7 +4677,8 @@ case class GraftStoreCdfPartition(absolutePath: String, cols: Int,
     changeType: String, version: Long, applyDvAbs: String = "",
     baseDvAbs: String = "", dvDelta: Boolean = false,
     maskEq: Seq[GraftStoreEqDelRef] = Seq.empty,
-    onlyEq: Seq[GraftStoreEqDelRef] = Seq.empty) extends InputPartition
+    onlyEq: Seq[GraftStoreEqDelRef] = Seq.empty,
+    narrow: Seq[Int] = Seq.empty) extends InputPartition
 
 /** CHANGE DATA FEED scan (`changesFrom` / `changesTo` read options): the
   * row-level delta between two snapshots, emitted as the table's schema
@@ -4351,7 +4705,8 @@ class GraftStoreCdfScan(path: String, fromV: Long, toV: Long,
         if (u.baseDv.isEmpty) "" else new File(path, u.baseDv).getAbsolutePath,
         u.dvDelta,
         GraftStore.eqRefs(path, dataSchema, u.maskEq),
-        GraftStore.eqRefs(path, dataSchema, u.onlyEq)): InputPartition
+        GraftStore.eqRefs(path, dataSchema, u.onlyEq),
+        u.narrow): InputPartition
     }.toArray
   override def createReaderFactory(): PartitionReaderFactory =
     new GraftStoreReaderFactory(dataSchema.size)
@@ -4393,7 +4748,8 @@ class GraftStoreCdfMicroBatchStream(path: String, dataSchema: StructType,
         if (u.baseDv.isEmpty) "" else new File(path, u.baseDv).getAbsolutePath,
         u.dvDelta,
         GraftStore.eqRefs(path, dataSchema, u.maskEq),
-        GraftStore.eqRefs(path, dataSchema, u.onlyEq)): InputPartition
+        GraftStore.eqRefs(path, dataSchema, u.onlyEq),
+        u.narrow): InputPartition
     }.toArray
   }
 
@@ -4421,14 +4777,14 @@ class GraftStoreMicroBatchStream(path: String, numFields: Int,
   extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
   import org.apache.spark.sql.connector.read.streaming.Offset
 
-  private def filesAt(v: Long): Map[String, (Int, String)] =
+  private def filesAt(v: Long): Map[String, (Int, String, Seq[Int])] =
     if (v <= 0) Map.empty
     else GraftStore.readManifestFile(
       new File(path, s"${GraftStore.ManifestName}.v$v"))
       .getOrElse(throw new IllegalStateException(
         s"snapshot v$v at $path expired while a stream checkpoint still " +
           "references it — retain snapshots at least as long as readers"))
-      ._2.map(e => e.file -> (e.cols, e.dv)).toMap
+      ._2.map(e => e.file -> (e.cols, e.dv, e.narrow)).toMap
 
   override def initialOffset(): Offset = GraftVersionOffset(startVersion)
   override def deserializeOffset(json: String): Offset =
@@ -4447,6 +4803,17 @@ class GraftStoreMicroBatchStream(path: String, numFields: Int,
     // incremental read
     val removed = (base.keySet -- now.keySet) ++
       base.keySet.filter(f => now.get(f).exists(_._2 != base(f)._2))
+    // a type widening inside the range flips lanes under the stream's
+    // FIXED start-time schema (an int scan over a new long-lane file
+    // reads the low half) — refuse; restart the stream to pick up the
+    // widened schema
+    (s + 1 to e).foreach { v =>
+      val op = GraftStore.readOpOf(
+        new File(path, s"${GraftStore.ManifestName}.v$v"))
+      require(!op.startsWith("widen("),
+        s"stream batch v$s..v$e crosses a type-widening commit (v$v: " +
+          s"$op) — restart the stream to adopt the widened schema")
+    }
     def eqAt(v: Long) =
       if (v <= 0) Seq.empty
       else GraftStore.readEqDeletesOf(
@@ -4456,9 +4823,10 @@ class GraftStoreMicroBatchStream(path: String, numFields: Int,
         s"(${removed.size} base file(s) removed or delete-vectored, or " +
         "equality deletes changed) — tail a change feed " +
         "(changesFrom/changesTo batch reads) across deletes or rewrites")
-    (now -- base.keySet).toSeq.sortBy(_._1).map { case (f, (cols, dv)) =>
+    (now -- base.keySet).toSeq.sortBy(_._1).map { case (f, (cols, dv, narrow)) =>
       GraftStoreFilePartition(new File(path, f).getAbsolutePath, cols, f,
-        if (dv.isEmpty) "" else new File(path, dv).getAbsolutePath)
+        if (dv.isEmpty) "" else new File(path, dv).getAbsolutePath,
+        narrow = narrow)
         : InputPartition
     }.toArray
   }
@@ -4489,6 +4857,8 @@ class GraftStoreReaderFactory(scanFields: Int, withFileCol: Boolean = false,
     if (withPosCol && tail != null) tail.length - 1 else -1
   private def skipOf(dvAbs: String): java.util.BitSet =
     if (dvAbs == null || dvAbs.isEmpty) null else GraftStore.Dv.bitset(dvAbs)
+  private def narrowOf(n: Seq[Int]): Array[Int] =
+    if (n.isEmpty) null else n.toArray
 
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = p match {
     case GraftStoreMetaAggPartition(rows) =>
@@ -4500,7 +4870,7 @@ class GraftStoreReaderFactory(scanFields: Int, withFileCol: Boolean = false,
         override def close(): Unit = ()
       }
     case GraftStoreCdfPartition(abs, cols, changeType, version, applyDv,
-        baseDv, dvDelta, maskEq, onlyEq) =>
+        baseDv, dvDelta, maskEq, onlyEq, cdfNarrow) =>
       // change-feed partition: the ordinary file read, with the two CDF
       // columns riding the same constant-tail wrapper as `_file`. A
       // dv-delta partition inverts the mask: serve ONLY the newly
@@ -4517,13 +4887,14 @@ class GraftStoreReaderFactory(scanFields: Int, withFileCol: Boolean = false,
       new GraftStoreFileReader(abs, fileFields, scanFields,
         Array[Any](UTF8String.fromString(changeType), version),
         skipDv = skip, onlyDv = only,
-        eqProbes = probesOf(maskEq), onlyEqProbes = probesOf(onlyEq))
+        eqProbes = probesOf(maskEq), onlyEqProbes = probesOf(onlyEq),
+        narrowOrds = narrowOf(cdfNarrow))
     case kp: GraftStoreKeyedFilePartition =>
       val fileFields = if (kp.cols > 0) kp.cols else scanFields
       val tail = consts(kp.relPath)
       new GraftStoreFileReader(kp.absolutePath, fileFields, scanFields,
         tail, skipDv = skipOf(kp.dvAbs), posSlot = posSlot(tail),
-        eqProbes = probesOf(kp.eq))
+        eqProbes = probesOf(kp.eq), narrowOrds = narrowOf(kp.narrow))
     case fp: GraftStoreFilePartition =>
       // a file written before an ADD COLUMN carries fewer fields than the
       // scan schema: parse at its own arity (UnsafeRow layout bakes the
@@ -4532,7 +4903,7 @@ class GraftStoreReaderFactory(scanFields: Int, withFileCol: Boolean = false,
       val tail = consts(fp.relPath)
       new GraftStoreFileReader(fp.absolutePath, fileFields, scanFields,
         tail, skipDv = skipOf(fp.dvAbs), posSlot = posSlot(tail),
-        eqProbes = probesOf(fp.eq))
+        eqProbes = probesOf(fp.eq), narrowOrds = narrowOf(fp.narrow))
   }
 
   /** Resolve eq-del refs to (parsed set, ordinals, tags) — the sets load
@@ -4548,7 +4919,8 @@ class GraftStoreFileReader(file: String, numFields: Int, scanFields: Int,
     tailVals: Array[Any] = null, skipDv: java.util.BitSet = null,
     onlyDv: java.util.BitSet = null, posSlot: Int = -1,
     eqProbes: Array[(java.util.HashSet[String], Array[Int], Array[Byte])] = null,
-    onlyEqProbes: Array[(java.util.HashSet[String], Array[Int], Array[Byte])] = null)
+    onlyEqProbes: Array[(java.util.HashSet[String], Array[Int], Array[Byte])] = null,
+    narrowOrds: Array[Int] = null)
   extends PartitionReader[InternalRow] {
   def this(file: String, numFields: Int) = this(file, numFields, numFields)
 
@@ -4595,6 +4967,7 @@ class GraftStoreFileReader(file: String, numFields: Int, scanFields: Int,
   }
   private val in = new DataInputStream(
     new BufferedInputStream(new FileInputStream(file)))
+  private val widenRow = if (narrowOrds == null) null else new UnsafeRow(numFields)
   private val row = new UnsafeRow(numFields)
   // appended-column padding and the constant metadata columns (`_file`,
   // or the CDF pair) share one JoinedRow(dataRow, tail) wrapper — zero
@@ -4633,6 +5006,21 @@ class GraftStoreFileReader(file: String, numFields: Int, scanFields: Int,
         catch { case _: java.io.EOFException => return false }
       current = new Array[Byte](len)
       in.readFully(current)
+      // widened-lane fix-up (schema evolved int -> long after this file
+      // was written): every fixed-width UnsafeRow slot is 8 bytes with
+      // the int in the low half, so sign-extend IN PLACE — downstream
+      // consumers (codegen, eq-delete probes tagged from the long
+      // schema, sorts) then see a true long lane, no wrapper row
+      if (narrowOrds != null) {
+        widenRow.pointTo(current, current.length)
+        var j = 0
+        while (j < narrowOrds.length) {
+          val o = narrowOrds(j)
+          if (o < numFields && !widenRow.isNullAt(o))
+            widenRow.setLong(o, widenRow.getInt(o).toLong)
+          j += 1
+        }
+      }
       pos += 1
       val p = pos.toInt
       val emit =

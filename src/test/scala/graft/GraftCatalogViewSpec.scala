@@ -1,0 +1,86 @@
+package graft
+
+import java.io.File
+
+/** ViewCatalog (round 13): `CREATE VIEW cat.v AS SELECT …` through
+  * Spark 4's native ViewCatalog API — SQL text + capture context in a
+  * `_view` sidecar, late-bound resolution at read time. */
+class GraftCatalogViewSpec extends SparkSuite {
+
+  // view DDL/resolution rides GraftExtensions (hint-batch rule) — a
+  // plain newSession has no extension hook, so build a real extension
+  // session on the shared context (GraftExtensionsSpec pattern)
+  private lazy val extSession: org.apache.spark.sql.SparkSession = {
+    spark // force the shared context first
+    org.apache.spark.sql.SparkSession.builder()
+      .master("local[4]")
+      .withExtensions(new GraftExtensions())
+      .config("spark.sql.shuffle.partitions", "4")
+      .create()
+  }
+
+  private def freshCat(tag: String): (org.apache.spark.sql.SparkSession, String) = {
+    val s2 = extSession
+    val root = graft.ops.Util.managedTempDir(s"graft_viewspec_${tag}_")
+    s2.conf.set(s"spark.sql.catalog.gv$tag", "graft.sources.GraftCatalog")
+    s2.conf.set(s"spark.sql.catalog.gv$tag.root", root)
+    (s2, root)
+  }
+
+  test("view lifecycle: create, late-bound read, nested view, drop") {
+    val (s2, root) = freshCat("life")
+    s2.range(0, 100).selectExpr("id", "id % 4 AS g")
+      .createOrReplaceTempView("vsrc")
+    s2.sql("CREATE TABLE gvlife.t AS SELECT * FROM vsrc WHERE id < 50")
+    s2.sql("CREATE VIEW gvlife.agg AS SELECT g, count(*) AS n, sum(id) AS s FROM gvlife.t GROUP BY g")
+    assert(s2.sql("SELECT sum(n) FROM gvlife.agg").head.getLong(0) == 50)
+    // LATE BINDING: new rows appear in the view with zero refresh
+    s2.sql("INSERT INTO gvlife.t SELECT * FROM vsrc WHERE id >= 50")
+    assert(s2.sql("SELECT sum(n) FROM gvlife.agg").head.getLong(0) == 100)
+    // nested view resolves through the same path
+    s2.sql("CREATE VIEW gvlife.top AS SELECT g, n FROM gvlife.agg WHERE n >= 25")
+    assert(s2.sql("SELECT count(*) FROM gvlife.top").head.getLong(0) == 4)
+    // storage shape: one _view sidecar, no manifest
+    assert(new File(s"$root/agg/_view").isFile)
+    assert(!new File(s"$root/agg/_manifest").exists())
+    s2.sql("DROP VIEW gvlife.top")
+    intercept[Exception](s2.sql("SELECT * FROM gvlife.top").collect())
+    assert(s2.sql("SELECT sum(n) FROM gvlife.agg").head.getLong(0) == 100,
+      "dropping a dependent view must not disturb its base view")
+  }
+
+  test("SHOW VIEWS lists, ALTER VIEW SET properties persists, rename moves") {
+    val (s2, root) = freshCat("meta")
+    s2.sql("CREATE TABLE gvmeta.t AS SELECT 1 AS a")
+    s2.sql("CREATE VIEW gvmeta.v1 AS SELECT a FROM gvmeta.t")
+    s2.sql("CREATE VIEW gvmeta.v2 AS SELECT a + 1 AS b FROM gvmeta.t")
+    val shown = s2.sql("SHOW VIEWS IN gvmeta").collect()
+      .map(_.getString(1)).sorted.toSeq
+    assert(shown == Seq("v1", "v2"), s"got $shown")
+    s2.sql("ALTER VIEW gvmeta.v1 SET TBLPROPERTIES ('owner.team' = 'data')")
+    // read the persisted property back through the ViewCatalog API
+    // (SHOW TBLPROPERTIES has no v2-view resolution in vanilla Spark)
+    val cat = s2.sessionState.catalogManager.catalog("gvmeta")
+      .asInstanceOf[graft.sources.GraftCatalog]
+    val vid = org.apache.spark.sql.connector.catalog.Identifier
+      .of(Array.empty, "v1")
+    assert(cat.loadView(vid).properties().get("owner.team") == "data")
+    s2.sql("ALTER VIEW gvmeta.v1 RENAME TO gvmeta.v1b")
+    assert(s2.sql("SELECT a FROM gvmeta.v1b").head.getInt(0) == 1)
+    intercept[Exception](s2.sql("SELECT a FROM gvmeta.v1").collect())
+    assert(new File(s"$root/v1b/_view").isFile)
+  }
+
+  test("refusals: duplicate view, view named like a table, table named like a view") {
+    val (s2, _) = freshCat("ref")
+    s2.sql("CREATE TABLE gvref.t AS SELECT 1 AS a")
+    s2.sql("CREATE VIEW gvref.v AS SELECT a FROM gvref.t")
+    intercept[Exception](
+      s2.sql("CREATE VIEW gvref.v AS SELECT a FROM gvref.t"))
+    intercept[Exception](
+      s2.sql("CREATE VIEW gvref.t AS SELECT a FROM gvref.t"))
+    // CREATE OR REPLACE is the sanctioned overwrite
+    s2.sql("CREATE OR REPLACE VIEW gvref.v AS SELECT a + 41 AS a FROM gvref.t")
+    assert(s2.sql("SELECT a FROM gvref.v").head.getInt(0) == 42)
+  }
+}

@@ -1,0 +1,175 @@
+package graft
+
+import java.io.File
+
+import graft.sources.GraftStore
+
+/** Named writable branches (round 13): `branchCreate` forks a
+  * hard-linked, lineage-continuing clone under `_branches/<name>/`;
+  * reads/writes route via `.option("branch", name)`; `fastForward`
+  * publishes the branch tip to main in one atomic commit under the
+  * Iceberg ancestor contract. The squash of post-fork addedv/eq-seq
+  * stamps at publish — and its one documented refusal shape — is what
+  * keeps equality-delete semantics exact across the graft. */
+class GraftStoreBranchSpec extends SparkSuite {
+
+  private def fresh(tag: String, rows: Long = 100): String = {
+    val root = graft.ops.Util.managedTempDir(s"graft_br_${tag}_")
+    val t = s"$root/t"
+    spark.range(0, rows, 1, 2).selectExpr("id AS k", "id * 10 AS v")
+      .write.format("graft.sources.GraftStore").option("path", t)
+      .mode("overwrite").save()
+    t
+  }
+
+  private def readT(path: String, branch: Option[String] = None) = {
+    val r = spark.read.format("graft.sources.GraftStore").option("path", path)
+    branch.foreach(b => r.option("branch", b))
+    r.load()
+  }
+
+  test("branch writes are invisible to main until fast-forward; publish makes main content-identical") {
+    import spark.implicits._
+    val t = fresh("iso")
+    GraftStore.branchCreate(t, "audit")
+    spark.range(100, 150).selectExpr("id AS k", "id * 10 AS v")
+      .write.format("graft.sources.GraftStore").option("path", t)
+      .option("branch", "audit").mode("append").save()
+    assert(readT(t).count() == 100, "main must not see staged writes")
+    assert(readT(t, Some("audit")).count() == 150)
+    val v = GraftStore.fastForward(t, "audit")
+    assert(readT(t).count() == 150)
+    // hash-level identity, not just counts
+    assert(readT(t).agg(org.apache.spark.sql.functions.sum($"v"))
+      .collect()(0).getLong(0) == (0L until 150L).map(_ * 10).sum)
+    // publish is in the history as its own op
+    assert(GraftStore.readOpOf(new File(t, s"_manifest.v$v"))
+      .startsWith("fastForward("))
+  }
+
+  test("diverged main refuses fast-forward; a fresh branch from the new head succeeds") {
+    val t = fresh("div")
+    GraftStore.branchCreate(t, "audit")
+    spark.range(100, 110).selectExpr("id AS k", "id * 10 AS v")
+      .write.format("graft.sources.GraftStore").option("path", t)
+      .option("branch", "audit").mode("append").save()
+    // main commits AFTER the fork — no longer an ancestor
+    spark.range(500, 505).selectExpr("id AS k", "id * 10 AS v")
+      .write.format("graft.sources.GraftStore").option("path", t)
+      .mode("append").save()
+    val e = intercept[IllegalArgumentException] {
+      GraftStore.fastForward(t, "audit")
+    }
+    assert(e.getMessage.contains("no longer an ancestor"))
+    // re-branch from the current head and the cycle completes
+    GraftStore.branchDelete(t, "audit")
+    GraftStore.branchCreate(t, "audit")
+    spark.range(100, 110).selectExpr("id AS k", "id * 10 AS v")
+      .write.format("graft.sources.GraftStore").option("path", t)
+      .option("branch", "audit").mode("append").save()
+    GraftStore.fastForward(t, "audit")
+    assert(readT(t).count() == 115)
+  }
+
+  test("one long-lived branch serves repeated cycles: fork marker advances at publish") {
+    val t = fresh("cycle")
+    GraftStore.branchCreate(t, "audit")
+    (1 to 3).foreach { i =>
+      spark.range(100L * i, 100L * i + 10)
+        .selectExpr("id AS k", "id * 10 AS v")
+        .write.format("graft.sources.GraftStore").option("path", t)
+        .option("branch", "audit").mode("append").save()
+      GraftStore.fastForward(t, "audit")
+      assert(readT(t).count() == 100 + 10L * i)
+    }
+    assert(GraftStore.branchList(t) == Seq("audit"))
+  }
+
+  test("a typo'd branch name refuses on read and write instead of creating a table") {
+    val t = fresh("typo")
+    GraftStore.branchCreate(t, "audit")
+    val e = intercept[Exception] {
+      readT(t, Some("audti")).count()
+    }
+    assert(e.getMessage.contains("no branch 'audti'"))
+    val e2 = intercept[Exception] {
+      spark.range(0, 1).selectExpr("id AS k", "id AS v")
+        .write.format("graft.sources.GraftStore").option("path", t)
+        .option("branch", "audti").mode("append").save()
+    }
+    assert(e2.getMessage.contains("no branch 'audti'"))
+    // and the typo left no debris behind
+    assert(GraftStore.branchList(t) == Seq("audit"))
+  }
+
+  test("branch-side DML: MOR delete on the branch stays on the branch; publish carries the DV") {
+    import spark.implicits._
+    val t = fresh("dml")
+    GraftStore.branchCreate(t, "wap")
+    GraftStore.deleteWhereDV(spark, GraftStore.branchPath(t, "wap"),
+      $"k" < 10)
+    assert(readT(t).count() == 100)
+    assert(readT(t, Some("wap")).count() == 90)
+    GraftStore.fastForward(t, "wap")
+    assert(readT(t).count() == 90)
+  }
+
+  test("equality deletes across the fork: pre-fork delete publishes exactly; post-fork upsert stays exempt after squash") {
+    import spark.implicits._
+    val t = fresh("eq")
+    // pre-fork eq delete on MAIN, carried into the branch at fork
+    GraftStore.deleteByKey(spark, t, Seq(1L, 2L).toDF("k"))
+    GraftStore.branchCreate(t, "b")
+    // post-fork upsert ON THE BRANCH: deletes k=5..9's old rows and
+    // appends replacements exempt from their own delete
+    GraftStore.upsertByKey(spark, GraftStore.branchPath(t, "b"), Seq("k"),
+      spark.range(5, 10).selectExpr("id AS k", "id * 10 + 7 AS v"))
+    assert(readT(t, Some("b")).count() == 98)
+    GraftStore.fastForward(t, "b")
+    assert(readT(t).count() == 98, "squash must keep upsert rows exempt")
+    assert(readT(t).filter($"k" === 5L).select($"v")
+      .collect()(0).getLong(0) == 57L)
+    assert(readT(t).filter($"k" < 3 && $"k" > 0).count() == 0,
+      "pre-fork deletes stay applied after publish")
+  }
+
+  test("the unsound squash shape refuses: post-fork file predating a post-fork eq-delete; purgeDeletes is the remedy") {
+    import spark.implicits._
+    val t = fresh("hazard")
+    GraftStore.branchCreate(t, "b")
+    val bp = GraftStore.branchPath(t, "b")
+    // addedv stamping only happens while a delete is live, so the hazard
+    // needs: delete → append (stamped addedv) → LATER delete hitting the
+    // appended rows. Squashing all three into one publish version would
+    // leave addedv == seq and the strict `<` would exempt (resurrect)
+    // the appended rows the second delete killed on the branch.
+    GraftStore.deleteByKey(spark, bp, Seq(0L).toDF("k"))
+    spark.range(200, 210).selectExpr("id AS k", "id AS v")
+      .write.format("graft.sources.GraftStore").option("path", bp)
+      .mode("append").save()
+    GraftStore.deleteByKey(spark, bp, Seq(205L).toDF("k"))
+    assert(readT(t, Some("b")).count() == 108)
+    val e = intercept[IllegalArgumentException] {
+      GraftStore.fastForward(t, "b")
+    }
+    assert(e.getMessage.contains("purgeDeletes"))
+    GraftStore.purgeDeletes(spark, bp)
+    GraftStore.fastForward(t, "b")
+    assert(readT(t).count() == 108)
+    assert(readT(t).filter($"k" === 205L || $"k" === 0L).count() == 0)
+  }
+
+  test("branch is GC-independent: expiring main snapshots never breaks the branch (hard links)") {
+    val t = fresh("gc")
+    GraftStore.branchCreate(t, "keep")
+    // main: overwrite (drops old files from the current snapshot), then
+    // expire history so main's old data files are GC'd
+    spark.range(0, 5).selectExpr("id AS k", "id AS v")
+      .write.format("graft.sources.GraftStore").option("path", t)
+      .mode("overwrite").save()
+    GraftStore.expireSnapshots(t, keepLast = 1, graceMs = 0L)
+    assert(readT(t).count() == 5)
+    assert(readT(t, Some("keep")).count() == 100,
+      "branch reads its own hard links regardless of main GC")
+  }
+}

@@ -247,4 +247,93 @@ class GraftStoreEqDeleteSpec extends SparkSuite {
     assert(changes(t, v2, v3) ==
       Set(("delete", v3, 0L, 0L), ("delete", v3, 1L, 10L), ("delete", v3, 2L, 20L)))
   }
+
+  // ------------------------------- temporal key codecs (round 13)
+
+  private def freshTemporal(tag: String): String = {
+    import spark.implicits._
+    val root = graft.ops.Util.managedTempDir(s"graft_eqd_${tag}_")
+    val t = s"$root/t"
+    // 100 rows over 10 days × 10 users; d = DATE, ts = TIMESTAMP (NTZ
+    // session parquet round-trips as TZ here — we build in-memory so the
+    // column types are exactly DateType / TimestampType)
+    spark.range(0, 100, 1, 4).selectExpr(
+      "id AS k",
+      "date_add(DATE'2024-01-01', CAST(id % 10 AS INT)) AS d",
+      "timestamp_seconds(1704067200 + id * 3600) AS ts",
+      "id * 10 AS v")
+      .write.format("graft.sources.GraftStore").option("path", t)
+      .mode("overwrite").save()
+    t
+  }
+
+  test("temporal keys: date composite and timestamp-only deletes hide exactly; sidecar rides the physical lanes") {
+    import spark.implicits._
+    val t = freshTemporal("tkeys")
+    // composite (k, date): BOTH columns must match — key (5, its real
+    // day) kills exactly row 5; key (6, a day row 6 does not carry)
+    // kills nothing. This is what separates a composite probe from a
+    // k-only one.
+    val keys = Seq(
+      (5L, java.sql.Date.valueOf("2024-01-06")),  // k=5 -> d = 01-01 + 5
+      (6L, java.sql.Date.valueOf("2024-01-01"))   // k=6 really has 01-07
+    ).toDF("k", "d")
+    val v = GraftStore.deleteByKey(spark, t, keys)
+    val eqs = GraftStore.readEqDeletesOf(new File(t, s"_manifest.v$v"))
+    assert(eqs.nonEmpty && eqs.forall(_.cols == Seq("k", "d")))
+    assert(readT(t).filter($"k" === 5L).count() == 0, "matching pair dies")
+    assert(readT(t).filter($"k" === 6L).count() == 1, "half-match survives")
+    assert(readT(t).count() == 99)
+    // timestamp-only delete: kill the first 5 hours
+    val tsKeys = spark.range(0, 5)
+      .selectExpr("timestamp_seconds(1704067200 + id * 3600) AS ts")
+    GraftStore.deleteByKey(spark, t, tsKeys)
+    assert(readT(t).filter($"k" < 5).count() == 0)
+    assert(readT(t).count() == 94)
+  }
+
+  test("temporal keys: mistyped frames refused — date vs int, TZ vs NTZ, date vs timestamp") {
+    import spark.implicits._
+    val t = freshTemporal("trefuse")
+    // a long frame against the date column
+    val e1 = intercept[IllegalArgumentException] {
+      GraftStore.deleteByKey(spark, t, Seq(0L).toDF("d"))
+    }
+    assert(e1.getMessage.contains("cast the key set first"))
+    // an NTZ frame against the TZ timestamp column
+    val e2 = intercept[IllegalArgumentException] {
+      GraftStore.deleteByKey(spark, t,
+        spark.range(0, 1).selectExpr(
+          "CAST(timestamp_seconds(1704067200) AS TIMESTAMP_NTZ) AS ts"))
+    }
+    assert(e2.getMessage.contains("cast the key set first"))
+    // a date frame against the timestamp column
+    val e3 = intercept[IllegalArgumentException] {
+      GraftStore.deleteByKey(spark, t,
+        spark.range(0, 1).selectExpr("DATE'2024-01-01' AS ts"))
+    }
+    assert(e3.getMessage.contains("cast the key set first"))
+  }
+
+  test("temporal keys: upsert keyed (long, timestamp) revives its own rows; purge folds") {
+    import spark.implicits._
+    val t = freshTemporal("tupsert")
+    // delete rows 0..9 by timestamp, then upsert rows 0..4 back with new v
+    GraftStore.deleteByKey(spark, t, spark.range(0, 10)
+      .selectExpr("timestamp_seconds(1704067200 + id * 3600) AS ts"))
+    assert(readT(t).count() == 90)
+    GraftStore.upsertByKey(spark, t, Seq("k", "ts"), spark.range(0, 5)
+      .selectExpr("id AS k",
+        "date_add(DATE'2024-01-01', CAST(id % 10 AS INT)) AS d",
+        "timestamp_seconds(1704067200 + id * 3600) AS ts",
+        "id * 10 + 7 AS v"))
+    assert(readT(t).count() == 95)
+    assert(readT(t).filter($"k" < 5).agg(
+      org.apache.spark.sql.functions.sum($"v")).collect()(0).getLong(0)
+      == (0 until 5).map(_ * 10 + 7).sum)
+    GraftStore.purgeDeletes(spark, t)
+    assert(GraftStore.readEqDeletesOf(
+      new File(t, "_manifest")).isEmpty)
+    assert(readT(t).count() == 95)
+  }
 }

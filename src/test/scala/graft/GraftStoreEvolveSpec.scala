@@ -1,0 +1,217 @@
+package graft
+
+import java.io.File
+
+import graft.sources.GraftStore
+
+/** Column RENAME and int->long WIDENING (round 13) — the two schema
+  * evolutions beyond add-nullable-at-end, both metadata-only:
+  *
+  * RENAME needs no field ids because data files are positional
+  * (length-framed UnsafeRow bytes); what it must remap is every
+  * NAME-KEYED metadata consumer — per-entry stats keys (pruning),
+  * equality-delete key lists (the probe), the partition spec. WIDEN
+  * rides UnsafeRow's layout: every fixed-width slot is 8 bytes, so a
+  * physically-int lane is sign-extended IN PLACE by the reader on files
+  * the manifest marks `narrow` — no wrapper row, no copy hazards.
+  */
+class GraftStoreEvolveSpec extends SparkSuite {
+
+  private def readT(path: String, versionAsOf: Long = -1L) = {
+    val r = spark.read.format("graft.sources.GraftStore").option("path", path)
+    if (versionAsOf >= 0) r.option("versionAsOf", versionAsOf.toString)
+    r.load()
+  }
+
+  private def dataBytes(path: String): Map[String, (Long, Long)] =
+    Option(new File(path, "data").listFiles()).getOrElse(Array.empty)
+      .map(f => f.getName -> (f.lastModified(), f.length())).toMap
+
+  // ----------------------------------------------------------- rename
+
+  test("rename: metadata-only, reads under the new name, stats keys remapped so pruning still fires") {
+    import spark.implicits._
+    val root = graft.ops.Util.managedTempDir("graft_ev_ren_")
+    val t = s"$root/t"
+    spark.range(0, 1000, 1, 4).selectExpr("id AS a", "id * 2 AS b")
+      .repartitionByRange(4, $"a")
+      .write.format("graft.sources.GraftStore").option("path", t)
+      .mode("overwrite").save()
+    val before = dataBytes(t)
+    val v1 = GraftStore.readVersion(t)
+    GraftStore.renameColumn(t, "a", "key")
+    assert(dataBytes(t) == before, "rename must not touch data files")
+    assert(readT(t).schema.fieldNames.toSeq == Seq("key", "b"))
+    assert(readT(t).filter($"key" === 7L).count() == 1)
+    // stats keys followed the rename: pruning fires on the NEW name
+    import org.apache.spark.sql.sources.LessThan
+    val pruned = new graft.sources.GraftStoreScan(t,
+      Array(LessThan("key", 250L)))
+    assert(pruned.planInputPartitions().length == 1,
+      "renamed column's stats must keep pruning")
+    // time travel to the pre-rename snapshot reads the OLD name
+    assert(readT(t, versionAsOf = v1).schema.fieldNames.toSeq == Seq("a", "b"))
+    // refusals
+    intercept[IllegalArgumentException](GraftStore.renameColumn(t, "nope", "x"))
+    intercept[IllegalArgumentException](GraftStore.renameColumn(t, "key", "b"))
+    intercept[IllegalArgumentException](GraftStore.renameColumn(t, "key", "w=t"))
+  }
+
+  test("rename: live equality-delete key lists follow; partition spec sources follow") {
+    import spark.implicits._
+    val root = graft.ops.Util.managedTempDir("graft_ev_reneq_")
+    val t = s"$root/t"
+    spark.range(0, 100, 1, 2).selectExpr("id AS a", "id AS v")
+      .write.format("graft.sources.GraftStore").option("path", t)
+      .mode("overwrite").save()
+    GraftStore.deleteByKey(spark, t, Seq(3L, 4L).toDF("a"))
+    assert(readT(t).count() == 98)
+    GraftStore.renameColumn(t, "a", "key")
+    // the delete still applies, keyed through the renamed column
+    assert(readT(t).count() == 98)
+    assert(readT(t).filter($"key" === 3L).count() == 0)
+    // partitioned table: the spec file follows the rename
+    val s2 = spark.newSession()
+    val root2 = graft.ops.Util.managedTempDir("graft_ev_renpart_")
+    s2.conf.set("spark.sql.catalog.gevr", "graft.sources.GraftCatalog")
+    s2.conf.set("spark.sql.catalog.gevr.root", root2)
+    s2.range(0, 100).selectExpr("id", "id % 4 AS cell")
+      .createOrReplaceTempView("ev_src")
+    s2.sql("CREATE TABLE gevr.t PARTITIONED BY (cell) AS SELECT * FROM ev_src")
+    s2.sql("ALTER TABLE gevr.t RENAME COLUMN cell TO shard")
+    assert(GraftStore.readPartitionBy(s"$root2/t").contains("shard"))
+    // appends keep rolling per value under the new name
+    s2.sql("INSERT INTO gevr.t SELECT id + 100 AS id, id % 4 AS shard FROM ev_src")
+    GraftStore.readManifest(s"$root2/t").get._2.foreach { e =>
+      val st = e.stats("shard")
+      assert(st.min == st.max, s"${e.file} spans shard")
+    }
+  }
+
+  // ----------------------------------------------------------- widen
+
+  test("widen int->long: metadata-only, old int lanes sign-extend, new files carry longs, time travel reads int") {
+    import spark.implicits._
+    val root = graft.ops.Util.managedTempDir("graft_ev_wid_")
+    val t = s"$root/t"
+    // negative values pin sign extension; nulls pin the null path
+    spark.range(0, 100, 1, 2)
+      .selectExpr("CAST(id - 50 AS INT) AS n",
+        "CASE WHEN id % 10 = 0 THEN CAST(NULL AS INT) ELSE CAST(id AS INT) END AS m",
+        "id AS v")
+      .write.format("graft.sources.GraftStore").option("path", t)
+      .mode("overwrite").save()
+    val before = dataBytes(t)
+    val v1 = GraftStore.readVersion(t)
+    GraftStore.widenColumn(t, "n")
+    assert(dataBytes(t) == before, "widen must not touch data files")
+    val sch = readT(t).schema
+    assert(sch("n").dataType == org.apache.spark.sql.types.LongType)
+    assert(sch("m").dataType == org.apache.spark.sql.types.IntegerType)
+    // old files read correctly, negatives included
+    assert(readT(t).agg(org.apache.spark.sql.functions.sum($"n"))
+      .collect()(0).getLong(0) == (0L until 100L).map(_ - 50).sum)
+    assert(readT(t).filter($"n" === -50L).count() == 1)
+    // a post-widen append carries values beyond Int range
+    spark.range(0, 3, 1, 1)
+      .selectExpr("id + 3000000000 AS n", "CAST(1 AS INT) AS m", "id AS v")
+      .write.format("graft.sources.GraftStore").option("path", t)
+      .mode("append").save()
+    assert(readT(t).filter($"n" > 2999999999L).count() == 3)
+    assert(readT(t).count() == 103)
+    // mixed old+new aggregate is exact
+    assert(readT(t).agg(org.apache.spark.sql.functions.sum($"n"))
+      .collect()(0).getLong(0) ==
+      (0L until 100L).map(_ - 50).sum + (0L until 3L).map(_ + 3000000000L).sum)
+    // time travel reads the pre-widen schema (int)
+    assert(readT(t, versionAsOf = v1).schema("n").dataType ==
+      org.apache.spark.sql.types.IntegerType)
+    // stats survived: pruning on the widened column still fires
+    import org.apache.spark.sql.sources.GreaterThan
+    val pruned = new graft.sources.GraftStoreScan(t,
+      Array(GreaterThan("n", 2000000000L)))
+    assert(pruned.planInputPartitions().length == 1,
+      "widened column's int-era stats must still prune")
+    // refusals: long column, double column
+    intercept[IllegalArgumentException](GraftStore.widenColumn(t, "n"))
+    intercept[IllegalArgumentException](GraftStore.widenColumn(t, "v"))
+  }
+
+  test("widen: equality deletes keyed long hit old int files; OPTIMIZE never mixes lane signatures") {
+    import spark.implicits._
+    val root = graft.ops.Util.managedTempDir("graft_ev_wideq_")
+    val t = s"$root/t"
+    spark.range(0, 100, 1, 2).selectExpr("CAST(id AS INT) AS k", "id AS v")
+      .write.format("graft.sources.GraftStore").option("path", t)
+      .mode("overwrite").save()
+    GraftStore.widenColumn(t, "k")
+    // the key frame is typed from the CURRENT schema (long); the probe
+    // reads the widened lane, so old int files match
+    GraftStore.deleteByKey(spark, t, Seq(7L, 8L).toDF("k"))
+    assert(readT(t).count() == 98)
+    assert(readT(t).filter($"k" === 7L).count() == 0)
+    GraftStore.purgeDeletes(spark, t)
+    assert(readT(t).count() == 98)
+    // OPTIMIZE with mixed narrow signatures: old (narrow) and new
+    // (native-long) small files must not share a bin
+    spark.range(100, 200, 1, 2).selectExpr("id AS k", "id AS v")
+      .write.format("graft.sources.GraftStore").option("path", t)
+      .mode("append").save()
+    GraftStore.compact(spark, t, targetBytes = Long.MaxValue)
+    val entries = GraftStore.readManifest(t).get._2
+    assert(readT(t).count() == 198)
+    assert(readT(t).agg(org.apache.spark.sql.functions.sum($"k"))
+      .collect()(0).getLong(0) ==
+      (0L until 100L).filterNot(k => k == 7 || k == 8).sum + (100L until 200L).sum)
+    // every packed entry keeps one coherent lane signature
+    entries.foreach { e =>
+      assert(e.narrow.isEmpty || e.narrow == Seq(0),
+        s"${e.file} carries a mixed narrow signature: ${e.narrow}")
+    }
+  }
+
+  test("widen: change feeds and stream tails refuse to cross the widening commit") {
+    import spark.implicits._
+    val root = graft.ops.Util.managedTempDir("graft_ev_widcdf_")
+    val t = s"$root/t"
+    spark.range(0, 10).selectExpr("CAST(id AS INT) AS k")
+      .write.format("graft.sources.GraftStore").option("path", t)
+      .mode("overwrite").save() // v1
+    GraftStore.widenColumn(t, "k") // v2
+    spark.range(10, 20).selectExpr("id AS k")
+      .write.format("graft.sources.GraftStore").option("path", t)
+      .mode("append").save() // v3
+    val e = intercept[Exception] {
+      spark.read.format("graft.sources.GraftStore").option("path", t)
+        .option("changesFrom", "0").load().count()
+    }
+    assert(e.getMessage.contains("widening"), e.getMessage)
+    // each side of the split reads fine
+    assert(spark.read.format("graft.sources.GraftStore").option("path", t)
+      .option("changesFrom", "0").option("changesTo", "1").load().count() == 10)
+    assert(spark.read.format("graft.sources.GraftStore").option("path", t)
+      .option("changesFrom", "2").load().count() == 10)
+  }
+
+  test("SQL surface: ALTER TABLE RENAME COLUMN and ALTER COLUMN TYPE BIGINT route through the catalog") {
+    val s2 = spark.newSession()
+    val root = graft.ops.Util.managedTempDir("graft_ev_sql_")
+    s2.conf.set("spark.sql.catalog.gevo", "graft.sources.GraftCatalog")
+    s2.conf.set("spark.sql.catalog.gevo.root", root)
+    s2.range(0, 50).selectExpr("CAST(id AS INT) AS a", "id AS b")
+      .createOrReplaceTempView("evo_src")
+    s2.sql("CREATE TABLE gevo.t AS SELECT * FROM evo_src")
+    s2.sql("ALTER TABLE gevo.t RENAME COLUMN a TO a2")
+    s2.sql("ALTER TABLE gevo.t ALTER COLUMN a2 TYPE BIGINT")
+    val out = s2.sql("SELECT sum(a2) AS s FROM gevo.t").collect()(0).getLong(0)
+    assert(out == (0L until 50L).sum)
+    val sch = s2.table("gevo.t").schema
+    assert(sch("a2").dataType == org.apache.spark.sql.types.LongType)
+    // unsupported type change refuses loudly
+    val e = intercept[Exception] {
+      s2.sql("ALTER TABLE gevo.t ALTER COLUMN b TYPE DOUBLE")
+    }
+    assert(e.getMessage.toLowerCase.contains("widening") ||
+      e.getMessage.contains("BIGINT") || e.getMessage.contains("long"))
+  }
+}
