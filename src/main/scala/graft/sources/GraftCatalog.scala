@@ -237,7 +237,7 @@ class GraftCatalog extends TableCatalog with FunctionCatalog
     // purge-scheduling dashboard). Driver-side metadata walks by
     // construction — one small file read per snapshot, zero data I/O.
     ident.name().split('$') match {
-      case Array(base, kind @ ("snapshots" | "files" | "partitions" | "refs" | "deletes")) =>
+      case Array(base, kind @ ("snapshots" | "files" | "partitions" | "refs" | "deletes" | "branches")) =>
         val dir = dirFor(Identifier.of(ident.namespace(), base))
         if (!isTable(dir)) throw new NoSuchTableException(ident)
         return new GraftMetadataTable(dir.getPath, ident.toString, kind)
@@ -539,6 +539,14 @@ class GraftMetadataTable(path: String, ident: String, kind: String)
       StructField("tag", StringType, nullable = false),
       StructField("version", LongType, nullable = false),
       StructField("n_rows", LongType, nullable = false)))
+    // writable branches: name, the main version the next publish checks
+    // against, the branch's own head, and its manifest row count (counts
+    // rows hidden by live deletes, like every manifest-derived count)
+    case "branches" => StructType(Seq(
+      StructField("branch", StringType, nullable = false),
+      StructField("fork_version", LongType, nullable = false),
+      StructField("head_version", LongType, nullable = false),
+      StructField("n_rows", LongType, nullable = false)))
     // the "how much read-side delete debt has accumulated / when do I
     // schedule CALL purge_deletes" dashboard: one row per live delete —
     // position vectors (target = the masked data file, n = masked rows)
@@ -579,6 +587,14 @@ class GraftMetadataScan(path: String, kind: String, schema: StructType)
         .map { case (p, f, r) => Array[Any](
           p.map(org.apache.spark.unsafe.types.UTF8String.fromString).orNull,
           f, r) }.toArray
+      case "branches" =>
+        import org.apache.spark.unsafe.types.UTF8String.{fromString => utf8}
+        GraftStore.branchList(path).map { b =>
+          val bp = GraftStore.branchPath(path, b)
+          val (head, latest) = GraftStore.readLatestVersioned(bp)
+          Array[Any](utf8(b), GraftStore.branchForkVersion(path, b), head,
+            latest.map(_._2.map(_.rows).sum).getOrElse(0L))
+        }.toArray
       case "refs" => GraftStore.readRefs(path).toSeq.sortBy(_._1)
         .map { case (tag, v) =>
           val rows = GraftStore.readManifestFile(

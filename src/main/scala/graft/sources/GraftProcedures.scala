@@ -125,12 +125,65 @@ private[sources] object GraftProcedures {
     }
   }
 
+  /** `CALL cat.system.branch_create('t', 'audit')` — fork a named
+    * writable branch from the table's current snapshot (hard-linked,
+    * lineage-continuing clone; see [[GraftStore.branchCreate]]). */
+  private final class BranchCreate(root: String)
+    extends GraftProcedure(root, "branch_create") {
+    override def description(): String =
+      "fork a named writable branch from the current snapshot"
+    override def parameters(): Array[ProcedureParameter] = Array(
+      P("table", StringType, "table name under the catalog root"),
+      P("branch", StringType, "branch name (file-safe identifier)"))
+    override def out: StructType =
+      new StructType().add("fork_version", LongType, nullable = false)
+    override def run(spark: SparkSession, input: InternalRow): Array[Any] = {
+      val path = tablePath(input)
+      val b = input.getUTF8String(1).toString
+      GraftStore.branchCreate(path, b)
+      Array(GraftStore.branchForkVersion(path, b))
+    }
+  }
+
+  /** `CALL cat.system.fast_forward('t', 'audit')` — publish the branch
+    * tip to main in one atomic commit (refuses if main diverged). */
+  private final class FastForward(root: String)
+    extends GraftProcedure(root, "fast_forward") {
+    override def description(): String =
+      "fast-forward publish a branch tip to main (one atomic commit)"
+    override def parameters(): Array[ProcedureParameter] = Array(
+      P("table", StringType, "table name under the catalog root"),
+      P("branch", StringType, "branch to publish"))
+    override def run(spark: SparkSession, input: InternalRow): Array[Any] =
+      Array(GraftStore.fastForward(tablePath(input),
+        input.getUTF8String(1).toString))
+  }
+
+  /** `CALL cat.system.branch_drop('t', 'audit')` — delete a branch
+    * (its hard links only; main is untouched by construction). */
+  private final class BranchDrop(root: String)
+    extends GraftProcedure(root, "branch_drop") {
+    override def description(): String =
+      "drop a named branch (main is untouched)"
+    override def parameters(): Array[ProcedureParameter] = Array(
+      P("table", StringType, "table name under the catalog root"),
+      P("branch", StringType, "branch to drop"))
+    override def out: StructType =
+      new StructType().add("dropped", LongType, nullable = false)
+    override def run(spark: SparkSession, input: InternalRow): Array[Any] = {
+      GraftStore.branchDelete(tablePath(input),
+        input.getUTF8String(1).toString)
+      Array(1L)
+    }
+  }
+
   private def all(root: String): Seq[GraftProcedure] = Seq(
     new PurgeDeletes(root), new Restore(root), new Compact(root),
-    new ExpireSnapshots(root))
+    new ExpireSnapshots(root), new BranchCreate(root),
+    new FastForward(root), new BranchDrop(root))
 
   def names: Seq[String] = Seq("purge_deletes", "restore", "compact",
-    "expire_snapshots")
+    "expire_snapshots", "branch_create", "fast_forward", "branch_drop")
 
   /** Resolve by name from any namespace (the `system` namespace by
     * convention, not enforcement — matching the catalog's function

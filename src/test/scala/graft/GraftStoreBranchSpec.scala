@@ -159,6 +159,35 @@ class GraftStoreBranchSpec extends SparkSuite {
     assert(readT(t).filter($"k" === 205L || $"k" === 0L).count() == 0)
   }
 
+  test("SQL surface: CALL branch_create / fast_forward / branch_drop + the $branches metadata table") {
+    val s2 = spark.newSession()
+    val root = graft.ops.Util.managedTempDir("graft_br_sql_")
+    s2.conf.set("spark.sql.catalog.gbr", "graft.sources.GraftCatalog")
+    s2.conf.set("spark.sql.catalog.gbr.root", root)
+    s2.range(0, 100).selectExpr("id AS k", "id AS v")
+      .createOrReplaceTempView("br_src")
+    s2.sql("CREATE TABLE gbr.t AS SELECT * FROM br_src")
+    val forkV = s2.sql("CALL gbr.system.branch_create('t', 'audit')")
+      .head.getLong(0)
+    assert(forkV == 2L) // catalog CTAS = empty-create (v1) + insert (v2)
+    // stage rows on the branch, inspect $branches, publish, drop
+    spark.range(100, 120).selectExpr("id AS k", "id AS v")
+      .write.format("graft.sources.GraftStore").option("path", s"$root/t")
+      .option("branch", "audit").mode("append").save()
+    val row = s2.sql("SELECT * FROM gbr.`t$branches`").collect()
+    assert(row.length == 1 && row(0).getString(0) == "audit" &&
+      row(0).getLong(1) == 2L && row(0).getLong(2) == 3L &&
+      row(0).getLong(3) == 120L, row.mkString(","))
+    val v = s2.sql("CALL gbr.system.fast_forward('t', 'audit')")
+      .head.getLong(0)
+    assert(v == 3L)
+    assert(s2.sql("SELECT count(*) FROM gbr.t").head.getLong(0) == 120)
+    s2.sql("CALL gbr.system.branch_drop('t', 'audit')")
+    assert(s2.sql("SELECT * FROM gbr.`t$branches`").collect().isEmpty)
+    assert(s2.sql("SELECT count(*) FROM gbr.t").head.getLong(0) == 120,
+      "dropping a branch never touches main")
+  }
+
   test("branch is GC-independent: expiring main snapshots never breaks the branch (hard links)") {
     val t = fresh("gc")
     GraftStore.branchCreate(t, "keep")
