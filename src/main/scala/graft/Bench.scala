@@ -34,6 +34,16 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
+      // the status stores retain per-job/stage/execution state (incl.
+      // full plan graphs) even with the UI off — across a 290-query run
+      // that is hundreds of MB of old-gen churn that shows up as 2-3x
+      // slowdowns on late queries vs the same query isolated. Keep just
+      // enough for post-mortem of the last few queries.
+      .config("spark.sql.ui.retainedExecutions", "8")
+      .config("spark.ui.retainedJobs", "100")
+      .config("spark.ui.retainedStages", "200")
+      .config("spark.ui.retainedTasks", "2000")
+      .config("spark.ui.retainedDeadExecutors", "0")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // warmup absorbs one-time session costs (parquet footer reads, codegen
