@@ -135,10 +135,17 @@ object Curation {
     * of non-null) keeps both engines in BIGINT. */
   val qTextContamination: Q = (s, dir) => {
     import s.implicits._
-    // cached: feeds both the benchmark-set distinct and the corpus scan
+    // shingle generation through the native ShingleGenerator instead of
+    // the interpreted explode(array_distinct(transform(...))) HOF chain
+    // (CodegenFallback — it dominated this query's cost); the per-doc
+    // distinct becomes a relational distinct over (doc_id, sh), the
+    // same pairs. cached: feeds both the benchmark-set leg and the
+    // corpus scan
+    s.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "shingles3", exprs => ShingleGenerator(exprs.head, 3), "scala_udf")
     val sh = table(s, dir, "documents")
-      .select($"doc_id",
-        explode(array_distinct(LlmOps.shingles(LlmOps.toks($"text")))).as("sh"))
+      .selectExpr("doc_id", "shingles3(text) AS sh")
+      .distinct()
       .transform(cached)
     val bench = sh.filter($"doc_id" % 50 === 0)
       .select($"sh").distinct().withColumn("hit", lit(1L))
