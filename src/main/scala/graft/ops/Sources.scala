@@ -2634,6 +2634,43 @@ object Sources {
         |FROM graftm.t GROUP BY 1 ORDER BY 1""".stripMargin)
   }
 
+  /** MERGE with WHEN NOT MATCHED BY SOURCE (round 13) — the third arm
+    * family that completes the Delta/Iceberg MERGE surface and enables
+    * the SNAPSHOT-SYNC shape: "make the target identical to today's
+    * extract" in ONE statement — matched rows update, new rows insert,
+    * and rows the source no longer carries either age out (DELETE) or
+    * get tombstone-marked (UPDATE), selected per-row by arm conditions.
+    * Spark's RewriteMergeIntoTable plans the by-source arms from a FULL
+    * OUTER join against the target's matched file GROUPS (same runtime
+    * group-filter economics as every CoW row-level op: untouched files
+    * never rewrite). Without this arm a sync needs a MERGE plus a
+    * separate anti-join DELETE — two commits, a consistency window. */
+  val qStoreMergeNbs: Q = (s, dir) => {
+    val s2 = s.newSession()
+    s2.conf.set("spark.sql.catalog.graftnb", "graft.sources.GraftCatalog")
+    s2.conf.set("spark.sql.catalog.graftnb.root", dmlRoot(s, dir, "mergenbs_"))
+    table(s2, dir, "orders").createOrReplaceTempView("ord_nbs")
+    s2.sql("DROP TABLE IF EXISTS graftnb.t")
+    s2.sql(
+      """CREATE TABLE graftnb.t AS
+        |SELECT o_orderkey, o_custkey FROM ord_nbs WHERE o_orderkey % 3 = 0""".stripMargin)
+    s2.sql(
+      """MERGE INTO graftnb.t t
+        |USING (SELECT o_orderkey, o_custkey + 777 AS o_custkey FROM ord_nbs
+        |       WHERE o_orderkey % 4 = 0) s
+        |ON t.o_orderkey = s.o_orderkey
+        |WHEN MATCHED THEN UPDATE SET o_custkey = s.o_custkey + 500000
+        |WHEN NOT MATCHED THEN INSERT (o_orderkey, o_custkey)
+        |  VALUES (s.o_orderkey, s.o_custkey)
+        |WHEN NOT MATCHED BY SOURCE AND o_orderkey % 5 = 0 THEN DELETE
+        |WHEN NOT MATCHED BY SOURCE THEN UPDATE SET o_custkey = -1""".stripMargin)
+    s2.sql(
+      """SELECT o_orderkey % 10 AS bucket, count(*) AS n_rows,
+        | CAST(sum(o_custkey) AS BIGINT) AS sum_cust,
+        | CAST(sum(o_orderkey) AS BIGINT) AS sum_key
+        |FROM graftnb.t GROUP BY 1 ORDER BY 1""".stripMargin)
+  }
+
   /** Copy-on-write UPDATE + DELETE (round 7): predicates the manifest
     * stats CANNOT decide (`%` has no v1 filter translation), so the
     * metadata-only DELETE fast path refuses and Spark's row-level
@@ -3281,6 +3318,7 @@ object Sources {
     "q_store_metaagg_filtered" -> qStoreMetaaggFiltered,
     "q_store_partitions_meta" -> qStorePartitionsMeta,
     "q_store_merge" -> qStoreMerge,
+    "q_store_merge_nbs" -> qStoreMergeNbs,
     "q_store_merge_mor" -> qStoreMergeMor,
     "q_store_eqdelete" -> qStoreEqdelete,
     "q_store_eqdelete_ts" -> qStoreEqdeleteTs,
@@ -3725,6 +3763,23 @@ object Sources {
         | CAST(sum(o_custkey) AS BIGINT) AS sum_cust,
         | CAST(sum(o_orderkey) AS BIGINT) AS sum_key
         |FROM merged GROUP BY 1 ORDER BY 1""".stripMargin,
+    // snapshot-sync replay: matched (%12) update, source-only (%4 not %3)
+    // insert, target-only (%3 not %4) deletes at %5 and tombstones else
+    "q_store_merge_nbs" ->
+      """WITH fin AS (
+        |  SELECT o_orderkey, o_custkey + 777 + 500000 AS o_custkey
+        |  FROM orders WHERE o_orderkey % 3 = 0 AND o_orderkey % 4 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey, o_custkey + 777 FROM orders
+        |  WHERE o_orderkey % 4 = 0 AND o_orderkey % 3 <> 0
+        |  UNION ALL
+        |  SELECT o_orderkey, -1 AS o_custkey FROM orders
+        |  WHERE o_orderkey % 3 = 0 AND o_orderkey % 4 <> 0
+        |    AND o_orderkey % 5 <> 0)
+        |SELECT o_orderkey % 10 AS bucket, count(*) AS n_rows,
+        | CAST(sum(o_custkey) AS BIGINT) AS sum_cust,
+        | CAST(sum(o_orderkey) AS BIGINT) AS sum_key
+        |FROM fin GROUP BY 1 ORDER BY 1""".stripMargin,
     // UPDATE then DELETE replayed as a CASE projection then a filter
     "q_store_dml" ->
       """WITH t AS (SELECT o_orderkey, o_custkey, o_orderkey % 5 AS seg
