@@ -681,6 +681,56 @@ object Sources {
       .orderBy($"cell")
   }
 
+  /** STREAMING INGEST INTO A BRANCH, PUBLISHED BY FAST-FORWARD
+    * (round 13) — the two round-13 surfaces composed into the
+    * STAGED-TAIL pattern: the live stream lands its epochs on a named
+    * branch (a branch IS a table, so the epoch-commit protocol and its
+    * exactly-once replay work unchanged through `.option("branch", …)`),
+    * main stays byte-identical until an explicit fast-forward publishes
+    * the accumulated tail in ONE atomic commit. This is WAP for
+    * streams: the consumer-visible table only ever moves in audited
+    * steps, while the stream itself never stops — at 100 TB this is how
+    * a continuously-ingesting table serves consumers that need
+    * validated, batch-boundary-aligned snapshots. The staged side
+    * time-travels to the seed to prove isolation; the published side is
+    * the seed plus the entire stream. */
+  val qStreamSinkBranch: Q = (s, dir) => {
+    import s.implicits._
+    val root = Util.managedTempDir("graft_sink_branch_")
+    val t = s"$root/t"
+    // seed main OUTSIDE the synth id range, then fork the ingest branch
+    s.range(100000, 100500, 1, 2)
+      .selectExpr("id", "CAST(id % 50 AS INT) AS bucket",
+        "CAST(id * 37 % 1000 AS DOUBLE) AS val")
+      .write.format("graft.sources.GraftStore").option("path", t)
+      .mode("overwrite").save()
+    val seedV = graft.sources.GraftStore.readVersion(t)
+    graft.sources.GraftStore.branchCreate(t, "ingest")
+    val q = s.readStream.format("graft.sources.SynthSource")
+      .option("rows", "20000").option("slices", "4")
+      .option("microBatchRows", "4096")
+      .load()
+      .writeStream.format("graft.sources.GraftStore")
+      .option("path", t).option("branch", "ingest")
+      .option("checkpointLocation",
+        Util.managedTempDir("graft_sink_branch_ckpt_"))
+      .outputMode("append")
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    graft.sources.GraftStore.fastForward(t, "ingest")
+    def agg(tag: String, versionAsOf: Option[Long]) = {
+      val r = s.read.format("graft.sources.GraftStore").option("path", t)
+      versionAsOf.foreach(v => r.option("versionAsOf", v.toString))
+      r.load()
+        .groupBy(($"id" % 10).as("k"))
+        .agg(count(lit(1)).as("n"), sum($"id").as("sum_id"),
+          round(sum($"val"), 4).as("sum_val"))
+        .select(lit(tag).as("side"), $"k", $"n", $"sum_id", $"sum_val")
+    }
+    agg("published", None).unionAll(agg("staged", Some(seedV)))
+      .orderBy($"side", $"k")
+  }
+
   /** Tagged-table dirs already written this JVM, keyed by (session, dir). */
   private val tagWritten = new java.util.concurrent.ConcurrentHashMap[String, String]
 
@@ -3310,6 +3360,7 @@ object Sources {
     "q_etl_delete" -> qEtlDelete,
     "q_stream_sink" -> qStreamSink,
     "q_stream_sink_part" -> qStreamSinkPart,
+    "q_stream_sink_branch" -> qStreamSinkBranch,
     "q_store_evolution" -> qStoreEvolution,
     "q_store_evolve_rename" -> qStoreEvolveRename,
     "q_store_bloomskip" -> qStoreBloomskip,
@@ -4183,6 +4234,27 @@ object Sources {
         |FROM (SELECT unnest(generate_series(0, 19999)) AS id)
         |WHERE id % 8 < 3
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // staged = the seed only (stream epochs isolated on the branch);
+    // published = seed + the whole stream, after one fast-forward
+    "q_stream_sink_branch" ->
+      """WITH seed AS (
+        |  SELECT unnest(generate_series(100000, 100499)) AS id),
+        |allrows AS (
+        |  SELECT id FROM seed
+        |  UNION ALL SELECT unnest(generate_series(0, 19999)) AS id),
+        |p AS (
+        |  SELECT id % 10 AS k, count(*) AS n,
+        |   CAST(sum(id) AS BIGINT) AS sum_id,
+        |   round(sum(CAST(id * 37 % 1000 AS DOUBLE)), 4) AS sum_val
+        |  FROM allrows GROUP BY 1),
+        |st AS (
+        |  SELECT id % 10 AS k, count(*) AS n,
+        |   CAST(sum(id) AS BIGINT) AS sum_id,
+        |   round(sum(CAST(id * 37 % 1000 AS DOUBLE)), 4) AS sum_val
+        |  FROM seed GROUP BY 1)
+        |SELECT 'published' AS side, * FROM p
+        |UNION ALL SELECT 'staged' AS side, * FROM st
+        |ORDER BY side, k""".stripMargin,
     "q_src_skipping" ->
       """SELECT o_orderkey % 10 AS k, count(*) AS n,
         | CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
