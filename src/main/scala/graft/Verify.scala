@@ -15,6 +15,13 @@ object Verify {
       // Write µs timestamps (not INT96) so DuckDB reads the dump natively.
       .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
       .config("spark.ui.enabled", "false")
+      // status stores retain per-job/execution state (incl. plan graphs)
+      // even with the UI off — a 290-query dump run accumulates hundreds
+      // of MB of old-gen churn without these caps (same fix as Bench)
+      .config("spark.sql.ui.retainedExecutions", "8")
+      .config("spark.ui.retainedJobs", "100")
+      .config("spark.ui.retainedStages", "200")
+      .config("spark.ui.retainedTasks", "2000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
