@@ -2085,6 +2085,52 @@ object Sources {
     s2.sql("SELECT * FROM gview.big_pri ORDER BY pri")
   }
 
+  /** ATOMIC RTAS (round 13) — `REPLACE TABLE … AS SELECT` through
+    * Spark's StagingTableCatalog protocol on GraftCatalog: the SELECT
+    * writes into a hidden scratch table and publishes in ONE atomic
+    * step. The publish is deliberately NOT a directory swap — it
+    * commits the scratch's (schema, files) as a NEW VERSION of the
+    * existing lineage (op=replace, hard-linked files), so the replace
+    * itself is in the history and TIME TRAVEL to pre-replace snapshots
+    * keeps working: the nightly-rebuild pattern (replace a derived
+    * table wholesale every run) without losing yesterday's answer or
+    * ever exposing a dropped/half-written table. Without the staging
+    * protocol Spark's fallback is drop-then-create-then-write — a crash
+    * window every scheduled rebuild walks through. The query runs
+    * CTAS → RTAS (different content AND schema) and reads both the
+    * replaced table and the pre-replace snapshot as one tagged union. */
+  val qCatalogRtas: Q = (s, dir) => {
+    val s2 = s.newSession()
+    s2.conf.set("spark.sql.catalog.grt", "graft.sources.GraftCatalog")
+    s2.conf.set("spark.sql.catalog.grt.root", Util.managedTempDir("graft_rtas_"))
+    table(s2, dir, "orders").createOrReplaceTempView("ord_rtas")
+    s2.sql("DROP TABLE IF EXISTS grt.t")
+    s2.sql(
+      """CREATE TABLE grt.t AS
+        |SELECT o_orderkey, o_totalprice FROM ord_rtas
+        |WHERE o_orderkey % 4 = 0""".stripMargin)
+    val preV = graft.sources.GraftStore.readVersion(
+      s"${s2.conf.get("spark.sql.catalog.grt.root")}/t")
+    s2.sql(
+      """REPLACE TABLE grt.t AS
+        |SELECT o_orderkey, o_custkey, o_totalprice * 2 AS doubled
+        |FROM ord_rtas WHERE o_orderkey % 4 = 1""".stripMargin)
+    s2.sql(
+      s"""WITH post AS (
+        |  SELECT o_orderkey % 10 AS bucket, count(*) AS n,
+        |   CAST(sum(o_custkey) AS BIGINT) AS sum_cust,
+        |   CAST(sum(CAST(doubled AS DECIMAL(18,4))) AS DOUBLE) AS sum_val
+        |  FROM grt.t GROUP BY 1),
+        |pre AS (
+        |  SELECT o_orderkey % 10 AS bucket, count(*) AS n,
+        |   CAST(0 AS BIGINT) AS sum_cust,
+        |   CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_val
+        |  FROM grt.t VERSION AS OF $preV GROUP BY 1)
+        |SELECT 'post' AS side, * FROM post
+        |UNION ALL SELECT 'pre' AS side, * FROM pre
+        |ORDER BY side, bucket""".stripMargin)
+  }
+
   /** Extension sessions for the view query, keyed by parent session. */
   private val viewSession = new java.util.concurrent.ConcurrentHashMap[
     String, org.apache.spark.sql.SparkSession]
@@ -3393,6 +3439,7 @@ object Sources {
     "q_store_spj_bucket" -> qStoreSpjBucket,
     "q_catalog_sql" -> qCatalogSql,
     "q_catalog_view" -> qCatalogView,
+    "q_catalog_rtas" -> qCatalogRtas,
     "q_catalog_proc" -> qCatalogProc,
     "q_sink_roundtrip" -> qSinkRoundtrip,
     "q_store_timetravel" -> qStoreTimetravel,
@@ -3456,6 +3503,22 @@ object Sources {
         | CAST(sum(o_orderkey) AS BIGINT) AS sum_key,
         | CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
         |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+    // post = the RTAS content (odd %4 slice, doubled price, new schema);
+    // pre = the pre-replace snapshot, still time-travelable
+    "q_catalog_rtas" ->
+      """WITH post AS (
+        |  SELECT o_orderkey % 10 AS bucket, count(*) AS n,
+        |   CAST(sum(o_custkey) AS BIGINT) AS sum_cust,
+        |   CAST(sum(CAST(o_totalprice * 2 AS DECIMAL(18,4))) AS DOUBLE) AS sum_val
+        |  FROM orders WHERE o_orderkey % 4 = 1 GROUP BY 1),
+        |pre AS (
+        |  SELECT o_orderkey % 10 AS bucket, count(*) AS n,
+        |   CAST(0 AS BIGINT) AS sum_cust,
+        |   CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_val
+        |  FROM orders WHERE o_orderkey % 4 = 0 GROUP BY 1)
+        |SELECT 'post' AS side, * FROM post
+        |UNION ALL SELECT 'pre' AS side, * FROM pre
+        |ORDER BY side, bucket""".stripMargin,
     "q_sink_roundtrip" ->
       """SELECT l_returnflag, l_linestatus, count(*) AS n_rows,
         | CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty

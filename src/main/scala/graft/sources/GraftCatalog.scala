@@ -36,7 +36,8 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   */
 class GraftCatalog extends TableCatalog with FunctionCatalog
   with ProcedureCatalog
-  with org.apache.spark.sql.connector.catalog.ViewCatalog {
+  with org.apache.spark.sql.connector.catalog.ViewCatalog
+  with org.apache.spark.sql.connector.catalog.StagingTableCatalog {
   private var catalogName: String = _
   private var root: String = _
 
@@ -222,7 +223,7 @@ class GraftCatalog extends TableCatalog with FunctionCatalog
   override def listTables(namespace: Array[String]): Array[Identifier] = {
     val ns = new File((root +: namespace.toSeq).mkString(File.separator))
     Option(ns.listFiles()).getOrElse(Array.empty)
-      .filter(f => f.isDirectory && isTable(f))
+      .filter(f => f.isDirectory && isTable(f) && !f.getName.startsWith("."))
       .map(f => Identifier.of(namespace, f.getName))
       .sortBy(_.name())
   }
@@ -296,8 +297,10 @@ class GraftCatalog extends TableCatalog with FunctionCatalog
     * loudly: they are not monotone in their source, so source-ordered
     * input is not bucket-contiguous and the rolling write cannot prove
     * single-valued files without a derived-value exchange key. */
-  override def createTable(ident: Identifier, schema: StructType,
-      partitions: Array[Transform], properties: util.Map[String, String]): Table = {
+  /** Map Spark's Transform[] to the `_partition` term-list spec (shared
+    * by CREATE TABLE and the staged CTAS/RTAS path). */
+  private def partitionSpecOf(schema: StructType,
+      partitions: Array[Transform]): Option[String] = {
     def srcOf(t: Transform): String = {
       require(t.references().length == 1, s"transform $t must reference one column")
       val ref = t.references()(0).fieldNames()
@@ -308,7 +311,7 @@ class GraftCatalog extends TableCatalog with FunctionCatalog
         s"partition column ${ref.head} must not contain ',', '(' or ')'")
       ref.head
     }
-    val partitionBy = partitions.toSeq match {
+    partitions.toSeq match {
       case Seq() => None
       case ts =>
         // comma-joined term list in the `_partition` sibling; split (top
@@ -386,6 +389,37 @@ class GraftCatalog extends TableCatalog with FunctionCatalog
           s"duplicate partition source columns: ${sources.mkString(", ")}")
         Some(terms.mkString(","))
     }
+  }
+
+  /** TBLPROPERTIES('sortBy') — the write-order dial (see createTable). */
+  private def sortByOf(schema: StructType,
+      properties: util.Map[String, String]): Option[String] = {
+    import scala.jdk.CollectionConverters._
+    properties.asScala.collectFirst {
+      case (k, v) if k.equalsIgnoreCase("sortBy") => v
+    }.map { c =>
+      require(schema.fieldNames.contains(c),
+        s"sortBy column $c must be a table column")
+      c
+    }
+  }
+
+  /** Persisted `_props` dials (write.mode today). */
+  private def persistedPropsOf(
+      properties: util.Map[String, String]): Map[String, String] = {
+    import scala.jdk.CollectionConverters._
+    val writeMode = properties.asScala.collectFirst {
+      case (k, v) if k.equalsIgnoreCase("write.mode") => v
+    }
+    writeMode.foreach(m => require(
+      m == "copy-on-write" || m == "merge-on-read",
+      s"write.mode must be copy-on-write or merge-on-read, got $m"))
+    writeMode.map(m => "write.mode" -> m).toMap
+  }
+
+  override def createTable(ident: Identifier, schema: StructType,
+      partitions: Array[Transform], properties: util.Map[String, String]): Table = {
+    val partitionBy = partitionSpecOf(schema, partitions)
     val dir = dirFor(ident)
     if (isTable(dir)) throw new TableAlreadyExistsException(ident)
     dir.mkdirs()
@@ -398,31 +432,129 @@ class GraftCatalog extends TableCatalog with FunctionCatalog
     // what the scan's reported ordering is proven from (the property
     // itself persists nothing: unsorted later appends simply write
     // files without the flag and the advertisement degrades)
-    import scala.jdk.CollectionConverters._
-    val sortBy = properties.asScala.collectFirst {
-      case (k, v) if k.equalsIgnoreCase("sortBy") => v
-    }.map { c =>
-      require(schema.fieldNames.contains(c),
-        s"sortBy column $c must be a table column")
-      c
-    }
+    val sortBy = sortByOf(schema, properties)
     // persisted table properties (the `_props` sibling): write-path dials
     // only — `write.mode=merge-on-read` routes DML through the deletion-
     // vector delta path; no reader correctness ever depends on a property
-    val writeMode = properties.asScala.collectFirst {
-      case (k, v) if k.equalsIgnoreCase("write.mode") => v
-    }
-    writeMode.foreach(m => require(
-      m == "copy-on-write" || m == "merge-on-read",
-      s"write.mode must be copy-on-write or merge-on-read, got $m"))
-    GraftStore.writeProps(dir.getPath,
-      writeMode.map(m => "write.mode" -> m).toMap)
+    GraftStore.writeProps(dir.getPath, persistedPropsOf(properties))
     // an empty manifest IS the table: created atomically, never half-visible
     // (base 0: a racing CREATE on the same ident conflicts on the v1 claim)
     GraftStore.writeManifestAtomic(dir.getPath, 0L, schema, Seq.empty,
       op = "create")
     new GraftStoreTable(dir.getPath, schema, None, sortBy, None, None,
       partitionBy = partitionBy)
+  }
+
+  // ------------------------------------------------- staged CTAS / RTAS
+
+  /** StagingTableCatalog (round 13) — ATOMIC `CREATE TABLE … AS SELECT`
+    * and `[CREATE OR] REPLACE TABLE … AS SELECT`. Without this Spark
+    * falls back to drop-then-create-then-write: a crash mid-write leaves
+    * a dropped or half-written table, and a concurrent reader can see
+    * the gap. The staged protocol writes the SELECT into a hidden
+    * scratch table under `root/.staging/`, then publishes in ONE atomic
+    * step — and the REPLACE publish is deliberately NOT a directory
+    * swap: it commits the scratch's (schema, files) as a NEW VERSION of
+    * the existing table (op=replace, hard-linked files, equality
+    * deletes cleared), so the replace itself lands in the history and
+    * time travel to pre-replace snapshots keeps working — the
+    * storage-format take on RTAS that a swap-based implementation
+    * cannot give. A fresh CREATE publishes by one atomic directory
+    * move. Abort (query failure) deletes the scratch; the target is
+    * untouched in every failure mode. */
+  override def stageCreate(ident: Identifier, schema: StructType,
+      partitions: Array[Transform], properties: util.Map[String, String])
+      : org.apache.spark.sql.connector.catalog.StagedTable = {
+    if (isTable(dirFor(ident))) throw new TableAlreadyExistsException(ident)
+    staged(ident, schema, partitions, properties, allowReplace = false,
+      requireExisting = false)
+  }
+
+  override def stageReplace(ident: Identifier, schema: StructType,
+      partitions: Array[Transform], properties: util.Map[String, String])
+      : org.apache.spark.sql.connector.catalog.StagedTable = {
+    if (!isTable(dirFor(ident))) throw new NoSuchTableException(ident)
+    staged(ident, schema, partitions, properties, allowReplace = true,
+      requireExisting = true)
+  }
+
+  override def stageCreateOrReplace(ident: Identifier, schema: StructType,
+      partitions: Array[Transform], properties: util.Map[String, String])
+      : org.apache.spark.sql.connector.catalog.StagedTable =
+    staged(ident, schema, partitions, properties, allowReplace = true,
+      requireExisting = false)
+
+  private def staged(ident: Identifier, schema: StructType,
+      partitions: Array[Transform], properties: util.Map[String, String],
+      allowReplace: Boolean, requireExisting: Boolean)
+      : org.apache.spark.sql.connector.catalog.StagedTable = {
+    val partitionBy = partitionSpecOf(schema, partitions)
+    val sortBy = sortByOf(schema, properties)
+    val scratch = new File(new File(root, ".staging"),
+      java.util.UUID.randomUUID().toString)
+    scratch.mkdirs()
+    partitionBy.foreach(c => java.nio.file.Files.write(
+      new File(scratch, GraftStore.PartitionFileName).toPath,
+      c.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+    GraftStore.writeProps(scratch.getPath, persistedPropsOf(properties))
+    val target = dirFor(ident)
+    val stagedSchema = schema // the anon class's schema() would shadow it
+    val inner = new GraftStoreTable(scratch.getPath, schema, None, sortBy,
+      None, None, partitionBy = partitionBy)
+    new org.apache.spark.sql.connector.catalog.StagedTable
+      with org.apache.spark.sql.connector.catalog.SupportsWrite {
+      override def name(): String = ident.toString
+      override def schema(): StructType = stagedSchema
+      override def partitioning(): Array[Transform] = inner.partitioning()
+      override def capabilities(): util.Set[
+        org.apache.spark.sql.connector.catalog.TableCapability] =
+        inner.capabilities()
+      override def newWriteBuilder(
+          info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+          : org.apache.spark.sql.connector.write.WriteBuilder =
+        inner.newWriteBuilder(info)
+
+      override def commitStagedChanges(): Unit = {
+        if (isTable(target)) {
+          require(allowReplace,
+            s"$ident was created concurrently — CREATE TABLE AS cannot " +
+              "replace it (use CREATE OR REPLACE)")
+          // REPLACE AS A COMMIT: new version of the existing lineage —
+          // the scratch's entries hard-link in, its schema becomes the
+          // table's, live deletes clear (replaced content owes nothing
+          // to old key sets), old snapshots stay time-travelable
+          val (schema2, entries) = GraftStore.readManifest(scratch.getPath)
+            .getOrElse((stagedSchema, Seq.empty[GraftStore.FileEntry]))
+          entries.foreach { e =>
+            val to = new File(target, e.file).toPath
+            if (to.getParent != null)
+              java.nio.file.Files.createDirectories(to.getParent)
+            java.nio.file.Files.createLink(to,
+              new File(scratch, e.file).toPath)
+          }
+          val (base, _) = GraftStore.readLatestVersioned(target.getPath)
+          GraftStore.writeManifestAtomic(target.getPath, base, schema2,
+            entries, op = "replace", eqDels = Some(Seq.empty))
+          // spec/props swap AFTER the commit (same ordering rationale as
+          // evolvePartitionBy: the spec is a write-layout hint)
+          val pf = new File(target, GraftStore.PartitionFileName)
+          partitionBy match {
+            case Some(c) => java.nio.file.Files.write(pf.toPath,
+              c.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+            case None => java.nio.file.Files.deleteIfExists(pf.toPath)
+          }
+          GraftStore.deleteRecursively(scratch)
+        } else {
+          // fresh CREATE: one atomic directory move — never half-visible
+          java.nio.file.Files.createDirectories(target.toPath.getParent)
+          java.nio.file.Files.move(scratch.toPath, target.toPath,
+            java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        }
+      }
+
+      override def abortStagedChanges(): Unit =
+        GraftStore.deleteRecursively(scratch)
+    }
   }
 
   /** Schema evolution = a metadata COMMIT: `ALTER TABLE … ADD COLUMN`

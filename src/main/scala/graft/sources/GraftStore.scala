@@ -1426,7 +1426,7 @@ object GraftStore {
       eqDels = Some(brEqDels))
   }
 
-  private def deleteRecursively(f: File): Unit = {
+  private[sources] def deleteRecursively(f: File): Unit = {
     Option(f.listFiles()).getOrElse(Array.empty).foreach(deleteRecursively)
     f.delete()
   }
