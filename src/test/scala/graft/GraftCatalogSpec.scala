@@ -70,15 +70,15 @@ class GraftCatalogSpec extends SparkSuite {
 
   test("VERSION AS OF reads a past snapshot through plain SQL") {
     session.sql("DROP TABLE IF EXISTS g.tt")
-    session.sql("CREATE TABLE g.tt AS SELECT 1 AS x") // snapshot v2 (v1 = empty create)
-    session.sql("INSERT INTO g.tt SELECT 2 AS x") // snapshot v3
+    // staged CTAS (round 13) publishes atomically as ONE snapshot: v1
+    // already carries the SELECT's content (no empty-create version)
+    session.sql("CREATE TABLE g.tt AS SELECT 1 AS x") // snapshot v1
+    session.sql("INSERT INTO g.tt SELECT 2 AS x") // snapshot v2
     assert(session.sql("SELECT x FROM g.tt ORDER BY x")
       .collect().map(_.getInt(0)).toSeq == Seq(1, 2))
-    assert(session.sql("SELECT x FROM g.tt VERSION AS OF 2 ORDER BY x")
+    assert(session.sql("SELECT x FROM g.tt VERSION AS OF 1 ORDER BY x")
       .collect().map(_.getInt(0)).toSeq == Seq(1),
       "VERSION AS OF did not read the pre-insert snapshot")
-    assert(session.sql("SELECT count(*) FROM g.tt VERSION AS OF 1")
-      .head.getLong(0) == 0, "v1 is the empty created table")
     intercept[Exception] {
       session.sql("SELECT x FROM g.tt VERSION AS OF 99").collect()
     }
@@ -118,24 +118,24 @@ class GraftCatalogSpec extends SparkSuite {
   test("ADD COLUMN: metadata-only commit, null-padded old files, old schema via time travel") {
     import graft.sources.GraftStore
     session.sql("DROP TABLE IF EXISTS g.ev")
-    session.sql("CREATE TABLE g.ev AS SELECT 1 AS a") // v1 create + v2 write
+    session.sql("CREATE TABLE g.ev AS SELECT 1 AS a") // v1 (atomic staged CTAS)
     val root = session.conf.get("spark.sql.catalog.g.root")
     val path = s"$root/ev"
     val preFiles = GraftStore.readManifest(path).get._2
-    session.sql("ALTER TABLE g.ev ADD COLUMN b BIGINT") // v3: schema-line commit
+    session.sql("ALTER TABLE g.ev ADD COLUMN b BIGINT") // v2: schema-line commit
     // metadata-only: same data files, byte-identical entries, new version
     val postAlter = GraftStore.readManifest(path).get
     assert(postAlter._1.fieldNames.toSeq == Seq("a", "b"))
     assert(postAlter._2.map(_.file) == preFiles.map(_.file),
       "ALTER must not touch data files")
-    assert(GraftStore.readVersion(path) == 3)
-    session.sql("INSERT INTO g.ev SELECT 2 AS a, CAST(20 AS BIGINT) AS b") // v4
+    assert(GraftStore.readVersion(path) == 2)
+    session.sql("INSERT INTO g.ev SELECT 2 AS a, CAST(20 AS BIGINT) AS b") // v3
     assert(session.sql("SELECT a, b FROM g.ev ORDER BY a")
       .collect().map(r => (r.getInt(0), if (r.isNullAt(1)) -1L else r.getLong(1)))
       .toSeq == Seq((1, -1L), (2, 20L)),
       "old rows must null-pad the appended column")
     // pre-ALTER snapshot still reads the OLD schema
-    assert(session.sql("SELECT * FROM g.ev VERSION AS OF 2")
+    assert(session.sql("SELECT * FROM g.ev VERSION AS OF 1")
       .schema.fieldNames.toSeq == Seq("a"))
     // arity recorded per file: the pre-ALTER file is narrower
     assert(GraftStore.readManifest(path).get._2.map(_.cols).sorted == Seq(1, 2))

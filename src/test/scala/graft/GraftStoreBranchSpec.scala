@@ -169,18 +169,18 @@ class GraftStoreBranchSpec extends SparkSuite {
     s2.sql("CREATE TABLE gbr.t AS SELECT * FROM br_src")
     val forkV = s2.sql("CALL gbr.system.branch_create('t', 'audit')")
       .head.getLong(0)
-    assert(forkV == 2L) // catalog CTAS = empty-create (v1) + insert (v2)
+    assert(forkV == 1L) // staged CTAS publishes atomically as v1
     // stage rows on the branch, inspect $branches, publish, drop
     spark.range(100, 120).selectExpr("id AS k", "id AS v")
       .write.format("graft.sources.GraftStore").option("path", s"$root/t")
       .option("branch", "audit").mode("append").save()
     val row = s2.sql("SELECT * FROM gbr.`t$branches`").collect()
     assert(row.length == 1 && row(0).getString(0) == "audit" &&
-      row(0).getLong(1) == 2L && row(0).getLong(2) == 3L &&
+      row(0).getLong(1) == 1L && row(0).getLong(2) == 2L &&
       row(0).getLong(3) == 120L, row.mkString(","))
     val v = s2.sql("CALL gbr.system.fast_forward('t', 'audit')")
       .head.getLong(0)
-    assert(v == 3L)
+    assert(v == 2L)
     assert(s2.sql("SELECT count(*) FROM gbr.t").head.getLong(0) == 120)
     s2.sql("CALL gbr.system.branch_drop('t', 'audit')")
     assert(s2.sql("SELECT * FROM gbr.`t$branches`").collect().isEmpty)
