@@ -170,6 +170,31 @@ class GraftStoreEvolveSpec extends SparkSuite {
     }
   }
 
+  test("widen: metadata-only aggregates answer from int-era stats under the long schema") {
+    import spark.implicits._
+    val root = graft.ops.Util.managedTempDir("graft_ev_widmeta_")
+    val t = s"$root/t"
+    spark.range(0, 100, 1, 2).selectExpr("CAST(id AS INT) AS k")
+      .write.format("graft.sources.GraftStore").option("path", t)
+      .mode("overwrite").save()
+    GraftStore.widenColumn(t, "k")
+    spark.range(0, 4, 1, 1).selectExpr("id + 3000000000 AS k")
+      .write.format("graft.sources.GraftStore").option("path", t)
+      .mode("append").save()
+    // count/min/max/sum over mixed int-era and long-era files: the
+    // manifest strings parse through the CURRENT (long) schema type
+    val r = spark.read.format("graft.sources.GraftStore").option("path", t)
+      .load().agg(
+        org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)),
+        org.apache.spark.sql.functions.min($"k"),
+        org.apache.spark.sql.functions.max($"k"),
+        org.apache.spark.sql.functions.sum($"k")).collect()(0)
+    assert(r.getLong(0) == 104 && r.getLong(1) == 0L &&
+      r.getLong(2) == 3000000003L &&
+      r.getLong(3) == (0L until 100L).sum + (0L until 4L).map(_ + 3000000000L).sum)
+  }
+
   test("widen: change feeds and stream tails refuse to cross the widening commit") {
     import spark.implicits._
     val root = graft.ops.Util.managedTempDir("graft_ev_widcdf_")
