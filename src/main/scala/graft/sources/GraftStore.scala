@@ -2690,6 +2690,23 @@ class GraftStoreTable(path: String, tableSchema: StructType,
           GraftStore.StatsPruning.Unknown)
     }
 
+  /** `TRUNCATE TABLE` — explicit, not the inherited default: the default
+    * routes through the V2->V1 predicate bridge and RETURNS FALSE
+    * silently when the bridge declines, which surfaces as a truncate
+    * that "succeeded" while deleting nothing. Truncate is the one
+    * delete that is trivially metadata-only: commit an empty entry set
+    * (and clear live equality deletes — nothing left for them to
+    * address); history stays time-travelable like every delete. */
+  override def truncateTable(): Boolean = {
+    val (base, latest0) = GraftStore.readLatestVersioned(path)
+    latest0.foreach { case (sch, _) =>
+      GraftStore.writeManifestAtomic(path, base, sch, Seq.empty,
+        op = "delete", eqDels = Some(Seq.empty))
+      GraftStore.gcUnreferenced(path, Set.empty)
+    }
+    true
+  }
+
   override def deleteWhere(filters: Array[Filter]): Unit = {
     val (base, latest0) = GraftStore.readLatestVersioned(path)
     val (sch, entries) = latest0.getOrElse(return)

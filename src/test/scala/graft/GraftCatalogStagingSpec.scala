@@ -65,6 +65,18 @@ class GraftCatalogStagingSpec extends SparkSuite {
       .map(_.getString(1)).contains(".staging"))
   }
 
+  test("TRUNCATE TABLE commits an empty snapshot; history stays time-travelable") {
+    val (s2, root) = freshCat("trunc")
+    s2.sql("CREATE TABLE gsttrunc.t AS SELECT 1 AS a UNION ALL SELECT 2")
+    val preV = GraftStore.readVersion(s"$root/t")
+    s2.sql("TRUNCATE TABLE gsttrunc.t")
+    assert(s2.sql("SELECT count(*) FROM gsttrunc.t").head.getLong(0) == 0)
+    assert(s2.sql(s"SELECT count(*) FROM gsttrunc.t VERSION AS OF $preV")
+      .head.getLong(0) == 2, "pre-truncate snapshot must survive")
+    s2.sql("INSERT INTO gsttrunc.t SELECT 3")
+    assert(s2.sql("SELECT a FROM gsttrunc.t").head.getInt(0) == 3)
+  }
+
   test("staged CTAS keeps the partitioned-write contract (per-value files)") {
     val (s2, root) = freshCat("part")
     s2.range(0, 200).selectExpr("id", "id % 4 AS cell")
