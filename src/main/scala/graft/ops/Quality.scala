@@ -130,6 +130,58 @@ object Quality {
   val qDedupSubstring: Q = (s, dir) =>
     substringRuns(table(s, dir, "documents"), 8)
 
+  /** ARBITRARY-LENGTH exact-substring dedup (round 14) — the
+    * suffix-array-class operator: every MAXIMAL interval of ≥ L
+    * characters that is repeated anywhere in the corpus (any other doc
+    * OR elsewhere in the same doc), the published standard for
+    * training-data substring dedup. Equivalence that makes it a
+    * hash-shuffle instead of a global suffix sort: two suffixes have a
+    * common prefix ≥ L iff their first-L-char windows are equal, so the
+    * positions a bucketed suffix sort would flag via adjacent-pair
+    * LCP ≥ L are exactly the positions whose L-gram occurs ≥ 2 times;
+    * merging consecutive flagged positions (gaps-and-islands) yields
+    * every maximal repeated interval and its exact length — same
+    * output, no sort.
+    *
+    * Scale shape: the per-character explode ships only (doc_id, pos,
+    * xxhash64(window)) into the wide shuffle — 8-byte keys, map-side
+    * partial counts; the L-char window strings are grouped only for the
+    * hash-candidate SURVIVORS (two-phase: hash prefilter, exact string
+    * confirm — so a 64-bit collision can never fabricate a repeat).
+    * The island merge shuffles once on doc_id. No self-join of the
+    * corpus, no cross product, nothing driver-sided. */
+  private[graft] def suffixRuns(docs: DataFrame, L: Int): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val grams = cached(docs
+      .filter(length($"text") >= L)
+      .select($"doc_id", $"text",
+        explode(sequence(lit(0L), (length($"text") - L).cast("long")))
+          .as("pos"))
+      .select($"doc_id", $"pos",
+        expr(s"substring(text, CAST(pos + 1 AS INT), $L)").as("g"))
+      .withColumn("h", xxhash64($"g")))
+    // phase 1: duplicated 64-bit window hashes (the cheap wide shuffle)
+    val dupH = grams.groupBy($"h").agg(count(lit(1)).as("c"))
+      .filter($"c" >= 2).select($"h")
+    // phase 2: exact confirm on the survivors only
+    val cand = grams.join(dupH, "h")
+    val dupG = cand.groupBy($"g").agg(count(lit(1)).as("c"))
+      .filter($"c" >= 2).select($"g")
+    val dp = cand.join(dupG, "g").select($"doc_id", $"pos")
+    val wI = Window.partitionBy($"doc_id").orderBy($"pos")
+    dp.withColumn("isl", $"pos" - row_number().over(wI))
+      .groupBy($"doc_id", $"isl")
+      .agg(min($"pos").as("start_pos"),
+        (max($"pos") - min($"pos") + L).as("rep_len"))
+      .select($"doc_id", $"start_pos".cast("long").as("start_pos"),
+        $"rep_len".cast("long").as("rep_len"))
+      .orderBy($"doc_id", $"start_pos")
+  }
+
+  val qDedupSuffix: Q = (s, dir) =>
+    suffixRuns(table(s, dir, "documents").select(col("doc_id"), col("text")), 40)
+
   val qTextDupgrams: Q = (s, dir) => {
     import s.implicits._
     // gram generation through the native ShingleGenerator (planned via
@@ -721,6 +773,7 @@ object Quality {
     "q_text_bm25" -> qTextBm25,
     "q_text_dupgrams" -> qTextDupgrams,
     "q_dedup_substring" -> qDedupSubstring,
+    "q_dedup_suffix" -> qDedupSuffix,
     "q_curate_gopher" -> qCurateGopher,
     "q_text_entropy" -> qTextEntropy,
     "q_graph_bfs" -> qGraphBfs,
@@ -740,6 +793,19 @@ object Quality {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q_dedup_suffix" ->
+      """WITH grams AS (
+        |  SELECT d.doc_id, p.pos, substr(d.text, CAST(p.pos + 1 AS INT), 40) AS g
+        |  FROM documents d
+        |  CROSS JOIN LATERAL (SELECT unnest(range(0, greatest(length(d.text) - 40 + 1, CAST(0 AS BIGINT)))) AS pos) p
+        |),
+        |dups AS (SELECT g FROM grams GROUP BY g HAVING count(*) >= 2),
+        |dp AS (SELECT doc_id, pos FROM grams WHERE g IN (SELECT g FROM dups)),
+        |runs AS (SELECT doc_id, pos,
+        |  pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS rid FROM dp)
+        |SELECT doc_id, min(pos) AS start_pos, max(pos) - min(pos) + 40 AS rep_len
+        |FROM runs GROUP BY doc_id, rid
+        |ORDER BY doc_id, start_pos""".stripMargin,
     "q_dedup_substring" ->
       """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents
         |  WHERE len(string_split(text, ' ')) >= 8),

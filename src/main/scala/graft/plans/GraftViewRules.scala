@@ -81,6 +81,16 @@ case class GraftViewRules(session: SparkSession) extends Rule[LogicalPlan] {
         val (g, id) = viewOf(parts).get
         GraftSetViewPropertiesCommand(g, id, props)
 
+      // ALTER VIEW … AS — redefinition: new SQL text + new capture
+      // context, properties preserved
+      case org.apache.spark.sql.catalyst.plans.logical.AlterViewAs(
+          UnresolvedView(parts, _, _, _), originalText, _)
+          if viewOf(parts).isDefined =>
+        val (g, id) = viewOf(parts).get
+        GraftAlterViewAsCommand(g, id, originalText,
+          session.sessionState.catalogManager.currentCatalog.name(),
+          session.sessionState.catalogManager.currentNamespace.toSeq)
+
       case ShowViews(UnresolvedNamespace(parts, _), pattern, output)
           if parts.nonEmpty && graftCatalog(parts.head).isDefined =>
         GraftShowViewsCommand(graftCatalog(parts.head).get,
@@ -90,10 +100,53 @@ case class GraftViewRules(session: SparkSession) extends Rule[LogicalPlan] {
       // late-bound v2 view read
       case u: UnresolvedRelation if viewOf(u.multipartIdentifier).isDefined =>
         val (g, id) = viewOf(u.multipartIdentifier).get
-        val v = g.loadView(id)
-        SubqueryAlias(u.multipartIdentifier.last,
-          session.sessionState.sqlParser.parsePlan(v.query()))
+        expandView(g, id, u.multipartIdentifier.last, Set.empty)
     }
+
+  /** Parse the stored view SQL, qualify its unqualified table references
+    * against the CAPTURE-TIME catalog/namespace the sidecar persisted
+    * (a view body written under `USE cat.ns` must keep resolving there,
+    * not against whatever context the READER happens to be in), and
+    * eagerly expand nested graft-view references with a cycle guard —
+    * a self- or mutually-referencing view fails fast with a named cycle
+    * instead of spinning the fixpoint iteration to its abort limit. */
+  private def expandView(g: GraftCatalog, id: Identifier, alias: String,
+      inProgress: Set[String]): LogicalPlan = {
+    val key = (Seq(g.name()) ++ id.namespace().toSeq :+ id.name()).mkString(".")
+    if (inProgress.contains(key))
+      throw new IllegalArgumentException(
+        s"view cycle detected: $key references itself (directly or via " +
+          s"${inProgress.mkString(" -> ")})")
+    val v = g.loadView(id)
+    val parsed = session.sessionState.sqlParser.parsePlan(v.query())
+    val storedCat = v.currentCatalog()
+    val storedNs = v.currentNamespace().toSeq
+    // CTE names defined inside the body shadow table names — never
+    // qualify those (they resolve in CTESubstitution, not a catalog)
+    val cteNames = parsed.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.UnresolvedWith =>
+        w.cteRelations.map(_._1.toLowerCase(java.util.Locale.ROOT))
+    }.flatten.toSet
+    val catalogs = session.sessionState.catalogManager
+    val qualified = parsed.transformUp {
+      case ur: UnresolvedRelation
+          if ur.multipartIdentifier.length == 1 &&
+            !cteNames.contains(ur.multipartIdentifier.head
+              .toLowerCase(java.util.Locale.ROOT)) =>
+        ur.copy(multipartIdentifier =
+          (storedCat +: storedNs) ++ ur.multipartIdentifier)
+      case ur: UnresolvedRelation
+          if ur.multipartIdentifier.length >= 2 &&
+            !catalogs.isCatalogRegistered(ur.multipartIdentifier.head) =>
+        ur.copy(multipartIdentifier = storedCat +: ur.multipartIdentifier)
+    }
+    val expanded = qualified.transformUp {
+      case ur: UnresolvedRelation if viewOf(ur.multipartIdentifier).isDefined =>
+        val (g2, id2) = viewOf(ur.multipartIdentifier).get
+        expandView(g2, id2, ur.multipartIdentifier.last, inProgress + key)
+    }
+    SubqueryAlias(alias, expanded)
+  }
 }
 
 case class GraftCreateViewCommand(catalog: GraftCatalog, ident: Identifier,
@@ -102,16 +155,18 @@ case class GraftCreateViewCommand(catalog: GraftCatalog, ident: Identifier,
     currentCatalog: String, currentNamespace: Seq[String])
   extends LeafRunnableCommand {
   override def run(session: SparkSession): Seq[Row] = {
-    if (catalog.viewExists(ident)) {
-      if (allowExisting) return Nil
-      if (replace) catalog.dropView(ident)
-      // a plain CREATE over an existing view falls through to
-      // createView's ViewAlreadyExistsException — the loud path
-    }
-    // analyze (not execute) the text for the declared schema
+    val exists = catalog.viewExists(ident)
+    if (exists && allowExisting) return Nil
+    // analyze (not execute) the text for the declared schema — BEFORE
+    // any drop, so a REPLACE whose new body fails analysis leaves the
+    // old view intact (and the old definition is still visible to the
+    // analysis, matching ALTER VIEW AS)
     val analyzed = session.sessionState.executePlan(
       session.sessionState.sqlParser.parsePlan(sql)).analyzed
     val schema = analyzed.schema
+    if (exists && replace) catalog.dropView(ident)
+    // a plain CREATE over an existing view falls through to
+    // createView's ViewAlreadyExistsException — the loud path
     val allProps = new java.util.HashMap[String, String]()
     props.foreach { case (k, v) => allProps.put(k, v) }
     comment.foreach(c => allProps.put("comment", c))
@@ -120,6 +175,26 @@ case class GraftCreateViewCommand(catalog: GraftCatalog, ident: Identifier,
       schema.fieldNames,
       if (userCols.nonEmpty) userCols.toArray else Array.empty[String],
       Array.empty[String], allProps))
+    Nil
+  }
+}
+
+/** ALTER VIEW … AS: swap the stored SQL text (and capture context) while
+  * preserving the view's properties. Analysis of the NEW body runs first
+  * — against the OLD definition still in place — so a failing
+  * redefinition leaves the view untouched. */
+case class GraftAlterViewAsCommand(catalog: GraftCatalog, ident: Identifier,
+    sql: String, currentCatalog: String, currentNamespace: Seq[String])
+  extends LeafRunnableCommand {
+  override def run(session: SparkSession): Seq[Row] = {
+    val old = catalog.loadView(ident)
+    val analyzed = session.sessionState.executePlan(
+      session.sessionState.sqlParser.parsePlan(sql)).analyzed
+    val schema = analyzed.schema
+    catalog.dropView(ident)
+    catalog.createView(new ViewInfo(ident, sql, currentCatalog,
+      currentNamespace.toArray, schema, schema.fieldNames,
+      Array.empty[String], Array.empty[String], old.properties()))
     Nil
   }
 }

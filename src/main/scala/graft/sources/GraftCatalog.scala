@@ -523,14 +523,34 @@ class GraftCatalog extends TableCatalog with FunctionCatalog
           // the scratch's entries hard-link in, its schema becomes the
           // table's, live deletes clear (replaced content owes nothing
           // to old key sets), old snapshots stay time-travelable
-          val (schema2, entries) = GraftStore.readManifest(scratch.getPath)
+          val (schema2, entries0) = GraftStore.readManifest(scratch.getPath)
             .getOrElse((stagedSchema, Seq.empty[GraftStore.FileEntry]))
-          entries.foreach { e =>
-            val to = new File(target, e.file).toPath
-            if (to.getParent != null)
-              java.nio.file.Files.createDirectories(to.getParent)
-            java.nio.file.Files.createLink(to,
-              new File(scratch, e.file).toPath)
+          // Spark task ids restart per JVM, so a scratch file's
+          // part-<pid>-<tid>.bin name can collide with a file an EARLIER
+          // session committed into this table. Prefix every linked name
+          // with a per-publish UUID (rewriting the manifest entries to
+          // match) so the link can never hit an existing name; clean up
+          // already-created links if a later one still fails, so a loud
+          // failure leaves no orphans.
+          val pubId = java.util.UUID.randomUUID().toString.take(8)
+          val entries = entries0.map { e =>
+            val base = new File(e.file).getName
+            val dir = Option(new File(e.file).getParent).map(_ + "/").getOrElse("")
+            e.copy(file = s"$dir$pubId-$base")
+          }
+          val created = scala.collection.mutable.ArrayBuffer.empty[java.nio.file.Path]
+          try {
+            entries0.zip(entries).foreach { case (src, dst) =>
+              val to = new File(target, dst.file).toPath
+              if (to.getParent != null)
+                java.nio.file.Files.createDirectories(to.getParent)
+              java.nio.file.Files.createLink(to,
+                new File(scratch, src.file).toPath)
+              created += to
+            }
+          } catch { case t: Throwable =>
+            created.foreach(p => java.nio.file.Files.deleteIfExists(p))
+            throw t
           }
           val (base, _) = GraftStore.readLatestVersioned(target.getPath)
           GraftStore.writeManifestAtomic(target.getPath, base, schema2,
@@ -588,10 +608,12 @@ class GraftCatalog extends TableCatalog with FunctionCatalog
       case u: TableChange.UpdateColumnType =>
         require(u.fieldNames().length == 1,
           "nested ALTER COLUMN TYPE is not supported")
-        require(u.newDataType() ==
-            org.apache.spark.sql.types.LongType,
-          s"only int -> long widening is supported, got ${u.newDataType()}")
-        GraftStore.widenColumn(dir.getPath, u.fieldNames()(0))
+        require(u.newDataType() == org.apache.spark.sql.types.LongType ||
+            u.newDataType() == org.apache.spark.sql.types.DoubleType,
+          "only widening to BIGINT or DOUBLE is supported, got " +
+            s"${u.newDataType()}")
+        GraftStore.widenColumn(dir.getPath, u.fieldNames()(0),
+          u.newDataType())
       case _ => ()
     }
     val (base, latest) = GraftStore.readLatestVersioned(dir.getPath)

@@ -216,6 +216,28 @@ object GraftStore {
       cols: Int = -1, dv: String = "", addedv: Long = 0L,
       narrow: Seq[Int] = Seq.empty)
 
+  /** A `narrow` marker packs (ordinal, conversion kind) in one int: low
+    * 24 bits = ordinal, high 8 = kind. Kind 0 is the original int→long
+    * sign-extension, so every pre-round-14 manifest (bare ordinals)
+    * parses unchanged. The other kinds are the round-14 widenings —
+    * each is a lossless promotion whose fix-up rewrites the 8-byte
+    * UnsafeRow slot in place exactly like kind 0 does. */
+  final val NarrowIntToLong = 0
+  final val NarrowLongToDouble = 1
+  final val NarrowFloatToDouble = 2
+  final val NarrowIntToDouble = 3
+  @inline def packNarrow(ord: Int, kind: Int): Int = ord | (kind << 24)
+  @inline def narrowOrd(m: Int): Int = m & 0xffffff
+  @inline def narrowKind(m: Int): Int = m >>> 24
+  private[sources] def fmtNarrow(m: Int): String =
+    if (narrowKind(m) == 0) narrowOrd(m).toString
+    else s"${narrowOrd(m)}@${narrowKind(m)}"
+  private[sources] def parseNarrow(s: String): Int = {
+    val at = s.indexOf('@')
+    if (at < 0) s.toInt
+    else packNarrow(s.substring(0, at).toInt, s.substring(at + 1).toInt)
+  }
+
   /** One EQUALITY-DELETE file (the Iceberg-v2 equality-delete design):
     * `file` is a sidecar (under data/) holding a set of key TUPLES over
     * `cols`; every data file with `addedv < seq` hides its rows whose
@@ -268,7 +290,7 @@ object GraftStore {
     // schema) forces fields 5-6 explicit when present.
     val dvf =
       if (e.narrow.nonEmpty)
-        s"\t${e.dv}\t${e.addedv}\t${e.narrow.mkString(",")}"
+        s"\t${e.dv}\t${e.addedv}\t${e.narrow.map(fmtNarrow).mkString(",")}"
       else if (e.addedv > 0L) s"\t${e.dv}\t${e.addedv}"
       else if (e.dv.isEmpty) "" else s"\t${e.dv}"
     s"${e.file}\t${e.rows}\t$st\t${e.cols}$dvf"
@@ -297,7 +319,7 @@ object GraftStore {
         if (parts.length >= 5) parts(4) else "",
         if (parts.length >= 6) parts(5).toLong else 0L,
         if (parts.length >= 7 && parts(6).nonEmpty)
-          parts(6).split(',').map(_.toInt).toSeq
+          parts(6).split(',').map(parseNarrow).toSeq
         else Seq.empty)
   }
 
@@ -1757,10 +1779,20 @@ object GraftStore {
       if (f.name == from) f.copy(name = to) else f))
     def mapKey(k: String): String =
       if (k == from) to
-      // bucket pseudo-stat key: __bucket_<n>_<source>
-      else if (k.startsWith("__bucket_") && k.endsWith(s"_$from"))
-        k.dropRight(from.length) + to
-      else k
+      // Bucket pseudo-stat key: __bucket_<n>_<source>. Parse the key
+      // structurally — strip the prefix, take the digits, and require
+      // the remainder to equal `from` EXACTLY. A suffix match would
+      // corrupt unrelated keys (renaming `id` must not touch
+      // `__bucket_4_user_id`), silently breaking SPJ bucket pruning
+      // for that column.
+      else if (k.startsWith("__bucket_")) {
+        val rest = k.stripPrefix("__bucket_")
+        val digits = rest.takeWhile(_.isDigit)
+        if (digits.nonEmpty && rest.startsWith(digits + "_") &&
+            rest.drop(digits.length + 1) == from)
+          s"__bucket_${digits}_$to"
+        else k
+      } else k
     val newEntries = entries.map(e =>
       e.copy(stats = e.stats.map { case (k, v) => mapKey(k) -> v }))
     val eqs = readEqDeletesOf(new File(path, s"$ManifestName.v$baseV"))
@@ -1808,8 +1840,10 @@ object GraftStore {
     * verbatim: int min/max/sum strings parse as longs. Time travel to a
     * pre-widen snapshot reads int with the old schema; RESTORE of one
     * replays its schema wholesale, staying self-consistent. */
-  private[graft] def widenColumn(path: String, col: String): Long = {
-    import org.apache.spark.sql.types.{IntegerType, LongType}
+  private[graft] def widenColumn(path: String, col: String,
+      target: org.apache.spark.sql.types.DataType =
+        org.apache.spark.sql.types.LongType): Long = {
+    import org.apache.spark.sql.types.{DoubleType, FloatType, IntegerType, LongType}
     val (baseV, latest) = readLatestVersioned(path)
     val (schema, entries) = latest.getOrElse(throw new IllegalArgumentException(
       s"no graft-store table at $path"))
@@ -1817,19 +1851,69 @@ object GraftStore {
       s"no column '$col' at $path — columns: ${schema.fieldNames.mkString(", ")}")
     val ord = schema.fieldIndex(col)
     val dt = schema.fields(ord).dataType
-    require(dt == IntegerType,
-      s"widenColumn supports int -> long only; '$col' is $dt" +
-        (if (dt == LongType) " (already long)" else
-          " — other changes lose information and need a rewrite"))
+    // REFUSAL MATRIX: only value-preserving promotions are metadata
+    // commits. Everything else — narrowing (long→int, double→float,
+    // double→long), precision-losing "widening" (long→float), or a
+    // representation change (numeric↔string, int→float which rounds
+    // ints above 2^24) — loses information and needs a data rewrite,
+    // never a schema flip.
+    val kind = (dt, target) match {
+      case (IntegerType, LongType) => NarrowIntToLong
+      case (LongType, DoubleType) => NarrowLongToDouble
+      case (FloatType, DoubleType) => NarrowFloatToDouble
+      case (IntegerType, DoubleType) => NarrowIntToDouble
+      case _ => throw new IllegalArgumentException(
+        s"cannot ALTER '$col' $dt -> $target: supported widenings are " +
+          "int->long, int->double, long->double and float->double" +
+          (if (dt == target) s" (already $dt)"
+           else " — any other change loses information and needs a " +
+             "rewrite, not a metadata commit"))
+    }
+    if (target == DoubleType) {
+      // a double renders differently ("5.0" vs "5") — the string-keyed
+      // equality-delete probe and the partition-spec transforms
+      // (bucket/trunc need int/long; identity dirs key on the rendered
+      // value) would silently stop matching. Refuse both up front.
+      readPartitionBy(path).foreach { spec =>
+        require(!partitionTermsOf(Some(spec)).exists(_.source == col),
+          s"cannot widen '$col' to double: it is a partition source " +
+            s"in spec '$spec' — drop it from the spec (evolvePartitionBy) first")
+      }
+      val liveEq = readEqDeletesOf(new File(path, s"$ManifestName.v$baseV"))
+      require(!liveEq.exists(_.cols.contains(col)),
+        s"cannot widen '$col' to double: live equality deletes key on it " +
+          "(their stored key renderings would no longer match) — run " +
+          "purgeDeletes first")
+    }
     val newSchema = StructType(schema.fields.zipWithIndex.map { case (f, i) =>
-      if (i == ord) f.copy(dataType = LongType) else f
+      if (i == ord) f.copy(dataType = target) else f
     })
+    val statName = schema.fields(ord).name
     val newEntries = entries.map { e =>
       // only files that physically CARRY the column need the marker; a
       // pre-ADD-COLUMN file (arity <= ordinal) null-pads either way
       val arity = if (e.cols > 0) e.cols else schema.size
-      if (arity > ord) e.copy(narrow = (e.narrow :+ ord).distinct.sorted)
-      else e
+      val e2 =
+        if (arity <= ord) e
+        else e.narrow.find(m => narrowOrd(m) == ord) match {
+          // a file already narrow-marked from an earlier int→long widen
+          // keeps its PHYSICAL int lane — its marker upgrades to
+          // int→double in one step (the only legal chain: il then ld)
+          case Some(m) if kind == NarrowLongToDouble &&
+              narrowKind(m) == NarrowIntToLong =>
+            e.copy(narrow = e.narrow.map(x =>
+              if (x == m) packNarrow(ord, NarrowIntToDouble) else x))
+          case Some(_) => e
+          case None =>
+            e.copy(narrow =
+              (e.narrow :+ packNarrow(ord, kind)).distinct.sortBy(narrowOrd))
+        }
+      // int stat strings reparse as exact longs, but long/float strings
+      // reparsed as doubles can ROUND past the true value — an unsound
+      // min/max bound prunes files that contain matches. Drop the
+      // column's stats on any widen-to-double; post-widen writes track
+      // native double stats again.
+      if (target == DoubleType) e2.copy(stats = e2.stats - statName) else e2
     }
     writeManifestAtomic(path, baseV, newSchema, newEntries,
       epoch = readEpoch(path), op = s"widen($col)")
@@ -2009,37 +2093,92 @@ object GraftStore {
       toV: Long): Seq[CdfUnit] = {
     require(0 <= fromV && fromV <= toV,
       s"invalid change range v$fromV..v$toV")
-    def manifestAt(v: Long): (String, Seq[FileEntry]) = {
+    def manifestAt(v: Long): (String, StructType, Seq[FileEntry]) = {
       val f = new File(path, s"$ManifestName.v$v")
-      val entries = readManifestFile(f).getOrElse(
+      val (sch, entries) = readManifestFile(f).getOrElse(
         throw new IllegalArgumentException(
           s"snapshot v$v at $path is not retained (expired or never " +
             "committed) — a change feed needs every snapshot in its range"))
-        ._2
-      (readOpOf(f), entries)
+      (readOpOf(f), sch, entries)
     }
     def eqAt(v: Long): Seq[EqDelete] =
       if (v <= 0) Seq.empty
       else readEqDeletesOf(new File(path, s"$ManifestName.v$v"))
-    var base: Map[String, FileEntry] =
-      if (fromV == 0) Map.empty
-      else manifestAt(fromV)._2.map(e => e.file -> e).toMap
-    var eqBase: Seq[EqDelete] = eqAt(fromV)
-    // a type-widening commit flips the range's output schema: units
-    // emitted for versions before it would read int lanes into a long
-    // scan. Refuse the crossing range — split it at the widen version
-    // (the same honest bound incremental reads apply to eq-deletes).
-    (fromV + 1 to toV).foreach { v =>
-      val op = manifestAt(v)._1
-      require(!op.startsWith("widen("),
-        s"change range v$fromV..v$toV crosses a type-widening commit " +
-          s"(v$v: $op) — split the feed at v$v (read ..v${v} and v$v.. " +
-          "separately; each side is schema-consistent)")
+    // A type-widening commit inside the range flips the feed's output
+    // schema. The feed reads EVERYTHING under the schema at `toV` and
+    // upgrades each unit's narrow markers STRUCTURALLY: for every
+    // ordinal the file physically carries, compare its physical lane
+    // type (the source manifest's type, unwound through the entry's own
+    // markers) against the target type and emit the promotion marker.
+    // Structural — not keyed on the op string — so a widen that reaches
+    // this lineage inside a fastForward/publish commit is handled
+    // identically. Old images from pre-widen versions thus emit in the
+    // WIDENED type, the Delta/Iceberg changelog behavior.
+    import org.apache.spark.sql.types.{DoubleType, FloatType, IntegerType, LongType}
+    val tgtSchema = if (toV > 0) manifestAt(toV)._2 else StructType(Seq.empty)
+    val tgtTypes = tgtSchema.fields.map(_.dataType)
+    def upgradeNarrow(e: FileEntry, srcSchema: StructType): Seq[Int] = {
+      val srcTypes = srcSchema.fields.map(_.dataType)
+      if (srcTypes.sameElements(tgtTypes)) e.narrow
+      else {
+        val arity = if (e.cols > 0) e.cols else srcSchema.size
+        val byOrd = e.narrow.map(m => narrowOrd(m) -> m).toMap
+        val n = math.min(math.min(arity, srcTypes.length), tgtTypes.length)
+        (0 until n).flatMap { o =>
+          val phys = byOrd.get(o).map(m => narrowKind(m) match {
+            case NarrowLongToDouble => LongType
+            case NarrowFloatToDouble => FloatType
+            case _ => IntegerType // il and id markers both mean an int lane
+          }).getOrElse(srcTypes(o))
+          val want = tgtTypes(o)
+          if (phys == want) None
+          else (phys, want) match {
+            case (IntegerType, LongType) => Some(packNarrow(o, NarrowIntToLong))
+            case (IntegerType, DoubleType) => Some(packNarrow(o, NarrowIntToDouble))
+            case (LongType, DoubleType) => Some(packNarrow(o, NarrowLongToDouble))
+            case (FloatType, DoubleType) => Some(packNarrow(o, NarrowFloatToDouble))
+            case _ => throw new IllegalArgumentException(
+              s"change range v$fromV..v$toV crosses a non-widening type " +
+                s"change at ordinal $o ($phys -> $want) — split the feed " +
+                "at the evolving commit")
+          }
+        }
+      }
     }
+    // eq-delete sidecars store RENDERED key strings; a key column whose
+    // type changed inside the range would probe with a different
+    // rendering ("5.0" vs "5") and silently stop masking — refuse that
+    // compound corner honestly (widenColumn itself refuses it for live
+    // deletes, but an old range can still hold since-purged ones)
+    (fromV to toV).filter(_ > 0).foreach { v =>
+      lazy val sch = manifestAt(v)._2
+      eqAt(v).foreach { d =>
+        d.cols.foreach { c =>
+          val srcDt = if (sch.fieldNames.contains(c))
+            Some(sch.fields(sch.fieldIndex(c)).dataType) else None
+          val tgtDt = if (tgtSchema.fieldNames.contains(c))
+            Some(tgtSchema.fields(tgtSchema.fieldIndex(c)).dataType) else None
+          require(srcDt == tgtDt || srcDt.zip(tgtDt).forall {
+              case (IntegerType, LongType) => true; case _ => false },
+            s"change range v$fromV..v$toV crosses a type change on " +
+              s"equality-delete key '$c' — purge deletes or split the feed")
+        }
+      }
+    }
+    var base: Map[String, FileEntry] = Map.empty
+    var baseSchema: StructType = tgtSchema
+    if (fromV > 0) {
+      val (_, sch0, entries0) = manifestAt(fromV)
+      base = entries0.map(e => e.file -> e).toMap
+      baseSchema = sch0
+    }
+    var eqBase: Seq[EqDelete] = eqAt(fromV)
     (fromV + 1 to toV).flatMap { v =>
-      val (op, entries) = manifestAt(v)
+      val (op, curSchema, entries) = manifestAt(v)
       val cur = entries.map(e => e.file -> e).toMap
       val eqCur = eqAt(v)
+      def baseNarrow(e: FileEntry): Seq[Int] = upgradeNarrow(e, baseSchema)
+      def curNarrow(e: FileEntry): Seq[Int] = upgradeNarrow(e, curSchema)
       val out: Seq[CdfUnit] =
         if (op == "optimize" || op.startsWith("evolve") || op.startsWith("create"))
           Seq.empty
@@ -2052,7 +2191,7 @@ object GraftStore {
           val removed = (base.keySet -- cur.keySet).toSeq.sorted
             .map(f => CdfUnit(f, base(f).cols, "delete", v,
               applyDv = base(f).dv, maskEq = maskPrev(base(f)),
-              narrow = base(f).narrow))
+              narrow = baseNarrow(base(f))))
           // an added file masks the CURRENT deletes applicable to it:
           // none in the ordinary append (fresh files are stamped
           // exempt), but a restore/publish can re-add an OLD file whose
@@ -2061,14 +2200,14 @@ object GraftStore {
             .map(f => CdfUnit(f, cur(f).cols, "insert", v,
               applyDv = cur(f).dv,
               maskEq = eqCur.filter(cur(f).addedv < _.seq),
-              narrow = cur(f).narrow))
+              narrow = curNarrow(cur(f))))
           // same file, grown deletion vector: emit ONLY the newly
           // deleted rows — the merge-on-read DELETE's change feed
           val dvGrown = (base.keySet & cur.keySet).toSeq.sorted
             .filter(f => base(f).dv != cur(f).dv)
             .map(f => CdfUnit(f, cur(f).cols, "delete", v,
               applyDv = cur(f).dv, baseDv = base(f).dv, dvDelta = true,
-              maskEq = maskPrev(cur(f)), narrow = cur(f).narrow))
+              maskEq = maskPrev(cur(f)), narrow = curNarrow(cur(f))))
           // an EQUALITY-DELETE commit (deleteByKey / upsertByKey)
           // mutates content with no entry diff: emit the OLD IMAGES —
           // for every carried file the new key sets apply to, the rows
@@ -2087,15 +2226,26 @@ object GraftStore {
               if (applicable.isEmpty) None
               else Some(CdfUnit(f, e.cols, "delete", v, applyDv = e.dv,
                 maskEq = maskPrev(e), onlyEq = applicable,
-                narrow = e.narrow))
+                narrow = curNarrow(e)))
             }
           removed ++ added ++ dvGrown ++ eqDelta
         }
       base = cur
+      baseSchema = curSchema
       eqBase = eqCur
       out
     }
   }
+
+  /** Schema committed at snapshot `v` (None below v1). Streams compare
+    * consecutive batch endpoints' schemas STRUCTURALLY — a type flip or
+    * arity change mid-batch means the stream's fixed start-time schema
+    * no longer matches the files, however the evolving commit was
+    * labeled (a widen smuggled in by a fastForward publish carries
+    * op="fastForward(…)", so an op-string check would miss it). */
+  private[sources] def schemaAt(path: String, v: Long): Option[StructType] =
+    if (v <= 0) None
+    else readManifestFile(new File(path, s"$ManifestName.v$v")).map(_._1)
 
   /** Resolve equality deletes to reader-side refs (sidecar absolute
     * path + key ordinals and type tags in `schema`); a key column the
@@ -3350,6 +3500,10 @@ class GraftStoreStreamingWrite(path: String, schema: StructType,
     messages.toSeq.flatMap {
       case m: GraftStoreCommitMessage => Seq(m)
       case GraftStoreMultiMessage(parts) => parts
+      // abort can see null slots for tasks that never committed — a
+      // MatchError here would mask the original failure and skip
+      // deleting the OTHER tasks' orphan files
+      case _ => Seq.empty
     }
 
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
@@ -4093,7 +4247,10 @@ class GraftStoreScanBuilder(path: String, versionAsOf: Option[Long] = None,
                 dt == IntegerType || dt == LongType)
               def usable(e: GraftStore.FileEntry) = e.stats.get(col).exists(st =>
                 st.sum.nonEmpty || (e.rows >= 0 && st.nulls == e.rows))
-              val ansiOk = !org.apache.spark.sql.internal.SQLConf.get.ansiEnabled || {
+              // lazy: the bound parses min/max as exact longs, which is
+              // only meaningful (and only parseable) when dtOk holds —
+              // a double column's "100.0" must never reach toLong
+              lazy val ansiOk = !org.apache.spark.sql.internal.SQLConf.get.ansiEnabled || {
                 val bound = group.foldLeft(BigInt(0)) { (acc, e) =>
                   e.stats.get(col) match {
                     case Some(st) if st.min.nonEmpty && st.nulls >= 0 =>
@@ -4758,6 +4915,19 @@ class GraftStoreCdfMicroBatchStream(path: String, dataSchema: StructType,
     val s = start.asInstanceOf[GraftVersionOffset].version
     val e = end.asInstanceOf[GraftVersionOffset].version
     if (e <= s) return Array.empty
+    // the BATCH change feed emits across a widen (old images upgraded to
+    // the range-end schema), but this stream's dataSchema is FIXED at
+    // stream start — a widened batch could not be represented. Refuse
+    // structurally (endpoint schema comparison, so a widen inside a
+    // fastForward publish is caught too); restart the stream to adopt
+    // the widened schema.
+    for (a <- GraftStore.schemaAt(path, math.max(s, 1L));
+         b <- GraftStore.schemaAt(path, e)) {
+      require(a.fields.map(_.dataType).sameElements(b.fields.map(_.dataType)),
+        s"change-feed stream batch v$s..v$e crosses a schema-evolving " +
+          s"commit (${a.catalogString} -> ${b.catalogString}) — restart " +
+          "the stream to adopt the evolved schema")
+    }
     GraftStore.cdfFileDiffs(path, s, e).map { u =>
       GraftStoreCdfPartition(new File(path, u.file).getAbsolutePath, u.cols,
         u.changeType, u.version,
@@ -4820,16 +4990,19 @@ class GraftStoreMicroBatchStream(path: String, numFields: Int,
     // incremental read
     val removed = (base.keySet -- now.keySet) ++
       base.keySet.filter(f => now.get(f).exists(_._2 != base(f)._2))
-    // a type widening inside the range flips lanes under the stream's
-    // FIXED start-time schema (an int scan over a new long-lane file
-    // reads the low half) — refuse; restart the stream to pick up the
-    // widened schema
-    (s + 1 to e).foreach { v =>
-      val op = GraftStore.readOpOf(
-        new File(path, s"${GraftStore.ManifestName}.v$v"))
-      require(!op.startsWith("widen("),
-        s"stream batch v$s..v$e crosses a type-widening commit (v$v: " +
-          s"$op) — restart the stream to adopt the widened schema")
+    // schema evolution inside the range flips lanes/arity under the
+    // stream's FIXED start-time schema (an int scan over a new
+    // long-lane file reads the low half; a wider-arity frame misframes
+    // entirely) — refuse STRUCTURALLY, comparing the endpoint schemas'
+    // type sequences, so a widen that arrives inside a fastForward
+    // publish (op != "widen(…)") is refused identically. Restart the
+    // stream to adopt the evolved schema.
+    for (a <- GraftStore.schemaAt(path, math.max(s, 1L));
+         b <- GraftStore.schemaAt(path, e)) {
+      require(a.fields.map(_.dataType).sameElements(b.fields.map(_.dataType)),
+        s"stream batch v$s..v$e crosses a schema-evolving commit " +
+          s"(${a.catalogString} -> ${b.catalogString}) — restart the " +
+          "stream to adopt the evolved schema")
     }
     def eqAt(v: Long) =
       if (v <= 0) Seq.empty
@@ -5023,18 +5196,27 @@ class GraftStoreFileReader(file: String, numFields: Int, scanFields: Int,
         catch { case _: java.io.EOFException => return false }
       current = new Array[Byte](len)
       in.readFully(current)
-      // widened-lane fix-up (schema evolved int -> long after this file
-      // was written): every fixed-width UnsafeRow slot is 8 bytes with
-      // the int in the low half, so sign-extend IN PLACE — downstream
-      // consumers (codegen, eq-delete probes tagged from the long
-      // schema, sorts) then see a true long lane, no wrapper row
+      // widened-lane fix-up (schema widened after this file was
+      // written): every fixed-width UnsafeRow slot is 8 bytes with the
+      // narrower value in the low half, so promote IN PLACE — downstream
+      // consumers (codegen, eq-delete probes tagged from the widened
+      // schema, sorts) then see a true widened lane, no wrapper row.
+      // The marker's kind picks the conversion (int→long sign-extend,
+      // long→double, float→double, int→double).
       if (narrowOrds != null) {
         widenRow.pointTo(current, current.length)
         var j = 0
         while (j < narrowOrds.length) {
-          val o = narrowOrds(j)
-          if (o < numFields && !widenRow.isNullAt(o))
-            widenRow.setLong(o, widenRow.getInt(o).toLong)
+          val m = narrowOrds(j)
+          val o = m & 0xffffff
+          if (o < numFields && !widenRow.isNullAt(o)) {
+            (m >>> 24) match {
+              case 0 => widenRow.setLong(o, widenRow.getInt(o).toLong)
+              case 1 => widenRow.setDouble(o, widenRow.getLong(o).toDouble)
+              case 2 => widenRow.setDouble(o, widenRow.getFloat(o).toDouble)
+              case _ => widenRow.setDouble(o, widenRow.getInt(o).toDouble)
+            }
+          }
           j += 1
         }
       }

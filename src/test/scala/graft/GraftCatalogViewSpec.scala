@@ -83,4 +83,88 @@ class GraftCatalogViewSpec extends SparkSuite {
     s2.sql("CREATE OR REPLACE VIEW gvref.v AS SELECT a + 41 AS a FROM gvref.t")
     assert(s2.sql("SELECT a FROM gvref.v").head.getInt(0) == 42)
   }
+
+  // ---------------------------------------------------- round 14 depth
+
+  test("capture context: unqualified names in a view body resolve against the CREATE-time catalog") {
+    val (s2, _) = freshCat("ctx")
+    s2.sql("CREATE TABLE gvctx.t AS SELECT 7 AS a")
+    val mgr = s2.sessionState.catalogManager
+    val prevCat = mgr.currentCatalog.name()
+    try {
+      // author the view under `USE gvctx`: body names `t` unqualified
+      mgr.setCurrentCatalog("gvctx")
+      s2.sql("CREATE VIEW gvctx.v AS SELECT a FROM t")
+    } finally mgr.setCurrentCatalog(prevCat)
+    // the READER is in a different catalog, with a same-named temp view
+    // trying to hijack the name — the stored context must win
+    s2.range(0, 1).selectExpr("999 AS a").createOrReplaceTempView("t")
+    try {
+      assert(s2.sql("SELECT a FROM gvctx.v").head.getInt(0) == 7,
+        "view body resolved against the reader's context, not capture-time")
+    } finally s2.catalog.dropTempView("t")
+  }
+
+  test("cycle guard: mutually-referencing views fail fast with a named cycle") {
+    val (s2, _) = freshCat("cyc")
+    s2.sql("CREATE TABLE gvcyc.t AS SELECT 1 AS a")
+    s2.sql("CREATE VIEW gvcyc.v2 AS SELECT a FROM gvcyc.t")
+    s2.sql("CREATE VIEW gvcyc.v1 AS SELECT a FROM gvcyc.v2")
+    // redefine v2 to close the loop — the API path writes the sidecar
+    // without analysis (SQL-path replace would catch it at analysis)
+    val cat = s2.sessionState.catalogManager.catalog("gvcyc")
+      .asInstanceOf[graft.sources.GraftCatalog]
+    val v2id = org.apache.spark.sql.connector.catalog.Identifier
+      .of(Array.empty, "v2")
+    val schema = new org.apache.spark.sql.types.StructType()
+      .add("a", org.apache.spark.sql.types.IntegerType)
+    cat.dropView(v2id)
+    cat.createView(new org.apache.spark.sql.connector.catalog.ViewInfo(
+      v2id, "SELECT a FROM gvcyc.v1", "spark_catalog", Array.empty,
+      schema, Array("a"), Array.empty, Array.empty,
+      new java.util.HashMap[String, String]()))
+    val e = intercept[Exception](s2.sql("SELECT a FROM gvcyc.v1").collect())
+    assert(e.getMessage.contains("cycle"), e.getMessage)
+    // a self-cycle fails the same way, not via fixpoint exhaustion
+    cat.dropView(v2id)
+    cat.createView(new org.apache.spark.sql.connector.catalog.ViewInfo(
+      v2id, "SELECT a FROM gvcyc.v2", "spark_catalog", Array.empty,
+      schema, Array("a"), Array.empty, Array.empty,
+      new java.util.HashMap[String, String]()))
+    val e2 = intercept[Exception](s2.sql("SELECT a FROM gvcyc.v2").collect())
+    assert(e2.getMessage.contains("cycle"), e2.getMessage)
+  }
+
+  test("ALTER VIEW AS redefines in place, preserves properties; failed redefinition leaves the view intact") {
+    val (s2, _) = freshCat("alt")
+    s2.sql("CREATE TABLE gvalt.t AS SELECT 5 AS a")
+    s2.sql("CREATE VIEW gvalt.v AS SELECT a FROM gvalt.t")
+    s2.sql("ALTER VIEW gvalt.v SET TBLPROPERTIES ('team' = 'data')")
+    s2.sql("ALTER VIEW gvalt.v AS SELECT a * 2 AS a FROM gvalt.t")
+    assert(s2.sql("SELECT a FROM gvalt.v").head.getInt(0) == 10)
+    val cat = s2.sessionState.catalogManager.catalog("gvalt")
+      .asInstanceOf[graft.sources.GraftCatalog]
+    val vid = org.apache.spark.sql.connector.catalog.Identifier
+      .of(Array.empty, "v")
+    assert(cat.loadView(vid).properties().get("team") == "data",
+      "redefinition must preserve view properties")
+    // a body that fails analysis leaves the old definition standing
+    intercept[Exception](
+      s2.sql("ALTER VIEW gvalt.v AS SELECT no_such_col FROM gvalt.t"))
+    assert(s2.sql("SELECT a FROM gvalt.v").head.getInt(0) == 10)
+  }
+
+  test("rename-under-a-view: a renamed base column makes the view read fail loudly (late binding)") {
+    val (s2, root) = freshCat("ren")
+    s2.sql("CREATE TABLE gvren.t AS SELECT 3 AS a, 4 AS b")
+    s2.sql("CREATE VIEW gvren.v AS SELECT a FROM gvren.t")
+    s2.sql("ALTER TABLE gvren.t RENAME COLUMN a TO a2")
+    // late binding re-resolves the stored text: `a` no longer exists —
+    // the behavior we PIN is a loud analysis failure, never silent
+    // stale data
+    intercept[Exception](s2.sql("SELECT a FROM gvren.v").collect())
+    // redefinition against the new name repairs it
+    s2.sql("ALTER VIEW gvren.v AS SELECT a2 AS a FROM gvren.t")
+    assert(s2.sql("SELECT a FROM gvren.v").head.getInt(0) == 3)
+  }
 }

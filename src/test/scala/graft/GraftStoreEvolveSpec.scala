@@ -195,25 +195,37 @@ class GraftStoreEvolveSpec extends SparkSuite {
       r.getLong(3) == (0L until 100L).sum + (0L until 4L).map(_ + 3000000000L).sum)
   }
 
-  test("widen: change feeds and stream tails refuse to cross the widening commit") {
+  test("widen: change feeds cross the widening commit, emitting pre-widen images in the widened type") {
     import spark.implicits._
     val root = graft.ops.Util.managedTempDir("graft_ev_widcdf_")
     val t = s"$root/t"
-    spark.range(0, 10).selectExpr("CAST(id AS INT) AS k")
+    spark.range(0, 10).selectExpr("CAST(id - 5 AS INT) AS k")
       .write.format("graft.sources.GraftStore").option("path", t)
-      .mode("overwrite").save() // v1
+      .mode("overwrite").save() // v1 (negative values pin sign-extension)
     GraftStore.widenColumn(t, "k") // v2
-    spark.range(10, 20).selectExpr("id AS k")
+    spark.range(10, 20).selectExpr("id + 3000000000 AS k")
       .write.format("graft.sources.GraftStore").option("path", t)
       .mode("append").save() // v3
-    val e = intercept[Exception] {
-      spark.read.format("graft.sources.GraftStore").option("path", t)
-        .option("changesFrom", "0").load().count()
-    }
-    assert(e.getMessage.contains("widening"), e.getMessage)
-    // each side of the split reads fine
-    assert(spark.read.format("graft.sources.GraftStore").option("path", t)
-      .option("changesFrom", "0").option("changesTo", "1").load().count() == 10)
+    // round 14: the feed no longer refuses the widen boundary — it reads
+    // everything under the schema at changesTo and upgrades pre-widen
+    // units' narrow markers structurally, so v1's int images emit as
+    // longs (sign-extended)
+    val feed = spark.read.format("graft.sources.GraftStore").option("path", t)
+      .option("changesFrom", "0").load()
+    assert(feed.schema("k").dataType == org.apache.spark.sql.types.LongType)
+    val rows = feed.select($"k", $"_change_type", $"_commit_version")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(rows.count(_._3 == 1L) == 10 && rows.count(_._3 == 3L) == 10 &&
+      rows.length == 20)
+    assert(rows.filter(_._3 == 1L).map(_._1).sorted.toSeq ==
+      (-5L until 5L).toSeq) // pre-widen images, widened
+    assert(rows.filter(_._3 == 3L).map(_._1).min == 3000000010L)
+    assert(rows.forall(_._2 == "insert"))
+    // a sub-range ending BEFORE the widen still reads the int schema
+    val pre = spark.read.format("graft.sources.GraftStore").option("path", t)
+      .option("changesFrom", "0").option("changesTo", "1").load()
+    assert(pre.schema("k").dataType == org.apache.spark.sql.types.IntegerType)
+    assert(pre.count() == 10)
     assert(spark.read.format("graft.sources.GraftStore").option("path", t)
       .option("changesFrom", "2").load().count() == 10)
   }
@@ -232,11 +244,165 @@ class GraftStoreEvolveSpec extends SparkSuite {
     assert(out == (0L until 50L).sum)
     val sch = s2.table("gevo.t").schema
     assert(sch("a2").dataType == org.apache.spark.sql.types.LongType)
-    // unsupported type change refuses loudly
+    // round 14: long -> double is a supported widening now
+    s2.sql("ALTER TABLE gevo.t ALTER COLUMN b TYPE DOUBLE")
+    assert(s2.table("gevo.t").schema("b").dataType ==
+      org.apache.spark.sql.types.DoubleType)
+    val sb = s2.sql("SELECT sum(b) AS s FROM gevo.t").collect()(0).getDouble(0)
+    assert(sb == (0L until 50L).sum.toDouble)
+    // narrowing still refuses loudly
     val e = intercept[Exception] {
-      s2.sql("ALTER TABLE gevo.t ALTER COLUMN b TYPE DOUBLE")
+      s2.sql("ALTER TABLE gevo.t ALTER COLUMN a2 TYPE INT")
     }
-    assert(e.getMessage.toLowerCase.contains("widening") ||
-      e.getMessage.contains("BIGINT") || e.getMessage.contains("long"))
+    assert(e.getMessage.contains("widening") || e.getMessage.contains("BIGINT"),
+      e.getMessage)
+  }
+
+  // ------------------------------------------- round 14: widen to double
+
+  test("widen long->double and float->double: metadata-only, old lanes promote in place, new files native") {
+    import spark.implicits._
+    val root = graft.ops.Util.managedTempDir("graft_ev_widd_")
+    val t = s"$root/t"
+    spark.range(0, 100, 1, 2)
+      .selectExpr("id AS a", "CAST(id / 2.0 AS FLOAT) AS f")
+      .write.format("graft.sources.GraftStore").option("path", t)
+      .mode("overwrite").save() // v1
+    val before = dataBytes(t)
+    GraftStore.widenColumn(t, "a", org.apache.spark.sql.types.DoubleType) // v2
+    GraftStore.widenColumn(t, "f", org.apache.spark.sql.types.DoubleType) // v3
+    assert(dataBytes(t) == before, "widen must not touch data files")
+    spark.range(100, 104, 1, 1)
+      .selectExpr("CAST(id AS DOUBLE) AS a", "CAST(id AS DOUBLE) / 2 AS f")
+      .write.format("graft.sources.GraftStore").option("path", t)
+      .mode("append").save() // v4
+    val df = readT(t)
+    assert(df.schema("a").dataType == org.apache.spark.sql.types.DoubleType)
+    assert(df.schema("f").dataType == org.apache.spark.sql.types.DoubleType)
+    val r = df.agg(org.apache.spark.sql.functions.sum($"a"),
+      org.apache.spark.sql.functions.sum($"f")).collect()(0)
+    assert(r.getDouble(0) == (0 until 104).map(_.toDouble).sum)
+    assert(r.getDouble(1) ==
+      (0 until 100).map(i => (i.toFloat / 2).toDouble).sum +
+        (100 until 104).map(_.toDouble / 2).sum)
+    // time travel to the pre-widen snapshot reads the narrow schema
+    assert(readT(t, versionAsOf = 1L).schema("a").dataType ==
+      org.apache.spark.sql.types.LongType)
+    assert(readT(t, versionAsOf = 1L).schema("f").dataType ==
+      org.apache.spark.sql.types.FloatType)
+  }
+
+  test("widen chain int->long->double: the narrow marker upgrades to one int->double fix-up") {
+    import spark.implicits._
+    val root = graft.ops.Util.managedTempDir("graft_ev_widc_")
+    val t = s"$root/t"
+    spark.range(0, 10).selectExpr("CAST(id - 5 AS INT) AS k")
+      .write.format("graft.sources.GraftStore").option("path", t)
+      .mode("overwrite").save() // v1
+    GraftStore.widenColumn(t, "k") // v2: int -> long
+    GraftStore.widenColumn(t, "k", org.apache.spark.sql.types.DoubleType) // v3
+    val df = readT(t)
+    assert(df.schema("k").dataType == org.apache.spark.sql.types.DoubleType)
+    assert(df.select($"k").collect().map(_.getDouble(0)).sorted.toSeq ==
+      (-5 until 5).map(_.toDouble).toSeq)
+    // the physical int lane carries ONE marker: int -> double
+    val es = GraftStore.readManifest(t).get._2
+    assert(es.forall(_.narrow.forall(m =>
+      GraftStore.narrowKind(m) == GraftStore.NarrowIntToDouble)),
+      es.map(_.narrow).toString)
+  }
+
+  test("widen refusal matrix: narrowing and representation changes refuse; double widen preconditions enforced") {
+    import spark.implicits._
+    val root = graft.ops.Util.managedTempDir("graft_ev_widr_")
+    val t = s"$root/t"
+    spark.range(0, 10).selectExpr("CAST(id AS INT) AS i", "id AS l",
+      "CAST(id AS DOUBLE) AS d", "CAST(id AS STRING) AS s")
+      .write.format("graft.sources.GraftStore").option("path", t)
+      .mode("overwrite").save()
+    import org.apache.spark.sql.types._
+    // lossy / representation changes: every direction refused
+    for ((col, to) <- Seq(("l", IntegerType), ("d", FloatType),
+        ("d", LongType), ("l", FloatType), ("i", FloatType),
+        ("s", IntegerType), ("i", StringType), ("i", IntegerType))) {
+      val e = intercept[IllegalArgumentException](
+        GraftStore.widenColumn(t, col, to))
+      assert(e.getMessage.contains("widening"), s"$col -> $to: ${e.getMessage}")
+    }
+    // a bucket partition source cannot widen to double (the transform
+    // needs int/long); int->long stays allowed
+    val tb = s"$root/tb"
+    spark.range(0, 20).selectExpr("id AS k", "id AS v")
+      .write.format("graft.sources.GraftStore").option("path", tb)
+      .mode("overwrite").save()
+    GraftStore.evolvePartitionBy(tb, Some("bucket(4,k)"))
+    val eb = intercept[IllegalArgumentException](
+      GraftStore.widenColumn(tb, "k", DoubleType))
+    assert(eb.getMessage.contains("partition source"), eb.getMessage)
+    // a live equality-delete key cannot widen to double (rendered probes
+    // would stop matching)
+    val te = s"$root/te"
+    spark.range(0, 20).selectExpr("id AS k", "id AS v")
+      .write.format("graft.sources.GraftStore").option("path", te)
+      .mode("overwrite").save()
+    GraftStore.deleteByKey(spark, te,
+      spark.range(0, 2).selectExpr("id AS k"))
+    val ee = intercept[IllegalArgumentException](
+      GraftStore.widenColumn(te, "k", DoubleType))
+    assert(ee.getMessage.contains("equality deletes"), ee.getMessage)
+  }
+
+  test("change feed crosses a widen smuggled in by fastForward (structural detection, not op-string)") {
+    import spark.implicits._
+    val root = graft.ops.Util.managedTempDir("graft_ev_widff_")
+    val t = s"$root/t"
+    spark.range(0, 10).selectExpr("CAST(id - 5 AS INT) AS k")
+      .write.format("graft.sources.GraftStore").option("path", t)
+      .mode("overwrite").save() // main v1
+    GraftStore.branchCreate(t, "dev")
+    // widen ON THE BRANCH, then publish: main's v2 op is
+    // "fastForward(dev)" — an op-string widen check never sees it
+    GraftStore.widenColumn(GraftStore.branchPath(t, "dev"), "k")
+    GraftStore.fastForward(t, "dev") // main v2
+    assert(GraftStore.readOpOf(new File(t,
+      s"${GraftStore.ManifestName}.v2")).startsWith("fastForward"))
+    spark.range(10, 14).selectExpr("id + 3000000000 AS k")
+      .write.format("graft.sources.GraftStore").option("path", t)
+      .mode("append").save() // main v3
+    val feed = spark.read.format("graft.sources.GraftStore").option("path", t)
+      .option("changesFrom", "0").load()
+    assert(feed.schema("k").dataType == org.apache.spark.sql.types.LongType)
+    val ks = feed.select($"k").collect().map(_.getLong(0)).sorted.toSeq
+    assert(ks == ((-5L until 5L) ++ (10 until 14).map(_ + 3000000000L)).sorted,
+      ks.toString) // pre-publish int images sign-extend, not low-half reads
+  }
+
+  test("rename precision: renaming `id` leaves __bucket stats of `user_id` untouched") {
+    import spark.implicits._
+    val root = graft.ops.Util.managedTempDir("graft_ev_renb_")
+    // bucket writes resolve the V2 bucket function — catalog path
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.catalog.grnb", "graft.sources.GraftCatalog")
+    s2.conf.set("spark.sql.catalog.grnb.root", root)
+    s2.range(0, 100).selectExpr("id AS id", "id % 10 AS user_id")
+      .createOrReplaceTempView("renb_src")
+    s2.sql("""CREATE TABLE grnb.t PARTITIONED BY (bucket(4, user_id)) AS
+      SELECT * FROM renb_src""")
+    val t = s"$root/t"
+    val keysBefore = GraftStore.readManifest(t).get._2
+      .flatMap(_.stats.keys).filter(_.startsWith("__bucket_")).toSet
+    assert(keysBefore == Set("__bucket_4_user_id"), keysBefore.toString)
+    GraftStore.renameColumn(t, "id", "row_id")
+    val after = GraftStore.readManifest(t).get._2
+    val keysAfter = after.flatMap(_.stats.keys)
+      .filter(_.startsWith("__bucket_")).toSet
+    assert(keysAfter == Set("__bucket_4_user_id"),
+      s"renaming an unrelated column corrupted bucket pseudo-stats: $keysAfter")
+    // and renaming the SOURCE still remaps exactly
+    GraftStore.renameColumn(t, "user_id", "uid")
+    val keys2 = GraftStore.readManifest(t).get._2
+      .flatMap(_.stats.keys).filter(_.startsWith("__bucket_")).toSet
+    assert(keys2 == Set("__bucket_4_uid"), keys2.toString)
+    assert(GraftStore.readPartitionBy(t).contains("bucket(4,uid)"))
   }
 }

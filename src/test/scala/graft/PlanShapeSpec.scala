@@ -190,6 +190,18 @@ class PlanShapeSpec extends SparkSuite {
     assert(df.agg(org.apache.spark.sql.functions.sum("n")).head.getLong(0) == 59000L)
   }
 
+  test("suffix dedup: hash-blocked joins, cached gram subtree, no unblocked self-join") {
+    val p = plan("q_dedup_suffix")
+    // the candidate join keys on the 64-bit window hash and the confirm
+    // join on the exact gram — both equi-joins; the global cartesian
+    // check covers the rest, this pins the cache (the gram subtree feeds
+    // three legs) and that no broadcast NLJ snuck in
+    assert(p.contains("InMemoryTableScan") || p.contains("InMemoryRelation"),
+      s"q_dedup_suffix no longer caches its reused gram subtree:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"q_dedup_suffix plans a nested-loop join:\n$p")
+  }
+
   test("dedup self-joins reuse their cached signature subtrees") {
     // the minhash/ngram caches are load-bearing (3.5s->1.4s, 1.1s->0.6s):
     // a removed .cache() recomputes the expensive subtree per consumer

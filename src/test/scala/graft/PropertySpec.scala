@@ -336,4 +336,38 @@ class PropertySpec extends SparkSuite {
         s"estimate $est outside bounds for true NDV $n")
     }
   }
+
+  test("suffix dedup: planted shared substrings are recovered with exact position and length") {
+    import spark.implicits._
+    // deterministic distinct filler (seeded) so the ONLY ≥40-char repeats
+    // are the planted ones
+    val rnd = new scala.util.Random(42)
+    def filler(n: Int): String =
+      (0 until n).map(_ => ('a' + rnd.nextInt(26)).toChar).mkString
+    val shared = "the exact same one hundred and twenty character run planted " +
+      "verbatim in two quite different documents for recall checking!"
+    assert(shared.length == 122)
+    val selfRep = filler(60)
+    val docs = Seq(
+      (1L, filler(200) + shared + filler(150)),          // planted at 200
+      (2L, filler(80) + shared + filler(37)),            // planted at 80
+      (3L, filler(50) + selfRep + filler(45) + selfRep), // SELF-repeat
+      (4L, filler(300))                                  // clean
+    ).toDF("doc_id", "text")
+    val runs = graft.ops.Quality.suffixRuns(docs, 40)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // cross-doc plant: found in BOTH docs at the exact offset and length
+    assert(runs.contains((1L, 200L, 122L)), runs.mkString(", "))
+    assert(runs.contains((2L, 80L, 122L)), runs.mkString(", "))
+    // self-repeat within one doc: both occurrences, exact length
+    assert(runs.contains((3L, 50L, 60L)), runs.mkString(", "))
+    assert(runs.contains((3L, 155L, 60L)), runs.mkString(", "))
+    // nothing fabricated: the clean doc reports no runs, and no run
+    // exists beyond the four planted ones
+    assert(runs.length == 4, runs.mkString(", "))
+    // sub-threshold repeats (< 40 chars) never surface
+    val short = Seq((1L, filler(100) + "tiny repeat" + filler(100)),
+      (2L, filler(90) + "tiny repeat" + filler(110))).toDF("doc_id", "text")
+    assert(graft.ops.Quality.suffixRuns(short, 40).count() == 0)
+  }
 }
