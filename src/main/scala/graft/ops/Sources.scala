@@ -1452,9 +1452,21 @@ object Sources {
     }
     cycle(1)
     cycle(2) // same branch, second audit cycle — fork marker advanced
+    // metadata leg (r14): the $branches table's deterministic columns —
+    // after the second publish the branch content equals main's, so its
+    // n_rows is oracle-computable; retain_for_ms is the retention
+    // surface pinned to a fixed policy value (timestamps stay out of
+    // the oracle: wall clock)
+    graft.sources.GraftStore.branchSetRetain(main, "audit", 86400000L)
+    s.conf.set("spark.sql.catalog.gbrq", "graft.sources.GraftCatalog")
+    s.conf.set("spark.sql.catalog.gbrq.root", root)
+    val meta = s.sql("SELECT branch, n_rows, retain_for_ms FROM gbrq.`main$branches`")
+      .select(concat(lit("meta:"), $"branch").as("side"),
+        lit(-1L).as("bucket"), $"n_rows",
+        $"retain_for_ms".as("sum_key"), lit(0.0).as("sum_price"))
     // "staged" time-travels to the pre-publish seed snapshot: proof the
     // branch writes and audits never touched main until fast-forward
-    agg("published").unionAll(agg("staged", Some(seedV)))
+    agg("published").unionAll(agg("staged", Some(seedV))).unionAll(meta)
       .orderBy($"side", $"bucket")
   }
 
@@ -3688,6 +3700,9 @@ object Sources {
         |  FROM orders WHERE o_orderkey % 5 = 0 GROUP BY 1)
         |SELECT 'published' AS side, * FROM pub
         |UNION ALL SELECT 'staged' AS side, * FROM st
+        |UNION ALL SELECT 'meta:audit' AS side, CAST(-1 AS BIGINT) AS bucket,
+        |  CAST((SELECT sum(n_rows) FROM pub) AS BIGINT) AS n_rows,
+        |  CAST(86400000 AS BIGINT) AS sum_key, 0.0 AS sum_price
         |ORDER BY side, bucket""".stripMargin,
     // final state = max id per key over the whole stream, independent
     // of micro-batch boundaries

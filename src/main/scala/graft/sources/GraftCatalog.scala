@@ -696,11 +696,19 @@ class GraftMetadataTable(path: String, ident: String, kind: String)
     // writable branches: name, the main version the next publish checks
     // against, the branch's own head, and its manifest row count (counts
     // rows hidden by live deletes, like every manifest-derived count)
+    // retention columns (r14): creation and last-commit wall-clocks +
+    // the per-branch retain_for override (null = catalog default) — age
+    // is now() - last_commit_at, a trivial projection, deliberately not
+    // materialized (a wall-clock column would make every read
+    // non-deterministic)
     case "branches" => StructType(Seq(
       StructField("branch", StringType, nullable = false),
       StructField("fork_version", LongType, nullable = false),
       StructField("head_version", LongType, nullable = false),
-      StructField("n_rows", LongType, nullable = false)))
+      StructField("n_rows", LongType, nullable = false),
+      StructField("created_at", org.apache.spark.sql.types.TimestampType, nullable = false),
+      StructField("last_commit_at", org.apache.spark.sql.types.TimestampType, nullable = false),
+      StructField("retain_for_ms", LongType, nullable = true)))
     // the "how much read-side delete debt has accumulated / when do I
     // schedule CALL purge_deletes" dashboard: one row per live delete —
     // position vectors (target = the masked data file, n = masked rows)
@@ -747,7 +755,10 @@ class GraftMetadataScan(path: String, kind: String, schema: StructType)
           val bp = GraftStore.branchPath(path, b)
           val (head, latest) = GraftStore.readLatestVersioned(bp)
           Array[Any](utf8(b), GraftStore.branchForkVersion(path, b), head,
-            latest.map(_._2.map(_.rows).sum).getOrElse(0L))
+            latest.map(_._2.map(_.rows).sum).getOrElse(0L),
+            GraftStore.branchCreatedAt(path, b) * 1000L,
+            GraftStore.branchLastCommitAt(path, b) * 1000L,
+            GraftStore.branchRetainFor(path, b).map(Long.box).orNull)
         }.toArray
       case "refs" => GraftStore.readRefs(path).toSeq.sortBy(_._1)
         .map { case (tag, v) =>

@@ -177,13 +177,77 @@ private[sources] object GraftProcedures {
     }
   }
 
+  /** `CALL cat.system.branch_retain('t', 'audit', 86400000)` — set (or
+    * with retain_ms <= 0, clear) the branch's retention override; the
+    * policy `expire_branches` enforces. */
+  private final class BranchRetain(root: String)
+    extends GraftProcedure(root, "branch_retain") {
+    override def description(): String =
+      "set a per-branch retention override (retain_ms <= 0 clears it)"
+    override def parameters(): Array[ProcedureParameter] = Array(
+      P("table", StringType, "table name under the catalog root"),
+      P("branch", StringType, "branch to configure"),
+      P("retain_ms", LongType, "retention from last commit, in millis"))
+    override def out: StructType =
+      new StructType().add("retain_ms", LongType, nullable = false)
+    override def run(spark: SparkSession, input: InternalRow): Array[Any] = {
+      val ms = input.getLong(2)
+      GraftStore.branchSetRetain(tablePath(input),
+        input.getUTF8String(1).toString, ms)
+      Array(math.max(ms, 0L))
+    }
+  }
+
+  /** `CALL cat.system.expire_branches('t', 604800000)` — drop every
+    * branch whose last commit is older than its retention (per-branch
+    * `branch_retain` override, else the given default; the scheduled
+    * counterpart of branch_drop that keeps stale audit branches from
+    * accumulating silently). Returns the dropped count. */
+  private final class ExpireBranches(root: String)
+    extends GraftProcedure(root, "expire_branches") {
+    override def description(): String =
+      "drop branches whose last commit exceeds their retention age"
+    override def parameters(): Array[ProcedureParameter] = Array(
+      P("table", StringType, "table name under the catalog root"),
+      P("default_retain_ms", LongType,
+        "retention for branches without a branch_retain override"))
+    override def out: StructType =
+      new StructType().add("dropped", LongType, nullable = false)
+    override def run(spark: SparkSession, input: InternalRow): Array[Any] =
+      Array(GraftStore.expireBranches(tablePath(input),
+        input.getLong(1)).size.toLong)
+  }
+
+  /** `CALL cat.system.branch_expire_snapshots('t', 'audit', 2)` — the
+    * per-branch form of expire_snapshots: a branch IS a table, so its
+    * own history ages out independently of main's. */
+  private final class BranchExpireSnapshots(root: String)
+    extends GraftProcedure(root, "branch_expire_snapshots") {
+    override def description(): String =
+      "expire old snapshots within a branch (tags pinned) and GC its files"
+    override def parameters(): Array[ProcedureParameter] = Array(
+      P("table", StringType, "table name under the catalog root"),
+      P("branch", StringType, "branch whose history to expire"),
+      P("keep_last", LongType, "how many trailing snapshots to retain"))
+    override def out: StructType =
+      new StructType().add("retained", LongType, nullable = false)
+    override def run(spark: SparkSession, input: InternalRow): Array[Any] = {
+      val bp = GraftStore.branchPath(tablePath(input),
+        input.getUTF8String(1).toString)
+      GraftStore.expireSnapshots(bp, input.getLong(2).toInt, graceMs = 0L)
+      Array(GraftStore.snapshotFiles(bp).size.toLong)
+    }
+  }
+
   private def all(root: String): Seq[GraftProcedure] = Seq(
     new PurgeDeletes(root), new Restore(root), new Compact(root),
     new ExpireSnapshots(root), new BranchCreate(root),
-    new FastForward(root), new BranchDrop(root))
+    new FastForward(root), new BranchDrop(root), new BranchRetain(root),
+    new ExpireBranches(root), new BranchExpireSnapshots(root))
 
   def names: Seq[String] = Seq("purge_deletes", "restore", "compact",
-    "expire_snapshots", "branch_create", "fast_forward", "branch_drop")
+    "expire_snapshots", "branch_create", "fast_forward", "branch_drop",
+    "branch_retain", "expire_branches", "branch_expire_snapshots")
 
   /** Resolve by name from any namespace (the `system` namespace by
     * convention, not enforcement — matching the catalog's function

@@ -942,7 +942,62 @@ object GraftStore {
     cloneTable(path, bp, startVersion = Some(forkV))
     Files.write(Paths.get(bp, ForkFileName),
       forkV.toString.getBytes(StandardCharsets.UTF_8))
+    Files.write(Paths.get(bp, BranchCreatedFileName),
+      System.currentTimeMillis().toString.getBytes(StandardCharsets.UTF_8))
   }
+
+  // -------------------------------------------- branch retention (r14)
+  // Branches are self-contained hard-linked clones — GC-safe by
+  // construction — which also means STALE audit branches accumulate
+  // silently: nothing pins them, nothing ages them out. The retention
+  // surface: `_created` records the fork wall-clock, the manifest
+  // pointer's mtime IS the last-commit time (every commit replaces the
+  // pointer atomically), an optional `_retain` file is the per-branch
+  // `retain_for` override, and [[expireBranches]] drops every branch
+  // older (by last commit) than its effective retention. Age/expiry is
+  // wall-clock policy, so `nowMs` is a parameter — callers pass
+  // currentTimeMillis, tests pass a fixed clock.
+  private[graft] val BranchCreatedFileName = "_created"
+  private[graft] val BranchRetainFileName = "_retain"
+
+  private[graft] def branchCreatedAt(path: String, name: String): Long = {
+    val f = new File(branchPath(path, name), BranchCreatedFileName)
+    if (f.isFile)
+      new String(Files.readAllBytes(f.toPath), StandardCharsets.UTF_8).trim.toLong
+    // pre-r14 branch: the fork marker's mtime is the creation time
+    else new File(branchPath(path, name), ForkFileName).lastModified()
+  }
+
+  private[graft] def branchLastCommitAt(path: String, name: String): Long =
+    new File(branchPath(path, name), ManifestName).lastModified()
+
+  private[graft] def branchRetainFor(path: String, name: String): Option[Long] = {
+    val f = new File(branchPath(path, name), BranchRetainFileName)
+    if (f.isFile)
+      Some(new String(Files.readAllBytes(f.toPath), StandardCharsets.UTF_8)
+        .trim.toLong)
+    else None
+  }
+
+  private[graft] def branchSetRetain(path: String, name: String,
+      retainMs: Long): Unit = {
+    require(new File(branchPath(path, name), ManifestName).exists(),
+      s"no branch '$name' at $path")
+    val f = Paths.get(branchPath(path, name), BranchRetainFileName)
+    if (retainMs <= 0) Files.deleteIfExists(f)
+    else Files.write(f, retainMs.toString.getBytes(StandardCharsets.UTF_8))
+  }
+
+  /** Drop every branch whose last commit is older than its effective
+    * retention (per-branch `_retain` override, else `defaultMs`; a
+    * non-positive effective retention means "never expire"). Returns
+    * the dropped names — metadata-sized by definition. */
+  private[graft] def expireBranches(path: String, defaultMs: Long,
+      nowMs: Long = System.currentTimeMillis()): Seq[String] =
+    branchList(path).filter { b =>
+      val retain = branchRetainFor(path, b).getOrElse(defaultMs)
+      retain > 0 && nowMs - branchLastCommitAt(path, b) > retain
+    }.map { b => branchDelete(path, b); b }
 
   private[graft] def branchForkVersion(path: String, name: String): Long = {
     val f = new File(branchPath(path, name), ForkFileName)

@@ -188,6 +188,72 @@ class GraftStoreBranchSpec extends SparkSuite {
       "dropping a branch never touches main")
   }
 
+  test("branch retention: expireBranches drops by last-commit age, retain_for overrides the default, 0 = never") {
+    val t = fresh("ret")
+    GraftStore.branchCreate(t, "old-default")
+    GraftStore.branchCreate(t, "old-pinned")
+    GraftStore.branchCreate(t, "old-never")
+    GraftStore.branchCreate(t, "young")
+    GraftStore.branchSetRetain(t, "old-pinned", 1000L * 3600) // 1 h
+    GraftStore.branchSetRetain(t, "old-never", 0L) // clears => default...
+    // retain 0 CLEARS an override; "never expire" = a huge retain value
+    GraftStore.branchSetRetain(t, "old-never", Long.MaxValue / 2)
+    val now = System.currentTimeMillis()
+    // 1: nothing is old yet at a 1-day default
+    assert(GraftStore.expireBranches(t, 86400000L, now).isEmpty)
+    // 2: pretend 2 hours pass — only the 1 h-pinned branch ages out
+    val in2h = now + 2L * 3600 * 1000
+    assert(GraftStore.expireBranches(t, 86400000L, in2h) == Seq("old-pinned"))
+    // 3: pretend 2 days pass — default-retention branches age out, the
+    // effectively-never one survives
+    val in2d = now + 2L * 86400000
+    assert(GraftStore.expireBranches(t, 86400000L, in2d).sorted ==
+      Seq("old-default", "young"))
+    assert(GraftStore.branchList(t) == Seq("old-never"))
+    // a fresh commit resets the clock: last_commit_at is the age basis
+    GraftStore.branchCreate(t, "active")
+    assert(GraftStore.branchLastCommitAt(t, "active") >= now - 60000,
+      "manifest mtime must track the latest branch commit")
+    // main is untouched throughout
+    assert(readT(t).count() == 100)
+  }
+
+  test("retention SQL surface: branch_retain / expire_branches / branch_expire_snapshots + $branches columns") {
+    val s2 = spark.newSession()
+    val root = graft.ops.Util.managedTempDir("graft_br_ret_sql_")
+    s2.conf.set("spark.sql.catalog.gbrr", "graft.sources.GraftCatalog")
+    s2.conf.set("spark.sql.catalog.gbrr.root", root)
+    s2.range(0, 50).selectExpr("id AS k", "id AS v")
+      .createOrReplaceTempView("brr_src")
+    s2.sql("CREATE TABLE gbrr.t AS SELECT * FROM brr_src")
+    s2.sql("CALL gbrr.system.branch_create('t', 'audit')")
+    assert(s2.sql("CALL gbrr.system.branch_retain('t', 'audit', 3600000)")
+      .head.getLong(0) == 3600000L)
+    // $branches carries the retention columns
+    val r = s2.sql("SELECT branch, retain_for_ms, created_at, last_commit_at " +
+      "FROM gbrr.`t$branches`").collect()
+    assert(r.length == 1 && r(0).getString(0) == "audit" &&
+      r(0).getLong(1) == 3600000L, r.mkString(","))
+    assert(!r(0).isNullAt(2) && !r(0).isNullAt(3))
+    // a branch inside its retention survives expire_branches
+    assert(s2.sql("CALL gbrr.system.expire_branches('t', 86400000)")
+      .head.getLong(0) == 0L)
+    // branch history expires independently of main: three branch commits,
+    // keep the last 2
+    for (i <- 1 to 3)
+      spark.range(50L * i, 50L * i + 10).selectExpr("id AS k", "id AS v")
+        .write.format("graft.sources.GraftStore").option("path", s"$root/t")
+        .option("branch", "audit").mode("append").save()
+    assert(s2.sql("CALL gbrr.system.branch_expire_snapshots('t', 'audit', 2)")
+      .head.getLong(0) == 2L)
+    assert(GraftStore.snapshotFiles(s"$root/t").size >= 1,
+      "main history untouched by branch expiry")
+    // clearing retention makes the default apply again
+    s2.sql("CALL gbrr.system.branch_retain('t', 'audit', 0)")
+    assert(s2.sql("SELECT retain_for_ms FROM gbrr.`t$branches`")
+      .head.isNullAt(0))
+  }
+
   test("branch is GC-independent: expiring main snapshots never breaks the branch (hard links)") {
     val t = fresh("gc")
     GraftStore.branchCreate(t, "keep")
