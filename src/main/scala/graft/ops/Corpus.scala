@@ -154,7 +154,7 @@ object Corpus {
     val starts = transform(
       sequence(lit(0), floor((size(ws) - 1).cast("double") / 24.0).cast("int")),
       k => k * 24 + 1)
-    table(s, dir, "documents")
+    Util.spread(table(s, dir, "documents"))
       .select($"doc_id", ws.as("ws"), explode(starts).as("start"))
       .select($"doc_id", (($"start" - 1) / 24).cast("long").as("chunk_id"),
         size(slice($"ws", $"start", lit(32))).cast("long").as("chunk_toks"),

@@ -143,7 +143,7 @@ object Curation {
     // corpus scan
     s.sessionState.functionRegistry.createOrReplaceTempFunction(
       "shingles3", exprs => ShingleGenerator(exprs.head, 3), "scala_udf")
-    val sh = table(s, dir, "documents")
+    val sh = Util.spread(table(s, dir, "documents"))
       .selectExpr("doc_id", "shingles3(text) AS sh")
       .distinct()
       .transform(cached)

@@ -178,7 +178,7 @@ object Extensions {
     val sh = when(size(ws) >= 3,
       transform(sequence(lit(1), size(ws) - 2),
         i => concat_ws(" ", slice(ws, i, lit(3))))).otherwise(array())
-    table(s, dir, "documents")
+    graft.ops.Util.spread(table(s, dir, "documents"))
       .select($"doc_id", sh.as("sh"))
       .filter(size($"sh") > 0)
       .select($"doc_id",

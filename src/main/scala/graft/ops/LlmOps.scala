@@ -99,7 +99,7 @@ object LlmOps {
   }
 
   private[graft] def minHashSig(s: SparkSession, dir: String): DataFrame =
-    minHashSigOf(table(s, dir, "documents"))
+    minHashSigOf(Util.spread(table(s, dir, "documents")))
 
   private[ops] def nearDupPairs(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -202,7 +202,7 @@ object LlmOps {
   /** Tokenize → explode → stopword-filter → top-20 terms. */
   val qTextWordcount: Q = (s, dir) => {
     import s.implicits._
-    table(s, dir, "documents")
+    Util.spread(table(s, dir, "documents"))
       .select(explode(toks($"text")).as("term"))
       .filter(!$"term".isin("a", "the") && $"term" =!= "")
       .groupBy($"term").agg(count(lit(1)).as("n"))
@@ -215,7 +215,7 @@ object LlmOps {
   val qTextTfidf: Q = (s, dir) => {
     import s.implicits._
     val d = table(s, dir, "documents")
-    val tf = d.select($"doc_id", explode(toks($"text")).as("term"))
+    val tf = Util.spread(d).select($"doc_id", explode(toks($"text")).as("term"))
       .filter(!$"term".isin("a", "the"))
       .groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
     val df = tf.groupBy($"term").agg(count(lit(1)).as("df"))

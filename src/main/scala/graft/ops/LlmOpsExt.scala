@@ -322,20 +322,24 @@ object LlmOpsExt {
     * NLLs are decimal-summed so the per-doc mean is order-independent. */
   val qTextBigramLm: Q = (s, dir) => {
     import s.implicits._
-    val big = table(s, dir, "documents")
+    // bigram explode feeds model counts AND the scoring join: cache it;
+    // the model is vocab²-bounded (MBs at any corpus scale) — broadcast
+    // it back onto the corpus like the unigram LM, never shuffle the
+    // corpus on the pair key
+    val big = cached(spread(table(s, dir, "documents"))
       .select($"doc_id", toks($"text").as("ws"))
       .filter(size($"ws") >= 2)
       .select($"doc_id", explode(transform(sequence(lit(1), size($"ws") - 1),
         i => struct(element_at($"ws", i).as("w1"),
           element_at($"ws", i + 1).as("w2")))).as("b"))
-      .select($"doc_id", $"b.w1".as("w1"), $"b.w2".as("w2"))
+      .select($"doc_id", $"b.w1".as("w1"), $"b.w2".as("w2")))
     val cnt = big.groupBy($"w1", $"w2").agg(count(lit(1)).as("c12"))
     val ctx = cnt.groupBy($"w1").agg(sum($"c12").as("c1"))
     val model = cnt.join(ctx, "w1")
       .select($"w1", $"w2",
         round(-log($"c12".cast("double") / $"c1"), 8)
           .cast("decimal(18,8)").as("nll"))
-    big.join(model, Seq("w1", "w2"))
+    big.join(broadcast(model), Seq("w1", "w2"))
       .groupBy($"doc_id")
       .agg((sum($"nll").cast("double") / count(lit(1))).as("avg_nll"),
         count(lit(1)).as("n_bigrams"))
@@ -361,20 +365,20 @@ object LlmOpsExt {
   val qCuratePerplexity: Q = (s, dir) => {
     import s.implicits._
     val d = table(s, dir, "documents")
-    val big = d
+    val big = cached(spread(d)
       .select($"doc_id", toks($"text").as("ws"))
       .filter(size($"ws") >= 2)
       .select($"doc_id", explode(transform(sequence(lit(1), size($"ws") - 1),
         i => struct(element_at($"ws", i).as("w1"),
           element_at($"ws", i + 1).as("w2")))).as("b"))
-      .select($"doc_id", $"b.w1".as("w1"), $"b.w2".as("w2"))
+      .select($"doc_id", $"b.w1".as("w1"), $"b.w2".as("w2")))
     val cnt = big.groupBy($"w1", $"w2").agg(count(lit(1)).as("c12"))
     val ctx = cnt.groupBy($"w1").agg(sum($"c12").as("c1"))
     val model = cnt.join(ctx, "w1")
       .select($"w1", $"w2",
         round(-log($"c12".cast("double") / $"c1"), 8)
           .cast("decimal(18,8)").as("nll"))
-    val scored = big.join(model, Seq("w1", "w2"))
+    val scored = big.join(broadcast(model), Seq("w1", "w2"))
       .groupBy($"doc_id")
       .agg(sum($"nll").as("tot_nll"), count(lit(1)).as("n_bigrams"))
       .withColumn("avg_nll", $"tot_nll".cast("double") / $"n_bigrams")
@@ -409,7 +413,8 @@ object LlmOpsExt {
     * divergence cannot move a value across a 5e-7 rounding boundary. */
   val qTextCollocations: Q = (s, dir) => {
     import s.implicits._
-    val tok = table(s, dir, "documents").select(toks($"text").as("ws"))
+    val tok = cached(spread(table(s, dir, "documents"))
+      .select(toks($"text").as("ws")))
     val uni = tok.select(explode($"ws").as("w"))
       .groupBy($"w").agg(count(lit(1)).as("c"))
     val bi = tok.filter(size($"ws") >= 2)
@@ -632,8 +637,10 @@ object LlmOpsExt {
     * move the double result. */
   val qTextUnigramLm: Q = (s, dir) => {
     import s.implicits._
-    val tok = table(s, dir, "documents")
-      .select($"doc_id", explode(toks($"text")).as("t"))
+    // the token explode feeds BOTH the model counts and the scoring
+    // join — cache it once (the r13/r14 twice-consumed-subtree rule)
+    val tok = cached(spread(table(s, dir, "documents"))
+      .select($"doc_id", explode(toks($"text")).as("t")))
     val tf = tok.groupBy($"t").agg(count(lit(1)).as("c"))
     val tot = tf.agg(sum($"c").as("n"))
     val model = tf.crossJoin(broadcast(tot))
@@ -671,7 +678,7 @@ object LlmOpsExt {
   val qSimSparse: Q = (s, dir) => {
     import s.implicits._
     val d = table(s, dir, "documents")
-    val tf = d.select($"doc_id", explode(toks($"text")).as("term"))
+    val tf = spread(d).select($"doc_id", explode(toks($"text")).as("term"))
       .groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
     val df = tf.groupBy($"term").agg(count(lit(1)).as("df"))
     val n = d.agg(count(lit(1)).as("n_docs"))
@@ -689,10 +696,15 @@ object LlmOpsExt {
     // are deterministic (ordered by term)
     val dict = df.withColumn("tid",
       row_number().over(Window.orderBy($"term")))
-    val w = tf.join(broadcast(dict), "term").crossJoin(broadcast(n))
+    // the weighted-postings subtree feeds FOUR plan legs (top, norm, and
+    // both sides of the candidate self-join, which gets fresh attribute
+    // ids so exchange reuse can never fire) — cache it once or pay the
+    // explode+groupBy+joins four times (the r13 twice-consumed-subtree
+    // class; measured ~2x this query's cost)
+    val w = cached(tf.join(broadcast(dict), "term").crossJoin(broadcast(n))
       .select($"doc_id", $"tid",
         ($"tf" * round(log($"n_docs".cast("double") / $"df") * 10000, 0)
-          .cast("long")).as("w"))
+          .cast("long")).as("w")))
     val top = w.withColumn("rn",
         row_number().over(
           Window.partitionBy($"doc_id").orderBy($"w".desc, $"tid")))
@@ -705,7 +717,7 @@ object LlmOpsExt {
     // relational join+agg, a reminder that "fewer shuffled rows" loses
     // to "stays inside codegen" at this fan-in.)
     val norm = w.groupBy($"doc_id").agg(sum($"w" * $"w").as("ssq"))
-    val wt = w.join(top, "doc_id")
+    val wt = cached(w.join(top, "doc_id"))
     val dots = wt.as("a").join(wt.as("b"),
         $"a.top_tid" === $"b.top_tid" && $"a.tid" === $"b.tid" &&
           $"a.doc_id" < $"b.doc_id")
@@ -742,12 +754,18 @@ object LlmOpsExt {
     import s.implicits._
     val Cap = 64L // posting-length bound per salt cell (fixture-sized; content-invariant)
     val d = table(s, dir, "documents")
-    val tf = d.select($"doc_id", explode(toks($"text")).as("term"))
+    val tf = spread(d).select($"doc_id", explode(toks($"text")).as("term"))
       .groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
     val df = tf.groupBy($"term").agg(count(lit(1)).as("df"))
     val n = d.agg(count(lit(1)).as("n_docs"))
     val dict = df.withColumn("tid",
       row_number().over(Window.orderBy($"term")))
+    // NOTE: caching the postings here measured SLOWER twice (r14, with
+    // and without the spread): the replicate-and-join sides fuse into
+    // whole-stage codegen straight off the exchange, and an
+    // InMemoryTableScan in that position costs more than recomputing
+    // the narrow postings subtree — contrast q_sim_sparse, where the
+    // cache wins; "stays inside codegen" beats "computed once" here
     val w = tf.join(broadcast(dict), "term").crossJoin(broadcast(n))
       .select($"doc_id", $"tid",
         ($"tf" * round(log($"n_docs".cast("double") / $"df") * 10000, 0)

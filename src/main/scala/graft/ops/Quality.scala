@@ -98,7 +98,7 @@ object Quality {
   private[graft] def substringRuns(docs: DataFrame, k: Int): DataFrame = {
     val s = docs.sparkSession
     import s.implicits._
-    val toks = cached(docs.select($"doc_id", LlmOps.toks($"text").as("ws"))
+    val toks = cached(spread(docs).select($"doc_id", LlmOps.toks($"text").as("ws"))
       .filter(size($"ws") >= k))
     val grams = cached(toks
       .select($"doc_id", $"ws",
@@ -143,32 +143,48 @@ object Quality {
     * every maximal repeated interval and its exact length — same
     * output, no sort.
     *
-    * Scale shape: the per-character explode ships only (doc_id, pos,
-    * xxhash64(window)) into the wide shuffle — 8-byte keys, map-side
-    * partial counts; the L-char window strings are grouped only for the
-    * hash-candidate SURVIVORS (two-phase: hash prefilter, exact string
-    * confirm — so a 64-bit collision can never fabricate a repeat).
-    * The island merge shuffles once on doc_id. No self-join of the
-    * corpus, no cross product, nothing driver-sided. */
+    * Scale shape — the wide shuffle ships HASHES, not windows. The
+    * per-character explode stays inside whole-stage codegen (explode of
+    * a sequence + substring + xxhash64 in one fused pipeline — measured
+    * ~10x a native-Generator formulation, which walks GenerateExec's
+    * interpreted per-row path) and what reaches the one corpus-sized
+    * exchange is (doc_id, pos, hash): 24 bytes/row regardless of L.
+    * A per-hash window count marks candidate positions; survivors
+    * (corpus-duplication-fraction-sized) re-derive their window text by
+    * joining the doc-sliced corpus — broadcast when the doc table is
+    * small, an ordinary doc_id equi-join otherwise — and an exact
+    * per-window count confirms, so a 64-bit collision can never
+    * fabricate a repeat. Islands merge shuffles the survivors once on
+    * doc_id. No self-join of the corpus, no cross product, nothing
+    * driver-sided. */
   private[graft] def suffixRuns(docs: DataFrame, L: Int): DataFrame = {
     val s = docs.sparkSession
     import s.implicits._
-    val grams = cached(docs
+    // the doc table arrives as ONE small parquet split, but the explode
+    // amplifies it ~300x — spread the docs across the cluster BEFORE
+    // the amplification or the whole map stage runs in one task
+    val pos1 = docs
+      .repartition(s.sparkContext.defaultParallelism)
       .filter(length($"text") >= L)
       .select($"doc_id", $"text",
         explode(sequence(lit(0L), (length($"text") - L).cast("long")))
           .as("pos"))
       .select($"doc_id", $"pos",
+        xxhash64(expr(s"substring(text, CAST(pos + 1 AS INT), $L)")).as("h"))
+    // phase 1: candidate positions by duplicated window HASH — one
+    // window count over the h-partitioning: the only corpus-sized
+    // shuffle ships (doc_id, pos, hash) 24-byte rows. (Measured
+    // alternatives: shuffling the window STRINGS costs ~3x the bytes
+    // and their sort; a groupBy(h)+join-back pays the shuffle twice.)
+    val cand = pos1
+      .withColumn("c", count(lit(1)).over(Window.partitionBy($"h")))
+      .filter($"c" >= 2).select($"doc_id", $"pos")
+    // phase 2: survivors re-derive the window text and confirm exactly
+    val dp = cand.join(docs, "doc_id")
+      .select($"doc_id", $"pos",
         expr(s"substring(text, CAST(pos + 1 AS INT), $L)").as("g"))
-      .withColumn("h", xxhash64($"g")))
-    // phase 1: duplicated 64-bit window hashes (the cheap wide shuffle)
-    val dupH = grams.groupBy($"h").agg(count(lit(1)).as("c"))
-      .filter($"c" >= 2).select($"h")
-    // phase 2: exact confirm on the survivors only
-    val cand = grams.join(dupH, "h")
-    val dupG = cand.groupBy($"g").agg(count(lit(1)).as("c"))
-      .filter($"c" >= 2).select($"g")
-    val dp = cand.join(dupG, "g").select($"doc_id", $"pos")
+      .withColumn("c2", count(lit(1)).over(Window.partitionBy($"g")))
+      .filter($"c2" >= 2).select($"doc_id", $"pos")
     val wI = Window.partitionBy($"doc_id").orderBy($"pos")
     dp.withColumn("isl", $"pos" - row_number().over(wI))
       .groupBy($"doc_id", $"isl")
@@ -192,7 +208,7 @@ object Quality {
     // cost at sf0.1); semantics identical (< 8 tokens ⇒ no grams)
     s.sessionState.functionRegistry.createOrReplaceTempFunction(
       "shingles8", exprs => ShingleGenerator(exprs.head, 8), "scala_udf")
-    val grams = table(s, dir, "documents")
+    val grams = spread(table(s, dir, "documents"))
       .selectExpr("doc_id", "shingles8(text) AS g")
       .distinct()
       .transform(cached) // reused by the doc-frequency and per-doc legs
@@ -535,7 +551,7 @@ object Quality {
     * vocab-sized driver state in any real tokenizer trainer). */
   val qTextBpeStep: Q = (s, dir) => {
     import s.implicits._
-    table(s, dir, "documents")
+    spread(table(s, dir, "documents"))
       .select(explode(LlmOps.toks($"text")).as("w"))
       .filter(length($"w") >= 2)
       .select(explode(transform(sequence(lit(1), length($"w") - 1),
@@ -595,7 +611,7 @@ object Quality {
     // corpus). Rounds then run on vocabulary-sized data with
     // multiplicity-WEIGHTED pair counts: 5.5 s (instance-level, three
     // cached 600k-row corpus rewrites) → sub-second.
-    val words = cached(table(s, dir, "documents")
+    val words = cached(spread(table(s, dir, "documents"))
       .select(explode(LlmOps.toks($"text")).as("w"))
       .groupBy($"w").agg(count(lit(1)).as("mult"))
       // ' a b c ' via one regexp (each char → char+space + leading pad)
@@ -641,7 +657,7 @@ object Quality {
     * n_syms - n_tokens = number of merge applications inside the doc. */
   val qTextBpeApply: Q = (s, dir) => {
     import s.implicits._
-    val words = cached(table(s, dir, "documents")
+    val words = cached(spread(table(s, dir, "documents"))
       .select(explode(LlmOps.toks($"text")).as("w"))
       .groupBy($"w").agg(count(lit(1)).as("mult"))
       .select($"w",
@@ -668,7 +684,7 @@ object Quality {
     }
     val encodedDict = merge1(merge1(merge1(words)))
       .select($"w", size(split(trim($"s"), " ")).cast("long").as("n_tok"))
-    table(s, dir, "documents")
+    spread(table(s, dir, "documents"))
       .select($"doc_id", explode(LlmOps.toks($"text")).as("w"))
       .join(broadcast(encodedDict), Seq("w"))
       .groupBy($"doc_id")
@@ -691,7 +707,7 @@ object Quality {
     * emitted unrounded (bm25 convention). */
   val qCurateDsir: Q = (s, dir) => {
     import s.implicits._
-    val tok = cached(table(s, dir, "documents")
+    val tok = cached(spread(table(s, dir, "documents"))
       .select($"doc_id", $"lang", explode(LlmOps.toks($"text")).as("w")))
     val wc = tok.groupBy($"w")
       .agg(count(lit(1)).as("cc"),

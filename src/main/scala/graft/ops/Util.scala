@@ -68,6 +68,19 @@ object Util {
   private val registeredCaches =
     new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]
 
+  /** Spread a small single-split input across the cluster BEFORE a
+    * row-amplifying transform (explode / generator / per-row kernel).
+    * The fixture parquet files arrive as ONE row group = one scan task,
+    * so without this every tokenize/shingle/minhash map stage — often
+    * amplifying 50-300 rows per input row — runs on a single core while
+    * the rest of the cluster idles (measured 4x+ on the suffix-dedup
+    * pipeline at local[32]). Hash-spread on the key: deterministic,
+    * and a ~MB-sized narrow shuffle buys a fully parallel map stage.
+    * At real scale inputs arrive already multi-split and this is a
+    * cheap no-op-shaped rebalance. */
+  def spread(df: DataFrame, key: String = "doc_id"): DataFrame =
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism, col(key))
+
   /** `.cache()` + registration for deterministic release. */
   def cached(df: DataFrame): DataFrame = {
     val c = df.cache()

@@ -4682,7 +4682,7 @@ class GraftStoreScan(path: String,
     * operator's contract there, exactly Delta's vacuum caveat). */
   override def toMicroBatchStream(checkpointLocation: String)
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
-    new GraftStoreMicroBatchStream(path, schema.size,
+    new GraftStoreMicroBatchStream(path, schema,
       fromVersion.getOrElse(0L))
 
   /** STORAGE-PARTITIONED JOIN support: a PARTITIONED table whose every
@@ -4972,16 +4972,19 @@ class GraftStoreCdfMicroBatchStream(path: String, dataSchema: StructType,
     if (e <= s) return Array.empty
     // the BATCH change feed emits across a widen (old images upgraded to
     // the range-end schema), but this stream's dataSchema is FIXED at
-    // stream start — a widened batch could not be represented. Refuse
-    // structurally (endpoint schema comparison, so a widen inside a
-    // fastForward publish is caught too); restart the stream to adopt
-    // the widened schema.
-    for (a <- GraftStore.schemaAt(path, math.max(s, 1L));
-         b <- GraftStore.schemaAt(path, e)) {
-      require(a.fields.map(_.dataType).sameElements(b.fields.map(_.dataType)),
+    // stream start — a batch whose end schema no longer matches it could
+    // not be represented. Refuse structurally (schema comparison, not
+    // op-strings, so a widen inside a fastForward publish is caught
+    // too); restart the stream to adopt the widened schema. A stream
+    // started after the widen tails across it fine: cdfFileDiffs
+    // upgrades pre-widen units to the range-end schema == dataSchema.
+    GraftStore.schemaAt(path, e).foreach { b =>
+      require(dataSchema.fields.map(_.dataType)
+          .sameElements(b.fields.map(_.dataType)),
         s"change-feed stream batch v$s..v$e crosses a schema-evolving " +
-          s"commit (${a.catalogString} -> ${b.catalogString}) — restart " +
-          "the stream to adopt the evolved schema")
+          s"commit (stream schema ${dataSchema.catalogString} vs " +
+          s"${b.catalogString}) — restart the stream to adopt the " +
+          "evolved schema")
     }
     GraftStore.cdfFileDiffs(path, s, e).map { u =>
       GraftStoreCdfPartition(new File(path, u.file).getAbsolutePath, u.cols,
@@ -5014,10 +5017,11 @@ case class GraftVersionOffset(version: Long)
   * same non-append guard as the incremental read applies per batch: a
   * truncate/DELETE/OPTIMIZE inside an uncommitted range would make the
   * diff a lie, so it fails loudly instead. */
-class GraftStoreMicroBatchStream(path: String, numFields: Int,
+class GraftStoreMicroBatchStream(path: String, streamSchema: StructType,
     startVersion: Long)
   extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
   import org.apache.spark.sql.connector.read.streaming.Offset
+  private val numFields = streamSchema.size
 
   private def filesAt(v: Long): Map[String, (Int, String, Seq[Int])] =
     if (v <= 0) Map.empty
@@ -5045,19 +5049,21 @@ class GraftStoreMicroBatchStream(path: String, numFields: Int,
     // incremental read
     val removed = (base.keySet -- now.keySet) ++
       base.keySet.filter(f => now.get(f).exists(_._2 != base(f)._2))
-    // schema evolution inside the range flips lanes/arity under the
-    // stream's FIXED start-time schema (an int scan over a new
-    // long-lane file reads the low half; a wider-arity frame misframes
-    // entirely) — refuse STRUCTURALLY, comparing the endpoint schemas'
-    // type sequences, so a widen that arrives inside a fastForward
-    // publish (op != "widen(…)") is refused identically. Restart the
-    // stream to adopt the evolved schema.
-    for (a <- GraftStore.schemaAt(path, math.max(s, 1L));
-         b <- GraftStore.schemaAt(path, e)) {
-      require(a.fields.map(_.dataType).sameElements(b.fields.map(_.dataType)),
+    // schema evolution since the stream started flips lanes/arity under
+    // the stream's FIXED start-time schema (an int scan over a new
+    // long-lane file reads the low half) — refuse STRUCTURALLY when the
+    // batch-end schema's types no longer match the STREAM's schema, so a
+    // widen that arrives inside a fastForward publish (op != "widen(…)")
+    // is refused identically, while a stream started AFTER the widen
+    // replays pre-widen history fine (current-manifest entries carry the
+    // narrow markers that promote old lanes). Restart to adopt.
+    GraftStore.schemaAt(path, e).foreach { b =>
+      require(streamSchema.fields.map(_.dataType)
+          .sameElements(b.fields.map(_.dataType)),
         s"stream batch v$s..v$e crosses a schema-evolving commit " +
-          s"(${a.catalogString} -> ${b.catalogString}) — restart the " +
-          "stream to adopt the evolved schema")
+          s"(stream schema ${streamSchema.catalogString} vs " +
+          s"${b.catalogString}) — restart the stream to adopt the " +
+          "evolved schema")
     }
     def eqAt(v: Long) =
       if (v <= 0) Seq.empty

@@ -377,6 +377,52 @@ class GraftStoreEvolveSpec extends SparkSuite {
       ks.toString) // pre-publish int images sign-extend, not low-half reads
   }
 
+  test("a running stream refuses to cross a widen structurally; a restarted stream adopts the widened schema") {
+    import spark.implicits._
+    val root = graft.ops.Util.managedTempDir("graft_ev_widstream_")
+    val t = s"$root/t"
+    spark.range(0, 10).selectExpr("CAST(id AS INT) AS k")
+      .write.format("graft.sources.GraftStore").option("path", t)
+      .mode("overwrite").save() // v1
+    val sink = s"wid_stream_${java.lang.Long.toHexString(System.nanoTime())}"
+    val q = spark.readStream.format("graft.sources.GraftStore")
+      .option("path", t).load()
+      .writeStream.format("memory").queryName(sink).outputMode("append")
+      .option("checkpointLocation",
+        graft.ops.Util.managedTempDir("graft_ev_widstream_ckpt_"))
+      .start()
+    q.processAllAvailable()
+    assert(spark.table(sink).count() == 10)
+    // widen mid-stream (via a branch fastForward, so the op string says
+    // nothing about widening — the structural check must catch it)
+    GraftStore.branchCreate(t, "dev")
+    GraftStore.widenColumn(GraftStore.branchPath(t, "dev"), "k")
+    GraftStore.fastForward(t, "dev") // v2, op=fastForward(dev)
+    spark.range(10, 20).selectExpr("id AS k")
+      .write.format("graft.sources.GraftStore").option("path", t)
+      .mode("append").save() // v3
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q.processAllAvailable()
+    }
+    assert(e.getMessage.contains("schema-evolving") ||
+      Option(e.getCause).exists(_.getMessage.contains("schema-evolving")),
+      e.getMessage)
+    q.stop()
+    // a fresh stream adopts the widened schema and replays everything
+    val sink2 = s"${sink}_b"
+    val q2 = spark.readStream.format("graft.sources.GraftStore")
+      .option("path", t).load()
+      .writeStream.format("memory").queryName(sink2).outputMode("append")
+      .option("checkpointLocation",
+        graft.ops.Util.managedTempDir("graft_ev_widstream_ckpt2_"))
+      .start()
+    q2.processAllAvailable()
+    q2.stop()
+    val got = spark.table(sink2)
+    assert(got.schema("k").dataType == org.apache.spark.sql.types.LongType)
+    assert(got.collect().map(_.getLong(0)).sorted.toSeq == (0L until 20L))
+  }
+
   test("rename precision: renaming `id` leaves __bucket stats of `user_id` untouched") {
     import spark.implicits._
     val root = graft.ops.Util.managedTempDir("graft_ev_renb_")

@@ -119,9 +119,20 @@ class PlanShapeSpec extends SparkSuite {
     // expressions — the 100 TB claim is that the corpus scan emits
     // signatures directly, so the plan must show scan -> project, no
     // Exchange anywhere
-    val mh = graft.ops.LlmOps.minHashSig(spark, sfDir)
-      .queryExecution.executedPlan.toString
-    assert(!mh.contains("Exchange"), s"minhash signatures shuffle:\n$mh")
+    // r14: the single-split fixture scan is SPREAD (repartition on
+    // doc_id) before the per-row kernel so the signature map stage
+    // parallelizes — that one input rebalance is the ONLY exchange
+    // allowed; signature computation itself must still add no shuffle
+    // (no per-shingle/per-token key exchange)
+    val mhDf = graft.ops.LlmOps.minHashSig(spark, sfDir)
+    mhDf.collect() // finalize the AQE plan so codegen stages print
+    val mh = mhDf.queryExecution.executedPlan.toString
+    // the rebalance tags REPARTITION_BY_NUM; a signature-side key
+    // shuffle would tag ENSURE_REQUIREMENTS (AQE's toString prints the
+    // plan twice, so counting "Exchange" occurrences is meaningless)
+    assert(mh.contains("REPARTITION_BY_NUM") &&
+      !mh.contains("ENSURE_REQUIREMENTS"),
+      s"minhash signatures shuffle beyond the input spread:\n$mh")
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
     val sh = docs.select(col("doc_id"),
       org.apache.spark.sql.graft.GraftSql.column(graft.functions.SimHashBits(
@@ -190,16 +201,38 @@ class PlanShapeSpec extends SparkSuite {
     assert(df.agg(org.apache.spark.sql.functions.sum("n")).head.getLong(0) == 59000L)
   }
 
-  test("suffix dedup: hash-blocked joins, cached gram subtree, no unblocked self-join") {
+  test("LM family: corpus-explode subtrees cached once, model joins broadcast (never shuffle the corpus on the model key)") {
+    // r14: the bigram/perplexity scoring join used to shuffle the whole
+    // bigram table on (w1, w2) against a vocab²-bounded model — the model
+    // broadcasts; and the explode subtree feeds both the model counts and
+    // the scoring join, so it must be cached or it executes twice
+    Seq("q_text_unigram_lm", "q_text_bigram_lm", "q_curate_perplexity",
+        "q_text_collocations", "q_sim_sparse").foreach { name =>
+      val p = plan(name)
+      assert(p.contains("InMemoryTableScan") || p.contains("InMemoryRelation"),
+        s"$name no longer caches its reused corpus subtree:\n$p")
+    }
+    Seq("q_text_bigram_lm", "q_curate_perplexity").foreach { name =>
+      val p = plan(name)
+      assert(p.contains("BroadcastHashJoin"),
+        s"$name's model join must broadcast, not shuffle the corpus:\n$p")
+    }
+  }
+
+  test("suffix dedup: hash-keyed wide shuffle, no unblocked self-join, spread before the explode") {
     val p = plan("q_dedup_suffix")
-    // the candidate join keys on the 64-bit window hash and the confirm
-    // join on the exact gram — both equi-joins; the global cartesian
-    // check covers the rest, this pins the cache (the gram subtree feeds
-    // three legs) and that no broadcast NLJ snuck in
-    assert(p.contains("InMemoryTableScan") || p.contains("InMemoryRelation"),
-      s"q_dedup_suffix no longer caches its reused gram subtree:\n$p")
+    // the corpus-sized exchange carries (doc_id, pos, xxhash64(window))
+    // — the window STRINGS are derived only for candidate survivors;
+    // the global cartesian check covers self-join accidents, this pins
+    // the hash key and that no broadcast NLJ snuck in
+    assert(p.contains("xxhash64"),
+      s"q_dedup_suffix no longer hashes windows before the wide shuffle:\n$p")
     assert(!p.contains("BroadcastNestedLoopJoin"),
       s"q_dedup_suffix plans a nested-loop join:\n$p")
+    // the single-split fixture scan is spread across the cluster before
+    // the ~300x per-char amplification (one task would do all the work)
+    assert(p.contains("REPARTITION_BY_COL") || p.contains("hashpartitioning"),
+      s"q_dedup_suffix lost its pre-explode spread:\n$p")
   }
 
   test("dedup self-joins reuse their cached signature subtrees") {
