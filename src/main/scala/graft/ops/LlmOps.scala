@@ -202,7 +202,7 @@ object LlmOps {
   /** Tokenize → explode → stopword-filter → top-20 terms. */
   val qTextWordcount: Q = (s, dir) => {
     import s.implicits._
-    Util.spread(table(s, dir, "documents"))
+    table(s, dir, "documents")
       .select(explode(toks($"text")).as("term"))
       .filter(!$"term".isin("a", "the") && $"term" =!= "")
       .groupBy($"term").agg(count(lit(1)).as("n"))

@@ -413,8 +413,8 @@ object LlmOpsExt {
     * divergence cannot move a value across a 5e-7 rounding boundary. */
   val qTextCollocations: Q = (s, dir) => {
     import s.implicits._
-    val tok = cached(spread(table(s, dir, "documents"))
-      .select(toks($"text").as("ws")))
+    val tok = spread(table(s, dir, "documents"))
+      .select(toks($"text").as("ws"))
     val uni = tok.select(explode($"ws").as("w"))
       .groupBy($"w").agg(count(lit(1)).as("c"))
     val bi = tok.filter(size($"ws") >= 2)
@@ -637,10 +637,12 @@ object LlmOpsExt {
     * move the double result. */
   val qTextUnigramLm: Q = (s, dir) => {
     import s.implicits._
-    // the token explode feeds BOTH the model counts and the scoring
-    // join — cache it once (the r13/r14 twice-consumed-subtree rule)
-    val tok = cached(spread(table(s, dir, "documents"))
-      .select($"doc_id", explode(toks($"text")).as("t")))
+    // the token explode feeds both the model counts and the scoring
+    // join; r14 measured the CACHE of the exploded rows slower than
+    // recomputing the cheap fused explode twice (0.25->0.53 s) — spread
+    // only, recompute per leg
+    val tok = spread(table(s, dir, "documents"))
+      .select($"doc_id", explode(toks($"text")).as("t"))
     val tf = tok.groupBy($"t").agg(count(lit(1)).as("c"))
     val tot = tf.agg(sum($"c").as("n"))
     val model = tf.crossJoin(broadcast(tot))

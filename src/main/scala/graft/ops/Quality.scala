@@ -611,7 +611,7 @@ object Quality {
     // corpus). Rounds then run on vocabulary-sized data with
     // multiplicity-WEIGHTED pair counts: 5.5 s (instance-level, three
     // cached 600k-row corpus rewrites) → sub-second.
-    val words = cached(spread(table(s, dir, "documents"))
+    val words = cached(table(s, dir, "documents")
       .select(explode(LlmOps.toks($"text")).as("w"))
       .groupBy($"w").agg(count(lit(1)).as("mult"))
       // ' a b c ' via one regexp (each char → char+space + leading pad)

@@ -206,8 +206,10 @@ class PlanShapeSpec extends SparkSuite {
     // bigram table on (w1, w2) against a vocab²-bounded model — the model
     // broadcasts; and the explode subtree feeds both the model counts and
     // the scoring join, so it must be cached or it executes twice
-    Seq("q_text_unigram_lm", "q_text_bigram_lm", "q_curate_perplexity",
-        "q_text_collocations", "q_sim_sparse").foreach { name =>
+    // (unigram/collocations deliberately NOT here: r14 measured their
+    // cache builds slower than recomputing the cheap fused explode)
+    Seq("q_text_bigram_lm", "q_curate_perplexity",
+        "q_sim_sparse").foreach { name =>
       val p = plan(name)
       assert(p.contains("InMemoryTableScan") || p.contains("InMemoryRelation"),
         s"$name no longer caches its reused corpus subtree:\n$p")
