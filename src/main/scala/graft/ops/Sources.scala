@@ -3358,6 +3358,57 @@ object Sources {
         |FROM gevn.sup GROUP BY nation ORDER BY nation""".stripMargin)
   }
 
+  /** WIDEN-TO-DOUBLE EVOLUTION + CHANGE FEED ACROSS WIDENS (round 14) —
+    * the full type-promotion matrix as one driver-gated query:
+    * int→long→double CHAIN on the key (the physical int lane ends up
+    * under a double schema carrying ONE upgraded int→double marker) and
+    * float→double on the balance, all metadata-only commits; a
+    * post-widen insert writes native doubles; and the change feed reads
+    * the WHOLE history from v0 — crossing three widening commits — with
+    * pre-widen insert images emitted in the widened types (the
+    * structural narrow-marker upgrade, never an op-string check, so the
+    * same lane works for widens that arrive inside fastForward
+    * publishes). Determinism: key values are 0.5-multiples (exact in
+    * double at any sum order); the float-era balance is rounded to its
+    * original 2dp before the exact decimal sum (float noise sits ~1e-5
+    * from any rounding boundary). */
+  val qStoreEvolveWiden2: Q = (s, dir) => {
+    val s2 = s.newSession()
+    s2.conf.set("spark.sql.catalog.gwd2", "graft.sources.GraftCatalog")
+    val root = Util.managedTempDir("graft_evolve_wid2_")
+    s2.conf.set("spark.sql.catalog.gwd2.root", root)
+    table(s2, dir, "supplier").createOrReplaceTempView("supp_w2")
+    s2.sql("DROP TABLE IF EXISTS gwd2.sup")
+    s2.sql(
+      """CREATE TABLE gwd2.sup AS
+        |SELECT CAST(s_suppkey AS INT) AS k, CAST(s_acctbal AS FLOAT) AS bal
+        |FROM supp_w2 WHERE s_suppkey % 2 = 0""".stripMargin) // v1
+    s2.sql("ALTER TABLE gwd2.sup ALTER COLUMN k TYPE BIGINT") // v2
+    s2.sql("ALTER TABLE gwd2.sup ALTER COLUMN k TYPE DOUBLE") // v3 (chain)
+    s2.sql("ALTER TABLE gwd2.sup ALTER COLUMN bal TYPE DOUBLE") // v4
+    s2.sql(
+      """INSERT INTO gwd2.sup
+        |SELECT CAST(s_suppkey AS DOUBLE) + 0.5 AS k,
+        |       CAST(CAST(s_acctbal AS FLOAT) AS DOUBLE) AS bal
+        |FROM supp_w2 WHERE s_suppkey % 2 = 1""".stripMargin) // v5
+    import s2.implicits._
+    val balR = round($"bal", 2)
+    val fin = s2.table("gwd2.sup")
+      .agg(count(lit(1)).as("n"),
+        sum(dec($"k")).cast("double").as("sum_k"),
+        sum(dec(balR)).cast("double").as("sum_bal"))
+      .select(lit("final").as("side"), lit(-1L).as("grp"),
+        $"n", $"sum_k", $"sum_bal")
+    val feed = s2.read.format("graft.sources.GraftStore")
+      .option("path", s"$root/sup").option("changesFrom", "0").load()
+      .groupBy($"_commit_version".as("grp"))
+      .agg(count(lit(1)).as("n"),
+        sum(dec($"k")).cast("double").as("sum_k"),
+        sum(dec(round($"bal", 2))).cast("double").as("sum_bal"))
+      .select(lit("cdf").as("side"), $"grp", $"n", $"sum_k", $"sum_bal")
+    fin.unionAll(feed).orderBy($"side", $"grp")
+  }
+
   /** CBO store dirs already written this JVM, keyed by (session, dir). */
   private val cboStoreWritten = new java.util.concurrent.ConcurrentHashMap[String, String]
 
@@ -3421,6 +3472,7 @@ object Sources {
     "q_stream_sink_branch" -> qStreamSinkBranch,
     "q_store_evolution" -> qStoreEvolution,
     "q_store_evolve_rename" -> qStoreEvolveRename,
+    "q_store_evolve_widen2" -> qStoreEvolveWiden2,
     "q_store_bloomskip" -> qStoreBloomskip,
     "q_store_metaagg" -> qStoreMetaagg,
     "q_store_metaagg_group" -> qStoreMetaaggGroup,
@@ -4202,6 +4254,32 @@ object Sources {
         |ORDER BY s_suppkey""".stripMargin,
     // rename + widen replay: evens keep their keys, odds arrive after
     // the widen with keys beyond Int range
+    "q_store_evolve_widen2" ->
+      """WITH evens AS (
+        |  SELECT CAST(s_suppkey AS DOUBLE) AS k,
+        |    round(CAST(CAST(s_acctbal AS FLOAT) AS DOUBLE), 2) AS balr
+        |  FROM supplier WHERE s_suppkey % 2 = 0),
+        |odds AS (
+        |  SELECT CAST(s_suppkey AS DOUBLE) + 0.5 AS k,
+        |    round(CAST(CAST(s_acctbal AS FLOAT) AS DOUBLE), 2) AS balr
+        |  FROM supplier WHERE s_suppkey % 2 = 1),
+        |allr AS (SELECT * FROM evens UNION ALL SELECT * FROM odds)
+        |SELECT 'final' AS side, CAST(-1 AS BIGINT) AS grp,
+        |  count(*) AS n,
+        |  CAST(sum(CAST(k AS DECIMAL(18,4))) AS DOUBLE) AS sum_k,
+        |  CAST(sum(CAST(balr AS DECIMAL(18,4))) AS DOUBLE) AS sum_bal
+        |FROM allr
+        |UNION ALL
+        |SELECT 'cdf' AS side, CAST(1 AS BIGINT) AS grp, count(*) AS n,
+        |  CAST(sum(CAST(k AS DECIMAL(18,4))) AS DOUBLE) AS sum_k,
+        |  CAST(sum(CAST(balr AS DECIMAL(18,4))) AS DOUBLE) AS sum_bal
+        |FROM evens
+        |UNION ALL
+        |SELECT 'cdf' AS side, CAST(5 AS BIGINT) AS grp, count(*) AS n,
+        |  CAST(sum(CAST(k AS DECIMAL(18,4))) AS DOUBLE) AS sum_k,
+        |  CAST(sum(CAST(balr AS DECIMAL(18,4))) AS DOUBLE) AS sum_bal
+        |FROM odds
+        |ORDER BY side, grp""".stripMargin,
     "q_store_evolve_rename" ->
       """WITH fin AS (
         |  SELECT s_suppkey AS k, s_nationkey AS nation, s_acctbal
