@@ -609,9 +609,10 @@ class GraftCatalog extends TableCatalog with FunctionCatalog
         require(u.fieldNames().length == 1,
           "nested ALTER COLUMN TYPE is not supported")
         require(u.newDataType() == org.apache.spark.sql.types.LongType ||
-            u.newDataType() == org.apache.spark.sql.types.DoubleType,
-          "only widening to BIGINT or DOUBLE is supported, got " +
-            s"${u.newDataType()}")
+            u.newDataType() == org.apache.spark.sql.types.DoubleType ||
+            u.newDataType().isInstanceOf[org.apache.spark.sql.types.DecimalType],
+          "only widening to BIGINT, DOUBLE or a wider same-scale DECIMAL " +
+            s"is supported, got ${u.newDataType()}")
         GraftStore.widenColumn(dir.getPath, u.fieldNames()(0),
           u.newDataType())
       case _ => ()

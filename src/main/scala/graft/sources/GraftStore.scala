@@ -1912,17 +1912,30 @@ object GraftStore {
     // representation change (numeric↔string, int→float which rounds
     // ints above 2^24) — loses information and needs a data rewrite,
     // never a schema flip.
+    import org.apache.spark.sql.types.DecimalType
+    // DECIMAL PRECISION GROWTH (round 14): decimal(p1,s) -> decimal(p2,s)
+    // with p1 < p2 <= 18 is the one widening that needs NO lane fix-up
+    // at all — compact decimals store the unscaled long in the 8-byte
+    // slot, and the unscaled value is identical under both precisions —
+    // so it commits as a pure schema flip (kind = -1 below = no marker).
+    // Scale growth multiplies every unscaled value by 10^k (a rewrite,
+    // not metadata) and crossing 18 changes the physical representation
+    // (16-byte decimals): both refuse.
     val kind = (dt, target) match {
       case (IntegerType, LongType) => NarrowIntToLong
       case (LongType, DoubleType) => NarrowLongToDouble
       case (FloatType, DoubleType) => NarrowFloatToDouble
       case (IntegerType, DoubleType) => NarrowIntToDouble
+      case (d1: DecimalType, d2: DecimalType)
+          if d1.scale == d2.scale && d1.precision < d2.precision &&
+            d2.precision <= 18 => -1
       case _ => throw new IllegalArgumentException(
         s"cannot ALTER '$col' $dt -> $target: supported widenings are " +
-          "int->long, int->double, long->double and float->double" +
+          "int->long, int->double, long->double, float->double and " +
+          "decimal(p,s)->decimal(p2,s) with p < p2 <= 18" +
           (if (dt == target) s" (already $dt)"
-           else " — any other change loses information and needs a " +
-             "rewrite, not a metadata commit"))
+           else " — any other change loses information (or changes the " +
+             "physical layout) and needs a rewrite, not a metadata commit"))
     }
     if (target == DoubleType) {
       // a double renders differently ("5.0" vs "5") — the string-keyed
@@ -1949,7 +1962,7 @@ object GraftStore {
       // pre-ADD-COLUMN file (arity <= ordinal) null-pads either way
       val arity = if (e.cols > 0) e.cols else schema.size
       val e2 =
-        if (arity <= ord) e
+        if (arity <= ord || kind < 0) e // kind -1: no lane fix-up needed
         else e.narrow.find(m => narrowOrd(m) == ord) match {
           // a file already narrow-marked from an earlier int→long widen
           // keeps its PHYSICAL int lane — its marker upgrades to
@@ -2192,6 +2205,12 @@ object GraftStore {
             case (IntegerType, DoubleType) => Some(packNarrow(o, NarrowIntToDouble))
             case (LongType, DoubleType) => Some(packNarrow(o, NarrowLongToDouble))
             case (FloatType, DoubleType) => Some(packNarrow(o, NarrowFloatToDouble))
+            // same-scale decimal precision growth: identical unscaled
+            // lane, no fix-up
+            case (d1: org.apache.spark.sql.types.DecimalType,
+                d2: org.apache.spark.sql.types.DecimalType)
+                if d1.scale == d2.scale && d1.precision <= d2.precision &&
+                  d2.precision <= 18 => None
             case _ => throw new IllegalArgumentException(
               s"change range v$fromV..v$toV crosses a non-widening type " +
                 s"change at ordinal $o ($phys -> $want) — split the feed " +

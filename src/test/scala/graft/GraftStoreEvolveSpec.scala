@@ -423,6 +423,87 @@ class GraftStoreEvolveSpec extends SparkSuite {
     assert(got.collect().map(_.getLong(0)).sorted.toSeq == (0L until 20L))
   }
 
+  test("change feed across a widen: DELETE old-images and removed files emit in the widened type") {
+    import spark.implicits._
+    val root = graft.ops.Util.managedTempDir("graft_ev_widdel_")
+    val t = s"$root/t"
+    spark.range(0, 20).selectExpr("CAST(id - 10 AS INT) AS k")
+      .write.format("graft.sources.GraftStore").option("path", t)
+      .mode("overwrite").save() // v1 (int, negatives pin sign-extension)
+    GraftStore.widenColumn(t, "k") // v2
+    // v3: MOR delete AFTER the widen — the dv-delta units reference
+    // files whose physical lane is still int (narrow-marked)
+    GraftStore.deleteWhereDV(spark, t, $"k" < -5L)
+    val feed = spark.read.format("graft.sources.GraftStore").option("path", t)
+      .option("changesFrom", "0").load()
+    assert(feed.schema("k").dataType == org.apache.spark.sql.types.LongType)
+    val rows = feed.select($"k", $"_change_type", $"_commit_version")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(rows.filter(_._2 == "insert").map(_._1).sorted.toSeq ==
+      (-10L until 10L).toSeq)
+    // the deleted rows' OLD IMAGES arrive sign-extended, not low-half reads
+    assert(rows.filter(_._2 == "delete").map(_._1).sorted.toSeq ==
+      (-10L until -5L).toSeq, rows.filter(_._2 == "delete").mkString(","))
+    // v4: overwrite (removes the v1 file) — removed-file old images also
+    // cross the widen boundary in the widened type
+    spark.range(100, 103).selectExpr("id AS k")
+      .write.format("graft.sources.GraftStore").option("path", t)
+      .mode("overwrite").save()
+    val feed2 = spark.read.format("graft.sources.GraftStore").option("path", t)
+      .option("changesFrom", "3").load()
+      .select($"k", $"_change_type").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    // removed old images = the 15 rows still live at v3 (sign-extended),
+    // inserts = the new overwrite content
+    assert(feed2.filter(_._2 == "delete").map(_._1).sorted.toSeq ==
+      (-5L until 10L).toSeq, feed2.mkString(","))
+    assert(feed2.filter(_._2 == "insert").map(_._1).sorted.toSeq ==
+      (100L until 103L).toSeq)
+  }
+
+  test("decimal precision growth: metadata-only within the compact range; scale growth and p>18 refuse") {
+    import spark.implicits._
+    val s2 = spark.newSession()
+    val root = graft.ops.Util.managedTempDir("graft_ev_widdec_")
+    s2.conf.set("spark.sql.catalog.gdec", "graft.sources.GraftCatalog")
+    s2.conf.set("spark.sql.catalog.gdec.root", root)
+    s2.range(0, 100).selectExpr(
+        "CAST(id AS DECIMAL(9,2)) + CAST(0.25 AS DECIMAL(9,2)) AS d", "id AS v")
+      .createOrReplaceTempView("dec_src")
+    s2.sql("CREATE TABLE gdec.t AS SELECT * FROM dec_src")
+    val before = Option(new java.io.File(s"$root/t/data").listFiles())
+      .getOrElse(Array.empty).map(f => f.getName -> f.lastModified()).toMap
+    s2.sql("ALTER TABLE gdec.t ALTER COLUMN d TYPE DECIMAL(15,2)")
+    assert(Option(new java.io.File(s"$root/t/data").listFiles())
+      .getOrElse(Array.empty).map(f => f.getName -> f.lastModified()).toMap
+      == before, "decimal precision growth must not touch data files")
+    // no narrow markers: the unscaled lane is identical under both
+    assert(GraftStore.readManifest(s"$root/t").get._2.forall(_.narrow.isEmpty))
+    assert(s2.table("gdec.t").schema("d").dataType ==
+      org.apache.spark.sql.types.DecimalType(15, 2))
+    // old rows read exactly; a post-widen insert exceeds the old precision
+    s2.sql("INSERT INTO gdec.t SELECT CAST(1234567890123.75 AS DECIMAL(15,2)), 0")
+    val r = s2.sql(
+      "SELECT CAST(sum(d) AS DOUBLE) AS sd, count(*) AS n FROM gdec.t").head
+    assert(r.getLong(1) == 101)
+    assert(r.getDouble(0) ==
+      (0 until 100).map(_ + 0.25).sum + 1234567890123.75)
+    // the change feed crosses the precision-growth commit (no fix-up)
+    val feed = spark.read.format("graft.sources.GraftStore")
+      .option("path", s"$root/t").option("changesFrom", "0").load()
+    assert(feed.schema("d").dataType ==
+      org.apache.spark.sql.types.DecimalType(15, 2))
+    assert(feed.count() == 101)
+    // refusal matrix: scale growth, crossing 18, narrowing
+    for (bad <- Seq("DECIMAL(15,4)", "DECIMAL(20,2)", "DECIMAL(9,2)",
+        "DECIMAL(6,2)")) {
+      val e = intercept[Exception](
+        s2.sql(s"ALTER TABLE gdec.t ALTER COLUMN d TYPE $bad"))
+      assert(e.getMessage.contains("widening") ||
+        e.getMessage.contains("DECIMAL"), s"$bad: ${e.getMessage}")
+    }
+  }
+
   test("rename precision: renaming `id` leaves __bucket stats of `user_id` untouched") {
     import spark.implicits._
     val root = graft.ops.Util.managedTempDir("graft_ev_renb_")
