@@ -122,13 +122,21 @@ case class GraftViewRules(session: SparkSession) extends Rule[LogicalPlan] {
     val storedCat = v.currentCatalog()
     val storedNs = v.currentNamespace().toSeq
     // CTE names defined inside the body shadow table names — never
-    // qualify those (they resolve in CTESubstitution, not a catalog)
-    val cteNames = parsed.collect {
+    // qualify those (they resolve in CTESubstitution, not a catalog).
+    // Collected WITH the subquery-aware traversal: a WITH clause inside
+    // an IN/EXISTS/scalar subquery shadows names there too.
+    val cteNames = parsed.collectWithSubqueries {
       case w: org.apache.spark.sql.catalyst.plans.logical.UnresolvedWith =>
         w.cteRelations.map(_._1.toLowerCase(java.util.Locale.ROOT))
     }.flatten.toSet
     val catalogs = session.sessionState.catalogManager
-    val qualified = parsed.transformUp {
+    // transformUpWithSubqueries, not transformUp: a table referenced
+    // only inside an IN/EXISTS/scalar subquery must get the same
+    // capture-time qualification (and nested-view expansion + cycle
+    // guard) as one in the main FROM — plain transformUp never descends
+    // into SubqueryExpression plans, which would leave those names
+    // resolving against the READER's context
+    val qualified = parsed.transformUpWithSubqueries {
       case ur: UnresolvedRelation
           if ur.multipartIdentifier.length == 1 &&
             !cteNames.contains(ur.multipartIdentifier.head
@@ -140,7 +148,7 @@ case class GraftViewRules(session: SparkSession) extends Rule[LogicalPlan] {
             !catalogs.isCatalogRegistered(ur.multipartIdentifier.head) =>
         ur.copy(multipartIdentifier = storedCat +: ur.multipartIdentifier)
     }
-    val expanded = qualified.transformUp {
+    val expanded = qualified.transformUpWithSubqueries {
       case ur: UnresolvedRelation if viewOf(ur.multipartIdentifier).isDefined =>
         val (g2, id2) = viewOf(ur.multipartIdentifier).get
         expandView(g2, id2, ur.multipartIdentifier.last, inProgress + key)
@@ -164,17 +172,32 @@ case class GraftCreateViewCommand(catalog: GraftCatalog, ident: Identifier,
     val analyzed = session.sessionState.executePlan(
       session.sessionState.sqlParser.parsePlan(sql)).analyzed
     val schema = analyzed.schema
-    if (exists && replace) catalog.dropView(ident)
+    val replaced = if (exists && replace) {
+      val old = catalog.loadView(ident); catalog.dropView(ident); Some(old)
+    } else None
     // a plain CREATE over an existing view falls through to
     // createView's ViewAlreadyExistsException — the loud path
     val allProps = new java.util.HashMap[String, String]()
     props.foreach { case (k, v) => allProps.put(k, v) }
     comment.foreach(c => allProps.put("comment", c))
-    catalog.createView(new ViewInfo(ident, sql, currentCatalog,
+    // same restore-on-failure contract as ALTER VIEW AS: a REPLACE whose
+    // create fails post-drop puts the old definition back
+    try catalog.createView(new ViewInfo(ident, sql, currentCatalog,
       currentNamespace.toArray, schema,
       schema.fieldNames,
       if (userCols.nonEmpty) userCols.toArray else Array.empty[String],
       Array.empty[String], allProps))
+    catch {
+      case scala.util.control.NonFatal(e) =>
+        replaced.foreach { old =>
+          try catalog.createView(new ViewInfo(ident, old.query(),
+            old.currentCatalog(), old.currentNamespace(), old.schema(),
+            old.schema().fieldNames, Array.empty[String],
+            Array.empty[String], old.properties()))
+          catch { case scala.util.control.NonFatal(_) => () }
+        }
+        throw e
+    }
     Nil
   }
 }
@@ -192,9 +215,22 @@ case class GraftAlterViewAsCommand(catalog: GraftCatalog, ident: Identifier,
       session.sessionState.sqlParser.parsePlan(sql)).analyzed
     val schema = analyzed.schema
     catalog.dropView(ident)
-    catalog.createView(new ViewInfo(ident, sql, currentCatalog,
+    // drop+create is not atomic at the catalog API — if the create
+    // fails after the drop (I/O error, concurrent create), restore the
+    // old definition so "failed redefinition leaves the view intact"
+    // holds for runtime failures too, not just analysis-time ones
+    try catalog.createView(new ViewInfo(ident, sql, currentCatalog,
       currentNamespace.toArray, schema, schema.fieldNames,
       Array.empty[String], Array.empty[String], old.properties()))
+    catch {
+      case scala.util.control.NonFatal(e) =>
+        try catalog.createView(new ViewInfo(ident, old.query(),
+          old.currentCatalog(), old.currentNamespace(), old.schema(),
+          old.schema().fieldNames, Array.empty[String],
+          Array.empty[String], old.properties()))
+        catch { case scala.util.control.NonFatal(_) => () }
+        throw e
+    }
     Nil
   }
 }

@@ -221,7 +221,10 @@ object GraftStore {
     * sign-extension, so every pre-round-14 manifest (bare ordinals)
     * parses unchanged. The other kinds are the round-14 widenings —
     * each is a lossless promotion whose fix-up rewrites the 8-byte
-    * UnsafeRow slot in place exactly like kind 0 does. */
+    * UnsafeRow slot in place exactly like kind 0 does. (Kind 1,
+    * long→double, is lossless only within ±2^53 — [[widenColumn]]
+    * admits it solely for files whose min/max stats prove the bound,
+    * so a committed marker is always exact.) */
   final val NarrowIntToLong = 0
   final val NarrowLongToDouble = 1
   final val NarrowFloatToDouble = 2
@@ -1936,6 +1939,36 @@ object GraftStore {
           (if (dt == target) s" (already $dt)"
            else " — any other change loses information (or changes the " +
              "physical layout) and needs a rewrite, not a metadata commit"))
+    }
+    if (kind == NarrowLongToDouble) {
+      // long→double is only value-preserving within ±2^53 (a double's
+      // 53-bit mantissa): beyond that the reader fix-up toDouble ROUNDS
+      // and equality/join/filter results silently corrupt — the reason
+      // both Iceberg's promotion spec and Delta's type widening exclude
+      // this direction outright. We allow it only when every file that
+      // physically carries a NATIVE long lane (files narrow-marked from
+      // an earlier int→long widen hold ints — always exact) PROVES via
+      // its min/max stats that the column fits in ±2^53; an unproven
+      // file (no stats, or out of range) refuses the whole commit.
+      val SafeAbs = 1L << 53
+      entries.foreach { e =>
+        val arity = if (e.cols > 0) e.cols else schema.size
+        val intLane = e.narrow.exists(m =>
+          narrowOrd(m) == ord && narrowKind(m) == NarrowIntToLong)
+        if (arity > ord && !intLane) {
+          val ok = e.stats.get(schema.fields(ord).name).exists { st =>
+            (st.nulls == e.rows && e.rows >= 0L) ||
+              (st.min.nonEmpty && st.max.nonEmpty &&
+                scala.util.Try(
+                  math.abs(st.min.toLong) <= SafeAbs &&
+                    math.abs(st.max.toLong) <= SafeAbs).getOrElse(false))
+          }
+          require(ok, s"cannot widen '$col' long -> double: file " +
+            s"${e.file} cannot prove its values fit in a double's exact " +
+            "integer range (|v| <= 2^53) — values beyond it would round " +
+            "on read. Rewrite the data (e.g. compact()) instead")
+        }
+      }
     }
     if (target == DoubleType) {
       // a double renders differently ("5.0" vs "5") — the string-keyed
@@ -4997,14 +5030,20 @@ class GraftStoreCdfMicroBatchStream(path: String, dataSchema: StructType,
     // too); restart the stream to adopt the widened schema. A stream
     // started after the widen tails across it fine: cdfFileDiffs
     // upgrades pre-widen units to the range-end schema == dataSchema.
-    GraftStore.schemaAt(path, e).foreach { b =>
-      require(dataSchema.fields.map(_.dataType)
-          .sameElements(b.fields.map(_.dataType)),
-        s"change-feed stream batch v$s..v$e crosses a schema-evolving " +
-          s"commit (stream schema ${dataSchema.catalogString} vs " +
-          s"${b.catalogString}) — restart the stream to adopt the " +
-          "evolved schema")
-    }
+    // a missing manifest at a COMMITTED batch-end version means the
+    // snapshot expired under the stream — failing loudly (same contract
+    // as the change feed's "not retained") beats silently skipping the
+    // schema guard
+    val endSchema = GraftStore.schemaAt(path, e).getOrElse(
+      throw new IllegalStateException(
+        s"snapshot v$e at $path expired while a stream checkpoint still " +
+          "references it — retain snapshots at least as long as readers"))
+    require(dataSchema.fields.map(_.dataType)
+        .sameElements(endSchema.fields.map(_.dataType)),
+      s"change-feed stream batch v$s..v$e crosses a schema-evolving " +
+        s"commit (stream schema ${dataSchema.catalogString} vs " +
+        s"${endSchema.catalogString}) — restart the stream to adopt the " +
+        "evolved schema")
     GraftStore.cdfFileDiffs(path, s, e).map { u =>
       GraftStoreCdfPartition(new File(path, u.file).getAbsolutePath, u.cols,
         u.changeType, u.version,
@@ -5076,14 +5115,16 @@ class GraftStoreMicroBatchStream(path: String, streamSchema: StructType,
     // is refused identically, while a stream started AFTER the widen
     // replays pre-widen history fine (current-manifest entries carry the
     // narrow markers that promote old lanes). Restart to adopt.
-    GraftStore.schemaAt(path, e).foreach { b =>
-      require(streamSchema.fields.map(_.dataType)
-          .sameElements(b.fields.map(_.dataType)),
-        s"stream batch v$s..v$e crosses a schema-evolving commit " +
-          s"(stream schema ${streamSchema.catalogString} vs " +
-          s"${b.catalogString}) — restart the stream to adopt the " +
-          "evolved schema")
-    }
+    val endSchema = GraftStore.schemaAt(path, e).getOrElse(
+      throw new IllegalStateException(
+        s"snapshot v$e at $path expired while a stream checkpoint still " +
+          "references it — retain snapshots at least as long as readers"))
+    require(streamSchema.fields.map(_.dataType)
+        .sameElements(endSchema.fields.map(_.dataType)),
+      s"stream batch v$s..v$e crosses a schema-evolving commit " +
+        s"(stream schema ${streamSchema.catalogString} vs " +
+        s"${endSchema.catalogString}) — restart the stream to adopt the " +
+        "evolved schema")
     def eqAt(v: Long) =
       if (v <= 0) Seq.empty
       else GraftStore.readEqDeletesOf(

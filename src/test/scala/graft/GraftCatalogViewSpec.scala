@@ -135,6 +135,48 @@ class GraftCatalogViewSpec extends SparkSuite {
     assert(e2.getMessage.contains("cycle"), e2.getMessage)
   }
 
+  // -------------------------------------------------- round 15 depth
+
+  test("subquery depth: capture-time qualification and the cycle guard reach into IN/EXISTS subqueries") {
+    val (s2, _) = freshCat("sub")
+    s2.sql("CREATE TABLE gvsub.t AS SELECT 7 AS a")
+    s2.sql("CREATE TABLE gvsub.keys AS SELECT 7 AS k")
+    val mgr = s2.sessionState.catalogManager
+    val prevCat = mgr.currentCatalog.name()
+    try {
+      // author under `USE gvsub`: `keys` appears ONLY inside an IN
+      // subquery — plain transformUp would never qualify it
+      mgr.setCurrentCatalog("gvsub")
+      s2.sql("CREATE VIEW gvsub.v AS SELECT a FROM t " +
+        "WHERE a IN (SELECT k FROM keys)")
+    } finally mgr.setCurrentCatalog(prevCat)
+    // the reader hijacks BOTH names with temp views that would change
+    // the answer — capture-time context must win inside the subquery too
+    s2.range(0, 1).selectExpr("999 AS a").createOrReplaceTempView("t")
+    s2.range(0, 1).selectExpr("999 AS k").createOrReplaceTempView("keys")
+    try {
+      assert(s2.sql("SELECT a FROM gvsub.v").head.getInt(0) == 7,
+        "a table referenced only inside a subquery resolved against " +
+          "the reader's context, not capture-time")
+    } finally {
+      s2.catalog.dropTempView("t"); s2.catalog.dropTempView("keys")
+    }
+    // a view cycle routed THROUGH a subquery fails the named guard, not
+    // analyzer fixpoint exhaustion
+    val cat = s2.sessionState.catalogManager.catalog("gvsub")
+      .asInstanceOf[graft.sources.GraftCatalog]
+    val cid = org.apache.spark.sql.connector.catalog.Identifier
+      .of(Array.empty, "c")
+    val schema = new org.apache.spark.sql.types.StructType()
+      .add("a", org.apache.spark.sql.types.IntegerType)
+    cat.createView(new org.apache.spark.sql.connector.catalog.ViewInfo(
+      cid, "SELECT a FROM gvsub.t WHERE a IN (SELECT a FROM gvsub.c)",
+      "spark_catalog", Array.empty, schema, Array("a"), Array.empty,
+      Array.empty, new java.util.HashMap[String, String]()))
+    val e = intercept[Exception](s2.sql("SELECT a FROM gvsub.c").collect())
+    assert(e.getMessage.contains("cycle"), e.getMessage)
+  }
+
   test("ALTER VIEW AS redefines in place, preserves properties; failed redefinition leaves the view intact") {
     val (s2, _) = freshCat("alt")
     s2.sql("CREATE TABLE gvalt.t AS SELECT 5 AS a")

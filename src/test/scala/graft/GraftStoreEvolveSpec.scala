@@ -532,4 +532,50 @@ class GraftStoreEvolveSpec extends SparkSuite {
     assert(keys2 == Set("__bucket_4_uid"), keys2.toString)
     assert(GraftStore.readPartitionBy(t).contains("bucket(4,uid)"))
   }
+
+  // --------------------- round 15: long->double is stats-gated at ±2^53
+
+  test("widen long->double: refused unless every long-lane file's stats prove |v| <= 2^53") {
+    import org.apache.spark.sql.types.DoubleType
+    val safe = 1L << 53
+    // values past 2^53 would ROUND under the reader's toDouble fix-up —
+    // the commit itself must refuse (Iceberg/Delta exclude the direction
+    // outright; we admit only the stats-proven subset)
+    val root = graft.ops.Util.managedTempDir("graft_ev_wid53_")
+    val t = s"$root/t"
+    spark.range(0, 10).selectExpr(s"id + ${safe - 5L} AS a", "id AS b")
+      .write.format("graft.sources.GraftStore").option("path", t)
+      .mode("overwrite").save()
+    val e = intercept[IllegalArgumentException](
+      GraftStore.widenColumn(t, "a", DoubleType))
+    assert(e.getMessage.contains("2^53"), e.getMessage)
+    // the in-range column on the same table still widens fine
+    GraftStore.widenColumn(t, "b", DoubleType)
+    assert(readT(t).schema("b").dataType == DoubleType)
+    // boundary: max exactly 2^53 is representable -> allowed
+    val t2 = s"$root/t2"
+    spark.range(0, 4).selectExpr(s"id + ${safe - 3L} AS a")
+      .write.format("graft.sources.GraftStore").option("path", t2)
+      .mode("overwrite").save()
+    GraftStore.widenColumn(t2, "a", DoubleType)
+    import spark.implicits._
+    assert(readT(t2).select($"a").collect().map(_.getDouble(0)).sorted.toSeq
+      == (0L until 4L).map(i => (i + safe - 3L).toDouble).toSeq)
+    // negative overflow refuses too
+    val t3 = s"$root/t3"
+    spark.range(0, 4).selectExpr(s"-id - ${safe} AS a")
+      .write.format("graft.sources.GraftStore").option("path", t3)
+      .mode("overwrite").save()
+    intercept[IllegalArgumentException](
+      GraftStore.widenColumn(t3, "a", DoubleType))
+    // files whose physical lane is INT (narrow-marked from an earlier
+    // int->long widen) are always exact — no stats proof demanded
+    val t4 = s"$root/t4"
+    spark.range(0, 10).selectExpr("CAST(id AS INT) AS k")
+      .write.format("graft.sources.GraftStore").option("path", t4)
+      .mode("overwrite").save()
+    GraftStore.widenColumn(t4, "k") // int -> long
+    GraftStore.widenColumn(t4, "k", DoubleType) // marker chain, no stats gate
+    assert(readT(t4).schema("k").dataType == DoubleType)
+  }
 }
