@@ -413,7 +413,11 @@ object LlmOpsExt {
     * divergence cannot move a value across a 5e-7 rounding boundary. */
   val qTextCollocations: Q = (s, dir) => {
     import s.implicits._
-    val tok = spread(table(s, dir, "documents"))
+    // NO spread here: the token subtree feeds FOUR legs (uni, bi, two
+    // totals aggregates), so a repartition shuffle is paid once per leg
+    // while the amplification it would parallelize is tiny — r14
+    // measured the spread variant 2.1× slower (0.46 -> 0.96 s)
+    val tok = table(s, dir, "documents")
       .select(toks($"text").as("ws"))
     val uni = tok.select(explode($"ws").as("w"))
       .groupBy($"w").agg(count(lit(1)).as("c"))
@@ -639,9 +643,10 @@ object LlmOpsExt {
     import s.implicits._
     // the token explode feeds both the model counts and the scoring
     // join; r14 measured the CACHE of the exploded rows slower than
-    // recomputing the cheap fused explode twice (0.25->0.53 s) — spread
-    // only, recompute per leg
-    val tok = spread(table(s, dir, "documents"))
+    // recomputing the cheap fused explode twice (0.25->0.53 s), and the
+    // spread shuffle — paid once per leg — slower than the recompute it
+    // parallelizes (0.25 -> 0.40 s): plain recompute per leg wins
+    val tok = table(s, dir, "documents")
       .select($"doc_id", explode(toks($"text")).as("t"))
     val tf = tok.groupBy($"t").agg(count(lit(1)).as("c"))
     val tot = tf.agg(sum($"c").as("n"))

@@ -10,8 +10,11 @@ contains "q_name":sec pairs is accepted (the driver's tail-truncated
 captures parse fine).
 
 Exits 1 if any query regressed by more than --factor (default 2x) AND
-by more than 1.0s absolute (sub-second queries jitter multiplicatively;
-an 0.1s -> 0.3s move is noise, a 3s -> 7s move is not).
+by more than 1.0s absolute, OR by more than --ratio (default 1.5x) on a
+query whose baseline is at least --ratio-floor (default 0.2s). The
+absolute gate alone let a 0.46s -> 0.96s (2.1x) move ride under a "zero
+regressions" close in round 14; the ratio gate catches those while the
+floor keeps sub-0.2s multiplicative jitter out.
 """
 import argparse
 import json
@@ -75,6 +78,12 @@ def main():
     ap.add_argument("current", help="current bench file")
     ap.add_argument("--factor", type=float, default=2.0,
                     help="regression threshold multiplier (default 2.0)")
+    ap.add_argument("--ratio", type=float, default=1.5,
+                    help="ratio-only regression threshold for queries at or "
+                         "above --ratio-floor (default 1.5)")
+    ap.add_argument("--ratio-floor", type=float, default=0.2,
+                    help="baseline seconds below which the ratio gate is "
+                         "skipped (default 0.2)")
     ns = ap.parse_args()
     factor = ns.factor
     base, cur = load_queries(ns.baseline), load_queries(ns.current)
@@ -92,7 +101,8 @@ def main():
             # broken query is the worst regression there is — it must never
             # satisfy the "improved" branch (b > c*factor holds for any c<0).
             failed.append((q, b))
-        elif c > b * factor and c - b > 1.0:
+        elif (c > b * factor and c - b > 1.0) or \
+                (b >= ns.ratio_floor and c > b * ns.ratio):
             regressed.append((q, b, c))
         elif b > c * factor and b - c > 1.0:
             improved.append((q, b, c))
