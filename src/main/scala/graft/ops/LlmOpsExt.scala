@@ -697,24 +697,41 @@ object LlmOpsExt {
     // and norms are exact int64 < 2^53 (exact in double), and the 10⁴
     // weight scale cancels between dot and √(ssq_a·ssq_b); the remaining
     // double ops (multiply, sqrt, divide, 6dp round) are IEEE-deterministic
-    // dictionary-encode terms to dense ints: the 10M+-row self-join below
+    // dictionary-encode terms to LONG ids: the 10M+-row self-join below
     // then joins and aggregates on LONG keys, not strings (measurably
-    // cheaper hash/compare in the hot stage); ids from the tiny df table
-    // are deterministic (ordered by term)
-    val dict = df.withColumn("tid",
-      row_number().over(Window.orderBy($"term")))
+    // cheaper hash/compare in the hot stage). Ids are xxhash64(term) —
+    // NOT row_number() over a no-partition window, which is a
+    // single-task sort of the whole dictionary (fine at sf0.1, a
+    // one-core stage over a billions-of-terms corpus vocabulary). A
+    // 64-bit collision would silently merge two posting lists, so the
+    // guard below fails the query loudly if any id is shared — a
+    // vocab-sized distributed agg, no driver action
+    // the id is a PURE PROJECTION in the hot path — no dictionary
+    // shuffle at all (the old row_number dict was a single-task global
+    // sort; a guard agg inlined here would recompute df once per plan
+    // leg). The collision check runs ONCE, grafted onto the tiny final
+    // result as a broadcast 1-row cross join (see `guard` below)
+    val dict = df.select($"term", $"df", xxhash64($"term").as("tid"))
+    val guard = dict.groupBy($"tid").agg(count(lit(1)).as("nt"))
+      .agg(max($"nt").as("mx"))
+      .select(when($"mx" <= 1, lit(1)).otherwise(raise_error(
+        lit("term-id hash collision in sparse-sim dictionary"))
+          .cast("int")).as("_guard"))
     // the weighted-postings subtree feeds FOUR plan legs (top, norm, and
     // both sides of the candidate self-join, which gets fresh attribute
     // ids so exchange reuse can never fire) — cache it once or pay the
     // explode+groupBy+joins four times (the r13 twice-consumed-subtree
-    // class; measured ~2x this query's cost)
+    // class; measured ~2x this query's cost). `term` rides along ONLY
+    // for the argmax tie-break (the oracle's ORDER BY w DESC, term) —
+    // hashed tids are not order-isomorphic to terms like the old
+    // row_number ids were
     val w = cached(tf.join(broadcast(dict), "term").crossJoin(broadcast(n))
-      .select($"doc_id", $"tid",
+      .select($"doc_id", $"tid", $"term",
         ($"tf" * round(log($"n_docs".cast("double") / $"df") * 10000, 0)
           .cast("long")).as("w")))
     val top = w.withColumn("rn",
         row_number().over(
-          Window.partitionBy($"doc_id").orderBy($"w".desc, $"tid")))
+          Window.partitionBy($"doc_id").orderBy($"w".desc, $"term")))
       .filter($"rn" === 1).select($"doc_id", $"tid".as("top_tid"))
     // physical shape: one self-join on (top_term, term) feeding a
     // pair-keyed partial aggregation — whole-stage-codegen'd end to end.
@@ -724,7 +741,7 @@ object LlmOpsExt {
     // relational join+agg, a reminder that "fewer shuffled rows" loses
     // to "stays inside codegen" at this fan-in.)
     val norm = w.groupBy($"doc_id").agg(sum($"w" * $"w").as("ssq"))
-    val wt = cached(w.join(top, "doc_id"))
+    val wt = cached(w.select($"doc_id", $"tid", $"w").join(top, "doc_id"))
     val dots = wt.as("a").join(wt.as("b"),
         $"a.top_tid" === $"b.top_tid" && $"a.tid" === $"b.tid" &&
           $"a.doc_id" < $"b.doc_id")
@@ -738,6 +755,7 @@ object LlmOpsExt {
           sqrt($"ssq_a".cast("double") * $"ssq_b".cast("double")), 6)
           .as("cosine"))
       .filter($"cosine" >= 0.9)
+      .crossJoin(broadcast(guard)).drop("_guard")
       .orderBy($"doc_a", $"doc_b")
   }
 
@@ -765,8 +783,19 @@ object LlmOpsExt {
       .groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
     val df = tf.groupBy($"term").agg(count(lit(1)).as("df"))
     val n = d.agg(count(lit(1)).as("n_docs"))
-    val dict = df.withColumn("tid",
-      row_number().over(Window.orderBy($"term")))
+    // same hash-id dictionary + collision guard as q_sim_sparse (no
+    // single-task dictionary sort); tie-break by term keeps oracle parity
+    // the id is a PURE PROJECTION in the hot path — no dictionary
+    // shuffle at all (the old row_number dict was a single-task global
+    // sort; a guard agg inlined here would recompute df once per plan
+    // leg). The collision check runs ONCE, grafted onto the tiny final
+    // result as a broadcast 1-row cross join (see `guard` below)
+    val dict = df.select($"term", $"df", xxhash64($"term").as("tid"))
+    val guard = dict.groupBy($"tid").agg(count(lit(1)).as("nt"))
+      .agg(max($"nt").as("mx"))
+      .select(when($"mx" <= 1, lit(1)).otherwise(raise_error(
+        lit("term-id hash collision in sparse-sim dictionary"))
+          .cast("int")).as("_guard"))
     // NOTE: caching the postings here measured SLOWER twice (r14, with
     // and without the spread): the replicate-and-join sides fuse into
     // whole-stage codegen straight off the exchange, and an
@@ -774,19 +803,20 @@ object LlmOpsExt {
     // the narrow postings subtree — contrast q_sim_sparse, where the
     // cache wins; "stays inside codegen" beats "computed once" here
     val w = tf.join(broadcast(dict), "term").crossJoin(broadcast(n))
-      .select($"doc_id", $"tid",
+      .select($"doc_id", $"tid", $"term",
         ($"tf" * round(log($"n_docs".cast("double") / $"df") * 10000, 0)
           .cast("long")).as("w"))
     val top = w.withColumn("rn",
         row_number().over(
-          Window.partitionBy($"doc_id").orderBy($"w".desc, $"tid")))
+          Window.partitionBy($"doc_id").orderBy($"w".desc, $"term")))
       .filter($"rn" === 1).select($"doc_id", $"tid".as("top_tid"))
     // block sizes -> salt-group counts (tiny: one row per distinct
     // dominant term; broadcast back onto the postings)
     val groups = top.groupBy($"top_tid")
       .agg(ceil(count(lit(1)).cast("double") / Cap).cast("int").as("g"))
     val norm = w.groupBy($"doc_id").agg(sum($"w" * $"w").as("ssq"))
-    val wt = w.join(top, "doc_id").join(broadcast(groups), "top_tid")
+    val wt = w.select($"doc_id", $"tid", $"w").join(top, "doc_id")
+      .join(broadcast(groups), "top_tid")
     // left: one deterministic salt per doc; right: replicated to all g
     val a = wt.withColumn("salt",
       pmod(xxhash64($"doc_id"), $"g".cast("long")).cast("int"))
@@ -805,6 +835,7 @@ object LlmOpsExt {
           sqrt($"ssq_a".cast("double") * $"ssq_b".cast("double")), 6)
           .as("cosine"))
       .filter($"cosine" >= 0.9)
+      .crossJoin(broadcast(guard)).drop("_guard")
       .orderBy($"doc_a", $"doc_b")
   }
 

@@ -873,4 +873,33 @@ class PlanShapeSpec extends SparkSuite {
     assert(p.contains("lineitem.parquet"),
       s"avg is not MV-derivable; plan must scan the source:\n$p")
   }
+
+  test("sparse-sim family: no unpartitioned window anywhere in the plan (dictionary ids are hashed, not globally sorted)") {
+    // a row_number() over Window.orderBy(term) is a single-task sort of
+    // the whole term dictionary — invisible at sf0.1, a one-core stage
+    // over a billions-of-terms corpus vocabulary. The ids are xxhash64
+    // now; this pin keeps the shape from regressing. The traversal
+    // recurses through InMemoryRelation so a cached subtree can't hide
+    // the window.
+    import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, Window => LWindow}
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.columnar.{InMemoryRelation, InMemoryTableScanExec}
+    import org.apache.spark.sql.execution.window.WindowExec
+    def physBad(p: SparkPlan): Seq[String] = p.collect {
+      case w: WindowExec if w.partitionSpec.isEmpty => Seq(w.nodeName)
+      case s: InMemoryTableScanExec => physBad(s.relation.cachedPlan)
+    }.flatten
+    def logBad(lp: LogicalPlan): Seq[String] = lp.collect {
+      case w: LWindow if w.partitionSpec.isEmpty => Seq(w.nodeName)
+      case r: org.apache.spark.sql.execution.datasources.LogicalRelation => Seq.empty
+    }.flatten ++ lp.collect {
+      case r: InMemoryRelation => physBad(r.cachedPlan)
+    }.flatten
+    for (q <- Seq("q_sim_sparse", "q_sim_sparse_capped")) {
+      val df = SparkEntry.queries(q)(spark, sfDir)
+      val bad = logBad(df.queryExecution.optimizedPlan) ++
+        physBad(df.queryExecution.executedPlan)
+      assert(bad.isEmpty, s"$q plans unpartitioned window(s): $bad")
+    }
+  }
 }
