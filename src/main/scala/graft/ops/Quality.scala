@@ -171,20 +171,46 @@ object Quality {
           .as("pos"))
       .select($"doc_id", $"pos",
         xxhash64(expr(s"substring(text, CAST(pos + 1 AS INT), $L)")).as("h"))
-    // phase 1: candidate positions by duplicated window HASH — one
-    // window count over the h-partitioning: the only corpus-sized
-    // shuffle ships (doc_id, pos, hash) 24-byte rows. (Measured
-    // alternatives: shuffling the window STRINGS costs ~3x the bytes
-    // and their sort; a groupBy(h)+join-back pays the shuffle twice.)
+    // phase 1: candidate positions by duplicated window HASH. NOT a
+    // bare count().over(Window.partitionBy(h)): that colocates EVERY
+    // copy of a hash in one task, so a boilerplate 40-char window
+    // repeated millions of times is one straggler partition at scale —
+    // and windows can never be AQE-split. The skew bound is a SALT:
+    // the one corpus-sized exchange groups by (h, salt in [0,64)) —
+    // bounded at corpus/64 per cell even for a hash owned by half the
+    // corpus — packing each cell's positions into one list row, and the
+    // per-h total then needs a window over AT MOST 64 rows per hash.
+    // Single-consumer all the way (a groupBy+join-back alternative
+    // re-ran the explode pipeline once per leg — measured 1.5-1.9x this
+    // formulation), one balanced wide shuffle of 24-byte rows, hash
+    // aggregation instead of the window's corpus-wide sort. Per-task
+    // list memory equals the task's share of positions — the same bound
+    // the window's sort buffer had.
     val cand = pos1
-      .withColumn("c", count(lit(1)).over(Window.partitionBy($"h")))
-      .filter($"c" >= 2).select($"doc_id", $"pos")
-    // phase 2: survivors re-derive the window text and confirm exactly
+      .withColumn("salt",
+        pmod(xxhash64($"doc_id", $"pos"), lit(64L)).cast("int"))
+      .groupBy($"h", $"salt")
+      .agg(collect_list(struct($"doc_id", $"pos")).as("ps"),
+        count(lit(1)).as("cp"))
+      .withColumn("c", sum($"cp").over(Window.partitionBy($"h")))
+      .filter($"c" >= 2)
+      .select(explode($"ps").as("p"))
+      .select($"p.doc_id".as("doc_id"), $"p.pos".as("pos"))
+    // phase 2: survivors re-derive the window text and confirm exactly —
+    // same salted single-consumer discipline on the string key (the
+    // same boilerplate skew exists on g, with string-sized rows)
     val dp = cand.join(docs, "doc_id")
       .select($"doc_id", $"pos",
         expr(s"substring(text, CAST(pos + 1 AS INT), $L)").as("g"))
-      .withColumn("c2", count(lit(1)).over(Window.partitionBy($"g")))
-      .filter($"c2" >= 2).select($"doc_id", $"pos")
+      .withColumn("salt",
+        pmod(xxhash64($"doc_id", $"pos"), lit(64L)).cast("int"))
+      .groupBy($"g", $"salt")
+      .agg(collect_list(struct($"doc_id", $"pos")).as("ps"),
+        count(lit(1)).as("cp"))
+      .withColumn("c2", sum($"cp").over(Window.partitionBy($"g")))
+      .filter($"c2" >= 2)
+      .select(explode($"ps").as("p"))
+      .select($"p.doc_id".as("doc_id"), $"p.pos".as("pos"))
     val wI = Window.partitionBy($"doc_id").orderBy($"pos")
     dp.withColumn("isl", $"pos" - row_number().over(wI))
       .groupBy($"doc_id", $"isl")

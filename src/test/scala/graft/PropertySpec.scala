@@ -370,4 +370,43 @@ class PropertySpec extends SparkSuite {
       (2L, filler(90) + "tiny repeat" + filler(110))).toDF("doc_id", "text")
     assert(graft.ops.Quality.suffixRuns(short, 40).count() == 0)
   }
+
+  test("suffix dedup: heavy boilerplate (one window repeated 10^4 times) stays skew-bounded — no hash-keyed single-task window") {
+    import spark.implicits._
+    // the 100 TB hazard: a boilerplate window repeated across the corpus
+    // puts EVERY copy of its hash in one task if phase 1 partitions a
+    // window by h alone. The salted (h, salt) aggregation bounds any
+    // hash to 1/64th per cell; this pins (a) correct output under a
+    // planted 10^4-fold repeat and (b) that no Window in the plan
+    // partitions by fewer than 2 keys unless it is the per-doc islands
+    // merge
+    val rnd = new scala.util.Random(7)
+    def filler(n: Int): String =
+      (0 until n).map(_ => ('a' + rnd.nextInt(26)).toChar).mkString
+    val boiler = "COPYRIGHT NOTICE ALL RIGHTS RESERVED 2026" // 41 chars
+    assert(boiler.length == 41)
+    val docs = (0L until 10000L).map(i => (i, filler(20) + boiler))
+      .toDF("doc_id", "text")
+    val runs = graft.ops.Quality.suffixRuns(docs, 40)
+    // plan audit: every window either has a multi-key partition spec
+    // (salted) or partitions by doc_id (the islands merge)
+    val wins = runs.queryExecution.executedPlan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    wins.foreach { w =>
+      val keys = w.partitionSpec.map(_.toString)
+      assert(keys.size >= 2 || keys.exists(_.contains("doc_id")),
+        s"single-key non-doc window partition (straggler at scale): $keys")
+    }
+    val got = runs.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.length == 10000, s"${got.length} runs")
+    // every doc reports exactly one maximal run covering the planted
+    // boilerplate at [20, 61); it may extend LEFT into filler chars
+    // that coincide across some pair of docs (with 10^4 docs over a
+    // 26-letter alphabet such one-char coincidences are guaranteed),
+    // never right (the docs end at the boilerplate)
+    assert(got.forall { case (_, st, len) =>
+      st <= 20L && st + len == 61L && len >= 41L
+    }, got.take(5).mkString(", "))
+  }
 }
