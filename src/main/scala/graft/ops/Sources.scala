@@ -530,6 +530,62 @@ object Sources {
       .orderBy($"version")
   }
 
+  /** Age-expired table dirs already written this JVM, keyed by
+    * (session UUID, fixture dir). */
+  private val ageWritten = new java.util.concurrent.ConcurrentHashMap[String, String]
+
+  /** TIME-BASED snapshot expiry (round 15) — the retention form every
+    * production policy takes (Iceberg `expire_snapshots(older_than)`,
+    * Delta `RETAIN x HOURS`). Fixture: four snapshots (overwrite + three
+    * appends), v2 tagged 'audit', manifest mtimes aged to 3/2/1 days,
+    * then `expireSnapshotsOlderThan(1.5 days, floor=1)` — v1 expires by
+    * age, v2 is PAST the cutoff but pinned by its tag, v3/v4 are young.
+    * The query reads the post-expiry history AND the tagged snapshot
+    * AND the current table; the oracle recomputes all three from source
+    * parquet, so the hash check proves age expiry removed exactly v1
+    * and the tag kept v2 readable (its data files survived GC). */
+  private def agePath(s: org.apache.spark.sql.SparkSession, dir: String): String =
+    ageWritten.computeIfAbsent(s"${Util.sessionKey(s)}:$dir", _ => {
+      import s.implicits._
+      val d = Util.managedTempDir("graft_age_")
+      val o = table(s, dir, "orders")
+        .select($"o_orderkey", $"o_custkey", $"o_totalprice")
+      o.filter($"o_orderkey" % 5 === 0).write
+        .format("graft.sources.GraftStore").option("path", d)
+        .mode("overwrite").save() // v1
+      for (m <- 1 to 3)
+        o.filter($"o_orderkey" % 5 === m).write
+          .format("graft.sources.GraftStore").option("path", d)
+          .mode("append").save() // v2..v4
+      graft.sources.GraftStore.tagCreate(d, "audit", 2L)
+      val now = System.currentTimeMillis()
+      val day = 86400000L
+      graft.sources.GraftStore.snapshotFiles(d).dropRight(1).zipWithIndex
+        .foreach { case (f, i) => f.setLastModified(now - (3 - i) * day) }
+      graft.sources.GraftStore.expireSnapshotsOlderThan(
+        d, (1.5 * day).toLong, keepLastFloor = 1, graceMs = 0L)
+      d
+    })
+
+  val qStoreExpireAge: Q = (s, dir) => {
+    import s.implicits._
+    val path = agePath(s, dir)
+    val h = graft.sources.GraftStore.history(path)
+      .map { case (v, _, rows, _) => (v, rows) }
+    val hist = s.createDataFrame(h).toDF("version", "n_rows")
+      .select(lit("history").as("part"), $"version", $"n_rows")
+    def agg(df: org.apache.spark.sql.DataFrame, part: String, v: Long) =
+      df.agg(count(lit(1)).as("n_rows"))
+        .select(lit(part).as("part"), lit(v).as("version"), $"n_rows")
+    val tagged = s.read.format("graft.sources.GraftStore")
+      .option("path", path).option("versionAsOf", "audit").load()
+    val cur = s.read.format("graft.sources.GraftStore")
+      .option("path", path).load()
+    hist.unionAll(agg(tagged, "tagged_read", 2L))
+      .unionAll(agg(cur, "current_read", 4L))
+      .orderBy($"part", $"version")
+  }
+
   /** STREAMING read of a GraftStore table (round 7) — the table is also
     * a stream: snapshot versions are the offsets, each micro-batch is
     * exactly the files a commit range added (the incremental-read diff
@@ -3528,6 +3584,7 @@ object Sources {
     "q_store_optimize" -> qStoreOptimize,
     "q_store_incremental" -> qStoreIncremental,
     "q_store_history" -> qStoreHistory,
+    "q_store_expire_age" -> qStoreExpireAge,
     "q_stream_tail" -> qStreamTail,
     "q_src_binaryfile" -> qSrcBinaryfile,
     "q_src_evolution" -> qSrcEvolution,
@@ -4309,6 +4366,30 @@ object Sources {
         | 'append' AS op
         |FROM orders WHERE o_orderkey % 7 IN (0, 1)
         |ORDER BY version""".stripMargin,
+    // age-based expiry: v1 (3 days old) expired by the 1.5-day policy,
+    // v2 survived via its tag (and still READS — its files survived
+    // GC), v3/v4 young; every row count is content-determined
+    "q_store_expire_age" ->
+      """SELECT 'history' AS part, CAST(2 AS BIGINT) AS version,
+        | count(*) AS n_rows
+        |FROM orders WHERE o_orderkey % 5 IN (0, 1)
+        |UNION ALL
+        |SELECT 'history' AS part, CAST(3 AS BIGINT) AS version,
+        | count(*) AS n_rows
+        |FROM orders WHERE o_orderkey % 5 IN (0, 1, 2)
+        |UNION ALL
+        |SELECT 'history' AS part, CAST(4 AS BIGINT) AS version,
+        | count(*) AS n_rows
+        |FROM orders WHERE o_orderkey % 5 IN (0, 1, 2, 3)
+        |UNION ALL
+        |SELECT 'tagged_read' AS part, CAST(2 AS BIGINT) AS version,
+        | count(*) AS n_rows
+        |FROM orders WHERE o_orderkey % 5 IN (0, 1)
+        |UNION ALL
+        |SELECT 'current_read' AS part, CAST(4 AS BIGINT) AS version,
+        | count(*) AS n_rows
+        |FROM orders WHERE o_orderkey % 5 IN (0, 1, 2, 3)
+        |ORDER BY part, version""".stripMargin,
     // content-invisibility of OPTIMIZE: the post-compaction read must
     // equal the aggregate computed straight from the source parquet
     "q_store_optimize" ->

@@ -125,6 +125,33 @@ private[sources] object GraftProcedures {
     }
   }
 
+  /** `CALL cat.system.expire_snapshots_older_than('t', 86400000, 2)` —
+    * the TIME-BASED retention form every production policy actually
+    * takes (Iceberg `older_than`, Delta `RETAIN x HOURS`): expire
+    * snapshots whose commit is older than `older_than_ms` (an AGE from
+    * now, the same duration semantics as the branch retain override),
+    * always keeping the newest `keep_last_floor` and every tagged
+    * snapshot. Returns the retained snapshot count. */
+  private final class ExpireSnapshotsOlderThan(root: String)
+    extends GraftProcedure(root, "expire_snapshots_older_than") {
+    override def description(): String =
+      "expire snapshots older than an age in ms (tags + newest floor pinned)"
+    override def parameters(): Array[ProcedureParameter] = Array(
+      P("table", StringType, "table name under the catalog root"),
+      P("older_than_ms", LongType,
+        "expire snapshots whose commit is older than this many ms"),
+      P("keep_last_floor", LongType,
+        "newest snapshots that survive regardless of age (>= 1)"))
+    override def out: StructType =
+      new StructType().add("retained", LongType, nullable = false)
+    override def run(spark: SparkSession, input: InternalRow): Array[Any] = {
+      val path = tablePath(input)
+      GraftStore.expireSnapshotsOlderThan(path, input.getLong(1),
+        input.getLong(2).toInt, graceMs = 0L)
+      Array(GraftStore.snapshotFiles(path).size.toLong)
+    }
+  }
+
   /** `CALL cat.system.branch_create('t', 'audit')` — fork a named
     * writable branch from the table's current snapshot (hard-linked,
     * lineage-continuing clone; see [[GraftStore.branchCreate]]). */
@@ -241,12 +268,14 @@ private[sources] object GraftProcedures {
 
   private def all(root: String): Seq[GraftProcedure] = Seq(
     new PurgeDeletes(root), new Restore(root), new Compact(root),
-    new ExpireSnapshots(root), new BranchCreate(root),
+    new ExpireSnapshots(root), new ExpireSnapshotsOlderThan(root),
+    new BranchCreate(root),
     new FastForward(root), new BranchDrop(root), new BranchRetain(root),
     new ExpireBranches(root), new BranchExpireSnapshots(root))
 
   def names: Seq[String] = Seq("purge_deletes", "restore", "compact",
-    "expire_snapshots", "branch_create", "fast_forward", "branch_drop",
+    "expire_snapshots", "expire_snapshots_older_than", "branch_create",
+    "fast_forward", "branch_drop",
     "branch_retain", "expire_branches", "branch_expire_snapshots")
 
   /** Resolve by name from any namespace (the `system` namespace by

@@ -837,6 +837,41 @@ object GraftStore {
       graceMs)
   }
 
+  /** TIME-BASED snapshot retention (round 15) — the form every
+    * production policy actually takes (Iceberg `expire_snapshots(
+    * older_than => …)`, Delta `RETAIN x HOURS`): expire snapshots whose
+    * COMMIT TIME is older than `olderThanMs` (an age, measured from
+    * now — the same duration semantics as the branch `retain_for_ms`
+    * override), subject to two pins: the newest `keepLastFloor`
+    * snapshots always survive however old (the current pointer is
+    * always among them), and TAGGED snapshots survive at any age —
+    * the same ref-retention contract as count-based expiry. A
+    * snapshot's commit time is its manifest file's mtime: every commit
+    * writes `_manifest.v<n>` exactly once (writeManifestAtomic renames
+    * over nothing), so the mtime is the publish instant. */
+  private[graft] def expireSnapshotsOlderThan(path: String,
+      olderThanMs: Long, keepLastFloor: Int = 1,
+      graceMs: Long = GcGraceMs): Unit = {
+    require(olderThanMs >= 0, "retention age must be >= 0 ms")
+    require(keepLastFloor >= 1, "must retain at least the current snapshot")
+    val cutoff = System.currentTimeMillis() - olderThanMs
+    val tagged = readRefs(path).values.toSet
+    snapshotFiles(path).dropRight(keepLastFloor)
+      .filter(_.lastModified() < cutoff)
+      .filterNot(f => tagged.contains(
+        f.getName.stripPrefix(ManifestName + ".v").toLong))
+      .foreach(_.delete())
+    gcUnreferenced(path,
+      readManifestFull(new File(path, ManifestName))
+        .map { case (_, es, eqs) =>
+          es.flatMap(e =>
+            if (e.dv.isEmpty) Seq(e.file) else Seq(e.file, e.dv)) ++
+            eqs.map(_.file)
+        }
+        .getOrElse(Seq.empty).toSet,
+      graceMs)
+  }
+
   /** NAMED SNAPSHOT REFS — TAGS (the Iceberg `tag` surface): a durable
     * human name for one snapshot version. `VERSION AS OF 'audit-q1'`
     * (SQL) and `.option("versionAsOf", "audit-q1")` (reader) resolve

@@ -81,6 +81,55 @@ class GraftProcedureSpec extends SparkSuite {
     assert(s2.sql("SELECT * FROM gproc.`d$deletes`").collect().isEmpty)
   }
 
+  test("CALL expire_snapshots_older_than: age-based retention with tag pins and a newest floor") {
+    val path = freshTable("age")
+    s2.sql("INSERT INTO gproc.age VALUES (1000, 1)") // v2
+    s2.sql("INSERT INTO gproc.age VALUES (1001, 2)") // v3
+    s2.sql("INSERT INTO gproc.age VALUES (1002, 3)") // v4
+    val snaps = GraftStore.snapshotFiles(path)
+    assert(snaps.size == 4, snaps.map(_.getName).toString)
+    // age the first three snapshots artificially: v1 3 days, v2 2 days,
+    // v3 1 day old; v4 just now (the manifest mtime IS the commit time)
+    val now = System.currentTimeMillis()
+    val day = 86400000L
+    snaps.dropRight(1).zipWithIndex.foreach { case (f, i) =>
+      assert(f.setLastModified(now - (3 - i) * day))
+    }
+    // pin v2 (2 days old) with a tag: it must survive any age policy
+    GraftStore.tagCreate(path, "audit",
+      snaps(1).getName.stripPrefix("_manifest.v").toLong)
+    // policy: expire anything older than 1.5 days, keep at least 1 —
+    // v1 (3d) expires; v2 (2d) is past cutoff but TAGGED -> survives;
+    // v3 (1d) and v4 (now) are young -> survive
+    val kept = s2.sql(
+      s"CALL gproc.system.expire_snapshots_older_than('age', ${(1.5 * day).toLong}, 1)")
+      .collect()(0).getLong(0)
+    assert(kept == 3L, s"retained $kept")
+    val left = GraftStore.snapshotFiles(path).map(_.getName)
+    assert(!left.contains(snaps(0).getName), left.toString)
+    assert(left.contains(snaps(1).getName), "tagged snapshot expired")
+    // the floor wins over age: expire 'older than 0ms' with floor 2 —
+    // only the tagged v2 and the newest 2 remain
+    val kept2 = s2.sql(
+      "CALL gproc.system.expire_snapshots_older_than('age', 0, 2)")
+      .collect()(0).getLong(0)
+    assert(kept2 == 3L, s"retained $kept2")
+    val left2 = GraftStore.snapshotFiles(path).map(_.getName)
+    assert(left2.contains(snaps(1).getName) &&
+      left2.contains(snaps(2).getName) && left2.contains(snaps(3).getName),
+      left2.toString)
+    // time travel to the tagged snapshot still reads (its files survived GC)
+    assert(s2.sql("SELECT count(*) FROM gproc.age VERSION AS OF 'audit'")
+      .collect()(0).getLong(0) == 301)
+    // current content intact
+    assert(s2.sql("SELECT count(*) FROM gproc.age").collect()(0).getLong(0) == 303)
+    // refusals: floor 0, negative age
+    intercept[Exception](s2.sql(
+      "CALL gproc.system.expire_snapshots_older_than('age', 1000, 0)").collect())
+    intercept[Exception](s2.sql(
+      "CALL gproc.system.expire_snapshots_older_than('age', -5, 1)").collect())
+  }
+
   test("SHOW PROCEDURES lists the surface; DESCRIBE PROCEDURE works; unknown procedure fails loudly") {
     val shown = s2.sql("SHOW PROCEDURES IN gproc.system").collect()
       .map(_.toString).mkString("\n")
