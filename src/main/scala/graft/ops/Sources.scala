@@ -2351,6 +2351,46 @@ object Sources {
       .orderBy($"event_type")
   }
 
+  private val partCompositeWritten = new java.util.concurrent.ConcurrentHashMap[String, String]
+
+  /** COMPOSITE PARTITION SPEC (round 15) — `PARTITIONED BY (days(ts),
+    * event_type)`, the canonical two-term 100 TB layout (time × source):
+    * a hidden temporal transform LEADING an identity term. What makes it
+    * work is the write's ordering contract: the non-final temporal term
+    * sorts by its DERIVED day index (resolved through the catalog's V2
+    * `days` function — raw-ts ordering would interleave types within a
+    * day and roll a file per flip), the identity term clusters, so each
+    * task writes exactly one file per (day, type) cell, single-valued on
+    * both by construction. Pruning composes per term — a `ts` range
+    * drops days, a type equality drops that type's cells, together they
+    * isolate single cells; `$partitions` renders the full tuple; spec
+    * evolution adds/drops one term as a metadata-only commit. All pinned
+    * in TransformPartitionSpec; the oracle recomputes the filtered
+    * aggregate from source parquet — layout invisible to results. */
+  val qStorePartComposite: Q = (s, dir) => {
+    import s.implicits._
+    val path = partCompositeWritten.computeIfAbsent(s"${Util.sessionKey(s)}:$dir", _ => {
+      val s2 = s.newSession()
+      val root = Util.managedTempDir("graft_pcomp_")
+      s2.conf.set("spark.sql.catalog.graftpc", "graft.sources.GraftCatalog")
+      s2.conf.set("spark.sql.catalog.graftpc.root", root)
+      table(s2, dir, "events").createOrReplaceTempView("ev_pc")
+      s2.sql(
+        """CREATE TABLE graftpc.e PARTITIONED BY (days(ts), event_type) AS
+          |SELECT event_id, ts, event_type, value FROM ev_pc""".stripMargin)
+      s"$root/e"
+    })
+    s.read.format("graft.sources.GraftStore").option("path", path).load()
+      .filter($"ts" >= Util.ts("2024-01-08 00:00:00") &&
+        $"ts" < Util.ts("2024-01-15 00:00:00") &&
+        $"event_type".isin("click", "view"))
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n_rows"),
+        Util.dsum($"value").as("sum_value"),
+        min($"ts").as("first_ts"), max($"ts").as("last_ts"))
+      .orderBy($"event_type")
+  }
+
   private val partMonthsWritten = new java.util.concurrent.ConcurrentHashMap[String, String]
 
   /** MONTH-GRAIN HIDDEN PARTITIONING (round 12) — `PARTITIONED BY
@@ -3552,6 +3592,7 @@ object Sources {
     "q_store_part_evolve" -> qStorePartEvolve,
     "q_store_part_multi" -> qStorePartMulti,
     "q_store_part_days" -> qStorePartDays,
+    "q_store_part_composite" -> qStorePartComposite,
     "q_store_part_hours" -> qStorePartHours,
     "q_store_part_months" -> qStorePartMonths,
     "q_store_part_years" -> qStorePartYears,
@@ -4136,6 +4177,18 @@ object Sources {
         |FROM events
         |WHERE ts >= TIMESTAMP '2024-01-08 00:00:00'
         |  AND ts < TIMESTAMP '2024-01-15 00:00:00'
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // the composite (days(ts), event_type) layout must be invisible to
+    // results: the week's filtered per-type aggregate replayed from
+    // source parquet
+    "q_store_part_composite" ->
+      """SELECT event_type, count(*) AS n_rows,
+        | CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value,
+        | min(ts) AS first_ts, max(ts) AS last_ts
+        |FROM events
+        |WHERE ts >= TIMESTAMP '2024-01-08 00:00:00'
+        |  AND ts < TIMESTAMP '2024-01-15 00:00:00'
+        |  AND event_type IN ('click', 'view')
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
     // the co-bucketed join must be invisible to results: replayed from
     // source parquet

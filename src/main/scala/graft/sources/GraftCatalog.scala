@@ -191,17 +191,23 @@ class GraftCatalog extends TableCatalog with FunctionCatalog
     GraftProcedures.load(ident, root)
 
   /** FunctionCatalog half (the Iceberg SparkFunctions pattern): exposes
-    * the ONE function the engine's transforms need resolved — `bucket`
-    * — so Spark's write-distribution machinery can turn a
-    * `PARTITIONED BY (bucket(n, k))` transform into an evaluable
-    * exchange key and SPJ can compare bucket partitionings by canonical
-    * name. Resolved from any namespace depth (transform resolution
-    * probes the empty namespace). */
+    * the functions the engine's transforms need resolved — `bucket`
+    * (write-distribution exchange key + SPJ canonical-name comparison)
+    * and the temporal family `days`/`hours`/`months`/`years` (the
+    * derived SORT key a non-final transform term of a composite spec
+    * demands, see GraftStoreWrite.requiredOrdering). Resolved from any
+    * namespace depth (transform resolution probes the empty
+    * namespace). */
+  private val temporalFns = Set("days", "hours", "months", "years")
   override def listFunctions(namespace: Array[String]): Array[Identifier] =
-    Array(Identifier.of(namespace, "bucket"))
-  override def loadFunction(ident: Identifier): UnboundFunction =
-    if (ident.name().equalsIgnoreCase("bucket")) new GraftBucketUnbound
+    ("bucket" +: temporalFns.toSeq.sorted)
+      .map(Identifier.of(namespace, _)).toArray
+  override def loadFunction(ident: Identifier): UnboundFunction = {
+    val n = ident.name().toLowerCase(java.util.Locale.ROOT)
+    if (n == "bucket") new GraftBucketUnbound
+    else if (temporalFns.contains(n)) new GraftTemporalUnbound(n)
     else throw new NoSuchFunctionException(ident)
+  }
 
   override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
     catalogName = name

@@ -1791,6 +1791,41 @@ object GraftStore {
   private[graft] def partitionColsOf(spec: Option[String]): Seq[String] =
     partitionTermsOf(spec).collect { case PartIdentity(c) => c }
 
+  /** The per-term SORT key list every rolling write demands (shared by
+    * the append, replace-data and MOR-insert writes): identity terms
+    * sort on their column, bucket on the derived bucket expression, a
+    * temporal transform on its DERIVED cell index when it is NOT the
+    * last term (a composite like (days(ts), lang) ordered by raw ts
+    * alternates lang within a day — one rolled file per flip; the
+    * derived day key, resolved through the catalog's V2 temporal
+    * functions, groups the (day, lang) tuple so the writer rolls one
+    * file per cell) and on its raw SOURCE column in final position
+    * (monotone ⇒ derived-contiguous, and a bare-path write needs no
+    * function catalog). trunc is always source-keyed: its non-final
+    * use keeps the same correctness (single-valued files) at a
+    * file-count cost. `extra` appends any sortBy keys within the
+    * finest cell. */
+  private[sources] def termOrdering(terms: Seq[PartTerm],
+      extra: Seq[String] = Seq.empty)
+    : Array[org.apache.spark.sql.connector.expressions.SortOrder] = {
+    import org.apache.spark.sql.connector.expressions.{Expression => VExpr, Expressions, SortDirection, SortOrder}
+    val last = terms.size - 1
+    val termKeys: Seq[VExpr] = terms.zipWithIndex.map {
+      case (PartBucket(n, c), _) => Expressions.bucket(n, c): VExpr
+      case (PartDays(c), i) if i < last => Expressions.days(c): VExpr
+      case (PartHours(c), i) if i < last => Expressions.hours(c): VExpr
+      case (PartMonths(c), i) if i < last => Expressions.months(c): VExpr
+      case (PartYears(c), i) if i < last => Expressions.years(c): VExpr
+      case (t, _) => Expressions.column(t.source): VExpr
+    }
+    (termKeys ++ extra.map(c => Expressions.column(c): VExpr))
+      .foldLeft(Vector.empty[VExpr]) {
+        (acc, e) => if (acc.exists(_.toString == e.toString)) acc else acc :+ e
+      }
+      .map(e => Expressions.sort(e, SortDirection.ASCENDING): SortOrder)
+      .toArray
+  }
+
   private[graft] def readPartitionCols(path: String): Seq[String] =
     partitionColsOf(readPartitionBy(path))
 
@@ -1816,11 +1851,16 @@ object GraftStore {
     * files completes it eagerly. Time-travel reads of pre-evolution
     * snapshots see the CURRENT spec for write-distribution purposes
     * only — their correctness never depended on it. */
-  private[graft] def evolvePartitionBy(path: String, newCol: Option[String]): Long = {
+  private[graft] def evolvePartitionBy(path: String, newSpec: Option[String]): Long = {
     val (baseV, latest) = readLatestVersioned(path)
     val (schema, entries) = latest.getOrElse(throw new IllegalArgumentException(
       s"no graft-store table at $path"))
-    validatePartitionTerms(schema, partitionTermsOf(newCol))
+    val newTerms = partitionTermsOf(newSpec)
+    validatePartitionTerms(schema, newTerms)
+    // store the CANONICAL rendering (create-path format: no spaces), so
+    // readPartitionBy round-trips identically however the caller spelled
+    // the evolved spec
+    val newCol = newSpec.map(_ => newTerms.map(_.render).mkString(","))
     // commit FIRST, swap after: a ConflictException (or any commit
     // failure) must leave the spec untouched — the swap is the effective
     // change, and a reader between commit and swap merely sees the new
@@ -3113,15 +3153,7 @@ class GraftStoreReplaceDataWrite(path: String, schema: StructType,
     if (clusterExprs.isEmpty) Distributions.unspecified()
     else Distributions.clustered(clusterExprs.toArray)
   override def requiredOrdering(): Array[SortOrder] =
-    partitionTerms.map {
-      case GraftStore.PartBucket(n, c) =>
-        Expressions.bucket(n, c): org.apache.spark.sql.connector.expressions.Expression
-      case t => Expressions.column(t.source)
-    }.foldLeft(Vector.empty[org.apache.spark.sql.connector.expressions.Expression]) {
-      (acc, e) => if (acc.exists(_.toString == e.toString)) acc else acc :+ e
-    }.map(e => Expressions.sort(e,
-      org.apache.spark.sql.connector.expressions.SortDirection.ASCENDING)
-      : SortOrder).toArray
+    GraftStore.termOrdering(partitionTerms)
   override def toBatch: BatchWrite =
     new GraftStoreReplaceBatchWrite(path, schema, replacedFiles,
       partitionTerms.map(t => (schema.fieldIndex(t.source), t)))
@@ -3275,19 +3307,14 @@ class GraftStoreDeltaWrite(path: String, schema: StructType,
         case GraftStore.PartBucket(n, c) => Expressions.bucket(n, c)
       }).toArray)
   override def requiredOrdering(): Array[SortOrder] = {
-    val termKeys: Seq[org.apache.spark.sql.connector.expressions.Expression] =
-      partitionTerms.map {
-        case GraftStore.PartBucket(n, c) =>
-          Expressions.bucket(n, c): org.apache.spark.sql.connector.expressions.Expression
-        case t => Expressions.column(t.source)
-      }
-    ((Expressions.column("_file") +: termKeys) :+ Expressions.column("_pos"))
-      .foldLeft(Vector.empty[org.apache.spark.sql.connector.expressions.Expression]) {
-        (acc, e) => if (acc.exists(_.toString == e.toString)) acc else acc :+ e
-      }
-      .map(e => Expressions.sort(e,
-        org.apache.spark.sql.connector.expressions.SortDirection.ASCENDING)
-        : SortOrder).toArray
+    val fileKey = Expressions.sort(Expressions.column("_file"),
+      org.apache.spark.sql.connector.expressions.SortDirection.ASCENDING)
+    val posKey = Expressions.sort(Expressions.column("_pos"),
+      org.apache.spark.sql.connector.expressions.SortDirection.ASCENDING)
+    val termKeys = GraftStore.termOrdering(partitionTerms)
+      .filterNot(k => k.toString == fileKey.toString ||
+        k.toString == posKey.toString)
+    (fileKey +: termKeys :+ posKey).toArray
   }
 
   override def toBatch: org.apache.spark.sql.connector.write.DeltaBatchWrite = {
@@ -3569,24 +3596,16 @@ class GraftStoreWrite(path: String, schema: StructType, truncateFirst: Boolean,
       .getOrElse(Distributions.unspecified())
   // Ordering: per term IN SPEC ORDER, each by the key that makes its
   // derived value contiguous — the column itself (identity), the source
-  // column (monotone transforms), the derived bucket expression
-  // (bucket) — then any sortBy within the finest cell.
-  override def requiredOrdering(): Array[SortOrder] = {
-    val termKeys: Seq[org.apache.spark.sql.connector.expressions.Expression] =
-      partitionTerms.map {
-        case GraftStore.PartBucket(n, c) =>
-          Expressions.bucket(n, c): org.apache.spark.sql.connector.expressions.Expression
-        case t => Expressions.column(t.source)
-      }
-    val keys = (termKeys ++ sortBy.toSeq.map(c =>
-      Expressions.column(c): org.apache.spark.sql.connector.expressions.Expression))
-      .foldLeft(Vector.empty[org.apache.spark.sql.connector.expressions.Expression]) {
-        (acc, e) => if (acc.exists(_.toString == e.toString)) acc else acc :+ e
-      }
-    keys.map(e => Expressions.sort(e,
-      org.apache.spark.sql.connector.expressions.SortDirection.ASCENDING)
-      : SortOrder).toArray
-  }
+  // column (monotone transforms in FINAL position: source order makes
+  // the derived value contiguous within the preceding cell), the
+  // DERIVED expression for a non-final temporal term (ordering a
+  // composite (days(ts), lang) by raw ts would alternate lang within a
+  // day and roll a file at every flip — the derived day key groups the
+  // (day, lang) tuple, resolved via the catalog's V2 temporal
+  // functions), the derived bucket expression (bucket) — then any
+  // sortBy within the finest cell.
+  override def requiredOrdering(): Array[SortOrder] =
+    GraftStore.termOrdering(partitionTerms, sortBy.toSeq)
 
   override def toBatch: BatchWrite =
     new GraftStoreBatchWrite(path, schema, truncateFirst, failFirstAttemptOf,

@@ -431,4 +431,94 @@ class TransformPartitionSpec extends SparkSuite {
       .count()
     assert(n == 24)
   }
+
+  // --------------------- round 15: composite (temporal, identity) specs
+
+  test("composite (days(ts), kind): one file per cell, pruning on both terms, $partitions renders both, evolution adds/drops a term") {
+    import spark.implicits._
+    val root = graft.ops.Util.managedTempDir("graft_tpart_comp_")
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.catalog.gtc", "graft.sources.GraftCatalog")
+    s2.conf.set("spark.sql.catalog.gtc.root", root)
+    // deterministic (day, kind) grid: day = id / 6, kind = id % 3 —
+    // 4 UTC days × 3 kinds, 2 rows per (day, kind) cell, kinds
+    // ALTERNATING within each day (the raw-ts ordering worst case)
+    s2.range(0, 24).selectExpr(
+      "id AS event_id",
+      "timestamp_seconds(1704067200 + (id DIV 6) * 86400 + id * 60) AS ts",
+      "CAST(id % 3 AS INT) AS kind",
+      "CAST(id AS DOUBLE) AS value")
+      .createOrReplaceTempView("comp_src")
+    s2.sql(
+      """CREATE TABLE gtc.e PARTITIONED BY (days(ts), kind) AS
+        |SELECT event_id, ts, kind, value FROM comp_src""".stripMargin)
+    val path = s"$root/e"
+    assert(GraftStore.readPartitionBy(path).contains("days(ts),kind"))
+    val es = entries(path)
+    assert(es.map(_.rows).sum == 24)
+    // exactly one rolled file per (day, kind) cell — the derived-day
+    // sort key (via the catalog's V2 days function) groups the tuple;
+    // raw-ts ordering would roll at every kind flip within a day
+    assert(es.size == 12, s"expected 12 (4 days x 3 kinds), got ${es.size}")
+    es.foreach { e =>
+      val ts = e.stats("ts"); val k = e.stats("kind")
+      assert(Math.floorDiv(ts.min.toLong, DayMicros) ==
+        Math.floorDiv(ts.max.toLong, DayMicros), s"${e.file} straddles days")
+      assert(k.min == k.max, s"${e.file} spans kinds")
+    }
+    // pruning on BOTH terms: a day range alone keeps 3 cells, kind
+    // alone keeps 4, both keep exactly 1 — per-file stats skipping,
+    // independently per term
+    def kept(cond: org.apache.spark.sql.Column): Int = {
+      val df = s2.read.format("graft.sources.GraftStore")
+        .option("path", path).load().filter(cond)
+      df.count() // finalize AQE
+      val m = "files=(\\d+)/(\\d+)".r
+        .findFirstMatchIn(df.queryExecution.executedPlan.toString)
+      assert(m.isDefined); m.get.group(1).toInt
+    }
+    val dayCond = col("ts") >= lit("2024-01-02 00:00:00").cast("timestamp") &&
+      col("ts") < lit("2024-01-03 00:00:00").cast("timestamp")
+    assert(kept(dayCond) == 3, "day range must keep one day's 3 kind cells")
+    assert(kept(col("kind") === 1) == 4, "kind filter must keep 4 day cells")
+    assert(kept(dayCond && col("kind") === 1) == 1,
+      "day+kind must prune to the single cell")
+    // $partitions renders the full multi-term tuple
+    val parts = s2.sql("SELECT partition FROM gtc.`e$partitions`")
+      .collect().map(_.getString(0))
+    assert(parts.length == 12, parts.mkString(", "))
+    assert(parts.contains("ts_day=2024-01-02/kind=1"), parts.mkString(", "))
+    // spec evolution DROPS a term (metadata-only); appends adopt
+    GraftStore.evolvePartitionBy(path, Some("days(ts)"))
+    assert(GraftStore.readPartitionBy(path).contains("days(ts)"))
+    s2.range(24, 36).selectExpr(
+      "id AS event_id",
+      "timestamp_seconds(1704067200 + 10 * 86400 + (id - 24) * 60) AS ts",
+      "CAST(id % 3 AS INT) AS kind", "CAST(id AS DOUBLE) AS value")
+      .createOrReplaceTempView("comp_add")
+    s2.sql("INSERT INTO gtc.e SELECT * FROM comp_add")
+    val newFiles = entries(path).filterNot(e => es.exists(_.file == e.file))
+    // kind no longer rolls: the 12 alternating-kind rows would have cut
+    // ~12 single-kind files under the old spec; per-day rolling caps the
+    // count at the task count (temporal distribution is caller-supplied)
+    assert(newFiles.size <= 4 &&
+      newFiles.exists(e => e.stats("kind").min != e.stats("kind").max),
+      s"post-drop append must roll per day only: ${newFiles.map(_.file)}")
+    // and evolution ADDS a term back (validated like create)
+    GraftStore.evolvePartitionBy(path, Some("days(ts), kind"))
+    assert(GraftStore.readPartitionBy(path).contains("days(ts),kind"))
+    s2.range(36, 42).selectExpr(
+      "id AS event_id",
+      "timestamp_seconds(1704067200 + 20 * 86400 + (id - 36) * 60) AS ts",
+      "CAST(id % 3 AS INT) AS kind", "CAST(id AS DOUBLE) AS value")
+      .createOrReplaceTempView("comp_add2")
+    s2.sql("INSERT INTO gtc.e SELECT * FROM comp_add2")
+    val newest = entries(path).filterNot(e => es.exists(_.file == e.file))
+      .filterNot(e => newFiles.exists(_.file == e.file))
+    assert(newest.size == 3, // one day x 3 kinds again
+      s"post-add append must roll per (day, kind): ${newest.size}")
+    assert(newest.forall(e => e.stats("kind").min == e.stats("kind").max))
+    // results stay layout-invisible across both evolutions
+    assert(s2.sql("SELECT count(*) FROM gtc.e").collect()(0).getLong(0) == 42)
+  }
 }
