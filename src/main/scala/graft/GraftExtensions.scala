@@ -55,6 +55,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // injection point that precedes ResolveSessionCatalog's
     // MISSING_CATALOG_ABILITY.VIEWS refusal for non-session catalogs
     ext.injectHintResolutionRule(s => graft.plans.GraftViewRules(s))
+    // `table_changes('cat.t', from[, to])` — the change feed's pure-SQL
+    // door; same batch as views (it splices a relation pre-resolution)
+    ext.injectHintResolutionRule(s => graft.plans.GraftTableChangesRule(s))
     ext.injectOptimizerRule(_ => RewritePowAsMultiply)
     // runs inside the operator-optimization fixpoint: once it fires the
     // Window is gone, so the pattern can't re-match and the batch stays

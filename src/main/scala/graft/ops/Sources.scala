@@ -2203,6 +2203,61 @@ object Sources {
   private val viewSession = new java.util.concurrent.ConcurrentHashMap[
     String, org.apache.spark.sql.SparkSession]
 
+  /** table_changes fixture tables, keyed by extension-session UUID. */
+  private val cdfSqlWritten = new java.util.concurrent.ConcurrentHashMap[String, String]
+
+  /** `table_changes` TVF (round 15) — the change feed's PURE-SQL door
+    * (the Delta `table_changes('t', from[, to])` surface): an analyzer
+    * rule (GraftTableChangesRule, hint batch) rewrites the unresolved
+    * TVF into the exact relation the `changesFrom`/`changesTo` reader
+    * options build, so dashboards and SQL-only schedulers consume the
+    * same cdfFileDiffs planning — one CDF implementation, two doors.
+    * The fixture replays q_store_cdf's lifecycle (3 appends, a
+    * metadata-only DELETE, a copy-on-write UPDATE, a silent OPTIMIZE)
+    * in its own catalog and reads the feed entirely in SQL; the oracle
+    * is the same content-determined union. Version-range and
+    * current-catalog forms pinned in GraftCatalogSpec. */
+  val qStoreCdfSql: Q = (s, dir) => {
+    val s2 = viewSession.computeIfAbsent(Util.sessionKey(s), _ => {
+      val sess = org.apache.spark.sql.SparkSession.builder()
+        .master(s.sparkContext.master)
+        .withExtensions(new graft.GraftExtensions())
+        .config("spark.sql.shuffle.partitions",
+          s.conf.get("spark.sql.shuffle.partitions"))
+        .config("spark.sql.session.timeZone", "UTC")
+        .create()
+      sess.conf.set("spark.sql.catalog.gview", "graft.sources.GraftCatalog")
+      sess.conf.set("spark.sql.catalog.gview.root",
+        Util.managedTempDir("graft_view_"))
+      sess
+    })
+    cdfSqlWritten.computeIfAbsent(s"${Util.sessionKey(s2)}:$dir", _ => {
+      val root = Util.managedTempDir("graft_cdfsql_")
+      s2.conf.set("spark.sql.catalog.gcs", "graft.sources.GraftCatalog")
+      s2.conf.set("spark.sql.catalog.gcs.root", root)
+      import s2.implicits._
+      val o = table(s2, dir, "orders")
+        .select($"o_orderkey", $"o_totalprice",
+          substring($"o_orderpriority", 1, 1).cast("int").as("pri"))
+      (1 to 3).foreach { v =>
+        o.filter($"pri" === v).repartition(2)
+          .write.format("graft.sources.GraftStore")
+          .option("path", s"$root/ctab").mode("append").save()
+      }
+      s2.sql("DELETE FROM gcs.ctab WHERE pri = 2") // v4: metadata-only
+      s2.sql("UPDATE gcs.ctab SET o_totalprice = -o_totalprice WHERE pri = 3") // v5
+      graft.sources.GraftStore.compact(s2, s"$root/ctab", 1L << 30) // v6: silent
+      root
+    })
+    s2.sql(
+      """SELECT _commit_version, _change_type, pri,
+        |  count(*) AS n, CAST(sum(o_orderkey) AS BIGINT) AS sum_key,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+        |FROM table_changes('gcs.ctab', 0)
+        |GROUP BY _commit_version, _change_type, pri
+        |ORDER BY _commit_version, _change_type, pri""".stripMargin)
+  }
+
   /** STORED PROCEDURES (round 12) — Spark 4's native ProcedureCatalog:
     * `CALL cat.system.<proc>(…)` wired to the audited maintenance
     * primitives (purge_deletes / restore / compact / expire_snapshots),
@@ -3584,6 +3639,7 @@ object Sources {
     "q_store_scd2" -> qStoreScd2,
     "q_store_dml" -> qStoreDml,
     "q_store_cdf" -> qStoreCdf,
+    "q_store_cdf_sql" -> qStoreCdfSql,
     "q_store_zorder" -> qStoreZorder,
     "q_stream_cdf" -> qStreamCdf,
     "q_pipeline_incr" -> qPipelineIncr,
@@ -4326,6 +4382,29 @@ object Sources {
     // copy-on-write UPDATE deletes slice 3 and re-inserts it negated,
     // and the trailing OPTIMIZE contributes no rows at all
     "q_store_cdf" ->
+      """WITH o AS (SELECT o_orderkey, o_totalprice,
+        |             CAST(substring(o_orderpriority, 1, 1) AS INT) AS pri
+        |           FROM orders),
+        |base AS (SELECT pri, CAST(count(*) AS BIGINT) AS n,
+        |           CAST(sum(o_orderkey) AS BIGINT) AS sum_key,
+        |           CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+        |         FROM o WHERE pri <= 3 GROUP BY pri)
+        |SELECT CAST(pri AS BIGINT) AS _commit_version,
+        |       'insert' AS _change_type, pri, n, sum_key, sum_price
+        |FROM base
+        |UNION ALL
+        |SELECT CAST(4 AS BIGINT), 'delete', pri, n, sum_key, sum_price
+        |FROM base WHERE pri = 2
+        |UNION ALL
+        |SELECT CAST(5 AS BIGINT), 'delete', pri, n, sum_key, sum_price
+        |FROM base WHERE pri = 3
+        |UNION ALL
+        |SELECT CAST(5 AS BIGINT), 'insert', pri, n, sum_key, -sum_price
+        |FROM base WHERE pri = 3
+        |ORDER BY _commit_version, _change_type, pri""".stripMargin,
+    // the TVF door reads the SAME feed as the option door: identical
+    // content-determined union (fixture replays q_store_cdf's lifecycle)
+    "q_store_cdf_sql" ->
       """WITH o AS (SELECT o_orderkey, o_totalprice,
         |             CAST(substring(o_orderpriority, 1, 1) AS INT) AS pri
         |           FROM orders),

@@ -216,6 +216,16 @@ class GraftCatalog extends TableCatalog with FunctionCatalog
   }
   override def name(): String = catalogName
 
+  /** Resolve a table identifier to its on-disk path — the handle the
+    * `table_changes` TVF rule needs to open a change-feed read on the
+    * same directory the catalog serves. Fails like loadTable on a
+    * missing table. */
+  private[graft] def tablePath(ident: Identifier): String = {
+    val dir = dirFor(ident)
+    if (!isTable(dir)) throw new NoSuchTableException(ident)
+    dir.getPath
+  }
+
   /** root/ns…/name with traversal-proof segments. */
   private def dirFor(ident: Identifier): File = {
     val parts = ident.namespace().toSeq :+ ident.name()

@@ -137,6 +137,48 @@ class GraftCatalogViewSpec extends SparkSuite {
 
   // -------------------------------------------------- round 15 depth
 
+  test("table_changes TVF: qualified + current-catalog forms, version ranges, op honesty, loud refusals") {
+    val (s2, root) = freshCat("tvf")
+    s2.range(0, 10).selectExpr("id AS k", "id * 2 AS v")
+      .createOrReplaceTempView("tvf_src")
+    s2.sql("CREATE TABLE gvtvf.t AS SELECT * FROM tvf_src WHERE k < 5") // v1
+    s2.sql("INSERT INTO gvtvf.t SELECT * FROM tvf_src WHERE k >= 5")    // v2
+    s2.sql("DELETE FROM gvtvf.t WHERE k = 7")                           // v3
+    // full feed, catalog-qualified name
+    val full = s2.sql(
+      "SELECT _commit_version, _change_type, k FROM table_changes('gvtvf.t', 0) ORDER BY 1, 2, 3")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    // copy-on-write DELETE surfaces at file granularity: the victim's
+    // file (k=7,8,9) emits delete for all three and re-inserts 8,9 —
+    // net change exact
+    assert(full.count(_._2 == "insert") == 12, full.mkString(", "))
+    assert(full.filter(t => t._1 == 3L && t._2 == "delete").map(_._3).toSet
+      == Set(7L, 8L, 9L), full.mkString(", "))
+    assert(full.filter(t => t._1 == 3L && t._2 == "insert").map(_._3).toSet
+      == Set(8L, 9L), full.mkString(", "))
+    // version RANGE: (1, 2] is exactly the second append
+    val range = s2.sql(
+      "SELECT _change_type, k FROM table_changes('gvtvf.t', 1, 2) ORDER BY k")
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(range.toSeq == (5L until 10L).map(("insert", _)).toSeq,
+      range.mkString(", "))
+    // current-catalog form: unqualified name under USE gvtvf
+    val mgr = s2.sessionState.catalogManager
+    val prev = mgr.currentCatalog.name()
+    try {
+      mgr.setCurrentCatalog("gvtvf")
+      assert(s2.sql("SELECT count(*) FROM table_changes('t', 1, 2)")
+        .head.getLong(0) == 5)
+    } finally mgr.setCurrentCatalog(prev)
+    // loud refusals: unknown table; a non-graft name falls through to
+    // Spark's own unresolved-TVF error
+    val e1 = intercept[Exception](
+      s2.sql("SELECT * FROM table_changes('gvtvf.nope', 0)").collect())
+    assert(e1.getMessage.contains("nope"), e1.getMessage)
+    intercept[Exception](
+      s2.sql("SELECT * FROM table_changes('spark_catalog.x.y', 0)").collect())
+  }
+
   test("subquery depth: capture-time qualification and the cycle guard reach into IN/EXISTS subqueries") {
     val (s2, _) = freshCat("sub")
     s2.sql("CREATE TABLE gvsub.t AS SELECT 7 AS a")
