@@ -3466,6 +3466,47 @@ object Sources {
         |FROM gev.sup ORDER BY s_suppkey""".stripMargin)
   }
 
+  /** NESTED-FIELD EVOLUTION (round 15) — ADD and RENAME of a struct
+    * SUBFIELD as metadata-only commits, the evolution a multimodal
+    * `meta` struct lives by: `ALTER TABLE t ADD COLUMN meta.seg STRING`
+    * appends a nullable field at the end of the struct and marks every
+    * existing file with its bytes' struct arity; the reader pads the
+    * missing subfield with nulls through a delegating struct view (a
+    * nested UnsafeRow bakes its field count into its bytes, so the
+    * top-level JoinedRow tail pad can't reach inside). RENAME of a
+    * subfield is a pure schema flip — data is positional, and no
+    * name-keyed metadata (stats, eq-delete keys, partition specs)
+    * reaches below the top level. Old rows surface NULL in the new
+    * subfield, post-evolve rows carry real values, and the oracle
+    * splices the same union from source parquet. Marker mechanics,
+    * compaction arity-splitting and the refusal matrix are pinned in
+    * GraftStoreEvolveSpec. */
+  val qStoreEvolveNested: Q = (s, dir) => {
+    val s2 = s.newSession()
+    s2.conf.set("spark.sql.catalog.gnes", "graft.sources.GraftCatalog")
+    s2.conf.set("spark.sql.catalog.gnes.root", Util.managedTempDir("graft_evnested_"))
+    table(s2, dir, "supplier").createOrReplaceTempView("supp_n")
+    s2.sql("DROP TABLE IF EXISTS gnes.sup")
+    s2.sql(
+      """CREATE TABLE gnes.sup AS
+        |SELECT s_suppkey,
+        |  named_struct('nation', s_nationkey,
+        |               'bal', CAST(s_acctbal AS DOUBLE)) AS meta
+        |FROM supp_n WHERE s_suppkey % 2 = 0""".stripMargin)
+    s2.sql("ALTER TABLE gnes.sup ADD COLUMN meta.seg STRING")
+    s2.sql(
+      """INSERT INTO gnes.sup
+        |SELECT s_suppkey,
+        |  named_struct('nation', s_nationkey,
+        |               'bal', CAST(s_acctbal AS DOUBLE),
+        |               'seg', concat('n', s_nationkey)) AS meta
+        |FROM supp_n WHERE s_suppkey % 2 = 1""".stripMargin)
+    s2.sql("ALTER TABLE gnes.sup RENAME COLUMN meta.nation TO nat")
+    s2.sql(
+      """SELECT s_suppkey, meta.nat AS nat, meta.bal AS bal, meta.seg AS seg
+        |FROM gnes.sup ORDER BY s_suppkey""".stripMargin)
+  }
+
   /** COLUMN RENAME + INT->LONG WIDENING (round 13) — the two schema
     * evolutions beyond add-nullable-at-end, both pure metadata commits.
     * Rename needs NO field ids: this format's data files are positional
@@ -3622,6 +3663,7 @@ object Sources {
     "q_stream_sink_part" -> qStreamSinkPart,
     "q_stream_sink_branch" -> qStreamSinkBranch,
     "q_store_evolution" -> qStoreEvolution,
+    "q_store_evolve_nested" -> qStoreEvolveNested,
     "q_store_evolve_rename" -> qStoreEvolveRename,
     "q_store_evolve_widen2" -> qStoreEvolveWiden2,
     "q_store_bloomskip" -> qStoreBloomskip,
@@ -4439,6 +4481,18 @@ object Sources {
         |FROM supplier WHERE s_suppkey % 2 = 0
         |UNION ALL
         |SELECT s_suppkey, s_nationkey, s_acctbal
+        |FROM supplier WHERE s_suppkey % 2 = 1
+        |ORDER BY s_suppkey""".stripMargin,
+    // nested evolution: pre-ADD rows surface NULL in the appended
+    // SUBFIELD, post-ADD rows carry real values, and the renamed
+    // subfield reads under its new name — spliced as the same union
+    "q_store_evolve_nested" ->
+      """SELECT s_suppkey, s_nationkey AS nat,
+        | CAST(s_acctbal AS DOUBLE) AS bal, CAST(NULL AS VARCHAR) AS seg
+        |FROM supplier WHERE s_suppkey % 2 = 0
+        |UNION ALL
+        |SELECT s_suppkey, s_nationkey AS nat,
+        | CAST(s_acctbal AS DOUBLE) AS bal, 'n' || s_nationkey AS seg
         |FROM supplier WHERE s_suppkey % 2 = 1
         |ORDER BY s_suppkey""".stripMargin,
     // rename + widen replay: evens keep their keys, odds arrive after

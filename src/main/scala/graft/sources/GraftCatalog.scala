@@ -614,12 +614,30 @@ class GraftCatalog extends TableCatalog with FunctionCatalog
     val routed = changes.partition {
       case _: TableChange.RenameColumn => true
       case _: TableChange.UpdateColumnType => true
+      case a: TableChange.AddColumn => a.fieldNames().length == 2
       case _ => false
     }
     routed._1.foreach {
+      case add: TableChange.AddColumn =>
+        // ALTER TABLE t ADD COLUMN meta.f TYPE — nested add is its own
+        // metadata-only commit with per-file struct-arity markers
+        require(add.isNullable,
+          s"appended nested field ${add.fieldNames().mkString(".")} must " +
+            "be nullable — existing files null-pad it")
+        require(add.position() == null,
+          "only appending at the END of the struct is supported")
+        GraftStore.addStructField(dir.getPath, add.fieldNames()(0),
+          add.fieldNames()(1), add.dataType())
+      case r: TableChange.RenameColumn if r.fieldNames().length == 2 =>
+        // ALTER TABLE t RENAME COLUMN meta.f TO g — nested rename is
+        // pure metadata (data is positional; no name-keyed metadata
+        // reaches below the top level)
+        GraftStore.renameStructField(dir.getPath, r.fieldNames()(0),
+          r.fieldNames()(1), r.newName())
       case r: TableChange.RenameColumn =>
         require(r.fieldNames().length == 1,
-          "nested RENAME COLUMN is not supported")
+          "RENAME COLUMN supports top-level columns and struct subfields " +
+            "(col.field), not deeper nesting")
         GraftStore.renameColumn(dir.getPath, r.fieldNames()(0), r.newName())
       case u: TableChange.UpdateColumnType =>
         require(u.fieldNames().length == 1,
@@ -638,7 +656,8 @@ class GraftCatalog extends TableCatalog with FunctionCatalog
     val newSchema = routed._2.foldLeft(schema) {
       case (sch, add: TableChange.AddColumn) =>
         require(add.fieldNames().length == 1,
-          "nested ADD COLUMN is not supported")
+          "ADD COLUMN supports top-level columns and struct subfields " +
+            "(col.field), not deeper nesting")
         val name = add.fieldNames()(0)
         require(add.isNullable,
           s"appended column $name must be nullable — existing files null-pad it")

@@ -214,7 +214,7 @@ object GraftStore {
     * conservative floor: an untracked file predates every delete. */
   case class FileEntry(file: String, rows: Long, stats: Map[String, ColStats],
       cols: Int = -1, dv: String = "", addedv: Long = 0L,
-      narrow: Seq[Int] = Seq.empty)
+      narrow: Seq[Int] = Seq.empty, nested: Seq[Int] = Seq.empty)
 
   /** A `narrow` marker packs (ordinal, conversion kind) in one int: low
     * 24 bits = ordinal, high 8 = kind. Kind 0 is the original int→long
@@ -239,6 +239,23 @@ object GraftStore {
     val at = s.indexOf('@')
     if (at < 0) s.toInt
     else packNarrow(s.substring(0, at).toInt, s.substring(at + 1).toInt)
+  }
+
+  /** A `nested` marker records that a file's STRUCT column predates a
+    * nested ADD: (top-level ordinal, the struct arity the file's bytes
+    * carry), packed ordinal-low-16 / arity-high-16 (round 15). The
+    * reader pads the missing trailing subfields with nulls through a
+    * delegating struct view — a nested UnsafeRow's layout bakes its
+    * field count into the bytes, so unlike the top-level tail pad the
+    * fix-up needs a per-access wrapper, not a JoinedRow. */
+  @inline def packNested(ord: Int, arity: Int): Int = ord | (arity << 16)
+  @inline def nestedOrd(m: Int): Int = m & 0xffff
+  @inline def nestedArity(m: Int): Int = m >>> 16
+  private[sources] def fmtNested(m: Int): String =
+    s"${nestedOrd(m)}@${nestedArity(m)}"
+  private[sources] def parseNested(s: String): Int = {
+    val at = s.indexOf('@')
+    packNested(s.substring(0, at).toInt, s.substring(at + 1).toInt)
   }
 
   /** One EQUALITY-DELETE file (the Iceberg-v2 equality-delete design):
@@ -292,7 +309,10 @@ object GraftStore {
     // (narrow: ordinals whose physical lane is int under a widened long
     // schema) forces fields 5-6 explicit when present.
     val dvf =
-      if (e.narrow.nonEmpty)
+      if (e.nested.nonEmpty)
+        s"\t${e.dv}\t${e.addedv}\t${e.narrow.map(fmtNarrow).mkString(",")}" +
+          s"\t${e.nested.map(fmtNested).mkString(",")}"
+      else if (e.narrow.nonEmpty)
         s"\t${e.dv}\t${e.addedv}\t${e.narrow.map(fmtNarrow).mkString(",")}"
       else if (e.addedv > 0L) s"\t${e.dv}\t${e.addedv}"
       else if (e.dv.isEmpty) "" else s"\t${e.dv}"
@@ -323,6 +343,9 @@ object GraftStore {
         if (parts.length >= 6) parts(5).toLong else 0L,
         if (parts.length >= 7 && parts(6).nonEmpty)
           parts(6).split(',').map(parseNarrow).toSeq
+        else Seq.empty,
+        if (parts.length >= 8 && parts(7).nonEmpty)
+          parts(7).split(',').map(parseNested).toSeq
         else Seq.empty)
   }
 
@@ -2095,6 +2118,82 @@ object GraftStore {
       epoch = readEpoch(path), op = s"widen($col)")
   }
 
+  /** NESTED-FIELD EVOLUTION (round 15) — ADD a nullable subfield at the
+    * END of a struct column as a metadata-only commit: the schema's
+    * struct type gains the field, and every CURRENT entry that
+    * physically carries the column records (ordinal, OLD struct arity)
+    * in `nested` — a nested UnsafeRow bakes its field count into its
+    * bytes (null bitmap + fixed region are arity-sized), so unlike the
+    * top-level tail pad the reader must wrap access to the struct in a
+    * delegating view that answers null beyond the file's arity
+    * ([[StructPadView]]). Files written after the commit carry the full
+    * struct natively; a file that already carries an OLDER marker for
+    * the column keeps it (its bytes didn't change). Repeated adds
+    * compose: the marker always records the BYTES' arity. Struct
+    * columns carry no per-file stats, so nothing is dropped. */
+  private[graft] def addStructField(path: String, col: String,
+      field: String, dt: org.apache.spark.sql.types.DataType): Long = {
+    val (baseV, latest) = readLatestVersioned(path)
+    val (schema, entries) = latest.getOrElse(throw new IllegalArgumentException(
+      s"no graft-store table at $path"))
+    require(schema.fieldNames.contains(col),
+      s"no column '$col' at $path — columns: ${schema.fieldNames.mkString(", ")}")
+    val ord = schema.fieldIndex(col)
+    val st = schema.fields(ord).dataType match {
+      case s: StructType => s
+      case other => throw new IllegalArgumentException(
+        s"cannot ADD nested field $col.$field: '$col' is ${other.simpleString}, not a struct")
+    }
+    require(!st.fieldNames.contains(field),
+      s"field '$col.$field' already exists")
+    require(field.nonEmpty && !"=:;,\t@".exists(field.contains(_)),
+      s"illegal nested field name '$field'")
+    val newStruct = st.add(field, dt, nullable = true)
+    val newSchema = StructType(schema.fields.zipWithIndex.map { case (f, i) =>
+      if (i == ord) f.copy(dataType = newStruct) else f
+    })
+    val newEntries = entries.map { e =>
+      val arity = if (e.cols > 0) e.cols else schema.size
+      if (arity <= ord) e // file predates the column: null-pads whole
+      else if (e.nested.exists(m => nestedOrd(m) == ord)) e // older marker wins
+      else e.copy(nested =
+        (e.nested :+ packNested(ord, st.size)).sortBy(nestedOrd))
+    }
+    writeManifestAtomic(path, baseV, newSchema, newEntries,
+      epoch = readEpoch(path), op = s"evolve-nested($col.$field)")
+  }
+
+  /** RENAME a struct subfield — pure metadata: data is positional and
+    * no name-keyed metadata reaches below the top level (per-file stats,
+    * equality-delete keys and partition specs are all top-level-only,
+    * enforced at their creation sites). */
+  private[graft] def renameStructField(path: String, col: String,
+      from: String, to: String): Long = {
+    val (baseV, latest) = readLatestVersioned(path)
+    val (schema, entries) = latest.getOrElse(throw new IllegalArgumentException(
+      s"no graft-store table at $path"))
+    require(schema.fieldNames.contains(col),
+      s"no column '$col' at $path")
+    val ord = schema.fieldIndex(col)
+    val st = schema.fields(ord).dataType match {
+      case s: StructType => s
+      case other => throw new IllegalArgumentException(
+        s"cannot RENAME nested field $col.$from: '$col' is ${other.simpleString}, not a struct")
+    }
+    require(st.fieldNames.contains(from), s"no field '$col.$from'")
+    require(!st.fieldNames.contains(to),
+      s"field '$col.$to' already exists")
+    require(to.nonEmpty && !"=:;,\t@".exists(to.contains(_)),
+      s"illegal nested field name '$to'")
+    val newStruct = StructType(st.fields.map(f =>
+      if (f.name == from) f.copy(name = to) else f))
+    val newSchema = StructType(schema.fields.zipWithIndex.map { case (f, i) =>
+      if (i == ord) f.copy(dataType = newStruct) else f
+    })
+    writeManifestAtomic(path, baseV, newSchema, entries,
+      epoch = readEpoch(path), op = s"evolve-nested($col.$from->$to)")
+  }
+
   /** Shared per-transform validation (create / evolve must agree):
     * sources exist and are top-level, `days` needs a temporal column,
     * `trunc` a string/int/long, `bucket` an int/long — the same checks
@@ -2577,7 +2676,8 @@ object GraftStore {
       // same way: one packed entry cannot describe two physical lanes
       if (bins.isEmpty || binBytes + sz > targetBytes ||
           bins.last.head.cols != e.cols ||
-          bins.last.head.narrow != e.narrow) {
+          bins.last.head.narrow != e.narrow ||
+          bins.last.head.nested != e.nested) {
         bins += scala.collection.mutable.ArrayBuffer(e); binBytes = sz
       } else { bins.last += e; binBytes += sz }
     }
@@ -2603,7 +2703,7 @@ object GraftStore {
       packed.get(i) match {
         case Some(rel) => FileEntry(rel, bin.map(_.rows).sum,
           bin.map(_.stats).reduce(mergeStats(schema, _, _)), bin.head.cols,
-          narrow = bin.head.narrow)
+          narrow = bin.head.narrow, nested = bin.head.nested)
         case None => bin.head
       }
     }.toSeq ++ dvEntries
@@ -4957,18 +5057,18 @@ class GraftStoreScan(path: String,
             sel.map(e => GraftStoreKeyedFilePartition(
               new File(path, e.file).getAbsolutePath,
               e.cols, e.file, keyTupleOf(e, keys), dvAbs(e),
-              eqRefsFor(e), e.narrow): InputPartition).toArray
+              eqRefsFor(e), e.narrow, e.nested): InputPartition).toArray
           case _ => spjBucket match {
             case Some(b) =>
               sel.map(e => GraftStoreKeyedFilePartition(
                 new File(path, e.file).getAbsolutePath,
                 e.cols, e.file, Seq(e.stats(b.statName).min.toInt),
-                dvAbs(e), eqRefsFor(e), e.narrow): InputPartition).toArray
+                dvAbs(e), eqRefsFor(e), e.narrow, e.nested): InputPartition).toArray
             case None =>
               sel.map(e =>
                 GraftStoreFilePartition(new File(path, e.file).getAbsolutePath,
                   e.cols, e.file, dvAbs(e), eqRefsFor(e),
-                  e.narrow): InputPartition).toArray
+                  e.narrow, e.nested): InputPartition).toArray
           }
         }
     }
@@ -4980,7 +5080,8 @@ class GraftStoreScan(path: String,
 case class GraftStoreFilePartition(absolutePath: String, cols: Int = -1,
     relPath: String = "", dvAbs: String = "",
     eq: Seq[GraftStoreEqDelRef] = Seq.empty,
-    narrow: Seq[Int] = Seq.empty) extends InputPartition
+    narrow: Seq[Int] = Seq.empty,
+    nested: Seq[Int] = Seq.empty) extends InputPartition
 
 /** One applicable equality delete, reader-ready: the sidecar's absolute
   * path plus the key columns' ordinals and type tags in the scan
@@ -4995,7 +5096,8 @@ case class GraftStoreEqDelRef(abs: String, ords: Array[Int],
 case class GraftStoreKeyedFilePartition(absolutePath: String, cols: Int,
     relPath: String, keys: Seq[Any], dvAbs: String = "",
     eq: Seq[GraftStoreEqDelRef] = Seq.empty,
-    narrow: Seq[Int] = Seq.empty)
+    narrow: Seq[Int] = Seq.empty,
+    nested: Seq[Int] = Seq.empty)
   extends InputPartition
   with org.apache.spark.sql.connector.read.HasPartitionKey {
   override def partitionKey(): InternalRow =
@@ -5135,14 +5237,14 @@ class GraftStoreMicroBatchStream(path: String, streamSchema: StructType,
   import org.apache.spark.sql.connector.read.streaming.Offset
   private val numFields = streamSchema.size
 
-  private def filesAt(v: Long): Map[String, (Int, String, Seq[Int])] =
+  private def filesAt(v: Long): Map[String, (Int, String, Seq[Int], Seq[Int])] =
     if (v <= 0) Map.empty
     else GraftStore.readManifestFile(
       new File(path, s"${GraftStore.ManifestName}.v$v"))
       .getOrElse(throw new IllegalStateException(
         s"snapshot v$v at $path expired while a stream checkpoint still " +
           "references it — retain snapshots at least as long as readers"))
-      ._2.map(e => e.file -> (e.cols, e.dv, e.narrow)).toMap
+      ._2.map(e => e.file -> (e.cols, e.dv, e.narrow, e.nested)).toMap
 
   override def initialOffset(): Offset = GraftVersionOffset(startVersion)
   override def deserializeOffset(json: String): Offset =
@@ -5188,11 +5290,12 @@ class GraftStoreMicroBatchStream(path: String, streamSchema: StructType,
         s"(${removed.size} base file(s) removed or delete-vectored, or " +
         "equality deletes changed) — tail a change feed " +
         "(changesFrom/changesTo batch reads) across deletes or rewrites")
-    (now -- base.keySet).toSeq.sortBy(_._1).map { case (f, (cols, dv, narrow)) =>
-      GraftStoreFilePartition(new File(path, f).getAbsolutePath, cols, f,
-        if (dv.isEmpty) "" else new File(path, dv).getAbsolutePath,
-        narrow = narrow)
-        : InputPartition
+    (now -- base.keySet).toSeq.sortBy(_._1).map {
+      case (f, (cols, dv, narrow, nested)) =>
+        GraftStoreFilePartition(new File(path, f).getAbsolutePath, cols, f,
+          if (dv.isEmpty) "" else new File(path, dv).getAbsolutePath,
+          narrow = narrow, nested = nested)
+          : InputPartition
     }.toArray
   }
 
@@ -5259,7 +5362,8 @@ class GraftStoreReaderFactory(scanFields: Int, withFileCol: Boolean = false,
       val tail = consts(kp.relPath)
       new GraftStoreFileReader(kp.absolutePath, fileFields, scanFields,
         tail, skipDv = skipOf(kp.dvAbs), posSlot = posSlot(tail),
-        eqProbes = probesOf(kp.eq), narrowOrds = narrowOf(kp.narrow))
+        eqProbes = probesOf(kp.eq), narrowOrds = narrowOf(kp.narrow),
+        nestedPads = narrowOf(kp.nested))
     case fp: GraftStoreFilePartition =>
       // a file written before an ADD COLUMN carries fewer fields than the
       // scan schema: parse at its own arity (UnsafeRow layout bakes the
@@ -5268,7 +5372,8 @@ class GraftStoreReaderFactory(scanFields: Int, withFileCol: Boolean = false,
       val tail = consts(fp.relPath)
       new GraftStoreFileReader(fp.absolutePath, fileFields, scanFields,
         tail, skipDv = skipOf(fp.dvAbs), posSlot = posSlot(tail),
-        eqProbes = probesOf(fp.eq), narrowOrds = narrowOf(fp.narrow))
+        eqProbes = probesOf(fp.eq), narrowOrds = narrowOf(fp.narrow),
+        nestedPads = narrowOf(fp.nested))
   }
 
   /** Resolve eq-del refs to (parsed set, ordinals, tags) — the sets load
@@ -5280,12 +5385,119 @@ class GraftStoreReaderFactory(scanFields: Int, withFileCol: Boolean = false,
       (GraftStore.EqSet.cached(r.abs), r.ords, r.tags)).toArray
 }
 
+/** Base for the nested-evolution read views: delegate every accessor to
+  * `target`. Mutation is refused — these wrap scan output only. */
+private[sources] abstract class GraftDelegatingRow extends InternalRow {
+  import org.apache.spark.sql.types.{DataType, Decimal}
+  import org.apache.spark.unsafe.types.{CalendarInterval, UTF8String, VariantVal}
+  protected def target: InternalRow
+  override def numFields: Int = target.numFields
+  override def setNullAt(i: Int): Unit =
+    throw new UnsupportedOperationException("read-only row view")
+  override def update(i: Int, value: Any): Unit =
+    throw new UnsupportedOperationException("read-only row view")
+  override def isNullAt(ordinal: Int): Boolean = target.isNullAt(ordinal)
+  override def getBoolean(ordinal: Int): Boolean = target.getBoolean(ordinal)
+  override def getByte(ordinal: Int): Byte = target.getByte(ordinal)
+  override def getShort(ordinal: Int): Short = target.getShort(ordinal)
+  override def getInt(ordinal: Int): Int = target.getInt(ordinal)
+  override def getLong(ordinal: Int): Long = target.getLong(ordinal)
+  override def getFloat(ordinal: Int): Float = target.getFloat(ordinal)
+  override def getDouble(ordinal: Int): Double = target.getDouble(ordinal)
+  override def getDecimal(ordinal: Int, precision: Int, scale: Int): Decimal =
+    target.getDecimal(ordinal, precision, scale)
+  override def getUTF8String(ordinal: Int): UTF8String =
+    target.getUTF8String(ordinal)
+  override def getBinary(ordinal: Int): Array[Byte] = target.getBinary(ordinal)
+  override def getInterval(ordinal: Int): CalendarInterval =
+    target.getInterval(ordinal)
+  override def getVariant(ordinal: Int): VariantVal = target.getVariant(ordinal)
+  override def getGeography(ordinal: Int): org.apache.spark.unsafe.types.GeographyVal =
+    target.getGeography(ordinal)
+  override def getGeometry(ordinal: Int): org.apache.spark.unsafe.types.GeometryVal =
+    target.getGeometry(ordinal)
+  override def getStruct(ordinal: Int, numFields: Int): InternalRow =
+    target.getStruct(ordinal, numFields)
+  override def getArray(ordinal: Int): org.apache.spark.sql.catalyst.util.ArrayData =
+    target.getArray(ordinal)
+  override def getMap(ordinal: Int): org.apache.spark.sql.catalyst.util.MapData =
+    target.getMap(ordinal)
+  override def get(ordinal: Int, dataType: DataType): AnyRef =
+    target.get(ordinal, dataType)
+}
+
+/** View of a nested struct whose bytes carry FEWER fields than the scan
+  * schema's struct type: fields below the file's arity delegate, fields
+  * beyond answer null — the nested analogue of the top-level tail pad
+  * (a JoinedRow can't do it: a nested UnsafeRow's field count is baked
+  * into its bytes). */
+private[sources] final class GraftStructPadView(arity: Int)
+  extends GraftDelegatingRow {
+  var base: InternalRow = _
+  override protected def target: InternalRow = base
+  override def numFields: Int = arity // scan-schema struct width is larger
+  override def isNullAt(ordinal: Int): Boolean =
+    ordinal >= arity || base.isNullAt(ordinal)
+  override def getStruct(ordinal: Int, numFields: Int): InternalRow =
+    if (ordinal >= arity) null else base.getStruct(ordinal, numFields)
+  override def get(ordinal: Int, dataType: org.apache.spark.sql.types.DataType): AnyRef =
+    if (ordinal >= arity) null else base.get(ordinal, dataType)
+  override def copy(): InternalRow = {
+    val c = new GraftStructPadView(arity)
+    c.base = base.copy()
+    c
+  }
+}
+
+/** Top row wrapper for files carrying `nested` markers: getStruct on a
+  * marked ordinal reads the nested bytes at the FILE's struct arity and
+  * serves the scan type's trailing fields as null through
+  * [[GraftStructPadView]]; every other access delegates. One instance
+  * per reader, reused per row (views are reused too — consumers that
+  * retain a row call copy(), which deep-copies through). */
+private[sources] final class GraftNestedPadRow(pads: Array[Int])
+  extends GraftDelegatingRow {
+  var target: InternalRow = _
+  // pads: packNested(ord, arity), sorted by ordinal; views parallel
+  private val views = pads.map(m =>
+    new GraftStructPadView(GraftStore.nestedArity(m)))
+  private def padIdx(ordinal: Int): Int = {
+    var i = 0
+    while (i < pads.length) {
+      if (GraftStore.nestedOrd(pads(i)) == ordinal) return i
+      i += 1
+    }
+    -1
+  }
+  override def getStruct(ordinal: Int, numFields: Int): InternalRow = {
+    val i = padIdx(ordinal)
+    if (i < 0) target.getStruct(ordinal, numFields)
+    else if (target.isNullAt(ordinal)) null
+    else {
+      val v = views(i)
+      v.base = target.getStruct(ordinal, GraftStore.nestedArity(pads(i)))
+      v
+    }
+  }
+  override def get(ordinal: Int, dataType: org.apache.spark.sql.types.DataType): AnyRef =
+    dataType match {
+      case s: org.apache.spark.sql.types.StructType if padIdx(ordinal) >= 0 =>
+        getStruct(ordinal, s.size)
+      case _ => target.get(ordinal, dataType)
+    }
+  override def copy(): InternalRow = {
+    val c = new GraftNestedPadRow(pads)
+    c.target = target.copy()
+    c
+  }
+}
+
 class GraftStoreFileReader(file: String, numFields: Int, scanFields: Int,
     tailVals: Array[Any] = null, skipDv: java.util.BitSet = null,
     onlyDv: java.util.BitSet = null, posSlot: Int = -1,
     eqProbes: Array[(java.util.HashSet[String], Array[Int], Array[Byte])] = null,
     onlyEqProbes: Array[(java.util.HashSet[String], Array[Int], Array[Byte])] = null,
-    narrowOrds: Array[Int] = null)
+    narrowOrds: Array[Int] = null, nestedPads: Array[Int] = null)
   extends PartitionReader[InternalRow] {
   def this(file: String, numFields: Int) = this(file, numFields, numFields)
 
@@ -5410,9 +5622,17 @@ class GraftStoreFileReader(file: String, numFields: Int, scanFields: Int,
     false
   }
 
+  // files predating a nested ADD serve their struct columns through a
+  // padding wrapper (see GraftNestedPadRow) — only those files pay the
+  // generic-access path; full-width files return the raw UnsafeRow
+  private val nestedRow =
+    if (nestedPads == null) null else new GraftNestedPadRow(nestedPads)
+
   override def get(): InternalRow = {
     row.pointTo(current, current.length)
-    if (pad != null) pad.withLeft(row) else row
+    val r0: InternalRow = if (pad != null) pad.withLeft(row) else row
+    if (nestedRow == null) r0
+    else { nestedRow.target = r0; nestedRow }
   }
 
   override def close(): Unit = in.close()

@@ -533,6 +533,84 @@ class GraftStoreEvolveSpec extends SparkSuite {
     assert(GraftStore.readPartitionBy(t).contains("bucket(4,uid)"))
   }
 
+  // ------------------------- round 15: nested-field evolution (structs)
+
+  test("nested ADD/RENAME: metadata-only, old files null-pad the new subfield, compaction never mixes arities") {
+    val root = graft.ops.Util.managedTempDir("graft_ev_nest_")
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.catalog.gnev", "graft.sources.GraftCatalog")
+    s2.conf.set("spark.sql.catalog.gnev.root", root)
+    s2.range(0, 50).selectExpr("id",
+      "named_struct('a', id, 'b', CAST(id * 2 AS DOUBLE)) AS meta")
+      .createOrReplaceTempView("nest_src")
+    s2.sql("CREATE TABLE gnev.t AS SELECT * FROM nest_src WHERE id < 30") // v1
+    val t = s"$root/t"
+    val before = dataBytes(t)
+    s2.sql("ALTER TABLE gnev.t ADD COLUMN meta.tag STRING") // v2
+    assert(dataBytes(t) == before, "nested ADD must not touch data files")
+    // every carried file records the OLD struct arity
+    val es = GraftStore.readManifest(t).get._2
+    assert(es.nonEmpty && es.forall(_.nested.nonEmpty), es.map(_.nested))
+    assert(es.forall(e => e.nested.forall(m =>
+      GraftStore.nestedOrd(m) == 1 && GraftStore.nestedArity(m) == 2)))
+    // old rows answer null for the new subfield; existing fields intact
+    val r1 = s2.sql(
+      "SELECT count(*) AS n, sum(meta.a) AS sa, count(meta.tag) AS nt FROM gnev.t")
+      .collect()(0)
+    assert(r1.getLong(0) == 30 && r1.getLong(1) == (0L until 30L).sum &&
+      r1.getLong(2) == 0)
+    // post-evolve appends carry the full struct natively
+    s2.sql("""INSERT INTO gnev.t
+      |SELECT id, named_struct('a', id, 'b', CAST(id * 2 AS DOUBLE),
+      |                        'tag', concat('t', id)) AS meta
+      |FROM range(30, 50)""".stripMargin) // v3
+    val mixed = s2.sql(
+      """SELECT meta.tag IS NULL AS pad, count(*) AS n, sum(meta.a) AS sa
+        |FROM gnev.t GROUP BY 1 ORDER BY 1""".stripMargin).collect()
+      .map(r => (r.getBoolean(0), r.getLong(1), r.getLong(2)))
+    assert(mixed.toSeq == Seq(
+      (false, 20L, (30L until 50L).sum), (true, 30L, (0L until 30L).sum)),
+      mixed.mkString(", "))
+    // filters reach inside padded structs on old files
+    assert(s2.sql("SELECT count(*) FROM gnev.t WHERE meta.a < 10")
+      .collect()(0).getLong(0) == 10)
+    // nested RENAME: pure metadata; reads under the new name
+    s2.sql("ALTER TABLE gnev.t RENAME COLUMN meta.a TO key") // v4
+    assert(dataBytes(t) == before ||
+      dataBytes(t).keySet != before.keySet, "rename is metadata-only")
+    assert(s2.sql("SELECT sum(meta.key) FROM gnev.t").collect()(0).getLong(0)
+      == (0L until 50L).sum)
+    // compaction never splices pre/post-evolve frames into one file
+    GraftStore.compact(s2, t, Long.MaxValue)
+    val packed = GraftStore.readManifest(t).get._2
+    assert(packed.forall(e =>
+      e.nested.isEmpty || e.nested.forall(m => GraftStore.nestedArity(m) == 2)))
+    val padded = s2.sql(
+      "SELECT count(*) FROM gnev.t WHERE meta.tag IS NULL").collect()(0).getLong(0)
+    assert(padded == 30, s"post-compaction pad count $padded")
+    // time travel to the pre-evolve snapshot reads the OLD struct
+    assert(readT(t, versionAsOf = 1L).schema("meta").dataType
+      .asInstanceOf[org.apache.spark.sql.types.StructType].fieldNames.toSeq
+      == Seq("a", "b"))
+    // refusal matrix
+    intercept[Exception](
+      s2.sql("ALTER TABLE gnev.t ADD COLUMN meta.key STRING")) // dup
+    intercept[Exception](
+      s2.sql("ALTER TABLE gnev.t ADD COLUMN id.sub STRING")) // non-struct
+    intercept[Exception](
+      s2.sql("ALTER TABLE gnev.t RENAME COLUMN meta.key TO b")) // dup target
+    // repeated adds compose: each marker records its OWN file's bytes
+    // arity — the pre-first-add file stays at 2, the file written
+    // between the adds (3-field structs) gets 3
+    s2.sql("ALTER TABLE gnev.t ADD COLUMN meta.extra BIGINT")
+    val es2 = GraftStore.readManifest(t).get._2
+    assert(es2.flatMap(_.nested).map(GraftStore.nestedArity).toSet
+      == Set(2, 3), es2.map(_.nested))
+    assert(s2.sql(
+      "SELECT count(*) FROM gnev.t WHERE meta.extra IS NULL")
+      .collect()(0).getLong(0) == 50)
+  }
+
   // --------------------- round 15: long->double is stats-gated at ±2^53
 
   test("widen long->double: refused unless every long-lane file's stats prove |v| <= 2^53") {
