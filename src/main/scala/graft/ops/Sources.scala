@@ -660,6 +660,50 @@ object Sources {
       .orderBy($"l_returnflag")
   }
 
+  /** Sort-OPTIMIZE'd table dirs already written this JVM. */
+  private val optSortWritten = new java.util.concurrent.ConcurrentHashMap[String, String]
+
+  /** SORT-AWARE OPTIMIZE (round 15) — `OPTIMIZE … SORT BY l_orderkey`:
+    * where q_store_optimize's byte-concat bin-packing is deliberately
+    * content-invisible (mixed-key files stay mixed), this rewrite
+    * DECODES the files, globally range-partitions on the cluster key
+    * and sorts within each output — after it, files are KEY-DISJOINT
+    * with re-derived min/max/mono stats, so a point or range lookup on
+    * the key prunes to ONE file (pinned in GraftStoreSpec). The fixture
+    * writes 16 key-interleaved small files (every file spans the whole
+    * key range — the worst case for pruning), runs
+    * `CALL compact_sorted`, and the oracle recomputes the aggregate from
+    * source parquet: the layout investment must be invisible to
+    * results. Committed op=optimize — the change feed stays silent. */
+  val qStoreOptimizeSort: Q = (s, dir) => {
+    import s.implicits._
+    val path = optSortWritten.computeIfAbsent(s"${Util.sessionKey(s)}:$dir", _ => {
+      val s2 = s.newSession()
+      val root = Util.managedTempDir("graft_optsort_")
+      s2.conf.set("spark.sql.catalog.gos", "graft.sources.GraftCatalog")
+      s2.conf.set("spark.sql.catalog.gos.root", root)
+      import s2.implicits._
+      val li = table(s2, dir, "lineitem")
+        .select($"l_orderkey", $"l_returnflag", $"l_quantity")
+      // hash-repartition interleaves the key across every file
+      li.filter($"l_orderkey" % 2 === 0).repartition(8).write
+        .format("graft.sources.GraftStore").option("path", s"$root/t")
+        .mode("overwrite").save()
+      li.filter($"l_orderkey" % 2 === 1).repartition(8).write
+        .format("graft.sources.GraftStore").option("path", s"$root/t")
+        .mode("append").save()
+      s2.sql(
+        s"CALL gos.system.compact_sorted('t', ${256L * 1024}, 'l_orderkey')")
+        .collect()
+      s"$root/t"
+    })
+    s.read.format("graft.sources.GraftStore").option("path", path).load()
+      .groupBy($"l_returnflag")
+      .agg(count(lit(1)).as("n_rows"), sum($"l_orderkey").as("sum_key"),
+        dsum($"l_quantity").as("sum_qty"))
+      .orderBy($"l_returnflag")
+  }
+
   /** STREAMING sink (round 7): readStream on the SynthSource micro-batch
     * replay → writeStream through GraftStore's StreamingWrite — each
     * epoch commits through the same manifest-pointer protocol as a batch
@@ -3721,6 +3765,7 @@ object Sources {
     "q_stream_mirror_eq" -> qStreamMirrorEq,
     "q_stream_txn_sink" -> qStreamTxnSink,
     "q_store_optimize" -> qStoreOptimize,
+    "q_store_optimize_sort" -> qStoreOptimizeSort,
     "q_store_incremental" -> qStoreIncremental,
     "q_store_history" -> qStoreHistory,
     "q_store_expire_age" -> qStoreExpireAge,
@@ -4579,6 +4624,13 @@ object Sources {
     // content-invisibility of OPTIMIZE: the post-compaction read must
     // equal the aggregate computed straight from the source parquet
     "q_store_optimize" ->
+      """SELECT l_returnflag, count(*) AS n_rows, CAST(sum(l_orderkey) AS BIGINT) AS sum_key,
+        | CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
+        |FROM lineitem GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
+    // the sorted rewrite is a permutation: the post-OPTIMIZE read must
+    // equal the aggregate computed straight from the source parquet
+    "q_store_optimize_sort" ->
       """SELECT l_returnflag, count(*) AS n_rows, CAST(sum(l_orderkey) AS BIGINT) AS sum_key,
         | CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
         |FROM lineitem GROUP BY l_returnflag

@@ -105,6 +105,28 @@ private[sources] object GraftProcedures {
     }
   }
 
+  /** `CALL cat.system.compact_sorted('t', 64*1024*1024, 'k1,k2')` —
+    * OPTIMIZE … SORT BY: rewrite the clean data files through a global
+    * range-partition + sort on the cluster keys, producing key-disjoint
+    * key-sorted files with re-derived stats (point/range lookups then
+    * prune to one file). Content-invariant (op=optimize, CDF-silent). */
+  private final class CompactSorted(root: String)
+    extends GraftProcedure(root, "compact_sorted") {
+    override def description(): String =
+      "rewrite data files sorted and range-clustered on the given keys"
+    override def parameters(): Array[ProcedureParameter] = Array(
+      P("table", StringType, "table name under the catalog root"),
+      P("target_bytes", LongType, "max rewritten file size in bytes"),
+      P("sort_cols", StringType, "comma-separated cluster/sort columns"))
+    override def run(spark: SparkSession, input: InternalRow): Array[Any] = {
+      val path = tablePath(input)
+      val cols = input.getUTF8String(2).toString.split(',')
+        .map(_.trim).filter(_.nonEmpty).toSeq
+      val v = GraftStore.compactSorted(spark, path, cols, input.getLong(1))
+      Array(if (v < 0) GraftStore.readVersion(path) else v)
+    }
+  }
+
   /** `CALL cat.system.expire_snapshots('t', 2)` — drop all but the last
     * `keep_last` snapshots (tagged ones pinned) and GC unreferenced
     * files. Returns the retained snapshot count. */
@@ -268,12 +290,14 @@ private[sources] object GraftProcedures {
 
   private def all(root: String): Seq[GraftProcedure] = Seq(
     new PurgeDeletes(root), new Restore(root), new Compact(root),
+    new CompactSorted(root),
     new ExpireSnapshots(root), new ExpireSnapshotsOlderThan(root),
     new BranchCreate(root),
     new FastForward(root), new BranchDrop(root), new BranchRetain(root),
     new ExpireBranches(root), new BranchExpireSnapshots(root))
 
   def names: Seq[String] = Seq("purge_deletes", "restore", "compact",
+    "compact_sorted",
     "expire_snapshots", "expire_snapshots_older_than", "branch_create",
     "fast_forward", "branch_drop",
     "branch_retain", "expire_branches", "branch_expire_snapshots")

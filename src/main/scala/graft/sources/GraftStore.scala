@@ -1514,6 +1514,68 @@ object GraftStore {
     v
   }
 
+  /** SORT-AWARE OPTIMIZE (round 15) — `OPTIMIZE … SORT BY`: the other
+    * half of table maintenance next to byte-concat [[compact]]. Where
+    * compact is deliberately content-INVISIBLE (frames copied verbatim,
+    * so mixed-key files stay mixed), this rewrite DECODES the packable
+    * files through the ordinary reader (narrow promotions and nested
+    * pads apply, so output files carry the current schema natively with
+    * no markers), globally RANGE-PARTITIONS on the cluster key(s) and
+    * sorts within each output file — after which the files are
+    * KEY-DISJOINT and each is key-sorted, so an equality or range
+    * lookup on the key prunes to the one file whose min/max bounds
+    * cover it and the writer's mono flag marks the order. Stats are
+    * re-derived by the scratch write, never merged. Committed as
+    * op="optimize": a permutation of the same rows, so the change feed
+    * stays silent. Delete-affected files are skipped like compact's —
+    * run purge_deletes first to fold them in. Cost is a full
+    * decode/sort/re-encode of the packed bytes — the eager layout
+    * investment, one shuffle, that buys every later point query its
+    * one-file plan. */
+  private[graft] def compactSorted(spark: org.apache.spark.sql.SparkSession,
+      path: String, sortBy: Seq[String],
+      targetBytes: Long = Long.MaxValue): Long = {
+    val (base, latest) = readLatestVersioned(path)
+    val (schema, entries) = latest.getOrElse(
+      throw new IllegalArgumentException(s"no graft-store table at $path"))
+    require(sortBy.nonEmpty, "compactSorted needs at least one sort column")
+    sortBy.foreach(c => require(schema.fieldNames.contains(c),
+      s"no column '$c' at $path — columns: ${schema.fieldNames.mkString(", ")}"))
+    val eqDels0 =
+      if (base > 0) readEqDeletesOf(new File(path, s"$ManifestName.v$base"))
+      else Seq.empty
+    val (dvEntries, packable) = entries.partition(e =>
+      e.dv.nonEmpty || eqDels0.exists(e.addedv < _.seq))
+    if (packable.isEmpty) return -1L
+    val totalBytes = packable.map(e => new File(path, e.file).length()).sum
+    val nOut = math.max(1L, (totalBytes + targetBytes - 1) / targetBytes).toInt
+    val scratch = Files.createTempDirectory("graft_sortopt").toFile
+    import org.apache.spark.sql.functions.col
+    spark.read.format("graft.sources.GraftStore").option("path", path)
+      .option("versionAsOf", base.toString)
+      .option("files", packable.map(_.file).mkString(","))
+      .load()
+      .repartitionByRange(nOut, sortBy.map(col): _*)
+      .sortWithinPartitions(sortBy.map(col): _*)
+      .write.format("graft.sources.GraftStore")
+      .option("path", scratch.getAbsolutePath).mode("append").save()
+    val fresh = readManifest(scratch.getAbsolutePath).map(_._2).getOrElse(Seq.empty)
+    fresh.foreach { e =>
+      val to = Paths.get(path, e.file)
+      if (to.getParent != null) Files.createDirectories(to.getParent)
+      Files.createLink(to, Paths.get(scratch.getAbsolutePath, e.file))
+    }
+    val packedSet = packable.map(_.file).toSet
+    val v = writeManifestAtomic(path, base, schema,
+      entries.filterNot(e => packedSet.contains(e.file)) ++ fresh,
+      readEpoch(path), op = "optimize")
+    deleteRecursively(scratch) // data bytes survive via the hard links
+    gcUnreferenced(path, (dvEntries.flatMap(e =>
+      if (e.dv.isEmpty) Seq(e.file) else Seq(e.file, e.dv)) ++
+      fresh.map(_.file)).toSet)
+    v
+  }
+
   /** WRITE-AUDIT-PUBLISH: fast-forward a branch (a [[cloneTable]] fork)
     * back onto its source table. The Iceberg WAP pattern with clone as
     * the branch mechanism: stage a day's writes on the branch, AUDIT

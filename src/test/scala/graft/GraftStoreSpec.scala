@@ -1530,4 +1530,50 @@ class GraftStoreSpec extends SparkSuite {
     assert(GraftStore.readManifest(path).get._2.map(_.file) == Seq("data/f3.bin"),
       "recreated table served the dead incarnation's manifest")
   }
+
+  test("compactSorted: key-disjoint sorted files, equality lookups prune to one file, content invariant, CDF silent") {
+    import spark.implicits._
+    import org.apache.spark.sql.sources.EqualTo
+    val path = tempTable()
+    // two 8-way hash-partitioned writes: every file spans the whole key
+    // range, the worst case for pruning
+    val df = spark.range(0, 4000).select($"id", ($"id" % 7).as("g"))
+    writeDf(df.filter($"id" % 2 === 0).repartition(8), path)
+    writeDf(df.filter($"id" % 2 === 1).repartition(8), path, mode = "append")
+    val before = readBack(path).orderBy($"id").collect()
+    val preV = GraftStore.readVersion(path)
+    // pre-sort: a point lookup keeps every file (interleaved bounds)
+    assert(new graft.sources.GraftStoreScan(path,
+      Array(EqualTo("id", 1234L))).planInputPartitions().length == 16)
+    val v = GraftStore.compactSorted(spark, path, Seq("id"),
+      targetBytes = 64L * 1024)
+    assert(v == preV + 1)
+    val es = GraftStore.readManifest(path).get._2
+    assert(es.size > 1, "target_bytes must split the rewrite into several files")
+    // key-disjoint: sorted (min, max) ranges never overlap
+    val ranges = es.map(e =>
+      (e.stats("id").min.toLong, e.stats("id").max.toLong)).sortBy(_._1)
+    ranges.sliding(2).foreach {
+      case Seq((_, hi), (lo2, _)) => assert(hi < lo2,
+        s"overlapping key ranges after sort-OPTIMIZE: $ranges")
+      case _ => ()
+    }
+    // every file key-sorted: the writer's verified mono flag
+    assert(es.forall(_.stats("id").mono), "rewritten files must be key-sorted")
+    // the point lookup now prunes to exactly ONE file
+    assert(new graft.sources.GraftStoreScan(path,
+      Array(EqualTo("id", 1234L))).planInputPartitions().length == 1,
+      "post-OPTIMIZE equality lookup must prune to one file")
+    // content invariant (a permutation), and the feed is silent
+    assert(readBack(path).orderBy($"id").collect().toSeq == before.toSeq)
+    val feed = spark.read.format("graft.sources.GraftStore")
+      .option("path", path)
+      .option("changesFrom", preV.toString).load()
+    assert(feed.count() == 0, "sort-OPTIMIZE must be CDF-silent")
+    // refusals: unknown column, empty key list
+    intercept[IllegalArgumentException](
+      GraftStore.compactSorted(spark, path, Seq("nope")))
+    intercept[IllegalArgumentException](
+      GraftStore.compactSorted(spark, path, Seq.empty))
+  }
 }
