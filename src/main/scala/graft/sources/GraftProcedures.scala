@@ -127,6 +127,58 @@ private[sources] object GraftProcedures {
     }
   }
 
+  /** `CALL cat.system.zorder('t', 'a,b', 16)` — OPTIMIZE … ZORDER BY:
+    * rewrite the table range-partitioned + sorted on a Morton
+    * interleave of the two (int/long) columns, scaled to a 16-bit
+    * lattice from the table's OWN min/max — which the scan answers as a
+    * metadata-only aggregate from manifest stats, so planning the
+    * rewrite costs no data I/O. After it every file has a tight min/max
+    * envelope in BOTH dimensions and stats skipping prunes filters on
+    * EITHER (a 1-D sort only ever prunes its leading column).
+    * Content-invariant (op=optimize, CDF-silent). */
+  private final class ZOrder(root: String)
+    extends GraftProcedure(root, "zorder") {
+    override def description(): String =
+      "rewrite data files z-ordered (Morton) on two int/long columns"
+    override def parameters(): Array[ProcedureParameter] = Array(
+      P("table", StringType, "table name under the catalog root"),
+      P("cols", StringType, "exactly two comma-separated int/long columns"),
+      P("target_files", LongType, "number of rewritten files"))
+    override def run(spark: SparkSession, input: InternalRow): Array[Any] = {
+      val path = tablePath(input)
+      val cols = input.getUTF8String(1).toString.split(',')
+        .map(_.trim).filter(_.nonEmpty)
+      require(cols.length == 2,
+        s"zorder takes exactly two columns, got '${cols.mkString(",")}'")
+      val df = spark.read.format("graft.sources.GraftStore")
+        .option("path", path).load()
+      import org.apache.spark.sql.functions.{col, greatest, lit, max, min}
+      cols.foreach { c =>
+        val dt = df.schema.fields(df.schema.fieldIndex(c)).dataType
+        require(dt == IntegerType || dt == LongType,
+          s"zorder needs int/long columns, '$c' is ${dt.simpleString}")
+      }
+      // min/max answer from manifest stats (metadata-only aggregate)
+      val r = df.agg(min(col(cols(0))), max(col(cols(0))),
+        min(col(cols(1))), max(col(cols(1)))).head()
+      def lng(i: Int): Long = r.get(i) match {
+        case n: java.lang.Number => n.longValue()
+        case other => throw new IllegalStateException(s"non-numeric stat $other")
+      }
+      def scaled(c: String, lo: Long, hi: Long) =
+        ((col(c).cast("long") - lo) * 65536L /
+          greatest(lit(hi - lo + 1), lit(1L))).cast("long")
+      val zkey = org.apache.spark.sql.graft.GraftSql.column(
+        graft.functions.MortonInterleave(
+          org.apache.spark.sql.graft.GraftSql.expression(
+            scaled(cols(0), lng(0), lng(1))),
+          org.apache.spark.sql.graft.GraftSql.expression(
+            scaled(cols(1), lng(2), lng(3)))))
+      Array(GraftStore.rewriteClustered(spark, path, zkey,
+        input.getLong(2).toInt))
+    }
+  }
+
   /** `CALL cat.system.expire_snapshots('t', 2)` — drop all but the last
     * `keep_last` snapshots (tagged ones pinned) and GC unreferenced
     * files. Returns the retained snapshot count. */
@@ -290,14 +342,14 @@ private[sources] object GraftProcedures {
 
   private def all(root: String): Seq[GraftProcedure] = Seq(
     new PurgeDeletes(root), new Restore(root), new Compact(root),
-    new CompactSorted(root),
+    new CompactSorted(root), new ZOrder(root),
     new ExpireSnapshots(root), new ExpireSnapshotsOlderThan(root),
     new BranchCreate(root),
     new FastForward(root), new BranchDrop(root), new BranchRetain(root),
     new ExpireBranches(root), new BranchExpireSnapshots(root))
 
   def names: Seq[String] = Seq("purge_deletes", "restore", "compact",
-    "compact_sorted",
+    "compact_sorted", "zorder",
     "expire_snapshots", "expire_snapshots_older_than", "branch_create",
     "fast_forward", "branch_drop",
     "branch_retain", "expire_branches", "branch_expire_snapshots")

@@ -130,6 +130,52 @@ class GraftProcedureSpec extends SparkSuite {
       "CALL gproc.system.expire_snapshots_older_than('age', -5, 1)").collect())
   }
 
+  test("CALL zorder: files get tight envelopes in BOTH dimensions, 2-D filters prune, content invariant, CDF silent") {
+    import org.apache.spark.sql.functions.col
+    s2.range(0, 4096).selectExpr(
+      "id % 64 AS x", "CAST(id DIV 64 AS BIGINT) AS y", "id AS v")
+      .createOrReplaceTempView("src_z")
+    s2.sql("CREATE TABLE gproc.z AS SELECT * FROM src_z")
+    val path = s"$root/z"
+    val preV = GraftStore.readVersion(path)
+    val before = s2.sql("SELECT sum(v) FROM gproc.z").collect()(0).getLong(0)
+    val v = s2.sql("CALL gproc.system.zorder('z', 'x,y', 16)")
+      .collect()(0).getLong(0)
+    assert(v > preV)
+    val es = GraftStore.readManifest(path).get._2
+    assert(es.size == 16, s"${es.size} files")
+    // tight envelopes in BOTH dims: each file's x and y spans are far
+    // below the full 64-value range (a 1-D sort leaves the second
+    // dimension spanning everything)
+    es.foreach { e =>
+      val sx = e.stats("x"); val sy = e.stats("y")
+      assert(sx.max.toLong - sx.min.toLong <= 32,
+        s"${e.file} x-span ${sx.min}..${sx.max}")
+      assert(sy.max.toLong - sy.min.toLong <= 32,
+        s"${e.file} y-span ${sy.min}..${sy.max}")
+    }
+    // a filter on EITHER dimension prunes whole files
+    def kept(c: org.apache.spark.sql.Column): Int = {
+      val df = s2.read.format("graft.sources.GraftStore")
+        .option("path", path).load().filter(c)
+      df.count()
+      val m = "files=(\\d+)/(\\d+)".r
+        .findFirstMatchIn(df.queryExecution.executedPlan.toString)
+      assert(m.isDefined); m.get.group(1).toInt
+    }
+    assert(kept(col("x") < 8) <= 8, "x filter must prune z-ordered files")
+    assert(kept(col("y") < 8) <= 8, "y filter must prune z-ordered files")
+    // content invariant; maintenance commit is CDF-silent
+    assert(s2.sql("SELECT sum(v) FROM gproc.z").collect()(0).getLong(0) == before)
+    assert(s2.read.format("graft.sources.GraftStore").option("path", path)
+      .option("changesFrom", preV.toString).load().count() == 0)
+    // refusals: one column, non-numeric column
+    intercept[Exception](
+      s2.sql("CALL gproc.system.zorder('z', 'x', 16)").collect())
+    intercept[Exception](
+      s2.sql("CALL gproc.system.zorder('z', 'x,nope', 16)").collect())
+  }
+
   test("SHOW PROCEDURES lists the surface; DESCRIBE PROCEDURE works; unknown procedure fails loudly") {
     val shown = s2.sql("SHOW PROCEDURES IN gproc.system").collect()
       .map(_.toString).mkString("\n")
