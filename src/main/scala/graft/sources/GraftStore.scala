@@ -2424,7 +2424,7 @@ object GraftStore {
       changeType: String, version: Long, applyDv: String = "",
       baseDv: String = "", dvDelta: Boolean = false,
       maskEq: Seq[EqDelete] = Seq.empty, onlyEq: Seq[EqDelete] = Seq.empty,
-      narrow: Seq[Int] = Seq.empty)
+      narrow: Seq[Int] = Seq.empty, nested: Seq[Int] = Seq.empty)
 
   private[sources] def cdfFileDiffs(path: String, fromV: Long,
       toV: Long): Seq[CdfUnit] = {
@@ -2480,6 +2480,13 @@ object GraftStore {
                 d2: org.apache.spark.sql.types.DecimalType)
                 if d1.scale == d2.scale && d1.precision <= d2.precision &&
                   d2.precision <= 18 => None
+            // struct prefix-extension (nested ADD, possibly with nested
+            // renames — positional types decide): handled by the
+            // parallel NESTED marker channel, no lane fix-up here
+            case (s1: StructType, s2: StructType)
+                if s1.size <= s2.size &&
+                  s2.fields.take(s1.size).map(_.dataType)
+                    .sameElements(s1.fields.map(_.dataType)) => None
             case _ => throw new IllegalArgumentException(
               s"change range v$fromV..v$toV crosses a non-widening type " +
                 s"change at ordinal $o ($phys -> $want) — split the feed " +
@@ -2488,6 +2495,31 @@ object GraftStore {
         }
       }
     }
+    // NESTED channel of the same structural upgrade: a unit whose file
+    // predates a nested ADD inside (or before) the range pads its
+    // struct's trailing subfields at read — the marker records the
+    // BYTES' struct arity (the entry's own marker when present, else
+    // the source-era struct size). A struct change that is NOT a
+    // prefix-extension throws in upgradeNarrow above.
+    def upgradeNested(e: FileEntry, srcSchema: StructType): Seq[Int] = {
+      val srcTypes = srcSchema.fields.map(_.dataType)
+      if (srcTypes.sameElements(tgtTypes)) e.nested
+      else {
+        val arity = if (e.cols > 0) e.cols else srcSchema.size
+        val byOrd = e.nested.map(m => nestedOrd(m) -> m).toMap
+        val n = math.min(math.min(arity, srcTypes.length), tgtTypes.length)
+        (0 until n).flatMap { o =>
+          (srcTypes(o), tgtTypes(o)) match {
+            case (s1: StructType, s2: StructType) =>
+              val phys = byOrd.get(o).map(nestedArity).getOrElse(s1.size)
+              if (phys >= s2.size) None
+              else Some(packNested(o, phys))
+            case _ => None
+          }
+        }
+      }
+    }
+
     // eq-delete sidecars store RENDERED key strings; a key column whose
     // type changed inside the range would probe with a different
     // rendering ("5.0" vs "5") and silently stop masking — refuse that
@@ -2522,6 +2554,8 @@ object GraftStore {
       val eqCur = eqAt(v)
       def baseNarrow(e: FileEntry): Seq[Int] = upgradeNarrow(e, baseSchema)
       def curNarrow(e: FileEntry): Seq[Int] = upgradeNarrow(e, curSchema)
+      def baseNested(e: FileEntry): Seq[Int] = upgradeNested(e, baseSchema)
+      def curNested(e: FileEntry): Seq[Int] = upgradeNested(e, curSchema)
       val out: Seq[CdfUnit] =
         if (op == "optimize" || op.startsWith("evolve") || op.startsWith("create"))
           Seq.empty
@@ -2534,7 +2568,7 @@ object GraftStore {
           val removed = (base.keySet -- cur.keySet).toSeq.sorted
             .map(f => CdfUnit(f, base(f).cols, "delete", v,
               applyDv = base(f).dv, maskEq = maskPrev(base(f)),
-              narrow = baseNarrow(base(f))))
+              narrow = baseNarrow(base(f)), nested = baseNested(base(f))))
           // an added file masks the CURRENT deletes applicable to it:
           // none in the ordinary append (fresh files are stamped
           // exempt), but a restore/publish can re-add an OLD file whose
@@ -2543,14 +2577,15 @@ object GraftStore {
             .map(f => CdfUnit(f, cur(f).cols, "insert", v,
               applyDv = cur(f).dv,
               maskEq = eqCur.filter(cur(f).addedv < _.seq),
-              narrow = curNarrow(cur(f))))
+              narrow = curNarrow(cur(f)), nested = curNested(cur(f))))
           // same file, grown deletion vector: emit ONLY the newly
           // deleted rows — the merge-on-read DELETE's change feed
           val dvGrown = (base.keySet & cur.keySet).toSeq.sorted
             .filter(f => base(f).dv != cur(f).dv)
             .map(f => CdfUnit(f, cur(f).cols, "delete", v,
               applyDv = cur(f).dv, baseDv = base(f).dv, dvDelta = true,
-              maskEq = maskPrev(cur(f)), narrow = curNarrow(cur(f))))
+              maskEq = maskPrev(cur(f)), narrow = curNarrow(cur(f)),
+              nested = curNested(cur(f))))
           // an EQUALITY-DELETE commit (deleteByKey / upsertByKey)
           // mutates content with no entry diff: emit the OLD IMAGES —
           // for every carried file the new key sets apply to, the rows
@@ -2569,7 +2604,7 @@ object GraftStore {
               if (applicable.isEmpty) None
               else Some(CdfUnit(f, e.cols, "delete", v, applyDv = e.dv,
                 maskEq = maskPrev(e), onlyEq = applicable,
-                narrow = curNarrow(e)))
+                narrow = curNarrow(e), nested = curNested(e)))
             }
           removed ++ added ++ dvGrown ++ eqDelta
         }
@@ -5177,7 +5212,8 @@ case class GraftStoreCdfPartition(absolutePath: String, cols: Int,
     baseDvAbs: String = "", dvDelta: Boolean = false,
     maskEq: Seq[GraftStoreEqDelRef] = Seq.empty,
     onlyEq: Seq[GraftStoreEqDelRef] = Seq.empty,
-    narrow: Seq[Int] = Seq.empty) extends InputPartition
+    narrow: Seq[Int] = Seq.empty,
+    nested: Seq[Int] = Seq.empty) extends InputPartition
 
 /** CHANGE DATA FEED scan (`changesFrom` / `changesTo` read options): the
   * row-level delta between two snapshots, emitted as the table's schema
@@ -5205,7 +5241,7 @@ class GraftStoreCdfScan(path: String, fromV: Long, toV: Long,
         u.dvDelta,
         GraftStore.eqRefs(path, dataSchema, u.maskEq),
         GraftStore.eqRefs(path, dataSchema, u.onlyEq),
-        u.narrow): InputPartition
+        u.narrow, u.nested): InputPartition
     }.toArray
   override def createReaderFactory(): PartitionReaderFactory =
     new GraftStoreReaderFactory(dataSchema.size)
@@ -5270,7 +5306,7 @@ class GraftStoreCdfMicroBatchStream(path: String, dataSchema: StructType,
         u.dvDelta,
         GraftStore.eqRefs(path, dataSchema, u.maskEq),
         GraftStore.eqRefs(path, dataSchema, u.onlyEq),
-        u.narrow): InputPartition
+        u.narrow, u.nested): InputPartition
     }.toArray
   }
 
@@ -5400,7 +5436,7 @@ class GraftStoreReaderFactory(scanFields: Int, withFileCol: Boolean = false,
         override def close(): Unit = ()
       }
     case GraftStoreCdfPartition(abs, cols, changeType, version, applyDv,
-        baseDv, dvDelta, maskEq, onlyEq, cdfNarrow) =>
+        baseDv, dvDelta, maskEq, onlyEq, cdfNarrow, cdfNested) =>
       // change-feed partition: the ordinary file read, with the two CDF
       // columns riding the same constant-tail wrapper as `_file`. A
       // dv-delta partition inverts the mask: serve ONLY the newly
@@ -5418,7 +5454,7 @@ class GraftStoreReaderFactory(scanFields: Int, withFileCol: Boolean = false,
         Array[Any](UTF8String.fromString(changeType), version),
         skipDv = skip, onlyDv = only,
         eqProbes = probesOf(maskEq), onlyEqProbes = probesOf(onlyEq),
-        narrowOrds = narrowOf(cdfNarrow))
+        narrowOrds = narrowOf(cdfNarrow), nestedPads = narrowOf(cdfNested))
     case kp: GraftStoreKeyedFilePartition =>
       val fileFields = if (kp.cols > 0) kp.cols else scanFields
       val tail = consts(kp.relPath)

@@ -611,6 +611,53 @@ class GraftStoreEvolveSpec extends SparkSuite {
       .collect()(0).getLong(0) == 50)
   }
 
+  test("change feed crosses a nested evolve: pre-evolve images emit with the subfield null-padded") {
+    val root = graft.ops.Util.managedTempDir("graft_ev_nestcdf_")
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.catalog.gncf", "graft.sources.GraftCatalog")
+    s2.conf.set("spark.sql.catalog.gncf.root", root)
+    s2.range(0, 20).selectExpr("id",
+      "named_struct('a', id, 'b', CAST(id AS DOUBLE)) AS meta")
+      .createOrReplaceTempView("ncdf_src")
+    s2.sql("CREATE TABLE gncf.t AS SELECT * FROM ncdf_src WHERE id < 10") // v1
+    s2.sql("ALTER TABLE gncf.t ADD COLUMN meta.tag STRING") // v2 (silent)
+    s2.sql("""INSERT INTO gncf.t
+      |SELECT id, named_struct('a', id, 'b', CAST(id AS DOUBLE),
+      |                        'tag', concat('t', id)) AS meta
+      |FROM range(10, 20)""".stripMargin) // v3
+    s2.sql("DELETE FROM gncf.t WHERE id < 10") // v4: deletes PRE-evolve file
+    val t = s"$root/t"
+    val feed = s2.read.format("graft.sources.GraftStore")
+      .option("path", t).option("changesFrom", "0").load()
+      .selectExpr("_commit_version AS v", "_change_type AS ct",
+        "id", "meta.a AS a", "meta.tag AS tag")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3), if (r.isNullAt(4)) null else r.getString(4)))
+    // v1 inserts: pre-evolve rows read under the evolved schema, tag null
+    val v1i = feed.filter(x => x._1 == 1L && x._2 == "insert")
+    assert(v1i.length == 10 && v1i.forall(_._5 == null), v1i.mkString(", "))
+    // v3 inserts carry real tags
+    val v3i = feed.filter(x => x._1 == 3L && x._2 == "insert")
+    assert(v3i.length == 10 && v3i.forall(x => x._5 == s"t${x._3}"),
+      v3i.mkString(", "))
+    // v4 delete images of the PRE-EVOLVE file: padded tag, exact ids
+    val v4d = feed.filter(x => x._1 == 4L && x._2 == "delete")
+    assert(v4d.map(_._3).sorted.toSeq == (0L until 10L),
+      v4d.mkString(", "))
+    assert(v4d.forall(_._5 == null), v4d.mkString(", "))
+    // the evolve commit itself emitted nothing
+    assert(!feed.exists(_._1 == 2L), feed.filter(_._1 == 2L).mkString(", "))
+    // a sub-range entirely BEFORE the evolve reads the OLD schema (no
+    // tag column at all)
+    val pre = s2.read.format("graft.sources.GraftStore")
+      .option("path", t).option("changesFrom", "0")
+      .option("changesTo", "1").load()
+    assert(!pre.schema.fieldNames.contains("_change_type") ||
+      pre.schema("meta").dataType
+        .asInstanceOf[org.apache.spark.sql.types.StructType]
+        .fieldNames.toSeq == Seq("a", "b"), pre.schema.catalogString)
+  }
+
   // --------------------- round 15: long->double is stats-gated at ±2^53
 
   test("widen long->double: refused unless every long-lane file's stats prove |v| <= 2^53") {
