@@ -660,6 +660,54 @@ object Sources {
       .orderBy($"l_returnflag")
   }
 
+  /** Dynamic-overwrite table dirs already written this JVM. */
+  private val dynOverWritten = new java.util.concurrent.ConcurrentHashMap[String, String]
+
+  /** DYNAMIC PARTITION OVERWRITE (round 15) — `INSERT OVERWRITE` under
+    * `spark.sql.sources.partitionOverwriteMode=dynamic` (and
+    * `df.writeTo(t).overwritePartitions()`): replace EXACTLY the
+    * partitions the incoming batch carries, keep every other partition
+    * untouched — the daily-restatement shape (recompute yesterday's
+    * cells, never touch the rest of the corpus). On this store the
+    * replaced set is decided from PER-FILE STATS: each rolled file is
+    * single-valued on the partition terms, so "this file's partition is
+    * being replaced" is provable metadata — and a file the stats cannot
+    * pin (pre-spec history, compaction-merged cells) refuses loudly
+    * rather than guessing (pinned in GraftStoreSpec). The commit records
+    * op=overwrite, so the change feed emits the replaced partitions'
+    * deletes + inserts and nothing for kept ones. Oracle splices the
+    * same keep/replace union from source parquet. */
+  val qStoreInsertOverwrite: Q = (s, dir) => {
+    import s.implicits._
+    val path = dynOverWritten.computeIfAbsent(s"${Util.sessionKey(s)}:$dir", _ => {
+      val s2 = s.newSession()
+      val root = Util.managedTempDir("graft_dynover_")
+      s2.conf.set("spark.sql.catalog.gdo", "graft.sources.GraftCatalog")
+      s2.conf.set("spark.sql.catalog.gdo.root", root)
+      s2.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      table(s2, dir, "orders").createOrReplaceTempView("ord_do")
+      s2.sql(
+        """CREATE TABLE gdo.t PARTITIONED BY (pri) AS
+          |SELECT o_orderkey, o_totalprice,
+          |  CAST(substring(o_orderpriority, 1, 1) AS INT) AS pri
+          |FROM ord_do""".stripMargin)
+      // restate partitions 2 and 3 only: negated price, halved keys kept
+      s2.sql(
+        """INSERT OVERWRITE gdo.t
+          |SELECT o_orderkey, -o_totalprice AS o_totalprice,
+          |  CAST(substring(o_orderpriority, 1, 1) AS INT) AS pri
+          |FROM ord_do
+          |WHERE CAST(substring(o_orderpriority, 1, 1) AS INT) IN (2, 3)
+          |  AND o_orderkey % 2 = 0""".stripMargin)
+      s"$root/t"
+    })
+    s.read.format("graft.sources.GraftStore").option("path", path).load()
+      .groupBy($"pri")
+      .agg(count(lit(1)).as("n_rows"), sum($"o_orderkey").as("sum_key"),
+        dsum($"o_totalprice").as("sum_price"))
+      .orderBy($"pri")
+  }
+
   /** Sort-OPTIMIZE'd table dirs already written this JVM. */
   private val optSortWritten = new java.util.concurrent.ConcurrentHashMap[String, String]
 
@@ -3766,6 +3814,7 @@ object Sources {
     "q_stream_txn_sink" -> qStreamTxnSink,
     "q_store_optimize" -> qStoreOptimize,
     "q_store_optimize_sort" -> qStoreOptimizeSort,
+    "q_store_insert_overwrite" -> qStoreInsertOverwrite,
     "q_store_incremental" -> qStoreIncremental,
     "q_store_history" -> qStoreHistory,
     "q_store_expire_age" -> qStoreExpireAge,
@@ -4628,6 +4677,21 @@ object Sources {
         | CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
         |FROM lineitem GROUP BY l_returnflag
         |ORDER BY l_returnflag""".stripMargin,
+    // dynamic overwrite: partitions 2/3 restated (even keys, negated
+    // price), every other partition untouched
+    "q_store_insert_overwrite" ->
+      """WITH o AS (SELECT o_orderkey, o_totalprice,
+        |             CAST(substring(o_orderpriority, 1, 1) AS INT) AS pri
+        |           FROM orders),
+        |m AS (SELECT o_orderkey, o_totalprice, pri FROM o
+        |      WHERE pri NOT IN (2, 3)
+        |      UNION ALL
+        |      SELECT o_orderkey, -o_totalprice, pri FROM o
+        |      WHERE pri IN (2, 3) AND o_orderkey % 2 = 0)
+        |SELECT pri, count(*) AS n_rows,
+        | CAST(sum(o_orderkey) AS BIGINT) AS sum_key,
+        | CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+        |FROM m GROUP BY pri ORDER BY pri""".stripMargin,
     // the sorted rewrite is a permutation: the post-OPTIMIZE read must
     // equal the aggregate computed straight from the source parquet
     "q_store_optimize_sort" ->

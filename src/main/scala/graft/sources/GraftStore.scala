@@ -2318,9 +2318,26 @@ object GraftStore {
     val (schema, entries) = readManifest(path)
       .getOrElse((new StructType(), Seq.empty[FileEntry]))
     if (terms.isEmpty) return Seq.empty
+    def derivedOf(t: PartTerm, e: FileEntry): Option[String] =
+      derivedCellOf(schema, t, e)
+    entries.groupBy { e =>
+      val parts = terms.map(derivedOf(_, e))
+      if (parts.forall(_.isDefined)) Some(parts.flatten.mkString("/")) else None
+    }.toSeq.map { case (p, es) =>
+      (p, es.size.toLong, es.map(e => math.max(e.rows, 0L)).sum)
+    }.sortBy(_._1.getOrElse(""))
+  }
+
+  /** One term's PROVEN derived partition value for one file, rendered
+    * (shared by `$partitions` and dynamic partition overwrite): Some
+    * only when the file's own stats pin a single cell; None = honest
+    * "cannot prove" (pre-spec history, compaction-merged cells, string
+    * trunc, nulls). */
+  private[graft] def derivedCellOf(schema: StructType, t: PartTerm,
+      e: FileEntry): Option[String] = {
     def isDate(c: String): Boolean = schema.fields.find(_.name == c)
       .exists(_.dataType == org.apache.spark.sql.types.DateType)
-    def derivedOf(t: PartTerm, e: FileEntry): Option[String] = t match {
+    t match {
       case b: PartBucket =>
         e.stats.get(b.statName)
           .filter(st => st.nulls == 0 && st.min.nonEmpty && st.min == st.max)
@@ -2379,12 +2396,6 @@ object GraftStore {
             }
           }
     }
-    entries.groupBy { e =>
-      val parts = terms.map(derivedOf(_, e))
-      if (parts.forall(_.isDefined)) Some(parts.flatten.mkString("/")) else None
-    }.toSeq.map { case (p, es) =>
-      (p, es.size.toLong, es.map(e => math.max(e.rows, 0L)).sum)
-    }.sortBy(_._1.getOrElse(""))
   }
 
   /** A change-feed read's schema: the data schema plus the two CDF
@@ -3156,7 +3167,8 @@ class GraftStoreTable(path: String, tableSchema: StructType,
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
       TableCapability.TRUNCATE, TableCapability.STREAMING_WRITE,
-      TableCapability.MICRO_BATCH_READ)
+      TableCapability.MICRO_BATCH_READ,
+      TableCapability.OVERWRITE_DYNAMIC)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     Option(options.get("changesFrom")).map(_.toLong).orElse(changesFrom) match {
@@ -3738,21 +3750,31 @@ class GraftStoreWriteBuilder(path: String, schema: StructType,
     failFirstAttemptOf: Option[Int], failAllAttemptsOf: Option[Int],
     dataChange: Boolean = true, partitionBy: Option[String] = None,
     txn: Option[(String, Long)] = None)
-  extends WriteBuilder with SupportsTruncate {
+  extends WriteBuilder with SupportsTruncate
+  with org.apache.spark.sql.connector.write.SupportsDynamicOverwrite {
   private var truncateFirst = false
+  private var dynamicOverwrite = false
 
   override def truncate(): WriteBuilder = { truncateFirst = true; this }
 
+  // INSERT OVERWRITE under partitionOverwriteMode=dynamic (and
+  // df.writeTo(t).overwritePartitions()): replace ONLY the partitions
+  // the incoming batch carries, keep everything else
+  override def overwriteDynamicPartitions(): WriteBuilder = {
+    dynamicOverwrite = true; this
+  }
+
   override def build(): Write =
     new GraftStoreWrite(path, schema, truncateFirst, clusterBy, sortBy,
-      failFirstAttemptOf, failAllAttemptsOf, dataChange, partitionBy, txn)
+      failFirstAttemptOf, failAllAttemptsOf, dataChange, partitionBy, txn,
+      dynamicOverwrite)
 }
 
 class GraftStoreWrite(path: String, schema: StructType, truncateFirst: Boolean,
     clusterBy: Option[String], sortBy: Option[String],
     failFirstAttemptOf: Option[Int], failAllAttemptsOf: Option[Int],
     dataChange: Boolean = true, partitionBy: Option[String] = None,
-    txn: Option[(String, Long)] = None)
+    txn: Option[(String, Long)] = None, dynamicOverwrite: Boolean = false)
   extends Write with RequiresDistributionAndOrdering {
 
   override def description(): String = s"graft_store write -> $path"
@@ -3808,7 +3830,7 @@ class GraftStoreWrite(path: String, schema: StructType, truncateFirst: Boolean,
     new GraftStoreBatchWrite(path, schema, truncateFirst, failFirstAttemptOf,
       failAllAttemptsOf, dataChange,
       rollOn = partitionTerms.map(t => (schema.fieldIndex(t.source), t)),
-      txn = txn)
+      txn = txn, dynamicOverwrite = dynamicOverwrite)
 
   override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite =
     // partitioned tables compose with the epoch protocol (round 13):
@@ -4088,7 +4110,7 @@ class GraftStoreBatchWrite(path: String, schema: StructType,
     truncateFirst: Boolean, failFirstAttemptOf: Option[Int],
     failAllAttemptsOf: Option[Int], dataChange: Boolean = true,
     rollOn: Seq[(Int, GraftStore.PartTerm)] = Seq.empty,
-    txn: Option[(String, Long)] = None)
+    txn: Option[(String, Long)] = None, dynamicOverwrite: Boolean = false)
   extends BatchWrite {
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
@@ -4129,6 +4151,39 @@ class GraftStoreBatchWrite(path: String, schema: StructType,
       } else {
       val previous =
         if (truncateFirst) Seq.empty
+        else if (dynamicOverwrite) {
+          // DYNAMIC PARTITION OVERWRITE: drop exactly the existing files
+          // whose PROVEN partition tuple matches one the incoming batch
+          // wrote; keep the rest. Proof discipline mirrors $partitions:
+          // a file the stats cannot pin to one cell (pre-spec history,
+          // compaction-merged cells) makes replace-by-partition
+          // undecidable — refuse loudly rather than guess.
+          val terms = rollOn.map(_._2)
+          require(terms.nonEmpty, "dynamic partition overwrite needs a " +
+            s"partitioned table — $path carries no partition spec")
+          val tblSchema = existing.map(_._1).getOrElse(schema)
+          def cellOf(e: GraftStore.FileEntry): Option[String] = {
+            val parts = terms.map(t =>
+              GraftStore.derivedCellOf(tblSchema, t, e))
+            if (parts.forall(_.isDefined)) Some(parts.flatten.mkString("/"))
+            else None
+          }
+          val newCells = committed.map(e => cellOf(e).getOrElse(
+            throw new IllegalStateException(
+              s"dynamic overwrite wrote a file whose partition tuple is " +
+                s"unprovable (${e.file}) — null partition values are not " +
+                "supported"))).toSet
+          existing.map(_._2).getOrElse(Seq.empty).filter { e =>
+            cellOf(e) match {
+              case Some(cell) => !newCells.contains(cell)
+              case None => throw new IllegalArgumentException(
+                s"dynamic partition overwrite is undecidable: existing " +
+                  s"file ${e.file} cannot prove its partition tuple from " +
+                  "stats (pre-spec history or a compaction-merged cell) — " +
+                  "rewrite it first (compact_sorted / OPTIMIZE)")
+            }
+          }
+        }
         else existing.map(_._2).getOrElse(Seq.empty)
       files = previous ++ committed
       // an append keeps the TABLE's schema: the query's output schema may
@@ -4143,7 +4198,8 @@ class GraftStoreBatchWrite(path: String, schema: StructType,
           files,
           if (truncateFirst) None else GraftStore.readEpoch(path),
           op = if (!dataChange) "optimize"
-               else if (truncateFirst) "overwrite" else "append",
+               else if (truncateFirst || dynamicOverwrite) "overwrite"
+               else "append",
           newTxn = txn,
           // truncate replaces the content wholesale: any equality
           // delete's work is done (nothing it applied to survives)

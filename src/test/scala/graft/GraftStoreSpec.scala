@@ -1531,6 +1531,59 @@ class GraftStoreSpec extends SparkSuite {
       "recreated table served the dead incarnation's manifest")
   }
 
+  test("dynamic partition overwrite: only incoming partitions replaced, kept files untouched, CDF scoped, undecidable refuses") {
+    import spark.implicits._
+    val s2 = spark.newSession()
+    val root = graft.ops.Util.managedTempDir("graft_dynov_spec_")
+    s2.conf.set("spark.sql.catalog.gds", "graft.sources.GraftCatalog")
+    s2.conf.set("spark.sql.catalog.gds.root", root)
+    s2.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    s2.range(0, 400).selectExpr("id", "id % 4 AS cell")
+      .createOrReplaceTempView("dyn_src")
+    s2.sql("CREATE TABLE gds.t PARTITIONED BY (cell) AS SELECT * FROM dyn_src")
+    val path = s"$root/t"
+    val preV = GraftStore.readVersion(path)
+    val keptFiles = GraftStore.readManifest(path).get._2
+      .filter(e => e.stats("cell").min.toLong != 1L)
+      .map(e => e.file -> new File(path, e.file).lastModified()).toMap
+    // restate ONLY cell 1 with different content
+    s2.sql("INSERT OVERWRITE gds.t SELECT id + 1000 AS id, 1 AS cell FROM range(0, 50)")
+    // kept partitions: same files, same bytes
+    val after = GraftStore.readManifest(path).get._2
+    keptFiles.foreach { case (f, m) =>
+      assert(after.exists(_.file == f), s"kept partition file $f dropped")
+      assert(new File(path, f).lastModified() == m, s"$f rewritten")
+    }
+    // replaced partition: old rows gone, new rows in
+    val cells = s2.sql(
+      "SELECT cell, count(*) AS n, min(id) AS lo FROM gds.t GROUP BY cell ORDER BY cell")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(cells.toSeq == Seq((0L, 100L, 0L), (1L, 50L, 1000L),
+      (2L, 100L, 2L), (3L, 100L, 3L)), cells.mkString(", "))
+    // change feed: deletes+inserts for cell 1 only, nothing for kept cells
+    val feed = s2.read.format("graft.sources.GraftStore").option("path", path)
+      .option("changesFrom", preV.toString).load()
+    assert(feed.filter(col("cell") =!= 1L).count() == 0,
+      "kept partitions must not appear in the feed")
+    assert(feed.filter(col("_change_type") === "delete").count() == 100)
+    assert(feed.filter(col("_change_type") === "insert").count() == 50)
+    // undecidable: a compaction-merged multi-cell file refuses the NEXT
+    // dynamic overwrite instead of guessing
+    GraftStore.compact(s2, path, Long.MaxValue) // splices cells together
+    val e = intercept[Exception](s2.sql(
+      "INSERT OVERWRITE gds.t SELECT id, 2 AS cell FROM range(0, 10)"))
+    assert(e.getMessage.contains("undecidable") ||
+      e.getMessage != null && e.getCause != null &&
+        e.getCause.getMessage.contains("undecidable"), e.getMessage)
+    // unpartitioned table refuses too
+    s2.sql("CREATE TABLE gds.u AS SELECT * FROM dyn_src")
+    val e2 = intercept[Exception](s2.sql(
+      "INSERT OVERWRITE gds.u SELECT id, 9 AS cell FROM range(0, 5)"))
+    assert(e2.getMessage.contains("partition") ||
+      (e2.getCause != null && e2.getCause.getMessage.contains("partition")),
+      e2.getMessage)
+  }
+
   test("compactSorted: key-disjoint sorted files, equality lookups prune to one file, content invariant, CDF silent") {
     import spark.implicits._
     import org.apache.spark.sql.sources.EqualTo
