@@ -708,6 +708,48 @@ object Sources {
       .orderBy($"pri")
   }
 
+  /** Replace-where table dirs already written this JVM. */
+  private val repWhereWritten = new java.util.concurrent.ConcurrentHashMap[String, String]
+
+  /** STATIC REPLACE WHERE (round 15) — `INSERT OVERWRITE t PARTITION
+    * (pri = 2)` in the default static mode (the Delta `replaceWhere`
+    * shape): ONE atomic commit drops every file the condition PROVABLY
+    * covers (tri-state stats evaluation — the metadata-only DELETE
+    * discipline; an undecidable file refuses loudly) and appends the
+    * incoming batch. Differs from q_store_insert_overwrite's dynamic
+    * mode exactly where the semantics differ: static replaces the WHOLE
+    * declared partition even when the incoming batch writes fewer rows
+    * than it had (here: pri 2 restated to its even keys only). Pinned
+    * protocol-level in GraftStoreSpec (one commit, kept files
+    * byte-untouched, undecidable refusal, AlwaysTrue = truncate). */
+  val qStoreReplaceWhere: Q = (s, dir) => {
+    import s.implicits._
+    val path = repWhereWritten.computeIfAbsent(s"${Util.sessionKey(s)}:$dir", _ => {
+      val s2 = s.newSession()
+      val root = Util.managedTempDir("graft_repwhere_")
+      s2.conf.set("spark.sql.catalog.grws", "graft.sources.GraftCatalog")
+      s2.conf.set("spark.sql.catalog.grws.root", root)
+      table(s2, dir, "orders").createOrReplaceTempView("ord_rw")
+      s2.sql(
+        """CREATE TABLE grws.t PARTITIONED BY (pri) AS
+          |SELECT o_orderkey, o_totalprice,
+          |  CAST(substring(o_orderpriority, 1, 1) AS INT) AS pri
+          |FROM ord_rw""".stripMargin)
+      s2.sql(
+        """INSERT OVERWRITE grws.t PARTITION (pri = 2)
+          |SELECT o_orderkey, -o_totalprice AS o_totalprice
+          |FROM ord_rw
+          |WHERE CAST(substring(o_orderpriority, 1, 1) AS INT) = 2
+          |  AND o_orderkey % 2 = 0""".stripMargin)
+      s"$root/t"
+    })
+    s.read.format("graft.sources.GraftStore").option("path", path).load()
+      .groupBy($"pri")
+      .agg(count(lit(1)).as("n_rows"), sum($"o_orderkey").as("sum_key"),
+        dsum($"o_totalprice").as("sum_price"))
+      .orderBy($"pri")
+  }
+
   /** Sort-OPTIMIZE'd table dirs already written this JVM. */
   private val optSortWritten = new java.util.concurrent.ConcurrentHashMap[String, String]
 
@@ -3815,6 +3857,7 @@ object Sources {
     "q_store_optimize" -> qStoreOptimize,
     "q_store_optimize_sort" -> qStoreOptimizeSort,
     "q_store_insert_overwrite" -> qStoreInsertOverwrite,
+    "q_store_replace_where" -> qStoreReplaceWhere,
     "q_store_incremental" -> qStoreIncremental,
     "q_store_history" -> qStoreHistory,
     "q_store_expire_age" -> qStoreExpireAge,
@@ -4677,6 +4720,20 @@ object Sources {
         | CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
         |FROM lineitem GROUP BY l_returnflag
         |ORDER BY l_returnflag""".stripMargin,
+    // static replace-where: partition 2 replaced WHOLESALE by its even
+    // keys with negated price; every other partition untouched
+    "q_store_replace_where" ->
+      """WITH o AS (SELECT o_orderkey, o_totalprice,
+        |             CAST(substring(o_orderpriority, 1, 1) AS INT) AS pri
+        |           FROM orders),
+        |m AS (SELECT o_orderkey, o_totalprice, pri FROM o WHERE pri <> 2
+        |      UNION ALL
+        |      SELECT o_orderkey, -o_totalprice, 2 AS pri FROM o
+        |      WHERE pri = 2 AND o_orderkey % 2 = 0)
+        |SELECT pri, count(*) AS n_rows,
+        | CAST(sum(o_orderkey) AS BIGINT) AS sum_key,
+        | CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+        |FROM m GROUP BY pri ORDER BY pri""".stripMargin,
     // dynamic overwrite: partitions 2/3 restated (even keys, negated
     // price), every other partition untouched
     "q_store_insert_overwrite" ->

@@ -2948,6 +2948,23 @@ object GraftStore {
           }
         case EqualTo(c, v) =>
           range(c, v)((mn, mx, x) => mn == x && mx == x)((mn, mx, x) => x < mn || x > mx)
+        // `PARTITION (k = v)` static-overwrite specs arrive as
+        // EqualNullSafe. For a non-null literal it is EqualTo with one
+        // extra certainty: an ALL-NULL file is provably NoRows (<=> is
+        // false for null rows, never null)
+        case EqualNullSafe(c, null) => eval(IsNull(c), e, schema)
+        case EqualNullSafe(c, v: String) =>
+          e.stats.get(c) match {
+            case Some(st) if st.bloom.nonEmpty =>
+              if (StringBloom.mightContain(st.bloom, v)) Unknown else NoRows
+            case Some(st) if e.rows >= 0 && st.nulls == e.rows => NoRows
+            case _ => Unknown
+          }
+        case EqualNullSafe(c, v) =>
+          e.stats.get(c) match {
+            case Some(st) if e.rows >= 0 && st.nulls == e.rows => NoRows
+            case _ => eval(EqualTo(c, v), e, schema)
+          }
         case GreaterThan(c, v) =>
           range(c, v)((mn, _, x) => mn > x)((_, mx, x) => mx <= x)
         case GreaterThanOrEqual(c, v) =>
@@ -3168,7 +3185,7 @@ class GraftStoreTable(path: String, tableSchema: StructType,
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
       TableCapability.TRUNCATE, TableCapability.STREAMING_WRITE,
       TableCapability.MICRO_BATCH_READ,
-      TableCapability.OVERWRITE_DYNAMIC)
+      TableCapability.OVERWRITE_DYNAMIC, TableCapability.OVERWRITE_BY_FILTER)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     Option(options.get("changesFrom")).map(_.toLong).orElse(changesFrom) match {
@@ -3751,11 +3768,28 @@ class GraftStoreWriteBuilder(path: String, schema: StructType,
     dataChange: Boolean = true, partitionBy: Option[String] = None,
     txn: Option[(String, Long)] = None)
   extends WriteBuilder with SupportsTruncate
-  with org.apache.spark.sql.connector.write.SupportsDynamicOverwrite {
+  with org.apache.spark.sql.connector.write.SupportsDynamicOverwrite
+  with org.apache.spark.sql.connector.write.SupportsOverwrite {
   private var truncateFirst = false
   private var dynamicOverwrite = false
+  private var replaceWhere: Option[Array[org.apache.spark.sql.sources.Filter]] = None
 
   override def truncate(): WriteBuilder = { truncateFirst = true; this }
+
+  // STATIC `INSERT OVERWRITE … PARTITION (k=v)` / `writeTo(t)
+  // .overwrite(cond)` — the Delta replaceWhere shape: one atomic commit
+  // that drops every file the condition PROVABLY covers (tri-state
+  // stats evaluation, the metadata-only DELETE discipline: an
+  // undecidable file refuses loudly, never a partial replace) and
+  // appends the incoming batch. AlwaysTrue degenerates to truncate.
+  override def overwrite(filters: Array[org.apache.spark.sql.sources.Filter])
+      : WriteBuilder = {
+    if (filters.isEmpty ||
+        filters.forall(_.isInstanceOf[org.apache.spark.sql.sources.AlwaysTrue]))
+      truncateFirst = true
+    else replaceWhere = Some(filters)
+    this
+  }
 
   // INSERT OVERWRITE under partitionOverwriteMode=dynamic (and
   // df.writeTo(t).overwritePartitions()): replace ONLY the partitions
@@ -3767,14 +3801,15 @@ class GraftStoreWriteBuilder(path: String, schema: StructType,
   override def build(): Write =
     new GraftStoreWrite(path, schema, truncateFirst, clusterBy, sortBy,
       failFirstAttemptOf, failAllAttemptsOf, dataChange, partitionBy, txn,
-      dynamicOverwrite)
+      dynamicOverwrite, replaceWhere)
 }
 
 class GraftStoreWrite(path: String, schema: StructType, truncateFirst: Boolean,
     clusterBy: Option[String], sortBy: Option[String],
     failFirstAttemptOf: Option[Int], failAllAttemptsOf: Option[Int],
     dataChange: Boolean = true, partitionBy: Option[String] = None,
-    txn: Option[(String, Long)] = None, dynamicOverwrite: Boolean = false)
+    txn: Option[(String, Long)] = None, dynamicOverwrite: Boolean = false,
+    replaceWhere: Option[Array[org.apache.spark.sql.sources.Filter]] = None)
   extends Write with RequiresDistributionAndOrdering {
 
   override def description(): String = s"graft_store write -> $path"
@@ -3830,7 +3865,8 @@ class GraftStoreWrite(path: String, schema: StructType, truncateFirst: Boolean,
     new GraftStoreBatchWrite(path, schema, truncateFirst, failFirstAttemptOf,
       failAllAttemptsOf, dataChange,
       rollOn = partitionTerms.map(t => (schema.fieldIndex(t.source), t)),
-      txn = txn, dynamicOverwrite = dynamicOverwrite)
+      txn = txn, dynamicOverwrite = dynamicOverwrite,
+      replaceWhere = replaceWhere)
 
   override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite =
     // partitioned tables compose with the epoch protocol (round 13):
@@ -4110,7 +4146,8 @@ class GraftStoreBatchWrite(path: String, schema: StructType,
     truncateFirst: Boolean, failFirstAttemptOf: Option[Int],
     failAllAttemptsOf: Option[Int], dataChange: Boolean = true,
     rollOn: Seq[(Int, GraftStore.PartTerm)] = Seq.empty,
-    txn: Option[(String, Long)] = None, dynamicOverwrite: Boolean = false)
+    txn: Option[(String, Long)] = None, dynamicOverwrite: Boolean = false,
+    replaceWhere: Option[Array[org.apache.spark.sql.sources.Filter]] = None)
   extends BatchWrite {
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
@@ -4184,6 +4221,26 @@ class GraftStoreBatchWrite(path: String, schema: StructType,
             }
           }
         }
+        else if (replaceWhere.isDefined) {
+          // REPLACE WHERE: drop the files the condition PROVABLY covers
+          // entirely, keep the files it provably misses, refuse on any
+          // file the stats cannot decide — same tri-state discipline as
+          // the metadata-only DELETE, fused with the append in ONE commit
+          val fs = replaceWhere.get.toSeq
+          val tblSchema = existing.map(_._1).getOrElse(schema)
+          existing.map(_._2).getOrElse(Seq.empty).filter { e =>
+            GraftStore.StatsPruning.evalAll(fs, e, tblSchema) match {
+              case GraftStore.StatsPruning.NoRows => true
+              case GraftStore.StatsPruning.AllRows => false
+              case GraftStore.StatsPruning.Unknown =>
+                throw new IllegalArgumentException(
+                  s"INSERT OVERWRITE condition ${fs.mkString(" AND ")} is " +
+                    s"undecidable for file ${e.file} — its stats cannot " +
+                    "prove all-or-none coverage; align the condition with " +
+                    "the partition/file layout or use DELETE + append")
+            }
+          }
+        }
         else existing.map(_._2).getOrElse(Seq.empty)
       files = previous ++ committed
       // an append keeps the TABLE's schema: the query's output schema may
@@ -4198,7 +4255,8 @@ class GraftStoreBatchWrite(path: String, schema: StructType,
           files,
           if (truncateFirst) None else GraftStore.readEpoch(path),
           op = if (!dataChange) "optimize"
-               else if (truncateFirst || dynamicOverwrite) "overwrite"
+               else if (truncateFirst || dynamicOverwrite ||
+                 replaceWhere.isDefined) "overwrite"
                else "append",
           newTxn = txn,
           // truncate replaces the content wholesale: any equality

@@ -1584,6 +1584,53 @@ class GraftStoreSpec extends SparkSuite {
       e2.getMessage)
   }
 
+  test("REPLACE WHERE: static partition overwrite is one atomic commit; undecidable conditions refuse; AlwaysTrue truncates") {
+    import spark.implicits._
+    val s2 = spark.newSession()
+    val root = graft.ops.Util.managedTempDir("graft_repw_spec_")
+    s2.conf.set("spark.sql.catalog.grw", "graft.sources.GraftCatalog")
+    s2.conf.set("spark.sql.catalog.grw.root", root)
+    // STATIC mode (the default): INSERT OVERWRITE ... PARTITION (cell=1)
+    s2.conf.set("spark.sql.sources.partitionOverwriteMode", "static")
+    s2.range(0, 400).selectExpr("id", "id % 4 AS cell")
+      .createOrReplaceTempView("rw_src")
+    s2.sql("CREATE TABLE grw.t PARTITIONED BY (cell) AS SELECT * FROM rw_src")
+    val path = s"$root/t"
+    val preV = GraftStore.readVersion(path)
+    val keptMtimes = GraftStore.readManifest(path).get._2
+      .filter(e => e.stats("cell").min.toLong != 1L)
+      .map(e => e.file -> new File(path, e.file).lastModified()).toMap
+    s2.sql(
+      "INSERT OVERWRITE grw.t PARTITION (cell = 1) SELECT id + 5000 AS id FROM range(0, 25)")
+    assert(GraftStore.readVersion(path) == preV + 1,
+      "replace-where must be ONE commit (drop + append fused)")
+    keptMtimes.foreach { case (f, m) =>
+      assert(new File(path, f).lastModified() == m, s"$f rewritten")
+    }
+    val cells = s2.sql(
+      "SELECT cell, count(*) AS n, min(id) AS lo FROM grw.t GROUP BY cell ORDER BY cell")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(cells.toSeq == Seq((0L, 100L, 0L), (1L, 25L, 5000L),
+      (2L, 100L, 2L), (3L, 100L, 3L)), cells.mkString(", "))
+    // another decidable static partition replace works the same way
+    s2.sql(
+      "INSERT OVERWRITE grw.t PARTITION (cell = 2) SELECT id FROM range(0, 5)")
+    assert(s2.sql("SELECT count(*) FROM grw.t WHERE cell = 2")
+      .collect()(0).getLong(0) == 5)
+    // the truly undecidable case: overwrite keyed on a non-layout column
+    val e2 = intercept[Exception] {
+      import org.apache.spark.sql.functions.col
+      s2.range(0, 5).selectExpr("id + 9000 AS id", "2 AS cell")
+        .writeTo("grw.t").overwrite(col("id") === 7L)
+    }
+    assert(e2.getMessage.contains("undecidable") ||
+      (e2.getCause != null && e2.getCause.getMessage.contains("undecidable")),
+      e2.getMessage)
+    // AlwaysTrue (bare INSERT OVERWRITE in static mode) truncates
+    s2.sql("INSERT OVERWRITE grw.t SELECT id, 7 AS cell FROM range(0, 10)")
+    assert(s2.sql("SELECT count(*) FROM grw.t").collect()(0).getLong(0) == 10)
+  }
+
   test("compactSorted: key-disjoint sorted files, equality lookups prune to one file, content invariant, CDF silent") {
     import spark.implicits._
     import org.apache.spark.sql.sources.EqualTo
