@@ -708,6 +708,63 @@ object Sources {
       .orderBy($"pri")
   }
 
+  /** Check-constraint table dirs already written this JVM. */
+  private val checkWritten = new java.util.concurrent.ConcurrentHashMap[String, String]
+
+  /** CHECK CONSTRAINTS (round 15) — Delta-style `check.<name>` table
+    * properties with a twist only this manifest design affords: they
+    * are enforced at COMMIT TIME from the new files' OWN stats (a file
+    * passes iff the tri-state evaluator proves constraint-or-null
+    * AllRows over its min/max), so ingest pays ZERO per-row cost and a
+    * violating batch aborts atomically before any manifest claim.
+    * `ALTER TABLE … SET TBLPROPERTIES('check.x'='…')` validates every
+    * EXISTING file the same way (the Delta ADD CONSTRAINT scan, priced
+    * as a driver metadata walk); unenforceable expressions refuse at
+    * DDL time. The query runs the lifecycle: create with a constraint,
+    * a conforming insert commits, a VIOLATING insert refuses (counted
+    * in the output — if enforcement ever broke, the refusal count and
+    * the row counts would both diverge from the oracle). */
+  val qStoreCheck: Q = (s, dir) => {
+    import s.implicits._
+    val path = checkWritten.computeIfAbsent(s"${Util.sessionKey(s)}:$dir", _ => {
+      val s2 = s.newSession()
+      val root = Util.managedTempDir("graft_check_")
+      s2.conf.set("spark.sql.catalog.gchk", "graft.sources.GraftCatalog")
+      s2.conf.set("spark.sql.catalog.gchk.root", root)
+      table(s2, dir, "orders").createOrReplaceTempView("ord_ck")
+      s2.sql(
+        """CREATE TABLE gchk.t (o_orderkey BIGINT, o_totalprice DOUBLE, pri INT)
+          |TBLPROPERTIES('check.pos_price' = 'o_totalprice >= 0')""".stripMargin)
+      s2.sql(
+        """INSERT INTO gchk.t
+          |SELECT o_orderkey, CAST(o_totalprice AS DOUBLE) AS o_totalprice,
+          |  CAST(substring(o_orderpriority, 1, 1) AS INT) AS pri
+          |FROM ord_ck""".stripMargin)
+      val refused =
+        try {
+          s2.sql(
+            """INSERT INTO gchk.t
+              |SELECT o_orderkey, CAST(-o_totalprice AS DOUBLE), 9
+              |FROM ord_ck WHERE o_orderkey % 100 = 0""".stripMargin)
+          0L
+        } catch { case e: Exception
+            if e.getMessage.contains("pos_price") ||
+              (e.getCause != null &&
+                e.getCause.getMessage.contains("pos_price")) => 1L }
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(root, "refused"), refused.toString.getBytes)
+      s"$root/t"
+    })
+    val refused = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(new java.io.File(path).getParent, "refused"))).toLong
+    s.read.format("graft.sources.GraftStore").option("path", path).load()
+      .groupBy($"pri")
+      .agg(count(lit(1)).as("n_rows"),
+        Util.dsum($"o_totalprice").as("sum_price"))
+      .withColumn("violations_refused", lit(refused))
+      .orderBy($"pri")
+  }
+
   /** Replace-where table dirs already written this JVM. */
   private val repWhereWritten = new java.util.concurrent.ConcurrentHashMap[String, String]
 
@@ -3858,6 +3915,7 @@ object Sources {
     "q_store_optimize_sort" -> qStoreOptimizeSort,
     "q_store_insert_overwrite" -> qStoreInsertOverwrite,
     "q_store_replace_where" -> qStoreReplaceWhere,
+    "q_store_check" -> qStoreCheck,
     "q_store_incremental" -> qStoreIncremental,
     "q_store_history" -> qStoreHistory,
     "q_store_expire_age" -> qStoreExpireAge,
@@ -4720,6 +4778,15 @@ object Sources {
         | CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
         |FROM lineitem GROUP BY l_returnflag
         |ORDER BY l_returnflag""".stripMargin,
+    // CHECK constraint lifecycle: the conforming insert is the whole
+    // content (the violating one refused — counted), so the aggregate
+    // replays from source parquet with violations_refused pinned to 1
+    "q_store_check" ->
+      """SELECT CAST(substring(o_orderpriority, 1, 1) AS INT) AS pri,
+        | count(*) AS n_rows,
+        | CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price,
+        | CAST(1 AS BIGINT) AS violations_refused
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
     // static replace-where: partition 2 replaced WHOLESALE by its even
     // keys with negated price; every other partition untouched
     "q_store_replace_where" ->

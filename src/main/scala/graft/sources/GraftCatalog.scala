@@ -420,8 +420,12 @@ class GraftCatalog extends TableCatalog with FunctionCatalog
     }
   }
 
-  /** Persisted `_props` dials (write.mode today). */
-  private def persistedPropsOf(
+  /** Persisted `_props` dials (write.mode; `check.<name>` constraints
+    * round 15). A check property is validated for enforceability at
+    * DDL time (must analyze against the schema and translate to a
+    * stats-provable v1 filter) so an impossible constraint fails at
+    * CREATE/ALTER, never at first write. */
+  private def persistedPropsOf(schema: StructType,
       properties: util.Map[String, String]): Map[String, String] = {
     import scala.jdk.CollectionConverters._
     val writeMode = properties.asScala.collectFirst {
@@ -430,7 +434,12 @@ class GraftCatalog extends TableCatalog with FunctionCatalog
     writeMode.foreach(m => require(
       m == "copy-on-write" || m == "merge-on-read",
       s"write.mode must be copy-on-write or merge-on-read, got $m"))
-    writeMode.map(m => "write.mode" -> m).toMap
+    val checks = properties.asScala.filter(_._1.startsWith("check.")).toMap
+    checks.foreach { case (k, v) =>
+      GraftStore.checkFilterOf(org.apache.spark.sql.SparkSession.active,
+        schema, k, v)
+    }
+    writeMode.map(m => "write.mode" -> m).toMap ++ checks
   }
 
   override def createTable(ident: Identifier, schema: StructType,
@@ -452,7 +461,7 @@ class GraftCatalog extends TableCatalog with FunctionCatalog
     // persisted table properties (the `_props` sibling): write-path dials
     // only — `write.mode=merge-on-read` routes DML through the deletion-
     // vector delta path; no reader correctness ever depends on a property
-    GraftStore.writeProps(dir.getPath, persistedPropsOf(properties))
+    GraftStore.writeProps(dir.getPath, persistedPropsOf(schema, properties))
     // an empty manifest IS the table: created atomically, never half-visible
     // (base 0: a racing CREATE on the same ident conflicts on the v1 claim)
     GraftStore.writeManifestAtomic(dir.getPath, 0L, schema, Seq.empty,
@@ -512,7 +521,7 @@ class GraftCatalog extends TableCatalog with FunctionCatalog
     partitionBy.foreach(c => java.nio.file.Files.write(
       new File(scratch, GraftStore.PartitionFileName).toPath,
       c.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
-    GraftStore.writeProps(scratch.getPath, persistedPropsOf(properties))
+    GraftStore.writeProps(scratch.getPath, persistedPropsOf(schema, properties))
     val target = dirFor(ident)
     val stagedSchema = schema // the anon class's schema() would shadow it
     val inner = new GraftStoreTable(scratch.getPath, schema, None, sortBy,
@@ -615,9 +624,42 @@ class GraftCatalog extends TableCatalog with FunctionCatalog
       case _: TableChange.RenameColumn => true
       case _: TableChange.UpdateColumnType => true
       case a: TableChange.AddColumn => a.fieldNames().length == 2
+      case _: TableChange.SetProperty => true
+      case _: TableChange.RemoveProperty => true
       case _ => false
     }
     routed._1.foreach {
+      case sp: TableChange.SetProperty =>
+        // ALTER TABLE … SET TBLPROPERTIES: write.mode flips the DML
+        // route; `check.<name>` ADDS a CHECK constraint — validated for
+        // enforceability AND against every EXISTING file's stats (the
+        // Delta ADD CONSTRAINT scan, priced as a driver metadata walk)
+        // before it persists, so a standing violation can never hide
+        // behind a later-added constraint
+        val (sch0, entries0) = GraftStore.readManifest(dir.getPath).get
+        if (sp.property().startsWith("check.")) {
+          GraftStore.checkFilterOf(
+            org.apache.spark.sql.SparkSession.active, sch0,
+            sp.property(), sp.value())
+          val saved = GraftStore.readProps(dir.getPath)
+          GraftStore.writeProps(dir.getPath,
+            saved + (sp.property() -> sp.value()))
+          try GraftStore.enforceChecks(
+            org.apache.spark.sql.SparkSession.active, dir.getPath, sch0,
+            entries0, "existing")
+          catch { case e: Throwable =>
+            GraftStore.writeProps(dir.getPath, saved); throw e }
+        } else if (sp.property().equalsIgnoreCase("write.mode")) {
+          require(sp.value() == "copy-on-write" || sp.value() == "merge-on-read",
+            s"write.mode must be copy-on-write or merge-on-read, got ${sp.value()}")
+          GraftStore.writeProps(dir.getPath,
+            GraftStore.readProps(dir.getPath) + ("write.mode" -> sp.value()))
+        } else throw new UnsupportedOperationException(
+          s"unsupported table property ${sp.property()} — persisted " +
+            "properties are write.mode and check.<name>")
+      case rp: TableChange.RemoveProperty =>
+        GraftStore.writeProps(dir.getPath,
+          GraftStore.readProps(dir.getPath) - rp.property())
       case add: TableChange.AddColumn =>
         // ALTER TABLE t ADD COLUMN meta.f TYPE — nested add is its own
         // metadata-only commit with per-file struct-arity markers

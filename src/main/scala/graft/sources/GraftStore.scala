@@ -2180,6 +2180,116 @@ object GraftStore {
       epoch = readEpoch(path), op = s"widen($col)")
   }
 
+  /** CHECK CONSTRAINTS (round 15) — Delta-style `check.<name>` table
+    * properties, enforced at COMMIT TIME from the new files' OWN stats
+    * instead of a per-row writer tax: a committed file satisfies a
+    * constraint iff the tri-state evaluator proves the (constraint OR
+    * any-referenced-column-IS-NULL) filter AllRows over it — exact for
+    * range predicates on statable columns because writer min/max are
+    * exact bounds, zero I/O, zero executor plumbing, and a file the
+    * stats cannot PROVE refuses loudly (never a silently-admitted
+    * violation). The IS NULL disjunct is the SQL-standard CHECK rule: a
+    * NULL evaluation passes the constraint. Constraints must translate
+    * to v1 filters over statable columns — enforced when the property
+    * is SET, so an unenforceable expression is refused at DDL time, not
+    * at first write. */
+  private[graft] def checkFilterOf(spark: org.apache.spark.sql.SparkSession,
+      schema: StructType, name: String, sql: String)
+      : org.apache.spark.sql.sources.Filter = {
+    import org.apache.spark.sql.catalyst.plans.logical.{Filter => LFilter, LocalRelation}
+    val attrs = org.apache.spark.sql.catalyst.types.DataTypeUtils.toAttributes(schema)
+    val parsed = spark.sessionState.sqlParser.parseExpression(sql)
+    val analyzed = spark.sessionState.analyzer.execute(
+      LFilter(parsed, LocalRelation(attrs)))
+    val cond = analyzed.collectFirst { case LFilter(c, _) => c }.getOrElse(
+      throw new IllegalArgumentException(
+        s"constraint $name ('$sql') did not analyze to a predicate"))
+    val v1 = toV1Filter(cond).getOrElse(
+      throw new IllegalArgumentException(
+        s"constraint $name ('$sql') is not stats-enforceable — use " +
+          "comparisons/IN/AND/OR/NOT over top-level columns"))
+    // SQL CHECK semantics: a NULL evaluation PASSES — widen with
+    // IS NULL per referenced column so all-proof still fires on files
+    // that carry nulls in the referenced columns
+    v1.references.foldLeft(v1) { (acc, c) =>
+      org.apache.spark.sql.sources.Or(acc,
+        org.apache.spark.sql.sources.IsNull(c))
+    }
+  }
+
+  /** Resolved catalyst predicate → v1 Filter, for the shapes the
+    * tri-state evaluator understands (comparisons between a top-level
+    * attribute and a foldable literal, IN, IS [NOT] NULL, AND/OR/NOT).
+    * None = not expressible, refuse at DDL time. */
+  private def toV1Filter(e: org.apache.spark.sql.catalyst.expressions.Expression)
+      : Option[org.apache.spark.sql.sources.Filter] = {
+    import org.apache.spark.sql.catalyst.{expressions => ce}
+    import org.apache.spark.sql.{sources => v1}
+    // the analyzer wraps comparison sides in type-promotion casts —
+    // fold literal sides to values, unwrap casts around attributes (the
+    // tri-state evaluator compares in the COLUMN's own type, so a
+    // widening promotion cast is transparent to it)
+    def lit(x: ce.Expression): Option[Any] =
+      if (x.foldable)
+        Some(org.apache.spark.sql.catalyst.CatalystTypeConverters
+          .convertToScala(x.eval(), x.dataType))
+      else None
+    def attr(x: ce.Expression): Option[String] = x match {
+      case a: ce.Attribute => Some(a.name)
+      case c: ce.Cast => attr(c.child)
+      case _ => None
+    }
+    e match {
+      case ce.EqualTo(a, b) =>
+        attr(a).zip(lit(b)).map(t => v1.EqualTo(t._1, t._2))
+          .orElse(attr(b).zip(lit(a)).map(t => v1.EqualTo(t._1, t._2)))
+      case ce.GreaterThan(a, b) =>
+        attr(a).zip(lit(b)).map(t => v1.GreaterThan(t._1, t._2))
+          .orElse(attr(b).zip(lit(a)).map(t => v1.LessThan(t._1, t._2)))
+      case ce.GreaterThanOrEqual(a, b) =>
+        attr(a).zip(lit(b)).map(t => v1.GreaterThanOrEqual(t._1, t._2))
+          .orElse(attr(b).zip(lit(a)).map(t => v1.LessThanOrEqual(t._1, t._2)))
+      case ce.LessThan(a, b) =>
+        attr(a).zip(lit(b)).map(t => v1.LessThan(t._1, t._2))
+          .orElse(attr(b).zip(lit(a)).map(t => v1.GreaterThan(t._1, t._2)))
+      case ce.LessThanOrEqual(a, b) =>
+        attr(a).zip(lit(b)).map(t => v1.LessThanOrEqual(t._1, t._2))
+          .orElse(attr(b).zip(lit(a)).map(t => v1.GreaterThanOrEqual(t._1, t._2)))
+      case ce.In(a, vs) if vs.forall(lit(_).isDefined) =>
+        attr(a).map(c => v1.In(c, vs.flatMap(lit).toArray))
+      case ce.IsNull(a) => attr(a).map(v1.IsNull)
+      case ce.IsNotNull(a) => attr(a).map(v1.IsNotNull)
+      case ce.And(l, r) =>
+        toV1Filter(l).zip(toV1Filter(r)).map(t => v1.And(t._1, t._2))
+      case ce.Or(l, r) =>
+        toV1Filter(l).zip(toV1Filter(r)).map(t => v1.Or(t._1, t._2))
+      case ce.Not(inner) => toV1Filter(inner).map(v1.Not)
+      case _ => None
+    }
+  }
+
+  /** Enforce every `check.*` property against a set of file entries
+    * (new files at commit; the whole table when a constraint is ADDED).
+    * Violations AND unprovable files both refuse — the conservative
+    * side of exactness. */
+  private[graft] def enforceChecks(spark: org.apache.spark.sql.SparkSession,
+      path: String, schema: StructType, entries: Seq[FileEntry],
+      what: String): Unit = {
+    val checks = readProps(path).filter(_._1.startsWith("check."))
+    if (checks.isEmpty) return
+    checks.foreach { case (name, sql) =>
+      val f = checkFilterOf(spark, schema, name, sql)
+      entries.foreach { e =>
+        val tri = StatsPruning.evalAll(Seq(f), e, schema)
+        require(tri == StatsPruning.AllRows,
+          s"CHECK constraint $name ('$sql') ${
+            if (tri == StatsPruning.NoRows) "is violated by"
+            else "cannot be proven from the stats of"} $what file " +
+            s"${e.file} — the commit is refused")
+      }
+    }
+  }
+
   /** NESTED-FIELD EVOLUTION (round 15) — ADD a nullable subfield at the
     * END of a struct column as a metadata-only commit: the schema's
     * struct type gains the field, and every CURRENT entry that
@@ -4161,6 +4271,12 @@ class GraftStoreBatchWrite(path: String, schema: StructType,
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val committed = GraftStore.flatMessages(messages).map(m =>
       GraftStore.FileEntry(m.file, m.rows, m.stats, m.cols))
+    // CHECK constraints: proven from the NEW files' own stats before
+    // any manifest claim — a violating (or unprovable) file aborts the
+    // whole commit and the table never sees it
+    if (committed.nonEmpty)
+      GraftStore.enforceChecks(org.apache.spark.sql.SparkSession.active,
+        path, schema, committed, "committed")
     // OPTIMISTIC RETRY: an append's merge is base-independent (its own
     // files + whatever is committed now), so a conflict loser re-reads
     // the LATEST snapshot (never a lagging pointer) and retries — the

@@ -1584,6 +1584,49 @@ class GraftStoreSpec extends SparkSuite {
       e2.getMessage)
   }
 
+  test("CHECK constraints: stats-proven at commit, ADD validates existing data, violations abort atomically") {
+    val s2 = spark.newSession()
+    val root = graft.ops.Util.managedTempDir("graft_check_spec_")
+    s2.conf.set("spark.sql.catalog.gck", "graft.sources.GraftCatalog")
+    s2.conf.set("spark.sql.catalog.gck.root", root)
+    s2.sql("""CREATE TABLE gck.t (k BIGINT, v BIGINT)
+      |TBLPROPERTIES('check.nonneg' = 'v >= 0')""".stripMargin)
+    val path = s"$root/t"
+    // conforming write commits
+    s2.sql("INSERT INTO gck.t SELECT id AS k, id * 2 AS v FROM range(0, 100)")
+    assert(s2.sql("SELECT count(*) FROM gck.t").collect()(0).getLong(0) == 100)
+    val preV = GraftStore.readVersion(path)
+    // violating write aborts the WHOLE commit (table unchanged, version
+    // unchanged, no orphan rows visible)
+    val e = intercept[Exception](s2.sql(
+      "INSERT INTO gck.t SELECT id AS k, id - 5 AS v FROM range(0, 10)"))
+    assert(e.getMessage.contains("nonneg") ||
+      (e.getCause != null && e.getCause.getMessage.contains("nonneg")),
+      e.getMessage)
+    assert(GraftStore.readVersion(path) == preV, "failed commit advanced the version")
+    assert(s2.sql("SELECT count(*) FROM gck.t").collect()(0).getLong(0) == 100)
+    // NULLs pass (SQL CHECK semantics) — on a null-free proof path the
+    // widened filter still proves all-pass for fully-null files
+    s2.sql("INSERT INTO gck.t SELECT id AS k, CAST(NULL AS BIGINT) AS v FROM range(0, 5)")
+    assert(s2.sql("SELECT count(*) FROM gck.t").collect()(0).getLong(0) == 105)
+    // ADD CONSTRAINT validates EXISTING data: k <= 1000 holds, k <= 50 does not
+    s2.sql("ALTER TABLE gck.t SET TBLPROPERTIES('check.cap' = 'k <= 1000')")
+    val e2 = intercept[Exception](s2.sql(
+      "ALTER TABLE gck.t SET TBLPROPERTIES('check.small' = 'k <= 50')"))
+    assert(e2.getMessage.contains("check.small") ||
+      (e2.getCause != null && e2.getCause.getMessage.contains("check.small")),
+      e2.getMessage)
+    assert(!GraftStore.readProps(path).contains("check.small"),
+      "failed ADD CONSTRAINT must not persist")
+    // unenforceable constraint refused at DDL time, not first write
+    intercept[Exception](s2.sql(
+      "ALTER TABLE gck.t SET TBLPROPERTIES('check.bad' = 'length(CAST(k AS STRING)) < 3')"))
+    // UNSET drops the constraint; the violating write then commits
+    s2.sql("ALTER TABLE gck.t UNSET TBLPROPERTIES('check.nonneg')")
+    s2.sql("INSERT INTO gck.t SELECT id AS k, id - 5 AS v FROM range(0, 10)")
+    assert(s2.sql("SELECT count(*) FROM gck.t").collect()(0).getLong(0) == 115)
+  }
+
   test("REPLACE WHERE: static partition overwrite is one atomic commit; undecidable conditions refuse; AlwaysTrue truncates") {
     import spark.implicits._
     val s2 = spark.newSession()
