@@ -708,6 +708,57 @@ object Sources {
       .orderBy($"pri")
   }
 
+  /** Streaming-restatement table dirs already written this JVM. */
+  private val restateWritten = new java.util.concurrent.ConcurrentHashMap[String, String]
+
+  /** STREAMING RESTATEMENT (round 15) — the foreachBatch + dynamic
+    * partition overwrite composition: each micro-batch REPLACES the
+    * partitions it carries instead of appending, so a re-delivered or
+    * corrected partition converges to its LAST delivery — the
+    * recompute-yesterday's-cells pipeline shape (Delta's foreachBatch
+    * replaceWhere idiom). The fixture streams 5 exact 4096-row batches
+    * whose cell cycles 0,1,2,0,1; after the drain each cell holds
+    * exactly its FINAL batch (cell 0 = batch 3, cell 1 = batch 4,
+    * cell 2 = batch 2) — the oracle recomputes those id ranges, so the
+    * hash check proves every earlier delivery was replaced, never
+    * duplicated. Idempotence rides the same stats-proven replacement
+    * the batch path pins in GraftStoreSpec. */
+  val qStreamRestate: Q = (s, dir) => {
+    import s.implicits._
+    val path = restateWritten.computeIfAbsent(s"${Util.sessionKey(s)}:$dir", _ => {
+      val s2 = s.newSession()
+      val root = Util.managedTempDir("graft_restate_")
+      s2.conf.set("spark.sql.catalog.gsr", "graft.sources.GraftCatalog")
+      s2.conf.set("spark.sql.catalog.gsr.root", root)
+      s2.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      s2.sql(
+        """CREATE TABLE gsr.t (id BIGINT, cell BIGINT, val DOUBLE)
+          |PARTITIONED BY (cell)""".stripMargin)
+      val q = s2.readStream.format("graft.sources.SynthSource")
+        .option("rows", "20480").option("slices", "1")
+        .option("microBatchRows", "4096")
+        .load()
+        .selectExpr("id", "(id DIV 4096) % 3 AS cell", "val")
+        .writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          val bs = batch.sparkSession
+          batch.createOrReplaceTempView("restate_batch")
+          bs.sql("INSERT OVERWRITE gsr.t SELECT id, cell, val FROM restate_batch")
+          ()
+        }
+        .option("checkpointLocation", Util.managedTempDir("graft_restate_ckpt_"))
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      s"$root/t"
+    })
+    s.read.format("graft.sources.GraftStore").option("path", path).load()
+      .groupBy($"cell")
+      .agg(count(lit(1)).as("n"), sum($"id").as("sum_id"),
+        round(sum($"val"), 4).as("sum_val"),
+        min($"id").as("lo"), max($"id").as("hi"))
+      .orderBy($"cell")
+  }
+
   /** Check-constraint table dirs already written this JVM. */
   private val checkWritten = new java.util.concurrent.ConcurrentHashMap[String, String]
 
@@ -3916,6 +3967,7 @@ object Sources {
     "q_store_insert_overwrite" -> qStoreInsertOverwrite,
     "q_store_replace_where" -> qStoreReplaceWhere,
     "q_store_check" -> qStoreCheck,
+    "q_stream_restate" -> qStreamRestate,
     "q_store_incremental" -> qStoreIncremental,
     "q_store_history" -> qStoreHistory,
     "q_store_expire_age" -> qStoreExpireAge,
@@ -4778,6 +4830,20 @@ object Sources {
         | CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
         |FROM lineitem GROUP BY l_returnflag
         |ORDER BY l_returnflag""".stripMargin,
+    // streaming restatement: each cell converges to its LAST delivery —
+    // cell 0 = ids 12288..16383 (batch 3 replaced batch 0), cell 1 =
+    // 16384..20479 (batch 4 replaced batch 1), cell 2 = 8192..12287
+    "q_stream_restate" ->
+      """WITH f AS (
+        |  SELECT unnest(range(12288, 16384)) AS id, CAST(0 AS BIGINT) AS cell
+        |  UNION ALL
+        |  SELECT unnest(range(16384, 20480)), CAST(1 AS BIGINT)
+        |  UNION ALL
+        |  SELECT unnest(range(8192, 12288)), CAST(2 AS BIGINT))
+        |SELECT cell, count(*) AS n, CAST(sum(id) AS BIGINT) AS sum_id,
+        | round(sum(CAST(id * 37 % 1000 AS DOUBLE)), 4) AS sum_val,
+        | min(id) AS lo, max(id) AS hi
+        |FROM f GROUP BY cell ORDER BY cell""".stripMargin,
     // CHECK constraint lifecycle: the conforming insert is the whole
     // content (the violating one refused — counted), so the aggregate
     // replays from source parquet with violations_refused pinned to 1
