@@ -3530,6 +3530,11 @@ class GraftStoreReplaceBatchWrite(path: String, schema: StructType,
     // a partition whose surviving-row set is empty wrote an empty file:
     // drop it rather than committing zero-row entries
     empty.foreach(e => new File(path, e.file).delete())
+    // CHECK constraints guard copy-on-write DML rewrites too: an UPDATE
+    // that would write a violating survivor file aborts whole
+    if (committed.nonEmpty)
+      GraftStore.enforceChecks(org.apache.spark.sql.SparkSession.active,
+        path, schema, committed, "rewritten")
     val (base, latest0) = GraftStore.readLatestVersioned(path)
     val (tblSchema, entries) = latest0
       .getOrElse((schema, Seq.empty[GraftStore.FileEntry]))
@@ -3705,6 +3710,11 @@ class GraftStoreDeltaBatchWrite(path: String, schema: StructType,
       .map(m => GraftStore.FileEntry(m.file, m.rows, m.stats, m.cols))
       .partition(_.rows > 0)
     empty.foreach(e => new File(path, e.file).delete())
+    // CHECK constraints guard merge-on-read INSERT files (the delete
+    // half only hides rows — nothing new to prove)
+    if (inserts.nonEmpty)
+      GraftStore.enforceChecks(org.apache.spark.sql.SparkSession.active,
+        path, schema, inserts, "MOR-inserted")
     if (dvByFile.isEmpty && inserts.isEmpty) return // no-op DML: no commit
     // OPTIMISTIC RETRY with per-file validity (the Delta conflict-
     // resolution shape): our row deltas stay valid as long as every file
@@ -4042,6 +4052,12 @@ class GraftStoreStreamingWrite(path: String, schema: StructType,
       val committed = flat(messages).map { m =>
         GraftStore.FileEntry(m.file, m.rows, m.stats, m.cols)
       }
+      // CHECK constraints guard streamed epochs exactly like batch
+      // commits: a violating micro-batch aborts before any claim (the
+      // stream fails loudly; the table never sees the epoch)
+      if (committed.nonEmpty)
+        GraftStore.enforceChecks(org.apache.spark.sql.SparkSession.active,
+          path, schema, committed, "epoch")
       val (base, existing) = GraftStore.readLatestVersioned(path)
       val previous =
         if (truncateEachEpoch) Seq.empty

@@ -1621,6 +1621,17 @@ class GraftStoreSpec extends SparkSuite {
     // unenforceable constraint refused at DDL time, not first write
     intercept[Exception](s2.sql(
       "ALTER TABLE gck.t SET TBLPROPERTIES('check.bad' = 'length(CAST(k AS STRING)) < 3')"))
+    // DML rewrites are guarded too: a COW UPDATE that would write
+    // violating survivors aborts whole, table unchanged
+    val preU = GraftStore.readVersion(path)
+    val e3 = intercept[Exception](s2.sql(
+      "UPDATE gck.t SET v = -1 WHERE k < 10"))
+    assert(e3.getMessage.contains("nonneg") ||
+      (e3.getCause != null && e3.getCause.getMessage.contains("nonneg")),
+      e3.getMessage)
+    assert(GraftStore.readVersion(path) == preU)
+    assert(s2.sql("SELECT count(*) FROM gck.t WHERE v < 0")
+      .collect()(0).getLong(0) == 0)
     // UNSET drops the constraint; the violating write then commits
     s2.sql("ALTER TABLE gck.t UNSET TBLPROPERTIES('check.nonneg')")
     s2.sql("INSERT INTO gck.t SELECT id AS k, id - 5 AS v FROM range(0, 10)")
