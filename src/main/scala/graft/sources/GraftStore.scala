@@ -3251,6 +3251,17 @@ class GraftStoreTable(path: String, tableSchema: StructType,
   with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations
   with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns {
 
+  /** `SHOW TBLPROPERTIES cat.t` surfaces the persisted `_props` dials
+    * (write.mode, check.* constraints) plus the partition spec — the
+    * operational introspection every SET TBLPROPERTIES needs a round
+    * trip for. */
+  override def properties(): util.Map[String, String] = {
+    val m = new util.HashMap[String, String]()
+    if (path != null)
+      GraftStore.readProps(path).foreach { case (k, v) => m.put(k, v) }
+    partitionBy.foreach(p => m.put("partition.spec", p))
+    m
+  }
 
   /** `_file` metadata column (Iceberg's provenance column): the manifest-
     * relative data file a row was read from. Costs nothing to produce

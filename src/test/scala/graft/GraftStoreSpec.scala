@@ -1632,6 +1632,11 @@ class GraftStoreSpec extends SparkSuite {
     assert(GraftStore.readVersion(path) == preU)
     assert(s2.sql("SELECT count(*) FROM gck.t WHERE v < 0")
       .collect()(0).getLong(0) == 0)
+    // SHOW TBLPROPERTIES surfaces the live constraints
+    val props = s2.sql("SHOW TBLPROPERTIES gck.t").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(props.get("check.nonneg").contains("v >= 0"), props.toString)
+    assert(props.get("check.cap").contains("k <= 1000"), props.toString)
     // UNSET drops the constraint; the violating write then commits
     s2.sql("ALTER TABLE gck.t UNSET TBLPROPERTIES('check.nonneg')")
     s2.sql("INSERT INTO gck.t SELECT id AS k, id - 5 AS v FROM range(0, 10)")
