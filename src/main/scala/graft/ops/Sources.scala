@@ -2500,6 +2500,33 @@ object Sources {
         |ORDER BY _commit_version, _change_type, pri""".stripMargin)
   }
 
+  /** `table_changes` with TIMESTAMP boundaries (round 16) — the Delta
+    * from_ts/to_ts surface: string literals resolve through the same
+    * `!ts=` commit index TIMESTAMP AS OF consults (from = earliest
+    * snapshot at or after, to = latest at or before; both inclusive,
+    * like the version form). The fixture reuses q_store_cdf_sql's
+    * lifecycle table and brackets versions 4..5 (the metadata DELETE
+    * and the copy-on-write UPDATE) by their own commit instants — the
+    * wall clocks never reach the output, so the result is the
+    * content-determined tail of the full feed. */
+  val qStoreCdfSqlTs: Q = (s, dir) => {
+    qStoreCdfSql(s, dir).count() // ensure fixture table + session exist
+    val s2 = viewSession.get(Util.sessionKey(s))
+    val root = cdfSqlWritten.get(s"${Util.sessionKey(s2)}:$dir")
+    val commits = graft.sources.GraftStore.commitTimestamps(s"$root/ctab").toMap
+    def utc(ms: Long): String = java.time.Instant.ofEpochMilli(ms)
+      .atZone(java.time.ZoneOffset.UTC).toLocalDateTime
+      .format(java.time.format.DateTimeFormatter
+        .ofPattern("yyyy-MM-dd HH:mm:ss.SSS"))
+    s2.sql(
+      s"""SELECT _commit_version, _change_type, pri,
+         |  count(*) AS n, CAST(sum(o_orderkey) AS BIGINT) AS sum_key,
+         |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+         |FROM table_changes('gcs.ctab', '${utc(commits(4L))}', '${utc(commits(5L))}')
+         |GROUP BY _commit_version, _change_type, pri
+         |ORDER BY _commit_version, _change_type, pri""".stripMargin)
+  }
+
   /** STORED PROCEDURES (round 12) — Spark 4's native ProcedureCatalog:
     * `CALL cat.system.<proc>(…)` wired to the audited maintenance
     * primitives (purge_deletes / restore / compact / expire_snapshots),
@@ -3924,6 +3951,7 @@ object Sources {
     "q_store_dml" -> qStoreDml,
     "q_store_cdf" -> qStoreCdf,
     "q_store_cdf_sql" -> qStoreCdfSql,
+    "q_store_cdf_sql_ts" -> qStoreCdfSqlTs,
     "q_store_zorder" -> qStoreZorder,
     "q_stream_cdf" -> qStreamCdf,
     "q_pipeline_incr" -> qPipelineIncr,
@@ -4706,6 +4734,25 @@ object Sources {
         |FROM base
         |UNION ALL
         |SELECT CAST(4 AS BIGINT), 'delete', pri, n, sum_key, sum_price
+        |FROM base WHERE pri = 2
+        |UNION ALL
+        |SELECT CAST(5 AS BIGINT), 'delete', pri, n, sum_key, sum_price
+        |FROM base WHERE pri = 3
+        |UNION ALL
+        |SELECT CAST(5 AS BIGINT), 'insert', pri, n, sum_key, -sum_price
+        |FROM base WHERE pri = 3
+        |ORDER BY _commit_version, _change_type, pri""".stripMargin,
+    // timestamp boundaries bracket versions 4..5: the same feed's tail
+    "q_store_cdf_sql_ts" ->
+      """WITH o AS (SELECT o_orderkey, o_totalprice,
+        |             CAST(substring(o_orderpriority, 1, 1) AS INT) AS pri
+        |           FROM orders),
+        |base AS (SELECT pri, CAST(count(*) AS BIGINT) AS n,
+        |           CAST(sum(o_orderkey) AS BIGINT) AS sum_key,
+        |           CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+        |         FROM o WHERE pri <= 3 GROUP BY pri)
+        |SELECT CAST(4 AS BIGINT) AS _commit_version,
+        |       'delete' AS _change_type, pri, n, sum_key, sum_price
         |FROM base WHERE pri = 2
         |UNION ALL
         |SELECT CAST(5 AS BIGINT), 'delete', pri, n, sum_key, sum_price

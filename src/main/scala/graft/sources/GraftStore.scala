@@ -2208,12 +2208,52 @@ object GraftStore {
       throw new IllegalArgumentException(
         s"constraint $name ('$sql') is not stats-enforceable — use " +
           "comparisons/IN/AND/OR/NOT over top-level columns"))
-    // SQL CHECK semantics: a NULL evaluation PASSES — widen with
-    // IS NULL per referenced column so all-proof still fires on files
-    // that carry nulls in the referenced columns
-    v1.references.foldLeft(v1) { (acc, c) =>
-      org.apache.spark.sql.sources.Or(acc,
-        org.apache.spark.sql.sources.IsNull(c))
+    // SQL CHECK semantics: a row passes unless the predicate evaluates
+    // FALSE — i.e. the file must prove `pred IS NOT FALSE` for every
+    // row. Widening is therefore structural, not blanket: a comparison
+    // atom goes UNKNOWN on a null operand (OR IsNull(col) is exact),
+    // but IS [NOT] NULL atoms are two-valued — never UNKNOWN — so they
+    // must NOT be widened ('x IS NOT NULL' OR IsNull(x) would be a
+    // tautology that silently admits the exact rows the constraint
+    // exists to refuse).
+    notFalse(v1)
+  }
+
+  /** `f IS NOT FALSE` under SQL three-valued logic, as a v1 filter the
+    * tri-state evaluator can prove. Comparison/IN atoms are UNKNOWN
+    * (pass) on a null operand → OR IsNull(col); IS [NOT] NULL atoms are
+    * never UNKNOWN → kept exact; AND/OR distribute (x AND y is FALSE
+    * iff either is FALSE; x OR y is FALSE iff both are); NOT flips to
+    * the dual `IS NOT TRUE`. */
+  private def notFalse(f: org.apache.spark.sql.sources.Filter)
+      : org.apache.spark.sql.sources.Filter = {
+    import org.apache.spark.sql.{sources => v1}
+    f match {
+      case v1.And(l, r) => v1.And(notFalse(l), notFalse(r))
+      case v1.Or(l, r) => v1.Or(notFalse(l), notFalse(r))
+      case v1.Not(p) => notTrue(p)
+      case v1.IsNull(_) | v1.IsNotNull(_) => f
+      case _ => f.references.foldLeft(f) { (acc, c) =>
+        v1.Or(acc, v1.IsNull(c))
+      }
+    }
+  }
+
+  /** Dual of [[notFalse]]: `f IS NOT TRUE` (NOT f passes rows where f
+    * is FALSE or UNKNOWN). */
+  private def notTrue(f: org.apache.spark.sql.sources.Filter)
+      : org.apache.spark.sql.sources.Filter = {
+    import org.apache.spark.sql.{sources => v1}
+    f match {
+      case v1.And(l, r) => v1.Or(notTrue(l), notTrue(r))
+      case v1.Or(l, r) => v1.And(notTrue(l), notTrue(r))
+      case v1.Not(p) => notFalse(p)
+      case v1.IsNull(c) => v1.IsNotNull(c)
+      case v1.IsNotNull(c) => v1.IsNull(c)
+      case _ => f.references.foldLeft(
+        v1.Not(f): org.apache.spark.sql.sources.Filter) { (acc, c) =>
+        v1.Or(acc, v1.IsNull(c))
+      }
     }
   }
 
@@ -3024,7 +3064,18 @@ object GraftStore {
       case _ => Double.NaN
     }
 
-    def eval(f: Filter, e: FileEntry, schema: StructType): Tri = {
+    def eval(f: Filter, e: FileEntry, schema: StructType): Tri =
+      eval(f, e, schema, Set.empty)
+
+    /** `tol` = columns whose null rows are covered by an IsNull
+      * disjunct of an ENCLOSING Or (e.g. the CHECK composite
+      * `pred OR col IS NULL`): inside such a disjunct a range proof may
+      * go AllRows from min/max alone — min/max describe exactly the
+      * non-null rows, and the rows they don't describe satisfy the
+      * sibling IsNull — so a conforming file with SOME nulls still
+      * proves, instead of degrading to Unknown (refusal) on nulls>0. */
+    private def eval(f: Filter, e: FileEntry, schema: StructType,
+        tol: Set[String]): Tri = {
       def col(c: String): Option[(ColStats, DataType)] =
         e.stats.get(c).flatMap(st =>
           schema.fields.find(_.name == c).filter(f => statable(f.dataType))
@@ -3041,7 +3092,7 @@ object GraftStore {
             else {
               val (mn, mx) = (cmp(dt, st.min), cmp(dt, st.max))
               if (none(mn, mx, x)) NoRows
-              else if (all(mn, mx, x) && st.nulls == 0) AllRows
+              else if (all(mn, mx, x) && (st.nulls == 0 || tol(c))) AllRows
               else Unknown
             }
           case None => Unknown
@@ -3062,7 +3113,7 @@ object GraftStore {
         // EqualNullSafe. For a non-null literal it is EqualTo with one
         // extra certainty: an ALL-NULL file is provably NoRows (<=> is
         // false for null rows, never null)
-        case EqualNullSafe(c, null) => eval(IsNull(c), e, schema)
+        case EqualNullSafe(c, null) => eval(IsNull(c), e, schema, tol)
         case EqualNullSafe(c, v: String) =>
           e.stats.get(c) match {
             case Some(st) if st.bloom.nonEmpty =>
@@ -3073,7 +3124,7 @@ object GraftStore {
         case EqualNullSafe(c, v) =>
           e.stats.get(c) match {
             case Some(st) if e.rows >= 0 && st.nulls == e.rows => NoRows
-            case _ => eval(EqualTo(c, v), e, schema)
+            case _ => eval(EqualTo(c, v), e, schema, tol)
           }
         case GreaterThan(c, v) =>
           range(c, v)((mn, _, x) => mn > x)((_, mx, x) => mx <= x)
@@ -3084,12 +3135,18 @@ object GraftStore {
         case LessThanOrEqual(c, v) =>
           range(c, v)((_, mx, x) => mx <= x)((mn, _, x) => mn > x)
         case In(c, vs) if vs.nonEmpty =>
-          val tris = vs.toSeq.map(v => eval(EqualTo(c, v), e, schema))
+          val tris = vs.toSeq.map(v => eval(EqualTo(c, v), e, schema, tol))
           if (tris.contains(AllRows)) AllRows // single-valued file, value present
           else if (tris.forall(_ == NoRows)) NoRows
           else Unknown
         // null-count logic needs only the stats entry, not a numeric
         // type — string columns carry null counts alongside their bloom
+        case IsNotNull(c) if tol(c) =>
+          // sibling IsNull(c) covers the null rows; the non-null rows
+          // satisfy IsNotNull trivially (Or(IsNotNull, IsNull) is a
+          // tautology — reachable only through a user-written OR, never
+          // through notFalse, which keeps null-atoms exact)
+          AllRows
         case IsNotNull(c) =>
           e.stats.get(c) match {
             case Some(st) if st.nulls == 0 => AllRows
@@ -3103,31 +3160,40 @@ object GraftStore {
             case _ => Unknown
           }
         case And(l, r) =>
-          (eval(l, e, schema), eval(r, e, schema)) match {
+          (eval(l, e, schema, tol), eval(r, e, schema, tol)) match {
             case (AllRows, AllRows) => AllRows
             case (NoRows, _) | (_, NoRows) => NoRows
             case _ => Unknown
           }
-        case Or(l, r) =>
-          (eval(l, e, schema), eval(r, e, schema)) match {
-            case (NoRows, NoRows) => NoRows
-            case (AllRows, _) | (_, AllRows) => AllRows
-            case _ => Unknown
+        case o: Or =>
+          // flatten the disjunction once: any IsNull(c) disjunct covers
+          // c's null rows for every SIBLING disjunct, so those evaluate
+          // with c in the tolerance set (see eval's scaladoc) — the
+          // shape checkFilterOf's notFalse emits for CHECK proofs
+          def disj(x: Filter): Seq[Filter] = x match {
+            case Or(l, r) => disj(l) ++ disj(r)
+            case other => Seq(other)
           }
+          val ds = disj(o)
+          val tol2 = tol ++ ds.collect { case IsNull(c) => c }
+          val tris = ds.map(d => eval(d, e, schema, tol2))
+          if (tris.contains(AllRows)) AllRows
+          else if (tris.forall(_ == NoRows)) NoRows
+          else Unknown
         case Not(inner) =>
-          eval(inner, e, schema) match {
-            // only safe to flip when the column is null-free: NOT of an
-            // all-null-failing predicate is still false for null rows
+          eval(inner, e, schema, tol) match {
+            // only safe to flip when the column is null-free (NOT of an
+            // all-null-failing predicate is still non-true for null
+            // rows) or the nulls are covered by a tolerated sibling
+            // IsNull disjunct
             case AllRows => NoRows
-            case NoRows if nullFree(inner, e, schema) => AllRows
+            case NoRows if inner.references.forall(c =>
+              tol(c) || e.stats.get(c).exists(_.nulls == 0)) => AllRows
             case _ => Unknown
           }
         case _ => Unknown
       }
     }
-
-    private def nullFree(f: Filter, e: FileEntry, schema: StructType): Boolean =
-      f.references.forall(c => e.stats.get(c).exists(_.nulls == 0))
 
     /** Conjunction of a filter set (the DELETE condition / pushed scan
       * filters): AllRows iff every conjunct is AllRows, NoRows iff any

@@ -156,20 +156,46 @@ class GraftCatalogViewSpec extends SparkSuite {
       == Set(7L, 8L, 9L), full.mkString(", "))
     assert(full.filter(t => t._1 == 3L && t._2 == "insert").map(_._3).toSet
       == Set(8L, 9L), full.mkString(", "))
-    // version RANGE: (1, 2] is exactly the second append
+    // version RANGE: Delta boundary semantics — BOTH inclusive, so
+    // [2, 2] is exactly the second append and [1, 2] includes the CTAS
     val range = s2.sql(
-      "SELECT _change_type, k FROM table_changes('gvtvf.t', 1, 2) ORDER BY k")
+      "SELECT _change_type, k FROM table_changes('gvtvf.t', 2, 2) ORDER BY k")
       .collect().map(r => (r.getString(0), r.getLong(1)))
     assert(range.toSeq == (5L until 10L).map(("insert", _)).toSeq,
       range.mkString(", "))
+    assert(s2.sql("SELECT count(*) FROM table_changes('gvtvf.t', 1, 2)")
+      .head.getLong(0) == 10, "inclusive-from must keep version 1's changes")
     // current-catalog form: unqualified name under USE gvtvf
     val mgr = s2.sessionState.catalogManager
     val prev = mgr.currentCatalog.name()
     try {
       mgr.setCurrentCatalog("gvtvf")
-      assert(s2.sql("SELECT count(*) FROM table_changes('t', 1, 2)")
+      assert(s2.sql("SELECT count(*) FROM table_changes('t', 2, 2)")
         .head.getLong(0) == 5)
     } finally mgr.setCurrentCatalog(prev)
+    // timestamp boundaries resolve through the commit index: from = the
+    // instant of v2's commit (earliest at-or-after) → v2..v3; a from
+    // past the last commit refuses loudly
+    val commits = graft.sources.GraftStore.commitTimestamps(s"$root/t").toMap
+    def utc(ms: Long): String = java.time.Instant.ofEpochMilli(ms)
+      .atZone(java.time.ZoneOffset.UTC).toLocalDateTime
+      .format(java.time.format.DateTimeFormatter
+        .ofPattern("yyyy-MM-dd HH:mm:ss.SSS"))
+    val fromTs = s2.sql(
+      s"SELECT count(*) FROM table_changes('gvtvf.t', '${utc(commits(2L))}')")
+      .head.getLong(0)
+    // v2 (5 inserts) + v3's COW delete file churn (3 deletes + 2 inserts)
+    assert(fromTs == 10, s"ts-from feed rows: $fromTs")
+    val eTs = intercept[Exception](s2.sql(
+      s"SELECT * FROM table_changes('gvtvf.t', '${utc(commits.values.max + 60000)}')")
+      .collect())
+    assert(eTs.getMessage.contains("at or after") ||
+      (eTs.getCause != null && eTs.getCause.getMessage.contains("at or after")),
+      eTs.getMessage)
+    // a 2-part call whose qualifier is NOT a graft catalog is never
+    // hijacked, even though the string arg would resolve here
+    intercept[Exception](s2.sql(
+      "SELECT * FROM spark_catalog.table_changes('gvtvf.t', 0)").collect())
     // loud refusals: unknown table; a non-graft name falls through to
     // Spark's own unresolved-TVF error
     val e1 = intercept[Exception](

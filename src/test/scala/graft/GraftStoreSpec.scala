@@ -1643,6 +1643,77 @@ class GraftStoreSpec extends SparkSuite {
     assert(s2.sql("SELECT count(*) FROM gck.t").collect()(0).getLong(0) == 115)
   }
 
+  test("CHECK constraints: three-valued NULL semantics — mixed-null conforming files commit, NULL-rejecting constraints enforce") {
+    val s2 = spark.newSession()
+    val root = graft.ops.Util.managedTempDir("graft_check_null_spec_")
+    s2.conf.set("spark.sql.catalog.gcn", "graft.sources.GraftCatalog")
+    s2.conf.set("spark.sql.catalog.gcn.root", root)
+    s2.sql("""CREATE TABLE gcn.t (k BIGINT, v BIGINT)
+      |TBLPROPERTIES('check.nonneg' = 'v >= 0')""".stripMargin)
+    val path = s"$root/t"
+    // a conforming file with SOME nulls in the checked column commits:
+    // min/max describe exactly the non-null rows (all >= 0) and the
+    // null rows pass CHECK by the SQL UNKNOWN rule — the Or(pred,
+    // IsNull) composite must prove from min/max alone, not refuse on
+    // nulls > 0
+    s2.sql("""INSERT INTO gcn.t
+      |SELECT id AS k, IF(id % 3 = 0, CAST(NULL AS BIGINT), id) AS v
+      |FROM range(0, 30)""".stripMargin)
+    assert(s2.sql("SELECT count(*) FROM gcn.t").collect()(0).getLong(0) == 30)
+    assert(s2.sql("SELECT count(*) FROM gcn.t WHERE v IS NULL")
+      .collect()(0).getLong(0) == 10)
+    // a violating mixed file still refuses (some non-null value < 0)
+    val preV = GraftStore.readVersion(path)
+    val e = intercept[Exception](s2.sql(
+      """INSERT INTO gcn.t
+        |SELECT id AS k, IF(id % 3 = 0, CAST(NULL AS BIGINT), id - 20) AS v
+        |FROM range(0, 10)""".stripMargin))
+    assert(e.getMessage.contains("nonneg") ||
+      (e.getCause != null && e.getCause.getMessage.contains("nonneg")),
+      e.getMessage)
+    assert(GraftStore.readVersion(path) == preV)
+    // NOT-wrapped comparison proves through the same tolerance path
+    s2.sql("ALTER TABLE gcn.t SET TBLPROPERTIES('check.notneg' = 'NOT (v < 0)')")
+    s2.sql("""INSERT INTO gcn.t
+      |SELECT id + 100 AS k, IF(id % 2 = 0, CAST(NULL AS BIGINT), id) AS v
+      |FROM range(0, 10)""".stripMargin)
+    assert(s2.sql("SELECT count(*) FROM gcn.t").collect()(0).getLong(0) == 40)
+    // a NULL-rejecting constraint is NOT tautologized: IS NOT NULL
+    // evaluates FALSE (not UNKNOWN) on a null row, so a null-carrying
+    // insert must refuse — this is the regression the blanket
+    // Or(pred, IsNull(refs)) widening admitted silently
+    s2.sql("""CREATE TABLE gcn.nn (k BIGINT, v BIGINT)
+      |TBLPROPERTIES('check.present' = 'v IS NOT NULL')""".stripMargin)
+    s2.sql("INSERT INTO gcn.nn SELECT id AS k, id AS v FROM range(0, 20)")
+    assert(s2.sql("SELECT count(*) FROM gcn.nn").collect()(0).getLong(0) == 20)
+    val nnPath = s"$root/nn"
+    val preNn = GraftStore.readVersion(nnPath)
+    val eNull = intercept[Exception](s2.sql(
+      "INSERT INTO gcn.nn SELECT id AS k, CAST(NULL AS BIGINT) AS v FROM range(0, 5)"))
+    assert(eNull.getMessage.contains("present") ||
+      (eNull.getCause != null && eNull.getCause.getMessage.contains("present")),
+      eNull.getMessage)
+    val eMixed = intercept[Exception](s2.sql(
+      """INSERT INTO gcn.nn
+        |SELECT id AS k, IF(id % 2 = 0, CAST(NULL AS BIGINT), id) AS v
+        |FROM range(0, 6)""".stripMargin))
+    assert(eMixed.getMessage.contains("present") ||
+      (eMixed.getCause != null && eMixed.getCause.getMessage.contains("present")),
+      eMixed.getMessage)
+    assert(GraftStore.readVersion(nnPath) == preNn)
+    assert(s2.sql("SELECT count(*) FROM gcn.nn").collect()(0).getLong(0) == 20)
+    // user-written explicit OR composite behaves identically to the
+    // implicit widening
+    s2.sql("""CREATE TABLE gcn.ex (k BIGINT, v BIGINT)
+      |TBLPROPERTIES('check.rng' = 'v >= 0 OR v IS NULL')""".stripMargin)
+    s2.sql("""INSERT INTO gcn.ex
+      |SELECT id AS k, IF(id % 4 = 0, CAST(NULL AS BIGINT), id) AS v
+      |FROM range(0, 16)""".stripMargin)
+    assert(s2.sql("SELECT count(*) FROM gcn.ex").collect()(0).getLong(0) == 16)
+    intercept[Exception](s2.sql(
+      "INSERT INTO gcn.ex SELECT id AS k, -1 AS v FROM range(0, 3)"))
+  }
+
   test("REPLACE WHERE: static partition overwrite is one atomic commit; undecidable conditions refuse; AlwaysTrue truncates") {
     import spark.implicits._
     val s2 = spark.newSession()
