@@ -84,9 +84,11 @@ object Quality {
     * them.
     *
     * Shape: word k-grams WITH their start position; a gram is duplicated
-    * when it occurs in ≥ 2 distinct docs (per-doc distinct first, then
-    * one partial-agg-friendly shuffle on the gram — q_text_dupgrams'
-    * proven shape). A doc's duplicated positions coalesce into maximal
+    * when it occurs in ≥ 2 distinct docs — decided as min(doc_id) !=
+    * max(doc_id) over its occurrences in ONE salted exchange (the
+    * suffixRuns skew discipline; see the body comment) instead of a
+    * distinct + count + join-back chain. A doc's duplicated positions
+    * coalesce into maximal
     * runs by gaps-and-islands: island = pos − row_number() over
     * (doc ordered by pos) — integer-exact, and the window partitions on
     * doc_id (high cardinality, no low-card funnel). A run of consecutive
@@ -100,17 +102,32 @@ object Quality {
     import s.implicits._
     val toks = cached(spread(docs).select($"doc_id", LlmOps.toks($"text").as("ws"))
       .filter(size($"ws") >= k))
-    val grams = cached(toks
+    val grams = toks
       .select($"doc_id", $"ws",
         explode(sequence(lit(1), size($"ws") - (k - 1))).as("pos"))
       .select($"doc_id", $"pos",
-        concat_ws(" ", slice($"ws", $"pos", lit(k))).as("gram")))
-    val dup = grams.select($"doc_id", $"gram").distinct()
-      .groupBy($"gram").agg(count(lit(1)).as("nd"))
-      .filter($"nd" > 1).select($"gram")
+        concat_ws(" ", slice($"ws", $"pos", lit(k))).as("gram"))
+    // cross-doc duplicate = the gram occurs in ≥ 2 DISTINCT docs, i.e.
+    // min(doc_id) != max(doc_id) over all its occurrences — min/max are
+    // salt-mergeable, so ONE salted exchange (the suffixRuns skew
+    // discipline: (gram, salt) cells bounded at corpus/64, per-gram
+    // verdict from a window over ≤ 64 cells) replaces the r15
+    // distinct + groupBy + join-back chain, which shuffled the
+    // string-keyed gram table three times (measured 5.3s -> ~2s at
+    // sf0.1, same rows). grams is single-consumer now: no cache.
+    val dp = grams
+      .withColumn("salt",
+        pmod(xxhash64($"doc_id", $"pos"), lit(64L)).cast("int"))
+      .groupBy($"gram", $"salt")
+      .agg(collect_list(struct($"doc_id", $"pos")).as("ps"),
+        min($"doc_id").as("mn"), max($"doc_id").as("mx"))
+      .withColumn("lo", min($"mn").over(Window.partitionBy($"gram")))
+      .withColumn("hi", max($"mx").over(Window.partitionBy($"gram")))
+      .filter($"lo" =!= $"hi")
+      .select(explode($"ps").as("p"))
+      .select($"p.doc_id".as("doc_id"), $"p.pos".as("pos"))
     val wI = Window.partitionBy($"doc_id").orderBy($"pos")
-    val runs = grams.join(dup, "gram")
-      .select($"doc_id", $"pos")
+    val runs = dp
       .withColumn("isl", $"pos" - row_number().over(wI))
       .groupBy($"doc_id", $"isl")
       .agg(min($"pos").as("rs"), max($"pos").as("mp"),
@@ -143,74 +160,74 @@ object Quality {
     * every maximal repeated interval and its exact length — same
     * output, no sort.
     *
-    * Scale shape — the wide shuffle ships HASHES, not windows. The
-    * per-character explode stays inside whole-stage codegen (explode of
-    * a sequence + substring + xxhash64 in one fused pipeline — measured
-    * ~10x a native-Generator formulation, which walks GenerateExec's
-    * interpreted per-row path) and what reaches the one corpus-sized
-    * exchange is (doc_id, pos, hash): 24 bytes/row regardless of L.
-    * A per-hash window count marks candidate positions; survivors
-    * (corpus-duplication-fraction-sized) re-derive their window text by
-    * joining the doc-sliced corpus — broadcast when the doc table is
-    * small, an ordinary doc_id equi-join otherwise — and an exact
-    * per-window count confirms, so a 64-bit collision can never
-    * fabricate a repeat. Islands merge shuffles the survivors once on
-    * doc_id. No self-join of the corpus, no cross product, nothing
-    * driver-sided. */
+    * Scale shape — the per-character explode stays inside whole-stage
+    * codegen (explode of a sequence + substring in one fused pipeline —
+    * measured ~10x a native-Generator formulation, which walks
+    * GenerateExec's interpreted per-row path), and the corpus reaches
+    * exactly ONE corpus-sized salted exchange: keyed by the window
+    * string itself for short L (collision-proof, (16+L)-byte rows), or
+    * by xxhash64(window) for long L (24-byte rows) with an exact
+    * string-keyed confirm pass over the dup-fraction-sized survivors —
+    * see the key-choice comment in the body. Islands merge shuffles the
+    * survivors once on doc_id. No self-join of the corpus, no cross
+    * product, nothing driver-sided. */
   private[graft] def suffixRuns(docs: DataFrame, L: Int): DataFrame = {
     val s = docs.sparkSession
     import s.implicits._
     // the doc table arrives as ONE small parquet split, but the explode
     // amplifies it ~300x — spread the docs across the cluster BEFORE
     // the amplification or the whole map stage runs in one task
-    val pos1 = docs
+    val spreadDocs = docs
       .repartition(s.sparkContext.defaultParallelism)
       .filter(length($"text") >= L)
       .select($"doc_id", $"text",
         explode(sequence(lit(0L), (length($"text") - L).cast("long")))
           .as("pos"))
-      .select($"doc_id", $"pos",
-        xxhash64(expr(s"substring(text, CAST(pos + 1 AS INT), $L)")).as("h"))
-    // phase 1: candidate positions by duplicated window HASH. NOT a
-    // bare count().over(Window.partitionBy(h)): that colocates EVERY
-    // copy of a hash in one task, so a boilerplate 40-char window
-    // repeated millions of times is one straggler partition at scale —
-    // and windows can never be AQE-split. The skew bound is a SALT:
-    // the one corpus-sized exchange groups by (h, salt in [0,64)) —
-    // bounded at corpus/64 per cell even for a hash owned by half the
-    // corpus — packing each cell's positions into one list row, and the
-    // per-h total then needs a window over AT MOST 64 rows per hash.
-    // Single-consumer all the way (a groupBy+join-back alternative
-    // re-ran the explode pipeline once per leg — measured 1.5-1.9x this
-    // formulation), one balanced wide shuffle of 24-byte rows, hash
-    // aggregation instead of the window's corpus-wide sort. Per-task
-    // list memory equals the task's share of positions — the same bound
-    // the window's sort buffer had.
-    val cand = pos1
+    // Duplicate detection never colocates EVERY copy of one window in a
+    // single task (a boilerplate window repeated millions of times would
+    // be one straggler partition at scale, and windows can never be
+    // AQE-split): the one corpus-sized exchange groups by (key, salt in
+    // [0,64)) — bounded at corpus/64 per cell even for a window owned by
+    // half the corpus — packing each cell's positions into one list row;
+    // the per-key total then needs a window over AT MOST 64 rows per key.
+    // Single-consumer all the way (a groupBy+join-back alternative re-ran
+    // the explode pipeline once per leg — measured 1.5-1.9x), hash
+    // aggregation instead of the window's corpus-wide sort; per-task list
+    // memory equals the task's share of positions.
+    //
+    // KEY CHOICE by window length (round 16, measured): for short windows
+    // the key is the window STRING itself — one salted exchange of
+    // (doc_id, pos, window) ≈ (16 + L)-byte rows, collision-proof by
+    // construction, done. For long windows that exchange balloons (a
+    // 1000-char window is 40x the 24-byte hash row), so the wide shuffle
+    // ships xxhash64(window) instead and the dup-fraction-sized survivors
+    // re-derive their text and confirm exactly in a second salted pass (a
+    // 64-bit collision can never fabricate a repeat). Crossover where the
+    // string row ≈ 2-3x the hash row: L = 64. The r15 two-phase-always
+    // form paid both exchanges plus a docs join at every L — for the
+    // L=40 flagship that was 2 corpus exchanges + join where one slightly
+    // wider exchange suffices (measured 3.5s -> ~1.5s at sf0.1).
+    def saltedDupPositions(keyed: DataFrame): DataFrame = keyed
       .withColumn("salt",
         pmod(xxhash64($"doc_id", $"pos"), lit(64L)).cast("int"))
-      .groupBy($"h", $"salt")
+      .groupBy($"k", $"salt")
       .agg(collect_list(struct($"doc_id", $"pos")).as("ps"),
         count(lit(1)).as("cp"))
-      .withColumn("c", sum($"cp").over(Window.partitionBy($"h")))
+      .withColumn("c", sum($"cp").over(Window.partitionBy($"k")))
       .filter($"c" >= 2)
       .select(explode($"ps").as("p"))
       .select($"p.doc_id".as("doc_id"), $"p.pos".as("pos"))
-    // phase 2: survivors re-derive the window text and confirm exactly —
-    // same salted single-consumer discipline on the string key (the
-    // same boilerplate skew exists on g, with string-sized rows)
-    val dp = cand.join(docs, "doc_id")
-      .select($"doc_id", $"pos",
-        expr(s"substring(text, CAST(pos + 1 AS INT), $L)").as("g"))
-      .withColumn("salt",
-        pmod(xxhash64($"doc_id", $"pos"), lit(64L)).cast("int"))
-      .groupBy($"g", $"salt")
-      .agg(collect_list(struct($"doc_id", $"pos")).as("ps"),
-        count(lit(1)).as("cp"))
-      .withColumn("c2", sum($"cp").over(Window.partitionBy($"g")))
-      .filter($"c2" >= 2)
-      .select(explode($"ps").as("p"))
-      .select($"p.doc_id".as("doc_id"), $"p.pos".as("pos"))
+    val window = expr(s"substring(text, CAST(pos + 1 AS INT), $L)")
+    val dp =
+      if (L <= 64)
+        saltedDupPositions(
+          spreadDocs.select($"doc_id", $"pos", window.as("k")))
+      else {
+        val cand = saltedDupPositions(
+          spreadDocs.select($"doc_id", $"pos", xxhash64(window).as("k")))
+        saltedDupPositions(cand.join(docs, "doc_id")
+          .select($"doc_id", $"pos", window.as("k")))
+      }
     val wI = Window.partitionBy($"doc_id").orderBy($"pos")
     dp.withColumn("isl", $"pos" - row_number().over(wI))
       .groupBy($"doc_id", $"isl")

@@ -221,14 +221,15 @@ class PlanShapeSpec extends SparkSuite {
     }
   }
 
-  test("suffix dedup: hash-keyed wide shuffle, no unblocked self-join, spread before the explode") {
+  test("suffix dedup: salted wide shuffle, no unblocked self-join, spread before the explode") {
     val p = plan("q_dedup_suffix")
-    // the corpus-sized exchange carries (doc_id, pos, xxhash64(window))
-    // — the window STRINGS are derived only for candidate survivors;
-    // the global cartesian check covers self-join accidents, this pins
-    // the hash key and that no broadcast NLJ snuck in
+    // L=40 takes the string-keyed single-exchange path (round 16), but
+    // the exchange must stay SALTED — xxhash64(doc_id, pos) mod 64 in
+    // the grouping key is the skew bound; the global cartesian check
+    // covers self-join accidents, this pins the salt and that no
+    // broadcast NLJ snuck in
     assert(p.contains("xxhash64"),
-      s"q_dedup_suffix no longer hashes windows before the wide shuffle:\n$p")
+      s"q_dedup_suffix lost its xxhash64 salt on the wide shuffle:\n$p")
     assert(!p.contains("BroadcastNestedLoopJoin"),
       s"q_dedup_suffix plans a nested-loop join:\n$p")
     // the single-split fixture scan is spread across the cluster before

@@ -369,6 +369,12 @@ class PropertySpec extends SparkSuite {
     val short = Seq((1L, filler(100) + "tiny repeat" + filler(100)),
       (2L, filler(90) + "tiny repeat" + filler(110))).toDF("doc_id", "text")
     assert(graft.ops.Quality.suffixRuns(short, 40).count() == 0)
+    // L > 64 takes the hash-keyed two-phase path (wide shuffle ships
+    // xxhash64, survivors confirm by exact string) — same recovery
+    val runs80 = graft.ops.Quality.suffixRuns(docs, 80)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(runs80.toSet == Set((1L, 200L, 122L), (2L, 80L, 122L)),
+      runs80.mkString(", "))
   }
 
   test("suffix dedup: heavy boilerplate (one window repeated 10^4 times) stays skew-bounded — no hash-keyed single-task window") {
