@@ -3162,6 +3162,46 @@ object Sources {
         |FROM graftm.t GROUP BY 1 ORDER BY 1""".stripMargin)
   }
 
+  /** MERGE WITH SCHEMA EVOLUTION (round 16) — the Delta auto-evolution
+    * surface on Spark 4's native analyzer support: a MERGE whose source
+    * carries a column the target lacks auto-ADDs it (the table
+    * advertises AUTOMATIC_SCHEMA_EVOLUTION; Spark's
+    * ResolveMergeIntoSchemaEvolution routes the missing columns through
+    * the catalog's alterTable) — which lands on the existing
+    * metadata-only evolve commit: no file rewrite, pre-evolve rows
+    * null-pad the new column by arity at read. One statement, two
+    * commits (evolve + merge), instead of the refusal that forced a
+    * manual ALTER before every widened ingest. The source deliberately
+    * skips some matched keys so the final table retains NULL-padded
+    * pre-evolve rows next to merged ones — the oracle recomputes the
+    * full three-way split (kept/updated/inserted) from source parquet.
+    * MOR-path parity pinned in GraftStoreMorSpec. */
+  val qStoreMergeEvolve: Q = (s, dir) => {
+    val s2 = s.newSession()
+    s2.conf.set("spark.sql.catalog.graftme", "graft.sources.GraftCatalog")
+    s2.conf.set("spark.sql.catalog.graftme.root", dmlRoot(s, dir, "mergeev_"))
+    table(s2, dir, "orders").createOrReplaceTempView("ord_ev")
+    s2.sql("DROP TABLE IF EXISTS graftme.t")
+    s2.sql(
+      """CREATE TABLE graftme.t AS
+        |SELECT o_orderkey, o_custkey FROM ord_ev WHERE o_orderkey % 5 = 0""".stripMargin)
+    s2.sql(
+      """MERGE WITH SCHEMA EVOLUTION INTO graftme.t t
+        |USING (SELECT o_orderkey, o_custkey, o_totalprice AS price
+        |       FROM ord_ev
+        |       WHERE o_orderkey % 5 = 1
+        |          OR (o_orderkey % 5 = 0 AND o_orderkey % 3 = 0)) s
+        |ON t.o_orderkey = s.o_orderkey
+        |WHEN MATCHED THEN UPDATE SET *
+        |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    s2.sql(
+      """SELECT o_orderkey % 4 AS bucket, count(*) AS n_rows,
+        | count(price) AS n_priced,
+        | CAST(sum(o_custkey) AS BIGINT) AS sum_cust,
+        | CAST(sum(CAST(price AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+        |FROM graftme.t GROUP BY 1 ORDER BY 1""".stripMargin)
+  }
+
   /** MERGE with WHEN NOT MATCHED BY SOURCE (round 13) — the third arm
     * family that completes the Delta/Iceberg MERGE surface and enables
     * the SNAPSHOT-SYNC shape: "make the target identical to today's
@@ -3274,6 +3314,42 @@ object Sources {
       .agg(count(lit(1)).as("n"), sum($"o_custkey").as("sum_cust"),
         dsum($"o_totalprice").as("sum_price"))
       .orderBy($"k")
+  }
+
+  /** OPTIMIZE ZORDER with a TIMESTAMP leading dimension (round 16) —
+    * `CALL gzts.system.zorder('t', 'ts,user_id', 16)`, the canonical
+    * time×key layout: the generalized N-dim procedure maps the
+    * timestamp monotonically to epoch micros, scales both dimensions
+    * into the Morton lattice from the table's own manifest min/max
+    * (metadata-only planning), and rewrites so every file carries a
+    * tight envelope in BOTH the time range and the key — a scan
+    * filtered on EITHER prunes whole files where the pre-rewrite
+    * row-hash layout prunes nothing (pruning pinned in
+    * GraftProcedureSpec). The query reads a week×key slice back through
+    * the clustered table; layout must be invisible to results. */
+  private val zorderTsWritten = new java.util.concurrent.ConcurrentHashMap[String, String]
+  val qStoreZorderTs: Q = (s, dir) => {
+    import s.implicits._
+    val root = zorderTsWritten.computeIfAbsent(s"${Util.sessionKey(s)}:$dir", _ => {
+      val rt = Util.managedTempDir("graft_zorderts_")
+      val sx = s.newSession()
+      sx.conf.set("spark.sql.catalog.gzts", "graft.sources.GraftCatalog")
+      sx.conf.set("spark.sql.catalog.gzts.root", rt)
+      Util.events(sx, dir)
+        .select($"event_id", $"ts", $"user_id", $"value")
+        .repartition(8) // row-hash layout: every file spans both dims
+        .write.format("graft.sources.GraftStore").option("path", s"$rt/t")
+        .mode("overwrite").save()
+      sx.sql("CALL gzts.system.zorder('t', 'ts,user_id', 16)").collect()
+      rt
+    })
+    s.read.format("graft.sources.GraftStore").option("path", s"$root/t").load()
+      .filter($"ts" >= Util.ts("2024-01-08") && $"ts" < Util.ts("2024-01-15") &&
+        $"user_id" < 40)
+      .groupBy($"user_id")
+      .agg(count(lit(1)).as("n"), sum($"event_id").as("sum_ev"),
+        dsum($"value").as("sum_val"))
+      .orderBy($"user_id")
   }
 
   /** CHANGE DATA FEED (round 7, second half): the row-level delta
@@ -3941,6 +4017,7 @@ object Sources {
     "q_store_metaagg_filtered" -> qStoreMetaaggFiltered,
     "q_store_partitions_meta" -> qStorePartitionsMeta,
     "q_store_merge" -> qStoreMerge,
+    "q_store_merge_evolve" -> qStoreMergeEvolve,
     "q_store_merge_nbs" -> qStoreMergeNbs,
     "q_store_merge_mor" -> qStoreMergeMor,
     "q_store_eqdelete" -> qStoreEqdelete,
@@ -3953,6 +4030,7 @@ object Sources {
     "q_store_cdf_sql" -> qStoreCdfSql,
     "q_store_cdf_sql_ts" -> qStoreCdfSqlTs,
     "q_store_zorder" -> qStoreZorder,
+    "q_store_zorder_ts" -> qStoreZorderTs,
     "q_stream_cdf" -> qStreamCdf,
     "q_pipeline_incr" -> qPipelineIncr,
     "q_pipeline_incr_stored" -> qPipelineIncrStored,
@@ -4397,6 +4475,25 @@ object Sources {
         | CAST(sum(o_custkey) AS BIGINT) AS sum_cust,
         | CAST(sum(o_orderkey) AS BIGINT) AS sum_key
         |FROM merged GROUP BY 1 ORDER BY 1""".stripMargin,
+    // auto-evolved MERGE: kept rows NULL-pad the new column, matched
+    // rows take the source's value, inserts carry it natively
+    "q_store_merge_evolve" ->
+      """WITH t0 AS (SELECT o_orderkey, o_custkey FROM orders WHERE o_orderkey % 5 = 0),
+        |src AS (SELECT o_orderkey, o_custkey, o_totalprice AS price FROM orders
+        |        WHERE o_orderkey % 5 = 1
+        |           OR (o_orderkey % 5 = 0 AND o_orderkey % 3 = 0)),
+        |merged AS (
+        |  SELECT t0.o_orderkey, t0.o_custkey, CAST(NULL AS DOUBLE) AS price
+        |  FROM t0 LEFT JOIN src ON t0.o_orderkey = src.o_orderkey
+        |  WHERE src.o_orderkey IS NULL
+        |  UNION ALL
+        |  SELECT src.o_orderkey, src.o_custkey, src.price
+        |  FROM src)
+        |SELECT o_orderkey % 4 AS bucket, count(*) AS n_rows,
+        | count(price) AS n_priced,
+        | CAST(sum(o_custkey) AS BIGINT) AS sum_cust,
+        | CAST(sum(CAST(price AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+        |FROM merged GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_store_merge" ->
       """WITH t AS (SELECT o_orderkey, o_custkey FROM orders WHERE o_orderkey % 7 = 0),
         |s AS (SELECT o_orderkey, o_custkey FROM orders
@@ -4451,6 +4548,16 @@ object Sources {
         | CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
         |FROM orders WHERE o_custkey <= 300 AND o_orderkey <= 15000
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // time×key z-order: the clustered rewrite must be invisible to the
+    // week×key slice aggregate recomputed from source parquet
+    "q_store_zorder_ts" ->
+      """SELECT user_id, count(*) AS n,
+        | CAST(sum(event_id) AS BIGINT) AS sum_ev,
+        | CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_val
+        |FROM events
+        |WHERE ts::TIMESTAMP >= TIMESTAMP '2024-01-08'
+        |  AND ts::TIMESTAMP < TIMESTAMP '2024-01-15' AND user_id < 40
+        |GROUP BY user_id ORDER BY user_id""".stripMargin,
     // both writes land all five priorities; the partition layout makes
     // the delete exact — oracle is the complement aggregate
     "q_store_partitioned" ->

@@ -127,53 +127,94 @@ private[sources] object GraftProcedures {
     }
   }
 
-  /** `CALL cat.system.zorder('t', 'a,b', 16)` — OPTIMIZE … ZORDER BY:
-    * rewrite the table range-partitioned + sorted on a Morton
-    * interleave of the two (int/long) columns, scaled to a 16-bit
-    * lattice from the table's OWN min/max — which the scan answers as a
+  /** `CALL cat.system.zorder('t', 'a,b[,c[,d]]', 16)` — OPTIMIZE …
+    * ZORDER BY: rewrite the table range-partitioned + sorted on a
+    * Morton interleave of 2-4 columns, each scaled into its lattice
+    * lane from the table's OWN min/max — which the scan answers as a
     * metadata-only aggregate from manifest stats, so planning the
-    * rewrite costs no data I/O. After it every file has a tight min/max
-    * envelope in BOTH dimensions and stats skipping prunes filters on
-    * EITHER (a 1-D sort only ever prunes its leading column).
-    * Content-invariant (op=optimize, CDF-silent). */
+    * rewrite costs no data I/O. Dimensions may be int/long OR
+    * timestamp/date (round 16): temporal columns map monotonically to
+    * epoch micros/days before scaling, so the canonical time×key
+    * layout (`zorder('t', 'ts,user_id', n)`) prunes on either the time
+    * range or the key. Lattice is 16 bits/dim at N≤3, 15 at N=4 (the
+    * interleave must never reach the long's sign bit); scaling divides
+    * by a driver-computed step, never multiplies the raw span (a
+    * century of micros times 2^16 would overflow). After the rewrite
+    * every file has a tight min/max envelope in EVERY dimension and
+    * stats skipping prunes filters on ANY of them (a 1-D sort only
+    * ever prunes its leading column). Content-invariant (op=optimize,
+    * CDF-silent). */
   private final class ZOrder(root: String)
     extends GraftProcedure(root, "zorder") {
     override def description(): String =
-      "rewrite data files z-ordered (Morton) on two int/long columns"
+      "rewrite data files z-ordered (Morton) on 2-4 int/long/timestamp/date columns"
     override def parameters(): Array[ProcedureParameter] = Array(
       P("table", StringType, "table name under the catalog root"),
-      P("cols", StringType, "exactly two comma-separated int/long columns"),
+      P("cols", StringType, "2-4 comma-separated int/long/timestamp/date columns"),
       P("target_files", LongType, "number of rewritten files"))
     override def run(spark: SparkSession, input: InternalRow): Array[Any] = {
       val path = tablePath(input)
       val cols = input.getUTF8String(1).toString.split(',')
         .map(_.trim).filter(_.nonEmpty)
-      require(cols.length == 2,
-        s"zorder takes exactly two columns, got '${cols.mkString(",")}'")
+      require(cols.length >= 2 && cols.length <= 4,
+        s"zorder takes 2-4 columns, got '${cols.mkString(",")}'")
       val df = spark.read.format("graft.sources.GraftStore")
         .option("path", path).load()
-      import org.apache.spark.sql.functions.{col, greatest, lit, max, min}
-      cols.foreach { c =>
-        val dt = df.schema.fields(df.schema.fieldIndex(c)).dataType
-        require(dt == IntegerType || dt == LongType,
-          s"zorder needs int/long columns, '$c' is ${dt.simpleString}")
-      }
-      // min/max answer from manifest stats (metadata-only aggregate)
-      val r = df.agg(min(col(cols(0))), max(col(cols(0))),
-        min(col(cols(1))), max(col(cols(1)))).head()
+      import org.apache.spark.sql.functions.{col, lit, max, min, unix_date, unix_micros}
+      import org.apache.spark.sql.types.{DateType, TimestampNTZType, TimestampType}
+      // monotone long view of a dimension (epoch micros/days for
+      // temporal types — order-isomorphic to their SQL semantics)
+      def lane(c: String): org.apache.spark.sql.Column =
+        df.schema.fields(df.schema.fieldIndex(c)).dataType match {
+          case IntegerType | LongType => col(c).cast("long")
+          case TimestampType => unix_micros(col(c))
+          case TimestampNTZType => unix_micros(col(c).cast(TimestampType))
+          case DateType => unix_date(col(c)).cast("long")
+          case other => throw new IllegalArgumentException(
+            s"zorder needs int/long/timestamp/date columns, '$c' is ${other.simpleString}")
+        }
+      // min/max over the RAW columns: the connector answers those from
+      // manifest stats (metadata-only); the epoch conversion happens
+      // driver-side on the two scalars
+      val aggExprs = cols.toSeq.flatMap(c => Seq(min(col(c)), max(col(c))))
+      val r = df.agg(aggExprs.head, aggExprs.tail: _*).head()
       def lng(i: Int): Long = r.get(i) match {
         case n: java.lang.Number => n.longValue()
-        case other => throw new IllegalStateException(s"non-numeric stat $other")
+        case t: java.sql.Timestamp =>
+          org.apache.spark.sql.catalyst.util.DateTimeUtils.fromJavaTimestamp(t)
+        case t: java.time.Instant =>
+          org.apache.spark.sql.catalyst.util.DateTimeUtils.instantToMicros(t)
+        case t: java.time.LocalDateTime =>
+          org.apache.spark.sql.catalyst.util.DateTimeUtils.localDateTimeToMicros(t)
+        case d: java.sql.Date =>
+          org.apache.spark.sql.catalyst.util.DateTimeUtils.fromJavaDate(d).toLong
+        case d: java.time.LocalDate =>
+          org.apache.spark.sql.catalyst.util.DateTimeUtils.localDateToDays(d).toLong
+        case other => throw new IllegalStateException(s"non-orderable stat $other")
       }
-      def scaled(c: String, lo: Long, hi: Long) =
-        ((col(c).cast("long") - lo) * 65536L /
-          greatest(lit(hi - lo + 1), lit(1L))).cast("long")
+      val bits = if (cols.length == 4) 15 else 16
+      val lanes = cols.zipWithIndex.map { case (c, i) =>
+        val (lo, hi) = (lng(2 * i), lng(2 * i + 1))
+        val span = hi - lo
+        // every dimension must occupy the SAME lattice resolution or the
+        // wider one's bits dominate the sort and the narrow one never
+        // clusters (a 64-value key next to a micros timestamp would get
+        // 6 of 32 interleaved bits — its files span everything). Small
+        // spans scale UP by a multiplier, large spans DOWN by a step;
+        // both factors are driver-computed so nothing overflows at any
+        // span (upscaled product < 2^bits · 2^bits, downscale divides)
+        val expr =
+          if (span < (1L << bits)) {
+            val mult = math.max(1L, (1L << bits) / (span + 1L))
+            (lane(c) - lo) * lit(mult)
+          } else {
+            val step = (span >>> bits) + 1L
+            (lane(c) - lo) / lit(step)
+          }
+        org.apache.spark.sql.graft.GraftSql.expression(expr.cast("long"))
+      }
       val zkey = org.apache.spark.sql.graft.GraftSql.column(
-        graft.functions.MortonInterleave(
-          org.apache.spark.sql.graft.GraftSql.expression(
-            scaled(cols(0), lng(0), lng(1))),
-          org.apache.spark.sql.graft.GraftSql.expression(
-            scaled(cols(1), lng(2), lng(3)))))
+        graft.functions.MortonInterleaveN(lanes))
       Array(GraftStore.rewriteClustered(spark, path, zkey,
         input.getLong(2).toInt))
     }

@@ -3372,7 +3372,15 @@ class GraftStoreTable(path: String, tableSchema: StructType,
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
       TableCapability.TRUNCATE, TableCapability.STREAMING_WRITE,
       TableCapability.MICRO_BATCH_READ,
-      TableCapability.OVERWRITE_DYNAMIC, TableCapability.OVERWRITE_BY_FILTER)
+      TableCapability.OVERWRITE_DYNAMIC, TableCapability.OVERWRITE_BY_FILTER,
+      // `MERGE INTO … WITH SCHEMA EVOLUTION` (round 16): Spark's
+      // ResolveMergeIntoSchemaEvolution computes the missing source
+      // columns and routes them through the catalog's alterTable as
+      // ordinary AddColumn changes — which is already the metadata-only
+      // schema commit (arity-padded reads, no file rewrite), so the
+      // evolved MERGE costs exactly one evolve commit plus the MERGE
+      // itself on both the copy-on-write and merge-on-read paths
+      TableCapability.AUTOMATIC_SCHEMA_EVOLUTION)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     Option(options.get("changesFrom")).map(_.toLong).orElse(changesFrom) match {

@@ -176,6 +176,72 @@ class GraftProcedureSpec extends SparkSuite {
       s2.sql("CALL gproc.system.zorder('z', 'x,nope', 16)").collect())
   }
 
+  test("CALL zorder round 16: timestamp dimension and 3 columns — either-dimension pruning, content invariant, refusals") {
+    import org.apache.spark.sql.functions.col
+    // time×key: 64 hourly buckets × 64 keys, written row-hashed so every
+    // file spans both dimensions
+    s2.range(0, 4096).selectExpr(
+      "timestampadd(HOUR, CAST(id % 64 AS INT), TIMESTAMP'2024-01-01 00:00:00') AS ts",
+      "CAST(id DIV 64 AS BIGINT) AS k", "id AS v")
+      .createOrReplaceTempView("src_zt")
+    s2.sql("CREATE TABLE gproc.zt AS SELECT * FROM src_zt")
+    val path = s"$root/zt"
+    val before = s2.sql("SELECT sum(v) FROM gproc.zt").collect()(0).getLong(0)
+    s2.sql("CALL gproc.system.zorder('zt', 'ts,k', 16)").collect()
+    val es = GraftStore.readManifest(path).get._2
+    assert(es.size == 16, s"${es.size} files")
+    // tight envelopes in BOTH dims: micros span ≤ half the 64h range,
+    // key span ≤ half of 64
+    val hourUs = 3600L * 1000000L
+    es.foreach { e =>
+      val st = e.stats("ts"); val sk = e.stats("k")
+      assert(st.max.toLong - st.min.toLong <= 32 * hourUs,
+        s"${e.file} ts-span ${st.min}..${st.max}")
+      assert(sk.max.toLong - sk.min.toLong <= 32,
+        s"${e.file} k-span ${sk.min}..${sk.max}")
+    }
+    def kept(c: org.apache.spark.sql.Column): Int = {
+      val df = s2.read.format("graft.sources.GraftStore")
+        .option("path", path).load().filter(c)
+      df.count()
+      val m = "files=(\\d+)/(\\d+)".r
+        .findFirstMatchIn(df.queryExecution.executedPlan.toString)
+      assert(m.isDefined); m.get.group(1).toInt
+    }
+    assert(kept(col("ts") < org.apache.spark.sql.functions.lit("2024-01-01 08:00:00").cast("timestamp")) <= 8,
+      "ts filter must prune z-ordered files")
+    assert(kept(col("k") < 8) <= 8, "k filter must prune z-ordered files")
+    assert(s2.sql("SELECT sum(v) FROM gproc.zt").collect()(0).getLong(0) == before)
+    // three dimensions: every lane gets a bounded envelope
+    s2.range(0, 4096).selectExpr("id % 16 AS a",
+      "CAST(id DIV 16 AS BIGINT) % 16 AS b", "CAST(id DIV 256 AS BIGINT) AS c",
+      "id AS v")
+      .createOrReplaceTempView("src_z3")
+    s2.sql("CREATE TABLE gproc.z3 AS SELECT * FROM src_z3")
+    val before3 = s2.sql("SELECT sum(v) FROM gproc.z3").collect()(0).getLong(0)
+    s2.sql("CALL gproc.system.zorder('z3', 'a,b,c', 8)").collect()
+    val es3 = GraftStore.readManifest(s"$root/z3").get._2
+    assert(es3.size == 8, s"${es3.size} files")
+    // joint locality: each file's bounding box covers at most half the
+    // 16^3 cube (range-boundary SAMPLING can straddle octant edges in
+    // more than one dimension; an unclustered layout covers all 4096
+    // cells per file — clustering shows as a box a fraction of that
+    // holding 1/8 of the rows)
+    es3.foreach { e =>
+      val vol = Seq("a", "b", "c").map { d =>
+        val sd = e.stats(d); sd.max.toLong - sd.min.toLong + 1
+      }.product
+      assert(vol <= 2048, s"${e.file} bounding box $vol > half the cube")
+    }
+    assert(s2.sql("SELECT sum(v) FROM gproc.z3").collect()(0).getLong(0) == before3)
+    // refusals: five columns, string column
+    intercept[Exception](
+      s2.sql("CALL gproc.system.zorder('z3', 'a,b,c,a,b', 8)").collect())
+    s2.sql("CREATE TABLE gproc.zs AS SELECT 'x' AS s, 1 AS i, 2 AS j")
+    intercept[Exception](
+      s2.sql("CALL gproc.system.zorder('zs', 's,i', 2)").collect())
+  }
+
   test("SHOW PROCEDURES lists the surface; DESCRIBE PROCEDURE works; unknown procedure fails loudly") {
     val shown = s2.sql("SHOW PROCEDURES IN gproc.system").collect()
       .map(_.toString).mkString("\n")

@@ -250,4 +250,64 @@ class GraftStoreMorSpec extends SparkSuite {
       "without write.mode=merge-on-read, DML must stay copy-on-write")
     assert(entries.map(_.rows).sum == (0L until 100L).count(_ % 7 != 3))
   }
+
+  test("MERGE WITH SCHEMA EVOLUTION: COW and MOR both auto-ADD the source's new column metadata-only and take their own write path") {
+    // source carries `w`, which the target lacks: evens update (get w),
+    // key 1000 inserts (carries w natively), odds keep NULL-padded w
+    def runEvolved(s2: org.apache.spark.sql.SparkSession): Unit = {
+      s2.range(0, 100).selectExpr("id AS k", "id * 10 AS v")
+        .union(s2.range(1000, 1001).selectExpr("id AS k", "id * 10 AS v"))
+        .selectExpr("k", "v", "k * 7 AS w")
+        .filter("k % 2 = 0 OR k = 1000").createOrReplaceTempView("ev_src")
+      s2.sql(
+        """MERGE WITH SCHEMA EVOLUTION INTO gmse.t t
+          |USING ev_src s ON t.k = s.k
+          |WHEN MATCHED THEN UPDATE SET *
+          |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    }
+    def checkContent(s2: org.apache.spark.sql.SparkSession, path: String): Unit = {
+      val (schema, _) = GraftStore.readManifest(path).get
+      assert(schema.fieldNames.toSeq == Seq("k", "v", "w"),
+        s"evolved schema: ${schema.fieldNames.mkString(",")}")
+      val rows = s2.sql(
+        "SELECT count(*) AS n, count(w) AS nw, sum(w) AS sw FROM gmse.t")
+        .collect()(0)
+      assert(rows.getLong(0) == 101, s"rows ${rows.getLong(0)}")
+      // 50 evens + the insert carry w; 50 odds are NULL-padded
+      assert(rows.getLong(1) == 51, s"w-carrying ${rows.getLong(1)}")
+      assert(rows.getLong(2) ==
+        ((0L until 100L by 2).sum + 1000L) * 7L, s"sum(w) ${rows.getLong(2)}")
+    }
+    // copy-on-write: the matched files rewrite (no DVs anywhere)
+    locally {
+      val root = graft.ops.Util.managedTempDir("graft_mse_cow_")
+      val s2 = spark.newSession()
+      s2.conf.set("spark.sql.catalog.gmse", "graft.sources.GraftCatalog")
+      s2.conf.set("spark.sql.catalog.gmse.root", root)
+      s2.sql("CREATE TABLE gmse.t AS SELECT id AS k, id * 10 AS v FROM range(0, 100)")
+      runEvolved(s2)
+      checkContent(s2, s"$root/t")
+      assert(GraftStore.readManifest(s"$root/t").get._2.forall(_.dv.isEmpty),
+        "COW evolved merge must not produce DVs")
+    }
+    // merge-on-read: matched files' bytes untouched, DVs + insert files
+    locally {
+      val root = graft.ops.Util.managedTempDir("graft_mse_mor_")
+      val s2 = spark.newSession()
+      s2.conf.set("spark.sql.catalog.gmse", "graft.sources.GraftCatalog")
+      s2.conf.set("spark.sql.catalog.gmse.root", root)
+      s2.sql("""CREATE TABLE gmse.t (k BIGINT, v BIGINT)
+        |TBLPROPERTIES('write.mode'='merge-on-read')""".stripMargin)
+      s2.sql("INSERT INTO gmse.t SELECT id AS k, id * 10 AS v FROM range(0, 100)")
+      val path = s"$root/t"
+      val before = dataFiles(path)
+      runEvolved(s2)
+      checkContent(s2, path)
+      val after = dataFiles(path)
+      assert(before.forall { case (f, sig) => after.get(f).contains(sig) },
+        s"MOR evolved merge must leave pre-merge data files' bytes untouched (before=$before after=$after)")
+      assert(GraftStore.readManifest(path).get._2.exists(_.dv.nonEmpty),
+        "MOR evolved merge must route matches through DVs")
+    }
+  }
 }
