@@ -3852,6 +3852,47 @@ object Sources {
         |FROM gnes.sup ORDER BY s_suppkey""".stripMargin)
   }
 
+  /** NESTED DROP + NESTED WIDEN (round 16) — the two struct-subfield
+    * evolutions beyond add/rename, both metadata-only commits on the
+    * per-file marker scheme: DROP records each file's physical position
+    * of the dropped field (the reader maps logical positions PAST the
+    * dead bytes — they're never touched, so even their type stops
+    * mattering); WIDEN long→double records the positions whose bytes
+    * hold longs the schema now reads as doubles (a value conversion at
+    * access — the top-level in-place lane trick can't reach inside a
+    * nested UnsafeRow). The lifecycle composes widen → drop → add on
+    * one struct and reads the mix back: evens carry pre-evolution bytes
+    * (converted + skipped + padded at read), odds arrive post-evolution
+    * carrying the final struct natively. CDF crossing + refusal matrix
+    * pinned in GraftStoreEvolveSpec. */
+  val qStoreEvolveNested2: Q = (s, dir) => {
+    val s2 = s.newSession()
+    s2.conf.set("spark.sql.catalog.gne2", "graft.sources.GraftCatalog")
+    s2.conf.set("spark.sql.catalog.gne2.root", Util.managedTempDir("graft_evnested2_"))
+    table(s2, dir, "supplier").createOrReplaceTempView("supp_n2")
+    s2.sql("DROP TABLE IF EXISTS gne2.sup")
+    s2.sql(
+      """CREATE TABLE gne2.sup AS
+        |SELECT s_suppkey,
+        |  named_struct('nation', s_nationkey,
+        |               'bal', s_suppkey * 3,
+        |               'seg', concat('n', s_nationkey)) AS meta
+        |FROM supp_n2 WHERE s_suppkey % 2 = 0""".stripMargin)
+    s2.sql("ALTER TABLE gne2.sup ALTER COLUMN meta.bal TYPE DOUBLE")
+    s2.sql("ALTER TABLE gne2.sup DROP COLUMN meta.nation")
+    s2.sql("ALTER TABLE gne2.sup ADD COLUMN meta.grade STRING")
+    s2.sql(
+      """INSERT INTO gne2.sup
+        |SELECT s_suppkey,
+        |  named_struct('bal', CAST(s_suppkey AS DOUBLE) * 2.5,
+        |               'seg', concat('n', s_nationkey),
+        |               'grade', concat('g', s_suppkey % 3)) AS meta
+        |FROM supp_n2 WHERE s_suppkey % 2 = 1""".stripMargin)
+    s2.sql(
+      """SELECT s_suppkey, meta.bal AS bal, meta.seg AS seg, meta.grade AS grade
+        |FROM gne2.sup ORDER BY s_suppkey""".stripMargin)
+  }
+
   /** COLUMN RENAME + INT->LONG WIDENING (round 13) — the two schema
     * evolutions beyond add-nullable-at-end, both pure metadata commits.
     * Rename needs NO field ids: this format's data files are positional
@@ -4009,6 +4050,7 @@ object Sources {
     "q_stream_sink_branch" -> qStreamSinkBranch,
     "q_store_evolution" -> qStoreEvolution,
     "q_store_evolve_nested" -> qStoreEvolveNested,
+    "q_store_evolve_nested2" -> qStoreEvolveNested2,
     "q_store_evolve_rename" -> qStoreEvolveRename,
     "q_store_evolve_widen2" -> qStoreEvolveWiden2,
     "q_store_bloomskip" -> qStoreBloomskip,
@@ -4894,6 +4936,18 @@ object Sources {
         |UNION ALL
         |SELECT s_suppkey, s_nationkey AS nat,
         | CAST(s_acctbal AS DOUBLE) AS bal, 'n' || s_nationkey AS seg
+        |FROM supplier WHERE s_suppkey % 2 = 1
+        |ORDER BY s_suppkey""".stripMargin,
+    // widen->drop->add replay: evens are pre-evolution bytes (long bal
+    // converted to double, dropped nation skipped, grade NULL-padded),
+    // odds carry the final struct natively
+    "q_store_evolve_nested2" ->
+      """SELECT s_suppkey, CAST(s_suppkey * 3 AS DOUBLE) AS bal,
+        | 'n' || s_nationkey AS seg, CAST(NULL AS VARCHAR) AS grade
+        |FROM supplier WHERE s_suppkey % 2 = 0
+        |UNION ALL
+        |SELECT s_suppkey, CAST(s_suppkey AS DOUBLE) * 2.5 AS bal,
+        | 'n' || s_nationkey AS seg, 'g' || (s_suppkey % 3) AS grade
         |FROM supplier WHERE s_suppkey % 2 = 1
         |ORDER BY s_suppkey""".stripMargin,
     // rename + widen replay: evens keep their keys, odds arrive after

@@ -624,6 +624,7 @@ class GraftCatalog extends TableCatalog with FunctionCatalog
       case _: TableChange.RenameColumn => true
       case _: TableChange.UpdateColumnType => true
       case a: TableChange.AddColumn => a.fieldNames().length == 2
+      case d: TableChange.DeleteColumn => d.fieldNames().length == 2
       case _: TableChange.SetProperty => true
       case _: TableChange.RemoveProperty => true
       case _ => false
@@ -681,9 +682,22 @@ class GraftCatalog extends TableCatalog with FunctionCatalog
           "RENAME COLUMN supports top-level columns and struct subfields " +
             "(col.field), not deeper nesting")
         GraftStore.renameColumn(dir.getPath, r.fieldNames()(0), r.newName())
+      case d: TableChange.DeleteColumn =>
+        // ALTER TABLE t DROP COLUMN meta.f — nested drop is its own
+        // metadata-only commit with per-file physical SKIP markers;
+        // top-level drops stay refused (positional data has no
+        // column-erasure story without a rewrite)
+        GraftStore.dropStructField(dir.getPath, d.fieldNames()(0),
+          d.fieldNames()(1))
+      case u: TableChange.UpdateColumnType if u.fieldNames().length == 2 =>
+        // ALTER TABLE t ALTER COLUMN meta.f TYPE DOUBLE — nested widen
+        // (long -> double), per-file physical WIDEN markers
+        GraftStore.widenStructField(dir.getPath, u.fieldNames()(0),
+          u.fieldNames()(1), u.newDataType())
       case u: TableChange.UpdateColumnType =>
         require(u.fieldNames().length == 1,
-          "nested ALTER COLUMN TYPE is not supported")
+          "ALTER COLUMN TYPE supports top-level columns and struct " +
+            "subfields (col.field), not deeper nesting")
         require(u.newDataType() == org.apache.spark.sql.types.LongType ||
             u.newDataType() == org.apache.spark.sql.types.DoubleType ||
             u.newDataType().isInstanceOf[org.apache.spark.sql.types.DecimalType],

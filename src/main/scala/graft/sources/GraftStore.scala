@@ -241,21 +241,54 @@ object GraftStore {
     else packNarrow(s.substring(0, at).toInt, s.substring(at + 1).toInt)
   }
 
-  /** A `nested` marker records that a file's STRUCT column predates a
-    * nested ADD: (top-level ordinal, the struct arity the file's bytes
-    * carry), packed ordinal-low-16 / arity-high-16 (round 15). The
-    * reader pads the missing trailing subfields with nulls through a
-    * delegating struct view — a nested UnsafeRow's layout bakes its
-    * field count into the bytes, so unlike the top-level tail pad the
-    * fix-up needs a per-access wrapper, not a JoinedRow. */
+  /** A `nested` marker records how a file's STRUCT column bytes differ
+    * from the current struct type. Three kinds share the `nested` list
+    * (round 15 pads; round 16 skips + widens):
+    *   - PAD `ord@arity` (bits 31-30 = 00): the bytes carry `arity`
+    *     fields — fewer than the schema after a nested ADD; the reader
+    *     answers null beyond.
+    *   - SKIP `ord!phys` (bits 31-30 = 10): the bytes still carry a
+    *     DROPPED subfield at physical position `phys`; the reader maps
+    *     logical positions past it (positional skip — the dropped
+    *     bytes are never touched, so their type needn't be known).
+    *   - WIDEN `ord~phys` (bits 31-30 = 11): the bytes hold a LONG at
+    *     `phys` where the schema now says DOUBLE; the reader converts
+    *     on access (a nested UnsafeRow slot is 8 bytes either way, but
+    *     long bits are not double bits — unlike the top-level int→long
+    *     sign-extension this needs a value conversion, hence a marker
+    *     kind, not a lane re-read).
+    * All three need a per-access wrapper ([[GraftNestedPadRow]] /
+    * [[GraftStructEvolveView]]) because a nested UnsafeRow's layout
+    * bakes its field count into the bytes — a JoinedRow can't reach
+    * inside. */
   @inline def packNested(ord: Int, arity: Int): Int = ord | (arity << 16)
+  @inline def packNestedSkip(ord: Int, phys: Int): Int =
+    0x80000000 | ord | (phys << 16)
+  @inline def packNestedWiden(ord: Int, phys: Int): Int =
+    0xC0000000 | ord | (phys << 16)
   @inline def nestedOrd(m: Int): Int = m & 0xffff
+  /** PAD marker's byte arity (call only on pad markers). */
   @inline def nestedArity(m: Int): Int = m >>> 16
+  /** SKIP/WIDEN marker's physical field position. */
+  @inline def nestedPhys(m: Int): Int = (m >>> 16) & 0x3fff
+  @inline def nestedIsPad(m: Int): Boolean = (m & 0x80000000) == 0
+  @inline def nestedIsSkip(m: Int): Boolean = (m >>> 30) == 2
+  @inline def nestedIsWiden(m: Int): Boolean = (m >>> 30) == 3
   private[sources] def fmtNested(m: Int): String =
-    s"${nestedOrd(m)}@${nestedArity(m)}"
+    if (nestedIsSkip(m)) s"${nestedOrd(m)}!${nestedPhys(m)}"
+    else if (nestedIsWiden(m)) s"${nestedOrd(m)}~${nestedPhys(m)}"
+    else s"${nestedOrd(m)}@${nestedArity(m)}"
   private[sources] def parseNested(s: String): Int = {
-    val at = s.indexOf('@')
-    packNested(s.substring(0, at).toInt, s.substring(at + 1).toInt)
+    val bang = s.indexOf('!')
+    val tilde = s.indexOf('~')
+    if (bang >= 0)
+      packNestedSkip(s.substring(0, bang).toInt, s.substring(bang + 1).toInt)
+    else if (tilde >= 0)
+      packNestedWiden(s.substring(0, tilde).toInt, s.substring(tilde + 1).toInt)
+    else {
+      val at = s.indexOf('@')
+      packNested(s.substring(0, at).toInt, s.substring(at + 1).toInt)
+    }
   }
 
   /** One EQUALITY-DELETE file (the Iceberg-v2 equality-delete design):
@@ -1560,19 +1593,36 @@ object GraftStore {
       .write.format("graft.sources.GraftStore")
       .option("path", scratch.getAbsolutePath).mode("append").save()
     val fresh = readManifest(scratch.getAbsolutePath).map(_._2).getOrElse(Seq.empty)
-    fresh.foreach { e =>
-      val to = Paths.get(path, e.file)
+    // link under per-run STAMPED names, never the scratch write's
+    // task-derived part-<pid>-<tid> names: task ids restart per JVM, so
+    // a later session's rewrite against a table written by an earlier
+    // one could collide with a live file (FileAlreadyExistsException
+    // mid-loop); the stamp makes every run's names fresh — the same
+    // discipline as the compact/eqdel rewrite paths. Created links are
+    // removed if a later link fails, so an aborted OPTIMIZE leaves no
+    // orphans waiting for GC.
+    val stamp = java.lang.Long.toHexString(System.nanoTime())
+    val linked = scala.collection.mutable.ArrayBuffer.empty[java.nio.file.Path]
+    val renamed = try fresh.zipWithIndex.map { case (e, i) =>
+      val name = s"data/sortopt-$stamp-$i.bin"
+      val to = Paths.get(path, name)
       if (to.getParent != null) Files.createDirectories(to.getParent)
       Files.createLink(to, Paths.get(scratch.getAbsolutePath, e.file))
+      linked += to
+      e.copy(file = name)
+    } catch { case t: Throwable =>
+      linked.foreach(p => try Files.deleteIfExists(p) catch { case _: Exception => () })
+      deleteRecursively(scratch)
+      throw t
     }
     val packedSet = packable.map(_.file).toSet
     val v = writeManifestAtomic(path, base, schema,
-      entries.filterNot(e => packedSet.contains(e.file)) ++ fresh,
+      entries.filterNot(e => packedSet.contains(e.file)) ++ renamed,
       readEpoch(path), op = "optimize")
     deleteRecursively(scratch) // data bytes survive via the hard links
     gcUnreferenced(path, (dvEntries.flatMap(e =>
       if (e.dv.isEmpty) Seq(e.file) else Seq(e.file, e.dv)) ++
-      fresh.map(_.file)).toSet)
+      renamed.map(_.file)).toSet)
     v
   }
 
@@ -2367,12 +2417,134 @@ object GraftStore {
     val newEntries = entries.map { e =>
       val arity = if (e.cols > 0) e.cols else schema.size
       if (arity <= ord) e // file predates the column: null-pads whole
-      else if (e.nested.exists(m => nestedOrd(m) == ord)) e // older marker wins
-      else e.copy(nested =
-        (e.nested :+ packNested(ord, st.size)).sortBy(nestedOrd))
+      // older PAD marker wins (it already records the bytes' count);
+      // skip/widen markers don't — the bytes' count must be pinned NOW,
+      // including any dropped fields the bytes still carry
+      else if (e.nested.exists(m => nestedIsPad(m) && nestedOrd(m) == ord)) e
+      else {
+        val ownSkips =
+          e.nested.count(m => nestedIsSkip(m) && nestedOrd(m) == ord)
+        e.copy(nested =
+          (e.nested :+ packNested(ord, st.size + ownSkips))
+            .sortBy(m => (nestedOrd(m), m)))
+      }
     }
     writeManifestAtomic(path, baseV, newSchema, newEntries,
       epoch = readEpoch(path), op = s"evolve-nested($col.$field)")
+  }
+
+  /** Physical position of logical subfield `logical` in bytes whose
+    * dropped fields sit at ascending physical positions `skips`. */
+  private def nestedPhysOf(logical: Int, skips: Seq[Int]): Int = {
+    var p = logical
+    skips.foreach(s => if (s <= p) p += 1)
+    p
+  }
+
+  /** (struct type, top ordinal) of column `col`, or throw. */
+  private def structAt(schema: StructType, path: String, col: String)
+      : (StructType, Int) = {
+    require(schema.fieldNames.contains(col),
+      s"no column '$col' at $path — columns: ${schema.fieldNames.mkString(", ")}")
+    val ord = schema.fieldIndex(col)
+    schema.fields(ord).dataType match {
+      case s: StructType => (s, ord)
+      case other => throw new IllegalArgumentException(
+        s"'$col' is ${other.simpleString}, not a struct")
+    }
+  }
+
+  /** NESTED-FIELD DROP (round 16) — remove a struct subfield as a
+    * metadata-only commit: the schema's struct type loses the field,
+    * and every CURRENT file whose bytes physically carry it gains a
+    * SKIP marker recording the field's physical position in THAT
+    * file's bytes (files differ: earlier drops shift positions, pad
+    * files may never have carried it). The reader maps logical
+    * positions past skipped bytes — the dropped values are never
+    * touched, so even their type is irrelevant from here on. Files
+    * written after the commit don't carry the field at all. */
+  private[graft] def dropStructField(path: String, col: String,
+      field: String): Long = {
+    val (baseV, latest) = readLatestVersioned(path)
+    val (schema, entries) = latest.getOrElse(throw new IllegalArgumentException(
+      s"no graft-store table at $path"))
+    val (st, ord) = structAt(schema, path, col)
+    require(st.fieldNames.contains(field),
+      s"no field '$col.$field' — fields: ${st.fieldNames.mkString(", ")}")
+    require(st.size >= 2,
+      s"cannot DROP '$col.$field': it is the struct's only field — drop the column instead")
+    val idx = st.fieldIndex(field)
+    val newStruct = StructType(st.fields.patch(idx, Nil, 1))
+    val newSchema = StructType(schema.fields.zipWithIndex.map { case (f, i) =>
+      if (i == ord) f.copy(dataType = newStruct) else f
+    })
+    val newEntries = entries.map { e =>
+      val arity = if (e.cols > 0) e.cols else schema.size
+      if (arity <= ord) e // file predates the column entirely
+      else {
+        val ownSkips = e.nested.collect {
+          case m if nestedIsSkip(m) && nestedOrd(m) == ord => nestedPhys(m)
+        }.sorted
+        val physCount = e.nested.collectFirst {
+          case m if nestedIsPad(m) && nestedOrd(m) == ord => nestedArity(m)
+        }.getOrElse(st.size + ownSkips.size)
+        val phys = nestedPhysOf(idx, ownSkips)
+        if (phys >= physCount) e // bytes never carried the field (pad)
+        else e.copy(nested =
+          (e.nested :+ packNestedSkip(ord, phys))
+            .sortBy(m => (nestedOrd(m), m)))
+      }
+    }
+    writeManifestAtomic(path, baseV, newSchema, newEntries,
+      epoch = readEpoch(path), op = s"evolve-nested(drop $col.$field)")
+  }
+
+  /** NESTED-FIELD WIDEN long→double (round 16) — metadata-only: the
+    * schema's subfield type flips to double, and every CURRENT file
+    * physically carrying the field gains a WIDEN marker at the field's
+    * per-file physical position; the reader converts the long bits on
+    * access (a nested UnsafeRow slot is 8 bytes either way, but long
+    * bits aren't double bits — the top-level in-place lane trick
+    * doesn't reach inside a struct). Post-widen appends carry native
+    * doubles. Narrowing and other type flips refuse. */
+  private[graft] def widenStructField(path: String, col: String,
+      field: String, to: org.apache.spark.sql.types.DataType): Long = {
+    val (baseV, latest) = readLatestVersioned(path)
+    val (schema, entries) = latest.getOrElse(throw new IllegalArgumentException(
+      s"no graft-store table at $path"))
+    val (st, ord) = structAt(schema, path, col)
+    require(st.fieldNames.contains(field),
+      s"no field '$col.$field' — fields: ${st.fieldNames.mkString(", ")}")
+    val idx = st.fieldIndex(field)
+    require(st.fields(idx).dataType == org.apache.spark.sql.types.LongType &&
+        to == org.apache.spark.sql.types.DoubleType,
+      s"nested widen supports BIGINT -> DOUBLE only, got " +
+        s"${st.fields(idx).dataType.simpleString} -> ${to.simpleString}")
+    val newStruct = StructType(st.fields.zipWithIndex.map { case (f, i) =>
+      if (i == idx) f.copy(dataType = to) else f
+    })
+    val newSchema = StructType(schema.fields.zipWithIndex.map { case (f, i) =>
+      if (i == ord) f.copy(dataType = newStruct) else f
+    })
+    val newEntries = entries.map { e =>
+      val arity = if (e.cols > 0) e.cols else schema.size
+      if (arity <= ord) e
+      else {
+        val ownSkips = e.nested.collect {
+          case m if nestedIsSkip(m) && nestedOrd(m) == ord => nestedPhys(m)
+        }.sorted
+        val physCount = e.nested.collectFirst {
+          case m if nestedIsPad(m) && nestedOrd(m) == ord => nestedArity(m)
+        }.getOrElse(st.size + ownSkips.size)
+        val phys = nestedPhysOf(idx, ownSkips)
+        if (phys >= physCount) e // bytes never carried it: pads as null
+        else e.copy(nested =
+          (e.nested :+ packNestedWiden(ord, phys))
+            .sortBy(m => (nestedOrd(m), m)))
+      }
+    }
+    writeManifestAtomic(path, baseV, newSchema, newEntries,
+      epoch = readEpoch(path), op = s"evolve-nested(widen $col.$field)")
   }
 
   /** RENAME a struct subfield — pure metadata: data is positional and
@@ -2641,13 +2813,11 @@ object GraftStore {
                 d2: org.apache.spark.sql.types.DecimalType)
                 if d1.scale == d2.scale && d1.precision <= d2.precision &&
                   d2.precision <= 18 => None
-            // struct prefix-extension (nested ADD, possibly with nested
-            // renames — positional types decide): handled by the
-            // parallel NESTED marker channel, no lane fix-up here
-            case (s1: StructType, s2: StructType)
-                if s1.size <= s2.size &&
-                  s2.fields.take(s1.size).map(_.dataType)
-                    .sameElements(s1.fields.map(_.dataType)) => None
+            // struct changes (nested ADD/RENAME/DROP/WIDEN): handled by
+            // the parallel NESTED marker channel, which throws its own
+            // split-the-feed error when the pair is unmappable — no
+            // top-level lane fix-up either way
+            case (_: StructType, _: StructType) => None
             case _ => throw new IllegalArgumentException(
               s"change range v$fromV..v$toV crosses a non-widening type " +
                 s"change at ordinal $o ($phys -> $want) — split the feed " +
@@ -2656,26 +2826,99 @@ object GraftStore {
         }
       }
     }
-    // NESTED channel of the same structural upgrade: a unit whose file
-    // predates a nested ADD inside (or before) the range pads its
-    // struct's trailing subfields at read — the marker records the
-    // BYTES' struct arity (the entry's own marker when present, else
-    // the source-era struct size). A struct change that is NOT a
-    // prefix-extension throws in upgradeNarrow above.
+    // NESTED channel of the same structural upgrade: a unit from a
+    // pre-evolve version reads its struct bytes under the schema at
+    // `toV`, so its markers must be RE-DERIVED against the target
+    // struct type. The file's own markers (vs the source-era struct)
+    // give its physical layout — byte count, already-skipped and
+    // already-widened positions; the src→tgt field mapping then adds
+    //   - SKIPs for source fields the target dropped (matched by NAME —
+    //     a nested rename in the same range as a drop is unmappable
+    //     and throws: split the feed at the evolving commit),
+    //   - WIDENs where the bytes hold long and the target says double,
+    //   - a PAD pinning the byte count when the target appended fields.
+    // Prefix-extensions by TYPE (add/rename-only ranges) stay purely
+    // positional, so a rename-only range never consults names.
     def upgradeNested(e: FileEntry, srcSchema: StructType): Seq[Int] = {
       val srcTypes = srcSchema.fields.map(_.dataType)
       if (srcTypes.sameElements(tgtTypes)) e.nested
       else {
         val arity = if (e.cols > 0) e.cols else srcSchema.size
-        val byOrd = e.nested.map(m => nestedOrd(m) -> m).toMap
         val n = math.min(math.min(arity, srcTypes.length), tgtTypes.length)
-        (0 until n).flatMap { o =>
+        val passthrough = e.nested.filter(m => nestedOrd(m) >= n)
+        passthrough ++ (0 until n).flatMap { o =>
+          val own = e.nested.filter(m => nestedOrd(m) == o)
           (srcTypes(o), tgtTypes(o)) match {
             case (s1: StructType, s2: StructType) =>
-              val phys = byOrd.get(o).map(nestedArity).getOrElse(s1.size)
-              if (phys >= s2.size) None
-              else Some(packNested(o, phys))
-            case _ => None
+              val ownSkips = own.collect {
+                case m if nestedIsSkip(m) => nestedPhys(m)
+              }.sorted
+              val ownWidens = own.collect {
+                case m if nestedIsWiden(m) => nestedPhys(m)
+              }.toSet
+              val physCount = own.collectFirst {
+                case m if nestedIsPad(m) => nestedArity(m)
+              }.getOrElse(s1.size + ownSkips.size)
+              val prefixExt = s1.size <= s2.size &&
+                s2.fields.take(s1.size).map(_.dataType)
+                  .sameElements(s1.fields.map(_.dataType))
+              val (skips, widens, srcOf) =
+                if (prefixExt)
+                  (ownSkips, ownWidens,
+                    (j: Int) => if (j < s1.size) Some(j) else None)
+                else {
+                  val tgtNames = s2.fieldNames.toSet
+                  val survivors = s1.fields.map(_.name).filter(tgtNames)
+                  if (survivors.toSeq !=
+                      s2.fieldNames.take(survivors.length).toSeq)
+                    throw new IllegalArgumentException(
+                      s"change range v$fromV..v$toV crosses a nested " +
+                        s"struct change at ordinal $o that is not an " +
+                        "add/drop/widen composition (e.g. a rename " +
+                        "together with a drop) — split the feed at the " +
+                        "evolving commit")
+                  val dropped = s1.fields.zipWithIndex
+                    .filterNot(f => tgtNames(f._1.name)).map(_._2)
+                  val sk = (ownSkips ++
+                    dropped.map(li => nestedPhysOf(li, ownSkips))
+                      .filter(_ < physCount)).distinct.sorted
+                  val srcIdxOf = (j: Int) =>
+                    if (j < survivors.length)
+                      Some(s1.fieldIndex(survivors(j)))
+                    else None
+                  (sk, ownWidens, srcIdxOf)
+                }
+              val newWidens = (0 until s2.size).flatMap { j =>
+                srcOf(j).flatMap { li =>
+                  val phys = nestedPhysOf(li, ownSkips)
+                  if (phys >= physCount) None
+                  else {
+                    val bytesType =
+                      if (ownWidens(phys)) LongType else s1.fields(li).dataType
+                    (bytesType, s2.fields(j).dataType) match {
+                      case (a, b) if a == b => None
+                      case (LongType, DoubleType) => Some(phys)
+                      case (a, b) => throw new IllegalArgumentException(
+                        s"change range v$fromV..v$toV crosses a nested " +
+                          s"non-widening type change at ordinal $o field " +
+                          s"$j ($a -> $b) — split the feed at the " +
+                          "evolving commit")
+                    }
+                  }
+                }
+              }.toSet ++ widens.filter(_ < physCount)
+              // physical positions the target no longer reads at all
+              val skipMarkers = skips.map(p => packNestedSkip(o, p))
+              val widenMarkers = newWidens.toSeq.sorted
+                .map(p => packNestedWiden(o, p))
+              // pin the byte count whenever it differs from what the
+              // reader would infer (tgt width + skips)
+              val pad =
+                if (physCount != s2.size + skips.length)
+                  Seq(packNested(o, physCount))
+                else Seq.empty
+              (pad ++ skipMarkers ++ widenMarkers).sortBy(m => (nestedOrd(m), m))
+            case _ => own
           }
         }
       }
@@ -5855,67 +6098,136 @@ private[sources] abstract class GraftDelegatingRow extends InternalRow {
     target.get(ordinal, dataType)
 }
 
-/** View of a nested struct whose bytes carry FEWER fields than the scan
-  * schema's struct type: fields below the file's arity delegate, fields
-  * beyond answer null — the nested analogue of the top-level tail pad
-  * (a JoinedRow can't do it: a nested UnsafeRow's field count is baked
-  * into its bytes). */
-private[sources] final class GraftStructPadView(arity: Int)
+/** View of a nested struct whose bytes differ from the scan schema's
+  * struct type (the nested analogue of the top-level tail pad — a
+  * JoinedRow can't do it: a nested UnsafeRow's field count is baked
+  * into its bytes):
+  *   - logical positions map PAST skipped physical fields (dropped
+  *     subfields whose bytes remain);
+  *   - positions mapping at or beyond the bytes' field count
+  *     (`physCount`) answer null (nested ADD pad);
+  *   - widened physical positions hold longs the schema reads as
+  *     doubles — converted on access.
+  * `skips` ascending physical positions; `widens` physical positions. */
+private[sources] final class GraftStructEvolveView(
+    val skips: Array[Int], widens: Array[Int])
   extends GraftDelegatingRow {
+  import org.apache.spark.sql.types.{DataType, Decimal, DoubleType, StructType}
+  import org.apache.spark.unsafe.types.{CalendarInterval, UTF8String, VariantVal}
   var base: InternalRow = _
+  var physCount: Int = 0
   override protected def target: InternalRow = base
-  override def numFields: Int = arity // scan-schema struct width is larger
-  override def isNullAt(ordinal: Int): Boolean =
-    ordinal >= arity || base.isNullAt(ordinal)
-  override def getStruct(ordinal: Int, numFields: Int): InternalRow =
-    if (ordinal >= arity) null else base.getStruct(ordinal, numFields)
-  override def get(ordinal: Int, dataType: org.apache.spark.sql.types.DataType): AnyRef =
-    if (ordinal >= arity) null else base.get(ordinal, dataType)
+  /** Logical position i → physical position (insert-offset past skips). */
+  private def phys(i: Int): Int = {
+    var p = i
+    var k = 0
+    while (k < skips.length && skips(k) <= p) { p += 1; k += 1 }
+    p
+  }
+  private def widened(p: Int): Boolean = {
+    var k = 0
+    while (k < widens.length) { if (widens(k) == p) return true; k += 1 }
+    false
+  }
+  override def numFields: Int = physCount
+  override def isNullAt(i: Int): Boolean = {
+    val p = phys(i); p >= physCount || base.isNullAt(p)
+  }
+  override def getBoolean(i: Int): Boolean = base.getBoolean(phys(i))
+  override def getByte(i: Int): Byte = base.getByte(phys(i))
+  override def getShort(i: Int): Short = base.getShort(phys(i))
+  override def getInt(i: Int): Int = base.getInt(phys(i))
+  override def getLong(i: Int): Long = base.getLong(phys(i))
+  override def getFloat(i: Int): Float = base.getFloat(phys(i))
+  override def getDouble(i: Int): Double = {
+    val p = phys(i)
+    if (widened(p)) base.getLong(p).toDouble else base.getDouble(p)
+  }
+  override def getDecimal(i: Int, precision: Int, scale: Int): Decimal =
+    base.getDecimal(phys(i), precision, scale)
+  override def getUTF8String(i: Int): UTF8String = base.getUTF8String(phys(i))
+  override def getBinary(i: Int): Array[Byte] = base.getBinary(phys(i))
+  override def getInterval(i: Int): CalendarInterval = base.getInterval(phys(i))
+  override def getVariant(i: Int): VariantVal = base.getVariant(phys(i))
+  override def getStruct(i: Int, numFields: Int): InternalRow = {
+    val p = phys(i)
+    if (p >= physCount) null else base.getStruct(p, numFields)
+  }
+  override def getArray(i: Int): org.apache.spark.sql.catalyst.util.ArrayData =
+    base.getArray(phys(i))
+  override def getMap(i: Int): org.apache.spark.sql.catalyst.util.MapData =
+    base.getMap(phys(i))
+  override def get(i: Int, dataType: DataType): AnyRef = {
+    val p = phys(i)
+    if (p >= physCount) null
+    else dataType match {
+      case DoubleType if widened(p) =>
+        java.lang.Double.valueOf(base.getLong(p).toDouble)
+      case s: StructType => base.getStruct(p, s.size)
+      case _ => base.get(p, dataType)
+    }
+  }
   override def copy(): InternalRow = {
-    val c = new GraftStructPadView(arity)
+    val c = new GraftStructEvolveView(skips, widens)
+    c.physCount = physCount
     c.base = base.copy()
     c
   }
 }
 
 /** Top row wrapper for files carrying `nested` markers: getStruct on a
-  * marked ordinal reads the nested bytes at the FILE's struct arity and
-  * serves the scan type's trailing fields as null through
-  * [[GraftStructPadView]]; every other access delegates. One instance
-  * per reader, reused per row (views are reused too — consumers that
-  * retain a row call copy(), which deep-copies through). */
-private[sources] final class GraftNestedPadRow(pads: Array[Int])
+  * marked ordinal reads the nested bytes at the FILE's physical arity
+  * (the pad marker's recorded count, else the scan width plus the
+  * file's skips) and serves the evolved view through
+  * [[GraftStructEvolveView]]; every other access delegates. One
+  * instance per reader, reused per row (views are reused too —
+  * consumers that retain a row call copy(), which deep-copies
+  * through). */
+private[sources] final class GraftNestedPadRow(markers: Array[Int])
   extends GraftDelegatingRow {
   var target: InternalRow = _
-  // pads: packNested(ord, arity), sorted by ordinal; views parallel
-  private val views = pads.map(m =>
-    new GraftStructPadView(GraftStore.nestedArity(m)))
-  private def padIdx(ordinal: Int): Int = {
+  private val ords: Array[Int] =
+    markers.map(GraftStore.nestedOrd).distinct.sorted
+  // -1 = no pad marker: the bytes carry every current field plus skips
+  private val padArity: Array[Int] = ords.map { o =>
+    markers.find(m => GraftStore.nestedIsPad(m) && GraftStore.nestedOrd(m) == o)
+      .map(GraftStore.nestedArity).getOrElse(-1)
+  }
+  private val views: Array[GraftStructEvolveView] = ords.map { o =>
+    new GraftStructEvolveView(
+      markers.filter(m => GraftStore.nestedIsSkip(m) && GraftStore.nestedOrd(m) == o)
+        .map(GraftStore.nestedPhys).sorted,
+      markers.filter(m => GraftStore.nestedIsWiden(m) && GraftStore.nestedOrd(m) == o)
+        .map(GraftStore.nestedPhys))
+  }
+  private def idx(ordinal: Int): Int = {
     var i = 0
-    while (i < pads.length) {
-      if (GraftStore.nestedOrd(pads(i)) == ordinal) return i
+    while (i < ords.length) {
+      if (ords(i) == ordinal) return i
       i += 1
     }
     -1
   }
   override def getStruct(ordinal: Int, numFields: Int): InternalRow = {
-    val i = padIdx(ordinal)
+    val i = idx(ordinal)
     if (i < 0) target.getStruct(ordinal, numFields)
     else if (target.isNullAt(ordinal)) null
     else {
       val v = views(i)
-      v.base = target.getStruct(ordinal, GraftStore.nestedArity(pads(i)))
+      v.physCount =
+        if (padArity(i) >= 0) padArity(i) else numFields + v.skips.length
+      v.base = target.getStruct(ordinal, v.physCount)
       v
     }
   }
   override def get(ordinal: Int, dataType: org.apache.spark.sql.types.DataType): AnyRef =
     dataType match {
-      case s: org.apache.spark.sql.types.StructType if padIdx(ordinal) >= 0 =>
+      case s: org.apache.spark.sql.types.StructType if idx(ordinal) >= 0 =>
         getStruct(ordinal, s.size)
       case _ => target.get(ordinal, dataType)
     }
   override def copy(): InternalRow = {
-    val c = new GraftNestedPadRow(pads)
+    val c = new GraftNestedPadRow(markers)
     c.target = target.copy()
     c
   }

@@ -703,4 +703,94 @@ class GraftStoreEvolveSpec extends SparkSuite {
     GraftStore.widenColumn(t4, "k", DoubleType) // marker chain, no stats gate
     assert(readT(t4).schema("k").dataType == DoubleType)
   }
+
+  test("nested DROP + WIDEN long->double: metadata-only skips/converts at read, composes with ADD, CDF crosses, refusals") {
+    import org.apache.spark.sql.types.{DoubleType, LongType, StructType}
+    val root = graft.ops.Util.managedTempDir("graft_ev_nest2_")
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.catalog.gnd2", "graft.sources.GraftCatalog")
+    s2.conf.set("spark.sql.catalog.gnd2.root", root)
+    s2.sql("""CREATE TABLE gnd2.t AS
+      |SELECT id, named_struct('a', id * 10, 'b', id * 2, 'c', concat('c', id)) AS meta
+      |FROM range(0, 20)""".stripMargin) // v1: a bigint, b bigint, c string
+    val t = s"$root/t"
+    val before = dataBytes(t)
+    // WIDEN b long->double: metadata-only, old long bytes convert at read
+    s2.sql("ALTER TABLE gnd2.t ALTER COLUMN meta.b TYPE DOUBLE") // v2
+    assert(dataBytes(t) == before, "nested widen must not touch data files")
+    assert(readT(t).schema("meta").dataType.asInstanceOf[StructType]("b")
+      .dataType == DoubleType)
+    assert(s2.sql("SELECT sum(meta.b) FROM gnd2.t").collect()(0).getDouble(0)
+      == (0L until 20L).map(_ * 2).sum.toDouble)
+    // post-widen appends carry native doubles
+    s2.sql("""INSERT INTO gnd2.t
+      |SELECT id, named_struct('a', id * 10, 'b', CAST(id AS DOUBLE) * 2.5,
+      |                        'c', concat('c', id)) AS meta
+      |FROM range(20, 30)""".stripMargin) // v3
+    // DROP the leading subfield: positional skip, bytes untouched
+    val preDrop = dataBytes(t)
+    s2.sql("ALTER TABLE gnd2.t DROP COLUMN meta.a") // v4
+    assert(dataBytes(t) == preDrop, "nested drop must not touch data files")
+    assert(readT(t).schema("meta").dataType.asInstanceOf[StructType]
+      .fieldNames.toSeq == Seq("b", "c"))
+    // reads map past the dropped bytes: b still converts, c still reads
+    val r1 = s2.sql(
+      "SELECT count(*) AS n, sum(meta.b) AS sb, count(meta.c) AS nc FROM gnd2.t")
+      .collect()(0)
+    assert(r1.getLong(0) == 30 && r1.getLong(2) == 30)
+    assert(r1.getDouble(1) ==
+      (0L until 20L).map(_ * 2.0).sum + (20L until 30L).map(_ * 2.5).sum)
+    // ADD after DROP: pad arity records the BYTES' count (incl. dropped)
+    s2.sql("ALTER TABLE gnd2.t ADD COLUMN meta.d STRING") // v5
+    val es = GraftStore.readManifest(t).get._2
+    assert(es.forall(e => e.nested.exists(m =>
+      GraftStore.nestedIsPad(m) && GraftStore.nestedArity(m) == 3)),
+      es.map(_.nested).toString)
+    s2.sql("""INSERT INTO gnd2.t
+      |SELECT id, named_struct('b', CAST(id AS DOUBLE) * 2.5,
+      |                        'c', concat('c', id), 'd', concat('d', id)) AS meta
+      |FROM range(30, 40)""".stripMargin) // v6: native (b, c, d)
+    val mixed = s2.sql(
+      """SELECT meta.d IS NULL AS pad, count(*) AS n, sum(meta.b) AS sb
+        |FROM gnd2.t GROUP BY 1 ORDER BY 1""".stripMargin).collect()
+      .map(r => (r.getBoolean(0), r.getLong(1), r.getDouble(2)))
+    assert(mixed.toSeq == Seq(
+      (false, 10L, (30L until 40L).map(_ * 2.5).sum),
+      (true, 30L, (0L until 20L).map(_ * 2.0).sum + (20L until 30L).map(_ * 2.5).sum)),
+      mixed.mkString(", "))
+    // filters reach inside the evolved struct on every file generation
+    // (v1 rows: b = 2*id < 20 for id < 10; v3/v6 ids start at 20, none)
+    assert(s2.sql("SELECT count(*) FROM gnd2.t WHERE meta.b < 20")
+      .collect()(0).getLong(0) == 10)
+    // CDF from 0 crosses widen+drop+add: every old image emits under the
+    // FINAL struct (a gone, b double, d null)
+    val feed = s2.read.format("graft.sources.GraftStore").option("path", t)
+      .option("changesFrom", "0").load()
+      .selectExpr("_commit_version AS v", "meta.b AS b", "meta.d AS d")
+    val byV = feed.groupBy("v").count().collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(byV == Map(1L -> 20L, 3L -> 10L, 6L -> 10L), byV.toString)
+    assert(feed.selectExpr("sum(b)").collect()(0).getDouble(0) ==
+      (0L until 20L).map(_ * 2.0).sum + (20L until 40L).map(_ * 2.5).sum)
+    assert(feed.filter("d IS NOT NULL").count() == 10)
+    // compaction preserves marker groups; content invariant
+    GraftStore.compact(s2, t, Long.MaxValue)
+    assert(s2.sql("SELECT count(*), sum(meta.b) FROM gnd2.t").collect()(0)
+      .getDouble(1) == (0L until 20L).map(_ * 2.0).sum +
+        (20L until 40L).map(_ * 2.5).sum)
+    // time travel: pre-evolve snapshot reads the ORIGINAL struct
+    val v1s = readT(t, versionAsOf = 1L).schema("meta").dataType
+      .asInstanceOf[StructType]
+    assert(v1s.fieldNames.toSeq == Seq("a", "b", "c") &&
+      v1s("b").dataType == LongType)
+    // refusal matrix: widen a non-long field, narrow back, drop the
+    // struct's only field, drop a top-level column
+    intercept[Exception](
+      s2.sql("ALTER TABLE gnd2.t ALTER COLUMN meta.c TYPE DOUBLE"))
+    intercept[Exception](
+      s2.sql("ALTER TABLE gnd2.t ALTER COLUMN meta.b TYPE BIGINT"))
+    s2.sql("CREATE TABLE gnd2.one AS SELECT named_struct('x', 1) AS m")
+    intercept[Exception](s2.sql("ALTER TABLE gnd2.one DROP COLUMN m.x"))
+    intercept[Exception](s2.sql("ALTER TABLE gnd2.t DROP COLUMN id"))
+  }
 }
