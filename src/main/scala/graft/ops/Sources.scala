@@ -759,6 +759,60 @@ object Sources {
       .orderBy($"cell")
   }
 
+  /** Predicate-restatement table dirs already written this JVM. */
+  private val restatePredWritten = new java.util.concurrent.ConcurrentHashMap[String, String]
+
+  /** PREDICATE-SCOPED STREAMING RESTATEMENT (round 16) — foreachBatch +
+    * static REPLACE WHERE on a KEYED slice, not a partition: where
+    * q_stream_restate replaces whole partitions via dynamic overwrite,
+    * this table is UNPARTITIONED and each micro-batch replaces exactly
+    * the key slice it carries with `writeTo(t).overwrite(grp = g)` —
+    * decidable from file stats alone because every batch's files are
+    * single-valued on the key (batches carry one group), so the
+    * tri-state prover marks each existing file AllRows or NoRows with
+    * zero data I/O. A slice the stats can't prove refuses loudly
+    * instead of part-replacing (pinned with the REPLACE WHERE
+    * undecidable case in GraftStoreSpec). Re-delivered groups converge
+    * to their LAST delivery — the arbitrary-slice backfill shape
+    * ("recompute these keys") that partition-grained restatement can't
+    * express without a layout change. */
+  val qStreamRestatePred: Q = (s, dir) => {
+    import s.implicits._
+    val path = restatePredWritten.computeIfAbsent(s"${Util.sessionKey(s)}:$dir", _ => {
+      val s2 = s.newSession()
+      val root = Util.managedTempDir("graft_restatep_")
+      s2.conf.set("spark.sql.catalog.gsp", "graft.sources.GraftCatalog")
+      s2.conf.set("spark.sql.catalog.gsp.root", root)
+      s2.sql("CREATE TABLE gsp.t (id BIGINT, grp BIGINT, val DOUBLE)")
+      val q = s2.readStream.format("graft.sources.SynthSource")
+        .option("rows", "20480").option("slices", "1")
+        .option("microBatchRows", "4096")
+        .load()
+        .selectExpr("id", "(id DIV 4096) % 3 AS grp", "val")
+        .writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          import org.apache.spark.sql.functions.col
+          // the replaced slice is derived FROM the batch content: one
+          // group per batch by construction; a one-row driver read of
+          // the key, never the data
+          val g = batch.select("grp").head.getLong(0)
+          batch.select("id", "grp", "val")
+            .writeTo("gsp.t").overwrite(col("grp") === g)
+          ()
+        }
+        .option("checkpointLocation", Util.managedTempDir("graft_restatep_ckpt_"))
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      s"$root/t"
+    })
+    s.read.format("graft.sources.GraftStore").option("path", path).load()
+      .groupBy($"grp")
+      .agg(count(lit(1)).as("n"), sum($"id").as("sum_id"),
+        round(sum($"val"), 4).as("sum_val"),
+        min($"id").as("lo"), max($"id").as("hi"))
+      .orderBy($"grp")
+  }
+
   /** Check-constraint table dirs already written this JVM. */
   private val checkWritten = new java.util.concurrent.ConcurrentHashMap[String, String]
 
@@ -4116,6 +4170,7 @@ object Sources {
     "q_store_replace_where" -> qStoreReplaceWhere,
     "q_store_check" -> qStoreCheck,
     "q_stream_restate" -> qStreamRestate,
+    "q_stream_restate_pred" -> qStreamRestatePred,
     "q_store_incremental" -> qStoreIncremental,
     "q_store_history" -> qStoreHistory,
     "q_store_expire_age" -> qStoreExpireAge,
@@ -5052,6 +5107,19 @@ object Sources {
         | round(sum(CAST(id * 37 % 1000 AS DOUBLE)), 4) AS sum_val,
         | min(id) AS lo, max(id) AS hi
         |FROM f GROUP BY cell ORDER BY cell""".stripMargin,
+    // keyed-slice restatement converges to the LAST delivery per group
+    // (same cycle as the partition form: groups 0,1 re-delivered)
+    "q_stream_restate_pred" ->
+      """WITH f AS (
+        |  SELECT unnest(range(12288, 16384)) AS id, CAST(0 AS BIGINT) AS grp
+        |  UNION ALL
+        |  SELECT unnest(range(16384, 20480)), CAST(1 AS BIGINT)
+        |  UNION ALL
+        |  SELECT unnest(range(8192, 12288)), CAST(2 AS BIGINT))
+        |SELECT grp, count(*) AS n, CAST(sum(id) AS BIGINT) AS sum_id,
+        | round(sum(CAST(id * 37 % 1000 AS DOUBLE)), 4) AS sum_val,
+        | min(id) AS lo, max(id) AS hi
+        |FROM f GROUP BY grp ORDER BY grp""".stripMargin,
     // CHECK constraint lifecycle: the conforming insert is the whole
     // content (the violating one refused — counted), so the aggregate
     // replays from source parquet with violations_refused pinned to 1

@@ -69,6 +69,32 @@ class GraftExtensionsSpec extends SparkSuite {
       Seq((1, 30.0), (1, 20.0), (2, 15.0), (2, 5.0)))
   }
 
+  test("injected analyzer/optimizer rules cost < 5ms per query analysis (r15 verdict measurement pin)") {
+    // the r15 VERDICT asked whether the hint-batch rules (GraftViewRules,
+    // GraftTableChangesRule) tax every query's analysis. They run only in
+    // extension sessions (the shared Bench session never installs them),
+    // but even where installed the no-match traversal must stay ~free:
+    // analyze a representative multi-operator query N times in the
+    // extension session and the plain session and bound the delta.
+    def analyzeOnce(s: SparkSession): Unit = {
+      val df = s.range(0, 10).selectExpr("id AS k", "id * 2 AS v")
+        .groupBy("k").count().filter("count > 0").orderBy("k")
+      df.queryExecution.optimizedPlan // force analysis + optimization
+      ()
+    }
+    def timed(s: SparkSession, n: Int): Double = {
+      (1 to 20).foreach(_ => analyzeOnce(s)) // warm
+      val t0 = System.nanoTime()
+      (1 to n).foreach(_ => analyzeOnce(s))
+      (System.nanoTime() - t0) / 1e6 / n
+    }
+    val plainMs = timed(spark, 200)
+    val extMs = timed(ext, 200)
+    info(f"analysis per query: plain $plainMs%.3f ms, extensions $extMs%.3f ms")
+    assert(extMs - plainMs < 5.0,
+      f"injected rules cost ${extMs - plainMs}%.3f ms/query (budget 5ms)")
+  }
+
   test("as-of join plans via the injected strategy (no experimental hook)") {
     import ext.implicits._
     val left = Seq((1L, 100L, "p1"), (2L, 10L, "p2")).toDF("k", "t", "pid")
