@@ -115,8 +115,73 @@ object Extras {
       |ORDER BY o_totalprice DESC, o_orderkey
       |LIMIT 20""".stripMargin
 
+  /** TPC-H Q1 pricing summary (round 16), adapted to the fixture: the
+    * classic full-scan multi-aggregate report. Charge (the triple
+    * decimal product) is deliberately omitted — (18,4)^3 exceeds both
+    * engines' 38-digit cap and their precision-loss rules differ, so it
+    * cannot be made hash-deterministic; averages are computed as
+    * exact-decimal sums cast to double over bigint counts (one IEEE
+    * divide, identical on both engines). */
+  private val sqlQ1 =
+    """SELECT l_returnflag, l_linestatus,
+      | CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+      | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base,
+      | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS sum_disc,
+      | CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / count(*) AS avg_qty,
+      | CAST(sum(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) / count(*) AS avg_disc,
+      | count(*) AS n_items
+      |FROM lineitem
+      |WHERE l_shipdate <= TIMESTAMP '2001-09-01'
+      |GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  /** TPC-H Q3 shipping priority, adapted: orders carries
+    * o_orderpriority (no o_shippriority in the fixture). */
+  private val sqlQ3 =
+    """SELECT o_orderkey, o_orderdate, o_orderpriority,
+      | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS revenue
+      |FROM customer
+      | JOIN orders ON c_custkey = o_custkey
+      | JOIN lineitem ON l_orderkey = o_orderkey
+      |WHERE c_mktsegment = 'BUILDING'
+      |  AND o_orderdate < TIMESTAMP '1997-01-01'
+      |  AND l_shipdate > TIMESTAMP '1997-01-01'
+      |GROUP BY o_orderkey, o_orderdate, o_orderpriority
+      |ORDER BY revenue DESC, o_orderkey
+      |LIMIT 10""".stripMargin
+
+  /** TPC-H Q6 forecasting revenue change: the canonical
+    * scan+filter+aggregate — everything pushes to the parquet scan. */
+  private val sqlQ6 =
+    """SELECT
+      | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+      | count(*) AS n_items
+      |FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      |  AND l_shipdate < TIMESTAMP '1997-01-01'
+      |  AND l_discount BETWEEN 0.05 AND 0.07
+      |  AND l_quantity < 24""".stripMargin
+
+  /** TPC-H Q14 promotion effect, adapted (p_type is a flat enum in the
+    * fixture, so equality replaces LIKE 'PROMO%'); FILTER-clause
+    * conditional aggregation runs identically on both engines. */
+  private val sqlQ14 =
+    """SELECT
+      | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4))))
+      |   FILTER (WHERE p_type = 'PROMO') AS DOUBLE) AS promo_revenue,
+      | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS total_revenue,
+      | count(*) AS n_items
+      |FROM lineitem
+      | JOIN part ON l_partkey = p_partkey
+      |WHERE l_shipdate >= TIMESTAMP '1996-09-01'
+      |  AND l_shipdate < TIMESTAMP '1996-10-01'""".stripMargin
+
+  val qSqlQ1: Q = (s, dir) => { views(s, dir); s.sql(sqlQ1) }
+  val qSqlQ3: Q = (s, dir) => { views(s, dir); s.sql(sqlQ3) }
   val qSqlQ5: Q = (s, dir) => { views(s, dir); s.sql(sqlQ5) }
+  val qSqlQ6: Q = (s, dir) => { views(s, dir); s.sql(sqlQ6) }
   val qSqlQ10: Q = (s, dir) => { views(s, dir); s.sql(sqlQ10) }
+  val qSqlQ14: Q = (s, dir) => { views(s, dir); s.sql(sqlQ14) }
   val qSqlQ18: Q = (s, dir) => { views(s, dir); s.sql(sqlQ18) }
 
   val qSqlCorrelated: Q = (s, dir) => { views(s, dir); s.sql(sqlCorrelated) }
@@ -497,8 +562,12 @@ object Extras {
     "q_mv_choose" -> qMvChoose,
     "q_mv_join" -> qMvJoin,
     "q_mv_incr" -> qMvIncr,
+    "q_sql_q1" -> qSqlQ1,
+    "q_sql_q3" -> qSqlQ3,
     "q_sql_q5" -> qSqlQ5,
+    "q_sql_q6" -> qSqlQ6,
     "q_sql_q10" -> qSqlQ10,
+    "q_sql_q14" -> qSqlQ14,
     "q_sql_q18" -> qSqlQ18,
     "q_sql_timerange" -> qSqlTimerange,
     "q_sql_correlated" -> qSqlCorrelated,
@@ -512,8 +581,12 @@ object Extras {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q_sql_q1" -> sqlQ1,
+    "q_sql_q3" -> sqlQ3,
     "q_sql_q5" -> sqlQ5,
+    "q_sql_q6" -> sqlQ6,
     "q_sql_q10" -> sqlQ10,
+    "q_sql_q14" -> sqlQ14,
     "q_sql_q18" -> sqlQ18,
     "q_sql_timerange" -> sqlTimerange,
     "q_sql_correlated" -> sqlCorrelated,
