@@ -660,6 +660,48 @@ object Sources {
       .orderBy($"l_returnflag")
   }
 
+  /** Scoped-compaction table dirs already written this JVM. */
+  private val optWhereWritten = new java.util.concurrent.ConcurrentHashMap[String, String]
+
+  /** PREDICATE-SCOPED OPTIMIZE (round 16) — `CALL compact_where('t',
+    * bytes, 'pri = 2')`: bin-pack ONLY the files the manifest stats
+    * PROVE entirely inside the predicate, the
+    * compact-yesterday's-partition maintenance shape (on a 100 TB table
+    * nobody compacts the whole thing; they compact the slice the last
+    * ingest fragmented). Out-of-scope and stats-undecidable files stay
+    * byte-identical in place — pinned at the file level in
+    * GraftProcedureSpec; here the fixture fragments three priority
+    * slices across two appends each, scopes the compaction to one
+    * slice, and the read-back aggregate must be invariant. */
+  val qStoreOptimizeWhere: Q = (s, dir) => {
+    import s.implicits._
+    val root = optWhereWritten.computeIfAbsent(s"${Util.sessionKey(s)}:$dir", _ => {
+      val rt = Util.managedTempDir("graft_optwhere_")
+      val sx = s.newSession()
+      sx.conf.set("spark.sql.catalog.gow", "graft.sources.GraftCatalog")
+      sx.conf.set("spark.sql.catalog.gow.root", rt)
+      val o = table(sx, dir, "orders")
+        .select($"o_orderkey", $"o_totalprice",
+          substring($"o_orderpriority", 1, 1).cast("long").as("pri"))
+      (1 to 3).foreach { p =>
+        (0 to 1).foreach { half =>
+          o.filter($"pri" === p && $"o_orderkey" % 2 === half)
+            .repartition(2)
+            .write.format("graft.sources.GraftStore")
+            .option("path", s"$rt/t").mode("append").save()
+        }
+      }
+      sx.sql("CALL gow.system.compact_where('t', 1073741824, 'pri = 2')")
+        .collect()
+      rt
+    })
+    s.read.format("graft.sources.GraftStore").option("path", s"$root/t").load()
+      .groupBy($"pri")
+      .agg(count(lit(1)).as("n"), sum($"o_orderkey").as("sum_key"),
+        dsum($"o_totalprice").as("sum_price"))
+      .orderBy($"pri")
+  }
+
   /** Dynamic-overwrite table dirs already written this JVM. */
   private val dynOverWritten = new java.util.concurrent.ConcurrentHashMap[String, String]
 
@@ -4165,6 +4207,7 @@ object Sources {
     "q_stream_mirror_eq" -> qStreamMirrorEq,
     "q_stream_txn_sink" -> qStreamTxnSink,
     "q_store_optimize" -> qStoreOptimize,
+    "q_store_optimize_where" -> qStoreOptimizeWhere,
     "q_store_optimize_sort" -> qStoreOptimizeSort,
     "q_store_insert_overwrite" -> qStoreInsertOverwrite,
     "q_store_replace_where" -> qStoreReplaceWhere,
@@ -5093,6 +5136,14 @@ object Sources {
         | CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
         |FROM lineitem GROUP BY l_returnflag
         |ORDER BY l_returnflag""".stripMargin,
+    // scoped compaction must be invisible to results: the same sliced
+    // aggregate straight from source parquet
+    "q_store_optimize_where" ->
+      """SELECT CAST(substring(o_orderpriority, 1, 1) AS BIGINT) AS pri,
+        | count(*) AS n, CAST(sum(o_orderkey) AS BIGINT) AS sum_key,
+        | CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+        |FROM orders WHERE substring(o_orderpriority, 1, 1) IN ('1','2','3')
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     // streaming restatement: each cell converges to its LAST delivery —
     // cell 0 = ids 12288..16383 (batch 3 replaced batch 0), cell 1 =
     // 16384..20479 (batch 4 replaced batch 1), cell 2 = 8192..12287

@@ -135,6 +135,34 @@ private[sources] object GraftProcedures {
     }
   }
 
+  /** `CALL cat.system.compact_where('t', 64*1024*1024, 'pri = 2')` —
+    * predicate-scoped bin-packing (round 16): compacts only the files
+    * the manifest stats PROVE entirely inside the predicate — the
+    * compact-yesterday's-partition maintenance shape (on a 100 TB
+    * table nobody compacts the whole thing; they compact the slice the
+    * last ingest fragmented). Out-of-scope and stats-undecidable files
+    * stay byte-identical in place; an unparseable or non-stats-
+    * evaluable predicate refuses at CALL time. Returns the new
+    * version, or the current one when nothing packed. */
+  private final class CompactWhere(root: String)
+    extends GraftProcedure(root, "compact_where") {
+    override def description(): String =
+      "bin-pack small data files within a stats-provable predicate scope"
+    override def parameters(): Array[ProcedureParameter] = Array(
+      P("table", StringType, "table name under the catalog root"),
+      P("target_bytes", LongType, "max packed file size in bytes"),
+      P("where", StringType, "SQL predicate over top-level columns"))
+    override def run(spark: SparkSession, input: InternalRow): Array[Any] = {
+      val path = tablePath(input)
+      val (schema, _) = GraftStore.readManifest(path).getOrElse(
+        throw new IllegalArgumentException(s"no graft-store table at $path"))
+      val f = GraftStore.v1FilterOf(spark, schema, "compact_where scope",
+        input.getUTF8String(2).toString)
+      val v = GraftStore.compact(spark, path, input.getLong(1), Some(f))
+      Array(if (v < 0) GraftStore.readVersion(path) else v)
+    }
+  }
+
   /** `CALL cat.system.compact_sorted('t', 64*1024*1024, 'k1,k2')` —
     * OPTIMIZE … SORT BY: rewrite the clean data files through a global
     * range-partition + sort on the cluster keys, producing key-disjoint
@@ -414,6 +442,7 @@ private[sources] object GraftProcedures {
   private def all(root: String): Seq[GraftProcedure] = Seq(
     new PurgeDeletes(root), new Restore(root),
     new RestoreToTimestamp(root), new Compact(root),
+    new CompactWhere(root),
     new CompactSorted(root), new ZOrder(root),
     new ExpireSnapshots(root), new ExpireSnapshotsOlderThan(root),
     new BranchCreate(root),
@@ -421,7 +450,7 @@ private[sources] object GraftProcedures {
     new ExpireBranches(root), new BranchExpireSnapshots(root))
 
   def names: Seq[String] = Seq("purge_deletes", "restore",
-    "restore_to_timestamp", "compact",
+    "restore_to_timestamp", "compact", "compact_where",
     "compact_sorted", "zorder",
     "expire_snapshots", "expire_snapshots_older_than", "branch_create",
     "fast_forward", "branch_drop",

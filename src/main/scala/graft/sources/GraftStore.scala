@@ -2243,8 +2243,11 @@ object GraftStore {
     * to v1 filters over statable columns — enforced when the property
     * is SET, so an unenforceable expression is refused at DDL time, not
     * at first write. */
-  private[graft] def checkFilterOf(spark: org.apache.spark.sql.SparkSession,
-      schema: StructType, name: String, sql: String)
+  /** Parse + analyze a SQL predicate against `schema` and translate to
+    * a stats-evaluable v1 Filter; loud refusal naming `what` otherwise.
+    * Shared by CHECK constraints and the scoped-maintenance surface. */
+  private[graft] def v1FilterOf(spark: org.apache.spark.sql.SparkSession,
+      schema: StructType, what: String, sql: String)
       : org.apache.spark.sql.sources.Filter = {
     import org.apache.spark.sql.catalyst.plans.logical.{Filter => LFilter, LocalRelation}
     val attrs = org.apache.spark.sql.catalyst.types.DataTypeUtils.toAttributes(schema)
@@ -2253,11 +2256,17 @@ object GraftStore {
       LFilter(parsed, LocalRelation(attrs)))
     val cond = analyzed.collectFirst { case LFilter(c, _) => c }.getOrElse(
       throw new IllegalArgumentException(
-        s"constraint $name ('$sql') did not analyze to a predicate"))
-    val v1 = toV1Filter(cond).getOrElse(
+        s"$what ('$sql') did not analyze to a predicate"))
+    toV1Filter(cond).getOrElse(
       throw new IllegalArgumentException(
-        s"constraint $name ('$sql') is not stats-enforceable — use " +
+        s"$what ('$sql') is not stats-evaluable — use " +
           "comparisons/IN/AND/OR/NOT over top-level columns"))
+  }
+
+  private[graft] def checkFilterOf(spark: org.apache.spark.sql.SparkSession,
+      schema: StructType, name: String, sql: String)
+      : org.apache.spark.sql.sources.Filter = {
+    val v1 = v1FilterOf(spark, schema, s"constraint $name", sql)
     // SQL CHECK semantics: a row passes unless the predicate evaluates
     // FALSE — i.e. the file must prove `pred IS NOT FALSE` for every
     // row. Widening is therefore structural, not blanket: a comparison
@@ -3150,8 +3159,16 @@ object GraftStore {
     * — its files survive GC until [[expireSnapshots]] — so OPTIMIZE is
     * content-invisible AND history-preserving. Returns the new snapshot
     * version, or -1 if nothing needed rewriting. */
+  /** Bin-pack small files. `scope` (round 16) restricts the rewrite to
+    * files the stats PROVE entirely inside the predicate — the
+    * compact-yesterday's-partition maintenance shape: on a 100 TB table
+    * nobody compacts the whole thing, they compact the slice the last
+    * ingest fragmented. Files the stats can't decide are simply left
+    * alone (compaction is an optimization; skipping is semantically
+    * free — unlike REPLACE WHERE there is nothing to refuse). */
   private[graft] def compact(spark: org.apache.spark.sql.SparkSession,
-      path: String, targetBytes: Long): Long = {
+      path: String, targetBytes: Long,
+      scope: Option[org.apache.spark.sql.sources.Filter] = None): Long = {
     val (base, latest) = readLatestVersioned(path)
     val (schema, entries) = latest.getOrElse(
       throw new IllegalArgumentException(s"no graft-store table at $path"))
@@ -3164,8 +3181,15 @@ object GraftStore {
     val eqDels0 =
       if (base > 0) readEqDeletesOf(new File(path, s"$ManifestName.v$base"))
       else Seq.empty
-    val (dvEntries, packable) = entries.partition(e =>
+    val (dvEntries, packable0) = entries.partition(e =>
       e.dv.nonEmpty || eqDels0.exists(e.addedv < _.seq))
+    // scoped compaction keeps out-of-scope and stats-undecidable files
+    // byte-identical in place
+    val (packable, outOfScope) = scope match {
+      case None => (packable0, Seq.empty[FileEntry])
+      case Some(f) => packable0.partition(e =>
+        StatsPruning.evalAll(Seq(f), e, schema) == StatsPruning.AllRows)
+    }
     // first-fit in manifest order: deterministic, preserves write locality
     val bins = scala.collection.mutable.ArrayBuffer.empty[scala.collection.mutable.ArrayBuffer[FileEntry]]
     var binBytes = 0L
@@ -3207,7 +3231,7 @@ object GraftStore {
           narrow = bin.head.narrow, nested = bin.head.nested)
         case None => bin.head
       }
-    }.toSeq ++ dvEntries
+    }.toSeq ++ outOfScope ++ dvEntries
     val v = writeManifestAtomic(path, base, schema, rewritten, readEpoch(path),
       op = "optimize")
     gcUnreferenced(path, rewritten.flatMap(e =>

@@ -244,6 +244,54 @@ class GraftProcedureSpec extends SparkSuite {
       s2.sql("CALL gproc.system.zorder('zs', 's,i', 2)").collect())
   }
 
+  test("CALL compact_where: only the stats-provable slice packs, out-of-scope bytes untouched, undecidable skipped, refusals") {
+    val path = s"$root/cw"
+    s2.sql("CREATE TABLE gproc.cw (id BIGINT, pri BIGINT)")
+    (0 to 2).foreach { p =>
+      s2.range(p * 1000, p * 1000 + 300)
+        .selectExpr("id", s"CAST($p AS BIGINT) AS pri")
+        .repartition(2).write.format("graft.sources.GraftStore")
+        .option("path", path).mode("append").save()
+    }
+    val before = Option(new File(path, "data").listFiles()).get
+      .map(f => f.getName -> (f.lastModified(), f.length())).toMap
+    assert(before.size == 6)
+    val sumBefore = s2.sql("SELECT sum(id) FROM gproc.cw").collect()(0).getLong(0)
+    val preV = GraftStore.readVersion(path)
+    s2.sql("CALL gproc.system.compact_where('cw', 1000000000, 'pri = 1')")
+      .collect()
+    val es = GraftStore.readManifest(path).get._2
+    assert(es.size == 5, s"${es.size} files (expected 2+1+2)")
+    // the packed file covers exactly the pri-1 slice; every other file
+    // is byte-identical in place
+    val packed = es.filter(_.file.contains("compact-"))
+    assert(packed.size == 1 &&
+      packed.head.stats("pri").min.toLong == 1L &&
+      packed.head.stats("pri").max.toLong == 1L, packed.toString)
+    es.filterNot(_.file.contains("compact-")).foreach { e =>
+      val f = new File(path, e.file)
+      assert(before.get(f.getName).contains((f.lastModified(), f.length())),
+        s"${e.file} touched by an out-of-scope compaction")
+    }
+    assert(s2.sql("SELECT sum(id) FROM gproc.cw").collect()(0).getLong(0)
+      == sumBefore)
+    // maintenance commit: CDF-silent
+    assert(s2.read.format("graft.sources.GraftStore").option("path", path)
+      .option("changesFrom", preV.toString).load().count() == 0)
+    // a scope the stats cannot PROVE for any file is a no-op: id < 150
+    // cuts inside both pri-0 files (ids 0..299 row-hashed across them),
+    // misses pri-1/2 entirely — nothing packs, bytes do not move
+    s2.sql("CALL gproc.system.compact_where('cw', 1000000000, 'id < 150')")
+      .collect()
+    val after2 = GraftStore.readManifest(path).get._2
+    assert(after2.count(_.file.contains("compact-")) == 1,
+      "undecidable slice must not pack anything new")
+    // refusal: non-stats-evaluable predicate
+    intercept[Exception](s2.sql(
+      "CALL gproc.system.compact_where('cw', 1000000000, 'length(CAST(pri AS STRING)) = 1')")
+      .collect())
+  }
+
   test("CALL restore_to_timestamp: latest at-or-before resolution through the commit index; pre-history refuses") {
     val path = freshTable("rts")                       // v1
     s2.sql("INSERT INTO gproc.rts VALUES (9000, 1)")   // v2
