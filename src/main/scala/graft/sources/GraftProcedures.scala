@@ -278,6 +278,35 @@ private[sources] object GraftProcedures {
     }
   }
 
+  /** `CALL cat.system.remove_orphan_files('t', 86400000)` — the Iceberg
+    * maintenance classic (round 16): delete data-directory files
+    * referenced by NO retained snapshot — the residue of failed or
+    * abandoned writes, which no expiry path ever reaches because
+    * nothing points at them. The age guard is mandatory and must be
+    * generous (an in-flight writer's uncommitted output looks exactly
+    * like an orphan until its commit lands); refuse zero/negative ages
+    * rather than default them. Returns the number of files removed. */
+  private final class RemoveOrphanFiles(root: String)
+    extends GraftProcedure(root, "remove_orphan_files") {
+    override def description(): String =
+      "delete data files referenced by no retained snapshot, older than an age"
+    override def parameters(): Array[ProcedureParameter] = Array(
+      P("table", StringType, "table name under the catalog root"),
+      P("older_than_ms", LongType, "only remove orphans at least this old"))
+    override def out: StructType =
+      new StructType().add("removed", LongType, nullable = false)
+    override def run(spark: SparkSession, input: InternalRow): Array[Any] = {
+      val path = tablePath(input)
+      require(GraftStore.readManifest(path).isDefined,
+        s"no graft-store table at $path")
+      val age = input.getLong(1)
+      require(age > 0,
+        "remove_orphan_files needs a positive age — an in-flight writer's " +
+          "uncommitted output looks exactly like an orphan")
+      Array(Long.box(GraftStore.gcUnreferenced(path, Set.empty, age)))
+    }
+  }
+
   /** `CALL cat.system.expire_snapshots('t', 2)` — drop all but the last
     * `keep_last` snapshots (tagged ones pinned) and GC unreferenced
     * files. Returns the retained snapshot count. */
@@ -442,7 +471,7 @@ private[sources] object GraftProcedures {
   private def all(root: String): Seq[GraftProcedure] = Seq(
     new PurgeDeletes(root), new Restore(root),
     new RestoreToTimestamp(root), new Compact(root),
-    new CompactWhere(root),
+    new CompactWhere(root), new RemoveOrphanFiles(root),
     new CompactSorted(root), new ZOrder(root),
     new ExpireSnapshots(root), new ExpireSnapshotsOlderThan(root),
     new BranchCreate(root),
@@ -451,6 +480,7 @@ private[sources] object GraftProcedures {
 
   def names: Seq[String] = Seq("purge_deletes", "restore",
     "restore_to_timestamp", "compact", "compact_where",
+    "remove_orphan_files",
     "compact_sorted", "zorder",
     "expire_snapshots", "expire_snapshots_older_than", "branch_create",
     "fast_forward", "branch_drop",

@@ -3489,8 +3489,15 @@ object GraftStore {
     * grace expires. */
   private[graft] val GcGraceMs = 300000L
 
+  /** Delete data-dir files referenced by NO retained snapshot and not in
+    * `referenced`, skipping files younger than `graceMs` (an in-flight
+    * writer's uncommitted output must never be swept — the same age
+    * guard Iceberg's remove_orphan_files ships with). Returns the
+    * number of files removed. Called internally after compaction/expiry
+    * with the new file set; exposed to operators as
+    * `CALL remove_orphan_files` with an explicit age. */
   private[sources] def gcUnreferenced(path: String, referenced: Set[String],
-      graceMs: Long = GcGraceMs): Unit = {
+      graceMs: Long = GcGraceMs): Long = {
     val retained = snapshotFiles(path)
       .flatMap(f => readManifestFull(f).toSeq.flatMap { case (_, es, eqs) =>
         es.flatMap(e =>
@@ -3501,10 +3508,13 @@ object GraftStore {
     val keep = referenced ++ retained
     val cutoff = System.currentTimeMillis() - graceMs
     val dataDir = new File(path, "data")
+    var removed = 0L
     Option(dataDir.listFiles()).getOrElse(Array.empty).foreach { f =>
-      if (!keep.contains(s"data/${f.getName}") && f.lastModified() <= cutoff)
-        f.delete()
+      if (!keep.contains(s"data/${f.getName}") && f.lastModified() <= cutoff
+          && f.delete())
+        removed += 1
     }
+    removed
   }
 }
 

@@ -317,6 +317,38 @@ class GraftProcedureSpec extends SparkSuite {
       "CALL gproc.system.restore_to_timestamp('rts', 'not-a-time')").collect())
   }
 
+  test("CALL remove_orphan_files: unreferenced old files swept, young orphans and live files kept, refusals") {
+    val path = freshTable("orph")
+    s2.sql("INSERT INTO gproc.orph VALUES (9000, 1)") // second snapshot
+    val live = Option(new File(path, "data").listFiles()).get.map(_.getName).toSet
+    // plant one OLD orphan (a failed write's residue) and one YOUNG one
+    // (an in-flight writer's uncommitted output)
+    val oldOrphan = new File(path, "data/orphan-old.bin")
+    java.nio.file.Files.write(oldOrphan.toPath, Array[Byte](1, 2, 3))
+    assert(oldOrphan.setLastModified(System.currentTimeMillis() - 86400000L))
+    val youngOrphan = new File(path, "data/orphan-young.bin")
+    java.nio.file.Files.write(youngOrphan.toPath, Array[Byte](4, 5))
+    val removed = s2.sql(
+      "CALL gproc.system.remove_orphan_files('orph', 3600000)")
+      .collect()(0).getLong(0)
+    assert(removed == 1L, s"removed $removed")
+    assert(!oldOrphan.exists(), "old orphan must be swept")
+    assert(youngOrphan.exists(), "young orphan must survive the age guard")
+    // every snapshot-referenced file survives; content intact
+    val after = Option(new File(path, "data").listFiles()).get.map(_.getName).toSet
+    assert(live.subsetOf(after), (live -- after).toString)
+    assert(s2.sql("SELECT count(*) FROM gproc.orph").collect()(0).getLong(0) == 301)
+    // time travel to the first snapshot still reads (its files retained)
+    assert(s2.sql("SELECT count(*) FROM gproc.orph VERSION AS OF 1")
+      .collect()(0).getLong(0) == 300)
+    // refusals: zero/negative age, unknown table
+    intercept[Exception](s2.sql(
+      "CALL gproc.system.remove_orphan_files('orph', 0)").collect())
+    intercept[Exception](s2.sql(
+      "CALL gproc.system.remove_orphan_files('nope', 1000)").collect())
+    youngOrphan.delete()
+  }
+
   test("SHOW PROCEDURES lists the surface; DESCRIBE PROCEDURE works; unknown procedure fails loudly") {
     val shown = s2.sql("SHOW PROCEDURES IN gproc.system").collect()
       .map(_.toString).mkString("\n")
