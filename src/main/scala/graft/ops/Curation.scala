@@ -36,7 +36,7 @@ object Curation {
   /** Connected-component labels (node, comp) over the near-dup graph —
     * the reusable core of qDedupConnected, also consumed by the composite
     * curation pipeline (q_pipeline_e2e) as its cluster-keeper stage. */
-  private[ops] def ccLabels(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def ccLabels(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val pairs = cached(LlmOps.nearDupPairs(s, dir).select($"doc_a", $"doc_b"))
     // Hash-min DELTA iteration on co-partitioned RDDs (the Pregel trick,

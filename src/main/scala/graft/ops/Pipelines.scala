@@ -184,6 +184,38 @@ object Pipelines {
       .orderBy($"split")
   }
 
+  /** LEAKAGE-SAFE train/val/test split (round 16) — the eval-integrity
+    * rule every serious pretraining pipeline enforces: a near-duplicate
+    * of a training document must never land in val/test (a doc-keyed
+    * hash split leaks — the model is evaluated on paraphrases of its
+    * training data). The split key is therefore the near-dup CLUSTER
+    * representative (CC over the banded minhash pairs; singleton docs
+    * represent themselves), so whole clusters move atomically: same
+    * deterministic md5-nibble rule as q_pipeline_split, applied to the
+    * representative instead of the doc. Scale shape: the cluster label
+    * table is EDGE-sized (kilobytes per million docs), left-joined onto
+    * the corpus — one broadcast-ish join over the doc table, and the
+    * split column is a pure projection after it. The no-cluster-spans-
+    * splits invariant is pinned in CurationSpec. */
+  val qPipelineSplitSafe: Q = (s, dir) => {
+    import s.implicits._
+    val docs = table(s, dir, "documents").select($"doc_id", $"n_chars")
+    val labels = Curation.ccLabels(s, dir)
+    val nib = substring(md5($"rep".cast("string")), 32, 1)
+    docs.join(labels, docs("doc_id") === labels("node"), "left")
+      .select($"doc_id", $"n_chars",
+        coalesce($"comp", $"doc_id").as("rep"))
+      .withColumn("split",
+        when(nib.isin("c", "d"), "val")
+          .when(nib.isin("e", "f"), "test")
+          .otherwise("train"))
+      .groupBy($"split")
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct($"rep").as("n_clusters"),
+        sum($"doc_id").as("docsum"), sum($"n_chars").as("charsum"))
+      .orderBy($"split")
+  }
+
   /** Incremental aggregate maintenance (materialized-view refresh): the
     * standing daily rollup was built from the OLD events (event_id <
     * 5000); a new batch (event_id >= 5000) arrives, gets its own partial
@@ -306,6 +338,7 @@ object Pipelines {
     "q_pipeline_clean" -> qPipelineClean,
     "q_pipeline_e2e" -> qPipelineE2e,
     "q_pipeline_split" -> qPipelineSplit,
+    "q_pipeline_split_safe" -> qPipelineSplitSafe,
     "q_sample_hash" -> qSampleHash,
     "q_sample_stratified" -> qSampleStratified,
     "q_profile" -> qProfile,
@@ -406,6 +439,30 @@ object Pipelines {
         |SELECT split, count(*) AS n_docs, min(doc_id) AS first_doc,
         | CAST(sum(doc_id) AS BIGINT) AS docsum, CAST(sum(n_chars) AS BIGINT) AS charsum
         |FROM s GROUP BY split ORDER BY split""".stripMargin,
+    // cluster-keyed split: the CC machinery of q_dedup_connected's
+    // oracle resolves each doc's representative, then the same nibble
+    // rule applies to the REPRESENTATIVE
+    "q_pipeline_split_safe" ->
+      s"""WITH RECURSIVE pairs AS (${graft.ops.LlmOps.oracleSql("q_dedup_near")}),
+         |und AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+         |        UNION ALL SELECT doc_b, doc_a FROM pairs),
+         |nodes AS (SELECT DISTINCT a AS node FROM und),
+         |reach AS (SELECT node, node AS r FROM nodes
+         |  UNION
+         |  SELECT u.b AS node, reach.r FROM reach JOIN und u ON u.a = reach.node),
+         |comp AS (SELECT node, min(r) AS cluster FROM reach GROUP BY node),
+         |rep AS (SELECT d.doc_id, d.n_chars,
+         |          COALESCE(c.cluster, d.doc_id) AS rep
+         |        FROM documents d LEFT JOIN comp c ON c.node = d.doc_id),
+         |spl AS (SELECT doc_id, n_chars, rep,
+         |  CASE WHEN substr(md5(CAST(rep AS VARCHAR)), 32, 1) IN ('c','d') THEN 'val'
+         |       WHEN substr(md5(CAST(rep AS VARCHAR)), 32, 1) IN ('e','f') THEN 'test'
+         |       ELSE 'train' END AS split
+         | FROM rep)
+         |SELECT split, count(*) AS n_docs,
+         | CAST(count(DISTINCT rep) AS BIGINT) AS n_clusters,
+         | CAST(sum(doc_id) AS BIGINT) AS docsum, CAST(sum(n_chars) AS BIGINT) AS charsum
+         |FROM spl GROUP BY split ORDER BY split""".stripMargin,
     "q_sample_hash" ->
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
         |WHERE substr(md5(CAST(o_orderkey AS VARCHAR)), 32, 1) IN ('0', '1')

@@ -257,4 +257,42 @@ class CurationSpec extends SparkSuite {
       graft.ops.Util.unpersistRegistered()
     }
   }
+
+  test("q_pipeline_split_safe: no near-dup cluster spans splits; the doc-keyed split WOULD leak on this corpus") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val dir = "/root/testdata/sf0.001"
+    val labels = graft.ops.Curation.ccLabels(spark, dir) // (node, comp)
+    val docs = graft.ops.Util.table(spark, dir, "documents").select($"doc_id")
+    val withRep = docs.join(labels, docs("doc_id") === labels("node"), "left")
+      .select($"doc_id", coalesce($"comp", $"doc_id").as("rep"))
+    def splitOf(keyCol: org.apache.spark.sql.Column) = {
+      val nib = substring(md5(keyCol.cast("string")), 32, 1)
+      when(nib.isin("c", "d"), "val")
+        .when(nib.isin("e", "f"), "test").otherwise("train")
+    }
+    val assigned = withRep.withColumn("split", splitOf($"rep")).cache()
+    try {
+      // the invariant the operator exists for: every cluster lands in
+      // EXACTLY one split
+      val spanning = assigned.groupBy($"rep")
+        .agg(countDistinct($"split").as("ns"))
+        .filter($"ns" > 1).count()
+      assert(spanning == 0, s"$spanning clusters span splits")
+      // non-vacuous: the fixture HAS multi-doc clusters, and at least
+      // one of them would be torn apart by the doc-keyed rule — the
+      // leakage this operator prevents is real on this corpus
+      val multi = assigned.groupBy($"rep").agg(count(lit(1)).as("n"))
+        .filter($"n" > 1).count()
+      assert(multi > 0, "fixture has no multi-doc near-dup cluster")
+      val docKeyedTears = assigned
+        .withColumn("doc_split", splitOf($"doc_id"))
+        .groupBy($"rep")
+        .agg(countDistinct($"doc_split").as("ns"))
+        .filter($"ns" > 1).count()
+      assert(docKeyedTears > 0,
+        "doc-keyed split tears no cluster on this fixture — pin is vacuous")
+      graft.ops.Util.unpersistRegistered()
+    } finally assigned.unpersist()
+  }
 }
