@@ -836,10 +836,12 @@ object Sources {
           import org.apache.spark.sql.functions.col
           // the replaced slice is derived FROM the batch content: one
           // group per batch by construction; a one-row driver read of
-          // the key, never the data
-          val g = batch.select("grp").head.getLong(0)
-          batch.select("id", "grp", "val")
-            .writeTo("gsp.t").overwrite(col("grp") === g)
+          // the key, never the data. An EMPTY micro-batch (some sources
+          // emit one at stream end) restates nothing — guard, don't NPE
+          batch.select("grp").limit(1).collect().headOption.foreach { r =>
+            batch.select("id", "grp", "val")
+              .writeTo("gsp.t").overwrite(col("grp") === r.getLong(0))
+          }
           ()
         }
         .option("checkpointLocation", Util.managedTempDir("graft_restatep_ckpt_"))
