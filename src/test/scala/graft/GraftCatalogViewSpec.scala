@@ -192,6 +192,10 @@ class GraftCatalogViewSpec extends SparkSuite {
     assert(eTs.getMessage.contains("at or after") ||
       (eTs.getCause != null && eTs.getCause.getMessage.contains("at or after")),
       eTs.getMessage)
+    // boundary kinds MIX per position: version from, timestamp to
+    assert(s2.sql(
+      s"SELECT count(*) FROM table_changes('gvtvf.t', 2, '${utc(commits(2L))}')")
+      .head.getLong(0) == 5, "version-from + ts-to must bracket exactly v2")
     // a 2-part call whose qualifier is NOT a graft catalog is never
     // hijacked, even though the string arg would resolve here
     intercept[Exception](s2.sql(

@@ -308,6 +308,50 @@ class PropertySpec extends SparkSuite {
     }
   }
 
+  test("morton_interleave_n: stride spread matches definition for N=2..4; bijective; order-embedding per dimension; codegen == eval") {
+    import graft.functions.MortonInterleaveN.spreadN
+    // definitional check: bit j of dim d lands at j*N + d
+    forAll(Gen.choose(2, 4), Gen.choose(0L, 65535L)) { (n, v) =>
+      val bits = if (n == 4) 15 else 16
+      val vv = v & ((1L << bits) - 1)
+      val expect = (0 until bits).map(j => ((vv >> j) & 1L) << (j * n)).fold(0L)(_ | _)
+      assert(spreadN(vv, n) == expect, s"spreadN($vv, $n)")
+    }
+    // bijectivity + per-dimension order embedding at N=3
+    def m3(a: Long, b: Long, c: Long): Long =
+      spreadN(a, 3) | (spreadN(b, 3) << 1) | (spreadN(c, 3) << 2)
+    forAll(Gen.zip(Gen.choose(0L, 65535L), Gen.choose(0L, 65535L)),
+        Gen.choose(0L, 65535L)) { (ab, c) =>
+      val (a, b) = ab
+      // decode by re-collecting every 3rd bit: the interleave is lossless
+      def lane(m: Long, d: Int): Long =
+        (0 until 16).map(j => ((m >> (j * 3 + d)) & 1L) << j).fold(0L)(_ | _)
+      val m = m3(a, b, c)
+      assert(lane(m, 0) == a && lane(m, 1) == b && lane(m, 2) == c)
+      if (a < 65535L) assert(m3(a + 1, b, c) > m)
+      if (b < 65535L) assert(m3(a, b + 1, c) > m)
+      if (c < 65535L) assert(m3(a, b, c + 1) > m)
+    }
+    // expression eval == codegen == spreadN composition through a real plan
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val df = spark.range(0, 2048).selectExpr(
+      "id % 13 AS a", "(id * 7) % 11 AS b", "(id * 31) % 17 AS c")
+    def viaExpr(cg: Boolean) = {
+      val prev = spark.conf.get("spark.sql.codegen.wholeStage")
+      spark.conf.set("spark.sql.codegen.wholeStage", cg.toString)
+      try df.withColumn("m", org.apache.spark.sql.graft.GraftSql.column(
+          graft.functions.MortonInterleaveN(Seq("a", "b", "c").map(cn =>
+            org.apache.spark.sql.graft.GraftSql.expression(col(cn))))))
+        .orderBy($"a", $"b", $"c").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+      finally spark.conf.set("spark.sql.codegen.wholeStage", prev)
+    }
+    val gen = viaExpr(cg = true)
+    assert(gen == viaExpr(cg = false), "codegen and interpreted eval differ")
+    gen.foreach { case (a, b, c, m) => assert(m == m3(a, b, c)) }
+  }
+
   test("NdvHll: union is commutative/associative/idempotent; estimate tracks cardinality") {
     import graft.sources.GraftStore.NdvHll
     def sketchOf(vs: Seq[Long]): String = {
