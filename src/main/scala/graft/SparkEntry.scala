@@ -40,6 +40,7 @@ object SparkEntry {
     (Multimodal.queries, Multimodal.oracleSql),
     (Sources.queries, Sources.oracleSql),
     (Extras.queries, Extras.oracleSql),
+    (TpcH.queries, TpcH.oracleSql),
     (Stats.queries, Stats.oracleSql),
     (TimeSeries.queries, TimeSeries.oracleSql),
     (Sketches.queries, Sketches.oracleSql),

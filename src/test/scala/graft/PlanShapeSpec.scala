@@ -903,4 +903,56 @@ class PlanShapeSpec extends SparkSuite {
       assert(bad.isEmpty, s"$q plans unpartitioned window(s): $bad")
     }
   }
+
+  // ---- TPC-H completion (round 17): decorrelation + join-shape pins ----
+
+  /** Correlated subqueries surviving optimization would mean per-row
+    * subquery execution at runtime — the one thing the decorrelation
+    * framework must never let through. Collect any SubqueryExpression
+    * with outer attributes anywhere in the optimized tree (including
+    * nested subquery plans). */
+  private def correlatedLeft(name: String): Seq[String] = {
+    import org.apache.spark.sql.catalyst.expressions.SubqueryExpression
+    val opt = SparkEntry.queries(name)(spark, sfDir).queryExecution.optimizedPlan
+    opt.collect { case node =>
+      node.expressions.flatMap(_.collect {
+        case s: SubqueryExpression if s.isCorrelated => s.getClass.getSimpleName
+      })
+    }.flatten
+  }
+
+  test("TPC-H correlated scalar aggregates decorrelate (Q2/Q17/Q20/Q22 — no per-row subquery execution)") {
+    for (q <- Seq("q_sql_q2", "q_sql_q17", "q_sql_q20", "q_sql_q22")) {
+      val left = correlatedLeft(q)
+      assert(left.isEmpty, s"$q kept correlated subqueries after optimization: $left")
+      val p = SparkEntry.queries(q)(spark, sfDir).queryExecution.executedPlan.toString
+      assert(!p.contains("CartesianProduct"), s"$q planned a cartesian:\n$p")
+    }
+  }
+
+  test("TPC-H Q21 plans the EXISTS as a semi join and the NOT EXISTS as an anti join") {
+    val left = correlatedLeft("q_sql_q21")
+    assert(left.isEmpty, s"q_sql_q21 kept correlated subqueries: $left")
+    val p = SparkEntry.queries("q_sql_q21")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("LeftSemi"), s"no semi join in Q21 plan:\n$p")
+    assert(p.contains("LeftAnti"), s"no anti join in Q21 plan:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      s"Q21 degenerated to a quadratic join:\n$p")
+  }
+
+  test("TPC-H Q4's EXISTS with a non-equality outer predicate stays a semi join") {
+    val p = SparkEntry.queries("q_sql_q4")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("LeftSemi"), s"no semi join in Q4 plan:\n$p")
+    assert(!p.contains("CartesianProduct"), s"Q4 planned a cartesian:\n$p")
+  }
+
+  test("TPC-H Q11/Q15's uncorrelated scalar thresholds run once (subquery reuse, no join blowup)") {
+    for (q <- Seq("q_sql_q11", "q_sql_q15")) {
+      val p = SparkEntry.queries(q)(spark, sfDir).queryExecution.executedPlan.toString
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+        s"$q degenerated to a quadratic join:\n$p")
+    }
+  }
 }
