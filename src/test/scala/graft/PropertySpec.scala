@@ -459,4 +459,36 @@ class PropertySpec extends SparkSuite {
       st <= 20L && st + len == 61L && len >= 41L
     }, got.take(5).mkString(", "))
   }
+
+  test("sparse sim (registry default): a planted dominant-term block 4.5x over the cap yields every pair exactly once") {
+    import spark.implicits._
+    // the 100 TB hazard the r17 registry swap closes: a stop-word-ish
+    // dominant term owns a block far beyond the 64-doc salt cap, so the
+    // salted triangular replication must split it into g = ceil(288/64)
+    // = 5 salt cells — and every (a < b) pair must still meet EXACTLY
+    // once (a's salt cell). Corpus construction: 20 `common_i` terms
+    // appear in every doc (idf = 0 -> weight 0, never the argmax);
+    // `planted` appears twice in 288 of 320 docs (positive idf, the
+    // argmax of every doc that has it). All planted docs have the same
+    // tf-idf vector, so each of C(288,2) pairs reports cosine 1.0; the
+    // 32 planted-free docs are all-zero vectors (NaN cosine, filtered).
+    val commons = (1 to 20).map(i => s"common_$i").mkString(" ")
+    val docs = (0L until 320L).map { i =>
+      val text = if (i < 288L) s"planted planted $commons" else commons
+      (i, text)
+    }.toDF("doc_id", "text")
+    val dir = graft.ops.Util.managedTempDir("graft_sparse_skew_")
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = SparkEntry.queries("q_sim_sparse")(spark, dir).collect()
+    assert(got.length == 288 * 287 / 2,
+      s"expected C(288,2)=${288 * 287 / 2} pairs, got ${got.length} — " +
+        "a salt split that loses or duplicates pairs")
+    assert(got.forall(_.getDouble(2) == 1.0),
+      s"identical planted vectors must report cosine 1.0")
+    // and the capped default must agree bit-for-bit with the uncapped
+    // reference on the SAME skewed input, not just on the fixture
+    val ref = graft.ops.LlmOpsExt.qSimSparseUncapped(spark, dir).collect()
+    assert(got.toSeq == ref.toSeq,
+      "capped default diverged from the uncapped reference under skew")
+  }
 }
