@@ -117,6 +117,76 @@ object Bench {
       }
       name -> ts
     }
+    // ---- frozen-control protocol (round 17) ----
+    // A pinned query set re-runs from a FROZEN jar (the r16 HEAD build,
+    // tools/control/graft-control-r16.jar) inside every full capture, so
+    // day-to-day box drift ("ambience") becomes a measured quantity
+    // instead of a third round of attribution stories: bench_diff.py
+    // divides out the control's drift before flagging regressions. The
+    // jar's graft.* classes load child-first from the jar; Spark/Scala
+    // classes resolve to this JVM's loader, so the shared SparkSession
+    // and the returned DataFrames interoperate. The set is the six
+    // drift-flagged text/LM queries plus four stable anchors. Skipped on
+    // filtered (isolated) runs — those are never drift-compared.
+    val controlJar = sys.env.getOrElse("SPARK_GRAFT_CONTROL_JAR",
+      "tools/control/graft-control-r16.jar")
+    val controlSet = Seq(
+      "q_text_bpe_apply", "q_pipeline_incr", "q_text_bigram_lm",
+      "q_text_dupgrams", "q_text_bpe_train", "q_curate_gopher",
+      "q_agg_groupby", "q_sql_q1", "q_join_inner", "q_dedup_near")
+    // filtered (isolated) runs skip the control unless the jar was named
+    // explicitly — isolated numbers are never drift-compared, but an
+    // explicit env opt-in lets a control-only capture run cheaply
+    val control: Seq[(String, Double)] =
+      if (filter.nonEmpty && sys.env.get("SPARK_GRAFT_CONTROL_JAR").isEmpty) Seq.empty
+      else if (!new java.io.File(controlJar).isFile) {
+        System.err.println(s"[bench] control jar $controlJar missing; no control rows")
+        Seq.empty
+      } else try {
+        val loader = new java.net.URLClassLoader(
+            Array(new java.io.File(controlJar).toURI.toURL),
+            getClass.getClassLoader) {
+          override def loadClass(name: String, resolve: Boolean): Class[_] =
+            synchronized {
+              if (name.startsWith("graft.")) {
+                val c = Option(findLoadedClass(name)).getOrElse(findClass(name))
+                if (resolve) resolveClass(c)
+                c
+              } else super.loadClass(name, resolve)
+            }
+        }
+        def module(name: String): AnyRef =
+          java.lang.Class.forName(name + "$", true, loader)
+            .getField("MODULE$").get(null)
+        val entry = module("graft.SparkEntry")
+        val qs = entry.getClass.getMethod("queries").invoke(entry)
+          .asInstanceOf[Map[String, (SparkSession, String) => org.apache.spark.sql.DataFrame]]
+        val util = module("graft.ops.Util")
+        def reapControl(): Unit =
+          util.getClass.getMethod("unpersistRegistered").invoke(util)
+        // same discipline as the main loop: un-timed pre-pass absorbs
+        // memoized fixture staging; each timed run is a fresh invocation
+        // with the control's own cache registry released between runs
+        controlSet.flatMap { name =>
+          qs.get(name).map { fn =>
+            try { fn(spark, sfDir); () } catch { case scala.util.control.NonFatal(_) => }
+            val ts = (1 to runs).map { _ =>
+              reapControl()
+              val t0 = System.nanoTime()
+              val ok = try { fn(spark, sfDir).count(); true }
+                catch { case e: Throwable =>
+                  System.err.println(s"[bench] control $name failed: ${e.getMessage}"); false }
+              val sec = (System.nanoTime() - t0) / 1e9
+              if (ok) Some(sec) else None
+            }
+            reapControl()
+            name -> ts.flatten.minOption.getOrElse(-1.0)
+          }
+        }
+      } catch { case scala.util.control.NonFatal(e) =>
+        System.err.println(s"[bench] control protocol failed: ${e.getMessage}")
+        Seq.empty
+      }
     // best = min over SUCCESSFUL runs; -1 marks a query whose every run
     // failed (visible in the output instead of silently fast)
     val best = timings.map { case (n, ts) =>
@@ -142,6 +212,8 @@ object Bench {
       jsonMap(best.sortBy(-_._2).take(5))},"sf":$sf}""")
     println(s"""{"metric":"per_query","queries":${jsonMap(best)},"sf":$sf}""")
     println(s"""{"metric":"per_query_cold","queries":${jsonMap(cold)},"cold_total":${fmt(cold.map(_._2).filter(_ >= 0).sum)},"sf":$sf}""")
+    if (control.nonEmpty)
+      println(s"""{"metric":"control","jar":"${new java.io.File(controlJar).getName}","queries":${jsonMap(control)},"sf":$sf}""")
     if (failed.nonEmpty)
       println(s"""{"metric":"failed_runs","queries":${failed.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")},"sf":$sf}""")
     println(totalLine)
@@ -151,10 +223,13 @@ object Bench {
     // regression comparison reads
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "tools/bench_full.json")
     try {
-      val full = Seq(
+      val full = (Seq(
         totalLine,
         s"""{"metric":"per_query","queries":${jsonMap(best)},"sf":$sf}""",
-        s"""{"metric":"per_query_cold","queries":${jsonMap(cold)},"cold_total":${fmt(cold.map(_._2).filter(_ >= 0).sum)},"sf":$sf}""")
+        s"""{"metric":"per_query_cold","queries":${jsonMap(cold)},"cold_total":${fmt(cold.map(_._2).filter(_ >= 0).sum)},"sf":$sf}""") ++
+        (if (control.nonEmpty)
+          Seq(s"""{"metric":"control","jar":"${new java.io.File(controlJar).getName}","queries":${jsonMap(control)},"sf":$sf}""")
+        else Seq.empty))
         .mkString("\n") + "\n"
       val p = java.nio.file.Paths.get(outPath)
       if (p.getParent != null) java.nio.file.Files.createDirectories(p.getParent)

@@ -9,6 +9,12 @@ raw Bench stdout capture / driver BENCH_r*.json — any file whose text
 contains "q_name":sec pairs is accepted (the driver's tail-truncated
 captures parse fine).
 
+When BOTH captures carry a {"metric":"control",...} line (the frozen
+r16-HEAD jar re-benched inside every full capture since round 17), the
+current capture's times are divided by the median control drift before
+any gate applies — so box-day "ambience" is measured out of the
+comparison instead of argued about. --no-control disables this.
+
 Exits 1 if any query regressed by more than --factor (default 2x) AND
 by more than 1.0s absolute, OR by more than --ratio (default 1.5x) on a
 query whose baseline is at least --ratio-floor (default 0.2s). The
@@ -59,6 +65,13 @@ def load_queries(path):
     # with the failed_runs object) keeps the timings that precede it.
     out = {}
     for line in text.splitlines():
+        # control rows are frozen-jar times, never the current build's —
+        # scrub them from the fragment scrape like failed_runs
+        cmarker = line.find('{"metric":"control"')
+        if cmarker < 0:
+            cmarker = line.find('"jar":')
+        if cmarker >= 0:
+            line = line[:cmarker]
         marker = line.find('{"metric":"failed_runs"')
         if marker < 0:
             # front-truncated fragment: the object's {"metric": prefix was
@@ -69,6 +82,44 @@ def load_queries(path):
         for k, v in re.findall(r'"(q_[a-z0-9_]+)":(-?[0-9.]+)', line):
             out.setdefault(k, float(v))
     return out
+
+
+def load_control(path):
+    """The {"metric":"control",...} line's queries map, or {}."""
+    text = open(path).read()
+    try:
+        d = json.loads(text)
+        if isinstance(d, dict) and isinstance(d.get("control"), dict):
+            return {k: float(v) for k, v in d["control"].items()}
+        if isinstance(d, dict) and isinstance(d.get("tail"), str):
+            text = d["tail"]
+    except ValueError:
+        pass
+    for line in text.splitlines():
+        line = line.strip()
+        if line.startswith("[info]"):
+            line = line[len("[info]"):].strip()
+        if not line.startswith("{"):
+            continue
+        try:
+            d = json.loads(line)
+        except ValueError:
+            continue
+        if d.get("metric") == "control" and isinstance(d.get("queries"), dict):
+            return {k: float(v) for k, v in d["queries"].items()}
+    return {}
+
+
+def control_drift(base_path, cur_path):
+    """Median per-query drift ratio of the frozen control jar between the
+    two captures (current/baseline), or None when either side lacks
+    control rows. Sub-0.05s control times are excluded (pure jitter)."""
+    cb, cc = load_control(base_path), load_control(cur_path)
+    ratios = sorted(cc[q] / cb[q] for q in set(cb) & set(cc)
+                    if cb[q] > 0.05 and cc[q] > 0)
+    if not ratios:
+        return None
+    return ratios[len(ratios) // 2]
 
 
 def main():
@@ -84,9 +135,16 @@ def main():
     ap.add_argument("--ratio-floor", type=float, default=0.2,
                     help="baseline seconds below which the ratio gate is "
                          "skipped (default 0.2)")
+    ap.add_argument("--no-control", action="store_true",
+                    help="skip the frozen-control drift adjustment")
     ns = ap.parse_args()
     factor = ns.factor
     base, cur = load_queries(ns.baseline), load_queries(ns.current)
+    drift = None if ns.no_control else control_drift(ns.baseline, ns.current)
+    if drift is not None:
+        print(f"control drift (median over frozen-jar queries): {drift:.3f}x"
+              f" — current times divided by it before gating")
+        cur = {k: (v / drift if v > 0 else v) for k, v in cur.items()}
     common = sorted(set(base) & set(cur))
     if not common:
         print("no common queries between the two files")

@@ -15,7 +15,7 @@ import sys
 
 
 def parse_capture(path):
-    best, cold_total = {}, None
+    best, cold_total, control = {}, None, {}
     for line in open(path):
         line = line.strip()
         if not line:
@@ -30,7 +30,11 @@ def parse_capture(path):
                     best[k] = v
         elif d.get("metric") == "per_query_cold":
             cold_total = d.get("cold_total")
-    return best, cold_total
+        elif d.get("metric") == "control":
+            for k, v in d["queries"].items():
+                if v >= 0 and (k not in control or v < control[k]):
+                    control[k] = v
+    return best, cold_total, control
 
 
 def main():
@@ -38,14 +42,17 @@ def main():
         sys.exit(__doc__)
     rnd, commit, out = sys.argv[1], sys.argv[2], sys.argv[3]
     raws = sys.argv[4:]
-    merged, colds = {}, []
+    merged, colds, ctl = {}, [], {}
     for p in raws:
-        best, cold = parse_capture(p)
+        best, cold, control = parse_capture(p)
         if not best:
             sys.exit(f"no per_query line found in {p}")
         for k, v in best.items():
             if k not in merged or v < merged[k]:
                 merged[k] = v
+        for k, v in control.items():
+            if k not in ctl or v < ctl[k]:
+                ctl[k] = v
         colds.append(cold)
     total = round(sum(merged.values()), 3)
     doc = {
@@ -53,14 +60,21 @@ def main():
         "commit": commit,
         "sf": 0.1,
         "cpus": 32,
-        "runs": f"min across {len(raws)} full min-of-2 JVM invocations "
-                f"({2 * len(raws)} samples/query)",
+        "runs": f"min across {len(raws)} full min-of-SPARK_GRAFT_BENCH_RUNS "
+                f"JVM invocations (default 3/query each)",
         "n_queries": len(merged),
         "total_sec": total,
         **{f"cold_total_run{i + 1}": c for i, c in enumerate(colds) if c},
         "note": "caches cleared between runs; fixture pre-pass in warmup "
                 "(one-time memoized store-table writes excluded from every "
                 "timed sample as of r11)",
+        # reproducibility (r16 judge item 8): the exact constituent raw
+        # captures this merge consumed, so the baseline can be re-derived
+        "merged_from": raws,
+        # frozen-control rows (r17): min across captures of the pinned
+        # r16-HEAD-jar queries — bench_diff.py divides the next round's
+        # drift by these before gating
+        **({"control": {k: ctl[k] for k in sorted(ctl)}} if ctl else {}),
         "queries": {k: merged[k] for k in sorted(merged)},
     }
     with open(out, "w") as f:
