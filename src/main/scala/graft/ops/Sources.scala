@@ -65,6 +65,28 @@ object Sources {
       .orderBy($"p_brand")
   }
 
+  /** Avro round-trip (round 17) through graft.sources.AvroSource — the
+    * image ships avro-core but not the spark-avro module, so this rides
+    * the library's own DSv2 over Avro object-container files: write a
+    * customer slice as one container file per partition (AvroIO.write),
+    * read it back with the schema INFERRED from the file's writer
+    * schema (no explicit schema — the parquet-like UX), aggregate.
+    * Column pruning reaches the connector (SupportsPushDownRequiredColumns);
+    * a row-major format offers no filter pushdown, so none is claimed. */
+  val qSrcAvro: Q = (s, dir) => {
+    import s.implicits._
+    val path = tmp(dir, "avro")
+    graft.sources.AvroIO.write(
+      table(s, dir, "customer")
+        .select($"c_custkey", $"c_name", $"c_nationkey", $"c_acctbal"),
+      path)
+    s.read.format("graft.sources.AvroSource").load(path)
+      .filter($"c_acctbal" > 0.0)
+      .groupBy($"c_nationkey")
+      .agg(count(lit(1)).as("n_custs"), dsum($"c_acctbal").as("sum_bal"))
+      .orderBy($"c_nationkey")
+  }
+
   /** Hive-style partitioned parquet + partition pruning: write orders
     * partitioned by year, read back filtered to one year — the scan must
     * prune to that partition's directory (PartitionFilters, asserted in
@@ -4236,6 +4258,7 @@ object Sources {
     "q_src_columnar" -> qSrcColumnar,
     "q_udtf_gen" -> qUdtfGen,
     "q_src_partitioned" -> qSrcPartitioned,
+    "q_src_avro" -> qSrcAvro,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -5348,6 +5371,11 @@ object Sources {
         | CAST(sum(CAST(p_retailprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
         |FROM part WHERE p_size >= 10
         |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
+    "q_src_avro" ->
+      """SELECT c_nationkey, count(*) AS n_custs,
+        | CAST(sum(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS sum_bal
+        |FROM customer WHERE c_acctbal > 0.0
+        |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
     "q_src_partitioned" ->
       """SELECT o_orderpriority, count(*) AS n_orders,
         | CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
