@@ -103,6 +103,14 @@ case class MortonInterleaveN(children: Seq[Expression]) extends Expression {
       case None => TypeCheckResult.TypeCheckSuccess
     }
 
+  /** Per-dimension bit budget: 16 at N=2/3, 15 at N=4 — at N=4 a 16th
+    * bit would land at position 15·4+3 = 63, the long's SIGN bit, and
+    * invert the sort order of the z-key. Masked HERE (r17, advice item)
+    * rather than relying on callers to pre-clamp: an out-of-contract
+    * lane value now degrades clustering for that row only, never the
+    * whole table's ordering. */
+  private def dimMask: Long = if (children.length == 4) 0x7FFFL else 0xFFFFL
+
   override def eval(input: InternalRow): Any = {
     val n = children.length
     var r = 0L
@@ -110,7 +118,7 @@ case class MortonInterleaveN(children: Seq[Expression]) extends Expression {
     while (d < n) {
       val v = children(d).eval(input)
       if (v == null) return null
-      r |= MortonInterleaveN.spreadN(v.asInstanceOf[Long], n) << d
+      r |= MortonInterleaveN.spreadN(v.asInstanceOf[Long] & dimMask, n) << d
       d += 1
     }
     r
@@ -125,7 +133,7 @@ case class MortonInterleaveN(children: Seq[Expression]) extends Expression {
       s"""${e.code}
          |if (${e.isNull}) { ${ev.isNull} = true; }
          |else if (!${ev.isNull}) {
-         |  long $v = ${e.value} & 0xFFFFL;
+         |  long $v = ${e.value} & ${dimMask}L;
          |  for (int $j = 0; $j < 16; $j++)
          |    ${ev.value} |= (($v >>> $j) & 1L) << ($j * $n + $d);
          |}""".stripMargin

@@ -243,7 +243,15 @@ private[sources] object GraftProcedures {
         case t: java.time.Instant =>
           org.apache.spark.sql.catalyst.util.DateTimeUtils.instantToMicros(t)
         case t: java.time.LocalDateTime =>
-          org.apache.spark.sql.catalyst.util.DateTimeUtils.localDateTimeToMicros(t)
+          // must match the LANE's convention: the lane converts NTZ via
+          // cast(TimestampType) + unix_micros, which interprets the wall
+          // clock in the SESSION timezone — a UTC-fixed
+          // localDateTimeToMicros here would offset (lane - lo) by the
+          // zone in any non-UTC session and push lattice values negative
+          // (clustering quality only, results unaffected). (r17, advice)
+          org.apache.spark.sql.catalyst.util.DateTimeUtils.instantToMicros(
+            t.atZone(java.time.ZoneId.of(
+              spark.sessionState.conf.sessionLocalTimeZone)).toInstant)
         case d: java.sql.Date =>
           org.apache.spark.sql.catalyst.util.DateTimeUtils.fromJavaDate(d).toLong
         case d: java.time.LocalDate =>
@@ -262,12 +270,23 @@ private[sources] object GraftProcedures {
         // both factors are driver-computed so nothing overflows at any
         // span (upscaled product < 2^bits · 2^bits, downscale divides)
         val expr =
-          if (span < (1L << bits)) {
+          if (span >= 0 && span < (1L << bits)) {
             val mult = math.max(1L, (1L << bits) / (span + 1L))
             (lane(c) - lo) * lit(mult)
-          } else {
+          } else if (span >= 0) {
             val step = (span >>> bits) + 1L
             (lane(c) - lo) / lit(step)
+          } else {
+            // span overflowed Long (range wider than 2^63, e.g. sentinel
+            // MIN/MAX values in the column): hi-lo is still EXACT as an
+            // unsigned 64-bit value, and so is (lane - lo) per row — an
+            // unsigned right shift embeds that offset into the bit
+            // budget monotonically. The signed-divide step path would
+            // see wrapped negatives (and span == -1 would divide by
+            // zero in the mult path); this branch keeps the lattice in
+            // [0, 2^bits) for any range. (r17, advice item)
+            import org.apache.spark.sql.functions.shiftrightunsigned
+            shiftrightunsigned(lane(c) - lo, 64 - bits)
           }
         org.apache.spark.sql.graft.GraftSql.expression(expr.cast("long"))
       }

@@ -814,9 +814,16 @@ object GraftStore {
     // key: version numbers restart when a table is dropped and recreated
     // in the same directory, and (mtime, size) collides across same-tick
     // equal-length rewrites (see manifestCache)
+    // STRICTLY MONOTONIC commit timestamps (the Delta rule, r17 advice):
+    // two commits landing in the same millisecond would make
+    // timestamp-AS-OF / table_changes boundary resolution ambiguous
+    // (commits.find(ts >= x) could straddle them) — stamp
+    // max(now, prev_ts + 1) so the commit index is a strict order.
+    val ts = math.max(System.currentTimeMillis(),
+      readTsOf(new File(path, s"$ManifestName.v${v - 1}")) + 1L)
     val lines = schema.toDDL +: (s"!version=$v" +:
       (s"!uid=${java.util.UUID.randomUUID()}" +:
-        (s"!ts=${System.currentTimeMillis()}" +:
+        (s"!ts=$ts" +:
           (s"!stats=$StatsFormatVersion" +:
           ((if (op.nonEmpty) Seq(s"!op=$op") else Seq.empty) ++
             epoch.map(e => s"!epoch=$e").toSeq ++
@@ -6150,6 +6157,12 @@ private[sources] final class GraftStructEvolveView(
   import org.apache.spark.unsafe.types.{CalendarInterval, UTF8String, VariantVal}
   var base: InternalRow = _
   var physCount: Int = 0
+  /** Scan-schema struct width — what a generic consumer iterating
+    * numFields must see. physCount (the BYTES' field count: logical
+    * width + skips, or the pad arity) is an internal bound only; using
+    * it as numFields over-reports after a DROP and under-reports after
+    * an ADD pad. (r17, advice item) */
+  var logicalCount: Int = 0
   override protected def target: InternalRow = base
   /** Logical position i → physical position (insert-offset past skips). */
   private def phys(i: Int): Int = {
@@ -6163,7 +6176,7 @@ private[sources] final class GraftStructEvolveView(
     while (k < widens.length) { if (widens(k) == p) return true; k += 1 }
     false
   }
-  override def numFields: Int = physCount
+  override def numFields: Int = logicalCount
   override def isNullAt(i: Int): Boolean = {
     val p = phys(i); p >= physCount || base.isNullAt(p)
   }
@@ -6204,6 +6217,7 @@ private[sources] final class GraftStructEvolveView(
   override def copy(): InternalRow = {
     val c = new GraftStructEvolveView(skips, widens)
     c.physCount = physCount
+    c.logicalCount = logicalCount
     c.base = base.copy()
     c
   }
@@ -6250,6 +6264,7 @@ private[sources] final class GraftNestedPadRow(markers: Array[Int])
       val v = views(i)
       v.physCount =
         if (padArity(i) >= 0) padArity(i) else numFields + v.skips.length
+      v.logicalCount = numFields
       v.base = target.getStruct(ordinal, v.physCount)
       v
     }

@@ -350,6 +350,19 @@ class PropertySpec extends SparkSuite {
     val gen = viaExpr(cg = true)
     assert(gen == viaExpr(cg = false), "codegen and interpreted eval differ")
     gen.foreach { case (a, b, c, m) => assert(m == m3(a, b, c)) }
+    // r17 (advice): at N=4 the expression MASKS each dimension to 15
+    // bits — an out-of-contract 16th bit would land at position 63, the
+    // sign bit, and invert the whole z-order. The key must stay
+    // non-negative even for hostile inputs, and order-embedding must
+    // hold across the top of the 15-bit budget.
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    def m4(vs: Long*): Long =
+      graft.functions.MortonInterleaveN(vs.map(Literal(_)))
+        .eval(null).asInstanceOf[Long]
+    assert(m4(65535L, 65535L, 65535L, 65535L) >= 0L,
+      "N=4 z-key reached the sign bit")
+    assert(m4(0x7FFEL, 1L, 2L, 3L) < m4(0x7FFFL, 1L, 2L, 3L),
+      "order embedding broken at the top of the 15-bit budget")
   }
 
   test("NdvHll: union is commutative/associative/idempotent; estimate tracks cardinality") {
