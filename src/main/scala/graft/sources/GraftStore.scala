@@ -674,9 +674,25 @@ object GraftStore {
     * query output (wall clocks aren't reproducible). */
   private[graft] def readTsOf(f: File): Long =
     if (!f.exists()) 0L
-    else new String(Files.readAllBytes(f.toPath), StandardCharsets.UTF_8)
-      .split('\n').find(_.startsWith("!ts=")).map(_.stripPrefix("!ts=").toLong)
-      .getOrElse(0L)
+    else {
+      // HEADER-BOUNDED read: !ts= is within the first few lines (schema
+      // DDL, !version, !uid, !ts, ...) — the commit path calls this per
+      // commit for the monotonic-ts rule, and slurping a whole manifest
+      // (thousands of stat-bearing file entries at scale) per commit
+      // would tax exactly the write-heavy queries. Stop at the first
+      // non-header line.
+      val r = Files.newBufferedReader(f.toPath, StandardCharsets.UTF_8)
+      try {
+        var line = r.readLine() // schema DDL
+        var n = 0
+        while (line != null && n < 16) {
+          if (line.startsWith("!ts=")) return line.stripPrefix("!ts=").toLong
+          line = r.readLine()
+          n += 1
+        }
+        0L
+      } finally r.close()
+    }
 
   /** Writer-transaction watermarks a snapshot recorded (`!txn=app:ver`
     * lines, carried forward by every commit): the highest `txnVersion`

@@ -113,8 +113,21 @@ def load_control(path):
 def control_drift(base_path, cur_path):
     """Median per-query drift ratio of the frozen control jar between the
     two captures (current/baseline), or None when either side lacks
-    control rows. Sub-0.05s control times are excluded (pure jitter)."""
+    control rows. Sub-0.05s control times are excluded (pure jitter).
+
+    r16->r17 bridge: the r16 baseline predates the control protocol, but
+    the control jar IS the r16 HEAD — so when the baseline lacks a
+    control map, its ordinary per_query values AT the control queries
+    are the same frozen code measured on the baseline day, and serve as
+    the baseline control."""
     cb, cc = load_control(base_path), load_control(cur_path)
+    if cc and not cb:
+        base_q = load_queries(base_path)
+        cb = {q: base_q[q] for q in cc if q in base_q}
+        if cb:
+            print("note: baseline has no control rows; using its per_query "
+                  "values at the control queries (the control jar is that "
+                  "round's HEAD)")
     ratios = sorted(cc[q] / cb[q] for q in set(cb) & set(cc)
                     if cb[q] > 0.05 and cc[q] > 0)
     if not ratios:
