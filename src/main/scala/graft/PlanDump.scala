@@ -79,7 +79,11 @@ object PlanDump {
     // nested drop+widen read, timestamp TVF boundaries, keyed-slice
     // restatement read-back, LSH-join-shape embedding ANN
     "q_store_zorder_ts", "q_store_merge_evolve", "q_store_evolve_nested2",
-    "q_store_cdf_sql_ts", "q_stream_restate_pred")
+    "q_store_cdf_sql_ts", "q_stream_restate_pred",
+    // round 17: the last TPC-H relational shapes (EXISTS+NOT-EXISTS
+    // chain, correlated scalar-agg decorrelations), the split-read Avro
+    // connector scan
+    "q_sql_q21", "q_sql_q17", "q_sql_q2", "q_src_avro")
 
   def main(args: Array[String]): Unit = {
     val out = args.headOption.getOrElse("PLANS.md")

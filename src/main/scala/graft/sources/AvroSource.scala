@@ -83,6 +83,9 @@ object AvroSource {
     }
   }
 
+  /** Default split size for sync-marker split reads (bytes). */
+  val DefaultSplitBytes: Long = 32L * 1024 * 1024
+
   private[sources] def listFiles(path: String): Seq[String] = {
     val d = new java.io.File(path)
     Option(d.listFiles()).getOrElse(Array.empty)
@@ -164,10 +167,12 @@ class AvroTable(path: String, schema: StructType)
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new AvroScanBuilder(path, schema)
+    new AvroScanBuilder(path, schema,
+      Option(options.get("splitSize")).map(_.toLong)
+        .getOrElse(AvroSource.DefaultSplitBytes))
 }
 
-class AvroScanBuilder(path: String, full: StructType)
+class AvroScanBuilder(path: String, full: StructType, splitSize: Long)
     extends ScanBuilder with SupportsPushDownRequiredColumns {
   private var required: StructType = full
   override def pruneColumns(requiredSchema: StructType): Unit = {
@@ -175,33 +180,50 @@ class AvroScanBuilder(path: String, full: StructType)
     val keep = requiredSchema.fieldNames.toSet
     required = StructType(full.fields.filter(f => keep.contains(f.name)))
   }
-  override def build(): Scan = new AvroScan(path, full, required)
+  override def build(): Scan = new AvroScan(path, full, required, splitSize)
 }
 
-class AvroScan(path: String, full: StructType, required: StructType)
-    extends Scan with Batch {
+class AvroScan(path: String, full: StructType, required: StructType,
+    splitSize: Long) extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
+  /** SYNC-MARKER SPLIT READS — the 100 TB shape: Avro container files
+    * carry a 16-byte sync marker after every block, so a large file
+    * splits into byte ranges at plan time and each reader seeks to the
+    * first sync past its range start (`DataFileReader.sync`) and stops
+    * once past its range end (`pastSync`) — every block read exactly
+    * once across readers, the classic Hadoop AvroRecordReader covering.
+    * Without this, one ingest-sized file serializes into one task. */
   override def planInputPartitions(): Array[InputPartition] =
-    AvroSource.listFiles(path).map(AvroFilePartition(_)).toArray
+    AvroSource.listFiles(path).flatMap { f =>
+      val len = new java.io.File(f).length()
+      val n = math.max(1L, (len + splitSize - 1) / splitSize)
+      (0L until n).map { i =>
+        AvroFilePartition(f, i * splitSize, math.min((i + 1) * splitSize, len))
+      }
+    }.toArray
   override def createReaderFactory(): PartitionReaderFactory =
     new AvroReaderFactory(full.fieldNames, required)
 }
 
-case class AvroFilePartition(file: String) extends InputPartition
+case class AvroFilePartition(file: String, start: Long, end: Long)
+    extends InputPartition
 
 class AvroReaderFactory(fileOrder: Array[String], required: StructType)
     extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
-    val file = p.asInstanceOf[AvroFilePartition].file
+    val part = p.asInstanceOf[AvroFilePartition]
     new PartitionReader[InternalRow] {
       private val reader = new DataFileReader[GenericRecord](
-        new java.io.File(file), new GenericDatumReader[GenericRecord]())
+        new java.io.File(part.file), new GenericDatumReader[GenericRecord]())
+      // a non-leading split seeks to the first sync marker past its
+      // start; the leading split reads from the first block directly
+      if (part.start > 0) reader.sync(part.start)
       // positions of the required columns in the file's record layout
       private val srcPos = required.fieldNames.map(n => fileOrder.indexOf(n))
       private var cur: InternalRow = _
       override def next(): Boolean =
-        if (!reader.hasNext) false
+        if (!reader.hasNext || reader.pastSync(part.end)) false
         else {
           val rec = reader.next()
           val out = new Array[Any](srcPos.length)

@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** graft.sources.AvroSource semantics beyond the q_src_avro oracle:
+  * null handling through the ["null", T] union, writer-schema
+  * inference, connector column pruning, and sync-marker split reads
+  * (one big container file must fan out into many input partitions and
+  * still read every block exactly once). */
+class AvroSourceSpec extends SparkSuite {
+
+  private def readAvro(path: String, opts: Map[String, String] = Map.empty) = {
+    val r = spark.read.format("graft.sources.AvroSource")
+    opts.foldLeft(r) { case (b, (k, v)) => b.option(k, v) }.load(path)
+  }
+
+  test("nullable columns round-trip through the avro union and infer back nullable") {
+    import spark.implicits._
+    val dir = graft.ops.Util.managedTempDir("graft_avro_null_")
+    val df = spark.range(0, 100)
+      .select($"id",
+        when($"id" % 3 === 0, lit(null).cast("string"))
+          .otherwise(concat(lit("s"), $"id")).as("s"),
+        when($"id" % 7 === 0, lit(null).cast("double"))
+          .otherwise($"id".cast("double") / 4).as("d"))
+    graft.sources.AvroIO.write(df, dir)
+    val back = readAvro(dir)
+    // inference maps the union back to a nullable field
+    assert(back.schema("s").nullable && back.schema("d").nullable)
+    assert(!back.schema("id").nullable)
+    val got = back.orderBy($"id").collect()
+    val exp = df.orderBy($"id").collect()
+    assert(got.toSeq == exp.toSeq, "null round-trip diverged")
+    assert(got.count(_.isNullAt(1)) == 34 && got.count(_.isNullAt(2)) == 15)
+  }
+
+  test("column pruning reaches the connector scan (pruned readSchema in the plan)") {
+    import spark.implicits._
+    val dir = graft.ops.Util.managedTempDir("graft_avro_prune_")
+    graft.sources.AvroIO.write(
+      spark.range(0, 1000).select($"id", ($"id" * 2).as("a"),
+        concat(lit("x"), $"id").as("b")), dir)
+    val q = readAvro(dir).select($"id", $"a")
+    val scans = q.queryExecution.executedPlan.collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+    }
+    assert(scans.nonEmpty, "no BatchScanExec for the avro read")
+    val cols = scans.head.scan.readSchema().fieldNames.toSet
+    assert(cols == Set("id", "a"),
+      s"connector still reads unpruned columns: $cols")
+    assert(q.agg(sum($"a")).head.getLong(0) == (0L until 1000L).map(_ * 2).sum)
+  }
+
+  test("sync-marker split reads: a small splitSize fans one file into many partitions, every row exactly once") {
+    import spark.implicits._
+    val dir = graft.ops.Util.managedTempDir("graft_avro_split_")
+    // ONE container file (single input partition at write) large enough
+    // to span many 64 KB avro blocks
+    graft.sources.AvroIO.write(
+      spark.range(0, 200000).coalesce(1)
+        .select($"id", concat(lit("payload_"), $"id").as("s")), dir)
+    val whole = readAvro(dir)
+    assert(whole.rdd.getNumPartitions >= 1)
+    val split = readAvro(dir, Map("splitSize" -> (64 * 1024).toString))
+    assert(split.rdd.getNumPartitions > 4,
+      s"splitSize=64k produced only ${split.rdd.getNumPartitions} partitions")
+    // exactly-once across splits: same count, same id-sum, no dupes
+    val agg = split.agg(count(lit(1)), countDistinct($"id"), sum($"id")).head()
+    assert(agg.getLong(0) == 200000L, s"row count ${agg.getLong(0)}")
+    assert(agg.getLong(1) == 200000L, "duplicate ids across splits")
+    assert(agg.getLong(2) == 199999L * 200000L / 2)
+  }
+}

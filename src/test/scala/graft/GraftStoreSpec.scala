@@ -1806,4 +1806,23 @@ class GraftStoreSpec extends SparkSuite {
     intercept[IllegalArgumentException](
       GraftStore.compactSorted(spark, path, Seq.empty))
   }
+
+  test("commit timestamps are strictly monotonic across rapid-fire commits (AS-OF boundaries never ambiguous)") {
+    import spark.implicits._
+    // r17 advice: commits landing in the same millisecond made
+    // timestamp-AS-OF / table_changes boundary resolution ambiguous.
+    // The writer stamps max(now, prev+1); appends are fast enough here
+    // that several WOULD share a millisecond without the rule.
+    val path = tempTable()
+    writeDf(Seq((1L, "a")).toDF("k", "v"), path)
+    (0 until 6).foreach { i =>
+      writeDf(Seq((i.toLong + 2, "b")).toDF("k", "v"), path, mode = "append")
+    }
+    val ts = (1 to 7).map(v =>
+      GraftStore.readTsOf(new File(path, s"_manifest.v$v")))
+    assert(ts.forall(_ > 0), s"missing !ts header: $ts")
+    ts.sliding(2).foreach { case Seq(a, b) =>
+      assert(b > a, s"non-monotonic commit timestamps: $ts")
+    }
+  }
 }
