@@ -13,6 +13,7 @@ import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, SupportsTruncate, Write, WriteBuilder, WriterCommitMessage}
 import org.apache.spark.sql.types.{DataType, DoubleType, IntegerType, LongType, StringType, StructField, StructType}
 import org.apache.spark.unsafe.types.UTF8String
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -95,51 +96,18 @@ object AvroSource {
 }
 
 object AvroIO {
-  /** Write df as one Avro container file per partition under path
-    * (cleared first — overwrite semantics like the parquet writers). */
-  def write(df: DataFrame, path: String): Unit = {
-    val schema = df.schema
-    val avroJson = AvroSource.toAvro(schema).toString
-    val dir = new java.io.File(path)
-    if (dir.exists()) {
-      Option(dir.listFiles()).getOrElse(Array.empty).foreach(_.delete())
-    } else dir.mkdirs()
-    df.queryExecution.toRdd.mapPartitionsWithIndex { (pid, rows) =>
-      if (rows.isEmpty) Iterator.empty
-      else {
-        val avroSchema = new Schema.Parser().parse(avroJson)
-        val w = new DataFileWriter[GenericRecord](
-          new GenericDatumWriter[GenericRecord](avroSchema))
-        val f = new java.io.File(dir, f"part-$pid%05d.avro")
-        w.create(avroSchema, f)
-        val flds = schema.fields
-        rows.foreach { row =>
-          val rec = new GenericData.Record(avroSchema)
-          var i = 0
-          while (i < flds.length) {
-            val v: AnyRef =
-              if (row.isNullAt(i)) null
-              else flds(i).dataType match {
-                case LongType => Long.box(row.getLong(i))
-                case IntegerType => Int.box(row.getInt(i))
-                case DoubleType => Double.box(row.getDouble(i))
-                case StringType => row.getUTF8String(i).toString
-                case other => throw new IllegalArgumentException(other.toString)
-              }
-            rec.put(i, v)
-            i += 1
-          }
-          w.append(rec)
-        }
-        w.close()
-        Iterator.single(1)
-      }
-    }.count()
-    ()
-  }
+  /** Overwrite-write df as Avro container files under path, through the
+    * full DSv2 write path (task temp files + driver commit renames —
+    * see [[AvroWriteBuilder]]). Kept as the call-site-stable helper. */
+  def write(df: DataFrame, path: String): Unit =
+    df.write.format("graft.sources.AvroSource")
+      .mode("overwrite").save(path)
 }
 
 class AvroSource extends TableProvider {
+  // writes pass the dataframe schema straight to getTable — without
+  // this, Spark calls inferSchema first, which fails on an empty dir
+  override def supportsExternalMetadata(): Boolean = true
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
     val path = Option(options.get("path")).getOrElse(
       throw new IllegalArgumentException("AvroSource requires a path"))
@@ -161,15 +129,113 @@ class AvroSource extends TableProvider {
 }
 
 class AvroTable(path: String, schema: StructType)
-    extends Table with SupportsRead {
+    extends Table with SupportsRead
+    with org.apache.spark.sql.connector.catalog.SupportsWrite {
   override def name(): String = s"avro($path)"
   override def schema(): StructType = schema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new AvroScanBuilder(path, schema,
       Option(options.get("splitSize")).map(_.toLong)
         .getOrElse(AvroSource.DefaultSplitBytes))
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new AvroWriteBuilder(path, info.schema(), truncate = false)
+}
+
+/** DSv2 write path (exactly-once file sink contract): each task writes
+  * one container file under a hidden unique temp name; the DRIVER's
+  * commit() renames the acknowledged temps to part-N.avro (and, for
+  * truncate/overwrite, clears the previous .avro set first), so a
+  * speculative or failed attempt's file is never visible — abort()
+  * deletes its temps. Same protocol shape as GraftStore's sink, minus
+  * the manifest (plain-directory format: the commit point is the
+  * rename set, not an atomic pointer — directory listers can observe a
+  * partial overwrite mid-commit, which is exactly why GraftStore
+  * exists; declared, not hidden). */
+class AvroWriteBuilder(path: String, schema: StructType, truncate: Boolean)
+    extends WriteBuilder with SupportsTruncate {
+  override def truncate(): WriteBuilder =
+    new AvroWriteBuilder(path, schema, truncate = true)
+  override def build(): Write = new Write {
+    override def toBatch: BatchWrite =
+      new AvroBatchWrite(path, schema, truncate)
+  }
+}
+
+case class AvroCommitMsg(tmpName: String) extends WriterCommitMessage
+
+class AvroBatchWrite(path: String, schema: StructType, truncate: Boolean)
+    extends BatchWrite {
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
+    new AvroWriterFactory(path, AvroSource.toAvro(schema).toString, schema)
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val dir = new java.io.File(path)
+    if (truncate)
+      Option(dir.listFiles()).getOrElse(Array.empty)
+        .filter(f => f.getName.endsWith(".avro") && !f.getName.startsWith("."))
+        .foreach(_.delete())
+    // append starts numbering past the existing part set (an append
+    // that reused part-00000 would silently REPLACE the prior commit)
+    val existing = Option(dir.listFiles()).getOrElse(Array.empty)
+      .map(_.getName).filter(_.matches("part-\\d{5}\\.avro"))
+    val base = if (existing.isEmpty) 0
+      else existing.map(_.slice(5, 10).toInt).max + 1
+    messages.collect { case AvroCommitMsg(t) if t.nonEmpty => t }
+      .zipWithIndex.foreach { case (t, i) =>
+        val ok = new java.io.File(dir, t)
+          .renameTo(new java.io.File(dir, f"part-${base + i}%05d.avro"))
+        require(ok, s"avro commit failed renaming $t")
+      }
+  }
+  override def abort(messages: Array[WriterCommitMessage]): Unit =
+    messages.collect { case AvroCommitMsg(t) if t.nonEmpty => t }
+      .foreach(t => new java.io.File(path, t).delete())
+}
+
+class AvroWriterFactory(path: String, avroJson: String, schema: StructType)
+    extends DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+    new DataWriter[InternalRow] {
+      private val avroSchema = new Schema.Parser().parse(avroJson)
+      private val tmpName =
+        s".tmp-${java.util.UUID.randomUUID()}-$partitionId-$taskId.avro"
+      private var w: DataFileWriter[GenericRecord] = _
+      private val flds = schema.fields
+      override def write(row: InternalRow): Unit = {
+        if (w == null) { // lazy: empty partitions leave no file behind
+          new java.io.File(path).mkdirs()
+          w = new DataFileWriter[GenericRecord](
+            new GenericDatumWriter[GenericRecord](avroSchema))
+          w.create(avroSchema, new java.io.File(path, tmpName))
+        }
+        val rec = new GenericData.Record(avroSchema)
+        var i = 0
+        while (i < flds.length) {
+          val v: AnyRef =
+            if (row.isNullAt(i)) null
+            else flds(i).dataType match {
+              case LongType => Long.box(row.getLong(i))
+              case IntegerType => Int.box(row.getInt(i))
+              case DoubleType => Double.box(row.getDouble(i))
+              case StringType => row.getUTF8String(i).toString
+              case other => throw new IllegalArgumentException(other.toString)
+            }
+          rec.put(i, v)
+          i += 1
+        }
+        w.append(rec)
+      }
+      override def commit(): WriterCommitMessage = {
+        if (w != null) w.close()
+        AvroCommitMsg(if (w == null) "" else tmpName)
+      }
+      override def abort(): Unit = {
+        if (w != null) { w.close(); new java.io.File(path, tmpName).delete() }
+      }
+      override def close(): Unit = ()
+    }
 }
 
 class AvroScanBuilder(path: String, full: StructType, splitSize: Long)

@@ -51,6 +51,26 @@ class AvroSourceSpec extends SparkSuite {
     assert(q.agg(sum($"a")).head.getLong(0) == (0L until 1000L).map(_ * 2).sum)
   }
 
+  test("DSv2 write protocol: commit renames temps, append accumulates, overwrite truncates, no temp residue") {
+    import spark.implicits._
+    val dir = graft.ops.Util.managedTempDir("graft_avro_write_")
+    def files() = Option(new java.io.File(dir).listFiles())
+      .getOrElse(Array.empty).map(_.getName).sorted.toSeq
+    def n() = readAvro(dir).count()
+    spark.range(0, 100).select($"id").write
+      .format("graft.sources.AvroSource").mode("overwrite").save(dir)
+    assert(files().forall(f => f.matches("part-\\d{5}\\.avro")),
+      s"temp residue or foreign files after commit: ${files()}")
+    assert(n() == 100)
+    spark.range(100, 150).select($"id").write
+      .format("graft.sources.AvroSource").mode("append").save(dir)
+    assert(n() == 150, "append did not accumulate")
+    spark.range(0, 7).select($"id").write
+      .format("graft.sources.AvroSource").mode("overwrite").save(dir)
+    assert(n() == 7, "overwrite did not truncate the previous file set")
+    assert(files().forall(f => f.matches("part-\\d{5}\\.avro")), files().toString)
+  }
+
   test("sync-marker split reads: a small splitSize fans one file into many partitions, every row exactly once") {
     import spark.implicits._
     val dir = graft.ops.Util.managedTempDir("graft_avro_split_")
