@@ -191,9 +191,34 @@ object StreamOps {
       .orderBy($"p_id")
   }
 
+  /** Batch analog of the stream-stream FULL OUTER join (round 17):
+    * matched pairs, unattributed purchases AND orphan clicks, classified
+    * per row and counted per user — the "every touchpoint accounted for"
+    * attribution shape. The true streaming path (watermark-flushed
+    * null-pads on BOTH sides) is proven row-equal in
+    * StreamingParitySpec; this form carries the oracle. */
+  val qStreamOuterFull: Q = (s, dir) => {
+    import s.implicits._
+    val ev = events(s, dir)
+    val clicks = ev.filter($"event_type" === "click")
+      .select($"user_id".as("c_user"), $"ts".as("c_ts"), $"event_id".as("c_id"))
+    val purch = ev.filter($"event_type" === "purchase")
+      .select($"user_id", $"ts".as("p_ts"), $"event_id".as("p_id"))
+    purch.join(clicks, $"user_id" === $"c_user" &&
+        $"c_ts" <= $"p_ts" && $"c_ts" >= $"p_ts" - expr("INTERVAL 30 MINUTES"),
+        "full_outer")
+      .select(coalesce($"user_id", $"c_user").as("uid"),
+        when($"c_id".isNull, "purchase_only")
+          .when($"p_id".isNull, "click_only")
+          .otherwise("matched").as("kind"))
+      .groupBy($"uid", $"kind").agg(count(lit(1)).as("n"))
+      .orderBy($"uid", $"kind")
+  }
+
   val queries: Map[String, Q] = Map(
     "q_stream_join" -> qStreamJoin,
     "q_stream_outer" -> qStreamOuter,
+    "q_stream_outer_full" -> qStreamOuterFull,
     "q_stream_enrich" -> qStreamEnrich,
     "q_stream_tumbling" -> qStreamTumbling,
     "q_stream_sliding" -> qStreamSliding,
@@ -209,6 +234,18 @@ object StreamOps {
       """SELECT c_mktsegment, event_type, count(*) AS n,
         | CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
         |FROM events JOIN customer ON user_id = c_custkey
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q_stream_outer_full" ->
+      """WITH e AS (SELECT user_id, event_id, event_type, ts::TIMESTAMP AS ts FROM events),
+        |c AS (SELECT user_id AS c_user, ts AS c_ts, event_id AS c_id FROM e WHERE event_type = 'click'),
+        |p AS (SELECT user_id, ts AS p_ts, event_id AS p_id FROM e WHERE event_type = 'purchase')
+        |SELECT coalesce(user_id, c_user) AS uid,
+        | CASE WHEN c_id IS NULL THEN 'purchase_only'
+        |      WHEN p_id IS NULL THEN 'click_only'
+        |      ELSE 'matched' END AS kind,
+        | count(*) AS n
+        |FROM p FULL OUTER JOIN c ON user_id = c_user AND c_ts <= p_ts
+        | AND c_ts >= p_ts - INTERVAL 30 MINUTE
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q_stream_join" ->
       """WITH e AS (SELECT user_id, event_id, event_type, ts::TIMESTAMP AS ts FROM events),

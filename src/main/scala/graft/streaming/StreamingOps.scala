@@ -121,6 +121,28 @@ object StreamingOps {
     * is the streaming semantics inner joins can't express: "every
     * purchase, attributed or not". State stays bounded exactly as in
     * the inner form. */
+  /** Stream-stream FULL OUTER join (round 17) — the last join laterality
+    * the streaming engine supports: unmatched PURCHASES null-pad like the
+    * left-outer form, and unmatched CLICKS also emit once the global
+    * watermark proves no future purchase can claim them (the range
+    * condition bounds both sides' state, so eviction works in both
+    * directions). Output keys on coalesce(user) so both null-padded
+    * shapes carry their user. */
+  def purchaseClicksFullOuter(events: DataFrame): DataFrame = {
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
+        col("event_id").as("c_id"))
+      .withWatermark("c_ts", "10 minutes")
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts").as("p_ts"), col("event_id").as("p_id"))
+      .withWatermark("p_ts", "10 minutes")
+    purchases.join(clicks,
+      expr("user_id = c_user AND c_ts <= p_ts AND c_ts >= p_ts - INTERVAL 30 MINUTES"),
+      "fullOuter")
+      .select(coalesce(col("user_id"), col("c_user")).as("user_id"),
+        col("p_id"), col("c_id"))
+  }
+
   def purchaseClicksOuter(events: DataFrame): DataFrame = {
     val clicks = events.filter(col("event_type") === "click")
       .select(col("user_id").as("c_user"), col("ts").as("c_ts"),

@@ -162,6 +162,51 @@ class StreamingParitySpec extends SparkSuite {
       "expected at least one null-padded (unattributed) purchase")
   }
 
+  test("stream-stream FULL OUTER join: both sides' null-pads flush at the watermark") {
+    import spark.implicits._
+    // same sentinel discipline as the left-outer test: advance BOTH
+    // watermarks 2 h past the fixture horizon so every outer result is
+    // provably unmatchable and flushes
+    val ev = graft.ops.Util.events(spark, sfDir)
+    val maxMs = ev.agg(max($"ts")).head().getTimestamp(0).getTime
+    val d = java.nio.file.Files.createTempDirectory("graft_events_fouter")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sfDir/events.parquet"),
+      d.resolve("events.parquet"))
+    val sentinelUs = (maxMs + 2 * 3600 * 1000L) * 1000L
+    val rawTsType = spark.read.parquet(s"$sfDir/events.parquet").schema("ts").dataType
+    val tsCol = rawTsType match {
+      case LongType         => $"ts_us" * 1000L
+      case TimestampNTZType => timestamp_micros($"ts_us").cast(TimestampNTZType)
+      case TimestampType    => timestamp_micros($"ts_us")
+      case other => fail(s"unsupported fixture ts type $other")
+    }
+    Seq((-1L, sentinelUs, -1L, "click", 0.0, "{}"),
+        (-2L, sentinelUs, -1L, "purchase", 0.0, "{}"))
+      .toDF("event_id", "ts_us", "user_id", "event_type", "value", "props")
+      .select($"event_id", tsCol.as("ts"), $"user_id", $"event_type",
+        $"value", $"props")
+      .write.mode("append").parquet(d.toString)
+    val streamed = runToBatch(
+      graft.streaming.StreamingOps.purchaseClicksFullOuter(
+        graft.streaming.StreamingOps.readEvents(spark, d.toString)),
+      "t_ssfouter", mode = "append")
+      .filter($"user_id" >= 0)
+    val clicks = ev.filter($"event_type" === "click")
+      .select($"user_id".as("c_user"), $"ts".as("c_ts"), $"event_id".as("c_id"))
+    val purch = ev.filter($"event_type" === "purchase")
+      .select($"user_id", $"ts".as("p_ts"), $"event_id".as("p_id"))
+    val batch = purch.join(clicks, $"user_id" === $"c_user" &&
+        $"c_ts" <= $"p_ts" && $"c_ts" >= $"p_ts" - expr("INTERVAL 30 MINUTES"),
+        "full_outer")
+      .select(coalesce($"user_id", $"c_user").as("user_id"), $"p_id", $"c_id")
+    assertSetEqual(streamed, batch, "stream-stream full-outer join")
+    assert(streamed.filter($"c_id".isNull).count() > 0,
+      "expected at least one unattributed purchase")
+    assert(streamed.filter($"p_id".isNull).count() > 0,
+      "expected at least one orphan click (the full-outer addition)")
+  }
+
   test("session/stateful results are invariant across 4 vs 16 shuffle partitions") {
     // partition-count determinism for the stateful pair, matching the
     // batch determinism audit: the suite runs everything at 4 shuffle
