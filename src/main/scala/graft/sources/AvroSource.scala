@@ -4,7 +4,7 @@ import java.util
 
 import scala.jdk.CollectionConverters._
 
-import org.apache.avro.{Schema, SchemaBuilder}
+import org.apache.avro.Schema
 import org.apache.avro.file.{DataFileReader, DataFileWriter}
 import org.apache.avro.generic.{GenericData, GenericDatumReader, GenericDatumWriter, GenericRecord}
 import org.apache.spark.sql.DataFrame
@@ -27,46 +27,66 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * OBJECT CONTAINER FILES:
   *
   *  - `inferSchema` opens the first file and maps its WRITER schema to
-  *    Catalyst types (long/int/double/string — the fixture surface;
-  *    nullable via the standard ["null", T] union), so `spark.read
+  *    Catalyst types (long/int/double/float/boolean/string plus
+  *    timestamp/timestamp_ntz/date via Avro LOGICAL types; nullable via
+  *    the standard ["null", T] union), so `spark.read
   *    .format("graft.sources.AvroSource").load(dir)` needs no explicit
   *    schema, exactly like parquet;
-  *  - one input partition per container file — Avro files are
-  *    block-splittable in principle (sync markers), but per-file
-  *    granularity matches how a fixture-sized round-trip and most
-  *    ingest layouts parallelize; at 100 TB the writer controls file
-  *    sizing (like parquet row groups);
+  *  - SYNC-MARKER SPLIT READS: each container file splits into
+  *    `splitSize` byte ranges at plan time (default 32 MB); readers
+  *    seek to the first sync marker past their range start and stop
+  *    once past the range end, so one ingest-sized file fans out
+  *    instead of serializing into one task;
   *  - column pruning (`SupportsPushDownRequiredColumns`): Avro is
   *    row-major so pruning cannot skip bytes, but the reader converts
   *    ONLY the requested fields to Catalyst values (skips UTF8String
   *    materialization for dropped strings) and the scan schema Spark
   *    sees is the pruned one. No filter pushdown: a row format has
-  *    nothing to prune with — declared honestly rather than claimed.
-  *
-  * The companion [[AvroIO.write]] is the sink: schema-derived
-  * GenericRecords through `DataFileWriter`, one container file per
-  * partition via `mapPartitions` (same layout discipline as the
-  * parquet writers; local-FS paths because the harness is local mode —
-  * a cluster deployment would open through the Hadoop FS API instead).
+  *    nothing to prune with — declared honestly rather than claimed;
+  *  - a full DSv2 WRITE path ([[AvroWriteBuilder]]): task temp files +
+  *    driver commit renames, append/truncate modes (local-FS paths
+  *    because the harness is local mode — a cluster deployment would
+  *    open through the Hadoop FS API instead). [[AvroIO.write]] is the
+  *    call-site-stable overwrite helper.
   */
 object AvroSource {
+  import org.apache.avro.LogicalTypes
+  import org.apache.spark.sql.types.{BooleanType, DateType, FloatType, TimestampNTZType, TimestampType}
+
+  /** Catalyst primitive -> Avro schema. Temporal types ride Avro LOGICAL
+    * types over their storage primitive exactly as Catalyst stores them
+    * internally (timestamp = micros in a long, date = days in an int) —
+    * so the reader/writer move the raw value with no conversion, and any
+    * other Avro tool reads the files with correct temporal semantics. */
+  private def prim(dt: DataType, name: String): Schema = dt match {
+    case LongType => Schema.create(Schema.Type.LONG)
+    case IntegerType => Schema.create(Schema.Type.INT)
+    case DoubleType => Schema.create(Schema.Type.DOUBLE)
+    case FloatType => Schema.create(Schema.Type.FLOAT)
+    case BooleanType => Schema.create(Schema.Type.BOOLEAN)
+    case StringType => Schema.create(Schema.Type.STRING)
+    case TimestampType =>
+      LogicalTypes.timestampMicros().addToSchema(Schema.create(Schema.Type.LONG))
+    case TimestampNTZType =>
+      LogicalTypes.localTimestampMicros().addToSchema(Schema.create(Schema.Type.LONG))
+    case DateType =>
+      LogicalTypes.date().addToSchema(Schema.create(Schema.Type.INT))
+    case other => throw new IllegalArgumentException(
+      s"AvroSource supports long/int/double/float/boolean/string/" +
+        s"timestamp/timestamp_ntz/date, got $other for $name")
+  }
+
   private[sources] def toAvro(schema: StructType): Schema = {
-    val fields = SchemaBuilder.record("graft_row").fields()
-    schema.fields.foldLeft(fields) { (fs, f) =>
-      val base = fs.name(f.name)
-      f.dataType match {
-        case LongType if f.nullable => base.`type`().nullable().longType().noDefault()
-        case LongType => base.`type`().longType().noDefault()
-        case IntegerType if f.nullable => base.`type`().nullable().intType().noDefault()
-        case IntegerType => base.`type`().intType().noDefault()
-        case DoubleType if f.nullable => base.`type`().nullable().doubleType().noDefault()
-        case DoubleType => base.`type`().doubleType().noDefault()
-        case StringType if f.nullable => base.`type`().nullable().stringType().noDefault()
-        case StringType => base.`type`().stringType().noDefault()
-        case other => throw new IllegalArgumentException(
-          s"AvroSource supports long/int/double/string, got $other for ${f.name}")
-      }
-    }.endRecord()
+    val fields = new java.util.ArrayList[Schema.Field]()
+    schema.fields.foreach { f =>
+      val base = prim(f.dataType, f.name)
+      val sch =
+        if (f.nullable)
+          Schema.createUnion(Schema.create(Schema.Type.NULL), base)
+        else base
+      fields.add(new Schema.Field(f.name, sch, null, null))
+    }
+    Schema.createRecord("graft_row", null, "graft", false, fields)
   }
 
   private[sources] def toCatalyst(s: Schema): DataType = {
@@ -74,13 +94,20 @@ object AvroSource {
     val t = if (s.getType == Schema.Type.UNION)
       s.getTypes.asScala.find(_.getType != Schema.Type.NULL).getOrElse(s)
     else s
-    t.getType match {
-      case Schema.Type.LONG => LongType
-      case Schema.Type.INT => IntegerType
-      case Schema.Type.DOUBLE => DoubleType
-      case Schema.Type.STRING => StringType
-      case other => throw new IllegalArgumentException(
-        s"AvroSource cannot map Avro type $other")
+    t.getLogicalType match {
+      case _: LogicalTypes.TimestampMicros => TimestampType
+      case _: LogicalTypes.LocalTimestampMicros => TimestampNTZType
+      case _: LogicalTypes.Date => DateType
+      case _ => t.getType match {
+        case Schema.Type.LONG => LongType
+        case Schema.Type.INT => IntegerType
+        case Schema.Type.DOUBLE => DoubleType
+        case Schema.Type.FLOAT => FloatType
+        case Schema.Type.BOOLEAN => BooleanType
+        case Schema.Type.STRING => StringType
+        case other => throw new IllegalArgumentException(
+          s"AvroSource cannot map Avro type $other")
+      }
     }
   }
 
@@ -213,12 +240,16 @@ class AvroWriterFactory(path: String, avroJson: String, schema: StructType)
         val rec = new GenericData.Record(avroSchema)
         var i = 0
         while (i < flds.length) {
+          import org.apache.spark.sql.types.{BooleanType, DateType, FloatType, TimestampNTZType, TimestampType}
           val v: AnyRef =
             if (row.isNullAt(i)) null
             else flds(i).dataType match {
-              case LongType => Long.box(row.getLong(i))
-              case IntegerType => Int.box(row.getInt(i))
+              case LongType | TimestampType | TimestampNTZType =>
+                Long.box(row.getLong(i)) // temporals are micros longs internally
+              case IntegerType | DateType => Int.box(row.getInt(i))
               case DoubleType => Double.box(row.getDouble(i))
+              case FloatType => Float.box(row.getFloat(i))
+              case BooleanType => Boolean.box(row.getBoolean(i))
               case StringType => row.getUTF8String(i).toString
               case other => throw new IllegalArgumentException(other.toString)
             }

@@ -51,6 +51,25 @@ class AvroSourceSpec extends SparkSuite {
     assert(q.agg(sum($"a")).head.getLong(0) == (0L until 1000L).map(_ * 2).sum)
   }
 
+  test("temporal + float/boolean columns round-trip via avro logical types") {
+    import spark.implicits._
+    val dir = graft.ops.Util.managedTempDir("graft_avro_temporal_")
+    val df = spark.range(0, 50)
+      .select($"id",
+        timestamp_micros($"id" * 1000000L + 1700000000000000L).as("ts"),
+        date_add(lit(java.sql.Date.valueOf("2024-01-01")), $"id".cast("int")).as("d"),
+        ($"id" % 2 === 0).as("b"),
+        ($"id" / 8).cast("float").as("f"))
+    graft.sources.AvroIO.write(df, dir)
+    val back = readAvro(dir)
+    import org.apache.spark.sql.types.{BooleanType, DateType, FloatType, TimestampType}
+    assert(back.schema("ts").dataType == TimestampType, back.schema("ts").toString)
+    assert(back.schema("d").dataType == DateType)
+    assert(back.schema("b").dataType == BooleanType)
+    assert(back.schema("f").dataType == FloatType)
+    assert(back.orderBy($"id").collect().toSeq == df.orderBy($"id").collect().toSeq)
+  }
+
   test("DSv2 write protocol: commit renames temps, append accumulates, overwrite truncates, no temp residue") {
     import spark.implicits._
     val dir = graft.ops.Util.managedTempDir("graft_avro_write_")
