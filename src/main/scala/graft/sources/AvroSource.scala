@@ -300,38 +300,60 @@ class AvroScan(path: String, full: StructType, required: StructType,
       }
     }.toArray
   override def createReaderFactory(): PartitionReaderFactory =
-    new AvroReaderFactory(full.fieldNames, required)
+    new AvroReaderFactory(required)
 }
 
 case class AvroFilePartition(file: String, start: Long, end: Long)
     extends InputPartition
 
-class AvroReaderFactory(fileOrder: Array[String], required: StructType)
+class AvroReaderFactory(required: StructType)
     extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
     val part = p.asInstanceOf[AvroFilePartition]
     new PartitionReader[InternalRow] {
+      private val datum = new GenericDatumReader[GenericRecord]()
       private val reader = new DataFileReader[GenericRecord](
-        new java.io.File(part.file), new GenericDatumReader[GenericRecord]())
+        new java.io.File(part.file), datum)
+      // SCHEMA RESOLUTION per file: the expected (reader) schema is the
+      // file's OWN writer schema projected to the required columns by
+      // NAME — Avro's resolver then (a) SKIPS the dropped fields' bytes
+      // during decode (genuine pruning for a row format: pruned columns
+      // cost no decode, not just no conversion) and (b) tolerates
+      // per-file field-order differences (a reordered-writer file still
+      // reads correctly; positional decode against the table schema
+      // would silently transpose columns).
+      private val keep = required.fieldNames
+      locally {
+        val w = reader.getSchema
+        val missing = keep.filterNot(n => w.getField(n) != null)
+        require(missing.isEmpty,
+          s"avro file ${part.file} lacks required column(s): ${missing.mkString(", ")}")
+        val fields = new java.util.ArrayList[Schema.Field]()
+        keep.foreach { n =>
+          val f = w.getField(n)
+          fields.add(new Schema.Field(n, f.schema(), null, null))
+        }
+        val proj = Schema.createRecord(
+          w.getName, null, w.getNamespace, false, fields)
+        datum.setExpected(proj)
+      }
       // a non-leading split seeks to the first sync marker past its
       // start; the leading split reads from the first block directly
       if (part.start > 0) reader.sync(part.start)
-      // positions of the required columns in the file's record layout
-      private val srcPos = required.fieldNames.map(n => fileOrder.indexOf(n))
       private var cur: InternalRow = _
       override def next(): Boolean =
         if (!reader.hasNext || reader.pastSync(part.end)) false
         else {
           val rec = reader.next()
-          val out = new Array[Any](srcPos.length)
+          val out = new Array[Any](keep.length)
           var i = 0
-          while (i < srcPos.length) {
-            val v = rec.get(srcPos(i))
+          while (i < keep.length) {
+            val v = rec.get(i)
             out(i) =
               if (v == null) null
               else required.fields(i).dataType match {
                 case StringType => UTF8String.fromString(v.toString)
-                case _ => v // long/int/double box straight through
+                case _ => v // long/int/double/float/bool box straight through
               }
             i += 1
           }

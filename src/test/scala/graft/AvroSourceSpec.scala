@@ -90,6 +90,35 @@ class AvroSourceSpec extends SparkSuite {
     assert(files().forall(f => f.matches("part-\\d{5}\\.avro")), files().toString)
   }
 
+  test("per-file schema resolution: a reordered-writer file reads by NAME, not position") {
+    import spark.implicits._
+    import org.apache.avro.Schema
+    import org.apache.avro.file.DataFileWriter
+    import org.apache.avro.generic.{GenericData, GenericDatumWriter, GenericRecord}
+    val dir = graft.ops.Util.managedTempDir("graft_avro_evolve_")
+    // file 1: our writer's order (id, v)
+    spark.range(0, 10).select($"id", ($"id" * 100).as("v")).write
+      .format("graft.sources.AvroSource").mode("overwrite").save(dir)
+    // file 2: same record name + fields, REVERSED order (v, id), written
+    // with the raw avro API — a foreign producer's layout
+    val fields = new java.util.ArrayList[Schema.Field]()
+    fields.add(new Schema.Field("v", Schema.create(Schema.Type.LONG), null, null))
+    fields.add(new Schema.Field("id", Schema.create(Schema.Type.LONG), null, null))
+    val rev = Schema.createRecord("graft_row", null, "graft", false, fields)
+    val w = new DataFileWriter[GenericRecord](new GenericDatumWriter[GenericRecord](rev))
+    w.create(rev, new java.io.File(dir, "part-99999.avro"))
+    (10L until 20L).foreach { i =>
+      val r = new GenericData.Record(rev)
+      r.put("v", Long.box(i * 100)); r.put("id", Long.box(i))
+      w.append(r)
+    }
+    w.close()
+    val got = readAvro(dir).orderBy($"id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.toSeq == (0L until 20L).map(i => (i, i * 100)).toSeq,
+      s"reordered file transposed columns: ${got.take(5).toSeq}")
+  }
+
   test("sync-marker split reads: a small splitSize fans one file into many partitions, every row exactly once") {
     import spark.implicits._
     val dir = graft.ops.Util.managedTempDir("graft_avro_split_")
