@@ -823,12 +823,16 @@ object LlmOpsExt {
       .select(when($"mx" <= 1, lit(1)).otherwise(raise_error(
         lit("term-id hash collision in sparse-sim dictionary"))
           .cast("int")).as("_guard"))
-    // NOTE: caching the postings here measured SLOWER twice (r14, with
-    // and without the spread): the replicate-and-join sides fuse into
-    // whole-stage codegen straight off the exchange, and an
+    // NOTE: caching the NARROW postings (w) here measured SLOWER twice
+    // (r14, with and without the spread): the replicate-and-join sides
+    // fuse into whole-stage codegen straight off the exchange, and an
     // InMemoryTableScan in that position costs more than recomputing
-    // the narrow postings subtree — contrast q_sim_sparse, where the
-    // cache wins; "stays inside codegen" beats "computed once" here
+    // the narrow subtree. The POST-JOIN wt below is different (r17
+    // re-measure): it embeds the explode+groupBy+two-joins chain and
+    // feeds BOTH salted self-join legs, so caching it saves a full
+    // recomputation of the heaviest subtree — isolated min dropped
+    // 2.2 -> 1.6-2.0 s at sf0.1 (box-noise bracketed, oracle and all
+    // sparse pins unchanged)
     val w = tf.join(broadcast(dict), "term").crossJoin(broadcast(n))
       .select($"doc_id", $"tid", $"term",
         ($"tf" * round(log($"n_docs".cast("double") / $"df") * 10000, 0)
@@ -842,8 +846,8 @@ object LlmOpsExt {
     val groups = top.groupBy($"top_tid")
       .agg(ceil(count(lit(1)).cast("double") / Cap).cast("int").as("g"))
     val norm = w.groupBy($"doc_id").agg(sum($"w" * $"w").as("ssq"))
-    val wt = w.select($"doc_id", $"tid", $"w").join(top, "doc_id")
-      .join(broadcast(groups), "top_tid")
+    val wt = cached(w.select($"doc_id", $"tid", $"w").join(top, "doc_id")
+      .join(broadcast(groups), "top_tid"))
     // left: one deterministic salt per doc; right: replicated to all g
     val a = wt.withColumn("salt",
       pmod(xxhash64($"doc_id"), $"g".cast("long")).cast("int"))
