@@ -155,12 +155,22 @@ object TpcH {
   /** Q11 important stock: per-part value with a HAVING gate against a
     * GLOBAL scalar-subquery threshold (sum × fraction) — the subquery
     * is uncorrelated, computed once, broadcast into the filter. */
-  private val sqlQ11 =
-    """WITH partsupp AS (
-      |  SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
-      |         count(*) AS ps_availqty, min(l_extendedprice) AS ps_supplycost
-      |  FROM lineitem GROUP BY 1, 2)
-      |SELECT ps_partkey,
+  /** Q11's partsupp CTE is referenced TWICE (outer aggregate + the
+    * HAVING clause's global-total scalar subquery). Spark inlines CTEs,
+    * so the SQL text alone derives the lineitem-grain aggregate twice —
+    * two full lineitem shuffles for one answer (DuckDB CSEs it; at
+    * 100 TB the second derivation is a full extra pass over the fact
+    * table). The registry entry therefore derives partsupp ONCE into a
+    * persisted temp view and runs the body over it; the oracle keeps
+    * the verbatim single-text CTE form. (r18, verdict item 2 — the
+    * PlanShapeSpec pin: zero direct lineitem scans in the executed
+    * plan, both references served from one InMemoryRelation.) */
+  private val sqlQ11Partsupp =
+    """SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+      |       count(*) AS ps_availqty, min(l_extendedprice) AS ps_supplycost
+      |FROM lineitem GROUP BY 1, 2""".stripMargin
+  private val sqlQ11Body =
+    """SELECT ps_partkey,
       | round(CAST(sum(CAST(ps_supplycost AS DECIMAL(18,4)) * ps_availqty) AS DOUBLE), 4) AS value
       |FROM partsupp, supplier, nation
       |WHERE ps_suppkey = s_suppkey AND s_nationkey = n_nationkey
@@ -172,6 +182,8 @@ object TpcH {
       |  WHERE ps_suppkey = s_suppkey AND s_nationkey = n_nationkey
       |    AND n_name IN ('NATION_1', 'NATION_2', 'NATION_3'))
       |ORDER BY value DESC, ps_partkey""".stripMargin
+  private val sqlQ11 =
+    s"WITH partsupp AS (\n$sqlQ11Partsupp)\n$sqlQ11Body"
 
   /** Q12 shipping-mode priority split: FILTER-clause conditional counts
     * (count FILTER yields BIGINT on both engines; the original's
@@ -344,7 +356,14 @@ object TpcH {
   val queries: Map[String, Q] =
     texts.map { case (name, sql) =>
       name -> ((s: SparkSession, dir: String) => { views(s, dir); s.sql(sql) })
-    }
+    } + ("q_sql_q11" -> ((s: SparkSession, dir: String) => {
+      // derive the doubly-referenced partsupp CTE once (see sqlQ11Body
+      // doc); `cached` registers the persist for the harness's
+      // query-boundary unpersist
+      views(s, dir)
+      cached(s.sql(sqlQ11Partsupp)).createOrReplaceTempView("partsupp")
+      s.sql(sqlQ11Body)
+    }))
 
   val oracleSql: Map[String, String] = texts
 }

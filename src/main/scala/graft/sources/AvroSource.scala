@@ -90,10 +90,17 @@ object AvroSource {
   }
 
   private[sources] def toCatalyst(s: Schema): DataType = {
-    // unwrap the standard nullable union ["null", T]
-    val t = if (s.getType == Schema.Type.UNION)
-      s.getTypes.asScala.find(_.getType != Schema.Type.NULL).getOrElse(s)
-    else s
+    // unwrap the standard nullable union ["null", T]; any other union
+    // shape (two non-null branches, >2 branches) has no single Catalyst
+    // type — reading its first branch would mistype values from the
+    // others, so reject the file instead
+    val t = if (s.getType == Schema.Type.UNION) {
+      val branches = s.getTypes.asScala
+      require(branches.size == 2 &&
+        branches.exists(_.getType == Schema.Type.NULL),
+        s"AvroSource supports only nullable unions [\"null\", T]; got $s")
+      branches.find(_.getType != Schema.Type.NULL).get
+    } else s
     t.getLogicalType match {
       case _: LogicalTypes.TimestampMicros => TimestampType
       case _: LogicalTypes.LocalTimestampMicros => TimestampNTZType
@@ -117,7 +124,11 @@ object AvroSource {
   private[sources] def listFiles(path: String): Seq[String] = {
     val d = new java.io.File(path)
     Option(d.listFiles()).getOrElse(Array.empty)
-      .filter(f => f.isFile && f.getName.endsWith(".avro"))
+      // dot-prefixed files are in-flight task temps (or a crashed
+      // writer's residue) — the write protocol's invisibility promise
+      // only holds if scans and inferSchema skip them here too
+      .filter(f => f.isFile && f.getName.endsWith(".avro") &&
+        !f.getName.startsWith("."))
       .map(_.getPath).sorted.toSeq
   }
 }
@@ -204,15 +215,20 @@ class AvroBatchWrite(path: String, schema: StructType, truncate: Boolean)
         .filter(f => f.getName.endsWith(".avro") && !f.getName.startsWith("."))
         .foreach(_.delete())
     // append starts numbering past the existing part set (an append
-    // that reused part-00000 would silently REPLACE the prior commit)
+    // that reused part-00000 would silently REPLACE the prior commit);
+    // match ANY digit width — once part-99999 exists the next base is
+    // 100000 and a 5-digit-only match would recompute 100000 forever,
+    // overwriting the previous append
+    val partRe = "part-(\\d+)\\.avro".r
     val existing = Option(dir.listFiles()).getOrElse(Array.empty)
-      .map(_.getName).filter(_.matches("part-\\d{5}\\.avro"))
-    val base = if (existing.isEmpty) 0
-      else existing.map(_.slice(5, 10).toInt).max + 1
+      .map(_.getName).collect { case partRe(n) => n.toLong }
+    val base = if (existing.isEmpty) 0L else existing.max + 1L
     messages.collect { case AvroCommitMsg(t) if t.nonEmpty => t }
       .zipWithIndex.foreach { case (t, i) =>
-        val ok = new java.io.File(dir, t)
-          .renameTo(new java.io.File(dir, f"part-${base + i}%05d.avro"))
+        val dest = new java.io.File(dir, f"part-${base + i}%05d.avro")
+        require(!dest.exists(),
+          s"avro commit would overwrite existing ${dest.getName}")
+        val ok = new java.io.File(dir, t).renameTo(dest)
         require(ok, s"avro commit failed renaming $t")
       }
   }

@@ -278,15 +278,17 @@ private[sources] object GraftProcedures {
             (lane(c) - lo) / lit(step)
           } else {
             // span overflowed Long (range wider than 2^63, e.g. sentinel
-            // MIN/MAX values in the column): hi-lo is still EXACT as an
-            // unsigned 64-bit value, and so is (lane - lo) per row — an
-            // unsigned right shift embeds that offset into the bit
-            // budget monotonically. The signed-divide step path would
-            // see wrapped negatives (and span == -1 would divide by
-            // zero in the mult path); this branch keeps the lattice in
-            // [0, 2^bits) for any range. (r17, advice item)
+            // MIN/MAX values in the column). `lane - lo` would itself
+            // overflow per row (ANSI mode, pinned on by the suite,
+            // throws ARITHMETIC_OVERFLOW) — and `lo` is unnecessary for
+            // a monotone lattice anyway: flipping the sign bit embeds
+            // the full signed Long range into unsigned order
+            // (MinValue→0, MaxValue→2^64-1) with no arithmetic that can
+            // wrap, and the unsigned shift keeps it in [0, 2^bits).
+            // (r18, advice item: wrap-free monotone unsigned embedding)
             import org.apache.spark.sql.functions.shiftrightunsigned
-            shiftrightunsigned(lane(c) - lo, 64 - bits)
+            shiftrightunsigned(lane(c).bitwiseXOR(lit(Long.MinValue)),
+              64 - bits)
           }
         org.apache.spark.sql.graft.GraftSql.expression(expr.cast("long"))
       }

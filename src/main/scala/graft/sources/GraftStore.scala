@@ -513,6 +513,190 @@ object GraftStore {
   private[graft] def readManifest(path: String): Option[(StructType, Seq[FileEntry])] =
     readManifestFile(new File(path, ManifestName))
 
+  // ------------------------------------------------ manifest SHARDING
+  // (round 18, verdict item 1): past a threshold the snapshot manifest
+  // stops inlining FileEntry lines and becomes a MANIFEST LIST — the
+  // Iceberg two-level metadata layout. Each `!clist=` header line
+  // references one immutable CHILD manifest (plain fmtEntry lines, no
+  // headers) holding the entries of one partition cell (chunked at the
+  // threshold), and carries the child's AGGREGATED column stats so a
+  // partition-pruned scan can disprove whole children from the parent
+  // alone — planning then opens only the matching children, which is
+  // what keeps 100 TB metadata reads proportional to the partitions a
+  // query touches, not the table. Children are CONTENT-ADDRESSED
+  // (`_mchild.<sha1>`): an append that touches 1 of N partitions
+  // regroups the other N-1 cells byte-identically, hits the existing
+  // name, and skips the write — incremental metadata cost without any
+  // manifest-diff protocol. The commit point is unchanged: children
+  // land BEFORE the parent's link(2) claim and are invisible until a
+  // committed parent lists them (exactly the data-file rule), so the
+  // atomic-swap / CAS / time-travel / CDF semantics hold verbatim.
+  private[graft] val ChildPrefix = "_mchild."
+  private[graft] val DefaultShardThreshold = 4096
+
+  /** Entries-per-manifest shard trigger AND per-child chunk bound.
+    * Session-configurable (`spark.graft.manifest.shardThreshold`) so
+    * ingest jobs can tune it and specs can force sharding small. */
+  private[sources] def shardThreshold: Int =
+    org.apache.spark.sql.SparkSession.getActiveSession
+      .flatMap(_.conf.getOption("spark.graft.manifest.shardThreshold"))
+      .map(_.toInt).getOrElse(DefaultShardThreshold)
+
+  /** One `!clist=` reference: child file name, how many entries it
+    * holds, their live-row sum, and per-column stats aggregated over
+    * them (only columns EVERY member carries, merged type-faithfully —
+    * see [[mergeChildStats]]); absence of a column = Unknown = the
+    * child is opened, never wrongly skipped. */
+  private[graft] case class ChildRef(file: String, nfiles: Long, rows: Long,
+      stats: Map[String, ColStats])
+
+  // a ChildRef wire line reuses the FileEntry line format verbatim
+  // (name TAB rows TAB stats TAB nfiles-in-the-cols-slot), so the
+  // existing fmt/parse round-trip is the only codec
+  private def fmtChildRef(c: ChildRef): String =
+    "!clist=" + fmtEntry(FileEntry(c.file, c.rows, c.stats, cols = c.nfiles.toInt))
+  private def parseChildRef(line: String): ChildRef = {
+    val e = parseEntry(line.stripPrefix("!clist="))
+    ChildRef(e.file, e.cols.toLong, e.rows, e.stats)
+  }
+
+  /** Child-level stats = the per-column fold of the members' stats,
+    * kept only where the fold is PROVABLY sound for the tri-state
+    * evaluator: numeric/temporal min-max folds by the column's own
+    * comparison (keeping the original strings — no reformat drift;
+    * doubles via Double.compare, so an any-member NaN max and an
+    * all-member NaN min merge exactly like the v2 writer records them),
+    * null counts sum, HLL registers union, exact sums wrap-add.
+    * Anything unprovable — a member missing the column, unknown null
+    * counts, a non-schema pseudo-stat with differing values — drops the
+    * column (or field) from the child: Unknown, the child is read. Mono
+    * never survives (children interleave files); blooms don't fold. */
+  private def mergeChildStats(schema: StructType,
+      es: Seq[FileEntry]): Map[String, ColStats] = {
+    import org.apache.spark.sql.types._
+    if (es.isEmpty) return Map.empty
+    val shared = es.map(_.stats.keySet).reduce(_ intersect _)
+    shared.iterator.flatMap { c =>
+      val sts = es.map(_.stats(c))
+      if (sts.exists(_.nulls < 0)) None
+      else {
+        val nulls = sts.map(_.nulls).sum
+        val nonEmpty = sts.filter(_.min.nonEmpty)
+        val kind: Option[Int] = schema.fields.find(_.name == c).map(_.dataType) match {
+          case Some(IntegerType | LongType | DateType |
+                    TimestampType | TimestampNTZType) => Some(0)
+          case Some(DoubleType) => Some(1)
+          case _ => None
+        }
+        val mm: Option[(String, String)] = kind match {
+          case _ if nonEmpty.isEmpty => Some(("", "")) // all members all-null
+          case Some(0) =>
+            Some((nonEmpty.map(_.min).minBy(_.toLong),
+              nonEmpty.map(_.max).maxBy(_.toLong)))
+          case Some(_) =>
+            val ord = Ordering.fromLessThan[String]((a, b) =>
+              java.lang.Double.compare(a.toDouble, b.toDouble) < 0)
+            Some((nonEmpty.map(_.min).min(ord), nonEmpty.map(_.max).max(ord)))
+          case None =>
+            // string columns (min/max always empty — handled above) and
+            // pseudo-stats (derived bucket): sound only when every
+            // member pins the SAME value
+            val pairs = sts.map(s => (s.min, s.max)).distinct
+            if (pairs.size == 1) Some(pairs.head) else None
+        }
+        mm.map { case (mn, mx) =>
+          val ndv = if (sts.forall(_.ndv.nonEmpty))
+            sts.map(_.ndv).reduce(NdvHll.mergeHex) else ""
+          val sum = if (sts.forall(_.sum.nonEmpty))
+            sts.map(_.sum.toLong).foldLeft(0L)(_ + _).toString else ""
+          c -> ColStats(mn, mx, nulls, bloom = "", ndv = ndv,
+            mono = false, sum = sum)
+        }
+      }
+    }.toMap
+  }
+
+  private def sha1hex(bytes: Array[Byte]): String =
+    java.security.MessageDigest.getInstance("SHA-1").digest(bytes)
+      .map(b => f"$b%02x").mkString
+
+  /** Group `files` into per-partition-cell children (first-appearance
+    * order, preserving within-cell entry order — for the clustered
+    * writes this format produces, the flattened read-back is the exact
+    * original sequence), chunk each cell at the threshold, write any
+    * child whose content-addressed name doesn't exist yet, and return
+    * the `!clist=` lines. Unprovable-cell files (pre-spec history,
+    * compaction-merged cells) group into one catch-all child —
+    * degraded honestly: it merely never prunes. */
+  private def shardEntries(path: String, schema: StructType,
+      files: Seq[FileEntry], threshold: Int): Seq[String] = {
+    val terms = readPartitionTerms(path)
+    def keyOf(e: FileEntry): Option[String] =
+      if (terms.isEmpty) Some("")
+      else {
+        val cells = terms.map(derivedCellOf(schema, _, e))
+        if (cells.forall(_.isDefined)) Some(cells.flatten.mkString("/")) else None
+      }
+    val groups = new java.util.LinkedHashMap[Option[String],
+      scala.collection.mutable.ArrayBuffer[FileEntry]]()
+    files.foreach { e =>
+      val k = keyOf(e)
+      var b = groups.get(k)
+      if (b == null) { b = scala.collection.mutable.ArrayBuffer.empty; groups.put(k, b) }
+      b += e
+    }
+    import scala.jdk.CollectionConverters._
+    groups.values.asScala.toSeq.flatMap(_.grouped(threshold)).map { chunk =>
+      val content = chunk.map(fmtEntry).mkString("\n")
+        .getBytes(StandardCharsets.UTF_8)
+      val name = ChildPrefix + sha1hex(content)
+      val target = Paths.get(path, name)
+      if (!Files.exists(target)) {
+        val tmp = Paths.get(path, s".mchild.tmp.${java.util.UUID.randomUUID()}")
+        Files.write(tmp, content)
+        // two writers racing on identical content move identical bytes
+        // onto the same name — REPLACE_EXISTING is benign by construction
+        Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE,
+          StandardCopyOption.REPLACE_EXISTING)
+      }
+      fmtChildRef(ChildRef(name, chunk.size.toLong,
+        chunk.map(e => math.max(e.rows, 0L)).sum,
+        mergeChildStats(schema, chunk.toSeq)))
+    }
+  }
+
+  /** Logical child-manifest reads (pre-cache) — the observable the
+    * sharding spec pins: a partition-pruned scan must request exactly
+    * the matching children, however warm the cache. */
+  private[graft] val childReads = new java.util.concurrent.atomic.AtomicLong
+
+  // children are content-addressed, hence immutable: cache parsed
+  // entries by absolute path, forever-valid (LRU-bounded)
+  private val childCache =
+    new java.util.LinkedHashMap[String, Seq[FileEntry]](256, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[String, Seq[FileEntry]]): Boolean = size() > 256
+    }
+
+  private def readChildEntries(dir: File, name: String): Seq[FileEntry] = {
+    childReads.incrementAndGet()
+    val f = new File(dir, name)
+    val key = f.getAbsolutePath
+    val hit = childCache.synchronized(childCache.get(key))
+    if (hit != null) return hit
+    val bytes =
+      try Files.readAllBytes(f.toPath)
+      catch {
+        case e: java.io.IOException => throw new IllegalStateException(
+          s"manifest child $name missing at $dir — referenced by a " +
+            "committed snapshot; was the table directory partially copied?", e)
+      }
+    val parsed = new String(bytes, StandardCharsets.UTF_8)
+      .split('\n').toSeq.filter(_.nonEmpty).map(parseEntry)
+    childCache.synchronized(childCache.put(key, parsed))
+    parsed
+  }
+
   /** Double-column stats format version. v2 (round 10) made the writer
     * NaN-sound: NaN presence demotes mono unless NaN-tailed, max becomes
     * the literal "NaN" when any value is NaN, min "NaN" only when all
@@ -548,10 +732,10 @@ object GraftStore {
     * (O(lines × columns) string work) into a map hit. */
   private val manifestCache =
     new java.util.LinkedHashMap[String,
-        Option[(StructType, Seq[FileEntry], Seq[EqDelete])]](64, 0.75f, true) {
+        Option[(StructType, Seq[FileEntry], Seq[EqDelete], Seq[ChildRef])]](64, 0.75f, true) {
       override def removeEldestEntry(
           e: java.util.Map.Entry[String,
-            Option[(StructType, Seq[FileEntry], Seq[EqDelete])]])
+            Option[(StructType, Seq[FileEntry], Seq[EqDelete], Seq[ChildRef])]])
           : Boolean = size() > 64
     }
 
@@ -584,8 +768,11 @@ object GraftStore {
   private[graft] def readEqDeletesOf(f: File): Seq[EqDelete] =
     readManifestFull(f).map(_._3).getOrElse(Seq.empty)
 
-  private[graft] def readManifestFull(
-      f: File): Option[(StructType, Seq[FileEntry], Seq[EqDelete])] = {
+  /** STRUCTURED parse: inline entries and child refs kept apart — what
+    * the pruned scan path and the child GC sweep consume. Every other
+    * consumer goes through [[readManifestFull]], which flattens. */
+  private[graft] def readManifestStructured(
+      f: File): Option[(StructType, Seq[FileEntry], Seq[EqDelete], Seq[ChildRef])] = {
     if (!f.exists()) None
     else {
       val uid = headerUid(f)
@@ -607,8 +794,18 @@ object GraftStore {
     }
   }
 
+  private[graft] def readManifestFull(
+      f: File): Option[(StructType, Seq[FileEntry], Seq[EqDelete])] =
+    readManifestStructured(f).map { case (s, es, eqs, children) =>
+      // flatten children in listed (= first-appearance grouping) order;
+      // child entries never need the stats-version demotion below: a
+      // sharded manifest is always written at the current version
+      (s, es ++ children.flatMap(c => readChildEntries(f.getParentFile, c.file)),
+        eqs)
+    }
+
   private def parseManifestBytes(
-      bytes: Array[Byte]): Option[(StructType, Seq[FileEntry], Seq[EqDelete])] = {
+      bytes: Array[Byte]): Option[(StructType, Seq[FileEntry], Seq[EqDelete], Seq[ChildRef])] = {
     val lines = new String(bytes, StandardCharsets.UTF_8)
       .split('\n').toSeq.filter(_.nonEmpty)
     if (lines.isEmpty) return None
@@ -616,6 +813,7 @@ object GraftStore {
     val statsV = lines.tail.find(_.startsWith("!stats="))
       .map(_.stripPrefix("!stats=").toLong).getOrElse(1L)
     val eqDels = lines.tail.filter(_.startsWith("!eqdel=")).map(parseEqDelete)
+    val children = lines.tail.filter(_.startsWith("!clist=")).map(parseChildRef)
     val entries = lines.tail.filterNot(_.startsWith("!")).map(parseEntry)
     val safe =
       if (statsV >= StatsFormatVersion) entries
@@ -627,7 +825,7 @@ object GraftStore {
         if (doubleCols.isEmpty) entries
         else entries.map(e => e.copy(stats = e.stats -- doubleCols))
       }
-    Some((schema, safe, eqDels))
+    Some((schema, safe, eqDels, children))
   }
 
   /** Snapshot id the current pointer carries (0 = pre-versioning table
@@ -837,6 +1035,13 @@ object GraftStore {
     // max(now, prev_ts + 1) so the commit index is a strict order.
     val ts = math.max(System.currentTimeMillis(),
       readTsOf(new File(path, s"$ManifestName.v${v - 1}")) + 1L)
+    // past the shard threshold the entry block becomes a manifest list
+    // (see the sharding section above); children land before the claim
+    // below, so they are invisible until this commit wins
+    val threshold = shardThreshold
+    val entryLines =
+      if (files.size > threshold) shardEntries(path, schema, files, threshold)
+      else files.map(fmtEntry)
     val lines = schema.toDDL +: (s"!version=$v" +:
       (s"!uid=${java.util.UUID.randomUUID()}" +:
         (s"!ts=$ts" +:
@@ -845,7 +1050,7 @@ object GraftStore {
             epoch.map(e => s"!epoch=$e").toSeq ++
             txns.toSeq.sortBy(_._1).map { case (a, ver) => s"!txn=$a:$ver" } ++
             eqDels.map(fmtEqDelete) ++
-            files.map(fmtEntry))))))
+            entryLines)))))
     Files.write(tmp, lines.mkString("\n").getBytes(StandardCharsets.UTF_8))
     try Files.createLink(Paths.get(path, s"$ManifestName.v$v"), tmp)
     catch {
@@ -1767,6 +1972,36 @@ object GraftStore {
       case None => current
     }
     (schema, entries, eqDels)
+  }
+
+  /** [[selectWithEq]] for a plain (current or time-travel) scan WITH
+    * pushed filters: on a sharded manifest, children whose aggregated
+    * stats disprove every row (tri-state NoRows) are skipped UNOPENED —
+    * the parent read is the only metadata I/O a pruned-away partition
+    * costs. Per-file pruning still runs downstream on the survivors'
+    * entries, so semantics equal the flattened read exactly; an
+    * unsharded manifest takes the identical code path with zero
+    * children. Incremental and metadata-aggregate scans keep the
+    * flattened read (they are defined over the FULL entry set). */
+  private[sources] def selectWithEqPruned(path: String,
+      versionAsOf: Option[Long],
+      pushed: Seq[org.apache.spark.sql.sources.Filter])
+    : (StructType, Seq[FileEntry], Seq[EqDelete]) = {
+    val f = versionAsOf match {
+      case Some(v) => new File(path, s"$ManifestName.v$v")
+      case None => new File(path, ManifestName)
+    }
+    val (schema, inline, eqDels, children) = readManifestStructured(f)
+      .getOrElse(throw new IllegalArgumentException(versionAsOf match {
+        case Some(v) => s"no snapshot v$v at $path (never committed, or expired)"
+        case None => s"no graft-store table at $path"
+      }))
+    val kept = children.filter(c =>
+      StatsPruning.evalAll(pushed, FileEntry(c.file, c.rows, c.stats),
+        schema) != StatsPruning.NoRows)
+    (schema,
+      inline ++ kept.flatMap(c => readChildEntries(f.getParentFile, c.file)),
+      eqDels)
   }
 
   /** Flatten task commit messages: plain writers send one
@@ -3536,6 +3771,20 @@ object GraftStore {
       if (!keep.contains(s"data/${f.getName}") && f.lastModified() <= cutoff
           && f.delete())
         removed += 1
+    }
+    // child-manifest sweep: a child referenced by NO retained snapshot
+    // (nor the pointer) is expired metadata — same grace as data files
+    // (a concurrent commit writes its children before its claim, so a
+    // young unreferenced child may be someone's in-flight commit).
+    // Swept children don't count toward `removed` (callers report DATA
+    // files reclaimed).
+    val refChildren = (snapshotFiles(path) :+ new File(path, ManifestName))
+      .flatMap(f => readManifestStructured(f).toSeq.flatMap(_._4.map(_.file)))
+      .toSet
+    Option(new File(path).listFiles()).getOrElse(Array.empty).foreach { f =>
+      if (f.getName.startsWith(ChildPrefix) &&
+          !refChildren.contains(f.getName) && f.lastModified() <= cutoff)
+        f.delete()
     }
     removed
   }
@@ -5342,9 +5591,17 @@ class GraftStoreScan(path: String,
   // (same format, stats, skipping — only the pointer differs); an
   // INCREMENTAL read keeps only the files added since `fromVersion` —
   // the file-set diff the Iceberg incremental-scan contract describes,
-  // with non-append ranges refused (see GraftStore.selectEntries)
+  // with non-append ranges refused (see GraftStore.selectEntries).
+  // A plain scan with pushed filters plans through the SHARD-PRUNED
+  // read: on a manifest-list table, children the filters disprove are
+  // never opened (metadata I/O ∝ partitions touched); metadata
+  // aggregates and incremental reads are defined over the full entry
+  // set and keep the flattened read.
   private val (schema, entries, eqDels) =
-    GraftStore.selectWithEq(path, versionAsOf, fromVersion)
+    if (metaAgg.isEmpty && fromVersion.isEmpty && pushed.nonEmpty)
+      GraftStore.selectWithEqPruned(path, versionAsOf, pushed.toSeq)
+    else
+      GraftStore.selectWithEq(path, versionAsOf, fromVersion)
 
   /** Equality deletes applicable to `e`, resolved to reader-side refs
     * (sidecar path + key ordinals + type tags) against THIS scan's

@@ -961,4 +961,31 @@ class PlanShapeSpec extends SparkSuite {
         s"$q degenerated to a quadratic join:\n$p")
     }
   }
+
+  test("TPC-H Q11 derives the doubly-referenced partsupp aggregate exactly once") {
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    val df = SparkEntry.queries("q_sql_q11")(spark, sfDir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan
+    // both partsupp references (outer aggregate + HAVING's global-total
+    // scalar subquery) must read the ONE persisted derivation — zero
+    // direct lineitem scans anywhere in the executed plan or its
+    // subqueries (the cached relation's own lineitem scan lives inside
+    // the InMemoryRelation, not in this plan)
+    val nodes = plan.subqueries.flatMap(allNodes) ++ allNodes(plan)
+    val lineitemScans = nodes.filter {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+        s.toString.contains("lineitem")
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+        b.toString.contains("lineitem")
+      case _ => false
+    }
+    assert(lineitemScans.isEmpty,
+      s"Q11 still derives partsupp from a direct lineitem scan:\n$plan")
+    val imts = nodes.collect { case i: InMemoryTableScanExec => i }
+    assert(imts.nonEmpty,
+      s"Q11's partsupp references are not served from the cache:\n$plan")
+    assert(imts.map(_.relation.cacheBuilder.cachedName).distinct.size == 1,
+      "Q11's two partsupp references must share one cached relation")
+  }
 }
