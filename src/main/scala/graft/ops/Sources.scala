@@ -87,6 +87,33 @@ object Sources {
       .orderBy($"c_nationkey")
   }
 
+  /** Avro COMPLEX types (round 18): the embeddings table —
+    * `list<float>` vectors plus a nested struct and a string-keyed map
+    * built from its columns — round-trips through the Avro container
+    * sink/source, and a self-dot (norm²) over the read-back list proves
+    * the floats returned bit-exact (the promote-then-multiply parity
+    * discipline of every other embedding query). The oracle computes
+    * the same projection straight from the source parquet: equality
+    * means array elements, nested struct fields, and map values all
+    * survived the format round-trip. */
+  val qSrcAvroNested: Q = (s, dir) => {
+    import s.implicits._
+    val path = tmp(dir, "avro_nested")
+    graft.sources.AvroIO.write(
+      table(s, dir, "embeddings")
+        .select($"vec_id", $"embedding",
+          struct($"label", size($"embedding").as("dim")).as("meta"),
+          map(lit("lbl"), $"label".cast("long")).as("tags")),
+      path)
+    val back = s.read.format("graft.sources.AvroSource").load(path)
+    back.select($"vec_id",
+        $"meta.label".as("label"), $"meta.dim".as("dim"),
+        element_at($"tags", "lbl").as("lbl_tag"),
+        round(dot(transform($"embedding", x => x.cast("double")),
+          transform($"embedding", x => x.cast("double"))), 4).as("norm2"))
+      .orderBy($"vec_id")
+  }
+
   /** Hive-style partitioned parquet + partition pruning: write orders
     * partitioned by year, read back filtered to one year — the scan must
     * prune to that partition's directory (PartitionFilters, asserted in
@@ -4259,6 +4286,7 @@ object Sources {
     "q_udtf_gen" -> qUdtfGen,
     "q_src_partitioned" -> qSrcPartitioned,
     "q_src_avro" -> qSrcAvro,
+    "q_src_avro_nested" -> qSrcAvroNested,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -5376,6 +5404,15 @@ object Sources {
         | CAST(sum(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS sum_bal
         |FROM customer WHERE c_acctbal > 0.0
         |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
+    "q_src_avro_nested" ->
+      """WITH e AS (SELECT vec_id, label,
+        |   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb,
+        |   CAST(len(embedding) AS INT) AS dim
+        |  FROM embeddings)
+        |SELECT vec_id, label, dim, CAST(label AS BIGINT) AS lbl_tag,
+        | round(list_sum(list_transform(generate_series(1,64),
+        |   i -> emb[i]*emb[i])), 4) AS norm2
+        |FROM e ORDER BY vec_id""".stripMargin,
     "q_src_partitioned" ->
       """SELECT o_orderpriority, count(*) AS n_orders,
         | CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price

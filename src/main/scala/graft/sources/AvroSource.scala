@@ -73,18 +73,51 @@ object AvroSource {
       LogicalTypes.date().addToSchema(Schema.create(Schema.Type.INT))
     case other => throw new IllegalArgumentException(
       s"AvroSource supports long/int/double/float/boolean/string/" +
-        s"timestamp/timestamp_ntz/date, got $other for $name")
+        s"timestamp/timestamp_ntz/date plus array/map/struct, " +
+        s"got $other for $name")
+  }
+
+  private def maybeNullable(s: Schema, nullable: Boolean): Schema =
+    if (nullable) Schema.createUnion(Schema.create(Schema.Type.NULL), s)
+    else s
+
+  /** Catalyst -> Avro, recursively (round 18: complex types). Arrays map
+    * to Avro arrays (element nullability via the standard union), maps
+    * to Avro maps (Avro maps are string-keyed by spec — other key types
+    * are refused loudly), structs to nested records whose names are
+    * derived from the field PATH (Avro record names must be unique
+    * within a schema). `list<float>` — the embeddings column — maps to
+    * array<float> with no indirection. */
+  private[sources] def toAvroType(dt: DataType, name: String): Schema = {
+    import org.apache.spark.sql.types.{ArrayType, MapType}
+    dt match {
+      case ArrayType(et, containsNull) =>
+        Schema.createArray(
+          maybeNullable(toAvroType(et, s"${name}_item"), containsNull))
+      case MapType(StringType, vt, valueContainsNull) =>
+        Schema.createMap(
+          maybeNullable(toAvroType(vt, s"${name}_value"), valueContainsNull))
+      case MapType(kt, _, _) => throw new IllegalArgumentException(
+        s"AvroSource maps require string keys (Avro maps are " +
+          s"string-keyed), got $kt for $name")
+      case st: StructType =>
+        val fields = new java.util.ArrayList[Schema.Field]()
+        st.fields.foreach { f =>
+          fields.add(new Schema.Field(f.name,
+            maybeNullable(toAvroType(f.dataType, s"${name}_${f.name}"),
+              f.nullable), null, null))
+        }
+        Schema.createRecord(s"r_$name", null, "graft", false, fields)
+      case other => prim(other, name)
+    }
   }
 
   private[sources] def toAvro(schema: StructType): Schema = {
     val fields = new java.util.ArrayList[Schema.Field]()
     schema.fields.foreach { f =>
-      val base = prim(f.dataType, f.name)
-      val sch =
-        if (f.nullable)
-          Schema.createUnion(Schema.create(Schema.Type.NULL), base)
-        else base
-      fields.add(new Schema.Field(f.name, sch, null, null))
+      fields.add(new Schema.Field(f.name,
+        maybeNullable(toAvroType(f.dataType, f.name), f.nullable),
+        null, null))
     }
     Schema.createRecord("graft_row", null, "graft", false, fields)
   }
@@ -112,9 +145,172 @@ object AvroSource {
         case Schema.Type.FLOAT => FloatType
         case Schema.Type.BOOLEAN => BooleanType
         case Schema.Type.STRING => StringType
+        case Schema.Type.ARRAY =>
+          val e = t.getElementType
+          org.apache.spark.sql.types.ArrayType(toCatalyst(e),
+            containsNull = e.getType == Schema.Type.UNION)
+        case Schema.Type.MAP =>
+          val v = t.getValueType
+          org.apache.spark.sql.types.MapType(StringType, toCatalyst(v),
+            valueContainsNull = v.getType == Schema.Type.UNION)
+        case Schema.Type.RECORD =>
+          StructType(t.getFields.asScala.map { f =>
+            StructField(f.name(), toCatalyst(f.schema()),
+              nullable = f.schema().getType == Schema.Type.UNION)
+          }.toSeq)
         case other => throw new IllegalArgumentException(
           s"AvroSource cannot map Avro type $other")
       }
+    }
+  }
+
+  /** The non-null branch of a (possibly) nullable union. */
+  private[sources] def unwrap(s: Schema): Schema =
+    if (s.getType == Schema.Type.UNION)
+      s.getTypes.asScala.find(_.getType != Schema.Type.NULL).getOrElse(s)
+    else s
+
+  /** The READER schema for one column, built by walking the table type
+    * alongside the file's writer schema (round 18: nested schema
+    * resolution). Record layers keep the FILE's record name (Avro
+    * resolution matches record names — a foreign writer's names must
+    * not be overwritten by ours) but take their FIELD LIST from the
+    * TABLE schema, so Avro's resolver aligns every nesting level by
+    * NAME: reordered nested fields read correctly, dropped nested
+    * fields' bytes are skipped at decode, and a nested field the file
+    * lacks null-fills through a reader default (nullable fields only —
+    * a missing non-nullable field is refused loudly). Primitive leaves
+    * come from the TABLE type, so Avro's promotion rules (int->long,
+    * float->double) apply per file. */
+  private[sources] def expectedFor(dt: DataType, nullable: Boolean,
+      file: Schema): Schema = {
+    import org.apache.spark.sql.types.{ArrayType, MapType}
+    val fs = unwrap(file)
+    val base = dt match {
+      case st: StructType if fs.getType == Schema.Type.RECORD =>
+        val fields = new java.util.ArrayList[Schema.Field]()
+        st.fields.foreach { f =>
+          val wf = fs.getField(f.name)
+          if (wf != null)
+            fields.add(new Schema.Field(f.name,
+              expectedFor(f.dataType, f.nullable, wf.schema()), null, null))
+          else {
+            require(f.nullable,
+              s"non-nullable nested field '${f.name}' missing from file " +
+                s"schema $fs — cannot null-fill")
+            fields.add(new Schema.Field(f.name,
+              maybeNullable(toAvroType(f.dataType, f.name), nullable = true),
+              null, Schema.Field.NULL_DEFAULT_VALUE))
+          }
+        }
+        Schema.createRecord(fs.getName, null, fs.getNamespace, false, fields)
+      case ArrayType(et, cn) if fs.getType == Schema.Type.ARRAY =>
+        Schema.createArray(expectedFor(et, cn, fs.getElementType))
+      case MapType(StringType, vt, vn) if fs.getType == Schema.Type.MAP =>
+        Schema.createMap(expectedFor(vt, vn, fs.getValueType))
+      case other => toAvroType(other, "c")
+    }
+    maybeNullable(base, nullable)
+  }
+
+  /** One Catalyst value (slot `i` of `g`, non-null) -> the boxed Avro
+    * value `sch` describes — recursive over arrays/maps/structs.
+    * `SpecializedGetters` is the common accessor of InternalRow and
+    * ArrayData, so one function serves rows and array elements. */
+  private[sources] def toAvroValue(dt: DataType, sch: Schema,
+      g: org.apache.spark.sql.catalyst.expressions.SpecializedGetters,
+      i: Int): AnyRef = {
+    import org.apache.spark.sql.types.{ArrayType, BooleanType, DateType, FloatType, MapType, TimestampNTZType, TimestampType}
+    dt match {
+      case LongType | TimestampType | TimestampNTZType =>
+        Long.box(g.getLong(i)) // temporals are micros longs internally
+      case IntegerType | DateType => Int.box(g.getInt(i))
+      case DoubleType => Double.box(g.getDouble(i))
+      case FloatType => Float.box(g.getFloat(i))
+      case BooleanType => Boolean.box(g.getBoolean(i))
+      case StringType => g.getUTF8String(i).toString
+      case ArrayType(et, _) =>
+        val arr = g.getArray(i)
+        val es = unwrap(sch).getElementType
+        val out = new java.util.ArrayList[AnyRef](arr.numElements())
+        var j = 0
+        while (j < arr.numElements()) {
+          out.add(if (arr.isNullAt(j)) null else toAvroValue(et, es, arr, j))
+          j += 1
+        }
+        out
+      case MapType(StringType, vt, _) =>
+        val m = g.getMap(i)
+        val ks = m.keyArray(); val vs = m.valueArray()
+        val vsch = unwrap(sch).getValueType
+        val out = new java.util.HashMap[String, AnyRef](m.numElements())
+        var j = 0
+        while (j < m.numElements()) {
+          out.put(ks.getUTF8String(j).toString,
+            if (vs.isNullAt(j)) null else toAvroValue(vt, vsch, vs, j))
+          j += 1
+        }
+        out
+      case st: StructType =>
+        val r = g.getStruct(i, st.size)
+        val rsch = unwrap(sch)
+        val rec = new GenericData.Record(rsch)
+        var j = 0
+        while (j < st.size) {
+          rec.put(j,
+            if (r.isNullAt(j)) null
+            else toAvroValue(st.fields(j).dataType,
+              rsch.getFields.get(j).schema(), r, j))
+          j += 1
+        }
+        rec
+      case other => throw new IllegalArgumentException(other.toString)
+    }
+  }
+
+  /** One decoded Avro value (non-null) -> the Catalyst-internal value
+    * `dt` describes — the read-side inverse of [[toAvroValue]]. */
+  private[sources] def fromAvroValue(dt: DataType, v: AnyRef): Any = {
+    import org.apache.spark.sql.catalyst.util.{ArrayBasedMapData, GenericArrayData}
+    import org.apache.spark.sql.types.{ArrayType, MapType}
+    dt match {
+      case StringType => UTF8String.fromString(v.toString)
+      case ArrayType(et, _) =>
+        val l = v.asInstanceOf[java.util.Collection[AnyRef]]
+        val out = new Array[Any](l.size())
+        val it = l.iterator(); var j = 0
+        while (it.hasNext) {
+          val e = it.next()
+          out(j) = if (e == null) null else fromAvroValue(et, e)
+          j += 1
+        }
+        new GenericArrayData(out)
+      case MapType(StringType, vt, _) =>
+        val m = v.asInstanceOf[java.util.Map[AnyRef, AnyRef]]
+        val keys = new Array[Any](m.size())
+        val vals = new Array[Any](m.size())
+        val it = m.entrySet().iterator(); var j = 0
+        while (it.hasNext) {
+          val e = it.next()
+          keys(j) = UTF8String.fromString(e.getKey.toString)
+          vals(j) = if (e.getValue == null) null
+            else fromAvroValue(vt, e.getValue)
+          j += 1
+        }
+        new ArrayBasedMapData(new GenericArrayData(keys),
+          new GenericArrayData(vals))
+      case st: StructType =>
+        val r = v.asInstanceOf[GenericRecord]
+        val out = new Array[Any](st.size)
+        var j = 0
+        while (j < st.size) {
+          val e = r.get(j)
+          out(j) = if (e == null) null
+            else fromAvroValue(st.fields(j).dataType, e)
+          j += 1
+        }
+        new GenericInternalRow(out)
+      case _ => v // long/int/double/float/bool box straight through
     }
   }
 
@@ -256,20 +452,10 @@ class AvroWriterFactory(path: String, avroJson: String, schema: StructType)
         val rec = new GenericData.Record(avroSchema)
         var i = 0
         while (i < flds.length) {
-          import org.apache.spark.sql.types.{BooleanType, DateType, FloatType, TimestampNTZType, TimestampType}
-          val v: AnyRef =
+          rec.put(i,
             if (row.isNullAt(i)) null
-            else flds(i).dataType match {
-              case LongType | TimestampType | TimestampNTZType =>
-                Long.box(row.getLong(i)) // temporals are micros longs internally
-              case IntegerType | DateType => Int.box(row.getInt(i))
-              case DoubleType => Double.box(row.getDouble(i))
-              case FloatType => Float.box(row.getFloat(i))
-              case BooleanType => Boolean.box(row.getBoolean(i))
-              case StringType => row.getUTF8String(i).toString
-              case other => throw new IllegalArgumentException(other.toString)
-            }
-          rec.put(i, v)
+            else AvroSource.toAvroValue(flds(i).dataType,
+              avroSchema.getFields.get(i).schema(), row, i))
           i += 1
         }
         w.append(rec)
@@ -345,9 +531,14 @@ class AvroReaderFactory(required: StructType)
         require(missing.isEmpty,
           s"avro file ${part.file} lacks required column(s): ${missing.mkString(", ")}")
         val fields = new java.util.ArrayList[Schema.Field]()
-        keep.foreach { n =>
-          val f = w.getField(n)
-          fields.add(new Schema.Field(n, f.schema(), null, null))
+        required.fields.foreach { f =>
+          // reader field schema from the TABLE type walked against the
+          // file's writer schema (see expectedFor): nested levels
+          // resolve by NAME, missing nullable nested fields null-fill,
+          // primitive leaves promote per Avro's resolution rules
+          fields.add(new Schema.Field(f.name,
+            AvroSource.expectedFor(f.dataType, f.nullable,
+              w.getField(f.name).schema()), null, null))
         }
         val proj = Schema.createRecord(
           w.getName, null, w.getNamespace, false, fields)
@@ -367,10 +558,7 @@ class AvroReaderFactory(required: StructType)
             val v = rec.get(i)
             out(i) =
               if (v == null) null
-              else required.fields(i).dataType match {
-                case StringType => UTF8String.fromString(v.toString)
-                case _ => v // long/int/double/float/bool box straight through
-              }
+              else AvroSource.fromAvroValue(required.fields(i).dataType, v)
             i += 1
           }
           cur = new GenericInternalRow(out)

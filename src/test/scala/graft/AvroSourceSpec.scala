@@ -119,6 +119,95 @@ class AvroSourceSpec extends SparkSuite {
       s"reordered file transposed columns: ${got.take(5).toSeq}")
   }
 
+  test("complex types round-trip: array/map/struct with nulls at every level") {
+    import spark.implicits._
+    val dir = graft.ops.Util.managedTempDir("graft_avro_complex_")
+    val df = spark.range(0, 20).select(
+      $"id",
+      // array with a null element every 4th row, empty every 5th
+      when($"id" % 5 === 0, array().cast("array<long>"))
+        .otherwise(array($"id", when($"id" % 4 === 0, lit(null)).otherwise($"id" * 2)))
+        .as("arr"),
+      // float list — the embeddings shape
+      array(($"id" * 0.5f).cast("float"), lit(1.5f)).as("fvec"),
+      // struct with a null field every 3rd row, whole-struct null every 7th
+      when($"id" % 7 === 0, lit(null))
+        .otherwise(struct($"id".cast("int").as("a"),
+          when($"id" % 3 === 0, lit(null)).otherwise(concat(lit("s"), $"id")).as("b")))
+        .as("st"),
+      // map with a null value
+      map(lit("k1"), $"id", lit("k2"), when($"id" % 2 === 0, lit(null)).otherwise($"id" + 1))
+        .as("m"))
+    df.write.format("graft.sources.AvroSource").mode("overwrite").save(dir)
+    val back = readAvro(dir)
+    assert(back.schema("arr").dataType.sql == "ARRAY<BIGINT>")
+    assert(back.schema("fvec").dataType.sql == "ARRAY<FLOAT>")
+    assert(back.schema("m").dataType.sql.startsWith("MAP<STRING,"))
+    val exp = df.orderBy($"id").collect().map(_.toString).toSeq
+    val got = back.orderBy($"id").collect().map(_.toString).toSeq
+    assert(got == exp, s"complex round-trip diverged:\n${got.take(3)}\nvs\n${exp.take(3)}")
+  }
+
+  test("nested schema resolution: reordered nested fields read by name, missing nullable nested field null-fills") {
+    import org.apache.avro.Schema
+    import org.apache.avro.file.DataFileWriter
+    import org.apache.avro.generic.{GenericData, GenericDatumWriter, GenericRecord}
+    import org.apache.spark.sql.types._
+    val dir = graft.ops.Util.managedTempDir("graft_avro_nested_evolve_")
+    // foreign file: record {id long, st {b string, a long}} — nested
+    // fields in the REVERSE of the declared order, and no nested field c
+    val inner = {
+      val fs = new java.util.ArrayList[Schema.Field]()
+      fs.add(new Schema.Field("b", Schema.create(Schema.Type.STRING), null, null))
+      fs.add(new Schema.Field("a", Schema.create(Schema.Type.LONG), null, null))
+      Schema.createRecord("inner", null, "graft", false, fs)
+    }
+    val top = {
+      val fs = new java.util.ArrayList[Schema.Field]()
+      fs.add(new Schema.Field("id", Schema.create(Schema.Type.LONG), null, null))
+      fs.add(new Schema.Field("st", inner, null, null))
+      Schema.createRecord("graft_row", null, "graft", false, fs)
+    }
+    val w = new DataFileWriter[GenericRecord](new GenericDatumWriter[GenericRecord](top))
+    w.create(top, new java.io.File(dir, "part-00000.avro"))
+    (0L until 10L).foreach { i =>
+      val s = new GenericData.Record(inner)
+      s.put("b", s"b$i"); s.put("a", Long.box(i * 10))
+      val r = new GenericData.Record(top)
+      r.put("id", Long.box(i)); r.put("st", s)
+      w.append(r)
+    }
+    w.close()
+    // declared table schema: nested order (a, b, c) with c NOT in the file
+    val declared = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("st", StructType(Seq(
+        StructField("a", LongType, nullable = false),
+        StructField("b", StringType, nullable = false),
+        StructField("c", DoubleType, nullable = true))), nullable = false)))
+    val got = spark.read.format("graft.sources.AvroSource").schema(declared)
+      .load(dir).orderBy("id").collect()
+    got.zipWithIndex.foreach { case (r, i) =>
+      val st = r.getStruct(1)
+      assert(r.getLong(0) == i.toLong)
+      assert(st.getLong(0) == i * 10L, s"nested 'a' transposed: $st")
+      assert(st.getString(1) == s"b$i", s"nested 'b' transposed: $st")
+      assert(st.isNullAt(2), "missing nested nullable field must null-fill")
+    }
+    // a missing NON-nullable nested field refuses loudly
+    val bad = declared.copy(fields = declared.fields.updated(1,
+      StructField("st", StructType(Seq(
+        StructField("a", LongType, nullable = false),
+        StructField("zzz", LongType, nullable = false))), nullable = false)))
+    val e = intercept[Exception] {
+      spark.read.format("graft.sources.AvroSource").schema(bad)
+        .load(dir).collect()
+    }
+    assert(e.getMessage.contains("zzz") ||
+      (e.getCause != null && e.getCause.getMessage.contains("zzz")),
+      s"expected a loud missing-field refusal, got: ${e.getMessage}")
+  }
+
   test("sync-marker split reads: a small splitSize fans one file into many partitions, every row exactly once") {
     import spark.implicits._
     val dir = graft.ops.Util.managedTempDir("graft_avro_split_")
