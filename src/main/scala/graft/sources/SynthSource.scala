@@ -302,18 +302,30 @@ case class SynthOffset(pos: Long) extends Offset {
 }
 
 class SynthMicroBatchStream(lo: Long, hi: Long, slices: Int,
-    required: StructType, microBatchRows: Long) extends MicroBatchStream {
+    required: StructType, microBatchRows: Long) extends MicroBatchStream
+    with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl {
+  import org.apache.spark.sql.connector.read.streaming.ReadLimit
   private val step = math.max(1L, microBatchRows)
-  // the furthest end offset handed to the engine so far; advances by one
-  // admission quantum per latestOffset() poll until the range is drained
-  private var furthest = lo
 
   override def initialOffset(): Offset = SynthOffset(lo)
   override def deserializeOffset(json: String): Offset = SynthOffset(json.toLong)
-  override def latestOffset(): Offset = {
-    furthest = math.min(hi, math.max(furthest, lo) + step)
-    SynthOffset(furthest)
+  // ADMISSION CONTROL through the engine's own API (round 18): the next
+  // end offset is one quantum past the START offset the ENGINE hands us
+  // — which after a checkpoint restart is the restored position. The
+  // previous hand-rolled variant (a `furthest` instance field advanced
+  // per poll) reset to `lo` in a new incarnation, handed the engine an
+  // offset BEHIND its restored position, and the next batch re-read
+  // already-committed ids as fresh data — exactly-once broke on every
+  // restart (caught by GraftStoreSpec's cross-incarnation restart pin).
+  // Offsets must derive from engine-provided state, never from writer
+  // instance memory — the same rule the sink's epoch marker follows.
+  override def getDefaultReadLimit: ReadLimit = ReadLimit.maxRows(step)
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val s = start.asInstanceOf[SynthOffset].pos
+    SynthOffset(math.min(hi, math.max(s, lo) + step))
   }
+  override def latestOffset(): Offset = throw new IllegalStateException(
+    "latestOffset() must not be called on a SupportsAdmissionControl source")
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val s = start.asInstanceOf[SynthOffset].pos
     val e = end.asInstanceOf[SynthOffset].pos

@@ -625,6 +625,73 @@ class GraftStoreSpec extends SparkSuite {
     assert(ids.toSeq == (0L until 10000L), "streamed table content not exactly-once")
   }
 
+  test("streaming sink restart: a NEW query from the same checkpoint resumes; committed epochs skip cross-incarnation") {
+    import spark.implicits._
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val out = graft.ops.Util.managedTempDir("graft_stream_restart_")
+    val ckpt = graft.ops.Util.managedTempDir("graft_stream_restart_ckpt_")
+    def start() = spark.readStream.format("graft.sources.SynthSource")
+      .option("rows", "20000").option("slices", "4")
+      .option("microBatchRows", "1024")
+      .load()
+      .writeStream.format("graft.sources.GraftStore")
+      .option("path", out).option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+    // incarnation 1: stop MID-FEED (after ≥2 committed epochs, well
+    // before the 20k range drains)
+    val q1 = start()
+    val deadline = System.currentTimeMillis() + 120000
+    while (!GraftStore.readEpoch(out).exists(_ >= 2L) &&
+        System.currentTimeMillis() < deadline)
+      Thread.sleep(10)
+    q1.stop()
+    val epochAtStop = GraftStore.readEpoch(out)
+    assert(epochAtStop.exists(_ >= 2L), "first incarnation made no progress")
+    val rowsAtStop = readBack(out).count()
+    assert(rowsAtStop < 20000L, "stream drained before the stop — not mid-feed")
+    // incarnation 2: a NEW query object on the same checkpoint must
+    // RESUME (epochs continue past the stop point; any replayed last
+    // batch no-ops against the manifest's epoch marker) and the final
+    // table must equal the uninterrupted run exactly
+    val q2 = start()
+    q2.processAllAvailable()
+    q2.stop()
+    assert(GraftStore.readEpoch(out).get > epochAtStop.get,
+      "second incarnation did not advance the epoch marker")
+    val ids = readBack(out).select($"id").collect().map(_.getLong(0)).sorted
+    assert(ids.toSeq == (0L until 20000L),
+      s"restart broke exactly-once: ${ids.length} rows, " +
+        s"${ids.toSeq.distinct.length} distinct")
+
+    // protocol level: the skip state lives in the MANIFEST, not writer
+    // memory — a FRESH StreamingWrite instance (a restarted driver)
+    // replaying an already-committed epoch is a no-op that GCs its
+    // redundant file, then continues with the next epoch normally
+    val p2 = tempTable()
+    val sch = StructType(Seq(StructField("id", LongType, nullable = false)))
+    def epochFile(task: Long, epoch: Long, ids2: Range) = {
+      val w = new graft.sources.GraftStoreDataWriter(p2, sch, 0, task,
+        None, None, s"data/part-0-$task-e$epoch.bin")
+      ids2.foreach(i => w.write(InternalRow(i.toLong)))
+      w.commit().asInstanceOf[graft.sources.GraftStoreCommitMessage]
+    }
+    val swA = new graft.sources.GraftStoreStreamingWrite(p2, sch,
+      truncateEachEpoch = false)
+    swA.commit(0, Array(epochFile(1, 0, 0 until 10)))
+    val swB = new graft.sources.GraftStoreStreamingWrite(p2, sch,
+      truncateEachEpoch = false) // new incarnation, no shared state
+    val replay = epochFile(2, 0, 0 until 10)
+    swB.commit(0, Array(replay))
+    assert(readBack(p2).count() == 10,
+      "cross-incarnation replayed epoch duplicated rows")
+    assert(!new File(p2, replay.file).exists(),
+      "cross-incarnation replayed file not GC'd")
+    swB.commit(1, Array(epochFile(3, 1, 10 until 20)))
+    assert(readBack(p2).count() == 20)
+    assert(GraftStore.readEpoch(p2).contains(1L))
+  }
+
   test("streaming sink to a PARTITIONED table: per-cell file grain, replay idempotent, pruning on the tail") {
     import spark.implicits._
     val out = graft.ops.Util.managedTempDir("graft_stream_part_")

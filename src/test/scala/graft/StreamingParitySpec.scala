@@ -207,6 +207,68 @@ class StreamingParitySpec extends SparkSuite {
       "expected at least one orphan click (the full-outer addition)")
   }
 
+  test("FULL OUTER join eviction: watermark expiry emits each null-pad exactly once across micro-batch boundaries") {
+    import java.nio.file.Files
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_fouter_evict").toFile
+    val srcDir = new java.io.File(dir, "src"); srcDir.mkdirs()
+    def write(rows: Seq[(Long, String, Long, String)], file: String): Unit =
+      rows.toDF("event_id", "ts_s", "user_id", "event_type")
+        .select($"event_id", $"ts_s".cast("timestamp").as("ts"),
+          $"user_id", $"event_type")
+        .coalesce(1).write.mode("append").parquet(s"$srcDir/$file")
+    val schema = StructType(Seq(StructField("event_id", LongType),
+      StructField("ts", TimestampType), StructField("user_id", LongType),
+      StructField("event_type", StringType)))
+    // b1: one UNMATCHABLE purchase (user 1) and one UNMATCHABLE click
+    // (user 2) — the rows whose state must expire and null-pad
+    write(Seq((101L, "2024-01-01 12:00:00", 1L, "purchase"),
+              (201L, "2024-01-01 12:00:00", 2L, "click")), "b1")
+    val events = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$srcDir/*")
+    val q = graft.streaming.StreamingOps.purchaseClicksFullOuter(events)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("t_fo_evict").start()
+    q.processAllAvailable()
+    def pads() = {
+      val t = spark.table("t_fo_evict")
+      (t.filter($"p_id" === 101L && $"c_id".isNull).count(),
+        t.filter($"c_id" === 201L && $"p_id".isNull).count())
+    }
+    // watermark after b1 is 11:50 — neither side's window has passed,
+    // so nothing may flush yet
+    assert(pads() == ((0L, 0L)),
+      s"null-pads emitted before the watermark passed: ${pads()}")
+    // b2/b3: matched advancer pairs push the watermark to 12:50 then
+    // 13:50; the purchase expires once the CLICK-side watermark passes
+    // p_ts (12:00), the click once the PURCHASE-side watermark passes
+    // c_ts + 30min (12:30) — both thresholds are crossed by b2's
+    // end-of-batch watermark, so the pads must appear by the END of b3
+    // (eviction runs against the watermark of the PREVIOUS batch end)
+    write(Seq((301L, "2024-01-01 13:00:00", 90L, "purchase"),
+              (302L, "2024-01-01 13:00:00", 90L, "click")), "b2")
+    q.processAllAvailable()
+    write(Seq((401L, "2024-01-01 14:00:00", 91L, "purchase"),
+              (402L, "2024-01-01 14:00:00", 91L, "click")), "b3")
+    q.processAllAvailable()
+    assert(pads() == ((1L, 1L)),
+      s"both-side null-pads must flush after the watermark passes: ${pads()}")
+    // b4: a further advance must NOT re-emit evicted state — the pads
+    // stay exactly-once across every later micro-batch boundary
+    write(Seq((501L, "2024-01-01 15:00:00", 92L, "purchase"),
+              (502L, "2024-01-01 15:00:00", 92L, "click")), "b4")
+    q.processAllAvailable()
+    q.stop()
+    assert(pads() == ((1L, 1L)),
+      s"a later micro-batch re-emitted evicted null-pads: ${pads()}")
+    // the matched advancer pairs joined as inner rows exactly once each
+    val inner = spark.table("t_fo_evict")
+      .filter($"p_id".isNotNull && $"c_id".isNotNull)
+    assert(inner.count() == 3 &&
+      inner.select($"user_id").as[Long].collect().sorted.toSeq == Seq(90L, 91L, 92L),
+      "matched pairs must emit exactly once each")
+  }
+
   test("session/stateful results are invariant across 4 vs 16 shuffle partitions") {
     // partition-count determinism for the stateful pair, matching the
     // batch determinism audit: the suite runs everything at 4 shuffle
