@@ -491,47 +491,50 @@ object LlmOpsExt {
     * its codes. Oracle-exempt like q_cluster_kmeans (float centroids are
     * engine/partitioning-specific); CurationSpec bounds reconstruction
     * distortion against the null model and pins structure. */
-  val qSimPq: Q = (s, dir) => {
+  /** Seeded per-subspace PQ codebook fits, shared by q_sim_pq and
+    * q_sim_ivfpq. Codebooks train on a bounded deterministic sample,
+    * single-partition: FAISS-style PQ training uses ~100k sampled
+    * vectors regardless of corpus size — the fit is a constant-cost
+    * model-estimation step, only encode/score scale with the corpus.
+    * The m per-subspace fits are independent seeded jobs on the same
+    * cached single-partition sample — run CONCURRENTLY (the scheduler
+    * interleaves the jobs; results equal the sequential loop because
+    * each fit is seeded and reads an immutable cache). Random init,
+    * few iterations: k-means|| costs ~5 extra passes PER subspace fit,
+    * and a PQ codebook only needs a decent quantizer, not a converged
+    * clustering (measured 11.5s -> ~3s for the whole query). */
+  private def pqCodebooks(s: SparkSession, dir: String,
+      m: Int, sub: Int, k: Int): Seq[Seq[Seq[Double]]] = {
     import s.implicits._
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
+    val train = emb(s, dir).orderBy($"vec_id").limit(100000)
+      .coalesce(1).transform(cached)
+    train.count() // materialize ONCE before the concurrent fits share it
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(m)
+    try {
+      implicit val ec: scala.concurrent.ExecutionContext =
+        scala.concurrent.ExecutionContext.fromExecutorService(pool)
+      val fits = (0 until m).map { j =>
+        scala.concurrent.Future {
+          val sl = train.select(
+            array_to_vector(slice($"emb", j * sub + 1, sub)).as("features"))
+          new KMeans().setK(k).setSeed(11L + j).setMaxIter(4)
+            .setInitMode("random")
+            .setFeaturesCol("features").fit(sl)
+            .clusterCenters.map(_.toArray.toSeq).toSeq
+        }
+      }
+      fits.map(f => scala.concurrent.Await.result(
+        f, scala.concurrent.duration.Duration.Inf))
+    } finally pool.shutdown()
+  }
+
+  val qSimPq: Q = (s, dir) => {
+    import s.implicits._
     val m = 4; val sub = 16; val k = 16
     val e = emb(s, dir)
-    // Codebooks train on a bounded deterministic sample, single-partition:
-    // FAISS-style PQ training uses ~100k sampled vectors regardless of
-    // corpus size — the fit is a constant-cost model-estimation step, only
-    // encode/score scale with the corpus. (Here the whole table fits the
-    // sample budget.)
-    val train = e.orderBy($"vec_id").limit(100000).coalesce(1).transform(cached)
-    train.count() // materialize ONCE before the concurrent fits share it
-    // The m per-subspace fits are independent seeded jobs on the same
-    // cached single-partition sample — run them CONCURRENTLY (Spark's
-    // scheduler interleaves the jobs; results are identical to the
-    // sequential loop because each fit is seeded and reads an immutable
-    // cache). Sequential fits were the bulk of this query's wall-clock.
-    val pool = java.util.concurrent.Executors.newFixedThreadPool(m)
-    val codebooks: Seq[Seq[Seq[Double]]] =
-      try {
-        implicit val ec: scala.concurrent.ExecutionContext =
-          scala.concurrent.ExecutionContext.fromExecutorService(pool)
-        val fits = (0 until m).map { j =>
-          scala.concurrent.Future {
-            val sl = train.select(
-              array_to_vector(slice($"emb", j * sub + 1, sub)).as("features"))
-            // random init, few iterations: k-means|| costs ~5 extra passes
-            // PER subspace fit, and a PQ codebook only needs a decent
-            // quantizer, not a converged clustering (measured 11.5s -> ~3s
-            // for the whole query)
-            new KMeans().setK(k).setSeed(11L + j).setMaxIter(4)
-              .setInitMode("random")
-              .setFeaturesCol("features").fit(sl)
-              .clusterCenters.map(_.toArray.toSeq).toSeq
-          }
-        }
-        fits.map(f => scala.concurrent.Await.result(
-          f, scala.concurrent.duration.Duration.Inf))
-      } finally pool.shutdown()
-    val cb = typedlit(codebooks) // m × k × sub nested array literal
+    val cb = typedlit(pqCodebooks(s, dir, m, sub, k)) // m × k × sub literal
     // encode: code_j = argmin_c ||slice_j - cb[j][c]||², computed as
     // argmin_c (-2·a·c + |c|²) — the |a|² term is constant per row, so the
     // argmin is identical, and the dot products ride the tight-loop
@@ -563,6 +566,78 @@ object LlmOpsExt {
           (l, c) => element_at(l, c)), lit(0.0), _ + _), 4).as("score"))
     val w = Window.partitionBy($"probe_id").orderBy($"score".desc, $"neighbor_id")
     scored.withColumn("rn", row_number().over(w).cast("long"))
+      .filter($"rn" <= 5)
+      .orderBy($"probe_id", $"rn")
+  }
+
+  /** IVF+PQ composed — the production FAISS `IVFx,PQy` layout (round 18,
+    * verdict item 6): the IVF coarse quantizer restricts the search to
+    * nprobe=2 cells, PQ ADC pre-scores ONLY those cells' code rows (m
+    * table lookups per candidate, the corpus side ships 4 int codes +
+    * a cell key — never floats), and the ADC top-32 per probe is
+    * RE-RANKED exactly against the fetched float vectors. At 100 TB
+    * this is the real ANN economics: bytes-from-storage ∝ nprobe/nlist
+    * of the CODES (128× smaller than float32), float fetches ∝ the
+    * re-rank candidate budget only. Oracle-exempt like its two halves
+    * (kmeans codebooks are engine-specific); CurationSpec pins
+    * recall@5 ≥ the PQ floor at nprobe=2 and exact-rerank soundness. */
+  val qSimIvfPq: Q = (s, dir) => {
+    import s.implicits._
+    val m = 4; val sub = 16; val k = 16; val cand = 32
+    val e = emb(s, dir)
+    // IVF half: exact per-label centroids (identical to q_sim_ivf)
+    val cent = e.select($"label", posexplode($"emb").as(Seq("pos", "v")))
+      .groupBy($"label", $"pos")
+      .agg((sum($"v".cast("decimal(18,8)")).cast("double") / count(lit(1))).as("c"))
+      .groupBy($"label")
+      .agg(transform(array_sort(collect_list(struct($"pos", $"c"))),
+        x => x.getField("c")).as("cent"))
+    // PQ half: shared codebooks; corpus rows reduce to (vec_id, label,
+    // codes) — the compressed index a 100 TB deployment actually scans
+    val cb = typedlit(pqCodebooks(s, dir, m, sub, k))
+    val coded = e.select($"vec_id", $"label",
+      transform(sequence(lit(0), lit(m - 1)), j => {
+        val sl = slice($"emb", j * lit(sub) + 1, lit(sub))
+        val dists = transform(element_at(cb, j + 1),
+          c => lit(-2.0) * dot(sl, c) + dot(c, c))
+        array_position(dists, array_min(dists)).cast("int")
+      }).as("codes"))
+    // probes: coarse-rank cells (nprobe=2) and precompute the ADC LUT
+    val probes = e.orderBy($"vec_id").limit(10)
+      .select($"vec_id".as("probe_id"), $"emb".as("pemb"))
+      .transform(cached)
+    val wl = Window.partitionBy($"probe_id").orderBy($"cscore".desc, $"label")
+    val cells = probes.crossJoin(broadcast(cent))
+      .select($"probe_id", $"label",
+        round(dot($"pemb", $"cent"), 6).as("cscore"))
+      .withColumn("lrn", row_number().over(wl))
+      .filter($"lrn" <= 2)
+      .select($"probe_id", $"label")
+    val luts = probes.select($"probe_id",
+      transform(sequence(lit(0), lit(m - 1)), j =>
+        transform(element_at(cb, j + 1),
+          c => dot(slice($"pemb", j * lit(sub) + 1, lit(sub)), c)))
+        .as("lut"))
+    // ADC over the probed cells only: codes join the (probe, cell)
+    // list on the cell key, each candidate costs m lookups
+    val wc = Window.partitionBy($"probe_id").orderBy($"adc".desc, $"neighbor_id")
+    val shortlist = coded.join(broadcast(cells), Seq("label"))
+      .filter($"vec_id" =!= $"probe_id")
+      .join(broadcast(luts), Seq("probe_id"))
+      .select($"probe_id", $"vec_id".as("neighbor_id"),
+        aggregate(zip_with($"lut", $"codes",
+          (l, c) => element_at(l, c)), lit(0.0), _ + _).as("adc"))
+      .withColumn("crn", row_number().over(wc))
+      .filter($"crn" <= cand)
+      .select($"probe_id", $"neighbor_id")
+    // exact re-rank: fetch ONLY the shortlisted floats, score exactly
+    val wv = Window.partitionBy($"probe_id").orderBy($"score".desc, $"neighbor_id")
+    shortlist
+      .join(e.select($"vec_id".as("neighbor_id"), $"emb"), Seq("neighbor_id"))
+      .join(broadcast(probes), Seq("probe_id"))
+      .select($"probe_id", $"neighbor_id",
+        round(dot($"pemb", $"emb"), 4).as("score"))
+      .withColumn("rn", row_number().over(wv).cast("long"))
       .filter($"rn" <= 5)
       .orderBy($"probe_id", $"rn")
   }
@@ -889,6 +964,7 @@ object LlmOpsExt {
     "q_sim_ivf_stored" -> qSimIvfStored,
     "q_sim_quantized" -> qSimQuantized,
     "q_sim_pq" -> qSimPq,
+    "q_sim_ivfpq" -> qSimIvfPq,
     "q_text_langid" -> qTextLangid,
     "q_text_quality" -> qTextQuality,
     "q_text_tokens" -> qTextTokens,
