@@ -3294,7 +3294,13 @@ object GraftStore {
     * op="fastForward(…)", so an op-string check would miss it). */
   private[sources] def schemaAt(path: String, v: Long): Option[StructType] =
     if (v <= 0) None
-    else readManifestFile(new File(path, s"$ManifestName.v$v")).map(_._1)
+    else readSchemaOf(new File(path, s"$ManifestName.v$v"))
+
+  /** Schema WITHOUT flattening children — the DDL line is in the parent,
+    * so schema-only consumers (inferSchema, schema pins) never pay a
+    * child-manifest open on a sharded table. */
+  private[graft] def readSchemaOf(f: File): Option[StructType] =
+    readManifestStructured(f).map(_._1)
 
   /** Resolve equality deletes to reader-side refs (sidecar absolute
     * path + key ordinals and type tags in `schema`); a key column the
@@ -3815,14 +3821,13 @@ class GraftStore extends TableProvider {
         Option(options.get("versionAsOf")) match {
           case Some(spec) =>
             val v = GraftStore.resolveVersionSpec(path, spec)
-            GraftStore.readManifestFile(
+            GraftStore.readSchemaOf(
               new java.io.File(path, s"${GraftStore.ManifestName}.v$v"))
-              .map(_._1)
               .getOrElse(throw new IllegalArgumentException(
                 s"no snapshot v$v at $path (never committed, or expired)"))
           case None =>
-            GraftStore.readManifest(path)
-              .map(_._1)
+            GraftStore.readSchemaOf(
+              new java.io.File(path, GraftStore.ManifestName))
               .getOrElse(throw new IllegalArgumentException(
                 s"no graft-store table at $path (missing ${GraftStore.ManifestName})"))
         }
