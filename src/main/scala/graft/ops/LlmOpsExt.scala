@@ -570,40 +570,69 @@ object LlmOpsExt {
       .orderBy($"probe_id", $"rn")
   }
 
+  /** (codes table, centroid table, codebooks) staged this JVM. */
+  private val ivfpqIndex = new java.util.concurrent.ConcurrentHashMap[
+    String, (String, String, Seq[Seq[Seq[Double]]])]
+
   /** IVF+PQ composed — the production FAISS `IVFx,PQy` layout (round 18,
-    * verdict item 6): the IVF coarse quantizer restricts the search to
-    * nprobe=2 cells, PQ ADC pre-scores ONLY those cells' code rows (m
-    * table lookups per candidate, the corpus side ships 4 int codes +
-    * a cell key — never floats), and the ADC top-32 per probe is
-    * RE-RANKED exactly against the fetched float vectors. At 100 TB
-    * this is the real ANN economics: bytes-from-storage ∝ nprobe/nlist
-    * of the CODES (128× smaller than float32), float fetches ∝ the
-    * re-rank candidate budget only. Oracle-exempt like its two halves
-    * (kmeans codebooks are engine-specific); CurationSpec pins
-    * recall@5 ≥ the PQ floor at nprobe=2 and exact-rerank soundness. */
+    * verdict item 6), with the index STAGED the way a production service
+    * runs it (the q_sim_ivf_stored precedent): the PQ codebooks and the
+    * per-label centroids are fit once per (session, corpus); every
+    * vector is encoded once into m=4 int codes and lands in a GraftStore
+    * table PARTITIONED BY cell. A probe then (1) broadcasts the tiny
+    * centroid table and keeps nprobe=2 cells, (2) ADC-scores ONLY those
+    * cells' code rows — the literal cell IN-list prunes whole files at
+    * planning time via the store's single-valued-per-file stats, so
+    * bytes-from-storage ∝ nprobe/nlist of the CODES (128× smaller than
+    * float32) — and (3) exactly RE-RANKS the ADC top-32 against fetched
+    * float vectors (float I/O ∝ the re-rank budget only). Oracle-exempt
+    * like its two halves (kmeans codebooks are engine-specific);
+    * CurationSpec pins recall@5 ≥ the PQ floor at nprobe=2 and that
+    * every returned score equals the brute-force scan's exact cosine. */
   val qSimIvfPq: Q = (s, dir) => {
     import s.implicits._
     val m = 4; val sub = 16; val k = 16; val cand = 32
-    val e = emb(s, dir)
-    // IVF half: exact per-label centroids (identical to q_sim_ivf)
-    val cent = e.select($"label", posexplode($"emb").as(Seq("pos", "v")))
-      .groupBy($"label", $"pos")
-      .agg((sum($"v".cast("decimal(18,8)")).cast("double") / count(lit(1))).as("c"))
-      .groupBy($"label")
-      .agg(transform(array_sort(collect_list(struct($"pos", $"c"))),
-        x => x.getField("c")).as("cent"))
-    // PQ half: shared codebooks; corpus rows reduce to (vec_id, label,
-    // codes) — the compressed index a 100 TB deployment actually scans
-    val cb = typedlit(pqCodebooks(s, dir, m, sub, k))
-    val coded = e.select($"vec_id", $"label",
-      transform(sequence(lit(0), lit(m - 1)), j => {
-        val sl = slice($"emb", j * lit(sub) + 1, lit(sub))
-        val dists = transform(element_at(cb, j + 1),
-          c => lit(-2.0) * dot(sl, c) + dot(c, c))
-        array_position(dists, array_min(dists)).cast("int")
-      }).as("codes"))
+    val (codesPath, centPath, codebooks) = ivfpqIndex.computeIfAbsent(
+      s"${Util.sessionKey(s)}:$dir", _ => {
+        val root = Util.managedTempDir("graft_ivfpq_codes_")
+        val cd = Util.managedTempDir("graft_ivfpq_cent_")
+        val cbs = pqCodebooks(s, dir, m, sub, k)
+        val cbl = typedlit(cbs)
+        // encode once: per-value file rolling single-values `label` per
+        // file — the layout the probed-cell scan prunes on
+        val s2 = s.newSession()
+        s2.conf.set("spark.sql.catalog.gipq", "graft.sources.GraftCatalog")
+        s2.conf.set("spark.sql.catalog.gipq.root", root)
+        emb(s2, dir).select($"vec_id", $"label",
+          transform(sequence(lit(0), lit(m - 1)), j => {
+            val sl = slice($"emb", j * lit(sub) + 1, lit(sub))
+            val dists = transform(element_at(cbl, j + 1),
+              c => lit(-2.0) * dot(sl, c) + dot(c, c))
+            array_position(dists, array_min(dists)).cast("int")
+          }).as("codes"))
+          .createOrReplaceTempView("ivfpq_codes_src")
+        s2.sql(
+          """CREATE TABLE gipq.c PARTITIONED BY (label) AS
+            |SELECT vec_id, label, codes FROM ivfpq_codes_src""".stripMargin)
+        // exact per-label centroids (identical math to q_sim_ivf)
+        emb(s, dir).select($"label", posexplode($"emb").as(Seq("pos", "v")))
+          .groupBy($"label", $"pos")
+          .agg((sum($"v".cast("decimal(18,8)")).cast("double") / count(lit(1))).as("c"))
+          .groupBy($"label")
+          .agg(transform(array_sort(collect_list(struct($"pos", $"c"))),
+            x => x.getField("c")).as("cent"))
+          .repartition(1)
+          .write.format("graft.sources.GraftStore").option("path", cd)
+          .mode("overwrite").save()
+        (s"$root/c", cd, cbs)
+      })
+    val cb = typedlit(codebooks)
+    val cent = s.read.format("graft.sources.GraftStore")
+      .option("path", centPath).load()
+    val coded = s.read.format("graft.sources.GraftStore")
+      .option("path", codesPath).load()
     // probes: coarse-rank cells (nprobe=2) and precompute the ADC LUT
-    val probes = e.orderBy($"vec_id").limit(10)
+    val probes = emb(s, dir).orderBy($"vec_id").limit(10)
       .select($"vec_id".as("probe_id"), $"emb".as("pemb"))
       .transform(cached)
     val wl = Window.partitionBy($"probe_id").orderBy($"cscore".desc, $"label")
@@ -618,10 +647,14 @@ object LlmOpsExt {
         transform(element_at(cb, j + 1),
           c => dot(slice($"pemb", j * lit(sub) + 1, lit(sub)), c)))
         .as("lut"))
-    // ADC over the probed cells only: codes join the (probe, cell)
-    // list on the cell key, each candidate costs m lookups
+    // two-phase probe (the stored-IVF control plane): the surviving
+    // cell ids re-enter as a LITERAL IN predicate, which the manifest's
+    // min==max-per-file stats prune at planning time — only the probed
+    // cells' CODE files are read
+    val liveCells = cells.select($"label").distinct().collect().map(_.getInt(0))
     val wc = Window.partitionBy($"probe_id").orderBy($"adc".desc, $"neighbor_id")
-    val shortlist = coded.join(broadcast(cells), Seq("label"))
+    val shortlist = coded.filter($"label".isin(liveCells.toSeq: _*))
+      .join(broadcast(cells), Seq("label"))
       .filter($"vec_id" =!= $"probe_id")
       .join(broadcast(luts), Seq("probe_id"))
       .select($"probe_id", $"vec_id".as("neighbor_id"),
@@ -633,7 +666,7 @@ object LlmOpsExt {
     // exact re-rank: fetch ONLY the shortlisted floats, score exactly
     val wv = Window.partitionBy($"probe_id").orderBy($"score".desc, $"neighbor_id")
     shortlist
-      .join(e.select($"vec_id".as("neighbor_id"), $"emb"), Seq("neighbor_id"))
+      .join(emb(s, dir).select($"vec_id".as("neighbor_id"), $"emb"), Seq("neighbor_id"))
       .join(broadcast(probes), Seq("probe_id"))
       .select($"probe_id", $"neighbor_id",
         round(dot($"pemb", $"emb"), 4).as("score"))

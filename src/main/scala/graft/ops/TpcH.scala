@@ -357,12 +357,38 @@ object TpcH {
     texts.map { case (name, sql) =>
       name -> ((s: SparkSession, dir: String) => { views(s, dir); s.sql(sql) })
     } + ("q_sql_q11" -> ((s: SparkSession, dir: String) => {
-      // derive the doubly-referenced partsupp CTE once (see sqlQ11Body
-      // doc); `cached` registers the persist for the harness's
-      // query-boundary unpersist
+      // derive the doubly-referenced subtree ONCE, and at the SMALLEST
+      // sufficient grain: the HAVING threshold is the global total of
+      // the SAME grouped aggregate (sum of group sums == the join-wide
+      // sum, exact in decimal), so what gets persisted is one small row
+      // per part — not the lineitem-grain partsupp CTE. One lineitem
+      // shuffle total; `cached` registers the persist for the harness's
+      // query-boundary unpersist. Oracle text unchanged (sqlQ11).
       views(s, dir)
-      cached(s.sql(sqlQ11Partsupp)).createOrReplaceTempView("partsupp")
-      s.sql(sqlQ11Body)
+      // the supplier-nation filter SEMI-JOINS lineitem BEFORE the
+      // (partkey, suppkey) aggregate — exact-preserving (dropping a
+      // suppkey drops ALL its rows, so kept pairs keep their full
+      // min/count) and the reduction Catalyst cannot derive itself
+      // across an aggregation: the agg input shrinks to the wanted
+      // nations' share of the fact table
+      cached(s.sql(
+        """SELECT ps_partkey,
+          | sum(CAST(ps_supplycost AS DECIMAL(18,4)) * ps_availqty) AS raw_value
+          |FROM (SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+          |        count(*) AS ps_availqty, min(l_extendedprice) AS ps_supplycost
+          |      FROM lineitem
+          |      WHERE l_suppkey IN (
+          |        SELECT s_suppkey FROM supplier JOIN nation
+          |          ON s_nationkey = n_nationkey
+          |        WHERE n_name IN ('NATION_1', 'NATION_2', 'NATION_3'))
+          |      GROUP BY 1, 2) partsupp
+          |GROUP BY ps_partkey""".stripMargin))
+        .createOrReplaceTempView("q11_grouped")
+      s.sql(
+        """SELECT ps_partkey, round(CAST(raw_value AS DOUBLE), 4) AS value
+          |FROM q11_grouped
+          |WHERE raw_value > (SELECT sum(raw_value) * 0.0002 FROM q11_grouped)
+          |ORDER BY value DESC, ps_partkey""".stripMargin)
     }))
 
   val oracleSql: Map[String, String] = texts
