@@ -609,7 +609,11 @@ object GraftStore {
             sts.map(_.ndv).reduce(NdvHll.mergeHex) else ""
           val sum = if (sts.forall(_.sum.nonEmpty))
             sts.map(_.sum.toLong).foldLeft(0L)(_ + _).toString else ""
-          c -> ColStats(mn, mx, nulls, bloom = "", ndv = ndv,
+          // string-equality blooms OR together (fixed-size bitsets), so
+          // a point predicate on a string column can skip whole children
+          val bloom = if (sts.forall(_.bloom.nonEmpty))
+            sts.map(_.bloom).reduce(StringBloom.orHex) else ""
+          c -> ColStats(mn, mx, nulls, bloom = bloom, ndv = ndv,
             mono = false, sum = sum)
         }
       }

@@ -142,6 +142,53 @@ class ManifestShardSpec extends SparkSuite {
       .load().agg(sum("id")).head.getLong(0) == (0L until 90L).sum)
   }
 
+  test("string-equality blooms OR into children: an absent literal opens zero children") {
+    import org.apache.spark.sql.sources.EqualTo
+    val s3 = sess(freshRoot(), threshold = 2)
+    import s3.implicits._
+    val p = s"${freshRoot()}/sb"
+    s3.range(0, 90, 1, 6)
+      .select($"id", concat(lit("tag_"), ($"id" % 9).cast("string")).as("s"))
+      .write.format("graft.sources.GraftStore").option("path", p)
+      .mode("overwrite").save()
+    val children = structured(p)._4
+    assert(children.nonEmpty &&
+      children.forall(_.stats.get("s").exists(_.bloom.nonEmpty)),
+      "child refs must carry the OR-merged string bloom")
+    GraftStore.childReads.set(0L)
+    val none = new graft.sources.GraftStoreScan(p,
+      Array(EqualTo("s", "tag_never_written")))
+    assert(none.planInputPartitions().isEmpty,
+      "bloom-disproved literal must prune every file")
+    assert(GraftStore.childReads.get() == 0L,
+      "bloom-disproved literal must prune every CHILD unopened")
+    // a present literal still answers exactly
+    val got = spark.read.format("graft.sources.GraftStore").option("path", p)
+      .load().filter($"s" === "tag_3").agg(sum("id")).head.getLong(0)
+    assert(got == (0L until 90L).filter(_ % 9 == 3).sum)
+  }
+
+  test("OPTIMIZE on a sharded table: compaction re-shards, answers unchanged") {
+    val (s2, path) = partitionedTable(freshRoot())
+    // several appends fragment the cells (each adds one file per touched
+    // cell), all under the same sharded-manifest regime
+    (0 until 3).foreach { i =>
+      s2.sql(s"INSERT INTO gms.t SELECT CAST(id % 4 AS INT), id, id * 0.5 " +
+        s"FROM range(${1000 * (i + 1)}, ${1000 * (i + 1) + 200})")
+    }
+    val before = s2.sql("SELECT count(*), sum(id) FROM gms.t").head.toSeq
+    val filesBefore = structured(path)._4.map(_.nfiles).sum
+    GraftStore.compact(s2, path, targetBytes = 1L << 20)
+    val after = s2.sql("SELECT count(*), sum(id) FROM gms.t").head.toSeq
+    assert(after == before, s"compaction changed answers: $before -> $after")
+    // fewer data files; manifest stays readable whether the new count
+    // re-shards (above threshold) or collapses back inline (below)
+    val (_, inline, _, children) = structured(path)
+    val filesAfter = inline.size + children.map(_.nfiles).sum
+    assert(filesAfter < filesBefore,
+      s"compaction did not reduce files: $filesBefore -> $filesAfter")
+  }
+
   test("snapshot expiry sweeps only unreferenced children") {
     val (s2, path) = partitionedTable(freshRoot())
     val v1Children = structured(path)._4.map(_.file).toSet
