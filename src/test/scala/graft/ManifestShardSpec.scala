@@ -25,6 +25,21 @@ import graft.sources.GraftStore
   */
 class ManifestShardSpec extends SparkSuite {
 
+  // running SQL on a threshold-forcing child session makes it the
+  // THREAD's active session, and GraftStore.shardThreshold reads the
+  // active session's conf — restore the prior active session after
+  // every test or later suites on this thread would shard at
+  // threshold 1 (caught as a cross-suite PartitionEvolutionSpec
+  // failure in the full run)
+  override protected def withFixture(test: NoArgTest) = {
+    val prev = org.apache.spark.sql.SparkSession.getActiveSession
+    try super.withFixture(test)
+    finally prev match {
+      case Some(p) => org.apache.spark.sql.SparkSession.setActiveSession(p)
+      case None => org.apache.spark.sql.SparkSession.clearActiveSession()
+    }
+  }
+
   private def freshRoot(): String =
     graft.ops.Util.managedTempDir("graft_mshard_spec_")
 
@@ -187,6 +202,38 @@ class ManifestShardSpec extends SparkSuite {
     val filesAfter = inline.size + children.map(_.nfiles).sum
     assert(filesAfter < filesBefore,
       s"compaction did not reduce files: $filesBefore -> $filesAfter")
+  }
+
+  test("CAS conflict: the loser's pre-claim children orphan harmlessly and sweep after the grace") {
+    val (s2, path) = partitionedTable(freshRoot())
+    org.apache.spark.sql.SparkSession.setActiveSession(s2)
+    val (v, latest) = GraftStore.readLatestVersioned(path)
+    val (schema, entries) = latest.get
+    // winner claims v+1 first
+    GraftStore.writeManifestAtomicAt(path, v + 1, schema, entries,
+      op = "append")
+    val winnerChildren = childFiles(path).toSet
+    // loser: same base, plus a novel cell — its children (including one
+    // NEW name for the novel cell) land BEFORE the claim, which loses;
+    // nothing committed is clobbered
+    val loser = entries :+ GraftStore.FileEntry("data/ghost.bin", 1L,
+      Map("k" -> GraftStore.ColStats("7", "7", 0)))
+    intercept[GraftStore.ConflictException] {
+      GraftStore.writeManifestAtomicAt(path, v + 1, schema, loser,
+        op = "append")
+    }
+    val orphans = childFiles(path).toSet -- winnerChildren
+    assert(orphans.size == 1,
+      s"expected exactly the loser's novel-cell child as orphan: $orphans")
+    // the table answers from the winner's commit, unaffected
+    assert(s2.sql("SELECT count(*) FROM gms.t").head.getLong(0) == 400)
+    // grace-0 sweep (via expiry retaining both snapshots) removes the
+    // unreferenced child, keeps every referenced one
+    GraftStore.expireSnapshots(path, keepLast = 2, graceMs = 0L)
+    assert(childFiles(path).toSet == winnerChildren,
+      "sweep must remove exactly the conflict loser's orphan child")
+    assert(s2.sql("SELECT sum(id) FROM gms.t").head.getLong(0) ==
+      (0L until 400L).sum)
   }
 
   test("snapshot expiry sweeps only unreferenced children") {
