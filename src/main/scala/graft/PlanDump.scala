@@ -83,7 +83,10 @@ object PlanDump {
     // round 17: the last TPC-H relational shapes (EXISTS+NOT-EXISTS
     // chain, correlated scalar-agg decorrelations), the split-read Avro
     // connector scan
-    "q_sql_q21", "q_sql_q17", "q_sql_q2", "q_src_avro")
+    "q_sql_q21", "q_sql_q17", "q_sql_q2", "q_src_avro",
+    // round 18: Q11 single-derivation (both partsupp references off one
+    // InMemoryRelation), nested-avro round-trip, staged IVF+PQ probe
+    "q_sql_q11", "q_src_avro_nested", "q_sim_ivfpq")
 
   def main(args: Array[String]): Unit = {
     val out = args.headOption.getOrElse("PLANS.md")

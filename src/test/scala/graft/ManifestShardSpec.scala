@@ -236,6 +236,42 @@ class ManifestShardSpec extends SparkSuite {
       (0L until 400L).sum)
   }
 
+  test("the parent manifest is the metadata wall REMOVED: size ∝ children, not files") {
+    // grow an unpartitioned table by appends; at threshold 8 the parent
+    // carries one !clist= line per chunk while the flattened entry text
+    // grows linearly with files — the parent must stay well under the
+    // inline representation and grow ~8× slower
+    val s3 = sess(freshRoot(), threshold = 8)
+    import s3.implicits._
+    val p = s"${freshRoot()}/grow"
+    def append(lo: Long): Unit =
+      s3.range(lo, lo + 80, 1, 8).toDF("id").write
+        .format("graft.sources.GraftStore").option("path", p)
+        .mode(if (lo == 0) "overwrite" else "append").save()
+    append(0)
+    (1 to 5).foreach(i => append(i * 80L))
+    val (_, inline, _, children) = structured(p)
+    val nFiles = children.map(_.nfiles).sum
+    assert(inline.isEmpty && nFiles == 48, s"expected 48 files, got $nFiles")
+    val parentBytes = new File(p, "_manifest").length()
+    val childBytes = childFiles(p)
+      .map(n => new File(p, n).length()).sum
+    // the inline representation would be ≈ childBytes of entry text in
+    // the parent; sharded, the parent holds ~nFiles/8 refs
+    assert(parentBytes < childBytes,
+      s"parent ($parentBytes B) must be smaller than the entry text it " +
+        s"replaces ($childBytes B)")
+    assert(children.size <= (nFiles + 7) / 8 + 1,
+      s"${children.size} children for $nFiles files at threshold 8")
+    // planning a point lookup touches one child, however many appends
+    GraftStore.childReads.set(0L)
+    val one = new graft.sources.GraftStoreScan(p,
+      Array(org.apache.spark.sql.sources.EqualTo("id", 200L)))
+    assert(one.planInputPartitions().length == 1)
+    assert(GraftStore.childReads.get() <= 2,
+      s"point lookup opened ${GraftStore.childReads.get()} children")
+  }
+
   test("snapshot expiry sweeps only unreferenced children") {
     val (s2, path) = partitionedTable(freshRoot())
     val v1Children = structured(path)._4.map(_.file).toSet
