@@ -272,6 +272,43 @@ class ManifestShardSpec extends SparkSuite {
       s"point lookup opened ${GraftStore.childReads.get()} children")
   }
 
+  test("append fast path: formats only the appended entries, byte-identical to a full regroup") {
+    val (s2, path) = partitionedTable(freshRoot())
+    // append one file's worth of rows to ONE cell: the fast path must
+    // format ~that file's entry, not the whole table
+    GraftStore.shardFmtEntries.set(0L)
+    s2.sql("INSERT INTO gms.t SELECT CAST(1 AS INT), id, id * 0.5 " +
+      "FROM range(5000, 5100)")
+    val formatted = GraftStore.shardFmtEntries.get()
+    assert(formatted >= 1 && formatted <= 2,
+      s"append formatted $formatted entries — the fast path must not " +
+        "reformat the whole table (5 files)")
+    // equivalence: a from-scratch regroup of the SAME flattened entry
+    // list (same schema, same partition spec) must produce the same
+    // content-addressed child names in the same order — grouping and
+    // chunking are deterministic functions of the list, and the fast
+    // path must not diverge from them
+    val (schema, entries) = GraftStore.readManifest(path).get
+    val fastRefs = structured(path)._4.map(r => (r.file, r.cell))
+    val p2 = graft.ops.Util.managedTempDir("graft_mshard_equiv_") + "/t2"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(p2))
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(path, "_partition"),
+      java.nio.file.Paths.get(p2, "_partition"))
+    org.apache.spark.sql.SparkSession.setActiveSession(s2)
+    GraftStore.writeManifestAtomicAt(p2, 1L, schema, entries, op = "create")
+    val fullRefs = GraftStore.readManifestStructured(
+      new File(p2, "_manifest")).get._4.map(r => (r.file, r.cell))
+    assert(fastRefs == fullRefs,
+      s"fast-path refs diverge from the full regroup:\n$fastRefs\nvs\n$fullRefs")
+    // and a restore (a NON-extension commit → full-regroup fallback) of
+    // the appended version reproduces the same children byte-for-byte
+    val v = GraftStore.readVersion(path)
+    GraftStore.restore(path, v)
+    assert(structured(path)._4.map(r => (r.file, r.cell)) == fastRefs,
+      "restore's full regroup must reproduce the fast path's children")
+  }
+
   test("snapshot expiry sweeps only unreferenced children") {
     val (s2, path) = partitionedTable(freshRoot())
     val v1Children = structured(path)._4.map(_.file).toSet
