@@ -712,7 +712,11 @@ object GraftStore {
     * restore-equivalence spec. Falls back to the full regroup whenever
     * the extension shape or the full-prefix-chunk invariant (threshold
     * changed mid-table, legacy untagged refs) doesn't hold —
-    * conservative, never wrong. */
+    * conservative, never wrong. After PARTITION-SPEC EVOLUTION, carried
+    * refs keep their old-spec cell tags while new appends group under
+    * the new spec — the Iceberg old-manifests-keep-their-spec shape;
+    * pruning is unaffected (it reads the refs' aggregated STATS, never
+    * the tags) and a rewrite (OPTIMIZE/restore) regroups everything. */
   private def shardEntriesIncremental(path: String, schema: StructType,
       files: Seq[FileEntry], threshold: Int, v: Long): Seq[String] = {
     val full = () => shardEntries(path, schema, files, threshold)
@@ -728,12 +732,15 @@ object GraftStore {
     // falling back to value equality
     val baseFlat = baseRefs.flatMap(c => readChildEntries(dir, c.file))
     if (files.size < baseFlat.size) return full()
-    var i = 0
-    while (i < baseFlat.size) {
-      val a = files(i); val b = baseFlat(i)
+    // lockstep iterators, never positional indexing (a List-backed Seq
+    // would turn files(i) into an O(n²) pointer walk at 10⁶ entries);
+    // reference equality hits first because the append path concatenates
+    // the very instances the child cache returned
+    val itA = files.iterator; val itB = baseFlat.iterator
+    while (itB.hasNext) {
+      val b = itB.next(); val a = itA.next()
       if (!(a.asInstanceOf[AnyRef].eq(b.asInstanceOf[AnyRef]) || a == b))
         return full()
-      i += 1
     }
     // full-prefix-chunk invariant per cell: every non-last chunk full
     val refsByCell = new java.util.LinkedHashMap[String,
