@@ -81,6 +81,12 @@ object AvroSource {
     if (nullable) Schema.createUnion(Schema.create(Schema.Type.NULL), s)
     else s
 
+  /** Reader schema for a column the file lacks entirely: a null-first
+    * union whose NULL_DEFAULT fills every row (null must be the first
+    * branch for the default to validate). */
+  private[sources] def nullDefaulted(dt: DataType): Schema =
+    maybeNullable(toAvroType(dt, "added"), nullable = true)
+
   /** Catalyst -> Avro, recursively (round 18: complex types). Arrays map
     * to Avro arrays (element nullability via the standard union), maps
     * to Avro maps (Avro maps are string-keyed by spec — other key types
@@ -198,8 +204,7 @@ object AvroSource {
             require(f.nullable,
               s"non-nullable nested field '${f.name}' missing from file " +
                 s"schema $fs — cannot null-fill")
-            fields.add(new Schema.Field(f.name,
-              maybeNullable(toAvroType(f.dataType, f.name), nullable = true),
+            fields.add(new Schema.Field(f.name, nullDefaulted(f.dataType),
               null, Schema.Field.NULL_DEFAULT_VALUE))
           }
         }
@@ -527,18 +532,32 @@ class AvroReaderFactory(required: StructType)
       private val keep = required.fieldNames
       locally {
         val w = reader.getSchema
-        val missing = keep.filterNot(n => w.getField(n) != null)
+        // a missing NON-nullable column is refused loudly; a missing
+        // NULLABLE column null-fills through a reader default — the
+        // SAME evolution rule at every nesting depth (the top level
+        // previously refused both, making add-column evolution work one
+        // level down but not at the root; r18 review)
+        val missing = required.fields
+          .filter(f => w.getField(f.name) == null && !f.nullable)
+          .map(_.name)
         require(missing.isEmpty,
-          s"avro file ${part.file} lacks required column(s): ${missing.mkString(", ")}")
+          s"avro file ${part.file} lacks required non-nullable " +
+            s"column(s): ${missing.mkString(", ")}")
         val fields = new java.util.ArrayList[Schema.Field]()
         required.fields.foreach { f =>
           // reader field schema from the TABLE type walked against the
           // file's writer schema (see expectedFor): nested levels
-          // resolve by NAME, missing nullable nested fields null-fill,
+          // resolve by NAME, missing nullable fields null-fill,
           // primitive leaves promote per Avro's resolution rules
-          fields.add(new Schema.Field(f.name,
-            AvroSource.expectedFor(f.dataType, f.nullable,
-              w.getField(f.name).schema()), null, null))
+          val wf = w.getField(f.name)
+          if (wf != null)
+            fields.add(new Schema.Field(f.name,
+              AvroSource.expectedFor(f.dataType, f.nullable, wf.schema()),
+              null, null))
+          else
+            fields.add(new Schema.Field(f.name,
+              AvroSource.nullDefaulted(f.dataType),
+              null, Schema.Field.NULL_DEFAULT_VALUE))
         }
         val proj = Schema.createRecord(
           w.getName, null, w.getNamespace, false, fields)

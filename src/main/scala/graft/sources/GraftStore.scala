@@ -653,6 +653,14 @@ object GraftStore {
       // onto the same name — REPLACE_EXISTING is benign by construction
       Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE,
         StandardCopyOption.REPLACE_EXISTING)
+    } else {
+      // REUSED child: refresh its mtime so the GC grace window protects
+      // it exactly like a freshly written file — without this, a commit
+      // reusing a child referenced only by about-to-expire snapshots
+      // (restore to an old version racing a concurrent expiry) could
+      // see the sweep delete it between this existence check and the
+      // manifest claim, bricking the committed snapshot (r18 review)
+      target.toFile.setLastModified(System.currentTimeMillis())
     }
     fmtChildRef(ChildRef(name, chunk.size.toLong,
       chunk.map(e => math.max(e.rows, 0L)).sum,
@@ -758,12 +766,20 @@ object GraftStore {
     val out = Seq.newBuilder[String]
     refsByCell.asScala.foreach { case (tag, refs) =>
       val adds = Option(appended.remove(tag)).map(_.toSeq).getOrElse(Seq.empty)
-      if (adds.isEmpty) refs.foreach(r => out += fmtChildRef(r))
+      if (adds.isEmpty) refs.foreach { r =>
+        // same grace-refresh as writeChunk's reuse branch: a carried-
+        // forward child must look recently-touched to the GC sweep
+        new File(dir, r.file).setLastModified(System.currentTimeMillis())
+        out += fmtChildRef(r)
+      }
       else {
         val (fullRefs, tail) =
           if (refs.last.nfiles == threshold) (refs.toSeq, Seq.empty[ChildRef])
           else (refs.init.toSeq, Seq(refs.last))
-        fullRefs.foreach(r => out += fmtChildRef(r))
+        fullRefs.foreach { r =>
+          new File(dir, r.file).setLastModified(System.currentTimeMillis())
+          out += fmtChildRef(r)
+        }
         val tailEntries = tail.flatMap(r => readChildEntries(dir, r.file))
         (tailEntries ++ adds).grouped(threshold)
           .foreach(ch => out += writeChunk(path, schema, ch, tag))
@@ -2030,8 +2046,17 @@ object GraftStore {
   private[graft] def history(path: String): Seq[(Long, Long, Long, String)] =
     snapshotFiles(path).map { f =>
       val v = f.getName.stripPrefix(ManifestName + ".v").toLong
-      val entries = readManifestFile(f).map(_._2).getOrElse(Seq.empty)
-      (v, entries.size.toLong, entries.map(_.rows).sum, readOpOf(f))
+      // answer from the parent alone: ChildRef lines already carry each
+      // child's entry count and row sum, so a sharded snapshot's history
+      // row costs zero child-manifest opens — keeping the documented
+      // "one small file read per retained version" contract (r18 review)
+      val (nFiles, nRows) = readManifestStructured(f) match {
+        case Some((_, inline, _, children)) =>
+          (inline.size.toLong + children.map(_.nfiles).sum,
+            inline.map(_.rows).sum + children.map(_.rows).sum)
+        case None => (0L, 0L)
+      }
+      (v, nFiles, nRows, readOpOf(f))
     }
 
   /** The (schema, entries) a read with these options sees: the current

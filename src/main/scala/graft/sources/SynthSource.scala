@@ -310,8 +310,8 @@ class SynthMicroBatchStream(lo: Long, hi: Long, slices: Int,
   override def initialOffset(): Offset = SynthOffset(lo)
   override def deserializeOffset(json: String): Offset = SynthOffset(json.toLong)
   // ADMISSION CONTROL through the engine's own API (round 18): the next
-  // end offset is one quantum past the START offset the ENGINE hands us
-  // — which after a checkpoint restart is the restored position. The
+  // end offset derives from the START offset the ENGINE hands us —
+  // which after a checkpoint restart is the restored position. The
   // previous hand-rolled variant (a `furthest` instance field advanced
   // per poll) reset to `lo` in a new incarnation, handed the engine an
   // offset BEHIND its restored position, and the next batch re-read
@@ -319,11 +319,25 @@ class SynthMicroBatchStream(lo: Long, hi: Long, slices: Int,
   // restart (caught by GraftStoreSpec's cross-incarnation restart pin).
   // Offsets must derive from engine-provided state, never from writer
   // instance memory — the same rule the sink's epoch marker follows.
+  // The engine-supplied ReadLimit is HONORED, not assumed (r18 review):
+  // Trigger.AvailableNow/Once pass allAvailable and must drain to `hi`
+  // in one batch; maxRows bounds the quantum; composite limits take
+  // their tightest rows bound.
   override def getDefaultReadLimit: ReadLimit = ReadLimit.maxRows(step)
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
-    val s = start.asInstanceOf[SynthOffset].pos
-    SynthOffset(math.min(hi, math.max(s, lo) + step))
+    import org.apache.spark.sql.connector.read.streaming.{CompositeReadLimit, ReadAllAvailable, ReadMaxRows}
+    val s = math.max(start.asInstanceOf[SynthOffset].pos, lo)
+    def boundOf(l: ReadLimit): Long = l match {
+      case r: ReadMaxRows => math.min(hi, s + r.maxRows())
+      case _: ReadAllAvailable => hi
+      case c: CompositeReadLimit => c.getReadLimits.map(boundOf).min
+      case _ => math.min(hi, s + step)
+    }
+    SynthOffset(boundOf(limit))
   }
+  /** The log's true latest available position — what the
+    * Trigger.AvailableNow wrapper snapshots as its end target. */
+  override def reportLatestOffset(): Offset = SynthOffset(hi)
   override def latestOffset(): Offset = throw new IllegalStateException(
     "latestOffset() must not be called on a SupportsAdmissionControl source")
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {

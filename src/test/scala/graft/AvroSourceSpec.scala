@@ -206,6 +206,23 @@ class AvroSourceSpec extends SparkSuite {
     assert(e.getMessage.contains("zzz") ||
       (e.getCause != null && e.getCause.getMessage.contains("zzz")),
       s"expected a loud missing-field refusal, got: ${e.getMessage}")
+    // the SAME evolution rule at the TOP level: a missing nullable
+    // column null-fills, a missing non-nullable one refuses
+    val widened = StructType(declared.fields :+
+      StructField("extra", DoubleType, nullable = true))
+    val withExtra = spark.read.format("graft.sources.AvroSource")
+      .schema(widened).load(dir).orderBy("id").collect()
+    assert(withExtra.length == 10 && withExtra.forall(_.isNullAt(2)),
+      "missing nullable top-level column must null-fill")
+    val badTop = StructType(declared.fields :+
+      StructField("extra", DoubleType, nullable = false))
+    val e2 = intercept[Exception] {
+      spark.read.format("graft.sources.AvroSource").schema(badTop)
+        .load(dir).collect()
+    }
+    assert(e2.getMessage.contains("extra") ||
+      (e2.getCause != null && e2.getCause.getMessage.contains("extra")),
+      s"expected a loud top-level refusal, got: ${e2.getMessage}")
   }
 
   test("sync-marker split reads: a small splitSize fans one file into many partitions, every row exactly once") {

@@ -452,6 +452,27 @@ class StreamingParitySpec extends SparkSuite {
     }
   }
 
+  test("Trigger.AvailableNow drains the admission-controlled DSv2 source exactly once") {
+    import spark.implicits._
+    // the AvailableNow wrapper snapshots reportLatestOffset() as its end
+    // target and feeds batches through latestOffset(start, limit) — the
+    // surface SupportsAdmissionControl obliges a source to get right
+    // (r18 review: a null reportLatestOffset or an ignored ReadLimit
+    // breaks this trigger)
+    val q = spark.readStream.format("graft.sources.SynthSource")
+      .option("rows", "5000").option("slices", "4")
+      .option("microBatchRows", "512")
+      .load()
+      .writeStream.outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .format("memory").queryName("t_availnow").start()
+    assert(q.awaitTermination(120000), "AvailableNow query did not finish")
+    val agg = spark.table("t_availnow")
+      .agg(count(lit(1)), countDistinct($"id")).head()
+    assert(agg.getLong(0) == 5000L && agg.getLong(1) == 5000L,
+      s"AvailableNow drained ${agg.getLong(0)} rows (${agg.getLong(1)} distinct)")
+  }
+
   test("DSv2 micro-batch stream (q_src_stream): stream == batch, in real increments") {
     // the SAME connector serves readStream: 20k ids admitted 3000/trigger
     val stream = spark.readStream.format("graft.sources.SynthSource")
