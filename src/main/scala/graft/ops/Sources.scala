@@ -523,6 +523,52 @@ object Sources {
       d
     })
 
+  private val shardWritten = new java.util.concurrent.ConcurrentHashMap[String, String]
+
+  /** SHARDED-MANIFEST table staged once per (session, fixture): orders
+    * partitioned by an 8-cell key, written with the shard threshold
+    * forced low so the snapshot manifest is a manifest LIST (content-
+    * addressed per-cell children), then ONE cell appended so the commit
+    * exercises the append fast path (untouched cells' refs carried
+    * verbatim). ManifestShardSpec pins the protocol (1-of-N child opens,
+    * byte-identical regroup); this query pins end-to-end ANSWERS through
+    * the sharded read path against DuckDB. */
+  private def shardPath(s: org.apache.spark.sql.SparkSession, dir: String): String =
+    shardWritten.computeIfAbsent(s"${Util.sessionKey(s)}:$dir", _ => {
+      val root = Util.managedTempDir("graft_shardq_")
+      val s2 = s.newSession()
+      s2.conf.set("spark.sql.catalog.gshq", "graft.sources.GraftCatalog")
+      s2.conf.set("spark.sql.catalog.gshq.root", root)
+      s2.conf.set("spark.graft.manifest.shardThreshold", "2")
+      table(s2, dir, "orders")
+        .selectExpr("CAST(o_orderkey % 8 AS INT) AS cell",
+          "o_orderkey", "o_totalprice")
+        .createOrReplaceTempView("shardq_src")
+      s2.sql(
+        """CREATE TABLE gshq.t PARTITIONED BY (cell) AS
+          |SELECT cell, o_orderkey, o_totalprice FROM shardq_src""".stripMargin)
+      s2.sql(
+        """INSERT INTO gshq.t
+          |SELECT CAST(3 AS INT), o_orderkey + 1000000, o_totalprice
+          |FROM shardq_src WHERE cell = 3""".stripMargin)
+      s"$root/t"
+    })
+
+  /** Partition-filtered aggregate through the sharded manifest: the
+    * pushed cell filter prunes whole CHILD manifests before any data
+    * I/O, and the answer must equal DuckDB's recomputation from the
+    * source parquet (base ∪ the shifted append). */
+  val qStoreShard: Q = (s, dir) => {
+    import s.implicits._
+    val path = shardPath(s, dir)
+    s.read.format("graft.sources.GraftStore").option("path", path).load()
+      .filter($"cell".isin(2, 3))
+      .groupBy($"cell")
+      .agg(count(lit(1)).as("n_rows"), sum($"o_orderkey").as("sum_key"),
+        dsum($"o_totalprice").as("sum_price"))
+      .orderBy($"cell")
+  }
+
   val qStoreTimetravel: Q = (s, dir) => {
     import s.implicits._
     val path = ttPath(s, dir)
@@ -4287,6 +4333,7 @@ object Sources {
     "q_src_partitioned" -> qSrcPartitioned,
     "q_src_avro" -> qSrcAvro,
     "q_src_avro_nested" -> qSrcAvroNested,
+    "q_store_shard" -> qStoreShard,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -5404,6 +5451,16 @@ object Sources {
         | CAST(sum(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS sum_bal
         |FROM customer WHERE c_acctbal > 0.0
         |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
+    "q_store_shard" ->
+      """WITH base AS (SELECT CAST(o_orderkey % 8 AS INT) AS cell,
+        |    o_orderkey, o_totalprice FROM orders),
+        |app AS (SELECT cell, o_orderkey + 1000000 AS o_orderkey,
+        |    o_totalprice FROM base WHERE cell = 3),
+        |t AS (SELECT * FROM base UNION ALL SELECT * FROM app)
+        |SELECT cell, count(*) AS n_rows,
+        | CAST(sum(o_orderkey) AS BIGINT) AS sum_key,
+        | CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+        |FROM t WHERE cell IN (2, 3) GROUP BY cell ORDER BY cell""".stripMargin,
     "q_src_avro_nested" ->
       """WITH e AS (SELECT vec_id, label,
         |   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb,
