@@ -309,6 +309,45 @@ class ManifestShardSpec extends SparkSuite {
       "restore's full regroup must reproduce the fast path's children")
   }
 
+  test("randomized thresholds/cell-counts: sharded answers equal the source under every filter") {
+    import org.apache.spark.sql.functions._
+    // fixed seeds — deterministic sweep over awkward chunk boundaries
+    // (threshold dividing / not dividing cell sizes, single-cell,
+    // more-cells-than-files-per-cell)
+    val rnd = new scala.util.Random(1234)
+    (1 to 3).foreach { trial =>
+      val threshold = Seq(1, 2, 3, 5)(rnd.nextInt(4))
+      val nCells = 1 + rnd.nextInt(5)
+      val rows = 60 + rnd.nextInt(200)
+      val s3 = sess(freshRoot(), threshold)
+      import s3.implicits._
+      s3.range(0, rows, 1, 4)
+        .select(($"id" % nCells).cast("int").as("k"), $"id")
+        .repartition(4, $"k")
+        .createOrReplaceTempView(s"mshard_rand_$trial")
+      s3.sql(s"CREATE TABLE gms.r$trial PARTITIONED BY (k) AS " +
+        s"SELECT k, id FROM mshard_rand_$trial")
+      // a second append batch crosses chunk boundaries
+      s3.sql(s"INSERT INTO gms.r$trial SELECT CAST(id % $nCells AS INT), id " +
+        s"FROM range(${rows * 10}, ${rows * 10 + 37})")
+      val expected = ((0L until rows.toLong) ++
+        (rows * 10L until rows * 10L + 37L)).map(id => (id % nCells, id))
+      // full scan equals the source exactly
+      val all = s3.sql(s"SELECT k, id FROM gms.r$trial").collect()
+        .map(r => (r.getInt(0).toLong, r.getLong(1))).sorted.toSeq
+      assert(all == expected.sortBy(identity),
+        s"trial $trial (threshold=$threshold cells=$nCells): full scan diverged")
+      // every single-cell filter equals the source's filter
+      (0 until nCells).foreach { c =>
+        val got = s3.sql(s"SELECT sum(id), count(*) FROM gms.r$trial WHERE k = $c")
+          .head
+        val exp = expected.filter(_._1 == c)
+        assert(got.getLong(0) == exp.map(_._2).sum && got.getLong(1) == exp.size,
+          s"trial $trial cell $c: pruned read diverged")
+      }
+    }
+  }
+
   test("snapshot expiry sweeps only unreferenced children") {
     val (s2, path) = partitionedTable(freshRoot())
     val v1Children = structured(path)._4.map(_.file).toSet
