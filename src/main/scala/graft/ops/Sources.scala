@@ -569,6 +569,27 @@ object Sources {
       .orderBy($"cell")
   }
 
+  /** `$manifests` metadata table over the staged sharded table: the
+    * manifest-LAYOUT observability surface (round 18, the Iceberg
+    * manifests-table sibling of `$snapshots`/`$files`). The oracle
+    * checks the layout's CONTENT invariants — per-cell live-row sums
+    * and the cell-tag rendering — which are layout-independent; entry
+    * counts per child (a write-parallelism artifact) stay out of the
+    * hash. Zero data I/O by construction: the rows come from the
+    * parent manifest's ChildRef lines alone. */
+  val qStoreManifests: Q = (s, dir) => {
+    val path = shardPath(s, dir)
+    val root = new java.io.File(path).getParent
+    val s2 = s.newSession()
+    s2.conf.set("spark.sql.catalog.gshm", "graft.sources.GraftCatalog")
+    s2.conf.set("spark.sql.catalog.gshm.root", root)
+    s2.sql(
+      """SELECT cell, CAST(sum(n_rows) AS BIGINT) AS n_rows,
+        | CAST(sum(n_entries) >= count(*) AS BOOLEAN) AS chunked
+        |FROM gshm.`t$manifests`
+        |GROUP BY cell ORDER BY cell""".stripMargin)
+  }
+
   val qStoreTimetravel: Q = (s, dir) => {
     import s.implicits._
     val path = ttPath(s, dir)
@@ -4334,6 +4355,7 @@ object Sources {
     "q_src_avro" -> qSrcAvro,
     "q_src_avro_nested" -> qSrcAvroNested,
     "q_store_shard" -> qStoreShard,
+    "q_store_manifests" -> qStoreManifests,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -5461,6 +5483,13 @@ object Sources {
         | CAST(sum(o_orderkey) AS BIGINT) AS sum_key,
         | CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
         |FROM t WHERE cell IN (2, 3) GROUP BY cell ORDER BY cell""".stripMargin,
+    "q_store_manifests" ->
+      """WITH base AS (SELECT CAST(o_orderkey % 8 AS INT) AS cell FROM orders),
+        |t AS (SELECT cell FROM base
+        |      UNION ALL SELECT cell FROM base WHERE cell = 3)
+        |SELECT 'c:cell=' || CAST(cell AS VARCHAR) AS cell,
+        | count(*) AS n_rows, TRUE AS chunked
+        |FROM t GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_src_avro_nested" ->
       """WITH e AS (SELECT vec_id, label,
         |   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb,

@@ -251,10 +251,14 @@ class GraftCatalog extends TableCatalog with FunctionCatalog
     // live rows per partition-value tuple, re-proven from per-file stats
     // — see [[GraftStore.partitionRows]]), `t$refs` (tags) and
     // `t$deletes` (live position vectors + equality deletes — the
-    // purge-scheduling dashboard). Driver-side metadata walks by
-    // construction — one small file read per snapshot, zero data I/O.
+    // purge-scheduling dashboard) and `t$manifests` (round 18: the
+    // current snapshot's manifest layout — one row per child manifest
+    // with its entry count, live rows and partition-cell tag; one
+    // `(inline)` row for an unsharded table). Driver-side metadata
+    // walks by construction — one small file read per snapshot, zero
+    // data I/O ($manifests reads the parent's ChildRef lines only).
     ident.name().split('$') match {
-      case Array(base, kind @ ("snapshots" | "files" | "partitions" | "refs" | "deletes" | "branches")) =>
+      case Array(base, kind @ ("snapshots" | "files" | "partitions" | "refs" | "deletes" | "branches" | "manifests")) =>
         val dir = dirFor(Identifier.of(ident.namespace(), base))
         if (!isTable(dir)) throw new NoSuchTableException(ident)
         return new GraftMetadataTable(dir.getPath, ident.toString, kind)
@@ -810,6 +814,14 @@ class GraftMetadataTable(path: String, ident: String, kind: String)
       StructField("target", StringType, nullable = false),
       StructField("detail", StringType, nullable = false),
       StructField("n", LongType, nullable = false)))
+    // manifest layout of the CURRENT snapshot: `(inline)` for an
+    // unsharded table, else one row per content-addressed child with
+    // its cell tag (`c:<cell>` / `u` for the catch-all)
+    case "manifests" => StructType(Seq(
+      StructField("manifest", StringType, nullable = false),
+      StructField("n_entries", LongType, nullable = false),
+      StructField("n_rows", LongType, nullable = false),
+      StructField("cell", StringType, nullable = false)))
     case _ => StructType(Seq(
       StructField("file", StringType, nullable = false),
       StructField("rows", LongType, nullable = false),
@@ -878,6 +890,18 @@ class GraftMetadataScan(path: String, kind: String, schema: StructType)
             utf8(d.cols.mkString(",")), keys)
         }
         (dvRows ++ eqRows).toArray
+      case "manifests" =>
+        import org.apache.spark.unsafe.types.UTF8String.{fromString => utf8}
+        GraftStore.readManifestStructured(
+          new java.io.File(path, GraftStore.ManifestName)) match {
+          case Some((_, inline, _, children)) if children.nonEmpty =>
+            children.map(c => Array[Any](utf8(c.file), c.nfiles, c.rows,
+              utf8(c.cell))).toArray
+          case Some((_, inline, _, _)) =>
+            Array(Array[Any](utf8("(inline)"), inline.size.toLong,
+              inline.map(e => math.max(e.rows, 0L)).sum, utf8("")))
+          case None => Array.empty[Array[Any]]
+        }
       case _ => GraftStore.readManifest(path).map(_._2).getOrElse(Seq.empty)
         .map(e => Array[Any](
           org.apache.spark.unsafe.types.UTF8String.fromString(e.file),
