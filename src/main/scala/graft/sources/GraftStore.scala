@@ -5403,6 +5403,7 @@ class GraftStoreScanBuilder(path: String, versionAsOf: Option[Long] = None,
     extends ScanBuilder
     with org.apache.spark.sql.connector.read.SupportsPushDownFilters
     with org.apache.spark.sql.connector.read.SupportsPushDownAggregates
+    with org.apache.spark.sql.connector.read.SupportsPushDownLimit
     with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns {
   import org.apache.spark.sql.sources.Filter
   import org.apache.spark.sql.connector.expressions.NamedReference
@@ -5697,9 +5698,21 @@ class GraftStoreScanBuilder(path: String, versionAsOf: Option[Long] = None,
       case None => false
     }
 
+  /** See GraftStoreScan.limitTrim — PARTIAL push (return false): the
+    * trim is a planning optimization, Spark keeps its limit operators
+    * and the row semantics. Recorded only for the bare preview shape;
+    * the scan re-checks every soundness condition at plan time. */
+  private var pushedLimit: Option[Int] = None
+  override def pushLimit(limit: Int): Boolean = {
+    if (limit >= 0 && pushed.isEmpty && fromVersion.isEmpty &&
+        onlyFiles.isEmpty)
+      pushedLimit = Some(limit)
+    false
+  }
+
   override def build(): Scan =
     new GraftStoreScan(path, pushed, versionAsOf.orElse(pinnedVersion),
-      fromVersion, metaAgg, withFileCol, withPosCol, onlyFiles)
+      fromVersion, metaAgg, withFileCol, withPosCol, onlyFiles, pushedLimit)
 }
 
 class GraftStoreScan(path: String,
@@ -5709,7 +5722,8 @@ class GraftStoreScan(path: String,
     metaAgg: Option[(StructType, Seq[Array[Any]])] = None,
     withFileCol: Boolean = false,
     withPosCol: Boolean = false,
-    onlyFiles: Option[Set[String]] = None)
+    onlyFiles: Option[Set[String]] = None,
+    pushedLimit: Option[Int] = None)
   extends Scan with Batch
   with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering
   with org.apache.spark.sql.connector.read.SupportsReportPartitioning
@@ -5728,7 +5742,8 @@ class GraftStoreScan(path: String,
   private[graft] def scanPath: String = path
   private[graft] def isMvSubstitutable: Boolean =
     versionAsOf.isEmpty && fromVersion.isEmpty &&
-      metaAgg.isEmpty && !withFileCol && !withPosCol && onlyFiles.isEmpty
+      metaAgg.isEmpty && !withFileCol && !withPosCol && onlyFiles.isEmpty &&
+      pushedLimit.isEmpty // a limit-trimmed scan reads a row SUBSET
   // a time-travel read plans against the RETAINED snapshot manifest
   // (same format, stats, skipping — only the pointer differs); an
   // INCREMENTAL read keeps only the files added since `fromVersion` —
@@ -5871,15 +5886,42 @@ class GraftStoreScan(path: String,
       })
     }
 
-  private def selected = entries.filter(e =>
-    runtimeFiles.forall(_.contains(e.file)) &&
-      pushedFileSet.forall(_.contains(e.file)) &&
-      onlyFiles.forall(_.contains(e.file)) &&
-      bucketKeep(e) &&
-      GraftStore.StatsPruning.evalAll(pushed.toSeq, e, schema) !=
-        GraftStore.StatsPruning.NoRows &&
-      GraftStore.StatsPruning.evalAll(runtimeDataFilters, e, schema) !=
-        GraftStore.StatsPruning.NoRows)
+  private def selected = {
+    val kept = entries.filter(e =>
+      runtimeFiles.forall(_.contains(e.file)) &&
+        pushedFileSet.forall(_.contains(e.file)) &&
+        onlyFiles.forall(_.contains(e.file)) &&
+        bucketKeep(e) &&
+        GraftStore.StatsPruning.evalAll(pushed.toSeq, e, schema) !=
+          GraftStore.StatsPruning.NoRows &&
+        GraftStore.StatsPruning.evalAll(runtimeDataFilters, e, schema) !=
+          GraftStore.StatsPruning.NoRows)
+    limitTrim(kept)
+  }
+
+  /** LIMIT as a planning-time FILE TRIM (round 18): the bare
+    * `SELECT * FROM t LIMIT n` preview — the query every warehouse user
+    * runs first against a huge table — plans only a prefix of files
+    * whose live-row counts cover `n`, instead of every file the table
+    * has. Sound only when manifest row counts are EXACT live counts and
+    * nothing filters rows afterwards: no pushed/runtime filters, no
+    * file subset, no equality deletes (they hide rows the count can't
+    * see), no unknown-rows legacy entries; deletion-vectored files
+    * qualify (their `rows` is DV-adjusted and the reader yields exactly
+    * that many). The push is PARTIAL — Spark keeps its limit operators;
+    * the trim merely guarantees at least min(n, total) rows survive. */
+  private def limitTrim(es: Seq[GraftStore.FileEntry]): Seq[GraftStore.FileEntry] =
+    pushedLimit match {
+      case Some(l) if pushed.isEmpty && runtimeFiles.isEmpty &&
+          runtimeDataFilters.isEmpty && onlyFiles.isEmpty &&
+          eqDels.isEmpty && es.forall(_.rows >= 0) =>
+        var acc = 0L
+        val b = Seq.newBuilder[GraftStore.FileEntry]
+        val it = es.iterator
+        while (it.hasNext && acc < l) { val e = it.next(); b += e; acc += e.rows }
+        b.result()
+      case _ => es
+    }
 
   /** MANIFEST-DERIVED PLANNING STATISTICS — the ANALYZE-free CBO feed.
     * Called by Spark after pushdown, so row counts and column stats

@@ -571,6 +571,41 @@ class GraftStoreSpec extends SparkSuite {
       "earlier UPDATE's rows must survive the merge")
   }
 
+  test("LIMIT pushdown trims the planned file set to the row budget (preview shape)") {
+    import spark.implicits._
+    val path = tempTable()
+    writeDf(spark.range(0, 800, 1, 1).select($"id", ($"id" % 7).as("k"))
+      .repartitionByRange(8, $"id"), path)
+    // protocol level: the builder records the limit, the scan plans a
+    // file PREFIX covering it (8 × 100-row files; limit 150 → 2 files)
+    val b = new graft.sources.GraftStoreScanBuilder(path)
+    assert(!b.pushLimit(150), "limit push must be PARTIAL (Spark keeps its limit)")
+    val scan = b.build().asInstanceOf[graft.sources.GraftStoreScan]
+    assert(scan.planInputPartitions().length == 2,
+      s"limit 150 over 100-row files must plan 2 files: ${scan.description()}")
+    // end to end: Spark pushes df.limit through to the connector and
+    // the answer is still exactly `limit` rows
+    val got = readBack(path).limit(150).collect()
+    assert(got.length == 150, s"limit returned ${got.length} rows")
+    // soundness guards: a filter in between disables the trim (the trim
+    // cannot know how many rows survive the residual)
+    val bf = new graft.sources.GraftStoreScanBuilder(path)
+    bf.pushFilters(Array(org.apache.spark.sql.sources.GreaterThan("id", 100L)))
+    bf.pushLimit(10)
+    val fscan = bf.build().asInstanceOf[graft.sources.GraftStoreScan]
+    assert(fscan.planInputPartitions().length == 7,
+      "a filtered scan must not limit-trim (7 files survive the filter)")
+    // an equality-delete on the table disables the trim too (hidden rows
+    // make manifest counts over-estimates)
+    GraftStore.deleteByKey(spark, path, spark.range(0, 60).toDF("id"))
+    val bd = new graft.sources.GraftStoreScanBuilder(path)
+    bd.pushLimit(150)
+    val dscan = bd.build().asInstanceOf[graft.sources.GraftStoreScan]
+    assert(dscan.planInputPartitions().length == 8,
+      "live equality deletes must disable the limit trim")
+    assert(readBack(path).limit(150).count() == 150)
+  }
+
   test("streaming sink: epoch commits append atomically; a replayed epoch is a no-op") {
     import org.apache.spark.sql.catalyst.InternalRow
     import org.apache.spark.sql.types.{LongType, StructField, StructType}
