@@ -654,6 +654,20 @@ class PlanShapeSpec extends SparkSuite {
       "salted triangular replication must preserve the exact pair set")
   }
 
+  test("q_sim_pairs (round 19): moment identity — no all-pairs self-join; " +
+    "only the label-cardinality aggregate join remains") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Join}
+    val df = SparkEntry.queries("q_sim_pairs")(spark, sfDir)
+    val opt = df.queryExecution.optimizedPlan
+    val joins = opt.collect { case j: Join => j }
+    assert(joins.size == 1, s"expected exactly the final label join:\n$opt")
+    // both join inputs must already be aggregated to label cardinality —
+    // the pre-r19 quadratic shape joined two RAW embedding scans on label
+    for (j <- joins; side <- Seq(j.left, j.right))
+      assert(side.collectFirst { case a: Aggregate => a }.isDefined,
+        s"join side is not an aggregate (all-pairs shape came back):\n$side")
+  }
+
   test("q_store_cbo: manifest stats reorder the join chain, no ANALYZE") {
     val df = SparkEntry.queries("q_store_cbo")(spark, sfDir)
     val opt = df.queryExecution.optimizedPlan
