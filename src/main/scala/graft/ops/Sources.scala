@@ -576,7 +576,13 @@ object Sources {
     * and the cell-tag rendering — which are layout-independent; entry
     * counts per child (a write-parallelism artifact) stay out of the
     * hash. Zero data I/O by construction: the rows come from the
-    * parent manifest's ChildRef lines alone. */
+    * parent manifest's ChildRef lines alone. `chunked` pins the REAL
+    * threshold-2 layout invariants (r18 review replaced a tautology):
+    * every child holds at most threshold entries AND at most one child
+    * per cell is partial (all non-last chunks full) — FALSE the moment
+    * sharding under- or over-chunks, while staying independent of the
+    * absolute file count (a write-parallelism artifact the oracle
+    * cannot recompute). */
   val qStoreManifests: Q = (s, dir) => {
     val path = shardPath(s, dir)
     val root = new java.io.File(path).getParent
@@ -585,7 +591,8 @@ object Sources {
     s2.conf.set("spark.sql.catalog.gshm.root", root)
     s2.sql(
       """SELECT cell, CAST(sum(n_rows) AS BIGINT) AS n_rows,
-        | CAST(sum(n_entries) >= count(*) AS BOOLEAN) AS chunked
+        | CAST(max(n_entries) <= 2
+        |   AND sum(n_entries) > (count(*) - 1) * 2 AS BOOLEAN) AS chunked
         |FROM gshm.`t$manifests`
         |GROUP BY cell ORDER BY cell""".stripMargin)
   }

@@ -83,9 +83,15 @@ object AvroSource {
 
   /** Reader schema for a column the file lacks entirely: a null-first
     * union whose NULL_DEFAULT fills every row (null must be the first
-    * branch for the default to validate). */
-  private[sources] def nullDefaulted(dt: DataType): Schema =
-    maybeNullable(toAvroType(dt, "added"), nullable = true)
+    * branch for the default to validate). The generated record names are
+    * derived from the actual FIELD PATH (`added_<path>`), not a fixed
+    * "added" — two missing struct-typed columns in one file would
+    * otherwise produce two structurally different records both named
+    * graft.r_added in the same reader schema, making it
+    * non-round-trippable (Schema.toString/parse rejects duplicate full
+    * names) and confusing name-based resolution (r18 review). */
+  private[sources] def nullDefaulted(dt: DataType, path: String): Schema =
+    maybeNullable(toAvroType(dt, s"added_$path"), nullable = true)
 
   /** Catalyst -> Avro, recursively (round 18: complex types). Arrays map
     * to Avro arrays (element nullability via the standard union), maps
@@ -204,7 +210,8 @@ object AvroSource {
             require(f.nullable,
               s"non-nullable nested field '${f.name}' missing from file " +
                 s"schema $fs — cannot null-fill")
-            fields.add(new Schema.Field(f.name, nullDefaulted(f.dataType),
+            fields.add(new Schema.Field(f.name,
+              nullDefaulted(f.dataType, s"${fs.getName}_${f.name}"),
               null, Schema.Field.NULL_DEFAULT_VALUE))
           }
         }
@@ -556,7 +563,7 @@ class AvroReaderFactory(required: StructType)
               null, null))
           else
             fields.add(new Schema.Field(f.name,
-              AvroSource.nullDefaulted(f.dataType),
+              AvroSource.nullDefaulted(f.dataType, f.name),
               null, Schema.Field.NULL_DEFAULT_VALUE))
         }
         val proj = Schema.createRecord(

@@ -540,7 +540,21 @@ object GraftStore {
   private[sources] def shardThreshold: Int =
     org.apache.spark.sql.SparkSession.getActiveSession
       .flatMap(_.conf.getOption("spark.graft.manifest.shardThreshold"))
-      .map(_.toInt).getOrElse(DefaultShardThreshold)
+      .map { v =>
+        // validate BEFORE the commit path consumes it: a bare .toInt
+        // NumberFormatException or a grouped(<=0) IllegalArgumentException
+        // would otherwise abort a commit midway, after child files were
+        // already written (orphans until GC) — r18 review
+        val n =
+          try v.trim.toInt
+          catch { case _: NumberFormatException =>
+            throw new IllegalArgumentException(
+              "spark.graft.manifest.shardThreshold must be a positive " +
+                s"integer, got '$v'") }
+        require(n >= 1,
+          s"spark.graft.manifest.shardThreshold must be >= 1, got $n")
+        n
+      }.getOrElse(DefaultShardThreshold)
 
   /** One `!clist=` reference: child file name, how many entries it
     * holds, their live-row sum, per-column stats aggregated over them
@@ -553,7 +567,20 @@ object GraftStore {
     * `u` (catch-all of unprovable-cell files), `` (legacy ref written
     * before tags — disables the append fast path, never correctness). */
   private[graft] case class ChildRef(file: String, nfiles: Long, rows: Long,
-      stats: Map[String, ColStats], cell: String = "")
+      stats: Map[String, ColStats], cell: String = "",
+      // parse-time only, never serialized: columns whose stats the
+      // PARENT's `!stats=` version demoted (see [[StatsFormatVersion]]).
+      // Children carry no version header of their own — they inherit the
+      // parent's — so the demotion context must travel with the ref to
+      // every consumer that opens the child's entries (r18 review: the
+      // sharded layout must not silently bypass the demotion on the next
+      // version bump).
+      demoted: Set[String] = Set.empty)
+
+  /** Apply the parent-manifest stats demotion to a child's entries. */
+  private def demoteChild(c: ChildRef, es: Seq[FileEntry]): Seq[FileEntry] =
+    if (c.demoted.isEmpty) es
+    else es.map(e => e.copy(stats = e.stats -- c.demoted))
 
   private def cellTag(k: Option[String]): String = k.fold("u")("c:" + _)
 
@@ -637,6 +664,32 @@ object GraftStore {
     * appended entries, never the whole table. */
   private[graft] val shardFmtEntries = new java.util.concurrent.atomic.AtomicLong
 
+  /** Refresh a reused/carried child's mtime so the GC grace window
+    * treats it exactly like a freshly written file. `setLastModified`
+    * returns false on filesystems where it fails or is unsupported —
+    * silently ignoring that would degrade the committed-snapshot-vs-GC
+    * race protection (r18 review), so on failure the file is REWRITTEN
+    * in place (identical bytes, tmp + ATOMIC_MOVE onto the same
+    * content-addressed name — benign by construction), which installs a
+    * fresh mtime reliably; if even that fails, fail loudly. */
+  private def refreshChildMtime(f: File): Unit = {
+    if (!f.setLastModified(System.currentTimeMillis())) {
+      try {
+        val bytes = Files.readAllBytes(f.toPath)
+        val tmp = Paths.get(f.getParent,
+          s".mchild.tmp.${java.util.UUID.randomUUID()}")
+        Files.write(tmp, bytes)
+        Files.move(tmp, f.toPath, StandardCopyOption.ATOMIC_MOVE,
+          StandardCopyOption.REPLACE_EXISTING)
+      } catch { case e: java.io.IOException =>
+        throw new IllegalStateException(
+          s"cannot refresh GC-grace mtime of reused manifest child $f — " +
+            "a concurrent snapshot expiry could sweep it before the " +
+            "commit claims it", e)
+      }
+    }
+  }
+
   /** Write one cell-chunk as a content-addressed child (skip if the
     * name exists) and return its `!clist=` line. */
   private def writeChunk(path: String, schema: StructType,
@@ -660,7 +713,7 @@ object GraftStore {
       // (restore to an old version racing a concurrent expiry) could
       // see the sweep delete it between this existence check and the
       // manifest claim, bricking the committed snapshot (r18 review)
-      target.toFile.setLastModified(System.currentTimeMillis())
+      refreshChildMtime(target.toFile)
     }
     fmtChildRef(ChildRef(name, chunk.size.toLong,
       chunk.map(e => math.max(e.rows, 0L)).sum,
@@ -734,6 +787,11 @@ object GraftStore {
     val (_, baseInline, _, baseRefs) = base
     if (baseRefs.isEmpty || baseInline.nonEmpty) return full()
     if (baseRefs.exists(_.cell.isEmpty)) return full() // legacy refs
+    // a base written at an older `!stats=` version has demoted refs —
+    // carrying them verbatim into a parent that claims the CURRENT
+    // version would relabel untrustworthy stats as trustworthy; full()
+    // regroups from the already-demoted entries instead
+    if (baseRefs.exists(_.demoted.nonEmpty)) return full()
     val dir = new File(path)
     // prefix check against the flattened base — by reference first (the
     // append path concatenates the very Seq the child cache returned),
@@ -769,7 +827,7 @@ object GraftStore {
       if (adds.isEmpty) refs.foreach { r =>
         // same grace-refresh as writeChunk's reuse branch: a carried-
         // forward child must look recently-touched to the GC sweep
-        new File(dir, r.file).setLastModified(System.currentTimeMillis())
+        refreshChildMtime(new File(dir, r.file))
         out += fmtChildRef(r)
       }
       else {
@@ -777,7 +835,7 @@ object GraftStore {
           if (refs.last.nfiles == threshold) (refs.toSeq, Seq.empty[ChildRef])
           else (refs.init.toSeq, Seq(refs.last))
         fullRefs.foreach { r =>
-          new File(dir, r.file).setLastModified(System.currentTimeMillis())
+          refreshChildMtime(new File(dir, r.file))
           out += fmtChildRef(r)
         }
         val tailEntries = tail.flatMap(r => readChildEntries(dir, r.file))
@@ -924,10 +982,12 @@ object GraftStore {
   private[graft] def readManifestFull(
       f: File): Option[(StructType, Seq[FileEntry], Seq[EqDelete])] =
     readManifestStructured(f).map { case (s, es, eqs, children) =>
-      // flatten children in listed (= first-appearance grouping) order;
-      // child entries never need the stats-version demotion below: a
-      // sharded manifest is always written at the current version
-      (s, es ++ children.flatMap(c => readChildEntries(f.getParentFile, c.file)),
+      // flatten children in listed (= first-appearance grouping) order,
+      // applying the parent's stats-version demotion to each child's
+      // entries (the ref's `demoted` set — children inherit the parent's
+      // `!stats=` version)
+      (s, es ++ children.flatMap(c =>
+        demoteChild(c, readChildEntries(f.getParentFile, c.file))),
         eqs)
     }
 
@@ -942,17 +1002,27 @@ object GraftStore {
     val eqDels = lines.tail.filter(_.startsWith("!eqdel=")).map(parseEqDelete)
     val children = lines.tail.filter(_.startsWith("!clist=")).map(parseChildRef)
     val entries = lines.tail.filterNot(_.startsWith("!")).map(parseEntry)
+    val doubleCols =
+      if (statsV >= StatsFormatVersion) Set.empty[String]
+      else schema.fields
+        .filter(_.dataType == org.apache.spark.sql.types.DoubleType)
+        .map(_.name).toSet
+    // pre-NaN-fix double stats are untrustworthy (see above). The SAME
+    // demotion applies to child refs: a child has no `!stats=` header of
+    // its own — its stats (both the ref's aggregated fold and the
+    // entries inside) were written by the same-era writer as the parent
+    // that listed it, so the parent's version governs them. The ref's
+    // `demoted` set carries the context to the flatten / pruned-scan
+    // consumers, and the append fast path refuses to carry demoted refs
+    // verbatim into a new current-version parent.
     val safe =
-      if (statsV >= StatsFormatVersion) entries
-      else {
-        // pre-NaN-fix double stats are untrustworthy (see above)
-        val doubleCols = schema.fields
-          .filter(_.dataType == org.apache.spark.sql.types.DoubleType)
-          .map(_.name).toSet
-        if (doubleCols.isEmpty) entries
-        else entries.map(e => e.copy(stats = e.stats -- doubleCols))
-      }
-    Some((schema, safe, eqDels, children))
+      if (doubleCols.isEmpty) entries
+      else entries.map(e => e.copy(stats = e.stats -- doubleCols))
+    val safeChildren =
+      if (doubleCols.isEmpty) children
+      else children.map(c => c.copy(stats = c.stats -- doubleCols,
+        demoted = doubleCols))
+    Some((schema, safe, eqDels, safeChildren))
   }
 
   /** Snapshot id the current pointer carries (0 = pre-versioning table
@@ -2137,7 +2207,8 @@ object GraftStore {
       StatsPruning.evalAll(pushed, FileEntry(c.file, c.rows, c.stats),
         schema) != StatsPruning.NoRows)
     (schema,
-      inline ++ kept.flatMap(c => readChildEntries(f.getParentFile, c.file)),
+      inline ++ kept.flatMap(c =>
+        demoteChild(c, readChildEntries(f.getParentFile, c.file))),
       eqDels)
   }
 

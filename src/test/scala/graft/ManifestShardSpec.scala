@@ -116,6 +116,57 @@ class ManifestShardSpec extends SparkSuite {
       "a disproved-everywhere filter must open zero children")
   }
 
+  test("!stats version gate reaches children: a pre-v2 parent demotes ref and flattened double stats") {
+    import java.nio.file.{Files, Paths}
+    import java.nio.charset.StandardCharsets
+    val (s2, path) = partitionedTable(freshRoot())
+    assert(structured(path)._4.forall(_.stats.contains("v")),
+      "sanity: current-version refs carry the double column's stats")
+    // simulate a parent written by the pre-NaN-fix (v1) writer: strip
+    // the !stats and !uid headers (same staging as GraftStoreNaNSpec —
+    // children carry NO version header of their own, so the parent's
+    // version must govern them; r18 review found the sharded layout
+    // bypassed the demotion entirely)
+    for (f <- new File(path).listFiles() if f.getName.startsWith("_manifest")) {
+      val lines = new String(Files.readAllBytes(f.toPath), StandardCharsets.UTF_8)
+        .split('\n').filterNot(l => l.startsWith("!stats=") || l.startsWith("!uid="))
+      Files.write(Paths.get(f.getPath),
+        lines.mkString("\n").getBytes(StandardCharsets.UTF_8))
+    }
+    val refs = structured(path)._4
+    assert(refs.forall(!_.stats.contains("v")),
+      "pre-v2 child refs must have double-column stats demoted at parse")
+    assert(refs.forall(_.stats.contains("k")),
+      "integer stats are NaN-free and survive the child demotion")
+    val flat = GraftStore.readManifest(path).get._2
+    assert(flat.forall(!_.stats.contains("v")),
+      "flattened child entries must be demoted too")
+    assert(flat.forall(_.stats.contains("id")))
+    // a filter the STALE double stats would have disproven must open
+    // every child (Unknown = read, never wrongly skipped) and answer
+    // from data
+    GraftStore.childReads.set(0L)
+    val scan = new graft.sources.GraftStoreScan(path,
+      Array(org.apache.spark.sql.sources.GreaterThan("v", 1e9)))
+    assert(scan.planInputPartitions().length == 4,
+      "demoted stats must not prune (they are unknown, not disproven)")
+    assert(GraftStore.childReads.get() == 4L)
+    assert(s2.sql("SELECT count(*) FROM gms.t WHERE v >= 0").head.getLong(0) == 400)
+    // a NEW commit on the demoted table claims the CURRENT version, so
+    // the append fast path must refuse to carry demoted refs verbatim:
+    // old entries stay double-stats-free, the new entry keeps its stats
+    s2.sql("INSERT INTO gms.t SELECT CAST(2 AS INT), id, id * 0.5 " +
+      "FROM range(1000, 1010)")
+    val flat2 = GraftStore.readManifest(path).get._2
+    val (oldE, newE) = flat2.partition(_.rows == 100)
+    assert(oldE.size == 4 && newE.size == 1)
+    assert(oldE.forall(!_.stats.contains("v")),
+      "carried-forward pre-v2 entries must stay double-stats-free in a " +
+        "current-version sharded manifest")
+    assert(newE.forall(_.stats.get("v").exists(_.min.nonEmpty)),
+      "entries written by the current writer keep their double stats")
+  }
+
   test("append reuses unchanged cells' children by content address") {
     val (s2, path) = partitionedTable(freshRoot())
     val before = structured(path)._4.map(_.file).toSet
