@@ -504,11 +504,17 @@ object LlmOpsExt {
     * and a PQ codebook only needs a decent quantizer, not a converged
     * clustering (measured 11.5s -> ~3s for the whole query). */
   private def pqCodebooks(s: SparkSession, dir: String,
+      m: Int, sub: Int, k: Int): Seq[Seq[Seq[Double]]] =
+    pqCodebooksOf(emb(s, dir), m, sub, k)
+
+  /** PQ codebooks fit on an explicit training set — the incremental
+    * index freezes a model trained on the PRE-GROWTH corpus, so the
+    * training frame must be selectable, not hardwired to the table. */
+  private def pqCodebooksOf(e: org.apache.spark.sql.DataFrame,
       m: Int, sub: Int, k: Int): Seq[Seq[Seq[Double]]] = {
-    import s.implicits._
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
-    val train = emb(s, dir).orderBy($"vec_id").limit(100000)
+    val train = e.orderBy(col("vec_id")).limit(100000)
       .coalesce(1).transform(cached)
     train.count() // materialize ONCE before the concurrent fits share it
     val pool = java.util.concurrent.Executors.newFixedThreadPool(m)
@@ -518,7 +524,7 @@ object LlmOpsExt {
       val fits = (0 until m).map { j =>
         scala.concurrent.Future {
           val sl = train.select(
-            array_to_vector(slice($"emb", j * sub + 1, sub)).as("features"))
+            array_to_vector(slice(col("emb"), j * sub + 1, sub)).as("features"))
           new KMeans().setK(k).setSeed(11L + j).setMaxIter(4)
             .setInitMode("random")
             .setFeaturesCol("features").fit(sl)
@@ -544,12 +550,7 @@ object LlmOpsExt {
     // the min — the min is compared against itself, so double equality
     // is exact.
     val coded = e.select($"vec_id",
-      transform(sequence(lit(0), lit(m - 1)), j => {
-        val sl = slice($"emb", j * lit(sub) + 1, lit(sub))
-        val dists = transform(element_at(cb, j + 1),
-          c => lit(-2.0) * dot(sl, c) + dot(c, c))
-        array_position(dists, array_min(dists)).cast("int")
-      }).as("codes")) // codes are 1-based positions into cb[j]
+      pqEncodeExpr($"emb", cb, m, sub).as("codes")) // 1-based positions into cb[j]
     // ADC: per probe, LUT[j][c] = dot(probe_slice_j, cb[j][c])
     val probesLut = e.orderBy($"vec_id").limit(10)
       .select($"vec_id".as("probe_id"), $"emb".as("pemb"))
@@ -569,6 +570,22 @@ object LlmOpsExt {
       .filter($"rn" <= 5)
       .orderBy($"probe_id", $"rn")
   }
+
+  /** PQ encode expression: m int codes (1-based positions into cb[j])
+    * for `embCol` under the frozen codebook literal `cbl` — code_j =
+    * argmin_c ||slice_j − cb[j][c]||², computed as argmin_c (−2·a·c +
+    * |c|²) (the |a|² term is per-row constant, so the argmin is
+    * identical, and the dot products ride the codegen'd DotProduct
+    * expression). Shared by q_sim_pq, q_sim_ivfpq, and the incremental
+    * index's frozen-codebook append encode. */
+  private def pqEncodeExpr(embCol: Column, cbl: Column,
+      m: Int, sub: Int): Column =
+    transform(sequence(lit(0), lit(m - 1)), j => {
+      val sl = slice(embCol, j * lit(sub) + 1, lit(sub))
+      val dists = transform(element_at(cbl, j + 1),
+        c => lit(-2.0) * dot(sl, c) + dot(c, c))
+      array_position(dists, array_min(dists)).cast("int")
+    })
 
   /** (codes table, centroid table, codebooks) staged this JVM. */
   private val ivfpqIndex = new java.util.concurrent.ConcurrentHashMap[
@@ -591,7 +608,7 @@ object LlmOpsExt {
     * every returned score equals the brute-force scan's exact cosine. */
   val qSimIvfPq: Q = (s, dir) => {
     import s.implicits._
-    val m = 4; val sub = 16; val k = 16; val cand = 32
+    val m = 4; val sub = 16; val k = 16
     val (codesPath, centPath, codebooks) = ivfpqIndex.computeIfAbsent(
       s"${Util.sessionKey(s)}:$dir", _ => {
         val root = Util.managedTempDir("graft_ivfpq_codes_")
@@ -604,12 +621,7 @@ object LlmOpsExt {
         s2.conf.set("spark.sql.catalog.gipq", "graft.sources.GraftCatalog")
         s2.conf.set("spark.sql.catalog.gipq.root", root)
         emb(s2, dir).select($"vec_id", $"label",
-          transform(sequence(lit(0), lit(m - 1)), j => {
-            val sl = slice($"emb", j * lit(sub) + 1, lit(sub))
-            val dists = transform(element_at(cbl, j + 1),
-              c => lit(-2.0) * dot(sl, c) + dot(c, c))
-            array_position(dists, array_min(dists)).cast("int")
-          }).as("codes"))
+          pqEncodeExpr($"emb", cbl, m, sub).as("codes"))
           .createOrReplaceTempView("ivfpq_codes_src")
         s2.sql(
           """CREATE TABLE gipq.c PARTITIONED BY (label) AS
@@ -626,6 +638,24 @@ object LlmOpsExt {
           .mode("overwrite").save()
         (s"$root/c", cd, cbs)
       })
+    ivfPqProbe(s, dir, codesPath, centPath, codebooks)
+  }
+
+  /** The two-phase IVF+PQ probe over a staged (codes, centroids,
+    * codebooks) index — shared by the from-scratch index, the
+    * incrementally-grown index, and the spec's probe-equivalence proof:
+    * (1) coarse-rank cells against the broadcast centroid table
+    * (nprobe=2); (2) the surviving cell ids re-enter as a LITERAL IN
+    * predicate, which the manifest's min==max-per-file stats prune at
+    * planning time — only the probed cells' CODE files are read; (3)
+    * ADC-score those cells' codes, keep the top-`cand`, and exactly
+    * RE-RANK the shortlist against fetched float vectors (float I/O ∝
+    * the re-rank budget only). */
+  private[graft] def ivfPqProbe(s: SparkSession, dir: String,
+      codesPath: String, centPath: String,
+      codebooks: Seq[Seq[Seq[Double]]]): DataFrame = {
+    import s.implicits._
+    val m = 4; val sub = 16; val cand = 32
     val cb = typedlit(codebooks)
     val cent = s.read.format("graft.sources.GraftStore")
       .option("path", centPath).load()
@@ -647,10 +677,6 @@ object LlmOpsExt {
         transform(element_at(cb, j + 1),
           c => dot(slice($"pemb", j * lit(sub) + 1, lit(sub)), c)))
         .as("lut"))
-    // two-phase probe (the stored-IVF control plane): the surviving
-    // cell ids re-enter as a LITERAL IN predicate, which the manifest's
-    // min==max-per-file stats prune at planning time — only the probed
-    // cells' CODE files are read
     val liveCells = cells.select($"label").distinct().collect().map(_.getInt(0))
     val wc = Window.partitionBy($"probe_id").orderBy($"adc".desc, $"neighbor_id")
     val shortlist = coded.filter($"label".isin(liveCells.toSeq: _*))
@@ -673,6 +699,118 @@ object LlmOpsExt {
       .withColumn("rn", row_number().over(wv).cast("long"))
       .filter($"rn" <= 5)
       .orderBy($"probe_id", $"rn")
+  }
+
+  /** Incremental-index staging cache: (codes table, centroid table,
+    * codebooks) per (session, corpus). */
+  private val ivfpqIncrIndex = new java.util.concurrent.ConcurrentHashMap[
+    String, (String, String, Seq[Seq[Seq[Double]]])]
+
+  /** The growth split: vec_id % 5 == 0 (20% of the corpus) arrives
+    * AFTER the index was built — held out of training and of the
+    * initial encode. */
+  private[graft] val IvfPqIncrMod = 5
+
+  /** INCREMENTAL ANN index maintenance (round 19, verdict item 1): a
+    * 100 TB embedding corpus grows daily, and a full re-train +
+    * re-encode per growth step is the plan you cannot run. Staging:
+    *
+    *  1. the index (PQ codebooks, per-label centroids, cell-partitioned
+    *     GraftStore codes table) is built from the BASE corpus only
+    *     (vec_id % 5 != 0) — the model is then FROZEN;
+    *  2. the growth batch (vec_id % 5 == 0) is encoded with the frozen
+    *     codebooks, assigned to a cell by NEAREST FROZEN CENTROID (new
+    *     data's labels are unknown at ingest — this is the IVF
+    *     assignment rule), and APPENDED into the existing cell
+    *     partitions as one commit — the r18 append fast path makes the
+    *     metadata cost ∝ the appended entries, and no codebook,
+    *     centroid, or existing code row is touched.
+    *
+    * The probe path is [[ivfPqProbe]] verbatim, so old ∪ new flow
+    * through one plan. CurationSpec pins (a) recall@5 over the GROWN
+    * corpus ≥ the PQ floor, (b) the appended table's contents equal a
+    * from-scratch re-encode under the same frozen model, row for row,
+    * and (c) the probe output over both layouts is identical. */
+  private[graft] def ivfPqIncrStaged(s: SparkSession, dir: String)
+      : (String, String, Seq[Seq[Seq[Double]]]) =
+    ivfpqIncrIndex.computeIfAbsent(s"${Util.sessionKey(s)}:$dir", _ => {
+      import s.implicits._
+      val m = 4; val sub = 16; val k = 16
+      val root = Util.managedTempDir("graft_ivfpqi_root_")
+      val cd = Util.managedTempDir("graft_ivfpqi_cent_")
+      val base = emb(s, dir).filter($"vec_id" % IvfPqIncrMod =!= 0)
+      // frozen model: codebooks AND per-label centroids fit on BASE only
+      val cbs = pqCodebooksOf(base, m, sub, k)
+      base.select($"label", posexplode($"emb").as(Seq("pos", "v")))
+        .groupBy($"label", $"pos")
+        .agg((sum($"v".cast("decimal(18,8)")).cast("double") / count(lit(1))).as("c"))
+        .groupBy($"label")
+        .agg(transform(array_sort(collect_list(struct($"pos", $"c"))),
+          x => x.getField("c")).as("cent"))
+        .repartition(1)
+        .write.format("graft.sources.GraftStore").option("path", cd)
+        .mode("overwrite").save()
+      val cbl = typedlit(cbs)
+      val s2 = s.newSession()
+      s2.conf.set("spark.sql.catalog.gipqi", "graft.sources.GraftCatalog")
+      s2.conf.set("spark.sql.catalog.gipqi.root", root)
+      emb(s2, dir).filter($"vec_id" % IvfPqIncrMod =!= 0)
+        .select($"vec_id", $"label", pqEncodeExpr($"emb", cbl, m, sub).as("codes"))
+        .createOrReplaceTempView("ivfpqi_codes_src")
+      s2.sql(
+        """CREATE TABLE gipqi.c PARTITIONED BY (label) AS
+          |SELECT vec_id, label, codes FROM ivfpqi_codes_src""".stripMargin)
+      // GROWTH: frozen-model encode + nearest-centroid cell assignment,
+      // appended into the existing cells — one commit, zero re-training
+      ivfPqEncodeBatch(s2, dir, cd, cbs,
+        emb(s2, dir).filter($"vec_id" % IvfPqIncrMod === 0))
+        .createOrReplaceTempView("ivfpqi_incr_src")
+      s2.sql("INSERT INTO gipqi.c SELECT vec_id, label, codes FROM ivfpqi_incr_src")
+      (s"$root/c", cd, cbs)
+    })
+
+  /** Frozen-model encode of a new batch: PQ codes from the frozen
+    * codebooks, cell (`label` column) from the nearest frozen centroid
+    * (ties broken by cell id — deterministic). */
+  private def ivfPqEncodeBatch(s: SparkSession, dir: String,
+      centPath: String, codebooks: Seq[Seq[Seq[Double]]],
+      batch: DataFrame): DataFrame = {
+    import s.implicits._
+    val m = 4; val sub = 16
+    val cbl = typedlit(codebooks)
+    val cent = s.read.format("graft.sources.GraftStore")
+      .option("path", centPath).load()
+      .select($"label".as("clabel"), $"cent")
+    val wA = Window.partitionBy($"vec_id").orderBy($"cdot".desc, $"clabel")
+    batch.crossJoin(broadcast(cent))
+      .select($"vec_id", $"clabel", $"emb", dot($"emb", $"cent").as("cdot"))
+      .withColumn("arn", row_number().over(wA))
+      .filter($"arn" === 1)
+      .select($"vec_id", $"clabel".as("label"),
+        pqEncodeExpr($"emb", cbl, m, sub).as("codes"))
+  }
+
+  /** The grown index's logical content, recomputed DIRECTLY from the
+    * frozen staged model (no codes-table read): base rows encoded under
+    * their labels ∪ the growth batch encoded/assigned by the frozen
+    * model — what a from-scratch single write of the same corpus under
+    * the same model would contain. The spec compares the appended
+    * table's read-back against this, row for row. */
+  private[graft] def ivfPqIncrLogical(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val (_, centPath, cbs) = ivfPqIncrStaged(s, dir)
+    val m = 4; val sub = 16
+    val cbl = typedlit(cbs)
+    val base = emb(s, dir).filter($"vec_id" % IvfPqIncrMod =!= 0)
+      .select($"vec_id", $"label", pqEncodeExpr($"emb", cbl, m, sub).as("codes"))
+    base.unionAll(ivfPqEncodeBatch(s, dir, centPath, cbs,
+      emb(s, dir).filter($"vec_id" % IvfPqIncrMod === 0)))
+  }
+
+  /** Probe the incrementally-grown index (the registry query). */
+  val qSimIvfPqIncr: Q = (s, dir) => {
+    val (codesPath, centPath, cbs) = ivfPqIncrStaged(s, dir)
+    ivfPqProbe(s, dir, codesPath, centPath, cbs)
   }
 
   // --------------------------------------------------------- text analysis
@@ -998,6 +1136,7 @@ object LlmOpsExt {
     "q_sim_quantized" -> qSimQuantized,
     "q_sim_pq" -> qSimPq,
     "q_sim_ivfpq" -> qSimIvfPq,
+    "q_sim_ivfpq_incr" -> qSimIvfPqIncr,
     "q_text_langid" -> qTextLangid,
     "q_text_quality" -> qTextQuality,
     "q_text_tokens" -> qTextTokens,

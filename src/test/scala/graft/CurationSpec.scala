@@ -190,6 +190,56 @@ class CurationSpec extends SparkSuite {
     }
   }
 
+  test("q_sim_ivfpq_incr (incremental growth): frozen-model append equals " +
+    "from-scratch re-encode; recall@5 holds over old ∪ new") {
+    import spark.implicits._
+    val rows = SparkEntry.queries("q_sim_ivfpq_incr")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    assert(rows.length == 50, s"expected 10 probes x top-5, got ${rows.length}")
+    rows.groupBy(_._1).foreach { case (p, g) =>
+      assert(g.map(_._4).sorted.sameElements(1L to 5L), s"probe $p ranks broken")
+    }
+    // recall@5 over the GROWN corpus (old ∪ new = the full table) vs the
+    // exact scan — same PQ floor as q_sim_ivfpq; the frozen model was
+    // trained on 80% of the data, so a collapse here means the append
+    // path lost or mis-assigned vectors
+    val exact = SparkEntry.queries("q_sim_topk")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & rows.map(r => (r._1, r._2)).toSet).size.toDouble / exact.size
+    assert(recall >= 0.08, s"incremental IVF+PQ recall@5 $recall < 0.08")
+    // the appended table's CONTENT equals a from-scratch re-encode under
+    // the same frozen model, row for row (codes and cell assignment)
+    val (codesPath, centPath, cbs) = graft.ops.LlmOpsExt.ivfPqIncrStaged(spark, sfDir)
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.select($"vec_id", $"label", $"codes").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getSeq[Int](2).toList))
+        .sortBy(_._1).toSeq
+    val stored = key(spark.read.format("graft.sources.GraftStore")
+      .option("path", codesPath).load())
+    val logical = key(graft.ops.LlmOpsExt.ivfPqIncrLogical(spark, sfDir))
+    assert(stored == logical,
+      "appended codes table must equal the from-scratch re-encode")
+    // the growth batch is actually IN the index (old ∪ new visibility)
+    val mod = graft.ops.LlmOpsExt.IvfPqIncrMod
+    assert(stored.exists(_._1 % mod == 0) && stored.exists(_._1 % mod != 0),
+      "grown index must hold both base and appended vectors")
+    // probe-path equivalence end to end: a SINGLE fresh write of the
+    // same logical rows, probed by the same plan, returns identical rows
+    val root = graft.ops.Util.managedTempDir("graft_ivfpqi_fs_")
+    spark.conf.set("spark.sql.catalog.gipqfs", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.gipqfs.root", root)
+    graft.ops.LlmOpsExt.ivfPqIncrLogical(spark, sfDir)
+      .createOrReplaceTempView("ivfpqi_fs_src")
+    spark.sql(
+      """CREATE TABLE gipqfs.c PARTITIONED BY (label) AS
+        |SELECT vec_id, label, codes FROM ivfpqi_fs_src""".stripMargin)
+    val fromScratch = graft.ops.LlmOpsExt
+      .ivfPqProbe(spark, sfDir, s"$root/c", centPath, cbs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    assert(fromScratch.toSeq == rows.toSeq,
+      "probe over the appended index must equal probe over a from-scratch write")
+  }
+
   test("q_sim_sparse: blocked pairs are a sound, high-recall subset of all-pairs") {
     import spark.implicits._
     val blocked = SparkEntry.queries("q_sim_sparse")(spark, sfDir).collect()

@@ -55,7 +55,7 @@ class QueriesSpec extends SparkSuite {
     val exempt = Set("q_agg_hll", "q_agg_approxq", "q_agg_hllsketch",
       "q_agg_kll", "q_agg_theta", "q_agg_topk", "q_agg_countmin",
       "q_dedup_embed_lsh", "q_cluster_kmeans", "q_sim_pq", "q_sim_ivfpq",
-      "q_curate_classifier", "q_dedup_semantic")
+      "q_sim_ivfpq_incr", "q_curate_classifier", "q_dedup_semantic")
     val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(missing == exempt, s"unexpected oracle gaps: $missing")
     val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
