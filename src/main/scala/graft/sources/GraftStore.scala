@@ -1234,10 +1234,18 @@ object GraftStore {
       readTsOf(new File(path, s"$ManifestName.v${v - 1}")) + 1L)
     // past the shard threshold the entry block becomes a manifest list
     // (see the sharding section above); children land before the claim
-    // below, so they are invisible until this commit wins
+    // below, so they are invisible until this commit wins. A base that
+    // is ALREADY sharded keeps the list layout regardless of the
+    // committing context's threshold (r19: a metadata-only evolve —
+    // rename/widen — issued outside a threshold-forcing session was
+    // collapsing a sharded table back into an inline million-entry
+    // parent: answers right, metadata wall back); the layout follows
+    // the TABLE, the session conf only tunes chunk size and first entry.
     val threshold = shardThreshold
+    val baseSharded = v > 1 && readManifestStructured(
+      new File(path, s"$ManifestName.v${v - 1}")).exists(_._4.nonEmpty)
     val entryLines =
-      if (files.size > threshold)
+      if (files.size > threshold || (baseSharded && files.nonEmpty))
         shardEntriesIncremental(path, schema, files, threshold, v)
       else files.map(fmtEntry)
     val lines = schema.toDDL +: (s"!version=$v" +:

@@ -399,6 +399,76 @@ class ManifestShardSpec extends SparkSuite {
     }
   }
 
+  test("schema evolution on a sharded table: rename + widen remap child stats; pruning fires on the new name, never wrongly") {
+    // r18 verdict item 3: the children here are written PRE-evolution;
+    // a wrong prune through stale child-level stat keys would be silent
+    // wrong answers — the worst failure class — so every prune below is
+    // paired with a recomputed-answer check
+    val root = freshRoot()
+    val s2 = sess(root, threshold = 1)
+    import s2.implicits._
+    // 4 identity cells with DISJOINT id ranges per cell, so child-level
+    // min/max on the (about to be renamed) id column genuinely prune
+    s2.range(0, 400, 1, 4)
+      .select(($"id" / 100).cast("int").as("k"), $"id",
+        ($"id" % 10).cast("int").as("w"), ($"id" * 0.5).as("v"))
+      .repartition(4, $"k")
+      .createOrReplaceTempView("mshard_ev_src")
+    s2.sql(
+      """CREATE TABLE gms.ev PARTITIONED BY (k) AS
+        |SELECT k, id, w, v FROM mshard_ev_src""".stripMargin)
+    val path = s"$root/ev"
+    val v1 = GraftStore.readVersion(path)
+    val pre = structured(path)._4
+    assert(pre.nonEmpty, "CTAS at threshold 1 must shard")
+    assert(pre.forall(_.stats.contains("id")))
+    // RENAME id -> row_id, then WIDEN w int -> long: both metadata-only
+    // commits over a table whose children predate them
+    GraftStore.renameColumn(path, "id", "row_id")
+    GraftStore.widenColumn(path, "w")
+    val (_, inline, _, children) = structured(path)
+    assert(inline.isEmpty && children.size == 4,
+      "the evolve commits must keep the table sharded")
+    assert(children.forall(c =>
+      c.stats.contains("row_id") && !c.stats.contains("id")),
+      s"child-level stats must follow the rename: " +
+        children.map(_.stats.keySet).mkString(", "))
+    assert(GraftStore.readManifest(path).get._2.forall(e =>
+      e.stats.contains("row_id") && !e.stats.contains("id")),
+      "flattened child entries must follow the rename")
+    // pruning on the RENAMED column through child stats: row_id < 150
+    // must open exactly the 2 children whose ranges intersect, and the
+    // answer must equal the recomputation
+    import org.apache.spark.sql.sources.{GreaterThanOrEqual, LessThan}
+    GraftStore.childReads.set(0L)
+    val pruned = new graft.sources.GraftStoreScan(path,
+      Array(LessThan("row_id", 150L)))
+    assert(pruned.planInputPartitions().length == 2,
+      "renamed child stats must keep pruning (2 of 4 cells intersect)")
+    assert(GraftStore.childReads.get() == 2L,
+      s"opened ${GraftStore.childReads.get()} children, expected 2")
+    assert(s2.sql("SELECT count(*), sum(row_id) FROM gms.ev WHERE row_id < 150")
+      .head.toSeq == Seq(150L, (0L until 150L).sum))
+    // the top cell: 1 child opened, answer exact (a WRONG prune would
+    // show up here as a wrong count, not a crash)
+    GraftStore.childReads.set(0L)
+    val top = new graft.sources.GraftStoreScan(path,
+      Array(GreaterThanOrEqual("row_id", 350L)))
+    assert(top.planInputPartitions().length == 1 &&
+      GraftStore.childReads.get() == 1L)
+    assert(s2.sql("SELECT count(*) FROM gms.ev WHERE row_id >= 350")
+      .head.getLong(0) == 50L)
+    // the widened column reads as long over pre-widen children
+    assert(s2.sql("SELECT sum(w) FROM gms.ev").head.getLong(0) ==
+      (0L until 400L).map(_ % 10).sum)
+    // time travel to the pre-evolution snapshot reads OLD names through
+    // the OLD children
+    val v1df = spark.read.format("graft.sources.GraftStore")
+      .option("path", path).option("versionAsOf", v1.toString).load()
+    assert(v1df.schema.fieldNames.toSeq == Seq("k", "id", "w", "v"))
+    assert(v1df.filter(col("id") < 150).count() == 150)
+  }
+
   test("change feed over a history that CROSSES the shard threshold equals the unsharded replay") {
     // the 100 TB layout is sharded manifests; the flagship streaming
     // consumer is the CDF — their composition was unproven (r18 verdict
