@@ -489,6 +489,28 @@ private[sources] object GraftProcedures {
     }
   }
 
+  /** `CALL cat.system.rewrite_manifests('t')` — metadata-only manifest
+    * regroup (Iceberg's rewrite_manifests): re-chunk the current
+    * snapshot's entries into the canonical sharded layout at the
+    * session's shard threshold, touching no data files. The scheduled
+    * repair after a threshold retune or partition-spec evolution. */
+  private final class RewriteManifests(root: String)
+    extends GraftProcedure(root, "rewrite_manifests") {
+    override def description(): String =
+      "regroup manifest children to the current shard threshold (metadata-only)"
+    override def parameters(): Array[ProcedureParameter] =
+      Array(P("table", StringType, "table name under the catalog root"))
+    override def out: StructType = new StructType()
+      .add("version", LongType, nullable = false)
+      .add("children_before", LongType, nullable = false)
+      .add("children_after", LongType, nullable = false)
+    override def run(spark: SparkSession, input: InternalRow): Array[Any] = {
+      val (v, before, after) =
+        GraftStore.rewriteManifests(tablePath(input))
+      Array(v, before, after)
+    }
+  }
+
   private def all(root: String): Seq[GraftProcedure] = Seq(
     new PurgeDeletes(root), new Restore(root),
     new RestoreToTimestamp(root), new Compact(root),
@@ -497,7 +519,8 @@ private[sources] object GraftProcedures {
     new ExpireSnapshots(root), new ExpireSnapshotsOlderThan(root),
     new BranchCreate(root),
     new FastForward(root), new BranchDrop(root), new BranchRetain(root),
-    new ExpireBranches(root), new BranchExpireSnapshots(root))
+    new ExpireBranches(root), new BranchExpireSnapshots(root),
+    new RewriteManifests(root))
 
   def names: Seq[String] = Seq("purge_deletes", "restore",
     "restore_to_timestamp", "compact", "compact_where",
@@ -505,7 +528,8 @@ private[sources] object GraftProcedures {
     "compact_sorted", "zorder",
     "expire_snapshots", "expire_snapshots_older_than", "branch_create",
     "fast_forward", "branch_drop",
-    "branch_retain", "expire_branches", "branch_expire_snapshots")
+    "branch_retain", "expire_branches", "branch_expire_snapshots",
+    "rewrite_manifests")
 
   /** Resolve by name from any namespace (the `system` namespace by
     * convention, not enforcement — matching the catalog's function

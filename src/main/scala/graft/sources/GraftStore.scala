@@ -1162,7 +1162,8 @@ object GraftStore {
       files: Seq[FileEntry],
       epoch: Option[Long] = None, op: String = "",
       newTxn: Option[(String, Long)] = None,
-      eqDels: Option[Seq[EqDelete]] = None): Long = {
+      eqDels: Option[Seq[EqDelete]] = None,
+      regroup: Boolean = false): Long = {
     val v = baseVersion + 1
     // txn watermarks carry FORWARD through every commit (vacuum may drop
     // the snapshot that first recorded one): merge the base's map with
@@ -1196,7 +1197,8 @@ object GraftStore {
           if (e.addedv == 0L && !baseNames.contains(e.file)) e.copy(addedv = v)
           else e)
       }
-    writeManifestAtomicAt(path, v, schema, stamped, epoch, op, txns, eqs)
+    writeManifestAtomicAt(path, v, schema, stamped, epoch, op, txns, eqs,
+      regroup)
     v
   }
 
@@ -1219,7 +1221,8 @@ object GraftStore {
       path: String, v: Long, schema: StructType, files: Seq[FileEntry],
       epoch: Option[Long] = None, op: String = "",
       txns: Map[String, Long] = Map.empty,
-      eqDels: Seq[EqDelete] = Seq.empty): Unit = {
+      eqDels: Seq[EqDelete] = Seq.empty,
+      regroup: Boolean = false): Unit = {
     val tmp = Paths.get(path, s".manifest.tmp.${java.util.UUID.randomUUID()}")
     // !uid = this manifest WRITE's unique identity — the only sound cache
     // key: version numbers restart when a table is dropped and recreated
@@ -1245,7 +1248,16 @@ object GraftStore {
     val baseSharded = v > 1 && readManifestStructured(
       new File(path, s"$ManifestName.v${v - 1}")).exists(_._4.nonEmpty)
     val entryLines =
-      if (files.size > threshold || (baseSharded && files.nonEmpty))
+      if (regroup)
+        // rewrite_manifests: force the canonical layout at the CURRENT
+        // threshold — full regroup (never the carry-forward fast path,
+        // whose whole point is to preserve the existing children), and
+        // the explicit override of the layout-follows-the-table rule: a
+        // table whose entry count shrank back under the threshold
+        // collapses to inline here and only here
+        if (files.size > threshold) shardEntries(path, schema, files, threshold)
+        else files.map(fmtEntry)
+      else if (files.size > threshold || (baseSharded && files.nonEmpty))
         shardEntriesIncremental(path, schema, files, threshold, v)
       else files.map(fmtEntry)
     val lines = schema.toDDL +: (s"!version=$v" +:
@@ -1637,6 +1649,34 @@ object GraftStore {
     // to before a delete revives the rows; to after keeps them hidden)
     writeManifestAtomic(path, base, schema, entries,
       op = s"restore(v$version)", eqDels = Some(eqDels))
+  }
+
+  /** METADATA-ONLY MANIFEST REWRITE (`CALL cat.system.rewrite_manifests`,
+    * round 19) — the Iceberg-standard repair for manifest fragmentation:
+    * regroup the current snapshot's entries into the canonical sharded
+    * layout at the CURRENT shard threshold, as one new commit listing
+    * the same data files (zero data I/O — only child manifests are read
+    * and written, and content addressing skips every chunk that comes
+    * out byte-identical). This is what re-canonicalizes a table after a
+    * threshold retune (ingest wrote at a small chunk size, platform
+    * raised it) or a partition-spec evolution (carried refs keep their
+    * old-spec cell tags until a rewrite regroups under the new spec),
+    * and the one explicit way to collapse a sharded table back to an
+    * inline manifest once its entry count shrinks under the threshold.
+    * Answers and history are untouched; time travel to pre-rewrite
+    * snapshots reads the old children (content-addressed, still
+    * referenced, GC-protected). Returns (new version, children before,
+    * children after). */
+  private[graft] def rewriteManifests(path: String): (Long, Long, Long) = {
+    val (baseV, latest) = readLatestVersioned(path)
+    val (schema, entries) = latest.getOrElse(throw new IllegalArgumentException(
+      s"no graft-store table at $path"))
+    def childCount(v: Long): Long = readManifestStructured(
+      new File(path, s"$ManifestName.v$v")).map(_._4.size.toLong).getOrElse(0L)
+    val before = childCount(baseV)
+    val v = writeManifestAtomic(path, baseV, schema, entries,
+      epoch = readEpoch(path), op = "rewrite_manifests", regroup = true)
+    (v, before, childCount(v))
   }
 
   /** Zero-copy SHALLOW CLONE: a new table at `dst` whose v1 manifest

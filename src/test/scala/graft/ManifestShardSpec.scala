@@ -469,6 +469,86 @@ class ManifestShardSpec extends SparkSuite {
     assert(v1df.filter(col("id") < 150).count() == 150)
   }
 
+  test("CALL rewrite_manifests regroups fragmented children metadata-only; collapses under-threshold tables to inline") {
+    // r18 verdict item 5: the Iceberg-standard repair — an ingest job
+    // tuned the shard threshold small (many 1-entry children), platform
+    // raises it; rewrite_manifests re-canonicalizes WITHOUT touching
+    // data files, as one new commit
+    val root = freshRoot()
+    val s1 = sess(root, threshold = 1)
+    import s1.implicits._
+    def src(lo: Int): org.apache.spark.sql.DataFrame =
+      s1.range(lo, lo + 20, 1, 1)
+        .select(($"id" % 4).cast("int").as("k"), $"id")
+        .repartition(4, $"k")
+    src(0).createOrReplaceTempView("mshard_rw_src")
+    s1.sql("CREATE TABLE gms.rw PARTITIONED BY (k) AS SELECT k, id FROM mshard_rw_src")
+    (1 to 5).foreach { i =>
+      src(i * 20).createOrReplaceTempView("mshard_rw_add")
+      s1.sql("INSERT INTO gms.rw SELECT k, id FROM mshard_rw_add")
+    }
+    val path = s"$root/rw"
+    val preV = GraftStore.readVersion(path)
+    val (_, _, _, preRefs) = structured(path)
+    assert(preRefs.size == 24 && preRefs.forall(_.nfiles == 1L),
+      s"fixture must be fragmented: 4 cells x 6 one-entry children, got " +
+        preRefs.map(r => s"${r.cell}:${r.nfiles}").mkString(", "))
+    val preEntries = GraftStore.readManifest(path).get._2
+    val dataFiles = Option(new File(path, "data").listFiles()).get
+      .map(f => f.getName -> f.lastModified()).toMap
+    // raise the threshold in a NEW session and repair
+    val s3 = sess(root, threshold = 3)
+    val res = s3.sql("CALL gms.system.rewrite_manifests('rw')").head
+    assert(res.getLong(0) == preV + 1 &&
+      res.getLong(0) == GraftStore.readVersion(path))
+    assert(res.getLong(1) == 24L && res.getLong(2) == 8L,
+      s"24 one-entry children must regroup to 4 cells x ceil(6/3)=8, " +
+        s"got ${res.getLong(1)} -> ${res.getLong(2)}")
+    val (_, inline, _, postRefs) = structured(path)
+    assert(inline.isEmpty && postRefs.size == 8 &&
+      postRefs.forall(_.nfiles <= 3L))
+    // metadata-only: same flattened entries, same data files, untouched
+    assert(GraftStore.readManifest(path).get._2 == preEntries)
+    assert(Option(new File(path, "data").listFiles()).get
+      .map(f => f.getName -> f.lastModified()).toMap == dataFiles,
+      "rewrite_manifests must not touch data files")
+    assert(s3.sql("SELECT count(*), sum(id) FROM gms.rw").head.toSeq ==
+      Seq(120L, (0L until 120L).sum))
+    // pruning fires through the regrouped children: k=0 opens only that
+    // cell's 2 children
+    import org.apache.spark.sql.sources.EqualTo
+    GraftStore.childReads.set(0L)
+    val scan = new graft.sources.GraftStoreScan(path, Array(EqualTo("k", 0)))
+    scan.planInputPartitions()
+    assert(GraftStore.childReads.get() == 2L,
+      s"opened ${GraftStore.childReads.get()} children, expected the k=0 cell's 2")
+    // idempotent: a second call regroups to the identical layout
+    val res2 = s3.sql("CALL gms.system.rewrite_manifests('rw')").head
+    assert(res2.getLong(1) == 8L && res2.getLong(2) == 8L)
+    assert(structured(path)._4.map(_.file) == postRefs.map(_.file))
+    // time travel to the fragmented snapshot reads the OLD children
+    val old = spark.read.format("graft.sources.GraftStore")
+      .option("path", path).option("versionAsOf", preV.toString).load()
+    assert(old.count() == 120L)
+    // COLLAPSE: entry count under the threshold -> back to inline (the
+    // explicit override of the layout-follows-the-table rule), and the
+    // table STAYS inline across a later append
+    val s9 = sess(root, threshold = 64)
+    val res3 = s9.sql("CALL gms.system.rewrite_manifests('rw')").head
+    assert(res3.getLong(2) == 0L)
+    val (_, postInline, _, postKids) = structured(path)
+    assert(postKids.isEmpty && postInline.size == 24 &&
+      postInline == preEntries)
+    s9.range(120, 140, 1, 1)
+      .select(col("id").mod(4).cast("int").as("k"), col("id"))
+      .repartition(4, col("k"))
+      .createOrReplaceTempView("mshard_rw_add2")
+    s9.sql("INSERT INTO gms.rw SELECT k, id FROM mshard_rw_add2")
+    assert(structured(path)._4.isEmpty, "collapsed table must stay inline")
+    assert(s9.sql("SELECT count(*), sum(id) FROM gms.rw").head.toSeq ==
+      Seq(140L, (0L until 140L).sum))
+  }
+
   test("change feed over a history that CROSSES the shard threshold equals the unsharded replay") {
     // the 100 TB layout is sharded manifests; the flagship streaming
     // consumer is the CDF — their composition was unproven (r18 verdict
