@@ -1120,8 +1120,107 @@ object LlmOpsExt {
       .orderBy($"doc_a", $"doc_b")
   }
 
+  /** Staged postings-table path this JVM, keyed (session, corpus). */
+  private val sparseIndex =
+    new java.util.concurrent.ConcurrentHashMap[String, String]
+
+  /** SPARSE-SIM STORED INDEX (round 19, verdict item 6) — the tf-idf
+    * postings staged the way the dense family already stages IVF/PQ
+    * (q_sim_ivf_stored precedent): the whole build prefix — tokenize →
+    * explode → tf/df aggregation → dominant-term argmax window → salt
+    * groups — runs ONCE per (session, corpus) and lands in a GraftStore
+    * table BUCKETED BY dominant-term block (`bucket(16, top_tid)`, the
+    * vocab-cardinality-safe layout; identity-partitioning a vocabulary
+    * would mint millions of cells), with each doc's squared norm
+    * denormalized onto its posting rows. A probe is then a pruned scan
+    * + the salted candidate join instead of rebuilding
+    * explode→groupBy→two-joins per query; a
+    * block-targeted probe additionally prunes whole files via the
+    * `__bucket` pseudo-stats. The xxhash64 term-id collision guard runs
+    * at BUILD time (loud failure aborts the staging, nothing is cached).
+    * Weights stay exact scaled int64, so the staged probe is
+    * BIT-IDENTICAL to the self-contained capped builder — same DuckDB
+    * oracle, and PlanShapeSpec's salt + bit-identity pins hold
+    * unchanged. */
+  private[graft] def sparseStagedIndex(s: SparkSession,
+      dir: String): String =
+    sparseIndex.computeIfAbsent(s"${Util.sessionKey(s)}:$dir", _ => {
+      val root = Util.managedTempDir("graft_sparse_idx_")
+      val s2 = s.newSession()
+      s2.conf.set("spark.sql.catalog.gsprs", "graft.sources.GraftCatalog")
+      s2.conf.set("spark.sql.catalog.gsprs.root", root)
+      import s2.implicits._
+      val Cap = 64L // same per-salt-cell posting bound as the capped builder
+      val d = table(s2, dir, "documents")
+      val tf = spread(d).select($"doc_id", explode(toks($"text")).as("term"))
+        .groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
+      val df = tf.groupBy($"term").agg(count(lit(1)).as("df"))
+      val n = d.agg(count(lit(1)).as("n_docs"))
+      val dict = df.select($"term", $"df", xxhash64($"term").as("tid"))
+      dict.groupBy($"tid").agg(count(lit(1)).as("nt"))
+        .agg(max($"nt").as("mx"))
+        .select(when($"mx" <= 1, lit(1)).otherwise(raise_error(
+          lit("term-id hash collision in sparse-sim dictionary"))
+            .cast("int")).as("_guard"))
+        .head()
+      val w = tf.join(broadcast(dict), "term").crossJoin(broadcast(n))
+        .select($"doc_id", $"tid", $"term",
+          ($"tf" * round(log($"n_docs".cast("double") / $"df") * 10000, 0)
+            .cast("long")).as("w"))
+      val top = w.withColumn("rn",
+          row_number().over(
+            Window.partitionBy($"doc_id").orderBy($"w".desc, $"term")))
+        .filter($"rn" === 1).select($"doc_id", $"tid".as("top_tid"))
+      val groups = top.groupBy($"top_tid")
+        .agg(ceil(count(lit(1)).cast("double") / Cap).cast("int").as("g"))
+      // the per-doc squared norm is DENORMALIZED onto every posting row
+      // (one long beside the weight): ssq then rides both legs of the
+      // probe's self-join and the cosine needs ZERO post-aggregation
+      // joins — the doc-sized norms relation never exists at probe time
+      val norm = w.groupBy($"doc_id").agg(sum($"w" * $"w").as("ssq"))
+      w.select($"doc_id", $"tid", $"w").join(top, "doc_id")
+        .join(broadcast(groups), "top_tid")
+        .join(norm, "doc_id")
+        .createOrReplaceTempView("sparse_idx_postings")
+      s2.sql(
+        """CREATE TABLE gsprs.postings PARTITIONED BY (bucket(16, top_tid)) AS
+          |SELECT top_tid, doc_id, tid, w, g, ssq FROM sparse_idx_postings""".stripMargin)
+      s"$root/postings"
+    })
+
+  /** q_sim_sparse as a PROBE over the staged index: read the bucketed
+    * postings, salt, join, aggregate, normalize — no tokenize, no tf/df
+    * shuffle, no argmax window in the per-query plan. Results are
+    * bit-identical to [[qSimSparseCapped]] (and hence to the uncapped
+    * reference and the DuckDB oracle). */
+  val qSimSparseStored: Q = (s, dir) => {
+    import s.implicits._
+    val pPath = sparseStagedIndex(s, dir)
+    val wt = s.read.format("graft.sources.GraftStore")
+      .option("path", pPath).load()
+    val a = wt.withColumn("salt",
+      pmod(xxhash64($"doc_id"), $"g".cast("long")).cast("int"))
+    val b = wt.withColumn("salt", explode(sequence(lit(0), $"g" - 1)))
+    // ssq is a per-doc constant denormalized onto the postings, so it
+    // joins the grouping key instead of costing two post-agg joins
+    val dots = a.as("a").join(b.as("b"),
+        $"a.top_tid" === $"b.top_tid" && $"a.salt" === $"b.salt" &&
+          $"a.tid" === $"b.tid" && $"a.doc_id" < $"b.doc_id")
+      .groupBy($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"),
+        $"a.ssq".as("ssq_a"), $"b.ssq".as("ssq_b"))
+      .agg(sum($"a.w" * $"b.w").as("dot"))
+    dots
+      .select($"doc_a", $"doc_b",
+        round(when(sqrt($"ssq_a".cast("double") * $"ssq_b".cast("double")) > 0.0,
+          $"dot".cast("double") /
+            sqrt($"ssq_a".cast("double") * $"ssq_b".cast("double"))), 6)
+          .as("cosine"))
+      .filter($"cosine" >= 0.9)
+      .orderBy($"doc_a", $"doc_b")
+  }
+
   val queries: Map[String, Q] = Map(
-    "q_sim_sparse" -> qSimSparseCapped,
+    "q_sim_sparse" -> qSimSparseStored,
     "q_sim_sparse_capped" -> qSimSparseCapped,
     "q_dedup_simhash" -> qDedupSimhash,
     "q_text_unigram_lm" -> qTextUnigramLm,
