@@ -597,6 +597,70 @@ object Sources {
         |GROUP BY cell ORDER BY cell""".stripMargin)
   }
 
+  private val rewriteWritten = new java.util.concurrent.ConcurrentHashMap[String, String]
+
+  /** FRAGMENTED-then-REPAIRED table staged once per (session, fixture):
+    * orders over 4 identity cells written at shard threshold 1 (CTAS +
+    * 3 full-table appends → 16 one-entry child manifests, the
+    * many-small-appends fragmentation shape), then repaired with
+    * `CALL rewrite_manifests` under threshold 4 — the metadata-only
+    * regroup (16 → 4 children, same data files, one new commit). */
+  private def rewritePath(s: org.apache.spark.sql.SparkSession, dir: String): String =
+    rewriteWritten.computeIfAbsent(s"${Util.sessionKey(s)}:$dir", _ => {
+      val root = Util.managedTempDir("graft_rwmq_")
+      val s2 = s.newSession()
+      s2.conf.set("spark.sql.catalog.gshr", "graft.sources.GraftCatalog")
+      s2.conf.set("spark.sql.catalog.gshr.root", root)
+      s2.conf.set("spark.graft.manifest.shardThreshold", "1")
+      table(s2, dir, "orders")
+        .selectExpr("CAST(o_orderkey % 4 AS INT) AS cell",
+          "o_orderkey", "o_totalprice")
+        .createOrReplaceTempView("rwmq_src")
+      s2.sql(
+        """CREATE TABLE gshr.t PARTITIONED BY (cell) AS
+          |SELECT cell, o_orderkey, o_totalprice FROM rwmq_src""".stripMargin)
+      (1 to 3).foreach { i =>
+        s2.sql(
+          s"""INSERT INTO gshr.t
+             |SELECT cell, o_orderkey + ${i * 10000000L}, o_totalprice
+             |FROM rwmq_src""".stripMargin)
+      }
+      val s3 = s.newSession()
+      s3.conf.set("spark.sql.catalog.gshr3", "graft.sources.GraftCatalog")
+      s3.conf.set("spark.sql.catalog.gshr3.root", root)
+      s3.conf.set("spark.graft.manifest.shardThreshold", "4")
+      s3.sql("CALL gshr3.system.rewrite_manifests('t')").collect()
+      s"$root/t"
+    })
+
+  /** `CALL rewrite_manifests` end to end (round 19): the data-path
+    * aggregate reads THROUGH the repaired manifest layout (answers must
+    * equal DuckDB's recomputation from base ∪ the 3 shifted appends —
+    * a regroup that lost or duplicated an entry shows up as a wrong
+    * sum), joined per cell to a `$manifests` layout pin that is TRUE
+    * only for canonical threshold-4 chunking (max n_entries ≤ 4 AND at
+    * most one partial child per cell) — FALSE on the pre-repair
+    * 16×1-entry fragmentation, so the flag proves the repair actually
+    * ran, not merely that answers survived. */
+  val qStoreRewriteManifests: Q = (s, dir) => {
+    val path = rewritePath(s, dir)
+    val root = new java.io.File(path).getParent
+    val s2 = s.newSession()
+    s2.conf.set("spark.sql.catalog.gshrm", "graft.sources.GraftCatalog")
+    s2.conf.set("spark.sql.catalog.gshrm.root", root)
+    s2.sql(
+      """SELECT m.cell, d.n_rows, d.sum_key, d.sum_price, m.regrouped
+        |FROM (SELECT cell, count(*) AS n_rows,
+        |        CAST(sum(o_orderkey) AS BIGINT) AS sum_key,
+        |        CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+        |      FROM gshrm.t GROUP BY cell) d
+        |JOIN (SELECT cell, CAST(max(n_entries) <= 4
+        |        AND sum(n_entries) > (count(*) - 1) * 4 AS BOOLEAN) AS regrouped
+        |      FROM gshrm.`t$manifests` GROUP BY cell) m
+        |  ON m.cell = 'c:cell=' || CAST(d.cell AS STRING)
+        |ORDER BY m.cell""".stripMargin)
+  }
+
   val qStoreTimetravel: Q = (s, dir) => {
     import s.implicits._
     val path = ttPath(s, dir)
@@ -4363,6 +4427,7 @@ object Sources {
     "q_src_avro_nested" -> qSrcAvroNested,
     "q_store_shard" -> qStoreShard,
     "q_store_manifests" -> qStoreManifests,
+    "q_store_rewrite_manifests" -> qStoreRewriteManifests,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -5496,6 +5561,19 @@ object Sources {
         |      UNION ALL SELECT cell FROM base WHERE cell = 3)
         |SELECT 'c:cell=' || CAST(cell AS VARCHAR) AS cell,
         | count(*) AS n_rows, TRUE AS chunked
+        |FROM t GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_store_rewrite_manifests" ->
+      """WITH base AS (SELECT CAST(o_orderkey % 4 AS INT) AS cell,
+        |    o_orderkey, o_totalprice FROM orders),
+        |t AS (SELECT * FROM base
+        |  UNION ALL SELECT cell, o_orderkey + 10000000, o_totalprice FROM base
+        |  UNION ALL SELECT cell, o_orderkey + 20000000, o_totalprice FROM base
+        |  UNION ALL SELECT cell, o_orderkey + 30000000, o_totalprice FROM base)
+        |SELECT 'c:cell=' || CAST(cell AS VARCHAR) AS cell,
+        | count(*) AS n_rows,
+        | CAST(sum(o_orderkey) AS BIGINT) AS sum_key,
+        | CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price,
+        | TRUE AS regrouped
         |FROM t GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_src_avro_nested" ->
       """WITH e AS (SELECT vec_id, label,
