@@ -1193,9 +1193,13 @@ object LlmOpsExt {
     * shuffle, no argmax window in the per-query plan. Results are
     * bit-identical to [[qSimSparseCapped]] (and hence to the uncapped
     * reference and the DuckDB oracle). */
-  val qSimSparseStored: Q = (s, dir) => {
+  val qSimSparseStored: Q = (s, dir) =>
+    sparseProbe(s, sparseStagedIndex(s, dir))
+
+  /** The probe over a staged postings table — shared by the from-scratch
+    * index and the incrementally-grown one. */
+  private def sparseProbe(s: SparkSession, pPath: String): DataFrame = {
     import s.implicits._
-    val pPath = sparseStagedIndex(s, dir)
     val wt = s.read.format("graft.sources.GraftStore")
       .option("path", pPath).load()
     val a = wt.withColumn("salt",
@@ -1219,8 +1223,113 @@ object LlmOpsExt {
       .orderBy($"doc_a", $"doc_b")
   }
 
+  /** Incrementally-grown sparse index path, keyed (session, corpus). */
+  private val sparseIncrIndex =
+    new java.util.concurrent.ConcurrentHashMap[String, String]
+
+  /** INCREMENTAL SPARSE-INDEX MAINTENANCE (round 19) — the text-side
+    * sibling of q_sim_ivfpq_incr: grow the staged postings index by a
+    * document batch WITHOUT retraining the model. The frozen model here
+    * is the idf table: the base corpus (doc_id % 5 != 0) is staged
+    * exactly like [[sparseStagedIndex]], and its (term, tid, df,
+    * n_docs) dictionary plus per-block salt-group sizes land beside the
+    * postings as model tables. The batch (doc_id % 5 == 0) is then
+    * encoded with the FROZEN idf — terms outside the base vocabulary
+    * drop (no df, standard frozen-vocab behavior; a document with zero
+    * known terms contributes no postings), dominant term and norms are
+    * computed under frozen weights, and each appended row inherits its
+    * block's BASE salt-group count (new blocks get g=1) so salting
+    * stays row-consistent per block and every pair still meets exactly
+    * once. The append is an ordinary GraftStore INSERT into the
+    * bucketed postings table (the r18 append fast path keeps the
+    * metadata cost ∝ the batch). Unlike the k-means family, the frozen
+    * model is exact integer math end to end, so the grown probe is
+    * FULLY oracle-checkable: DuckDB recomputes idf over the base subset
+    * and scores old ∪ new pairs with it. */
+  private def sparseIncrStagedIndex(s: SparkSession, dir: String): String =
+    sparseIncrIndex.computeIfAbsent(s"${Util.sessionKey(s)}:$dir", _ => {
+      val root = Util.managedTempDir("graft_sparse_incr_")
+      val s2 = s.newSession()
+      s2.conf.set("spark.sql.catalog.gspri", "graft.sources.GraftCatalog")
+      s2.conf.set("spark.sql.catalog.gspri.root", root)
+      import s2.implicits._
+      val Cap = 64L
+      val docs = table(s2, dir, "documents")
+      // ---- base build (identical math to the full staging) ----
+      val base = docs.filter($"doc_id" % 5 =!= 0)
+      val tf = spread(base).select($"doc_id", explode(toks($"text")).as("term"))
+        .groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
+      val df = tf.groupBy($"term").agg(count(lit(1)).as("df"))
+      val n = base.agg(count(lit(1)).as("n_docs"))
+      val dict = df.select($"term", $"df", xxhash64($"term").as("tid"))
+      dict.groupBy($"tid").agg(count(lit(1)).as("nt"))
+        .agg(max($"nt").as("mx"))
+        .select(when($"mx" <= 1, lit(1)).otherwise(raise_error(
+          lit("term-id hash collision in sparse-sim dictionary"))
+            .cast("int")).as("_guard"))
+        .head()
+      val w = tf.join(broadcast(dict), "term").crossJoin(broadcast(n))
+        .select($"doc_id", $"tid", $"term",
+          ($"tf" * round(log($"n_docs".cast("double") / $"df") * 10000, 0)
+            .cast("long")).as("w"))
+      val top = w.withColumn("rn",
+          row_number().over(
+            Window.partitionBy($"doc_id").orderBy($"w".desc, $"term")))
+        .filter($"rn" === 1).select($"doc_id", $"tid".as("top_tid"))
+      val groups = top.groupBy($"top_tid")
+        .agg(ceil(count(lit(1)).cast("double") / Cap).cast("int").as("g"))
+      val norm = w.groupBy($"doc_id").agg(sum($"w" * $"w").as("ssq"))
+      w.select($"doc_id", $"tid", $"w").join(top, "doc_id")
+        .join(broadcast(groups), "top_tid")
+        .join(norm, "doc_id")
+        .createOrReplaceTempView("sparse_incr_postings")
+      s2.sql(
+        """CREATE TABLE gspri.postings PARTITIONED BY (bucket(16, top_tid)) AS
+          |SELECT top_tid, doc_id, tid, w, g, ssq FROM sparse_incr_postings""".stripMargin)
+      // ---- frozen model staged beside the postings ----
+      dict.crossJoin(broadcast(n))
+        .createOrReplaceTempView("sparse_incr_model")
+      s2.sql(
+        """CREATE TABLE gspri.model AS
+          |SELECT term, tid, df, n_docs FROM sparse_incr_model""".stripMargin)
+      groups.createOrReplaceTempView("sparse_incr_groups")
+      s2.sql("CREATE TABLE gspri.groups AS SELECT top_tid, g FROM sparse_incr_groups")
+      // ---- append the batch, encoded with the frozen model ----
+      val model = s2.read.format("graft.sources.GraftStore")
+        .option("path", s"$root/model").load()
+      val baseG = s2.read.format("graft.sources.GraftStore")
+        .option("path", s"$root/groups").load()
+      val batch = docs.filter($"doc_id" % 5 === 0)
+      val btf = spread(batch).select($"doc_id", explode(toks($"text")).as("term"))
+        .groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
+      val bw = btf.join(broadcast(model), "term") // inner: frozen vocab
+        .select($"doc_id", $"tid", $"term",
+          ($"tf" * round(log($"n_docs".cast("double") / $"df") * 10000, 0)
+            .cast("long")).as("w"))
+      val btop = bw.withColumn("rn",
+          row_number().over(
+            Window.partitionBy($"doc_id").orderBy($"w".desc, $"term")))
+        .filter($"rn" === 1).select($"doc_id", $"tid".as("top_tid"))
+      val bssq = bw.groupBy($"doc_id").agg(sum($"w" * $"w").as("ssq"))
+      bw.select($"doc_id", $"tid", $"w").join(btop, "doc_id")
+        .join(broadcast(baseG), Seq("top_tid"), "left")
+        .withColumn("g", coalesce($"g", lit(1)))
+        .join(bssq, "doc_id")
+        .createOrReplaceTempView("sparse_incr_batch")
+      s2.sql(
+        """INSERT INTO gspri.postings
+          |SELECT top_tid, doc_id, tid, w, g, ssq FROM sparse_incr_batch""".stripMargin)
+      s"$root/postings"
+    })
+
+  /** All-pairs probe over the incrementally-grown index: old ∪ new
+    * documents under the frozen base-corpus idf. */
+  val qSimSparseIncr: Q = (s, dir) =>
+    sparseProbe(s, sparseIncrStagedIndex(s, dir))
+
   val queries: Map[String, Q] = Map(
     "q_sim_sparse" -> qSimSparseStored,
+    "q_sim_sparse_incr" -> qSimSparseIncr,
     "q_sim_sparse_capped" -> qSimSparseCapped,
     "q_dedup_simhash" -> qDedupSimhash,
     "q_text_unigram_lm" -> qTextUnigramLm,
@@ -1251,6 +1360,36 @@ object LlmOpsExt {
         |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
         |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
         |n AS (SELECT count(*) AS n_docs FROM documents),
+        |w AS (SELECT doc_id, tf.term,
+        |    tf * CAST(round(ln(CAST(n_docs AS DOUBLE)/df) * 10000, 0) AS BIGINT) AS w
+        |  FROM tf JOIN df ON tf.term = df.term CROSS JOIN n),
+        |top AS (SELECT doc_id, term AS top_term FROM (
+        |    SELECT doc_id, term,
+        |      row_number() OVER (PARTITION BY doc_id ORDER BY w DESC, term) AS rn
+        |    FROM w) WHERE rn = 1),
+        |norm AS (SELECT doc_id, sum(w*w) AS ssq FROM w GROUP BY 1),
+        |wt AS (SELECT w.doc_id, w.term, w.w, top.top_term
+        |  FROM w JOIN top ON w.doc_id = top.doc_id),
+        |dots AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, sum(a.w*b.w) AS dot
+        |  FROM wt a JOIN wt b
+        |    ON a.top_term = b.top_term AND a.term = b.term AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT doc_a, doc_b, cosine FROM (
+        |  SELECT doc_a, doc_b,
+        |    round(CAST(dot AS DOUBLE) /
+        |      sqrt(CAST(na.ssq AS DOUBLE) * CAST(nb.ssq AS DOUBLE)), 6) AS cosine
+        |  FROM dots JOIN norm na ON doc_a = na.doc_id JOIN norm nb ON doc_b = nb.doc_id)
+        |WHERE cosine >= 0.9
+        |ORDER BY doc_a, doc_b""".stripMargin,
+    // frozen-model incremental growth: idf (df, n_docs) computed over
+    // the BASE subset only (doc_id % 5 != 0); every document — base and
+    // appended batch — is weighted with that frozen idf, batch terms
+    // outside the base vocabulary drop (inner join with df)
+    "q_sim_sparse_incr" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text,' ')) AS term FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+        |df AS (SELECT term, count(*) AS df FROM tf WHERE doc_id % 5 != 0 GROUP BY 1),
+        |n AS (SELECT count(*) AS n_docs FROM documents WHERE doc_id % 5 != 0),
         |w AS (SELECT doc_id, tf.term,
         |    tf * CAST(round(ln(CAST(n_docs AS DOUBLE)/df) * 10000, 0) AS BIGINT) AS w
         |  FROM tf JOIN df ON tf.term = df.term CROSS JOIN n),
