@@ -654,6 +654,25 @@ class PlanShapeSpec extends SparkSuite {
       "salted triangular replication must preserve the exact pair set")
   }
 
+  test("q_sim_sparse stored probe (round 19): no tokenize, no argmax window, " +
+    "no corpus scan — only the staged postings table enters the plan") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    for (q <- Seq("q_sim_sparse", "q_sim_sparse_incr")) {
+      val df = SparkEntry.queries(q)(spark, sfDir)
+      val opt = df.queryExecution.optimizedPlan
+      // the whole point of the stored index: the build prefix (explode →
+      // tf/df aggregation → dominant-term argmax window) must NOT appear
+      // in the per-query plan
+      assert(opt.collectFirst { case w: LWindow => w }.isEmpty,
+        s"$q probe replans the argmax window:\n$opt")
+      val leaves = opt.collectLeaves().map(_.toString)
+      assert(!leaves.exists(_.contains("documents")),
+        s"$q probe rescans the corpus:\n${leaves.mkString("\n")}")
+      assert(leaves.forall(_.contains("graft_store(")),
+        s"$q probe must read only staged store tables:\n${leaves.mkString("\n")}")
+    }
+  }
+
   test("q_sim_pairs (round 19): moment identity — no all-pairs self-join; " +
     "only the label-cardinality aggregate join remains") {
     import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Join}
