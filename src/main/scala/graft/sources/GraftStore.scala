@@ -1668,15 +1668,30 @@ object GraftStore {
     * referenced, GC-protected). Returns (new version, children before,
     * children after). */
   private[graft] def rewriteManifests(path: String): (Long, Long, Long) = {
-    val (baseV, latest) = readLatestVersioned(path)
-    val (schema, entries) = latest.getOrElse(throw new IllegalArgumentException(
-      s"no graft-store table at $path"))
-    def childCount(v: Long): Long = readManifestStructured(
-      new File(path, s"$ManifestName.v$v")).map(_._4.size.toLong).getOrElse(0L)
-    val before = childCount(baseV)
-    val v = writeManifestAtomic(path, baseV, schema, entries,
-      epoch = readEpoch(path), op = "rewrite_manifests", regroup = true)
-    (v, before, childCount(v))
+    // CONFLICT-RETRY like appends: a maintenance job racing ingest must
+    // not die on the CAS. Recomputing from the new base is always sound
+    // here — the regroup is metadata-only and derives entirely from
+    // whatever file list the re-read observes.
+    var attempt = 0
+    while (true) {
+      val (baseV, latest) = readLatestVersioned(path)
+      val (schema, entries) = latest.getOrElse(throw new IllegalArgumentException(
+        s"no graft-store table at $path"))
+      def childCount(v: Long): Long = readManifestStructured(
+        new File(path, s"$ManifestName.v$v")).map(_._4.size.toLong).getOrElse(0L)
+      val before = childCount(baseV)
+      try {
+        val v = writeManifestAtomic(path, baseV, schema, entries,
+          epoch = readEpoch(path), op = "rewrite_manifests", regroup = true)
+        return (v, before, childCount(v))
+      } catch {
+        case c: ConflictException =>
+          attempt += 1
+          if (attempt >= 10) throw c
+          Thread.sleep(5L * attempt)
+      }
+    }
+    throw new IllegalStateException("unreachable")
   }
 
   /** Zero-copy SHALLOW CLONE: a new table at `dst` whose v1 manifest
