@@ -86,7 +86,11 @@ object PlanDump {
     "q_sql_q21", "q_sql_q17", "q_sql_q2", "q_src_avro",
     // round 18: Q11 single-derivation (both partsupp references off one
     // InMemoryRelation), nested-avro round-trip, staged IVF+PQ probe
-    "q_sql_q11", "q_src_avro_nested", "q_sim_ivfpq")
+    "q_sql_q11", "q_src_avro_nested", "q_sim_ivfpq",
+    // round 19: stored sparse-postings probe (no tokenize/window/corpus
+    // scan in-plan), frozen-idf incremental growth, manifest repair
+    // read-back through the regrouped layout
+    "q_sim_sparse_incr", "q_store_rewrite_manifests")
 
   def main(args: Array[String]): Unit = {
     val out = args.headOption.getOrElse("PLANS.md")
