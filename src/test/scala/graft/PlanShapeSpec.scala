@@ -673,6 +673,25 @@ class PlanShapeSpec extends SparkSuite {
     }
   }
 
+  test("sparse postings index: a block-targeted probe prunes whole files " +
+    "via the bucket pseudo-stats") {
+    import org.apache.spark.sql.functions.col
+    val pPath = graft.ops.LlmOpsExt.sparseStagedIndex(spark, sfDir)
+    val all = spark.read.format("graft.sources.GraftStore")
+      .option("path", pPath).load()
+    val block = all.select(col("top_tid")).head.getLong(0)
+    val probe = all.filter(col("top_tid") === block)
+    val planned = probe.queryExecution.executedPlan.toString
+    val m = "files=(\\d+)/(\\d+)".r.findFirstMatchIn(planned)
+    assert(m.isDefined, s"scan description missing file counts:\n$planned")
+    val (read, total) = (m.get.group(1).toInt, m.get.group(2).toInt)
+    assert(read < total && read >= 1,
+      s"block probe must read a strict file subset, read $read of $total")
+    // and the pruned scan still answers exactly
+    assert(probe.count() ==
+      all.collect().count(_.getAs[Long]("top_tid") == block))
+  }
+
   test("q_sim_pairs (round 19): moment identity — no all-pairs self-join; " +
     "only the label-cardinality aggregate join remains") {
     import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Join}
