@@ -196,23 +196,33 @@ object LlmOpsExt {
 
   // ------------------------------------------------------------------- ANN
 
-  /** IVF-style ANN: exact per-label centroids (posexplode → decimal-summed
-    * per dimension — order-independent), probe → top-2 nearest partitions →
-    * search only those partitions. The scale path vs q_sim_topk's brute
-    * force: nprobe/nlist of the work per query. */
-  val qSimIvf: Q = (s, dir) => {
-    import s.implicits._
-    val e = emb(s, dir)
-    // posexplode + re-collect: 64 agg columns in one groupBy looked
-    // cheaper on paper (fewer shuffles) but blows up whole-stage codegen
-    // compile time (64 decimal aggregates) and benched slower — the
-    // narrow-row explode wins here
-    val cent = e.select($"label", posexplode($"emb").as(Seq("pos", "v")))
+  /** Exact per-label centroids: posexplode → per-dimension decimal-summed
+    * mean (order-independent) → re-collected dense array. ONE copy of
+    * the math serves every IVF-family build — the frozen-centroid
+    * assignment rule and each probe's coarse-ranking rule must be the
+    * SAME rule, which this sharing guarantees (r19 review: four drifting
+    * copies). posexplode + re-collect over 64 agg columns in one groupBy:
+    * the wide form looked cheaper on paper (fewer shuffles) but blows up
+    * whole-stage codegen compile time (64 decimal aggregates) and benched
+    * slower — the narrow-row explode wins. */
+  private def centroidsOf(e: DataFrame): DataFrame = {
+    import e.sparkSession.implicits._
+    e.select($"label", posexplode($"emb").as(Seq("pos", "v")))
       .groupBy($"label", $"pos")
       .agg((sum($"v".cast("decimal(18,8)")).cast("double") / count(lit(1))).as("c"))
       .groupBy($"label")
       .agg(transform(array_sort(collect_list(struct($"pos", $"c"))),
         x => x.getField("c")).as("cent"))
+  }
+
+  /** IVF-style ANN: exact per-label centroids (see [[centroidsOf]]),
+    * probe → top-2 nearest partitions → search only those partitions.
+    * The scale path vs q_sim_topk's brute force: nprobe/nlist of the
+    * work per query. */
+  val qSimIvf: Q = (s, dir) => {
+    import s.implicits._
+    val e = emb(s, dir)
+    val cent = centroidsOf(e)
     val probes = e.orderBy($"vec_id").limit(10)
       .select($"vec_id".as("probe_id"), $"emb".as("pemb"))
     val wl = Window.partitionBy($"probe_id").orderBy($"cscore".desc, $"label")
@@ -272,12 +282,7 @@ object LlmOpsExt {
           """CREATE TABLE givf.v PARTITIONED BY (label) AS
             |SELECT vec_id, label, emb FROM ivf_vecs""".stripMargin)
         val vd = s"$root/v"
-        e.select($"label", posexplode($"emb").as(Seq("pos", "v")))
-          .groupBy($"label", $"pos")
-          .agg((sum($"v".cast("decimal(18,8)")).cast("double") / count(lit(1))).as("c"))
-          .groupBy($"label")
-          .agg(transform(array_sort(collect_list(struct($"pos", $"c"))),
-            x => x.getField("c")).as("cent"))
+        centroidsOf(e)
           .repartition(1)
           .write.format("graft.sources.GraftStore").option("path", cd)
           .mode("overwrite").save()
@@ -627,12 +632,7 @@ object LlmOpsExt {
           """CREATE TABLE gipq.c PARTITIONED BY (label) AS
             |SELECT vec_id, label, codes FROM ivfpq_codes_src""".stripMargin)
         // exact per-label centroids (identical math to q_sim_ivf)
-        emb(s, dir).select($"label", posexplode($"emb").as(Seq("pos", "v")))
-          .groupBy($"label", $"pos")
-          .agg((sum($"v".cast("decimal(18,8)")).cast("double") / count(lit(1))).as("c"))
-          .groupBy($"label")
-          .agg(transform(array_sort(collect_list(struct($"pos", $"c"))),
-            x => x.getField("c")).as("cent"))
+        centroidsOf(emb(s, dir))
           .repartition(1)
           .write.format("graft.sources.GraftStore").option("path", cd)
           .mode("overwrite").save()
@@ -741,12 +741,7 @@ object LlmOpsExt {
       val base = emb(s, dir).filter($"vec_id" % IvfPqIncrMod =!= 0)
       // frozen model: codebooks AND per-label centroids fit on BASE only
       val cbs = pqCodebooksOf(base, m, sub, k)
-      base.select($"label", posexplode($"emb").as(Seq("pos", "v")))
-        .groupBy($"label", $"pos")
-        .agg((sum($"v".cast("decimal(18,8)")).cast("double") / count(lit(1))).as("c"))
-        .groupBy($"label")
-        .agg(transform(array_sort(collect_list(struct($"pos", $"c"))),
-          x => x.getField("c")).as("cent"))
+      centroidsOf(base)
         .repartition(1)
         .write.format("graft.sources.GraftStore").option("path", cd)
         .mode("overwrite").save()
@@ -1142,6 +1137,54 @@ object LlmOpsExt {
     * BIT-IDENTICAL to the self-contained capped builder — same DuckDB
     * oracle, and PlanShapeSpec's salt + bit-identity pins hold
     * unchanged. */
+  /** Per-salt-cell posting bound — the same Cap as the capped builder. */
+  private val SparseCap = 64L
+
+  /** Shared base staging for the sparse index family: tokenize → tf/df →
+    * hashed dictionary (collision guard fired HERE, loudly — nothing is
+    * cached on failure) → frozen integer weights → dominant-term argmax →
+    * salt groups → denormalized norms, then CTAS the postings into
+    * `cat`.postings bucketed by block. Returns the (model = term/tid/df/
+    * n_docs, groups = block/g) frames the incremental grower persists as
+    * its frozen model. ONE copy of the weight formula serves both staged
+    * indexes; the self-contained capped/uncapped builders keep theirs by
+    * design (they ARE the reference the bit-identity pins compare to). */
+  private def stageSparsePostings(s2: SparkSession, cat: String,
+      docs: DataFrame): (DataFrame, DataFrame) = {
+    import s2.implicits._
+    val tf = spread(docs).select($"doc_id", explode(toks($"text")).as("term"))
+      .groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy($"term").agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    val dict = df.select($"term", $"df", xxhash64($"term").as("tid"))
+    dict.groupBy($"tid").agg(count(lit(1)).as("nt"))
+      .agg(max($"nt").as("mx"))
+      .select(when($"mx" <= 1, lit(1)).otherwise(raise_error(
+        lit("term-id hash collision in sparse-sim dictionary"))
+          .cast("int")).as("_guard"))
+      .head()
+    val w = tf.join(broadcast(dict), "term").crossJoin(broadcast(n))
+      .select($"doc_id", $"tid", $"term",
+        ($"tf" * round(log($"n_docs".cast("double") / $"df") * 10000, 0)
+          .cast("long")).as("w"))
+    val top = w.withColumn("rn",
+        row_number().over(
+          Window.partitionBy($"doc_id").orderBy($"w".desc, $"term")))
+      .filter($"rn" === 1).select($"doc_id", $"tid".as("top_tid"))
+    val groups = top.groupBy($"top_tid")
+      .agg(ceil(count(lit(1)).cast("double") / SparseCap).cast("int").as("g"))
+    val norm = w.groupBy($"doc_id").agg(sum($"w" * $"w").as("ssq"))
+    w.select($"doc_id", $"tid", $"w").join(top, "doc_id")
+      .join(broadcast(groups), "top_tid")
+      .join(norm, "doc_id")
+      .createOrReplaceTempView(s"${cat}_postings_src")
+    s2.sql(
+      s"""CREATE TABLE $cat.postings PARTITIONED BY (bucket(16, top_tid)) AS
+         |SELECT top_tid, doc_id, tid, w, g, ssq FROM ${cat}_postings_src""".stripMargin)
+    (dict.crossJoin(broadcast(n)).select($"term", $"tid", $"df", $"n_docs"),
+      groups)
+  }
+
   private[graft] def sparseStagedIndex(s: SparkSession,
       dir: String): String =
     sparseIndex.computeIfAbsent(s"${Util.sessionKey(s)}:$dir", _ => {
@@ -1149,42 +1192,7 @@ object LlmOpsExt {
       val s2 = s.newSession()
       s2.conf.set("spark.sql.catalog.gsprs", "graft.sources.GraftCatalog")
       s2.conf.set("spark.sql.catalog.gsprs.root", root)
-      import s2.implicits._
-      val Cap = 64L // same per-salt-cell posting bound as the capped builder
-      val d = table(s2, dir, "documents")
-      val tf = spread(d).select($"doc_id", explode(toks($"text")).as("term"))
-        .groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
-      val df = tf.groupBy($"term").agg(count(lit(1)).as("df"))
-      val n = d.agg(count(lit(1)).as("n_docs"))
-      val dict = df.select($"term", $"df", xxhash64($"term").as("tid"))
-      dict.groupBy($"tid").agg(count(lit(1)).as("nt"))
-        .agg(max($"nt").as("mx"))
-        .select(when($"mx" <= 1, lit(1)).otherwise(raise_error(
-          lit("term-id hash collision in sparse-sim dictionary"))
-            .cast("int")).as("_guard"))
-        .head()
-      val w = tf.join(broadcast(dict), "term").crossJoin(broadcast(n))
-        .select($"doc_id", $"tid", $"term",
-          ($"tf" * round(log($"n_docs".cast("double") / $"df") * 10000, 0)
-            .cast("long")).as("w"))
-      val top = w.withColumn("rn",
-          row_number().over(
-            Window.partitionBy($"doc_id").orderBy($"w".desc, $"term")))
-        .filter($"rn" === 1).select($"doc_id", $"tid".as("top_tid"))
-      val groups = top.groupBy($"top_tid")
-        .agg(ceil(count(lit(1)).cast("double") / Cap).cast("int").as("g"))
-      // the per-doc squared norm is DENORMALIZED onto every posting row
-      // (one long beside the weight): ssq then rides both legs of the
-      // probe's self-join and the cosine needs ZERO post-aggregation
-      // joins — the doc-sized norms relation never exists at probe time
-      val norm = w.groupBy($"doc_id").agg(sum($"w" * $"w").as("ssq"))
-      w.select($"doc_id", $"tid", $"w").join(top, "doc_id")
-        .join(broadcast(groups), "top_tid")
-        .join(norm, "doc_id")
-        .createOrReplaceTempView("sparse_idx_postings")
-      s2.sql(
-        """CREATE TABLE gsprs.postings PARTITIONED BY (bucket(16, top_tid)) AS
-          |SELECT top_tid, doc_id, tid, w, g, ssq FROM sparse_idx_postings""".stripMargin)
+      stageSparsePostings(s2, "gsprs", table(s2, dir, "documents"))
       s"$root/postings"
     })
 
@@ -1238,8 +1246,12 @@ object LlmOpsExt {
     * drop (no df, standard frozen-vocab behavior; a document with zero
     * known terms contributes no postings), dominant term and norms are
     * computed under frozen weights, and each appended row inherits its
-    * block's BASE salt-group count (new blocks get g=1) so salting
-    * stays row-consistent per block and every pair still meets exactly
+    * block's BASE salt-group count — a block new in the batch instead
+    * gets g sized from its own BATCH cardinality (ceil(count/Cap)), so
+    * a boilerplate-heavy growth batch cannot recreate the unbounded
+    * skew cell the cap exists to bound. Either way g is row-consistent
+    * per block (base-block rows all carry the base g, new-block rows
+    * all come from the batch), so every pair still meets exactly
     * once. The append is an ordinary GraftStore INSERT into the
     * bucketed postings table (the r18 append fast path keeps the
     * metadata cost ∝ the batch). Unlike the k-means family, the frozen
@@ -1253,46 +1265,16 @@ object LlmOpsExt {
       s2.conf.set("spark.sql.catalog.gspri", "graft.sources.GraftCatalog")
       s2.conf.set("spark.sql.catalog.gspri.root", root)
       import s2.implicits._
-      val Cap = 64L
       val docs = table(s2, dir, "documents")
-      // ---- base build (identical math to the full staging) ----
-      val base = docs.filter($"doc_id" % 5 =!= 0)
-      val tf = spread(base).select($"doc_id", explode(toks($"text")).as("term"))
-        .groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
-      val df = tf.groupBy($"term").agg(count(lit(1)).as("df"))
-      val n = base.agg(count(lit(1)).as("n_docs"))
-      val dict = df.select($"term", $"df", xxhash64($"term").as("tid"))
-      dict.groupBy($"tid").agg(count(lit(1)).as("nt"))
-        .agg(max($"nt").as("mx"))
-        .select(when($"mx" <= 1, lit(1)).otherwise(raise_error(
-          lit("term-id hash collision in sparse-sim dictionary"))
-            .cast("int")).as("_guard"))
-        .head()
-      val w = tf.join(broadcast(dict), "term").crossJoin(broadcast(n))
-        .select($"doc_id", $"tid", $"term",
-          ($"tf" * round(log($"n_docs".cast("double") / $"df") * 10000, 0)
-            .cast("long")).as("w"))
-      val top = w.withColumn("rn",
-          row_number().over(
-            Window.partitionBy($"doc_id").orderBy($"w".desc, $"term")))
-        .filter($"rn" === 1).select($"doc_id", $"tid".as("top_tid"))
-      val groups = top.groupBy($"top_tid")
-        .agg(ceil(count(lit(1)).cast("double") / Cap).cast("int").as("g"))
-      val norm = w.groupBy($"doc_id").agg(sum($"w" * $"w").as("ssq"))
-      w.select($"doc_id", $"tid", $"w").join(top, "doc_id")
-        .join(broadcast(groups), "top_tid")
-        .join(norm, "doc_id")
-        .createOrReplaceTempView("sparse_incr_postings")
-      s2.sql(
-        """CREATE TABLE gspri.postings PARTITIONED BY (bucket(16, top_tid)) AS
-          |SELECT top_tid, doc_id, tid, w, g, ssq FROM sparse_incr_postings""".stripMargin)
+      // ---- base build: the shared staging, restricted to the base ----
+      val (modelDf, groupsDf) =
+        stageSparsePostings(s2, "gspri", docs.filter($"doc_id" % 5 =!= 0))
       // ---- frozen model staged beside the postings ----
-      dict.crossJoin(broadcast(n))
-        .createOrReplaceTempView("sparse_incr_model")
+      modelDf.createOrReplaceTempView("sparse_incr_model")
       s2.sql(
         """CREATE TABLE gspri.model AS
           |SELECT term, tid, df, n_docs FROM sparse_incr_model""".stripMargin)
-      groups.createOrReplaceTempView("sparse_incr_groups")
+      groupsDf.createOrReplaceTempView("sparse_incr_groups")
       s2.sql("CREATE TABLE gspri.groups AS SELECT top_tid, g FROM sparse_incr_groups")
       // ---- append the batch, encoded with the frozen model ----
       val model = s2.read.format("graft.sources.GraftStore")
@@ -1310,10 +1292,16 @@ object LlmOpsExt {
           row_number().over(
             Window.partitionBy($"doc_id").orderBy($"w".desc, $"term")))
         .filter($"rn" === 1).select($"doc_id", $"tid".as("top_tid"))
+      // a block NEW in the batch gets g from its own batch cardinality —
+      // g=1 would hand a boilerplate-dominant growth batch one unbounded
+      // salt cell, the exact skew hazard the cap bounds (r19 review)
+      val batchG = btop.groupBy($"top_tid")
+        .agg(ceil(count(lit(1)).cast("double") / SparseCap).cast("int").as("bg"))
       val bssq = bw.groupBy($"doc_id").agg(sum($"w" * $"w").as("ssq"))
       bw.select($"doc_id", $"tid", $"w").join(btop, "doc_id")
         .join(broadcast(baseG), Seq("top_tid"), "left")
-        .withColumn("g", coalesce($"g", lit(1)))
+        .join(broadcast(batchG), Seq("top_tid"))
+        .withColumn("g", coalesce($"g", $"bg")).drop("bg")
         .join(bssq, "doc_id")
         .createOrReplaceTempView("sparse_incr_batch")
       s2.sql(

@@ -90,8 +90,19 @@ object AvroSource {
     * graft.r_added in the same reader schema, making it
     * non-round-trippable (Schema.toString/parse rejects duplicate full
     * names) and confusing name-based resolution (r18 review). */
-  private[sources] def nullDefaulted(dt: DataType, path: String): Schema =
-    maybeNullable(toAvroType(dt, s"added_$path"), nullable = true)
+  private[sources] def nullDefaulted(dt: DataType, path: String): Schema = {
+    // collision-proof name (r19 review): underscore-joining path
+    // components is ambiguous — top-level column `foo_bar` and struct
+    // `foo`'s missing field `bar` would both render added_foo_bar,
+    // recreating the duplicate-fullname failure this naming exists to
+    // prevent. The readable sanitized path keeps debuggability; a short
+    // hash of the EXACT path (separators intact) guarantees uniqueness.
+    val safe = path.map(c => if (c.isLetterOrDigit) c else '_')
+    val tag = java.security.MessageDigest.getInstance("SHA-1")
+      .digest(path.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .take(4).map(b => f"$b%02x").mkString
+    maybeNullable(toAvroType(dt, s"added_${safe}_$tag"), nullable = true)
+  }
 
   /** Catalyst -> Avro, recursively (round 18: complex types). Arrays map
     * to Avro arrays (element nullability via the standard union), maps
@@ -211,7 +222,9 @@ object AvroSource {
               s"non-nullable nested field '${f.name}' missing from file " +
                 s"schema $fs — cannot null-fill")
             fields.add(new Schema.Field(f.name,
-              nullDefaulted(f.dataType, s"${fs.getName}_${f.name}"),
+              // full name + dot separator: unambiguous across records
+              // sharing a simple name in different namespaces
+              nullDefaulted(f.dataType, s"${fs.getFullName}.${f.name}"),
               null, Schema.Field.NULL_DEFAULT_VALUE))
           }
         }

@@ -674,14 +674,19 @@ object GraftStore {
     * fresh mtime reliably; if even that fails, fail loudly. */
   private def refreshChildMtime(f: File): Unit = {
     if (!f.setLastModified(System.currentTimeMillis())) {
+      val tmp = Paths.get(f.getParent,
+        s".mchild.tmp.${java.util.UUID.randomUUID()}")
+      // catch every failure shape, not just IOException: the
+      // ATOMIC_MOVE+REPLACE_EXISTING combination is implementation-
+      // specific per Files.move, so a provider may throw
+      // UnsupportedOperationException — that too must surface as the
+      // loud GC-grace explanation, and the tmp file must not leak
       try {
-        val bytes = Files.readAllBytes(f.toPath)
-        val tmp = Paths.get(f.getParent,
-          s".mchild.tmp.${java.util.UUID.randomUUID()}")
-        Files.write(tmp, bytes)
+        Files.write(tmp, Files.readAllBytes(f.toPath))
         Files.move(tmp, f.toPath, StandardCopyOption.ATOMIC_MOVE,
           StandardCopyOption.REPLACE_EXISTING)
-      } catch { case e: java.io.IOException =>
+      } catch { case e: Exception =>
+        try Files.deleteIfExists(tmp) catch { case _: Exception => }
         throw new IllegalStateException(
           s"cannot refresh GC-grace mtime of reused manifest child $f — " +
             "a concurrent snapshot expiry could sweep it before the " +
@@ -1245,7 +1250,9 @@ object GraftStore {
     // parent: answers right, metadata wall back); the layout follows
     // the TABLE, the session conf only tunes chunk size and first entry.
     val threshold = shardThreshold
-    val baseSharded = v > 1 && readManifestStructured(
+    // def, not val: only the files.size <= threshold branch needs it, and
+    // for a pre-!uid legacy base this is an uncacheable O(entries) parse
+    def baseSharded = v > 1 && readManifestStructured(
       new File(path, s"$ManifestName.v${v - 1}")).exists(_._4.nonEmpty)
     val entryLines =
       if (regroup)
@@ -1257,7 +1264,7 @@ object GraftStore {
         // collapses to inline here and only here
         if (files.size > threshold) shardEntries(path, schema, files, threshold)
         else files.map(fmtEntry)
-      else if (files.size > threshold || (baseSharded && files.nonEmpty))
+      else if (files.size > threshold || (files.nonEmpty && baseSharded))
         shardEntriesIncremental(path, schema, files, threshold, v)
       else files.map(fmtEntry)
     val lines = schema.toDDL +: (s"!version=$v" +:

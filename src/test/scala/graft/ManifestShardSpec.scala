@@ -689,6 +689,42 @@ class ManifestShardSpec extends SparkSuite {
       "mirror must converge to the sharded upstream's content")
   }
 
+  test("change feed across a rewrite_manifests commit: the repair contributes zero change rows") {
+    // rewrite_manifests is the one commit whose flattened entries are
+    // IDENTICAL but whose children are entirely rewritten — if the CDF
+    // diff ever keyed on layout instead of content, a repair would emit
+    // phantom inserts/deletes or refuse the range (r19 review gap)
+    val root = freshRoot()
+    val s2 = sess(root, threshold = 1)
+    org.apache.spark.sql.SparkSession.setActiveSession(s2)
+    val path = s"$root/cdfrw"
+    def w(df: org.apache.spark.sql.DataFrame, mode: String) =
+      df.write.format("graft.sources.GraftStore")
+        .option("path", path).mode(mode).save()
+    w(s2.range(0, 100, 1, 2).selectExpr("id AS k", "id AS v"), "overwrite") // v1
+    w(s2.range(100, 200, 1, 2).selectExpr("id AS k", "id AS v"), "append") // v2
+    val preV = GraftStore.readVersion(path)
+    // repair under a raised threshold, then keep committing
+    val s3 = sess(root, threshold = 8)
+    org.apache.spark.sql.SparkSession.setActiveSession(s3)
+    val (rv, before, after) = GraftStore.rewriteManifests(path)
+    assert(rv == preV + 1 && after < before)
+    w(s3.range(200, 250, 1, 2).selectExpr("id AS k", "id AS v"), "append") // v4
+    val changes = s3.read.format("graft.sources.GraftStore")
+      .option("path", path).option("changesFrom", "0").load()
+      .selectExpr("k", "_change_type", "_commit_version").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    assert(!changes.exists(_._3 == rv),
+      s"the metadata-only repair must be SILENT in the feed, got " +
+        changes.filter(_._3 == rv).take(5).mkString(", "))
+    assert(changes.count(_._2 == "insert") == 250 &&
+      changes.forall(_._2 == "insert"),
+      "replay across the repair must carry exactly the three appends' rows")
+    // and the post-repair append's rows are attributed to ITS version
+    assert(changes.filter(_._3 > rv).map(_._1).sorted ==
+      (200L until 250L).toSeq)
+  }
+
   test("snapshot expiry sweeps only unreferenced children") {
     val (s2, path) = partitionedTable(freshRoot())
     val v1Children = structured(path)._4.map(_.file).toSet
