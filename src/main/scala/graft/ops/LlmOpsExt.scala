@@ -1258,7 +1258,7 @@ object LlmOpsExt {
     * model is exact integer math end to end, so the grown probe is
     * FULLY oracle-checkable: DuckDB recomputes idf over the base subset
     * and scores old ∪ new pairs with it. */
-  private def sparseIncrStagedIndex(s: SparkSession, dir: String): String =
+  private[graft] def sparseIncrStagedIndex(s: SparkSession, dir: String): String =
     sparseIncrIndex.computeIfAbsent(s"${Util.sessionKey(s)}:$dir", _ => {
       val root = Util.managedTempDir("graft_sparse_incr_")
       val s2 = s.newSession()

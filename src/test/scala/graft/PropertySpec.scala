@@ -473,6 +473,39 @@ class PropertySpec extends SparkSuite {
     }, got.take(5).mkString(", "))
   }
 
+  test("incremental sparse index: a new dominant block over the cap gets a batch-sized salt split, pairs exactly once") {
+    import spark.implicits._
+    // r19 review: a block NEW in the growth batch used to get g=1
+    // regardless of size — one unbounded salt cell, the exact skew
+    // hazard the cap bounds. Corpus: base (doc_id % 5 != 0) = 40 docs
+    // where `b` sits in half the vocab (idf = ln 2) but is never a base
+    // argmax (a unique rare term dominates each base doc, so block `b`
+    // does not exist in the base index); batch (doc_id % 5 == 0) = 150
+    // identical docs dominated by `b` — 2.3x over the 64-posting cap.
+    // g must be ceil(150/64) = 3, and every batch pair must meet
+    // EXACTLY once across the 3 salt cells (C(150,2) pairs, cosine 1.0).
+    val baseIds = (1L to 50L).filter(_ % 5 != 0)
+    val base = baseIds.zipWithIndex.map { case (id, i) =>
+      (id, if (i % 2 == 0) s"x b r_$i" else s"x y r_$i")
+    }
+    val batch = (0L until 750L by 5L).map(id => (id, "b b b x"))
+    val dir = graft.ops.Util.managedTempDir("graft_sparse_incr_skew_")
+    (base ++ batch).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val pPath = graft.ops.LlmOpsExt.sparseIncrStagedIndex(spark, dir)
+    val gs = spark.read.format("graft.sources.GraftStore")
+      .option("path", pPath).load()
+      .filter($"doc_id" % 5 === 0).select($"g").distinct()
+      .collect().map(_.getInt(0)).toSeq
+    assert(gs == Seq(3),
+      s"new block of 150 must salt-split at ceil(150/64)=3, got g=$gs")
+    val got = SparkEntry.queries("q_sim_sparse_incr")(spark, dir).collect()
+    assert(got.length == 150 * 149 / 2,
+      s"expected C(150,2)=${150 * 149 / 2} pairs, got ${got.length} — " +
+        "a multi-salt new block that loses or duplicates pairs")
+    assert(got.forall(_.getDouble(2) == 1.0))
+  }
+
   test("sparse sim (registry default): a planted dominant-term block 4.5x over the cap yields every pair exactly once") {
     import spark.implicits._
     // the 100 TB hazard the r17 registry swap closes: a stop-word-ish
