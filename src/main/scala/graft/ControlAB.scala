@@ -32,12 +32,13 @@ object ControlAB {
         (System.nanoTime() - t0) / 1e9
       }.min
     }
-    val cur = SparkEntry.queries
-    args.foreach(n => require(cur.contains(n), s"unknown query: $n"))
-    args.foreach(n => println(f"CURRENT $n ${time(cur(n))}%.3f"))
     val jarPath = sys.env.getOrElse(
       "SPARK_GRAFT_CONTROL_JAR", "tools/control/graft-control-r16.jar")
     val jar = new java.io.File(jarPath)
+    require(jar.isFile, s"control jar missing: $jarPath")
+    val cur = SparkEntry.queries
+    args.foreach(n => require(cur.contains(n), s"unknown query: $n"))
+    args.foreach(n => println(f"CURRENT $n ${time(cur(n))}%.3f"))
     // Child-first for graft.* only, so the frozen SparkEntry resolves from
     // the jar while Spark itself stays shared (one session, one JIT state).
     val loader = new java.net.URLClassLoader(
@@ -55,10 +56,18 @@ object ControlAB {
       .getField("MODULE$").get(null)
     val qs = entry.getClass.getMethod("queries").invoke(entry)
       .asInstanceOf[Map[String, (SparkSession, String) => DataFrame]]
-    args.foreach { n =>
+    // Spark resolves DataSource format strings and catalog class names via
+    // the thread CONTEXT classloader, not the closure's defining loader —
+    // without this swap, a frozen-jar query that reaches graft code through
+    // reflection (format("graft.sources.GraftStore"), catalog conf) would
+    // silently time the CURRENT implementation and a store-path regression
+    // would be mis-adjudicated as box ambience.
+    val prevCl = Thread.currentThread().getContextClassLoader
+    Thread.currentThread().setContextClassLoader(loader)
+    try args.foreach { n =>
       if (qs.contains(n)) println(f"R16JAR  $n ${time(qs(n))}%.3f")
       else println(s"R16JAR  $n (absent from control jar)")
-    }
+    } finally Thread.currentThread().setContextClassLoader(prevCl)
     spark.stop()
   }
 }

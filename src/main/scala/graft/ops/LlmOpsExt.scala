@@ -706,10 +706,13 @@ object LlmOpsExt {
   private val ivfpqIncrIndex = new java.util.concurrent.ConcurrentHashMap[
     String, (String, String, Seq[Seq[Seq[Double]]])]
 
-  /** The growth split: vec_id % 5 == 0 (20% of the corpus) arrives
-    * AFTER the index was built — held out of training and of the
-    * initial encode. */
-  private[graft] val IvfPqIncrMod = 5
+  /** The growth split shared by BOTH incremental index families (dense
+    * IVF+PQ over vec_id, sparse postings over doc_id): id % 5 == 0 (20%
+    * of the corpus) arrives AFTER the index was built — held out of
+    * training and of the initial encode. The sparse oracle interpolates
+    * the same constant, so retuning the split cannot drift the engines
+    * apart. */
+  private[graft] val IncrGrowthMod = 5
 
   /** INCREMENTAL ANN index maintenance (round 19, verdict item 1): a
     * 100 TB embedding corpus grows daily, and a full re-train +
@@ -738,7 +741,7 @@ object LlmOpsExt {
       val m = 4; val sub = 16; val k = 16
       val root = Util.managedTempDir("graft_ivfpqi_root_")
       val cd = Util.managedTempDir("graft_ivfpqi_cent_")
-      val base = emb(s, dir).filter($"vec_id" % IvfPqIncrMod =!= 0)
+      val base = emb(s, dir).filter($"vec_id" % IncrGrowthMod =!= 0)
       // frozen model: codebooks AND per-label centroids fit on BASE only
       val cbs = pqCodebooksOf(base, m, sub, k)
       centroidsOf(base)
@@ -749,7 +752,7 @@ object LlmOpsExt {
       val s2 = s.newSession()
       s2.conf.set("spark.sql.catalog.gipqi", "graft.sources.GraftCatalog")
       s2.conf.set("spark.sql.catalog.gipqi.root", root)
-      emb(s2, dir).filter($"vec_id" % IvfPqIncrMod =!= 0)
+      emb(s2, dir).filter($"vec_id" % IncrGrowthMod =!= 0)
         .select($"vec_id", $"label", pqEncodeExpr($"emb", cbl, m, sub).as("codes"))
         .createOrReplaceTempView("ivfpqi_codes_src")
       s2.sql(
@@ -758,7 +761,7 @@ object LlmOpsExt {
       // GROWTH: frozen-model encode + nearest-centroid cell assignment,
       // appended into the existing cells — one commit, zero re-training
       ivfPqEncodeBatch(s2, dir, cd, cbs,
-        emb(s2, dir).filter($"vec_id" % IvfPqIncrMod === 0))
+        emb(s2, dir).filter($"vec_id" % IncrGrowthMod === 0))
         .createOrReplaceTempView("ivfpqi_incr_src")
       s2.sql("INSERT INTO gipqi.c SELECT vec_id, label, codes FROM ivfpqi_incr_src")
       (s"$root/c", cd, cbs)
@@ -796,10 +799,10 @@ object LlmOpsExt {
     val (_, centPath, cbs) = ivfPqIncrStaged(s, dir)
     val m = 4; val sub = 16
     val cbl = typedlit(cbs)
-    val base = emb(s, dir).filter($"vec_id" % IvfPqIncrMod =!= 0)
+    val base = emb(s, dir).filter($"vec_id" % IncrGrowthMod =!= 0)
       .select($"vec_id", $"label", pqEncodeExpr($"emb", cbl, m, sub).as("codes"))
     base.unionAll(ivfPqEncodeBatch(s, dir, centPath, cbs,
-      emb(s, dir).filter($"vec_id" % IvfPqIncrMod === 0)))
+      emb(s, dir).filter($"vec_id" % IncrGrowthMod === 0)))
   }
 
   /** Probe the incrementally-grown index (the registry query). */
@@ -1140,6 +1143,25 @@ object LlmOpsExt {
   /** Per-salt-cell posting bound — the same Cap as the capped builder. */
   private val SparseCap = 64L
 
+  /** THE frozen tf-idf weight — exact scaled int64. ONE definition serves
+    * the base staging and the incremental batch encode, so the frozen-model
+    * invariant (batch encoded with EXACTLY the base build's rule) cannot
+    * drift between two hand-maintained copies. The self-contained capped/
+    * uncapped builders keep their inline copy by design: they ARE the
+    * reference the bit-identity pins compare to. */
+  private def frozenSparseWeight(tf: Column, nDocs: Column, df: Column): Column =
+    (tf * round(log(nDocs.cast("double") / df) * 10000, 0).cast("long")).as("w")
+
+  /** Dominant-term argmax under frozen weights (highest w, term-asc
+    * tie-break): (doc_id, tid, term, w, …) → (doc_id, top_tid). Shared by
+    * the base staging and the batch encode for the same reason as the
+    * weight formula. */
+  private def dominantBlock(w: DataFrame): DataFrame =
+    w.withColumn("rn",
+        row_number().over(
+          Window.partitionBy(col("doc_id")).orderBy(col("w").desc, col("term"))))
+      .filter(col("rn") === 1).select(col("doc_id"), col("tid").as("top_tid"))
+
   /** Shared base staging for the sparse index family: tokenize → tf/df →
     * hashed dictionary (collision guard fired HERE, loudly — nothing is
     * cached on failure) → frozen integer weights → dominant-term argmax →
@@ -1165,12 +1187,8 @@ object LlmOpsExt {
       .head()
     val w = tf.join(broadcast(dict), "term").crossJoin(broadcast(n))
       .select($"doc_id", $"tid", $"term",
-        ($"tf" * round(log($"n_docs".cast("double") / $"df") * 10000, 0)
-          .cast("long")).as("w"))
-    val top = w.withColumn("rn",
-        row_number().over(
-          Window.partitionBy($"doc_id").orderBy($"w".desc, $"term")))
-      .filter($"rn" === 1).select($"doc_id", $"tid".as("top_tid"))
+        frozenSparseWeight($"tf", $"n_docs", $"df"))
+    val top = dominantBlock(w)
     val groups = top.groupBy($"top_tid")
       .agg(ceil(count(lit(1)).cast("double") / SparseCap).cast("int").as("g"))
     val norm = w.groupBy($"doc_id").agg(sum($"w" * $"w").as("ssq"))
@@ -1268,7 +1286,8 @@ object LlmOpsExt {
       val docs = table(s2, dir, "documents")
       // ---- base build: the shared staging, restricted to the base ----
       val (modelDf, groupsDf) =
-        stageSparsePostings(s2, "gspri", docs.filter($"doc_id" % 5 =!= 0))
+        stageSparsePostings(s2, "gspri",
+          docs.filter($"doc_id" % IncrGrowthMod =!= 0))
       // ---- frozen model staged beside the postings ----
       modelDf.createOrReplaceTempView("sparse_incr_model")
       s2.sql(
@@ -1281,17 +1300,13 @@ object LlmOpsExt {
         .option("path", s"$root/model").load()
       val baseG = s2.read.format("graft.sources.GraftStore")
         .option("path", s"$root/groups").load()
-      val batch = docs.filter($"doc_id" % 5 === 0)
+      val batch = docs.filter($"doc_id" % IncrGrowthMod === 0)
       val btf = spread(batch).select($"doc_id", explode(toks($"text")).as("term"))
         .groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
       val bw = btf.join(broadcast(model), "term") // inner: frozen vocab
         .select($"doc_id", $"tid", $"term",
-          ($"tf" * round(log($"n_docs".cast("double") / $"df") * 10000, 0)
-            .cast("long")).as("w"))
-      val btop = bw.withColumn("rn",
-          row_number().over(
-            Window.partitionBy($"doc_id").orderBy($"w".desc, $"term")))
-        .filter($"rn" === 1).select($"doc_id", $"tid".as("top_tid"))
+          frozenSparseWeight($"tf", $"n_docs", $"df"))
+      val btop = dominantBlock(bw)
       // a block NEW in the batch gets g from its own batch cardinality —
       // g=1 would hand a boilerplate-dominant growth batch one unbounded
       // salt cell, the exact skew hazard the cap bounds (r19 review)
@@ -1370,14 +1385,15 @@ object LlmOpsExt {
         |WHERE cosine >= 0.9
         |ORDER BY doc_a, doc_b""".stripMargin,
     // frozen-model incremental growth: idf (df, n_docs) computed over
-    // the BASE subset only (doc_id % 5 != 0); every document — base and
-    // appended batch — is weighted with that frozen idf, batch terms
+    // the BASE subset only (doc_id % IncrGrowthMod != 0, interpolated so
+    // the split cannot drift between the engines); every document — base
+    // and appended batch — is weighted with that frozen idf, batch terms
     // outside the base vocabulary drop (inner join with df)
     "q_sim_sparse_incr" ->
-      """WITH tok AS (SELECT doc_id, unnest(string_split(text,' ')) AS term FROM documents),
+      s"""WITH tok AS (SELECT doc_id, unnest(string_split(text,' ')) AS term FROM documents),
         |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
-        |df AS (SELECT term, count(*) AS df FROM tf WHERE doc_id % 5 != 0 GROUP BY 1),
-        |n AS (SELECT count(*) AS n_docs FROM documents WHERE doc_id % 5 != 0),
+        |df AS (SELECT term, count(*) AS df FROM tf WHERE doc_id % $IncrGrowthMod != 0 GROUP BY 1),
+        |n AS (SELECT count(*) AS n_docs FROM documents WHERE doc_id % $IncrGrowthMod != 0),
         |w AS (SELECT doc_id, tf.term,
         |    tf * CAST(round(ln(CAST(n_docs AS DOUBLE)/df) * 10000, 0) AS BIGINT) AS w
         |  FROM tf JOIN df ON tf.term = df.term CROSS JOIN n),

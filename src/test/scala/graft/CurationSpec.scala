@@ -220,7 +220,7 @@ class CurationSpec extends SparkSuite {
     assert(stored == logical,
       "appended codes table must equal the from-scratch re-encode")
     // the growth batch is actually IN the index (old ∪ new visibility)
-    val mod = graft.ops.LlmOpsExt.IvfPqIncrMod
+    val mod = graft.ops.LlmOpsExt.IncrGrowthMod
     assert(stored.exists(_._1 % mod == 0) && stored.exists(_._1 % mod != 0),
       "grown index must hold both base and appended vectors")
     // probe-path equivalence end to end: a SINGLE fresh write of the
