@@ -532,6 +532,14 @@ object GraftStore {
   // committed parent lists them (exactly the data-file rule), so the
   // atomic-swap / CAS / time-travel / CDF semantics hold verbatim.
   private[graft] val ChildPrefix = "_mchild."
+
+  /** Root-level staging prefixes for atomic metadata writes — ONE
+    * definition shared by the write sites and gcUnreferenced's
+    * crash-residue sweep (a renamed staging prefix must move the sweep
+    * with it or crash residue silently stops being reclaimed). */
+  private[graft] val ManifestTmpPrefix = ".manifest.tmp."
+  private[graft] val ChildTmpPrefix = ".mchild.tmp."
+  private[graft] val PartitionTmpPrefix = ".partition.tmp."
   private[graft] val DefaultShardThreshold = 4096
 
   /** Entries-per-manifest shard trigger AND per-child chunk bound.
@@ -675,7 +683,7 @@ object GraftStore {
   private def refreshChildMtime(f: File): Unit = {
     if (!f.setLastModified(System.currentTimeMillis())) {
       val tmp = Paths.get(f.getParent,
-        s".mchild.tmp.${java.util.UUID.randomUUID()}")
+        s"$ChildTmpPrefix${java.util.UUID.randomUUID()}")
       // catch every failure shape, not just IOException: the
       // ATOMIC_MOVE+REPLACE_EXISTING combination is implementation-
       // specific per Files.move, so a provider may throw
@@ -705,7 +713,7 @@ object GraftStore {
     val name = ChildPrefix + sha1hex(content)
     val target = Paths.get(path, name)
     if (!Files.exists(target)) {
-      val tmp = Paths.get(path, s".mchild.tmp.${java.util.UUID.randomUUID()}")
+      val tmp = Paths.get(path, s"$ChildTmpPrefix${java.util.UUID.randomUUID()}")
       Files.write(tmp, content)
       // two writers racing on identical content move identical bytes
       // onto the same name — REPLACE_EXISTING is benign by construction
@@ -1228,7 +1236,7 @@ object GraftStore {
       txns: Map[String, Long] = Map.empty,
       eqDels: Seq[EqDelete] = Seq.empty,
       regroup: Boolean = false): Unit = {
-    val tmp = Paths.get(path, s".manifest.tmp.${java.util.UUID.randomUUID()}")
+    val tmp = Paths.get(path, s"$ManifestTmpPrefix${java.util.UUID.randomUUID()}")
     // !uid = this manifest WRITE's unique identity — the only sound cache
     // key: version numbers restart when a table is dropped and recreated
     // in the same directory, and (mtime, size) collides across same-tick
@@ -1298,7 +1306,7 @@ object GraftStore {
     val latest = snapshotFiles(path).lastOption
       .map(_.getName.stripPrefix(ManifestName + ".v").toLong).getOrElse(0L)
     if (readVersion(path) < latest) {
-      val tmp = Paths.get(path, s".manifest.tmp.${java.util.UUID.randomUUID()}")
+      val tmp = Paths.get(path, s"$ManifestTmpPrefix${java.util.UUID.randomUUID()}")
       Files.copy(Paths.get(path, s"$ManifestName.v$latest"), tmp)
       Files.move(tmp, Paths.get(path, ManifestName),
         StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
@@ -2541,7 +2549,7 @@ object GraftStore {
       epoch = readEpoch(path), op = "evolve-partition")
     newCol match {
       case Some(c) =>
-        val tmp = Paths.get(path, s".partition.tmp.${java.util.UUID.randomUUID()}")
+        val tmp = Paths.get(path, s"$PartitionTmpPrefix${java.util.UUID.randomUUID()}")
         Files.write(tmp, c.getBytes(StandardCharsets.UTF_8))
         Files.move(tmp, Paths.get(path, PartitionFileName),
           StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
@@ -2617,7 +2625,7 @@ object GraftStore {
           case PartBucket(n, `from`) => PartBucket(n, to).render
           case t => t.render
         }.mkString(",")
-        val tmp = Paths.get(path, s".partition.tmp.${java.util.UUID.randomUUID()}")
+        val tmp = Paths.get(path, s"$PartitionTmpPrefix${java.util.UUID.randomUUID()}")
         Files.write(tmp, newSpec.getBytes(StandardCharsets.UTF_8))
         Files.move(tmp, Paths.get(path, PartitionFileName),
           StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
@@ -4065,9 +4073,21 @@ object GraftStore {
     val refChildren = (snapshotFiles(path) :+ new File(path, ManifestName))
       .flatMap(f => readManifestStructured(f).toSeq.flatMap(_._4.map(_.file)))
       .toSet
+    // crash-residue sweep: every atomic metadata write stages through a
+    // dot-tmp name in the table root (.manifest.tmp.*, .mchild.tmp.*,
+    // .partition.tmp.*) and a writer SIGKILLed between the stage and the
+    // ATOMIC_MOVE leaves that tmp behind forever — readers never look at
+    // it (all lookups are exact names), but nothing else reclaims it, so
+    // scheduled maintenance must. Same age guard: a young tmp may be an
+    // in-flight writer mid-move.
+    val tmpPrefixes =
+      Seq(ManifestTmpPrefix, ChildTmpPrefix, PartitionTmpPrefix)
     Option(new File(path).listFiles()).getOrElse(Array.empty).foreach { f =>
-      if (f.getName.startsWith(ChildPrefix) &&
-          !refChildren.contains(f.getName) && f.lastModified() <= cutoff)
+      val stale = f.lastModified() <= cutoff
+      if (stale && f.getName.startsWith(ChildPrefix) &&
+          !refChildren.contains(f.getName))
+        f.delete()
+      else if (stale && tmpPrefixes.exists(f.getName.startsWith))
         f.delete()
     }
     removed

@@ -349,6 +349,37 @@ class GraftProcedureSpec extends SparkSuite {
     youngOrphan.delete()
   }
 
+  test("remove_orphan_files sweeps crash-leftover metadata staging tmps, keeps young ones") {
+    // a writer SIGKILLed between staging a dot-tmp and the ATOMIC_MOVE
+    // leaves the tmp in the table root forever: readers never open it
+    // (all lookups are exact names), so only scheduled maintenance can
+    // reclaim it — same age guard as data orphans (a YOUNG tmp may be a
+    // live writer mid-move)
+    val path = freshTable("orphtmp")
+    val day = 86400000L
+    val stale = Seq(".manifest.tmp.deadbeef", ".mchild.tmp.deadbeef",
+      ".partition.tmp.deadbeef").map { n =>
+      val f = new File(path, n)
+      java.nio.file.Files.write(f.toPath, Array[Byte](1))
+      assert(f.setLastModified(System.currentTimeMillis() - day))
+      f
+    }
+    val young = new File(path, ".manifest.tmp.cafebabe")
+    java.nio.file.Files.write(young.toPath, Array[Byte](2))
+    val removed = s2.sql(
+      "CALL gproc.system.remove_orphan_files('orphtmp', 3600000)")
+      .collect()(0).getLong(0)
+    assert(removed == 0L, // tmps are metadata: not counted as DATA files
+      s"data-file count must be 0, got $removed")
+    stale.foreach(f =>
+      assert(!f.exists(), s"stale staging tmp ${f.getName} must be swept"))
+    assert(young.exists(), "young staging tmp may be a live writer mid-move")
+    // the table itself is untouched
+    assert(s2.sql("SELECT count(*) FROM gproc.orphtmp")
+      .collect()(0).getLong(0) == 300)
+    young.delete()
+  }
+
   test("SHOW PROCEDURES lists the surface; DESCRIBE PROCEDURE works; unknown procedure fails loudly") {
     val shown = s2.sql("SHOW PROCEDURES IN gproc.system").collect()
       .map(_.toString).mkString("\n")
