@@ -1927,4 +1927,37 @@ class GraftStoreSpec extends SparkSuite {
       assert(b > a, s"non-monotonic commit timestamps: $ts")
     }
   }
+
+  test("torn commit (snapshot claimed, pointer move lost): reads stay sane, next commit repairs, nothing lost") {
+    import spark.implicits._
+    // the crash window in the two-step commit: createLink claims
+    // _manifest.vN (the commit is DURABLE from this instant), then the
+    // writer dies before ATOMIC_MOVEing the pointer. Simulated exactly:
+    // commit v3 for real, then restore the pointer file to v2's bytes.
+    val path = tempTable()
+    writeDf(spark.range(0, 100, 1, 2).select($"id"), path)           // v1
+    writeDf(spark.range(100, 200, 1, 2).select($"id"), path,
+      mode = "append")                                               // v2
+    writeDf(spark.range(200, 300, 1, 2).select($"id"), path,
+      mode = "append")                                               // v3
+    java.nio.file.Files.copy(
+      new File(path, "_manifest.v2").toPath,
+      new File(path, "_manifest").toPath,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    // reads through the lagging pointer: documented staleness, no error
+    assert(readBack(path).count() == 200,
+      "a torn commit reads as the pointer's snapshot until repaired")
+    // but v3 is durably committed: time travel sees it
+    assert(spark.read.format("graft.sources.GraftStore")
+      .option("path", path).option("versionAsOf", "3").load().count() == 300)
+    // the next commit must merge against the HIGHEST snapshot (v3), not
+    // the stale pointer — claiming v4 and repairing the pointer; a merge
+    // against the pointer would either lose v3's rows or die on the claim
+    writeDf(spark.range(300, 400, 1, 2).select($"id"), path,
+      mode = "append")                                               // v4
+    assert(GraftStore.readVersion(path) == 4L,
+      "repair commit must claim v4 and re-point")
+    assert(readBack(path).orderBy($"id").collect().map(_.getLong(0)).toSeq ==
+      (0L until 400L), "the torn v3's rows must survive the repair")
+  }
 }
