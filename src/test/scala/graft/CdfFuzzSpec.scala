@@ -33,37 +33,7 @@ class CdfFuzzSpec extends SparkSuite {
       if (mor) "TBLPROPERTIES('write.mode'='merge-on-read')" else ""
     s2.sql(s"""CREATE TABLE cfz.t $props AS
       |SELECT id AS k, id * 10 AS v FROM range(0, 200)""".stripMargin)
-    var nextId = 200L
-    (1 to 10).foreach { _ =>
-      rnd.nextInt(10) match {
-        case 0 | 1 | 2 => // append a fresh id block
-          s2.sql(s"""INSERT INTO cfz.t
-            |SELECT id AS k, id * 10 AS v
-            |FROM range($nextId, ${nextId + 50})""".stripMargin)
-          nextId += 50
-        case 3 | 4 => // keyed delete
-          val m = 2 + rnd.nextInt(5)
-          s2.sql(s"DELETE FROM cfz.t WHERE k % $m = ${rnd.nextInt(m)}")
-        case 5 | 6 => // keyed update (pre-image delete + post-image insert)
-          val m = 2 + rnd.nextInt(5)
-          s2.sql(
-            s"UPDATE cfz.t SET v = v + 7 WHERE k % $m = ${rnd.nextInt(m)}")
-        case 7 | 8 => // merge upsert straddling the id frontier
-          val lo = nextId - 25
-          s2.sql(s"""MERGE INTO cfz.t t
-            |USING (SELECT id AS k, id * 10 + 1 AS v
-            |       FROM range($lo, ${lo + 50})) s
-            |ON t.k = s.k
-            |WHEN MATCHED THEN UPDATE SET v = s.v
-            |WHEN NOT MATCHED THEN INSERT (k, v) VALUES (s.k, s.v)"""
-            .stripMargin)
-          nextId += 25
-        case _ => // full overwrite: delete-all + insert-all in the feed
-          s2.sql(s"""INSERT OVERWRITE cfz.t
-            |SELECT id AS k, id * 10 + 3 AS v
-            |FROM range(0, ${100 + rnd.nextInt(100)})""".stripMargin)
-      }
-    }
+    FuzzDml.applyRandomOps(s2, "cfz.t", rnd, steps = 10, nextId0 = 200L)
     val path = s"$root/t"
     def fold(base: DataFrame, fromV: Long): Seq[String] = {
       val feed = spark.read.format("graft.sources.GraftStore")

@@ -1,0 +1,50 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Shared random-DML history generator for the fuzz suites. Emits
+  * appends, keyed DELETEs/UPDATEs, frontier-straddling MERGEs and
+  * INSERT OVERWRITEs against a (k BIGINT, v BIGINT) catalog table.
+  * Invariant by construction: `k` stays unique across the table (fresh
+  * id blocks, keyed updates, overwrites that clear first), so keyed
+  * CDC consumers (upsert-by-k mirrors) are well-defined over any
+  * generated history. Deterministic for a given Random. */
+object FuzzDml {
+
+  /** Apply `steps` random operations; returns the advanced id frontier. */
+  def applyRandomOps(s2: SparkSession, qualified: String,
+      rnd: scala.util.Random, steps: Int, nextId0: Long): Long = {
+    var nextId = nextId0
+    (1 to steps).foreach { _ =>
+      rnd.nextInt(10) match {
+        case 0 | 1 | 2 =>
+          s2.sql(s"""INSERT INTO $qualified
+            |SELECT id AS k, id * 10 AS v
+            |FROM range($nextId, ${nextId + 50})""".stripMargin)
+          nextId += 50
+        case 3 | 4 =>
+          val m = 2 + rnd.nextInt(5)
+          s2.sql(s"DELETE FROM $qualified WHERE k % $m = ${rnd.nextInt(m)}")
+        case 5 | 6 =>
+          val m = 2 + rnd.nextInt(5)
+          s2.sql(
+            s"UPDATE $qualified SET v = v + 7 WHERE k % $m = ${rnd.nextInt(m)}")
+        case 7 | 8 =>
+          val lo = nextId - 25
+          s2.sql(s"""MERGE INTO $qualified t
+            |USING (SELECT id AS k, id * 10 + 1 AS v
+            |       FROM range($lo, ${lo + 50})) s
+            |ON t.k = s.k
+            |WHEN MATCHED THEN UPDATE SET v = s.v
+            |WHEN NOT MATCHED THEN INSERT (k, v) VALUES (s.k, s.v)"""
+            .stripMargin)
+          nextId += 25
+        case _ =>
+          s2.sql(s"""INSERT OVERWRITE $qualified
+            |SELECT id AS k, id * 10 + 3 AS v
+            |FROM range(0, ${100 + rnd.nextInt(100)})""".stripMargin)
+      }
+    }
+    nextId
+  }
+}
