@@ -33,8 +33,9 @@ class CdfFuzzSpec extends SparkSuite {
       if (mor) "TBLPROPERTIES('write.mode'='merge-on-read')" else ""
     s2.sql(s"""CREATE TABLE cfz.t $props AS
       |SELECT id AS k, id * 10 AS v FROM range(0, 200)""".stripMargin)
-    FuzzDml.applyRandomOps(s2, "cfz.t", rnd, steps = 10, nextId0 = 200L)
     val path = s"$root/t"
+    FuzzDml.applyRandomOps(s2, "cfz.t", rnd, steps = 10, nextId0 = 200L,
+      restoreAt = Some(path))
     def fold(base: DataFrame, fromV: Long): Seq[String] = {
       val feed = spark.read.format("graft.sources.GraftStore")
         .option("path", path).option("changesFrom", fromV.toString).load()

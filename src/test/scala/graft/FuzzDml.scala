@@ -11,9 +11,15 @@ import org.apache.spark.sql.SparkSession
   * generated history. Deterministic for a given Random. */
 object FuzzDml {
 
-  /** Apply `steps` random operations; returns the advanced id frontier. */
+  /** Apply `steps` random operations; returns the advanced id frontier.
+    * With `restoreAt` (the table's filesystem path) the overwrite slot
+    * sometimes issues `CALL restore` to a random retained version
+    * instead — the re-added-files CDF branch under random composition.
+    * The extra Random draw happens only when `restoreAt` is set, so
+    * histories generated without it keep their exact op sequences. */
   def applyRandomOps(s2: SparkSession, qualified: String,
-      rnd: scala.util.Random, steps: Int, nextId0: Long): Long = {
+      rnd: scala.util.Random, steps: Int, nextId0: Long,
+      restoreAt: Option[String] = None): Long = {
     var nextId = nextId0
     (1 to steps).foreach { _ =>
       rnd.nextInt(10) match {
@@ -40,9 +46,19 @@ object FuzzDml {
             .stripMargin)
           nextId += 25
         case _ =>
-          s2.sql(s"""INSERT OVERWRITE $qualified
-            |SELECT id AS k, id * 10 + 3 AS v
-            |FROM range(0, ${100 + rnd.nextInt(100)})""".stripMargin)
+          val retained = restoreAt.filter(_ => rnd.nextBoolean())
+            .map(p => graft.sources.GraftStore.history(p).map(_._1).sorted)
+            .filter(_.length >= 2)
+          retained match {
+            case Some(vs) => // roll back to a random earlier snapshot
+              val Array(cat, tbl) = qualified.split('\\.')
+              val v = vs.init(rnd.nextInt(vs.length - 1))
+              s2.sql(s"CALL $cat.system.restore('$tbl', $v)").collect()
+            case None =>
+              s2.sql(s"""INSERT OVERWRITE $qualified
+                |SELECT id AS k, id * 10 + 3 AS v
+                |FROM range(0, ${100 + rnd.nextInt(100)})""".stripMargin)
+          }
       }
     }
     nextId

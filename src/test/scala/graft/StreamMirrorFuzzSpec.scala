@@ -67,12 +67,13 @@ class StreamMirrorFuzzSpec extends SparkSuite {
     try {
       // tranche 1: the stream consumes a live prefix of the history
       val next = FuzzDml.applyRandomOps(s2, "smz.t", rnd, steps = 5,
-        nextId0 = 200L)
+        nextId0 = 200L, restoreAt = Some(src))
       q.processAllAvailable()
       assert(content(mirror) == content(src),
         s"$tag: mirror diverged after the first tranche")
       // tranche 2: more DML lands while the checkpoint already exists
-      FuzzDml.applyRandomOps(s2, "smz.t", rnd, steps = 5, nextId0 = next)
+      FuzzDml.applyRandomOps(s2, "smz.t", rnd, steps = 5, nextId0 = next,
+        restoreAt = Some(src))
       q.processAllAvailable()
     } finally q.stop()
     val got = content(mirror)
