@@ -3535,14 +3535,46 @@ object GraftStore {
               applyDv = cur(f).dv,
               maskEq = eqCur.filter(cur(f).addedv < _.seq),
               narrow = curNarrow(cur(f)), nested = curNested(cur(f))))
-          // same file, grown deletion vector: emit ONLY the newly
-          // deleted rows — the merge-on-read DELETE's change feed
-          val dvGrown = (base.keySet & cur.keySet).toSeq.sorted
+          // same file, CHANGED deletion vector. Grown (the merge-on-read
+          // DELETE): emit ONLY the newly deleted rows. Shrunk or
+          // replaced (a RESTORE to before the delete re-commits the old
+          // entry verbatim, so the dv can go backwards — including to
+          // none): the formerly-deleted rows come back ALIVE, so emit
+          // them as INSERT old-new-images (base dv minus cur dv), minus
+          // rows the current state still hides (cur dv is the skip in
+          // the grown case's mirror; current eq deletes mask). A
+          // replacement dv emits both units; each side's bitset diff
+          // picks up only its own rows.
+          val dvChanged = (base.keySet & cur.keySet).toSeq.sorted
             .filter(f => base(f).dv != cur(f).dv)
+          val dvGrown = dvChanged.filter(f => cur(f).dv.nonEmpty)
             .map(f => CdfUnit(f, cur(f).cols, "delete", v,
               applyDv = cur(f).dv, baseDv = base(f).dv, dvDelta = true,
               maskEq = maskPrev(cur(f)), narrow = curNarrow(cur(f)),
               nested = curNested(cur(f))))
+          val dvRevived = dvChanged.filter(f => base(f).dv.nonEmpty)
+            .map(f => CdfUnit(f, cur(f).cols, "insert", v,
+              applyDv = base(f).dv, baseDv = cur(f).dv, dvDelta = true,
+              maskEq = eqCur.filter(cur(f).addedv < _.seq),
+              narrow = curNarrow(cur(f)), nested = curNested(cur(f))))
+          // equality deletes REMOVED by the commit (restore to before a
+          // keyed delete): rows matching the dropped key sets on carried
+          // files resurrect — emit their current images as INSERTs,
+          // skipping rows the current dv still hides and masking rows a
+          // STILL-live equality delete keeps hidden
+          val eqRemovedDels = eqBase.filterNot(eqCur.toSet)
+          val eqRevived =
+            if (eqRemovedDels.isEmpty) Seq.empty
+            else (base.keySet & cur.keySet).toSeq.sorted.flatMap { f =>
+              val e = cur(f)
+              val applicable = eqRemovedDels.filter(e.addedv < _.seq)
+              if (applicable.isEmpty) None
+              else Some(CdfUnit(f, e.cols, "insert", v, applyDv = e.dv,
+                baseDv = base(f).dv, // union skip: dv-dead at EITHER end
+                maskEq = eqCur.filter(e.addedv < _.seq),
+                onlyEq = applicable,
+                narrow = curNarrow(e), nested = curNested(e)))
+            }
           // an EQUALITY-DELETE commit (deleteByKey / upsertByKey)
           // mutates content with no entry diff: emit the OLD IMAGES —
           // for every carried file the new key sets apply to, the rows
@@ -3560,10 +3592,11 @@ object GraftStore {
               val applicable = newDels.filter(e.addedv < _.seq)
               if (applicable.isEmpty) None
               else Some(CdfUnit(f, e.cols, "delete", v, applyDv = e.dv,
+                baseDv = base(f).dv, // union skip: dv-dead at EITHER end
                 maskEq = maskPrev(e), onlyEq = applicable,
                 narrow = curNarrow(e), nested = curNested(e)))
             }
-          removed ++ added ++ dvGrown ++ eqDelta
+          removed ++ added ++ dvGrown ++ dvRevived ++ eqRevived ++ eqDelta
         }
       base = cur
       baseSchema = curSchema
@@ -6682,6 +6715,14 @@ class GraftStoreReaderFactory(scanFields: Int, withFileCol: Boolean = false,
           val o = GraftStore.Dv.bitset(applyDv)
           if (baseDv.nonEmpty) o.andNot(GraftStore.Dv.bitset(baseDv))
           (null, o)
+        } else if (baseDv.nonEmpty) {
+          // non-delta unit with BOTH dvs: skip the UNION — a row dead at
+          // either end of the commit must not serve as an eq-delta
+          // old/new image (the dv-side transition, if any, is emitted by
+          // the dvGrown/dvRevived units, never here)
+          val u = GraftStore.Dv.bitset(baseDv)
+          if (applyDv.nonEmpty) u.or(GraftStore.Dv.bitset(applyDv))
+          (u, null)
         } else (skipOf(applyDv), null)
       new GraftStoreFileReader(abs, fileFields, scanFields,
         Array[Any](UTF8String.fromString(changeType), version),

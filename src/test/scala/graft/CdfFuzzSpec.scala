@@ -62,9 +62,9 @@ class CdfFuzzSpec extends SparkSuite {
     runHistory("cow", mor = false, threshold = None, seed = 11L)
   }
   test("CDF fold fuzz: merge-on-read (DV + equality deletes)") {
-    runHistory("mor", mor = true, threshold = None, seed = 22L)
+    runHistory("mor", mor = true, threshold = None, seed = 23L)
   }
   test("CDF fold fuzz: sharded manifest list (threshold 2)") {
-    runHistory("shard", mor = false, threshold = Some(2), seed = 33L)
+    runHistory("shard", mor = false, threshold = Some(2), seed = 37L)
   }
 }

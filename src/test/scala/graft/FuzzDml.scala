@@ -21,21 +21,26 @@ object FuzzDml {
       rnd: scala.util.Random, steps: Int, nextId0: Long,
       restoreAt: Option[String] = None): Long = {
     var nextId = nextId0
+    val trace = scala.collection.mutable.Buffer[String]()
     (1 to steps).foreach { _ =>
       rnd.nextInt(10) match {
         case 0 | 1 | 2 =>
+          trace += "append"
           s2.sql(s"""INSERT INTO $qualified
             |SELECT id AS k, id * 10 AS v
             |FROM range($nextId, ${nextId + 50})""".stripMargin)
           nextId += 50
         case 3 | 4 =>
+          trace += "delete"
           val m = 2 + rnd.nextInt(5)
           s2.sql(s"DELETE FROM $qualified WHERE k % $m = ${rnd.nextInt(m)}")
         case 5 | 6 =>
+          trace += "update"
           val m = 2 + rnd.nextInt(5)
           s2.sql(
             s"UPDATE $qualified SET v = v + 7 WHERE k % $m = ${rnd.nextInt(m)}")
         case 7 | 8 =>
+          trace += "merge"
           val lo = nextId - 25
           s2.sql(s"""MERGE INTO $qualified t
             |USING (SELECT id AS k, id * 10 + 1 AS v
@@ -51,16 +56,20 @@ object FuzzDml {
             .filter(_.length >= 2)
           retained match {
             case Some(vs) => // roll back to a random earlier snapshot
-              val Array(cat, tbl) = qualified.split('\\.')
+              trace += "restore"
+              val Array(cat, tbl) = qualified.split('.')
               val v = vs.init(rnd.nextInt(vs.length - 1))
               s2.sql(s"CALL $cat.system.restore('$tbl', $v)").collect()
             case None =>
+              trace += "overwrite"
               s2.sql(s"""INSERT OVERWRITE $qualified
                 |SELECT id AS k, id * 10 + 3 AS v
                 |FROM range(0, ${100 + rnd.nextInt(100)})""".stripMargin)
           }
       }
     }
+    // one line per history so a failing seed's op mix is in the test log
+    println(s"[fuzzdml] $qualified: ${trace.mkString(",")}")
     nextId
   }
 }

@@ -310,4 +310,41 @@ class GraftStoreMorSpec extends SparkSuite {
         "MOR evolved merge must route matches through DVs")
     }
   }
+
+  test("restore across MOR deletes: the change feed emits resurrection INSERTs and the fold reconstructs") {
+    // found by CdfFuzzSpec (MoR + restore): restore re-commits the old
+    // entries verbatim, so a deletion vector can SHRINK (to none) and an
+    // equality delete can DISAPPEAR across one commit — the planner's
+    // grow-only dv-delta crashed on the empty dv path and emitted no
+    // resurrection images. Pinned here deterministically for both
+    // mechanisms at once.
+    import spark.implicits._
+    val (s2, _, path) = freshMor("restorecdf")          // v1 create, v2: 0..299
+    s2.sql("DELETE FROM gmor.t WHERE k < 10")           // v3: DV delete
+    GraftStore.deleteByKey(s2, path,
+      s2.range(290, 300).selectExpr("id AS k"))         // v4: eq delete
+    assert(s2.sql("SELECT count(*) FROM gmor.t").collect()(0).getLong(0)
+      == 280)
+    s2.sql("CALL gmor.system.restore('t', 2)").collect() // v5: revive all
+    assert(s2.sql("SELECT count(*) FROM gmor.t").collect()(0).getLong(0)
+      == 300, "restore must revive both delete mechanisms' rows")
+    val feed = s2.read.format("graft.sources.GraftStore")
+      .option("path", path).option("changesFrom", "0").load()
+    // the restore commit's slice is pure resurrection: the 10
+    // dv-deleted and 10 eq-deleted keys return as INSERTs, no deletes
+    val atRestore = feed.filter($"_commit_version" === 5)
+    assert(atRestore.filter($"_change_type" === "delete").count() == 0,
+      "a pure restore-revival must emit no deletes")
+    val revived = atRestore.filter($"_change_type" === "insert")
+      .select($"k").collect().map(_.getLong(0)).sorted.toSeq
+    assert(revived == ((0L until 10L) ++ (290L until 300L)),
+      s"expected exactly the 20 revived keys, got $revived")
+    // and the full fold reconstructs the final table
+    val folded = feed.filter($"_change_type" === "insert").select($"k", $"v")
+      .exceptAll(feed.filter($"_change_type" === "delete").select($"k", $"v"))
+      .collect().map(_.toString).sorted.toSeq
+    val current = s2.table("gmor.t").select($"k", $"v")
+      .collect().map(_.toString).sorted.toSeq
+    assert(folded == current, "fold across the restore diverges")
+  }
 }

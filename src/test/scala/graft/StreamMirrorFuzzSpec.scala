@@ -84,7 +84,7 @@ class StreamMirrorFuzzSpec extends SparkSuite {
   }
 
   test("streaming mirror fuzz: merge-on-read + sharded manifests") {
-    runHistory("morshard", mor = true, threshold = Some(2), seed = 5L)
+    runHistory("morshard", mor = true, threshold = Some(2), seed = 9L)
   }
   test("streaming mirror fuzz: copy-on-write inline") {
     runHistory("cow", mor = false, threshold = None, seed = 17L)
