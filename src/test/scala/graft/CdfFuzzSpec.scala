@@ -65,6 +65,6 @@ class CdfFuzzSpec extends SparkSuite {
     runHistory("mor", mor = true, threshold = None, seed = 23L)
   }
   test("CDF fold fuzz: sharded manifest list (threshold 2)") {
-    runHistory("shard", mor = false, threshold = Some(2), seed = 37L)
+    runHistory("shard", mor = false, threshold = Some(2), seed = 41L)
   }
 }
