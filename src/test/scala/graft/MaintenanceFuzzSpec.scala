@@ -36,7 +36,13 @@ class MaintenanceFuzzSpec extends SparkSuite {
     val path = s"$root/t"
     var nextId = 200L
     (1 to 14).foreach { step =>
-      rnd.nextInt(10) match {
+      rnd.nextInt(11) match {
+        case 10 => // restore: content-CHANGING rollback between maintenance
+          val vs = GraftStore.history(path).map(_._1).sorted
+          if (vs.length >= 2) {
+            val v = vs.init(rnd.nextInt(vs.length - 1))
+            s2.sql(s"CALL mfz.system.restore('t', $v)").collect()
+          }
         case 0 | 1 =>
           s2.sql(s"""INSERT INTO mfz.t
             |SELECT id AS k, id * 10 AS v
@@ -79,6 +85,9 @@ class MaintenanceFuzzSpec extends SparkSuite {
             s"$tag step $step: '$call' must be change-feed-silent")
       }
     }
+    // one line per history so a failing seed's op mix is in the test log
+    println(s"[maintfuzz] $tag ops: " +
+      GraftStore.history(path).map(_._4).mkString(","))
     // maintenance never broke the full replay either
     val feed = spark.read.format("graft.sources.GraftStore")
       .option("path", path).option("changesFrom", "0").load()
