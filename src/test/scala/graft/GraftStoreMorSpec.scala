@@ -347,4 +347,42 @@ class GraftStoreMorSpec extends SparkSuite {
       .collect().map(_.toString).sorted.toSeq
     assert(folded == current, "fold across the restore diverges")
   }
+
+  test("signed incremental MV refresh stays exact across a restore (rollback-safe IVM)") {
+    // the nightly warehouse loop (q_store_mv's +insert/-delete fold)
+    // composed with an ops rollback: the resurrection INSERTs the
+    // restore commit now emits are exactly what keeps the rollup in
+    // lockstep without a rescan
+    import spark.implicits._
+    val (s2, _, path) = freshMor("ivmrestore")
+    val v1 = GraftStore.readVersion(path)
+    def rollup(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy(($"k" % 10).as("b"))
+        .agg(sum($"v").as("s"), count(lit(1)).as("n"))
+    val mv0 = rollup(s2.table("gmor.t")).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    s2.sql("DELETE FROM gmor.t WHERE k % 7 = 0")          // DV delete
+    GraftStore.deleteByKey(s2, path,
+      s2.range(250, 260).selectExpr("id AS k"))           // eq delete
+    s2.sql("INSERT INTO gmor.t SELECT id AS k, id AS v FROM range(500, 550)")
+    s2.sql(s"CALL gmor.system.restore('t', $v1)").collect() // rollback
+    val v2 = GraftStore.readVersion(path)
+    val sgn = when($"_change_type" === "insert", 1L).otherwise(-1L)
+    val delta = s2.read.format("graft.sources.GraftStore")
+      .option("path", path).option("changesFrom", v1.toString)
+      .option("changesTo", v2.toString).load()
+      .groupBy(($"k" % 10).as("b"))
+      .agg(sum($"v" * sgn).as("s"), sum(sgn).as("n"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val refreshed = (mv0.keySet ++ delta.keySet).map { b =>
+      val (s0, n0) = mv0.getOrElse(b, (0L, 0L))
+      val (ds, dn) = delta.getOrElse(b, (0L, 0L))
+      b -> (s0 + ds, n0 + dn)
+    }.filter(_._2._2 > 0).toMap
+    val recomputed = rollup(s2.table("gmor.t")).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(refreshed == recomputed,
+      s"incremental refresh diverged from recompute across the restore: " +
+        s"refreshed=$refreshed recomputed=$recomputed")
+  }
 }
