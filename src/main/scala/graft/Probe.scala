@@ -1,0 +1,127 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Scratch phase-attribution probe for optimization work (round 19).
+  * Not part of the driver contract; run ad hoc:
+  *   SPARK_GRAFT_CPUS=32 sbt "runMain graft.Probe <sfDir> <what>"
+  */
+object Probe {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val what = args.drop(1).headOption.getOrElse("pagerank")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val builder = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+    if (sys.env.get("PROBE_KRYO").contains("1"))
+      builder.config("spark.serializer",
+        "org.apache.spark.serializer.KryoSerializer")
+    val spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    try SparkEntry.queries("q_scan_parquet")(spark, sfDir).count()
+    catch { case scala.util.control.NonFatal(_) => }
+    def t[A](label: String)(f: => A): A = {
+      val t0 = System.nanoTime(); val r = f
+      println(f"[probe] $label%-28s ${(System.nanoTime() - t0) / 1e9}%8.3f s")
+      r
+    }
+    what match {
+      case s"plan:$q:$out" =>
+        // dump explain("formatted") for a registry query (or an `old:`
+        // reconstruction below) to a file — evidence for plans/r19/
+        val df = q match {
+          case "old_q_udtf" => oldQUdtf(spark, sfDir)
+          case name => SparkEntry.queries(name)(spark, sfDir)
+        }
+        val w = new java.io.PrintWriter(out)
+        try w.println(df.queryExecution.explainString(
+          org.apache.spark.sql.execution.FormattedMode).trim)
+        finally w.close()
+        println(s"[probe] wrote $out")
+      case "pagerank" => probePagerank(spark, sfDir, t)
+      case "ab_udtf" =>
+        (1 to 5).foreach { i =>
+          t(s"old q_udtf run$i")(oldQUdtf(spark, sfDir).count())
+          t(s"new q_udtf run$i")(
+            SparkEntry.queries("q_udtf")(spark, sfDir).count())
+        }
+      case q => // generic: run the registry query N times, min
+        val fn = SparkEntry.queries(q)
+        (1 to 6).foreach { i =>
+          graft.ops.Util.unpersistRegistered()
+          t(s"$q run$i")(fn(spark, sfDir).count())
+        }
+    }
+    spark.stop()
+  }
+
+  /** q_udtf's round-18 HOF formulation, kept verbatim for before/after
+    * plan evidence and A/B timing (`old_q_udtf`). */
+  private def oldQUdtf(s: SparkSession, dir: String) = {
+    import org.apache.spark.sql.functions._
+    import s.implicits._
+    val ws = split($"text", " ")
+    val sh = when(size(ws) >= 3,
+      transform(sequence(lit(1), size(ws) - 2),
+        i => concat_ws(" ", slice(ws, i, lit(3))))).otherwise(array())
+    graft.ops.Util.spread(graft.ops.Util.table(s, dir, "documents"))
+      .select($"doc_id", sh.as("sh"))
+      .filter(size($"sh") > 0)
+      .select($"doc_id",
+        size($"sh").cast("long").as("n_shingles"),
+        size(array_distinct($"sh")).cast("long").as("n_distinct"))
+      .orderBy($"doc_id")
+  }
+
+  private def probePagerank(s: SparkSession, dir: String,
+      t: String => (=> Long) => Long): Unit = {
+    import org.apache.spark.sql.functions._
+    import s.implicits._
+    (1 to 3).foreach { round =>
+      graft.ops.Util.unpersistRegistered()
+      println(s"[probe] --- pagerank round $round ---")
+      val li = graft.ops.Util.table(s, dir, "lineitem")
+        .filter($"l_returnflag" === "R")
+        .select($"l_orderkey", $"l_partkey")
+      val e1 = li.as("a").join(li.as("b"),
+          $"a.l_orderkey" === $"b.l_orderkey" &&
+            $"a.l_partkey" < $"b.l_partkey")
+        .select($"a.l_partkey".as("u"), $"b.l_partkey".as("v"))
+        .distinct()
+      val e1c = graft.ops.Util.cached(e1)
+      val nEdges = t("e1 build+count")(e1c.count()) * 2
+      val perPart = sys.env.getOrElse("PROBE_EDGES_PER_PART", "65536").toLong
+      val part = new org.apache.spark.HashPartitioner(
+        math.max(1, math.min(s.sparkContext.defaultParallelism,
+          (nEdges / perPart + 1).toInt)))
+      println(s"[probe] partitions=${part.numPartitions} nEdges=$nEdges")
+      val und = graft.ops.Util.cachedRdd(e1c.as[(Long, Long)].rdd
+        .flatMap { case (u, v) => Seq((u, v), (v, u)) }
+        .partitionBy(part))
+      val deg = und.mapValues(_ => 1L).reduceByKey(part, _ + _)
+      val ed = graft.ops.Util.cachedRdd(und.join(deg, part))
+      val n = t("deg count (und+deg+ed mat)")(deg.count())
+      val base = 0.15 / n
+      var ranks = deg.mapValues(_ => 1.0 / n)
+      val stepwise = sys.env.get("PROBE_STEPWISE").contains("1")
+      (1 to 5).foreach { i =>
+        val contribs = ed.join(ranks, part).map { case (_, ((v, dg), r)) =>
+          (v, math.floor(r / dg * 1e12).toLong)
+        }
+        ranks = contribs.reduceByKey(part, _ + _)
+          .mapValues(sq => base + 0.85 * (sq.toDouble / 1e12))
+        if (stepwise) {
+          graft.ops.Util.cachedRdd(ranks)
+          t(s"superstep $i")(ranks.count())
+        }
+      }
+      t(if (stepwise) "final toDF+orderBy" else "5 supersteps + toDF+orderBy") {
+        ranks.toDF("node", "rank").orderBy($"node").count()
+      }
+    }
+  }
+}

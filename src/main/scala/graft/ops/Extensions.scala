@@ -166,24 +166,37 @@ object Extensions {
       .orderBy($"p_event_id")
   }
 
-  /** UDTF surface v1: shingle stats as pure per-row array expressions.
-    * Both outputs are computable without generating rows — size() and
-    * size(array_distinct()) over the shingle array stay inside whole-stage
-    * codegen with zero explode and zero shuffle (the explode+groupBy shape
-    * that demonstrates a real Generator lives in q_udtf_gen). The filter
-    * mirrors explode semantics: docs with no shingles emit no row. */
+  /** UDTF surface v1: shingle stats as pure per-row expressions — zero
+    * explode, zero extra shuffle (the explode+groupBy shape that
+    * demonstrates a real Generator lives in q_udtf_gen).
+    *
+    * Round 19 (optimization): the original form — size() and
+    * size(array_distinct()) over a `transform(sequence(...), i ->
+    * concat_ws(" ", slice(ws,i,3)))` shingle array — ran every shingle
+    * through CodegenFallback HOFs (interpreted per-element walk + a
+    * materialized string per shingle + a second array_distinct pass);
+    * that chain WAS this query's cost (measured ~1.9 s isolated at
+    * sf0.1). Both outputs are computable without the array:
+    * n_shingles for a kept doc is (#words − 2) = (#spaces − 1), counted
+    * with length/translate (pure codegen byte ops); n_distinct is the
+    * native single-pass ShingleDistinctCount expression (zero-copy
+    * UTF8String window views into a hash set — semantics proven equal
+    * to the HOF form in ExprParitySpec, and the DuckDB oracle is
+    * unchanged). The filter mirrors explode semantics: docs with no
+    * shingles (< 3 words or NULL text) emit no row. */
   val qUdtf: Q = (s, dir) => {
     import s.implicits._
-    val ws = split($"text", " ")
-    val sh = when(size(ws) >= 3,
-      transform(sequence(lit(1), size(ws) - 2),
-        i => concat_ws(" ", slice(ws, i, lit(3))))).otherwise(array())
+    val nsp = (length($"text") -
+      length(translate($"text", " ", ""))).as("nsp")
     graft.ops.Util.spread(table(s, dir, "documents"))
-      .select($"doc_id", sh.as("sh"))
-      .filter(size($"sh") > 0)
+      .select($"doc_id", $"text", nsp)
+      .filter($"nsp" >= 2)
       .select($"doc_id",
-        size($"sh").cast("long").as("n_shingles"),
-        size(array_distinct($"sh")).cast("long").as("n_distinct"))
+        ($"nsp" - 1).cast("long").as("n_shingles"),
+        org.apache.spark.sql.graft.GraftSql.column(
+          graft.functions.ShingleDistinctCount(
+            org.apache.spark.sql.graft.GraftSql.expression($"text"), 3))
+          .as("n_distinct"))
       .orderBy($"doc_id")
   }
 

@@ -144,6 +144,60 @@ class PropertySpec extends SparkSuite {
     assert(r.isNullAt(0), "length mismatch must yield null")
   }
 
+  test("ShingleDistinctCount equals the HOF size(array_distinct(transform)) form") {
+    import spark.implicits._
+    // the native expression replaced q_udtf's CodegenFallback HOF chain on
+    // the promise of IDENTICAL semantics: words = split(text," ",-1)
+    // (empty + trailing words kept), shingle = 3 words joined with " ",
+    // count = distinct shingles. Exercise adversarial spacing (leading /
+    // trailing / consecutive spaces), repeats, multi-byte UTF-8.
+    val wordGen = Gen.oneOf("a", "bb", "ccc", "", "émü", "字", "a")
+    val textGen = for {
+      n <- Gen.choose(0, 30)
+      ws <- Gen.listOfN(n, wordGen)
+      lead <- Gen.oneOf("", " ", "  ")
+      trail <- Gen.oneOf("", " ", "  ")
+    } yield lead + ws.mkString(" ") + trail
+    forAll(textGen, 40) { text =>
+      val df = Seq(Tuple1(text)).toDF("text")
+      val ws = split($"text", " ")
+      val sh = when(size(ws) >= 3,
+        transform(sequence(lit(1), size(ws) - 2),
+          i => concat_ws(" ", slice(ws, i, lit(3))))).otherwise(array())
+      val hof = df.select(size(array_distinct(sh)).cast("long")).head.getLong(0)
+      val native = df.select(org.apache.spark.sql.graft.GraftSql.column(
+        graft.functions.ShingleDistinctCount(
+          org.apache.spark.sql.graft.GraftSql.expression($"text"), 3)))
+        .head.getLong(0)
+      assert(hof == native, s"distinct-shingle mismatch on '$text': " +
+        s"hof=$hof native=$native")
+    }
+    // NULL text -> NULL (the query filters such docs out either way)
+    val r = Seq(Tuple1(null: String)).toDF("text")
+      .select(org.apache.spark.sql.graft.GraftSql.column(
+        graft.functions.ShingleDistinctCount(
+          org.apache.spark.sql.graft.GraftSql.expression($"text"), 3))).head
+    assert(r.isNullAt(0), "null text must yield null")
+  }
+
+  test("q_udtf native form row-matches the round-18 HOF formulation on the fixtures") {
+    import spark.implicits._
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val ws = split($"text", " ")
+    val sh = when(size(ws) >= 3,
+      transform(sequence(lit(1), size(ws) - 2),
+        i => concat_ws(" ", slice(ws, i, lit(3))))).otherwise(array())
+    val old = docs.select($"doc_id", sh.as("sh"))
+      .filter(size($"sh") > 0)
+      .select($"doc_id", size($"sh").cast("long").as("n_shingles"),
+        size(array_distinct($"sh")).cast("long").as("n_distinct"))
+      .orderBy($"doc_id").collect()
+    val now = SparkEntry.queries("q_udtf")(spark, sfDir).collect()
+    assert(old.length == now.length,
+      s"row count drift: old=${old.length} now=${now.length}")
+    old.zip(now).foreach { case (a, b) => assert(a == b, s"row drift: $a vs $b") }
+  }
+
   test("MinHashLanes kernel equals the explode+groupBy md5-substring aggregation") {
     import spark.implicits._
     // the per-row kernel replaced the shuffle-based signature pipeline on
