@@ -43,6 +43,27 @@ object Probe {
         finally w.close()
         println(s"[probe] wrote $out")
       case "pagerank" => probePagerank(spark, sfDir, t)
+      case "ab_bigram" =>
+        import org.apache.spark.sql.functions._
+        import spark.implicits._
+        // old vs new bigram_lm front end, identical downstream consumer
+        def oldBig = graft.ops.Util.spread(
+            graft.ops.Util.table(spark, sfDir, "documents"))
+          .select($"doc_id", split($"text", " ").as("ws"))
+          .filter(size($"ws") >= 2)
+          .select($"doc_id", explode(transform(sequence(lit(1), size($"ws") - 1),
+            i => struct(element_at($"ws", i).as("w1"),
+              element_at($"ws", i + 1).as("w2")))).as("b"))
+          .select($"doc_id", $"b.w1".as("w1"), $"b.w2".as("w2"))
+        spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+          "bigrams2", exprs => graft.ops.WordPairGenerator(exprs.head), "scala_udf")
+        def newBig = graft.ops.Util.spread(
+            graft.ops.Util.table(spark, sfDir, "documents"))
+          .selectExpr("doc_id", "bigrams2(text) AS (w1, w2)")
+        (1 to 5).foreach { i =>
+          t(s"old bigram explode run$i")(oldBig.count())
+          t(s"new bigram explode run$i")(newBig.count())
+        }
       case "ab_udtf" =>
         (1 to 5).foreach { i =>
           t(s"old q_udtf run$i")(oldQUdtf(spark, sfDir).count())

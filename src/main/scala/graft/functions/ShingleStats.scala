@@ -54,6 +54,103 @@ case class ShingleDistinctCount(child: Expression, n: Int)
     copy(child = newChild)
 }
 
+/** Codegen'd per-document repetition statistics — one pass over the text
+  * bytes computing exactly what q_text_repetition's two explode →
+  * groupBy(doc, token) → groupBy(doc) pipelines computed:
+  * (n_toks, n_distinct, top_w, n_bi, top_b) with
+  * words = split(text, " ") (empty + trailing words kept) and
+  * bigram = two adjacent words joined with " " (= the byte slice of the
+  * original text covering both words, since the joiner is the same
+  * single space the text was split on).
+  *
+  * The relational form shuffled every (doc, token) and (doc, bigram) pair
+  * twice; per-document state is bounded by the document itself (KBs), so
+  * this is a strictly better 100 TB shape: a scan-side projection with
+  * ZERO corpus shuffle. Returns NULL when the doc has < 2 words (the old
+  * inner join on bigram stats dropped those docs) or the text is NULL.
+  * Parity with the relational form is pinned in PropertySpec.
+  */
+case class RepetitionStats(child: Expression)
+    extends UnaryExpression {
+
+  override def dataType: DataType = RepetitionStats.schema
+  override def prettyName: String = "repetition_stats"
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires string input, got ${other.catalogString}")
+  }
+
+  override protected def nullSafeEval(t: Any): Any =
+    RepetitionStats.compute(t.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      |${ev.value} = graft.functions.RepetitionStats.compute($c);
+      |${ev.isNull} = (${ev.value} == null);
+      """.stripMargin)
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object RepetitionStats {
+  import org.apache.spark.sql.types.{LongType, StructField, StructType}
+
+  val schema: StructType = StructType(Seq(
+    StructField("n_toks", LongType, nullable = false),
+    StructField("n_distinct", LongType, nullable = false),
+    StructField("top_w", LongType, nullable = false),
+    StructField("n_bi", LongType, nullable = false),
+    StructField("top_b", LongType, nullable = false)))
+
+  /** Called from generated code. Returns null for < 2 words. */
+  def compute(s: UTF8String): org.apache.spark.sql.catalyst.InternalRow = {
+    val base = s.getBaseObject
+    val off = s.getBaseOffset
+    val len = s.numBytes()
+    var starts = new Array[Int](16)
+    starts(0) = 0
+    var nWords = 1
+    var i = 0
+    while (i < len) {
+      if (org.apache.spark.unsafe.Platform.getByte(base, off + i) == 0x20) {
+        if (nWords == starts.length)
+          starts = java.util.Arrays.copyOf(starts, nWords * 2)
+        starts(nWords) = i + 1
+        nWords += 1
+      }
+      i += 1
+    }
+    if (nWords < 2) return null
+    def slice(startWord: Int, endWord: Int): UTF8String = {
+      val a = starts(startWord)
+      val b = if (endWord + 1 < nWords) starts(endWord + 1) - 1 else len
+      UTF8String.fromAddress(base, off + a, b - a)
+    }
+    val wc = new java.util.HashMap[UTF8String, Array[Long]](nWords * 2)
+    val bc = new java.util.HashMap[UTF8String, Array[Long]](nWords * 2)
+    var topW = 0L
+    var topB = 0L
+    var k = 0
+    while (k < nWords) {
+      val c = wc.computeIfAbsent(slice(k, k), _ => new Array[Long](1))
+      c(0) += 1
+      if (c(0) > topW) topW = c(0)
+      if (k + 1 < nWords) {
+        val cb = bc.computeIfAbsent(slice(k, k + 1), _ => new Array[Long](1))
+        cb(0) += 1
+        if (cb(0) > topB) topB = cb(0)
+      }
+      k += 1
+    }
+    org.apache.spark.sql.catalyst.InternalRow(
+      nWords.toLong, wc.size.toLong, topW, (nWords - 1).toLong, topB)
+  }
+}
+
 object ShingleDistinctCount {
   /** Single pass: find space positions, then insert one zero-copy
     * UTF8String view per shingle window into a hash set. O(bytes) time,

@@ -115,26 +115,30 @@ object Corpus {
     * friendly (the per-(doc, gram) combine happens map-side). */
   val qTextRepetition: Q = (s, dir) => {
     import s.implicits._
-    val d = table(s, dir, "documents")
-      .select($"doc_id", LlmOps.toks($"text").as("ws"))
-    val wstats = d.select($"doc_id", explode($"ws").as("w"))
-      .groupBy($"doc_id", $"w").agg(count(lit(1)).as("c"))
-      .groupBy($"doc_id")
-      .agg(sum($"c").as("n_toks"), count(lit(1)).as("n_distinct"),
-        max($"c").as("top_w"))
-    val bigrams = when(size($"ws") >= 2,
-      transform(sequence(lit(1), size($"ws") - 1),
-        i => concat_ws(" ", slice($"ws", i, lit(2)))))
-      .otherwise(array())
-    val bstats = d.select($"doc_id", explode(bigrams).as("b"))
-      .groupBy($"doc_id", $"b").agg(count(lit(1)).as("c"))
-      .groupBy($"doc_id")
-      .agg(sum($"c").as("n_bi"), max($"c").as("top_b"))
-    wstats.join(bstats, "doc_id")
-      .select($"doc_id", $"n_toks",
-        round($"n_distinct".cast("double") / $"n_toks", 6).as("distinct_ratio"),
-        round($"top_w".cast("double") / $"n_toks", 6).as("top_word_frac"),
-        round($"top_b".cast("double") / $"n_bi", 6).as("top_bigram_frac"))
+    // Round 19 (optimization): the relational form — two explode →
+    // groupBy(doc, token) → groupBy(doc) pipelines joined on doc_id —
+    // shuffled every (doc, token) and (doc, bigram) pair twice for
+    // statistics whose state is bounded by ONE document (KBs). The
+    // native RepetitionStats expression computes the identical five
+    // counters in one pass over the text bytes, so the query is now a
+    // scan-side projection with zero corpus shuffle — the strictly
+    // better shape at 100 TB (parity with the relational form pinned in
+    // PropertySpec; DuckDB oracle unchanged). The translate() filter
+    // reproduces the old inner join's drop of docs with < 2 words
+    // (NULL text drops too, like the old explode).
+    val st = org.apache.spark.sql.graft.GraftSql.column(
+      graft.functions.RepetitionStats(
+        org.apache.spark.sql.graft.GraftSql.expression($"text")))
+    table(s, dir, "documents")
+      .filter(length($"text") - length(translate($"text", " ", "")) >= 1)
+      .select($"doc_id", st.as("st"))
+      .select($"doc_id", $"st.n_toks".as("n_toks"),
+        round($"st.n_distinct".cast("double") / $"st.n_toks", 6)
+          .as("distinct_ratio"),
+        round($"st.top_w".cast("double") / $"st.n_toks", 6)
+          .as("top_word_frac"),
+        round($"st.top_b".cast("double") / $"st.n_bi", 6)
+          .as("top_bigram_frac"))
       .withColumn("flagged",
         $"distinct_ratio" < 0.5 || $"top_word_frac" > 0.15 ||
           $"top_bigram_frac" > 0.08)

@@ -338,14 +338,16 @@ object LlmOpsExt {
     // bigram explode feeds model counts AND the scoring join: cache it;
     // the model is vocab²-bounded (MBs at any corpus scale) — broadcast
     // it back onto the corpus like the unigram LM, never shuffle the
-    // corpus on the pair key
+    // corpus on the pair key. Bigrams come from the native
+    // WordPairGenerator (round 19): the HOF chain it replaces —
+    // explode(transform(sequence → struct(element_at, element_at))) —
+    // is CodegenFallback, so every bigram paid an interpreted
+    // expression-tree walk on top of materializing the word array
+    // (bit-identical word semantics pinned in PropertySpec).
+    s.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "bigrams2", exprs => WordPairGenerator(exprs.head), "scala_udf")
     val big = cached(spread(table(s, dir, "documents"))
-      .select($"doc_id", toks($"text").as("ws"))
-      .filter(size($"ws") >= 2)
-      .select($"doc_id", explode(transform(sequence(lit(1), size($"ws") - 1),
-        i => struct(element_at($"ws", i).as("w1"),
-          element_at($"ws", i + 1).as("w2")))).as("b"))
-      .select($"doc_id", $"b.w1".as("w1"), $"b.w2".as("w2")))
+      .selectExpr("doc_id", "bigrams2(text) AS (w1, w2)"))
     val cnt = big.groupBy($"w1", $"w2").agg(count(lit(1)).as("c12"))
     val ctx = cnt.groupBy($"w1").agg(sum($"c12").as("c1"))
     val model = cnt.join(ctx, "w1")
@@ -378,13 +380,12 @@ object LlmOpsExt {
   val qCuratePerplexity: Q = (s, dir) => {
     import s.implicits._
     val d = table(s, dir, "documents")
+    // native bigram generator — same rationale + parity pin as the
+    // bigram LM above
+    s.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "bigrams2", exprs => WordPairGenerator(exprs.head), "scala_udf")
     val big = cached(spread(d)
-      .select($"doc_id", toks($"text").as("ws"))
-      .filter(size($"ws") >= 2)
-      .select($"doc_id", explode(transform(sequence(lit(1), size($"ws") - 1),
-        i => struct(element_at($"ws", i).as("w1"),
-          element_at($"ws", i + 1).as("w2")))).as("b"))
-      .select($"doc_id", $"b.w1".as("w1"), $"b.w2".as("w2")))
+      .selectExpr("doc_id", "bigrams2(text) AS (w1, w2)"))
     val cnt = big.groupBy($"w1", $"w2").agg(count(lit(1)).as("c12"))
     val ctx = cnt.groupBy($"w1").agg(sum($"c12").as("c1"))
     val model = cnt.join(ctx, "w1")
@@ -434,11 +435,14 @@ object LlmOpsExt {
       .select(toks($"text").as("ws"))
     val uni = tok.select(explode($"ws").as("w"))
       .groupBy($"w").agg(count(lit(1)).as("c"))
-    val bi = tok.filter(size($"ws") >= 2)
-      .select(explode(transform(sequence(lit(1), size($"ws") - 1),
-        i => struct(element_at($"ws", i).as("w1"),
-          element_at($"ws", i + 1).as("w2")))).as("b"))
-      .groupBy($"b.w1".as("w1"), $"b.w2".as("w2"))
+    // native bigram generator (over text — it tokenizes itself with
+    // split(" ",-1) semantics) — same rationale + parity pin as the
+    // bigram LM
+    s.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "bigrams2", exprs => WordPairGenerator(exprs.head), "scala_udf")
+    val bi = table(s, dir, "documents")
+      .selectExpr("bigrams2(text) AS (w1, w2)")
+      .groupBy($"w1", $"w2")
       .agg(count(lit(1)).as("c12"))
     val totals = uni.agg(sum($"c").as("nt"))
       .crossJoin(bi.agg(sum($"c12").as("nb")))

@@ -198,6 +198,96 @@ class PropertySpec extends SparkSuite {
     old.zip(now).foreach { case (a, b) => assert(a == b, s"row drift: $a vs $b") }
   }
 
+  test("WordPairGenerator equals the HOF explode(transform(struct)) bigram form") {
+    import spark.implicits._
+    // the native generator replaced the bigram HOF chain in the bigram LM,
+    // perplexity gate and collocations on the promise of IDENTICAL
+    // semantics: words = split(text, " ") (empty + trailing words kept),
+    // one (w1, w2) row per adjacent pair, none for < 2 words or NULL.
+    val wordGen = Gen.oneOf("a", "bb", "ccc", "", "émü", "字")
+    val textGen = for {
+      n <- Gen.choose(0, 20)
+      ws <- Gen.listOfN(n, wordGen)
+      lead <- Gen.oneOf("", " ", "  ")
+      trail <- Gen.oneOf("", " ", "  ")
+    } yield lead + ws.mkString(" ") + trail
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "bigrams2", exprs => graft.ops.WordPairGenerator(exprs.head), "scala_udf")
+    forAll(textGen, 40) { text =>
+      val df = Seq(Tuple1(text)).toDF("text")
+      val ws = split($"text", " ")
+      val hof = df.filter(size(ws) >= 2)
+        .select(explode(transform(sequence(lit(1), size(ws) - 1),
+          i => struct(element_at(ws, i).as("w1"),
+            element_at(ws, i + 1).as("w2")))).as("b"))
+        .select($"b.w1", $"b.w2").collect().map(r => (r.getString(0), r.getString(1)))
+      val native = df.selectExpr("bigrams2(text) AS (w1, w2)")
+        .collect().map(r => (r.getString(0), r.getString(1)))
+      assert(hof.toSeq == native.toSeq,
+        s"bigram mismatch on '$text': hof=${hof.toSeq} native=${native.toSeq}")
+    }
+    // NULL text emits no rows, like the old filter(size >= 2)
+    val n = Seq(Tuple1(null: String)).toDF("text")
+      .selectExpr("bigrams2(text) AS (w1, w2)").count()
+    assert(n == 0, "null text must emit no bigram rows")
+  }
+
+  test("q_text_repetition native form row-matches the relational formulation") {
+    import spark.implicits._
+    // the RepetitionStats expression replaced two explode→groupBy→groupBy
+    // pipelines + a join; replay the OLD formulation on the fixture corpus
+    // (plus adversarial spacing rows) and diff every output row
+    val fixture = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select($"doc_id", $"text")
+    val extra = Seq(
+      (900001L, "a a a a"), (900002L, "a"), (900003L, ""),
+      (900004L, " lead"), (900005L, "trail "), (900006L, "a  b  a  b"),
+      (900007L, null.asInstanceOf[String]), (900008L, "x y x y x y"))
+      .toDF("doc_id", "text")
+    val docs = fixture.unionAll(extra)
+    val d = docs.select($"doc_id", split($"text", " ").as("ws"))
+    val wstats = d.select($"doc_id", explode($"ws").as("w"))
+      .groupBy($"doc_id", $"w").agg(count(lit(1)).as("c"))
+      .groupBy($"doc_id")
+      .agg(sum($"c").as("n_toks"), count(lit(1)).as("n_distinct"),
+        max($"c").as("top_w"))
+    val bigrams = when(size($"ws") >= 2,
+      transform(sequence(lit(1), size($"ws") - 1),
+        i => concat_ws(" ", slice($"ws", i, lit(2)))))
+      .otherwise(array())
+    val bstats = d.select($"doc_id", explode(bigrams).as("b"))
+      .groupBy($"doc_id", $"b").agg(count(lit(1)).as("c"))
+      .groupBy($"doc_id")
+      .agg(sum($"c").as("n_bi"), max($"c").as("top_b"))
+    val old = wstats.join(bstats, "doc_id")
+      .select($"doc_id", $"n_toks",
+        round($"n_distinct".cast("double") / $"n_toks", 6).as("distinct_ratio"),
+        round($"top_w".cast("double") / $"n_toks", 6).as("top_word_frac"),
+        round($"top_b".cast("double") / $"n_bi", 6).as("top_bigram_frac"))
+      .withColumn("flagged",
+        $"distinct_ratio" < 0.5 || $"top_word_frac" > 0.15 ||
+          $"top_bigram_frac" > 0.08)
+      .orderBy($"doc_id").collect()
+    val st = org.apache.spark.sql.graft.GraftSql.column(
+      graft.functions.RepetitionStats(
+        org.apache.spark.sql.graft.GraftSql.expression($"text")))
+    val now = docs
+      .filter(length($"text") - length(translate($"text", " ", "")) >= 1)
+      .select($"doc_id", st.as("st"))
+      .select($"doc_id", $"st.n_toks".as("n_toks"),
+        round($"st.n_distinct".cast("double") / $"st.n_toks", 6)
+          .as("distinct_ratio"),
+        round($"st.top_w".cast("double") / $"st.n_toks", 6).as("top_word_frac"),
+        round($"st.top_b".cast("double") / $"st.n_bi", 6).as("top_bigram_frac"))
+      .withColumn("flagged",
+        $"distinct_ratio" < 0.5 || $"top_word_frac" > 0.15 ||
+          $"top_bigram_frac" > 0.08)
+      .orderBy($"doc_id").collect()
+    assert(old.length == now.length,
+      s"row count drift: old=${old.length} now=${now.length}")
+    old.zip(now).foreach { case (a, b) => assert(a == b, s"row drift: $a vs $b") }
+  }
+
   test("MinHashLanes kernel equals the explode+groupBy md5-substring aggregation") {
     import spark.implicits._
     // the per-row kernel replaced the shuffle-based signature pipeline on
