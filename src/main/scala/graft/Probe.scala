@@ -35,6 +35,19 @@ object Probe {
         // reconstruction below) to a file — evidence for plans/r19/
         val df = q match {
           case "old_q_udtf" => oldQUdtf(spark, sfDir)
+          case "old_edges" =>
+            import org.apache.spark.sql.functions._
+            import spark.implicits._
+            val li = graft.ops.Util.table(spark, sfDir, "lineitem")
+              .filter($"l_returnflag" === "R")
+              .select($"l_orderkey", $"l_partkey")
+            li.as("a").join(li.as("b"),
+                $"a.l_orderkey" === $"b.l_orderkey" &&
+                  $"a.l_partkey" < $"b.l_partkey")
+              .select($"a.l_partkey".as("u"), $"b.l_partkey".as("v"))
+              .distinct()
+          case "new_edges" =>
+            graft.ops.Util.coOrderPairs(spark, sfDir).distinct()
           case name => SparkEntry.queries(name)(spark, sfDir)
         }
         val w = new java.io.PrintWriter(out)
@@ -64,6 +77,34 @@ object Probe {
           t(s"old bigram explode run$i")(oldBig.count())
           t(s"new bigram explode run$i")(newBig.count())
         }
+      case "ab_edges" =>
+        import org.apache.spark.sql.functions._
+        import spark.implicits._
+        val li = graft.ops.Util.table(spark, sfDir, "lineitem")
+          .filter($"l_returnflag" === "R")
+          .select($"l_orderkey", $"l_partkey")
+        def oldE = li.as("a").join(li.as("b"),
+            $"a.l_orderkey" === $"b.l_orderkey" &&
+              $"a.l_partkey" < $"b.l_partkey")
+          .select($"a.l_partkey".as("u"), $"b.l_partkey".as("v"))
+          .distinct()
+        spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+          "opairs", exprs => graft.ops.SortedPairsGenerator(exprs.head), "scala_udf")
+        def newE = li.groupBy($"l_orderkey")
+          .agg(collect_list($"l_partkey").as("ps"))
+          .selectExpr("opairs(ps) AS (u, v)")
+          .distinct()
+        (1 to 5).foreach { i =>
+          t(s"old edges run$i")(oldE.count())
+          t(s"new edges run$i")(newE.count())
+        }
+        // multiset parity (SSSP weights): compare weighted counts
+        val a = oldQEdgesW(li).collect().toSet
+        val b = li.groupBy($"l_orderkey")
+          .agg(collect_list($"l_partkey").as("ps"))
+          .selectExpr("opairs(ps) AS (u, v)")
+          .groupBy($"u", $"v").count().collect().toSet
+        println(s"[probe] weighted-parity: ${a == b} (${a.size} pairs)")
       case "ab_udtf" =>
         (1 to 5).foreach { i =>
           t(s"old q_udtf run$i")(oldQUdtf(spark, sfDir).count())
@@ -78,6 +119,17 @@ object Probe {
         }
     }
     spark.stop()
+  }
+
+  private def oldQEdgesW(li: org.apache.spark.sql.DataFrame) = {
+    val s = li.sparkSession
+    import org.apache.spark.sql.functions._
+    import s.implicits._
+    li.as("a").join(li.as("b"),
+        $"a.l_orderkey" === $"b.l_orderkey" &&
+          $"a.l_partkey" < $"b.l_partkey")
+      .groupBy($"a.l_partkey".as("u"), $"b.l_partkey".as("v"))
+      .agg(count(lit(1)).as("count"))
   }
 
   /** q_udtf's round-18 HOF formulation, kept verbatim for before/after

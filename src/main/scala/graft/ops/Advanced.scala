@@ -125,14 +125,9 @@ object Advanced {
     * with a high-degree-vertex cutoff. */
   val qGraphTriangles: Q = (s, dir) => {
     import s.implicits._
-    val li = table(s, dir, "lineitem")
-      .filter($"l_returnflag" === "R")
-      .select($"l_orderkey", $"l_partkey")
-    val e = li.as("a").join(li.as("b"),
-        $"a.l_orderkey" === $"b.l_orderkey" &&
-          $"a.l_partkey" < $"b.l_partkey")
-      .select($"a.l_partkey".as("u"), $"b.l_partkey".as("v"))
-      .distinct()
+    // edge build via the shared single-exchange coOrderPairs form
+    // (round 19 — see Util.coOrderPairs)
+    val e = Util.coOrderPairs(s, dir).distinct()
       .transform(cached) // three self-join legs below
     e.as("e1").join(e.as("e2"), $"e1.v" === $"e2.u")
       .join(e.as("e3"), $"e1.u" === $"e3.u" && $"e2.v" === $"e3.v")
@@ -191,14 +186,10 @@ object Advanced {
     * data-dependent: no convergence test, no driver collect. */
   val qGraphPagerank: Q = (s, dir) => {
     import s.implicits._
-    val li = table(s, dir, "lineitem")
-      .filter($"l_returnflag" === "R")
-      .select($"l_orderkey", $"l_partkey")
-    val e1 = li.as("a").join(li.as("b"),
-        $"a.l_orderkey" === $"b.l_orderkey" &&
-          $"a.l_partkey" < $"b.l_partkey")
-      .select($"a.l_partkey".as("u"), $"b.l_partkey".as("v"))
-      .distinct()
+    // edge build via the shared single-exchange coOrderPairs form
+    // (round 19 — see Util.coOrderPairs: identical pair multiset, one
+    // lineitem scan + one exchange instead of two of each)
+    val e1 = Util.coOrderPairs(s, dir).distinct()
     // The fixpoint runs on RDDs, not DataFrames: a DataFrame loop pays
     // a fixed Catalyst+codegen replan per superstep (measured ~1 s × 5
     // even with per-step localCheckpoint — the same wall that moved

@@ -337,14 +337,9 @@ object Quality {
     * visited set is never shuffled at all. */
   val qGraphBfs: Q = (s, dir) => {
     import s.implicits._
-    val li = table(s, dir, "lineitem")
-      .filter($"l_returnflag" === "R")
-      .select($"l_orderkey", $"l_partkey")
-    val half = cached(li.as("a").join(li.as("b"),
-        $"a.l_orderkey" === $"b.l_orderkey" &&
-          $"a.l_partkey" < $"b.l_partkey")
-      .select($"a.l_partkey".as("u"), $"b.l_partkey".as("v"))
-      .distinct())
+    // edge build via the shared single-exchange coOrderPairs form
+    // (round 19 — see Util.coOrderPairs)
+    val half = cached(Util.coOrderPairs(s, dir).distinct())
     // partitioner sized to the edge data, like pagerank: a fixed wide
     // partitioner would pay near-empty task launches per level at sf0.1
     val nEdges = half.count() * 2
@@ -802,13 +797,11 @@ object Quality {
     * recursive walk enumeration computes. */
   val qGraphSssp: Q = (s, dir) => {
     import s.implicits._
-    val li = table(s, dir, "lineitem")
-      .filter($"l_returnflag" === "R")
-      .select($"l_orderkey", $"l_partkey")
-    val half = cached(li.as("a").join(li.as("b"),
-        $"a.l_orderkey" === $"b.l_orderkey" &&
-          $"a.l_partkey" < $"b.l_partkey")
-      .groupBy($"a.l_partkey".as("u"), $"b.l_partkey".as("v"))
+    // edge build via the shared single-exchange coOrderPairs form; the
+    // generator preserves pair MULTIPLICITY, so the weight aggregate is
+    // unchanged (round 19 — see Util.coOrderPairs)
+    val half = cached(Util.coOrderPairs(s, dir)
+      .groupBy($"u", $"v")
       .agg(count(lit(1)).as("w")))
     val nEdges = half.count() * 2
     val part = new org.apache.spark.HashPartitioner(

@@ -288,6 +288,29 @@ class PropertySpec extends SparkSuite {
     old.zip(now).foreach { case (a, b) => assert(a == b, s"row drift: $a vs $b") }
   }
 
+  test("coOrderPairs emits the self-join's exact pair multiset (graph family)") {
+    import spark.implicits._
+    // the single-exchange edge build replaced the two-scan self-join in
+    // pagerank/BFS/SSSP/triangles; weighted counts pin the MULTISET, so
+    // both the .distinct() consumers and SSSP's multiplicity weights are
+    // covered in one compare
+    val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .filter($"l_returnflag" === "R")
+      .select($"l_orderkey", $"l_partkey")
+    val old = li.as("a").join(li.as("b"),
+        $"a.l_orderkey" === $"b.l_orderkey" &&
+          $"a.l_partkey" < $"b.l_partkey")
+      .groupBy($"a.l_partkey".as("u"), $"b.l_partkey".as("v"))
+      .agg(count(lit(1)).as("w"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val now = graft.ops.Util.coOrderPairs(spark, sfDir)
+      .groupBy($"u", $"v").agg(count(lit(1)).as("w"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(old == now, s"pair multiset drift: old=${old.size} now=${now.size}, " +
+      s"diff=${(old diff now).take(3)} / ${(now diff old).take(3)}")
+    assert(old.nonEmpty, "fixture produced no co-order pairs — test is vacuous")
+  }
+
   test("MinHashLanes kernel equals the explode+groupBy md5-substring aggregation") {
     import spark.implicits._
     // the per-row kernel replaced the shuffle-based signature pipeline on
