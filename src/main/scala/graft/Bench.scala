@@ -37,6 +37,13 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // Kryo for RDD shuffles (round 19): DataFrame exchanges use
+      // UnsafeRow and are unaffected, but the graph/CC fixpoint family
+      // shuffles Scala tuples through spark.serializer every superstep —
+      // Java serialization there measured ~8% of pagerank's superstep
+      // time and ~0.3 s on q_dedup_connected's delta iteration. Scale-
+      // independent (standard production setting), value-neutral.
+      .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
       .config("spark.ui.enabled", "false")
       // the status stores retain per-job/stage/execution state (incl.
       // full plan graphs) even with the UI off — across a 290-query run

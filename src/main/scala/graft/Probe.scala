@@ -105,6 +105,35 @@ object Probe {
           .selectExpr("opairs(ps) AS (u, v)")
           .groupBy($"u", $"v").count().collect().toSet
         println(s"[probe] weighted-parity: ${a == b} (${a.size} pairs)")
+      case "ab_sympairs" =>
+        import org.apache.spark.sql.functions._
+        import spark.implicits._
+        val words = graft.ops.Util.table(spark, sfDir, "documents")
+          .select(explode(split($"text", " ")).as("w"))
+          .groupBy($"w").agg(count(lit(1)).as("mult"))
+          .select($"w",
+            concat(lit(" "), regexp_replace($"w", "(.)", "$1 ")).as("s"),
+            $"mult")
+        def pairsOf(col: org.apache.spark.sql.Column) = {
+          val syms = split(trim(col), " ")
+          when(size(syms) >= 2,
+            transform(sequence(lit(1), size(syms) - 1),
+              i => concat(element_at(syms, i), lit(" "), element_at(syms, i + 1))))
+            .otherwise(array())
+        }
+        spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+          "sympairs", exprs => graft.ops.WordWindowGenerator(exprs.head, 2), "scala_udf")
+        def oldP = words.select(explode(pairsOf($"s")).as("pair"), $"mult")
+          .groupBy($"pair").agg(sum($"mult").as("cnt"))
+        def newP = words.selectExpr("sympairs(trim(s)) AS pair", "mult")
+          .groupBy($"pair").agg(sum($"mult").as("cnt"))
+        (1 to 5).foreach { i =>
+          t(s"old sympairs run$i")(oldP.count())
+          t(s"new sympairs run$i")(newP.count())
+        }
+        val pa = oldP.collect().map(r => (r.getString(0), r.getLong(1))).toSet
+        val pb = newP.collect().map(r => (r.getString(0), r.getLong(1))).toSet
+        println(s"[probe] sympairs parity: ${pa == pb} (${pa.size} pairs)")
       case "ab_udtf" =>
         (1 to 5).foreach { i =>
           t(s"old q_udtf run$i")(oldQUdtf(spark, sfDir).count())

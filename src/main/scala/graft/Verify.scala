@@ -14,6 +14,9 @@ object Verify {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       // Write µs timestamps (not INT96) so DuckDB reads the dump natively.
       .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+      // same serializer as Bench (round 19) so the dump runs the exact
+      // configuration the bench times; value-neutral for every query
+      .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
       .config("spark.ui.enabled", "false")
       // status stores retain per-job/execution state (incl. plan graphs)
       // even with the UI off — a 290-query dump run accumulates hundreds

@@ -54,6 +54,96 @@ case class ShingleDistinctCount(child: Expression, n: Int)
     copy(child = newChild)
 }
 
+/** Codegen'd distinct word-n-gram shingle ARRAY — the native replacement
+  * for `array_distinct(shingles(toks(text)))` in the exact-verify stages
+  * of the dedup family (near-dup Jaccard, containment): the HOF chain ran
+  * interpreted per shingle and materialized every duplicate before
+  * array_distinct re-hashed the array. One pass over the text bytes,
+  * first-occurrence order (exactly array_distinct's), elements are the
+  * byte slices of the original text (identical strings to the
+  * concat_ws(" ", slice(ws,i,n)) form — see ShingleDistinctCount).
+  * NULL text and < n words both yield the EMPTY array, exactly like the
+  * old `when(size(ws) >= 3, ...).otherwise(array())` + array_distinct
+  * composition (size(null) = -1 there). Parity pinned in PropertySpec. */
+case class DistinctShinglesArray(child: Expression, n: Int)
+    extends UnaryExpression {
+  require(n >= 1, s"shingle width must be >= 1, got $n")
+
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "distinct_shingles"
+  override def nullable: Boolean = false
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires string input, got ${other.catalogString}")
+  }
+
+  override def eval(
+      input: org.apache.spark.sql.catalyst.InternalRow): Any =
+    DistinctShinglesArray.compute(
+      child.eval(input).asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    import org.apache.spark.sql.catalyst.expressions.codegen.FalseLiteral
+    val c = child.genCode(ctx)
+    val childVal = if (child.nullable) s"(${c.isNull} ? null : ${c.value})"
+      else c.value.toString
+    val call =
+      s"graft.functions.DistinctShinglesArray.compute($childVal, $n);"
+    ev.copy(
+      code = c.code +
+        code"""
+           |org.apache.spark.sql.catalyst.util.ArrayData ${ev.value} = $call
+           |""".stripMargin,
+      isNull = FalseLiteral)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object DistinctShinglesArray {
+  import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+
+  private val empty = new GenericArrayData(Array.empty[Any])
+
+  /** Called from generated code; null-tolerant (null → empty array). */
+  def compute(s: UTF8String, n: Int): ArrayData = {
+    if (s == null) return empty
+    val base = s.getBaseObject
+    val off = s.getBaseOffset
+    val len = s.numBytes()
+    var starts = new Array[Int](16)
+    starts(0) = 0
+    var nWords = 1
+    var i = 0
+    while (i < len) {
+      if (org.apache.spark.unsafe.Platform.getByte(base, off + i) == 0x20) {
+        if (nWords == starts.length)
+          starts = java.util.Arrays.copyOf(starts, nWords * 2)
+        starts(nWords) = i + 1
+        nWords += 1
+      }
+      i += 1
+    }
+    if (nWords < n) return empty
+    val seen = new java.util.LinkedHashSet[UTF8String](
+      math.max(16, (nWords - n + 1) * 2))
+    var w = 0
+    while (w <= nWords - n) {
+      val a = starts(w)
+      val b = if (w + n < nWords) starts(w + n) - 1 else len
+      val view = UTF8String.fromAddress(base, off + a, b - a)
+      if (!seen.contains(view)) seen.add(view.clone())
+      w += 1
+    }
+    new GenericArrayData(seen.toArray.asInstanceOf[Array[Any]])
+  }
+}
+
 /** Codegen'd per-document repetition statistics — one pass over the text
   * bytes computing exactly what q_text_repetition's two explode →
   * groupBy(doc, token) → groupBy(doc) pipelines computed:

@@ -313,10 +313,16 @@ object Curation {
     // cached: docsh feeds BOTH pair legs — uncached, the whole
     // semi-join + shingle subtree executes twice (once per leg), each
     // paying its own codegen of the shingle lambda (measured 4x the
-    // query's total cost at sf0.1)
+    // query's total cost at sf0.1). Round 19: native
+    // DistinctShinglesArray instead of the interpreted
+    // array_distinct(shingles(toks(...))) chain — identical arrays,
+    // pinned in PropertySpec.
     val docsh = cached(d.join(candDocs, Seq("doc_id"), "left_semi")
       .select($"doc_id",
-        array_distinct(LlmOps.shingles(LlmOps.toks($"text"))).as("shs")))
+        org.apache.spark.sql.graft.GraftSql.column(
+          graft.functions.DistinctShinglesArray(
+            org.apache.spark.sql.graft.GraftSql.expression($"text"), 3))
+          .as("shs")))
     cands
       .join(docsh.select($"doc_id".as("doc_a"), $"shs".as("sa")), "doc_a")
       .join(docsh.select($"doc_id".as("doc_b"), $"shs".as("sb")), "doc_b")
@@ -364,10 +370,16 @@ object Curation {
     // cached: docsh feeds BOTH pair legs — uncached, the whole
     // semi-join + shingle subtree executes twice (once per leg), each
     // paying its own codegen of the shingle lambda (measured 4x the
-    // query's total cost at sf0.1)
+    // query's total cost at sf0.1). Round 19: native
+    // DistinctShinglesArray instead of the interpreted
+    // array_distinct(shingles(toks(...))) chain — identical arrays,
+    // pinned in PropertySpec.
     val docsh = cached(d.join(candDocs, Seq("doc_id"), "left_semi")
       .select($"doc_id",
-        array_distinct(LlmOps.shingles(LlmOps.toks($"text"))).as("shs")))
+        org.apache.spark.sql.graft.GraftSql.column(
+          graft.functions.DistinctShinglesArray(
+            org.apache.spark.sql.graft.GraftSql.expression($"text"), 3))
+          .as("shs")))
     cands
       .join(docsh.select($"doc_id".as("batch_doc"), $"shs".as("sa")),
         "batch_doc")

@@ -128,11 +128,18 @@ object LlmOps {
     val candDocs = cands.select($"doc_a".as("doc_id"))
       .unionAll(cands.select($"doc_b".as("doc_id"))).distinct()
     // cached: docsh feeds BOTH pair legs — uncached, the whole
-    // semi-join + shingle subtree executes twice (once per leg), each
-    // paying its own codegen of the shingle lambda
+    // semi-join + shingle subtree executes twice (once per leg).
+    // Round 19: the distinct shingle array comes from the native
+    // DistinctShinglesArray (one pass over the text bytes) instead of
+    // the interpreted array_distinct(shingles(toks(...))) HOF chain —
+    // identical arrays (order + content) pinned in PropertySpec.
     val docsh = cached(table(s, dir, "documents")
       .join(candDocs, Seq("doc_id"), "left_semi")
-      .select($"doc_id", array_distinct(shingles(toks($"text"))).as("shs")))
+      .select($"doc_id",
+        org.apache.spark.sql.graft.GraftSql.column(
+          graft.functions.DistinctShinglesArray(
+            org.apache.spark.sql.graft.GraftSql.expression($"text"), 3))
+          .as("shs")))
     cands
       .join(docsh.select($"doc_id".as("doc_a"), $"shs".as("sa")), "doc_a")
       .join(docsh.select($"doc_id".as("doc_b"), $"shs".as("sb")), "doc_b")

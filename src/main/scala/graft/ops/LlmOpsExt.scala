@@ -90,10 +90,17 @@ object LlmOpsExt {
     // table) — semi-join before the expensive character-gram explosion
     val candDocs = cands.select($"doc_a".as("doc_id"))
       .unionAll(cands.select($"doc_b".as("doc_id"))).distinct()
+    // char 5-grams through the native CharGramGenerator (round 19): the
+    // interpreted explode(transform(sequence → substr)) chain paid a
+    // per-gram expression walk; keepShort = true reproduces the old
+    // sequence(1, greatest(length-4, 1)) convention where a sub-5-char
+    // doc still contributes its whole text as one gram (parity pinned
+    // in PropertySpec)
+    s.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "chargrams5",
+      exprs => CharGramGenerator(exprs.head, 5, keepShort = true), "scala_udf")
     val grams = d.join(candDocs, Seq("doc_id"), "left_semi")
-      .select($"doc_id",
-        explode(transform(sequence(lit(1), greatest(length($"text") - 4, lit(1))),
-          i => $"text".substr(i, lit(5)))).as("g"))
+      .selectExpr("doc_id", "chargrams5(text) AS g")
       .distinct()
       // the char-gram explosion is the expensive stage and feeds BOTH
       // sides of the intersection join plus the per-doc size counts —

@@ -589,11 +589,17 @@ object Quality {
     * vocab-sized driver state in any real tokenizer trainer). */
   val qTextBpeStep: Q = (s, dir) => {
     import s.implicits._
+    // char pairs through the native CharGramGenerator (round 19): the
+    // interpreted explode(transform(sequence → substr)) chain it
+    // replaces paid a per-pair expression-tree walk over every adjacent
+    // char pair of the corpus (parity pinned in PropertySpec)
+    s.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "charpairs", exprs => CharGramGenerator(exprs.head, 2, keepShort = false),
+      "scala_udf")
     spread(table(s, dir, "documents"))
       .select(explode(LlmOps.toks($"text")).as("w"))
       .filter(length($"w") >= 2)
-      .select(explode(transform(sequence(lit(1), length($"w") - 1),
-        i => $"w".substr(i, lit(2)))).as("pair"))
+      .selectExpr("charpairs(w) AS pair")
       .groupBy($"pair").agg(count(lit(1)).as("cnt"))
       .orderBy($"cnt".desc, $"pair")
       .limit(20)
@@ -655,18 +661,17 @@ object Quality {
       // ' a b c ' via one regexp (each char → char+space + leading pad)
       .select(concat(lit(" "), regexp_replace($"w", "(.)", "$1 ")).as("s"),
         $"mult"))
-    def pairs(col: org.apache.spark.sql.Column) = {
-      val syms = split(trim(col), " ")
-      // size-1 guard: Spark's sequence(1, 0) DESCENDS ([1,0]) instead of
-      // returning empty, and element_at(_, 0) then throws
-      when(size(syms) >= 2,
-        transform(sequence(lit(1), size(syms) - 1),
-          i => concat(element_at(syms, i), lit(" "), element_at(syms, i + 1))))
-        .otherwise(array())
-    }
+    // symbol pairs through the native WordWindowGenerator (round 19):
+    // the HOF chain it replaces — explode(transform(sequence →
+    // concat(element_at, " ", element_at))) — walked the interpreted
+    // expression path per pair over the vocab × word-length pair table;
+    // the generator emits the identical "a b" strings as byte slices of
+    // the trimmed spaced string (parity pinned in PropertySpec)
+    s.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "sympairs", exprs => WordWindowGenerator(exprs.head, 2), "scala_udf")
     def round1(tok: DataFrame, r: Int): (DataFrame, DataFrame) = {
       val top = tok
-        .select(explode(pairs($"s")).as("pair"), $"mult")
+        .selectExpr("sympairs(trim(s)) AS pair", "mult")
         .groupBy($"pair").agg(sum($"mult").as("cnt"))
         .orderBy($"cnt".desc, $"pair").limit(1)
         .select(lit(r.toLong).as("round"), $"pair", $"cnt")
@@ -701,17 +706,14 @@ object Quality {
       .select($"w",
         concat(lit(" "), regexp_replace($"w", "(.)", "$1 ")).as("s"),
         $"mult"))
-    def pairsOf(col: org.apache.spark.sql.Column) = {
-      val syms = split(trim(col), " ")
-      when(size(syms) >= 2,
-        transform(sequence(lit(1), size(syms) - 1),
-          i => concat(element_at(syms, i), lit(" "), element_at(syms, i + 1))))
-        .otherwise(array())
-    }
+    // symbol pairs through the native WordWindowGenerator — same
+    // rationale + parity pin as q_text_bpe_train
+    s.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "sympairs", exprs => WordWindowGenerator(exprs.head, 2), "scala_udf")
     // one merge round: argmax pair on the dict, then rewrite the dict
     def merge1(tok: DataFrame): DataFrame = {
       val top = tok
-        .select(explode(pairsOf($"s")).as("pair"), $"mult")
+        .selectExpr("sympairs(trim(s)) AS pair", "mult")
         .groupBy($"pair").agg(sum($"mult").as("cnt"))
         .orderBy($"cnt".desc, $"pair").limit(1)
         .select($"pair")

@@ -311,6 +311,97 @@ class PropertySpec extends SparkSuite {
     assert(old.nonEmpty, "fixture produced no co-order pairs — test is vacuous")
   }
 
+  test("WordWindowGenerator equals the HOF symbol-pair form (BPE family)") {
+    import spark.implicits._
+    // emits the exact "a b" strings of the old
+    // explode(transform(sequence → concat(element_at, " ", element_at)))
+    // over split(trim(s), " ") — exercised on BPE-shaped spaced strings
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "sympairs", exprs => graft.ops.WordWindowGenerator(exprs.head, 2), "scala_udf")
+    val symGen = Gen.oneOf("a", "b", "ab", "字", "xy")
+    val sGen = for {
+      n <- Gen.choose(0, 12)
+      ss <- Gen.listOfN(n, symGen)
+    } yield " " + ss.mkString(" ") + " " // the ' a b c ' BPE convention
+    forAll(sGen, 40) { sp =>
+      val df = Seq(Tuple1(sp)).toDF("s")
+      val syms = split(trim($"s"), " ")
+      val hof = df.select(explode(when(size(syms) >= 2,
+        transform(sequence(lit(1), size(syms) - 1),
+          i => concat(element_at(syms, i), lit(" "), element_at(syms, i + 1))))
+        .otherwise(array())).as("pair"))
+        .collect().map(_.getString(0)).toSeq
+      val native = df.selectExpr("sympairs(trim(s)) AS pair")
+        .collect().map(_.getString(0)).toSeq
+      assert(hof == native, s"sympair mismatch on '$sp': $hof vs $native")
+    }
+  }
+
+  test("CharGramGenerator equals the HOF substr chains (both short-string conventions)") {
+    import spark.implicits._
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "charpairs", exprs =>
+        graft.ops.CharGramGenerator(exprs.head, 2, keepShort = false), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "chargrams5", exprs =>
+        graft.ops.CharGramGenerator(exprs.head, 5, keepShort = true), "scala_udf")
+    val wGen = for {
+      n <- Gen.choose(0, 12)
+      cs <- Gen.listOfN(n, Gen.oneOf("a", "b", "c", "é", "字"))
+    } yield cs.mkString
+    forAll(wGen, 40) { w =>
+      val df = Seq(Tuple1(w)).toDF("w")
+      // bpe_step convention: caller filters length >= 2 first
+      if (w.codePointCount(0, w.length) >= 2) {
+        val hof = df.select(explode(transform(
+          sequence(lit(1), length($"w") - 1),
+          i => $"w".substr(i, lit(2)))).as("p"))
+          .collect().map(_.getString(0)).toSeq
+        val native = df.selectExpr("charpairs(w) AS p")
+          .collect().map(_.getString(0)).toSeq
+        assert(hof == native, s"charpair mismatch on '$w': $hof vs $native")
+      }
+      // ngram convention: sequence(1, greatest(length-4, 1)) keeps short docs
+      val hof5 = df.select(explode(transform(
+        sequence(lit(1), greatest(length($"w") - 4, lit(1))),
+        i => $"w".substr(i, lit(5)))).as("g"))
+        .collect().map(_.getString(0)).toSeq
+      val native5 = df.selectExpr("chargrams5(w) AS g")
+        .collect().map(_.getString(0)).toSeq
+      assert(hof5 == native5, s"chargram5 mismatch on '$w': $hof5 vs $native5")
+    }
+  }
+
+  test("DistinctShinglesArray equals array_distinct(shingles(toks(text)))") {
+    import spark.implicits._
+    val wordGen = Gen.oneOf("a", "bb", "ccc", "", "émü", "字", "a", "bb")
+    val textGen = for {
+      n <- Gen.choose(0, 25)
+      ws <- Gen.listOfN(n, wordGen)
+      lead <- Gen.oneOf("", " ")
+      trail <- Gen.oneOf("", " ")
+    } yield lead + ws.mkString(" ") + trail
+    forAll(textGen, 40) { text =>
+      val df = Seq(Tuple1(text)).toDF("text")
+      val ws = split($"text", " ")
+      val sh = when(size(ws) >= 3,
+        transform(sequence(lit(1), size(ws) - 2),
+          i => concat_ws(" ", slice(ws, i, lit(3))))).otherwise(array())
+      val hof = df.select(array_distinct(sh)).head.getSeq[String](0)
+      val native = df.select(org.apache.spark.sql.graft.GraftSql.column(
+        graft.functions.DistinctShinglesArray(
+          org.apache.spark.sql.graft.GraftSql.expression($"text"), 3)))
+        .head.getSeq[String](0)
+      assert(hof == native, s"shingle array mismatch on '$text': $hof vs $native")
+    }
+    // NULL text -> EMPTY array (size(null) = -1 takes the otherwise branch)
+    val r = Seq(Tuple1(null: String)).toDF("text")
+      .select(org.apache.spark.sql.graft.GraftSql.column(
+        graft.functions.DistinctShinglesArray(
+          org.apache.spark.sql.graft.GraftSql.expression($"text"), 3))).head
+    assert(r.getSeq[String](0).isEmpty, "null text must yield the empty array")
+  }
+
   test("MinHashLanes kernel equals the explode+groupBy md5-substring aggregation") {
     import spark.implicits._
     // the per-row kernel replaced the shuffle-based signature pipeline on

@@ -20,6 +20,9 @@ trait SparkSuite extends AnyFunSuite {
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // same serializer as Bench/Verify (round 19) so every spec exercises
+    // the configuration the harness mains actually run
+    .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
     .config("spark.ui.enabled", "false")
     .getOrCreate()
 }
