@@ -134,6 +134,26 @@ object Probe {
         val pa = oldP.collect().map(r => (r.getString(0), r.getLong(1))).toSet
         val pb = newP.collect().map(r => (r.getString(0), r.getLong(1))).toSet
         println(s"[probe] sympairs parity: ${pa == pb} (${pa.size} pairs)")
+      case "ab_kmeans" =>
+        import org.apache.spark.ml.clustering.KMeans
+        import org.apache.spark.ml.functions.array_to_vector
+        import spark.implicits._
+        val e0 = graft.ops.Util.table(spark, sfDir, "embeddings")
+          .select($"vec_id", $"label", array_to_vector($"embedding").as("features"))
+        println(s"[probe] input partitions: ${e0.rdd.getNumPartitions}, rows: ${e0.count()}")
+        val eSpread = e0.repartition(spark.sparkContext.defaultParallelism)
+        (1 to 3).foreach { i =>
+          t(s"fit 1-split run$i") {
+            new KMeans().setK(10).setSeed(7L).setMaxIter(20)
+              .setFeaturesCol("features").setPredictionCol("cluster")
+              .fit(e0); 1L
+          }
+          t(s"fit spread run$i") {
+            new KMeans().setK(10).setSeed(7L).setMaxIter(20)
+              .setFeaturesCol("features").setPredictionCol("cluster")
+              .fit(eSpread); 1L
+          }
+        }
       case "ab_udtf" =>
         (1 to 5).foreach { i =>
           t(s"old q_udtf run$i")(oldQUdtf(spark, sfDir).count())

@@ -246,7 +246,8 @@ object Curation {
     import org.apache.spark.ml.functions.array_to_vector
     val e = cached(table(s, dir, "embeddings")
       .select($"vec_id",
-        transform($"embedding", x => x.cast("double")).as("emb"),
+        // round 19: native array cast (see LlmOps.emb)
+        $"embedding".cast("array<double>").as("emb"),
         array_to_vector($"embedding").as("features")))
     val model = new KMeans().setK(10).setSeed(7L).setMaxIter(20)
       .setFeaturesCol("features").setPredictionCol("cluster")

@@ -35,7 +35,10 @@ object LlmOps {
     import s.implicits._
     table(s, dir, "embeddings")
       .select($"vec_id", $"label",
-        transform($"embedding", x => x.cast("double")).as("emb"))
+        // round 19: native array cast (codegen) instead of the
+        // interpreted per-element transform HOF — identical float→double
+        // widening, pinned in PropertySpec
+        $"embedding".cast("array<double>").as("emb"))
   }
 
   // dot(a, b) comes from Util — the codegen'd DotProduct expression.

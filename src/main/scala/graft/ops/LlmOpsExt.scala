@@ -21,7 +21,8 @@ object LlmOpsExt {
     import s.implicits._
     table(s, dir, "embeddings")
       .select($"vec_id", $"label",
-        transform($"embedding", x => x.cast("double")).as("emb"))
+        // round 19: native array cast (see LlmOps.emb)
+        $"embedding".cast("array<double>").as("emb"))
   }
 
   // ---------------------------------------------------------------- dedup

@@ -109,8 +109,8 @@ object Sources {
     back.select($"vec_id",
         $"meta.label".as("label"), $"meta.dim".as("dim"),
         element_at($"tags", "lbl").as("lbl_tag"),
-        round(dot(transform($"embedding", x => x.cast("double")),
-          transform($"embedding", x => x.cast("double"))), 4).as("norm2"))
+        round(dot($"embedding".cast("array<double>"),
+          $"embedding".cast("array<double>")), 4).as("norm2"))
       .orderBy($"vec_id")
   }
 
@@ -3843,7 +3843,13 @@ object Sources {
       .unionAll(corpus.select($"doc_id", $"text"))
       .join(candDocs, Seq("doc_id"), "left_semi")
       .select($"doc_id",
-        array_distinct(LlmOps.shingles(LlmOps.toks($"text"))).as("shs")))
+        // round 19: native DistinctShinglesArray instead of the
+        // interpreted array_distinct(shingles(toks(...))) chain —
+        // identical arrays, pinned in PropertySpec
+        org.apache.spark.sql.graft.GraftSql.column(
+          graft.functions.DistinctShinglesArray(
+            org.apache.spark.sql.graft.GraftSql.expression($"text"), 3))
+          .as("shs")))
     val dup = cands
       .join(docsh.select($"doc_id".as("batch_doc"), $"shs".as("sa")), "batch_doc")
       .join(docsh.select($"doc_id".as("corpus_doc"), $"shs".as("sb")), "corpus_doc")
@@ -3944,7 +3950,13 @@ object Sources {
       .unionAll(corpus.select($"doc_id", $"text"))
       .join(candDocs, Seq("doc_id"), "left_semi")
       .select($"doc_id",
-        array_distinct(LlmOps.shingles(LlmOps.toks($"text"))).as("shs")))
+        // round 19: native DistinctShinglesArray instead of the
+        // interpreted array_distinct(shingles(toks(...))) chain —
+        // identical arrays, pinned in PropertySpec
+        org.apache.spark.sql.graft.GraftSql.column(
+          graft.functions.DistinctShinglesArray(
+            org.apache.spark.sql.graft.GraftSql.expression($"text"), 3))
+          .as("shs")))
     val dup = cands
       .join(docsh.select($"doc_id".as("batch_doc"), $"shs".as("sa")), "batch_doc")
       .join(docsh.select($"doc_id".as("corpus_doc"), $"shs".as("sb")), "corpus_doc")

@@ -402,6 +402,27 @@ class PropertySpec extends SparkSuite {
     assert(r.getSeq[String](0).isEmpty, "null text must yield the empty array")
   }
 
+  test("array<float>->array<double> Cast is bit-identical to the transform-cast HOF") {
+    import spark.implicits._
+    // the native cast replaced transform(embedding, x -> x.cast(double))
+    // in the embedding family; both widen float->double per element, so
+    // every bit must match on the real fixture vectors
+    val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val rows = e.select(
+        transform($"embedding", x => x.cast("double")).as("hof"),
+        $"embedding".cast("array<double>").as("native"))
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val a = r.getSeq[Double](0); val b = r.getSeq[Double](1)
+      assert(a.length == b.length)
+      a.zip(b).foreach { case (x, y) =>
+        assert(java.lang.Double.doubleToLongBits(x) ==
+          java.lang.Double.doubleToLongBits(y), s"cast drift: $x vs $y")
+      }
+    }
+  }
+
   test("MinHashLanes kernel equals the explode+groupBy md5-substring aggregation") {
     import spark.implicits._
     // the per-row kernel replaced the shuffle-based signature pipeline on
