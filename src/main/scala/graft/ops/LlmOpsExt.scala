@@ -557,7 +557,8 @@ object LlmOpsExt {
     import s.implicits._
     val m = 4; val sub = 16; val k = 16
     val e = emb(s, dir)
-    val cb = typedlit(pqCodebooks(s, dir, m, sub, k)) // m × k × sub literal
+    val cbs = pqCodebooks(s, dir, m, sub, k)
+    val cb = typedlit(cbs) // m × k × sub literal (probe LUT construction)
     // encode: code_j = argmin_c ||slice_j - cb[j][c]||², computed as
     // argmin_c (-2·a·c + |c|²) — the |a|² term is constant per row, so the
     // argmin is identical, and the dot products ride the tight-loop
@@ -567,7 +568,7 @@ object LlmOpsExt {
     // the min — the min is compared against itself, so double equality
     // is exact.
     val coded = e.select($"vec_id",
-      pqEncodeExpr($"emb", cb, m, sub).as("codes")) // 1-based positions into cb[j]
+      pqEncodeExpr($"emb", cbs, m, sub).as("codes")) // 1-based positions into cb[j]
     // ADC: per probe, LUT[j][c] = dot(probe_slice_j, cb[j][c])
     val probesLut = e.orderBy($"vec_id").limit(10)
       .select($"vec_id".as("probe_id"), $"emb".as("pemb"))
@@ -580,8 +581,14 @@ object LlmOpsExt {
       .crossJoin(broadcast(probesLut))
       .filter($"vec_id" =!= $"probe_id")
       .select($"probe_id", $"vec_id".as("neighbor_id"),
-        round(aggregate(zip_with($"lut", $"codes",
-          (l, c) => element_at(l, c)), lit(0.0), _ + _), 4).as("score"))
+        // round 19: native AdcSum — same left-to-right fold as the
+        // aggregate(zip_with(...element_at...)) HOF (pinned in
+        // PropertySpec)
+        round(org.apache.spark.sql.graft.GraftSql.column(
+          graft.functions.AdcSum(
+            org.apache.spark.sql.graft.GraftSql.expression($"lut"),
+            org.apache.spark.sql.graft.GraftSql.expression($"codes"))),
+          4).as("score"))
     val w = Window.partitionBy($"probe_id").orderBy($"score".desc, $"neighbor_id")
     scored.withColumn("rn", row_number().over(w).cast("long"))
       .filter($"rn" <= 5)
@@ -595,14 +602,19 @@ object LlmOpsExt {
     * identical, and the dot products ride the codegen'd DotProduct
     * expression). Shared by q_sim_pq, q_sim_ivfpq, and the incremental
     * index's frozen-codebook append encode. */
-  private def pqEncodeExpr(embCol: Column, cbl: Column,
-      m: Int, sub: Int): Column =
-    transform(sequence(lit(0), lit(m - 1)), j => {
-      val sl = slice(embCol, j * lit(sub) + 1, lit(sub))
-      val dists = transform(element_at(cbl, j + 1),
-        c => lit(-2.0) * dot(sl, c) + dot(c, c))
-      array_position(dists, array_min(dists)).cast("int")
-    })
+  private def pqEncodeExpr(embCol: Column, cbs: Seq[Seq[Seq[Double]]],
+      m: Int, sub: Int): Column = {
+    // Round 19 (optimization): native PqEncode expression — the nested
+    // transform/array_position HOF chain it replaces ran interpreted per
+    // codeword per row (m × k lambda walks each); arithmetic and the
+    // first-min argmin are replicated bit-exactly (pinned in
+    // PropertySpec), so encodes — and therefore every staged code table
+    // and recall pin — are unchanged. m is carried by the codebook.
+    require(cbs.length == m, s"codebook has ${cbs.length} subspaces, want $m")
+    org.apache.spark.sql.graft.GraftSql.column(
+      graft.functions.PqEncode(
+        org.apache.spark.sql.graft.GraftSql.expression(embCol), cbs, sub))
+  }
 
   /** (codes table, centroid table, codebooks) staged this JVM. */
   private val ivfpqIndex = new java.util.concurrent.ConcurrentHashMap[
@@ -638,7 +650,7 @@ object LlmOpsExt {
         s2.conf.set("spark.sql.catalog.gipq", "graft.sources.GraftCatalog")
         s2.conf.set("spark.sql.catalog.gipq.root", root)
         emb(s2, dir).select($"vec_id", $"label",
-          pqEncodeExpr($"emb", cbl, m, sub).as("codes"))
+          pqEncodeExpr($"emb", cbs, m, sub).as("codes"))
           .createOrReplaceTempView("ivfpq_codes_src")
         s2.sql(
           """CREATE TABLE gipq.c PARTITIONED BY (label) AS
@@ -696,8 +708,12 @@ object LlmOpsExt {
       .filter($"vec_id" =!= $"probe_id")
       .join(broadcast(luts), Seq("probe_id"))
       .select($"probe_id", $"vec_id".as("neighbor_id"),
-        aggregate(zip_with($"lut", $"codes",
-          (l, c) => element_at(l, c)), lit(0.0), _ + _).as("adc"))
+        // round 19: native AdcSum (see q_sim_pq)
+        org.apache.spark.sql.graft.GraftSql.column(
+          graft.functions.AdcSum(
+            org.apache.spark.sql.graft.GraftSql.expression($"lut"),
+            org.apache.spark.sql.graft.GraftSql.expression($"codes")))
+          .as("adc"))
       .withColumn("crn", row_number().over(wc))
       .filter($"crn" <= cand)
       .select($"probe_id", $"neighbor_id")
@@ -765,7 +781,7 @@ object LlmOpsExt {
       s2.conf.set("spark.sql.catalog.gipqi", "graft.sources.GraftCatalog")
       s2.conf.set("spark.sql.catalog.gipqi.root", root)
       emb(s2, dir).filter($"vec_id" % IncrGrowthMod =!= 0)
-        .select($"vec_id", $"label", pqEncodeExpr($"emb", cbl, m, sub).as("codes"))
+        .select($"vec_id", $"label", pqEncodeExpr($"emb", cbs, m, sub).as("codes"))
         .createOrReplaceTempView("ivfpqi_codes_src")
       s2.sql(
         """CREATE TABLE gipqi.c PARTITIONED BY (label) AS
@@ -787,7 +803,6 @@ object LlmOpsExt {
       batch: DataFrame): DataFrame = {
     import s.implicits._
     val m = 4; val sub = 16
-    val cbl = typedlit(codebooks)
     val cent = s.read.format("graft.sources.GraftStore")
       .option("path", centPath).load()
       .select($"label".as("clabel"), $"cent")
@@ -797,7 +812,7 @@ object LlmOpsExt {
       .withColumn("arn", row_number().over(wA))
       .filter($"arn" === 1)
       .select($"vec_id", $"clabel".as("label"),
-        pqEncodeExpr($"emb", cbl, m, sub).as("codes"))
+        pqEncodeExpr($"emb", codebooks, m, sub).as("codes"))
   }
 
   /** The grown index's logical content, recomputed DIRECTLY from the
@@ -810,9 +825,8 @@ object LlmOpsExt {
     import s.implicits._
     val (_, centPath, cbs) = ivfPqIncrStaged(s, dir)
     val m = 4; val sub = 16
-    val cbl = typedlit(cbs)
     val base = emb(s, dir).filter($"vec_id" % IncrGrowthMod =!= 0)
-      .select($"vec_id", $"label", pqEncodeExpr($"emb", cbl, m, sub).as("codes"))
+      .select($"vec_id", $"label", pqEncodeExpr($"emb", cbs, m, sub).as("codes"))
     base.unionAll(ivfPqEncodeBatch(s, dir, centPath, cbs,
       emb(s, dir).filter($"vec_id" % IncrGrowthMod === 0)))
   }

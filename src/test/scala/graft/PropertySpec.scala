@@ -423,6 +423,55 @@ class PropertySpec extends SparkSuite {
     }
   }
 
+  test("PqEncode and AdcSum are bit-identical to the HOF PQ forms") {
+    import spark.implicits._
+    // fixed small codebook (m=2 subspaces, k=3 codewords, sub=4) over
+    // generated vectors: the native expressions must reproduce the HOF
+    // encode (argmin via array_position(array_min)) and ADC fold exactly
+    val m = 2; val sub = 4
+    val cbs: Seq[Seq[Seq[Double]]] = Seq(
+      Seq(Seq(0.1, -0.2, 0.3, 0.4), Seq(1.0, 0.0, -1.0, 0.5),
+        Seq(-0.7, 0.7, 0.2, -0.1)),
+      Seq(Seq(0.0, 0.0, 0.0, 0.0), Seq(0.3, 0.3, 0.3, 0.3),
+        Seq(-0.5, 0.25, 0.125, 2.0)))
+    val cbl = typedlit(cbs)
+    val vecGen = Gen.listOfN(m * sub, Gen.choose(-2.0, 2.0))
+    forAll(vecGen, 25) { vec =>
+      val df = Seq(Tuple1(vec)).toDF("emb")
+      val hofCodes = df.select(
+        transform(sequence(lit(0), lit(m - 1)), j => {
+          val sl = slice($"emb", j * lit(sub) + 1, lit(sub))
+          val dists = transform(element_at(cbl, j + 1),
+            c => lit(-2.0) * Util.dot(sl, c) + Util.dot(c, c))
+          array_position(dists, array_min(dists)).cast("int")
+        })).head.getSeq[Int](0)
+      val nativeCodes = df.select(org.apache.spark.sql.graft.GraftSql.column(
+        graft.functions.PqEncode(
+          org.apache.spark.sql.graft.GraftSql.expression($"emb"), cbs, sub)))
+        .head.getSeq[Int](0)
+      assert(hofCodes == nativeCodes,
+        s"encode mismatch on $vec: $hofCodes vs $nativeCodes")
+      // ADC over a probe LUT built the production way
+      val lutDf = df.select($"emb",
+        transform(sequence(lit(0), lit(m - 1)), j =>
+          transform(element_at(cbl, j + 1),
+            c => Util.dot(slice($"emb", j * lit(sub) + 1, lit(sub)), c)))
+          .as("lut"),
+        typedlit(nativeCodes).as("codes"))
+      val hofScore = lutDf.select(
+        aggregate(zip_with($"lut", $"codes",
+          (l, c) => element_at(l, c)), lit(0.0), _ + _)).head.getDouble(0)
+      val nativeScore = lutDf.select(
+        org.apache.spark.sql.graft.GraftSql.column(graft.functions.AdcSum(
+          org.apache.spark.sql.graft.GraftSql.expression($"lut"),
+          org.apache.spark.sql.graft.GraftSql.expression($"codes"))))
+        .head.getDouble(0)
+      assert(java.lang.Double.doubleToLongBits(hofScore) ==
+        java.lang.Double.doubleToLongBits(nativeScore),
+        s"adc mismatch: $hofScore vs $nativeScore")
+    }
+  }
+
   test("MinHashLanes kernel equals the explode+groupBy md5-substring aggregation") {
     import spark.implicits._
     // the per-row kernel replaced the shuffle-based signature pipeline on
