@@ -154,6 +154,143 @@ object Probe {
               .fit(eSpread); 1L
           }
         }
+      case "ab_pr" =>
+        import org.apache.spark.sql.functions._
+        import spark.implicits._
+        val e1 = graft.ops.Util.coOrderPairs(spark, sfDir).distinct()
+        val e1c = graft.ops.Util.cached(e1)
+        val nEdges = e1c.count() * 2
+        val part = new org.apache.spark.HashPartitioner(
+          math.max(1, math.min(spark.sparkContext.defaultParallelism,
+            (nEdges / 65536 + 1).toInt)))
+        val und = graft.ops.Util.cachedRdd(e1c.as[(Long, Long)].rdd
+          .flatMap { case (u, v) => Seq((u, v), (v, u)) }
+          .partitionBy(part))
+        val deg = und.mapValues(_ => 1L).reduceByKey(part, _ + _)
+        val ed = graft.ops.Util.cachedRdd(und.join(deg, part))
+        val n = deg.count()
+        val base = 0.15 / n
+        // variant B: per-partition adjacency arrays (u, deg, targets),
+        // zipped against the co-partitioned rank map each superstep
+        val adj = graft.ops.Util.cachedRdd(ed.mapPartitions({ it =>
+          val m = new java.util.HashMap[Long, (Long, scala.collection.mutable.ArrayBuffer[Long])]()
+          var degSum = 0L
+          it.foreach { case (u, (v, dg)) =>
+            val cur = m.get(u)
+            val buf = if (cur == null) {
+              val b = (dg, scala.collection.mutable.ArrayBuffer.empty[Long])
+              m.put(u, b); b
+            } else cur
+            buf._2 += v
+          }
+          val arr = new Array[(Long, Long, Array[Long])](m.size)
+          val mit = m.entrySet().iterator()
+          var i = 0
+          while (mit.hasNext) {
+            val e = mit.next()
+            arr(i) = (e.getKey, e.getValue._1, e.getValue._2.toArray)
+            i += 1
+          }
+          Iterator.single(arr)
+        }, preservesPartitioning = true))
+        adj.count()
+        def runA(): Long = {
+          var ranks = deg.mapValues(_ => 1.0 / n)
+          (1 to 5).foreach { _ =>
+            val contribs = ed.join(ranks, part).map { case (_, ((v, dg), r)) =>
+              (v, math.floor(r / dg * 1e12).toLong)
+            }
+            ranks = contribs.reduceByKey(part, _ + _)
+              .mapValues(sq => base + 0.85 * (sq.toDouble / 1e12))
+          }
+          ranks.toDF("node", "rank").orderBy($"node").count()
+        }
+        def runB(): Long = {
+          var ranks = deg.mapValues(_ => 1.0 / n)
+          (1 to 5).foreach { _ =>
+            val contribs = adj.zipPartitions(ranks) {
+              (ait, rit) =>
+                val arr = ait.next()
+                val rm = new java.util.HashMap[Long, Double]()
+                rit.foreach { case (k, r) => rm.put(k, r) }
+                val out = new java.util.HashMap[Long, Long]()
+                arr.foreach { case (u, dg, targets) =>
+                  val r = rm.get(u)
+                  val c = math.floor(r / dg * 1e12).toLong
+                  var i = 0
+                  while (i < targets.length) {
+                    val t = targets(i)
+                    out.put(t, out.getOrDefault(t, 0L) + c)
+                    i += 1
+                  }
+                }
+                val b = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+                val oit = out.entrySet().iterator()
+                while (oit.hasNext) { val e = oit.next(); b += ((e.getKey, e.getValue)) }
+                b.iterator
+            }
+            ranks = contribs.reduceByKey(part, _ + _)
+              .mapValues(sq => base + 0.85 * (sq.toDouble / 1e12))
+          }
+          ranks.toDF("node", "rank").orderBy($"node").count()
+        }
+        (1 to 4).foreach { i =>
+          t(s"supersteps A (cogroup) run$i")(runA())
+          t(s"supersteps B (zip-adj) run$i")(runB())
+        }
+        // result parity
+        def fin(): Seq[(Long, Double)] = {
+          var ranks = deg.mapValues(_ => 1.0 / n)
+          (1 to 5).foreach { _ =>
+            val contribs = ed.join(ranks, part).map { case (_, ((v, dg), r)) =>
+              (v, math.floor(r / dg * 1e12).toLong)
+            }
+            ranks = contribs.reduceByKey(part, _ + _)
+              .mapValues(sq => base + 0.85 * (sq.toDouble / 1e12))
+          }
+          ranks.collect().sorted.toSeq
+        }
+        val ra = fin()
+        var ranksB = deg.mapValues(_ => 1.0 / n)
+        (1 to 5).foreach { _ =>
+          val contribs = adj.zipPartitions(ranksB) {
+            (ait, rit) =>
+              val arr = ait.next()
+              val rm = new java.util.HashMap[Long, Double]()
+              rit.foreach { case (k, r) => rm.put(k, r) }
+              val out = new java.util.HashMap[Long, Long]()
+              arr.foreach { case (u, dg, targets) =>
+                val r = rm.get(u)
+                val c = math.floor(r / dg * 1e12).toLong
+                var i = 0
+                while (i < targets.length) {
+                  val t = targets(i); out.put(t, out.getOrDefault(t, 0L) + c); i += 1
+                }
+              }
+              val b = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+              val oit = out.entrySet().iterator()
+              while (oit.hasNext) { val e = oit.next(); b += ((e.getKey, e.getValue)) }
+              b.iterator
+          }
+          ranksB = contribs.reduceByKey(part, _ + _)
+            .mapValues(sq => base + 0.85 * (sq.toDouble / 1e12))
+        }
+        val rb = ranksB.collect().sorted.toSeq
+        println(s"[probe] pagerank parity: ${ra == rb} (a=${ra.size} b=${rb.size} nodes)")
+        if (ra != rb) {
+          val bm = rb.toMap
+          var shown = 0
+          ra.foreach { case (k, v) =>
+            if (shown < 5 && bm.get(k) != Some(v)) {
+              println(s"[probe] diff node $k: a=$v b=${bm.get(k)}")
+              shown += 1
+            }
+          }
+          val am = ra.toMap
+          rb.take(3).foreach { case (k, v) =>
+            if (!am.contains(k)) println(s"[probe] extra node in b: $k")
+          }
+        }
       case "ab_udtf" =>
         (1 to 5).foreach { i =>
           t(s"old q_udtf run$i")(oldQUdtf(spark, sfDir).count())

@@ -61,14 +61,23 @@ object Curation {
     val und = cachedRdd(pairs.as[(Long, Long)].rdd
       .flatMap { case (a, b) => Seq((a, b), (b, a)) }
       .partitionBy(part))
+    // Round 19 (optimization): the per-round push used to cogroup the
+    // whole edge RDD with the active frontier (per-edge tuple boxing
+    // every round). The adjacency is staged ONCE as a per-partition
+    // hash map (u → targets[]) and each round zips it against the
+    // co-partitioned frontier with a local min-combine before the
+    // shuffle — min is order-independent, so the flooded labels are
+    // identical (pinned in PropertySpec; the pagerank precedent).
+    val adj = cachedRdd(Util.adjacencyMapOf(und))
     var labels = cachedRdd(
       und.mapValues(_ => ()).keys.map(n => (n, n))
         .reduceByKey(part, math.min(_: Long, _: Long)))
     var active = labels
     var n = 1L
     while (n > 0) {
-      val pushed = und.join(active, part)
-        .map { case (_, (v, lu)) => (v, lu) }
+      val pushed = adj.zipPartitions(active) { (ait, actIt) =>
+          Util.pushMinLabels(ait, actIt)
+        }
         .reduceByKey(part, math.min(_: Long, _: Long))
       val upd = labels.leftOuterJoin(pushed, part)
         .mapValues { case (old, p) => (old, p.filter(_ < old)) }

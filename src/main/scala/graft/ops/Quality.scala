@@ -349,6 +349,12 @@ object Quality {
     val und = cachedRdd(half.as[(Long, Long)].rdd
       .flatMap { case (u, v) => Seq((u, v), (v, u)) }
       .partitionBy(part))
+    // round 19: staged per-partition adjacency + frontier zip with a
+    // local combine, replacing the per-level edge cogroup — every
+    // pushed value IS h, so the local min-combine is a plain dedup and
+    // the level sets are identical (pinned in PropertySpec; the
+    // pagerank/CC precedent)
+    val adj = cachedRdd(Util.adjacencyMapOf(und))
     val seedNode = und.keys.min()
     val seed = s.sparkContext
       .parallelize(Seq((seedNode, 0L))).partitionBy(part)
@@ -356,8 +362,9 @@ object Quality {
     for (h <- 1 to 4) {
       val prev = levels.head
       val prev2 = if (levels.lengthCompare(2) >= 0) levels(1) else prev
-      val next = und.join(prev, part)
-        .map { case (_, (v, _)) => (v, h.toLong) }
+      val next = adj.zipPartitions(prev.mapValues(_ => h.toLong)) {
+          (ait, actIt) => Util.pushMinLabels(ait, actIt)
+        }
         .reduceByKey(part, (a, _) => a)
         .subtractByKey(prev, part)
         .subtractByKey(prev2, part)
@@ -812,12 +819,18 @@ object Quality {
     val und = cachedRdd(half.as[(Long, Long, Long)].rdd
       .flatMap { case (u, v, w) => Seq((u, (v, w)), (v, (u, w))) }
       .partitionBy(part))
+    // round 19: staged weighted adjacency + zip relax with a local
+    // min-combine replacing the per-round edge cogroup; the caller's
+    // union + reduceByKey(min) sees the min over the same relaxation
+    // multiset, so distances are identical (pinned in PropertySpec)
+    val adj = cachedRdd(Util.adjacencyWeightedOf(und))
     val seedNode = und.keys.min()
     var dist = s.sparkContext
       .parallelize(Seq((seedNode, 0L))).partitionBy(part)
     for (_ <- 1 to 4) {
-      val relaxed = und.join(dist, part)
-        .map { case (_, ((v, w), d)) => (v, d + w) }
+      val relaxed = adj.zipPartitions(dist) { (ait, dit) =>
+        Util.pushMinDist(ait, dit)
+      }
       dist = dist.union(relaxed).reduceByKey(part, math.min(_: Long, _: Long))
     }
     dist.toDF("node", "cost").orderBy($"node")

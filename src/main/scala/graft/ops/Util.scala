@@ -213,6 +213,194 @@ object Util {
       .selectExpr("opairs(ps) AS (u, v)")
   }
 
+  /** Per-partition adjacency arrays (u, deg_u, targets[]) from a
+    * co-partitioned (u, (v, deg_u)) edge RDD — staged ONCE and reused by
+    * every pagerank superstep (round 19; see qGraphPagerank). One
+    * element per partition. */
+  def adjacencyOf(ed: org.apache.spark.rdd.RDD[(Long, (Long, Long))])
+      : org.apache.spark.rdd.RDD[Array[(Long, Long, Array[Long])]] =
+    ed.mapPartitions({ it =>
+      val m = new java.util.HashMap[
+        Long, (Long, scala.collection.mutable.ArrayBuffer[Long])]()
+      it.foreach { case (u, (v, dg)) =>
+        var cur = m.get(u)
+        if (cur == null) {
+          cur = (dg, scala.collection.mutable.ArrayBuffer.empty[Long])
+          m.put(u, cur)
+        }
+        cur._2 += v
+      }
+      val arr = new Array[(Long, Long, Array[Long])](m.size)
+      val mit = m.entrySet().iterator()
+      var i = 0
+      while (mit.hasNext) {
+        val e = mit.next()
+        arr(i) = (e.getKey, e.getValue._1, e.getValue._2.toArray)
+        i += 1
+      }
+      Iterator.single(arr)
+    }, preservesPartitioning = true)
+
+  /** One pagerank superstep's contribution push over a partition:
+    * c_u = floor(rank_u / deg_u · 1e12) added to every target of u,
+    * pre-combined into a per-partition map before the shuffle. The
+    * emitted (node, sum) longs are exactly the per-edge contributions
+    * of the cogroup form summed in a different order — integer sums are
+    * order-independent, so downstream ranks are bit-identical (pinned
+    * in PropertySpec). NOT partition-preserving: keys change from
+    * sources to targets, the caller's reduceByKey supplies the
+    * exchange. */
+  def pushContribs(
+      ait: Iterator[Array[(Long, Long, Array[Long])]],
+      rit: Iterator[(Long, Double)]): Iterator[(Long, Long)] = {
+    val arr = if (ait.hasNext) ait.next() else Array.empty[(Long, Long, Array[Long])]
+    // boxed values: an absent key must be a REAL null (inner-join
+    // semantics — a source with no rank emits nothing, exactly like the
+    // cogroup form; a primitive-valued map would unbox null to 0.0 and
+    // emit phantom zero contributions)
+    val rm = new java.util.HashMap[Long, java.lang.Double]()
+    rit.foreach { case (k, r) => rm.put(k, java.lang.Double.valueOf(r)) }
+    val out = new java.util.HashMap[Long, Long]()
+    arr.foreach { case (u, dg, targets) =>
+      val rBox = rm.get(u)
+      if (rBox != null) {
+        val c = math.floor(rBox.doubleValue / dg * 1e12).toLong
+        var i = 0
+        while (i < targets.length) {
+          val t = targets(i)
+          out.put(t, out.getOrDefault(t, 0L) + c)
+          i += 1
+        }
+      }
+    }
+    val b = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    val oit = out.entrySet().iterator()
+    while (oit.hasNext) { val e = oit.next(); b += ((e.getKey, e.getValue)) }
+    b.iterator
+  }
+
+  /** Per-partition adjacency MAP (u → targets[]) from a co-partitioned
+    * undirected edge RDD — staged once and reused by every CC superstep
+    * (round 19; see Curation.ccLabels). One element per partition. */
+  def adjacencyMapOf(und: org.apache.spark.rdd.RDD[(Long, Long)])
+      : org.apache.spark.rdd.RDD[java.util.HashMap[Long, Array[Long]]] =
+    und.mapPartitions({ it =>
+      val m = new java.util.HashMap[Long, scala.collection.mutable.ArrayBuffer[Long]]()
+      it.foreach { case (u, v) =>
+        var cur = m.get(u)
+        if (cur == null) {
+          cur = scala.collection.mutable.ArrayBuffer.empty[Long]
+          m.put(u, cur)
+        }
+        cur += v
+      }
+      val out = new java.util.HashMap[Long, Array[Long]](m.size * 2)
+      val mit = m.entrySet().iterator()
+      while (mit.hasNext) {
+        val e = mit.next()
+        out.put(e.getKey, e.getValue.toArray)
+      }
+      Iterator.single(out)
+    }, preservesPartitioning = true)
+
+  /** One CC superstep's label push over a partition: every ACTIVE
+    * (node, label) sends its label to the node's neighbors, locally
+    * min-combined before the shuffle. min is order-independent, so the
+    * flooded labels are identical to the join-based push (pinned in
+    * PropertySpec). NOT partition-preserving (keys become targets). */
+  def pushMinLabels(
+      ait: Iterator[java.util.HashMap[Long, Array[Long]]],
+      actIt: Iterator[(Long, Long)]): Iterator[(Long, Long)] = {
+    val adj = if (ait.hasNext) ait.next()
+      else new java.util.HashMap[Long, Array[Long]]()
+    // boxed values so an absent key is a REAL null (a Long-typed map
+    // would silently unbox null to 0 and corrupt the min)
+    val out = new java.util.HashMap[Long, java.lang.Long]()
+    actIt.foreach { case (u, lu) =>
+      val targets = adj.get(u)
+      if (targets != null) {
+        var i = 0
+        while (i < targets.length) {
+          val t = targets(i)
+          val prev = out.get(t)
+          if (prev == null || lu < prev.longValue) {
+            out.put(t, java.lang.Long.valueOf(lu))
+          }
+          i += 1
+        }
+      }
+    }
+    val b = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    val oit = out.entrySet().iterator()
+    while (oit.hasNext) {
+      val e = oit.next(); b += ((e.getKey, e.getValue.longValue))
+    }
+    b.iterator
+  }
+
+  /** Weighted per-partition adjacency map (u → (targets[], weights[]))
+    * from a co-partitioned (u, (v, w)) edge RDD — the SSSP analog of
+    * adjacencyMapOf (round 19). */
+  def adjacencyWeightedOf(und: org.apache.spark.rdd.RDD[(Long, (Long, Long))])
+      : org.apache.spark.rdd.RDD[java.util.HashMap[Long, (Array[Long], Array[Long])]] =
+    und.mapPartitions({ it =>
+      val m = new java.util.HashMap[Long,
+        (scala.collection.mutable.ArrayBuffer[Long],
+          scala.collection.mutable.ArrayBuffer[Long])]()
+      it.foreach { case (u, (v, w)) =>
+        var cur = m.get(u)
+        if (cur == null) {
+          cur = (scala.collection.mutable.ArrayBuffer.empty[Long],
+            scala.collection.mutable.ArrayBuffer.empty[Long])
+          m.put(u, cur)
+        }
+        cur._1 += v
+        cur._2 += w
+      }
+      val out = new java.util.HashMap[Long, (Array[Long], Array[Long])](m.size * 2)
+      val mit = m.entrySet().iterator()
+      while (mit.hasNext) {
+        val e = mit.next()
+        out.put(e.getKey, (e.getValue._1.toArray, e.getValue._2.toArray))
+      }
+      Iterator.single(out)
+    }, preservesPartitioning = true)
+
+  /** One SSSP relax round over a partition: every settled (node, dist)
+    * pushes dist + w to its neighbors, locally min-combined before the
+    * shuffle; the caller's union + reduceByKey(min) is unchanged
+    * (min over the same multiset — identical results, pinned in
+    * PropertySpec). */
+  def pushMinDist(
+      ait: Iterator[java.util.HashMap[Long, (Array[Long], Array[Long])]],
+      distIt: Iterator[(Long, Long)]): Iterator[(Long, Long)] = {
+    val adj = if (ait.hasNext) ait.next()
+      else new java.util.HashMap[Long, (Array[Long], Array[Long])]()
+    val out = new java.util.HashMap[Long, java.lang.Long]()
+    distIt.foreach { case (u, d) =>
+      val tw = adj.get(u)
+      if (tw != null) {
+        val (targets, weights) = tw
+        var i = 0
+        while (i < targets.length) {
+          val t = targets(i)
+          val nd = d + weights(i)
+          val prev = out.get(t)
+          if (prev == null || nd < prev.longValue) {
+            out.put(t, java.lang.Long.valueOf(nd))
+          }
+          i += 1
+        }
+      }
+    }
+    val b = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    val oit = out.entrySet().iterator()
+    while (oit.hasNext) {
+      val e = oit.next(); b += ((e.getKey, e.getValue.longValue))
+    }
+    b.iterator
+  }
+
   /** events.parquet's `ts` physical type has differed across fixture
     * generations — TIMESTAMP(NANOS) (Spark 4 refuses to read it as a
     * timestamp, PARQUET_TYPE_ILLEGAL, so it arrives as a nanos LONG under

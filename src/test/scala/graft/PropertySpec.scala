@@ -472,6 +472,141 @@ class PropertySpec extends SparkSuite {
     }
   }
 
+  test("pagerank zip-adjacency supersteps equal the cogroup formulation bit-for-bit") {
+    import spark.implicits._
+    // round 19 replaced the per-superstep cogroup with a staged
+    // adjacency + per-partition pre-combine; contributions are the same
+    // fixed-point longs summed in a different order (integer sums are
+    // order-independent), so ranks must be bit-identical. Replay the OLD
+    // loop here and diff every (node, rank).
+    val e1 = graft.ops.Util.coOrderPairs(spark, sfDir).distinct()
+    val e1c = e1.cache()
+    val nEdges = e1c.count() * 2
+    val part = new org.apache.spark.HashPartitioner(
+      math.max(1, math.min(spark.sparkContext.defaultParallelism,
+        (nEdges / 65536 + 1).toInt)))
+    val und = e1c.as[(Long, Long)].rdd
+      .flatMap { case (u, v) => Seq((u, v), (v, u)) }
+      .partitionBy(part).cache()
+    val deg = und.mapValues(_ => 1L).reduceByKey(part, _ + _)
+    val ed = und.join(deg, part).cache()
+    val n = deg.count()
+    val base = 0.15 / n
+    var ranks = deg.mapValues(_ => 1.0 / n)
+    for (_ <- 1 to 5) {
+      val contribs = ed.join(ranks, part).map { case (_, ((v, dg), r)) =>
+        (v, math.floor(r / dg * 1e12).toLong)
+      }
+      ranks = contribs.reduceByKey(part, _ + _)
+        .mapValues(sq => base + 0.85 * (sq.toDouble / 1e12))
+    }
+    val old = ranks.collect().sortBy(_._1).toSeq
+    val now = SparkEntry.queries("q_graph_pagerank")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    e1c.unpersist(); und.unpersist(); ed.unpersist()
+    graft.ops.Util.unpersistRegistered()
+    assert(old.size == now.size, s"node count drift: ${old.size} vs ${now.size}")
+    old.zip(now).foreach { case ((ka, va), (kb, vb)) =>
+      assert(ka == kb && java.lang.Double.doubleToLongBits(va) ==
+        java.lang.Double.doubleToLongBits(vb),
+        s"rank drift at $ka/$kb: $va vs $vb")
+    }
+  }
+
+  test("CC zip-adjacency label push equals the join-based delta iteration") {
+    import spark.implicits._
+    // replay the OLD join-based push over the same near-dup pairs and
+    // diff every (node, comp) against the registry query's CC core
+    val pairs = SparkEntry.queries("q_dedup_near")(spark, sfDir)
+      .select($"doc_a", $"doc_b").cache()
+    val nEdges = pairs.count() * 2
+    val part = new org.apache.spark.HashPartitioner(
+      math.max(1, math.min(spark.sparkContext.defaultParallelism.toLong,
+        math.min(nEdges / 65536 + 1, Int.MaxValue.toLong)).toInt))
+    val und = pairs.as[(Long, Long)].rdd
+      .flatMap { case (a, b) => Seq((a, b), (b, a)) }
+      .partitionBy(part).cache()
+    var labels = und.mapValues(_ => ()).keys.map(n => (n, n))
+      .reduceByKey(part, math.min(_: Long, _: Long))
+    var active = labels
+    var n = 1L
+    while (n > 0) {
+      val pushed = und.join(active, part)
+        .map { case (_, (v, lu)) => (v, lu) }
+        .reduceByKey(part, math.min(_: Long, _: Long))
+      val upd = labels.leftOuterJoin(pushed, part)
+        .mapValues { case (old, p) => (old, p.filter(_ < old)) }
+      active = upd.filter { case (_, (_, p)) => p.isDefined }
+        .mapValues { case (_, p) => p.get }.cache()
+      n = active.count()
+      labels = upd.mapValues { case (old, p) => p.getOrElse(old) }.cache()
+    }
+    val old = labels.collect().sortBy(_._1).toSeq
+    graft.ops.Util.unpersistRegistered()
+    val now = SparkEntry.queries("q_dedup_connected")(spark, sfDir)
+      .select($"doc_id", $"cluster")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    pairs.unpersist(); und.unpersist()
+    graft.ops.Util.unpersistRegistered()
+    assert(old == now, s"CC label drift: old=${old.size} now=${now.size} " +
+      s"first diffs: ${old.zip(now).filter(p => p._1 != p._2).take(3)}")
+    assert(old.nonEmpty, "no CC labels — vacuous")
+  }
+
+  test("BFS and SSSP zip-adjacency rounds equal the join-based loops") {
+    import spark.implicits._
+    val half = graft.ops.Util.coOrderPairs(spark, sfDir).distinct().cache()
+    val nEdges = half.count() * 2
+    val part = new org.apache.spark.HashPartitioner(
+      math.max(1, math.min(spark.sparkContext.defaultParallelism,
+        (nEdges / 65536 + 1).toInt)))
+    // old BFS
+    val und = half.as[(Long, Long)].rdd
+      .flatMap { case (u, v) => Seq((u, v), (v, u)) }
+      .partitionBy(part).cache()
+    val seedNode = und.keys.min()
+    val seed = spark.sparkContext
+      .parallelize(Seq((seedNode, 0L))).partitionBy(part)
+    var levels = List(seed.cache())
+    for (h <- 1 to 4) {
+      val prev = levels.head
+      val prev2 = if (levels.lengthCompare(2) >= 0) levels(1) else prev
+      val next = und.join(prev, part)
+        .map { case (_, (v, _)) => (v, h.toLong) }
+        .reduceByKey(part, (a, _) => a)
+        .subtractByKey(prev, part)
+        .subtractByKey(prev2, part)
+      levels = next.cache() :: levels
+    }
+    val oldBfs = spark.sparkContext.union(levels.reverse)
+      .collect().sortBy(_._1).toSeq
+    val nowBfs = SparkEntry.queries("q_graph_bfs")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+    assert(oldBfs == nowBfs, s"BFS drift: old=${oldBfs.size} now=${nowBfs.size}")
+    // old SSSP
+    val halfW = graft.ops.Util.coOrderPairs(spark, sfDir)
+      .groupBy($"u", $"v").agg(count(lit(1)).as("w")).cache()
+    val undW = halfW.as[(Long, Long, Long)].rdd
+      .flatMap { case (u, v, w) => Seq((u, (v, w)), (v, (u, w))) }
+      .partitionBy(part).cache()
+    val seedW = undW.keys.min()
+    var dist = spark.sparkContext
+      .parallelize(Seq((seedW, 0L))).partitionBy(part)
+    for (_ <- 1 to 4) {
+      val relaxed = undW.join(dist, part)
+        .map { case (_, ((v, w), d)) => (v, d + w) }
+      dist = dist.union(relaxed).reduceByKey(part, math.min(_: Long, _: Long))
+    }
+    val oldSssp = dist.collect().sortBy(_._1).toSeq
+    val nowSssp = SparkEntry.queries("q_graph_sssp")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+    assert(oldSssp == nowSssp,
+      s"SSSP drift: old=${oldSssp.size} now=${nowSssp.size}")
+    half.unpersist(); und.unpersist(); halfW.unpersist(); undW.unpersist()
+    graft.ops.Util.unpersistRegistered()
+    assert(oldBfs.nonEmpty && oldSssp.nonEmpty, "vacuous graph parity")
+  }
+
   test("MinHashLanes kernel equals the explode+groupBy md5-substring aggregation") {
     import spark.implicits._
     // the per-row kernel replaced the shuffle-based signature pipeline on
