@@ -291,6 +291,32 @@ object Probe {
             if (!am.contains(k)) println(s"[probe] extra node in b: $k")
           }
         }
+      case "ab_embcast" =>
+        import org.apache.spark.sql.functions._
+        import spark.implicits._
+        // q_dedup_embed with the OLD transform-cast emb() vs the registry
+        def embOld = graft.ops.Util.table(spark, sfDir, "embeddings")
+          .select($"vec_id", $"label",
+            transform($"embedding", x => x.cast("double")).as("emb"))
+        def oldQ = {
+          val e = embOld
+          val scored = e.as("a").join(e.as("b"),
+              $"a.label" === $"b.label" && $"a.vec_id" =!= $"b.vec_id")
+            .select($"a.vec_id".as("vec_id"), $"b.vec_id".as("neighbor_id"),
+              round(graft.ops.Util.dot($"a.emb", $"b.emb"), 4).as("score"))
+          val w = org.apache.spark.sql.expressions.Window
+            .partitionBy($"vec_id").orderBy($"score".desc, $"neighbor_id")
+          scored.withColumn("rn", row_number().over(w))
+            .filter($"rn" === 1)
+            .select($"vec_id", $"neighbor_id", $"score",
+              ($"score" >= 0.95).as("is_near_dup"))
+            .orderBy($"vec_id")
+        }
+        (1 to 5).foreach { i =>
+          t(s"old emb transform-cast run$i")(oldQ.count())
+          t(s"new emb native-cast run$i")(
+            SparkEntry.queries("q_dedup_embed")(spark, sfDir).count())
+        }
       case "ab_udtf" =>
         (1 to 5).foreach { i =>
           t(s"old q_udtf run$i")(oldQUdtf(spark, sfDir).count())
