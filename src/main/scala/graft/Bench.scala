@@ -137,10 +137,16 @@ object Bench {
     // filtered (isolated) runs — those are never drift-compared.
     val controlJar = sys.env.getOrElse("SPARK_GRAFT_CONTROL_JAR",
       "tools/control/graft-control-r16.jar")
+    // r20: + three store/stream anchors (q_store_scd2, q_stream_mirror_eq,
+    // q_stream_upsert) — the r19 capture's drift hotspot was the store
+    // family and the control set had no member there, so family-divergent
+    // ambience could not be divided out (VERDICT r19 "What's wrong" #2).
+    // All three exist in the frozen r16 registry.
     val controlSet = Seq(
       "q_text_bpe_apply", "q_pipeline_incr", "q_text_bigram_lm",
       "q_text_dupgrams", "q_text_bpe_train", "q_curate_gopher",
-      "q_agg_groupby", "q_sql_q1", "q_join_inner", "q_dedup_near")
+      "q_agg_groupby", "q_sql_q1", "q_join_inner", "q_dedup_near",
+      "q_store_scd2", "q_stream_mirror_eq", "q_stream_upsert")
     // filtered (isolated) runs skip the control unless the jar was named
     // explicitly — isolated numbers are never drift-compared, but an
     // explicit env opt-in lets a control-only capture run cheaply
@@ -219,6 +225,42 @@ object Bench {
       jsonMap(best.sortBy(-_._2).take(5))},"sf":$sf}""")
     println(s"""{"metric":"per_query","queries":${jsonMap(best)},"sf":$sf}""")
     println(s"""{"metric":"per_query_cold","queries":${jsonMap(cold)},"cold_total":${fmt(cold.map(_._2).filter(_ >= 0).sum)},"sf":$sf}""")
+    // ---- driver-tail-survivable per-query output (round 20) ----
+    // The driver keeps only the LAST ~2000 chars of stdout, so the one-line
+    // per_query map above (≈10 KB) front-truncates and round-over-round
+    // gating degraded to a totals-only compare (PERF_r19 per_query empty).
+    // Additions only — the legacy long lines stay for the file artifact and
+    // any full-stdout consumer:
+    //  * per_query_part: the same map split into short (<600 char) chunks
+    //    with i/n identity, queries sorted by ASCENDING time so the chunks
+    //    printed last (= the ones a bounded tail retains) carry the
+    //    slowest, most regression-relevant entries.
+    //  * family: per-family totals keyed on the name's second segment —
+    //    one short line that always survives and says where the time went.
+    val byTime = best.sortBy(_._2)
+    val chunks = scala.collection.mutable.ArrayBuffer.empty[Seq[(String, Double)]]
+    var cur = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
+    var curLen = 0
+    byTime.foreach { kv =>
+      val w = kv._1.length + 12
+      if (curLen + w > 520 && cur.nonEmpty) {
+        chunks += cur.toSeq; cur = scala.collection.mutable.ArrayBuffer.empty; curLen = 0
+      }
+      cur += kv; curLen += w
+    }
+    if (cur.nonEmpty) chunks += cur.toSeq
+    chunks.zipWithIndex.foreach { case (ch, i) =>
+      println(s"""{"metric":"per_query_part","i":$i,"n":${chunks.size},"queries":${jsonMap(ch)},"sf":$sf}""")
+    }
+    val familyTotals = best.groupBy { case (n, _) =>
+      n.split("_").drop(1).headOption.getOrElse(n) }
+      .map { case (f, kvs) => f -> kvs.map(_._2).filter(_ >= 0).sum }
+      .toSeq.sortBy(-_._2)
+    println(s"""{"metric":"family","queries":${jsonMap(familyTotals)},"sf":$sf}""")
+    // re-print the slowest line below the long lines so it sits inside the
+    // tail window (in r19 it was printed above them and truncated away)
+    println(s"""{"metric":"slowest","queries":${
+      jsonMap(best.sortBy(-_._2).take(5))},"sf":$sf}""")
     if (control.nonEmpty)
       println(s"""{"metric":"control","jar":"${new java.io.File(controlJar).getName}","queries":${jsonMap(control)},"sf":$sf}""")
     if (failed.nonEmpty)
