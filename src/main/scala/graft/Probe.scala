@@ -323,6 +323,172 @@ object Probe {
           t(s"new q_udtf run$i")(
             SparkEntry.queries("q_udtf")(spark, sfDir).count())
         }
+      case s"jobs:$qn" => // r20: wall vs job-wall vs task-time attribution
+        val jobs = new java.util.concurrent.atomic.AtomicInteger
+        val jobNanos = new java.util.concurrent.atomic.AtomicLong
+        val taskMs = new java.util.concurrent.atomic.AtomicLong
+        val starts = new java.util.concurrent.ConcurrentHashMap[Integer, java.lang.Long]()
+        val l = new org.apache.spark.scheduler.SparkListener {
+          override def onJobStart(e: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+            jobs.incrementAndGet(); starts.put(e.jobId, System.nanoTime()); () }
+          override def onJobEnd(e: org.apache.spark.scheduler.SparkListenerJobEnd): Unit = {
+            Option(starts.remove(e.jobId)).foreach(t0 =>
+              jobNanos.addAndGet(System.nanoTime() - t0)); () }
+          override def onTaskEnd(e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+            if (e.taskInfo != null) { taskMs.addAndGet(e.taskInfo.duration); () } }
+        }
+        spark.sparkContext.addSparkListener(l)
+        val fn = SparkEntry.queries(qn)
+        (1 to 5).foreach { i =>
+          graft.ops.Util.unpersistRegistered()
+          jobs.set(0); jobNanos.set(0); taskMs.set(0)
+          val t0 = System.nanoTime()
+          fn(spark, sfDir).count()
+          val wall = (System.nanoTime() - t0) / 1e9
+          Thread.sleep(400) // listener bus drains async
+          println(f"[probe] $qn run$i wall $wall%7.3f s  jobs=${jobs.get}%3d  " +
+            f"jobWall=${jobNanos.get / 1e9}%7.3f s  taskTime=${taskMs.get / 1e3}%7.3f s")
+        }
+      case "ab_suffix" => // r20: bloom pre-pass on dup windows vs shipped
+        import org.apache.spark.sql.functions._
+        import spark.implicits._
+        def bloomVariant: org.apache.spark.sql.DataFrame = {
+          val L = 40
+          val docs = graft.ops.Util.table(spark, sfDir, "documents")
+            .select($"doc_id", $"text")
+          def spreadDocs = docs
+            .repartition(spark.sparkContext.defaultParallelism)
+            .filter(length($"text") >= L)
+            .select($"doc_id", $"text",
+              explode(sequence(lit(0L), (length($"text") - L).cast("long")))
+                .as("pos"))
+          val window = expr(s"substring(text, CAST(pos + 1 AS INT), $L)")
+          // pass A: hash-only duplicate detection — one exchange of
+          // (8-byte hash, count) rows with map-side partial agg
+          val dupH = graft.ops.Util.cached(
+            spreadDocs.select(xxhash64(window).as("h"))
+              .groupBy($"h").count().filter($"count" >= 2).select($"h"))
+          val nd = dupH.count()
+          val bf = dupH.stat.bloomFilter("h", math.max(nd, 1L), 0.01)
+          val bytes = {
+            val bos = new java.io.ByteArrayOutputStream()
+            bf.writeTo(bos); bos.toByteArray
+          }
+          val keyed = spreadDocs.select($"doc_id", $"pos", window.as("k"))
+          import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+          val mc = org.apache.spark.sql.graft.GraftSql.column(
+            BloomFilterMightContain(
+              Literal(bytes, org.apache.spark.sql.types.BinaryType),
+              org.apache.spark.sql.graft.GraftSql.expression(xxhash64($"k"))))
+          val surv = keyed.filter(mc)
+          val dp = surv
+            .withColumn("salt",
+              pmod(xxhash64($"doc_id", $"pos"), lit(64L)).cast("int"))
+            .groupBy($"k", $"salt")
+            .agg(collect_list(struct($"doc_id", $"pos")).as("ps"),
+              count(lit(1)).as("cp"))
+            .withColumn("c", sum($"cp").over(
+              org.apache.spark.sql.expressions.Window.partitionBy($"k")))
+            .filter($"c" >= 2)
+            .select(explode($"ps").as("p"))
+            .select($"p.doc_id".as("doc_id"), $"p.pos".as("pos"))
+          val wI = org.apache.spark.sql.expressions.Window
+            .partitionBy($"doc_id").orderBy($"pos")
+          dp.withColumn("isl", $"pos" - row_number().over(wI))
+            .groupBy($"doc_id", $"isl")
+            .agg(min($"pos").as("start_pos"),
+              (max($"pos") - min($"pos") + L).as("rep_len"))
+            .select($"doc_id", $"start_pos".cast("long").as("start_pos"),
+              $"rep_len".cast("long").as("rep_len"))
+            .orderBy($"doc_id", $"start_pos")
+        }
+        val a = SparkEntry.queries("q_dedup_suffix")(spark, sfDir)
+          .collect().map(_.toString).toSeq
+        graft.ops.Util.unpersistRegistered()
+        val b = bloomVariant.collect().map(_.toString).toSeq
+        println(s"[probe] parity: ${a == b} (${a.size} vs ${b.size} rows)")
+        (1 to 5).foreach { i =>
+          graft.ops.Util.unpersistRegistered()
+          t(s"old suffix run$i")(
+            SparkEntry.queries("q_dedup_suffix")(spark, sfDir).count())
+          graft.ops.Util.unpersistRegistered()
+          t(s"new suffixBloom run$i")(bloomVariant.count())
+        }
+      case s"stages:$qn" => // r20: top stages by cumulative task time
+        val stageTime = new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+        val stageTasks = new java.util.concurrent.ConcurrentHashMap[String, Integer]()
+        val l = new org.apache.spark.scheduler.SparkListener {
+          override def onStageCompleted(
+              e: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+            val si = e.stageInfo
+            val key = si.name.take(120)
+            val ms = si.taskMetrics.executorRunTime
+            stageTime.merge(key, ms, (a, b) => a + b)
+            stageTasks.merge(key, si.numTasks, (a, b) => a + b)
+            ()
+          }
+        }
+        spark.sparkContext.addSparkListener(l)
+        val fn = SparkEntry.queries(qn)
+        fn(spark, sfDir).count() // warm/fixture pass
+        graft.ops.Util.unpersistRegistered()
+        stageTime.clear(); stageTasks.clear()
+        val t0 = System.nanoTime()
+        fn(spark, sfDir).count()
+        val wall = (System.nanoTime() - t0) / 1e9
+        Thread.sleep(600)
+        println(f"[probe] $qn wall $wall%.3f s; top stages by executorRunTime:")
+        import scala.jdk.CollectionConverters._
+        stageTime.asScala.toSeq.sortBy(-_._2).take(12).foreach { case (k, ms) =>
+          println(f"[probe]   ${ms / 1e3}%8.3f s  tasks=${stageTasks.get(k)}%4d  $k")
+        }
+      case "upsert_phases" => // r20: attribute q_stream_upsert's driver gap
+        import org.apache.spark.sql.functions._
+        (1 to 4).foreach { round =>
+          val s2 = spark.newSession()
+          import s2.implicits._
+          val root = graft.ops.Util.managedTempDir("graft_probe_upsert_")
+          s2.conf.set("spark.sql.catalog.graftpu", "graft.sources.GraftCatalog")
+          s2.conf.set("spark.sql.catalog.graftpu.root", root)
+          s2.conf.set("spark.sql.shuffle.partitions", "4")
+          s2.conf.set("spark.sql.adaptive.enabled", "false")
+          s2.conf.set("spark.sql.optimizer.runtime.rowLevelOperationGroupFilter.enabled", "false")
+          s2.sql("""CREATE TABLE graftpu.u AS
+            |SELECT CAST(0 AS BIGINT) AS k, CAST(0 AS BIGINT) AS id
+            |WHERE 1 = 0""".stripMargin)
+          var aggNs = 0L; var mergeNs = 0L; var batches = 0
+          val t0 = System.nanoTime()
+          val q = s2.readStream.format("graft.sources.SynthSource")
+            .option("rows", "20000").option("slices", "4")
+            .option("microBatchRows", "4096")
+            .load()
+            .writeStream
+            .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+              batches += 1
+              val a0 = System.nanoTime()
+              val up = batch.groupBy(($"id" % 1000).as("k"))
+                .agg(max($"id").as("id")).persist()
+              up.count() // materialize now so agg vs merge attribute cleanly
+              aggNs += System.nanoTime() - a0
+              try {
+                up.createOrReplaceTempView("up_batch_probe")
+                val m0 = System.nanoTime()
+                up.sparkSession.sql(
+                  """MERGE INTO graftpu.u t USING up_batch_probe s ON t.k = s.k
+                    |WHEN MATCHED AND s.id > t.id THEN UPDATE SET id = s.id
+                    |WHEN NOT MATCHED THEN INSERT (k, id) VALUES (s.k, s.id)""".stripMargin)
+                mergeNs += System.nanoTime() - m0
+              } finally { up.unpersist(blocking = false); () }
+              ()
+            }
+            .option("checkpointLocation", graft.ops.Util.managedTempDir("graft_probe_upsck_"))
+            .start()
+          try q.processAllAvailable() finally q.stop()
+          val wall = (System.nanoTime() - t0) / 1e9
+          println(f"[probe] upsert round$round wall $wall%6.3f s  batches=$batches  " +
+            f"agg=${aggNs / 1e9}%6.3f s  merge=${mergeNs / 1e9}%6.3f s  " +
+            f"stream-machinery=${wall - (aggNs + mergeNs) / 1e9}%6.3f s")
+        }
       case q => // generic: run the registry query N times, min
         val fn = SparkEntry.queries(q)
         (1 to 6).foreach { i =>

@@ -2476,7 +2476,17 @@ object Sources {
       .option("path", s"$root/src").option("changesFrom", "0").load()
       .writeStream
       .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
-        val b = batch.persist()
+        // coalesce before persisting: the changes scan surfaces one
+        // partition per CDF file-diff unit, and every per-version
+        // filter/apply job below relaunches over ALL cached partitions —
+        // a batch-sized apply loop pays ~10x the task launches for no
+        // parallelism it can use (r20 stage audit: 359 tasks/invocation,
+        // most under 4096 rows). Bound by the session's shuffle
+        // partitioning (4 here — the batch-sized dial this session
+        // already sets; cluster-sized via the same conf in production).
+        // Narrow dependency, set semantics downstream: results identical.
+        val b = batch.coalesce(
+          batch.sparkSession.sessionState.conf.numShufflePartitions).persist()
         try {
           // a micro-batch may span several commits: apply in version
           // order — retract the old images, then apply the new rows.
