@@ -20,6 +20,14 @@ object Probe {
     if (sys.env.get("PROBE_KRYO").contains("1"))
       builder.config("spark.serializer",
         "org.apache.spark.serializer.KryoSerializer")
+    if (sys.env.get("PROBE_KRYO_STRICT").contains("1"))
+      builder
+        .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
+        .config("spark.kryo.registrationRequired", "true")
+    if (sys.env.get("PROBE_KRYO_REG").contains("1"))
+      builder
+        .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
+        .config("spark.kryo.registrator", "graft.GraftKryoRegistrator")
     val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     try SparkEntry.queries("q_scan_parquet")(spark, sfDir).count()
@@ -417,6 +425,7 @@ object Probe {
       case s"stages:$qn" => // r20: top stages by cumulative task time
         val stageTime = new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
         val stageTasks = new java.util.concurrent.ConcurrentHashMap[String, Integer]()
+        val shuffleBytes = new java.util.concurrent.atomic.AtomicLong()
         val l = new org.apache.spark.scheduler.SparkListener {
           override def onStageCompleted(
               e: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
@@ -425,6 +434,7 @@ object Probe {
             val ms = si.taskMetrics.executorRunTime
             stageTime.merge(key, ms, (a, b) => a + b)
             stageTasks.merge(key, si.numTasks, (a, b) => a + b)
+            shuffleBytes.addAndGet(si.taskMetrics.shuffleWriteMetrics.bytesWritten)
             ()
           }
         }
@@ -437,10 +447,53 @@ object Probe {
         fn(spark, sfDir).count()
         val wall = (System.nanoTime() - t0) / 1e9
         Thread.sleep(600)
-        println(f"[probe] $qn wall $wall%.3f s; top stages by executorRunTime:")
+        println(f"[probe] $qn wall $wall%.3f s shuffleWrite=${shuffleBytes.get}%d B; top stages by executorRunTime:")
         import scala.jdk.CollectionConverters._
         stageTime.asScala.toSeq.sortBy(-_._2).take(12).foreach { case (k, ms) =>
           println(f"[probe]   ${ms / 1e3}%8.3f s  tasks=${stageTasks.get(k)}%4d  $k")
+        }
+      case "ab_dupgrams" => // r20: join-free n_dup = n_grams - n_globally_unique
+        import org.apache.spark.sql.functions._
+        import spark.implicits._
+        def newVariant: org.apache.spark.sql.DataFrame = {
+          spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+            "shingles8", exprs => graft.ops.ShingleGenerator(exprs.head, 8),
+            "scala_udf")
+          val grams = graft.ops.Util.spread(
+              graft.ops.Util.table(spark, sfDir, "documents"))
+            .selectExpr("doc_id", "shingles8(text) AS g")
+            .distinct()
+            .transform(graft.ops.Util.cached)
+          // a doc-frequency-1 gram has exactly ONE (doc_id, g) row, so
+          // min(doc_id) over its group IS its owning doc — the per-doc
+          // unique-gram count needs no join back to the gram table
+          val uniqPerDoc = grams.groupBy($"g")
+            .agg(count(lit(1)).as("nd"), min($"doc_id").as("d"))
+            .filter($"nd" === 1)
+            .groupBy($"d").agg(count(lit(1)).as("n_uniq"))
+          val totPerDoc = grams.groupBy($"doc_id")
+            .agg(count(lit(1)).as("n_grams"))
+          totPerDoc.join(uniqPerDoc, $"doc_id" === $"d", "left")
+            .select($"doc_id", $"n_grams",
+              ($"n_grams" - coalesce($"n_uniq", lit(0L))).as("n_dup"))
+            .withColumn("dup_frac",
+              round($"n_dup".cast("double") / $"n_grams", 6))
+            .select($"doc_id", $"n_grams", $"n_dup", $"dup_frac")
+            .orderBy($"doc_id")
+        }
+        val a = SparkEntry.queries("q_text_dupgrams")(spark, sfDir)
+          .collect().map(_.toString).toSeq
+        graft.ops.Util.unpersistRegistered()
+        val b = newVariant.collect().map(_.toString).toSeq
+        println(s"[probe] parity: ${a == b} (${a.size} vs ${b.size} rows)")
+        if (a != b) a.zip(b).filter(x => x._1 != x._2).take(3).foreach(x =>
+          println(s"[probe] diff: ${x._1} vs ${x._2}"))
+        (1 to 5).foreach { i =>
+          graft.ops.Util.unpersistRegistered()
+          t(s"old dupgrams run$i")(
+            SparkEntry.queries("q_text_dupgrams")(spark, sfDir).count())
+          graft.ops.Util.unpersistRegistered()
+          t(s"new dupgrams run$i")(newVariant.count())
         }
       case "upsert_phases" => // r20: attribute q_stream_upsert's driver gap
         import org.apache.spark.sql.functions._

@@ -254,14 +254,30 @@ object Quality {
     val grams = spread(table(s, dir, "documents"))
       .selectExpr("doc_id", "shingles8(text) AS g")
       .distinct()
-      .transform(cached) // reused by the doc-frequency and per-doc legs
-    val docFreq = grams.groupBy($"g").agg(count(lit(1)).as("nd"))
-    grams.join(docFreq, "g")
-      .groupBy($"doc_id")
-      .agg(count(lit(1)).as("n_grams"),
-        sum(when($"nd" > 1, 1L).otherwise(0L)).as("n_dup"))
+      .transform(cached) // reused by the unique-gram and per-doc legs
+    // JOIN-FREE doc-frequency attribution (round 20, guide §2.3/§2.4):
+    // n_dup(doc) = n_grams(doc) − #{grams of doc unique corpus-wide},
+    // and a doc-frequency-1 gram has exactly ONE (doc_id, g) row, so
+    // min(doc_id) over its gram group IS its owning doc. The r16-r19
+    // shape shipped every (doc_id, g) row through a second corpus-sized
+    // exchange (join-back on g, wide 8-token gram strings) to tag rows
+    // with their doc frequency; this form carries the one needed doc_id
+    // through the gram aggregation itself and the per-doc counts reduce
+    // map-side to ~docs-sized exchanges. Plan: 4 exchanges → 3, and the
+    // eliminated one was corpus-sized (same-session A/B at sf0.1:
+    // 0.84-1.8 s → 0.30-0.34 s, parity exact; the min(doc_id) of a
+    // filtered nd=1 group is partition-order-free by uniqueness).
+    val uniqPerDoc = grams.groupBy($"g")
+      .agg(count(lit(1)).as("nd"), min($"doc_id").as("d"))
+      .filter($"nd" === 1)
+      .groupBy($"d").agg(count(lit(1)).as("n_uniq"))
+    grams.groupBy($"doc_id").agg(count(lit(1)).as("n_grams"))
+      .join(uniqPerDoc, $"doc_id" === $"d", "left")
+      .select($"doc_id", $"n_grams",
+        ($"n_grams" - coalesce($"n_uniq", lit(0L))).as("n_dup"))
       .withColumn("dup_frac",
         round($"n_dup".cast("double") / $"n_grams", 6))
+      .select($"doc_id", $"n_grams", $"n_dup", $"dup_frac")
       .orderBy($"doc_id")
   }
 
