@@ -495,6 +495,54 @@ object Probe {
           graft.ops.Util.unpersistRegistered()
           t(s"new dupgrams run$i")(newVariant.count())
         }
+      case "ab_perplex" => // r20: single-pass bigram model via (doc,w1,w2) pre-agg
+        import org.apache.spark.sql.functions._
+        import spark.implicits._
+        def newVariant: org.apache.spark.sql.DataFrame = {
+          val d = graft.ops.Util.table(spark, sfDir, "documents")
+          spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+            "bigrams2", exprs => graft.ops.WordPairGenerator(exprs.head),
+            "scala_udf")
+          val bigDoc = graft.ops.Util.cached(
+            graft.ops.Util.spread(d)
+              .selectExpr("doc_id", "bigrams2(text) AS (w1, w2)")
+              .groupBy($"doc_id", $"w1", $"w2").agg(count(lit(1)).as("c")))
+          val cnt = bigDoc.groupBy($"w1", $"w2").agg(sum($"c").as("c12"))
+          val ctx = cnt.groupBy($"w1").agg(sum($"c12").as("c1"))
+          val model = cnt.join(ctx, "w1")
+            .select($"w1", $"w2",
+              round(-log($"c12".cast("double") / $"c1"), 8)
+                .cast("decimal(18,8)").as("nll"))
+          val scored = bigDoc.join(broadcast(model), Seq("w1", "w2"))
+            .groupBy($"doc_id")
+            .agg(sum($"nll" * $"c".cast("decimal(10,0)")).as("tot_nll"),
+              sum($"c").as("n_bigrams"))
+            .withColumn("tot_nll", $"tot_nll".cast("decimal(28,8)"))
+            .withColumn("avg_nll", $"tot_nll".cast("double") / $"n_bigrams")
+            .join(d.select($"doc_id", $"lang"), "doc_id")
+          graft.ops.DistRank.rowNumberInGroup(scored, Seq.empty,
+              Seq($"avg_nll", $"doc_id"), $"avg_nll", "rn", Some("n_docs"))
+            .filter($"rn" * 10 <= $"n_docs" * 7)
+            .groupBy($"lang")
+            .agg(count(lit(1)).as("n_kept"),
+              sum($"n_bigrams").as("sum_bigrams"),
+              sum($"tot_nll").cast("double").as("sum_nll"))
+            .orderBy($"lang")
+        }
+        val a = SparkEntry.queries("q_curate_perplexity")(spark, sfDir)
+          .collect().map(_.toString).toSeq
+        graft.ops.Util.unpersistRegistered()
+        val b = newVariant.collect().map(_.toString).toSeq
+        println(s"[probe] parity: ${a == b} (${a.size} vs ${b.size} rows)")
+        if (a != b) a.zip(b).filter(x => x._1 != x._2).take(3).foreach(x =>
+          println(s"[probe] diff: ${x._1} vs ${x._2}"))
+        (1 to 5).foreach { i =>
+          graft.ops.Util.unpersistRegistered()
+          t(s"old perplexity run$i")(
+            SparkEntry.queries("q_curate_perplexity")(spark, sfDir).count())
+          graft.ops.Util.unpersistRegistered()
+          t(s"new perplexity run$i")(newVariant.count())
+        }
       case "upsert_phases" => // r20: attribute q_stream_upsert's driver gap
         import org.apache.spark.sql.functions._
         (1 to 4).foreach { round =>

@@ -341,31 +341,51 @@ object LlmOpsExt {
     * bigram table does NOT broadcast at 100 TB (vocab² rows) — the score
     * join is a plain shuffle join on (w1,w2), which is the honest shape.
     * NLLs are decimal-summed so the per-doc mean is order-independent. */
-  val qTextBigramLm: Q = (s, dir) => {
+  /** Shared bigram front end (round 20): ONE pass over the raw bigram
+    * stream into per-(doc, w1, w2) counts, cached at TYPE granularity.
+    * The round-19 shape cached the per-OCCURRENCE bigram rows and read
+    * them twice (model counts + scoring join) — a corpus-sized
+    * InMemoryRelation whose columnar build/decompress dominated the
+    * subtree's task time (r20 stage audit: 17 s task CPU at sf0.1) and
+    * whose footprint grows with the corpus, competing with execution
+    * memory at scale (guide §5). The per-doc count table is what both
+    * consumers actually need: model counts fold from it map-side
+    * (sum(c) ≡ count over occurrences), and per-doc NLL totals are
+    * sum(nll·c) with c cast decimal(10,0) so the product keeps scale 8
+    * exactly (a bare long multiply hits the decimal-38 cap and
+    * TRUNCATES — caught by the A/B parity gate). Bigrams still come
+    * from the native WordPairGenerator (round 19, parity-pinned). */
+  private def bigramDocCounts(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    // bigram explode feeds model counts AND the scoring join: cache it;
-    // the model is vocab²-bounded (MBs at any corpus scale) — broadcast
-    // it back onto the corpus like the unigram LM, never shuffle the
-    // corpus on the pair key. Bigrams come from the native
-    // WordPairGenerator (round 19): the HOF chain it replaces —
-    // explode(transform(sequence → struct(element_at, element_at))) —
-    // is CodegenFallback, so every bigram paid an interpreted
-    // expression-tree walk on top of materializing the word array
-    // (bit-identical word semantics pinned in PropertySpec).
     s.sessionState.functionRegistry.createOrReplaceTempFunction(
       "bigrams2", exprs => WordPairGenerator(exprs.head), "scala_udf")
-    val big = cached(spread(table(s, dir, "documents"))
-      .selectExpr("doc_id", "bigrams2(text) AS (w1, w2)"))
-    val cnt = big.groupBy($"w1", $"w2").agg(count(lit(1)).as("c12"))
+    cached(spread(table(s, dir, "documents"))
+      .selectExpr("doc_id", "bigrams2(text) AS (w1, w2)")
+      .groupBy($"doc_id", $"w1", $"w2").agg(count(lit(1)).as("c")))
+  }
+
+  /** Vocab²-bounded NLL model from the per-doc count table (MBs at any
+    * corpus scale — broadcast back onto the corpus, never shuffle the
+    * corpus on the pair key). */
+  private def bigramModel(bigDoc: DataFrame): DataFrame = {
+    val s = bigDoc.sparkSession
+    import s.implicits._
+    val cnt = bigDoc.groupBy($"w1", $"w2").agg(sum($"c").as("c12"))
     val ctx = cnt.groupBy($"w1").agg(sum($"c12").as("c1"))
-    val model = cnt.join(ctx, "w1")
+    cnt.join(ctx, "w1")
       .select($"w1", $"w2",
         round(-log($"c12".cast("double") / $"c1"), 8)
           .cast("decimal(18,8)").as("nll"))
-    big.join(broadcast(model), Seq("w1", "w2"))
+  }
+
+  val qTextBigramLm: Q = (s, dir) => {
+    import s.implicits._
+    val bigDoc = bigramDocCounts(s, dir)
+    bigDoc.join(broadcast(bigramModel(bigDoc)), Seq("w1", "w2"))
       .groupBy($"doc_id")
-      .agg((sum($"nll").cast("double") / count(lit(1))).as("avg_nll"),
-        count(lit(1)).as("n_bigrams"))
+      .agg((sum($"nll" * $"c".cast("decimal(10,0)")).cast("double") /
+        sum($"c")).as("avg_nll"),
+        sum($"c").as("n_bigrams"))
       .orderBy($"doc_id")
   }
 
@@ -388,21 +408,16 @@ object LlmOpsExt {
   val qCuratePerplexity: Q = (s, dir) => {
     import s.implicits._
     val d = table(s, dir, "documents")
-    // native bigram generator — same rationale + parity pin as the
-    // bigram LM above
-    s.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "bigrams2", exprs => WordPairGenerator(exprs.head), "scala_udf")
-    val big = cached(spread(d)
-      .selectExpr("doc_id", "bigrams2(text) AS (w1, w2)"))
-    val cnt = big.groupBy($"w1", $"w2").agg(count(lit(1)).as("c12"))
-    val ctx = cnt.groupBy($"w1").agg(sum($"c12").as("c1"))
-    val model = cnt.join(ctx, "w1")
-      .select($"w1", $"w2",
-        round(-log($"c12".cast("double") / $"c1"), 8)
-          .cast("decimal(18,8)").as("nll"))
-    val scored = big.join(broadcast(model), Seq("w1", "w2"))
+    // shared single-pass bigram front end (round 20) — see
+    // bigramDocCounts; tot_nll = sum(nll·c) cast back to the old
+    // sum-of-occurrences type decimal(28,8) so every downstream value
+    // (ordering double, survivor decimal totals) is bit-identical
+    val bigDoc = bigramDocCounts(s, dir)
+    val scored = bigDoc.join(broadcast(bigramModel(bigDoc)), Seq("w1", "w2"))
       .groupBy($"doc_id")
-      .agg(sum($"nll").as("tot_nll"), count(lit(1)).as("n_bigrams"))
+      .agg(sum($"nll" * $"c".cast("decimal(10,0)"))
+        .cast("decimal(28,8)").as("tot_nll"),
+        sum($"c").as("n_bigrams"))
       .withColumn("avg_nll", $"tot_nll".cast("double") / $"n_bigrams")
       .join(d.select($"doc_id", $"lang"), "doc_id")
     DistRank.rowNumberInGroup(scored, Seq.empty,
