@@ -3354,6 +3354,14 @@ object Sources {
     val s2 = s.newSession()
     s2.conf.set("spark.sql.catalog.graftsd", "graft.sources.GraftCatalog")
     s2.conf.set("spark.sql.catalog.graftsd.root", dmlRoot(s, dir, "scd2_"))
+    // batch-sized dials (round 20) — the q_stream_upsert rationale
+    // applied to the SCD2 apply loop: each batch is ~50k rows, so
+    // cluster-sized shuffle fan-out and AQE's per-stage replanning are
+    // pure per-epoch overhead on the 2x(MERGE + INSERT) sequence. A real
+    // SCD2 maintainer sets this from its batch volume; results are
+    // row-identical (same commits, same history).
+    s2.conf.set("spark.sql.shuffle.partitions", "4")
+    s2.conf.set("spark.sql.adaptive.enabled", "false")
     table(s2, dir, "orders").createOrReplaceTempView("ord_scd")
     s2.sql("DROP TABLE IF EXISTS graftsd.d")
     s2.sql(
@@ -3410,6 +3418,12 @@ object Sources {
     val s2 = s.newSession()
     s2.conf.set("spark.sql.catalog.graftmr", "graft.sources.GraftCatalog")
     s2.conf.set("spark.sql.catalog.graftmr.root", dmlRoot(s, dir, "mor_"))
+    // batch-sized dials (round 20) — the q_stream_upsert/q_store_scd2
+    // rationale: one-batch DML over ~50k rows gains nothing from
+    // cluster-sized shuffle fan-out or AQE's per-stage replanning;
+    // results are row-identical (same commits, same history).
+    s2.conf.set("spark.sql.shuffle.partitions", "4")
+    s2.conf.set("spark.sql.adaptive.enabled", "false")
     table(s2, dir, "orders").createOrReplaceTempView("ord_mor")
     s2.sql("DROP TABLE IF EXISTS graftmr.t")
     s2.sql(
@@ -3436,6 +3450,12 @@ object Sources {
     val s2 = s.newSession()
     s2.conf.set("spark.sql.catalog.graftm", "graft.sources.GraftCatalog")
     s2.conf.set("spark.sql.catalog.graftm.root", dmlRoot(s, dir, "merge_"))
+    // batch-sized dials (round 20) — the q_stream_upsert/q_store_scd2
+    // rationale: one-batch DML over ~50k rows gains nothing from
+    // cluster-sized shuffle fan-out or AQE's per-stage replanning;
+    // results are row-identical (same commits, same history).
+    s2.conf.set("spark.sql.shuffle.partitions", "4")
+    s2.conf.set("spark.sql.adaptive.enabled", "false")
     table(s2, dir, "orders").createOrReplaceTempView("ord")
     s2.sql("DROP TABLE IF EXISTS graftm.t")
     s2.sql(
@@ -3475,6 +3495,9 @@ object Sources {
     val s2 = s.newSession()
     s2.conf.set("spark.sql.catalog.graftme", "graft.sources.GraftCatalog")
     s2.conf.set("spark.sql.catalog.graftme.root", dmlRoot(s, dir, "mergeev_"))
+    // batch-sized dials (round 20) — see qStoreMerge
+    s2.conf.set("spark.sql.shuffle.partitions", "4")
+    s2.conf.set("spark.sql.adaptive.enabled", "false")
     table(s2, dir, "orders").createOrReplaceTempView("ord_ev")
     s2.sql("DROP TABLE IF EXISTS graftme.t")
     s2.sql(
@@ -3512,6 +3535,9 @@ object Sources {
     val s2 = s.newSession()
     s2.conf.set("spark.sql.catalog.graftnb", "graft.sources.GraftCatalog")
     s2.conf.set("spark.sql.catalog.graftnb.root", dmlRoot(s, dir, "mergenbs_"))
+    // batch-sized dials (round 20) — see qStoreMerge
+    s2.conf.set("spark.sql.shuffle.partitions", "4")
+    s2.conf.set("spark.sql.adaptive.enabled", "false")
     table(s2, dir, "orders").createOrReplaceTempView("ord_nbs")
     s2.sql("DROP TABLE IF EXISTS graftnb.t")
     s2.sql(
@@ -3547,6 +3573,12 @@ object Sources {
     val s2 = s.newSession()
     s2.conf.set("spark.sql.catalog.graftu", "graft.sources.GraftCatalog")
     s2.conf.set("spark.sql.catalog.graftu.root", dmlRoot(s, dir, "dml_"))
+    // batch-sized dials (round 20) — the q_stream_upsert/q_store_scd2
+    // rationale: one-batch DML over ~50k rows gains nothing from
+    // cluster-sized shuffle fan-out or AQE's per-stage replanning;
+    // results are row-identical (same commits, same history).
+    s2.conf.set("spark.sql.shuffle.partitions", "4")
+    s2.conf.set("spark.sql.adaptive.enabled", "false")
     table(s2, dir, "orders").createOrReplaceTempView("ord")
     s2.sql("DROP TABLE IF EXISTS graftu.t")
     s2.sql(
