@@ -678,12 +678,18 @@ object Quality {
     // corpus). Rounds then run on vocabulary-sized data with
     // multiplicity-WEIGHTED pair counts: 5.5 s (instance-level, three
     // cached 600k-row corpus rewrites) → sub-second.
+    // dict cache coalesced (round 20): the merge rounds make 7 passes
+    // over this VOCAB-sized table — at 32 cached partitions that is
+    // ~200 near-empty task launches per invocation; width derives from
+    // the parallelism so a cluster still gets a few dict tasks
+    val dictParts = math.max(1, s.sparkContext.defaultParallelism / 8)
     val words = cached(table(s, dir, "documents")
       .select(explode(LlmOps.toks($"text")).as("w"))
       .groupBy($"w").agg(count(lit(1)).as("mult"))
       // ' a b c ' via one regexp (each char → char+space + leading pad)
       .select(concat(lit(" "), regexp_replace($"w", "(.)", "$1 ")).as("s"),
-        $"mult"))
+        $"mult")
+      .coalesce(dictParts))
     // symbol pairs through the native WordWindowGenerator (round 19):
     // the HOF chain it replaces — explode(transform(sequence →
     // concat(element_at, " ", element_at))) — walked the interpreted
@@ -723,12 +729,15 @@ object Quality {
     * n_syms - n_tokens = number of merge applications inside the doc. */
   val qTextBpeApply: Q = (s, dir) => {
     import s.implicits._
+    // dict cache coalesced — same rationale as q_text_bpe_train above
+    val dictParts = math.max(1, s.sparkContext.defaultParallelism / 8)
     val words = cached(spread(table(s, dir, "documents"))
       .select(explode(LlmOps.toks($"text")).as("w"))
       .groupBy($"w").agg(count(lit(1)).as("mult"))
       .select($"w",
         concat(lit(" "), regexp_replace($"w", "(.)", "$1 ")).as("s"),
-        $"mult"))
+        $"mult")
+      .coalesce(dictParts))
     // symbol pairs through the native WordWindowGenerator — same
     // rationale + parity pin as q_text_bpe_train
     s.sessionState.functionRegistry.createOrReplaceTempFunction(
