@@ -2417,10 +2417,16 @@ object Sources {
       .load()
       .writeStream
       .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        // persist the pre-aggregated upsert set (round 20): upsertByKey
+        // consumes it twice — the key-sidecar job and the data write,
+        // which since r20 run concurrently — and without materialization
+        // each re-runs the batch aggregation (the q_stream_upsert
+        // precedent comment, applied to the eq-delete sibling)
         val up = batch.groupBy(($"id" % 1000).as("k"))
-          .agg(max($"id").as("id"))
-        graft.sources.GraftStore.upsertByKey(
+          .agg(max($"id").as("id")).persist()
+        try graft.sources.GraftStore.upsertByKey(
           up.sparkSession, t, Seq("k"), up)
+        finally { up.unpersist(blocking = false); () }
         ()
       }
       .option("checkpointLocation", Util.managedTempDir("graft_upserteq_ckpt_"))
