@@ -88,35 +88,38 @@ object LlmOpsExt {
       .select($"x.doc_id".as("doc_a"), $"y.doc_id".as("doc_b"))
       .transform(cached) // consumed by both candDocs legs and the intersection join
     // grams are only needed for docs that survived blocking (~10% of the
-    // table) — semi-join before the expensive character-gram explosion
+    // table) — semi-join before the expensive character-gram derivation
     val candDocs = cands.select($"doc_a".as("doc_id"))
       .unionAll(cands.select($"doc_b".as("doc_id"))).distinct()
-    // char 5-grams through the native CharGramGenerator (round 19): the
-    // interpreted explode(transform(sequence → substr)) chain paid a
-    // per-gram expression walk; keepShort = true reproduces the old
-    // sequence(1, greatest(length-4, 1)) convention where a sub-5-char
-    // doc still contributes its whole text as one gram (parity pinned
-    // in PropertySpec)
-    s.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "chargrams5",
-      exprs => CharGramGenerator(exprs.head, 5, keepShort = true), "scala_udf")
-    val grams = d.join(candDocs, Seq("doc_id"), "left_semi")
-      .selectExpr("doc_id", "chargrams5(text) AS g")
-      .distinct()
-      // the char-gram explosion is the expensive stage and feeds BOTH
-      // sides of the intersection join plus the per-doc size counts —
-      // uncached it would run four times
-      .transform(cached)
-    val sizes = grams.groupBy($"doc_id").agg(count(lit(1)).as("n"))
-    val inter = cands
-      .join(grams.as("ga"), $"doc_a" === $"ga.doc_id")
-      .join(grams.as("gb"), $"doc_b" === $"gb.doc_id" && $"ga.g" === $"gb.g")
-      .groupBy($"doc_a", $"doc_b").agg(count(lit(1)).as("i"))
-    inter
-      .join(sizes.as("za"), $"doc_a" === $"za.doc_id")
-      .join(sizes.as("zb"), $"doc_b" === $"zb.doc_id")
+    // round 20: per-doc DISTINCT gram SETS as one array via the native
+    // DistinctCharGramsArray kernel (byte-identical gram strings to the
+    // r19 CharGramGenerator explode + distinct; keepShort = true keeps the
+    // sub-5-char-doc whole-text gram convention — parity pinned in
+    // PropertySpec), intersected PER ROW with array_intersect — the
+    // nearDupPairs verify discipline. The old shape exploded the grams,
+    // distinct-shuffled the corpus-sized (doc, gram) table, then shuffled
+    // it TWICE more through the ga.g = gb.g intersection join and the
+    // pair-keyed count; the gram sets now ride the two candidate joins and
+    // never hit an exchange (stage audit: 3 gram-table shuffles → 0).
+    // |A∩B|, |A|, |B| over the same distinct sets ⇒ identical jaccard.
+    val docg = cached(d.join(candDocs, Seq("doc_id"), "left_semi")
+      .select($"doc_id",
+        org.apache.spark.sql.graft.GraftSql.column(
+          graft.functions.DistinctCharGramsArray(
+            org.apache.spark.sql.graft.GraftSql.expression($"text"),
+            5, keepShort = true)).as("gs")))
+    cands
+      .join(docg.select($"doc_id".as("doc_a"), $"gs".as("ga")), "doc_a")
+      .join(docg.select($"doc_id".as("doc_b"), $"gs".as("gb")), "doc_b")
       .select($"doc_a", $"doc_b",
-        round($"i".cast("double") / ($"za.n" + $"zb.n" - $"i"), 6).as("jac"))
+        size(array_intersect($"ga", $"gb")).cast("long").as("i"),
+        (size($"ga") + size($"gb")).cast("long").as("nn"))
+      // NULL-text docs have EMPTY gram sets (the explode form emitted no
+      // row and the inner gram join dropped their pairs): guard the 0/0
+      // and let the >= 0.5 filter drop them, same output either way
+      .select($"doc_a", $"doc_b",
+        round(when($"nn" - $"i" > 0,
+          $"i".cast("double") / ($"nn" - $"i").cast("double")), 6).as("jac"))
       .filter($"jac" >= 0.5)
       .orderBy($"doc_a", $"doc_b")
   }
@@ -1122,15 +1125,21 @@ object LlmOpsExt {
       .select($"doc_id", $"tid", $"term",
         ($"tf" * round(log($"n_docs".cast("double") / $"df") * 10000, 0)
           .cast("long")).as("w"))
-    val top = w.withColumn("rn",
+    // top and norm are DOC-sized (one row per doc) but each uncached
+    // consumer leg re-derives the full postings subtree (corpus scan +
+    // explode + tf/df aggregation): top feeds groups AND wt, norm feeds
+    // BOTH cosine denominator legs — r20 plan audit counted the w
+    // subtree rebuilt 5x per run. Caching the two doc-sized frames cuts
+    // that to 2 evaluations for kilobytes per million docs of memory.
+    val top = cached(w.withColumn("rn",
         row_number().over(
           Window.partitionBy($"doc_id").orderBy($"w".desc, $"term")))
-      .filter($"rn" === 1).select($"doc_id", $"tid".as("top_tid"))
+      .filter($"rn" === 1).select($"doc_id", $"tid".as("top_tid")))
     // block sizes -> salt-group counts (tiny: one row per distinct
     // dominant term; broadcast back onto the postings)
     val groups = top.groupBy($"top_tid")
       .agg(ceil(count(lit(1)).cast("double") / Cap).cast("int").as("g"))
-    val norm = w.groupBy($"doc_id").agg(sum($"w" * $"w").as("ssq"))
+    val norm = cached(w.groupBy($"doc_id").agg(sum($"w" * $"w").as("ssq")))
     val wt = cached(w.select($"doc_id", $"tid", $"w").join(top, "doc_id")
       .join(broadcast(groups), "top_tid"))
     // left: one deterministic salt per doc; right: replicated to all g
