@@ -63,6 +63,47 @@ object Probe {
           org.apache.spark.sql.execution.FormattedMode).trim)
         finally w.close()
         println(s"[probe] wrote $out")
+      case "scan_dups" =>
+        // registry-wide duplicated-subtree census (round 20): for every
+        // query, count parquet-scan leaves per input table in the
+        // EXECUTED plan (inside InMemoryRelation builds too — a cache
+        // fill still pays its scans once). A table appearing N≥2 times
+        // means the plan re-derives a subtree N times; some are declared
+        // (multi-pass operators), the rest are cache candidates.
+        import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+        // count scan EXECUTIONS: a cached subtree's build runs once no
+        // matter how many InMemoryTableScans consume it, so each distinct
+        // InMemoryRelation is descended exactly once (dedup by identity)
+        def leaves(p: org.apache.spark.sql.execution.SparkPlan,
+                   seen: java.util.IdentityHashMap[AnyRef, AnyRef]): Seq[String] = {
+          val direct = p.collect {
+            case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+              Seq(f.relation.location.rootPaths.headOption
+                .map(_.getName).getOrElse("?"))
+            case i: InMemoryTableScanExec =>
+              if (seen.containsKey(i.relation)) Seq.empty
+              else { seen.put(i.relation, i.relation)
+                leaves(i.relation.cachedPlan, seen) }
+            case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+              leaves(a.executedPlan, seen)
+          }
+          direct.flatten
+        }
+        SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+          graft.ops.Util.unpersistRegistered()
+          try {
+            val df = fn(spark, sfDir)
+            val ls = leaves(df.queryExecution.executedPlan,
+              new java.util.IdentityHashMap[AnyRef, AnyRef])
+            val byTable = ls.groupBy(identity).map { case (k, v) => (k, v.size) }
+            val dups = byTable.filter(_._2 >= 2)
+            if (dups.nonEmpty)
+              println(s"[scan_dups] $name: " + dups.toSeq.sortBy(-_._2)
+                .map { case (k, v) => s"$k x$v" }.mkString(", "))
+          } catch { case scala.util.control.NonFatal(e) =>
+            println(s"[scan_dups] $name FAILED: ${e.getMessage}")
+          }
+        }
       case "pagerank" => probePagerank(spark, sfDir, t)
       case "ab_bigram" =>
         import org.apache.spark.sql.functions._

@@ -105,6 +105,99 @@ case class DistinctShinglesArray(child: Expression, n: Int)
     copy(child = newChild)
 }
 
+/** DISTINCT character n-grams of a document as ONE array, first-occurrence
+  * order — the char-gram sibling of [[DistinctShinglesArray]] (round 20):
+  * byte-identical gram strings to CharGramGenerator(n, keepShort) followed
+  * by a per-doc distinct (grams are the char-boundary byte slices
+  * substringSQL produces; a doc shorter than n chars contributes its whole
+  * text as one gram when keepShort, nothing otherwise; NULL text yields
+  * the EMPTY array — the generator emitted no row, and the one consumer
+  * guards the resulting 0/0). Lets q_dedup_ngram intersect per-row gram
+  * SETS (array_intersect) instead of exploding, distinct-shuffling and
+  * re-joining the gram table — the nearDupPairs verify discipline.
+  * Parity pinned in PropertySpec. */
+case class DistinctCharGramsArray(child: Expression, n: Int, keepShort: Boolean)
+    extends UnaryExpression {
+  require(n >= 1, s"gram width must be >= 1, got $n")
+
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "distinct_chargrams"
+  override def nullable: Boolean = false
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires string input, got ${other.catalogString}")
+  }
+
+  override def eval(
+      input: org.apache.spark.sql.catalyst.InternalRow): Any =
+    DistinctCharGramsArray.compute(
+      child.eval(input).asInstanceOf[UTF8String], n, keepShort)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    import org.apache.spark.sql.catalyst.expressions.codegen.FalseLiteral
+    val c = child.genCode(ctx)
+    val childVal = if (child.nullable) s"(${c.isNull} ? null : ${c.value})"
+      else c.value.toString
+    val call =
+      s"graft.functions.DistinctCharGramsArray.compute($childVal, $n, $keepShort);"
+    ev.copy(
+      code = c.code +
+        code"""
+           |org.apache.spark.sql.catalyst.util.ArrayData ${ev.value} = $call
+           |""".stripMargin,
+      isNull = FalseLiteral)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object DistinctCharGramsArray {
+  import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+
+  private val empty = new GenericArrayData(Array.empty[Any])
+
+  /** Called from generated code; null-tolerant (null → empty array). */
+  def compute(s: UTF8String, n: Int, keepShort: Boolean): ArrayData = {
+    if (s == null) return empty
+    val base = s.getBaseObject
+    val off = s.getBaseOffset
+    val len = s.numBytes()
+    // char-start byte offsets (UTF8 boundaries), offs(m) = len
+    var offs = new Array[Int](math.max(16, len + 1))
+    var m = 0
+    var i = 0
+    while (i < len) {
+      offs(m) = i
+      m += 1
+      i += UTF8String.numBytesForFirstByte(
+        org.apache.spark.unsafe.Platform.getByte(base, off + i))
+    }
+    if (offs.length <= m) offs = java.util.Arrays.copyOf(offs, m + 1)
+    offs(m) = len
+    if (m < n) {
+      // substringSQL(1, n) of a shorter-than-n string is the whole string
+      return if (keepShort) new GenericArrayData(Array[Any](s.clone()))
+        else empty
+    }
+    val seen = new java.util.LinkedHashSet[UTF8String](
+      math.max(16, (m - n + 1) * 2))
+    var g = 0
+    while (g <= m - n) {
+      val a = offs(g)
+      val b = offs(g + n)
+      val view = UTF8String.fromAddress(base, off + a, b - a)
+      if (!seen.contains(view)) seen.add(view.clone())
+      g += 1
+    }
+    new GenericArrayData(seen.toArray.asInstanceOf[Array[Any]])
+  }
+}
+
 object DistinctShinglesArray {
   import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 

@@ -372,6 +372,37 @@ class PropertySpec extends SparkSuite {
     }
   }
 
+  test("DistinctCharGramsArray equals array_distinct(collected CharGramGenerator grams)") {
+    import spark.implicits._
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "chargrams5", exprs =>
+        graft.ops.CharGramGenerator(exprs.head, 5, keepShort = true), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "distinct_chargrams5", exprs =>
+        graft.functions.DistinctCharGramsArray(exprs.head, 5, keepShort = true),
+      "scala_udf")
+    val wGen = for {
+      n <- Gen.choose(0, 14)
+      cs <- Gen.listOfN(n, Gen.oneOf("a", "b", "c", " ", "é", "字"))
+    } yield cs.mkString
+    forAll(wGen, 60) { w =>
+      val df = Seq(Tuple1(w)).toDF("w")
+      // reference: the shipped-through-r19 explode + per-doc distinct,
+      // first-occurrence order (array_distinct over the collected grams)
+      val exploded = df.selectExpr("chargrams5(w) AS g")
+        .collect().map(_.getString(0)).toSeq
+      val expect = exploded.distinct
+      val native = df.selectExpr("distinct_chargrams5(w) AS gs")
+        .collect().head.getSeq[String](0)
+      assert(native == expect, s"distinct chargram mismatch on '$w': " +
+        s"$native vs $expect")
+      // and NULL text yields the empty array (generator emits no row)
+      val nul = df.selectExpr("distinct_chargrams5(CAST(NULL AS STRING)) AS gs")
+        .collect().head.getSeq[String](0)
+      assert(nul.isEmpty, "NULL text must yield an empty gram set")
+    }
+  }
+
   test("DistinctShinglesArray equals array_distinct(shingles(toks(text)))") {
     import spark.implicits._
     val wordGen = Gen.oneOf("a", "bb", "ccc", "", "émü", "字", "a", "bb")
