@@ -104,6 +104,35 @@ object Probe {
             println(s"[scan_dups] $name FAILED: ${e.getMessage}")
           }
         }
+      case "ab_triangles" =>
+        // r20: SMJ vs shuffled-hash for the wedge-close joins (guide §3.1)
+        import org.apache.spark.sql.functions._
+        import spark.implicits._
+        def shipped = SparkEntry.queries("q_graph_triangles")(spark, sfDir)
+        def hinted = {
+          val e = graft.ops.Util.cached(
+            graft.ops.Util.coOrderPairs(spark, sfDir).distinct())
+          e.as("e1").join(e.as("e2").hint("shuffle_hash"), $"e1.v" === $"e2.u")
+            .join(e.as("e3").hint("shuffle_hash"),
+              $"e1.u" === $"e3.u" && $"e2.v" === $"e3.v")
+            .groupBy($"e1.u".as("u"))
+            .agg(count(lit(1)).as("n_triangles"))
+            .orderBy($"u")
+        }
+        t("warm shipped")(shipped.count())
+        graft.ops.Util.unpersistRegistered()
+        t("warm hinted")(hinted.count())
+        graft.ops.Util.unpersistRegistered()
+        (1 to 4).foreach { i =>
+          graft.ops.Util.unpersistRegistered()
+          t(s"shipped $i")(shipped.count())
+          graft.ops.Util.unpersistRegistered()
+          t(s"hinted  $i")(hinted.count())
+        }
+        val a = shipped.collect().toSeq
+        graft.ops.Util.unpersistRegistered()
+        val b = hinted.collect().toSeq
+        println(s"[probe] parity ${a == b} (${a.size} rows)")
       case "pagerank" => probePagerank(spark, sfDir, t)
       case "ab_bigram" =>
         import org.apache.spark.sql.functions._
